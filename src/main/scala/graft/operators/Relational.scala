@@ -1,0 +1,730 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Relational operator corpus: one named query per relational operator row
+  * of SURVEY.md §2 (S/P/J/A/W ids), each with an equivalent DuckDB oracle
+  * SQL in [[Relational.oracle]].
+  *
+  * Scale posture (100 TB): every query is declarative DataFrame algebra —
+  * filters/projections reach the parquet scan (pushdown + pruning), small
+  * dimension sides are broadcast explicitly, aggregations use hash partial+
+  * final aggregation, and window functions that need a global order are
+  * confined to per-key partitions or to already-aggregated (small) frames.
+  * Global-order `row_number` is used only for the train/test-split
+  * semantics of the reference (SURVEY §2.2 P4), applied post-aggregation.
+  *
+  * Determinism: every query ends in a total `ORDER BY` so the parquet dump
+  * the driver hashes is stable; oracles carry the same ORDER BY.
+  */
+object Relational {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** name -> (spark query, optional duckdb oracle sql) */
+  val entries: Seq[(String, Q, Option[String])] = Seq(
+
+    // ----- S: scans / sources / sinks -------------------------------------
+
+    ("s1_scan_prune", (s: SparkSession, d: String) => {
+      // Projection + predicate reach the parquet scan (PushedFilters).
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+        .filter(col("l_quantity") >= 45)
+        .orderBy(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+    }, Some(
+      """SELECT l_orderkey, l_partkey, l_quantity FROM lineitem
+         WHERE l_quantity >= 45 ORDER BY 1, 2, 3""")),
+
+    ("s5_csv_roundtrip", (s: SparkSession, d: String) => {
+      // CSV sink + re-scan (SURVEY S5/S6): write an aggregate to CSV with
+      // header, read it back with an explicit schema (no inference in the
+      // query path), return the re-read frame.
+      import org.apache.spark.sql.types._
+      val agg = Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("o_totalprice")).as("total"))
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_csv_roundtrip"
+      agg.coalesce(1).write.mode("overwrite").option("header", "true").csv(tmp)
+      s.read
+        .schema(StructType(Seq(
+          StructField("o_orderpriority", StringType),
+          StructField("n_orders", LongType),
+          StructField("total", DoubleType))))
+        .option("header", "true").csv(tmp)
+        .orderBy(col("o_orderpriority"))
+    }, Some(
+      """SELECT o_orderpriority, count(*) AS n_orders, sum(o_totalprice) AS total
+         FROM orders GROUP BY 1 ORDER BY 1""")),
+
+    // ----- P: projections / filters ---------------------------------------
+
+    ("p2_select_names", (s: SparkSession, d: String) => {
+      Tables.part(s, d)
+        .select(col("p_partkey"), col("p_brand"), col("p_retailprice"))
+        .orderBy(col("p_partkey"))
+    }, Some(
+      "SELECT p_partkey, p_brand, p_retailprice FROM part ORDER BY 1")),
+
+    ("p3_select_positional", (s: SparkSession, d: String) => {
+      // Column select by position range (SURVEY P3).
+      val li = Tables.lineitem(s, d)
+      val cols = li.columns.slice(0, 5).map(col)
+      li.select(cols: _*).filter(col("l_orderkey") < 100)
+        .orderBy(cols.toIndexedSeq: _*)
+    }, Some(
+      """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity
+         FROM lineitem WHERE l_orderkey < 100 ORDER BY 1, 2, 3, 4, 5""")),
+
+    ("p4_row_slice", (s: SparkSession, d: String) => {
+      // Deterministic head-split: row_number over a total order, never a
+      // bare `limit` (SURVEY P4). Global window is OK here: it runs on the
+      // orders table ordered by its time index, mirroring the reference's
+      // train/test split on a 231-row panel; at 100 TB the split key is a
+      // date predicate (see p5), not a row number.
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("o_orderdate"), col("o_orderkey"))))
+        .filter(col("rn") <= 100)
+        .select(col("rn"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+        .orderBy(col("rn"))
+    }, Some(
+      """SELECT rn, o_orderkey, o_orderdate, o_totalprice FROM (
+           SELECT row_number() OVER (ORDER BY o_orderdate, o_orderkey) AS rn,
+                  o_orderkey, o_orderdate, o_totalprice FROM orders)
+         WHERE rn <= 100 ORDER BY rn""")),
+
+    ("p5_time_range", (s: SparkSession, d: String) => {
+      Tables.events(s, d)
+        .filter(col("ts").between(
+          lit("2024-01-10 00:00:00").cast("timestamp"),
+          lit("2024-01-12 00:00:00").cast("timestamp")))
+        .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+        .orderBy(col("event_id"))
+    }, Some(
+      """SELECT event_id, cast(ts AS timestamp) AS ts, event_type, value
+         FROM events
+         WHERE cast(ts AS timestamp) BETWEEN TIMESTAMP '2024-01-10 00:00:00'
+                                         AND TIMESTAMP '2024-01-12 00:00:00'
+         ORDER BY 1""")),
+
+    ("p6_null_drop", (s: SparkSession, d: String) => {
+      // na.drop("any") ≙ reference na.omit (SURVEY P6); nulls manufactured
+      // with a positivity gate since the testdata has none.
+      Tables.lineitem(s, d)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          when(col("l_discount") > 0, col("l_discount")).as("disc"),
+          when(col("l_tax") > 0, col("l_tax")).as("tax"))
+        .na.drop("any")
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }, Some(
+      """SELECT l_orderkey, l_linenumber, l_discount AS disc, l_tax AS tax
+         FROM lineitem WHERE l_discount > 0 AND l_tax > 0 ORDER BY 1, 2""")),
+
+    ("p7_min_positive_gate", (s: SparkSession, d: String) => {
+      // Per-column null-safe positivity predicate (SURVEY P7): min() ignores
+      // nulls in both engines.
+      Tables.lineitem(s, d).agg(
+        min(col("l_quantity")).as("min_qty"),
+        min(col("l_extendedprice")).as("min_price"),
+        (min(col("l_quantity")) > 0).as("qty_all_positive"))
+    }, Some(
+      """SELECT min(l_quantity) AS min_qty, min(l_extendedprice) AS min_price,
+                min(l_quantity) > 0 AS qty_all_positive FROM lineitem""")),
+
+    // ----- J: joins --------------------------------------------------------
+
+    ("j1_full_outer", (s: SparkSession, d: String) => {
+      // Reference J1: time-index full outer merge. Relational analog:
+      // customers FULL OUTER their large-order counts; null-filled where a
+      // side is absent. Aggregate side is small post-agg → broadcastable,
+      // but full_outer cannot broadcast, so Catalyst picks sort-merge —
+      // correct at scale too (both sides shuffle on the key).
+      val big = Tables.orders(s, d).filter(col("o_totalprice") > 400000)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_big"))
+      Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+        .join(big, col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(
+          coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+          col("c_mktsegment"),
+          coalesce(col("n_big"), lit(0L)).as("n_big"))
+        .orderBy(col("custkey"))
+    }, Some(
+      """SELECT coalesce(c_custkey, o_custkey) AS custkey, c_mktsegment,
+                coalesce(n_big, 0) AS n_big
+         FROM customer FULL OUTER JOIN (
+           SELECT o_custkey, count(*) AS n_big FROM orders
+           WHERE o_totalprice > 400000 GROUP BY 1)
+         ON c_custkey = o_custkey ORDER BY 1""")),
+
+    ("j2_star_broadcast", (s: SparkSession, d: String) => {
+      // Star join with explicit broadcast of the small dimension chain.
+      val n = broadcast(Tables.nation(s, d))
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(n, c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("o_totalprice")).as("revenue"))
+        .orderBy(col("n_name"))
+    }, Some(
+      """SELECT n_name, count(*) AS n_orders, sum(o_totalprice) AS revenue
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY 1 ORDER BY 1""")),
+
+    ("j4_left_outer", (s: SparkSession, d: String) => {
+      val o97 = Tables.orders(s, d)
+        .filter(year(col("o_orderdate")) === 1997)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_1997"), sum(col("o_totalprice")).as("rev_1997"))
+      Tables.customer(s, d).select(col("c_custkey"))
+        .join(o97, col("c_custkey") === col("o_custkey"), "left_outer")
+        .select(col("c_custkey"),
+          coalesce(col("n_1997"), lit(0L)).as("n_1997"),
+          coalesce(col("rev_1997"), lit(0.0)).as("rev_1997"))
+        .orderBy(col("c_custkey"))
+    }, Some(
+      """SELECT c_custkey, coalesce(n_1997, 0) AS n_1997,
+                coalesce(rev_1997, 0.0) AS rev_1997
+         FROM customer LEFT JOIN (
+           SELECT o_custkey, count(*) AS n_1997, sum(o_totalprice) AS rev_1997
+           FROM orders WHERE year(o_orderdate) = 1997 GROUP BY 1)
+         ON c_custkey = o_custkey ORDER BY 1""")),
+
+    ("j5_semi", (s: SparkSession, d: String) => {
+      val big = Tables.orders(s, d).filter(col("o_totalprice") > 450000)
+      Tables.customer(s, d)
+        .join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }, Some(
+      """SELECT c_custkey, c_name FROM customer c WHERE EXISTS (
+           SELECT 1 FROM orders o
+           WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)
+         ORDER BY 1""")),
+
+    ("j6_anti", (s: SparkSession, d: String) => {
+      val heavy = Tables.lineitem(s, d).filter(col("l_quantity") >= 40)
+      Tables.part(s, d)
+        .join(heavy, col("p_partkey") === col("l_partkey"), "left_anti")
+        .select(col("p_partkey"), col("p_name"))
+        .orderBy(col("p_partkey"))
+    }, Some(
+      """SELECT p_partkey, p_name FROM part p WHERE NOT EXISTS (
+           SELECT 1 FROM lineitem l
+           WHERE l.l_partkey = p.p_partkey AND l.l_quantity >= 40)
+         ORDER BY 1""")),
+
+    ("j3_date_align", (s: SparkSession, d: String) => {
+      // Reference J3: point-lookup alignment on a computed date key
+      // (forecast@origin+h vs realized). Analog: daily revenue joined to
+      // revenue 7 days ahead via computed join key.
+      val daily = Tables.orders(s, d)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(col("o_totalprice")).as("rev"))
+      daily.as("a")
+        .join(daily.as("b"), col("b.day") === date_add(col("a.day"), 7))
+        .select(col("a.day").as("day"), col("a.rev").as("rev"),
+                col("b.rev").as("rev_next_wk"))
+        .orderBy(col("day"))
+    }, Some(
+      """WITH daily AS (
+           SELECT cast(o_orderdate AS date) AS day, sum(o_totalprice) AS rev
+           FROM orders GROUP BY 1)
+         SELECT a.day AS day, a.rev AS rev, b.rev AS rev_next_wk
+         FROM daily a JOIN daily b ON b.day = a.day + INTERVAL 7 DAY
+         ORDER BY 1""")),
+
+    // ----- A: aggregations -------------------------------------------------
+
+    ("q1_agg", (s: SparkSession, d: String) => {
+      // Flagship pricing-summary aggregate (TPC-H Q1 shape): partial+final
+      // hash aggregation, all codegen'd.
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("2000-12-31 00:00:00").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          sum(col("l_extendedprice")).as("sum_base_price"),
+          sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          sum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * (lit(1) + col("l_tax"))).as("sum_charge"),
+          avg(col("l_quantity")).as("avg_qty"),
+          avg(col("l_extendedprice")).as("avg_price"),
+          avg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }, Some(
+      """SELECT l_returnflag, l_linestatus,
+                sum(l_quantity) AS sum_qty,
+                sum(l_extendedprice) AS sum_base_price,
+                sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+                sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
+                avg(l_quantity) AS avg_qty,
+                avg(l_extendedprice) AS avg_price,
+                avg(l_discount) AS avg_disc,
+                count(*) AS count_order
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '2000-12-31 00:00:00'
+         GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    ("a1_quarter_sum", (s: SparkSession, d: String) => {
+      // Monthly→quarterly aggregation (reference A1, zoo aggregate FUN=sum).
+      Tables.orders(s, d)
+        .groupBy(to_date(date_trunc("quarter", col("o_orderdate"))).as("quarter"))
+        .agg(sum(col("o_totalprice")).as("rev"), count(lit(1)).as("n"))
+        .orderBy(col("quarter"))
+    }, Some(
+      """SELECT cast(date_trunc('quarter', o_orderdate) AS date) AS quarter,
+                sum(o_totalprice) AS rev, count(*) AS n
+         FROM orders GROUP BY 1 ORDER BY 1""")),
+
+    ("a2_group_avg", (s: SparkSession, d: String) => {
+      Tables.customer(s, d)
+        .groupBy(col("c_mktsegment"))
+        .agg(avg(col("c_acctbal")).as("avg_bal"),
+             min(col("c_acctbal")).as("min_bal"),
+             max(col("c_acctbal")).as("max_bal"))
+        .orderBy(col("c_mktsegment"))
+    }, Some(
+      """SELECT c_mktsegment, avg(c_acctbal) AS avg_bal,
+                min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal
+         FROM customer GROUP BY 1 ORDER BY 1""")),
+
+    ("a3_sum_of_squares", (s: SparkSession, d: String) => {
+      // MSFE shape (reference A3): sum of squared "errors" / count.
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          (sum(pow(col("value"), 2)) / count(lit(1))).as("msfe"),
+          sqrt(sum(pow(col("value"), 2)) / count(lit(1))).as("rmsfe"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    }, Some(
+      """SELECT event_type, sum(value * value) / count(*) AS msfe,
+                sqrt(sum(value * value) / count(*)) AS rmsfe, count(*) AS n
+         FROM events GROUP BY 1 ORDER BY 1""")),
+
+    ("a7_min_by", (s: SparkSession, d: String) => {
+      // argmin/argmax (reference A7: IC-table argmin). Keys are continuous
+      // doubles → ties (engine-dependent pick) are improbable.
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          min_by(col("o_orderkey"), col("o_totalprice")).as("cheapest_order"),
+          max_by(col("o_orderkey"), col("o_totalprice")).as("priciest_order"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"))
+        .orderBy(col("o_orderpriority"))
+    }, Some(
+      """SELECT o_orderpriority,
+                min_by(o_orderkey, o_totalprice) AS cheapest_order,
+                max_by(o_orderkey, o_totalprice) AS priciest_order,
+                min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+         FROM orders GROUP BY 1 ORDER BY 1""")),
+
+    ("a8_count_distinct", (s: SparkSession, d: String) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag"))
+    }, Some(
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+                count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
+         FROM lineitem GROUP BY 1 ORDER BY 1""")),
+
+    ("a9_approx_distinct", (s: SparkSession, d: String) => {
+      // HLL++ sketch — algorithm-specific, no cross-engine oracle; the
+      // driver records a rows-only check. Exact distinct is asserted
+      // separately in a8.
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
+        .orderBy(col("l_returnflag"))
+    }, None),
+
+    ("a10_rollup", (s: SparkSession, d: String) => {
+      val n = broadcast(Tables.nation(s, d))
+      val r = broadcast(Tables.region(s, d))
+      Tables.customer(s, d)
+        .join(n, col("c_nationkey") === col("n_nationkey"))
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"), sum(col("c_acctbal")).as("total_bal"))
+        .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+    }, Some(
+      """SELECT r_name, n_name, count(*) AS n_cust, sum(c_acctbal) AS total_bal
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY ROLLUP (r_name, n_name)
+         ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""")),
+
+    ("a11_cube", (s: SparkSession, d: String) => {
+      Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+                 col("l_linestatus").asc_nulls_first)
+    }, Some(
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+                count(*) AS n
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+         ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""")),
+
+    // ----- set operations --------------------------------------------------
+
+    ("set_union", (s: SparkSession, d: String) => {
+      val c = Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+      val su = Tables.supplier(s, d).select(col("s_nationkey").as("nationkey"))
+      c.union(su).distinct().orderBy(col("nationkey"))
+    }, Some(
+      """SELECT c_nationkey AS nationkey FROM customer
+         UNION SELECT s_nationkey FROM supplier ORDER BY 1""")),
+
+    ("set_intersect", (s: SparkSession, d: String) => {
+      val c = Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+      val su = Tables.supplier(s, d).select(col("s_nationkey").as("nationkey"))
+      c.intersect(su).orderBy(col("nationkey"))
+    }, Some(
+      """SELECT c_nationkey AS nationkey FROM customer
+         INTERSECT SELECT s_nationkey FROM supplier ORDER BY 1""")),
+
+    ("set_except", (s: SparkSession, d: String) => {
+      val c = Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+      val su = Tables.supplier(s, d).select(col("s_nationkey").as("nationkey"))
+      c.except(su).orderBy(col("nationkey"))
+    }, Some(
+      """SELECT c_nationkey AS nationkey FROM customer
+         EXCEPT SELECT s_nationkey FROM supplier ORDER BY 1""")),
+
+    // ----- W: window functions --------------------------------------------
+
+    ("w1_first_diff", (s: SparkSession, d: String) => {
+      // x_t − x_{t−1} with a leading NULL per partition (reference W1).
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"),
+          (col("value") - lag(col("value"), 1).over(w)).as("diff"))
+        .orderBy(col("user_id"), col("ts"), col("event_id"))
+    }, Some(
+      """SELECT user_id, event_id, cast(ts AS timestamp) AS ts, value,
+                value - lag(value, 1) OVER
+                  (PARTITION BY user_id ORDER BY cast(ts AS timestamp), event_id) AS diff
+         FROM events ORDER BY user_id, cast(ts AS timestamp), event_id""")),
+
+    ("w2_log_diff", (s: SparkSession, d: String) => {
+      // Growth rates: ln(x_t) − ln(x_{t−1}) on daily revenue (reference W2).
+      val daily = Tables.orders(s, d)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(col("o_totalprice")).as("rev"))
+      val w = Window.orderBy(col("day"))
+      daily.select(col("day"), col("rev"),
+          (log(col("rev")) - lag(log(col("rev")), 1).over(w)).as("log_diff"))
+        .orderBy(col("day"))
+    }, Some(
+      """WITH daily AS (
+           SELECT cast(o_orderdate AS date) AS day, sum(o_totalprice) AS rev
+           FROM orders GROUP BY 1)
+         SELECT day, rev,
+                ln(rev) - lag(ln(rev), 1) OVER (ORDER BY day) AS log_diff
+         FROM daily ORDER BY day""")),
+
+    ("w3_second_diff", (s: SparkSession, d: String) => {
+      // Difference of the first difference, NULL-padded (reference W3).
+      val daily = Tables.orders(s, d)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(col("o_totalprice")).as("rev"))
+      val w = Window.orderBy(col("day"))
+      daily
+        .withColumn("d1", col("rev") - lag(col("rev"), 1).over(w))
+        .withColumn("d2", col("d1") - lag(col("d1"), 1).over(w))
+        .select(col("day"), col("rev"), col("d1"), col("d2"))
+        .orderBy(col("day"))
+    }, Some(
+      """WITH daily AS (
+           SELECT cast(o_orderdate AS date) AS day, sum(o_totalprice) AS rev
+           FROM orders GROUP BY 1),
+         d1t AS (
+           SELECT day, rev, rev - lag(rev, 1) OVER (ORDER BY day) AS d1
+           FROM daily)
+         SELECT day, rev, d1, d1 - lag(d1, 1) OVER (ORDER BY day) AS d2
+         FROM d1t ORDER BY day""")),
+
+    ("w4_lag_embed", (s: SparkSession, d: String) => {
+      // VAR design-matrix lag embedding (reference W4): p lagged copies per
+      // series, first p rows dropped (na.omit). All lags share ONE window
+      // spec → a single sort in the physical plan.
+      val monthly = Tables.orders(s, d)
+        .groupBy(to_date(date_trunc("month", col("o_orderdate"))).as("month"))
+        .agg(sum(col("o_totalprice")).as("rev"), count(lit(1)).as("n"))
+      val w = Window.orderBy(col("month"))
+      val p = 3
+      val lagCols = (1 to p).flatMap(i => Seq(
+        lag(col("rev"), i).over(w).as(s"rev_l$i"),
+        lag(col("n"), i).over(w).as(s"n_l$i")))
+      monthly
+        .select(col("month") +: col("rev") +: col("n") +: lagCols: _*)
+        .na.drop("any")
+        .orderBy(col("month"))
+    }, Some(
+      """WITH monthly AS (
+           SELECT cast(date_trunc('month', o_orderdate) AS date) AS month,
+                  sum(o_totalprice) AS rev, count(*) AS n
+           FROM orders GROUP BY 1),
+         lagged AS (
+           SELECT month, rev, n,
+                  lag(rev, 1) OVER (ORDER BY month) AS rev_l1,
+                  lag(n, 1)   OVER (ORDER BY month) AS n_l1,
+                  lag(rev, 2) OVER (ORDER BY month) AS rev_l2,
+                  lag(n, 2)   OVER (ORDER BY month) AS n_l2,
+                  lag(rev, 3) OVER (ORDER BY month) AS rev_l3,
+                  lag(n, 3)   OVER (ORDER BY month) AS n_l3
+           FROM monthly)
+         SELECT * FROM lagged
+         WHERE rev_l1 IS NOT NULL AND rev_l2 IS NOT NULL AND rev_l3 IS NOT NULL
+           AND n_l1 IS NOT NULL AND n_l2 IS NOT NULL AND n_l3 IS NOT NULL
+         ORDER BY month""")),
+
+    ("w7_expanding_avg", (s: SparkSession, d: String) => {
+      // Expanding-window cumulative statistics (reference W7 frame analog).
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("event_type"), col("event_id"), col("ts"), col("value"),
+          avg(col("value")).over(w).as("expanding_avg"),
+          count(lit(1)).over(w).as("n_so_far"))
+        .orderBy(col("event_type"), col("ts"), col("event_id"))
+    }, Some(
+      """SELECT event_type, event_id, cast(ts AS timestamp) AS ts, value,
+                avg(value) OVER (PARTITION BY event_type
+                  ORDER BY cast(ts AS timestamp), event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS expanding_avg,
+                count(*) OVER (PARTITION BY event_type
+                  ORDER BY cast(ts AS timestamp), event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_so_far
+         FROM events ORDER BY event_type, cast(ts AS timestamp), event_id""")),
+
+    ("w8_cumulative_reconstruct", (s: SparkSession, d: String) => {
+      // Level reconstruction from log-diffs (reference W8 diff_log2norm):
+      // level_t = first_level * exp(cumsum(logdiff)). Property: reconstructed
+      // == original (up to FP).
+      val daily = Tables.orders(s, d)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(col("o_totalprice")).as("rev"))
+      val w = Window.orderBy(col("day"))
+      val cum = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily
+        .withColumn("logdiff",
+          coalesce(log(col("rev")) - lag(log(col("rev")), 1).over(w), lit(0.0)))
+        .withColumn("first_rev", first(col("rev")).over(cum))
+        .select(col("day"), col("rev"),
+          (col("first_rev") * exp(sum(col("logdiff")).over(cum))).as("reconstructed"))
+        .orderBy(col("day"))
+    }, Some(
+      """WITH daily AS (
+           SELECT cast(o_orderdate AS date) AS day, sum(o_totalprice) AS rev
+           FROM orders GROUP BY 1),
+         ld AS (
+           SELECT day, rev,
+                  coalesce(ln(rev) - lag(ln(rev), 1) OVER (ORDER BY day), 0.0) AS logdiff,
+                  first_value(rev) OVER (ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_rev
+           FROM daily)
+         SELECT day, rev,
+                first_rev * exp(sum(logdiff) OVER (ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS reconstructed
+         FROM ld ORDER BY day""")),
+
+    ("w9_lead_align", (s: SparkSession, d: String) => {
+      // Horizon alignment (reference W9): pair value at origin with realized
+      // value h steps ahead.
+      val monthly = Tables.orders(s, d)
+        .groupBy(to_date(date_trunc("month", col("o_orderdate"))).as("month"))
+        .agg(sum(col("o_totalprice")).as("rev"))
+      val w = Window.orderBy(col("month"))
+      monthly.select(col("month"), col("rev"),
+          lead(col("rev"), 1).over(w).as("rev_h1"),
+          lead(col("rev"), 2).over(w).as("rev_h2"),
+          lead(col("rev"), 4).over(w).as("rev_h4"))
+        .orderBy(col("month"))
+    }, Some(
+      """WITH monthly AS (
+           SELECT cast(date_trunc('month', o_orderdate) AS date) AS month,
+                  sum(o_totalprice) AS rev
+           FROM orders GROUP BY 1)
+         SELECT month, rev,
+                lead(rev, 1) OVER (ORDER BY month) AS rev_h1,
+                lead(rev, 2) OVER (ORDER BY month) AS rev_h2,
+                lead(rev, 4) OVER (ORDER BY month) AS rev_h4
+         FROM monthly ORDER BY month""")),
+
+    ("w10_topk_per_group", (s: SparkSession, d: String) => {
+      // Top-k by score per group (reference W10). Unique tie-break
+      // (c_custkey) makes rank == row_number and the result deterministic.
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      Tables.customer(s, d)
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("c_mktsegment"), col("rnk"), col("c_custkey"), col("c_acctbal"))
+        .orderBy(col("c_mktsegment"), col("rnk"))
+    }, Some(
+      """SELECT c_mktsegment, rnk, c_custkey, c_acctbal FROM (
+           SELECT c_mktsegment, c_custkey, c_acctbal,
+                  row_number() OVER (PARTITION BY c_mktsegment
+                    ORDER BY c_acctbal DESC, c_custkey) AS rnk
+           FROM customer)
+         WHERE rnk <= 5 ORDER BY 1, 2""")),
+
+    ("w5_lag_corr", (s: SparkSession, d: String) => {
+      // Serial correlation: corr(x_t, x_{t−1}) per key — the SQL-checkable
+      // core of the reference's ACF (W5); exact-R ACF semantics live in
+      // graft.stats.Acf with golden tests.
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("value_l1", lag(col("value"), 1).over(w))
+        .groupBy(col("event_type"))
+        .agg(corr(col("value"), col("value_l1")).as("acf1"),
+             count(col("value_l1")).as("n_pairs"))
+        .orderBy(col("event_type"))
+    }, Some(
+      """WITH lagged AS (
+           SELECT event_type, value,
+                  lag(value, 1) OVER (PARTITION BY event_type
+                    ORDER BY cast(ts AS timestamp), event_id) AS value_l1
+           FROM events)
+         SELECT event_type, corr(value, value_l1) AS acf1,
+                count(value_l1) AS n_pairs
+         FROM lagged GROUP BY 1 ORDER BY 1""")),
+
+    ("m2_fold_blocks", (s: SparkSession, d: String) => {
+      // Contiguous time-ordered CV fold assignment (reference M2): ntile
+      // gives contiguous, near-equal blocks — never random folds.
+      val w = Window.orderBy(col("month"))
+      Tables.orders(s, d)
+        .groupBy(to_date(date_trunc("month", col("o_orderdate"))).as("month"))
+        .agg(sum(col("o_totalprice")).as("rev"))
+        .withColumn("fold_id", ntile(10).over(w))
+        .orderBy(col("month"))
+    }, Some(
+      """WITH monthly AS (
+           SELECT cast(date_trunc('month', o_orderdate) AS date) AS month,
+                  sum(o_totalprice) AS rev
+           FROM orders GROUP BY 1)
+         SELECT month, rev, ntile(10) OVER (ORDER BY month) AS fold_id
+         FROM monthly ORDER BY month""")),
+
+    // ----- scalar function surface -----------------------------------------
+
+    ("f_scalar_math", (s: SparkSession, d: String) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") < 200)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          log(col("l_quantity")).as("log_qty"),
+          exp(col("l_discount")).as("exp_disc"),
+          sqrt(col("l_extendedprice")).as("sqrt_price"),
+          pow(col("l_quantity"), 2).as("qty_sq"),
+          abs(col("l_quantity") - 25).as("abs_dev"),
+          floor(col("l_extendedprice") / 1000).as("price_k_floor"),
+          ceil(col("l_extendedprice") / 1000).as("price_k_ceil"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }, Some(
+      """SELECT l_orderkey, l_linenumber,
+                ln(l_quantity) AS log_qty, exp(l_discount) AS exp_disc,
+                sqrt(l_extendedprice) AS sqrt_price,
+                pow(l_quantity, 2) AS qty_sq, abs(l_quantity - 25) AS abs_dev,
+                floor(l_extendedprice / 1000) AS price_k_floor,
+                ceil(l_extendedprice / 1000) AS price_k_ceil
+         FROM lineitem WHERE l_orderkey < 200 ORDER BY 1, 2""")),
+
+    ("f_datetime", (s: SparkSession, d: String) => {
+      Tables.orders(s, d)
+        .filter(col("o_orderkey") < 500)
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).as("yr"),
+          quarter(col("o_orderdate")).as("qtr"),
+          month(col("o_orderdate")).as("mo"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          to_date(date_trunc("month", col("o_orderdate"))).as("month_start"),
+          date_add(to_date(col("o_orderdate")), 90).as("due_date"),
+          datediff(to_date(col("o_orderdate")), lit("1995-01-01").cast("date")).as("days_since_epoch"))
+        .orderBy(col("o_orderkey"))
+    }, Some(
+      """SELECT o_orderkey,
+                year(o_orderdate) AS yr, quarter(o_orderdate) AS qtr,
+                month(o_orderdate) AS mo, day(o_orderdate) AS dom,
+                cast(date_trunc('month', o_orderdate) AS date) AS month_start,
+                cast(o_orderdate AS date) + 90 AS due_date,
+                date_diff('day', DATE '1995-01-01', cast(o_orderdate AS date)) AS days_since_epoch
+         FROM orders WHERE o_orderkey < 500 ORDER BY 1""")),
+
+    ("f_string", (s: SparkSession, d: String) => {
+      Tables.part(s, d)
+        .select(
+          col("p_partkey"),
+          upper(col("p_brand")).as("brand_upper"),
+          lower(col("p_type")).as("type_lower"),
+          substring(col("p_name"), 1, 8).as("name_prefix"),
+          length(col("p_name")).as("name_len"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+          regexp_replace(col("p_name"), "[0-9]+", "#").as("name_masked"))
+        .orderBy(col("p_partkey"))
+    }, Some(
+      """SELECT p_partkey, upper(p_brand) AS brand_upper,
+                lower(p_type) AS type_lower,
+                substring(p_name, 1, 8) AS name_prefix,
+                length(p_name) AS name_len,
+                concat_ws('|', p_brand, p_type) AS brand_type,
+                regexp_replace(p_name, '[0-9]+', '#', 'g') AS name_masked
+         FROM part ORDER BY 1""")),
+
+    ("f_grid_expand", (s: SparkSession, d: String) => {
+      // Hyperparameter grid generation (reference expand.grid): lazy
+      // sequence + explode + cross join, no driver-side materialization.
+      val alphas = s.range(1, 20).select((col("id") * 0.05).as("alpha"))
+      val lambdas = s.range(0, 10)
+        .select(pow(lit(10.0), lit(1.0) - col("id") * 0.5).as("lambda"))
+      alphas.crossJoin(lambdas).orderBy(col("alpha"), col("lambda"))
+    }, Some(
+      """SELECT a.alpha AS alpha, l.lambda AS lambda
+         FROM (SELECT unnest(generate_series(1, 19)) * 0.05 AS alpha) a
+         CROSS JOIN (SELECT pow(10.0, 1.0 - unnest(generate_series(0, 9)) * 0.5) AS lambda) l
+         ORDER BY 1, 2""")),
+
+    ("f_json_extract", (s: SparkSession, d: String) => {
+      Tables.events(s, d)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy((col("k") % 10).as("k_mod"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("k_mod"))
+    }, Some(
+      """SELECT cast(json_extract_string(props, '$.k') AS int) % 10 AS k_mod,
+                count(*) AS n
+         FROM events GROUP BY 1 ORDER BY 1"""))
+  )
+
+  def queries: Map[String, Q] =
+    entries.map(e => e._1 -> e._2).toMap
+
+  def oracle: Map[String, String] =
+    entries.collect { case (n, _, Some(sql)) => n -> normalize(sql) }.toMap
+
+  /** Collapse the multi-line formatting to single-line SQL for the JSON dump. */
+  private def normalize(sql: String): String =
+    sql.replaceAll("\\s+", " ").trim
+}
