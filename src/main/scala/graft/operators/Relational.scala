@@ -47,7 +47,11 @@ object Relational {
       val agg = Tables.orders(s, d)
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_orders"), sum(col("o_totalprice")).as("total"))
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_csv_roundtrip"
+      // Unique per-invocation dir: a fixed path races under concurrent
+      // invocations (bench iterations / parallel runs) (ADVICE r1). The
+      // re-read is lazy, so the dir must outlive this call — cleaned up at
+      // JVM exit, not here.
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_csv_roundtrip_${java.util.UUID.randomUUID()}"
       agg.coalesce(1).write.mode("overwrite").option("header", "true").csv(tmp)
       s.read
         .schema(StructType(Seq(
@@ -499,16 +503,21 @@ object Relational {
       val w = Window.partitionBy(col("event_type"))
         .orderBy(col("ts"), col("event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // Emitted as a scaled BIGINT (avg·1e4, rounded): the engines
+      // accumulate the running mean in different orders (sequential vs
+      // segment-tree), so raw doubles differ by ~1e-11 — integers at 1e-4
+      // granularity hash identically and the accumulation noise cannot
+      // straddle a rounding boundary (ADVICE r1).
       Tables.events(s, d)
         .select(col("event_type"), col("event_id"), col("ts"), col("value"),
-          avg(col("value")).over(w).as("expanding_avg"),
+          round(avg(col("value")).over(w) * 1e4).cast("long").as("expanding_avg_e4"),
           count(lit(1)).over(w).as("n_so_far"))
         .orderBy(col("event_type"), col("ts"), col("event_id"))
     }, Some(
       """SELECT event_type, event_id, cast(ts AS timestamp) AS ts, value,
-                avg(value) OVER (PARTITION BY event_type
+                cast(round(avg(value) OVER (PARTITION BY event_type
                   ORDER BY cast(ts AS timestamp), event_id
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS expanding_avg,
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1e4) AS bigint) AS expanding_avg_e4,
                 count(*) OVER (PARTITION BY event_type
                   ORDER BY cast(ts AS timestamp), event_id
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_so_far
@@ -589,8 +598,9 @@ object Relational {
 
     ("w5_lag_corr", (s: SparkSession, d: String) => {
       // Serial correlation: corr(x_t, x_{t−1}) per key — the SQL-checkable
-      // core of the reference's ACF (W5); exact-R ACF semantics live in
-      // graft.stats.Acf with golden tests.
+      // core of the reference's ACF (W5). The exact-R ACF normalization
+      // (demean once, divide by the lag-0 autocovariance with a 1/T factor)
+      // is graft.stats.Acf, golden-tested in StatsSpec.
       val w = Window.partitionBy(col("event_type"))
         .orderBy(col("ts"), col("event_id"))
       Tables.events(s, d)
@@ -629,13 +639,18 @@ object Relational {
     // ----- scalar function surface -----------------------------------------
 
     ("f_scalar_math", (s: SparkSession, d: String) => {
+      // Transcendental outputs (ln/exp/sqrt) are emitted as scaled BIGINTs
+      // (value·1e6, rounded): libm implementations differ across engines in
+      // the last ulp, and even decimal `round` can return doubles that
+      // differ by one ulp between engines — integers hash identically
+      // (ADVICE r1, CORRECTNESS_r01 hash_match:false).
       Tables.lineitem(s, d)
         .filter(col("l_orderkey") < 200)
         .select(
           col("l_orderkey"), col("l_linenumber"),
-          log(col("l_quantity")).as("log_qty"),
-          exp(col("l_discount")).as("exp_disc"),
-          sqrt(col("l_extendedprice")).as("sqrt_price"),
+          round(log(col("l_quantity")) * 1e6).cast("long").as("log_qty_e6"),
+          round(exp(col("l_discount")) * 1e6).cast("long").as("exp_disc_e6"),
+          round(sqrt(col("l_extendedprice")) * 1e6).cast("long").as("sqrt_price_e6"),
           pow(col("l_quantity"), 2).as("qty_sq"),
           abs(col("l_quantity") - 25).as("abs_dev"),
           floor(col("l_extendedprice") / 1000).as("price_k_floor"),
@@ -643,8 +658,9 @@ object Relational {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }, Some(
       """SELECT l_orderkey, l_linenumber,
-                ln(l_quantity) AS log_qty, exp(l_discount) AS exp_disc,
-                sqrt(l_extendedprice) AS sqrt_price,
+                cast(round(ln(l_quantity) * 1e6) AS bigint) AS log_qty_e6,
+                cast(round(exp(l_discount) * 1e6) AS bigint) AS exp_disc_e6,
+                cast(round(sqrt(l_extendedprice) * 1e6) AS bigint) AS sqrt_price_e6,
                 pow(l_quantity, 2) AS qty_sq, abs(l_quantity - 25) AS abs_dev,
                 floor(l_extendedprice / 1000) AS price_k_floor,
                 ceil(l_extendedprice / 1000) AS price_k_ceil

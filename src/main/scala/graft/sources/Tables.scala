@@ -15,8 +15,14 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // Pin the session timezone in the query path itself: timestamp literals
+    // (p5_time_range, q1_agg) parse in the session tz, and the DuckDB
+    // oracles use naive timestamps — a driver-provided session with a
+    // non-UTC tz would silently shift results (ADVICE r1).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")

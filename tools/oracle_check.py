@@ -13,10 +13,19 @@ import json, math, sys, glob, os
 import duckdb
 import pyarrow.parquet as pq
 
+def _sortkey(x):
+    # Round floats before stringifying so FP noise cannot reorder
+    # nearly-equal rows differently on the Spark vs oracle side.
+    if x is None:
+        return (True, "")
+    if isinstance(x, float):
+        return (False, f"{x:.9g}")
+    return (False, str(x))
+
 def canon(rows, colnames):
     order = sorted(range(len(colnames)), key=lambda i: colnames[i])
     out = [tuple(r[i] for i in order) for r in rows]
-    return sorted(out, key=lambda t: tuple((x is None, str(x)) for x in t))
+    return sorted(out, key=lambda t: tuple(_sortkey(x) for x in t))
 
 def val_eq(a, b):
     if a is None or b is None:
@@ -44,7 +53,8 @@ def main(sf_dir, out_dir):
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
             print(f"FAIL  {name}: no spark output"); n_fail += 1; continue
-        tbl = pq.read_table(files[0])
+        import pyarrow as pa
+        tbl = pa.concat_tables([pq.read_table(f) for f in sorted(files)])
         scols = tbl.column_names
         srows = [tuple(r[c] for c in scols) for r in tbl.to_pylist()]
         if name not in oracle:
