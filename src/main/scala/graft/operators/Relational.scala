@@ -24,6 +24,20 @@ object Relational {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** Per-JVM scratch parent for the CSV-roundtrip sink; recursively deleted
+    * at JVM exit (File.deleteOnExit can't remove non-empty dirs).
+    */
+  private lazy val csvScratchRoot: String = {
+    val root = java.nio.file.Files.createTempDirectory("graft_csv_roundtrip_")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(root.toFile)
+    }))
+    root.toString
+  }
+
   /** name -> (spark query, optional duckdb oracle sql) */
   val entries: Seq[(String, Q, Option[String])] = Seq(
 
@@ -49,9 +63,12 @@ object Relational {
         .agg(count(lit(1)).as("n_orders"), sum(col("o_totalprice")).as("total"))
       // Unique per-invocation dir: a fixed path races under concurrent
       // invocations (bench iterations / parallel runs) (ADVICE r1). The
-      // re-read is lazy, so the dir must outlive this call — cleaned up at
-      // JVM exit, not here.
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_csv_roundtrip_${java.util.UUID.randomUUID()}"
+      // re-read is lazy, so the dir must outlive this call — all UUID dirs
+      // live under one per-JVM parent whose recursive delete is registered
+      // as a shutdown hook (ADVICE r2: the old comment claimed cleanup that
+      // was never registered). Driver-local tmp is acceptable for this
+      // roundtrip *test* only; a production CSV sink targets shared storage.
+      val tmp = s"$csvScratchRoot/${java.util.UUID.randomUUID()}"
       agg.coalesce(1).write.mode("overwrite").option("header", "true").csv(tmp)
       s.read
         .schema(StructType(Seq(
@@ -84,22 +101,29 @@ object Relational {
          FROM lineitem WHERE l_orderkey < 100 ORDER BY 1, 2, 3, 4, 5""")),
 
     ("p4_row_slice", (s: SparkSession, d: String) => {
-      // Deterministic head-split: row_number over a total order, never a
-      // bare `limit` (SURVEY P4). Global window is OK here: it runs on the
-      // orders table ordered by its time index, mirroring the reference's
-      // train/test split on a 231-row panel; at 100 TB the split key is a
-      // date predicate (see p5), not a row number.
-      Tables.orders(s, d)
-        .withColumn("rn", row_number().over(
-          Window.orderBy(col("o_orderdate"), col("o_orderkey"))))
-        .filter(col("rn") <= 100)
-        .select(col("rn"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
-        .orderBy(col("rn"))
+      // Train/test split (reference P4, Main.R:100-101) in its 100 TB-safe
+      // form: the split point is a DATE BOUND computed from a tiny aggregate
+      // and broadcast against the fact scan — never a global row_number
+      // window (which moves the whole fact table to one partition; VERDICT
+      // r2 flagged exactly that plan). Bound = dmin + 70% of the span.
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), to_date(col("o_orderdate")).as("day"))
+      val bound = o
+        .agg(min(col("day")).as("dmin"), max(col("day")).as("dmax"))
+        .select(date_add(col("dmin"),
+          floor(datediff(col("dmax"), col("dmin")) * 0.7).cast("int"))
+          .as("split_day"))
+      o.crossJoin(broadcast(bound))
+        .select(col("o_orderkey"), col("day"),
+          when(col("day") <= col("split_day"), lit("train"))
+            .otherwise(lit("test")).as("split"))
+        .orderBy(col("o_orderkey"))
     }, Some(
-      """SELECT rn, o_orderkey, o_orderdate, o_totalprice FROM (
-           SELECT row_number() OVER (ORDER BY o_orderdate, o_orderkey) AS rn,
-                  o_orderkey, o_orderdate, o_totalprice FROM orders)
-         WHERE rn <= 100 ORDER BY rn""")),
+      """WITH o AS (SELECT o_orderkey, cast(o_orderdate AS date) AS day FROM orders),
+         b AS (SELECT min(day) + cast(floor(date_diff('day', min(day), max(day)) * 0.7) AS int) AS split_day FROM o)
+         SELECT o_orderkey, day,
+                CASE WHEN day <= b.split_day THEN 'train' ELSE 'test' END AS split
+         FROM o, b ORDER BY o_orderkey""")),
 
     ("p5_time_range", (s: SparkSession, d: String) => {
       Tables.events(s, d)
@@ -500,28 +524,39 @@ object Relational {
 
     ("w7_expanding_avg", (s: SparkSession, d: String) => {
       // Expanding-window cumulative statistics (reference W7 frame analog).
-      val w = Window.partitionBy(col("event_type"))
+      // Exactness strategy (VERDICT r2: the rounded-avg variant hash-failed
+      // on .5 boundaries): quantize each VALUE once (value·1e4 → long —
+      // exact, events carry 2 decimals), then cumulative-SUM the longs
+      // (exact integer arithmetic in both engines) and derive the running
+      // mean as one long/long double division of identical operands — bit-
+      // identical across engines, no accumulation-order noise anywhere.
+      // Partitioned by (event_type, user_id): ~750 bounded partitions that
+      // scale with the user dimension, not a handful of giant event_type
+      // partitions (VERDICT r2 scale note).
+      val w = Window.partitionBy(col("event_type"), col("user_id"))
         .orderBy(col("ts"), col("event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      // Emitted as a scaled BIGINT (avg·1e4, rounded): the engines
-      // accumulate the running mean in different orders (sequential vs
-      // segment-tree), so raw doubles differ by ~1e-11 — integers at 1e-4
-      // granularity hash identically and the accumulation noise cannot
-      // straddle a rounding boundary (ADVICE r1).
       Tables.events(s, d)
-        .select(col("event_type"), col("event_id"), col("ts"), col("value"),
-          round(avg(col("value")).over(w) * 1e4).cast("long").as("expanding_avg_e4"),
-          count(lit(1)).over(w).as("n_so_far"))
-        .orderBy(col("event_type"), col("ts"), col("event_id"))
+        .select(col("event_type"), col("user_id"), col("event_id"), col("ts"),
+          round(col("value") * 1e4).cast("long").as("value_e4"))
+        .withColumn("cum_value_e4", sum(col("value_e4")).over(w))
+        .withColumn("n_so_far", count(lit(1)).over(w))
+        .withColumn("expanding_avg",
+          col("cum_value_e4").cast("double") / col("n_so_far") / 1e4)
+        .orderBy(col("event_type"), col("user_id"), col("ts"), col("event_id"))
     }, Some(
-      """SELECT event_type, event_id, cast(ts AS timestamp) AS ts, value,
-                cast(round(avg(value) OVER (PARTITION BY event_type
-                  ORDER BY cast(ts AS timestamp), event_id
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1e4) AS bigint) AS expanding_avg_e4,
-                count(*) OVER (PARTITION BY event_type
-                  ORDER BY cast(ts AS timestamp), event_id
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_so_far
-         FROM events ORDER BY event_type, cast(ts AS timestamp), event_id""")),
+      """WITH e AS (
+           SELECT event_type, user_id, event_id, cast(ts AS timestamp) AS ts,
+                  cast(round(value * 1e4) AS bigint) AS value_e4
+           FROM events)
+         SELECT event_type, user_id, event_id, ts, value_e4,
+                cast(sum(value_e4) OVER w AS bigint) AS cum_value_e4,
+                count(*) OVER w AS n_so_far,
+                cast(sum(value_e4) OVER w AS bigint) * 1.0 / (count(*) OVER w) / 1e4 AS expanding_avg
+         FROM e
+         WINDOW w AS (PARTITION BY event_type, user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         ORDER BY event_type, user_id, ts, event_id""")),
 
     ("w8_cumulative_reconstruct", (s: SparkSession, d: String) => {
       // Level reconstruction from log-diffs (reference W8 diff_log2norm):
@@ -651,19 +686,25 @@ object Relational {
           round(log(col("l_quantity")) * 1e6).cast("long").as("log_qty_e6"),
           round(exp(col("l_discount")) * 1e6).cast("long").as("exp_disc_e6"),
           round(sqrt(col("l_extendedprice")) * 1e6).cast("long").as("sqrt_price_e6"),
-          pow(col("l_quantity"), 2).as("qty_sq"),
-          abs(col("l_quantity") - 25).as("abs_dev"),
-          floor(col("l_extendedprice") / 1000).as("price_k_floor"),
-          ceil(col("l_extendedprice") / 1000).as("price_k_ceil"))
+          // All remaining outputs also land on BIGINT (VERDICT r2: the
+          // engine-native types differed — DuckDB computes over DECIMAL,
+          // Spark over DOUBLE/LONG — so the exact hash split even though
+          // values matched). l_quantity is integer-valued, so round() here
+          // is exact, never a boundary call.
+          round(pow(col("l_quantity"), 2)).cast("long").as("qty_sq"),
+          round(abs(col("l_quantity") - 25)).cast("long").as("abs_dev"),
+          floor(col("l_extendedprice") / 1000).cast("long").as("price_k_floor"),
+          ceil(col("l_extendedprice") / 1000).cast("long").as("price_k_ceil"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }, Some(
       """SELECT l_orderkey, l_linenumber,
                 cast(round(ln(l_quantity) * 1e6) AS bigint) AS log_qty_e6,
                 cast(round(exp(l_discount) * 1e6) AS bigint) AS exp_disc_e6,
                 cast(round(sqrt(l_extendedprice) * 1e6) AS bigint) AS sqrt_price_e6,
-                pow(l_quantity, 2) AS qty_sq, abs(l_quantity - 25) AS abs_dev,
-                floor(l_extendedprice / 1000) AS price_k_floor,
-                ceil(l_extendedprice / 1000) AS price_k_ceil
+                cast(round(pow(l_quantity, 2)) AS bigint) AS qty_sq,
+                cast(round(abs(l_quantity - 25)) AS bigint) AS abs_dev,
+                cast(floor(l_extendedprice / 1000) AS bigint) AS price_k_floor,
+                cast(ceil(l_extendedprice / 1000) AS bigint) AS price_k_ceil
          FROM lineitem WHERE l_orderkey < 200 ORDER BY 1, 2""")),
 
     ("f_datetime", (s: SparkSession, d: String) => {
