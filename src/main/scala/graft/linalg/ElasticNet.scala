@@ -1,0 +1,214 @@
+package graft.linalg
+
+import breeze.linalg.{DenseMatrix, DenseVector, sum}
+
+/** Gaussian elastic-net solved by cyclic coordinate descent with warm-started
+  * λ paths — the engine's own solver for the reference's per-equation fits
+  * (SURVEY §2.6 M1; reference call sites enetVAR.R:10-37).
+  *
+  * Objective (glmnet parameterization, Friedman–Hastie–Tibshirani, JSS 2010):
+  *
+  *   min over (β₀, β) of  (1/2N)·Σᵢ (yᵢ − β₀ − xᵢ'β)²  +  λ·Pα(β),
+  *   Pα(β) = α·‖β‖₁ + ((1−α)/2)·‖β‖₂²
+  *
+  * so that α=0, λ>0 has the ridge closed form β = (XᵀX + NλI)⁻¹Xᵀy and λ=0
+  * is OLS — the golden anchors in LinalgSpec.
+  *
+  * Standardization semantics (standardize = true):
+  *  - predictors are scaled by their POPULATION sd (1/N variance about the
+  *    mean) — and centered only when an intercept is fitted;
+  *  - with no intercept the columns are scaled but NOT centered, so the
+  *    scaled column has second moment zⱼ = 1 + mean²/var ≠ 1; the
+  *    coordinate update keeps the general denominator (zⱼ + λ(1−α)) rather
+  *    than assuming unit-variance predictors;
+  *  - coefficients are returned on the ORIGINAL scale.
+  *
+  * Why a custom solver instead of MLlib's LinearRegression (same objective):
+  * the reference's tuning workloads fit thousands of (α, λ, origin,
+  * equation) combinations on tiny matrices (SURVEY §3.3) — one distributed
+  * MLlib job per λ is the wrong granularity by orders of magnitude. This
+  * solver computes a whole warm-started λ path in one task-local call, so
+  * the grid parallelism lives at the Spark TASK level (see graft.tune).
+  *
+  * Scale posture: the solver is O(T·k) per sweep and runs inside executor
+  * tasks on broadcast designs (T ≤ a few hundred rows for the reference
+  * workload). It is deliberately NOT a distributed solver — the distributed
+  * dimension is the grid, not the matrix.
+  */
+object ElasticNet {
+
+  /** Soft-threshold operator S(z, γ) = sign(z)·max(|z| − γ, 0). */
+  @inline def softThreshold(z: Double, gamma: Double): Double = {
+    val m = math.abs(z) - gamma
+    if (m <= 0) 0.0 else math.signum(z) * m
+  }
+
+  /** One fitted point on the path: coefficients on the original scale. */
+  final case class Fit(lambda: Double, intercept: Double, beta: DenseVector[Double])
+
+  /** A fitted λ path (descending λ, matching glmnet's convention). */
+  final case class Path(alpha: Double, fits: IndexedSeq[Fit]) {
+    def lambdas: IndexedSeq[Double] = fits.map(_.lambda)
+
+    /** Coefficients at penalty `s`: exact-λ match wins; otherwise linear
+      * interpolation between the two bracketing path points (glmnet's
+      * `coef(model, s)` behavior); outside the path range, the end point.
+      */
+    def at(s: Double): Fit = {
+      val ls = lambdas
+      val exact = fits.find(f => f.lambda == s)
+      exact.getOrElse {
+        if (s >= ls.head) fits.head
+        else if (s <= ls.last) fits.last
+        else {
+          val hi = ls.lastIndexWhere(_ >= s)
+          val lo = hi + 1
+          val (l1, l0) = (ls(hi), ls(lo))
+          val w = (s - l0) / (l1 - l0)
+          Fit(s,
+            w * fits(hi).intercept + (1 - w) * fits(lo).intercept,
+            fits(hi).beta * w + fits(lo).beta * (1 - w))
+        }
+      }
+    }
+  }
+
+  /** Population (1/N) mean and sd of a column. */
+  private def momentsOf(x: DenseVector[Double]): (Double, Double) = {
+    val n = x.length.toDouble
+    val m = sum(x) / n
+    val v = (x dot x) / n - m * m
+    (m, math.sqrt(math.max(v, 0.0)))
+  }
+
+  /** Fit the whole λ path with warm starts.
+    *
+    * @param lambdas   descending penalty sequence (the caller picks it —
+    *                  e.g. the reference's `seq(2λ, λ/2, length=10)` grid,
+    *                  enetVAR.R:24, via [[referenceLambdaGrid]])
+    * @param intercept fit an unpenalized intercept (centering on)
+    */
+  def fitPath(
+      x: DenseMatrix[Double],
+      y: DenseVector[Double],
+      alpha: Double,
+      lambdas: Seq[Double],
+      intercept: Boolean = false,
+      standardize: Boolean = true,
+      maxIter: Int = 100000,
+      tol: Double = 1e-9): Path = {
+    val nRows = x.rows
+    val p = x.cols
+    val n = nRows.toDouble
+    require(nRows == y.length, s"x has $nRows rows but y has ${y.length}")
+
+    // Standardize a working copy; remember (center, scale) per column.
+    val xw = x.copy
+    val centers = DenseVector.zeros[Double](p)
+    val scales = DenseVector.ones[Double](p)
+    var j = 0
+    while (j < p) {
+      val cj = xw(::, j)
+      val (m, sd) = momentsOf(cj)
+      if (intercept) { centers(j) = m; cj :-= m }
+      if (standardize && sd > 0) { scales(j) = sd; cj :/= sd }
+      j += 1
+    }
+    val yMean = if (intercept) sum(y) / n else 0.0
+    val yw = if (intercept) y - yMean else y.copy
+
+    // Second moments of the working predictors (≠ 1 when not centered).
+    val z = DenseVector.tabulate(p)(j => (xw(::, j) dot xw(::, j)) / n)
+
+    val beta = DenseVector.zeros[Double](p)      // warm-started across λs
+    val resid = yw.copy                          // r = yw − Xw·beta
+    val fits = IndexedSeq.newBuilder[Fit]
+
+    for (lambda <- lambdas) {
+      val l1 = lambda * alpha
+      val l2 = lambda * (1.0 - alpha)
+      var iter = 0
+      var delta = Double.MaxValue
+      while (iter < maxIter && delta > tol) {
+        delta = 0.0
+        var j = 0
+        while (j < p) {
+          val bOld = beta(j)
+          if (z(j) > 0) {
+            val xj = xw(::, j)
+            // ρ = (1/N)·xⱼ'(r + xⱼ·bOld): partial residual correlation
+            val rho = ((xj dot resid) / n) + z(j) * bOld
+            val bNew = softThreshold(rho, l1) / (z(j) + l2)
+            if (bNew != bOld) {
+              resid :-= xj * (bNew - bOld)
+              beta(j) = bNew
+              val d = math.abs(bNew - bOld) * math.sqrt(z(j))
+              if (d > delta) delta = d
+            }
+          }
+          j += 1
+        }
+        iter += 1
+      }
+      // Back to the original scale: β_orig = β_std / scale.
+      val bOrig = DenseVector.tabulate(p)(j => beta(j) / scales(j))
+      val b0 = if (intercept) yMean - (centers dot bOrig) else 0.0
+      fits += Fit(lambda, b0, bOrig.copy)
+    }
+    Path(alpha, fits.result())
+  }
+
+  /** Single-λ convenience: fits the reference's 10-point warm-up grid
+    * `seq(2λ, λ/2, length.out = 10)` (enetVAR.R:24) and returns the exact-λ
+    * fit (λ itself is the 7th grid point, so no interpolation happens).
+    */
+  def fit(
+      x: DenseMatrix[Double],
+      y: DenseVector[Double],
+      alpha: Double,
+      lambda: Double,
+      intercept: Boolean = false,
+      standardize: Boolean = true): Fit =
+    fitPath(x, y, alpha, referenceLambdaGrid(lambda), intercept, standardize).at(lambda)
+
+  /** The reference's per-fit λ grid: 10 evenly spaced values from 2λ down to
+    * λ/2 (enetVAR.R:24) — descending, so warm starts walk toward λ.
+    */
+  def referenceLambdaGrid(lambda: Double): IndexedSeq[Double] =
+    DenseVector.rangeD(0, 10).toArray.toIndexedSeq
+      .map(i => 2.0 * lambda - i * (1.5 * lambda / 9.0))
+
+  /** glmnet-style automatic λ sequence: `nLambda` log-spaced points from
+    * λmax = maxⱼ |⟨x̃ⱼ, ỹ⟩|/(N·max(α, 0.001)) down to λmax·ε,
+    * ε = 1e-4 (N > p) or 1e-2 (N ≤ p).
+    */
+  def autoLambdaSequence(
+      x: DenseMatrix[Double],
+      y: DenseVector[Double],
+      alpha: Double,
+      intercept: Boolean = false,
+      standardize: Boolean = true,
+      nLambda: Int = 100): IndexedSeq[Double] = {
+    val n = x.rows.toDouble
+    val p = x.cols
+    val a = math.max(alpha, 0.001)
+    var lmax = 0.0
+    val yMean = if (intercept) sum(y) / n else 0.0
+    var j = 0
+    while (j < p) {
+      val cj = x(::, j)
+      val (m, sd) = momentsOf(cj)
+      val xc = if (intercept) cj - m else cj
+      val xs = if (standardize && sd > 0) xc / sd else xc
+      val g = math.abs((xs dot y) / n - (if (intercept) yMean * sum(xs) / n else 0.0))
+      if (g > lmax) lmax = g
+      j += 1
+    }
+    lmax = lmax / a
+    if (lmax <= 0) lmax = 1e-3
+    val eps = if (n > p) 1e-4 else 1e-2
+    val logMax = math.log(lmax)
+    val logMin = math.log(lmax * eps)
+    (0 until nLambda).map(i => math.exp(logMax + (logMin - logMax) * i / (nLambda - 1)))
+  }
+}

@@ -1,0 +1,129 @@
+package graft.varmodel
+
+import breeze.linalg.{DenseMatrix, DenseVector}
+import graft.linalg.{BlockedCv, ElasticNet}
+
+/** Per-equation elastic-net VAR — SURVEY §2.6 M3 (fit), M4 (coefficients),
+  * M5 (recursive forecast), M6 (residuals); reference enetVAR.R:52-76,
+  * 89-114, 128-154, 165-174.
+  *
+  * Fit shape: one shared design matrix (VAR.Z), K independent gaussian
+  * elastic-net fits — per-equation α and λ vectors supported like the
+  * reference (enetVAR.R:12-22). When λ is given, each equation fits the
+  * reference's 10-point warm-up grid `seq(2λ, λ/2, 10)` and reads the
+  * coefficients at exactly λ; when λ is absent, each equation runs the
+  * blocked-fold CV (M2) and uses its `lambda.min`.
+  *
+  * Coefficient-matrix layout matches the reference's `coef.enetVAR` exactly:
+  * a k×K matrix whose rows are the Z columns; when an intercept is fitted,
+  * the first row (named "intercept") carries the fitted intercept — so
+  * `Z ⋅ B` (with Z's leading ones column) evaluates the full linear
+  * predictor (enetVAR.R:89-114's B[-2,] trick, done honestly here).
+  *
+  * Scale posture: a single fit is task-local math on a broadcast design
+  * (the reference panel is ≤231×~750 doubles); the distributed dimension is
+  * origins × equations × grid (graft.experiment / graft.tune), never the
+  * inside of one fit.
+  */
+final case class EnetVarModel(
+    design: VarDesign,
+    alpha: Double,
+    equations: IndexedSeq[ElasticNet.Fit]) {
+
+  /** k×K coefficient matrix (rows = Z columns incl. intercept row when
+    * present; cols = equations), reference M4 layout.
+    */
+  lazy val coefMatrix: DenseMatrix[Double] = {
+    val k = design.k
+    val kk = design.n
+    val b = DenseMatrix.zeros[Double](k, kk)
+    var j = 0
+    while (j < kk) {
+      val fit = equations(j)
+      if (design.intercept) {
+        b(0, j) = fit.intercept
+        // beta(0) is the zero coefficient of the constant ones column —
+        // excluded, like glmnet's zero-variance drop.
+        var r = 1
+        while (r < k) { b(r, j) = fit.beta(r); r += 1 }
+      } else {
+        var r = 0
+        while (r < k) { b(r, j) = fit.beta(r); r += 1 }
+      }
+      j += 1
+    }
+    b
+  }
+
+  /** Mean over equations of the per-equation selected λ (enetVAR.R:181's
+    * `mean(sapply(model, lambda.min))`) — consumed by InfCrit.
+    */
+  def meanLambda: Double = equations.map(_.lambda).sum / equations.length
+
+  /** Recursive n-ahead forecast (M5, enetVAR.R:128-154): build Z_ahead from
+    * the p most-recent rows (most recent first, row-major — matching the
+    * reference's `as.vector(t(y[T:(T−p+1),]))`), multiply by B, append the
+    * prediction to the history, repeat.
+    */
+  def forecast(nAhead: Int): DenseMatrix[Double] = {
+    val p = design.p
+    val n = design.n
+    var history = design.yOrig
+    val out = DenseMatrix.zeros[Double](nAhead, n)
+    var step = 0
+    while (step < nAhead) {
+      val t = history.rows
+      val zAhead = DenseVector.zeros[Double](design.k)
+      var pos = 0
+      if (design.intercept) { zAhead(0) = 1.0; pos = 1 }
+      var i = 0
+      while (i < p) {
+        val row = history(t - 1 - i, ::).t
+        var c = 0
+        while (c < n) { zAhead(pos) = row(c); pos += 1; c += 1 }
+        i += 1
+      }
+      val yAhead: DenseVector[Double] = coefMatrix.t * zAhead // K-vector
+      out(step, ::) := yAhead.t
+      step += 1
+      if (step < nAhead) {
+        history = DenseMatrix.vertcat(history, yAhead.toDenseMatrix)
+      }
+    }
+    out
+  }
+
+  /** Residual matrix Y − Z·B (M6, enetVAR.R:165-174), (T−p)×K. */
+  lazy val residuals: DenseMatrix[Double] = design.yP - design.z * coefMatrix
+}
+
+object EnetVar {
+
+  /** Fit the per-equation elastic-net VAR (M3).
+    *
+    * @param alphas  one α per equation, or a single value used for all
+    * @param lambdas one λ per equation / single value; empty → blocked CV
+    */
+  def fit(
+      y: DenseMatrix[Double],
+      p: Int,
+      names: IndexedSeq[String] = IndexedSeq.empty,
+      alphas: Seq[Double] = Seq(0.4),
+      lambdas: Seq[Double] = Seq.empty,
+      intercept: Boolean = false): EnetVarModel = {
+    val design = VarDesign.build(y, p, names, intercept)
+    val kk = design.n
+    def alphaOf(j: Int) = if (alphas.length == 1) alphas.head else alphas(j)
+    val fits = IndexedSeq.tabulate(kk) { j =>
+      val yj = design.response(j)
+      if (lambdas.nonEmpty) {
+        val lam = if (lambdas.length == 1) lambdas.head else lambdas(j)
+        ElasticNet.fit(design.z, yj, alphaOf(j), lam, intercept)
+      } else {
+        val cv = BlockedCv.cvFitBlocked(design.z, yj, alphaOf(j), intercept)
+        cv.path.at(cv.lambdaMin)
+      }
+    }
+    EnetVarModel(design, alphaOf(0), fits)
+  }
+}

@@ -1,0 +1,116 @@
+package graft
+
+import breeze.linalg.{diag, DenseMatrix, DenseVector}
+import graft.linalg.{BlockedCv, ElasticNet}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden tests for the coordinate-descent elastic net (SURVEY §5.2-2,
+  * FIXTURES.md `quarterly_pair` family): OLS and ridge closed forms anchor
+  * the solver; KKT conditions verify optimality off the anchors.
+  */
+class LinalgSpec extends AnyFunSuite {
+
+  private val x = TestData.matrix(60, 5, seed = 42L)
+  private val y = {
+    val beta = DenseVector(1.5, -2.0, 0.0, 0.7, 0.0)
+    x * beta + TestData.vector(60, seed = 7L) * 0.1
+  }
+  private val n = x.rows.toDouble
+
+  private def maxAbsDiff(a: DenseVector[Double], b: DenseVector[Double]): Double =
+    breeze.linalg.max(breeze.numerics.abs(a - b))
+
+  test("lambda=0 reproduces OLS (XtX)^-1 Xty to 1e-6, standardized or not") {
+    val bOls = (x.t * x) \ (x.t * y)
+    for (std <- Seq(true, false)) {
+      val fit = ElasticNet
+        .fitPath(x, y, alpha = 0.5, lambdas = Seq(0.0), standardize = std)
+        .fits.head
+      assert(maxAbsDiff(fit.beta, bOls) < 1e-6, s"standardize=$std")
+    }
+  }
+
+  test("alpha=0, unstandardized ridge matches closed form (XtX + n*lambda*I)^-1 Xty") {
+    val lambda = 0.3
+    val bRidge = (x.t * x + diag(DenseVector.fill(5)(n * lambda))) \ (x.t * y)
+    val fit = ElasticNet
+      .fitPath(x, y, alpha = 0.0, lambdas = Seq(lambda), standardize = false)
+      .fits.head
+    assert(maxAbsDiff(fit.beta, bRidge) < 1e-6)
+  }
+
+  test("intercept fit at lambda=0 matches OLS with appended ones column") {
+    val xi = DenseMatrix.horzcat(DenseMatrix.ones[Double](x.rows, 1), x)
+    val bFull = (xi.t * xi) \ (xi.t * y)
+    val fit = ElasticNet
+      .fitPath(x, y, alpha = 0.5, lambdas = Seq(0.0), intercept = true)
+      .fits.head
+    assert(math.abs(fit.intercept - bFull(0)) < 1e-6)
+    assert(maxAbsDiff(fit.beta, bFull(1 until 6).toDenseVector) < 1e-6)
+  }
+
+  test("KKT optimality at an interior elastic-net point (alpha=0.6)") {
+    val alpha = 0.6
+    val lambda = 0.15
+    val fit = ElasticNet
+      .fitPath(x, y, alpha, Seq(lambda), standardize = false)
+      .fits.head
+    val r = y - x * fit.beta
+    for (j <- 0 until x.cols) {
+      val grad = (x(::, j) dot r) / n - lambda * (1 - alpha) * fit.beta(j)
+      if (fit.beta(j) == 0.0)
+        assert(math.abs(grad) <= lambda * alpha + 1e-8, s"inactive j=$j")
+      else
+        assert(
+          math.abs(grad - lambda * alpha * math.signum(fit.beta(j))) < 1e-7,
+          s"active j=$j")
+    }
+  }
+
+  test("sparsity is monotone along the descending lambda path") {
+    val lambdas = Seq(2.0, 1.0, 0.5, 0.1, 0.01)
+    val path = ElasticNet.fitPath(x, y, alpha = 1.0, lambdas, standardize = false)
+    val nActive = path.fits.map(_.beta.toArray.count(_ != 0.0))
+    assert(nActive.zip(nActive.tail).forall { case (a, b) => a <= b })
+    assert(nActive.last >= 3) // all three true predictors survive a tiny penalty
+  }
+
+  test("path interpolation: exact grid point wins, midpoints interpolate linearly") {
+    val path = ElasticNet.fitPath(x, y, alpha = 0.0, Seq(0.4, 0.2), standardize = false)
+    assert(path.at(0.4).beta == path.fits.head.beta)
+    val mid = path.at(0.3)
+    val expect = (path.fits(0).beta + path.fits(1).beta) * 0.5
+    assert(maxAbsDiff(mid.beta, expect) < 1e-12)
+  }
+
+  test("reference lambda grid seq(2l, l/2, 10) contains lambda exactly") {
+    val grid = ElasticNet.referenceLambdaGrid(0.37)
+    assert(grid.length == 10)
+    assert(math.abs(grid.head - 0.74) < 1e-15)
+    assert(math.abs(grid.last - 0.185) < 1e-15)
+    assert(grid.contains(0.37)) // 7th point — coef read-off needs no interpolation
+  }
+
+  test("blocked foldids reproduce the reference's contiguous layout (cv_blocks fixture)") {
+    val f57 = BlockedCv.foldIds(57)
+    assert(f57.length == 57)
+    assert(f57.distinct.toSeq == (1 to 6))
+    assert(f57.groupBy(identity).view.mapValues(_.length).toMap ==
+      Map(1 -> 10, 2 -> 10, 3 -> 10, 4 -> 10, 5 -> 10, 6 -> 7))
+    // Contiguity: ids are non-decreasing along time.
+    assert(f57.zip(f57.tail).forall { case (a, b) => b - a == 0 || b - a == 1 })
+    // Reference training panel: 163 rows → 17 folds, last holds 3.
+    val f163 = BlockedCv.foldIds(163)
+    assert(f163.max == 17 && f163.count(_ == 17) == 3)
+  }
+
+  test("blocked CV selects a small lambda on a strong dense signal") {
+    val cv = BlockedCv.cvFitBlocked(x, y, alpha = 0.5)
+    assert(cv.lambdas.contains(cv.lambdaMin))
+    // y is essentially noiseless linear signal: CV must not over-penalize.
+    assert(cv.lambdaMin < cv.lambdas.head / 10)
+    val best = cv.path.at(cv.lambdaMin)
+    val bOls = (x.t * x) \ (x.t * y)
+    assert(maxAbsDiff(best.beta, bOls) < 0.05)
+  }
+}
