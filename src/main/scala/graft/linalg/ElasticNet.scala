@@ -95,7 +95,7 @@ object ElasticNet {
       lambdas: Seq[Double],
       intercept: Boolean = false,
       standardize: Boolean = true,
-      maxIter: Int = 100000,
+      maxIter: Int = 2000,
       tol: Double = 1e-9): Path = {
     val nRows = x.rows
     val p = x.cols
@@ -120,6 +120,14 @@ object ElasticNet {
     // Second moments of the working predictors (≠ 1 when not centered).
     val z = DenseVector.tabulate(p)(j => (xw(::, j) dot xw(::, j)) / n)
 
+    // Scale-aware stopping threshold (glmnet keys its `thresh` off the null
+    // deviance the same way): an absolute tolerance would over-iterate on
+    // large-scale responses and grind on near-collinear designs, where the
+    // per-sweep contraction approaches corr² — the CV over a monthly
+    // (revenue, order-count) panel hit exactly that.
+    val (_, ySd) = momentsOf(yw)
+    val effTol = tol * math.max(ySd, 1e-12)
+
     val beta = DenseVector.zeros[Double](p)      // warm-started across λs
     val resid = yw.copy                          // r = yw − Xw·beta
     val fits = IndexedSeq.newBuilder[Fit]
@@ -129,7 +137,7 @@ object ElasticNet {
       val l2 = lambda * (1.0 - alpha)
       var iter = 0
       var delta = Double.MaxValue
-      while (iter < maxIter && delta > tol) {
+      while (iter < maxIter && delta > effTol) {
         delta = 0.0
         var j = 0
         while (j < p) {

@@ -1,0 +1,310 @@
+package graft.operators
+
+import breeze.linalg.{DenseMatrix, DenseVector}
+import graft.linalg.BlockedCv
+import graft.experiment.{Ar1Train, ModelTrain}
+import graft.sources.Tables
+import graft.stats.{Adf, HacTests}
+import graft.varmodel.{EnetVar, InfCrit, VarDesign}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Estimation-layer query corpus: the M/T operators of SURVEY §2.6-2.7
+  * exposed as driver-checkable queries over the testdata, driven by the
+  * real graft.{linalg,varmodel,stats,experiment} components.
+  *
+  * Split of labor (SURVEY §4.2): the PANEL side of every query — calendar
+  * aggregation, lag windows, error-series construction — is declarative
+  * DataFrame algebra that scales with the cluster; the ESTIMATION side
+  * consumes only calendar-bounded aggregate frames (≤ a few hundred rows at
+  * ANY raw-data scale), so collecting those frames to driver/task-local
+  * Breeze is the designed contract, not a shortcut (SURVEY §2.2 P9).
+  * Numeric operators without a SQL equivalent are rows-only checks by
+  * design; their numerics are golden-tested in the ScalaTest suite instead
+  * (LinalgSpec/StatsSpec/VarModelSpec/ExperimentSpec).
+  */
+object Estimation {
+
+  import Relational.Q
+
+  /** Monthly 2-series panel from orders: (month, rev, n_orders) — the
+    * testdata's stand-in for the reference's quarterly macro panel.
+    */
+  private def monthlyPanel(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(to_date(date_trunc("month", col("o_orderdate"))).as("month"))
+      .agg(sum(col("o_totalprice")).as("rev"),
+        count(lit(1)).cast("double").as("n_orders"))
+
+  /** Daily revenue series (calendar-bounded). */
+  private def dailyRevenue(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(col("o_totalprice")).as("rev"))
+
+  /** Collect an ordered (k-column) double series from a calendar-bounded
+    * frame — the P9 dematerialize step.
+    */
+  private def collectSeries(df: DataFrame, orderCol: String, valueCols: Seq[String]): Array[Array[Double]] = {
+    val rows = df.orderBy(col(orderCol)).select(valueCols.map(col): _*).collect()
+    rows.map(r => valueCols.indices.map(i => r.getDouble(i)).toArray)
+  }
+
+  val entries: Seq[(String, Q, Option[String])] = Seq(
+
+    // ----- W4 as a component: the reusable design-matrix builder ----------
+
+    ("w4_var_design", (s: SparkSession, d: String) => {
+      // The distributed VarDesign.frame builder (one shared window spec →
+      // one sort), p=2 over the monthly 2-series panel; drops the leading
+      // null-lag rows like the local VAR.Z's na.omit.
+      VarDesign.frame(monthlyPanel(s, d), "month", Seq("rev", "n_orders"), p = 2)
+        .orderBy(col("month"))
+    }, Some(
+      """WITH monthly AS (
+           SELECT cast(date_trunc('month', o_orderdate) AS date) AS month,
+                  sum(o_totalprice) AS rev,
+                  cast(count(*) AS double) AS n_orders
+           FROM orders GROUP BY 1),
+         lagged AS (
+           SELECT month, rev, n_orders,
+                  lag(rev, 1)      OVER (ORDER BY month) AS rev_l1,
+                  lag(n_orders, 1) OVER (ORDER BY month) AS n_orders_l1,
+                  lag(rev, 2)      OVER (ORDER BY month) AS rev_l2,
+                  lag(n_orders, 2) OVER (ORDER BY month) AS n_orders_l2
+           FROM monthly)
+         SELECT * FROM lagged
+         WHERE rev_l1 IS NOT NULL AND n_orders_l1 IS NOT NULL
+           AND rev_l2 IS NOT NULL AND n_orders_l2 IS NOT NULL
+         ORDER BY month""")),
+
+    // ----- M16: AR(1) coefficient, fully declarative ----------------------
+
+    ("m16_ar1_phi", (s: SparkSession, d: String) => {
+      // Conditional-LS AR(1) slope per event_type series (no mean):
+      // phi = Σ y_t·y_{t−1} / Σ y_{t−1}² — the closed form Ar1Train.fitAr1
+      // uses, expressed as lag-window + aggregate so it runs at any scale.
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(col("value")).as("v"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      daily
+        .withColumn("v_l1", lag(col("v"), 1).over(w))
+        .filter(col("v_l1").isNotNull)
+        .groupBy(col("event_type"))
+        .agg((sum(col("v") * col("v_l1")) / sum(col("v_l1") * col("v_l1"))).as("phi"),
+          count(lit(1)).as("n_pairs"))
+        .orderBy(col("event_type"))
+    }, Some(
+      """WITH daily AS (
+           SELECT event_type, cast(cast(ts AS timestamp) AS date) AS day,
+                  sum(value) AS v
+           FROM events GROUP BY 1, 2),
+         lagged AS (
+           SELECT event_type, v,
+                  lag(v, 1) OVER (PARTITION BY event_type ORDER BY day) AS v_l1
+           FROM daily)
+         SELECT event_type,
+                sum(v * v_l1) / sum(v_l1 * v_l1) AS phi,
+                count(*) AS n_pairs
+         FROM lagged WHERE v_l1 IS NOT NULL
+         GROUP BY 1 ORDER BY 1""")),
+
+    // ----- T5: Newey-West HAC variance, declarative (qn = 4) --------------
+
+    ("t5_nw_variance", (s: SparkSession, d: String) => {
+      // Reference nw() on the daily-revenue series: Γ₀/T-normalized,
+      // Γⱼ/(T−1), Bartlett weights 1−j/4 for j=1..3 (enetVAR.R:794-806) —
+      // autocovariances as lag-window aggregates (A5 pattern), no self-join.
+      val daily = dailyRevenue(s, d)
+      val stats0 = daily.agg(avg(col("rev")).as("m"), count(lit(1)).cast("double").as("t"))
+      val w = Window.orderBy(col("day"))
+      val dy = daily.crossJoin(broadcast(stats0))
+        .select(col("day"), (col("rev") - col("m")).as("dy"), col("t"))
+        .withColumn("dy1", lag(col("dy"), 1).over(w))
+        .withColumn("dy2", lag(col("dy"), 2).over(w))
+        .withColumn("dy3", lag(col("dy"), 3).over(w))
+      dy.groupBy(col("t"))
+        .agg(
+          (sum(col("dy") * col("dy")) / col("t")).as("g0"),
+          (sum(col("dy") * col("dy1")) / (col("t") - 1)).as("g1"),
+          (sum(col("dy") * col("dy2")) / (col("t") - 1)).as("g2"),
+          (sum(col("dy") * col("dy3")) / (col("t") - 1)).as("g3"))
+        .select(col("t").cast("long").as("n_days"), col("g0"),
+          (col("g0") + lit(2.0) * (col("g1") * 0.75 + col("g2") * 0.5 + col("g3") * 0.25))
+            .as("nw_var"))
+    }, Some(
+      """WITH daily AS (
+           SELECT cast(o_orderdate AS date) AS day, sum(o_totalprice) AS rev
+           FROM orders GROUP BY 1),
+         st AS (SELECT avg(rev) AS m, cast(count(*) AS double) AS t FROM daily),
+         d AS (
+           SELECT daily.day, daily.rev - st.m AS dy, st.t,
+                  lag(daily.rev - st.m, 1) OVER (ORDER BY daily.day) AS dy1,
+                  lag(daily.rev - st.m, 2) OVER (ORDER BY daily.day) AS dy2,
+                  lag(daily.rev - st.m, 3) OVER (ORDER BY daily.day) AS dy3
+           FROM daily, st)
+         SELECT cast(t AS bigint) AS n_days,
+                sum(dy * dy) / t AS g0,
+                sum(dy * dy) / t
+                  + 2.0 * (sum(dy * dy1) / (t - 1) * 0.75
+                         + sum(dy * dy2) / (t - 1) * 0.5
+                         + sum(dy * dy3) / (t - 1) * 0.25) AS nw_var
+         FROM d GROUP BY t""")),
+
+    // ----- T1: batch ADF as a distributed per-series fan-out (rows-only) --
+
+    ("t1_adf_batch", (s: SparkSession, d: String) => {
+      // One task per series (the reference's 146-way per-column fan-out,
+      // SURVEY §3.1-4): series are grouped and ordered inside the engine,
+      // the ADF regression runs task-locally. No SQL oracle exists for the
+      // test statistic — the numerics are golden-tested in StatsSpec; the
+      // driver records a rows-only check by design.
+      import s.implicits._
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(col("value")).as("v"))
+      daily
+        .groupBy(col("event_type"))
+        .agg(sort_array(collect_list(struct(col("day"), col("v")))).as("series"))
+        .as[(String, Seq[(java.sql.Date, Double)])]
+        .map { case (et, series) =>
+          val r = Adf.test(DenseVector(series.map(_._2).toArray))
+          (et, r.statistic, r.pValue, r.lagOrder, series.length.toLong)
+        }
+        .toDF("event_type", "adf_stat", "p_value", "lag_order", "n_obs")
+        .orderBy(col("event_type"))
+    }, None),
+
+    // ----- T3/T4: forecast-equality tests on competing forecasters --------
+
+    ("t3_t4_cw_dm", (s: SparkSession, d: String) => {
+      // Two forecasters of daily revenue — f1 = yesterday (random walk),
+      // f2 = 7-day moving average — scored by Clark–West and
+      // Diebold–Mariano on the calendar-bounded error series (P9 collect),
+      // reference enetVAR.R:775-843. Rows-only: stats golden-tested in
+      // StatsSpec.
+      val w = Window.orderBy(col("day"))
+      val wAvg = Window.orderBy(col("day")).rowsBetween(-7, -1)
+      val frame = dailyRevenue(s, d)
+        .withColumn("f1", lag(col("rev"), 1).over(w))
+        .withColumn("f2", avg(col("rev")).over(wAvg))
+        .withColumn("n_prior", count(col("rev")).over(wAvg))
+        .filter(col("f1").isNotNull && col("n_prior") === 7)
+        .select(col("day"), col("rev"), col("f1"), col("f2"))
+      val series = collectSeries(frame, "day", Seq("rev", "f1", "f2"))
+      val y = DenseVector(series.map(_(0)))
+      val f1 = DenseVector(series.map(_(1)))
+      val f2 = DenseVector(series.map(_(2)))
+      val e1 = y - f1
+      val e2 = y - f2
+      val cw = HacTests.clarkWest(e1, e2, f1, f2, nwlag = 4)
+      val dm = HacTests.dieboldMariano(
+        DenseVector.tabulate(e1.length)(i => e1(i) * e1(i) - e2(i) * e2(i)), l = 3)
+      s.createDataFrame(
+        java.util.Arrays.asList(
+          Row("clark_west", cw.statistic, cw.pValue, e1.length.toLong),
+          Row("diebold_mariano", dm.statistic, dm.pValue, e1.length.toLong)),
+        StructType(Seq(
+          StructField("test", StringType),
+          StructField("statistic", DoubleType),
+          StructField("p_value", DoubleType),
+          StructField("n_obs", LongType))))
+        .orderBy(col("test"))
+    }, None),
+
+    // ----- M2: blocked CV lambda selection (rows-only) --------------------
+
+    ("m2_cv_lambda", (s: SparkSession, d: String) => {
+      // Blocked-fold CV on the monthly VAR design (contiguous 10-row
+      // blocks → ceil(N/10) folds, enetVAR.R:27-36): reports the selected
+      // λ and its pooled CV-MSE per equation. Deterministic; numerics
+      // golden-tested in LinalgSpec.
+      val panel = collectSeries(monthlyPanel(s, d), "month", Seq("rev", "n_orders"))
+      // Scale to O(1) so the CV path is well-conditioned (revenues are 1e8).
+      val y = new DenseMatrix(panel.length, 2,
+        panel.map(_(0) / 1e8) ++ panel.map(_(1) / 1e3))
+      val design = VarDesign.build(y, p = 1, IndexedSeq("rev", "n_orders"))
+      val rows = (0 until design.n).map { j =>
+        val cv = BlockedCv.cvFitBlocked(design.z, design.response(j), alpha = 0.5)
+        val cvmAtMin = cv.cvm(cv.lambdas.indexOf(cv.lambdaMin))
+        Row(design.names(j), cv.lambdaMin, cvmAtMin,
+          BlockedCv.foldIds(design.z.rows).max.toLong)
+      }
+      s.createDataFrame(
+        java.util.Arrays.asList(rows: _*),
+        StructType(Seq(
+          StructField("equation", StringType),
+          StructField("lambda_min", DoubleType),
+          StructField("cv_mse", DoubleType),
+          StructField("n_folds", LongType))))
+        .orderBy(col("equation"))
+    }, None),
+
+    // ----- M8/M9: IC table over lag orders (rows-only) --------------------
+
+    ("m8_ic_table", (s: SparkSession, d: String) => {
+      // infCrit (Tibshirani–Taylor dof) for p = 1..3 at fixed α, λ —
+      // the inner step of enetVARselect (M9). Deterministic small table.
+      val panel = collectSeries(monthlyPanel(s, d), "month", Seq("rev", "n_orders"))
+      val y = new DenseMatrix(panel.length, 2,
+        panel.map(_(0) / 1e8) ++ panel.map(_(1) / 1e3))
+      val rows = (1 to 3).map { p =>
+        val model = EnetVar.fit(y, p, IndexedSeq("rev", "n_orders"),
+          alphas = Seq(0.5), lambdas = Seq(0.01))
+        val ic = InfCrit(model)
+        Row(p.toLong, ic.fpe, ic.aic, ic.hq, ic.sc, ic.dof)
+      }
+      s.createDataFrame(
+        java.util.Arrays.asList(rows: _*),
+        StructType(Seq(
+          StructField("lag", LongType),
+          StructField("fpe", DoubleType),
+          StructField("aic", DoubleType),
+          StructField("hq", DoubleType),
+          StructField("sc", DoubleType),
+          StructField("dof", DoubleType))))
+        .orderBy(col("lag"))
+    }, None),
+
+    // ----- M17/M16/T7: the OOS experiment as one distributed job ----------
+
+    ("m17_oos_experiment", (s: SparkSession, d: String) => {
+      // modeltrain on the monthly 2-series panel: per-origin refits run as
+      // ONE Spark job over the broadcast panel (SURVEY §3.2); output is the
+      // per-horizon metric table (MSFE, Theil's U vs RW — reference quirk
+      // preserved — and vs AR(1)). Rows-only: golden-tested end-to-end in
+      // ExperimentSpec.
+      val panel = collectSeries(monthlyPanel(s, d), "month", Seq("rev", "n_orders"))
+      val n = panel.length
+      val y = new DenseMatrix(n, 2,
+        panel.map(_(0) / 1e8) ++ panel.map(_(1) / 1e3))
+      val startPred = n - 20 // last ~20 periods are the evaluation window
+      val res = ModelTrain.run(y, IndexedSeq("rev", "n_orders"),
+        startPredIdx = startPred, h = 8, alphas = Seq(0.4),
+        lambdas = Seq(0.0), lag = 1, const = false, spark = Some(s))
+      val rows = Seq(1, 2, 4, 8).map { h =>
+        val m = res.byHorizon(h)
+        Row(h.toLong, m.msfe, m.theilsURw, m.theilsUAr1, m.errors.length.toLong)
+      }
+      s.createDataFrame(
+        java.util.Arrays.asList(rows: _*),
+        StructType(Seq(
+          StructField("horizon", LongType),
+          StructField("msfe", DoubleType),
+          StructField("theils_u_rw", DoubleType),
+          StructField("theils_u_ar1", DoubleType),
+          StructField("n_eval", LongType))))
+        .orderBy(col("horizon"))
+    }, None)
+  )
+
+  def queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap
+
+  def oracle: Map[String, String] =
+    entries.collect { case (n, _, Some(sql)) =>
+      n -> sql.replaceAll("\\s+", " ").trim
+    }.toMap
+}
