@@ -1,0 +1,90 @@
+package graft.functions
+
+/** Task-local text/binary kernels used by the pipeline operators —
+  * deterministic, dependency-free, unit-tested in PipelineSpec.
+  */
+object TextFunctions {
+
+  /** Winnowing fingerprints (Schleimer–Wilkerson–Aiken 2003): hash every
+    * k-gram with a polynomial rolling hash, slide a window of `window`
+    * consecutive hashes, keep each window's minimum (rightmost-min rule so
+    * runs of equal minima add one fingerprint), dedupe consecutive picks.
+    * Guarantees every match of length ≥ window+k−1 shares a fingerprint.
+    */
+  def winnow(text: String, k: Int, window: Int): Array[Long] = {
+    if (text.length < k) return Array.empty
+    val base = 1000003L
+    // Modulus small enough that char·pow (≤ ~2^17 · mod) stays inside a
+    // Long: a larger modulus silently overflows and the hash stops being a
+    // pure function of its k characters (breaking the winnowing guarantee).
+    val mod = 1000000007L
+    // Rolling hashes of all k-grams.
+    var pow = 1L
+    for (_ <- 1 until k) pow = pow * base % mod
+    val n = text.length - k + 1
+    val hs = new Array[Long](n)
+    var h = 0L
+    var i = 0
+    while (i < k) { h = (h * base + text.charAt(i)) % mod; i += 1 }
+    hs(0) = h
+    i = 1
+    while (i < n) {
+      h = ((h - text.charAt(i - 1) * pow % mod + mod * 2) % mod * base +
+        text.charAt(i + k - 1)) % mod
+      hs(i) = h
+      i += 1
+    }
+    if (n <= window) return Array(hs.min)
+    val out = Array.newBuilder[Long]
+    var lastPick = -1
+    var w = 0
+    while (w <= n - window) {
+      // Rightmost minimal hash in the window.
+      var minIdx = w
+      var j = w + 1
+      while (j < w + window) {
+        if (hs(j) <= hs(minIdx)) minIdx = j
+        j += 1
+      }
+      if (minIdx != lastPick) { out += hs(minIdx); lastPick = minIdx }
+      w += 1
+    }
+    out.result()
+  }
+
+  /** STUB multimodal decoder (see mm1_multimodal_stub): stands in for an
+    * image/audio codec, returning (mean byte value, frame count) for a
+    * payload split into `frameSize` frames. Deterministic by construction.
+    */
+  def fakeDecode(bytes: Array[Byte], frameSize: Int): (Double, Long) = {
+    if (bytes.isEmpty) return (0.0, 0L)
+    var sum = 0L
+    var i = 0
+    while (i < bytes.length) { sum += bytes(i) & 0xff; i += 1 }
+    (sum.toDouble / bytes.length,
+      ((bytes.length + frameSize - 1) / frameSize).toLong)
+  }
+
+  /** 32-bit SimHash of a token set using the same md5-nibble bit planes as
+    * the d4_simhash query (kept in sync for cross-checking in tests).
+    */
+  def simhash32(tokens: Iterable[String]): Long = {
+    val votes = new Array[Int](32)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    for (t <- tokens) {
+      val hex = md.digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      var j = 0
+      while (j < 32) {
+        if ("89abcdef".indexOf(hex.charAt(j)) >= 0) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+    }
+    var out = 0L
+    var j = 0
+    while (j < 32) { if (votes(j) > 0) out |= 1L << j; j += 1 }
+    out
+  }
+
+  /** Hamming distance between two simhashes. */
+  def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+}
