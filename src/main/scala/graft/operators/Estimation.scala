@@ -29,6 +29,11 @@ object Estimation {
 
   import Relational.Q
 
+  /** Converted reference dataset (tools/convert_panel.py) — a repo-local
+    * fixture, deliberately independent of the testdata scale factor.
+    */
+  private val PanelDir = "/root/repo/data/panel"
+
   /** Monthly 2-series panel from orders: (month, rev, n_orders) — the
     * testdata's stand-in for the reference's quarterly macro panel.
     */
@@ -268,6 +273,45 @@ object Estimation {
           StructField("dof", DoubleType))))
         .orderBy(col("lag"))
     }, None),
+
+    // ----- S2/W1/W2/A1/J1: the real-panel data-prep pipeline --------------
+
+    ("s2_panel_endvar", (s: SparkSession, d: String) => {
+      // Main.R:40-96 on the CONVERTED REFERENCE DATASET (repo-local
+      // fixture, independent of sfDir): monthly→quarterly diffs with R's
+      // NA semantics + GDP log-diffs + time-index full outer join,
+      // projected to a 3-series slice so the oracle replicates the whole
+      // prep chain on the same parquet. Dims golden-tested in PanelSpec
+      // (696×147 → 231×148, split 163/68).
+      import graft.ingest.PanelIngest
+      val m = PanelIngest.loadMonthly(s, s"$PanelDir/monthly_panel.parquet")
+      val g = PanelIngest.loadGdp(s, s"$PanelDir/gdp_quarterly.parquet")
+      PanelIngest.endVar(PanelIngest.gdpLogDiff(g), PanelIngest.quarterlyDiffs(m))
+        .select(col("quarter"), col("GDP"), col("INDPRO"), col("M1SL"))
+        .orderBy(col("quarter"))
+    }, Some(
+      s"""WITH m AS (SELECT * FROM '$PanelDir/monthly_panel.parquet'),
+         diffed AS (
+           SELECT cast(date_trunc('quarter', date) AS date) AS quarter,
+                  INDPRO - lag(INDPRO) OVER (ORDER BY date) AS INDPRO,
+                  M1SL - lag(M1SL) OVER (ORDER BY date) AS M1SL
+           FROM m),
+         q AS (
+           SELECT quarter,
+                  CASE WHEN count(INDPRO) = count(*) THEN sum(INDPRO) END AS INDPRO,
+                  CASE WHEN count(M1SL) = count(*) THEN sum(M1SL) END AS M1SL
+           FROM diffed GROUP BY 1),
+         qd AS (SELECT * FROM q WHERE quarter > (SELECT min(quarter) FROM q)),
+         g AS (SELECT * FROM '$PanelDir/gdp_quarterly.parquet'),
+         gl AS (
+           SELECT quarter, GDP FROM (
+             SELECT cast(date_trunc('quarter', date) AS date) AS quarter,
+                    ln(GDP) - lag(ln(GDP)) OVER (ORDER BY date) AS GDP
+             FROM g)
+           WHERE GDP IS NOT NULL)
+         SELECT coalesce(gl.quarter, qd.quarter) AS quarter, gl.GDP, qd.INDPRO, qd.M1SL
+         FROM gl FULL OUTER JOIN qd ON gl.quarter = qd.quarter
+         ORDER BY 1""")),
 
     // ----- M17/M16/T7: the OOS experiment as one distributed job ----------
 
