@@ -274,6 +274,35 @@ object Estimation {
         .orderBy(col("lag"))
     }, None),
 
+    // ----- M15: rolling-origin hyperparameter tuning (rows-only) ----------
+
+    ("m15_rolling_tune", (s: SparkSession, d: String) => {
+      // The flagship distributed grid (SURVEY §3.3) at query scale: tasks =
+      // equations × origins × α run as one Spark job over the broadcast
+      // design; each task scores its whole warm-started λ path; per-(α,λ)
+      // RMSE sums reduce on executors. Rows-only: parity with the
+      // sequential loop is pinned exactly in SparkParitySpec.
+      import graft.tune.RollingOriginTuner
+      val panel = collectSeries(monthlyPanel(s, d), "month", Seq("rev", "n_orders"))
+      val n = panel.length
+      val y = new DenseMatrix(n, 2,
+        panel.map(_(0) / 1e8) ++ panel.map(_(1) / 1e3))
+      val grid = RollingOriginTuner.Grid(
+        Seq(0.1, 0.5, 0.9), (0 until 40).map(i => math.pow(10.0, 1.0 - 5.0 * i / 39)))
+      val best = RollingOriginTuner.tune(y, p = 1, initWindow = n / 2, horizon = 8,
+        grid, IndexedSeq("rev", "n_orders"), spark = Some(s))
+      val rows = best.map(b =>
+        Row(IndexedSeq("rev", "n_orders")(b.equation), b.alpha, b.lambda, b.meanRmse))
+      s.createDataFrame(
+        java.util.Arrays.asList(rows: _*),
+        StructType(Seq(
+          StructField("equation", StringType),
+          StructField("alpha", DoubleType),
+          StructField("lambda", DoubleType),
+          StructField("mean_rmse", DoubleType))))
+        .orderBy(col("equation"))
+    }, None),
+
     // ----- S2/W1/W2/A1/J1: the real-panel data-prep pipeline --------------
 
     ("s2_panel_endvar", (s: SparkSession, d: String) => {
