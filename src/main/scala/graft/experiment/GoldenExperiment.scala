@@ -1,0 +1,141 @@
+package graft.experiment
+
+import breeze.linalg.{DenseMatrix, DenseVector}
+import graft.ingest.PanelIngest
+import graft.stats.Adf
+import org.apache.spark.sql.SparkSession
+import scala.collection.immutable.ListMap
+
+/** End-to-end reproduction of the reference's OOS experiment on the REAL
+  * dataset (Main.R data prep + Testing.R:214-243 golden runs): ingest →
+  * quarterly diffs → iterative stationarity repair → end_var merge →
+  * hardcoded 30-variable ezlasso set (Testing.R:215-218) → na.omit →
+  * `modeltrain(lag, alpha, const=TRUE)` with per-equation blocked-CV λ,
+  * per-origin refits distributed over Spark.
+  *
+  * Prints the per-horizon MSFEs and their sum next to the recorded golden
+  * values (BASELINE.md): lag=5/α=0.4 → 0.00907175092168175, lag=1 →
+  * 0.0107635485836803, lag=5/α=0.5 → 0.009076151. Exact agreement is not
+  * expected — the reference's numbers come from glmnet's Fortran solver
+  * and R's ADF borderline calls — but the figure should land in the same
+  * neighborhood; the gap is reported, not hidden.
+  *
+  * Usage: runMain graft.experiment.GoldenExperiment [lag] [alpha]
+  */
+object GoldenExperiment {
+
+  /** Testing.R:215-218 — the hardcoded 30-var ezlasso preselection. */
+  val EzlassoAll: Seq[String] = Seq(
+    "GDP", "DDURRG3M086SBEA", "DPCERA3M086SBEA", "W875RX1", "INDPRO",
+    "IPFINAL", "IPCONGD", "IPDCONGD", "IPNCONGD", "IPBUSEQ", "IPMAT",
+    "IPDMAT", "IPNMAT", "IPFPNSS", "IPFUELN", "TCU", "MCUMFN", "CLF16OV",
+    "CE16OV", "UNRATE", "UEMPMEAN", "UEMPLT5", "UEMP5TO14", "UEMP15OV",
+    "UEMP15T26", "UEMP27OV", "PAYEMS", "USPRIV", "CES1021000001", "FEDFUNDS")
+
+  /** Quarter sum of a monthly diff series with R NA semantics (A1): the
+    * first quarter is dropped, a quarter with any NaN diff is NaN.
+    */
+  private def quarterSums(diffs: Array[Double]): DenseVector[Double] = {
+    // diffs(i) = value for month i (i=0 is 1959-01, diff = NaN).
+    val nQ = diffs.length / 3
+    val out = DenseVector.zeros[Double](nQ - 1)
+    var q = 1
+    while (q < nQ) {
+      var s = 0.0
+      var ok = true
+      var m = 3 * q
+      while (m < 3 * q + 3) {
+        if (diffs(m).isNaN) ok = false else s += diffs(m)
+        m += 1
+      }
+      out(q - 1) = if (ok) s else Double.NaN
+      q += 1
+    }
+    out
+  }
+
+  def main(args: Array[String]): Unit = {
+    val lag = if (args.nonEmpty) args(0).toInt else 5
+    val alpha = if (args.length > 1) args(1).toDouble else 0.4
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val dir = "data/panel"
+    // Collect the monthly panel column-wise (696×146 — P9 dematerialize).
+    val monthlyDf = PanelIngest.loadMonthly(spark, s"$dir/monthly_panel.parquet")
+      .orderBy("date")
+    val mRows = monthlyDf.collect()
+    val names = PanelIngest.seriesNames
+    val monthly: Map[String, Array[Double]] = names.zipWithIndex.map { case (n, j) =>
+      n -> mRows.map(r => if (r.isNullAt(j + 1)) Double.NaN else r.getDouble(j + 1))
+    }.toMap
+
+    // W1+A1: quarterly sums of monthly first differences.
+    def diffs(xs: Array[Double]): Array[Double] =
+      Array.tabulate(xs.length)(i => if (i == 0) Double.NaN else xs(i) - xs(i - 1))
+    val quarterly = ListMap.from(names.map { n =>
+      n -> quarterSums(diffs(monthly(n)))
+    })
+
+    // T2 repair: currency + all-positive columns replace with quarterly
+    // log-diffs; others second-difference (Main.R:64-92).
+    def logDiffQuarterly(name: String): Option[DenseVector[Double]] = {
+      val lv = monthly(name)
+      if (lv.filterNot(_.isNaN).forall(_ > 0.0))
+        Some(quarterSums(Array.tabulate(lv.length)(i =>
+          if (i == 0) Double.NaN else math.log(lv(i)) - math.log(lv(i - 1)))))
+      else None
+    }
+    val t0 = System.nanoTime()
+    val repaired = Stationarity.repair(
+      quarterly, logDiffQuarterly, PanelIngest.currencyNames.toSet, crit = 0.01)
+    println(f"[golden] repair: converged=${repaired.converged} " +
+      f"transforms=${repaired.ledger.size} (${(System.nanoTime() - t0) / 1e9}%.1f s)")
+    repaired.ledger.groupBy(_.transform).foreach { case (t, es) =>
+      println(s"[golden]   $t: ${es.map(_.column).distinct.size} columns")
+    }
+
+    // GDP log-diffs (232 → 231 quarters, aligned 1959Q2..2016Q4).
+    val gdpLevels = PanelIngest.loadGdp(spark, s"$dir/gdp_quarterly.parquet")
+      .orderBy("date").collect().map(_.getDouble(1))
+    val gdpLd = DenseVector.tabulate(gdpLevels.length - 1)(i =>
+      math.log(gdpLevels(i + 1)) - math.log(gdpLevels(i)))
+
+    // end_var[, ezlasso.all] → na.omit (rows with all 30 present).
+    val cols: IndexedSeq[DenseVector[Double]] =
+      gdpLd +: EzlassoAll.drop(1).map(repaired.columns(_)).toIndexedSeq
+    val tQ = gdpLd.length
+    require(cols.forall(_.length == tQ), "quarter alignment broke")
+    val keep = (0 until tQ).filter(r => cols.forall(c => !c(r).isNaN))
+    val y = DenseMatrix.tabulate(keep.length, cols.length)((r, c) => cols(c)(keep(r)))
+    // Quarter index of kept rows: row r is 1959Q2 + keep(r) quarters;
+    // start.pred = 2000Q1 = index 163 in the unfiltered frame.
+    val startUnfiltered = (2000 - 1959) * 4 + 0 - 1 // 1959Q2-based offset of 2000Q1
+    val startPredIdx = keep.indexWhere(_ >= startUnfiltered)
+    println(s"[golden] panel after na.omit: ${y.rows}×${y.cols}, " +
+      s"start.pred row=$startPredIdx (golden layout: 163 of 231)")
+
+    val t1 = System.nanoTime()
+    val res = ModelTrain.run(y, EzlassoAll.toIndexedSeq, startPredIdx,
+      h = 8, alphas = Seq(alpha), lambdas = Seq.empty, lag = lag,
+      const = true, spark = Some(spark))
+    val wall = (System.nanoTime() - t1) / 1e9
+    val msfes = Seq(1, 2, 4, 8).map(h => h -> res.byHorizon(h).msfe)
+    val total = msfes.map(_._2).sum
+    msfes.foreach { case (h, m) => println(f"[golden] msfe h$h%d = $m%.12f") }
+    println(f"[golden] MSFE SUM = $total%.12f  (lag=$lag alpha=$alpha, $wall%.0f s)")
+    println("[golden] reference goldens: lag5/a0.4 CV = 0.00907175092168175 | " +
+      "lag1 = 0.0107635485836803 | lag5/a0.5 = 0.009076151")
+    Seq(1, 2, 4, 8).foreach { h =>
+      println(f"[golden] theils_u_rw h$h = ${res.byHorizon(h).theilsURw}%.6f " +
+        f"theils_u_ar1 h$h = ${res.byHorizon(h).theilsUAr1}%.6f")
+    }
+    spark.stop()
+  }
+}

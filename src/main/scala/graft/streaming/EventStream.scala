@@ -1,0 +1,63 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface (SURVEY §2.8 / §7 phase E — an engine
+  * extension, not reference semantics: the reference is batch-only). The
+  * `events` table doubles as a file-source stream; the demos cover the
+  * canonical streaming shapes a data pipeline needs:
+  *  - event-time tumbling-window aggregation with a watermark (streaming
+  *    A1 — the quarterly-sum analog on event time), and
+  *  - stateful streaming dedup by key under the same watermark (streaming
+  *    d1 — exact dedup for append-only feeds).
+  *
+  * Scale posture: both are keyed-state streaming aggregations — state is
+  * bounded by (watermark horizon × key cardinality), partitioned by key,
+  * no global state; sinks are append/update-mode compatible.
+  */
+object EventStream {
+
+  /** The events file schema for the streaming source (nanos as long —
+    * file-source scans don't run Tables' conf pinning, so the schema says
+    * it explicitly).
+    */
+  val eventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // TIMESTAMP(NANOS) read as long
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream over the events parquet in `dir`. */
+  def readEvents(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.readStream
+      .schema(eventsRawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Tumbling 1-hour windows per event_type with a 30-minute watermark:
+    * counts and value sums, closeable (append-mode capable) once the
+    * watermark passes the window end.
+    */
+  def windowedAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("value_sum"))
+      .select(col("win.start").as("window_start"), col("event_type"),
+        col("n_events"), col("value_sum"))
+
+  /** Stateful streaming dedup: first occurrence of each event_id wins;
+    * state for ids older than the watermark is dropped (bounded state).
+    */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .dropDuplicates("event_id")
+}

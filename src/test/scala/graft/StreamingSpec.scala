@@ -1,0 +1,75 @@
+package graft
+
+import graft.streaming.EventStream
+import graft.sources.{Tables, TuningIO}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming extension + tuning IO: the streaming windowed aggregate and
+  * stateful dedup must agree with their batch equivalents on the same
+  * (replayed) data; the tuning table round-trips into estimator vectors.
+  */
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val sfDir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("streaming windowed aggregate replays to the same result as the batch aggregate") {
+    val q = EventStream.windowedAgg(EventStream.readEvents(spark, sfDir))
+      .writeStream.format("memory").queryName("win_agg").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("win_agg")
+      .orderBy("window_start", "event_type").collect()
+
+    val batch = Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("value_sum"))
+      .select(col("win.start").as("window_start"), col("event_type"),
+        col("n_events"), col("value_sum"))
+      .orderBy("window_start", "event_type").collect()
+
+    assert(streamed.length == batch.length && streamed.length > 0)
+    streamed.zip(batch).foreach { case (s0, b) =>
+      assert(s0.getTimestamp(0) == b.getTimestamp(0))
+      assert(s0.getString(1) == b.getString(1))
+      assert(s0.getLong(2) == b.getLong(2))
+      assert(math.abs(s0.getDouble(3) - b.getDouble(3)) < 1e-6)
+    }
+  }
+
+  test("streaming dedup keeps each event_id once") {
+    val q = EventStream.dedupStream(EventStream.readEvents(spark, sfDir))
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val n = spark.table("dedup").count()
+    val distinctIds = Tables.events(spark, sfDir)
+      .select(countDistinct(col("event_id"))).collect()(0).getLong(0)
+    assert(n == distinctIds)
+  }
+
+  test("S4 tuning table round-trips into per-equation vectors in order") {
+    val path = java.nio.file.Files.createTempDirectory("graft_tuning_").toString + "/t"
+    TuningIO.write(spark, path, Seq(("rev", 0.25, 0.01), ("n_orders", 0.9, 0.3)))
+    val (alphas, lambdas) = TuningIO.asVectors(spark, path, Seq("n_orders", "rev"))
+    assert(alphas == Seq(0.9, 0.25))
+    assert(lambdas == Seq(0.3, 0.01))
+    val bad = intercept[IllegalArgumentException] {
+      TuningIO.asVectors(spark, path, Seq("rev", "missing_eq"))
+    }
+    assert(bad.getMessage.contains("missing_eq"))
+  }
+}
