@@ -124,12 +124,18 @@ object GoldenExperiment {
     val t1 = System.nanoTime()
     val res = ModelTrain.run(y, EzlassoAll.toIndexedSeq, startPredIdx,
       h = 8, alphas = Seq(alpha), lambdas = Seq.empty, lag = lag,
-      const = true, spark = Some(spark))
+      const = true, spark = Some(spark),
+      solverTol = graft.linalg.BlockedCv.GlmnetEquivTol)
     val wall = (System.nanoTime() - t1) / 1e9
     val msfes = Seq(1, 2, 4, 8).map(h => h -> res.byHorizon(h).msfe)
     val total = msfes.map(_._2).sum
     msfes.foreach { case (h, m) => println(f"[golden] msfe h$h%d = $m%.12f") }
     println(f"[golden] MSFE SUM = $total%.12f  (lag=$lag alpha=$alpha, $wall%.0f s)")
+    // The reference's recorded "mse sum" comments are the RAW squared-error
+    // sums u_1 (Σ_h Σ_origins e², enetVAR.R:475-478) — i.e. msfe × h.ind.len
+    // summed over horizons; report both normalizations.
+    val hLen = res.byHorizon(1).errors.length
+    println(f"[golden] RAW ERR SUM (msfe × $hLen, summed) = ${total * hLen}%.12f")
     println("[golden] reference goldens: lag5/a0.4 CV = 0.00907175092168175 | " +
       "lag1 = 0.0107635485836803 | lag5/a0.5 = 0.009076151")
     Seq(1, 2, 4, 8).foreach { h =>

@@ -52,7 +52,11 @@ object ModelTrain {
       lag: Int = 1,
       const: Boolean = false,
       spark: Option[SparkSession] = None,
-      rwQuirkOffByOne: Boolean = true): Result = {
+      rwQuirkOffByOne: Boolean = true,
+      solverTol: Double = 1e-9,
+      method: String = "enet"): Result = {
+    require(method == "enet" || method == "genet",
+      s"method must be enet|genet (reference modeltrain signature), got $method")
     val n = data.rows
     val windowSize = startPredIdx + 1 - h // R's 1-based window.size
     require(windowSize > lag + 1, s"start.pred too early for lag=$lag")
@@ -60,10 +64,18 @@ object ModelTrain {
     val origins = (windowSize to (n - 1) by step).toIndexedSeq
 
     // --- distributed per-origin refits -----------------------------------
+    // method="genet" swaps the K per-equation fits for one joint
+    // group-mgaussian fit (reference enetVAR.R:447-452), same forecast
+    // recursion downstream.
     def fitOrigin(data: DenseMatrix[Double], i: Int): Array[Double] = {
       val train = data(0 until i, ::).toDenseMatrix
-      val model = EnetVar.fit(train, lag, names, alphas, lambdas, const)
-      val fc = model.forecast(h)
+      val fc =
+        if (method == "genet")
+          graft.varmodel.GroupEnetVar.fit(train, lag, names, alphas.head, const)
+            .forecast(h)
+        else
+          EnetVar.fit(train, lag, names, alphas, lambdas, const, solverTol)
+            .forecast(h)
       predInd.map(pi => fc(pi - 1, 0)).toArray
     }
 
@@ -121,7 +133,7 @@ object ModelTrain {
 
     val lastModel = {
       val train = data(0 until origins.last, ::).toDenseMatrix
-      EnetVar.fit(train, lag, names, alphas, lambdas, const)
+      EnetVar.fit(train, lag, names, alphas, lambdas, const, solverTol)
     }
     Result(byHorizon, lastModel.residuals, lastModel)
   }

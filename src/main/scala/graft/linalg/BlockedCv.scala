@@ -47,7 +47,8 @@ object BlockedCv {
       foldid: Array[Int],
       intercept: Boolean = false,
       standardize: Boolean = true,
-      nLambda: Int = 100): CvResult = {
+      nLambda: Int = 100,
+      tol: Double = 1e-9): CvResult = {
     val n = x.rows
     require(foldid.length == n, s"foldid length ${foldid.length} != $n rows")
     val lambdas = ElasticNet.autoLambdaSequence(x, y, alpha, intercept, standardize, nLambda)
@@ -60,7 +61,8 @@ object BlockedCv {
       if (trainIdx.nonEmpty && testIdx.nonEmpty) {
         val xt = x(trainIdx, ::).toDenseMatrix
         val yt = y(trainIdx).toDenseVector
-        val path = ElasticNet.fitPath(xt, yt, alpha, lambdas, intercept, standardize)
+        val path = ElasticNet.fitPath(xt, yt, alpha, lambdas, intercept, standardize,
+          tol = tol)
         var li = 0
         while (li < lambdas.length) {
           val fit = path.fits(li)
@@ -75,17 +77,27 @@ object BlockedCv {
     }
     val cvm = sqErr.map(_ / n).toIndexedSeq
     val best = cvm.zipWithIndex.minBy(_._1)._2
-    val fullPath = ElasticNet.fitPath(x, y, alpha, lambdas, intercept, standardize)
+    val fullPath = ElasticNet.fitPath(x, y, alpha, lambdas, intercept, standardize,
+      tol = tol)
     CvResult(lambdas, cvm, lambdas(best), fullPath)
   }
 
   /** The reference's default CV call shape (enetVAR.R:27-36): blocked
-    * foldids over the design's rows.
+    * foldids over the design's rows. `tol` is the solver stopping level —
+    * the tight default suits golden tests; pass [[GlmnetEquivTol]] for
+    * experiment-scale runs (glmnet's own `thresh = 1e-7` stops at
+    * max Δ²·z < 1e-7·var(y), i.e. Δ < ~3.2e-4·sd — orders of magnitude
+    * looser than the default here, and ~30× fewer sweeps on collinear
+    * macro panels).
     */
   def cvFitBlocked(
       x: DenseMatrix[Double],
       y: DenseVector[Double],
       alpha: Double,
-      intercept: Boolean = false): CvResult =
-    cvFit(x, y, alpha, foldIds(x.rows), intercept)
+      intercept: Boolean = false,
+      tol: Double = 1e-9): CvResult =
+    cvFit(x, y, alpha, foldIds(x.rows), intercept, tol = tol)
+
+  /** Stopping level equivalent to glmnet's default `thresh = 1e-7`. */
+  val GlmnetEquivTol: Double = 3.16e-4
 }

@@ -274,6 +274,33 @@ object Estimation {
         .orderBy(col("lag"))
     }, None),
 
+    // ----- M7: group (mgaussian) elastic-net VAR (rows-only) --------------
+
+    ("m7_group_enet", (s: SparkSession, d: String) => {
+      // One joint group fit over the monthly 2-series design: blocked-CV
+      // λ, joint row sparsity (a lag variable is in or out for both
+      // equations at once). Deterministic; numerics golden-tested in
+      // GroupEnetSpec (ridge closed form + group KKT).
+      import graft.varmodel.GroupEnetVar
+      val panel = collectSeries(monthlyPanel(s, d), "month", Seq("rev", "n_orders"))
+      val y = new DenseMatrix(panel.length, 2,
+        panel.map(_(0) / 1e8) ++ panel.map(_(1) / 1e3))
+      val model = GroupEnetVar.fit(y, p = 2, IndexedSeq("rev", "n_orders"), alpha = 0.5)
+      val rows = model.design.zNames.zipWithIndex.map { case (zn, j) =>
+        val active = (0 until 2).exists(c => model.coefMatrix(j, c) != 0.0)
+        Row(zn, model.coefMatrix(j, 0), model.coefMatrix(j, 1), active, model.lambdaMin)
+      }
+      s.createDataFrame(
+        java.util.Arrays.asList(rows: _*),
+        StructType(Seq(
+          StructField("predictor", StringType),
+          StructField("coef_rev", DoubleType),
+          StructField("coef_n_orders", DoubleType),
+          StructField("active", BooleanType),
+          StructField("lambda_min", DoubleType))))
+        .orderBy(col("predictor"))
+    }, None),
+
     // ----- M15: rolling-origin hyperparameter tuning (rows-only) ----------
 
     ("m15_rolling_tune", (s: SparkSession, d: String) => {

@@ -83,6 +83,16 @@ object Relational {
 
     // ----- P: projections / filters ---------------------------------------
 
+    ("p1_column_drop", (s: SparkSession, d: String) => {
+      // Dedicated column-drop entry (reference P1: `raw_variables[,-1]`,
+      // Main.R:40): drop, not select — the projection still prunes at the
+      // scan.
+      Tables.nation(s, d)
+        .drop("n_comment")
+        .orderBy(col("n_nationkey"))
+    }, Some(
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY 1")),
+
     ("p2_select_names", (s: SparkSession, d: String) => {
       Tables.part(s, d)
         .select(col("p_partkey"), col("p_brand"), col("p_retailprice"))
@@ -188,6 +198,21 @@ object Relational {
            SELECT o_custkey, count(*) AS n_big FROM orders
            WHERE o_totalprice > 400000 GROUP BY 1)
          ON c_custkey = o_custkey ORDER BY 1""")),
+
+    ("j2_select_regroup", (s: SparkSession, d: String) => {
+      // Reference J2 (enetVAR.R:719): re-glue a target column with a
+      // positional block of other columns — a same-frame column regrouping
+      // that stays a pure projection (no physical join, no shuffle).
+      val li = Tables.lineitem(s, d)
+      val block = li.columns.slice(4, 7) // quantity, extendedprice, discount
+      li.select((Seq(col("l_orderkey"), col("l_linenumber"), col("l_returnflag")) ++
+          block.map(col)): _*)
+        .filter(col("l_orderkey") < 50)
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }, Some(
+      """SELECT l_orderkey, l_linenumber, l_returnflag,
+                l_quantity, l_extendedprice, l_discount
+         FROM lineitem WHERE l_orderkey < 50 ORDER BY 1, 2""")),
 
     ("j2_star_broadcast", (s: SparkSession, d: String) => {
       // Star join with explicit broadcast of the small dimension chain.

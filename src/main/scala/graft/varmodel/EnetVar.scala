@@ -110,7 +110,8 @@ object EnetVar {
       names: IndexedSeq[String] = IndexedSeq.empty,
       alphas: Seq[Double] = Seq(0.4),
       lambdas: Seq[Double] = Seq.empty,
-      intercept: Boolean = false): EnetVarModel = {
+      intercept: Boolean = false,
+      solverTol: Double = 1e-9): EnetVarModel = {
     val design = VarDesign.build(y, p, names, intercept)
     val kk = design.n
     def alphaOf(j: Int) = if (alphas.length == 1) alphas.head else alphas(j)
@@ -118,9 +119,11 @@ object EnetVar {
       val yj = design.response(j)
       if (lambdas.nonEmpty) {
         val lam = if (lambdas.length == 1) lambdas.head else lambdas(j)
-        ElasticNet.fit(design.z, yj, alphaOf(j), lam, intercept)
+        ElasticNet.fitPath(design.z, yj, alphaOf(j),
+          ElasticNet.referenceLambdaGrid(lam), intercept, tol = solverTol).at(lam)
       } else {
-        val cv = BlockedCv.cvFitBlocked(design.z, yj, alphaOf(j), intercept)
+        val cv = BlockedCv.cvFitBlocked(design.z, yj, alphaOf(j), intercept,
+          tol = solverTol)
         cv.path.at(cv.lambdaMin)
       }
     }
