@@ -680,20 +680,24 @@ object Relational {
          FROM lagged GROUP BY 1 ORDER BY 1""")),
 
     ("m2_fold_blocks", (s: SparkSession, d: String) => {
-      // Contiguous time-ordered CV fold assignment (reference M2): ntile
-      // gives contiguous, near-equal blocks — never random folds.
+      // Contiguous time-ordered CV fold assignment with the REFERENCE's
+      // exact layout (enetVAR.R:28-32, BlockedCv.foldIds): consecutive
+      // BLOCKS OF 10 ROWS — fold count = ceil(N/10), last fold ragged —
+      // not ntile's 10 near-equal folds (r2 shape, fixed for fidelity).
       val w = Window.orderBy(col("month"))
       Tables.orders(s, d)
         .groupBy(to_date(date_trunc("month", col("o_orderdate"))).as("month"))
         .agg(sum(col("o_totalprice")).as("rev"))
-        .withColumn("fold_id", ntile(10).over(w))
+        .withColumn("fold_id",
+          (((row_number().over(w) - 1) / 10).cast("int") + 1))
         .orderBy(col("month"))
     }, Some(
       """WITH monthly AS (
            SELECT cast(date_trunc('month', o_orderdate) AS date) AS month,
                   sum(o_totalprice) AS rev
            FROM orders GROUP BY 1)
-         SELECT month, rev, ntile(10) OVER (ORDER BY month) AS fold_id
+         SELECT month, rev,
+                cast((row_number() OVER (ORDER BY month) - 1) // 10 AS int) + 1 AS fold_id
          FROM monthly ORDER BY month""")),
 
     // ----- scalar function surface -----------------------------------------

@@ -269,6 +269,41 @@ object TextPipeline {
         .orderBy(col("q_id"), col("rank"))
     }, None),
 
+    ("e4_ann_lsh_search", (s: SparkSession, d: String) => {
+      // The at-scale ANN search completing e2: score ONLY candidates that
+      // share the query's LSH bucket (equi-join on bucket — at 100 TB this
+      // is a shuffle on a 16-ary key instead of corpus² pairs), then
+      // per-query top-3 inside the candidate set. Rows-only (rank
+      // boundaries aren't oracle-stable); bucket assignment itself is
+      // hash-checked by e2.
+      val e = Tables.embeddings(s, d)
+      val buckets = e
+        .select(col("vec_id"), col("embedding"),
+          explode(expr("sequence(0, 3)")).as("p"))
+        .select(col("vec_id"), col("embedding"), col("p"),
+          expr("""aggregate(zip_with(embedding, sequence(1, size(embedding)),
+                    (x, i) -> cast(x as double) * cast((i * 31 + p * 17) % 7 - 3 as double)),
+                  0D, (acc, v) -> acc + v)""").as("proj"))
+        .groupBy(col("vec_id"), col("embedding"))
+        .agg(sum(expr("CASE WHEN proj > 0 THEN shiftleft(1, p) ELSE 0 END")).as("bucket"))
+      val q = buckets.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("bucket").as("q_bucket"))
+      def dot(a: String, b: String) =
+        expr(s"aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)), 0D, (acc, v) -> acc + v)")
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+      buckets.join(broadcast(q), col("bucket") === col("q_bucket"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"), col("bucket"),
+          (dot("q_emb", "embedding") /
+            (sqrt(dot("q_emb", "q_emb")) * sqrt(dot("embedding", "embedding"))))
+            .as("cosine"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .orderBy(col("q_id"), col("rank"))
+    }, None),
+
     // ----- text analysis --------------------------------------------------
 
     ("x1_text_stats", (s: SparkSession, d: String) => {
