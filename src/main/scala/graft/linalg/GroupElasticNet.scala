@@ -194,7 +194,8 @@ object GroupElasticNet {
       y: DenseMatrix[Double],
       alpha: Double,
       intercept: Boolean = false,
-      nLambda: Int = 100): GroupCvResult = {
+      nLambda: Int = 100,
+      tol: Double = 1e-9): GroupCvResult = {
     val n = x.rows
     val foldid = BlockedCv.foldIds(n)
     val lambdas = autoLambdaSequence(x, y, alpha, nLambda)
@@ -204,7 +205,7 @@ object GroupElasticNet {
       val testIdx = (0 until n).filter(foldid(_) == f)
       if (trainIdx.nonEmpty && testIdx.nonEmpty) {
         val path = fitPath(x(trainIdx, ::).toDenseMatrix, y(trainIdx, ::).toDenseMatrix,
-          alpha, lambdas, intercept)
+          alpha, lambdas, intercept, tol = tol)
         var li = 0
         while (li < lambdas.length) {
           val fit = path.fits(li)
@@ -220,6 +221,6 @@ object GroupElasticNet {
     val cvm = sqErr.map(_ / (n * y.cols)).toIndexedSeq
     val best = cvm.zipWithIndex.minBy(_._1)._2
     GroupCvResult(lambdas, cvm, lambdas(best),
-      fitPath(x, y, alpha, lambdas, intercept))
+      fitPath(x, y, alpha, lambdas, intercept, tol = tol))
   }
 }

@@ -285,7 +285,8 @@ object Estimation {
       val panel = collectSeries(monthlyPanel(s, d), "month", Seq("rev", "n_orders"))
       val y = new DenseMatrix(panel.length, 2,
         panel.map(_(0) / 1e8) ++ panel.map(_(1) / 1e3))
-      val model = GroupEnetVar.fit(y, p = 2, IndexedSeq("rev", "n_orders"), alpha = 0.5)
+      val model = GroupEnetVar.fit(y, p = 2, IndexedSeq("rev", "n_orders"), alpha = 0.5,
+        solverTol = graft.linalg.BlockedCv.GlmnetEquivTol)
       val rows = model.design.zNames.zipWithIndex.map { case (zn, j) =>
         val active = (0 until 2).exists(c => model.coefMatrix(j, c) != 0.0)
         Row(zn, model.coefMatrix(j, 0), model.coefMatrix(j, 1), active, model.lambdaMin)

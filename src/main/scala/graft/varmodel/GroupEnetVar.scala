@@ -69,9 +69,11 @@ object GroupEnetVar {
       p: Int,
       names: IndexedSeq[String] = IndexedSeq.empty,
       alpha: Double = 0.4,
-      intercept: Boolean = false): GroupEnetVarModel = {
+      intercept: Boolean = false,
+      solverTol: Double = 1e-9): GroupEnetVarModel = {
     val design = VarDesign.build(y, p, names, intercept)
-    val cv = GroupElasticNet.cvFitBlocked(design.z, design.yP, alpha, intercept)
+    val cv = GroupElasticNet.cvFitBlocked(design.z, design.yP, alpha, intercept,
+      tol = solverTol)
     GroupEnetVarModel(design, alpha, cv.lambdaMin, cv.path.at(cv.lambdaMin))
   }
 }
