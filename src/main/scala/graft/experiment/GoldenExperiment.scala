@@ -57,6 +57,8 @@ object GoldenExperiment {
   def main(args: Array[String]): Unit = {
     val lag = if (args.nonEmpty) args(0).toInt else 5
     val alpha = if (args.length > 1) args(1).toDouble else 0.4
+    val tol = if (args.length > 2) args(2).toDouble
+              else graft.linalg.BlockedCv.GlmnetEquivTol
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -124,8 +126,7 @@ object GoldenExperiment {
     val t1 = System.nanoTime()
     val res = ModelTrain.run(y, EzlassoAll.toIndexedSeq, startPredIdx,
       h = 8, alphas = Seq(alpha), lambdas = Seq.empty, lag = lag,
-      const = true, spark = Some(spark),
-      solverTol = graft.linalg.BlockedCv.GlmnetEquivTol)
+      const = true, spark = Some(spark), solverTol = tol)
     val wall = (System.nanoTime() - t1) / 1e9
     val msfes = Seq(1, 2, 4, 8).map(h => h -> res.byHorizon(h).msfe)
     val total = msfes.map(_._2).sum

@@ -128,8 +128,15 @@ object ElasticNet {
     val (_, ySd) = momentsOf(yw)
     val effTol = tol * math.max(ySd, 1e-12)
 
-    val beta = DenseVector.zeros[Double](p)      // warm-started across λs
-    val resid = yw.copy                          // r = yw − Xw·beta
+    // Hot loop on primitive arrays: Breeze column views + UFunc dot carry
+    // per-call overhead that dominated CV-path fits (~60× the raw flops on
+    // 150×151 designs); xw is column-major, so column j is the contiguous
+    // slice [j·nRows, (j+1)·nRows).
+    val xArr = xw.data
+    require(xw.offset == 0 && xw.majorStride == nRows, "xw must be dense col-major")
+    val rArr = yw.copy.data
+    val zArr = z.data
+    val beta = new Array[Double](p)              // warm-started across λs
     val fits = IndexedSeq.newBuilder[Fit]
 
     for (lambda <- lambdas) {
@@ -141,16 +148,22 @@ object ElasticNet {
         delta = 0.0
         var j = 0
         while (j < p) {
-          val bOld = beta(j)
-          if (z(j) > 0) {
-            val xj = xw(::, j)
+          val zj = zArr(j)
+          if (zj > 0) {
+            val bOld = beta(j)
+            val base = j * nRows
             // ρ = (1/N)·xⱼ'(r + xⱼ·bOld): partial residual correlation
-            val rho = ((xj dot resid) / n) + z(j) * bOld
-            val bNew = softThreshold(rho, l1) / (z(j) + l2)
+            var dotv = 0.0
+            var i = 0
+            while (i < nRows) { dotv += xArr(base + i) * rArr(i); i += 1 }
+            val rho = dotv / n + zj * bOld
+            val bNew = softThreshold(rho, l1) / (zj + l2)
             if (bNew != bOld) {
-              resid :-= xj * (bNew - bOld)
+              val diff = bNew - bOld
+              i = 0
+              while (i < nRows) { rArr(i) -= xArr(base + i) * diff; i += 1 }
               beta(j) = bNew
-              val d = math.abs(bNew - bOld) * math.sqrt(z(j))
+              val d = math.abs(diff) * math.sqrt(zj)
               if (d > delta) delta = d
             }
           }

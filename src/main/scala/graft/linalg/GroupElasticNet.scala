@@ -104,8 +104,15 @@ object GroupElasticNet {
     }
     val effTol = tol * ySdAvg
 
+    // Hot loop on primitive arrays (same rationale as ElasticNet: Breeze
+    // view/UFunc overhead dominates path fits). Column-major slices:
+    // xw col j = xArr[j·nRows ..), resid col c = rArr[c·nRows ..).
+    require(xw.offset == 0 && xw.majorStride == nRows, "xw must be dense col-major")
+    val xArr = xw.data
+    val rArr = yw.copy.data
+    val zArr = z.data
     val b = DenseMatrix.zeros[Double](p, kk) // warm-started, scaled space
-    val resid = yw.copy                      // R = Yw − Xw·B
+    val u = new Array[Double](kk)
     val fits = IndexedSeq.newBuilder[GroupFit]
 
     for (lambda <- lambdas) {
@@ -117,26 +124,39 @@ object GroupElasticNet {
         delta = 0.0
         var j = 0
         while (j < p) {
-          if (z(j) > 0) {
-            val xj = xw(::, j)
-            val bOld = b(j, ::).t.copy
-            // u = (1/N)·xjᵀ(R + xj·bOldᵀ)
-            val u = DenseVector.tabulate(kk) { c =>
-              (xj dot resid(::, c)) / n + z(j) * bOld(c)
+          val zj = zArr(j)
+          if (zj > 0) {
+            val base = j * nRows
+            // u = (1/N)·xjᵀ(R + xj·bOldᵀ); ‖u‖ decides the group.
+            var un2 = 0.0
+            var c = 0
+            while (c < kk) {
+              var dotv = 0.0
+              var i = 0
+              val rBase = c * nRows
+              while (i < nRows) { dotv += xArr(base + i) * rArr(rBase + i); i += 1 }
+              u(c) = dotv / n + zj * b(j, c)
+              un2 += u(c) * u(c)
+              c += 1
             }
-            val un = norm(u)
-            val bNew =
-              if (un <= l1) DenseVector.zeros[Double](kk)
-              else u * ((1.0 - l1 / un) / (z(j) + l2))
-            val diff = bNew - bOld
-            val dn = norm(diff)
-            if (dn > 0) {
-              var c = 0
-              while (c < kk) { resid(::, c) :-= xj * diff(c); c += 1 }
-              b(j, ::) := bNew.t
-              val d = dn * math.sqrt(z(j))
-              if (d > delta) delta = d
+            val un = math.sqrt(un2)
+            val shrink = if (un <= l1) 0.0 else (1.0 - l1 / un) / (zj + l2)
+            var dn2 = 0.0
+            c = 0
+            while (c < kk) {
+              val bNew = u(c) * shrink
+              val diff = bNew - b(j, c)
+              if (diff != 0.0) {
+                var i = 0
+                val rBase = c * nRows
+                while (i < nRows) { rArr(rBase + i) -= xArr(base + i) * diff; i += 1 }
+                b(j, c) = bNew
+              }
+              dn2 += diff * diff
+              c += 1
             }
+            val d = math.sqrt(dn2) * math.sqrt(zj)
+            if (d > delta) delta = d
           }
           j += 1
         }
