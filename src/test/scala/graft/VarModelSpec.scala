@@ -85,6 +85,25 @@ class VarModelSpec extends AnyFunSuite {
     assert(math.abs(residMean) < 0.2)
   }
 
+  test("M9 lag selection: a true VAR(1) process selects lag 1 on every criterion") {
+    val g = new TestData.Lcg(71L)
+    val a = DenseMatrix((0.6, 0.1), (-0.1, 0.4))
+    val t = 120
+    val y = DenseMatrix.zeros[Double](t, 2)
+    y(0, ::) := DenseVector(0.5, -0.5).t
+    for (i <- 1 until t) {
+      val base = a * y(i - 1, ::).t
+      y(i, ::) := DenseVector(base(0) + 0.1 * g.gaussian(), base(1) + 0.1 * g.gaussian()).t
+    }
+    val sel = graft.varmodel.LagSelect.select(y, maxLag = 4, alpha = 0.25,
+      names = IndexedSeq("u", "v"))
+    assert(sel.icTable.nonEmpty)
+    // SC/HQ penalize extra lags hardest — both must point at p=1.
+    assert(sel.icLag("SC") == 1)
+    assert(sel.icLag("HQ") == 1)
+    assert(sel.icLag.keySet == Set("FPE", "AIC", "HQ", "SC"))
+  }
+
   test("infCrit: saturated OLS fit has dof == number of active coefficients (lambda→0)") {
     val y = TestData.matrix(60, 2, seed = 17L)
     val model = EnetVar.fit(y, p = 1, IndexedSeq("a", "b"), Seq(0.4), Seq(1e-9))
