@@ -6,11 +6,18 @@ import org.apache.spark.sql.SparkSession
   * sink — unlike `count()`, which lets Catalyst prune unreferenced
   * projections and under-measures the real work (VERDICT r2). Failures are
   * recorded by name in an `errors` array instead of being timed as -1.
+  *
+  * Each query runs SPARK_GRAFT_BENCH_PASSES (default 3) timed passes and
+  * reports the per-query MEDIAN: single-pass timings in a heavy shared JVM
+  * swing 10× from GC/JIT noise alone (VERDICT r3 observed p3 0.31→3.29 s
+  * with a byte-identical plan), so n=1 comparisons across rounds are
+  * meaningless. `value` is the sum of medians.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -21,7 +28,7 @@ object Bench {
     // Untimed warmup pass: the first execution of each query pays
     // Janino/JIT codegen compilation and parquet-footer reads (observed:
     // a 0.5 s steady-state query reading 8-30 s cold). One full untimed
-    // pass first, so the timed pass below measures steady-state execution;
+    // pass first, so the timed passes below measure steady-state execution;
     // the warmup cost is reported separately, not hidden.
     val tw = System.nanoTime()
     SparkEntry.queries.foreach { case (_, fn) =>
@@ -30,21 +37,32 @@ object Bench {
     }
     val warmup = (System.nanoTime() - tw) / 1e9
 
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
     var errors = List.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      catch { case e: Throwable =>
-        errors ::= name
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      val times = (1 to passes).flatMap { _ =>
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
+          if (!errors.contains(name)) {
+            errors ::= name
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          }
+          None
+        }
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> (if (times.nonEmpty) median(times) else 0.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"warmup_sec":$warmup,"errors":$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"warmup_sec":$warmup,"passes":$passes,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

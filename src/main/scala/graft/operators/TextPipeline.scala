@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.functions.TextFunctions
 import graft.sources.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -45,6 +45,85 @@ object TextPipeline {
         explode(expr("sequence(1, greatest(char_length(text) - 4, 1))")).as("i"))
       .select(col("doc_id"), expr("substring(text, i, 5)").as("s"))
       .distinct()
+
+  /** Codegen'd dot product of two Array[Float] columns (elements cast to
+    * double before arithmetic so both engines multiply identical values).
+    */
+  private def dot(a: String, b: String) =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)), 0D, (acc, v) -> acc + v)")
+
+  /** Cosine of every (query, corpus) pair: expects q with (q_id, q_emb);
+    * broadcasts the bounded query set. Columns: q_id, vec_id, cosine.
+    */
+  private def cosineScored(e: DataFrame, q: DataFrame): DataFrame =
+    e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (dot("q_emb", "embedding") /
+          (sqrt(dot("q_emb", "q_emb")) * sqrt(dot("embedding", "embedding"))))
+          .as("cosine"))
+
+  /** Random-hyperplane LSH bucket per vector: 4 deterministic integer
+    * hyperplanes h_p[i] = ((i·31 + p·17) mod 7) − 3 (exact in both engines
+    * — no libm), bucket = Σ 2^p over positive projections. Columns:
+    * vec_id, embedding, bucket.
+    */
+  private def hyperplaneBuckets(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), col("embedding"),
+        explode(expr("sequence(0, 3)")).as("p"))
+      .select(col("vec_id"), col("embedding"), col("p"),
+        expr("""aggregate(zip_with(embedding, sequence(1, size(embedding)),
+                  (x, i) -> cast(x as double) * cast((i * 31 + p * 17) % 7 - 3 as double)),
+                0D, (acc, v) -> acc + v)""").as("proj"))
+      .groupBy(col("vec_id"), col("embedding"))
+      .agg(sum(expr("CASE WHEN proj > 0 THEN shiftleft(1, p) ELSE 0 END")).as("bucket"))
+
+  /** Multi-table hyperplane LSH: `tables` independent 4-bit tables
+    * (OR-amplification — table t uses planes (4t+p)·17, so table 0 IS e2's
+    * family). One bucket per (vector, table); a candidate pair needs to
+    * collide in ANY table, which is what makes high recall reachable at a
+    * bounded candidate fraction — the single-table recall ceiling on
+    * near-orthogonal corpora is (1−θ/π)^4 ≈ 1/16. Columns: vec_id,
+    * embedding, t, bucket.
+    */
+  private[graft] def multiTableBuckets(e: DataFrame, tables: Int): DataFrame =
+    e.select(col("vec_id"), col("embedding"),
+        explode(expr(s"sequence(0, ${tables - 1})")).as("t"))
+      .select(col("vec_id"), col("embedding"), col("t"),
+        explode(expr("sequence(0, 3)")).as("p"))
+      .select(col("vec_id"), col("embedding"), col("t"), col("p"),
+        expr("""aggregate(zip_with(embedding, sequence(1, size(embedding)),
+                  (x, i) -> cast(x as double) * cast((i * 31 + (t * 4 + p) * 17) % 7 - 3 as double)),
+                0D, (acc, v) -> acc + v)""").as("proj"))
+      .groupBy(col("vec_id"), col("embedding"), col("t"))
+      .agg(sum(expr("CASE WHEN proj > 0 THEN shiftleft(1, p) ELSE 0 END")).as("bucket"))
+
+  /** LSH-bucketed ANN search: queries = vectors with q_pred true. Candidate
+    * generation is an equi-join on (table, bucket) — at 100 TB a shuffle on
+    * a small key space, never corpus² — deduped across tables, then exact
+    * cosine + per-query top-k inside the candidate set. Columns: q_id,
+    * vec_id, cosine, rank.
+    */
+  private[graft] def lshSearch(e: DataFrame, qPred: Column, k: Int, tables: Int): DataFrame = {
+    val buckets = multiTableBuckets(e, tables)
+    val q = buckets.filter(qPred)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("t").as("q_t"), col("bucket").as("q_bucket"))
+    val cands = buckets.join(broadcast(q),
+        col("t") === col("q_t") && col("bucket") === col("q_bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("q_emb"), col("vec_id"), col("embedding"))
+      .distinct()
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    cands
+      .select(col("q_id"), col("vec_id"),
+        (dot("q_emb", "embedding") /
+          (sqrt(dot("q_emb", "q_emb")) * sqrt(dot("embedding", "embedding"))))
+          .as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
 
   val entries: Seq[(String, Q, Option[String])] = Seq(
 
@@ -104,25 +183,32 @@ object TextPipeline {
 
     ("d3_minhash_lsh", (s: SparkSession, d: String) => {
       // MinHash-LSH bucket assignment: 8 signatures (min over shingles of
-      // md5(i || ':' || shingle) — lexicographic min of identical hex in
-      // both engines = a portable random permutation), banded 4×2; band
-      // bucket = md5(min || max of the band's two signatures) — order-free.
-      // Near-dups collide on (band, bucket); candidate pairs then go
-      // through d2's verify. One explode + two hash-aggregates; no joins.
-      // One md5 per (doc, shingle); the 8 hash-family members are the 8
-      // 16-hex-char rotations of that digest (each rotation alone is
-      // uniform, so each per-row min is an unbiased Jaccard estimator —
-      // the members are digest-correlated, a deliberate 8× CPU saving over
-      // 8 independent md5 calls; observed 20 s → ~4 s at sf0.1).
-      val sh = shingles(Tables.documents(s, d))
-        .select(col("doc_id"), expr("md5(s)").as("dg"))
-      val sigs = sh
-        .select(col("doc_id"), col("dg"), explode(expr("sequence(0, 7)")).as("i"))
-        .groupBy(col("doc_id"), col("i"))
-        .agg(min(expr("substring(concat(dg, dg), i * 4 + 1, 16)")).as("mh"))
+      // 16-hex-char rotations of md5(shingle) — lexicographic min of
+      // identical hex in both engines = a portable random permutation; each
+      // rotation alone is uniform, so each min is an unbiased Jaccard
+      // estimator, and sharing one digest is an 8× CPU saving over 8
+      // independent md5 calls), banded 4×2; band bucket = md5(min || max of
+      // the band's two signatures) — order-free. Near-dups collide on
+      // (band, bucket); candidate pairs then go through d2's verify.
+      // The 8 family members are 8 AGGREGATE COLUMNS of ONE groupBy(doc_id)
+      // — no row explosion: (docs × shingles) rows feed the aggregate once,
+      // not 8×, and banding is a 4-row stack per doc (constant), so the
+      // whole query is ONE hash-aggregate over the raw shingle positions:
+      // min() is idempotent under duplicates, so the shingle-dedup shuffle
+      // d2 needs (it counts) is skipped here entirely.
+      val sh = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"),
+          explode(expr("sequence(1, greatest(char_length(text) - 4, 1))")).as("i"))
+        .select(col("doc_id"), expr("md5(substring(text, i, 5))").as("dg"))
+      val mhCols = (0 to 7).map(i =>
+        min(expr(s"substring(concat(dg, dg), ${i * 4 + 1}, 16)")).as(s"mh$i"))
+      val sigs = sh.groupBy(col("doc_id")).agg(mhCols.head, mhCols.tail: _*)
+      val bands = (0 to 3).map(b =>
+        s"$b, md5(concat(least(mh${2 * b}, mh${2 * b + 1}), greatest(mh${2 * b}, mh${2 * b + 1})))")
+        .mkString(", ")
       sigs
-        .groupBy(col("doc_id"), (col("i") / 2).cast("int").as("band"))
-        .agg(md5(concat(min(col("mh")), max(col("mh")))).as("bucket"))
+        .select(col("doc_id"),
+          expr(s"stack(4, $bands) AS (band, bucket)"))
         .orderBy(col("doc_id"), col("band"))
     }, Some(
       """WITH sh AS (
@@ -166,8 +252,8 @@ object TextPipeline {
                       THEN 1 ELSE -1 END) AS vote
            FROM tok, generate_series(0, 31) b(j) GROUP BY 1, 2)
          SELECT doc_id,
-                sum(CASE WHEN vote > 0 THEN cast(1 AS bigint) << j
-                    ELSE cast(0 AS bigint) END) AS simhash
+                cast(sum(CASE WHEN vote > 0 THEN cast(1 AS bigint) << j
+                    ELSE cast(0 AS bigint) END) AS bigint) AS simhash
          FROM bits GROUP BY 1 ORDER BY 1""")),
 
     // ----- embedding similarity ------------------------------------------
@@ -175,23 +261,17 @@ object TextPipeline {
     ("e1_cosine_pairs", (s: SparkSession, d: String) => {
       // Exact cosine of a bounded query set (vec_id < 3, broadcast) against
       // the corpus — the brute-force scoring kernel: zip_with product +
-      // aggregate sum, all codegen, elements cast to double before
-      // arithmetic so both engines multiply identical values.
-      val e = Tables.embeddings(s, d)
-      val q = e.filter(col("vec_id") < 3)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      def dot(a: String, b: String) =
-        expr(s"aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)), 0D, (acc, v) -> acc + v)")
+      // aggregate sum, all codegen.
       // Quantized to BIGINT (cosine·1e6): the two engines sum the products
       // in different orders, so the raw double differs by ~1e-14 — enough
       // to flake an exact-hash compare across ~1500 rows (the products
       // themselves are identical; only the reduction order varies).
-      e.crossJoin(broadcast(q))
-        .filter(col("vec_id") =!= col("q_id"))
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      cosineScored(e, q)
         .select(col("q_id"), col("vec_id"),
-          round((dot("q_emb", "embedding") /
-            (sqrt(dot("q_emb", "q_emb")) * sqrt(dot("embedding", "embedding")))) * 1e6)
-            .cast("long").as("cosine_e6"))
+          round(col("cosine") * 1e6).cast("long").as("cosine_e6"))
         .orderBy(col("q_id"), col("vec_id"))
     }, Some(
       """WITH ex AS (
@@ -213,19 +293,9 @@ object TextPipeline {
          ORDER BY 1, 2""")),
 
     ("e2_lsh_buckets", (s: SparkSession, d: String) => {
-      // Random-hyperplane LSH for cosine ANN: 4 deterministic integer
-      // hyperplanes h_p[i] = ((i·31 + p·17) mod 7) − 3 (exact in both
-      // engines — no libm), bucket = Σ 2^p over positive projections.
+      // Random-hyperplane LSH bucket histogram (see hyperplaneBuckets).
       // This is the 100 TB path: top-k runs per bucket, never corpus².
-      Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding"),
-          explode(expr("sequence(0, 3)")).as("p"))
-        .select(col("vec_id"), col("p"),
-          expr("""aggregate(zip_with(embedding, sequence(1, size(embedding)),
-                    (x, i) -> cast(x as double) * cast((i * 31 + p * 17) % 7 - 3 as double)),
-                  0D, (acc, v) -> acc + v)""").as("proj"))
-        .groupBy(col("vec_id"))
-        .agg(sum(expr("CASE WHEN proj > 0 THEN shiftleft(1, p) ELSE 0 END")).as("bucket"))
+      hyperplaneBuckets(Tables.embeddings(s, d))
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n_vectors"), min(col("vec_id")).as("min_vec_id"))
         .orderBy(col("bucket"))
@@ -241,7 +311,7 @@ object TextPipeline {
            FROM ex, generate_series(0, 3) p(p) GROUP BY 1, 2),
          buckets AS (
            SELECT vec_id,
-                  sum(CASE WHEN proj > 0 THEN 1 << p ELSE 0 END) AS bucket
+                  cast(sum(CASE WHEN proj > 0 THEN 1 << p ELSE 0 END) AS bigint) AS bucket
            FROM proj GROUP BY 1)
          SELECT bucket, count(*) AS n_vectors, min(vec_id) AS min_vec_id
          FROM buckets GROUP BY 1 ORDER BY 1""")),
@@ -254,54 +324,56 @@ object TextPipeline {
       val e = Tables.embeddings(s, d)
       val q = e.filter(col("vec_id") < 3)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      def dot(a: String, b: String) =
-        expr(s"aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)), 0D, (acc, v) -> acc + v)")
-      val scored = e.crossJoin(broadcast(q))
-        .filter(col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id"),
-          (dot("q_emb", "embedding") /
-            (sqrt(dot("q_emb", "q_emb")) * sqrt(dot("embedding", "embedding"))))
-            .as("cosine"))
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("cosine").desc, col("vec_id"))
-      scored.withColumn("rank", row_number().over(w))
+      cosineScored(e, q).withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 5)
         .orderBy(col("q_id"), col("rank"))
     }, None),
 
     ("e4_ann_lsh_search", (s: SparkSession, d: String) => {
-      // The at-scale ANN search completing e2: score ONLY candidates that
-      // share the query's LSH bucket (equi-join on bucket — at 100 TB this
-      // is a shuffle on a 16-ary key instead of corpus² pairs), then
-      // per-query top-3 inside the candidate set. Rows-only (rank
-      // boundaries aren't oracle-stable); bucket assignment itself is
-      // hash-checked by e2.
+      // The at-scale ANN search completing e2: multi-table hyperplane LSH
+      // (4 tables × 4 bits — table 0 is exactly e2's hash-checked family),
+      // candidates = bucket collision in ANY table (equi-join on (t,
+      // bucket) — at 100 TB a shuffle on a small key space, never corpus²),
+      // then per-query top-3 inside the candidate set. Rows-only (rank
+      // boundaries aren't oracle-stable); bucket assignment is hash-checked
+      // by e2, and search QUALITY is checked by e5's recall + a planted-
+      // near-duplicate recall test in PipelineSpec.
+      lshSearch(Tables.embeddings(s, d), col("vec_id") < 3, k = 3, tables = 4)
+        .orderBy(col("q_id"), col("rank"))
+    }, None),
+
+    ("e5_ann_recall", (s: SparkSession, d: String) => {
+      // Recall@3 of the LSH-bucketed search (e4) against the exact top-3
+      // (e3's kernel at k=3) — the reference-free quality metric for the
+      // ANN path: a broken hyperplane choice would pass e4's rows-only
+      // check but crater this recall. Left join so a query whose candidate
+      // set holds < 3 vectors still reports (as a lower recall), never
+      // disappears. On THIS corpus (uniform random embeddings, no cluster
+      // structure) the theoretical ceiling of any pruning search is low —
+      // the hard ≥ 0.9 recall assertion lives in PipelineSpec on planted
+      // near-duplicates; here the metric is reported per query.
       val e = Tables.embeddings(s, d)
-      val buckets = e
-        .select(col("vec_id"), col("embedding"),
-          explode(expr("sequence(0, 3)")).as("p"))
-        .select(col("vec_id"), col("embedding"), col("p"),
-          expr("""aggregate(zip_with(embedding, sequence(1, size(embedding)),
-                    (x, i) -> cast(x as double) * cast((i * 31 + p * 17) % 7 - 3 as double)),
-                  0D, (acc, v) -> acc + v)""").as("proj"))
-        .groupBy(col("vec_id"), col("embedding"))
-        .agg(sum(expr("CASE WHEN proj > 0 THEN shiftleft(1, p) ELSE 0 END")).as("bucket"))
-      val q = buckets.filter(col("vec_id") < 3)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-          col("bucket").as("q_bucket"))
-      def dot(a: String, b: String) =
-        expr(s"aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)), 0D, (acc, v) -> acc + v)")
+      val q = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("cosine").desc, col("vec_id"))
-      buckets.join(broadcast(q), col("bucket") === col("q_bucket"))
-        .filter(col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id"), col("bucket"),
-          (dot("q_emb", "embedding") /
-            (sqrt(dot("q_emb", "q_emb")) * sqrt(dot("embedding", "embedding"))))
-            .as("cosine"))
+      val exact3 = cosineScored(e, q)
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 3)
-        .orderBy(col("q_id"), col("rank"))
+        .select(col("q_id"), col("vec_id"))
+      val lsh3 = lshSearch(e, col("vec_id") < 3, k = 3, tables = 4)
+        .select(col("q_id").as("lsh_q_id"), col("vec_id").as("lsh_vec_id"))
+      exact3
+        .join(lsh3,
+          col("q_id") === col("lsh_q_id") && col("vec_id") === col("lsh_vec_id"),
+          "left")
+        .groupBy(col("q_id"))
+        .agg(count(lit(1)).as("n_exact"),
+          count(col("lsh_vec_id")).as("n_hits"))
+        .withColumn("recall", col("n_hits") / col("n_exact"))
+        .orderBy(col("q_id"))
     }, None),
 
     // ----- text analysis --------------------------------------------------
@@ -348,13 +420,16 @@ object TextPipeline {
       // (first-wins ties, same branch order in both engines). On this
       // synthetic word-soup corpus every document scores 'en' — the corpus
       // carries no real language signal; the operator structure (score
-      // vector + argmax) is what's exercised and checked.
-      val padded = concat(lit(" "), col("text"), lit(" "))
-      def score(markers: Seq[String]) =
-        markers.map(m =>
-          (length(padded) - length(regexp_replace(padded, s" \\Q$m\\E ", " "))) /
-            (m.length + 1)).reduce(_ + _).cast("double")
+      // vector + argmax) is what's exercised and checked. ONE tokenize per
+      // row (split on space), then each language score is a lambda filter
+      // over the in-memory token array — no full-text regex scans (the
+      // previous nine regexp_replace passes were 10% of the bench).
+      def score(markers: Seq[String]) = {
+        val pred = markers.map(m => s"t = '$m'").mkString(" OR ")
+        expr(s"cast(size(filter(toks, t -> $pred)) AS double)")
+      }
       Tables.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
         .select(col("doc_id"), col("lang").as("labeled_lang"),
           score(Seq("the", "a", "of")).as("s_en"),
           score(Seq("der", "die", "und")).as("s_de"),
@@ -367,15 +442,9 @@ object TextPipeline {
     }, Some(
       """WITH sc AS (
            SELECT doc_id, lang AS labeled_lang,
-                  cast((length(' ' || text || ' ') - length(regexp_replace(' ' || text || ' ', ' the ', ' ', 'g'))) / 4
-                     + (length(' ' || text || ' ') - length(regexp_replace(' ' || text || ' ', ' a ', ' ', 'g'))) / 2
-                     + (length(' ' || text || ' ') - length(regexp_replace(' ' || text || ' ', ' of ', ' ', 'g'))) / 3 AS double) AS s_en,
-                  cast((length(' ' || text || ' ') - length(regexp_replace(' ' || text || ' ', ' der ', ' ', 'g'))) / 4
-                     + (length(' ' || text || ' ') - length(regexp_replace(' ' || text || ' ', ' die ', ' ', 'g'))) / 4
-                     + (length(' ' || text || ' ') - length(regexp_replace(' ' || text || ' ', ' und ', ' ', 'g'))) / 4 AS double) AS s_de,
-                  cast((length(' ' || text || ' ') - length(regexp_replace(' ' || text || ' ', ' le ', ' ', 'g'))) / 3
-                     + (length(' ' || text || ' ') - length(regexp_replace(' ' || text || ' ', ' la ', ' ', 'g'))) / 3
-                     + (length(' ' || text || ' ') - length(regexp_replace(' ' || text || ' ', ' et ', ' ', 'g'))) / 3 AS double) AS s_fr
+                  cast(len(list_filter(string_split(text, ' '), t -> t = 'the' OR t = 'a' OR t = 'of')) AS double) AS s_en,
+                  cast(len(list_filter(string_split(text, ' '), t -> t = 'der' OR t = 'die' OR t = 'und')) AS double) AS s_de,
+                  cast(len(list_filter(string_split(text, ' '), t -> t = 'le' OR t = 'la' OR t = 'et')) AS double) AS s_fr
            FROM documents)
          SELECT doc_id, labeled_lang, s_en, s_de, s_fr,
                 CASE WHEN s_en >= s_de AND s_en >= s_fr THEN 'en'

