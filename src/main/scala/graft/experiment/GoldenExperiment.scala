@@ -32,6 +32,9 @@ object GoldenExperiment {
     "CE16OV", "UNRATE", "UEMPMEAN", "UEMPLT5", "UEMP5TO14", "UEMP15OV",
     "UEMP15T26", "UEMP27OV", "PAYEMS", "USPRIV", "CES1021000001", "FEDFUNDS")
 
+  /** Diagnostic access for CvProbe. */
+  def quarterSumsForProbe(diffs: Array[Double]): DenseVector[Double] = quarterSums(diffs)
+
   /** Quarter sum of a monthly diff series with R NA semantics (A1): the
     * first quarter is dropped, a quarter with any NaN diff is NaN.
     */
@@ -54,11 +57,12 @@ object GoldenExperiment {
     out
   }
 
-  def main(args: Array[String]): Unit = {
-    val lag = if (args.nonEmpty) args(0).toInt else 5
-    val alpha = if (args.length > 1) args(1).toDouble else 0.4
-    val tol = if (args.length > 2) args(2).toDouble
-              else graft.linalg.BlockedCv.GlmnetEquivTol
+  /** The prepared golden panel: the 230×30 na.omit'ed ezlasso design and
+    * the start.pred row (2000 Q1).
+    */
+  final case class Panel(y: DenseMatrix[Double], startPredIdx: Int)
+
+  def buildSession(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -67,8 +71,15 @@ object GoldenExperiment {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
 
-    val dir = "data/panel"
+  /** Main.R's data prep on the real converted dataset, through repair and
+    * the ezlasso na.omit — shared by the golden experiment and the tuned
+    * run (Testing.R:221-243 both start from this frame).
+    */
+  def buildPanel(spark: SparkSession): Panel = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_PANEL_DIR", "data/panel")
     // Collect the monthly panel column-wise (696×146 — P9 dematerialize).
     val monthlyDf = PanelIngest.loadMonthly(spark, s"$dir/monthly_panel.parquet")
       .orderBy("date")
@@ -94,14 +105,24 @@ object GoldenExperiment {
           if (i == 0) Double.NaN else math.log(lv(i)) - math.log(lv(i - 1)))))
       else None
     }
+    // TESTING.R's repair variant, not Main.R's — the recorded goldens come
+    // from Testing.R:43-96: adf lag fixed at 7, crit 0.05 inclusive, the
+    // two-range currency pool, currency names never consumed (its pool-
+    // depletion line is a no-op), loop breaks when stuck.
     val t0 = System.nanoTime()
     val repaired = Stationarity.repair(
-      quarterly, logDiffQuarterly, PanelIngest.currencyNames.toSet, crit = 0.01)
+      quarterly, logDiffQuarterly, PanelIngest.currencyNamesTesting.toSet,
+      crit = 0.05, adfK = 7, gteCrit = true, consumeCurrency = false)
     println(f"[golden] repair: converged=${repaired.converged} " +
       f"transforms=${repaired.ledger.size} (${(System.nanoTime() - t0) / 1e9}%.1f s)")
     repaired.ledger.groupBy(_.transform).foreach { case (t, es) =>
       println(s"[golden]   $t: ${es.map(_.column).distinct.size} columns")
     }
+    val ez = EzlassoAll.toSet
+    val ezLedger = repaired.ledger.filter(e => ez.contains(e.column))
+    println(s"[golden]   ezlasso-relevant transforms: " +
+      (if (ezLedger.isEmpty) "none"
+       else ezLedger.map(e => s"${e.column}:${e.transform}@${e.iteration}").mkString(", ")))
 
     // GDP log-diffs (232 → 231 quarters, aligned 1959Q2..2016Q4).
     val gdpLevels = PanelIngest.loadGdp(spark, s"$dir/gdp_quarterly.parquet")
@@ -122,6 +143,18 @@ object GoldenExperiment {
     val startPredIdx = keep.indexWhere(_ >= startUnfiltered)
     println(s"[golden] panel after na.omit: ${y.rows}×${y.cols}, " +
       s"start.pred row=$startPredIdx (golden layout: 163 of 231)")
+    Panel(y, startPredIdx)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val lag = if (args.nonEmpty) args(0).toInt else 5
+    val alpha = if (args.length > 1) args(1).toDouble else 0.4
+    val tol = if (args.length > 2) args(2).toDouble
+              else graft.linalg.BlockedCv.GlmnetEquivTol
+    val spark = buildSession()
+    val panel = buildPanel(spark)
+    val y = panel.y
+    val startPredIdx = panel.startPredIdx
 
     val t1 = System.nanoTime()
     val res = ModelTrain.run(y, EzlassoAll.toIndexedSeq, startPredIdx,

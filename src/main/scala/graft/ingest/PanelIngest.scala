@@ -63,6 +63,15 @@ object PanelIngest {
     "WTISPLC", "CES0600000008", "CES2000000008", "CES3000000008", "AHETPI",
     "CES0500000030")
 
+  /** The TESTING.R currency pool (Testing.R:62-64): ranges DK1:EB1 and
+    * ED1:EP1 only — it omits Main.R's third CW1:DA1 range (the five
+    * CES…0008/AHETPI wage series). The recorded golden MSFEs were produced
+    * by Testing.R's prep, so the golden experiment uses this pool.
+    */
+  val currencyNamesTesting: Seq[String] =
+    currencyNames.filterNot(Set("CES0600000008", "CES2000000008",
+      "CES3000000008", "AHETPI", "CES0500000030"))
+
   val monthlySchema: StructType = StructType(
     StructField("date", DateType, nullable = false) +:
       seriesNames.map(n => StructField(n, DoubleType, nullable = true)))

@@ -34,11 +34,86 @@ object BlockedCv {
       lambdaMin: Double,
       path: ElasticNet.Path)         // full-data path over the same λs
 
-  /** cv.glmnet-style CV with a caller-supplied fold assignment: the λ
-    * sequence is computed once on the FULL data, each fold refits the whole
+  /** One fold's precomputed solver state. */
+  final case class FoldDesign(
+      cov: CovDesign,
+      trainIdx: IndexedSeq[Int],
+      testIdx: IndexedSeq[Int])
+
+  /** Precomputed CV state shareable across EQUATIONS, λ paths and α grid
+    * points: the full-data CovDesign plus one CovDesign per training
+    * block-complement. The reference reuses the same fold structure across
+    * all K equations "for comparability" (enetVAR.R:27) — which also means
+    * standardization and Gram rows are identical across those K × nα × nλ
+    * fits; building them once per origin is the difference between the
+    * r3 42-minute lag-5 CV experiment and minutes.
+    */
+  final case class CvDesigns(
+      x: DenseMatrix[Double],
+      full: CovDesign,
+      folds: IndexedSeq[FoldDesign])
+
+  def designs(
+      x: DenseMatrix[Double],
+      foldid: Array[Int],
+      intercept: Boolean = false,
+      standardize: Boolean = true): CvDesigns = {
+    val n = x.rows
+    require(foldid.length == n, s"foldid length ${foldid.length} != $n rows")
+    val folds = foldid.distinct.sorted.toIndexedSeq.flatMap { f =>
+      val trainIdx = (0 until n).filter(foldid(_) != f)
+      val testIdx = (0 until n).filter(foldid(_) == f)
+      if (trainIdx.nonEmpty && testIdx.nonEmpty)
+        Some(FoldDesign(
+          new CovDesign(x(trainIdx, ::).toDenseMatrix, intercept, standardize),
+          trainIdx, testIdx))
+      else None
+    }
+    CvDesigns(x, new CovDesign(x, intercept, standardize), folds)
+  }
+
+  /** cv.glmnet-style CV over precomputed designs: the λ sequence is
+    * computed once on the FULL data, each fold refits the whole
     * warm-started path on its training block-complement, held-out squared
     * errors are pooled per observation, and `lambda.min` is the pooled-MSE
     * argmin.
+    */
+  def cvFitDesigns(
+      ds: CvDesigns,
+      y: DenseVector[Double],
+      alpha: Double,
+      nLambda: Int = 100,
+      tol: Double = 1e-9): CvResult = {
+    val x = ds.x
+    val n = x.rows
+    val intercept = ds.full.intercept
+    val lambdas = ElasticNet.autoLambdaSequence(x, y, alpha, intercept,
+      ds.full.standardize, nLambda)
+    val sqErr = Array.fill(lambdas.length)(0.0)
+
+    for (fd <- ds.folds) {
+      val yt = y(fd.trainIdx).toDenseVector
+      val path = ElasticNet.fitPathCov(fd.cov, yt, alpha, lambdas, tol = tol)
+      var li = 0
+      while (li < lambdas.length) {
+        val fit = path.fits(li)
+        for (i <- fd.testIdx) {
+          val pred = fit.intercept + (x(i, ::).t dot fit.beta)
+          val e = y(i) - pred
+          sqErr(li) += e * e
+        }
+        li += 1
+      }
+    }
+    val cvm = sqErr.map(_ / n).toIndexedSeq
+    val best = cvm.zipWithIndex.minBy(_._1)._2
+    val fullPath = ElasticNet.fitPathCov(ds.full, y, alpha, lambdas, tol = tol)
+    CvResult(lambdas, cvm, lambdas(best), fullPath)
+  }
+
+  /** Single-equation convenience: builds the designs fresh (prefer
+    * [[designs]] + [[cvFitDesigns]] when several equations / grid points
+    * share the same X).
     */
   def cvFit(
       x: DenseMatrix[Double],
@@ -48,39 +123,8 @@ object BlockedCv {
       intercept: Boolean = false,
       standardize: Boolean = true,
       nLambda: Int = 100,
-      tol: Double = 1e-9): CvResult = {
-    val n = x.rows
-    require(foldid.length == n, s"foldid length ${foldid.length} != $n rows")
-    val lambdas = ElasticNet.autoLambdaSequence(x, y, alpha, intercept, standardize, nLambda)
-    val folds = foldid.distinct.sorted
-    val sqErr = Array.fill(lambdas.length)(0.0)
-
-    for (f <- folds) {
-      val trainIdx = (0 until n).filter(foldid(_) != f)
-      val testIdx = (0 until n).filter(foldid(_) == f)
-      if (trainIdx.nonEmpty && testIdx.nonEmpty) {
-        val xt = x(trainIdx, ::).toDenseMatrix
-        val yt = y(trainIdx).toDenseVector
-        val path = ElasticNet.fitPath(xt, yt, alpha, lambdas, intercept, standardize,
-          tol = tol)
-        var li = 0
-        while (li < lambdas.length) {
-          val fit = path.fits(li)
-          for (i <- testIdx) {
-            val pred = fit.intercept + (x(i, ::).t dot fit.beta)
-            val e = y(i) - pred
-            sqErr(li) += e * e
-          }
-          li += 1
-        }
-      }
-    }
-    val cvm = sqErr.map(_ / n).toIndexedSeq
-    val best = cvm.zipWithIndex.minBy(_._1)._2
-    val fullPath = ElasticNet.fitPath(x, y, alpha, lambdas, intercept, standardize,
-      tol = tol)
-    CvResult(lambdas, cvm, lambdas(best), fullPath)
-  }
+      tol: Double = 1e-9): CvResult =
+    cvFitDesigns(designs(x, foldid, intercept, standardize), y, alpha, nLambda, tol)
 
   /** The reference's default CV call shape (enetVAR.R:27-36): blocked
     * foldids over the design's rows. `tol` is the solver stopping level —

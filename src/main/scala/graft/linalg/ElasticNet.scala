@@ -96,85 +96,125 @@ object ElasticNet {
       intercept: Boolean = false,
       standardize: Boolean = true,
       maxIter: Int = 2000,
+      tol: Double = 1e-9): Path =
+    fitPathCov(new CovDesign(x, intercept, standardize), y, alpha, lambdas,
+      maxIter, tol)
+
+  /** Covariance-mode, active-set coordinate descent over a precomputed
+    * (shareable) [[CovDesign]] — glmnet's own internals (JSS 2010 §2.2):
+    *
+    *  - maintain cᵢ = ⟨x̃ⱼ, r⟩/N for every j, updated after each β change
+    *    through the CHANGED feature's Gram row (O(p) multiplies — no O(T)
+    *    dot products inside sweeps at all);
+    *  - sweep only the EVER-ACTIVE set until convergence, then one KKT scan
+    *    of the inactive features (a pure read of cᵢ) activates violators;
+    *    repeat until the scan is clean — on warm-started paths most λ steps
+    *    converge in a few tiny sweeps;
+    *  - cᵢ is refreshed exactly (O(T·k)) once per λ step, so incremental
+    *    float drift never crosses a λ boundary.
+    *
+    * Per-sweep cost drops from O(T·k) to O(|A|·p) with |A| active features
+    * (and to O(|A|) reads when nothing moves); Gram rows are cached on the
+    * CovDesign, so the O(T·k) per-feature activation cost is paid once
+    * across all equations, λs and αs that share the design.
+    */
+  def fitPathCov(
+      cov: CovDesign,
+      y: DenseVector[Double],
+      alpha: Double,
+      lambdas: Seq[Double],
+      maxIter: Int = 2000,
       tol: Double = 1e-9): Path = {
-    val nRows = x.rows
-    val p = x.cols
-    val n = nRows.toDouble
-    require(nRows == y.length, s"x has $nRows rows but y has ${y.length}")
+    val nRows = cov.nRows
+    val p = cov.p
+    val n = cov.n
+    require(nRows == y.length, s"design has $nRows rows but y has ${y.length}")
 
-    // Standardize a working copy; remember (center, scale) per column.
-    val xw = x.copy
-    val centers = DenseVector.zeros[Double](p)
-    val scales = DenseVector.ones[Double](p)
-    var j = 0
-    while (j < p) {
-      val cj = xw(::, j)
-      val (m, sd) = momentsOf(cj)
-      if (intercept) { centers(j) = m; cj :-= m }
-      if (standardize && sd > 0) { scales(j) = sd; cj :/= sd }
-      j += 1
-    }
-    val yMean = if (intercept) sum(y) / n else 0.0
-    val yw = if (intercept) y - yMean else y.copy
-
-    // Second moments of the working predictors (≠ 1 when not centered).
-    val z = DenseVector.tabulate(p)(j => (xw(::, j) dot xw(::, j)) / n)
+    val yMean = if (cov.intercept) sum(y) / n else 0.0
+    val yw = if (cov.intercept) (y - yMean).toArray else y.toArray
 
     // Scale-aware stopping threshold (glmnet keys its `thresh` off the null
     // deviance the same way): an absolute tolerance would over-iterate on
     // large-scale responses and grind on near-collinear designs, where the
     // per-sweep contraction approaches corr² — the CV over a monthly
     // (revenue, order-count) panel hit exactly that.
-    val (_, ySd) = momentsOf(yw)
+    val ySd = {
+      var s = 0.0; var s2 = 0.0; var i = 0
+      while (i < nRows) { val v = yw(i); s += v; s2 += v * v; i += 1 }
+      val m = s / n
+      math.sqrt(math.max(s2 / n - m * m, 0.0))
+    }
     val effTol = tol * math.max(ySd, 1e-12)
 
-    // Hot loop on primitive arrays: Breeze column views + UFunc dot carry
-    // per-call overhead that dominated CV-path fits (~60× the raw flops on
-    // 150×151 designs); xw is column-major, so column j is the contiguous
-    // slice [j·nRows, (j+1)·nRows).
-    val xArr = xw.data
-    require(xw.offset == 0 && xw.majorStride == nRows, "xw must be dense col-major")
-    val rArr = yw.copy.data
-    val zArr = z.data
+    val xArr = cov.xArr
+    val zArr = cov.zArr
     val beta = new Array[Double](p)              // warm-started across λs
+    val active = new Array[Boolean](p)           // ever-active set
+    val cv = new Array[Double](p)                // ⟨x̃ⱼ, r⟩/N for all j
+    val r = new Array[Double](nRows)
     val fits = IndexedSeq.newBuilder[Fit]
 
     for (lambda <- lambdas) {
+      // Exact refresh of r and cᵢ at the λ boundary: r = yw − Σ x̃ⱼβⱼ.
+      System.arraycopy(yw, 0, r, 0, nRows)
+      var j = 0
+      while (j < p) {
+        val bj = beta(j)
+        if (bj != 0.0) {
+          val base = j * nRows
+          var i = 0
+          while (i < nRows) { r(i) -= xArr(base + i) * bj; i += 1 }
+        }
+        j += 1
+      }
+      j = 0
+      while (j < p) { cv(j) = cov.colDot(j, r); j += 1 }
+
       val l1 = lambda * alpha
       val l2 = lambda * (1.0 - alpha)
       var iter = 0
-      var delta = Double.MaxValue
-      while (iter < maxIter && delta > effTol) {
-        delta = 0.0
-        var j = 0
-        while (j < p) {
-          val zj = zArr(j)
-          if (zj > 0) {
-            val bOld = beta(j)
-            val base = j * nRows
-            // ρ = (1/N)·xⱼ'(r + xⱼ·bOld): partial residual correlation
-            var dotv = 0.0
-            var i = 0
-            while (i < nRows) { dotv += xArr(base + i) * rArr(i); i += 1 }
-            val rho = dotv / n + zj * bOld
-            val bNew = softThreshold(rho, l1) / (zj + l2)
-            if (bNew != bOld) {
-              val diff = bNew - bOld
-              i = 0
-              while (i < nRows) { rArr(i) -= xArr(base + i) * diff; i += 1 }
-              beta(j) = bNew
-              val d = math.abs(diff) * math.sqrt(zj)
-              if (d > delta) delta = d
+      var clean = false
+      while (!clean && iter < maxIter) {
+        // Inner sweeps over the ever-active set.
+        var delta = Double.MaxValue
+        while (delta > effTol && iter < maxIter) {
+          delta = 0.0
+          iter += 1
+          var j = 0
+          while (j < p) {
+            if (active(j)) {
+              val zj = zArr(j)
+              val bOld = beta(j)
+              val rho = cv(j) + zj * bOld
+              val bNew = softThreshold(rho, l1) / (zj + l2)
+              if (bNew != bOld) {
+                val diff = bNew - bOld
+                val qj = cov.gramRow(j)
+                var k = 0
+                while (k < p) { cv(k) -= qj(k) * diff; k += 1 }
+                beta(j) = bNew
+                val d = math.abs(diff) * math.sqrt(zj)
+                if (d > delta) delta = d
+              }
             }
+            j += 1
           }
-          j += 1
         }
-        iter += 1
+        // KKT scan of the inactive features — a pure read of cᵢ (βⱼ = 0
+        // there, so ρ = cᵢ); |cᵢ| > λα means the coordinate would move.
+        clean = true
+        var jj = 0
+        while (jj < p) {
+          if (!active(jj) && zArr(jj) > 0 && math.abs(cv(jj)) > l1) {
+            active(jj) = true
+            clean = false
+          }
+          jj += 1
+        }
       }
       // Back to the original scale: β_orig = β_std / scale.
-      val bOrig = DenseVector.tabulate(p)(j => beta(j) / scales(j))
-      val b0 = if (intercept) yMean - (centers dot bOrig) else 0.0
-      fits += Fit(lambda, b0, bOrig.copy)
+      val bOrig = cov.toOriginal(beta)
+      fits += Fit(lambda, cov.interceptFor(bOrig, yMean), bOrig)
     }
     Path(alpha, fits.result())
   }

@@ -32,7 +32,13 @@ object Estimation {
   /** Converted reference dataset (tools/convert_panel.py) — a repo-local
     * fixture, deliberately independent of the testdata scale factor.
     */
-  private val PanelDir = "/root/repo/data/panel"
+  /** Real-panel fixture dir: overridable via SPARK_GRAFT_PANEL_DIR, else
+    * resolved against the working directory (the repo root under sbt) —
+    * absolute so the same value interpolates into both the Spark reads and
+    * the DuckDB oracle SQL regardless of checkout location (ADVICE r3).
+    */
+  private val PanelDir = sys.env.getOrElse("SPARK_GRAFT_PANEL_DIR",
+    new java.io.File("data/panel").getAbsolutePath)
 
   /** Monthly 2-series panel from orders: (month, rev, n_orders) — the
     * testdata's stand-in for the reference's quarterly macro panel.
@@ -305,11 +311,12 @@ object Estimation {
     // ----- M15: rolling-origin hyperparameter tuning (rows-only) ----------
 
     ("m15_rolling_tune", (s: SparkSession, d: String) => {
-      // The flagship distributed grid (SURVEY §3.3) at query scale: tasks =
-      // equations × origins × α run as one Spark job over the broadcast
-      // design; each task scores its whole warm-started λ path; per-(α,λ)
-      // RMSE sums reduce on executors. Rows-only: parity with the
-      // sequential loop is pinned exactly in SparkParitySpec.
+      // The flagship distributed grid (SURVEY §3.3) at query scale: one
+      // task per ORIGIN (its prefix CovDesign built once and shared by all
+      // equation×α path fits) runs as one Spark job over the broadcast
+      // design; per-λ RMSE arrays fold on the driver in origin order.
+      // Rows-only: parity with the sequential loop is pinned exactly in
+      // SparkParitySpec.
       import graft.tune.RollingOriginTuner
       val panel = collectSeries(monthlyPanel(s, d), "month", Seq("rev", "n_orders"))
       val n = panel.length

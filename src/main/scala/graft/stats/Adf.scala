@@ -95,11 +95,24 @@ object Adf {
   }
 
   /** Batch form of the reference's `aug_dick_fuller`: names of the series
-    * whose p-value exceeds `crit` (non-stationary), preserving input order
-    * (enetVAR.R:761-772; note the reference's default crit = 0.01).
+    * whose p-value exceeds `crit` (non-stationary), preserving input order.
+    * The reference carries TWO versions of this function and the golden
+    * runs use the second:
+    *  - enetVAR.R:761-772: adf.test default lag k = ⌊(N−1)^⅓⌋, strict
+    *    `p > crit`, default crit 0.01 (the Main.R pipeline);
+    *  - Testing.R:43-52: FIXED lag k = 7, inclusive `p >= crit`, crit 0.05
+    *    (the prep feeding every recorded golden MSFE, Testing.R:214-243).
+    * `k` (−1 = default rule) and `gteCrit` select between them.
     */
   def nonStationary(
       series: Seq[(String, DenseVector[Double])],
-      crit: Double = 0.01): Seq[String] =
-    series.collect { case (name, x) if test(x).pValue > crit => name }
+      crit: Double = 0.01,
+      k: Int = -1,
+      gteCrit: Boolean = false): Seq[String] =
+    series.collect {
+      case (name, x) if {
+        val pv = test(x, k).pValue
+        if (gteCrit) pv >= crit else pv > crit
+      } => name
+    }
 }

@@ -7,11 +7,17 @@ import org.apache.commons.math3.distribution.{NormalDistribution, TDistribution}
   * T3 (Clark–West), T4 (Diebold–Mariano), T5 (NW); reference
   * enetVAR.R:775-843 (MatLab ports, readme.txt:76-84).
   *
-  * The formulas reproduce the reference's code EXACTLY, including its two
-  * idiosyncrasies, because the golden values are defined by that code:
+  * For qn ≥ 2 the formulas reproduce the reference's code EXACTLY,
+  * including its two idiosyncrasies, because the golden values are defined
+  * by that code:
   *  - `nw` normalizes Γ₀ by T but the lagged Γⱼ by (T−1) (enetVAR.R:799),
   *  - `nw` weights lag j by (1 − |j/qn|) and loops j = 1..qn−1.
   * Both differ slightly from textbook NW; preserved, documented here.
+  * KNOWN DEVIATION at qn = 1: R's `for (j in 1:(qn-1))` evaluates `1:0`
+  * and iterates j = 1 then j = 0, adding an extra Γ₀/(T−1)-style term,
+  * while the loop below runs zero iterations (plain Γ₀). No reference
+  * call site uses nwlag = 1, so no golden depends on the quirk; callers
+  * who need it (e.g. CW at h = 1) should be aware the results differ.
   */
 object HacTests {
 

@@ -18,12 +18,16 @@ import org.apache.spark.sql.SparkSession
   *
   * This is the engine's flagship distributed workload (SURVEY §3.3): the
   * reference burns hours fitting grid × origins × equations sequentially
-  * (readme.txt:31,39). Here a TASK is (equation, origin, α) — one
-  * warm-started λ-path fit scoring ALL λs in a single pass (glmnet's
-  * trick), so the task count is 19·origins·K instead of 3800·origins·K —
-  * and tasks are farmed with `spark.parallelize` over a broadcast design.
-  * Per-(α, λ) RMSE sums are reduced on the executors (reduceByKey — only
-  * K·19·|λ| aggregates reach the driver, never per-origin rows).
+  * (readme.txt:31,39). Here a TASK is one ORIGIN: it builds the origin's
+  * prefix CovDesign (standardization + lazily-cached Gram rows) ONCE and
+  * fits all K·19 warm-started λ paths on it, each path scoring ALL λs in a
+  * single pass (glmnet's trick) — so the heavy per-fit work is shared
+  * K·19-fold within a task, and tasks are farmed with `spark.parallelize`
+  * over a broadcast design. Per-origin RMSE arrays return to the driver
+  * (tasks × |λ| doubles, ~11 MB at the full 19×200 grid) and are folded
+  * there in origin order — deliberately NOT reduceByKey, which would sum
+  * doubles in shuffle-arrival order and drift a ulp from the sequential
+  * path (SparkParitySpec pins exact distributed==sequential parity).
   */
 object RollingOriginTuner {
 
@@ -52,32 +56,31 @@ object RollingOriginTuner {
     val origins = (initWindow to (t - horizon)).toIndexedSeq
     val lambdas = grid.lambdas.sortBy(-_).toIndexedSeq
 
-    // One task = (equation, origin, alpha): fit the whole λ path on the
-    // prefix, score the horizon block, emit per-λ RMSE.
-    val tasks = for {
-      j <- 0 until design.n
-      o <- origins
-      a <- grid.alphas
-    } yield (j, o, a)
-
-    def runTask(z: DenseMatrix[Double], yp: DenseMatrix[Double])(
-        task: (Int, Int, Double)): ((Int, Double, Int), Array[Double]) = {
-      val (j, o, a) = task
-      val zTrain = z(0 until o, ::).toDenseMatrix
-      val yTrain = yp(0 until o, j).toDenseVector
-      val path = ElasticNet.fitPath(zTrain, yTrain, a, lambdas,
-        intercept = false, standardize = true)
-      val rmse = path.fits.map { fit =>
-        var sse = 0.0
-        var r = o
-        while (r < o + horizon) {
-          val e = yp(r, j) - (z(r, ::).t dot fit.beta)
-          sse += e * e
-          r += 1
-        }
-        math.sqrt(sse / horizon)
-      }.toArray
-      ((j, a, o), rmse)
+    // One task = one ORIGIN: build the prefix CovDesign once, fit all
+    // (equation, α) λ paths on it (Gram rows and standardization shared
+    // K·|α|-fold), score the horizon block, emit per-λ RMSE per key.
+    def runOrigin(z: DenseMatrix[Double], yp: DenseMatrix[Double])(
+        o: Int): Seq[((Int, Double, Int), Array[Double])] = {
+      val cov = new graft.linalg.CovDesign(
+        z(0 until o, ::).toDenseMatrix, intercept = false, standardize = true)
+      for {
+        j <- 0 until design.n
+        a <- grid.alphas
+      } yield {
+        val yTrain = yp(0 until o, j).toDenseVector
+        val path = ElasticNet.fitPathCov(cov, yTrain, a, lambdas)
+        val rmse = path.fits.map { fit =>
+          var sse = 0.0
+          var r = o
+          while (r < o + horizon) {
+            val e = yp(r, j) - (z(r, ::).t dot fit.beta)
+            sse += e * e
+            r += 1
+          }
+          math.sqrt(sse / horizon)
+        }.toArray
+        ((j, a, o), rmse)
+      }
     }
 
     // Per-origin results come back keyed and are folded in ORIGIN ORDER on
@@ -91,17 +94,17 @@ object RollingOriginTuner {
         val bc = s.sparkContext.broadcast(
           (design.z.toArray, design.z.rows, design.z.cols,
             design.yP.toArray, design.yP.rows, design.yP.cols))
-        val slices = math.min(tasks.length, s.sparkContext.defaultParallelism * 4)
-        val collected = s.sparkContext.parallelize(tasks, slices)
-          .map { task =>
+        val slices = math.min(origins.length, s.sparkContext.defaultParallelism * 4)
+        val collected = s.sparkContext.parallelize(origins, slices)
+          .flatMap { o =>
             val (za, zr, zc, ya, yr, yc) = bc.value
-            runTask(new DenseMatrix(zr, zc, za), new DenseMatrix(yr, yc, ya))(task)
+            runOrigin(new DenseMatrix(zr, zc, za), new DenseMatrix(yr, yc, ya))(o)
           }
           .collect().toSeq
         bc.destroy()
         collected
       case None =>
-        tasks.map(runTask(design.z, design.yP))
+        origins.flatMap(runOrigin(design.z, design.yP))
     }
     val perAlpha: Map[(Int, Double), Array[Double]] = taskResults
       .groupBy { case ((j, a, _), _) => (j, a) }

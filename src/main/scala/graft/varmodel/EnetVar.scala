@@ -115,15 +115,20 @@ object EnetVar {
     val design = VarDesign.build(y, p, names, intercept)
     val kk = design.n
     def alphaOf(j: Int) = if (alphas.length == 1) alphas.head else alphas(j)
+    // All K equations share the design matrix Z — so standardization, fold
+    // splits and Gram rows are computed ONCE here and reused across
+    // equations (and across their λ paths), not rebuilt per fit.
+    lazy val covZ = new graft.linalg.CovDesign(design.z, intercept, true)
+    lazy val cvDs = BlockedCv.designs(design.z, BlockedCv.foldIds(design.z.rows),
+      intercept)
     val fits = IndexedSeq.tabulate(kk) { j =>
       val yj = design.response(j)
       if (lambdas.nonEmpty) {
         val lam = if (lambdas.length == 1) lambdas.head else lambdas(j)
-        ElasticNet.fitPath(design.z, yj, alphaOf(j),
-          ElasticNet.referenceLambdaGrid(lam), intercept, tol = solverTol).at(lam)
+        ElasticNet.fitPathCov(covZ, yj, alphaOf(j),
+          ElasticNet.referenceLambdaGrid(lam), tol = solverTol).at(lam)
       } else {
-        val cv = BlockedCv.cvFitBlocked(design.z, yj, alphaOf(j), intercept,
-          tol = solverTol)
+        val cv = BlockedCv.cvFitDesigns(cvDs, yj, alphaOf(j), tol = solverTol)
         cv.path.at(cv.lambdaMin)
       }
     }
