@@ -74,11 +74,12 @@ object GoldenExperiment {
     spark
   }
 
-  /** Main.R's data prep on the real converted dataset, through repair and
-    * the ezlasso na.omit — shared by the golden experiment and the tuned
-    * run (Testing.R:221-243 both start from this frame).
+  /** Testing.R's data prep on the real converted dataset, through repair
+    * and the na.omit over `cols` — shared by the golden experiment, the
+    * tuned run, and the econ.vars variants (Testing.R:214-243 all start
+    * from this frame with different column sets).
     */
-  def buildPanel(spark: SparkSession): Panel = {
+  def buildPanel(spark: SparkSession, panelCols: Seq[String] = EzlassoAll): Panel = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_PANEL_DIR", "data/panel")
     // Collect the monthly panel column-wise (696×146 — P9 dematerialize).
     val monthlyDf = PanelIngest.loadMonthly(spark, s"$dir/monthly_panel.parquet")
@@ -118,9 +119,9 @@ object GoldenExperiment {
     repaired.ledger.groupBy(_.transform).foreach { case (t, es) =>
       println(s"[golden]   $t: ${es.map(_.column).distinct.size} columns")
     }
-    val ez = EzlassoAll.toSet
+    val ez = panelCols.toSet
     val ezLedger = repaired.ledger.filter(e => ez.contains(e.column))
-    println(s"[golden]   ezlasso-relevant transforms: " +
+    println(s"[golden]   panel-relevant transforms: " +
       (if (ezLedger.isEmpty) "none"
        else ezLedger.map(e => s"${e.column}:${e.transform}@${e.iteration}").mkString(", ")))
 
@@ -130,9 +131,9 @@ object GoldenExperiment {
     val gdpLd = DenseVector.tabulate(gdpLevels.length - 1)(i =>
       math.log(gdpLevels(i + 1)) - math.log(gdpLevels(i)))
 
-    // end_var[, ezlasso.all] → na.omit (rows with all 30 present).
+    // end_var[, panelCols] → na.omit (rows with all columns present).
     val cols: IndexedSeq[DenseVector[Double]] =
-      gdpLd +: EzlassoAll.drop(1).map(repaired.columns(_)).toIndexedSeq
+      gdpLd +: panelCols.drop(1).map(repaired.columns(_)).toIndexedSeq
     val tQ = gdpLd.length
     require(cols.forall(_.length == tQ), "quarter alignment broke")
     val keep = (0 until tQ).filter(r => cols.forall(c => !c(r).isNaN))
@@ -146,18 +147,27 @@ object GoldenExperiment {
     Panel(y, startPredIdx)
   }
 
+  /** Testing.R:254 — the 3-variable econ.vars.2 set of the 0.01482406
+    * golden (`modeltrain(testing1.sample, alpha=0.95, lag=4, const=TRUE)`).
+    */
+  val EconVars2: Seq[String] = Seq("GDP", "FEDFUNDS", "CPIAUCSL")
+
+  /** Usage: runMain graft.experiment.GoldenExperiment [lag] [alpha] [tol] [colset]
+    * colset ∈ {ezlasso, econ2}.
+    */
   def main(args: Array[String]): Unit = {
     val lag = if (args.nonEmpty) args(0).toInt else 5
     val alpha = if (args.length > 1) args(1).toDouble else 0.4
     val tol = if (args.length > 2) args(2).toDouble
               else graft.linalg.BlockedCv.GlmnetEquivTol
+    val panelCols = if (args.length > 3 && args(3) == "econ2") EconVars2 else EzlassoAll
     val spark = buildSession()
-    val panel = buildPanel(spark)
+    val panel = buildPanel(spark, panelCols)
     val y = panel.y
     val startPredIdx = panel.startPredIdx
 
     val t1 = System.nanoTime()
-    val res = ModelTrain.run(y, EzlassoAll.toIndexedSeq, startPredIdx,
+    val res = ModelTrain.run(y, panelCols.toIndexedSeq, startPredIdx,
       h = 8, alphas = Seq(alpha), lambdas = Seq.empty, lag = lag,
       const = true, spark = Some(spark), solverTol = tol)
     val wall = (System.nanoTime() - t1) / 1e9
@@ -175,6 +185,12 @@ object GoldenExperiment {
     Seq(1, 2, 4, 8).foreach { h =>
       println(f"[golden] theils_u_rw h$h = ${res.byHorizon(h).theilsURw}%.6f " +
         f"theils_u_ar1 h$h = ${res.byHorizon(h).theilsUAr1}%.6f")
+    }
+    // The reference's final self-check (Main.R:304): Hosking portmanteau on
+    // the last fitted model's residuals, order = the VAR lag order.
+    graft.stats.Portmanteau.hosking(res.residuals, order = lag).foreach { r =>
+      println(f"[golden] hosking m=${r.lag}%2d Q=${r.statistic}%.2f " +
+        f"df=${r.df}%.0f p=${r.pValue}%.4f")
     }
     spark.stop()
   }

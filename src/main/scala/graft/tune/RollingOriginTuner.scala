@@ -42,6 +42,12 @@ object RollingOriginTuner {
     (1 to 19).map(_ * 0.05),
     (0 until nLambda).map(i => math.pow(10.0, 1.0 - 5.0 * i / (nLambda - 1))))
 
+  /** @param tol solver stopping level per λ step — the tight default suits
+    *             parity tests; pass [[graft.linalg.BlockedCv.GlmnetEquivTol]]
+    *             for reference-grid runs (caret's glmnet fits run at
+    *             thresh 1e-7, and the 200-λ grid reaches λ=1e-4 where
+    *             tighter tolerances grind on collinear designs).
+    */
   def tune(
       y: DenseMatrix[Double],
       p: Int,
@@ -49,7 +55,8 @@ object RollingOriginTuner {
       horizon: Int,
       grid: Grid,
       names: IndexedSeq[String] = IndexedSeq.empty,
-      spark: Option[SparkSession] = None): IndexedSeq[Best] = {
+      spark: Option[SparkSession] = None,
+      tol: Double = 1e-9): IndexedSeq[Best] = {
     val design = VarDesign.build(y, p, names, intercept = false)
     val t = design.tReduced
     require(initWindow < t - horizon + 1, s"initWindow=$initWindow too large for T=$t")
@@ -68,7 +75,7 @@ object RollingOriginTuner {
         a <- grid.alphas
       } yield {
         val yTrain = yp(0 until o, j).toDenseVector
-        val path = ElasticNet.fitPathCov(cov, yTrain, a, lambdas)
+        val path = ElasticNet.fitPathCov(cov, yTrain, a, lambdas, tol = tol)
         val rmse = path.fits.map { fit =>
           var sse = 0.0
           var r = o

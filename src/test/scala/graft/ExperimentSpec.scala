@@ -66,6 +66,25 @@ class ExperimentSpec extends AnyFunSuite {
     assert(breeze.linalg.max(breeze.numerics.abs(res.residuals)) < 1e-2)
   }
 
+  test("modeltrain residuals close the loop through the Hosking portmanteau (Main.R:304)") {
+    // The reference ends its experiment with Hosking(resids, order = lag);
+    // the statistic must be non-degenerate on real modeltrain residuals —
+    // positive, finite, p in [0, 1] — and near-white VAR(1) residuals
+    // should not be overwhelmingly rejected at small lags.
+    val panel = var1Panel(90, noise = 0.3, seed = 35L)
+    val res = ModelTrain.run(panel, IndexedSeq("a", "b"), startPredIdx = 70,
+      lambdas = Seq(0.0), lag = 1)
+    val rows = graft.stats.Portmanteau.hosking(res.residuals, lags = Seq(5, 10),
+      order = 1)
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      assert(r.statistic > 0 && java.lang.Double.isFinite(r.statistic))
+      assert(r.df > 0)
+      assert(r.pValue >= 0 && r.pValue <= 1)
+    }
+    assert(rows.head.pValue > 0.01, "white-ish VAR(1) residuals rejected at m=5")
+  }
+
   test("modeltrain: RW quirk shifts Theil's U but leaves MSFE untouched") {
     val panel = var1Panel(90, noise = 0.3, seed = 33L)
     val qOn = ModelTrain.run(panel, IndexedSeq("a", "b"), startPredIdx = 70,
