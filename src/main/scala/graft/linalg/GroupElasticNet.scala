@@ -65,24 +65,34 @@ object GroupElasticNet {
       standardize: Boolean = true,
       standardizeResponse: Boolean = true,
       maxIter: Int = 2000,
-      tol: Double = 1e-9): GroupPath = {
-    val nRows = x.rows
-    val p = x.cols
-    val kk = y.cols
-    val n = nRows.toDouble
-    require(y.rows == nRows)
+      tol: Double = 1e-9): GroupPath =
+    fitPathCov(new CovDesign(x, intercept, standardize), y, alpha, lambdas,
+      standardizeResponse, maxIter, tol)
 
-    val xw = x.copy
-    val centers = DenseVector.zeros[Double](p)
-    val scales = DenseVector.ones[Double](p)
-    var j = 0
-    while (j < p) {
-      val cj = xw(::, j)
-      val (m, sd) = colMoments(cj)
-      if (intercept) { centers(j) = m; cj :-= m }
-      if (standardize && sd > 0) { scales(j) = sd; cj :/= sd }
-      j += 1
-    }
+  /** Covariance-mode, active-set block coordinate descent over a shared
+    * [[CovDesign]] — the group analog of `ElasticNet.fitPathCov`: the
+    * partial-correlation matrix cᵢ(j,·) = ⟨x̃ⱼ, R_c⟩/N is maintained for
+    * every (predictor, response) pair through the changed row's Gram
+    * column (no O(T) dot products inside sweeps), sweeps visit only the
+    * ever-active rows, and a KKT scan of ‖cᵢ(j,·)‖₂ activates violators.
+    * cᵢ is refreshed exactly at each λ boundary, and Gram rows are cached
+    * on the CovDesign across the whole path (and across fold reuse).
+    */
+  def fitPathCov(
+      cov: CovDesign,
+      y: DenseMatrix[Double],
+      alpha: Double,
+      lambdas: Seq[Double],
+      standardizeResponse: Boolean = true,
+      maxIter: Int = 2000,
+      tol: Double = 1e-9): GroupPath = {
+    val nRows = cov.nRows
+    val p = cov.p
+    val kk = y.cols
+    val n = cov.n
+    require(y.rows == nRows)
+    val intercept = cov.intercept
+
     val yw = y.copy
     val yMeans = DenseVector.zeros[Double](kk)
     val yScales = DenseVector.ones[Double](kk)
@@ -94,78 +104,125 @@ object GroupElasticNet {
       if (standardizeResponse && sd > 0) { yScales(c) = sd; yc :/= sd }
       c += 1
     }
-
-    val z = DenseVector.tabulate(p)(j => (xw(::, j) dot xw(::, j)) / n)
     val ySdAvg = {
       var s = 0.0
-      var c = 0
-      while (c < kk) { val (_, sd) = colMoments(yw(::, c)); s += sd; c += 1 }
+      var cc = 0
+      while (cc < kk) { val (_, sd) = colMoments(yw(::, cc)); s += sd; cc += 1 }
       math.max(s / kk, 1e-12)
     }
     val effTol = tol * ySdAvg
 
-    // Hot loop on primitive arrays (same rationale as ElasticNet: Breeze
-    // view/UFunc overhead dominates path fits). Column-major slices:
-    // xw col j = xArr[j·nRows ..), resid col c = rArr[c·nRows ..).
-    require(xw.offset == 0 && xw.majorStride == nRows, "xw must be dense col-major")
-    val xArr = xw.data
-    val rArr = yw.copy.data
-    val zArr = z.data
+    require(yw.offset == 0 && yw.majorStride == nRows, "yw must be dense col-major")
+    val xArr = cov.xArr
+    val zArr = cov.zArr
+    val ywArr = yw.data
     val b = DenseMatrix.zeros[Double](p, kk) // warm-started, scaled space
+    val bArr = b.data                        // col-major: b(j,c) = bArr(c·p + j)
+    val cvM = new Array[Double](p * kk)      // cᵢ(j,c) at (c·p + j)
+    val r = new Array[Double](nRows * kk)
+    val active = new Array[Boolean](p)
     val u = new Array[Double](kk)
     val fits = IndexedSeq.newBuilder[GroupFit]
 
     for (lambda <- lambdas) {
+      // Exact refresh at the λ boundary: R = Yw − X·B, cᵢ = XᵀR/N.
+      System.arraycopy(ywArr, 0, r, 0, nRows * kk)
+      var j = 0
+      while (j < p) {
+        var cc = 0
+        while (cc < kk) {
+          val bjc = bArr(cc * p + j)
+          if (bjc != 0.0) {
+            val xBase = j * nRows
+            val rBase = cc * nRows
+            var i = 0
+            while (i < nRows) { r(rBase + i) -= xArr(xBase + i) * bjc; i += 1 }
+          }
+          cc += 1
+        }
+        j += 1
+      }
+      j = 0
+      while (j < p) {
+        val xBase = j * nRows
+        var cc = 0
+        while (cc < kk) {
+          val rBase = cc * nRows
+          var s = 0.0
+          var i = 0
+          while (i < nRows) { s += xArr(xBase + i) * r(rBase + i); i += 1 }
+          cvM(cc * p + j) = s / n
+          cc += 1
+        }
+        j += 1
+      }
+
       val l1 = lambda * alpha
       val l2 = lambda * (1.0 - alpha)
       var iter = 0
-      var delta = Double.MaxValue
-      while (iter < maxIter && delta > effTol) {
-        delta = 0.0
-        var j = 0
-        while (j < p) {
-          val zj = zArr(j)
-          if (zj > 0) {
-            val base = j * nRows
-            // u = (1/N)·xjᵀ(R + xj·bOldᵀ); ‖u‖ decides the group.
-            var un2 = 0.0
-            var c = 0
-            while (c < kk) {
-              var dotv = 0.0
-              var i = 0
-              val rBase = c * nRows
-              while (i < nRows) { dotv += xArr(base + i) * rArr(rBase + i); i += 1 }
-              u(c) = dotv / n + zj * b(j, c)
-              un2 += u(c) * u(c)
-              c += 1
-            }
-            val un = math.sqrt(un2)
-            val shrink = if (un <= l1) 0.0 else (1.0 - l1 / un) / (zj + l2)
-            var dn2 = 0.0
-            c = 0
-            while (c < kk) {
-              val bNew = u(c) * shrink
-              val diff = bNew - b(j, c)
-              if (diff != 0.0) {
-                var i = 0
-                val rBase = c * nRows
-                while (i < nRows) { rArr(rBase + i) -= xArr(base + i) * diff; i += 1 }
-                b(j, c) = bNew
+      var clean = false
+      while (!clean && iter < maxIter) {
+        var delta = Double.MaxValue
+        while (delta > effTol && iter < maxIter) {
+          delta = 0.0
+          iter += 1
+          var jj = 0
+          while (jj < p) {
+            if (active(jj)) {
+              val zj = zArr(jj)
+              var un2 = 0.0
+              var cc = 0
+              while (cc < kk) {
+                u(cc) = cvM(cc * p + jj) + zj * bArr(cc * p + jj)
+                un2 += u(cc) * u(cc)
+                cc += 1
               }
-              dn2 += diff * diff
-              c += 1
+              val un = math.sqrt(un2)
+              val shrink = if (un <= l1) 0.0 else (1.0 - l1 / un) / (zj + l2)
+              var dn2 = 0.0
+              cc = 0
+              while (cc < kk) {
+                val bNew = u(cc) * shrink
+                val diff = bNew - bArr(cc * p + jj)
+                if (diff != 0.0) {
+                  val qj = cov.gramRow(jj)
+                  val cBase = cc * p
+                  var k = 0
+                  while (k < p) { cvM(cBase + k) -= qj(k) * diff; k += 1 }
+                  bArr(cc * p + jj) = bNew
+                }
+                dn2 += diff * diff
+                cc += 1
+              }
+              val d = math.sqrt(dn2) * math.sqrt(zj)
+              if (d > delta) delta = d
             }
-            val d = math.sqrt(dn2) * math.sqrt(zj)
-            if (d > delta) delta = d
+            jj += 1
           }
-          j += 1
         }
-        iter += 1
+        // KKT: an inactive row violates when its group norm ‖cᵢ(j,·)‖₂
+        // exceeds λα (B row is zero there, so u = cᵢ(j,·)).
+        clean = true
+        var jj = 0
+        while (jj < p) {
+          if (!active(jj) && zArr(jj) > 0) {
+            var un2 = 0.0
+            var cc = 0
+            while (cc < kk) { val v = cvM(cc * p + jj); un2 += v * v; cc += 1 }
+            if (math.sqrt(un2) > l1) { active(jj) = true; clean = false }
+          }
+          jj += 1
+        }
       }
       // Unscale: β_orig(j,c) = β(j,c) · ysd_c / xsd_j.
-      val bOrig = DenseMatrix.tabulate(p, kk)((j, c) => b(j, c) * yScales(c) / scales(j))
+      val bOrig = DenseMatrix.tabulate(p, kk)((j, c) => b(j, c) * yScales(c) / cov.scales(j))
       val b0 = DenseVector.tabulate(kk)(c =>
-        if (intercept) yMeans(c) - (centers dot bOrig(::, c)) else 0.0)
+        if (intercept) {
+          var s = 0.0
+          var jj = 0
+          while (jj < p) { s += cov.centers(jj) * bOrig(jj, c); jj += 1 }
+          yMeans(c) - s
+        } else 0.0)
       fits += GroupFit(lambda, b0, bOrig)
     }
     GroupPath(alpha, fits.result())
@@ -224,8 +281,10 @@ object GroupElasticNet {
       val trainIdx = (0 until n).filter(foldid(_) != f)
       val testIdx = (0 until n).filter(foldid(_) == f)
       if (trainIdx.nonEmpty && testIdx.nonEmpty) {
-        val path = fitPath(x(trainIdx, ::).toDenseMatrix, y(trainIdx, ::).toDenseMatrix,
-          alpha, lambdas, intercept, tol = tol)
+        // One CovDesign per fold: Gram rows are shared by all 100 λ steps.
+        val cov = new CovDesign(x(trainIdx, ::).toDenseMatrix, intercept, true)
+        val path = fitPathCov(cov, y(trainIdx, ::).toDenseMatrix,
+          alpha, lambdas, tol = tol)
         var li = 0
         while (li < lambdas.length) {
           val fit = path.fits(li)
