@@ -152,8 +152,8 @@ object GoldenExperiment {
     */
   val EconVars2: Seq[String] = Seq("GDP", "FEDFUNDS", "CPIAUCSL")
 
-  /** Usage: runMain graft.experiment.GoldenExperiment [lag] [alpha] [tol] [colset]
-    * colset ∈ {ezlasso, econ2}.
+  /** Usage: runMain graft.experiment.GoldenExperiment [lag] [alpha] [tol] [colset] [method]
+    * colset ∈ {ezlasso, econ2}; method ∈ {enet, genet}.
     */
   def main(args: Array[String]): Unit = {
     val lag = if (args.nonEmpty) args(0).toInt else 5
@@ -161,6 +161,7 @@ object GoldenExperiment {
     val tol = if (args.length > 2) args(2).toDouble
               else graft.linalg.BlockedCv.GlmnetEquivTol
     val panelCols = if (args.length > 3 && args(3) == "econ2") EconVars2 else EzlassoAll
+    val method = if (args.length > 4) args(4) else "enet"
     val spark = buildSession()
     val panel = buildPanel(spark, panelCols)
     val y = panel.y
@@ -169,7 +170,7 @@ object GoldenExperiment {
     val t1 = System.nanoTime()
     val res = ModelTrain.run(y, panelCols.toIndexedSeq, startPredIdx,
       h = 8, alphas = Seq(alpha), lambdas = Seq.empty, lag = lag,
-      const = true, spark = Some(spark), solverTol = tol)
+      const = true, spark = Some(spark), solverTol = tol, method = method)
     val wall = (System.nanoTime() - t1) / 1e9
     val msfes = Seq(1, 2, 4, 8).map(h => h -> res.byHorizon(h).msfe)
     val total = msfes.map(_._2).sum

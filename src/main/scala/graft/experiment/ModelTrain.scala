@@ -39,7 +39,7 @@ object ModelTrain {
   final case class Result(
       byHorizon: Map[Int, HorizonResult],
       residuals: DenseMatrix[Double],
-      lastModel: EnetVarModel)
+      lastModel: graft.varmodel.FittedVar)
 
   def run(
       data: DenseMatrix[Double],
@@ -139,9 +139,15 @@ object ModelTrain {
       hh -> HorizonResult(m.forecasts, m.errors, m.msfe, uRw, uAr1)
     }
 
-    val lastModel = {
+    // The reference's modeltrain returns the LAST refit's residuals/model
+    // (enetVAR.R:488-489) — method-consistent: genet runs hand back the
+    // group fit, not a fresh per-equation one.
+    val lastModel: graft.varmodel.FittedVar = {
       val train = data(0 until origins.last, ::).toDenseMatrix
-      EnetVar.fit(train, lag, names, alphas, lambdas, const, solverTol)
+      if (method == "genet")
+        graft.varmodel.GroupEnetVar.fit(train, lag, names, alphas.head, const,
+          solverTol = solverTol)
+      else EnetVar.fit(train, lag, names, alphas, lambdas, const, solverTol)
     }
     Result(byHorizon, lastModel.residuals, lastModel)
   }

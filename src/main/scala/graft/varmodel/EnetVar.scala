@@ -28,7 +28,7 @@ import graft.linalg.{BlockedCv, ElasticNet}
 final case class EnetVarModel(
     design: VarDesign,
     alpha: Double,
-    equations: IndexedSeq[ElasticNet.Fit]) {
+    equations: IndexedSeq[ElasticNet.Fit]) extends FittedVar {
 
   /** k×K coefficient matrix (rows = Z columns incl. intercept row when
     * present; cols = equations), reference M4 layout.

@@ -13,7 +13,7 @@ final case class GroupEnetVarModel(
     design: VarDesign,
     alpha: Double,
     lambdaMin: Double,
-    fit: GroupElasticNet.GroupFit) {
+    fit: GroupElasticNet.GroupFit) extends FittedVar {
 
   /** k×K coefficient matrix in the EnetVar layout (intercept row first
     * when present, carrying the fitted intercepts).
