@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming surface (SURVEY §2.8 / §7 phase E — an engine
@@ -9,15 +10,28 @@ import org.apache.spark.sql.types._
   * `events` table doubles as a file-source stream; the demos cover the
   * canonical streaming shapes a data pipeline needs:
   *  - event-time tumbling-window aggregation with a watermark (streaming
-  *    A1 — the quarterly-sum analog on event time), and
+  *    A1 — the quarterly-sum analog on event time),
   *  - stateful streaming dedup by key under the same watermark (streaming
-  *    d1 — exact dedup for append-only feeds).
+  *    d1 — exact dedup for append-only feeds), and
+  *  - custom keyed state via mapGroupsWithState (streaming W7 — Welford
+  *    running moments per key, the expanding-window analog where the
+  *    built-in operators can't express the semantics).
   *
-  * Scale posture: both are keyed-state streaming aggregations — state is
-  * bounded by (watermark horizon × key cardinality), partitioned by key,
+  * Scale posture: all are keyed-state streaming aggregations — state is
+  * bounded by (watermark horizon × key cardinality) or by key cardinality
+  * alone (runningStats keeps three doubles per key), partitioned by key,
   * no global state; sinks are append/update-mode compatible.
   */
 object EventStream {
+
+  /** Keyed Welford accumulator: count, mean and sum of squared deviations
+    * — numerically stable, order-insensitive up to float rounding, O(1)
+    * state per key.
+    */
+  final case class RunningStats(n: Long, mean: Double, m2: Double)
+
+  final case class StatsUpdate(
+      event_type: String, n: Long, mean: Double, variance: Double)
 
   /** The events file schema for the streaming source (nanos as long —
     * file-source scans don't run Tables' conf pinning, so the schema says
@@ -60,4 +74,31 @@ object EventStream {
     events
       .withWatermark("ts", "30 minutes")
       .dropDuplicates("event_id")
+
+  /** Custom keyed state (mapGroupsWithState): per-event_type running
+    * count/mean/variance via Welford updates, emitting the refreshed
+    * snapshot each micro-batch (update-mode sink). This is the shape for
+    * state the built-in aggregates can't express — the streaming analog of
+    * the expanding-window operator W7.
+    */
+  def runningStats(events: DataFrame): Dataset[StatsUpdate] = {
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      .select(col("event_type"), col("value"))
+      .as[(String, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[RunningStats, StatsUpdate](GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Double)], state: GroupState[RunningStats]) =>
+          var st = state.getOption.getOrElse(RunningStats(0L, 0.0, 0.0))
+          rows.foreach { case (_, v) =>
+            val n1 = st.n + 1
+            val d = v - st.mean
+            val mean1 = st.mean + d / n1
+            st = RunningStats(n1, mean1, st.m2 + d * (v - mean1))
+          }
+          state.update(st)
+          StatsUpdate(key, st.n, st.mean, if (st.n > 1) st.m2 / st.n else 0.0)
+      }
+  }
 }

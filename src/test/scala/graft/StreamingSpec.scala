@@ -61,6 +61,36 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(n == distinctIds)
   }
 
+  test("mapGroupsWithState running stats converge to the batch moments per key") {
+    val q = EventStream.runningStats(EventStream.readEvents(spark, sfDir))
+      .writeStream.format("memory").queryName("run_stats").outputMode("update").start()
+    try q.processAllAvailable() finally q.stop()
+    // The LAST update per key is the final state snapshot.
+    val streamed = spark.table("run_stats")
+      .groupBy("event_type")
+      .agg(max(struct(col("n"), col("mean"), col("variance"))).as("fin"))
+      .select(col("event_type"), col("fin.n"), col("fin.mean"), col("fin.variance"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+
+    val batch = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), avg(col("value")).as("mean"),
+        var_pop(col("value")).as("variance"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+
+    assert(streamed.keySet == batch.keySet && batch.nonEmpty)
+    for ((k, (n, mean, v)) <- batch) {
+      val (sn, sMean, sVar) = streamed(k)
+      assert(sn == n, s"$k count")
+      assert(math.abs(sMean - mean) < 1e-9 * math.max(1.0, math.abs(mean)), s"$k mean")
+      assert(math.abs(sVar - v) < 1e-6 * math.max(1.0, v), s"$k variance")
+    }
+  }
+
   test("S4 tuning table round-trips into per-equation vectors in order") {
     val path = java.nio.file.Files.createTempDirectory("graft_tuning_").toString + "/t"
     TuningIO.write(spark, path, Seq(("rev", 0.25, 0.01), ("n_orders", 0.9, 0.3)))
