@@ -32,13 +32,14 @@ object LagSelect {
       maxLag: Int = 30,
       alpha: Double = 0.25,
       intercept: Boolean = false,
-      names: IndexedSeq[String] = IndexedSeq.empty): Selection = {
+      names: IndexedSeq[String] = IndexedSeq.empty,
+      solverTol: Double = 1e-9): Selection = {
     val table = IndexedSeq.newBuilder[InfCrit.Criteria]
     var history = Vector.empty[InfCrit.Criteria]
     var p = 1
     var stop = false
     while (p <= maxLag && !stop) {
-      val model = EnetVar.fit(y, p, names, Seq(alpha), Seq.empty, intercept)
+      val model = EnetVar.fit(y, p, names, Seq(alpha), Seq.empty, intercept, solverTol)
       val ic = InfCrit(model)
       history :+= ic
       table += ic
