@@ -74,12 +74,53 @@ object GoldenExperiment {
     spark
   }
 
+  /** Repaired columns + GDP log-diffs — the prep state that does NOT
+    * depend on the model's column set, so multi-model workloads run it
+    * once.
+    */
+  final case class Prepared(
+      gdpLd: DenseVector[Double],
+      repaired: ListMap[String, DenseVector[Double]],
+      ledger: Seq[Stationarity.LedgerEntry])
+
+  /** na.omit over `panelCols` of the prepared frame → the model panel and
+    * its start.pred row.
+    */
+  def assemble(prep: Prepared, panelCols: Seq[String]): Panel = {
+    val cols: IndexedSeq[DenseVector[Double]] =
+      prep.gdpLd +: panelCols.drop(1).map(prep.repaired(_)).toIndexedSeq
+    val tQ = prep.gdpLd.length
+    require(cols.forall(_.length == tQ), "quarter alignment broke")
+    val keep = (0 until tQ).filter(r => cols.forall(c => !c(r).isNaN))
+    val y = DenseMatrix.tabulate(keep.length, cols.length)((r, c) => cols(c)(keep(r)))
+    val startUnfiltered = (2000 - 1959) * 4 + 0 - 1 // 1959Q2-based offset of 2000Q1
+    val startPredIdx = keep.indexWhere(_ >= startUnfiltered)
+    Panel(y, startPredIdx)
+  }
+
   /** Testing.R's data prep on the real converted dataset, through repair
     * and the na.omit over `cols` — shared by the golden experiment, the
     * tuned run, and the econ.vars variants (Testing.R:214-243 all start
     * from this frame with different column sets).
     */
   def buildPanel(spark: SparkSession, panelCols: Seq[String] = EzlassoAll): Panel = {
+    val prep = prepare(spark)
+    val ez = panelCols.toSet
+    val ezLedger = prep.ledger.filter(e => ez.contains(e.column))
+    println(s"[golden]   panel-relevant transforms: " +
+      (if (ezLedger.isEmpty) "none"
+       else ezLedger.map(e => s"${e.column}:${e.transform}@${e.iteration}").mkString(", ")))
+    val panel = assemble(prep, panelCols)
+    println(s"[golden] panel after na.omit: ${panel.y.rows}×${panel.y.cols}, " +
+      s"start.pred row=${panel.startPredIdx} (golden layout: 163 of 231)")
+    panel
+  }
+
+  /** Column-set-independent half of buildPanel: ingest, quarterly diffs,
+    * Testing.R-variant repair, GDP log-diffs — run ONCE per session for
+    * multi-model workloads.
+    */
+  def prepare(spark: SparkSession): Prepared = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_PANEL_DIR", "data/panel")
     // Collect the monthly panel column-wise (696×146 — P9 dematerialize).
     val monthlyDf = PanelIngest.loadMonthly(spark, s"$dir/monthly_panel.parquet")
@@ -119,32 +160,13 @@ object GoldenExperiment {
     repaired.ledger.groupBy(_.transform).foreach { case (t, es) =>
       println(s"[golden]   $t: ${es.map(_.column).distinct.size} columns")
     }
-    val ez = panelCols.toSet
-    val ezLedger = repaired.ledger.filter(e => ez.contains(e.column))
-    println(s"[golden]   panel-relevant transforms: " +
-      (if (ezLedger.isEmpty) "none"
-       else ezLedger.map(e => s"${e.column}:${e.transform}@${e.iteration}").mkString(", ")))
 
     // GDP log-diffs (232 → 231 quarters, aligned 1959Q2..2016Q4).
     val gdpLevels = PanelIngest.loadGdp(spark, s"$dir/gdp_quarterly.parquet")
       .orderBy("date").collect().map(_.getDouble(1))
     val gdpLd = DenseVector.tabulate(gdpLevels.length - 1)(i =>
       math.log(gdpLevels(i + 1)) - math.log(gdpLevels(i)))
-
-    // end_var[, panelCols] → na.omit (rows with all columns present).
-    val cols: IndexedSeq[DenseVector[Double]] =
-      gdpLd +: panelCols.drop(1).map(repaired.columns(_)).toIndexedSeq
-    val tQ = gdpLd.length
-    require(cols.forall(_.length == tQ), "quarter alignment broke")
-    val keep = (0 until tQ).filter(r => cols.forall(c => !c(r).isNaN))
-    val y = DenseMatrix.tabulate(keep.length, cols.length)((r, c) => cols(c)(keep(r)))
-    // Quarter index of kept rows: row r is 1959Q2 + keep(r) quarters;
-    // start.pred = 2000Q1 = index 163 in the unfiltered frame.
-    val startUnfiltered = (2000 - 1959) * 4 + 0 - 1 // 1959Q2-based offset of 2000Q1
-    val startPredIdx = keep.indexWhere(_ >= startUnfiltered)
-    println(s"[golden] panel after na.omit: ${y.rows}×${y.cols}, " +
-      s"start.pred row=$startPredIdx (golden layout: 163 of 231)")
-    Panel(y, startPredIdx)
+    Prepared(gdpLd, repaired.columns, repaired.ledger)
   }
 
   /** Testing.R:254 — the 3-variable econ.vars.2 set of the 0.01482406

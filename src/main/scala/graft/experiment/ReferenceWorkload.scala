@@ -36,10 +36,11 @@ object ReferenceWorkload {
     val spark = GoldenExperiment.buildSession()
     val tol = BlockedCv.GlmnetEquivTol
     val t0 = System.nanoTime()
+    val prep = GoldenExperiment.prepare(spark)
 
     for ((label, cols) <- ModelSets) {
       val tm = System.nanoTime()
-      val panel = GoldenExperiment.buildPanel(spark, cols)
+      val panel = GoldenExperiment.assemble(prep, cols)
       val names = cols.toIndexedSeq
       val trainY = panel.y(0 until panel.startPredIdx, ::).toDenseMatrix
 
