@@ -67,6 +67,51 @@ class LinalgSpec extends AnyFunSuite {
     }
   }
 
+  test("active-set covariance-mode path == independent naive cyclic CD, whole path") {
+    // Guards the active-set/KKT machinery: an in-test reference solver
+    // (full cyclic sweeps, explicit residual updates — the textbook form
+    // with none of the production solver's structure) must agree with
+    // fitPath at every lambda of a warm-started path, including mid-path
+    // activations and deactivations.
+    def naive(xm: DenseMatrix[Double], yv: DenseVector[Double], alpha: Double,
+        lambdas: Seq[Double]): Seq[DenseVector[Double]] = {
+      val nn = xm.rows.toDouble
+      val p = xm.cols
+      val z = DenseVector.tabulate(p)(j => (xm(::, j) dot xm(::, j)) / nn)
+      val beta = DenseVector.zeros[Double](p)
+      val r = yv.copy
+      lambdas.map { lambda =>
+        val l1 = lambda * alpha
+        val l2 = lambda * (1 - alpha)
+        var sweep = 0
+        var delta = Double.MaxValue
+        while (sweep < 20000 && delta > 1e-13) {
+          delta = 0.0
+          for (j <- 0 until p if z(j) > 0) {
+            val rho = (xm(::, j) dot r) / nn + z(j) * beta(j)
+            val bNew = ElasticNet.softThreshold(rho, l1) / (z(j) + l2)
+            if (bNew != beta(j)) {
+              r -= xm(::, j) * (bNew - beta(j))
+              delta = math.max(delta, math.abs(bNew - beta(j)))
+              beta(j) = bNew
+            }
+          }
+          sweep += 1
+        }
+        beta.copy
+      }
+    }
+    val lambdas = Seq(0.5, 0.2, 0.08, 0.03, 0.01, 0.003, 0.0)
+    for (alpha <- Seq(1.0, 0.5, 0.0)) {
+      val path = ElasticNet.fitPath(x, y, alpha, lambdas,
+        standardize = false, tol = 1e-12, maxIter = 20000)
+      val ref = naive(x, y, alpha, lambdas)
+      for ((fit, rBeta) <- path.fits.zip(ref))
+        assert(maxAbsDiff(fit.beta, rBeta) < 1e-6,
+          s"alpha=$alpha lambda=${fit.lambda}")
+    }
+  }
+
   test("sparsity is monotone along the descending lambda path") {
     val lambdas = Seq(2.0, 1.0, 0.5, 0.1, 0.01)
     val path = ElasticNet.fitPath(x, y, alpha = 1.0, lambdas, standardize = false)
