@@ -47,20 +47,41 @@ object CvProbe {
     val ds = BlockedCv.designs(design.z, BlockedCv.foldIds(design.z.rows),
       intercept = true)
     println(s"[probe] design: ${design.z.rows}x${design.z.cols}")
-    var sumActive = 0
-    for (j <- 0 until math.min(design.n, 8)) {
-      val yj = design.response(j)
-      val cv = BlockedCv.cvFitDesigns(ds, yj, alpha, tol = BlockedCv.GlmnetEquivTol)
-      val idx = cv.lambdas.indexOf(cv.lambdaMin)
-      val fit = cv.path.at(cv.lambdaMin)
-      val active = fit.beta.toArray.count(_ != 0.0)
-      sumActive += active
-      val cvmMin = cv.cvm(idx)
-      println(f"[probe] eq$j%2d lambdaMin=${cv.lambdaMin}%.6g idx=$idx%3d/" +
-        f"${cv.lambdas.length}%d active=$active%3d cvm(min)=$cvmMin%.6g " +
-        f"cvm(0)=${cv.cvm.head}%.6g cvm(last)=${cv.cvm.last}%.6g")
+    // Per-equation CV diagnostics under all three fold-path modes: the
+    // master-grid CV (r3/r4 behavior) vs cv.glmnet's per-fold auto paths
+    // with index alignment (glmnet 2.0-era, contemporaneous with the
+    // reference) and λ-value alignment (glmnet ≥ 4.0 default).
+    for (mode <- Seq(None, Some("index"), Some("lambda"))) {
+      var sumActive = 0
+      for (j <- 0 until math.min(design.n, 8)) {
+        val yj = design.response(j)
+        val cv = BlockedCv.cvFitDesigns(ds, yj, alpha,
+          tol = BlockedCv.GlmnetEquivTol, foldPaths = mode)
+        val idx = cv.lambdas.indexOf(cv.lambdaMin)
+        val fit = cv.path.at(cv.lambdaMin)
+        val active = fit.beta.toArray.count(_ != 0.0)
+        sumActive += active
+        val cvmMin = cv.cvm(idx)
+        println(f"[probe] ${mode.getOrElse("master")}%-6s eq$j%2d " +
+          f"lambdaMin=${cv.lambdaMin}%.6g idx=$idx%3d/" +
+          f"${cv.lambdas.length}%d active=$active%3d cvm(min)=$cvmMin%.6g " +
+          f"cvm(0)=${cv.cvm.head}%.6g cvm(last)=${cv.cvm.last}%.6g")
+      }
+      println(s"[probe] ${mode.getOrElse("master")} mean active over probed eqs = ${sumActive / 8.0}")
     }
-    println(s"[probe] mean active over probed eqs = ${sumActive / 8.0}")
+    // Full golden experiment under each CV fold-path mode: the raw error
+    // sum comparable to the recorded goldens (lag5/α0.4 → 0.00907...).
+    for (mode <- Seq(None, Some("index"), Some("lambda"))) {
+      val t0 = System.nanoTime()
+      val res = ModelTrain.run(y, GoldenExperiment.EzlassoAll.toIndexedSeq,
+        panel.startPredIdx, h = 8, alphas = Seq(alpha), lambdas = Seq.empty,
+        lag = lag, const = true, spark = Some(spark),
+        solverTol = BlockedCv.GlmnetEquivTol, cvFoldPaths = mode)
+      val total = Seq(1, 2, 4, 8).map(h => res.byHorizon(h).msfe).sum
+      val hLen = res.byHorizon(1).errors.length
+      println(f"[probe] cvmode=${mode.getOrElse("master")}%-6s raw err sum = " +
+        f"${total * hLen}%.9f  (${(System.nanoTime() - t0) / 1e9}%.0f s)")
+    }
 
     // Fixed-λ sensitivity: the best achievable raw error sum over a λ grid
     // bounds how much of the golden gap λ-SELECTION can explain.

@@ -174,8 +174,10 @@ object GoldenExperiment {
     */
   val EconVars2: Seq[String] = Seq("GDP", "FEDFUNDS", "CPIAUCSL")
 
-  /** Usage: runMain graft.experiment.GoldenExperiment [lag] [alpha] [tol] [colset] [method]
-    * colset ∈ {ezlasso, econ2}; method ∈ {enet, genet}.
+  /** Usage: runMain graft.experiment.GoldenExperiment [lag] [alpha] [tol] [colset] [method] [cvmode]
+    * colset ∈ {ezlasso, econ2}; method ∈ {enet, genet}; cvmode ∈ {master
+    * (one λ grid for all folds), index, lambda (per-fold glmnet auto paths,
+    * aligned by path position / by λ value — see BlockedCv.cvFitDesigns)}.
     */
   def main(args: Array[String]): Unit = {
     val lag = if (args.nonEmpty) args(0).toInt else 5
@@ -184,6 +186,7 @@ object GoldenExperiment {
               else graft.linalg.BlockedCv.GlmnetEquivTol
     val panelCols = if (args.length > 3 && args(3) == "econ2") EconVars2 else EzlassoAll
     val method = if (args.length > 4) args(4) else "enet"
+    val cvFoldPaths = if (args.length > 5 && args(5) != "master") Some(args(5)) else None
     val spark = buildSession()
     val panel = buildPanel(spark, panelCols)
     val y = panel.y
@@ -192,7 +195,8 @@ object GoldenExperiment {
     val t1 = System.nanoTime()
     val res = ModelTrain.run(y, panelCols.toIndexedSeq, startPredIdx,
       h = 8, alphas = Seq(alpha), lambdas = Seq.empty, lag = lag,
-      const = true, spark = Some(spark), solverTol = tol, method = method)
+      const = true, spark = Some(spark), solverTol = tol, method = method,
+      cvFoldPaths = cvFoldPaths)
     val wall = (System.nanoTime() - t1) / 1e9
     val msfes = Seq(1, 2, 4, 8).map(h => h -> res.byHorizon(h).msfe)
     val total = msfes.map(_._2).sum

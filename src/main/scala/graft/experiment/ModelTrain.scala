@@ -54,7 +54,8 @@ object ModelTrain {
       spark: Option[SparkSession] = None,
       rwQuirkOffByOne: Boolean = true,
       solverTol: Double = 1e-9,
-      method: String = "enet"): Result = {
+      method: String = "enet",
+      cvFoldPaths: Option[String] = None): Result = {
     require(method == "enet" || method == "genet",
       s"method must be enet|genet (reference modeltrain signature), got $method")
     val n = data.rows
@@ -66,38 +67,45 @@ object ModelTrain {
     // --- distributed per-origin refits -----------------------------------
     // method="genet" swaps the K per-equation fits for one joint
     // group-mgaussian fit (reference enetVAR.R:447-452), same forecast
-    // recursion downstream.
-    def fitOrigin(data: DenseMatrix[Double], i: Int): Array[Double] = {
+    // recursion downstream. The LAST origin's task also ships its fitted
+    // model back (a coefficient matrix plus the small design state — tens
+    // of KB): the reference's modeltrain returns the last refit's
+    // model/residuals, and refitting it on the driver after the job would
+    // double that origin's work (for genet, a full joint CV).
+    def fitOrigin(data: DenseMatrix[Double], i: Int): (Array[Double], Option[graft.varmodel.FittedVar]) = {
       val train = data(0 until i, ::).toDenseMatrix
-      val fc =
+      val model: graft.varmodel.FittedVar =
         if (method == "genet")
           // NOTE: `lambdas` is ignored for genet — the reference's
           // GroupEnetVAR always CV-selects λ (enetVAR.R:353-362).
           graft.varmodel.GroupEnetVar.fit(train, lag, names, alphas.head, const,
             solverTol = solverTol)
-            .forecast(h)
         else
-          EnetVar.fit(train, lag, names, alphas, lambdas, const, solverTol)
-            .forecast(h)
-      predInd.map(pi => fc(pi - 1, 0)).toArray
+          EnetVar.fit(train, lag, names, alphas, lambdas, const, solverTol,
+            cvFoldPaths)
+      val fc = model.forecast(h)
+      (predInd.map(pi => fc(pi - 1, 0)).toArray,
+        if (i == origins.last) Some(model) else None)
     }
 
-    val predCols: IndexedSeq[Array[Double]] = spark match {
-      case Some(s) =>
-        val bc = s.sparkContext.broadcast((data.toArray, data.rows, data.cols))
-        val slices = math.min(origins.length, s.sparkContext.defaultParallelism)
-        val fitted = s.sparkContext
-          .parallelize(origins, slices)
-          .map { i =>
-            val (arr, r, c) = bc.value
-            i -> fitOrigin(new DenseMatrix(r, c, arr), i)
-          }
-          .collect()
-        bc.destroy()
-        fitted.sortBy(_._1).map(_._2).toIndexedSeq
-      case None =>
-        origins.map(i => fitOrigin(data, i))
-    }
+    val fitted: IndexedSeq[(Array[Double], Option[graft.varmodel.FittedVar])] =
+      spark match {
+        case Some(s) =>
+          val bc = s.sparkContext.broadcast((data.toArray, data.rows, data.cols))
+          val slices = math.min(origins.length, s.sparkContext.defaultParallelism)
+          val collected = s.sparkContext
+            .parallelize(origins, slices)
+            .map { i =>
+              val (arr, r, c) = bc.value
+              i -> fitOrigin(new DenseMatrix(r, c, arr), i)
+            }
+            .collect()
+          bc.destroy()
+          collected.sortBy(_._1).map(_._2).toIndexedSeq
+        case None =>
+          origins.map(i => fitOrigin(data, i))
+      }
+    val predCols: IndexedSeq[Array[Double]] = fitted.map(_._1)
 
     // --- driver-side metric assembly (tiny) -------------------------------
     val y0 = data(::, 0)
@@ -141,14 +149,11 @@ object ModelTrain {
 
     // The reference's modeltrain returns the LAST refit's residuals/model
     // (enetVAR.R:488-489) — method-consistent: genet runs hand back the
-    // group fit, not a fresh per-equation one.
-    val lastModel: graft.varmodel.FittedVar = {
-      val train = data(0 until origins.last, ::).toDenseMatrix
-      if (method == "genet")
-        graft.varmodel.GroupEnetVar.fit(train, lag, names, alphas.head, const,
-          solverTol = solverTol)
-      else EnetVar.fit(train, lag, names, alphas, lambdas, const, solverTol)
-    }
+    // group fit, not a fresh per-equation one. The model comes out of the
+    // distributed pass itself (fitOrigin keeps origins.last's fit), not a
+    // duplicate driver-side refit.
+    val lastModel: graft.varmodel.FittedVar = fitted.last._2.getOrElse(
+      sys.error("last origin's task returned no model"))
     Result(byHorizon, lastModel.residuals, lastModel)
   }
 }

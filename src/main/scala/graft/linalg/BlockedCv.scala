@@ -72,42 +72,87 @@ object BlockedCv {
     CvDesigns(x, new CovDesign(x, intercept, standardize), folds)
   }
 
-  /** cv.glmnet-style CV over precomputed designs: the λ sequence is
-    * computed once on the FULL data, each fold refits the whole
-    * warm-started path on its training block-complement, held-out squared
-    * errors are pooled per observation, and `lambda.min` is the pooled-MSE
-    * argmin.
+  /** cv.glmnet-style CV over precomputed designs.
+    *
+    * Default mode (`foldPaths = None`): the λ sequence is computed once on
+    * the FULL data, each fold refits the whole warm-started path on its
+    * training block-complement AT those master λs, held-out squared errors
+    * are pooled per observation, and `lambda.min` is the pooled-MSE argmin.
+    *
+    * Per-fold-path mode (`foldPaths = Some(align)`) reproduces what
+    * `cv.glmnet(x, y, foldid)` with NO user λ actually does (the reference
+    * call, enetVAR.R:27-36): the master sequence is the full-data AUTO path
+    * with glmnet's early stopping (fdev/devmax — so the master grid ends
+    * where glmnet's would); each fold then fits its OWN auto path — own
+    * λmax, own lambda.min.ratio, own early stop — and fold predictions are
+    * aligned onto the master grid before pooling:
+    *  - `align = "index"`: fold path position m scores master λ_m, master
+    *    positions past the fold's stop point drop out of that λ's mean
+    *    (R's `predmat[which, seq(nlami)]` + `na.rm = TRUE` — the glmnet
+    *    2.0-era behavior contemporaneous with the reference, later named
+    *    `alignment = "fraction"`);
+    *  - `align = "lambda"`: fold predictions interpolated at the master λ
+    *    values via [[ElasticNet.Path.at]] (glmnet ≥ 4.0's default
+    *    `alignment = "lambda"` — `predict(fitobj, s = lambda)`).
     */
   def cvFitDesigns(
       ds: CvDesigns,
       y: DenseVector[Double],
       alpha: Double,
       nLambda: Int = 100,
-      tol: Double = 1e-9): CvResult = {
+      tol: Double = 1e-9,
+      foldPaths: Option[String] = None): CvResult = {
     val x = ds.x
     val n = x.rows
     val intercept = ds.full.intercept
-    val lambdas = ElasticNet.autoLambdaSequence(x, y, alpha, intercept,
-      ds.full.standardize, nLambda)
+    val perFold = foldPaths.isDefined
+    val align = foldPaths.getOrElse("")
+    require(!perFold || align == "index" || align == "lambda",
+      s"foldPaths must be index|lambda, got $align")
+
+    // Master sequence and full-data path. In per-fold mode the master path
+    // is fit FIRST with early stopping, and the CV grid is the (possibly
+    // truncated) sequence glmnet would actually have computed.
+    val autoLams = ElasticNet.autoLambdaSequenceCov(ds.full, y, alpha, nLambda)
+    val fullPath = ElasticNet.fitPathCov(ds.full, y, alpha, autoLams,
+      tol = tol, earlyStop = perFold)
+    val lambdas = fullPath.lambdas
     val sqErr = Array.fill(lambdas.length)(0.0)
+    val cnt = Array.fill(lambdas.length)(0L)
 
     for (fd <- ds.folds) {
       val yt = y(fd.trainIdx).toDenseVector
-      val path = ElasticNet.fitPathCov(fd.cov, yt, alpha, lambdas, tol = tol)
+      val path =
+        if (perFold) {
+          val foldLams = ElasticNet.autoLambdaSequenceCov(fd.cov, yt, alpha, nLambda)
+          ElasticNet.fitPathCov(fd.cov, yt, alpha, foldLams, tol = tol,
+            earlyStop = true)
+        } else ElasticNet.fitPathCov(fd.cov, yt, alpha, lambdas, tol = tol)
       var li = 0
       while (li < lambdas.length) {
-        val fit = path.fits(li)
-        for (i <- fd.testIdx) {
-          val pred = fit.intercept + (x(i, ::).t dot fit.beta)
-          val e = y(i) - pred
-          sqErr(li) += e * e
+        val fit =
+          if (!perFold) path.fits(li)
+          else if (align == "lambda") path.at(lambdas(li))
+          else if (li < path.fits.length) path.fits(li)
+          else null // fold path stopped before master position li → NA
+        if (fit != null) {
+          for (i <- fd.testIdx) {
+            val pred = fit.intercept + (x(i, ::).t dot fit.beta)
+            val e = y(i) - pred
+            sqErr(li) += e * e
+            cnt(li) += 1
+          }
         }
         li += 1
       }
     }
-    val cvm = sqErr.map(_ / n).toIndexedSeq
-    val best = cvm.zipWithIndex.minBy(_._1)._2
-    val fullPath = ElasticNet.fitPathCov(ds.full, y, alpha, lambdas, tol = tol)
+    // Pooled per-observation mean; in index-aligned per-fold mode a master
+    // position unreached by some folds averages over the observations that
+    // DO have predictions (R's weighted.mean(..., na.rm = TRUE)); a
+    // position reached by no fold is excluded from the argmin.
+    val cvm = lambdas.indices.map(li =>
+      if (cnt(li) == 0) Double.NaN else sqErr(li) / cnt(li))
+    val best = cvm.zipWithIndex.filterNot(_._1.isNaN).minBy(_._1)._2
     CvResult(lambdas, cvm, lambdas(best), fullPath)
   }
 

@@ -124,7 +124,8 @@ object ElasticNet {
       alpha: Double,
       lambdas: Seq[Double],
       maxIter: Int = 2000,
-      tol: Double = 1e-9): Path = {
+      tol: Double = 1e-9,
+      earlyStop: Boolean = false): Path = {
     val nRows = cov.nRows
     val p = cov.p
     val n = cov.n
@@ -154,7 +155,19 @@ object ElasticNet {
     val r = new Array[Double](nRows)
     val fits = IndexedSeq.newBuilder[Fit]
 
-    for (lambda <- lambdas) {
+    // glmnet path early-stopping state (Fortran elnet1's auto-path exit
+    // rules; a user-supplied path — flmin >= 1 — skips them, which is the
+    // earlyStop=false default here): null deviance Σ yw² (yw is centered
+    // exactly when an intercept/mean model is the null model) and the
+    // previous λ's dev.ratio.
+    val nulldev = { var s = 0.0; var i = 0; while (i < nRows) { s += yw(i) * yw(i); i += 1 }; s }
+    var rsqPrev = 0.0
+    var stopped = false
+
+    val lamSeq = lambdas.toIndexedSeq
+    var li = 0
+    while (li < lamSeq.length && !stopped) {
+      val lambda = lamSeq(li)
       // Exact refresh of r and cᵢ at the λ boundary: r = yw − Σ x̃ⱼβⱼ.
       System.arraycopy(yw, 0, r, 0, nRows)
       var j = 0
@@ -215,9 +228,41 @@ object ElasticNet {
       // Back to the original scale: β_orig = β_std / scale.
       val bOrig = cov.toOriginal(beta)
       fits += Fit(lambda, cov.interceptFor(bOrig, yMean), bOrig)
+
+      // glmnet auto-path exit rules (JSS 2010; glmnet.control factory
+      // defaults fdev=1e-5, devmax=0.999): after RECORDING the fit at λ_m,
+      // stop when the fractional dev.ratio gain over λ_{m-1} is below fdev,
+      // or dev.ratio exceeds devmax — the λ tail glmnet never computes.
+      if (earlyStop && nulldev > 0.0) {
+        var rss = 0.0
+        System.arraycopy(yw, 0, r, 0, nRows)
+        var jj2 = 0
+        while (jj2 < p) {
+          val bj = beta(jj2)
+          if (bj != 0.0) {
+            val base = jj2 * nRows
+            var i = 0
+            while (i < nRows) { r(i) -= xArr(base + i) * bj; i += 1 }
+          }
+          jj2 += 1
+        }
+        var i = 0
+        while (i < nRows) { rss += r(i) * r(i); i += 1 }
+        val rsq = 1.0 - rss / nulldev
+        stopped = rsq > GlmnetDevMax || (rsq - rsqPrev) < GlmnetFDev * rsq
+        rsqPrev = rsq
+      }
+      li += 1
     }
     Path(alpha, fits.result())
   }
+
+  /** glmnet.control factory defaults governing auto-path early stopping:
+    * minimum fractional deviance-ratio gain per λ step, and the dev.ratio
+    * ceiling.
+    */
+  val GlmnetFDev: Double = 1e-5
+  val GlmnetDevMax: Double = 0.999
 
   /** Single-λ convenience: fits the reference's 10-point warm-up grid
     * `seq(2λ, λ/2, length.out = 10)` (enetVAR.R:24) and returns the exact-λ
@@ -268,6 +313,36 @@ object ElasticNet {
     lmax = lmax / a
     if (lmax <= 0) lmax = 1e-3
     val eps = if (n > p) 1e-4 else 1e-2
+    val logMax = math.log(lmax)
+    val logMin = math.log(lmax * eps)
+    (0 until nLambda).map(i => math.exp(logMax + (logMin - logMax) * i / (nLambda - 1)))
+  }
+
+  /** [[autoLambdaSequence]] over a precomputed [[CovDesign]]: λmax =
+    * maxⱼ |⟨x̃ⱼ, ỹ⟩|/(N·max(α, 0.001)) read straight off the design's
+    * standardized columns — same value, no re-standardization. This is what
+    * each CV FOLD calls in per-fold-path mode: glmnet's cv.glmnet (with no
+    * user λ) hands every fold fit lambda=NULL, so each fold derives its own
+    * λmax and lambda.min.ratio from its own rows.
+    */
+  def autoLambdaSequenceCov(
+      cov: CovDesign,
+      y: DenseVector[Double],
+      alpha: Double,
+      nLambda: Int = 100): IndexedSeq[Double] = {
+    val n = cov.n
+    val yMean = if (cov.intercept) sum(y) / n else 0.0
+    val yw = if (cov.intercept) (y - yMean).toArray else y.toArray
+    var lmax = 0.0
+    var j = 0
+    while (j < cov.p) {
+      val g = math.abs(cov.colDot(j, yw))
+      if (g > lmax) lmax = g
+      j += 1
+    }
+    lmax = lmax / math.max(alpha, 0.001)
+    if (lmax <= 0) lmax = 1e-3
+    val eps = if (n > cov.p) 1e-4 else 1e-2
     val logMax = math.log(lmax)
     val logMin = math.log(lmax * eps)
     (0 until nLambda).map(i => math.exp(logMax + (logMin - logMax) * i / (nLambda - 1)))

@@ -111,7 +111,8 @@ object EnetVar {
       alphas: Seq[Double] = Seq(0.4),
       lambdas: Seq[Double] = Seq.empty,
       intercept: Boolean = false,
-      solverTol: Double = 1e-9): EnetVarModel = {
+      solverTol: Double = 1e-9,
+      cvFoldPaths: Option[String] = None): EnetVarModel = {
     val design = VarDesign.build(y, p, names, intercept)
     val kk = design.n
     def alphaOf(j: Int) = if (alphas.length == 1) alphas.head else alphas(j)
@@ -128,7 +129,8 @@ object EnetVar {
         ElasticNet.fitPathCov(covZ, yj, alphaOf(j),
           ElasticNet.referenceLambdaGrid(lam), tol = solverTol).at(lam)
       } else {
-        val cv = BlockedCv.cvFitDesigns(cvDs, yj, alphaOf(j), tol = solverTol)
+        val cv = BlockedCv.cvFitDesigns(cvDs, yj, alphaOf(j), tol = solverTol,
+          foldPaths = cvFoldPaths)
         cv.path.at(cv.lambdaMin)
       }
     }

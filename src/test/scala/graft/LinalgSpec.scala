@@ -158,4 +158,53 @@ class LinalgSpec extends AnyFunSuite {
     val bOls = (x.t * x) \ (x.t * y)
     assert(maxAbsDiff(best.beta, bOls) < 0.05)
   }
+
+  test("autoLambdaSequenceCov agrees with the matrix-based sequence") {
+    for (intercept <- Seq(true, false)) {
+      val a = ElasticNet.autoLambdaSequence(x, y, 0.5, intercept, standardize = true, 20)
+      val cov = new graft.linalg.CovDesign(x, intercept, standardize = true)
+      val b = ElasticNet.autoLambdaSequenceCov(cov, y, 0.5, 20)
+      assert(a.length == b.length)
+      a.zip(b).foreach { case (u, v) =>
+        assert(math.abs(u - v) <= 1e-12 * math.max(1.0, u), s"intercept=$intercept")
+      }
+    }
+  }
+
+  test("glmnet early stopping truncates the path and is a prefix of the full path") {
+    val cov = new graft.linalg.CovDesign(x, false, true)
+    val lams = ElasticNet.autoLambdaSequenceCov(cov, y, 0.5, 100)
+    val full = ElasticNet.fitPathCov(cov, y, 0.5, lams)
+    val es = ElasticNet.fitPathCov(cov, y, 0.5, lams, earlyStop = true)
+    // Near-noiseless signal: dev.ratio crosses 0.999 long before λ_100.
+    assert(es.fits.length < full.fits.length,
+      s"expected truncation, got ${es.fits.length}/${full.fits.length}")
+    // The computed prefix must be identical — early stop only cuts the tail.
+    es.fits.zip(full.fits).foreach { case (a, b) =>
+      assert(a.lambda == b.lambda && maxAbsDiff(a.beta, b.beta) == 0.0)
+    }
+    // At the stop point the fit explains ≥ devmax of the variance OR the
+    // last step's fractional deviance gain was below fdev.
+    val last = es.fits.last
+    val r = y - x * last.beta
+    val devRatio = 1.0 - (r dot r) / (y dot y)
+    assert(devRatio > 0.99)
+  }
+
+  test("per-fold glmnet CV (index and lambda alignment) selects a sane lambda") {
+    val ds = BlockedCv.designs(x, BlockedCv.foldIds(x.rows))
+    val bOls = (x.t * x) \ (x.t * y)
+    for (align <- Seq("index", "lambda")) {
+      val cv = BlockedCv.cvFitDesigns(ds, y, alpha = 0.5, foldPaths = Some(align))
+      assert(cv.lambdas.contains(cv.lambdaMin), align)
+      // Master grid is the early-stopped auto path — truncated on this
+      // near-noiseless signal.
+      assert(cv.lambdas.length < 100, align)
+      assert(cv.path.lambdas == cv.lambdas, align)
+      val idx = cv.lambdas.indexOf(cv.lambdaMin)
+      assert(!cv.cvm(idx).isNaN, align)
+      // Strong dense signal: the selected fit must still be near-OLS.
+      assert(maxAbsDiff(cv.path.at(cv.lambdaMin).beta, bOls) < 0.05, align)
+    }
+  }
 }
