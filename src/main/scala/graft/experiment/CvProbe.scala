@@ -67,7 +67,8 @@ object CvProbe {
           f"${cv.lambdas.length}%d active=$active%3d cvm(min)=$cvmMin%.6g " +
           f"cvm(0)=${cv.cvm.head}%.6g cvm(last)=${cv.cvm.last}%.6g")
       }
-      println(s"[probe] ${mode.getOrElse("master")} mean active over probed eqs = ${sumActive / 8.0}")
+      val probed = math.min(design.n, 8)
+      println(s"[probe] ${mode.getOrElse("master")} mean active over probed eqs = ${sumActive.toDouble / probed}")
     }
     // Full golden experiment under each CV fold-path mode: the raw error
     // sum comparable to the recorded goldens (lag5/α0.4 → 0.00907...).

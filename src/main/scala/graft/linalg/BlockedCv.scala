@@ -128,11 +128,16 @@ object BlockedCv {
           ElasticNet.fitPathCov(fd.cov, yt, alpha, foldLams, tol = tol,
             earlyStop = true)
         } else ElasticNet.fitPathCov(fd.cov, yt, alpha, lambdas, tol = tol)
+      // λ-value alignment interpolates the whole fold path onto the master
+      // grid in ONE descending two-pointer walk — Path.at per master λ would
+      // be an O(nλ²) scan per fold inside the equations × origins loops.
+      val lambdaAligned: Array[ElasticNet.Fit] =
+        if (perFold && align == "lambda") alignOnto(path, lambdas) else null
       var li = 0
       while (li < lambdas.length) {
         val fit =
           if (!perFold) path.fits(li)
-          else if (align == "lambda") path.at(lambdas(li))
+          else if (align == "lambda") lambdaAligned(li)
           else if (li < path.fits.length) path.fits(li)
           else null // fold path stopped before master position li → NA
         if (fit != null) {
@@ -154,6 +159,43 @@ object BlockedCv {
       if (cnt(li) == 0) Double.NaN else sqErr(li) / cnt(li))
     val best = cvm.zipWithIndex.filterNot(_._1.isNaN).minBy(_._1)._2
     CvResult(lambdas, cvm, lambdas(best), fullPath)
+  }
+
+  /** Interpolate a fitted fold path at every master λ in one simultaneous
+    * walk of the two DESCENDING sequences — same semantics as calling
+    * [[ElasticNet.Path.at]] per point (exact λ match wins, clamp outside the
+    * fold range, linear interpolation between brackets) at O(nλ_master +
+    * nλ_fold) instead of O(nλ_master · nλ_fold).
+    */
+  private[graft] def alignOnto(
+      path: ElasticNet.Path,
+      master: IndexedSeq[Double]): Array[ElasticNet.Fit] = {
+    val fits = path.fits
+    val ls = path.lambdas
+    val last = ls.length - 1
+    val out = new Array[ElasticNet.Fit](master.length)
+    var hi = 0 // fold-path cursor: ls(hi) ≥ s > ls(hi+1) once inside range
+    var mi = 0
+    while (mi < master.length) {
+      val s = master(mi)
+      out(mi) =
+        if (s >= ls.head) fits.head
+        else if (s <= ls(last)) fits(last)
+        else {
+          while (hi + 1 < last && ls(hi + 1) >= s) hi += 1
+          if (ls(hi) == s) fits(hi)
+          else {
+            val lo = hi + 1
+            val l1 = ls(hi); val l0 = ls(lo)
+            val w = (s - l0) / (l1 - l0)
+            ElasticNet.Fit(s,
+              w * fits(hi).intercept + (1 - w) * fits(lo).intercept,
+              fits(hi).beta * w + fits(lo).beta * (1 - w))
+          }
+        }
+      mi += 1
+    }
+    out
   }
 
   /** Single-equation convenience: builds the designs fresh (prefer

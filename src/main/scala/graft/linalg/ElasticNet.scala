@@ -230,9 +230,11 @@ object ElasticNet {
       fits += Fit(lambda, cov.interceptFor(bOrig, yMean), bOrig)
 
       // glmnet auto-path exit rules (JSS 2010; glmnet.control factory
-      // defaults fdev=1e-5, devmax=0.999): after RECORDING the fit at λ_m,
-      // stop when the fractional dev.ratio gain over λ_{m-1} is below fdev,
-      // or dev.ratio exceeds devmax — the λ tail glmnet never computes.
+      // defaults fdev=1e-5, devmax=0.999, mnlam=5): after RECORDING the fit
+      // at λ_m, stop when the fractional dev.ratio gain over λ_{m-1} is
+      // below fdev, or dev.ratio exceeds devmax — the λ tail glmnet never
+      // computes. No exit is taken before the 5th λ (mnlam), so a
+      // zero-progress warm-started sweep near λmax can't truncate the path.
       if (earlyStop && nulldev > 0.0) {
         var rss = 0.0
         System.arraycopy(yw, 0, r, 0, nRows)
@@ -249,7 +251,8 @@ object ElasticNet {
         var i = 0
         while (i < nRows) { rss += r(i) * r(i); i += 1 }
         val rsq = 1.0 - rss / nulldev
-        stopped = rsq > GlmnetDevMax || (rsq - rsqPrev) < GlmnetFDev * rsq
+        stopped = li >= GlmnetMnLam - 1 &&
+          (rsq > GlmnetDevMax || (rsq - rsqPrev) < GlmnetFDev * rsq)
         rsqPrev = rsq
       }
       li += 1
@@ -263,6 +266,11 @@ object ElasticNet {
     */
   val GlmnetFDev: Double = 1e-5
   val GlmnetDevMax: Double = 0.999
+
+  /** glmnet.control factory default `mnlam = 5`: minimum number of path
+    * points recorded before any auto-path exit rule may fire.
+    */
+  val GlmnetMnLam: Int = 5
 
   /** Single-λ convenience: fits the reference's 10-point warm-up grid
     * `seq(2λ, λ/2, length.out = 10)` (enetVAR.R:24) and returns the exact-λ

@@ -191,6 +191,36 @@ class LinalgSpec extends AnyFunSuite {
     assert(devRatio > 0.99)
   }
 
+  test("early stopping never exits before mnlam=5 path points") {
+    // A pure-noise response converges immediately: without the mnlam guard
+    // the zero-progress fdev rule would truncate the path at the 2nd λ.
+    val yNoise = TestData.vector(60, seed = 99L)
+    val cov = new graft.linalg.CovDesign(x, false, true)
+    val lams = ElasticNet.autoLambdaSequenceCov(cov, yNoise, 0.5, 100)
+    val es = ElasticNet.fitPathCov(cov, yNoise, 0.5, lams,
+      tol = BlockedCv.GlmnetEquivTol, earlyStop = true)
+    assert(es.fits.length >= ElasticNet.GlmnetMnLam,
+      s"stopped after ${es.fits.length} < mnlam points")
+  }
+
+  test("two-pointer alignOnto matches Path.at at every master lambda") {
+    val cov = new graft.linalg.CovDesign(x, false, true)
+    val foldLams = ElasticNet.autoLambdaSequenceCov(cov, y, 0.5, 40)
+    val path = ElasticNet.fitPathCov(cov, y, 0.5, foldLams, earlyStop = true)
+    // Master grid deliberately misaligned: wider range than the fold path
+    // (clamping at both ends), plus exact hits on fold grid points.
+    val master = (ElasticNet.autoLambdaSequenceCov(cov, y, 0.5, 57)
+      .map(_ * 1.7) ++ Seq(path.lambdas(3), path.lambdas.last / 2.0))
+      .sorted(Ordering[Double].reverse).toIndexedSeq
+    val aligned = BlockedCv.alignOnto(path, master)
+    master.indices.foreach { i =>
+      val ref = path.at(master(i))
+      assert(aligned(i).lambda == ref.lambda, s"i=$i")
+      assert(math.abs(aligned(i).intercept - ref.intercept) == 0.0, s"i=$i")
+      assert(maxAbsDiff(aligned(i).beta, ref.beta) == 0.0, s"i=$i")
+    }
+  }
+
   test("per-fold glmnet CV (index and lambda alignment) selects a sane lambda") {
     val ds = BlockedCv.designs(x, BlockedCv.foldIds(x.rows))
     val bOls = (x.t * x) \ (x.t * y)
