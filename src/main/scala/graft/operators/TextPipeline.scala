@@ -46,6 +46,53 @@ object TextPipeline {
       .select(col("doc_id"), expr("substring(text, i, 5)").as("s"))
       .distinct()
 
+  /** MinHash band buckets per document — the d3 core, shared with the
+    * composed d5 pipeline: 8 signatures as 8 aggregate columns of ONE
+    * groupBy over raw shingle positions (min() absorbs duplicate shingles,
+    * so no shingle-dedup shuffle), banded 4×2 with an order-free band
+    * bucket md5(min ‖ max). Columns: doc_id, band, bucket.
+    */
+  private def minhashBandBuckets(docs: DataFrame): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), col("text"),
+        explode(expr("sequence(1, greatest(char_length(text) - 4, 1))")).as("i"))
+      .select(col("doc_id"), expr("md5(substring(text, i, 5))").as("dg"))
+    val mhCols = (0 to 7).map(i =>
+      min(expr(s"substring(concat(dg, dg), ${i * 4 + 1}, 16)")).as(s"mh$i"))
+    val sigs = sh.groupBy(col("doc_id")).agg(mhCols.head, mhCols.tail: _*)
+    val bands = (0 to 3).map(b =>
+      s"$b, md5(concat(least(mh${2 * b}, mh${2 * b + 1}), greatest(mh${2 * b}, mh${2 * b + 1})))")
+      .mkString(", ")
+    sigs.select(col("doc_id"), expr(s"stack(4, $bands) AS (band, bucket)"))
+  }
+
+  /** Composed near-dup pipeline over a (doc_id, text) relation: MinHash
+    * band-bucket collisions generate candidate pairs, exact shingle-Jaccard
+    * verifies them. Columns: doc_a, doc_b, common, jaccard (≥ minJaccard).
+    */
+  private[graft] def nearDupPairs(docs: DataFrame, minJaccard: Double): DataFrame = {
+    val buckets = minhashBandBuckets(docs)
+    val cand = buckets.as("x").join(buckets.as("y"), Seq("band", "bucket"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val sh = shingles(docs.join(candDocs, Seq("doc_id"), "left_semi"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val common = cand
+      .join(sh.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(sh.as("b"), col("doc_b") === col("b.doc_id") && col("a.s") === col("b.s"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "n_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("common"),
+        (col("common") / (col("n_a") + col("n_b") - col("common"))).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
   /** Codegen'd dot product of two Array[Float] columns (elements cast to
     * double before arithmetic so both engines multiply identical values).
     */
@@ -189,26 +236,10 @@ object TextPipeline {
       // estimator, and sharing one digest is an 8× CPU saving over 8
       // independent md5 calls), banded 4×2; band bucket = md5(min || max of
       // the band's two signatures) — order-free. Near-dups collide on
-      // (band, bucket); candidate pairs then go through d2's verify.
-      // The 8 family members are 8 AGGREGATE COLUMNS of ONE groupBy(doc_id)
-      // — no row explosion: (docs × shingles) rows feed the aggregate once,
-      // not 8×, and banding is a 4-row stack per doc (constant), so the
-      // whole query is ONE hash-aggregate over the raw shingle positions:
-      // min() is idempotent under duplicates, so the shingle-dedup shuffle
-      // d2 needs (it counts) is skipped here entirely.
-      val sh = Tables.documents(s, d)
-        .select(col("doc_id"), col("text"),
-          explode(expr("sequence(1, greatest(char_length(text) - 4, 1))")).as("i"))
-        .select(col("doc_id"), expr("md5(substring(text, i, 5))").as("dg"))
-      val mhCols = (0 to 7).map(i =>
-        min(expr(s"substring(concat(dg, dg), ${i * 4 + 1}, 16)")).as(s"mh$i"))
-      val sigs = sh.groupBy(col("doc_id")).agg(mhCols.head, mhCols.tail: _*)
-      val bands = (0 to 3).map(b =>
-        s"$b, md5(concat(least(mh${2 * b}, mh${2 * b + 1}), greatest(mh${2 * b}, mh${2 * b + 1})))")
-        .mkString(", ")
-      sigs
-        .select(col("doc_id"),
-          expr(s"stack(4, $bands) AS (band, bucket)"))
+      // (band, bucket); candidate pairs then go through d2's verify —
+      // composed end-to-end in d5. See [[minhashBandBuckets]] for why this
+      // is ONE hash-aggregate over raw shingle positions.
+      minhashBandBuckets(Tables.documents(s, d))
         .orderBy(col("doc_id"), col("band"))
     }, Some(
       """WITH sh AS (
@@ -260,6 +291,54 @@ object TextPipeline {
                 cast(sum(CASE WHEN vote > 0 THEN cast(1 AS bigint) << j
                     ELSE cast(0 AS bigint) END) AS bigint) AS simhash
          FROM bits GROUP BY 1 ORDER BY 1""")),
+
+    ("d5_neardup_pipeline", (s: SparkSession, d: String) => {
+      // The composed full-corpus near-dup pipeline, end-to-end in ONE plan:
+      // d3's band buckets → candidate pairs (self-join on (band, bucket) —
+      // per-bucket work, never corpus²; distinct because a true near-dup
+      // pair usually collides in several bands) → d2's exact shingle-
+      // Jaccard verify, with shingling semi-join-bounded to candidate docs
+      // only. At 100 TB the quadratic stage touches only bucket-sized
+      // groups and the verify stage only the (tiny) candidate doc set.
+      nearDupPairs(Tables.documents(s, d), minJaccard = 0.5)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }, Some(
+      """WITH sh0 AS (
+           SELECT DISTINCT doc_id, md5(substr(text, i, 5)) AS dg FROM (
+             SELECT doc_id, text,
+                    unnest(generate_series(1, greatest(length(text) - 4, 1))) AS i
+             FROM documents)),
+         sig AS (
+           SELECT doc_id, h.i AS i,
+                  min(substr(dg || dg, h.i * 4 + 1, 16)) AS mh
+           FROM sh0, generate_series(0, 7) h(i) GROUP BY 1, 2),
+         buck AS (
+           SELECT doc_id, cast(i // 2 AS int) AS band,
+                  md5(min(mh) || max(mh)) AS bucket
+           FROM sig GROUP BY 1, 2),
+         cand AS (
+           SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+           FROM buck x JOIN buck y
+             ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+         sh AS (
+           SELECT DISTINCT doc_id, substr(text, i, 5) AS s FROM (
+             SELECT doc_id, text,
+                    unnest(generate_series(1, greatest(length(text) - 4, 1))) AS i
+             FROM documents)),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         com AS (
+           SELECT c.doc_a, c.doc_b, count(*) AS common
+           FROM cand c
+           JOIN sh a ON a.doc_id = c.doc_a
+           JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+           GROUP BY 1, 2)
+         SELECT m.doc_a, m.doc_b, m.common,
+                m.common * 1.0 / (sa.n + sb.n - m.common) AS jaccard
+         FROM com m
+         JOIN sizes sa ON sa.doc_id = m.doc_a
+         JOIN sizes sb ON sb.doc_id = m.doc_b
+         WHERE m.common * 1.0 / (sa.n + sb.n - m.common) >= 0.5
+         ORDER BY 1, 2""")),
 
     // ----- embedding similarity ------------------------------------------
 

@@ -67,6 +67,33 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"candidate set not pruned: $nCands of ${3 * n} pairs")
   }
 
+  test("nearDupPairs: planted near-duplicates survive the composed bucket->verify plan") {
+    // End-to-end d5 check: docs 100/101 are near-identical (one word edit),
+    // 102/103 are exact duplicates, the rest are distinct. The composed
+    // pipeline must surface both planted pairs via band-bucket collision +
+    // Jaccard >= 0.5, and nothing else.
+    val s = spark
+    import s.implicits._
+    val base = "the quick brown fox jumps over the lazy dog while the band plays on"
+    val docs = (Seq(
+      (100L, base),
+      (101L, base.replace("lazy", "idle")),
+      (102L, "exact duplicate content for the pair of documents here"),
+      (103L, "exact duplicate content for the pair of documents here")) ++
+      (0L until 20L).map { i =>
+        // Genuinely distinct fillers: per-doc vocabulary, no shared phrasing
+        // (a shared template would be a real >0.5-Jaccard near-dup cluster).
+        val rnd = new scala.util.Random(i * 7919 + 13)
+        (i, Seq.fill(12)(rnd.alphanumeric.take(3 + rnd.nextInt(6)).mkString).mkString(" "))
+      })
+      .toDF("doc_id", "text")
+    val got = TextPipeline.nearDupPairs(docs, minJaccard = 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((100L, 101L)), s"near-dup pair missed: $got")
+    assert(got.contains((102L, 103L)), s"exact-dup pair missed: $got")
+    assert(got.forall(p => p._1 >= 100L), s"false positives: $got")
+  }
+
   test("winnow: identical texts share all fingerprints; disjoint texts share none") {
     val a = TextFunctions.winnow("the quick brown fox jumps over the lazy dog", 5, 4)
     val b = TextFunctions.winnow("the quick brown fox jumps over the lazy dog", 5, 4)
