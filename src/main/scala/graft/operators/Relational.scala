@@ -81,6 +81,31 @@ object Relational {
       """SELECT o_orderpriority, count(*) AS n_orders, sum(o_totalprice) AS total
          FROM orders GROUP BY 1 ORDER BY 1""")),
 
+    ("s4_tuning_import", (s: SparkSession, d: String) => {
+      // Tuning-parameter import round-trip (SURVEY S4; reference
+      // Testing.R:223-225 reads a pre-tuned 2×K α/λ workbook into
+      // modeltrain). A deterministic per-equation (α, λ) table derived from
+      // the nation dim stands in for the workbook; it goes out through the
+      // typed TuningIO parquet sink and back through the schema-enforced
+      // reader, and the re-read frame is what the oracle recomputes
+      // relationally. The collect is a 25-row dim table — the import is
+      // driver-side by design (it feeds per-equation solver vectors).
+      val tuned = graft.sources.Tables.nation(s, d)
+        .select(col("n_name").as("equation"),
+          ((col("n_nationkey").cast("double") % 20.0) / 20.0).as("alpha"),
+          ((col("n_nationkey").cast("double") + 1.0) / 1000.0).as("lambda"))
+        .collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+        .sortBy(_._1).toSeq
+      val tmp = s"$csvScratchRoot/${java.util.UUID.randomUUID()}"
+      graft.sources.TuningIO.write(s, tmp, tuned)
+      graft.sources.TuningIO.read(s, tmp).orderBy(col("equation"))
+    }, Some(
+      """SELECT n_name AS equation,
+                (cast(n_nationkey AS double) % 20.0) / 20.0 AS alpha,
+                (cast(n_nationkey AS double) + 1.0) / 1000.0 AS lambda
+         FROM nation ORDER BY 1""")),
+
     // ----- P: projections / filters ---------------------------------------
 
     ("p1_column_drop", (s: SparkSession, d: String) => {
