@@ -23,17 +23,67 @@ import org.apache.spark.sql.SparkSession
   * fits all K·19 warm-started λ paths on it, each path scoring ALL λs in a
   * single pass (glmnet's trick) — so the heavy per-fit work is shared
   * K·19-fold within a task, and tasks are farmed with `spark.parallelize`
-  * over a broadcast design. Per-origin RMSE arrays return to the driver
-  * (tasks × |λ| doubles, ~11 MB at the full 19×200 grid) and are folded
-  * there in origin order — deliberately NOT reduceByKey, which would sum
-  * doubles in shuffle-arrival order and drift a ulp from the sequential
-  * path (SparkParitySpec pins exact distributed==sequential parity).
+  * over a broadcast design. Per-origin RMSE arrays are folded in origin
+  * order — deliberately NOT reduceByKey, which would sum doubles in
+  * shuffle-arrival order and drift a ulp from the sequential path — by
+  * default ON THE EXECUTORS (segment-partitioned, origin-sorted sequential
+  * fold; the driver collects only K × |α| summed arrays), with the
+  * historical collect-everything driver fold behind `driverFold`
+  * (SparkParitySpec pins all three paths bit-identical).
   */
 object RollingOriginTuner {
 
   final case class Best(equation: Int, alpha: Double, lambda: Double, meanRmse: Double)
 
   final case class Grid(alphas: Seq[Double], lambdas: Seq[Double])
+
+  /** Driver/sequential fold: group per-origin RMSE arrays by (equation, α)
+    * and sum them origin-ascending.
+    */
+  private def foldInOriginOrder(
+      results: Seq[((Int, Double, Int), Array[Double])]): Map[(Int, Double), Array[Double]] =
+    results
+      .groupBy { case ((j, a, _), _) => (j, a) }
+      .view.mapValues { group =>
+        group.sortBy(_._1._3).map(_._2).reduce { (x, y) =>
+          x.zip(y).map { case (u, v) => u + v }
+        }
+      }.toMap
+
+  /** Executor-side segment fold over a partition whose composite keys
+    * ((equation, α), origin) are sorted: each segment's origins arrive
+    * consecutively ascending, so a single sequential pass reproduces the
+    * driver fold's summation order exactly.
+    */
+  private def foldSortedSegments(
+      it: Iterator[(((Int, Double), Int), Array[Double])]): Iterator[((Int, Double), Array[Double])] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[((Int, Double), Array[Double])]
+    var cur: (Int, Double) = null
+    var acc: Array[Double] = null
+    for (((seg, _), rmse) <- it) {
+      if (cur == null || cur != seg) {
+        if (cur != null) out += ((cur, acc))
+        cur = seg
+        acc = rmse.clone()
+      } else {
+        var i = 0
+        while (i < acc.length) { acc(i) += rmse(i); i += 1 }
+      }
+    }
+    if (cur != null) out += ((cur, acc))
+    out.iterator
+  }
+
+  /** Routes a composite ((equation, α), origin) key by its segment so every
+    * segment lands wholly in one partition for the sorted sequential fold.
+    */
+  private class SegmentPartitioner(override val numPartitions: Int)
+      extends org.apache.spark.Partitioner {
+    override def getPartition(key: Any): Int = {
+      val h = key.asInstanceOf[((Int, Double), Int)]._1.hashCode % numPartitions
+      if (h < 0) h + numPartitions else h
+    }
+  }
 
   /** The reference's caret grid: α ∈ .05..(.95) step .05, λ = 10^seq(1, −4,
     * length 200) (enetVAR.R:556-557). Descending λ for warm starts.
@@ -56,7 +106,8 @@ object RollingOriginTuner {
       grid: Grid,
       names: IndexedSeq[String] = IndexedSeq.empty,
       spark: Option[SparkSession] = None,
-      tol: Double = 1e-9): IndexedSeq[Best] = {
+      tol: Double = 1e-9,
+      driverFold: Boolean = false): IndexedSeq[Best] = {
     val design = VarDesign.build(y, p, names, intercept = false)
     val t = design.tReduced
     require(initWindow < t - horizon + 1, s"initWindow=$initWindow too large for T=$t")
@@ -90,36 +141,47 @@ object RollingOriginTuner {
       }
     }
 
-    // Per-origin results come back keyed and are folded in ORIGIN ORDER on
-    // the driver: a reduceByKey would sum doubles in shuffle-arrival order
-    // and the distributed result would drift a ulp from the sequential one
-    // (SparkParitySpec pins exact parity). The driver-side payload is
-    // tasks × |λ| doubles — ~11 MB even at the reference's full 19×200
-    // grid — while the heavy path fits stay on the executors.
-    val taskResults: Seq[((Int, Double, Int), Array[Double])] = spark match {
+    // Per-(equation, α) RMSE sums, always folded in ORIGIN ORDER — a
+    // reduceByKey would sum doubles in shuffle-arrival order and drift a
+    // ulp from the sequential path (SparkParitySpec pins exact parity).
+    // Distributed default: the fold itself runs on EXECUTORS — composite
+    // keys ((j, α), origin) are partitioned by segment and sorted within
+    // partitions, so each segment's origins arrive consecutively ascending
+    // and fold sequentially; the driver then collects only K × |α| summed
+    // arrays (~1 MB at the reference grid) instead of origins × K × |α|
+    // (~11 MB there, ~GB at a 100× scale-up). `driverFold = true` keeps the
+    // historical collect-then-fold path; both produce bit-identical sums
+    // (same fold order, different host).
+    val perAlpha: Map[(Int, Double), Array[Double]] = spark match {
       case Some(s) =>
         val bc = s.sparkContext.broadcast(
           (design.z.toArray, design.z.rows, design.z.cols,
             design.yP.toArray, design.yP.rows, design.yP.cols))
         val slices = math.min(origins.length, s.sparkContext.defaultParallelism * 4)
-        val collected = s.sparkContext.parallelize(origins, slices)
+        val perOrigin = s.sparkContext.parallelize(origins, slices)
           .flatMap { o =>
             val (za, zr, zc, ya, yr, yc) = bc.value
             runOrigin(new DenseMatrix(zr, zc, za), new DenseMatrix(yr, yc, ya))(o)
           }
-          .collect().toSeq
+        val folded =
+          if (driverFold) foldInOriginOrder(perOrigin.collect().toSeq)
+          else {
+            val segs = design.n * grid.alphas.length
+            val parts = math.max(1, math.min(segs, s.sparkContext.defaultParallelism))
+            perOrigin
+              .map { case ((j, a, o), rmse) => (((j, a), o), rmse) }
+              .repartitionAndSortWithinPartitions(new SegmentPartitioner(parts))
+              .mapPartitions(foldSortedSegments, preservesPartitioning = true)
+              .collect().toMap
+          }
         bc.destroy()
-        collected
+        folded
       case None =>
-        origins.flatMap(runOrigin(design.z, design.yP))
+        foldInOriginOrder(origins.flatMap(runOrigin(design.z, design.yP)))
     }
-    val perAlpha: Map[(Int, Double), Array[Double]] = taskResults
-      .groupBy { case ((j, a, _), _) => (j, a) }
-      .view.mapValues { group =>
-        group.sortBy(_._1._3).map(_._2).reduce { (x, y) =>
-          x.zip(y).map { case (u, v) => u + v }
-        }
-      }.toMap
+
+    require(perAlpha.size == design.n * grid.alphas.length,
+      s"tuner fold lost segments: ${perAlpha.size} of ${design.n * grid.alphas.length}")
 
     val nOrigins = origins.length.toDouble
     (0 until design.n).map { j =>
