@@ -119,17 +119,24 @@ object GoldenExperiment {
   /** Column-set-independent half of buildPanel: ingest, quarterly diffs,
     * Testing.R-variant repair, GDP log-diffs — run ONCE per session for
     * multi-model workloads.
+    *
+    * @param exclude series dropped from the working set BEFORE repair —
+    *                Main.R:93's own "NONBORRES should probably be exluded"
+    *                note; exclusion can change OTHER columns' transforms
+    *                because the repair loop's iteration count and stuck
+    *                condition depend on the whole non-stationary set.
     */
-  def prepare(spark: SparkSession): Prepared = {
+  def prepare(spark: SparkSession, exclude: Set[String] = Set.empty): Prepared = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_PANEL_DIR", "data/panel")
     // Collect the monthly panel column-wise (696×146 — P9 dematerialize).
     val monthlyDf = PanelIngest.loadMonthly(spark, s"$dir/monthly_panel.parquet")
       .orderBy("date")
     val mRows = monthlyDf.collect()
-    val names = PanelIngest.seriesNames
-    val monthly: Map[String, Array[Double]] = names.zipWithIndex.map { case (n, j) =>
-      n -> mRows.map(r => if (r.isNullAt(j + 1)) Double.NaN else r.getDouble(j + 1))
-    }.toMap
+    val monthly: Map[String, Array[Double]] = PanelIngest.seriesNames.zipWithIndex
+      .collect { case (n, j) if !exclude.contains(n) =>
+        n -> mRows.map(r => if (r.isNullAt(j + 1)) Double.NaN else r.getDouble(j + 1))
+      }.toMap
+    val names = PanelIngest.seriesNames.filterNot(exclude.contains)
 
     // W1+A1: quarterly sums of monthly first differences.
     def diffs(xs: Array[Double]): Array[Double] =

@@ -228,7 +228,22 @@ object Selection {
       alpha: Double,
       initWindow: Int,
       maxNrVar: Int = 10,
-      signedRanking: Boolean = true): Seq[String] = {
+      signedRanking: Boolean = true): Seq[String] =
+    lassoPathScores(z, yTarget, predictorNames, alpha, initWindow, signedRanking)
+      .take(maxNrVar).map(_._1)
+
+  /** The full ranked (name, score) list behind [[lassoPathRanking]] — the
+    * stable descending sort mirrors R's `order(co, decreasing = T)` tie
+    * behavior (ties keep column order), which the provenance check on the
+    * reference's hardcoded ezlasso-30 set needs to reproduce exactly.
+    */
+  def lassoPathScores(
+      z: DenseMatrix[Double],
+      yTarget: DenseVector[Double],
+      predictorNames: IndexedSeq[String],
+      alpha: Double,
+      initWindow: Int,
+      signedRanking: Boolean = true): IndexedSeq[(String, Double)] = {
     val lambdas = (0 until 100).map(i => math.pow(10.0, 2.0 - 4.0 * i / 99))
     val origins = initWindow until z.rows
     // Rolling-origin (horizon 1) score per λ at the given α.
@@ -249,6 +264,6 @@ object Selection {
       val c = fit.beta(j)
       predictorNames(j) -> (if (signedRanking) c else math.abs(c))
     }
-    scored.sortBy(-_._2).take(maxNrVar).map(_._1)
+    scored.sortBy(-_._2)
   }
 }

@@ -15,11 +15,14 @@ import pyarrow.parquet as pq
 
 def _sortkey(x):
     # Round floats before stringifying so FP noise cannot reorder
-    # nearly-equal rows differently on the Spark vs oracle side.
+    # nearly-equal rows differently on the Spark vs oracle side. The key is
+    # quantized COARSER (8 significant digits) than val_eq's 1e-9 relative
+    # tolerance: a key at exactly tolerance granularity can split two values
+    # the comparator deems equal onto different sides of a sort boundary.
     if x is None:
         return (True, "")
     if isinstance(x, float):
-        return (False, f"{x:.9g}")
+        return (False, f"{x:.8g}")
     return (False, str(x))
 
 def canon(rows, colnames):
