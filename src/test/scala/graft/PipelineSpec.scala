@@ -94,6 +94,32 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.forall(p => p._1 >= 100L), s"false positives: $got")
   }
 
+  test("SortedLongIntersectCount matches size(array_intersect) on random sorted sets") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(31L)
+    val rows = Seq.tabulate(200) { i =>
+      val a = Seq.fill(1 + rnd.nextInt(40))(rnd.nextInt(60).toLong).distinct.sorted
+      val b = Seq.fill(1 + rnd.nextInt(40))(rnd.nextInt(60).toLong).distinct.sorted
+      (i, a, b)
+    }
+    val df = rows.toDF("id", "a", "b")
+    val cnt = org.apache.spark.sql.GraftExpressionBridge.column(
+      graft.functions.SortedLongIntersectCount(
+        org.apache.spark.sql.GraftExpressionBridge.expression(col("a")),
+        org.apache.spark.sql.GraftExpressionBridge.expression(col("b"))))
+    val bad = df.select(col("id"), cnt.as("fast"),
+        size(array_intersect(col("a"), col("b"))).cast("long").as("ref"))
+      .filter(col("fast") =!= col("ref"))
+      .count()
+    assert(bad == 0L)
+    // Empty-array edge: intersect with an empty set is 0, not null.
+    val edge = Seq((0, Seq.empty[Long], Seq(1L, 2L))).toDF("id", "a", "b")
+      .select(cnt.as("fast")).collect()
+    assert(edge.head.getLong(0) == 0L)
+  }
+
   test("winnow: identical texts share all fingerprints; disjoint texts share none") {
     val a = TextFunctions.winnow("the quick brown fox jumps over the lazy dog", 5, 4)
     val b = TextFunctions.winnow("the quick brown fox jumps over the lazy dog", 5, 4)
