@@ -21,10 +21,13 @@ import graft.tune.RollingOriginTuner
   * forecast-evaluation era; we keep the tuned run leakage-free and report
   * the gap honestly.
   *
-  * Usage: runMain graft.experiment.GoldenTune [lag] [initWindow] [span] [horizon]
+  * Usage: runMain graft.experiment.GoldenTune [lag] [initWindow] [span] [horizon] [mode]
   *   span ∈ {train (default, leakage-free), full (the reference's visible
   *   caret calls pass the full series, so resamples cross into the
-  *   evaluation era)}.
+  *   evaluation era)};
+  *   mode ∈ {grid (default: fit the 200-λ grid directly), caret (what
+  *   caret's glmnet method actually executes — auto path per resample,
+  *   grid λs scored by interpolation; see RollingOriginTuner.tune)}.
   */
 object GoldenTune {
   def main(args: Array[String]): Unit = {
@@ -32,6 +35,7 @@ object GoldenTune {
     val initWindow = if (args.length > 1) args(1).toInt else 100
     val span = if (args.length > 2) args(2) else "train"
     val horizon = if (args.length > 3) args(3).toInt else 8
+    val caretMode = args.length > 4 && args(4) == "caret"
     val spark = GoldenExperiment.buildSession()
     val panel = GoldenExperiment.buildPanel(spark)
     val names = GoldenExperiment.EzlassoAll.toIndexedSeq
@@ -42,11 +46,12 @@ object GoldenTune {
       if (span == "full") panel.y
       else panel.y(0 until panel.startPredIdx, ::).toDenseMatrix
     println(s"[tune] tuning span ${yTrain.rows}×${yTrain.cols} ($span), lag=$lag, " +
-      s"grid=19α×200λ, initWindow=$initWindow, horizon=$horizon")
+      s"grid=19α×200λ, initWindow=$initWindow, horizon=$horizon, " +
+      s"mode=${if (caretMode) "caret-submodels" else "direct-grid"}")
     val t0 = System.nanoTime()
     val best = RollingOriginTuner.tune(yTrain, lag, initWindow, horizon,
       RollingOriginTuner.referenceGrid(), names, spark = Some(spark),
-      tol = graft.linalg.BlockedCv.GlmnetEquivTol)
+      tol = graft.linalg.BlockedCv.GlmnetEquivTol, caretSubmodels = caretMode)
     val tuneWall = (System.nanoTime() - t0) / 1e9
     best.take(6).foreach(b => println(
       f"[tune]   eq${b.equation}%2d (${names(b.equation)}%-16s) alpha=${b.alpha}%.2f " +

@@ -53,6 +53,12 @@ object TextPipeline {
     * bucket md5(min ‖ max). Columns: doc_id, band, bucket.
     */
   private def minhashBandBuckets(docs: DataFrame): DataFrame = {
+    // 8 signature mins as 8 aggregate columns of ONE groupBy over raw
+    // shingle positions (min absorbs duplicate shingles — no shingle-dedup
+    // shuffle). A fully row-local variant (array_min over transform'd
+    // rotation arrays, no explode/aggregate) was measured SLOWER: the 8
+    // per-row array materializations cost more than the Tungsten hash
+    // aggregate they replace.
     val sh = docs
       .select(col("doc_id"), col("text"),
         explode(expr("sequence(1, greatest(char_length(text) - 4, 1))")).as("i"))
@@ -110,9 +116,11 @@ object TextPipeline {
       .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
     // Distinct shingle digests per doc as ONE set-valued column of 60-bit
-    // longs (15-hex-char md5 prefix — the digests already computed for
-    // minhashing stand in for raw shingles with identical collision
-    // classes in both engines).
+    // longs (15-hex-char md5 prefix — same collision classes the oracle
+    // counts). explode + collect_set measured FASTER than a row-local
+    // transform/array_distinct/sort_array chain (same reason as the
+    // signature aggregate: per-row array churn beats Tungsten aggregation
+    // only on paper).
     val docSh = docs
       .select(col("doc_id"), col("text"),
         explode(expr("sequence(1, greatest(char_length(text) - 4, 1))")).as("i"))

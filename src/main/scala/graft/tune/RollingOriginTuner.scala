@@ -97,6 +97,16 @@ object RollingOriginTuner {
     *             for reference-grid runs (caret's glmnet fits run at
     *             thresh 1e-7, and the 200-λ grid reaches λ=1e-4 where
     *             tighter tolerances grind on collinear designs).
+    * @param caretSubmodels fit what caret's glmnet method ACTUALLY fits:
+    *             one AUTO λ path per (α, resample) — glmnet's own sequence
+    *             with early stopping, `lambda` never passed through — and
+    *             score the grid λs by linear interpolation on that path
+    *             (caret's submodel `predict(s = lambda)`; clamped outside
+    *             the path range like `approx(rule = 2)`). The default fits
+    *             the user grid directly — same estimator family, but not
+    *             what `train(method = "glmnet")` executes; the submodel
+    *             mode is also cheaper (≤100 early-stopped λs vs the full
+    *             200-λ grid per fit).
     */
   def tune(
       y: DenseMatrix[Double],
@@ -107,7 +117,8 @@ object RollingOriginTuner {
       names: IndexedSeq[String] = IndexedSeq.empty,
       spark: Option[SparkSession] = None,
       tol: Double = 1e-9,
-      driverFold: Boolean = false): IndexedSeq[Best] = {
+      driverFold: Boolean = false,
+      caretSubmodels: Boolean = false): IndexedSeq[Best] = {
     val design = VarDesign.build(y, p, names, intercept = false)
     val t = design.tReduced
     require(initWindow < t - horizon + 1, s"initWindow=$initWindow too large for T=$t")
@@ -126,8 +137,16 @@ object RollingOriginTuner {
         a <- grid.alphas
       } yield {
         val yTrain = yp(0 until o, j).toDenseVector
-        val path = ElasticNet.fitPathCov(cov, yTrain, a, lambdas, tol = tol)
-        val rmse = path.fits.map { fit =>
+        val fitsAtGrid: IndexedSeq[ElasticNet.Fit] =
+          if (caretSubmodels) {
+            val autoLams = ElasticNet.autoLambdaSequenceCov(cov, yTrain, a)
+            val path = ElasticNet.fitPathCov(cov, yTrain, a, autoLams,
+              tol = tol, earlyStop = true)
+            graft.linalg.BlockedCv.alignOnto(path, lambdas).toIndexedSeq
+          } else {
+            ElasticNet.fitPathCov(cov, yTrain, a, lambdas, tol = tol).fits
+          }
+        val rmse = fitsAtGrid.map { fit =>
           var sse = 0.0
           var r = o
           while (r < o + horizon) {

@@ -40,6 +40,25 @@ class TuneSpec extends AnyFunSuite {
     assert(best.forall(b => b.meanRmse > 0))
   }
 
+  test("M15 caret-submodels mode tunes to a winner close to the direct-grid one") {
+    val y = predictivePanel(70, seed = 21L)
+    val grid = RollingOriginTuner.Grid(
+      Seq(0.1, 0.5, 0.9), (0 until 30).map(i => math.pow(10.0, 0.0 - 4.0 * i / 29)))
+    val direct = RollingOriginTuner.tune(y, p = 1, initWindow = 30, horizon = 4,
+      grid, IndexedSeq("gdp", "x1", "x2"))
+    val caret = RollingOriginTuner.tune(y, p = 1, initWindow = 30, horizon = 4,
+      grid, IndexedSeq("gdp", "x1", "x2"), caretSubmodels = true)
+    assert(caret.length == 3)
+    // Interpolated submodels are a different estimator at each grid point,
+    // so winners need not be identical — but on a near-noiseless signal
+    // both modes must agree that little shrinkage wins, with similar RMSE.
+    val d0 = direct.find(_.equation == 0).get
+    val c0 = caret.find(_.equation == 0).get
+    assert(c0.lambda < 0.1, s"caret-mode lambda ${c0.lambda}")
+    assert(math.abs(c0.meanRmse - d0.meanRmse) < 0.05,
+      s"caret ${c0.meanRmse} vs direct ${d0.meanRmse}")
+  }
+
   test("M15 reference grid shape: 19 alphas x 200 lambdas spanning 10^1..10^-4") {
     val g = RollingOriginTuner.referenceGrid()
     assert(g.alphas.length == 19)
