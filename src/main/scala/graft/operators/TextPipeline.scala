@@ -198,6 +198,87 @@ object TextPipeline {
       .groupBy(col("vec_id"), col("embedding"), col("t"))
       .agg(sum(expr("CASE WHEN proj > 0 THEN shiftleft(1, p) ELSE 0 END")).as("bucket"))
 
+  /** IVF (inverted-file) ANN search — the centroid-quantized scale path
+    * complementing the hyperplane-LSH one: a deterministic Lloyd's k-means
+    * coarse quantizer (init = the `nlist` lowest-vec_id vectors, fixed
+    * iteration count, no RNG — reruns reproduce), every vector assigned to
+    * its max-cosine centroid's inverted list, queries probing the `nprobe`
+    * nearest lists and ranking exactly inside them. Columns: q_id, vec_id,
+    * cosine, rank.
+    *
+    * Scale posture: quantizer state is nlist × dim doubles (driver +
+    * broadcast — tiny); training is `iters` passes of (map-side assign via
+    * broadcast centroids → per-(cid, dim) avg); search shuffles only the
+    * probed lists' candidates, never corpus². Cluster sizes are data-
+    * dependent (unlike LSH buckets), which is what makes IVF the right
+    * trade when the corpus clusters naturally.
+    */
+  private[graft] def ivfSearch(
+      e: DataFrame,
+      qPred: Column,
+      k: Int,
+      nlist: Int,
+      nprobe: Int,
+      iters: Int): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
+
+    val dotCE =
+      expr("aggregate(zip_with(embedding, cent, (x, y) -> cast(x as double) * y), 0D, (acc, v) -> acc + v)")
+    val normC = sqrt(expr("aggregate(cent, 0D, (acc, v) -> acc + v * v)"))
+    val normE = sqrt(dot("embedding", "embedding"))
+
+    def assign(cents: Seq[(Int, Seq[Double])]): DataFrame =
+      e.crossJoin(broadcast(cents.toDF("cid", "cent")))
+        .select(col("vec_id"), col("embedding"), col("cid"),
+          (dotCE / (normC * normE)).as("ccos"))
+        .groupBy(col("vec_id"), col("embedding"))
+        .agg(max_by(col("cid"), col("ccos")).as("cid"))
+
+    // Lloyd iterations: assignment is map-side against broadcast
+    // centroids; the update collects only nlist × dim averaged doubles.
+    var cents: Seq[(Int, Seq[Double])] = e.orderBy(col("vec_id")).limit(nlist)
+      .select(col("embedding")).collect().toSeq
+      .zipWithIndex.map { case (r, i) =>
+        i -> r.getSeq[Float](0).map(_.toDouble)
+      }
+    for (_ <- 0 until iters) {
+      val updated = assign(cents)
+        .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(avg(col("v").cast("double")).as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (cid, rows) =>
+          cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+        }
+      // An emptied cluster keeps its previous centroid.
+      cents = cents.map { case (cid, old) => cid -> updated.getOrElse(cid, old) }
+    }
+
+    val lists = assign(cents)
+    val q = lists.filter(qPred)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val probed = q.crossJoin(broadcast(cents.toDF("cid", "cent")))
+      .select(col("q_id"), col("q_emb"), col("cid"),
+        (expr("aggregate(zip_with(q_emb, cent, (x, y) -> cast(x as double) * y), 0D, (acc, v) -> acc + v)") /
+          (normC * sqrt(dot("q_emb", "q_emb")))).as("ccos"))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("ccos").desc, col("cid"))))
+      .filter(col("crank") <= nprobe)
+      .select(col("q_id"), col("q_emb"), col("cid"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    probed.join(lists, "cid")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (dot("q_emb", "embedding") /
+          (sqrt(dot("q_emb", "q_emb")) * sqrt(dot("embedding", "embedding"))))
+          .as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** LSH-bucketed ANN search: queries = vectors with q_pred true. Candidate
     * generation is an equi-join on (table, bucket) — at 100 TB a shuffle on
     * a small key space, never corpus² — deduped across tables, then exact
@@ -514,6 +595,18 @@ object TextPipeline {
           count(col("lsh_vec_id")).as("n_hits"))
         .withColumn("recall", col("n_hits") / col("n_exact"))
         .orderBy(col("q_id"))
+    }, None),
+
+    ("e6_ann_ivf_search", (s: SparkSession, d: String) => {
+      // The second ANN scale path: IVF — deterministic k-means coarse
+      // quantizer (16 lists, 2 Lloyd iterations), queries probe their 4
+      // nearest lists, exact top-3 inside. Rows-only (centroid training
+      // is not SQL-expressible; rank boundaries aren't oracle-stable);
+      // search QUALITY is gated by the planted-near-duplicate recall test
+      // in PipelineSpec, and the exact-cosine kernel is hash-checked by e1.
+      ivfSearch(Tables.embeddings(s, d), col("vec_id") < 3, k = 3,
+        nlist = 16, nprobe = 4, iters = 2)
+        .orderBy(col("q_id"), col("rank"))
     }, None),
 
     // ----- text analysis --------------------------------------------------

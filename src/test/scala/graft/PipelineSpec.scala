@@ -67,6 +67,34 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"candidate set not pruned: $nCands of ${3 * n} pairs")
   }
 
+  test("ivfSearch: planted near-duplicates are recalled at rank 1; probing prunes the corpus") {
+    // Same quality gate as lshSearch: on a corpus with 3 planted
+    // near-duplicate pairs (cosine ≈ 0.999), IVF with 8 lists and 2 probes
+    // must put each planted neighbor at rank 1 — near-identical vectors
+    // land in the same (or a probed) Voronoi cell for ANY trained
+    // quantizer, so a broken assignment or probe join fails this
+    // deterministically while random corpora would mask it.
+    val s = spark
+    import s.implicits._
+    val dim = 16
+    val n = 120
+    val g = new TestData.Lcg(11L)
+    val base = Array.tabulate(n)(_ => Array.fill(dim)(g.gaussian().toFloat))
+    for (q <- 0 until 3)
+      base(q) = base(10 + q).map(v => v + 0.02f * g.gaussian().toFloat)
+    val df = base.zipWithIndex.map { case (e, i) => (i.toLong, e) }.toSeq
+      .toDF("vec_id", "embedding")
+    val res = TextPipeline.ivfSearch(df, col("vec_id") < 3, k = 3,
+      nlist = 8, nprobe = 2, iters = 2)
+    val top1 = res.filter(col("rank") === 1).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    for (q <- 0L until 3L) {
+      val (nbr, cos) = top1(q)
+      assert(nbr == 10L + q, s"query $q: expected planted neighbor ${10 + q}, got $nbr")
+      assert(cos > 0.99, s"query $q: cosine $cos")
+    }
+  }
+
   test("nearDupPairs: planted near-duplicates survive the composed bucket->verify plan") {
     // End-to-end d5 check: docs 100/101 are near-identical (one word edit),
     // 102/103 are exact duplicates, the rest are distinct. The composed
