@@ -53,19 +53,26 @@ object TextPipeline {
     * bucket md5(min ‖ max). Columns: doc_id, band, bucket.
     */
   private def minhashBandBuckets(docs: DataFrame): DataFrame = {
-    // 8 signature mins as 8 aggregate columns of ONE groupBy over raw
-    // shingle positions (min absorbs duplicate shingles — no shingle-dedup
-    // shuffle). A fully row-local variant (array_min over transform'd
-    // rotation arrays, no explode/aggregate) was measured SLOWER: the 8
-    // per-row array materializations cost more than the Tungsten hash
-    // aggregate they replace.
+    // All 8 signature mins in ONE custom aggregate ([[graft.functions
+    // .MinHash8]]: the digest parses once to a 128-bit pair, rotations are
+    // bit-shift windows, mins are unsigned long compares) over raw shingle
+    // positions — min absorbs duplicate shingles, so no shingle-dedup
+    // shuffle. Earlier forms, kept for the record: 8 string-min aggregate
+    // columns (8 substring allocations + memcmps per row — what MinHash8
+    // replaces, byte-identical output), and a fully row-local array_min/
+    // transform variant that measured SLOWER than the Tungsten aggregate
+    // (per-row array churn).
     val sh = docs
       .select(col("doc_id"), col("text"),
         explode(expr("sequence(1, greatest(char_length(text) - 4, 1))")).as("i"))
       .select(col("doc_id"), expr("md5(substring(text, i, 5))").as("dg"))
-    val mhCols = (0 to 7).map(i =>
-      min(expr(s"substring(concat(dg, dg), ${i * 4 + 1}, 16)")).as(s"mh$i"))
-    val sigs = sh.groupBy(col("doc_id")).agg(mhCols.head, mhCols.tail: _*)
+    import org.apache.spark.sql.GraftExpressionBridge
+    val mhs = GraftExpressionBridge.column(
+      graft.functions.MinHash8(GraftExpressionBridge.expression(col("dg")))
+        .toAggregateExpression()).as("mhs")
+    val sigs = sh.groupBy(col("doc_id")).agg(mhs)
+      .select(col("doc_id") +:
+        (0 to 7).map(i => element_at(col("mhs"), i + 1).as(s"mh$i")): _*)
     val bands = (0 to 3).map(b =>
       s"$b, md5(concat(least(mh${2 * b}, mh${2 * b + 1}), greatest(mh${2 * b}, mh${2 * b + 1})))")
       .mkString(", ")

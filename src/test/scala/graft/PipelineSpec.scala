@@ -122,6 +122,33 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.forall(p => p._1 >= 100L), s"false positives: $got")
   }
 
+  test("MinHash8 aggregate is byte-identical to the 8 string-min columns") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    // Random 5-char shingles over many groups, duplicates included.
+    val rnd = new scala.util.Random(17L)
+    val rows = Seq.tabulate(3000) { i =>
+      (i % 40).toLong -> rnd.alphanumeric.take(5).mkString
+    }
+    val sh = rows.toDF("doc_id", "t").select(col("doc_id"), md5(col("t")).as("dg"))
+    val ref = sh.groupBy(col("doc_id")).agg(
+      (0 to 7).map(i =>
+        min(expr(s"substring(concat(dg, dg), ${i * 4 + 1}, 16)")).as(s"mh$i")).head,
+      (0 to 7).map(i =>
+        min(expr(s"substring(concat(dg, dg), ${i * 4 + 1}, 16)")).as(s"mh$i")).tail: _*)
+    val fast = {
+      import org.apache.spark.sql.GraftExpressionBridge
+      val mhs = GraftExpressionBridge.column(
+        graft.functions.MinHash8(GraftExpressionBridge.expression(col("dg")))
+          .toAggregateExpression()).as("mhs")
+      sh.groupBy(col("doc_id")).agg(mhs)
+        .select(col("doc_id") +:
+          (0 to 7).map(i => element_at(col("mhs"), i + 1).as(s"mh$i")): _*)
+    }
+    assert(fast.exceptAll(ref).count() == 0L && ref.exceptAll(fast).count() == 0L)
+  }
+
   test("SortedLongIntersectCount matches size(array_intersect) on random sorted sets") {
     val s = spark
     import s.implicits._
