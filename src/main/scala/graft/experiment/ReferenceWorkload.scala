@@ -46,7 +46,8 @@ object ReferenceWorkload {
 
       // M9 on the training span; FPE (index 0) excluded like Main.R:202.
       val sel = LagSelect.select(trainY, maxLag = 30, alpha = 0.25,
-        intercept = false, names = names, solverTol = tol)
+        intercept = false, names = names, solverTol = tol,
+        spark = Some(spark))
       val icLags = Seq("AIC", "HQ", "SC").map(sel.icLag)
       val lags = Seq(icLags.min, icLags.max).distinct
       println(s"[workload] $label (${cols.size} vars): IC lags AIC/HQ/SC = " +
@@ -54,9 +55,13 @@ object ReferenceWorkload {
 
       for (lag <- lags) {
         val t1 = System.nanoTime()
+        // caret-submodels mode: what train(method = "glmnet") actually
+        // executes per resample (auto path + grid interpolation) — and the
+        // reason the reference burned ~6 h here is NOT this trick's absence
+        // (caret uses it too) but its per-fit R overhead.
         val best = RollingOriginTuner.tune(trainY, lag, initWindow = 40,
           horizon = 8, RollingOriginTuner.referenceGrid(), names,
-          spark = Some(spark), tol = tol)
+          spark = Some(spark), tol = tol, caretSubmodels = true)
         val alphas = best.map(_.alpha)
         val lambdas = best.map(_.lambda)
         val tuneWall = (System.nanoTime() - t1) / 1e9

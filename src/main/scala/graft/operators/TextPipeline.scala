@@ -400,24 +400,21 @@ object TextPipeline {
       // 32-bit SimHash over distinct tokens: bit plane j votes ±1 by the
       // high bit of md5-hex nibble j (portable: hex char ∈ 89abcdef);
       // simhash = Σ 2^j over positive planes. Hamming-near simhashes ≈
-      // near-dup texts. The 32 planes are 32 AGGREGATE COLUMNS of one
-      // groupBy(doc_id) over the distinct-token relation (one md5 per
-      // token, no 32× row explosion), then one projection folds the vote
-      // signs into the simhash long.
-      val votes = (0 to 31).map(j =>
-        sum(expr(
-          s"CASE WHEN instr('89abcdef', substring(dg, ${j + 1}, 1)) > 0 THEN 1 ELSE -1 END"))
-          .as(s"v$j"))
+      // near-dup texts. All 32 planes live in ONE custom aggregate
+      // ([[graft.functions.SimHash32Agg]] — each digest parses once,
+      // replacing 32 substring+instr CASE columns per row with 32 int
+      // bumps; byte-identical output, pinned in PipelineSpec) over the
+      // distinct-token relation (one md5 per token, no 32× row explosion).
+      import org.apache.spark.sql.GraftExpressionBridge
+      val sh = GraftExpressionBridge.column(
+        graft.functions.SimHash32Agg(GraftExpressionBridge.expression(col("dg")))
+          .toAggregateExpression()).as("simhash")
       Tables.documents(s, d)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
         .distinct()
         .select(col("doc_id"), md5(col("t")).as("dg"))
         .groupBy(col("doc_id"))
-        .agg(votes.head, votes.tail: _*)
-        .select(col("doc_id"),
-          (0 to 31).map(j =>
-            when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-            .reduce(_ + _).as("simhash"))
+        .agg(sh)
         .orderBy(col("doc_id"))
     }, Some(
       """WITH tok AS (

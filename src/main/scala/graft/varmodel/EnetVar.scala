@@ -103,6 +103,13 @@ object EnetVar {
     *
     * @param alphas  one α per equation, or a single value used for all
     * @param lambdas one λ per equation / single value; empty → blocked CV
+    * @param spark   when set, the K independent per-equation fits run as a
+    *                Spark job, one task per equation, each rebuilding the
+    *                (deterministic) designs task-locally — bit-identical to
+    *                the sequential path (SparkParitySpec) since equations
+    *                never read each other's state. Leave None inside
+    *                already-distributed callers (e.g. ModelTrain's
+    *                per-origin tasks).
     */
   def fit(
       y: DenseMatrix[Double],
@@ -112,18 +119,20 @@ object EnetVar {
       lambdas: Seq[Double] = Seq.empty,
       intercept: Boolean = false,
       solverTol: Double = 1e-9,
-      cvFoldPaths: Option[String] = None): EnetVarModel = {
+      cvFoldPaths: Option[String] = None,
+      spark: Option[org.apache.spark.sql.SparkSession] = None): EnetVarModel = {
     val design = VarDesign.build(y, p, names, intercept)
     val kk = design.n
     def alphaOf(j: Int) = if (alphas.length == 1) alphas.head else alphas(j)
-    // All K equations share the design matrix Z — so standardization, fold
-    // splits and Gram rows are computed ONCE here and reused across
-    // equations (and across their λ paths), not rebuilt per fit.
-    lazy val covZ = new graft.linalg.CovDesign(design.z, intercept, true)
-    lazy val cvDs = BlockedCv.designs(design.z, BlockedCv.foldIds(design.z.rows),
-      intercept)
-    val fits = IndexedSeq.tabulate(kk) { j =>
-      val yj = design.response(j)
+
+    // One equation's fit against shared designs (standardization, fold
+    // splits, lazily-cached Gram rows — built once per process/task and
+    // reused across that scope's equations and λ paths).
+    def fitOne(
+        covZ: => graft.linalg.CovDesign,
+        cvDs: => BlockedCv.CvDesigns,
+        yj: DenseVector[Double],
+        j: Int): ElasticNet.Fit =
       if (lambdas.nonEmpty) {
         val lam = if (lambdas.length == 1) lambdas.head else lambdas(j)
         ElasticNet.fitPathCov(covZ, yj, alphaOf(j),
@@ -133,6 +142,30 @@ object EnetVar {
           foldPaths = cvFoldPaths)
         cv.path.at(cv.lambdaMin)
       }
+
+    val fits: IndexedSeq[ElasticNet.Fit] = spark match {
+      case Some(s) if kk > 1 =>
+        val bc = s.sparkContext.broadcast((y.toArray, y.rows, y.cols))
+        val slices = math.min(kk, s.sparkContext.defaultParallelism)
+        val collected = s.sparkContext.parallelize(0 until kk, slices)
+          .mapPartitions { it =>
+            val (ya, yr, yc) = bc.value
+            val d = VarDesign.build(new DenseMatrix(yr, yc, ya), p,
+              names, intercept)
+            lazy val covZ = new graft.linalg.CovDesign(d.z, intercept, true)
+            lazy val cvDs = BlockedCv.designs(d.z,
+              BlockedCv.foldIds(d.z.rows), intercept)
+            it.map(j => j -> fitOne(covZ, cvDs, d.response(j), j))
+          }
+          .collect()
+        bc.destroy()
+        val byEq = collected.toMap
+        IndexedSeq.tabulate(kk)(byEq)
+      case _ =>
+        lazy val covZ = new graft.linalg.CovDesign(design.z, intercept, true)
+        lazy val cvDs = BlockedCv.designs(design.z,
+          BlockedCv.foldIds(design.z.rows), intercept)
+        IndexedSeq.tabulate(kk)(j => fitOne(covZ, cvDs, design.response(j), j))
     }
     EnetVarModel(design, alphaOf(0), fits)
   }

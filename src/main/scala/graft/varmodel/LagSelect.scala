@@ -33,13 +33,17 @@ object LagSelect {
       alpha: Double = 0.25,
       intercept: Boolean = false,
       names: IndexedSeq[String] = IndexedSeq.empty,
-      solverTol: Double = 1e-9): Selection = {
+      solverTol: Double = 1e-9,
+      spark: Option[org.apache.spark.sql.SparkSession] = None): Selection = {
     val table = IndexedSeq.newBuilder[InfCrit.Criteria]
     var history = Vector.empty[InfCrit.Criteria]
     var p = 1
     var stop = false
     while (p <= maxLag && !stop) {
-      val model = EnetVar.fit(y, p, names, Seq(alpha), Seq.empty, intercept, solverTol)
+      // The p-loop stays sequential (the early-stop rule reads the IC
+      // history) but each lag's K equation CVs fan out as Spark tasks.
+      val model = EnetVar.fit(y, p, names, Seq(alpha), Seq.empty, intercept,
+        solverTol, spark = spark)
       val ic = InfCrit(model)
       history :+= ic
       table += ic

@@ -149,6 +149,34 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fast.exceptAll(ref).count() == 0L && ref.exceptAll(fast).count() == 0L)
   }
 
+  test("SimHash32Agg is byte-identical to the 32 CASE-vote columns") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(23L)
+    val rows = Seq.tabulate(2000) { i =>
+      (i % 30).toLong -> rnd.alphanumeric.take(4 + rnd.nextInt(6)).mkString
+    }.distinct
+    val tok = rows.toDF("doc_id", "t").select(col("doc_id"), md5(col("t")).as("dg"))
+    val votes = (0 to 31).map(j =>
+      sum(expr(
+        s"CASE WHEN instr('89abcdef', substring(dg, ${j + 1}, 1)) > 0 THEN 1 ELSE -1 END"))
+        .as(s"v$j"))
+    val ref = tok.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        (0 to 31).map(j =>
+          when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+    val fast = {
+      import org.apache.spark.sql.GraftExpressionBridge
+      val sh = GraftExpressionBridge.column(
+        graft.functions.SimHash32Agg(GraftExpressionBridge.expression(col("dg")))
+          .toAggregateExpression()).as("simhash")
+      tok.groupBy(col("doc_id")).agg(sh)
+    }
+    assert(fast.exceptAll(ref).count() == 0L && ref.exceptAll(fast).count() == 0L)
+  }
+
   test("SortedLongIntersectCount matches size(array_intersect) on random sorted sets") {
     val s = spark
     import s.implicits._

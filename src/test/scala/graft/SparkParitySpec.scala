@@ -73,6 +73,17 @@ class SparkParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(local == distDriverFold)
   }
 
+  test("M3 EnetVar: Spark per-equation fits == sequential, exactly") {
+    val y = panel(60, seed = 43L)
+    for (lambdas <- Seq(Seq.empty[Double], Seq(0.05))) {
+      val local = graft.varmodel.EnetVar.fit(y, p = 2,
+        IndexedSeq("a", "b"), Seq(0.4), lambdas)
+      val dist = graft.varmodel.EnetVar.fit(y, p = 2,
+        IndexedSeq("a", "b"), Seq(0.4), lambdas, spark = Some(spark))
+      assert(local.equations == dist.equations, s"lambdas=$lambdas")
+    }
+  }
+
   test("M10 preselection: Spark candidate sweep == sequential") {
     val g = new TestData.Lcg(45L)
     val base = panel(70, seed = 47L)
