@@ -64,9 +64,14 @@ object ReferenceWorkloadLarge {
         .filter(l => trainY.rows - l > 60)
       for (lag <- lags) {
         val t1 = System.nanoTime()
+        // caret-submodels tuning — what train(method = "glmnet") actually
+        // executes per resample. Measured AFTER the round-6 solveAt JIT
+        // fix (solo runs): caret 194 s vs direct-grid 314 s end-to-end
+        // here; pre-fix A/B numbers were confounded by the regression,
+        // which penalized the auto-path fits hardest.
         val best = RollingOriginTuner.tune(trainY, lag, initWindow = 40,
           horizon = 8, RollingOriginTuner.referenceGrid(), names,
-          spark = Some(spark), tol = tol)
+          spark = Some(spark), tol = tol, caretSubmodels = true)
         val tuneWall = (System.nanoTime() - t1) / 1e9
         val t2 = System.nanoTime()
         val res = ModelTrain.run(panel.y, names, panel.startPredIdx, h = 8,

@@ -168,63 +168,7 @@ object ElasticNet {
     var li = 0
     while (li < lamSeq.length && !stopped) {
       val lambda = lamSeq(li)
-      // Exact refresh of r and cᵢ at the λ boundary: r = yw − Σ x̃ⱼβⱼ.
-      System.arraycopy(yw, 0, r, 0, nRows)
-      var j = 0
-      while (j < p) {
-        val bj = beta(j)
-        if (bj != 0.0) {
-          val base = j * nRows
-          var i = 0
-          while (i < nRows) { r(i) -= xArr(base + i) * bj; i += 1 }
-        }
-        j += 1
-      }
-      j = 0
-      while (j < p) { cv(j) = cov.colDot(j, r); j += 1 }
-
-      val l1 = lambda * alpha
-      val l2 = lambda * (1.0 - alpha)
-      var iter = 0
-      var clean = false
-      while (!clean && iter < maxIter) {
-        // Inner sweeps over the ever-active set.
-        var delta = Double.MaxValue
-        while (delta > effTol && iter < maxIter) {
-          delta = 0.0
-          iter += 1
-          var j = 0
-          while (j < p) {
-            if (active(j)) {
-              val zj = zArr(j)
-              val bOld = beta(j)
-              val rho = cv(j) + zj * bOld
-              val bNew = softThreshold(rho, l1) / (zj + l2)
-              if (bNew != bOld) {
-                val diff = bNew - bOld
-                val qj = cov.gramRow(j)
-                var k = 0
-                while (k < p) { cv(k) -= qj(k) * diff; k += 1 }
-                beta(j) = bNew
-                val d = math.abs(diff) * math.sqrt(zj)
-                if (d > delta) delta = d
-              }
-            }
-            j += 1
-          }
-        }
-        // KKT scan of the inactive features — a pure read of cᵢ (βⱼ = 0
-        // there, so ρ = cᵢ); |cᵢ| > λα means the coordinate would move.
-        clean = true
-        var jj = 0
-        while (jj < p) {
-          if (!active(jj) && zArr(jj) > 0 && math.abs(cv(jj)) > l1) {
-            active(jj) = true
-            clean = false
-          }
-          jj += 1
-        }
-      }
+      solveAt(cov, yw, r, cv, beta, active, lambda, alpha, effTol, maxIter)
       // Back to the original scale: β_orig = β_std / scale.
       val bOrig = cov.toOriginal(beta)
       fits += Fit(lambda, cov.interceptFor(bOrig, yMean), bOrig)
@@ -236,21 +180,7 @@ object ElasticNet {
       // computes. No exit is taken before the 5th λ (mnlam), so a
       // zero-progress warm-started sweep near λmax can't truncate the path.
       if (earlyStop && nulldev > 0.0) {
-        var rss = 0.0
-        System.arraycopy(yw, 0, r, 0, nRows)
-        var jj2 = 0
-        while (jj2 < p) {
-          val bj = beta(jj2)
-          if (bj != 0.0) {
-            val base = jj2 * nRows
-            var i = 0
-            while (i < nRows) { r(i) -= xArr(base + i) * bj; i += 1 }
-          }
-          jj2 += 1
-        }
-        var i = 0
-        while (i < nRows) { rss += r(i) * r(i); i += 1 }
-        val rsq = 1.0 - rss / nulldev
+        val rsq = devRatio(yw, xArr, beta, r, p, nRows, nulldev)
         stopped = li >= GlmnetMnLam - 1 &&
           (rsq > GlmnetDevMax || (rsq - rsqPrev) < GlmnetFDev * rsq)
         rsqPrev = rsq
@@ -258,6 +188,121 @@ object ElasticNet {
       li += 1
     }
     Path(alpha, fits.result())
+  }
+
+  /** One λ step of the coordinate-descent solver: exact residual/cᵢ
+    * refresh at the λ boundary, warm-started active-set sweeps, KKT scan.
+    * This is the HOT method and must stay its own compilation unit: in
+    * round 4 it was the body of a `for (lambda <- lambdas)` closure; round
+    * 5 flattened it into fitPathCov's while loop, whose combined bytecode
+    * exceeded the JIT's huge-method limit and silently demoted the whole
+    * solver to C1/interpreter — ~1.8× on every tuner fit with
+    * bit-identical results. Do not inline it back.
+    */
+  private def solveAt(
+      cov: CovDesign,
+      yw: Array[Double],
+      r: Array[Double],
+      cv: Array[Double],
+      beta: Array[Double],
+      active: Array[Boolean],
+      lambda: Double,
+      alpha: Double,
+      effTol: Double,
+      maxIter: Int): Unit = {
+    val nRows = cov.nRows
+    val p = cov.p
+    val xArr = cov.xArr
+    val zArr = cov.zArr
+    // Exact refresh of r and cᵢ at the λ boundary: r = yw − Σ x̃ⱼβⱼ.
+    System.arraycopy(yw, 0, r, 0, nRows)
+    var j = 0
+    while (j < p) {
+      val bj = beta(j)
+      if (bj != 0.0) {
+        val base = j * nRows
+        var i = 0
+        while (i < nRows) { r(i) -= xArr(base + i) * bj; i += 1 }
+      }
+      j += 1
+    }
+    j = 0
+    while (j < p) { cv(j) = cov.colDot(j, r); j += 1 }
+
+    val l1 = lambda * alpha
+    val l2 = lambda * (1.0 - alpha)
+    var iter = 0
+    var clean = false
+    while (!clean && iter < maxIter) {
+      // Inner sweeps over the ever-active set.
+      var delta = Double.MaxValue
+      while (delta > effTol && iter < maxIter) {
+        delta = 0.0
+        iter += 1
+        var j = 0
+        while (j < p) {
+          if (active(j)) {
+            val zj = zArr(j)
+            val bOld = beta(j)
+            val rho = cv(j) + zj * bOld
+            val bNew = softThreshold(rho, l1) / (zj + l2)
+            if (bNew != bOld) {
+              val diff = bNew - bOld
+              val qj = cov.gramRow(j)
+              var k = 0
+              while (k < p) { cv(k) -= qj(k) * diff; k += 1 }
+              beta(j) = bNew
+              val d = math.abs(diff) * math.sqrt(zj)
+              if (d > delta) delta = d
+            }
+          }
+          j += 1
+        }
+      }
+      // KKT scan of the inactive features — a pure read of cᵢ (βⱼ = 0
+      // there, so ρ = cᵢ); |cᵢ| > λα means the coordinate would move.
+      clean = true
+      var jj = 0
+      while (jj < p) {
+        if (!active(jj) && zArr(jj) > 0 && math.abs(cv(jj)) > l1) {
+          active(jj) = true
+          clean = false
+        }
+        jj += 1
+      }
+    }
+  }
+
+  /** dev.ratio 1 − RSS/nulldev of the current coefficients. Kept OUT of
+    * [[fitPathCov]] deliberately: inlining this (cold, per-λ) block into
+    * the solver method pushed its bytecode past the JIT's huge-method
+    * limit in round 5, which silently demoted the ENTIRE coordinate-
+    * descent loop to C1/interpreter and cost ~1.8× on every tuner fit —
+    * with bit-identical results, so nothing but wall-clock noticed.
+    */
+  private def devRatio(
+      yw: Array[Double],
+      xArr: Array[Double],
+      beta: Array[Double],
+      r: Array[Double],
+      p: Int,
+      nRows: Int,
+      nulldev: Double): Double = {
+    System.arraycopy(yw, 0, r, 0, nRows)
+    var j = 0
+    while (j < p) {
+      val bj = beta(j)
+      if (bj != 0.0) {
+        val base = j * nRows
+        var i = 0
+        while (i < nRows) { r(i) -= xArr(base + i) * bj; i += 1 }
+      }
+      j += 1
+    }
+    var rss = 0.0
+    var i = 0
+    while (i < nRows) { rss += r(i) * r(i); i += 1 }
+    1.0 - rss / nulldev
   }
 
   /** glmnet.control factory defaults governing auto-path early stopping:

@@ -601,6 +601,33 @@ object TextPipeline {
         .orderBy(col("q_id"))
     }, None),
 
+    ("e7_ivf_recall", (s: SparkSession, d: String) => {
+      // Recall@3 of the IVF search (e6) against the exact top-3 — e5's
+      // metric for the second ANN path, same left-join shape so queries
+      // with thin probed lists report a lower recall rather than vanish.
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+      val exact3 = cosineScored(e, q)
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("q_id"), col("vec_id"))
+      val ivf3 = ivfSearch(e, col("vec_id") < 3, k = 3,
+        nlist = 16, nprobe = 4, iters = 2)
+        .select(col("q_id").as("ivf_q_id"), col("vec_id").as("ivf_vec_id"))
+      exact3
+        .join(ivf3,
+          col("q_id") === col("ivf_q_id") && col("vec_id") === col("ivf_vec_id"),
+          "left")
+        .groupBy(col("q_id"))
+        .agg(count(lit(1)).as("n_exact"),
+          count(col("ivf_vec_id")).as("n_hits"))
+        .withColumn("recall", col("n_hits") / col("n_exact"))
+        .orderBy(col("q_id"))
+    }, None),
+
     ("e6_ann_ivf_search", (s: SparkSession, d: String) => {
       // The second ANN scale path: IVF — deterministic k-means coarse
       // quantizer (16 lists, 2 Lloyd iterations), queries probe their 4
