@@ -62,7 +62,13 @@ object Bench {
       .mkString("{", ",", "}")
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"warmup_sec":$warmup,"passes":$passes,"errors":$errJson,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"warmup_sec":$warmup,"passes":$passes,"errors":$errJson,"sf":"$sfDir"}"""
+    println(json)
+    // Also persist the full line to a file: the driver captures stdout's
+    // TAIL, which truncated 7 per-query entries in round 6 — the file makes
+    // every round auditable without a re-run.
+    java.nio.file.Files.write(java.nio.file.Paths.get("target/bench.json"),
+      (json + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

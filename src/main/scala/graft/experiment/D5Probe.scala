@@ -28,11 +28,19 @@ object D5Probe {
     val q = graft.operators.TextPipeline.queries("d5_neardup_pipeline")
     time("full d5 (cold)")(q(spark, dir).count())
     time("full d5 (warm)")(q(spark, dir).count())
-    time("full d5 (warm)")(q(spark, dir).count())
-    val plan = q(spark, dir).queryExecution.executedPlan.toString
-    val counts = Seq("Exchange", "ReusedExchange", "HashAggregate", "BroadcastHashJoin",
-      "SortMergeJoin", "WindowExec", "Window")
-      .map(k => s"$k=${plan.linesIterator.count(_.contains(k))}").mkString(" ")
+    // Keep ONE DataFrame for the plan dump and execute ITS OWN
+    // QueryExecution (collect, not count — count wraps the df in a new
+    // plan): with AQE the pre-execution string is the unoptimized skeleton
+    // with no runtime exchange reuse visible.
+    val df = q(spark, dir)
+    time("full d5 (warm)")(df.collect())
+    val plan = df.queryExecution.executedPlan.toString
+    // Word-boundary match so overlapping keys don't double-count (plain
+    // `contains` counted ReusedExchange/BroadcastExchange lines under
+    // "Exchange" and WindowExec lines under "Window").
+    val counts = Seq("Exchange", "BroadcastExchange", "ReusedExchange",
+      "HashAggregate", "BroadcastHashJoin", "SortMergeJoin", "Window")
+      .map(k => s"$k=${plan.linesIterator.count(_.matches(s".*\\b$k\\b.*"))}").mkString(" ")
     println(s"[d5] plan ops: $counts")
     spark.stop()
   }

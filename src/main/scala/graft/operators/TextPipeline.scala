@@ -46,108 +46,151 @@ object TextPipeline {
       .select(col("doc_id"), expr("substring(text, i, 5)").as("s"))
       .distinct()
 
-  /** MinHash band buckets per document — the d3 core, shared with the
-    * composed d5 pipeline: 8 signatures as 8 aggregate columns of ONE
-    * groupBy over raw shingle positions (min() absorbs duplicate shingles,
-    * so no shingle-dedup shuffle), banded 4×2 with an order-free band
-    * bucket md5(min ‖ max). Columns: doc_id, band, bucket.
+  /** (doc_id, dg): one md5 digest per raw shingle position, duplicates
+    * kept — the downstream aggregates (min / collect_set) absorb them, so
+    * no shingle-dedup shuffle. The single corpus scan behind d3 and d5.
     */
-  private def minhashBandBuckets(docs: DataFrame): DataFrame = {
-    // All 8 signature mins in ONE custom aggregate ([[graft.functions
-    // .MinHash8]]: the digest parses once to a 128-bit pair, rotations are
-    // bit-shift windows, mins are unsigned long compares) over raw shingle
-    // positions — min absorbs duplicate shingles, so no shingle-dedup
-    // shuffle. Earlier forms, kept for the record: 8 string-min aggregate
-    // columns (8 substring allocations + memcmps per row — what MinHash8
-    // replaces, byte-identical output), and a fully row-local array_min/
-    // transform variant that measured SLOWER than the Tungsten aggregate
-    // (per-row array churn).
-    val sh = docs
+  private def shingleDigests(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), col("text"),
         explode(expr("sequence(1, greatest(char_length(text) - 4, 1))")).as("i"))
       .select(col("doc_id"), expr("md5(substring(text, i, 5))").as("dg"))
+
+  /** The MinHash8 signature aggregate ([[graft.functions.MinHash8]]: the
+    * digest parses once to a 128-bit pair, rotations are bit-shift windows,
+    * mins are unsigned long compares). Earlier forms, kept for the record:
+    * 8 string-min aggregate columns (8 substring allocations + memcmps per
+    * row — what MinHash8 replaces, byte-identical output), and a fully
+    * row-local array_min/transform variant that measured SLOWER than the
+    * Tungsten aggregate (per-row array churn).
+    */
+  private def minHash8Agg: Column = {
     import org.apache.spark.sql.GraftExpressionBridge
-    val mhs = GraftExpressionBridge.column(
+    GraftExpressionBridge.column(
       graft.functions.MinHash8(GraftExpressionBridge.expression(col("dg")))
         .toAggregateExpression()).as("mhs")
-    val sigs = sh.groupBy(col("doc_id")).agg(mhs)
-      .select(col("doc_id") +:
-        (0 to 7).map(i => element_at(col("mhs"), i + 1).as(s"mh$i")): _*)
+  }
+
+  /** 4×2 banding of an 8-signature array column `mhs`: order-free band
+    * bucket md5(min ‖ max). Columns: doc_id, [carry...], band, bucket.
+    */
+  private def bandBuckets(sigsArr: DataFrame, carry: Seq[String] = Nil): DataFrame = {
+    val keep = col("doc_id") +: carry.map(col)
+    val sigs = sigsArr.select(keep ++
+      (0 to 7).map(i => element_at(col("mhs"), i + 1).as(s"mh$i")): _*)
     val bands = (0 to 3).map(b =>
       s"$b, md5(concat(least(mh${2 * b}, mh${2 * b + 1}), greatest(mh${2 * b}, mh${2 * b + 1})))")
       .mkString(", ")
-    sigs.select(col("doc_id"), expr(s"stack(4, $bands) AS (band, bucket)"))
+    sigs.select(keep :+ expr(s"stack(4, $bands) AS (band, bucket)"): _*)
   }
+
+  /** MinHash band buckets per document — the d3 core: 8 signatures in ONE
+    * groupBy over raw shingle positions, banded 4×2. Columns: doc_id,
+    * band, bucket.
+    */
+  private def minhashBandBuckets(docs: DataFrame): DataFrame =
+    bandBuckets(shingleDigests(docs).groupBy(col("doc_id")).agg(minHash8Agg))
 
   /** Composed near-dup pipeline over a (doc_id, text) relation: MinHash
     * band-bucket collisions generate candidate pairs, exact shingle-Jaccard
     * verifies them. Columns: doc_a, doc_b, common, jaccard (≥ minJaccard).
     *
-    * Two scale guards (both mirrored in the oracle SQL):
+    * Three scale guards (the first two mirrored in the oracle SQL):
     *  - super-bucket pruning: a band bucket holding > maxBucket docs is an
     *    UNINFORMATIVE signature collision (on this corpus one bucket holds
     *    473 of 5000 docs), and its O(sz²) pairs drown the verify stage —
     *    such buckets are dropped from candidate generation, the standard
     *    LSH hygiene for banding false positives;
     *  - the verify join carries each doc's distinct shingle-digest SET as
-    *    one array column and intersects per pair (`array_intersect`) —
-    *    O(|pairs|) rows — instead of re-exploding both sides to shingle
-    *    rows, whose pair×shingle row count (~160M at sf0.1) dominated the
-    *    first version of this query. The digests are truncated to 60-bit
-    *    LONGS (injective per 15-hex-char prefix, so both engines count the
-    *    same collision classes): primitive arrays intersect on the fast
-    *    path and the per-doc set table shrinks ~6×, small enough to
-    *    BROADCAST — the arrays then never cross a shuffle at all (a
-    *    shuffle join here moved ~8 GB of array payload twice). At corpus
-    *    scales past broadcast range, partition the pair table by doc
-    *    instead.
+    *    one array column and intersects per pair — O(|pairs|) rows —
+    *    instead of re-exploding both sides to shingle rows, whose
+    *    pair×shingle row count (~160M at sf0.1) dominated the first
+    *    version of this query. The digests are truncated to 60-bit LONGS
+    *    (injective per 15-hex-char prefix, so both engines count the same
+    *    collision classes): primitive arrays intersect on the fast path
+    *    and the per-doc set table shrinks ~6×;
+    *  - the verify-join STRATEGY is size-aware: while the corpus's plan
+    *    statistics fit under `broadcastVerifyBytes`, the set table is
+    *    broadcast and the arrays never cross a shuffle (a shuffle join at
+    *    sf0.1 moved ~8 GB of array payload twice); past broadcast range —
+    *    where a 100 TB corpus lives — the pair table is partitioned by
+    *    doc instead: two sort-merge joins keyed doc_a then doc_b, each
+    *    shuffling the set table once. Both strategies produce identical
+    *    rows (pinned in PipelineSpec by forcing the partitioned path).
+    *
+    * The per-doc signature AND digest set come out of ONE combined
+    * aggregate over ONE shingle scan; the candidate lineage and both
+    * verify sides consume the same subplan, so Spark's exchange reuse
+    * executes the scan+partial-aggregate once (round 6 scanned the corpus
+    * text twice and built two alias-distinct broadcasts).
     */
   private[graft] def nearDupPairs(
       docs: DataFrame,
       minJaccard: Double,
-      maxBucket: Int = 128): DataFrame = {
-    val buckets = minhashBandBuckets(docs)
+      maxBucket: Int = 128,
+      broadcastVerifyBytes: Long = 1L << 30): DataFrame = {
+    // ONE scan + ONE shuffle produce both per-doc states: the 8-min
+    // signature array (MinHash8) and the distinct digest set (explode +
+    // collect_set measured FASTER than a row-local transform/
+    // array_distinct chain — per-row array churn beats Tungsten
+    // aggregation only on paper).
+    // The explicit isNotNull matches the filter the verify joins INFER on
+    // their side (inner-join key): without it the candidate branch's scan
+    // lacks the pushed IsNotNull and the subplans aren't canonically equal.
+    val perDoc = shingleDigests(docs.where(col("doc_id").isNotNull))
+      .groupBy(col("doc_id"))
+      .agg(minHash8Agg,
+        sort_array(collect_set(
+          expr("cast(conv(substring(dg, 1, 15), 16, 10) as bigint)"))).as("sset"))
+    // All three consumers of perDoc (candidate generation + both verify
+    // sides) must present Catalyst with the SAME aggregate, or column
+    // pruning specializes each branch (minhash-only vs collect_set-only)
+    // and the corpus is scanned once per branch. The cross-references
+    // below are provably inert — each signature is exactly 16 hex chars,
+    // so `length(mh) - 16` adds 0, and a doc always holds ≥ 1 shingle, so
+    // `min(ssz) >= 0` prunes nothing — but they stop the pruner from
+    // splitting the shared subplan: the final adaptive plan then reuses
+    // ONE exchange, scanning and partially aggregating the corpus once.
+    val ssz = size(col("sset")) +
+      (length(element_at(col("mhs"), 1)) - lit(16))
     // Candidate pairs WITHOUT a self-join: collect each bucket's doc list
     // in one aggregate (size-capped there — the super-bucket prune), then
     // emit ordered pairs with array lambdas. One shuffle on (band, bucket)
     // replaces the join's two exchanges + window; sorted ids make
     // doc_a < doc_b structural.
-    val cand = buckets
+    val cand = bandBuckets(perDoc.withColumn("ssz", ssz), carry = Seq("ssz"))
       .groupBy(col("band"), col("bucket"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucket))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"),
+        min(col("ssz")).as("mn"))
+      .filter(size(col("ids")).between(2, maxBucket) && col("mn") >= 0)
       .select(explode(expr(
         """flatten(transform(ids, (a, i) ->
           |  transform(slice(ids, i + 2, size(ids)), b -> struct(a AS doc_a, b AS doc_b))))"""
           .stripMargin)).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
-    // Distinct shingle digests per doc as ONE set-valued column of 60-bit
-    // longs (15-hex-char md5 prefix — same collision classes the oracle
-    // counts). explode + collect_set measured FASTER than a row-local
-    // transform/array_distinct/sort_array chain (same reason as the
-    // signature aggregate: per-row array churn beats Tungsten aggregation
-    // only on paper).
-    val docSh = docs
-      .select(col("doc_id"), col("text"),
-        explode(expr("sequence(1, greatest(char_length(text) - 4, 1))")).as("i"))
-      .select(col("doc_id"),
-        expr("cast(conv(substring(md5(substring(text, i, 5)), 1, 15), 16, 10) as bigint)").as("dgl"))
-      .groupBy(col("doc_id"))
-      .agg(sort_array(collect_set(col("dgl"))).as("sset"))
+    val sets = perDoc.select(col("doc_id"), col("sset"), ssz.as("n"))
+    // Size-aware verify strategy: statistics-based (no extra job). The
+    // `merge` hint on the large-corpus path pins sort-merge so AQE can't
+    // silently re-broadcast what the caller declared too big (and so the
+    // PipelineSpec forcing test exercises the real at-scale plan).
+    val useBroadcast =
+      docs.queryExecution.optimizedPlan.stats.sizeInBytes <= broadcastVerifyBytes
+    def side(alias: String): DataFrame = {
+      val s = sets.as(alias)
+      if (useBroadcast) broadcast(s) else s.hint("merge")
+    }
     import org.apache.spark.sql.GraftExpressionBridge
     val intersectCount = GraftExpressionBridge.column(
       graft.functions.SortedLongIntersectCount(
-        GraftExpressionBridge.expression(col("sa")),
-        GraftExpressionBridge.expression(col("sb"))))
+        GraftExpressionBridge.expression(col("A.sset")),
+        GraftExpressionBridge.expression(col("B.sset"))))
     cand
-      .join(broadcast(docSh.select(col("doc_id").as("doc_a"),
-        col("sset").as("sa"), size(col("sset")).as("n_a"))), "doc_a")
-      .join(broadcast(docSh.select(col("doc_id").as("doc_b"),
-        col("sset").as("sb"), size(col("sset")).as("n_b"))), "doc_b")
+      .join(side("A"), col("doc_a") === col("A.doc_id"))
+      .join(side("B"), col("doc_b") === col("B.doc_id"))
       .select(col("doc_a"), col("doc_b"),
         intersectCount.as("common"),
-        col("n_a"), col("n_b"))
+        col("A.n").as("n_a"), col("B.n").as("n_b"))
       .select(col("doc_a"), col("doc_b"), col("common"),
         (col("common") / (col("n_a") + col("n_b") - col("common"))).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)

@@ -120,6 +120,22 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.contains((100L, 101L)), s"near-dup pair missed: $got")
     assert(got.contains((102L, 103L)), s"exact-dup pair missed: $got")
     assert(got.forall(p => p._1 >= 100L), s"false positives: $got")
+
+    // Size-aware verify-join fallback: threshold 0 forces the partitioned
+    // (shuffle-join) strategy a 100 TB corpus would take — the plan must
+    // actually contain sort-merge joins and no broadcast verify join, and
+    // the output must be row-identical to the broadcast path.
+    val part = TextPipeline.nearDupPairs(docs, minJaccard = 0.5,
+      broadcastVerifyBytes = 0L)
+    val plan = part.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"partitioned path not taken:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"broadcast join leaked into the forced partitioned path:\n$plan")
+    val broad = TextPipeline.nearDupPairs(docs, minJaccard = 0.5)
+    assert(broad.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    val pRows = part.orderBy("doc_a", "doc_b").collect().map(_.toSeq).toSeq
+    val bRows = broad.orderBy("doc_a", "doc_b").collect().map(_.toSeq).toSeq
+    assert(pRows == bRows, "partitioned and broadcast verify paths disagree")
   }
 
   test("MinHash8 aggregate is byte-identical to the 8 string-min columns") {
