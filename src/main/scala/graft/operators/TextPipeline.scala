@@ -196,11 +196,10 @@ object TextPipeline {
       .filter(col("jaccard") >= minJaccard)
   }
 
-  /** Codegen'd dot product of two Array[Float] columns (elements cast to
-    * double before arithmetic so both engines multiply identical values).
+  /** Codegen'd dot product of two Array[Float] columns — shared with the
+    * ANN index surface.
     */
-  private def dot(a: String, b: String) =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)), 0D, (acc, v) -> acc + v)")
+  private def dot(a: String, b: String) = AnnIndex.dot(a, b)
 
   /** Cosine of every (query, corpus) pair: expects q with (q_id, q_emb);
     * broadcasts the bounded query set. Columns: q_id, vec_id, cosine.
@@ -234,34 +233,14 @@ object TextPipeline {
     * collide in ANY table, which is what makes high recall reachable at a
     * bounded candidate fraction — the single-table recall ceiling on
     * near-orthogonal corpora is (1−θ/π)^4 ≈ 1/16. Columns: vec_id,
-    * embedding, t, bucket.
+    * embedding, t, bucket. (Implementation: [[AnnIndex.buildLsh]].)
     */
   private[graft] def multiTableBuckets(e: DataFrame, tables: Int): DataFrame =
-    e.select(col("vec_id"), col("embedding"),
-        explode(expr(s"sequence(0, ${tables - 1})")).as("t"))
-      .select(col("vec_id"), col("embedding"), col("t"),
-        explode(expr("sequence(0, 3)")).as("p"))
-      .select(col("vec_id"), col("embedding"), col("t"), col("p"),
-        expr("""aggregate(zip_with(embedding, sequence(1, size(embedding)),
-                  (x, i) -> cast(x as double) * cast((i * 31 + (t * 4 + p) * 17) % 7 - 3 as double)),
-                0D, (acc, v) -> acc + v)""").as("proj"))
-      .groupBy(col("vec_id"), col("embedding"), col("t"))
-      .agg(sum(expr("CASE WHEN proj > 0 THEN shiftleft(1, p) ELSE 0 END")).as("bucket"))
+    AnnIndex.buildLsh(e, tables, persist = false)
 
-  /** IVF (inverted-file) ANN search — the centroid-quantized scale path
-    * complementing the hyperplane-LSH one: a deterministic Lloyd's k-means
-    * coarse quantizer (init = the `nlist` lowest-vec_id vectors, fixed
-    * iteration count, no RNG — reruns reproduce), every vector assigned to
-    * its max-cosine centroid's inverted list, queries probing the `nprobe`
-    * nearest lists and ranking exactly inside them. Columns: q_id, vec_id,
-    * cosine, rank.
-    *
-    * Scale posture: quantizer state is nlist × dim doubles (driver +
-    * broadcast — tiny); training is `iters` passes of (map-side assign via
-    * broadcast centroids → per-(cid, dim) avg); search shuffles only the
-    * probed lists' candidates, never corpus². Cluster sizes are data-
-    * dependent (unlike LSH buckets), which is what makes IVF the right
-    * trade when the corpus clusters naturally.
+  /** IVF (inverted-file) ANN search — one-shot train + search over a
+    * short-lived corpus (the spec path; the query entries share a cached
+    * [[AnnIndex.IvfIndex]] instead). Columns: q_id, vec_id, cosine, rank.
     */
   private[graft] def ivfSearch(
       e: DataFrame,
@@ -269,92 +248,16 @@ object TextPipeline {
       k: Int,
       nlist: Int,
       nprobe: Int,
-      iters: Int): DataFrame = {
-    val s = e.sparkSession
-    import s.implicits._
+      iters: Int): DataFrame =
+    AnnIndex.ivfSearch(
+      AnnIndex.trainIvf(e, nlist, iters, persistLists = false), qPred, k, nprobe)
 
-    val dotCE =
-      expr("aggregate(zip_with(embedding, cent, (x, y) -> cast(x as double) * y), 0D, (acc, v) -> acc + v)")
-    val normC = sqrt(expr("aggregate(cent, 0D, (acc, v) -> acc + v * v)"))
-    val normE = sqrt(dot("embedding", "embedding"))
-
-    def assign(cents: Seq[(Int, Seq[Double])]): DataFrame =
-      e.crossJoin(broadcast(cents.toDF("cid", "cent")))
-        .select(col("vec_id"), col("embedding"), col("cid"),
-          (dotCE / (normC * normE)).as("ccos"))
-        .groupBy(col("vec_id"), col("embedding"))
-        .agg(max_by(col("cid"), col("ccos")).as("cid"))
-
-    // Lloyd iterations: assignment is map-side against broadcast
-    // centroids; the update collects only nlist × dim averaged doubles.
-    var cents: Seq[(Int, Seq[Double])] = e.orderBy(col("vec_id")).limit(nlist)
-      .select(col("embedding")).collect().toSeq
-      .zipWithIndex.map { case (r, i) =>
-        i -> r.getSeq[Float](0).map(_.toDouble)
-      }
-    for (_ <- 0 until iters) {
-      val updated = assign(cents)
-        .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
-        .groupBy(col("cid"), col("pos"))
-        .agg(avg(col("v").cast("double")).as("m"))
-        .collect()
-        .groupBy(_.getInt(0))
-        .map { case (cid, rows) =>
-          cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
-        }
-      // An emptied cluster keeps its previous centroid.
-      cents = cents.map { case (cid, old) => cid -> updated.getOrElse(cid, old) }
-    }
-
-    val lists = assign(cents)
-    val q = lists.filter(qPred)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    val probed = q.crossJoin(broadcast(cents.toDF("cid", "cent")))
-      .select(col("q_id"), col("q_emb"), col("cid"),
-        (expr("aggregate(zip_with(q_emb, cent, (x, y) -> cast(x as double) * y), 0D, (acc, v) -> acc + v)") /
-          (normC * sqrt(dot("q_emb", "q_emb")))).as("ccos"))
-      .withColumn("crank", row_number().over(
-        Window.partitionBy(col("q_id")).orderBy(col("ccos").desc, col("cid"))))
-      .filter(col("crank") <= nprobe)
-      .select(col("q_id"), col("q_emb"), col("cid"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cosine").desc, col("vec_id"))
-    probed.join(lists, "cid")
-      .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"),
-        (dot("q_emb", "embedding") /
-          (sqrt(dot("q_emb", "q_emb")) * sqrt(dot("embedding", "embedding"))))
-          .as("cosine"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-  }
-
-  /** LSH-bucketed ANN search: queries = vectors with q_pred true. Candidate
-    * generation is an equi-join on (table, bucket) — at 100 TB a shuffle on
-    * a small key space, never corpus² — deduped across tables, then exact
-    * cosine + per-query top-k inside the candidate set. Columns: q_id,
+  /** LSH-bucketed ANN search — one-shot build + search (the spec path;
+    * the query entries share a cached bucket index). Columns: q_id,
     * vec_id, cosine, rank.
     */
-  private[graft] def lshSearch(e: DataFrame, qPred: Column, k: Int, tables: Int): DataFrame = {
-    val buckets = multiTableBuckets(e, tables)
-    val q = buckets.filter(qPred)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        col("t").as("q_t"), col("bucket").as("q_bucket"))
-    val cands = buckets.join(broadcast(q),
-        col("t") === col("q_t") && col("bucket") === col("q_bucket"))
-      .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("q_emb"), col("vec_id"), col("embedding"))
-      .distinct()
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cosine").desc, col("vec_id"))
-    cands
-      .select(col("q_id"), col("vec_id"),
-        (dot("q_emb", "embedding") /
-          (sqrt(dot("q_emb", "q_emb")) * sqrt(dot("embedding", "embedding"))))
-          .as("cosine"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-  }
+  private[graft] def lshSearch(e: DataFrame, qPred: Column, k: Int, tables: Int): DataFrame =
+    AnnIndex.lshSearch(AnnIndex.buildLsh(e, tables, persist = false), qPred, k)
 
   val entries: Seq[(String, Q, Option[String])] = Seq(
 
@@ -607,8 +510,11 @@ object TextPipeline {
       // then per-query top-3 inside the candidate set. Rows-only (rank
       // boundaries aren't oracle-stable); bucket assignment is hash-checked
       // by e2, and search QUALITY is checked by e5's recall + a planted-
-      // near-duplicate recall test in PipelineSpec.
-      lshSearch(Tables.embeddings(s, d), col("vec_id") < 3, k = 3, tables = 4)
+      // near-duplicate recall test in PipelineSpec. The bucket index is
+      // built once per session and shared with e5 (AnnIndex.lshFor).
+      AnnIndex.lshSearch(
+        AnnIndex.lshFor(s, d, Tables.embeddings(s, d), tables = 4),
+        col("vec_id") < 3, k = 3)
         .orderBy(col("q_id"), col("rank"))
     }, None),
 
@@ -631,7 +537,8 @@ object TextPipeline {
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 3)
         .select(col("q_id"), col("vec_id"))
-      val lsh3 = lshSearch(e, col("vec_id") < 3, k = 3, tables = 4)
+      val lsh3 = AnnIndex.lshSearch(
+        AnnIndex.lshFor(s, d, e, tables = 4), col("vec_id") < 3, k = 3)
         .select(col("q_id").as("lsh_q_id"), col("vec_id").as("lsh_vec_id"))
       exact3
         .join(lsh3,
@@ -657,8 +564,9 @@ object TextPipeline {
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 3)
         .select(col("q_id"), col("vec_id"))
-      val ivf3 = ivfSearch(e, col("vec_id") < 3, k = 3,
-        nlist = 16, nprobe = 4, iters = 2)
+      val ivf3 = AnnIndex.ivfSearch(
+        AnnIndex.ivfFor(s, d, e, nlist = 16, iters = 2),
+        col("vec_id") < 3, k = 3, nprobe = 4)
         .select(col("q_id").as("ivf_q_id"), col("vec_id").as("ivf_vec_id"))
       exact3
         .join(ivf3,
@@ -677,9 +585,13 @@ object TextPipeline {
       // nearest lists, exact top-3 inside. Rows-only (centroid training
       // is not SQL-expressible; rank boundaries aren't oracle-stable);
       // search QUALITY is gated by the planted-near-duplicate recall test
-      // in PipelineSpec, and the exact-cosine kernel is hash-checked by e1.
-      ivfSearch(Tables.embeddings(s, d), col("vec_id") < 3, k = 3,
-        nlist = 16, nprobe = 4, iters = 2)
+      // in PipelineSpec, and the exact-cosine kernel is hash-checked by
+      // e1. The quantizer trains once per session and is shared with e7's
+      // recall query (AnnIndex.ivfFor — the build-once/search-many
+      // surface).
+      AnnIndex.ivfSearch(
+        AnnIndex.ivfFor(s, d, Tables.embeddings(s, d), nlist = 16, iters = 2),
+        col("vec_id") < 3, k = 3, nprobe = 4)
         .orderBy(col("q_id"), col("rank"))
     }, None),
 

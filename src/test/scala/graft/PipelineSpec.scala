@@ -138,6 +138,35 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pRows == bRows, "partitioned and broadcast verify paths disagree")
   }
 
+  test("AnnIndex: ivfFor/lshFor build once per (session, path, params) and search many") {
+    // The build-once/search-many surface: a second lookup with the same
+    // key must return the SAME trained index without re-reading the
+    // corpus, and searching the cached index must equal a fresh one-shot
+    // train+search (same deterministic quantizer).
+    val s = spark
+    import s.implicits._
+    val dim = 16
+    val g = new TestData.Lcg(41L)
+    val base = Array.tabulate(60)(_ => Array.fill(dim)(g.gaussian().toFloat))
+    val df = base.zipWithIndex.map { case (e, i) => (i.toLong, e) }.toSeq
+      .toDF("vec_id", "embedding")
+    var builds = 0
+    def corpus = { builds += 1; df }
+    val i1 = operators.AnnIndex.ivfFor(s, "annspec", corpus, nlist = 4, iters = 2)
+    val i2 = operators.AnnIndex.ivfFor(s, "annspec", corpus, nlist = 4, iters = 2)
+    assert((i1 eq i2) && builds == 1, s"index rebuilt: $builds builds")
+    val cached = operators.AnnIndex.ivfSearch(i1, col("vec_id") < 2, k = 3, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).sorted.toSeq
+    val fresh = TextPipeline.ivfSearch(df, col("vec_id") < 2, k = 3,
+      nlist = 4, nprobe = 2, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).sorted.toSeq
+    assert(cached == fresh, "cached-index search differs from one-shot search")
+    val b1 = operators.AnnIndex.lshFor(s, "annspec", corpus, tables = 4)
+    val b2 = operators.AnnIndex.lshFor(s, "annspec", corpus, tables = 4)
+    assert((b1 eq b2) && builds == 2, s"bucket index rebuilt: $builds builds")
+    i1.lists.unpersist(); b1.unpersist()
+  }
+
   test("MinHash8 aggregate is byte-identical to the 8 string-min columns") {
     val s = spark
     import s.implicits._
