@@ -75,6 +75,22 @@ object EventStream {
       .withWatermark("ts", "30 minutes")
       .dropDuplicates("event_id")
 
+  /** Streaming CONTENT dedup — the d1 exact-dedup operator composed with
+    * the streaming surface: the dedup key is a content fingerprint (md5 of
+    * the whitespace-normalized payload, exactly d1's canonicalization),
+    * not a carried id, so replayed or re-ingested records dedup even when
+    * their ids differ. `dropDuplicatesWithinWatermark` bounds the state to
+    * the watermark horizon — the honest trade on an unbounded stream:
+    * exact within the horizon, while full-history exactness at 100 TB is
+    * the batch d1 hash-aggregate's job.
+    */
+  def contentDedupStream(events: DataFrame): DataFrame =
+    events
+      .withColumn("content_hash",
+        md5(regexp_replace(trim(col("props")), "\\s+", " ")))
+      .withWatermark("ts", "30 minutes")
+      .dropDuplicatesWithinWatermark("content_hash")
+
   /** Custom keyed state (mapGroupsWithState): per-event_type running
     * count/mean/variance via Welford updates, emitting the refreshed
     * snapshot each micro-batch (update-mode sink). This is the shape for

@@ -61,6 +61,23 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(n == distinctIds)
   }
 
+  test("streaming content dedup (d1 semantics) keeps one event per content fingerprint") {
+    // The d1 exact-dedup operator composed with the streaming surface:
+    // dedup key = md5 of the normalized payload (d1's canonicalization),
+    // state bounded by the watermark. The replay arrives in one
+    // micro-batch, so the within-watermark dedup must equal the batch
+    // distinct-fingerprint count.
+    val q = EventStream.contentDedupStream(EventStream.readEvents(spark, sfDir))
+      .writeStream.format("memory").queryName("content_dedup")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val n = spark.table("content_dedup").count()
+    val distinctContent = Tables.events(spark, sfDir)
+      .select(countDistinct(md5(regexp_replace(trim(col("props")), "\\s+", " "))))
+      .collect()(0).getLong(0)
+    assert(n == distinctContent, s"streamed $n != batch-distinct $distinctContent")
+  }
+
   test("mapGroupsWithState running stats converge to the batch moments per key") {
     val q = EventStream.runningStats(EventStream.readEvents(spark, sfDir))
       .writeStream.format("memory").queryName("run_stats").outputMode("update").start()
