@@ -681,6 +681,49 @@ object Relational {
            FROM customer)
          WHERE rnk <= 5 ORDER BY 1, 2""")),
 
+    ("w11_session_window", (s: SparkSession, d: String) => {
+      // Gap-based sessionization via Spark's native session_window (4 h
+      // inactivity gap): the streaming-first session operator run in batch
+      // mode — the SAME call powers EventStream.sessionStream, so the
+      // batch oracle here pins the semantics the streaming surface reuses.
+      // Merge rule (both engines): an event joins the current session iff
+      // its gap to the previous event is STRICTLY under the threshold; no
+      // gap in the data lands on the boundary (checked at both SFs), so
+      // the comparison cannot flip. Values are quantized to e4 longs
+      // before summing (w7's exactness strategy — integer arithmetic, no
+      // accumulation-order noise). Scale: state is per (user, session) —
+      // partitions by user_id, never global; this is the 100 TB
+      // sessionization shape (and with watermarks, the streaming one).
+      Tables.events(s, d)
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("user_id"), col("ts"),
+          round(col("value") * 1e4).cast("long").as("value_e4"))
+        .groupBy(col("user_id"), session_window(col("ts"), "4 hours"))
+        .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+          count(lit(1)).as("n_events"), sum(col("value_e4")).as("sum_value_e4"))
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events"), col("sum_value_e4"))
+        .orderBy(col("user_id"), col("session_start"))
+    }, Some(
+      """WITH e AS (
+           SELECT user_id, cast(ts AS timestamp) AS ts,
+                  cast(round(value * 1e4) AS bigint) AS value_e4
+           FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         g AS (
+           SELECT user_id, ts, value_e4,
+                  CASE WHEN epoch(ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) < 14400
+                       THEN 0 ELSE 1 END AS brk
+           FROM e),
+         sess AS (
+           SELECT user_id, ts, value_e4,
+                  sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM g)
+         SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+                count(*) AS n_events, sum(value_e4) AS sum_value_e4
+         FROM sess GROUP BY user_id, sid
+         ORDER BY user_id, session_start""")),
+
     ("w5_lag_corr", (s: SparkSession, d: String) => {
       // Serial correlation: corr(x_t, x_{t−1}) per key — the SQL-checkable
       // core of the reference's ACF (W5). The exact-R ACF normalization

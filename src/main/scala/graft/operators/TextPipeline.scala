@@ -227,6 +227,33 @@ object TextPipeline {
       .groupBy(col("vec_id"), col("embedding"))
       .agg(sum(expr("CASE WHEN proj > 0 THEN shiftleft(1, p) ELSE 0 END")).as("bucket"))
 
+  /** Embedding-cosine near-dup verify over a pre-built LSH bucket index
+    * (the d6 core): candidate pairs = collision in ANY table, verify =
+    * exact rounded cosine ≥ `minCosineE6`. Norms are computed once per
+    * corpus vector on each join side, so verify is one fused dot per
+    * candidate pair; the pair table partitions by vec id like d5's
+    * at-scale verify join. Columns: vec_a, vec_b, cosine_e6.
+    */
+  private[graft] def embedNearDupPairs(
+      e: DataFrame,
+      buckets: DataFrame,
+      minCosineE6: Long): DataFrame = {
+    val b = buckets.select(col("vec_id"), col("t"), col("bucket"))
+    val cand = b.as("x").join(b.as("y"),
+        col("x.t") === col("y.t") && col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+    def side(n: String): DataFrame = e.select(
+      col("vec_id").as(s"vec_$n"), col("embedding").as(s"emb_$n"),
+      sqrt(dot("embedding", "embedding")).as(s"nrm_$n"))
+    cand.join(side("a"), "vec_a").join(side("b"), "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        round(dot("emb_a", "emb_b") / (col("nrm_a") * col("nrm_b")) * 1e6)
+          .cast("long").as("cosine_e6"))
+      .filter(col("cosine_e6") >= minCosineE6)
+  }
+
   /** Multi-table hyperplane LSH: `tables` independent 4-bit tables
     * (OR-amplification — table t uses planes (4t+p)·17, so table 0 IS e2's
     * family). One bucket per (vector, table); a candidate pair needs to
@@ -425,6 +452,63 @@ object TextPipeline {
          JOIN sizes sa ON sa.doc_id = m.doc_a
          JOIN sizes sb ON sb.doc_id = m.doc_b
          WHERE m.common * 1.0 / (sa.n + sb.n - m.common) >= 0.5
+         ORDER BY 1, 2""")),
+
+    ("d6_embed_neardup", (s: SparkSession, d: String) => {
+      // Embedding-cosine near-duplicate detection — the fifth dedup family
+      // (exact d1, shingle-Jaccard d2, MinHash-LSH d3, SimHash d4): two
+      // documents are near-dups when their EMBEDDINGS are close, which
+      // catches paraphrases no lexical family can. Shape mirrors d5's
+      // bucket→verify: candidate pairs = multi-table hyperplane-LSH
+      // collision in ANY of the 4 tables (the e2-checked family — a join
+      // keyed on (t, bucket), never corpus²), verify = exact cosine ≥ τ on
+      // candidates only. Norms are computed ONCE per corpus vector on each
+      // join side — not per pair — so the verify stage is one fused dot
+      // per candidate; the pair table partitions by vec id exactly like
+      // d5's at-scale verify join. At a real 100 TB corpus the 4-bit/4-
+      // table family is what scales up (more bits → smaller buckets), plus
+      // d5's super-bucket hygiene; both knobs are pinned small here so the
+      // oracle SQL can replicate the family exactly. τ = 0.42, compared on
+      // the ROUNDED cosine in both engines — the nearest observed rounded
+      // values are > 30 quanta from the threshold at both SFs, so float
+      // noise (~1e-13 relative) cannot flip a pair across it.
+      val e = Tables.embeddings(s, d)
+      embedNearDupPairs(e, AnnIndex.lshFor(s, d, e, tables = 4),
+          minCosineE6 = 420000L)
+        .orderBy(col("vec_a"), col("vec_b"))
+    }, Some(
+      """WITH ex AS (
+           SELECT vec_id, i, cast(embedding[i] AS double) AS v FROM (
+             SELECT vec_id, embedding,
+                    unnest(generate_series(1, len(embedding))) AS i
+             FROM embeddings)),
+         norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ex GROUP BY 1),
+         proj AS (
+           SELECT ex.vec_id, g.t, g.p,
+                  sum(ex.v * cast((ex.i * 31 + (g.t * 4 + g.p) * 17) % 7 - 3 AS double)) AS proj
+           FROM ex, (SELECT t.t, p.p FROM generate_series(0, 3) t(t),
+                     generate_series(0, 3) p(p)) g
+           GROUP BY 1, 2, 3),
+         buckets AS (
+           SELECT vec_id, t,
+                  cast(sum(CASE WHEN proj > 0 THEN 1 << p ELSE 0 END) AS bigint) AS bucket
+           FROM proj GROUP BY 1, 2),
+         cand AS (
+           SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+           FROM buckets a JOIN buckets b
+             ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         dots AS (
+           SELECT c.vec_a, c.vec_b, sum(x.v * y.v) AS dot
+           FROM cand c
+           JOIN ex x ON x.vec_id = c.vec_a
+           JOIN ex y ON y.vec_id = c.vec_b AND y.i = x.i
+           GROUP BY 1, 2)
+         SELECT d.vec_a, d.vec_b,
+                cast(round(d.dot / (na.nrm * nb.nrm) * 1e6) AS bigint) AS cosine_e6
+         FROM dots d
+         JOIN norms na ON na.vec_id = d.vec_a
+         JOIN norms nb ON nb.vec_id = d.vec_b
+         WHERE cast(round(d.dot / (na.nrm * nb.nrm) * 1e6) AS bigint) >= 420000
          ORDER BY 1, 2""")),
 
     // ----- embedding similarity ------------------------------------------
@@ -686,6 +770,33 @@ object TextPipeline {
         .toDF("doc_id", "n_fingerprints", "min_fp", "max_fp")
         .orderBy(col("doc_id"))
     }, None),
+
+    ("x4_bpe_tokens", (s: SparkSession, d: String) => {
+      // BPE-style pre-tokenization counts — the GPT-2 pre-tokenizer splits
+      // text into letter runs / digit runs / single punctuation marks
+      // before byte-pair merges; this is its portable ASCII regex analog
+      // ([a-z]+|[0-9]+|[^a-z0-9 ]) run over `events.props` (JSON strings —
+      // the only column in the testdata with digits AND punctuation, so
+      // the three alternation arms all fire). Reported per event: the
+      // BPE-ish token count, the whitespace token count it refines, and the
+      // first 4 tokens — comparing CONTENT, not just counts, against the
+      // oracle's RE2 evaluation of the same pattern. Per-row map work:
+      // scales embarrassingly, no shuffle before the final sort.
+      Tables.events(s, d)
+        .select(col("event_id"),
+          expr("regexp_extract_all(props, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)").as("toks"),
+          size(split(col("props"), " ")).as("n_ws_tokens"))
+        .select(col("event_id"),
+          size(col("toks")).as("n_bpe_tokens"),
+          col("n_ws_tokens"),
+          array_join(slice(col("toks"), 1, 4), "|").as("head_tokens"))
+        .orderBy(col("event_id"))
+    }, Some(
+      """SELECT event_id,
+                len(regexp_extract_all(props, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens,
+                len(string_split(props, ' ')) AS n_ws_tokens,
+                array_to_string(regexp_extract_all(props, '[a-z]+|[0-9]+|[^a-z0-9 ]')[1:4], '|') AS head_tokens
+         FROM events ORDER BY event_id""")),
 
     // ----- multimodal columns --------------------------------------------
 

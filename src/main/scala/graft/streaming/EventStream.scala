@@ -91,6 +91,22 @@ object EventStream {
       .withWatermark("ts", "30 minutes")
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Streaming gap-based sessionization — the SAME session_window call as
+    * the batch w11 query (which pins the merge semantics against the
+    * DuckDB islands oracle), here under a watermark so a session closes —
+    * and its state drops — once the watermark passes its end (append-mode
+    * capable). State is per (user, open session), partitioned by user_id:
+    * the 100 TB sessionization shape.
+    */
+  def sessionStream(events: DataFrame, gap: String = "4 hours"): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"), sum(col("value")).as("value_sum"))
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), col("value_sum"))
+
   /** Custom keyed state (mapGroupsWithState): per-event_type running
     * count/mean/variance via Welford updates, emitting the refreshed
     * snapshot each micro-batch (update-mode sink). This is the shape for

@@ -138,6 +138,31 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pRows == bRows, "partitioned and broadcast verify paths disagree")
   }
 
+  test("embedNearDupPairs: planted embedding near-dups are found, and only them") {
+    // d6 quality gate, same scheme as the ANN planted tests: 3 planted
+    // near-identical vector pairs (cosine ≈ 0.999) on an otherwise
+    // near-orthogonal corpus. With a high threshold the verify stage must
+    // keep exactly the planted pairs — LSH collision cannot miss
+    // near-identical vectors (their hyperplane signs agree), and no random
+    // pair survives cosine ≥ 0.95.
+    val s = spark
+    import s.implicits._
+    val dim = 16
+    val n = 120
+    val g = new TestData.Lcg(23L)
+    val base = Array.tabulate(n)(_ => Array.fill(dim)(g.gaussian().toFloat))
+    for (q <- 0 until 3)
+      base(q) = base(10 + q).map(v => v + 0.02f * g.gaussian().toFloat)
+    val df = base.zipWithIndex.map { case (e, i) => (i.toLong, e) }.toSeq
+      .toDF("vec_id", "embedding")
+    val pairs = TextPipeline.embedNearDupPairs(df,
+        operators.AnnIndex.buildLsh(df, tables = 4, persist = false),
+        minCosineE6 = 950000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 10L), (1L, 11L), (2L, 12L)),
+      s"expected exactly the planted pairs, got $pairs")
+  }
+
   test("AnnIndex: ivfFor/lshFor build once per (session, path, params) and search many") {
     // The build-once/search-many surface: a second lookup with the same
     // key must return the SAME trained index without re-reading the

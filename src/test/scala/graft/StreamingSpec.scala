@@ -78,6 +78,37 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(n == distinctContent, s"streamed $n != batch-distinct $distinctContent")
   }
 
+  test("streaming sessionization replays to the batch session_window result") {
+    // sessionStream is the SAME session_window call as the batch w11 query
+    // (whose merge semantics the DuckDB islands oracle pins); replayed over
+    // the full file in complete mode it must reproduce the batch sessions
+    // exactly.
+    val q = EventStream.sessionStream(EventStream.readEvents(spark, sfDir))
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("sessions")
+      .orderBy("user_id", "session_start").collect()
+
+    val batch = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"), session_window(col("ts"), "4 hours"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"), sum(col("value")).as("value_sum"))
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), col("value_sum"))
+      .orderBy("user_id", "session_start").collect()
+
+    assert(streamed.length == batch.length && streamed.nonEmpty,
+      s"session count: streamed ${streamed.length} vs batch ${batch.length}")
+    streamed.zip(batch).foreach { case (a, b) =>
+      assert(a.getLong(0) == b.getLong(0))
+      assert(a.getTimestamp(1) == b.getTimestamp(1))
+      assert(a.getTimestamp(2) == b.getTimestamp(2))
+      assert(a.getLong(3) == b.getLong(3))
+      assert(math.abs(a.getDouble(4) - b.getDouble(4)) < 1e-6)
+    }
+  }
+
   test("mapGroupsWithState running stats converge to the batch moments per key") {
     val q = EventStream.runningStats(EventStream.readEvents(spark, sfDir))
       .writeStream.format("memory").queryName("run_stats").outputMode("update").start()
