@@ -298,6 +298,43 @@ object Relational {
            WHERE l.l_partkey = p.p_partkey AND l.l_quantity >= 40)
          ORDER BY 1""")),
 
+    ("j7_salted_skew_join", (s: SparkSession, d: String) => {
+      // Key-salting for a skewed shuffle join — the skew remedy for when
+      // the hot-key side is too large to broadcast and the join is
+      // HASH-partitioned (AQE's skew-join splitter only rebalances
+      // sort-merge joins; a hash-partitioned hot key still lands on one
+      // task). events.event_type has 5 values over the whole corpus — the
+      // worst case: an unsalted shuffle join caps at 5 tasks, one per key.
+      // Remedy: fact rows get a deterministic salt (event_id % 16), the
+      // 5-row dim is replicated across all 16 salts (16× a 5-row side —
+      // free), and the join keys on (event_type, salt) → 80 balanced
+      // partitions. The shuffle_hash hints pin the shuffled-join shape the
+      // technique exists for (Catalyst would otherwise just broadcast the
+      // tiny dim and mask the point). Semantics are EXACTLY the plain
+      // join's — the oracle is the unsalted SQL join.
+      val ev = Tables.events(s, d)
+      val dim = ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_type"), countDistinct(col("user_id")).as("u_type"))
+      val salts = 16
+      val fact = ev.select(col("event_id"), col("event_type"),
+        (col("event_id") % salts).cast("int").as("salt"))
+      val saltedDim = dim.select(col("event_type").as("d_event_type"),
+          col("n_type"), col("u_type"),
+          explode(expr(s"sequence(0, ${salts - 1})")).as("d_salt"))
+      fact.hint("shuffle_hash")
+        .join(saltedDim.hint("shuffle_hash"),
+          col("event_type") === col("d_event_type") && col("salt") === col("d_salt"))
+        .select(col("event_id"), col("event_type"), col("n_type"), col("u_type"))
+        .orderBy(col("event_id"))
+    }, Some(
+      """SELECT e.event_id, e.event_type, d.n_type, d.u_type
+         FROM events e JOIN (
+           SELECT event_type, count(*) AS n_type,
+                  count(DISTINCT user_id) AS u_type
+           FROM events GROUP BY 1) d
+         ON e.event_type = d.event_type
+         ORDER BY e.event_id""")),
+
     ("j3_date_align", (s: SparkSession, d: String) => {
       // Reference J3: point-lookup alignment on a computed date key
       // (forecast@origin+h vs realized). Analog: daily revenue joined to
