@@ -38,6 +38,46 @@ object Relational {
     root.toString
   }
 
+  /** As-of join — the canonical time-series operator Spark's built-in
+    * joins lack: each probe row pairs with the LATEST quote row whose
+    * `tsCol` is at or before the probe's, per `keys`. Implemented the way
+    * it scales — both sides are tagged and UNIONED, one shuffle
+    * partitions by key, and a running `last(quote, ignoreNulls)` window
+    * carries the most recent quote forward into each probe row. No range
+    * self-join, no per-probe scan of the quote history: the cost is one
+    * shuffle + one sorted pass regardless of quote density, and a
+    * watermark-less streaming analog falls out of the same shape. At equal
+    * timestamps the quote sorts FIRST (at-or-before includes it); a probe
+    * before any quote gets a NULL match (left semantics).
+    *
+    * Output: every probe column, plus the matched quote row as one
+    * `asof` struct column (NULL when no quote precedes the probe).
+    */
+  private[graft] def asOfJoin(
+      probe: DataFrame,
+      quote: DataFrame,
+      keys: Seq[String],
+      tsCol: String): DataFrame = {
+    import org.apache.spark.sql.types.StructType
+    val pType = StructType(probe.schema.fields)
+    val qType = StructType(quote.schema.fields)
+    val pSide = probe.select(keys.map(col) ++ Seq(
+      col(tsCol).as("__ts"), lit(1).as("__is_probe"),
+      struct(probe.columns.map(col): _*).as("__p"),
+      lit(null).cast(qType).as("__q")): _*)
+    val qSide = quote.select(keys.map(col) ++ Seq(
+      col(tsCol).as("__ts"), lit(0).as("__is_probe"),
+      lit(null).cast(pType).as("__p"),
+      struct(quote.columns.map(col): _*).as("__q")): _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts"), col("__is_probe"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pSide.unionByName(qSide)
+      .withColumn("asof", last(col("__q"), ignoreNulls = true).over(w))
+      .filter(col("__is_probe") === 1)
+      .select(col("__p.*"), col("asof"))
+  }
+
   /** name -> (spark query, optional duckdb oracle sql) */
   val entries: Seq[(String, Q, Option[String])] = Seq(
 
@@ -334,6 +374,44 @@ object Relational {
            FROM events GROUP BY 1) d
          ON e.event_type = d.event_type
          ORDER BY e.event_id""")),
+
+    ("j8_asof_align", (s: SparkSession, d: String) => {
+      // As-of alignment ([[asOfJoin]]): every non-purchase event pairs
+      // with the SAME user's latest purchase at or before it — the
+      // "current price/position at event time" shape (reference J3 is the
+      // exact-key special case; this is the general inexact-timestamp
+      // one). The oracle replicates the union+running-last plan in SQL
+      // (last_value IGNORE NULLS over the per-user time ordering), so the
+      // operator's NULL (no prior purchase) and at-or-before semantics are
+      // both pinned. Matched values compare EXACTLY: they are carried
+      // parquet doubles, no arithmetic.
+      val ev = Tables.events(s, d)
+      val probe = ev.filter(col("event_type") =!= "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      val quote = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"),
+          col("value").as("purchase_value"))
+      asOfJoin(probe, quote, keys = Seq("user_id"), tsCol = "ts")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("asof.purchase_id").as("last_purchase_id"),
+          col("asof.purchase_value").as("last_purchase_value"))
+        .orderBy(col("event_id"))
+    }, Some(
+      """WITH u AS (
+           SELECT event_id, user_id, cast(ts AS timestamp) AS ts, event_type, value,
+                  CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS is_probe
+           FROM events),
+         m AS (
+           SELECT *,
+                  last_value(CASE WHEN is_probe = 0 THEN event_id END IGNORE NULLS)
+                    OVER w AS last_purchase_id,
+                  last_value(CASE WHEN is_probe = 0 THEN value END IGNORE NULLS)
+                    OVER w AS last_purchase_value
+           FROM u
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, is_probe
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT event_id, user_id, event_type, last_purchase_id, last_purchase_value
+         FROM m WHERE is_probe = 1 ORDER BY event_id""")),
 
     ("j3_date_align", (s: SparkSession, d: String) => {
       // Reference J3: point-lookup alignment on a computed date key

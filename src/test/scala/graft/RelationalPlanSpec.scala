@@ -40,6 +40,27 @@ class RelationalPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("salt"), s"salt key missing from the join:\n$plan")
   }
 
+  test("asOfJoin: at-or-before semantics, equal-ts inclusion, left nulls") {
+    // The three edges the oracle data can't force deterministically: a
+    // quote EXACTLY at the probe's timestamp must match (at-or-before is
+    // inclusive), the latest of several prior quotes wins, and a probe
+    // with no prior quote survives with a NULL match.
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val probe = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "c"))
+      .toDF("k", "t", "p")
+    val quote = Seq((1L, 10L, 100.0), (1L, 15L, 150.0), (2L, 6L, 60.0))
+      .toDF("k", "t", "v")
+    val got = Relational.asOfJoin(probe, quote, keys = Seq("k"), tsCol = "t")
+      .select(col("p"), col("asof.v"))
+      .collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(got == Map("a" -> Some(100.0), "b" -> Some(150.0), "c" -> None))
+  }
+
   test("s1: filter and projection reach the parquet scan") {
     // Pushdown evidence for the scan path: the parquet scan must carry
     // pushed filters and a pruned read schema, not read-everything-filter-
