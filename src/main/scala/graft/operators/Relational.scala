@@ -413,6 +413,53 @@ object Relational {
          SELECT event_id, user_id, event_type, last_purchase_id, last_purchase_value
          FROM m WHERE is_probe = 1 ORDER BY event_id""")),
 
+    ("j9_range_bucket_join", (s: SparkSession, d: String) => {
+      // Bucketized RANGE join — the at-scale plan for an interval
+      // predicate: a naive `a.ts BETWEEN b.lo AND b.hi` join has no equi
+      // key, so Catalyst falls back to a nested-loop scan of every pair.
+      // Remedy: quantize time into fixed bins sized to the range width
+      // (1 h here), explode each interval onto the bins it covers (≤ 3),
+      // and equi-join on (user_id, bin) — the range predicate then runs
+      // only inside co-bucketed pairs. An event owns exactly ONE bin, so
+      // no pair can match twice and no post-join dedup is needed. The
+      // oracle is the plain BETWEEN join: identical semantics, shuffle
+      // cost O(rows), never corpus². Query: events within ±1 h of a
+      // same-user purchase, counted per purchase (left join — a purchase
+      // with no nearby events keeps n_nearby = 0).
+      val ev = Tables.events(s, d)
+      val binSec = 3600L
+      val probes = ev.select(col("user_id"),
+          col("event_id"), col("ts"),
+          floor(unix_timestamp(col("ts")) / binSec).as("bin"))
+      val purch = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+          col("ts").as("p_ts"))
+        .withColumn("bin", explode(expr(
+          s"sequence(floor((unix_timestamp(p_ts) - $binSec) / $binSec), " +
+            s"floor((unix_timestamp(p_ts) + $binSec) / $binSec))")))
+      purch.join(probes,
+          col("p_user_id") === col("user_id") && purch("bin") === probes("bin") &&
+            col("event_id") =!= col("purchase_id") &&
+            unix_timestamp(col("ts")).between(
+              unix_timestamp(col("p_ts")) - binSec,
+              unix_timestamp(col("p_ts")) + binSec),
+          "left_outer")
+        .groupBy(col("purchase_id"))
+        .agg(count(col("event_id")).as("n_nearby"))
+        .orderBy(col("purchase_id"))
+    }, Some(
+      """WITH p AS (
+           SELECT user_id, event_id AS purchase_id, cast(ts AS timestamp) AS p_ts
+           FROM events WHERE event_type = 'purchase'),
+         e AS (SELECT user_id, event_id, cast(ts AS timestamp) AS ts FROM events)
+         SELECT p.purchase_id, count(e.event_id) AS n_nearby
+         FROM p LEFT JOIN e
+           ON e.user_id = p.user_id AND e.event_id <> p.purchase_id
+          AND cast(floor(epoch(e.ts)) AS bigint)
+                BETWEEN cast(floor(epoch(p.p_ts)) AS bigint) - 3600
+                    AND cast(floor(epoch(p.p_ts)) AS bigint) + 3600
+         GROUP BY 1 ORDER BY 1""")),
+
     ("j3_date_align", (s: SparkSession, d: String) => {
       // Reference J3: point-lookup alignment on a computed date key
       // (forecast@origin+h vs realized). Analog: daily revenue joined to

@@ -61,6 +61,16 @@ class RelationalPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Map("a" -> Some(100.0), "b" -> Some(150.0), "c" -> None))
   }
 
+  test("j9: the bucketized range join keeps an equi key — no nested loop") {
+    // The bucketization exists to give the interval predicate an equi
+    // key; if the bin column ever fell out of the join condition,
+    // Catalyst would silently fall back to BroadcastNestedLoopJoin —
+    // correct output, corpus² work.
+    val df = Relational.queries("j9_range_bucket_join")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop"), s"range join fell back to nested loop:\n$plan")
+  }
+
   test("s1: filter and projection reach the parquet scan") {
     // Pushdown evidence for the scan path: the parquet scan must carry
     // pushed filters and a pruned read schema, not read-everything-filter-
