@@ -71,6 +71,22 @@ class RelationalPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("NestedLoop"), s"range join fell back to nested loop:\n$plan")
   }
 
+  test("s7: the date-range filter prunes partitions, not just row groups") {
+    // The partitioned layout only earns its keep if the scan's
+    // PartitionFilters actually restrict the partition directories read:
+    // 5 of the 30 event days must survive pruning.
+    // sparkPlan, not executedPlan: AQE wraps executed leaves in query
+    // stages that a plain collect cannot descend into.
+    val df = Relational.queries("s7_partitioned_scan")(spark, sfDir)
+    val scan = df.queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.headOption
+      .getOrElse(fail("no FileSourceScanExec in the s7 plan"))
+    assert(scan.partitionFilters.nonEmpty, "no partition filters on the scan")
+    val selected = scan.selectedPartitions.partitionCount
+    assert(selected == 5, s"expected 5 pruned partitions, read $selected")
+  }
+
   test("s1: filter and projection reach the parquet scan") {
     // Pushdown evidence for the scan path: the parquet scan must carry
     // pushed filters and a pruned read schema, not read-everything-filter-
