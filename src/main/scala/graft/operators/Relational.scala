@@ -94,6 +94,32 @@ object Relational {
       p
     })
 
+  /** Per-(JVM, sfDir) bucketed catalog table of `events`: bucketBy(8,
+    * user_id) + sortBy(user_id), written once. Bucketing is the layout
+    * that makes every downstream user_id aggregation AND join shuffle-free
+    * — the scan itself satisfies the hash distribution (j10).
+    */
+  private val bucketedEventsCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private[graft] def bucketedEvents(s: SparkSession, d: String): String =
+    bucketedEventsCache.getOrElseUpdate(d, {
+      val name = s"graft_events_bucketed_${math.abs(d.hashCode).toString}"
+      // A previous JVM may have left the managed location behind (the
+      // in-memory catalog forgets the table across sessions, and
+      // saveAsTable refuses a dirty location): drop both before writing.
+      s.sql(s"DROP TABLE IF EXISTS $name")
+      val loc = new org.apache.hadoop.fs.Path(
+        s.sessionState.conf.warehousePath, name)
+      loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          round(col("value") * 1e4).cast("long").as("value_e4"))
+        .write.mode("overwrite")
+        .bucketBy(8, "user_id").sortBy("user_id")
+        .format("parquet").saveAsTable(name)
+      name
+    })
+
   /** name -> (spark query, optional duckdb oracle sql) */
   val entries: Seq[(String, Q, Option[String])] = Seq(
 
@@ -497,6 +523,38 @@ object Relational {
                 BETWEEN cast(floor(epoch(p.p_ts)) AS bigint) - 3600
                     AND cast(floor(epoch(p.p_ts)) AS bigint) + 3600
          GROUP BY 1 ORDER BY 1""")),
+
+    ("j10_bucketed_colocated_join", (s: SparkSession, d: String) => {
+      // Co-located join on a BUCKETED layout, executable: events live in a
+      // catalog table bucketBy(8, user_id) (written once per JVM —
+      // [[bucketedEvents]]), so the per-user aggregate needs NO shuffle
+      // (the scan already satisfies the hash distribution) and the
+      // merge-hinted join back to the same table needs NO exchange on
+      // either side — bucket i joins bucket i where it sits. At 100 TB
+      // this is the difference between re-shuffling the corpus per join
+      // and shuffling it once at ingest; RelationalPlanSpec asserts the
+      // plan carries no hash-partitioning Exchange (the only exchange
+      // left is the final presentation sort). The merge hint pins the
+      // join the layout exists for — tiny test data would otherwise
+      // broadcast and mask the point.
+      val t = s.table(bucketedEvents(s, d))
+      val totals = t.groupBy(col("user_id"))
+        .agg(sum(col("value_e4")).as("user_total_e4"),
+          count(lit(1)).as("user_n"))
+      t.hint("merge").join(totals.hint("merge"), "user_id")
+        .select(col("user_id"), col("event_id"), col("value_e4"),
+          col("user_total_e4"), col("user_n"))
+        .orderBy(col("event_id"))
+    }, Some(
+      """WITH e AS (
+           SELECT user_id, event_id, cast(round(value * 1e4) AS bigint) AS value_e4
+           FROM events),
+         totals AS (
+           SELECT user_id, sum(value_e4) AS user_total_e4, count(*) AS user_n
+           FROM e GROUP BY 1)
+         SELECT e.user_id, e.event_id, e.value_e4, t.user_total_e4, t.user_n
+         FROM e JOIN totals t USING (user_id)
+         ORDER BY e.event_id""")),
 
     ("j3_date_align", (s: SparkSession, d: String) => {
       // Reference J3: point-lookup alignment on a computed date key

@@ -87,6 +87,20 @@ class RelationalPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(selected == 5, s"expected 5 pruned partitions, read $selected")
   }
 
+  test("j10: bucketed layout makes the aggregate and join shuffle-free") {
+    // The bucketed table exists so that neither the per-user aggregate
+    // nor the join back to the rows re-partitions the data: the only
+    // acceptable exchange is the final presentation sort (range
+    // partitioning). A hash-partitioning Exchange appearing here means
+    // the bucket spec stopped satisfying the join's distribution — the
+    // layout's entire value at scale, gone silently.
+    val df = Relational.queries("j10_bucketed_colocated_join")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"bucketed join not sort-merge:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join re-shuffled:\n$plan")
+  }
+
   test("s1: filter and projection reach the parquet scan") {
     // Pushdown evidence for the scan path: the parquet scan must carry
     // pushed filters and a pruned read schema, not read-everything-filter-
