@@ -715,6 +715,37 @@ object Relational {
          FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
          ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""")),
 
+    ("a12_group_percentiles", (s: SparkSession, d: String) => {
+      // Exact per-group quantiles (the sorted-aggregation shape — at scale
+      // one hash shuffle on the group key, per-group sort inside the
+      // aggregate buffer; the streaming-friendly approximation is
+      // percentile_approx over the same call). Oracle exactness: inputs
+      // are e4-quantized LONGS and the probabilities are DYADIC (0.5,
+      // 0.75 — exact binary doubles), so the type-7 interpolation
+      // lower + (upper−lower)·frac has frac ∈ {0, .25, .5, .75} and every
+      // product is exact in double arithmetic — bit-identical across
+      // engines, no tolerance needed.
+      Tables.events(s, d)
+        .select(col("event_type"),
+          round(col("value") * 1e4).cast("long").as("value_e4"))
+        .groupBy(col("event_type"))
+        .agg(expr("percentile(value_e4, array(0.5D, 0.75D))").as("ps"),
+          count(lit(1)).as("n"))
+        .select(col("event_type"),
+          element_at(col("ps"), 1).as("p50_e4"),
+          element_at(col("ps"), 2).as("p75_e4"),
+          col("n"))
+        .orderBy(col("event_type"))
+    }, Some(
+      """WITH e AS (
+           SELECT event_type, cast(round(value * 1e4) AS bigint) AS value_e4
+           FROM events)
+         SELECT event_type,
+                quantile_cont(value_e4, 0.5) AS p50_e4,
+                quantile_cont(value_e4, 0.75) AS p75_e4,
+                count(*) AS n
+         FROM e GROUP BY 1 ORDER BY 1""")),
+
     // ----- set operations --------------------------------------------------
 
     ("set_union", (s: SparkSession, d: String) => {

@@ -107,6 +107,16 @@ object EventStream {
       .select(col("user_id"), col("session_start"), col("session_end"),
         col("n_events"), col("value_sum"))
 
+  /** Stream-static enrichment join — the remaining canonical streaming
+    * shape: each streaming event picks up its key's attributes from a
+    * static (batch) dimension, broadcast so the stream enriches map-side
+    * and never shuffles. At scale the dim is the small side by
+    * construction; a dim too big to broadcast becomes a stream-stream
+    * join with watermarks instead.
+    */
+  def enrichedStream(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), "event_type")
+
   /** Custom keyed state (mapGroupsWithState): per-event_type running
     * count/mean/variance via Welford updates, emitting the refreshed
     * snapshot each micro-batch (update-mode sink). This is the shape for

@@ -109,6 +109,27 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("stream-static enrichment join carries the dim attributes to every event") {
+    // The static dim (per-type counts from the batch table) must reach
+    // every streamed event exactly once — same row count as the raw
+    // stream, and the attribute agrees with the batch-computed value.
+    val dim = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_type"))
+    val q = EventStream.enrichedStream(EventStream.readEvents(spark, sfDir), dim)
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val enriched = spark.table("enriched")
+    val total = Tables.events(spark, sfDir).count()
+    assert(enriched.count() == total, "enrichment changed the row count")
+    val mismatches = enriched.groupBy(col("event_type"), col("n_type"))
+      .agg(count(lit(1)).as("n_rows"))
+      .filter(col("n_type") =!= col("n_rows"))
+      .count()
+    assert(mismatches == 0, "dim attribute disagrees with the batch value")
+  }
+
   test("mapGroupsWithState running stats converge to the batch moments per key") {
     val q = EventStream.runningStats(EventStream.readEvents(spark, sfDir))
       .writeStream.format("memory").queryName("run_stats").outputMode("update").start()
