@@ -65,6 +65,28 @@ object TextFunctions {
       ((bytes.length + frameSize - 1) / frameSize).toLong)
   }
 
+  /** STUB frame sampler (see mm2_frame_sample): every `stride`-th
+    * frameSize-byte frame of the payload with its length and byte-sum
+    * checksum — stands in for codec frame extraction (video frame
+    * sampling / audio windowing). Deterministic by construction, so the
+    * Spark-side batching and explode plumbing is oracle-checkable;
+    * swapping the byte-sum for a real frame decode changes no plumbing.
+    */
+  def sampleFrames(
+      bytes: Array[Byte],
+      frameSize: Int,
+      stride: Int): Seq[(Long, Long, Long)] = {
+    val nFrames = (bytes.length + frameSize - 1) / frameSize
+    (0 until nFrames by stride).map { fi =>
+      val start = fi * frameSize
+      val end = math.min(bytes.length, start + frameSize)
+      var sum = 0L
+      var i = start
+      while (i < end) { sum += bytes(i) & 0xff; i += 1 }
+      (fi.toLong, (end - start).toLong, sum)
+    }
+  }
+
   /** 32-bit SimHash of a token set using the same md5-nibble bit planes as
     * the d4_simhash query (kept in sync for cross-checking in tests).
     */

@@ -819,7 +819,41 @@ object TextPipeline {
         }
         .toDF("doc_id", "n_bytes", "byte_mean", "n_frames")
         .orderBy(col("doc_id"))
-    }, None)
+    }, None),
+
+    ("mm2_frame_sample", (s: SparkSession, d: String) => {
+      // Multimodal frame sampling: every 2nd 64-byte frame of each binary
+      // payload, with per-frame length and checksum — the video
+      // frame-sample / audio windowing shape (mm1 is decode + whole-file
+      // feature extract; this is the per-frame explode). The stub
+      // "decoder" is a deterministic byte-sum, which upgrades the check
+      // from mm1's rows-only to a full DuckDB oracle over the same
+      // frames: the batching, explode, and schema plumbing — the part a
+      // real codec UDF would reuse unchanged — is what's being verified.
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.flatMap { case (id, bytes) =>
+          TextFunctions.sampleFrames(bytes, frameSize = 64, stride = 2)
+            .map { case (fi, len, sum) => (id, fi, len, sum) }
+        })
+        .toDF("doc_id", "frame_idx", "frame_len", "frame_sum")
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }, Some(
+      """WITH f AS (
+           SELECT doc_id, text,
+                  unnest(generate_series(0,
+                    cast(ceil(length(text) / 64.0) AS int) - 1, 2)) AS frame_idx
+           FROM documents),
+         pos AS (
+           SELECT doc_id, frame_idx,
+                  unnest(generate_series(frame_idx * 64 + 1,
+                    least(length(text), frame_idx * 64 + 64))) AS p, text
+           FROM f)
+         SELECT doc_id, frame_idx, count(*) AS frame_len,
+                sum(ascii(substr(text, p, 1))) AS frame_sum
+         FROM pos GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 
   def queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap

@@ -163,6 +163,18 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected exactly the planted pairs, got $pairs")
   }
 
+  test("sampleFrames: stride, ragged tail, and checksums") {
+    // 130 bytes at frameSize 64 = frames 0..2; stride 2 keeps frames 0 and
+    // 2; frame 2 is the 2-byte ragged tail.
+    val bytes = Array.tabulate(130)(i => (i % 7).toByte)
+    val frames = TextFunctions.sampleFrames(bytes, frameSize = 64, stride = 2)
+    assert(frames.map(_._1) == Seq(0L, 2L))
+    assert(frames.map(_._2) == Seq(64L, 2L))
+    assert(frames(0)._3 == (0 until 64).map(_ % 7).sum.toLong)
+    assert(frames(1)._3 == (128 until 130).map(_ % 7).sum.toLong)
+    assert(TextFunctions.sampleFrames(Array.emptyByteArray, 64, 2).isEmpty)
+  }
+
   test("AnnIndex: ivfFor/lshFor build once per (session, path, params) and search many") {
     // The build-once/search-many surface: a second lookup with the same
     // key must return the SAME trained index without re-reading the
