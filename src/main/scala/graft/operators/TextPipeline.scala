@@ -49,9 +49,23 @@ object TextPipeline {
   /** (doc_id, dg): one md5 digest per raw shingle position, duplicates
     * kept — the downstream aggregates (min / collect_set) absorb them, so
     * no shingle-dedup shuffle. The single corpus scan behind d3 and d5.
+    *
+    * The repartition BEFORE the explode fixes the stage's parallelism AND
+    * its shuffle volume at once: the testdata corpus is one small parquet
+    * file → one scan partition, so without it the 1000×-fanout explode +
+    * md5 (the pipeline's dominant CPU) ran on a single core (measured:
+    * explode-only 1.5 s of d3's 2.5 s at sf0.1). Shuffling the tiny
+    * pre-explode doc rows BY doc_id costs nothing, runs the fanout on
+    * every core, and — because Generate preserves the child's hash
+    * partitioning — the downstream groupBy(doc_id) reuses it instead of
+    * shuffling the 2M post-explode rows. At 100 TB the scan arrives in
+    * thousands of partitions and the same repartition is what aligns the
+    * aggregate to one shuffle of the SMALL side of the fanout.
     */
   private def shingleDigests(docs: DataFrame): DataFrame =
     docs
+      .select(col("doc_id"), col("text"))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), col("text"),
         explode(expr("sequence(1, greatest(char_length(text) - 4, 1))")).as("i"))
       .select(col("doc_id"), expr("md5(substring(text, i, 5))").as("dg"))
@@ -383,6 +397,8 @@ object TextPipeline {
         graft.functions.SimHash32Agg(GraftExpressionBridge.expression(col("dg")))
           .toAggregateExpression()).as("simhash")
       Tables.documents(s, d)
+        .select(col("doc_id"), col("text"))
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
         .distinct()
         .select(col("doc_id"), md5(col("t")).as("dg"))
