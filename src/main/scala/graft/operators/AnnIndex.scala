@@ -134,7 +134,13 @@ object AnnIndex {
     * table). Columns: vec_id, embedding, t, bucket.
     */
   def buildLsh(e: DataFrame, tables: Int, persist: Boolean = true): DataFrame = {
+    // Pre-explode repartition, same reasoning as shingleDigests: the
+    // one-file corpus scan would otherwise run the tables×4-plane
+    // projection fanout on one partition, and every consumer of the
+    // persisted index (bucket self-joins in particular) would stream from
+    // that single cached partition.
     val buckets = e
+      .repartition(e.sparkSession.sparkContext.defaultParallelism, col("vec_id"))
       .select(col("vec_id"), col("embedding"),
         explode(expr(s"sequence(0, ${tables - 1})")).as("t"))
       .select(col("vec_id"), col("embedding"), col("t"),
