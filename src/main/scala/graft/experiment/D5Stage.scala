@@ -3,7 +3,8 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Stage-by-stage cost breakdown of the d3/d5 shingle pipeline at sf0.1
-  * (explode only → +md5 → +MinHash8 → +combined aggregate), three warm
+  * (explode only → +md5 → +MinHash8 → +combined aggregate, each behind the
+  * same pre-explode repartition the real pipeline uses), three warm
   * passes each. This probe found the single-file parallelism ceiling: the
   * explode-only stage alone took 1.5 s because the one-file corpus scan
   * gave the 1000×-fanout one partition — fixed by the pre-explode
@@ -24,20 +25,20 @@ object D5Stage {
     val docs = graft.sources.Tables.documents(spark, d)
     // stage 1: explode only
     time("explode-only") {
-      docs.select(col("doc_id"), col("text"), explode(expr("sequence(1, greatest(char_length(text) - 4, 1))")).as("i"))
+      docs.select(col("doc_id"), col("text")).repartition(32, col("doc_id")).select(col("doc_id"), col("text"), explode(expr("sequence(1, greatest(char_length(text) - 4, 1))")).as("i"))
         .select(col("doc_id"), expr("substring(text, i, 5)").as("s"))
         .write.mode("overwrite").format("noop").save()
     }
     // stage 2: + md5
     time("explode+md5") {
-      docs.select(col("doc_id"), col("text"), explode(expr("sequence(1, greatest(char_length(text) - 4, 1))")).as("i"))
+      docs.select(col("doc_id"), col("text")).repartition(32, col("doc_id")).select(col("doc_id"), col("text"), explode(expr("sequence(1, greatest(char_length(text) - 4, 1))")).as("i"))
         .select(col("doc_id"), expr("md5(substring(text, i, 5))").as("dg"))
         .write.mode("overwrite").format("noop").save()
     }
     // stage 3: + minhash agg only
     time("minhash-agg") {
       import org.apache.spark.sql.GraftExpressionBridge
-      docs.select(col("doc_id"), col("text"), explode(expr("sequence(1, greatest(char_length(text) - 4, 1))")).as("i"))
+      docs.select(col("doc_id"), col("text")).repartition(32, col("doc_id")).select(col("doc_id"), col("text"), explode(expr("sequence(1, greatest(char_length(text) - 4, 1))")).as("i"))
         .select(col("doc_id"), expr("md5(substring(text, i, 5))").as("dg"))
         .groupBy(col("doc_id"))
         .agg(GraftExpressionBridge.column(
@@ -47,7 +48,7 @@ object D5Stage {
     // stage 4: + collect_set of 60-bit longs (the d5 combined agg)
     time("combined-agg") {
       import org.apache.spark.sql.GraftExpressionBridge
-      docs.select(col("doc_id"), col("text"), explode(expr("sequence(1, greatest(char_length(text) - 4, 1))")).as("i"))
+      docs.select(col("doc_id"), col("text")).repartition(32, col("doc_id")).select(col("doc_id"), col("text"), explode(expr("sequence(1, greatest(char_length(text) - 4, 1))")).as("i"))
         .select(col("doc_id"), expr("md5(substring(text, i, 5))").as("dg"))
         .groupBy(col("doc_id"))
         .agg(GraftExpressionBridge.column(
