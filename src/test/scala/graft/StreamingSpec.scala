@@ -109,6 +109,45 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("append-mode sessions close only when the watermark passes them") {
+    // The closing semantics the complete-mode parity test cannot see: in
+    // append mode a session may only emit once the watermark (30 min
+    // allowance) passes its end — early emission would duplicate sessions
+    // that later events extend. MemoryStream gives batch-by-batch control
+    // of event time.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val events = mem.toDF.toDF("user_id", "ts", "value")
+    def t(hhmm: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+    val q = EventStream.sessionStream(events, gap = "10 minutes")
+      .writeStream.format("memory").queryName("append_sessions")
+      .outputMode("append").start()
+    try {
+      // Batch 1: user 1's two-event session [00:00, 00:05] (window end
+      // 00:15). The watermark is far behind — nothing may emit.
+      mem.addData((1L, t("00:00"), 1.0), (1L, t("00:05"), 2.0))
+      q.processAllAvailable()
+      assert(spark.table("append_sessions").count() == 0,
+        "session emitted before the watermark closed it")
+      // Batch 2 advances max event time to 01:00 (watermark after the
+      // batch: 00:30 > the session's 00:15 end); batch 3 runs WITH that
+      // watermark and must emit user 1's closed session — and only it.
+      mem.addData((2L, t("01:00"), 9.0))
+      q.processAllAvailable()
+      mem.addData((2L, t("01:01"), 9.0))
+      q.processAllAvailable()
+      val rows = spark.table("append_sessions").collect()
+      assert(rows.length == 1, s"expected exactly user 1's closed session, got ${rows.length}")
+      val r = rows(0)
+      assert(r.getLong(0) == 1L)
+      assert(r.getTimestamp(1) == t("00:00") && r.getTimestamp(2) == t("00:05"))
+      assert(r.getLong(3) == 2L && math.abs(r.getDouble(4) - 3.0) < 1e-12)
+    } finally q.stop()
+  }
+
   test("stream-static enrichment join carries the dim attributes to every event") {
     // The static dim (per-type counts from the batch table) must reach
     // every streamed event exactly once — same row count as the raw
