@@ -588,35 +588,108 @@ object TextPipeline {
          FROM buckets GROUP BY 1 ORDER BY 1""")),
 
     ("e3_ann_topk", (s: SparkSession, d: String) => {
-      // Brute-force top-5 cosine neighbors per query vector (rank inside
-      // the engine; ties broken by vec_id). Rows-only: float-sum ordering
-      // near rank boundaries is not oracle-stable, and the exact scores are
-      // already hash-checked by e1.
+      // Brute-force top-5 cosine neighbors per query vector. The rank is
+      // computed on the ROUNDED cosine (ties by vec_id), which makes the
+      // whole result oracle-exact — raw float-sum ordering near rank
+      // boundaries is not oracle-stable, but e1 proves the e6-rounded
+      // scores match the oracle bit-for-bit, so ranking (cosine_e6 desc,
+      // vec_id) is deterministic in both engines (upgraded from rows-only
+      // in round 8).
       val e = Tables.embeddings(s, d)
       val q = e.filter(col("vec_id") < 3)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       val w = Window.partitionBy(col("q_id"))
-        .orderBy(col("cosine").desc, col("vec_id"))
-      cosineScored(e, q).withColumn("rank", row_number().over(w))
+        .orderBy(col("cosine_e6").desc, col("vec_id"))
+      cosineScored(e, q)
+        .select(col("q_id"), col("vec_id"),
+          round(col("cosine") * 1e6).cast("long").as("cosine_e6"))
+        .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 5)
         .orderBy(col("q_id"), col("rank"))
-    }, None),
+    }, Some(
+      """WITH ex AS (
+           SELECT vec_id, i, cast(embedding[i] AS double) AS v FROM (
+             SELECT vec_id, embedding,
+                    unnest(generate_series(1, len(embedding))) AS i
+             FROM embeddings)),
+         norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ex GROUP BY 1),
+         dots AS (
+           SELECT q.vec_id AS q_id, e.vec_id AS vec_id, sum(q.v * e.v) AS dot
+           FROM ex q JOIN ex e ON q.i = e.i
+           WHERE q.vec_id < 3 AND e.vec_id <> q.vec_id
+           GROUP BY 1, 2),
+         scored AS (
+           SELECT d.q_id, d.vec_id,
+                  cast(round(d.dot / (nq.nrm * ne.nrm) * 1e6) AS bigint) AS cosine_e6
+           FROM dots d
+           JOIN norms nq ON nq.vec_id = d.q_id
+           JOIN norms ne ON ne.vec_id = d.vec_id)
+         SELECT q_id, vec_id, cosine_e6, rank FROM (
+           SELECT *, row_number() OVER (PARTITION BY q_id
+                       ORDER BY cosine_e6 DESC, vec_id) AS rank
+           FROM scored)
+         WHERE rank <= 5 ORDER BY q_id, rank""")),
 
     ("e4_ann_lsh_search", (s: SparkSession, d: String) => {
       // The at-scale ANN search completing e2: multi-table hyperplane LSH
       // (4 tables × 4 bits — table 0 is exactly e2's hash-checked family),
       // candidates = bucket collision in ANY table (equi-join on (t,
       // bucket) — at 100 TB a shuffle on a small key space, never corpus²),
-      // then per-query top-3 inside the candidate set. Rows-only (rank
-      // boundaries aren't oracle-stable); bucket assignment is hash-checked
-      // by e2, and search QUALITY is checked by e5's recall + a planted-
-      // near-duplicate recall test in PipelineSpec. The bucket index is
-      // built once per session and shared with e5 (AnnIndex.lshFor).
+      // then per-query top-3 inside the candidate set, ranked on the
+      // ROUNDED cosine like e3 so the result is oracle-exact (upgraded
+      // from rows-only in round 8; k = MaxValue keeps the raw-rank filter
+      // out of the way so the rounded rank sees the full candidate set).
+      // Search QUALITY is still e5's recall + the planted-near-duplicate
+      // test; the bucket index is built once per session (AnnIndex.lshFor).
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cosine_e6").desc, col("vec_id"))
       AnnIndex.lshSearch(
         AnnIndex.lshFor(s, d, Tables.embeddings(s, d), tables = 4),
-        col("vec_id") < 3, k = 3)
+        col("vec_id") < 3, k = Int.MaxValue)
+        .select(col("q_id"), col("vec_id"),
+          round(col("cosine") * 1e6).cast("long").as("cosine_e6"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
         .orderBy(col("q_id"), col("rank"))
-    }, None),
+    }, Some(
+      """WITH ex AS (
+           SELECT vec_id, i, cast(embedding[i] AS double) AS v FROM (
+             SELECT vec_id, embedding,
+                    unnest(generate_series(1, len(embedding))) AS i
+             FROM embeddings)),
+         norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ex GROUP BY 1),
+         proj AS (
+           SELECT ex.vec_id, g.t, g.p,
+                  sum(ex.v * cast((ex.i * 31 + (g.t * 4 + g.p) * 17) % 7 - 3 AS double)) AS proj
+           FROM ex, (SELECT t.t, p.p FROM generate_series(0, 3) t(t),
+                     generate_series(0, 3) p(p)) g
+           GROUP BY 1, 2, 3),
+         buckets AS (
+           SELECT vec_id, t,
+                  cast(sum(CASE WHEN proj > 0 THEN 1 << p ELSE 0 END) AS bigint) AS bucket
+           FROM proj GROUP BY 1, 2),
+         cand AS (
+           SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS vec_id
+           FROM buckets q JOIN buckets c
+             ON q.t = c.t AND q.bucket = c.bucket AND q.vec_id <> c.vec_id
+           WHERE q.vec_id < 3),
+         dots AS (
+           SELECT cd.q_id, cd.vec_id, sum(x.v * y.v) AS dot
+           FROM cand cd
+           JOIN ex x ON x.vec_id = cd.q_id
+           JOIN ex y ON y.vec_id = cd.vec_id AND y.i = x.i
+           GROUP BY 1, 2),
+         scored AS (
+           SELECT d.q_id, d.vec_id,
+                  cast(round(d.dot / (nq.nrm * ne.nrm) * 1e6) AS bigint) AS cosine_e6
+           FROM dots d
+           JOIN norms nq ON nq.vec_id = d.q_id
+           JOIN norms ne ON ne.vec_id = d.vec_id)
+         SELECT q_id, vec_id, cosine_e6, rank FROM (
+           SELECT *, row_number() OVER (PARTITION BY q_id
+                       ORDER BY cosine_e6 DESC, vec_id) AS rank
+           FROM scored)
+         WHERE rank <= 3 ORDER BY q_id, rank""")),
 
     ("e5_ann_recall", (s: SparkSession, d: String) => {
       // Recall@3 of the LSH-bucketed search (e4) against the exact top-3
