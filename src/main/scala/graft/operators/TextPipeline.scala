@@ -694,24 +694,33 @@ object TextPipeline {
     ("e5_ann_recall", (s: SparkSession, d: String) => {
       // Recall@3 of the LSH-bucketed search (e4) against the exact top-3
       // (e3's kernel at k=3) — the reference-free quality metric for the
-      // ANN path: a broken hyperplane choice would pass e4's rows-only
-      // check but crater this recall. Left join so a query whose candidate
-      // set holds < 3 vectors still reports (as a lower recall), never
-      // disappears. On THIS corpus (uniform random embeddings, no cluster
-      // structure) the theoretical ceiling of any pruning search is low —
-      // the hard ≥ 0.9 recall assertion lives in PipelineSpec on planted
-      // near-duplicates; here the metric is reported per query.
+      // ANN path: a broken hyperplane choice would pass e4's result check
+      // only while also cratering this recall. Left join so a query whose
+      // candidate set holds < 3 vectors still reports (as a lower
+      // recall), never disappears. Both sides rank on the ROUNDED cosine
+      // (e3/e4's determinism argument), which upgrades the recall itself
+      // to oracle-exact in round 8: counts are integers and the recall
+      // division has identical operands in both engines. On THIS corpus
+      // (uniform random embeddings) the ceiling of any pruning search is
+      // low — the hard ≥ 0.9 assertion lives in PipelineSpec on planted
+      // near-duplicates.
       val e = Tables.embeddings(s, d)
       val q = e.filter(col("vec_id") < 3)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       val w = Window.partitionBy(col("q_id"))
-        .orderBy(col("cosine").desc, col("vec_id"))
+        .orderBy(col("cosine_e6").desc, col("vec_id"))
       val exact3 = cosineScored(e, q)
+        .select(col("q_id"), col("vec_id"),
+          round(col("cosine") * 1e6).cast("long").as("cosine_e6"))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 3)
         .select(col("q_id"), col("vec_id"))
       val lsh3 = AnnIndex.lshSearch(
-        AnnIndex.lshFor(s, d, e, tables = 4), col("vec_id") < 3, k = 3)
+        AnnIndex.lshFor(s, d, e, tables = 4), col("vec_id") < 3, k = Int.MaxValue)
+        .select(col("q_id"), col("vec_id"),
+          round(col("cosine") * 1e6).cast("long").as("cosine_e6"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
         .select(col("q_id").as("lsh_q_id"), col("vec_id").as("lsh_vec_id"))
       exact3
         .join(lsh3,
@@ -722,7 +731,58 @@ object TextPipeline {
           count(col("lsh_vec_id")).as("n_hits"))
         .withColumn("recall", col("n_hits") / col("n_exact"))
         .orderBy(col("q_id"))
-    }, None),
+    }, Some(
+      """WITH ex AS (
+           SELECT vec_id, i, cast(embedding[i] AS double) AS v FROM (
+             SELECT vec_id, embedding,
+                    unnest(generate_series(1, len(embedding))) AS i
+             FROM embeddings)),
+         norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ex GROUP BY 1),
+         alldots AS (
+           SELECT q.vec_id AS q_id, e.vec_id AS vec_id, sum(q.v * e.v) AS dot
+           FROM ex q JOIN ex e ON q.i = e.i
+           WHERE q.vec_id < 3 AND e.vec_id <> q.vec_id
+           GROUP BY 1, 2),
+         allscored AS (
+           SELECT d.q_id, d.vec_id,
+                  cast(round(d.dot / (nq.nrm * ne.nrm) * 1e6) AS bigint) AS c6
+           FROM alldots d
+           JOIN norms nq ON nq.vec_id = d.q_id
+           JOIN norms ne ON ne.vec_id = d.vec_id),
+         exact3 AS (
+           SELECT q_id, vec_id FROM (
+             SELECT *, row_number() OVER (PARTITION BY q_id
+                         ORDER BY c6 DESC, vec_id) AS rank
+             FROM allscored)
+           WHERE rank <= 3),
+         proj AS (
+           SELECT ex.vec_id, g.t, g.p,
+                  sum(ex.v * cast((ex.i * 31 + (g.t * 4 + g.p) * 17) % 7 - 3 AS double)) AS proj
+           FROM ex, (SELECT t.t, p.p FROM generate_series(0, 3) t(t),
+                     generate_series(0, 3) p(p)) g
+           GROUP BY 1, 2, 3),
+         buckets AS (
+           SELECT vec_id, t,
+                  cast(sum(CASE WHEN proj > 0 THEN 1 << p ELSE 0 END) AS bigint) AS bucket
+           FROM proj GROUP BY 1, 2),
+         cand AS (
+           SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS vec_id
+           FROM buckets q JOIN buckets c
+             ON q.t = c.t AND q.bucket = c.bucket AND q.vec_id <> c.vec_id
+           WHERE q.vec_id < 3),
+         lsh3 AS (
+           SELECT q_id, vec_id FROM (
+             SELECT a.q_id, a.vec_id,
+                    row_number() OVER (PARTITION BY a.q_id
+                      ORDER BY a.c6 DESC, a.vec_id) AS rank
+             FROM allscored a JOIN cand cd
+               ON cd.q_id = a.q_id AND cd.vec_id = a.vec_id)
+           WHERE rank <= 3)
+         SELECT e3.q_id, count(*) AS n_exact, count(l.vec_id) AS n_hits,
+                count(l.vec_id) * 1.0 / count(*) AS recall
+         FROM exact3 e3
+         LEFT JOIN lsh3 l ON l.q_id = e3.q_id AND l.vec_id = e3.vec_id
+         GROUP BY 1 ORDER BY 1""")),
 
     ("e7_ivf_recall", (s: SparkSession, d: String) => {
       // Recall@3 of the IVF search (e6) against the exact top-3 — e5's
