@@ -101,6 +101,41 @@ class RelationalPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"bucketed join re-shuffled:\n$plan")
   }
 
+  test("asOfJoin agrees with a brute-force reference on randomized data") {
+    // 200 probes / 120 quotes over 7 keys with deliberate ts collisions
+    // between the sides (quote ts unique per key so the winner is well
+    // defined). Reference: per probe, the max-ts quote at or before it.
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(20260812L)
+    val quotes = Seq.tabulate(120) { i =>
+      (rnd.nextInt(7).toLong, i * 7L + rnd.nextInt(7), i.toDouble)
+    }.groupBy(q => (q._1, q._2)).map(_._2.head).toSeq // unique (k, ts)
+    val probes = Seq.tabulate(200) { i =>
+      val base = quotes(rnd.nextInt(quotes.size))
+      // half the probes land EXACTLY on a quote ts (inclusive boundary)
+      if (i % 2 == 0) (rnd.nextInt(7).toLong, base._2, i.toLong)
+      else (rnd.nextInt(7).toLong, rnd.nextInt(900).toLong, i.toLong)
+    }
+    val qDf = quotes.toDF("k", "t", "v")
+    val pDf = probes.toDF("k", "t", "pid")
+    val got = Relational.asOfJoin(pDf, qDf, keys = Seq("k"), tsCol = "t")
+      .select(col("pid"), col("asof.v"))
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    val byKey = quotes.groupBy(_._1)
+    for ((k, t, pid) <- probes) {
+      val expect = byKey.getOrElse(k, Seq.empty)
+        .filter(_._2 <= t)
+        .sortBy(_._2)
+        .lastOption.map(_._3)
+      assert(got(pid) == expect, s"probe $pid (k=$k, t=$t): got ${got(pid)}, want $expect")
+    }
+    assert(got.size == probes.size)
+  }
+
   test("s1: filter and projection reach the parquet scan") {
     // Pushdown evidence for the scan path: the parquet scan must carry
     // pushed filters and a pruned read schema, not read-everything-filter-
