@@ -968,7 +968,19 @@ object TextPipeline {
         }
         .toDF("doc_id", "n_bytes", "byte_mean", "n_frames")
         .orderBy(col("doc_id"))
-    }, None),
+    }, Some(
+      // Upgraded from rows-only in round 8: the stub decode is a byte
+      // mean + frame count over an ASCII payload, so the oracle can
+      // recompute it from character codes — verifying the mapPartitions
+      // batching end-to-end. byte_mean divides identical integer operands
+      // in both engines → bit-identical doubles.
+      """WITH pos AS (
+           SELECT doc_id, text, unnest(generate_series(1, length(text))) AS p
+           FROM documents)
+         SELECT doc_id, count(*) AS n_bytes,
+                sum(ascii(substr(text, p, 1))) * 1.0 / count(*) AS byte_mean,
+                cast(ceil(count(*) / 64.0) AS bigint) AS n_frames
+         FROM pos GROUP BY 1 ORDER BY 1""")),
 
     ("mm2_frame_sample", (s: SparkSession, d: String) => {
       // Multimodal frame sampling: every 2nd 64-byte frame of each binary
