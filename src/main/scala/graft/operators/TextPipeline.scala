@@ -906,8 +906,14 @@ object TextPipeline {
 
     ("x3_winnow_fingerprint", (s: SparkSession, d: String) => {
       // Winnowing document fingerprints (rolling k-gram hash, window-min
-      // selection) — task-local per document, distributed per-row; the
-      // algorithm is golden-tested in PipelineSpec, so rows-only here.
+      // selection) — task-local per document, distributed per-row.
+      // Upgraded from rows-only in round 8: the rolling hash is a pure
+      // Horner polynomial mod 1e9+7 of the gram's 5 character codes (the
+      // rolling recurrence is algebraically identical), and the
+      // rightmost-min pick index is monotone as the window slides, so the
+      // consecutive-pick dedup equals DISTINCT — the oracle recomputes
+      // the whole kernel in SQL and the custom Scala implementation is
+      // cross-checked end-to-end (plus the golden test in PipelineSpec).
       import s.implicits._
       Tables.documents(s, d)
         .select(col("doc_id"), col("text"))
@@ -918,7 +924,29 @@ object TextPipeline {
         }
         .toDF("doc_id", "n_fingerprints", "min_fp", "max_fp")
         .orderBy(col("doc_id"))
-    }, None),
+    }, Some(
+      """WITH hs AS (
+           SELECT doc_id, i,
+                  (((((((cast(ascii(substr(text, i, 1)) AS bigint) * 1000003
+                      + ascii(substr(text, i + 1, 1))) % 1000000007)
+                      * 1000003 + ascii(substr(text, i + 2, 1))) % 1000000007)
+                      * 1000003 + ascii(substr(text, i + 3, 1))) % 1000000007)
+                      * 1000003 + ascii(substr(text, i + 4, 1))) % 1000000007 AS h
+           FROM (SELECT doc_id, text,
+                        unnest(generate_series(1, length(text) - 4)) AS i
+                 FROM documents WHERE length(text) >= 5)),
+         wins AS (
+           SELECT h.doc_id, g.w, h.i, h.h,
+                  row_number() OVER (PARTITION BY h.doc_id, g.w
+                    ORDER BY h.h ASC, h.i DESC) AS rn
+           FROM hs h JOIN (
+             SELECT doc_id, unnest(generate_series(0, length(text) - 8)) AS w
+             FROM documents WHERE length(text) >= 9) g
+             ON g.doc_id = h.doc_id AND h.i BETWEEN g.w + 1 AND g.w + 4),
+         picks AS (SELECT DISTINCT doc_id, i, h FROM wins WHERE rn = 1)
+         SELECT doc_id, count(*) AS n_fingerprints,
+                min(h) AS min_fp, max(h) AS max_fp
+         FROM picks GROUP BY 1 ORDER BY 1""")),
 
     ("x4_bpe_tokens", (s: SparkSession, d: String) => {
       // BPE-style pre-tokenization counts — the GPT-2 pre-tokenizer splits
