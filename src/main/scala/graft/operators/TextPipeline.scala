@@ -210,6 +210,99 @@ object TextPipeline {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Connected components over an undirected near-dup pair set: every
+    * round each node (1) adopts the smallest label among itself and its
+    * neighbors, then (2) POINTER-JUMPS — follows its candidate label to
+    * that node's own current label (path doubling). At the fixpoint every
+    * node carries its component's minimum doc id — the canonical "keeper"
+    * of its duplicate cluster. Fixpoint ⇔ labels constant across every
+    * edge ⇔ per-component constant = the component min.
+    *
+    * Scale posture: the pair table holds only docs that ARE near-dups —
+    * orders of magnitude smaller than the corpus — and each round is a
+    * pair of joins keyed on doc id over that table (the corpus itself
+    * never enters the loop). Plain min-propagation needs as many rounds
+    * as the longest chain, which is exactly what template-clone families
+    * produce; the pointer-jump halves remaining chain depth per round, so
+    * the loop is O(log diameter) — the Pregel-style cc recurrence without
+    * a graph library. Convergence is detected by one aggregate per round
+    * (labels decrease monotonically), not a join-and-count. Below
+    * `collectThreshold` pairs the whole graph is instead union-found on
+    * the driver in one pass (size-aware, like the verify join above —
+    * a handful of Spark jobs is pure overhead against a ≤16 MB edge
+    * list); both paths are asserted row-identical in PipelineSpec.
+    */
+  private[graft] def dupClusters(
+      pairs: DataFrame,
+      collectThreshold: Long = 1L << 20): DataFrame = {
+    val p = pairs.select(col("doc_a"), col("doc_b")).persist()
+    val nPairs = p.count()
+    // Size-aware strategy, same pattern as nearDupPairs' verify join: a
+    // pair table under the threshold (≤ ~16 MB of longs at the default)
+    // is union-found on the driver in one pass — the 2-round distributed
+    // fixpoint below costs ~6 Spark jobs of pure scheduling overhead on a
+    // graph this small. Past the threshold (the 100 TB corpus, where the
+    // pair table itself is distributed-sized) the pointer-jump loop runs;
+    // both paths are asserted row-identical in PipelineSpec.
+    if (nPairs <= collectThreshold) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val edges = p.collect().map(r => (r.getLong(0), r.getLong(1)))
+      p.unpersist()
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // With min-root unions, every find now lands on the component min.
+      val nodes = edges.iterator.flatMap(e => Iterator(e._1, e._2)).toArray.distinct
+      return nodes.sorted.map(n => (n, find(n))).toSeq.toDF("node", "lbl")
+    }
+    val edges = p
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist()
+    var cur = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl")).persist()
+    // Convergence probe: labels only ever decrease, so the label sum is a
+    // strictly decreasing potential until the fixpoint — one aggregate per
+    // round replaces a join-and-count change detector. decimal(38,0)
+    // because a billion-node component sum overflows a long.
+    def lblSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("lbl").cast("decimal(38,0)"))).first().getDecimal(0)
+    var curSum = lblSum(cur)
+    var converged = curSum == null // empty pair set: nothing to iterate
+    while (!converged) {
+      val nbMin = edges.join(cur, col("src") === col("node"))
+        .groupBy(col("dst")).agg(min(col("lbl")).as("nb"))
+      val stepped = cur.as("o")
+        .join(nbMin, col("o.node") === col("dst"), "left")
+        .select(col("o.node").as("node"),
+          least(col("o.lbl"), coalesce(col("nb"), col("o.lbl"))).as("m"))
+      val next = stepped
+        .join(cur.select(col("node").as("jn"), col("lbl").as("jl")),
+          col("m") === col("jn"), "left")
+        .select(col("node"),
+          least(col("m"), coalesce(col("jl"), col("m"))).as("lbl"))
+        .persist()
+      val nextSum = lblSum(next)
+      converged = nextSum.compareTo(curSum) == 0
+      curSum = nextSum
+      cur.unpersist()
+      cur = next
+    }
+    edges.unpersist()
+    p.unpersist()
+    cur
+  }
+
   /** Codegen'd dot product of two Array[Float] columns — shared with the
     * ANN index surface.
     */
@@ -526,6 +619,74 @@ object TextPipeline {
          JOIN norms nb ON nb.vec_id = d.vec_b
          WHERE cast(round(d.dot / (na.nrm * nb.nrm) * 1e6) AS bigint) >= 420000
          ORDER BY 1, 2""")),
+
+    ("d7_dup_clusters", (s: SparkSession, d: String) => {
+      // Duplicate-cluster RESOLUTION — the step after pair detection that
+      // every dedup pipeline needs before it can drop rows: near-dup
+      // pairs are only edges, and keeping "min doc of each pair" is wrong
+      // whenever dups chain (A~B, B~C, A!~C must still keep exactly one
+      // of {A,B,C}). Connected components over the d5 pair set assign
+      // every near-dup doc its cluster's canonical keeper (= the
+      // component's min doc_id); docs in no pair are trivially their own
+      // cluster and stay out of the loop. Oracle: DuckDB recomputes the
+      // same closure with a recursive CTE, so the iterative Spark
+      // propagation is checked against a declarative transitive closure.
+      val labels = dupClusters(nearDupPairs(Tables.documents(s, d), minJaccard = 0.5))
+      val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
+      labels.join(sizes, "lbl")
+        .select(col("node").as("doc_id"), col("lbl").as("cluster_id"),
+          col("cluster_size"), (col("node") === col("lbl")).as("is_keeper"))
+        .orderBy(col("doc_id"))
+    }, Some(
+      """WITH RECURSIVE sh0 AS (
+           SELECT DISTINCT doc_id, md5(substr(text, i, 5)) AS dg FROM (
+             SELECT doc_id, text,
+                    unnest(generate_series(1, greatest(length(text) - 4, 1))) AS i
+             FROM documents)),
+         sig AS (
+           SELECT doc_id, h.i AS i,
+                  min(substr(dg || dg, h.i * 4 + 1, 16)) AS mh
+           FROM sh0, generate_series(0, 7) h(i) GROUP BY 1, 2),
+         buck AS (
+           SELECT doc_id, cast(i // 2 AS int) AS band,
+                  md5(min(mh) || max(mh)) AS bucket
+           FROM sig GROUP BY 1, 2),
+         ok AS (
+           SELECT band, bucket FROM buck GROUP BY 1, 2 HAVING count(*) <= 128),
+         bk AS (
+           SELECT b.* FROM buck b JOIN ok
+             ON ok.band = b.band AND ok.bucket = b.bucket),
+         cand AS (
+           SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+           FROM bk x JOIN bk y
+             ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+         sh AS (
+           SELECT DISTINCT doc_id, substr(dg, 1, 15) AS s FROM sh0),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         com AS (
+           SELECT c.doc_a, c.doc_b, count(*) AS common
+           FROM cand c
+           JOIN sh a ON a.doc_id = c.doc_a
+           JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+           GROUP BY 1, 2),
+         prs AS (
+           SELECT m.doc_a, m.doc_b
+           FROM com m
+           JOIN sizes sa ON sa.doc_id = m.doc_a
+           JOIN sizes sb ON sb.doc_id = m.doc_b
+           WHERE m.common * 1.0 / (sa.n + sb.n - m.common) >= 0.5),
+         edges AS (
+           SELECT doc_a AS src, doc_b AS dst FROM prs
+           UNION ALL SELECT doc_b, doc_a FROM prs),
+         reach(node, lbl) AS (
+           SELECT src, src FROM edges
+           UNION
+           SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+         comp AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY 1),
+         csz AS (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY 1)
+         SELECT c.node AS doc_id, c.cluster_id, z.cluster_size,
+                c.node = c.cluster_id AS is_keeper
+         FROM comp c JOIN csz z USING (cluster_id) ORDER BY 1""")),
 
     // ----- embedding similarity ------------------------------------------
 
@@ -974,6 +1135,92 @@ object TextPipeline {
                 len(string_split(props, ' ')) AS n_ws_tokens,
                 array_to_string(regexp_extract_all(props, '[a-z]+|[0-9]+|[^a-z0-9 ]')[1:4], '|') AS head_tokens
          FROM events ORDER BY event_id""")),
+
+    ("x5_hash_split", (s: SparkSession, d: String) => {
+      // Deterministic train/valid/test split — content-addressed sharding,
+      // the reproducibility backbone of a training-data pipeline: the
+      // split must not change when the corpus is re-read in a different
+      // order, re-partitioned, or incrementally extended, which rules out
+      // rand()/TABLESAMPLE and engine-native hashes (Spark's murmur3 and
+      // DuckDB's hash disagree). bucket = first 6 hex chars of
+      // md5(doc_id) mod 1000 → 80/10/10 by threshold; pure per-row map
+      // work, no shuffle before the display sort, identical assignment on
+      // any engine that has md5 (bias from 16^6 % 1000 = 216 is ~1e-5).
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          (expr("cast(conv(substring(md5(cast(doc_id AS string)), 1, 6), 16, 10) AS bigint)")
+            % 1000).as("bucket"))
+        .withColumn("split",
+          when(col("bucket") < 800, "train")
+            .when(col("bucket") < 900, "valid")
+            .otherwise("test"))
+        .orderBy(col("doc_id"))
+    }, Some(
+      """WITH h AS (
+           SELECT doc_id, md5(cast(doc_id AS varchar)) AS hx FROM documents),
+         b AS (
+           SELECT doc_id,
+                  ((strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 1048576
+                 + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) * 65536
+                 + (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) * 4096
+                 + (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1) * 256
+                 + (strpos('0123456789abcdef', substr(hx, 5, 1)) - 1) * 16
+                 + (strpos('0123456789abcdef', substr(hx, 6, 1)) - 1)) % 1000 AS bucket
+           FROM h)
+         SELECT doc_id, cast(bucket AS bigint) AS bucket,
+                CASE WHEN bucket < 800 THEN 'train'
+                     WHEN bucket < 900 THEN 'valid'
+                     ELSE 'test' END AS split
+         FROM b ORDER BY doc_id""")),
+
+    ("x6_quality_filter", (s: SparkSession, d: String) => {
+      // Composed quality filter — Gopher-style document gating built from
+      // x1's signals: too-short docs, glued-word docs (high mean token
+      // length), and stopword-free word soup each trip their own flag;
+      // `kept` is the conjunction. Emitting every doc WITH its flags
+      // (rather than the survivors alone) is deliberate: at scale the
+      // flags feed a rejection-breakdown dashboard and incremental
+      // re-filtering with tightened thresholds, without a second corpus
+      // scan. Thresholds sit inside this corpus's observed ranges
+      // (n_tokens 10–99, avg token length 3.7–5.3, stopword ratio
+      // 0–0.22) so both classes are populated. Pure per-row map work.
+      val txt = trim(col("text"))
+      val padded = concat(lit(" "), col("text"), lit(" "))
+      def countOf(marker: String) =
+        ((length(padded) - length(regexp_replace(padded, s" \\Q$marker\\E ", " "))) /
+          (marker.length + 1)).cast("double")
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          (length(txt) - length(regexp_replace(txt, " ", "")) + 1).as("n_tokens"),
+          (length(regexp_replace(col("text"), " ", "")).cast("double") /
+            (length(txt) - length(regexp_replace(txt, " ", "")) + 1)).as("avg_token_len"),
+          ((countOf("the") + countOf("a")) /
+            (length(txt) - length(regexp_replace(txt, " ", "")) + 1)).as("stopword_ratio"))
+        .withColumn("flag_too_short", col("n_tokens") < 25)
+        .withColumn("flag_long_tokens", col("avg_token_len") > lit(5.0))
+        .withColumn("flag_no_stopwords", col("stopword_ratio") < lit(0.02))
+        .withColumn("kept",
+          !col("flag_too_short") && !col("flag_long_tokens") && !col("flag_no_stopwords"))
+        .orderBy(col("doc_id"))
+    }, Some(
+      """WITH sig AS (
+           SELECT doc_id,
+                  length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 AS n_tokens,
+                  cast(length(replace(text, ' ', '')) AS double)
+                    / (length(trim(text)) - length(replace(trim(text), ' ', '')) + 1) AS avg_token_len,
+                  (cast((length(' ' || text || ' ')
+                     - length(regexp_replace(' ' || text || ' ', ' the ', ' ', 'g'))) / 4 AS double)
+                   + cast((length(' ' || text || ' ')
+                     - length(regexp_replace(' ' || text || ' ', ' a ', ' ', 'g'))) / 2 AS double))
+                    / (length(trim(text)) - length(replace(trim(text), ' ', '')) + 1) AS stopword_ratio
+           FROM documents)
+         SELECT doc_id, n_tokens, avg_token_len, stopword_ratio,
+                n_tokens < 25 AS flag_too_short,
+                avg_token_len > 5.0 AS flag_long_tokens,
+                stopword_ratio < 0.02 AS flag_no_stopwords,
+                NOT (n_tokens < 25) AND NOT (avg_token_len > 5.0)
+                  AND NOT (stopword_ratio < 0.02) AS kept
+         FROM sig ORDER BY doc_id""")),
 
     // ----- multimodal columns --------------------------------------------
 

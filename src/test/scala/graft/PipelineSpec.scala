@@ -138,6 +138,40 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pRows == bRows, "partitioned and broadcast verify paths disagree")
   }
 
+  test("dupClusters: transitive chains, cycles, and disjoint components resolve to min labels") {
+    val s = spark
+    import s.implicits._
+    // Component shapes that defeat naive per-pair keeper selection:
+    //  - a 6-node CHAIN 10-11-12-13-14-15 (min label must walk 5 hops, so
+    //    the propagation loop must genuinely iterate to fixpoint);
+    //  - a CYCLE 20-21-22-20;
+    //  - a 2-node pair 30-31;
+    //  - edges listed in no particular order.
+    val pairs = Seq(
+      (14L, 15L), (10L, 11L), (12L, 13L), (11L, 12L), (13L, 14L),
+      (21L, 22L), (20L, 21L), (20L, 22L),
+      (30L, 31L)).toDF("doc_a", "doc_b")
+    val want = ((10L to 15L).map(_ -> 10L) ++ (20L to 22L).map(_ -> 20L) ++
+      Seq(30L -> 30L, 31L -> 30L)).toMap
+    // Default path: driver union-find (the pair table is under the
+    // size-aware threshold, as at any test scale).
+    val got = TextPipeline.dupClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want, s"cluster labels wrong (driver path): $got")
+    // Forced distributed path: the pointer-jump fixpoint a 100 TB pair
+    // table would take must produce identical labels.
+    val gotDist = TextPipeline.dupClusters(pairs, collectThreshold = -1L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotDist == want, s"cluster labels wrong (distributed path): $gotDist")
+
+    // Empty pair set: no rows, no infinite loop, on both paths.
+    assert(TextPipeline.dupClusters(
+      Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")).count() == 0L)
+    assert(TextPipeline.dupClusters(
+      Seq.empty[(Long, Long)].toDF("doc_a", "doc_b"),
+      collectThreshold = -1L).count() == 0L)
+  }
+
   test("embedNearDupPairs: planted embedding near-dups are found, and only them") {
     // d6 quality gate, same scheme as the ANN planted tests: 3 planted
     // near-identical vector pairs (cosine ≈ 0.999) on an otherwise
