@@ -1222,6 +1222,61 @@ object TextPipeline {
                   AND NOT (stopword_ratio < 0.02) AS kept
          FROM sig ORDER BY doc_id""")),
 
+    ("x7_bigram_typicality", (s: SparkSession, d: String) => {
+      // Corpus-trained bigram LM scoring — the classic "fluency/
+      // typicality" quality signal: TRAIN bigram/unigram counts on the
+      // corpus itself (one groupBy each over the exploded adjacent-token
+      // pairs), then SCORE every document by joining its bigrams back to
+      // the counts and summing add-one-smoothed log-probs
+      // ln((c(w1,w2)+1)/(c(w1)+V)). The two-pass train-then-score shape
+      // is the point: at 100 TB the count tables are Zipf-bounded — far
+      // smaller than the corpus — so scoring is a shuffle join keyed on
+      // the bigram, never a second corpus-sized aggregation; the
+      // pre-explode repartition is the round-8 fanout rule.
+      //
+      // Determinism: each bigram's log-prob is rounded to e6 BEFORE
+      // summing, so the aggregate is order-free integer math — immune to
+      // both float reduction order and cross-engine ln() ulp differences
+      // (a flip needs ln's ~1e-16 error to straddle a rounding boundary:
+      // ~4e-10 per distinct count pair).
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      val bg = toks.select(col("doc_id"), explode(expr(
+          """transform(sequence(1, size(t) - 1),
+            |  i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))"""
+            .stripMargin)).as("b"))
+        .select(col("doc_id"), col("b.w1"), col("b.w2"))
+      val cnt = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+      val uni = bg.groupBy(col("w1")).agg(count(lit(1)).as("cu"))
+      val voc = bg.agg(count_distinct(col("w2")).as("v"))
+      bg.join(cnt, Seq("w1", "w2")).join(uni, Seq("w1"))
+        .crossJoin(broadcast(voc))
+        .select(col("doc_id"), col("c"),
+          expr("cast(round(ln((c + 1.0) / (cu + v)) * 1e6) AS bigint)").as("lp"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("c")).as("sum_count"),
+          sum(col("lp")).as("sum_ll_e6"))
+        .orderBy(col("doc_id"))
+    }, Some(
+      """WITH toks AS (
+           SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         bg AS (
+           SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+           FROM (SELECT doc_id, t,
+                        unnest(generate_series(1, len(t) - 1)) AS i
+                 FROM toks)),
+         cnt AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2),
+         uni AS (SELECT w1, count(*) AS cu FROM bg GROUP BY 1),
+         voc AS (SELECT count(DISTINCT w2) AS v FROM bg)
+         SELECT b.doc_id, count(*) AS n_bigrams, sum(c.c) AS sum_count,
+                sum(cast(round(ln((c.c + 1.0) / (u.cu + (SELECT v FROM voc))) * 1e6)
+                    AS bigint)) AS sum_ll_e6
+         FROM bg b
+         JOIN cnt c ON c.w1 = b.w1 AND c.w2 = b.w2
+         JOIN uni u ON u.w1 = b.w1
+         GROUP BY 1 ORDER BY 1""")),
+
     // ----- multimodal columns --------------------------------------------
 
     ("mm1_multimodal_stub", (s: SparkSession, d: String) => {
