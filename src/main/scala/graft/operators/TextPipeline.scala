@@ -393,6 +393,45 @@ object TextPipeline {
   private[graft] def lshSearch(e: DataFrame, qPred: Column, k: Int, tables: Int): DataFrame =
     AnnIndex.lshSearch(AnnIndex.buildLsh(e, tables, persist = false), qPred, k)
 
+  /** Adds the deterministic md5-bucket split columns (`bucket` 0–999,
+    * `split` train/valid/test at 80/10/10) to a relation with a `doc_id`
+    * column — the x5 kernel, stateless so it applies unchanged to batch
+    * and streaming inputs.
+    */
+  private[graft] def withHashSplit(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("bucket",
+        expr("cast(conv(substring(md5(cast(doc_id AS string)), 1, 6), 16, 10) AS bigint)")
+          % 1000)
+      .withColumn("split",
+        when(col("bucket") < 800, "train")
+          .when(col("bucket") < 900, "valid")
+          .otherwise("test"))
+
+  /** Adds x6's quality signals (`n_tokens`, `avg_token_len`,
+    * `stopword_ratio`), per-rule rejection flags, and the composed `kept`
+    * gate to a relation with a `text` column — stateless, batch or
+    * streaming.
+    */
+  private[graft] def withQualityFlags(docs: DataFrame): DataFrame = {
+    val txt = trim(col("text"))
+    val padded = concat(lit(" "), col("text"), lit(" "))
+    def countOf(marker: String) =
+      ((length(padded) - length(regexp_replace(padded, s" \\Q$marker\\E ", " "))) /
+        (marker.length + 1)).cast("double")
+    docs
+      .withColumn("n_tokens",
+        length(txt) - length(regexp_replace(txt, " ", "")) + 1)
+      .withColumn("avg_token_len",
+        length(regexp_replace(col("text"), " ", "")).cast("double") / col("n_tokens"))
+      .withColumn("stopword_ratio", (countOf("the") + countOf("a")) / col("n_tokens"))
+      .withColumn("flag_too_short", col("n_tokens") < 25)
+      .withColumn("flag_long_tokens", col("avg_token_len") > lit(5.0))
+      .withColumn("flag_no_stopwords", col("stopword_ratio") < lit(0.02))
+      .withColumn("kept",
+        !col("flag_too_short") && !col("flag_long_tokens") && !col("flag_no_stopwords"))
+  }
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
 
     // ----- dedup ----------------------------------------------------------
@@ -1146,14 +1185,10 @@ object TextPipeline {
       // md5(doc_id) mod 1000 → 80/10/10 by threshold; pure per-row map
       // work, no shuffle before the display sort, identical assignment on
       // any engine that has md5 (bias from 16^6 % 1000 = 216 is ~1e-5).
-      Tables.documents(s, d)
-        .select(col("doc_id"),
-          (expr("cast(conv(substring(md5(cast(doc_id AS string)), 1, 6), 16, 10) AS bigint)")
-            % 1000).as("bucket"))
-        .withColumn("split",
-          when(col("bucket") < 800, "train")
-            .when(col("bucket") < 900, "valid")
-            .otherwise("test"))
+      // Stateless ⇒ the same operator curates a document STREAM
+      // ([[graft.streaming.EventStream.curatedDocs]]).
+      withHashSplit(Tables.documents(s, d))
+        .select(col("doc_id"), col("bucket"), col("split"))
         .orderBy(col("doc_id"))
     }, Some(
       """WITH h AS (
@@ -1183,24 +1218,12 @@ object TextPipeline {
       // re-filtering with tightened thresholds, without a second corpus
       // scan. Thresholds sit inside this corpus's observed ranges
       // (n_tokens 10–99, avg token length 3.7–5.3, stopword ratio
-      // 0–0.22) so both classes are populated. Pure per-row map work.
-      val txt = trim(col("text"))
-      val padded = concat(lit(" "), col("text"), lit(" "))
-      def countOf(marker: String) =
-        ((length(padded) - length(regexp_replace(padded, s" \\Q$marker\\E ", " "))) /
-          (marker.length + 1)).cast("double")
-      Tables.documents(s, d)
-        .select(col("doc_id"),
-          (length(txt) - length(regexp_replace(txt, " ", "")) + 1).as("n_tokens"),
-          (length(regexp_replace(col("text"), " ", "")).cast("double") /
-            (length(txt) - length(regexp_replace(txt, " ", "")) + 1)).as("avg_token_len"),
-          ((countOf("the") + countOf("a")) /
-            (length(txt) - length(regexp_replace(txt, " ", "")) + 1)).as("stopword_ratio"))
-        .withColumn("flag_too_short", col("n_tokens") < 25)
-        .withColumn("flag_long_tokens", col("avg_token_len") > lit(5.0))
-        .withColumn("flag_no_stopwords", col("stopword_ratio") < lit(0.02))
-        .withColumn("kept",
-          !col("flag_too_short") && !col("flag_long_tokens") && !col("flag_no_stopwords"))
+      // 0–0.22) so both classes are populated. Pure per-row map work;
+      // stateless ⇒ streams too (EventStream.curatedDocs).
+      withQualityFlags(Tables.documents(s, d))
+        .select(col("doc_id"), col("n_tokens"), col("avg_token_len"),
+          col("stopword_ratio"), col("flag_too_short"), col("flag_long_tokens"),
+          col("flag_no_stopwords"), col("kept"))
         .orderBy(col("doc_id"))
     }, Some(
       """WITH sig AS (

@@ -117,6 +117,39 @@ object EventStream {
   def enrichedStream(events: DataFrame, dim: DataFrame): DataFrame =
     events.join(broadcast(dim), "event_type")
 
+  /** The documents file schema for the streaming corpus source. */
+  val documentsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** File-source stream over the documents parquet in `dir` — the
+    * continuously-arriving corpus a curation pipeline ingests.
+    */
+  def readDocuments(s: SparkSession, dir: String): DataFrame =
+    s.readStream
+      .schema(documentsSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+
+  /** Continuous corpus curation: the x6 quality gate and x5 deterministic
+    * md5 split applied to a document stream — the SAME operators as the
+    * batch queries (TextPipeline.withQualityFlags / withHashSplit), which
+    * compose with streaming because they are stateless per-row
+    * projections: no state store, no watermark, append-mode, and the
+    * replay provably equals the batch result (StreamingSpec). At scale
+    * this is the front door of a training-data pipeline: score, gate, and
+    * shard documents AS THEY ARRIVE, leaving only the stateful dedup
+    * (contentDedupStream) and clustering downstream.
+    */
+  def curatedDocs(docs: DataFrame): DataFrame =
+    graft.operators.TextPipeline.withQualityFlags(
+        graft.operators.TextPipeline.withHashSplit(docs))
+      .select(col("doc_id"), col("split"), col("kept"),
+        col("n_tokens"), col("avg_token_len"), col("stopword_ratio"))
+
   /** Custom keyed state (mapGroupsWithState): per-event_type running
     * count/mean/variance via Welford updates, emitting the refreshed
     * snapshot each micro-batch (update-mode sink). This is the shape for

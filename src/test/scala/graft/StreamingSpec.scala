@@ -199,6 +199,27 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("streaming corpus curation replays to the batch quality-gate + split result") {
+    val q = EventStream.curatedDocs(EventStream.readDocuments(spark, sfDir))
+      .writeStream.format("memory").queryName("curated").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("curated").orderBy("doc_id").collect()
+
+    val batch = graft.operators.TextPipeline.withQualityFlags(
+        graft.operators.TextPipeline.withHashSplit(Tables.documents(spark, sfDir)))
+      .select(col("doc_id"), col("split"), col("kept"),
+        col("n_tokens"), col("avg_token_len"), col("stopword_ratio"))
+      .orderBy("doc_id").collect()
+
+    assert(streamed.length == batch.length && streamed.length > 0)
+    assert(streamed.map(_.toSeq).toSeq == batch.map(_.toSeq).toSeq,
+      "streaming curation diverged from the batch operators")
+    // Sanity on content: both splits and both gate outcomes occur.
+    val splits = streamed.map(_.getString(1)).toSet
+    assert(splits.contains("train") && splits.size >= 2, s"splits degenerate: $splits")
+    assert(streamed.map(_.getBoolean(2)).toSet == Set(true, false))
+  }
+
   test("S4 tuning table round-trips into per-equation vectors in order") {
     val path = java.nio.file.Files.createTempDirectory("graft_tuning_").toString + "/t"
     TuningIO.write(spark, path, Seq(("rev", 0.25, 0.01), ("n_orders", 0.9, 0.3)))
