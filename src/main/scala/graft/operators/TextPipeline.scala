@@ -1300,6 +1300,81 @@ object TextPipeline {
          JOIN uni u ON u.w1 = b.w1
          GROUP BY 1 ORDER BY 1""")),
 
+    ("x8_source_mixing", (s: SparkSession, d: String) => {
+      // Deterministic mixture sampling — the "data mixing" step that
+      // turns raw sources into a weighted training blend (Pile/
+      // RedPajama-style mixture weights): each source gets a sampling
+      // rate, and a doc survives iff its SALTED content hash falls under
+      // the rate. The salt ('mix:' prefix) makes the sampling coin
+      // independent of x5's split coin — same md5 family, different
+      // draw. Deterministic ⇒ re-runs, re-partitions, and incremental
+      // corpus growth never resample previously-kept docs; the rate
+      // table here is computed from the source id (rates 0.2–1.0) where
+      // a real pipeline would broadcast-join a config table. Per-row map
+      // + one small aggregate.
+      Tables.documents(s, d)
+        .withColumn("mix_bucket",
+          expr("cast(conv(substring(md5(concat('mix:', cast(doc_id AS string))), 1, 6), 16, 10) AS bigint)")
+            % 1000)
+        .withColumn("rate_permille",
+          (expr("cast(substring(source, 4) AS int)") % 5 + 1) * 200)
+        .groupBy(col("source"), col("rate_permille"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("mix_bucket") < col("rate_permille"), 1L).otherwise(0L))
+            .as("n_sampled"),
+          sum(when(col("mix_bucket") < col("rate_permille"), col("n_chars"))
+            .otherwise(0L)).as("chars_sampled"))
+        .orderBy(col("source"))
+    }, Some(
+      """WITH m AS (
+           SELECT source, n_chars,
+                  ((strpos('0123456789abcdef', substr(md5('mix:' || cast(doc_id AS varchar)), 1, 1)) - 1) * 1048576
+                 + (strpos('0123456789abcdef', substr(md5('mix:' || cast(doc_id AS varchar)), 2, 1)) - 1) * 65536
+                 + (strpos('0123456789abcdef', substr(md5('mix:' || cast(doc_id AS varchar)), 3, 1)) - 1) * 4096
+                 + (strpos('0123456789abcdef', substr(md5('mix:' || cast(doc_id AS varchar)), 4, 1)) - 1) * 256
+                 + (strpos('0123456789abcdef', substr(md5('mix:' || cast(doc_id AS varchar)), 5, 1)) - 1) * 16
+                 + (strpos('0123456789abcdef', substr(md5('mix:' || cast(doc_id AS varchar)), 6, 1)) - 1)) % 1000 AS mix_bucket,
+                  (cast(substring(source, 4) AS int) % 5 + 1) * 200 AS rate_permille
+           FROM documents)
+         SELECT source, cast(rate_permille AS int) AS rate_permille,
+                count(*) AS n_docs,
+                sum(CASE WHEN mix_bucket < rate_permille THEN 1 ELSE 0 END) AS n_sampled,
+                sum(CASE WHEN mix_bucket < rate_permille THEN n_chars ELSE 0 END) AS chars_sampled
+         FROM m GROUP BY 1, 2 ORDER BY 1""")),
+
+    ("x9_sequence_packing", (s: SparkSession, d: String) => {
+      // Sequence packing — concatenate-then-chunk, the way LLM
+      // pretraining actually consumes a corpus: within each source
+      // (deterministic doc_id order), every doc gets its byte OFFSET in
+      // the concatenated stream (windowed cumulative sum), the fixed
+      // 2048-char chunk its head lands in, and how many chunks it spans.
+      // Packing is per-source, so the window partitions parallelize
+      // across sources — at 100 TB each output shard (source × split)
+      // packs independently; no global sort, no global state. The chunk
+      // occupancy view this produces is what a dataloader manifest
+      // needs.
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .withColumn("byte_offset",
+          coalesce(sum(col("n_chars")).over(w.rowsBetween(
+            Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("chunk_id", expr("byte_offset div 2048"))
+        .withColumn("spans_chunks",
+          expr("(byte_offset + n_chars - 1) div 2048") - col("chunk_id") + 1)
+        .orderBy(col("doc_id"))
+    }, Some(
+      """WITH o AS (
+           SELECT doc_id, source, n_chars,
+                  coalesce(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS byte_offset
+           FROM documents)
+         SELECT doc_id, source, n_chars, byte_offset,
+                cast(byte_offset // 2048 AS bigint) AS chunk_id,
+                cast((byte_offset + n_chars - 1) // 2048 AS bigint)
+                  - cast(byte_offset // 2048 AS bigint) + 1 AS spans_chunks
+         FROM o ORDER BY doc_id""")),
+
     // ----- multimodal columns --------------------------------------------
 
     ("mm1_multimodal_stub", (s: SparkSession, d: String) => {

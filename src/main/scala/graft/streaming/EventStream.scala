@@ -15,7 +15,9 @@ import org.apache.spark.sql.types._
   *    d1 — exact dedup for append-only feeds), and
   *  - custom keyed state via mapGroupsWithState (streaming W7 — Welford
   *    running moments per key, the expanding-window analog where the
-  *    built-in operators can't express the semantics).
+  *    built-in operators can't express the semantics), and
+  *  - stateless continuous corpus curation (curatedDocs — the x5/x6
+  *    quality-gate + split kernels applied to a documents stream).
   *
   * Scale posture: all are keyed-state streaming aggregations — state is
   * bounded by (watermark horizon × key cardinality) or by key cardinality
