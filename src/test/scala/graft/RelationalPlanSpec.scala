@@ -136,6 +136,23 @@ class RelationalPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.size == probes.size)
   }
 
+  test("x9: sequence packing partitions its window by source — no global sort") {
+    // The packing manifest's scale claim is that the cumsum window
+    // parallelizes across sources; a careless Window.orderBy without the
+    // partitionBy would still be hash-green (same rows) but serialize the
+    // whole corpus through one partition at 100 TB.
+    val df = graft.operators.TextPipeline.queries("x9_sequence_packing")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(source"),
+      s"packing window not partitioned by source:\n$plan")
+    // The only SinglePartition exchange allowed is the final display sort's
+    // range partitioning; the WINDOW must not run on a single partition.
+    val windowLine = plan.linesIterator.find(_.contains("Window ")).getOrElse("")
+    assert(!windowLine.contains("SinglePartition"),
+      s"packing window runs on one partition:\n$plan")
+    df.collect() // the shape must also execute
+  }
+
   test("s1: filter and projection reach the parquet scan") {
     // Pushdown evidence for the scan path: the parquet scan must carry
     // pushed filters and a pruned read schema, not read-everything-filter-
