@@ -1375,6 +1375,93 @@ object TextPipeline {
                   - cast(byte_offset // 2048 AS bigint) + 1 AS spans_chunks
          FROM o ORDER BY doc_id""")),
 
+    ("x10_curation_pipeline", (s: SparkSession, d: String) => {
+      // The END-TO-END curation pipeline in ONE declarative plan — what a
+      // training-data team actually ships: quality gate (x6) → exact
+      // content dedup keeping each group's min doc (d1 semantics as a
+      // window, no second scan) → deterministic split (x5) → mixture
+      // sampling (x8) → per-(source, split) packing manifest (x9).
+      // Composing five operators costs exactly TWO shuffles: the dedup
+      // window on content_hash and the packing window on (source, split);
+      // everything else is per-row map work Catalyst collapses into the
+      // adjacent stages. Output: the curated-corpus manifest a dataloader
+      // consumes.
+      val w = Window.partitionBy(col("content_hash")).orderBy(col("doc_id"))
+      val pack = Window.partitionBy(col("source"), col("split"))
+        .orderBy(col("doc_id"))
+      withHashSplit(withQualityFlags(Tables.documents(s, d)))
+        .filter(col("kept"))
+        .withColumn("content_hash",
+          md5(regexp_replace(trim(col("text")), "\\s+", " ")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1) // dedup: keep the group's min doc_id
+        .withColumn("mix_bucket",
+          expr("cast(conv(substring(md5(concat('mix:', cast(doc_id AS string))), 1, 6), 16, 10) AS bigint)")
+            % 1000)
+        .withColumn("rate_permille",
+          (expr("cast(substring(source, 4) AS int)") % 5 + 1) * 200)
+        .filter(col("mix_bucket") < col("rate_permille"))
+        .withColumn("byte_offset",
+          coalesce(sum(col("n_chars")).over(pack.rowsBetween(
+            Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("chunk_id", expr("byte_offset div 2048"))
+        .select(col("doc_id"), col("source"), col("split"), col("n_chars"),
+          col("byte_offset"), col("chunk_id"))
+        .orderBy(col("doc_id"))
+    }, Some(
+      """WITH gated AS (
+           SELECT doc_id, text, source, n_chars
+           FROM documents
+           WHERE NOT (length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 < 25)
+             AND NOT (cast(length(replace(text, ' ', '')) AS double)
+                   / (length(trim(text)) - length(replace(trim(text), ' ', '')) + 1) > 5.0)
+             AND NOT ((cast((length(' ' || text || ' ')
+                        - length(regexp_replace(' ' || text || ' ', ' the ', ' ', 'g'))) / 4 AS double)
+                      + cast((length(' ' || text || ' ')
+                        - length(regexp_replace(' ' || text || ' ', ' a ', ' ', 'g'))) / 2 AS double))
+                   / (length(trim(text)) - length(replace(trim(text), ' ', '')) + 1) < 0.02)),
+         deduped AS (
+           SELECT * FROM (
+             SELECT g.*, row_number() OVER (
+               PARTITION BY md5(regexp_replace(trim(text), '\s+', ' ', 'g'))
+               ORDER BY doc_id) AS rn
+             FROM gated g)
+           WHERE rn = 1),
+         split AS (
+           SELECT doc_id, source, n_chars,
+                  CASE WHEN b < 800 THEN 'train' WHEN b < 900 THEN 'valid'
+                       ELSE 'test' END AS split
+           FROM (
+             SELECT *,
+                    ((strpos('0123456789abcdef', substr(md5(cast(doc_id AS varchar)), 1, 1)) - 1) * 1048576
+                   + (strpos('0123456789abcdef', substr(md5(cast(doc_id AS varchar)), 2, 1)) - 1) * 65536
+                   + (strpos('0123456789abcdef', substr(md5(cast(doc_id AS varchar)), 3, 1)) - 1) * 4096
+                   + (strpos('0123456789abcdef', substr(md5(cast(doc_id AS varchar)), 4, 1)) - 1) * 256
+                   + (strpos('0123456789abcdef', substr(md5(cast(doc_id AS varchar)), 5, 1)) - 1) * 16
+                   + (strpos('0123456789abcdef', substr(md5(cast(doc_id AS varchar)), 6, 1)) - 1)) % 1000 AS b
+             FROM deduped)),
+         mixed AS (
+           SELECT * FROM (
+             SELECT sp.*,
+                    ((strpos('0123456789abcdef', substr(md5('mix:' || cast(doc_id AS varchar)), 1, 1)) - 1) * 1048576
+                   + (strpos('0123456789abcdef', substr(md5('mix:' || cast(doc_id AS varchar)), 2, 1)) - 1) * 65536
+                   + (strpos('0123456789abcdef', substr(md5('mix:' || cast(doc_id AS varchar)), 3, 1)) - 1) * 4096
+                   + (strpos('0123456789abcdef', substr(md5('mix:' || cast(doc_id AS varchar)), 4, 1)) - 1) * 256
+                   + (strpos('0123456789abcdef', substr(md5('mix:' || cast(doc_id AS varchar)), 5, 1)) - 1) * 16
+                   + (strpos('0123456789abcdef', substr(md5('mix:' || cast(doc_id AS varchar)), 6, 1)) - 1)) % 1000 AS mb,
+                    (cast(substring(source, 4) AS int) % 5 + 1) * 200 AS rate
+             FROM split sp)
+           WHERE mb < rate)
+         SELECT doc_id, source, split, n_chars,
+                coalesce(sum(n_chars) OVER (PARTITION BY source, split
+                  ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS byte_offset,
+                cast(coalesce(sum(n_chars) OVER (PARTITION BY source, split
+                  ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048 AS bigint)
+                  AS chunk_id
+         FROM mixed ORDER BY doc_id""")),
+
     // ----- multimodal columns --------------------------------------------
 
     ("mm1_multimodal_stub", (s: SparkSession, d: String) => {

@@ -153,6 +153,23 @@ class RelationalPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     df.collect() // the shape must also execute
   }
 
+  test("x10: the composed curation pipeline costs exactly two hash shuffles") {
+    // Five composed operators (gate -> dedup -> split -> mix -> pack) must
+    // stay map-side except the dedup window (content_hash) and the packing
+    // window (source, split): an accidental extra exchange — e.g. a lost
+    // column pruning splitting the plan, or a repartition creeping in —
+    // would multiply 100 TB shuffle volume while staying hash-green.
+    val df = graft.operators.TextPipeline.queries("x10_curation_pipeline")(spark, sfDir)
+    df.collect() // materialize so AQE finalizes the executed plan
+    // AdaptiveSparkPlan.toString prints BOTH the final and the initial
+    // plan — count exchanges in the final section only.
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val hashExchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashExchanges == 2,
+      s"expected exactly 2 hash exchanges (dedup + packing windows), got $hashExchanges:\n$plan")
+  }
+
   test("s1: filter and projection reach the parquet scan") {
     // Pushdown evidence for the scan path: the parquet scan must carry
     // pushed filters and a pruned read schema, not read-everything-filter-
