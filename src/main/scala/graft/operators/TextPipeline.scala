@@ -298,9 +298,18 @@ object TextPipeline {
       cur.unpersist()
       cur = next
     }
+    // localCheckpoint, then drop every cache: the returned labels carry
+    // their data as checkpoint blocks (freed by the ContextCleaner when
+    // the DataFrame is GC'd — a plain persist would pin the CacheManager
+    // entry for the session) and a truncated lineage, so downstream
+    // consumers never replay the iterative loop. At real scale swap for
+    // a reliable checkpoint() — localCheckpoint does not survive
+    // executor loss.
+    val out = cur.localCheckpoint(true)
+    cur.unpersist()
     edges.unpersist()
     p.unpersist()
-    cur
+    out
   }
 
   /** Codegen'd dot product of two Array[Float] columns — shared with the
@@ -415,22 +424,93 @@ object TextPipeline {
     */
   private[graft] def withQualityFlags(docs: DataFrame): DataFrame = {
     val txt = trim(col("text"))
-    val padded = concat(lit(" "), col("text"), lit(" "))
-    def countOf(marker: String) =
-      ((length(padded) - length(regexp_replace(padded, s" \\Q$marker\\E ", " "))) /
-        (marker.length + 1)).cast("double")
     docs
       .withColumn("n_tokens",
         length(txt) - length(regexp_replace(txt, " ", "")) + 1)
       .withColumn("avg_token_len",
         length(regexp_replace(col("text"), " ", "")).cast("double") / col("n_tokens"))
-      .withColumn("stopword_ratio", (countOf("the") + countOf("a")) / col("n_tokens"))
+      // Token-exact stopword count (the x2 lambda-filter pattern) — NOT
+      // x1's marker-regex arithmetic, whose non-overlapping matches eat
+      // the shared delimiter space and undercount ADJACENT stopwords
+      // ('the a the' counts 2 of 3). x1 reports the regex variant as a
+      // string-arithmetic demonstration; a ratio that GATES documents
+      // must count exactly.
+      .withColumn("stopword_ratio",
+        expr("cast(size(filter(split(text, ' '), t -> t = 'the' OR t = 'a')) AS double)")
+          / col("n_tokens"))
       .withColumn("flag_too_short", col("n_tokens") < 25)
       .withColumn("flag_long_tokens", col("avg_token_len") > lit(5.0))
       .withColumn("flag_no_stopwords", col("stopword_ratio") < lit(0.02))
       .withColumn("kept",
         !col("flag_too_short") && !col("flag_long_tokens") && !col("flag_no_stopwords"))
   }
+
+  /** Adds x8's deterministic mixture-sampling columns: `mix_bucket` — a
+    * SALTED md5 draw ('mix:' prefix), independent of x5's split coin —
+    * and `rate_permille`, the per-source mixture weight (derived from
+    * the source id here; a real pipeline broadcast-joins a config
+    * table). Shared verbatim by x8's report and x10's composed filter so
+    * the blend they describe cannot drift apart.
+    */
+  private[graft] def withMixSampling(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("mix_bucket",
+        expr("cast(conv(substring(md5(concat('mix:', cast(doc_id AS string))), 1, 6), 16, 10) AS bigint)")
+          % 1000)
+      .withColumn("rate_permille",
+        (expr("cast(substring(source, 4) AS int)") % 5 + 1) * 200)
+
+  /** DuckDB-side decode of the first 6 hex chars of md5 expression `h`
+    * to an integer (the oracle's portable analog of Spark's conv) — the
+    * shared fragment behind every bucket draw in the x5/x8/x10 oracles.
+    */
+  private def hexBucketSql(h: String): String =
+    Seq(1048576L, 65536L, 4096L, 256L, 16L, 1L).zipWithIndex.map {
+      case (pw, i) =>
+        s"(strpos('0123456789abcdef', substr($h, ${i + 1}, 1)) - 1) * $pw"
+    }.mkString("(", " + ", ")")
+
+  private val splitBucketSql = hexBucketSql("md5(cast(doc_id AS varchar))") + " % 1000"
+  private val mixBucketSql =
+    hexBucketSql("md5('mix:' || cast(doc_id AS varchar))") + " % 1000"
+
+  /** The d5 oracle's CTE chain (shingle digests → MinHash signatures →
+    * band buckets → super-bucket prune → candidate pairs → digest-set
+    * sizes → common counts) — shared with d7, whose recursive-CTE
+    * closure runs over exactly d5's pair set.
+    */
+  private val d5OracleCtes: String =
+    """sh0 AS (
+           SELECT DISTINCT doc_id, md5(substr(text, i, 5)) AS dg FROM (
+             SELECT doc_id, text,
+                    unnest(generate_series(1, greatest(length(text) - 4, 1))) AS i
+             FROM documents)),
+         sig AS (
+           SELECT doc_id, h.i AS i,
+                  min(substr(dg || dg, h.i * 4 + 1, 16)) AS mh
+           FROM sh0, generate_series(0, 7) h(i) GROUP BY 1, 2),
+         buck AS (
+           SELECT doc_id, cast(i // 2 AS int) AS band,
+                  md5(min(mh) || max(mh)) AS bucket
+           FROM sig GROUP BY 1, 2),
+         ok AS (
+           SELECT band, bucket FROM buck GROUP BY 1, 2 HAVING count(*) <= 128),
+         bk AS (
+           SELECT b.* FROM buck b JOIN ok
+             ON ok.band = b.band AND ok.bucket = b.bucket),
+         cand AS (
+           SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+           FROM bk x JOIN bk y
+             ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+         sh AS (
+           SELECT DISTINCT doc_id, substr(dg, 1, 15) AS s FROM sh0),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         com AS (
+           SELECT c.doc_a, c.doc_b, count(*) AS common
+           FROM cand c
+           JOIN sh a ON a.doc_id = c.doc_a
+           JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+           GROUP BY 1, 2)"""
 
   val entries: Seq[(String, Q, Option[String])] = Seq(
 
@@ -563,37 +643,7 @@ object TextPipeline {
       nearDupPairs(Tables.documents(s, d), minJaccard = 0.5)
         .orderBy(col("doc_a"), col("doc_b"))
     }, Some(
-      """WITH sh0 AS (
-           SELECT DISTINCT doc_id, md5(substr(text, i, 5)) AS dg FROM (
-             SELECT doc_id, text,
-                    unnest(generate_series(1, greatest(length(text) - 4, 1))) AS i
-             FROM documents)),
-         sig AS (
-           SELECT doc_id, h.i AS i,
-                  min(substr(dg || dg, h.i * 4 + 1, 16)) AS mh
-           FROM sh0, generate_series(0, 7) h(i) GROUP BY 1, 2),
-         buck AS (
-           SELECT doc_id, cast(i // 2 AS int) AS band,
-                  md5(min(mh) || max(mh)) AS bucket
-           FROM sig GROUP BY 1, 2),
-         ok AS (
-           SELECT band, bucket FROM buck GROUP BY 1, 2 HAVING count(*) <= 128),
-         bk AS (
-           SELECT b.* FROM buck b JOIN ok
-             ON ok.band = b.band AND ok.bucket = b.bucket),
-         cand AS (
-           SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-           FROM bk x JOIN bk y
-             ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
-         sh AS (
-           SELECT DISTINCT doc_id, substr(dg, 1, 15) AS s FROM sh0),
-         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-         com AS (
-           SELECT c.doc_a, c.doc_b, count(*) AS common
-           FROM cand c
-           JOIN sh a ON a.doc_id = c.doc_a
-           JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
-           GROUP BY 1, 2)
+      s"""WITH $d5OracleCtes
          SELECT m.doc_a, m.doc_b, m.common,
                 m.common * 1.0 / (sa.n + sb.n - m.common) AS jaccard
          FROM com m
@@ -677,37 +727,7 @@ object TextPipeline {
           col("cluster_size"), (col("node") === col("lbl")).as("is_keeper"))
         .orderBy(col("doc_id"))
     }, Some(
-      """WITH RECURSIVE sh0 AS (
-           SELECT DISTINCT doc_id, md5(substr(text, i, 5)) AS dg FROM (
-             SELECT doc_id, text,
-                    unnest(generate_series(1, greatest(length(text) - 4, 1))) AS i
-             FROM documents)),
-         sig AS (
-           SELECT doc_id, h.i AS i,
-                  min(substr(dg || dg, h.i * 4 + 1, 16)) AS mh
-           FROM sh0, generate_series(0, 7) h(i) GROUP BY 1, 2),
-         buck AS (
-           SELECT doc_id, cast(i // 2 AS int) AS band,
-                  md5(min(mh) || max(mh)) AS bucket
-           FROM sig GROUP BY 1, 2),
-         ok AS (
-           SELECT band, bucket FROM buck GROUP BY 1, 2 HAVING count(*) <= 128),
-         bk AS (
-           SELECT b.* FROM buck b JOIN ok
-             ON ok.band = b.band AND ok.bucket = b.bucket),
-         cand AS (
-           SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-           FROM bk x JOIN bk y
-             ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
-         sh AS (
-           SELECT DISTINCT doc_id, substr(dg, 1, 15) AS s FROM sh0),
-         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-         com AS (
-           SELECT c.doc_a, c.doc_b, count(*) AS common
-           FROM cand c
-           JOIN sh a ON a.doc_id = c.doc_a
-           JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
-           GROUP BY 1, 2),
+      s"""WITH RECURSIVE $d5OracleCtes,
          prs AS (
            SELECT m.doc_a, m.doc_b
            FROM com m
@@ -1034,6 +1054,10 @@ object TextPipeline {
       // Quality-scoring statistics, all in portable string arithmetic:
       // token count, mean token length, stopword share, uppercase/punct
       // shares (0 on this corpus, but the operators are the point).
+      // NOTE: the marker-regex stopword counts here undercount ADJACENT
+      // stopwords (non-overlapping matches eat the shared delimiter) —
+      // kept deliberately as the string-arithmetic demonstration; the
+      // FILTERING path (withQualityFlags → x6/x10) counts token-exactly.
       val padded = concat(lit(" "), col("text"), lit(" "))
       def countOf(marker: String) =
         ((length(padded) - length(regexp_replace(padded, s" \\Q$marker\\E ", " "))) /
@@ -1191,17 +1215,8 @@ object TextPipeline {
         .select(col("doc_id"), col("bucket"), col("split"))
         .orderBy(col("doc_id"))
     }, Some(
-      """WITH h AS (
-           SELECT doc_id, md5(cast(doc_id AS varchar)) AS hx FROM documents),
-         b AS (
-           SELECT doc_id,
-                  ((strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 1048576
-                 + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) * 65536
-                 + (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) * 4096
-                 + (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1) * 256
-                 + (strpos('0123456789abcdef', substr(hx, 5, 1)) - 1) * 16
-                 + (strpos('0123456789abcdef', substr(hx, 6, 1)) - 1)) % 1000 AS bucket
-           FROM h)
+      s"""WITH b AS (
+           SELECT doc_id, $splitBucketSql AS bucket FROM documents)
          SELECT doc_id, cast(bucket AS bigint) AS bucket,
                 CASE WHEN bucket < 800 THEN 'train'
                      WHEN bucket < 900 THEN 'valid'
@@ -1231,10 +1246,8 @@ object TextPipeline {
                   length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 AS n_tokens,
                   cast(length(replace(text, ' ', '')) AS double)
                     / (length(trim(text)) - length(replace(trim(text), ' ', '')) + 1) AS avg_token_len,
-                  (cast((length(' ' || text || ' ')
-                     - length(regexp_replace(' ' || text || ' ', ' the ', ' ', 'g'))) / 4 AS double)
-                   + cast((length(' ' || text || ' ')
-                     - length(regexp_replace(' ' || text || ' ', ' a ', ' ', 'g'))) / 2 AS double))
+                  cast(len(list_filter(string_split(text, ' '),
+                        t -> t = 'the' OR t = 'a')) AS double)
                     / (length(trim(text)) - length(replace(trim(text), ' ', '')) + 1) AS stopword_ratio
            FROM documents)
          SELECT doc_id, n_tokens, avg_token_len, stopword_ratio,
@@ -1262,8 +1275,14 @@ object TextPipeline {
       // both float reduction order and cross-engine ln() ulp differences
       // (a flip needs ln's ~1e-16 error to straddle a rounding boundary:
       // ~4e-10 per distinct count pair).
+      // The size(t) >= 2 guard matters: Spark's sequence(1, 0) is the
+      // DESCENDING [1, 0] (not empty like DuckDB's generate_series), so a
+      // single-token document would evaluate element_at(t, 2) and crash
+      // the whole query. Guarded, bigram-less docs simply produce no rows
+      // — exactly what the oracle's empty generate_series does.
       val toks = Tables.documents(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .filter(size(col("t")) >= 2)
         .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       val bg = toks.select(col("doc_id"), explode(expr(
           """transform(sequence(1, size(t) - 1),
@@ -1271,8 +1290,11 @@ object TextPipeline {
             .stripMargin)).as("b"))
         .select(col("doc_id"), col("b.w1"), col("b.w2"))
       val cnt = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
-      val uni = bg.groupBy(col("w1")).agg(count(lit(1)).as("cu"))
-      val voc = bg.agg(count_distinct(col("w2")).as("v"))
+      // uni and voc derive from the TINY count table, not from bg — the
+      // corpus is scanned exactly twice (once to build counts, once to
+      // score), the natural two-pass train/score shape.
+      val uni = cnt.groupBy(col("w1")).agg(sum(col("c")).as("cu"))
+      val voc = cnt.agg(count_distinct(col("w2")).as("v"))
       bg.join(cnt, Seq("w1", "w2")).join(uni, Seq("w1"))
         .crossJoin(broadcast(voc))
         .select(col("doc_id"), col("c"),
@@ -1312,12 +1334,7 @@ object TextPipeline {
       // table here is computed from the source id (rates 0.2–1.0) where
       // a real pipeline would broadcast-join a config table. Per-row map
       // + one small aggregate.
-      Tables.documents(s, d)
-        .withColumn("mix_bucket",
-          expr("cast(conv(substring(md5(concat('mix:', cast(doc_id AS string))), 1, 6), 16, 10) AS bigint)")
-            % 1000)
-        .withColumn("rate_permille",
-          (expr("cast(substring(source, 4) AS int)") % 5 + 1) * 200)
+      withMixSampling(Tables.documents(s, d))
         .groupBy(col("source"), col("rate_permille"))
         .agg(count(lit(1)).as("n_docs"),
           sum(when(col("mix_bucket") < col("rate_permille"), 1L).otherwise(0L))
@@ -1326,14 +1343,9 @@ object TextPipeline {
             .otherwise(0L)).as("chars_sampled"))
         .orderBy(col("source"))
     }, Some(
-      """WITH m AS (
+      s"""WITH m AS (
            SELECT source, n_chars,
-                  ((strpos('0123456789abcdef', substr(md5('mix:' || cast(doc_id AS varchar)), 1, 1)) - 1) * 1048576
-                 + (strpos('0123456789abcdef', substr(md5('mix:' || cast(doc_id AS varchar)), 2, 1)) - 1) * 65536
-                 + (strpos('0123456789abcdef', substr(md5('mix:' || cast(doc_id AS varchar)), 3, 1)) - 1) * 4096
-                 + (strpos('0123456789abcdef', substr(md5('mix:' || cast(doc_id AS varchar)), 4, 1)) - 1) * 256
-                 + (strpos('0123456789abcdef', substr(md5('mix:' || cast(doc_id AS varchar)), 5, 1)) - 1) * 16
-                 + (strpos('0123456789abcdef', substr(md5('mix:' || cast(doc_id AS varchar)), 6, 1)) - 1)) % 1000 AS mix_bucket,
+                  $mixBucketSql AS mix_bucket,
                   (cast(substring(source, 4) AS int) % 5 + 1) * 200 AS rate_permille
            FROM documents)
          SELECT source, cast(rate_permille AS int) AS rate_permille,
@@ -1395,11 +1407,7 @@ object TextPipeline {
           md5(regexp_replace(trim(col("text")), "\\s+", " ")))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1) // dedup: keep the group's min doc_id
-        .withColumn("mix_bucket",
-          expr("cast(conv(substring(md5(concat('mix:', cast(doc_id AS string))), 1, 6), 16, 10) AS bigint)")
-            % 1000)
-        .withColumn("rate_permille",
-          (expr("cast(substring(source, 4) AS int)") % 5 + 1) * 200)
+        .transform(withMixSampling)
         .filter(col("mix_bucket") < col("rate_permille"))
         .withColumn("byte_offset",
           coalesce(sum(col("n_chars")).over(pack.rowsBetween(
@@ -1409,21 +1417,19 @@ object TextPipeline {
           col("byte_offset"), col("chunk_id"))
         .orderBy(col("doc_id"))
     }, Some(
-      """WITH gated AS (
+      s"""WITH gated AS (
            SELECT doc_id, text, source, n_chars
            FROM documents
            WHERE NOT (length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 < 25)
              AND NOT (cast(length(replace(text, ' ', '')) AS double)
                    / (length(trim(text)) - length(replace(trim(text), ' ', '')) + 1) > 5.0)
-             AND NOT ((cast((length(' ' || text || ' ')
-                        - length(regexp_replace(' ' || text || ' ', ' the ', ' ', 'g'))) / 4 AS double)
-                      + cast((length(' ' || text || ' ')
-                        - length(regexp_replace(' ' || text || ' ', ' a ', ' ', 'g'))) / 2 AS double))
+             AND NOT (cast(len(list_filter(string_split(text, ' '),
+                        t -> t = 'the' OR t = 'a')) AS double)
                    / (length(trim(text)) - length(replace(trim(text), ' ', '')) + 1) < 0.02)),
          deduped AS (
            SELECT * FROM (
              SELECT g.*, row_number() OVER (
-               PARTITION BY md5(regexp_replace(trim(text), '\s+', ' ', 'g'))
+               PARTITION BY md5(regexp_replace(trim(text), '\\s+', ' ', 'g'))
                ORDER BY doc_id) AS rn
              FROM gated g)
            WHERE rn = 1),
@@ -1431,24 +1437,10 @@ object TextPipeline {
            SELECT doc_id, source, n_chars,
                   CASE WHEN b < 800 THEN 'train' WHEN b < 900 THEN 'valid'
                        ELSE 'test' END AS split
-           FROM (
-             SELECT *,
-                    ((strpos('0123456789abcdef', substr(md5(cast(doc_id AS varchar)), 1, 1)) - 1) * 1048576
-                   + (strpos('0123456789abcdef', substr(md5(cast(doc_id AS varchar)), 2, 1)) - 1) * 65536
-                   + (strpos('0123456789abcdef', substr(md5(cast(doc_id AS varchar)), 3, 1)) - 1) * 4096
-                   + (strpos('0123456789abcdef', substr(md5(cast(doc_id AS varchar)), 4, 1)) - 1) * 256
-                   + (strpos('0123456789abcdef', substr(md5(cast(doc_id AS varchar)), 5, 1)) - 1) * 16
-                   + (strpos('0123456789abcdef', substr(md5(cast(doc_id AS varchar)), 6, 1)) - 1)) % 1000 AS b
-             FROM deduped)),
+           FROM (SELECT *, $splitBucketSql AS b FROM deduped)),
          mixed AS (
            SELECT * FROM (
-             SELECT sp.*,
-                    ((strpos('0123456789abcdef', substr(md5('mix:' || cast(doc_id AS varchar)), 1, 1)) - 1) * 1048576
-                   + (strpos('0123456789abcdef', substr(md5('mix:' || cast(doc_id AS varchar)), 2, 1)) - 1) * 65536
-                   + (strpos('0123456789abcdef', substr(md5('mix:' || cast(doc_id AS varchar)), 3, 1)) - 1) * 4096
-                   + (strpos('0123456789abcdef', substr(md5('mix:' || cast(doc_id AS varchar)), 4, 1)) - 1) * 256
-                   + (strpos('0123456789abcdef', substr(md5('mix:' || cast(doc_id AS varchar)), 5, 1)) - 1) * 16
-                   + (strpos('0123456789abcdef', substr(md5('mix:' || cast(doc_id AS varchar)), 6, 1)) - 1)) % 1000 AS mb,
+             SELECT sp.*, $mixBucketSql AS mb,
                     (cast(substring(source, 4) AS int) % 5 + 1) * 200 AS rate
              FROM split sp)
            WHERE mb < rate)
