@@ -445,6 +445,38 @@ object TextPipeline {
         !col("flag_too_short") && !col("flag_long_tokens") && !col("flag_no_stopwords"))
   }
 
+  /** The x7 kernel over any (doc_id, text) relation: train bigram/unigram
+    * counts on the corpus, score each doc by its summed add-one-smoothed
+    * per-bigram log-prob (e6-rounded BEFORE summing — order-free integer
+    * aggregation). Single-token and empty docs produce no bigrams and no
+    * output row (guarded: Spark's sequence(1, 0) is the DESCENDING
+    * [1, 0], so the unguarded transform would crash on them).
+    */
+  private[graft] def bigramTypicality(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 2)
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+    val bg = toks.select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(t) - 1),
+          |  i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))"""
+          .stripMargin)).as("b"))
+      .select(col("doc_id"), col("b.w1"), col("b.w2"))
+    val cnt = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+    // uni and voc derive from the TINY count table, not from bg — the
+    // corpus is scanned exactly twice (once to build counts, once to
+    // score), the natural two-pass train/score shape.
+    val uni = cnt.groupBy(col("w1")).agg(sum(col("c")).as("cu"))
+    val voc = cnt.agg(count_distinct(col("w2")).as("v"))
+    bg.join(cnt, Seq("w1", "w2")).join(uni, Seq("w1"))
+      .crossJoin(broadcast(voc))
+      .select(col("doc_id"), col("c"),
+        expr("cast(round(ln((c + 1.0) / (cu + v)) * 1e6) AS bigint)").as("lp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("c")).as("sum_count"),
+        sum(col("lp")).as("sum_ll_e6"))
+  }
+
   /** Adds x8's deterministic mixture-sampling columns: `mix_bucket` — a
     * SALTED md5 draw ('mix:' prefix), independent of x5's split coin —
     * and `rate_permille`, the per-source mixture weight (derived from
@@ -1275,33 +1307,7 @@ object TextPipeline {
       // both float reduction order and cross-engine ln() ulp differences
       // (a flip needs ln's ~1e-16 error to straddle a rounding boundary:
       // ~4e-10 per distinct count pair).
-      // The size(t) >= 2 guard matters: Spark's sequence(1, 0) is the
-      // DESCENDING [1, 0] (not empty like DuckDB's generate_series), so a
-      // single-token document would evaluate element_at(t, 2) and crash
-      // the whole query. Guarded, bigram-less docs simply produce no rows
-      // — exactly what the oracle's empty generate_series does.
-      val toks = Tables.documents(s, d)
-        .select(col("doc_id"), split(col("text"), " ").as("t"))
-        .filter(size(col("t")) >= 2)
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-      val bg = toks.select(col("doc_id"), explode(expr(
-          """transform(sequence(1, size(t) - 1),
-            |  i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))"""
-            .stripMargin)).as("b"))
-        .select(col("doc_id"), col("b.w1"), col("b.w2"))
-      val cnt = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
-      // uni and voc derive from the TINY count table, not from bg — the
-      // corpus is scanned exactly twice (once to build counts, once to
-      // score), the natural two-pass train/score shape.
-      val uni = cnt.groupBy(col("w1")).agg(sum(col("c")).as("cu"))
-      val voc = cnt.agg(count_distinct(col("w2")).as("v"))
-      bg.join(cnt, Seq("w1", "w2")).join(uni, Seq("w1"))
-        .crossJoin(broadcast(voc))
-        .select(col("doc_id"), col("c"),
-          expr("cast(round(ln((c + 1.0) / (cu + v)) * 1e6) AS bigint)").as("lp"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_bigrams"), sum(col("c")).as("sum_count"),
-          sum(col("lp")).as("sum_ll_e6"))
+      bigramTypicality(Tables.documents(s, d))
         .orderBy(col("doc_id"))
     }, Some(
       """WITH toks AS (

@@ -172,6 +172,33 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       collectThreshold = -1L).count() == 0L)
   }
 
+  test("bigramTypicality: degenerate docs don't crash, scores rank glued text below fluent text") {
+    val s = spark
+    import s.implicits._
+    // Docs 3-5 are the degenerate shapes that crash an unguarded
+    // sequence(1, size-1) transform: single-token, empty, and
+    // whitespace-only text (Spark's sequence(1, 0) is [1, 0], NOT empty).
+    val docs = Seq(
+      (1L, "the cat sat on the mat and the cat sat again"),
+      (2L, "the cat sat on the mat and the dog sat again"),
+      (3L, "singletoken"),
+      (4L, ""),
+      (5L, " ")).toDF("doc_id", "text")
+    val got = TextPipeline.bigramTypicality(docs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+    // Bigram-less docs (single token, empty string: a 1-element split)
+    // produce no row — same as the oracle's empty generate_series. The
+    // whitespace-only doc 5 splits to TWO empty tokens in both engines
+    // (Spark split and DuckDB string_split agree), so it scores one
+    // ('','') bigram rather than vanishing.
+    assert(got.keySet == Set(1L, 2L, 5L), s"unexpected rows: $got")
+    assert(got(5L)._1 == 1)
+    assert(got(1L)._1 == 10 && got(2L)._1 == 10) // 11 tokens -> 10 bigrams
+    // Doc 1 repeats its own bigrams (higher corpus counts) -> higher
+    // (less negative) summed log-prob than doc 2's once-seen 'the dog'.
+    assert(got(1L)._2 > got(2L)._2, s"typicality ordering wrong: $got")
+  }
+
   test("embedNearDupPairs: planted embedding near-dups are found, and only them") {
     // d6 quality gate, same scheme as the ANN planted tests: 3 planted
     // near-identical vector pairs (cosine ≈ 0.999) on an otherwise
