@@ -66,9 +66,17 @@ object Bench {
     println(json)
     // Also persist the full line to a file: the driver captures stdout's
     // TAIL, which truncated 7 per-query entries in round 6 — the file makes
-    // every round auditable without a re-run.
-    java.nio.file.Files.write(java.nio.file.Paths.get("target/bench.json"),
-      (json + "\n").getBytes("UTF-8"))
+    // every round auditable without a re-run. Best-effort: the stdout line
+    // above is the contract, so a read-only cwd or missing target/ (e.g. a
+    // spark-submit from outside the repo) must not fail a successful run.
+    try {
+      val out = java.nio.file.Paths.get("target/bench.json")
+      Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.write(out, (json + "\n").getBytes("UTF-8"))
+    } catch {
+      case e: java.io.IOException =>
+        System.err.println(s"[bench] could not write target/bench.json: $e")
+    }
     spark.stop()
   }
 }

@@ -161,31 +161,46 @@ object AnnIndex {
     * vec_id, cosine, rank.
     */
   def lshSearch(buckets: DataFrame, qPred: Column, k: Int): DataFrame = {
-    val q = buckets.filter(qPred)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        col("t").as("q_t"), col("bucket").as("q_bucket"))
-    val cands = buckets.join(broadcast(q),
-        col("t") === col("q_t") && col("bucket") === col("q_bucket"))
-      .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("q_emb"), col("vec_id"), col("embedding"))
-      .distinct()
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
-    cands
-      .select(col("q_id"), col("vec_id"),
-        (dot("q_emb", "embedding") /
-          (sqrt(dot("q_emb", "q_emb")) * sqrt(dot("embedding", "embedding"))))
-          .as("cosine"))
+    lshScores(buckets, qPred)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
 
+  /** The candidate-scoring stage of [[lshSearch]] without the final
+    * ranking window — for callers that rank on their own criterion
+    * (e4/e5 rank on the ROUNDED cosine; running lshSearch with a huge k
+    * would pay a per-query sort whose output is discarded). Columns:
+    * q_id, vec_id, cosine.
+    */
+  def lshScores(buckets: DataFrame, qPred: Column): DataFrame = {
+    val q = buckets.filter(qPred)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("t").as("q_t"), col("bucket").as("q_bucket"))
+    buckets.join(broadcast(q),
+        col("t") === col("q_t") && col("bucket") === col("q_bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("q_emb"), col("vec_id"), col("embedding"))
+      .distinct()
+      .select(col("q_id"), col("vec_id"),
+        (dot("q_emb", "embedding") /
+          (sqrt(dot("q_emb", "q_emb")) * sqrt(dot("embedding", "embedding"))))
+          .as("cosine"))
+  }
+
   // ----- per-session index cache ------------------------------------------
 
-  private val ivfCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String, Int, Int), IvfIndex]
-  private val lshCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String, Int), DataFrame]
+  // Weak-keyed by the SparkSession object itself (identity equality):
+  // a stopped, GC'd session releases its cached indexes with it. The
+  // previous identityHashCode key could both collide after GC (hashes
+  // are address-derived and reusable, handing a new session an index
+  // bound to a dead session's state) and pin every entry for the JVM
+  // lifetime.
+  private val ivfCache = new java.util.WeakHashMap[SparkSession,
+    scala.collection.concurrent.TrieMap[(String, Int, Int), IvfIndex]]()
+  private val lshCache = new java.util.WeakHashMap[SparkSession,
+    scala.collection.concurrent.TrieMap[(String, Int), DataFrame]]()
 
   /** The shared IVF index for `path`'s embeddings in session `s` —
     * trained on first use, reused by every later query in the session
@@ -193,16 +208,18 @@ object AnnIndex {
     */
   def ivfFor(s: SparkSession, path: String, e: => DataFrame,
       nlist: Int, iters: Int): IvfIndex =
-    ivfCache.getOrElseUpdate(
-      (System.identityHashCode(s), path, nlist, iters),
-      trainIvf(e, nlist, iters))
+    ivfCache.synchronized {
+      ivfCache.computeIfAbsent(s,
+        _ => scala.collection.concurrent.TrieMap.empty)
+    }.getOrElseUpdate((path, nlist, iters), trainIvf(e, nlist, iters))
 
   /** The shared LSH bucket index for `path`'s embeddings in session `s`
     * (e4's search and e5's recall share one bucket table).
     */
   def lshFor(s: SparkSession, path: String, e: => DataFrame,
       tables: Int): DataFrame =
-    lshCache.getOrElseUpdate(
-      (System.identityHashCode(s), path, tables),
-      buildLsh(e, tables))
+    lshCache.synchronized {
+      lshCache.computeIfAbsent(s,
+        _ => scala.collection.concurrent.TrieMap.empty)
+    }.getOrElseUpdate((path, tables), buildLsh(e, tables))
 }

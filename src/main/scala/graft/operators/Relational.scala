@@ -48,7 +48,13 @@ object Relational {
     * shuffle + one sorted pass regardless of quote density, and a
     * watermark-less streaming analog falls out of the same shape. At equal
     * timestamps the quote sorts FIRST (at-or-before includes it); a probe
-    * before any quote gets a NULL match (left semantics).
+    * before any quote gets a NULL match (left semantics). Two quote rows
+    * tying on (key, ts) are broken by the full quote row itself (struct
+    * ordering), so the match is deterministic — identical ties are
+    * interchangeable, distinct ones resolve the same way on every run.
+    * JOIN null semantics hold: a null-key quote matches nothing (filtered
+    * before the union), a null-key probe reports a NULL match (it
+    * partitions with other null-key probes, where no quotes remain).
     *
     * Output: every probe column, plus the matched quote row as one
     * `asof` struct column (NULL when no quote precedes the probe).
@@ -65,12 +71,14 @@ object Relational {
       col(tsCol).as("__ts"), lit(1).as("__is_probe"),
       struct(probe.columns.map(col): _*).as("__p"),
       lit(null).cast(qType).as("__q")): _*)
-    val qSide = quote.select(keys.map(col) ++ Seq(
-      col(tsCol).as("__ts"), lit(0).as("__is_probe"),
-      lit(null).cast(pType).as("__p"),
-      struct(quote.columns.map(col): _*).as("__q")): _*)
+    val qSide = quote
+      .filter(keys.map(col(_).isNotNull).reduce(_ && _))
+      .select(keys.map(col) ++ Seq(
+        col(tsCol).as("__ts"), lit(0).as("__is_probe"),
+        lit(null).cast(pType).as("__p"),
+        struct(quote.columns.map(col): _*).as("__q")): _*)
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__ts"), col("__is_probe"))
+      .orderBy(col("__ts"), col("__is_probe"), col("__q"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     pSide.unionByName(qSide)
       .withColumn("asof", last(col("__q"), ignoreNulls = true).over(w))
@@ -99,13 +107,15 @@ object Relational {
     * that makes every downstream user_id aggregation AND join shuffle-free
     * — the scan itself satisfies the hash distribution (j10).
     */
-  private val bucketedEventsCache =
-    scala.collection.concurrent.TrieMap.empty[String, String]
-  private[graft] def bucketedEvents(s: SparkSession, d: String): String =
-    bucketedEventsCache.getOrElseUpdate(d, {
-      val name = s"graft_events_bucketed_${math.abs(d.hashCode).toString}"
-      // A previous JVM may have left the managed location behind (the
-      // in-memory catalog forgets the table across sessions, and
+  private[graft] def bucketedEvents(s: SparkSession, d: String): String = {
+    val name = s"graft_events_bucketed_${math.abs(d.hashCode).toString}"
+    // The table lives in the SESSION's in-memory catalog, so existence is
+    // checked per session — a JVM-wide cache would hand a second session
+    // a name its own catalog has never seen. Within one session the check
+    // makes the write once-only.
+    if (!s.catalog.tableExists(name)) {
+      // A previous JVM/session may have left the managed location behind
+      // (the in-memory catalog forgets tables across sessions, and
       // saveAsTable refuses a dirty location): drop both before writing.
       s.sql(s"DROP TABLE IF EXISTS $name")
       val loc = new org.apache.hadoop.fs.Path(
@@ -117,8 +127,9 @@ object Relational {
         .write.mode("overwrite")
         .bucketBy(8, "user_id").sortBy("user_id")
         .format("parquet").saveAsTable(name)
-      name
-    })
+    }
+    name
+  }
 
   /** name -> (spark query, optional duckdb oracle sql) */
   val entries: Seq[(String, Q, Option[String])] = Seq(
@@ -464,7 +475,8 @@ object Relational {
       """WITH u AS (
            SELECT event_id, user_id, cast(ts AS timestamp) AS ts, event_type, value,
                   CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS is_probe
-           FROM events),
+           FROM events
+           WHERE NOT (event_type = 'purchase' AND user_id IS NULL)),
          m AS (
            SELECT *,
                   last_value(CASE WHEN is_probe = 0 THEN event_id END IGNORE NULLS)
@@ -472,7 +484,9 @@ object Relational {
                   last_value(CASE WHEN is_probe = 0 THEN value END IGNORE NULLS)
                     OVER w AS last_purchase_value
            FROM u
-           WINDOW w AS (PARTITION BY user_id ORDER BY ts, is_probe
+           WINDOW w AS (PARTITION BY user_id
+                        ORDER BY ts, is_probe,
+                                 CASE WHEN is_probe = 0 THEN event_id END
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
          SELECT event_id, user_id, event_type, last_purchase_id, last_purchase_value
          FROM m WHERE is_probe = 1 ORDER BY event_id""")),

@@ -889,15 +889,16 @@ object TextPipeline {
       // bucket) — at 100 TB a shuffle on a small key space, never corpus²),
       // then per-query top-3 inside the candidate set, ranked on the
       // ROUNDED cosine like e3 so the result is oracle-exact (upgraded
-      // from rows-only in round 8; k = MaxValue keeps the raw-rank filter
-      // out of the way so the rounded rank sees the full candidate set).
-      // Search QUALITY is still e5's recall + the planted-near-duplicate
-      // test; the bucket index is built once per session (AnnIndex.lshFor).
+      // from rows-only in round 8; lshScores is the pre-ranking candidate
+      // stage, so the rounded rank sees the full candidate set without an
+      // extra discarded raw-cosine sort). Search QUALITY is still e5's
+      // recall + the planted-near-duplicate test; the bucket index is
+      // built once per session (AnnIndex.lshFor).
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("cosine_e6").desc, col("vec_id"))
-      AnnIndex.lshSearch(
+      AnnIndex.lshScores(
         AnnIndex.lshFor(s, d, Tables.embeddings(s, d), tables = 4),
-        col("vec_id") < 3, k = Int.MaxValue)
+        col("vec_id") < 3)
         .select(col("q_id"), col("vec_id"),
           round(col("cosine") * 1e6).cast("long").as("cosine_e6"))
         .withColumn("rank", row_number().over(w))
@@ -967,8 +968,8 @@ object TextPipeline {
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 3)
         .select(col("q_id"), col("vec_id"))
-      val lsh3 = AnnIndex.lshSearch(
-        AnnIndex.lshFor(s, d, e, tables = 4), col("vec_id") < 3, k = Int.MaxValue)
+      val lsh3 = AnnIndex.lshScores(
+        AnnIndex.lshFor(s, d, e, tables = 4), col("vec_id") < 3)
         .select(col("q_id"), col("vec_id"),
           round(col("cosine") * 1e6).cast("long").as("cosine_e6"))
         .withColumn("rank", row_number().over(w))
@@ -1196,13 +1197,17 @@ object TextPipeline {
                   row_number() OVER (PARTITION BY h.doc_id, g.w
                     ORDER BY h.h ASC, h.i DESC) AS rn
            FROM hs h JOIN (
-             SELECT doc_id, unnest(generate_series(0, length(text) - 8)) AS w
-             FROM documents WHERE length(text) >= 9) g
-             ON g.doc_id = h.doc_id AND h.i BETWEEN g.w + 1 AND g.w + 4),
+             SELECT doc_id, length(text) AS len,
+                    unnest(generate_series(0, greatest(length(text) - 8, 0))) AS w
+             FROM documents WHERE length(text) >= 5) g
+             ON g.doc_id = h.doc_id
+               AND h.i BETWEEN g.w + 1 AND least(g.w + 4, g.len - 4)),
          picks AS (SELECT DISTINCT doc_id, i, h FROM wins WHERE rn = 1)
-         SELECT doc_id, count(*) AS n_fingerprints,
-                min(h) AS min_fp, max(h) AS max_fp
-         FROM picks GROUP BY 1 ORDER BY 1""")),
+         SELECT d.doc_id, count(p.h) AS n_fingerprints,
+                coalesce(min(p.h), -1) AS min_fp,
+                coalesce(max(p.h), -1) AS max_fp
+         FROM documents d LEFT JOIN picks p ON p.doc_id = d.doc_id
+         GROUP BY 1 ORDER BY 1""")),
 
     ("x4_bpe_tokens", (s: SparkSession, d: String) => {
       // BPE-style pre-tokenization counts — the GPT-2 pre-tokenizer splits
@@ -1487,13 +1492,19 @@ object TextPipeline {
       // recompute it from character codes — verifying the mapPartitions
       // batching end-to-end. byte_mean divides identical integer operands
       // in both engines → bit-identical doubles.
+      // LEFT JOIN from documents so an empty-text doc reports
+      // (0, 0.0, 0) exactly like fakeDecode's empty-payload branch —
+      // an inner GROUP BY would drop it and row counts would diverge.
       """WITH pos AS (
            SELECT doc_id, text, unnest(generate_series(1, length(text))) AS p
            FROM documents)
-         SELECT doc_id, count(*) AS n_bytes,
-                sum(ascii(substr(text, p, 1))) * 1.0 / count(*) AS byte_mean,
-                cast(ceil(count(*) / 64.0) AS bigint) AS n_frames
-         FROM pos GROUP BY 1 ORDER BY 1""")),
+         SELECT d.doc_id, count(p.p) AS n_bytes,
+                CASE WHEN count(p.p) = 0 THEN 0.0
+                     ELSE sum(ascii(substr(p.text, p.p, 1))) * 1.0 / count(p.p)
+                END AS byte_mean,
+                cast(ceil(count(p.p) / 64.0) AS bigint) AS n_frames
+         FROM documents d LEFT JOIN pos p ON p.doc_id = d.doc_id
+         GROUP BY 1 ORDER BY 1""")),
 
     ("mm2_frame_sample", (s: SparkSession, d: String) => {
       // Multimodal frame sampling: every 2nd 64-byte frame of each binary

@@ -114,10 +114,13 @@ object EventStream {
     * static (batch) dimension, broadcast so the stream enriches map-side
     * and never shuffles. At scale the dim is the small side by
     * construction; a dim too big to broadcast becomes a stream-stream
-    * join with watermarks instead.
+    * join with watermarks instead. LEFT outer: an event whose type the
+    * dim snapshot doesn't know (a new type appearing mid-stream) passes
+    * through with NULL attributes — an enrichment join must never drop
+    * stream rows.
     */
   def enrichedStream(events: DataFrame, dim: DataFrame): DataFrame =
-    events.join(broadcast(dim), "event_type")
+    events.join(broadcast(dim), Seq("event_type"), "left_outer")
 
   /** The documents file schema for the streaming corpus source. */
   val documentsSchema: StructType = StructType(Seq(
