@@ -167,6 +167,23 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter(col("n_type") =!= col("n_rows"))
       .count()
     assert(mismatches == 0, "dim attribute disagrees with the batch value")
+
+    // Left-outer semantics: a dim snapshot missing a type must NOT drop
+    // that type's events — they pass through with a NULL attribute (the
+    // new-type-appearing-mid-stream case a real enrichment faces).
+    val someType = dim.select("event_type").orderBy("event_type")
+      .first().getString(0)
+    val partialDim = dim.filter(col("event_type") =!= someType)
+    val q2 = EventStream.enrichedStream(EventStream.readEvents(spark, sfDir), partialDim)
+      .writeStream.format("memory").queryName("enriched_partial")
+      .outputMode("append").start()
+    try q2.processAllAvailable() finally q2.stop()
+    val partial = spark.table("enriched_partial")
+    assert(partial.count() == total, "unmatched events were dropped")
+    assert(partial.filter(col("event_type") === someType &&
+      col("n_type").isNull).count() ==
+      Tables.events(spark, sfDir).filter(col("event_type") === someType).count(),
+      "unmatched events did not pass through with NULL attributes")
   }
 
   test("mapGroupsWithState running stats converge to the batch moments per key") {
