@@ -104,6 +104,12 @@ object BlockedCv {
       foldPaths: Option[String] = None): CvResult = {
     val x = ds.x
     val n = x.rows
+    // A design of <= BlockSize rows yields a single fold whose training
+    // split is empty (designs() drops it): without this guard every cvm
+    // entry would be NaN and the argmin would die in an opaque
+    // empty.minBy deep inside a lag-selection loop.
+    require(ds.folds.nonEmpty,
+      s"blocked CV needs more than $BlockSize rows, got $n (no non-empty training fold)")
     val intercept = ds.full.intercept
     val perFold = foldPaths.isDefined
     val align = foldPaths.getOrElse("")

@@ -148,7 +148,6 @@ object ElasticNet {
     val effTol = tol * math.max(ySd, 1e-12)
 
     val xArr = cov.xArr
-    val zArr = cov.zArr
     val beta = new Array[Double](p)              // warm-started across λs
     val active = new Array[Boolean](p)           // ever-active set
     val cv = new Array[Double](p)                // ⟨x̃ⱼ, r⟩/N for all j

@@ -228,22 +228,33 @@ object GroupElasticNet {
     GroupPath(alpha, fits.result())
   }
 
-  /** λmax for the group problem: max_j ‖(1/N)·x̃_jᵀ·Ỹ‖₂ / max(α, 0.001). */
+  /** λmax for the group problem: max_j ‖(1/N)·x̃_jᵀ·Ỹ‖₂ / max(α, 0.001).
+    * x̃/Ỹ are standardized exactly the way [[fitPathCov]]'s working
+    * problem is — scaled by the population sd always, CENTERED only with
+    * an intercept. Unconditional centering here would compute the grid
+    * for a different problem than the one being solved: on an uncentered
+    * no-intercept fit of data with mean >> sd, the true λmax can exceed
+    * the centered one by orders of magnitude and every grid point would
+    * land in the dense regime.
+    */
   def autoLambdaSequence(
       x: DenseMatrix[Double],
       y: DenseMatrix[Double],
       alpha: Double,
-      nLambda: Int = 100): IndexedSeq[Double] = {
+      nLambda: Int = 100,
+      intercept: Boolean = false): IndexedSeq[Double] = {
     val n = x.rows.toDouble
     val a = math.max(alpha, 0.001)
     var lmax = 0.0
     var j = 0
     while (j < x.cols) {
       val (m, sd) = colMoments(x(::, j))
-      val xs = if (sd > 0) (x(::, j) - m) / sd else x(::, j) - m
+      val xc = if (intercept) x(::, j) - m else x(::, j)
+      val xs = if (sd > 0) xc / sd else xc
       val u = DenseVector.tabulate(y.cols) { c =>
         val (mc, sdc) = colMoments(y(::, c))
-        val ys = if (sdc > 0) (y(::, c) - mc) / sdc else y(::, c) - mc
+        val yc = if (intercept) y(::, c) - mc else y(::, c)
+        val ys = if (sdc > 0) yc / sdc else yc
         (xs dot ys) / n
       }
       val g = norm(u)
@@ -275,26 +286,30 @@ object GroupElasticNet {
       tol: Double = 1e-9): GroupCvResult = {
     val n = x.rows
     val foldid = BlockedCv.foldIds(n)
-    val lambdas = autoLambdaSequence(x, y, alpha, nLambda)
+    val lambdas = autoLambdaSequence(x, y, alpha, nLambda, intercept)
     val sqErr = Array.fill(lambdas.length)(0.0)
-    for (f <- foldid.distinct.sorted) {
-      val trainIdx = (0 until n).filter(foldid(_) != f)
-      val testIdx = (0 until n).filter(foldid(_) == f)
-      if (trainIdx.nonEmpty && testIdx.nonEmpty) {
-        // One CovDesign per fold: Gram rows are shared by all 100 λ steps.
-        val cov = new CovDesign(x(trainIdx, ::).toDenseMatrix, intercept, true)
-        val path = fitPathCov(cov, y(trainIdx, ::).toDenseMatrix,
-          alpha, lambdas, tol = tol)
-        var li = 0
-        while (li < lambdas.length) {
-          val fit = path.fits(li)
-          for (i <- testIdx; c <- 0 until y.cols) {
-            val pred = fit.intercepts(c) + (x(i, ::).t dot fit.b(::, c))
-            val e = y(i, c) - pred
-            sqErr(li) += e * e
-          }
-          li += 1
+    // Mirror BlockedCv's guard: with <= BlockSize rows the single fold has
+    // an empty training split and the loop below would contribute nothing,
+    // silently returning cvm = 0 everywhere and lambdaMin = λmax.
+    val usable = foldid.distinct.sorted.map { f =>
+      ((0 until n).filter(foldid(_) != f), (0 until n).filter(foldid(_) == f))
+    }.filter(p => p._1.nonEmpty && p._2.nonEmpty)
+    require(usable.nonEmpty,
+      s"blocked group CV needs more than ${BlockedCv.BlockSize} rows, got $n (no non-empty training fold)")
+    for ((trainIdx, testIdx) <- usable) {
+      // One CovDesign per fold: Gram rows are shared by all 100 λ steps.
+      val cov = new CovDesign(x(trainIdx, ::).toDenseMatrix, intercept, true)
+      val path = fitPathCov(cov, y(trainIdx, ::).toDenseMatrix,
+        alpha, lambdas, tol = tol)
+      var li = 0
+      while (li < lambdas.length) {
+        val fit = path.fits(li)
+        for (i <- testIdx; c <- 0 until y.cols) {
+          val pred = fit.intercepts(c) + (x(i, ::).t dot fit.b(::, c))
+          val e = y(i, c) - pred
+          sqErr(li) += e * e
         }
+        li += 1
       }
     }
     val cvm = sqErr.map(_ / (n * y.cols)).toIndexedSeq

@@ -27,8 +27,7 @@ object Selection {
     val sq = Acf.squaredVsLaggedTarget(y, lag)
     val meanSq = (0 until y.cols).map(j => (0 until lag).map(k => sq(k, j)).sum / lag)
     val ranked = meanSq.zipWithIndex.sortBy(-_._1).map(p => names(p._2))
-    val top = ranked.take(maxNrVar).filterNot(_ == names(0))
-    names(0) +: top.take(maxNrVar - (if (ranked.take(maxNrVar).contains(names(0))) 0 else 1))
+    names(0) +: ranked.filterNot(_ == names(0)).take(maxNrVar - 1)
   }
 
   /** M12 — diversity ACF selection (enetVAR.R:665-701): greedily pick the
@@ -56,16 +55,16 @@ object Selection {
       names: IndexedSeq[String],
       lag: Int = 8,
       maxNrVar: Int = 10): Seq[String] = {
-    val profile = DenseMatrix.tabulate(lag, y.cols) { (k, j) =>
-      if (j == 0) {
-        val p = Acf.pacfUnivariate(y(::, 0).copy, lag)
-        p(k)
-      } else {
-        val pair = DenseMatrix.horzcat(
-          y(::, 0).toDenseMatrix.t, y(::, j).toDenseMatrix.t)
-        partialCrossTarget(pair, lag)(k)
+    // One recursion per COLUMN, then fill the profile from its lag
+    // vector — tabulate's per-cell lambda would re-run the whole
+    // O(lag²·T) Whittle recursion `lag` times per series.
+    val colProfiles: IndexedSeq[DenseVector[Double]] =
+      (0 until y.cols).map { j =>
+        if (j == 0) Acf.pacfUnivariate(y(::, 0).copy, lag)
+        else partialCrossTarget(DenseMatrix.horzcat(
+          y(::, 0).toDenseMatrix.t, y(::, j).toDenseMatrix.t), lag)
       }
-    }
+    val profile = DenseMatrix.tabulate(lag, y.cols)((k, j) => colProfiles(j)(k))
     greedyProfileSelection(profile.map(v => v * v), names, maxNrVar,
       profileIsSquared = true)
   }
@@ -152,7 +151,12 @@ object Selection {
     var selected = Vector(select)
     var removed = Set.empty[Int]
     val cull = math.max(k / maxNrVar, 0)
-    while (selected.length < maxNrVar - 1 && removed.size + selected.size < k) {
+    // `< k - 1`, not `< k`: the target (index 0) is never selectable, so
+    // the candidate pool holds k-1 indices — with `< k` the loop re-enters
+    // after picks+culls consumed every candidate and topNotTarget's
+    // order.head throws on the empty ranking (reachable at defaults, e.g.
+    // 30 series with maxNrVar=10: 7 rounds of 1 pick + 3 culls).
+    while (selected.length < maxNrVar - 1 && removed.size + selected.size < k - 1) {
       val dist = DenseMatrix.tabulate(lag, k) { (r, j) =>
         val d = sqProfile(r, j) - sqProfile(r, select)
         d * d

@@ -60,41 +60,7 @@ final case class EnetVarModel(
     */
   def meanLambda: Double = equations.map(_.lambda).sum / equations.length
 
-  /** Recursive n-ahead forecast (M5, enetVAR.R:128-154): build Z_ahead from
-    * the p most-recent rows (most recent first, row-major — matching the
-    * reference's `as.vector(t(y[T:(T−p+1),]))`), multiply by B, append the
-    * prediction to the history, repeat.
-    */
-  def forecast(nAhead: Int): DenseMatrix[Double] = {
-    val p = design.p
-    val n = design.n
-    var history = design.yOrig
-    val out = DenseMatrix.zeros[Double](nAhead, n)
-    var step = 0
-    while (step < nAhead) {
-      val t = history.rows
-      val zAhead = DenseVector.zeros[Double](design.k)
-      var pos = 0
-      if (design.intercept) { zAhead(0) = 1.0; pos = 1 }
-      var i = 0
-      while (i < p) {
-        val row = history(t - 1 - i, ::).t
-        var c = 0
-        while (c < n) { zAhead(pos) = row(c); pos += 1; c += 1 }
-        i += 1
-      }
-      val yAhead: DenseVector[Double] = coefMatrix.t * zAhead // K-vector
-      out(step, ::) := yAhead.t
-      step += 1
-      if (step < nAhead) {
-        history = DenseMatrix.vertcat(history, yAhead.toDenseMatrix)
-      }
-    }
-    out
-  }
-
-  /** Residual matrix Y − Z·B (M6, enetVAR.R:165-174), (T−p)×K. */
-  lazy val residuals: DenseMatrix[Double] = design.yP - design.z * coefMatrix
+  // forecast (M5) and residuals (M6) come from FittedVar.
 }
 
 object EnetVar {
@@ -167,6 +133,10 @@ object EnetVar {
           BlockedCv.foldIds(design.z.rows), intercept)
         IndexedSeq.tabulate(kk)(j => fitOne(covZ, cvDs, design.response(j), j))
     }
-    EnetVarModel(design, alphaOf(0), fits)
+    // With heterogeneous per-equation alphas the model records their MEAN
+    // for InfCrit's scalar ridge term — the same convention the reference
+    // applies to the per-equation λs (enetVAR.R:181 takes mean(lambda.min));
+    // with a single alpha (every pipeline use) this is that alpha exactly.
+    EnetVarModel(design, (0 until kk).map(alphaOf).sum / kk, fits)
   }
 }

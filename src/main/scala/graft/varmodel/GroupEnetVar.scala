@@ -29,34 +29,7 @@ final case class GroupEnetVarModel(
     b
   }
 
-  /** Recursive n-ahead forecast — same recursion as EnetVarModel (M5). */
-  def forecast(nAhead: Int): DenseMatrix[Double] = {
-    val p = design.p
-    val n = design.n
-    var history = design.yOrig
-    val out = DenseMatrix.zeros[Double](nAhead, n)
-    var step = 0
-    while (step < nAhead) {
-      val t = history.rows
-      val zAhead = DenseVector.zeros[Double](design.k)
-      var pos = 0
-      if (design.intercept) { zAhead(0) = 1.0; pos = 1 }
-      var i = 0
-      while (i < p) {
-        val row = history(t - 1 - i, ::).t
-        var c = 0
-        while (c < n) { zAhead(pos) = row(c); pos += 1; c += 1 }
-        i += 1
-      }
-      val yAhead: DenseVector[Double] = coefMatrix.t * zAhead
-      out(step, ::) := yAhead.t
-      step += 1
-      if (step < nAhead) history = DenseMatrix.vertcat(history, yAhead.toDenseMatrix)
-    }
-    out
-  }
-
-  lazy val residuals: DenseMatrix[Double] = design.yP - design.z * coefMatrix
+  // forecast (M5) and residuals (M6) come from FittedVar.
 }
 
 object GroupEnetVar {

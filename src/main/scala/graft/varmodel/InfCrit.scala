@@ -1,6 +1,6 @@
 package graft.varmodel
 
-import breeze.linalg.{det, diag, kron, trace, DenseMatrix, DenseVector}
+import breeze.linalg.{det, diag, trace, DenseMatrix, DenseVector}
 
 /** Information criteria with elastic-net degrees of freedom — SURVEY §2.6
   * M8; reference `infCrit` (enetVAR.R:177-202).
@@ -54,10 +54,19 @@ object InfCrit {
     val dof =
       if (active.isEmpty) 0.0
       else {
-        val x = kron(design.z, DenseMatrix.eye[Double](kEq))
-        val xa = x(::, active).toDenseMatrix
-        val g = xa.t * xa
-        val ridge = g + diag(DenseVector.fill(active.length)(lambda * 0.5 * (1 - alpha)))
+        // G = X_AᵀX_A from ZᵀZ alone: column (j, l) of X = kron(Z, I_K)
+        // is Z(:,j) ⊗ e_l, so G[(j,l),(j',l')] = (ZᵀZ)(j,j')·[l = l'] —
+        // the explicit kron ((T−p)K × kK, ~1.3 GB of doubles at the
+        // reference's 30-series lag-30 point, allocated once PER LAG in
+        // the selection loop) is never needed; ZᵀZ is k×k.
+        val ztz = design.z.t * design.z
+        val m = active.length
+        val g = DenseMatrix.tabulate(m, m) { (a, c) =>
+          val ja = active(a) / kEq; val la = active(a) % kEq
+          val jc = active(c) / kEq; val lc = active(c) % kEq
+          if (la == lc) ztz(ja, jc) else 0.0
+        }
+        val ridge = g + diag(DenseVector.fill(m)(lambda * 0.5 * (1 - alpha)))
         trace(ridge \ g)
       }
 

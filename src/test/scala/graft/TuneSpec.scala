@@ -83,6 +83,21 @@ class TuneSpec extends AnyFunSuite {
     assert(sel.length <= 3 && sel.length >= 2)
   }
 
+  test("M12 greedy selection survives candidate exhaustion (picks + culls drain the pool)") {
+    // 6 series, maxNrVar = 5 -> cull = 1 per round: after two rounds the
+    // pick+cull consumption reaches all 5 non-target candidates; the loop
+    // must exit with a shorter selection instead of ranking an empty
+    // candidate list (the pre-fix guard counted the never-selectable
+    // target as a free slot and crashed on order.head).
+    val g = new TestData.Lcg(31L)
+    val y = DenseMatrix.tabulate(200, 6)((_, _) => g.gaussian())
+    val names = IndexedSeq("gdp", "a", "b", "c", "d", "e")
+    val sel = Selection.acfDiverse(y, names, lag = 4, maxNrVar = 5)
+    assert(sel.head == "gdp")
+    assert(sel.distinct == sel)
+    assert(sel.length >= 2 && sel.length <= 5, s"unexpected selection: $sel")
+  }
+
   test("M13 bivariate partial cross-correlation: independent noise ~ 0, leading series != 0") {
     val y = predictivePanel(500, seed = 27L)
     val lead = Selection.partialCrossTarget(
