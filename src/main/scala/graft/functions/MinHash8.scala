@@ -39,14 +39,17 @@ case class MinHash8(
 
   override def prettyName: String = "minhash8"
 
-  // Unsigned max: no digest window ever loses to the empty buffer.
+  // Unsigned max: no digest window ever loses to the empty buffer. A
+  // group whose inputs are ALL null/malformed therefore renders eight
+  // 'ffffffffffffffff' sentinels where SQL min() would return NULL — a
+  // deliberate trade: the pipelines can never feed such a group (an md5
+  // over a non-null shingle is always 32 hex chars, and a group exists
+  // only with ≥ 1 row), and the constant-width signature is what lets
+  // nearDupPairs' inert `length(mh) - 16` plan guard work. Filter null
+  // digests upstream if reusing this aggregate on nullable input.
   override def createAggregationBuffer(): Array[Long] = Array.fill(8)(-1L)
 
-  private def hexNibble(b: Byte): Int =
-    if (b >= '0' && b <= '9') b - '0'
-    else if (b >= 'a' && b <= 'f') b - 'a' + 10
-    else if (b >= 'A' && b <= 'F') b - 'A' + 10
-    else -1
+  private def hexNibble(b: Byte): Int = Hex.nibble(b)
 
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)

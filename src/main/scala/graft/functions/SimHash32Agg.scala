@@ -35,26 +35,19 @@ case class SimHash32Agg(
 
   override def createAggregationBuffer(): Array[Int] = new Array[Int](32)
 
-  private def hexNibble(b: Byte): Int =
-    if (b >= '0' && b <= '9') b - '0'
-    else if (b >= 'a' && b <= 'f') b - 'a' + 10
-    else if (b >= 'A' && b <= 'F') b - 'A' + 10
-    else -1
-
   override def update(buf: Array[Int], input: InternalRow): Array[Int] = {
     val v = child.eval(input)
     if (v != null) {
       val s = v.asInstanceOf[UTF8String]
       if (s.numBytes() == 32) {
         val bytes = s.getBytes
-        // Validate before voting so a malformed row is skipped whole.
-        var ok = true
-        var j = 0
-        while (ok && j < 32) { ok = hexNibble(bytes(j)) >= 0; j += 1 }
-        if (ok) {
-          j = 0
+        // Parse-and-validate ONCE (a malformed row is skipped whole),
+        // then vote from the parsed nibbles.
+        val nibbles = new Array[Int](32)
+        if (Hex.parse32(bytes, nibbles)) {
+          var j = 0
           while (j < 32) {
-            if (hexNibble(bytes(j)) >= 8) buf(j) += 1 else buf(j) -= 1
+            if (nibbles(j) >= 8) buf(j) += 1 else buf(j) -= 1
             j += 1
           }
         }

@@ -120,24 +120,6 @@ object PanelIngest {
       .drop("q0")
   }
 
-  /** Same transform for a single currency series' LOG levels — the
-    * replacement branch of stationarity repair (Main.R:85-86).
-    */
-  def quarterlyLogDiff(monthly: DataFrame, name: String): DataFrame = {
-    val w = Window.orderBy(col("date"))
-    val diffed = monthly.select(
-      quarterCol(col("date")).as("quarter"),
-      (log(col(name)) - lag(log(col(name)), 1).over(w)).as(name))
-    val minQ = diffed.agg(min(col("quarter")).as("q0"))
-    diffed
-      .groupBy(col("quarter"))
-      .agg(when(count(col(name)) === count(lit(1)), sum(col(name)))
-        .otherwise(lit(null)).as(name))
-      .crossJoin(broadcast(minQ))
-      .filter(col("quarter") > col("q0"))
-      .drop("q0")
-  }
-
   /** W2 (Main.R:48): GDP log first differences, quarterly. */
   def gdpLogDiff(gdp: DataFrame): DataFrame = {
     val w = Window.orderBy(col("date"))
@@ -147,10 +129,14 @@ object PanelIngest {
   }
 
   /** J1 (Main.R:96): time-index full outer join of GDP log-diffs with the
-    * quarterly diffed panel — GDP side broadcast (≤231 rows at any scale).
+    * quarterly diffed panel. No broadcast hint: Spark cannot build a
+    * broadcast hash join for FULL OUTER (the hint would be silently
+    * dropped), so this is a sort-merge join — cheap here because BOTH
+    * sides of a quarterly time-index merge are calendar-bounded (≤231
+    * rows each at any data scale; the 146 series live in columns).
     */
   def endVar(gdpLd: DataFrame, panelQ: DataFrame): DataFrame =
-    broadcast(gdpLd).join(panelQ, Seq("quarter"), "full_outer")
+    gdpLd.join(panelQ, Seq("quarter"), "full_outer")
       .orderBy(col("quarter"))
 
   /** P4/P5 (Main.R:100-101): the reference's train/test split at 2000Q1. */

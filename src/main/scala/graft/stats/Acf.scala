@@ -70,11 +70,31 @@ object Acf {
     * 1..lag — `acf$acf[2:(lag+1), 1, ]^2` — as a (lag × K) matrix.
     */
   def squaredVsLaggedTarget(y: DenseMatrix[Double], lag: Int): DenseMatrix[Double] = {
-    val cc = cross(y, lag)
-    DenseMatrix.tabulate(lag, y.cols)((k, j) => {
-      val r = cc(k)(0, j) // series 0 at t+k vs series j at t
+    // Only the target ROW of the cross-correlation array is consumed, so
+    // correlate series 0 at t+k with each series j at t directly — the
+    // same arithmetic as cross(y, lag)(k−1)(0, j) entry for entry, at
+    // O(lag·K·T) instead of the full O(lag·K²·T) array (a K-fold saving
+    // inside the selection loops; K = 146 on the reference panel).
+    val t = y.rows
+    val kk = y.cols
+    val centered = y.copy
+    val sd0 = DenseVector.zeros[Double](kk)
+    var j = 0
+    while (j < kk) {
+      val cj = centered(::, j)
+      val m = sum(cj) / t.toDouble
+      cj :-= m
+      sd0(j) = math.sqrt((cj dot cj) / t.toDouble)
+      j += 1
+    }
+    DenseMatrix.tabulate(lag, kk) { (ki, j2) =>
+      val k = ki + 1
+      var s = 0.0
+      var tt = 0
+      while (tt < t - k) { s += centered(tt + k, 0) * centered(tt, j2); tt += 1 }
+      val r = (s / t.toDouble) / (sd0(0) * sd0(j2))
       r * r
-    })
+    }
   }
 
   /** Univariate PACF via the Durbin–Levinson recursion on the exact-R ACF —

@@ -69,13 +69,17 @@ object EventStream {
       .select(col("win.start").as("window_start"), col("event_type"),
         col("n_events"), col("value_sum"))
 
-  /** Stateful streaming dedup: first occurrence of each event_id wins;
-    * state for ids older than the watermark is dropped (bounded state).
+  /** Stateful streaming dedup: first occurrence of each event_id within
+    * the watermark horizon wins, and state older than the watermark is
+    * ACTUALLY dropped — `dropDuplicatesWithinWatermark`, not plain
+    * `dropDuplicates("event_id")`, which only evicts state when the
+    * event-time column is part of the dedup key and would otherwise grow
+    * the state store forever on a continuous feed.
     */
   def dedupStream(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "30 minutes")
-      .dropDuplicates("event_id")
+      .dropDuplicatesWithinWatermark("event_id")
 
   /** Streaming CONTENT dedup — the d1 exact-dedup operator composed with
     * the streaming surface: the dedup key is a content fingerprint (md5 of
@@ -166,6 +170,11 @@ object EventStream {
     import s.implicits._
     events
       .select(col("event_type"), col("value"))
+      // The schema declares value nullable; decoding NULL into a
+      // primitive Double would kill the whole streaming query, where the
+      // batch aggregates this is tested against (avg/var_pop) skip nulls
+      // — so skip them here too.
+      .filter(col("value").isNotNull)
       .as[(String, Double)]
       .groupByKey(_._1)
       .mapGroupsWithState[RunningStats, StatsUpdate](GroupStateTimeout.NoTimeout) {
