@@ -37,9 +37,7 @@ object Ar1Train {
       val c = my - phi * mx
       (c / (1 - phi), phi)
     } else {
-      ((y0 dot y1) / (y0 dot y0), 0.0) match {
-        case (phi, _) => (0.0, phi)
-      }
+      (0.0, (y0 dot y1) / (y0 dot y0))
     }
   }
 

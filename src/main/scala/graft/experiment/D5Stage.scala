@@ -23,22 +23,29 @@ object D5Stage {
         println(f"[st] $tag%-26s pass$i ${(System.nanoTime() - t0) / 1e9}%6.2f s") }
     }
     val docs = graft.sources.Tables.documents(spark, d)
+    // The shared pre-explode prefix of every stage (the inline copies the
+    // probe header warns about, factored): repartition BEFORE the fanout,
+    // then one shingle position per row.
+    def exploded = docs.select(col("doc_id"), col("text"))
+      .repartition(32, col("doc_id"))
+      .select(col("doc_id"), col("text"),
+        explode(expr("sequence(1, greatest(char_length(text) - 4, 1))")).as("i"))
     // stage 1: explode only
     time("explode-only") {
-      docs.select(col("doc_id"), col("text")).repartition(32, col("doc_id")).select(col("doc_id"), col("text"), explode(expr("sequence(1, greatest(char_length(text) - 4, 1))")).as("i"))
+      exploded
         .select(col("doc_id"), expr("substring(text, i, 5)").as("s"))
         .write.mode("overwrite").format("noop").save()
     }
     // stage 2: + md5
     time("explode+md5") {
-      docs.select(col("doc_id"), col("text")).repartition(32, col("doc_id")).select(col("doc_id"), col("text"), explode(expr("sequence(1, greatest(char_length(text) - 4, 1))")).as("i"))
+      exploded
         .select(col("doc_id"), expr("md5(substring(text, i, 5))").as("dg"))
         .write.mode("overwrite").format("noop").save()
     }
     // stage 3: + minhash agg only
     time("minhash-agg") {
       import org.apache.spark.sql.GraftExpressionBridge
-      docs.select(col("doc_id"), col("text")).repartition(32, col("doc_id")).select(col("doc_id"), col("text"), explode(expr("sequence(1, greatest(char_length(text) - 4, 1))")).as("i"))
+      exploded
         .select(col("doc_id"), expr("md5(substring(text, i, 5))").as("dg"))
         .groupBy(col("doc_id"))
         .agg(GraftExpressionBridge.column(
@@ -48,7 +55,7 @@ object D5Stage {
     // stage 4: + collect_set of 60-bit longs (the d5 combined agg)
     time("combined-agg") {
       import org.apache.spark.sql.GraftExpressionBridge
-      docs.select(col("doc_id"), col("text")).repartition(32, col("doc_id")).select(col("doc_id"), col("text"), explode(expr("sequence(1, greatest(char_length(text) - 4, 1))")).as("i"))
+      exploded
         .select(col("doc_id"), expr("md5(substring(text, i, 5))").as("dg"))
         .groupBy(col("doc_id"))
         .agg(GraftExpressionBridge.column(

@@ -87,6 +87,10 @@ object GoldenExperiment {
     * its start.pred row.
     */
   def assemble(prep: Prepared, panelCols: Seq[String]): Panel = {
+    // Column 0 is REPLACED by the GDP log-diff series (the reference's
+    // end_var layout): the caller must actually mean that.
+    require(panelCols.headOption.contains("GDP"),
+      s"panelCols must start with GDP (column 0 carries the GDP log-diffs), got ${panelCols.headOption}")
     val cols: IndexedSeq[DenseVector[Double]] =
       prep.gdpLd +: panelCols.drop(1).map(prep.repaired(_)).toIndexedSeq
     val tQ = prep.gdpLd.length

@@ -58,8 +58,10 @@ object GoldenTune {
         f"lambda=${b.lambda}%.6g rmse=${b.meanRmse}%.6g"))
     println(f"[tune] full grid tuned in $tuneWall%.0f s")
 
-    // Round-trip the tuned values through the S4 tuning table.
-    val path = "/tmp/graft_tuned_params"
+    // Round-trip the tuned values through the S4 tuning table — a
+    // per-invocation directory, so concurrent GoldenTune runs (different
+    // lags) can never read each other's overwrite mid-round-trip.
+    val path = s"/tmp/graft_tuned_params_${java.util.UUID.randomUUID()}"
     TuningIO.write(spark, path, best.map(b => (names(b.equation), b.alpha, b.lambda)))
     val (alphas, lambdas) = TuningIO.asVectors(spark, path, names)
 

@@ -136,7 +136,10 @@ object ModelTrain {
     // regardless of the experiment's arguments; here the benchmark follows
     // the caller's startPredIdx/step/h so the two error panels are always
     // comparable. The results coincide exactly when the experiment runs at
-    // the reference defaults — which every golden run does.
+    // the reference defaults — which every golden run does. const=false is
+    // NOT a simplification: ar1_train's own default (enetVAR.R:569) is
+    // const=FALSE and theils_u_ar1 never overrides it, so the reference's
+    // AR(1) benchmark is zero-mean even in const=TRUE experiments.
     val ar1 = Ar1Train.run(y0, startPredIdx, step, h, const = false)
 
     val byHorizon = base.map { case (hh, m: HorizonMetrics) =>

@@ -2,7 +2,7 @@ package graft.operators
 
 import breeze.linalg.{DenseMatrix, DenseVector}
 import graft.linalg.BlockedCv
-import graft.experiment.{Ar1Train, ModelTrain}
+import graft.experiment.ModelTrain
 import graft.sources.Tables
 import graft.stats.{Adf, HacTests}
 import graft.varmodel.{EnetVar, InfCrit, VarDesign}
@@ -37,8 +37,8 @@ object Estimation {
     * absolute so the same value interpolates into both the Spark reads and
     * the DuckDB oracle SQL regardless of checkout location (ADVICE r3).
     */
-  private val PanelDir = sys.env.getOrElse("SPARK_GRAFT_PANEL_DIR",
-    new java.io.File("data/panel").getAbsolutePath)
+  private val PanelDir = new java.io.File(
+    sys.env.getOrElse("SPARK_GRAFT_PANEL_DIR", "data/panel")).getAbsolutePath
 
   /** Monthly 2-series panel from orders: (month, rev, n_orders) — the
     * testdata's stand-in for the reference's quarterly macro panel.

@@ -108,7 +108,11 @@ object Relational {
     * — the scan itself satisfies the hash distribution (j10).
     */
   private[graft] def bucketedEvents(s: SparkSession, d: String): String = {
-    val name = s"graft_events_bucketed_${math.abs(d.hashCode).toString}"
+    // md5 of the dir path, not hashCode: two sfDirs colliding on hashCode
+    // would silently share one table (and Int.MinValue survives abs).
+    val name = "graft_events_bucketed_" + java.security.MessageDigest
+      .getInstance("MD5").digest(d.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
     // The table lives in the SESSION's in-memory catalog, so existence is
     // checked per session — a JVM-wide cache would hand a second session
     // a name its own catalog has never seen. Within one session the check
@@ -1152,14 +1156,19 @@ object Relational {
     ("f_grid_expand", (s: SparkSession, d: String) => {
       // Hyperparameter grid generation (reference expand.grid): lazy
       // sequence + explode + cross join, no driver-side materialization.
+      // λ is a transcendental (pow with fractional exponents) → quantized
+      // to e6 bigints like every other transcendental in this file, so the
+      // exact-hash compare never depends on libm-vs-JVM last-ulp rounding.
       val alphas = s.range(1, 20).select((col("id") * 0.05).as("alpha"))
       val lambdas = s.range(0, 10)
-        .select(pow(lit(10.0), lit(1.0) - col("id") * 0.5).as("lambda"))
-      alphas.crossJoin(lambdas).orderBy(col("alpha"), col("lambda"))
+        .select(round(pow(lit(10.0), lit(1.0) - col("id") * 0.5) * 1e6)
+          .cast("long").as("lambda_e6"))
+      alphas.crossJoin(lambdas).orderBy(col("alpha"), col("lambda_e6"))
     }, Some(
-      """SELECT a.alpha AS alpha, l.lambda AS lambda
+      """SELECT a.alpha AS alpha, l.lambda_e6 AS lambda_e6
          FROM (SELECT unnest(generate_series(1, 19)) * 0.05 AS alpha) a
-         CROSS JOIN (SELECT pow(10.0, 1.0 - unnest(generate_series(0, 9)) * 0.5) AS lambda) l
+         CROSS JOIN (SELECT cast(round(pow(10.0, 1.0 - unnest(generate_series(0, 9)) * 0.5) * 1e6)
+                     AS bigint) AS lambda_e6) l
          ORDER BY 1, 2""")),
 
     ("f_json_extract", (s: SparkSession, d: String) => {
