@@ -492,6 +492,114 @@ object TextPipeline {
       .withColumn("rate_permille",
         (expr("cast(substring(source, 4) AS int)") % 5 + 1) * 200)
 
+  /** Train/test decontamination (x11): word-5-gram overlap between x5's
+    * train and test splits — the n-gram eval-contamination check LLM
+    * pipelines run before training (GPT-3 appendix C uses 13-grams; 5
+    * fits this corpus's 10–100-token docs). Per train doc: its distinct
+    * 5-gram count and how many of those grams ALSO occur anywhere in the
+    * test split.
+    *
+    * Scale posture: the test-gram set is the SMALL side by construction
+    * (the 10% split, deduplicated), so the overlap probe is a broadcast
+    * semi-join against it — the corpus-sized train side never shuffles
+    * on the gram key; at 100 TB the broadcast becomes a bloom filter /
+    * bucketed semi-join but the train side still streams map-side. The
+    * pre-explode repartition is the round-8 fanout rule (one small
+    * shuffle buys full-core fanout + a reusable doc_id partitioning for
+    * BOTH downstream groupBys).
+    *
+    * Totality: every train doc emits a row; docs under 5 tokens have 0
+    * grams (guarded — Spark's sequence(1, n<=0) is descending, builder
+    * memory rule).
+    */
+  private[graft] def decontaminate(docs: DataFrame): DataFrame = {
+    val grams = withHashSplit(docs)
+      .select(col("doc_id"), col("split"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 5)
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), col("split"), explode(expr(
+        """transform(sequence(1, size(t) - 4),
+          |  i -> concat_ws(' ', slice(t, i, 5)))""".stripMargin)).as("gram"))
+      .distinct()
+    val testGrams = grams.filter(col("split") === "test").select(col("gram")).distinct()
+    val train = grams.filter(col("split") === "train")
+    val hits = train.join(broadcast(testGrams), Seq("gram"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
+    val totals = train.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    withHashSplit(docs.select(col("doc_id"))).filter(col("split") === "train")
+      .select(col("doc_id"))
+      .join(totals, Seq("doc_id"), "left")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
+      .withColumn("contaminated", col("n_contaminated") > 0)
+  }
+
+  /** Gopher-style repetition signals (x13): distinct-token ratio, top
+    * single-token fraction, and top-bigram fraction per document, each
+    * e6-quantized so the gate flags compare INTEGERS (the oracle-
+    * determinism rule for ratio thresholds). Complements x6, whose
+    * signals are length/stopword-based: these catch loops and boiler-
+    * plate that length stats miss. Two hash aggregates keyed by
+    * (doc_id, token) / (doc_id, bigram) — map-side partials absorb the
+    * fanout, key cardinality is per-doc so there is no global skew.
+    * Thresholds sit ≥500 quanta from every observed value at sf0.01 AND
+    * sf0.1, with both classes populated.
+    */
+  private[graft] def repetitionSignals(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+    val tok = toks.select(col("doc_id"), explode(col("t")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_token_c"))
+    val bg = toks.filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(t) - 1),
+          |  i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"""
+          .stripMargin)).as("b"))
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("top_bigram_c"))
+    // Left join: a single-token doc has no bigrams; its bigram fraction
+    // coalesces to 0 rather than dropping the row (totality rule).
+    tok.join(bg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        expr("cast(round(n_distinct * 1e6 / n_tokens) AS bigint)")
+          .as("distinct_ratio_e6"),
+        expr("cast(round(top_token_c * 1e6 / n_tokens) AS bigint)")
+          .as("top_token_frac_e6"),
+        expr("cast(round(coalesce(top_bigram_c * 1e6 / n_bigrams, 0)) AS bigint)")
+          .as("top_bigram_frac_e6"))
+      .withColumn("flag_low_diversity", col("distinct_ratio_e6") < 500500L)
+      .withColumn("flag_top_token", col("top_token_frac_e6") > 200500L)
+      .withColumn("flag_top_bigram", col("top_bigram_frac_e6") > 100500L)
+      .withColumn("kept",
+        !col("flag_low_diversity") && !col("flag_top_token") && !col("flag_top_bigram"))
+  }
+
+  /** PII detection + redaction (x12 kernel): multi-pattern scrub over
+    * any string column — emails first (they contain digit runs, so
+    * order matters), then digit runs. Pure per-row map work: stateless,
+    * so it streams (EventStream composition) and scales as a map-only
+    * stage; the regexes are Java-compiled once per codegen'd task, and
+    * both patterns are RE2-compatible so the DuckDB oracle evaluates
+    * the SAME automaton semantics.
+    */
+  private[graft] def piiScrub(rel: DataFrame, textCol: String): DataFrame =
+    rel
+      .withColumn("n_emails",
+        size(expr(s"regexp_extract_all($textCol, '[a-z0-9]+@[a-z0-9]+', 0)")))
+      .withColumn("n_digit_runs",
+        size(expr(s"regexp_extract_all($textCol, '[0-9]+', 0)")))
+      .withColumn("redacted",
+        regexp_replace(
+          regexp_replace(col(textCol), "[a-z0-9]+@[a-z0-9]+", "<EMAIL>"),
+          "[0-9]+", "<NUM>"))
+
   /** DuckDB-side decode of the first 6 hex chars of md5 expression `h`
     * to an integer (the oracle's portable analog of Spark's conv) — the
     * shared fragment behind every bucket draw in the x5/x8/x10 oracles.
@@ -1464,6 +1572,101 @@ object TextPipeline {
                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048 AS bigint)
                   AS chunk_id
          FROM mixed ORDER BY doc_id""")),
+
+    ("x11_decontamination", (s: SparkSession, d: String) => {
+      // Train/test decontamination — see [[decontaminate]]. The oracle
+      // recomputes the same split, gram set, and overlap in SQL; counts
+      // are pure integers, so the compare is exact. On this corpus the
+      // contaminated train docs are exactly the planted near-duplicates
+      // whose twin hashed into the test split — i.e. the check finds
+      // precisely what it exists to find.
+      decontaminate(Tables.documents(s, d)).orderBy(col("doc_id"))
+    }, Some(
+      s"""WITH sp AS (
+           SELECT doc_id, text,
+                  CASE WHEN b < 800 THEN 'train' WHEN b < 900 THEN 'valid'
+                       ELSE 'test' END AS split
+           FROM (SELECT doc_id, text, $splitBucketSql AS b FROM documents)),
+         t AS (SELECT doc_id, split, string_split(text, ' ') AS t FROM sp),
+         g AS (SELECT DISTINCT doc_id, split,
+                      t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                        || ' ' || t[i+4] AS gram
+               FROM (SELECT doc_id, split, t,
+                            unnest(generate_series(1, len(t) - 4)) AS i
+                     FROM t WHERE len(t) >= 5)),
+         tg AS (SELECT DISTINCT gram FROM g WHERE split = 'test'),
+         cnt AS (SELECT doc_id, count(*) AS n_grams,
+                        sum(CASE WHEN gram IN (SELECT gram FROM tg)
+                            THEN 1 ELSE 0 END) AS n_contaminated
+                 FROM g WHERE split = 'train' GROUP BY 1)
+         SELECT sp.doc_id, coalesce(cnt.n_grams, 0) AS n_grams,
+                coalesce(cnt.n_contaminated, 0) AS n_contaminated,
+                coalesce(cnt.n_contaminated, 0) > 0 AS contaminated
+         FROM sp LEFT JOIN cnt ON cnt.doc_id = sp.doc_id
+         WHERE sp.split = 'train' ORDER BY 1""")),
+
+    ("x12_pii_scrub", (s: SparkSession, d: String) => {
+      // PII detection/redaction over `events.props` (the only column
+      // with digits + punctuation): per event, the email and digit-run
+      // match counts, the redacted length, and md5 of the redacted
+      // string — comparing the full REPLACEMENT OUTPUT, not just counts,
+      // against the oracle's evaluation of the same patterns. Map-only.
+      piiScrub(Tables.events(s, d).select(col("event_id"), col("props")), "props")
+        .select(col("event_id"), col("n_emails"), col("n_digit_runs"),
+          length(col("redacted")).as("n_chars_redacted"),
+          md5(col("redacted")).as("redacted_hash"))
+        .orderBy(col("event_id"))
+    }, Some(
+      """WITH r AS (
+           SELECT event_id,
+                  len(regexp_extract_all(props, '[a-z0-9]+@[a-z0-9]+')) AS n_emails,
+                  len(regexp_extract_all(props, '[0-9]+')) AS n_digit_runs,
+                  regexp_replace(regexp_replace(props,
+                    '[a-z0-9]+@[a-z0-9]+', '<EMAIL>', 'g'),
+                    '[0-9]+', '<NUM>', 'g') AS red
+           FROM events)
+         SELECT event_id, cast(n_emails AS int) AS n_emails,
+                cast(n_digit_runs AS int) AS n_digit_runs,
+                cast(length(red) AS int) AS n_chars_redacted,
+                md5(red) AS redacted_hash
+         FROM r ORDER BY event_id""")),
+
+    ("x13_repetition_filter", (s: SparkSession, d: String) => {
+      // Gopher-style repetition gate — see [[repetitionSignals]].
+      repetitionSignals(Tables.documents(s, d))
+        .orderBy(col("doc_id"))
+    }, Some(
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         tok AS (SELECT doc_id, t[i] AS w
+                 FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i
+                       FROM t)),
+         tc AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1, 2),
+         ts AS (SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_distinct,
+                       max(c) AS top_token_c
+                FROM tc GROUP BY 1),
+         bgr AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS b
+                 FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+                       FROM t WHERE len(t) >= 2)),
+         bc AS (SELECT doc_id, b, count(*) AS c FROM bgr GROUP BY 1, 2),
+         bs AS (SELECT doc_id, sum(c) AS n_bigrams, max(c) AS top_bigram_c
+                FROM bc GROUP BY 1),
+         sig AS (
+           SELECT ts.doc_id, cast(ts.n_tokens AS bigint) AS n_tokens,
+                  cast(round(ts.n_distinct * 1e6 / ts.n_tokens) AS bigint)
+                    AS distinct_ratio_e6,
+                  cast(round(ts.top_token_c * 1e6 / ts.n_tokens) AS bigint)
+                    AS top_token_frac_e6,
+                  cast(round(coalesce(bs.top_bigram_c * 1e6 / bs.n_bigrams, 0))
+                    AS bigint) AS top_bigram_frac_e6
+           FROM ts LEFT JOIN bs ON bs.doc_id = ts.doc_id)
+         SELECT doc_id, n_tokens, distinct_ratio_e6, top_token_frac_e6,
+                top_bigram_frac_e6,
+                distinct_ratio_e6 < 500500 AS flag_low_diversity,
+                top_token_frac_e6 > 200500 AS flag_top_token,
+                top_bigram_frac_e6 > 100500 AS flag_top_bigram,
+                NOT (distinct_ratio_e6 < 500500) AND NOT (top_token_frac_e6 > 200500)
+                  AND NOT (top_bigram_frac_e6 > 100500) AS kept
+         FROM sig ORDER BY doc_id""")),
 
     // ----- multimodal columns --------------------------------------------
 

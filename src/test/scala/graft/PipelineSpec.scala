@@ -385,4 +385,78 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(mean - bytes.map(_ & 0xff).sum.toDouble / 130) < 1e-12)
     assert(TextFunctions.fakeDecode(Array.empty, 64) == (0.0, 0L))
   }
+
+  test("decontaminate: only train docs sharing a 5-gram with the test split are flagged") {
+    val s = spark
+    import s.implicits._
+    // doc_ids chosen by their md5 split bucket: 0,3,5,6 -> train; 2,7 ->
+    // test (bucket = conv(md5(id)[0:6]) % 1000; train < 800, test >= 900).
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"), // shares grams with test doc 2
+      (3L, "one two three four five six seven"),   // disjoint from the test split
+      (5L, "too short here"),                      // < 5 tokens -> 0 grams
+      (6L, "beta gamma delta epsilon zeta eta"),   // shares the shifted gram too
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"), // test
+      (7L, "unrelated test content words entirely different h")) // test
+      .toDF("doc_id", "text")
+    val got = TextPipeline.decontaminate(docs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(got.keySet == Set(0L, 3L, 5L, 6L), s"train rows wrong: $got")
+    // Doc 0 has 2 distinct grams, both inside test doc 2's gram set.
+    assert(got(0L) == (2L, 2L, true), s"doc 0: ${got(0L)}")
+    // Doc 3: 3 grams, none in the test split.
+    assert(got(3L) == (3L, 0L, false), s"doc 3: ${got(3L)}")
+    // Doc 5: under 5 tokens -> total row with zero grams.
+    assert(got(5L) == (0L, 0L, false), s"doc 5: ${got(5L)}")
+    // Doc 6: grams (beta..zeta), (gamma..eta) — both appear in doc 2.
+    assert(got(6L) == (2L, 2L, true), s"doc 6: ${got(6L)}")
+  }
+
+  test("repetitionSignals: loops trip the gates, diverse text passes, single token is total") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "a a a a b"),  // loop: every signal trips
+      (2L, "the quick brown fox jumps over lazy dogs near riverbank at dawn"), // diverse: kept
+      (3L, "solo"))       // single token: no bigrams
+      .toDF("doc_id", "text")
+    val got = TextPipeline.repetitionSignals(docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)),
+          (r.getBoolean(5), r.getBoolean(6), r.getBoolean(7), r.getBoolean(8)))).toMap
+    // Doc 1: 5 tokens, 2 distinct (400000), top token 4/5 (800000),
+    // top bigram 'a a' 3 of 4 (750000) -> all three flags, not kept.
+    assert(got(1L) == ((5L, 400000L, 800000L, 750000L), (true, true, true, false)),
+      s"doc 1: ${got(1L)}")
+    // Doc 2: all-distinct tokens and bigrams -> 1e6, 1/12, 1/11 -> kept.
+    // (A SHORT all-distinct doc is still bigram-flagged: 1/7 > 0.1005 —
+    // the fraction gate needs >= 11 bigrams before "all distinct" clears
+    // it, which the 10-token corpus floor guarantees.)
+    assert(got(2L) == ((12L, 1000000L, 83333L, 90909L), (false, false, false, true)),
+      s"doc 2: ${got(2L)}")
+    // Doc 3: one token, no bigrams -> bigram fraction coalesces to 0;
+    // top_token 1/1 = 1e6 trips flag_top_token.
+    assert(got(3L) == ((1L, 1000000L, 1000000L, 0L), (false, true, false, false)),
+      s"doc 3: ${got(3L)}")
+  }
+
+  test("piiScrub: emails redact before digit runs; counts are per original text") {
+    val s = spark
+    import s.implicits._
+    val rel = Seq(
+      (1L, "contact bob2@mail3 or call 555 0123 now"),
+      (2L, "no pii here at all"),
+      (3L, "12345"))
+      .toDF("event_id", "props")
+    val got = TextPipeline.piiScrub(rel, "props")
+      .select(col("event_id"), col("n_emails"), col("n_digit_runs"), col("redacted"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getString(3))).toMap
+    // Email replaced FIRST (it contains digit runs), so its '2'/'3' never
+    // become <NUM>; the counts are pattern-independent over the original
+    // text, so n_digit_runs still counts all four runs (2, 3, 555, 0123).
+    assert(got(1L) == ((1, 4, "contact <EMAIL> or call <NUM> <NUM> now")), s"${got(1L)}")
+    assert(got(2L) == ((0, 0, "no pii here at all")))
+    assert(got(3L) == ((0, 1, "<NUM>")))
+  }
 }
