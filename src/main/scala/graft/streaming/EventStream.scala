@@ -143,21 +143,24 @@ object EventStream {
       .option("pathGlobFilter", "documents.parquet")
       .parquet(dir)
 
-  /** Continuous corpus curation: the x6 quality gate and x5 deterministic
-    * md5 split applied to a document stream — the SAME operators as the
-    * batch queries (TextPipeline.withQualityFlags / withHashSplit), which
-    * compose with streaming because they are stateless per-row
-    * projections: no state store, no watermark, append-mode, and the
-    * replay provably equals the batch result (StreamingSpec). At scale
-    * this is the front door of a training-data pipeline: score, gate, and
-    * shard documents AS THEY ARRIVE, leaving only the stateful dedup
-    * (contentDedupStream) and clustering downstream.
+  /** Continuous corpus curation: the x6 quality gate, x5 deterministic
+    * md5 split, and x12 PII scrub applied to a document stream — the SAME
+    * operators as the batch queries (TextPipeline.withQualityFlags /
+    * withHashSplit / piiScrub), which compose with streaming because they
+    * are stateless per-row projections: no state store, no watermark,
+    * append-mode, and the replay provably equals the batch result
+    * (StreamingSpec). At scale this is the front door of a training-data
+    * pipeline: score, gate, scrub, and shard documents AS THEY ARRIVE,
+    * leaving only the stateful dedup (contentDedupStream) and clustering
+    * downstream.
     */
   def curatedDocs(docs: DataFrame): DataFrame =
-    graft.operators.TextPipeline.withQualityFlags(
-        graft.operators.TextPipeline.withHashSplit(docs))
+    graft.operators.TextPipeline.piiScrub(
+        graft.operators.TextPipeline.withQualityFlags(
+          graft.operators.TextPipeline.withHashSplit(docs)), "text")
       .select(col("doc_id"), col("split"), col("kept"),
-        col("n_tokens"), col("avg_token_len"), col("stopword_ratio"))
+        col("n_tokens"), col("avg_token_len"), col("stopword_ratio"),
+        col("n_digit_runs"), md5(col("redacted")).as("redacted_hash"))
 
   /** Custom keyed state (mapGroupsWithState): per-event_type running
     * count/mean/variance via Welford updates, emitting the refreshed

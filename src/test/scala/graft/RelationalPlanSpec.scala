@@ -170,6 +170,30 @@ class RelationalPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected exactly 2 hash exchanges (dedup + packing windows), got $hashExchanges:\n$plan")
   }
 
+  test("x11: the test-gram probe is a broadcast semi-join — train never shuffles on grams") {
+    // Decontamination's scale claim: the corpus-sized train gram stream
+    // is probed against the SMALL test-split gram set via broadcast. A
+    // lost hint would shuffle the train side on the gram key — the exact
+    // 100 TB shuffle the operator exists to avoid — while staying
+    // hash-green on testdata.
+    val df = graft.operators.TextPipeline.queries("x11_decontamination")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"test-gram probe is not a broadcast semi-join:\n$plan")
+    // Exactly ONE exchange may key on gram: the TEST split's distinct —
+    // the tiny side being built for broadcast. A second one means the
+    // corpus-sized train stream started shuffling on grams (the doc_id
+    // partitioning from the pre-explode repartition must keep serving
+    // its per-doc aggregates).
+    val gramExchanges = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning"))
+      .count(_.contains("gram"))
+    assert(gramExchanges <= 1,
+      s"train side shuffled on the gram key ($gramExchanges gram exchanges):\n$plan")
+  }
+
   test("s1: filter and projection reach the parquet scan") {
     // Pushdown evidence for the scan path: the parquet scan must carry
     // pushed filters and a pruned read schema, not read-everything-filter-

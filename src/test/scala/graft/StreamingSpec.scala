@@ -222,10 +222,14 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     try q.processAllAvailable() finally q.stop()
     val streamed = spark.table("curated").orderBy("doc_id").collect()
 
-    val batch = graft.operators.TextPipeline.withQualityFlags(
-        graft.operators.TextPipeline.withHashSplit(Tables.documents(spark, sfDir)))
+    val batch = graft.operators.TextPipeline.piiScrub(
+        graft.operators.TextPipeline.withQualityFlags(
+          graft.operators.TextPipeline.withHashSplit(Tables.documents(spark, sfDir))),
+        "text")
       .select(col("doc_id"), col("split"), col("kept"),
-        col("n_tokens"), col("avg_token_len"), col("stopword_ratio"))
+        col("n_tokens"), col("avg_token_len"), col("stopword_ratio"),
+        col("n_digit_runs"), org.apache.spark.sql.functions.md5(col("redacted"))
+          .as("redacted_hash"))
       .orderBy("doc_id").collect()
 
     assert(streamed.length == batch.length && streamed.length > 0)
