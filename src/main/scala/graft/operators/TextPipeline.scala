@@ -452,7 +452,9 @@ object TextPipeline {
     * output row (guarded: Spark's sequence(1, 0) is the DESCENDING
     * [1, 0], so the unguarded transform would crash on them).
     */
-  private[graft] def bigramTypicality(docs: DataFrame): DataFrame = {
+  private[graft] def bigramTypicality(
+      docs: DataFrame,
+      broadcastCountBytes: Long = 1L << 30): DataFrame = {
     val toks = docs
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= 2)
@@ -462,13 +464,33 @@ object TextPipeline {
           |  i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))"""
           .stripMargin)).as("b"))
       .select(col("doc_id"), col("b.w1"), col("b.w2"))
+    // uni and voc derive from the TINY count table, not from bg — and the
+    // count table is MATERIALIZED (localCheckpoint, the d7 pattern) so
+    // they really do: left as a lazy plan, column pruning specialized the
+    // three consumers' cnt-subplans (score keeps (w1,w2,c), uni prunes
+    // w2, voc keeps only w2), no exchange was reusable, and the corpus
+    // was scanned + exploded FOUR times — measured as 3/4 of x7's wall
+    // clock. Materializing pins the train pass to exactly one corpus
+    // scan; the score pass is the second — the natural two-pass shape.
+    // The checkpoint holds only the Zipf-bounded count table; its blocks
+    // free when the plan is GC'd (ContextCleaner), same as d7.
     val cnt = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
-    // uni and voc derive from the TINY count table, not from bg — the
-    // corpus is scanned exactly twice (once to build counts, once to
-    // score), the natural two-pass train/score shape.
+      .localCheckpoint(true)
     val uni = cnt.groupBy(col("w1")).agg(sum(col("c")).as("cu"))
     val voc = cnt.agg(count_distinct(col("w2")).as("v"))
-    bg.join(cnt, Seq("w1", "w2")).join(uni, Seq("w1"))
+    // Size-aware scoring join, same statistics-based pattern as
+    // nearDupPairs' verify join: the count tables are Zipf-bounded — far
+    // smaller than the corpus — so while the corpus's plan stats fit the
+    // budget they BROADCAST, and the exploded bigram stream keeps its
+    // pre-explode doc_id partitioning end-to-end (the final per-doc
+    // aggregate needs no shuffle; without the hint Catalyst shuffled that
+    // stream on (w1, w2), then w1, then back to doc_id — three exchanges
+    // of the corpus-sized side). Past the budget the joins fall back to
+    // sort-merge, pinned so AQE can't silently re-broadcast.
+    val useBroadcast =
+      docs.queryExecution.optimizedPlan.stats.sizeInBytes <= broadcastCountBytes
+    def dim(d: DataFrame): DataFrame = if (useBroadcast) broadcast(d) else d.hint("merge")
+    bg.join(dim(cnt), Seq("w1", "w2")).join(dim(uni), Seq("w1"))
       .crossJoin(broadcast(voc))
       .select(col("doc_id"), col("c"),
         expr("cast(round(ln((c + 1.0) / (cu + v)) * 1e6) AS bigint)").as("lp"))
