@@ -563,39 +563,50 @@ object TextPipeline {
     * e6-quantized so the gate flags compare INTEGERS (the oracle-
     * determinism rule for ratio thresholds). Complements x6, whose
     * signals are length/stopword-based: these catch loops and boiler-
-    * plate that length stats miss. Two hash aggregates keyed by
-    * (doc_id, token) / (doc_id, bigram) — map-side partials absorb the
-    * fanout, key cardinality is per-doc so there is no global skew.
+    * plate that length stats miss. Every signal is PER-ROW computable
+    * from the token array — max multiplicity = max run length in the
+    * sorted array — so the whole operator is one corpus scan of pure
+    * map work, NO shuffle at all (an earlier draft ran two hash
+    * aggregates keyed on (doc_id, token)/(doc_id, bigram); per-doc
+    * state that fits in a row should never cross the wire). The per-row
+    * kernel is the codegen'd [[graft.functions.TokenRepetitionStats]]
+    * expression — a higher-order-function formulation (array_sort +
+    * aggregate() folds) measured 3× slower because HOFs run interpreted
+    * (X13Probe).
     * Thresholds sit ≥500 quanta from every observed value at sf0.01 AND
     * sf0.1, with both classes populated.
     */
   private[graft] def repetitionSignals(docs: DataFrame): DataFrame = {
-    val toks = docs
+    import org.apache.spark.sql.GraftExpressionBridge
+    val stats = GraftExpressionBridge.column(
+      graft.functions.TokenRepetitionStats(
+        GraftExpressionBridge.expression(col("t"))))
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("t"))
+      // The round-8 single-file parallelism fix (see shingleDigests): the
+      // kernel itself needs no co-location — this exchange only spreads a
+      // one-file testdata scan across cores, and disappears at real scale
+      // where the scan already arrives in thousands of partitions.
       .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
-    val tok = toks.select(col("doc_id"), explode(col("t")).as("w"))
-      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_distinct"),
-        max(col("c")).as("top_token_c"))
-    val bg = toks.filter(size(col("t")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        """transform(sequence(1, size(t) - 1),
-          |  i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"""
-          .stripMargin)).as("b"))
-      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("top_bigram_c"))
-    // Left join: a single-token doc has no bigrams; its bigram fraction
-    // coalesces to 0 rather than dropping the row (totality rule).
-    tok.join(bg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("t")).cast("long").as("n_tokens"),
+        stats.as("rs"))
+      .select(col("doc_id"), col("n_tokens"),
+        col("rs.n_distinct").as("n_distinct"),
+        col("rs.top_token_c").as("top_token_c"),
+        // A single-token doc has zero bigrams (total: fraction 0 below).
+        greatest(col("n_tokens") - 1L, lit(0L)).as("n_bigrams"),
+        col("rs.top_bigram_c").as("top_bigram_c"))
       .select(col("doc_id"), col("n_tokens"),
         expr("cast(round(n_distinct * 1e6 / n_tokens) AS bigint)")
           .as("distinct_ratio_e6"),
         expr("cast(round(top_token_c * 1e6 / n_tokens) AS bigint)")
           .as("top_token_frac_e6"),
-        expr("cast(round(coalesce(top_bigram_c * 1e6 / n_bigrams, 0)) AS bigint)")
-          .as("top_bigram_frac_e6"))
+        // 0/0 in Spark double division is NaN, not null — guard, don't
+        // coalesce.
+        expr("""IF(n_bigrams = 0, 0L,
+             |   cast(round(top_bigram_c * 1e6 / n_bigrams) AS bigint))"""
+          .stripMargin).as("top_bigram_frac_e6"))
       .withColumn("flag_low_diversity", col("distinct_ratio_e6") < 500500L)
       .withColumn("flag_top_token", col("top_token_frac_e6") > 200500L)
       .withColumn("flag_top_bigram", col("top_bigram_frac_e6") > 100500L)

@@ -386,6 +386,34 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(TextFunctions.fakeDecode(Array.empty, 64) == (0.0, 0L))
   }
 
+  test("TokenRepetitionStats matches a brute-force count on random token arrays") {
+    val s = spark
+    import s.implicits._
+    val g = new TestData.Lcg(77)
+    val vocab = Array("a", "b", "ab", "ba", "x", "yz", "")
+    val rows = (1 to 200).map { i =>
+      val n = 1 + math.abs((g.next() * 50).toInt)
+      (i.toLong, Seq.fill(n)(vocab(math.abs((g.next() * 1000).toInt) % vocab.length)))
+    }
+    val got = TextPipeline.repetitionSignals(
+        rows.toDF("doc_id", "t").select(col("doc_id"),
+          org.apache.spark.sql.functions.concat_ws(" ", col("t")).as("text")))
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    for ((id, toks0) <- rows) {
+      // concat_ws -> split round-trip: empty tokens survive as "".
+      val toks = toks0.mkString(" ").split(" ", -1).toSeq
+      val n = toks.length
+      val nd = toks.distinct.length
+      val tt = toks.groupBy(identity).values.map(_.length).max
+      val bgs = toks.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+      val tb = if (bgs.isEmpty) 0L
+        else bgs.groupBy(identity).values.map(_.length).max.toLong
+      val exp = (math.round(nd * 1e6 / n), math.round(tt * 1e6 / n),
+        if (bgs.isEmpty) 0L else math.round(tb * 1e6 / bgs.length))
+      assert(got(id) == exp, s"doc $id: toks=$toks got=${got(id)} exp=$exp")
+    }
+  }
+
   test("decontaminate: only train docs sharing a 5-gram with the test split are flagged") {
     val s = spark
     import s.implicits._

@@ -194,6 +194,23 @@ class RelationalPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"train side shuffled on the gram key ($gramExchanges gram exchanges):\n$plan")
   }
 
+  test("x13: the repetition gate is map-only — only the parallelism fix may exchange") {
+    // All three signals fold per-row over the token array
+    // (TokenRepetitionStats); the single allowed exchange is the
+    // explicit REPARTITION_BY_NUM that spreads the one-file testdata
+    // scan across cores. An ENSURE_REQUIREMENTS hash exchange appearing
+    // means per-doc state started crossing the wire again (the
+    // two-aggregate draft this operator replaced).
+    val df = graft.operators.TextPipeline.queries("x13_repetition_filter")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val required = plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("REPARTITION_BY_NUM"))
+    assert(required == 0,
+      s"repetition gate stopped being map-only ($required required exchanges):\n$plan")
+  }
+
   test("s1: filter and projection reach the parquet scan") {
     // Pushdown evidence for the scan path: the parquet scan must carry
     // pushed filters and a pruned read schema, not read-everything-filter-
