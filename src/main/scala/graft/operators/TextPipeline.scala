@@ -920,6 +920,50 @@ object TextPipeline {
                 c.node = c.cluster_id AS is_keeper
          FROM comp c JOIN csz z USING (cluster_id) ORDER BY 1""")),
 
+    ("d8_incremental_dedup", (s: SparkSession, d: String) => {
+      // Incremental ingest dedup — the anti-join every production
+      // pipeline runs on ARRIVING batches: drop a new doc iff its
+      // canonical content hash already exists in the accepted corpus
+      // (here: upper-half doc_ids arrive against the lower-half corpus;
+      // a real pipeline reads the corpus's hash index). The new batch
+      // also dedups WITHIN itself (min doc_id keeps, d1 semantics) so
+      // two copies arriving together admit exactly one. Scale posture:
+      // the probe side is the corpus's DISTINCT HASH INDEX, not the
+      // corpus — broadcast while small, bloom/bucketed semi-join past
+      // that — and the arriving batch (the small side by definition of
+      // incremental ingest) never shuffles more than once, on its own
+      // hash for the self-dedup window.
+      val hashed = Tables.documents(s, d)
+        .withColumn("content_hash",
+          md5(regexp_replace(trim(col("text")), "\\s+", " ")))
+      val half = hashed.agg(expr("percentile(doc_id, 0.5)")).first().getDouble(0)
+      val corpusIdx = hashed.filter(col("doc_id") <= half)
+        .select(col("content_hash")).distinct()
+      val batch = hashed.filter(col("doc_id") > half)
+      val w = Window.partitionBy(col("content_hash")).orderBy(col("doc_id"))
+      batch
+        .join(broadcast(corpusIdx), Seq("content_hash"), "left_anti")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("content_hash"))
+        .orderBy(col("doc_id"))
+    }, Some(
+      """WITH h AS (
+           SELECT doc_id,
+                  md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS content_hash
+           FROM documents),
+         half AS (SELECT quantile_cont(doc_id, 0.5) AS m FROM h),
+         corpus AS (SELECT DISTINCT content_hash FROM h
+                    WHERE doc_id <= (SELECT m FROM half)),
+         batch AS (SELECT * FROM h WHERE doc_id > (SELECT m FROM half)),
+         fresh AS (
+           SELECT b.doc_id, b.content_hash,
+                  row_number() OVER (PARTITION BY b.content_hash
+                    ORDER BY b.doc_id) AS rn
+           FROM batch b
+           WHERE b.content_hash NOT IN (SELECT content_hash FROM corpus))
+         SELECT doc_id, content_hash FROM fresh WHERE rn = 1 ORDER BY doc_id""")),
+
     // ----- embedding similarity ------------------------------------------
 
     ("e1_cosine_pairs", (s: SparkSession, d: String) => {
