@@ -523,12 +523,12 @@ object TextPipeline {
     *
     * Scale posture: the test-gram set is the SMALL side by construction
     * (the 10% split, deduplicated), so the overlap probe is a broadcast
-    * semi-join against it — the corpus-sized train side never shuffles
-    * on the gram key; at 100 TB the broadcast becomes a bloom filter /
+    * join against it — the corpus-sized train side never shuffles on
+    * the gram key; at 100 TB the broadcast becomes a bloom filter /
     * bucketed semi-join but the train side still streams map-side. The
     * pre-explode repartition is the round-8 fanout rule (one small
     * shuffle buys full-core fanout + a reusable doc_id partitioning for
-    * BOTH downstream groupBys).
+    * the downstream distinct and aggregate).
     *
     * Totality: every train doc emits a row; docs under 5 tokens have 0
     * grams (guarded — Spark's sequence(1, n<=0) is descending, builder
@@ -543,15 +543,25 @@ object TextPipeline {
         """transform(sequence(1, size(t) - 4),
           |  i -> concat_ws(' ', slice(t, i, 5)))""".stripMargin)).as("gram"))
       .distinct()
-    val testGrams = grams.filter(col("split") === "test").select(col("gram")).distinct()
-    val train = grams.filter(col("split") === "train")
-    val hits = train.join(broadcast(testGrams), Seq("gram"), "left_semi")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
-    val totals = train.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    // The test-gram set is MATERIALIZED (x7's localCheckpoint lesson):
+    // left lazy, its branch re-ran the corpus explode, and the train
+    // side ran it twice more — once per consumer (totals + semi-join
+    // hits), since the per-branch pushed split filters make the
+    // subplans non-reusable. Checkpointing the small set and folding
+    // totals+hits into ONE aggregate over a broadcast LEFT join (each
+    // train gram matches ≤1 distinct test gram, so no row
+    // multiplication; count(hit) counts matches) pins the whole
+    // operator to exactly two corpus explodes — the natural floor for
+    // two different projections of it.
+    val testGrams = grams.filter(col("split") === "test")
+      .select(col("gram")).distinct().localCheckpoint(true)
+    val counts = grams.filter(col("split") === "train")
+      .join(broadcast(testGrams.withColumn("hit", lit(1))), Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_contaminated"))
     withHashSplit(docs.select(col("doc_id"))).filter(col("split") === "train")
       .select(col("doc_id"))
-      .join(totals, Seq("doc_id"), "left")
-      .join(hits, Seq("doc_id"), "left")
+      .join(counts, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_grams"), lit(0L)).as("n_grams"),
         coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
