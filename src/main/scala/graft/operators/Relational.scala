@@ -1031,6 +1031,42 @@ object Relational {
          FROM sess GROUP BY user_id, sid
          ORDER BY user_id, session_start""")),
 
+    ("w12_rolling_time_window", (s: SparkSession, d: String) => {
+      // Event-time RANGE frame: per event, the count and value sum of the
+      // trailing hour of its event_type — the sliding-window analog of the
+      // reference's expanding window (W7), keyed on TIME rather than row
+      // position (a row-frame window is wrong the moment event spacing is
+      // uneven). Both engines order by integer epoch seconds, so a RANGE
+      // frame includes every tied-timestamp row symmetrically and no
+      // ORDER-BY nondeterminism can leak into the frame; values are
+      // quantized to e6 longs BEFORE summing (w7/w11 strategy — integer
+      // math, no accumulation-order noise). Scale: partitions by
+      // event_type, one shuffle, linear frame maintenance per partition —
+      // the 100 TB trailing-window shape.
+      val w = Window.partitionBy(col("event_type")).orderBy(col("ts_s"))
+        .rangeBetween(-3600L, 0L)
+      Tables.events(s, d)
+        .select(col("event_id"), col("event_type"),
+          col("ts").cast("long").as("ts_s"),
+          round(col("value") * 1e6).cast("long").as("value_e6"))
+        .select(col("event_id"), col("event_type"), col("ts_s"),
+          count(lit(1)).over(w).as("n_window"),
+          sum(col("value_e6")).over(w).as("sum_value_e6"))
+        .orderBy(col("event_id"))
+    }, Some(
+      """WITH e AS (
+           SELECT event_id, event_type,
+                  cast(floor(epoch(cast(ts AS timestamp))) AS bigint) AS ts_s,
+                  cast(round(value * 1e6) AS bigint) AS value_e6
+           FROM events)
+         SELECT event_id, event_type, ts_s,
+                count(*) OVER w AS n_window,
+                sum(value_e6) OVER w AS sum_value_e6
+         FROM e
+         WINDOW w AS (PARTITION BY event_type ORDER BY ts_s
+           RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+         ORDER BY event_id""")),
+
     ("w5_lag_corr", (s: SparkSession, d: String) => {
       // Serial correlation: corr(x_t, x_{t−1}) per key — the SQL-checkable
       // core of the reference's ACF (W5). The exact-R ACF normalization

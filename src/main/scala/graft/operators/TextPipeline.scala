@@ -1755,6 +1755,40 @@ object TextPipeline {
                   AND NOT (top_bigram_frac_e6 > 100500) AS kept
          FROM sig ORDER BY doc_id""")),
 
+    ("x14_stratified_sample", (s: SparkSession, d: String) => {
+      // Deterministic stratified sampling — exactly k docs per source
+      // stratum, the "inspect 20 docs from every source" / balanced-eval-set
+      // draw. Where x8 thins by RATE (hash threshold, size ∝ stratum), this
+      // draws an exact COUNT per stratum: rank docs inside each source by a
+      // salted content-independent hash (md5 of the doc id — uniform,
+      // engine-portable, reproducible on re-read/re-partition, unlike
+      // rand()/TABLESAMPLE) and keep the k lowest. Equivalent to a
+      // reservoir sample with a fixed seed, but order-independent — the
+      // property a distributed reservoir cannot give without a merge
+      // protocol. Hex-string ordering agrees across engines (ASCII), and
+      // doc_id breaks the (improbable) hash tie, so the draw is total.
+      // Scale: one shuffle by source; the per-stratum sort is bounded by a
+      // window top-k (at extreme stratum skew the same draw composes with
+      // j7's salting: rank within (source, salt), keep k lowest overall).
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("draw"), col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          md5(concat(lit("smp:"), col("doc_id").cast("string"))).as("draw"))
+        .withColumn("smp_rank", row_number().over(w))
+        .filter(col("smp_rank") <= 20)
+        .select(col("doc_id"), col("source"), col("smp_rank"))
+        .orderBy(col("doc_id"))
+    }, Some(
+      """WITH r AS (
+           SELECT doc_id, source,
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY md5('smp:' || cast(doc_id AS varchar)), doc_id)
+                    AS smp_rank
+           FROM documents)
+         SELECT doc_id, source, cast(smp_rank AS int) AS smp_rank
+         FROM r WHERE smp_rank <= 20 ORDER BY doc_id""")),
+
     // ----- multimodal columns --------------------------------------------
 
     ("mm1_multimodal_stub", (s: SparkSession, d: String) => {
