@@ -1789,6 +1789,116 @@ object TextPipeline {
          SELECT doc_id, source, cast(smp_rank AS int) AS smp_rank
          FROM r WHERE smp_rank <= 20 ORDER BY doc_id""")),
 
+    ("x15_vocab_topk", (s: SparkSession, d: String) => {
+      // Corpus vocabulary building — the top-k token-frequency table every
+      // tokenizer-training / vocab-audit step starts from: explode
+      // whitespace tokens (raw split, the x7 token stream), count total
+      // occurrences and document frequency per token, keep the k most
+      // frequent. Scale shape: the pre-explode repartition is the round-8
+      // fanout rule; the count is ONE two-stage hash aggregate (map-side
+      // partial combine collapses the corpus-sized stream to the
+      // Zipf-bounded distinct-token table); top-k is orderBy+limit —
+      // TakeOrderedAndProject, per-partition heaps + one k-row merge on
+      // the driver, never a global sort or single-partition window. The
+      // (cnt DESC, token) ordering is total — integer counts, ASCII
+      // token tie-break — so the boundary of the top-100 set is
+      // engine-independent.
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text"))
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("cnt"), count_distinct(col("doc_id")).as("df"))
+        .orderBy(col("cnt").desc, col("token"))
+        .limit(100)
+    }, Some(
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS token
+           FROM documents)
+         SELECT token, count(*) AS cnt, count(DISTINCT doc_id) AS df
+         FROM toks GROUP BY token
+         ORDER BY cnt DESC, token LIMIT 100""")),
+
+    ("x16_token_budget", (s: SparkSession, d: String) => {
+      // Token-budget subsetting — fill each source's training-token budget
+      // with its BEST documents first: order docs inside a source by
+      // quality (x6's stopword ratio, the naturalness signal, e6-quantized
+      // so the sort key is an integer; doc_id breaks ties — total order),
+      // running-sum their token counts, keep docs while the cumulative
+      // count stays under budget. This is the curation step after gating:
+      // not "drop bad docs" but "spend a fixed budget on the best ones" —
+      // budgets are how mixture targets are actually specified. The
+      // 600-token budget keeps roughly the top half at every SF (both
+      // kept and dropped classes populated). Determinism: the ratio is
+      // count/n of identical ints (identical doubles cross-engine), and
+      // n_tokens <= 99 means ratio*1e6 can never land on an exact .5
+      // (that needs a 2^7 denominator), so round() agrees; the budget
+      // compare is integer vs integer. Scale: one shuffle by source,
+      // linear per-partition frame maintenance — same posture as x9
+      // packing, parallel across sources, no global state.
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("q_e6").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      withQualityFlags(Tables.documents(s, d))
+        .withColumn("q_e6", round(col("stopword_ratio") * 1e6).cast("long"))
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .filter(col("cum_tokens") <= 600)
+        .select(col("doc_id"), col("source"),
+          col("n_tokens").cast("long").as("n_tokens"),
+          col("q_e6"), col("cum_tokens"))
+        .orderBy(col("doc_id"))
+    }, Some(
+      """WITH sig AS (
+           SELECT doc_id, source,
+                  length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 AS n_tokens,
+                  cast(round(cast(len(list_filter(string_split(text, ' '),
+                        t -> t = 'the' OR t = 'a')) AS double)
+                    / (length(trim(text)) - length(replace(trim(text), ' ', '')) + 1)
+                    * 1e6) AS bigint) AS q_e6
+           FROM documents),
+         c AS (
+           SELECT doc_id, source, n_tokens, q_e6,
+                  sum(n_tokens) OVER (PARTITION BY source ORDER BY q_e6 DESC, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+           FROM sig)
+         SELECT doc_id, source, cast(n_tokens AS bigint) AS n_tokens, q_e6,
+                cast(cum_tokens AS bigint) AS cum_tokens
+         FROM c WHERE cum_tokens <= 600 ORDER BY doc_id""")),
+
+    ("x17_adaptive_gate", (s: SparkSession, d: String) => {
+      // Adaptive per-source quality gating — x6's fixed thresholds break
+      // the moment sources have different length distributions; the
+      // robust form compares each doc to ITS SOURCE's statistics. Two
+      // passes: a per-source aggregate (mean token count — a table of
+      // |sources| rows), broadcast-joined back onto the corpus, gate =
+      // doc vs its own source's mean. This aggregate-then-join-back shape
+      // is the scale idiom for every adaptive threshold (percentile
+      // cutoffs, z-score gates): the stats side is tiny by construction,
+      // so the corpus never shuffles — one map-side broadcast probe.
+      // Determinism: both engines compute mean as exact-integer-sum /
+      // count — identical doubles, identical compare; the e6 display
+      // rounding rounds identical doubles with the same half-away rule.
+      val sig = withQualityFlags(Tables.documents(s, d))
+        .select(col("doc_id"), col("source"), col("n_tokens"))
+      val stats = sig.groupBy(col("source"))
+        .agg(avg(col("n_tokens")).as("mean_tokens"))
+      sig.join(broadcast(stats), Seq("source"))
+        .select(col("doc_id"), col("source"),
+          col("n_tokens").cast("long").as("n_tokens"),
+          round(col("mean_tokens") * 1e6).cast("long").as("mean_tokens_e6"),
+          (col("n_tokens") >= col("mean_tokens")).as("kept"))
+        .orderBy(col("doc_id"))
+    }, Some(
+      """WITH sig AS (
+           SELECT doc_id, source,
+                  length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 AS n_tokens
+           FROM documents),
+         m AS (SELECT source, avg(n_tokens) AS mean_tokens FROM sig GROUP BY source)
+         SELECT s.doc_id, s.source, cast(s.n_tokens AS bigint) AS n_tokens,
+                cast(round(m.mean_tokens * 1e6) AS bigint) AS mean_tokens_e6,
+                s.n_tokens >= m.mean_tokens AS kept
+         FROM sig s JOIN m ON m.source = s.source ORDER BY s.doc_id""")),
+
     // ----- multimodal columns --------------------------------------------
 
     ("mm1_multimodal_stub", (s: SparkSession, d: String) => {

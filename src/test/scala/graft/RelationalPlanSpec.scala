@@ -212,6 +212,68 @@ class RelationalPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"repetition gate stopped being map-only ($required required exchanges):\n$plan")
   }
 
+  test("x15: the vocab top-k is a TakeOrdered merge — never a global sort") {
+    // The top-100 claim only scales because orderBy+limit compiles to
+    // TakeOrderedAndProject (per-partition heaps, k-row driver merge). A
+    // refactor that materializes the ordering first — e.g. a window rank
+    // or an orderBy that loses its limit — would globally sort the
+    // Zipf-bounded but still large token table while staying hash-green.
+    val df = graft.operators.TextPipeline.queries("x15_vocab_topk")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"vocab top-k is not a TakeOrdered:\n$plan")
+    assert(!plan.linesIterator.exists(l =>
+        l.contains("Sort ") && l.contains("global=true")),
+      s"global sort leaked into the vocab top-k:\n$plan")
+  }
+
+  test("x16: the budget window partitions by source — no global sort") {
+    // Same scale claim as x9's packing window: the budget cumsum must
+    // parallelize across sources; losing the partitionBy serializes the
+    // corpus through one partition at 100 TB while staying hash-green.
+    val df = graft.operators.TextPipeline.queries("x16_token_budget")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(source"),
+      s"budget window not partitioned by source:\n$plan")
+    val windowLine = plan.linesIterator.find(_.contains("Window ")).getOrElse("")
+    assert(!windowLine.contains("SinglePartition"),
+      s"budget window runs on one partition:\n$plan")
+    df.collect()
+  }
+
+  test("x17: the source-stats join is broadcast — the corpus probes map-side") {
+    // The adaptive gate's scale shape: per-source stats (|sources| rows)
+    // broadcast back onto the corpus. A lost hint would shuffle the
+    // corpus on source for a sort-merge join against a 20-row table.
+    val df = graft.operators.TextPipeline.queries("x17_adaptive_gate")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastHashJoin"),
+      s"source-stats join is not broadcast:\n$plan")
+    // The only exchange keyed on source is the stats aggregate's own
+    // shuffle (tiny, post-partial-agg); the corpus side must not add one.
+    val srcExchanges = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning"))
+      .count(_.contains("source"))
+    assert(srcExchanges <= 1,
+      s"corpus shuffled on source for the stats join ($srcExchanges exchanges):\n$plan")
+  }
+
+  test("w12: the trailing-hour window partitions by event_type") {
+    // The RANGE-frame query's scale story is per-key linear frame
+    // maintenance; an unpartitioned event-time window would push the
+    // whole event stream through one partition.
+    val df = Relational.queries("w12_rolling_time_window")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(event_type"),
+      s"trailing window not partitioned by event_type:\n$plan")
+    val windowLine = plan.linesIterator.find(_.contains("Window ")).getOrElse("")
+    assert(!windowLine.contains("SinglePartition"),
+      s"trailing window runs on one partition:\n$plan")
+    df.collect()
+  }
+
   test("s1: filter and projection reach the parquet scan") {
     // Pushdown evidence for the scan path: the parquet scan must carry
     // pushed filters and a pruned read schema, not read-everything-filter-
