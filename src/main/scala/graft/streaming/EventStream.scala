@@ -17,7 +17,9 @@ import org.apache.spark.sql.types._
   *    running moments per key, the expanding-window analog where the
   *    built-in operators can't express the semantics), and
   *  - stateless continuous corpus curation (curatedDocs — the x5/x6
-  *    quality-gate + split kernels applied to a documents stream).
+  *    quality-gate + split kernels applied to a documents stream), and
+  *  - a watermarked stream-stream interval join (attributedStream — the
+  *    attribution shape; state bounded by watermark + join interval).
   *
   * Scale posture: all are keyed-state streaming aggregations — state is
   * bounded by (watermark horizon × key cardinality) or by key cardinality
@@ -125,6 +127,33 @@ object EventStream {
     */
   def enrichedStream(events: DataFrame, dim: DataFrame): DataFrame =
     events.join(broadcast(dim), Seq("event_type"), "left_outer")
+
+  /** Stream-STREAM interval join — the attribution shape: each purchase
+    * joins the same user's clicks from the preceding hour, both sides
+    * unbounded streams. This is the join enrichedStream's doc points to
+    * when the other side outgrows broadcast: watermarks on BOTH event-time
+    * columns plus the two-sided time-range predicate are what let the
+    * state store evict — each side retains only (watermark delay + join
+    * interval) of history per user key, so state is bounded by key
+    * cardinality × horizon, never by stream length. Inner join: append-
+    * mode capable; rows emit as soon as both sides have arrived.
+    */
+  def attributedStream(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "30 minutes")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"), col("value"))
+      .withWatermark("purchase_ts", "30 minutes")
+    purchases.join(clicks,
+        col("c_user") === col("user_id") &&
+        col("click_ts") >= col("purchase_ts") - expr("interval 1 hour") &&
+        col("click_ts") <= col("purchase_ts"))
+      .select(col("user_id"), col("purchase_id"), col("purchase_ts"),
+        col("click_id"), col("click_ts"), col("value"))
+  }
 
   /** The documents file schema for the streaming corpus source. */
   val documentsSchema: StructType = StructType(Seq(

@@ -186,6 +186,41 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       "unmatched events did not pass through with NULL attributes")
   }
 
+  test("stream-stream interval join replays to the batch attribution pairs") {
+    // The attribution join's correctness claim: on a fully replayed
+    // stream, the watermarked stream-stream interval join emits EXACTLY
+    // the pairs the batch interval join produces — no pair lost to state
+    // eviction (the replay arrives within the watermark) and none
+    // duplicated.
+    val q = EventStream.attributedStream(EventStream.readEvents(spark, sfDir))
+      .writeStream.format("memory").queryName("attributed")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("attributed")
+      .select(col("purchase_id"), col("click_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val e = Tables.events(spark, sfDir)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+    val batch = purchases.join(clicks,
+        col("c_user") === col("user_id") &&
+        col("click_ts") >= col("purchase_ts") - expr("interval 1 hour") &&
+        col("click_ts") <= col("purchase_ts"))
+      .select(col("purchase_id"), col("click_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    assert(batch.nonEmpty, "fixture lost its attribution pairs")
+    assert(streamed == batch,
+      s"stream-stream join diverged: streamed=${streamed.size} batch=${batch.size}")
+    // And no duplicates in the append stream.
+    assert(spark.table("attributed").count() == streamed.size.toLong)
+  }
+
   test("mapGroupsWithState running stats converge to the batch moments per key") {
     val q = EventStream.runningStats(EventStream.readEvents(spark, sfDir))
       .writeStream.format("memory").queryName("run_stats").outputMode("update").start()
