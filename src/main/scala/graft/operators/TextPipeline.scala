@@ -1865,6 +1865,46 @@ object TextPipeline {
                 cast(cum_tokens AS bigint) AS cum_tokens
          FROM c WHERE cum_tokens <= 600 ORDER BY doc_id""")),
 
+    ("x18_global_order", (s: SparkSession, d: String) => {
+      // Deterministic global training order — every doc gets a contiguous
+      // global position 0..N-1 in a salted-hash-shuffled order: the
+      // dataloader manifest for "train on the whole corpus in a fixed
+      // pseudo-random order". Spark has no scalable global row_number (a
+      // global window is one partition; zipWithIndex is RDD-side), so this
+      // uses the two-level idiom: the hash's first two hex chars form 256
+      // BUCKETS that prefix-order the full hash — rank within bucket (256
+      // parallel windows over the corpus), count per bucket, offset each
+      // bucket by the cumsum of the counts BEFORE it (a 256-row window —
+      // bounded by construction, like a calendar series), broadcast the
+      // offsets back, add. global_pos = bucket_offset + rank − 1 equals
+      // the oracle's single global row_number exactly, but no corpus-sized
+      // data ever passes through one partition. Same salted-md5 draw
+      // family as x5/x8/x14 ('ord:' salt — an independent coin).
+      val h = Tables.documents(s, d)
+        .select(col("doc_id"),
+          md5(concat(lit("ord:"), col("doc_id").cast("string"))).as("h"))
+        .withColumn("bucket", substring(col("h"), 1, 2))
+      val wB = Window.partitionBy(col("bucket"))
+        .orderBy(col("h"), col("doc_id"))
+      val offsets = h.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_bucket"))
+        .withColumn("bucket_offset",
+          coalesce(sum(col("n_bucket")).over(Window.orderBy(col("bucket"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("bucket"), col("bucket_offset"))
+      h.withColumn("bucket_rank", row_number().over(wB))
+        .join(broadcast(offsets), Seq("bucket"))
+        .select(col("doc_id"), col("h"),
+          (col("bucket_offset") + col("bucket_rank") - 1).as("global_pos"))
+        .orderBy(col("doc_id"))
+    }, Some(
+      """WITH h AS (
+           SELECT doc_id, md5('ord:' || cast(doc_id AS varchar)) AS h
+           FROM documents)
+         SELECT doc_id, h,
+                row_number() OVER (ORDER BY h, doc_id) - 1 AS global_pos
+         FROM h ORDER BY doc_id""")),
+
     ("x17_adaptive_gate", (s: SparkSession, d: String) => {
       // Adaptive per-source quality gating — x6's fixed thresholds break
       // the moment sources have different length distributions; the

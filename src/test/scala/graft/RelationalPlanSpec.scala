@@ -260,6 +260,26 @@ class RelationalPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"corpus shuffled on source for the stats join ($srcExchanges exchanges):\n$plan")
   }
 
+  test("x18: the global-order rank window partitions by bucket — only the 256-row offset cumsum is single-partition") {
+    // The operator's whole point is a global row number with no
+    // corpus-sized single-partition stage: the rank window must hash by
+    // bucket, and the only SinglePartition window allowed is the offset
+    // cumsum over the ≤256 bucket counts. If the rank window ever loses
+    // its partitionBy the query stays hash-green while serializing the
+    // corpus through one task.
+    val df = graft.operators.TextPipeline.queries("x18_global_order")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val rankLine = plan.linesIterator
+      .find(l => l.contains("Window ") && l.contains("bucket_rank"))
+      .getOrElse(fail(s"rank window missing:\n$plan"))
+    assert(!rankLine.contains("SinglePartition") && plan.contains("hashpartitioning(bucket"),
+      s"rank window not partitioned by bucket:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bucket offsets not broadcast back:\n$plan")
+  }
+
   test("w12: the trailing-hour window partitions by event_type") {
     // The RANGE-frame query's scale story is per-key linear frame
     // maintenance; an unpartitioned event-time window would push the
