@@ -751,6 +751,51 @@ object TextPipeline {
          WHERE p.common * 1.0 / (sa.n + sb.n - p.common) >= 0.2
          ORDER BY 1, 2""")),
 
+    ("d9_shingle_containment", (s: SparkSession, d: String) => {
+      // Asymmetric near-dup: CONTAINMENT C(A,B) = |A∩B| / |A| — the
+      // quote/subset detector. Jaccard (d2) misses a short doc embedded
+      // verbatim in a much longer one (the union term drowns the overlap);
+      // containment of the short side stays high, which is why dedup
+      // pipelines score both directions and gate on the max. Same bounded
+      // candidate set and shingle machinery as d2 (the full-corpus path
+      // generates candidates with d3's buckets and verifies per bucket —
+      // composable exactly like d5); scores are exact ratios of
+      // integer counts, so the 0.5 gate compares identical doubles on
+      // both engines.
+      val sh = shingles(Tables.documents(s, d).filter(col("doc_id") < 30))
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val pairs = sh.as("a").join(sh.as("b"), Seq("s"))
+        .filter(col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("common"))
+      pairs
+        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "n_b"), "doc_b")
+        .select(col("doc_a"), col("doc_b"), col("common"),
+          (col("common") / col("n_a")).as("cont_a"),
+          (col("common") / col("n_b")).as("cont_b"))
+        .filter(greatest(col("cont_a"), col("cont_b")) >= 0.5)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }, Some(
+      """WITH sh AS (
+           SELECT DISTINCT doc_id, substr(text, i, 5) AS s FROM (
+             SELECT doc_id, text,
+                    unnest(generate_series(1, greatest(length(text) - 4, 1))) AS i
+             FROM documents WHERE doc_id < 30)),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         pairs AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT p.doc_a, p.doc_b, p.common,
+                p.common * 1.0 / sa.n AS cont_a,
+                p.common * 1.0 / sb.n AS cont_b
+         FROM pairs p
+         JOIN sizes sa ON sa.doc_id = p.doc_a
+         JOIN sizes sb ON sb.doc_id = p.doc_b
+         WHERE greatest(p.common * 1.0 / sa.n, p.common * 1.0 / sb.n) >= 0.5
+         ORDER BY 1, 2""")),
+
     ("d3_minhash_lsh", (s: SparkSession, d: String) => {
       // MinHash-LSH bucket assignment: 8 signatures (min over shingles of
       // 16-hex-char rotations of md5(shingle) — lexicographic min of
