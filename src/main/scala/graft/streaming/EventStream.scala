@@ -19,7 +19,9 @@ import org.apache.spark.sql.types._
   *  - stateless continuous corpus curation (curatedDocs — the x5/x6
   *    quality-gate + split kernels applied to a documents stream), and
   *  - a watermarked stream-stream interval join (attributedStream — the
-  *    attribution shape; state bounded by watermark + join interval).
+  *    attribution shape; state bounded by watermark + join interval), and
+  *  - evictable custom state via flatMapGroupsWithState + event-time
+  *    timeout (errorBursts — CEP-lite trailing-window alerting).
   *
   * Scale posture: all are keyed-state streaming aggregations — state is
   * bounded by (watermark horizon × key cardinality) or by key cardinality
@@ -190,6 +192,67 @@ object EventStream {
       .select(col("doc_id"), col("split"), col("kept"),
         col("n_tokens"), col("avg_token_len"), col("stopword_ratio"),
         col("n_digit_runs"), md5(col("redacted")).as("redacted_hash"))
+
+  final case class ErrorBurst(user_id: Long, ts_us: Long, n_recent: Int)
+
+  /** Custom keyed state with EVICTION (flatMapGroupsWithState + event-time
+    * timeout) — the CEP-lite shape: alert on every error event that is at
+    * least the `minCount`-th error of its user within the trailing
+    * `windowSec` seconds. Differs from runningStats in the two ways that
+    * matter on an unbounded stream: it emits zero-or-more rows per group
+    * per batch (flatMap, append-mode), and its state DROPS — the trailing
+    * deque is pruned to the window on every event, and an idle user's
+    * whole entry is removed when the event-time timeout fires after the
+    * watermark passes their last event + window. State is therefore
+    * bounded by (active users × errors-per-window), never by stream
+    * length. Timestamps stay epoch-MICROS end to end (the events table is
+    * micros; milliseconds would silently truncate the window compare).
+    * Events are processed in (ts, event_id) order within each batch, so
+    * the alert set on a replay equals the batch trailing-window rule
+    * (StreamingSpec pins it).
+    */
+  def errorBursts(
+      events: DataFrame,
+      windowSec: Long = 21600L,
+      minCount: Int = 2): Dataset[ErrorBurst] = {
+    val s = events.sparkSession
+    import s.implicits._
+    val winUs = windowSec * 1000000L
+    events
+      .filter(col("event_type") === "error")
+      // The event-time column must SURVIVE into the stateful operator for
+      // the watermark to attach (projecting ts into unix_micros first
+      // fails analysis) — decode it as Instant and convert in the lambda.
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withWatermark("ts", "30 minutes")
+      .as[(Long, java.time.Instant, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[List[Long], ErrorBurst](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, java.time.Instant, Long)],
+         state: GroupState[List[Long]]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var recent = state.getOption.getOrElse(Nil) // trailing ts_us
+            val out = rows.toSeq
+              .map { case (_, inst, eid) =>
+                (inst.getEpochSecond * 1000000L + inst.getNano / 1000L, eid)
+              }
+              .sortBy(identity)
+              .flatMap { case (tsUs, _) =>
+                recent = (tsUs :: recent).filter(_ >= tsUs - winUs)
+                if (recent.size >= minCount)
+                  Some(ErrorBurst(user, tsUs, recent.size))
+                else None
+              }
+            state.update(recent)
+            if (recent.nonEmpty)
+              state.setTimeoutTimestamp((recent.max + winUs) / 1000L)
+            out.iterator
+          }
+      }
+  }
 
   /** Custom keyed state (mapGroupsWithState): per-event_type running
     * count/mean/variance via Welford updates, emitting the refreshed

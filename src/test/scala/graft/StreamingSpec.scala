@@ -221,6 +221,41 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.table("attributed").count() == streamed.size.toLong)
   }
 
+  test("flatMapGroupsWithState error bursts replay to the batch trailing-window rule") {
+    // The CEP-lite alert operator must emit exactly the rows the batch
+    // rule defines: one alert per error event that is >= the 2nd error
+    // of its user within the trailing 6 hours. The expected set is an
+    // independent driver-side computation over the collected errors —
+    // same (ts, event_id) order, same inclusive micros window.
+    val q = EventStream.errorBursts(EventStream.readEvents(spark, sfDir))
+      .writeStream.format("memory").queryName("bursts")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("bursts")
+      .select(col("user_id"), col("ts_us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val winUs = 21600L * 1000000L
+    val errors = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "error")
+      .select(col("user_id"), expr("unix_micros(ts)").as("ts_us"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // .toSeq before the flatMap: flatMapping a Map into (user, ts) pairs
+    // would rebuild a Map keyed by user and silently keep ONE alert each.
+    val expected = errors.groupBy(_._1).toSeq.flatMap { case (user, rows) =>
+      val sorted = rows.sortBy(r => (r._2, r._3))
+      sorted.indices.flatMap { i =>
+        val t = sorted(i)._2
+        val nRecent = sorted.take(i + 1).count(_._2 >= t - winUs)
+        if (nRecent >= 2) Some((user, t)) else None
+      }
+    }.toSet
+
+    assert(expected.nonEmpty, "fixture lost its error bursts")
+    assert(streamed == expected,
+      s"burst alerts diverged: streamed=${streamed.size} expected=${expected.size}")
+  }
+
   test("mapGroupsWithState running stats converge to the batch moments per key") {
     val q = EventStream.runningStats(EventStream.readEvents(spark, sfDir))
       .writeStream.format("memory").queryName("run_stats").outputMode("update").start()
