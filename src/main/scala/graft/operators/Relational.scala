@@ -200,6 +200,37 @@ object Relational {
       """SELECT o_orderpriority, count(*) AS n_orders, sum(o_totalprice) AS total
          FROM orders GROUP BY 1 ORDER BY 1""")),
 
+    ("s8_jsonl_roundtrip", (s: SparkSession, d: String) => {
+      // JSONL sink + re-scan — the corpus interchange format every
+      // LLM-data pipeline speaks (one JSON object per line): write the
+      // documents table out as JSONL, read it back with an explicit
+      // schema (inference is a full extra pass at 100 TB — never in the
+      // query path), and prove the roundtrip LOSSLESS by md5-ing the text
+      // through JSON's escaping on the way back out. Same scratch-dir
+      // discipline as s5 (unique per-invocation dir under the per-JVM
+      // shutdown-cleaned parent). JSONL splits by line, so a 100 TB
+      // corpus parallelizes per line-range exactly like CSV; columnar
+      // pushdown does NOT apply (whole-object parse per line) — which is
+      // the documented reason parquet stays the internal format and JSONL
+      // only enters/exits at the pipeline boundary.
+      import org.apache.spark.sql.types._
+      val tmp = s"$csvScratchRoot/${java.util.UUID.randomUUID()}"
+      Tables.documents(s, d).write.mode("overwrite").json(tmp)
+      s.read
+        .schema(StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("text", StringType),
+          StructField("lang", StringType),
+          StructField("source", StringType),
+          StructField("n_chars", LongType))))
+        .json(tmp)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          md5(col("text")).as("text_md5"))
+        .orderBy(col("doc_id"))
+    }, Some(
+      """SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+         FROM documents ORDER BY doc_id""")),
+
     ("s4_tuning_import", (s: SparkSession, d: String) => {
       // Tuning-parameter import round-trip (SURVEY S4; reference
       // Testing.R:223-225 reads a pre-tuned 2×K α/λ workbook into
