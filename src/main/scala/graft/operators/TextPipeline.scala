@@ -1910,6 +1910,95 @@ object TextPipeline {
                 cast(cum_tokens AS bigint) AS cum_tokens
          FROM c WHERE cum_tokens <= 600 ORDER BY doc_id""")),
 
+    ("x19_doc_chunks", (s: SparkSession, d: String) => {
+      // Overlapping document chunking — the embedding-prep fan-out: split
+      // every doc into fixed 200-char windows at stride 150 (50-char
+      // overlap so no boundary-straddling content is lost to retrieval),
+      // one output row per chunk. The doc→chunks explode is the relation
+      // an embedding/RAG pipeline actually embeds; chunk text travels as
+      // md5 here (the driver compare needs no 200-char payloads), offsets
+      // and lengths in the clear. Degenerate docs stay TOTAL: the
+      // greatest(length, 1) stop emits exactly one (possibly empty) chunk
+      // for empty text rather than tripping Spark's descending-sequence
+      // crash (the x7 lesson). Per-row map work + explode behind the
+      // round-8 pre-fanout repartition; no shuffle before the display
+      // sort — at 100 TB chunking is a pure map stage feeding the
+      // embedding UDF batch-wise.
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text"))
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"),
+          explode(expr("sequence(1, greatest(length(text), 1), 150)")).as("chunk_start"),
+          col("text"))
+        .select(col("doc_id"),
+          expr("cast((chunk_start - 1) div 150 AS bigint)").as("chunk_id"),
+          col("chunk_start").cast("long").as("chunk_start"),
+          length(expr("substring(text, chunk_start, 200)")).cast("long").as("chunk_len"),
+          md5(expr("substring(text, chunk_start, 200)")).as("chunk_md5"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }, Some(
+      """WITH st AS (
+           SELECT doc_id, text,
+                  unnest(generate_series(1, greatest(length(text), 1), 150)) AS st_pos
+           FROM documents)
+         SELECT doc_id,
+                cast((st_pos - 1) // 150 AS bigint) AS chunk_id,
+                cast(st_pos AS bigint) AS chunk_start,
+                cast(length(substr(text, st_pos, 200)) AS bigint) AS chunk_len,
+                md5(substr(text, st_pos, 200)) AS chunk_md5
+         FROM st ORDER BY doc_id, chunk_id""")),
+
+    ("x20_tfidf_terms", (s: SparkSession, d: String) => {
+      // Per-document salient terms — tf-idf keyword extraction, the
+      // classic "what is this doc about" signal (index keys, topic
+      // clustering, eval-set tagging). Composes the x15 shape twice: one
+      // corpus pass builds per-(doc, token) term counts; the Zipf-bounded
+      // document-frequency table derives from THAT aggregate (not a
+      // second corpus scan) and broadcasts back, x7's dim pattern, so the
+      // corpus-sized side keeps its doc_id partitioning into the final
+      // per-doc top-5 window (parallel across docs). Determinism: the
+      // idf ln is rounded to e6 AFTER the tf multiply with identical
+      // operand order on both engines (the x7 exposure: a flip needs
+      // ln's ~1e-16 ulp to straddle a rounding boundary); ranking is on
+      // the rounded integer with a token tie-break — total order.
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"))
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      val tf = toks.groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+      val dft = tf.groupBy(col("token")).agg(count(lit(1)).as("df_docs"))
+      val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tfidf_e6").desc, col("token"))
+      tf.join(broadcast(dft), Seq("token")).crossJoin(broadcast(n))
+        .withColumn("tfidf_e6",
+          expr("cast(round(tf * ln(cast(n_docs AS double) / df_docs) * 1e6) AS bigint)"))
+        .withColumn("term_rank", row_number().over(w))
+        .filter(col("term_rank") <= 5)
+        .select(col("doc_id"), col("term_rank"), col("token"), col("tf"),
+          col("df_docs"), col("tfidf_e6"))
+        .orderBy(col("doc_id"), col("term_rank"))
+    }, Some(
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS token
+           FROM documents),
+         tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+         dft AS (SELECT token, count(*) AS df_docs FROM tf GROUP BY 1),
+         n AS (SELECT count(*) AS n_docs FROM documents),
+         scored AS (
+           SELECT t.doc_id, t.token, t.tf, d.df_docs,
+                  cast(round(t.tf * ln(cast(n.n_docs AS double) / d.df_docs) * 1e6)
+                    AS bigint) AS tfidf_e6
+           FROM tf t JOIN dft d ON d.token = t.token, n),
+         r AS (
+           SELECT *, row_number() OVER (PARTITION BY doc_id
+                       ORDER BY tfidf_e6 DESC, token) AS term_rank
+           FROM scored)
+         SELECT doc_id, cast(term_rank AS int) AS term_rank, token, tf,
+                df_docs, tfidf_e6
+         FROM r WHERE term_rank <= 5 ORDER BY doc_id, term_rank""")),
+
     ("x18_global_order", (s: SparkSession, d: String) => {
       // Deterministic global training order — every doc gets a contiguous
       // global position 0..N-1 in a salted-hash-shuffled order: the

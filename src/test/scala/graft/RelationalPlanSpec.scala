@@ -280,6 +280,43 @@ class RelationalPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"bucket offsets not broadcast back:\n$plan")
   }
 
+  test("x19: chunking is map-only — only the parallelism fix may exchange") {
+    // The doc->chunks explode must stay a pure map stage (the embedding
+    // feed): the single allowed exchange is the explicit pre-fanout
+    // REPARTITION_BY_NUM. Any ENSURE_REQUIREMENTS hash exchange means
+    // chunk state started crossing the wire.
+    val df = graft.operators.TextPipeline.queries("x19_doc_chunks")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val required = plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("REPARTITION_BY_NUM"))
+    assert(required == 0,
+      s"chunking stopped being map-only ($required required exchanges):\n$plan")
+  }
+
+  test("x20: the df table broadcasts and the top-5 window keeps doc_id partitioning") {
+    // tf-idf's scale shape: the corpus-sized (doc, token) side keeps its
+    // pre-fanout doc_id partitioning through the broadcast df join into
+    // the per-doc ranking window; only the Zipf-bounded df aggregate may
+    // exchange on token. A lost broadcast would shuffle the corpus on
+    // token; a lost window partitioning would serialize it entirely.
+    val df = graft.operators.TextPipeline.queries("x20_tfidf_terms")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastHashJoin"),
+      s"df table not broadcast:\n$plan")
+    val windowLine = plan.linesIterator.find(_.contains("Window ")).getOrElse("")
+    assert(!windowLine.contains("SinglePartition"),
+      s"top-5 window runs on one partition:\n$plan")
+    val tokenExchanges = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning"))
+      .count(_.contains("token"))
+    assert(tokenExchanges <= 1,
+      s"corpus shuffled on token beyond the df aggregate ($tokenExchanges):\n$plan")
+  }
+
   test("w12: the trailing-hour window partitions by event_type") {
     // The RANGE-frame query's scale story is per-key linear frame
     // maintenance; an unpartitioned event-time window would push the
