@@ -1999,6 +1999,60 @@ object TextPipeline {
                 df_docs, tfidf_e6
          FROM r WHERE term_rank <= 5 ORDER BY doc_id, term_rank""")),
 
+    ("x21_chunk_pipeline", (s: SparkSession, d: String) => {
+      // The composed RETRIEVAL-corpus build — x10's sibling for the RAG
+      // path: quality gate (x6) → exact content dedup keeping each
+      // group's min doc (d1-as-window) → overlapping chunking (x19), all
+      // in ONE declarative plan. Composing the three operators costs
+      // exactly ONE hash shuffle (the dedup window on content_hash) —
+      // the gate is map work before it, the chunk explode map work after
+      // it, and Catalyst collapses both into the adjacent stages
+      // (plan-test-pinned). Output: the chunk manifest an embedding job
+      // consumes, over only the gated, deduplicated corpus.
+      val w = Window.partitionBy(col("content_hash")).orderBy(col("doc_id"))
+      withQualityFlags(Tables.documents(s, d))
+        .filter(col("kept"))
+        .withColumn("content_hash",
+          md5(regexp_replace(trim(col("text")), "\\s+", " ")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"),
+          explode(expr("sequence(1, greatest(length(text), 1), 150)")).as("chunk_start"),
+          col("text"))
+        .select(col("doc_id"),
+          expr("cast((chunk_start - 1) div 150 AS bigint)").as("chunk_id"),
+          col("chunk_start").cast("long").as("chunk_start"),
+          length(expr("substring(text, chunk_start, 200)")).cast("long").as("chunk_len"),
+          md5(expr("substring(text, chunk_start, 200)")).as("chunk_md5"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }, Some(
+      """WITH gated AS (
+           SELECT doc_id, text
+           FROM documents
+           WHERE NOT (length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 < 25)
+             AND NOT (cast(length(replace(text, ' ', '')) AS double)
+                   / (length(trim(text)) - length(replace(trim(text), ' ', '')) + 1) > 5.0)
+             AND NOT (cast(len(list_filter(string_split(text, ' '),
+                        t -> t = 'the' OR t = 'a')) AS double)
+                   / (length(trim(text)) - length(replace(trim(text), ' ', '')) + 1) < 0.02)),
+         deduped AS (
+           SELECT doc_id, text FROM (
+             SELECT doc_id, text,
+                    row_number() OVER (
+                      PARTITION BY md5(regexp_replace(trim(text), '\s+', ' ', 'g'))
+                      ORDER BY doc_id) AS rn
+             FROM gated) WHERE rn = 1),
+         st AS (
+           SELECT doc_id, text,
+                  unnest(generate_series(1, greatest(length(text), 1), 150)) AS st_pos
+           FROM deduped)
+         SELECT doc_id,
+                cast((st_pos - 1) // 150 AS bigint) AS chunk_id,
+                cast(st_pos AS bigint) AS chunk_start,
+                cast(length(substr(text, st_pos, 200)) AS bigint) AS chunk_len,
+                md5(substr(text, st_pos, 200)) AS chunk_md5
+         FROM st ORDER BY doc_id, chunk_id""")),
+
     ("x18_global_order", (s: SparkSession, d: String) => {
       // Deterministic global training order — every doc gets a contiguous
       // global position 0..N-1 in a salted-hash-shuffled order: the

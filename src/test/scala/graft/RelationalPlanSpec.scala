@@ -317,6 +317,19 @@ class RelationalPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"corpus shuffled on token beyond the df aggregate ($tokenExchanges):\n$plan")
   }
 
+  test("x21: the composed chunk pipeline costs exactly one hash shuffle") {
+    // gate -> dedup -> chunk must stay map work around the single dedup
+    // window exchange on content_hash; a second hash exchange means a
+    // stage stopped collapsing (x10's discipline for the RAG path).
+    val df = graft.operators.TextPipeline.queries("x21_chunk_pipeline")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val hashExchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashExchanges == 1,
+      s"expected exactly 1 hash exchange (dedup window), got $hashExchanges:\n$plan")
+  }
+
   test("w12: the trailing-hour window partitions by event_type") {
     // The RANGE-frame query's scale story is per-key linear frame
     // maintenance; an unpartitioned event-time window would push the
