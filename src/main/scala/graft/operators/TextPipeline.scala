@@ -46,6 +46,43 @@ object TextPipeline {
       .select(col("doc_id"), expr("substring(text, i, 5)").as("s"))
       .distinct()
 
+  /** Exact per-pair shingle-overlap statistics for a bounded candidate
+    * set: (doc_a, doc_b, common, n_a, n_b) for every pair sharing at
+    * least one 5-shingle. The shared verify-stage core behind d2's
+    * Jaccard and d9's containment — one definition so the candidate
+    * bound and join shape cannot drift between the two score families.
+    */
+  private def shinglePairStats(docs: DataFrame): DataFrame = {
+    val sh = shingles(docs)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    sh.as("a").join(sh.as("b"), Seq("s"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n", "n_b"), "doc_b")
+  }
+
+  /** Overlapping fixed-window chunking: one row per 200-char window at
+    * stride 150 over `text` — offsets, lengths, and chunk md5s. The
+    * greatest(length, 1) stop keeps degenerate docs TOTAL (one possibly
+    * empty chunk) instead of tripping Spark's descending-sequence crash
+    * (the x7 lesson). Shared by x19 and the composed x21 so the window
+    * geometry cannot drift between the standalone and composed paths.
+    */
+  private def chunked(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        explode(expr("sequence(1, greatest(length(text), 1), 150)")).as("chunk_start"),
+        col("text"))
+      .select(col("doc_id"),
+        expr("cast((chunk_start - 1) div 150 AS bigint)").as("chunk_id"),
+        col("chunk_start").cast("long").as("chunk_start"),
+        length(expr("substring(text, chunk_start, 200)")).cast("long").as("chunk_len"),
+        md5(expr("substring(text, chunk_start, 200)")).as("chunk_md5"))
+
   /** (doc_id, dg): one md5 digest per raw shingle position, duplicates
     * kept — the downstream aggregates (min / collect_set) absorb them, so
     * no shingle-dedup shuffle. The single corpus scan behind d3 and d5.
@@ -719,15 +756,7 @@ object TextPipeline {
       // for one LSH bucket — the full-corpus path generates candidates with
       // d3 and verifies only within buckets; an unbounded pair join would
       // be quadratic in the corpus).
-      val sh = shingles(Tables.documents(s, d).filter(col("doc_id") < 30))
-      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val pairs = sh.as("a").join(sh.as("b"), Seq("s"))
-        .filter(col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("common"))
-      pairs
-        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "n_a"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "n_b"), "doc_b")
+      shinglePairStats(Tables.documents(s, d).filter(col("doc_id") < 30))
         .select(col("doc_a"), col("doc_b"), col("common"),
           (col("common") / (col("n_a") + col("n_b") - col("common"))).as("jaccard"))
         .filter(col("jaccard") >= 0.2)
@@ -762,15 +791,7 @@ object TextPipeline {
       // composable exactly like d5); scores are exact ratios of
       // integer counts, so the 0.5 gate compares identical doubles on
       // both engines.
-      val sh = shingles(Tables.documents(s, d).filter(col("doc_id") < 30))
-      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val pairs = sh.as("a").join(sh.as("b"), Seq("s"))
-        .filter(col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("common"))
-      pairs
-        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "n_a"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "n_b"), "doc_b")
+      shinglePairStats(Tables.documents(s, d).filter(col("doc_id") < 30))
         .select(col("doc_a"), col("doc_b"), col("common"),
           (col("common") / col("n_a")).as("cont_a"),
           (col("common") / col("n_b")).as("cont_b"))
@@ -1924,17 +1945,9 @@ object TextPipeline {
       // round-8 pre-fanout repartition; no shuffle before the display
       // sort — at 100 TB chunking is a pure map stage feeding the
       // embedding UDF batch-wise.
-      Tables.documents(s, d)
-        .select(col("doc_id"), col("text"))
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-        .select(col("doc_id"),
-          explode(expr("sequence(1, greatest(length(text), 1), 150)")).as("chunk_start"),
-          col("text"))
-        .select(col("doc_id"),
-          expr("cast((chunk_start - 1) div 150 AS bigint)").as("chunk_id"),
-          col("chunk_start").cast("long").as("chunk_start"),
-          length(expr("substring(text, chunk_start, 200)")).cast("long").as("chunk_len"),
-          md5(expr("substring(text, chunk_start, 200)")).as("chunk_md5"))
+      chunked(Tables.documents(s, d)
+          .select(col("doc_id"), col("text"))
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id")))
         .orderBy(col("doc_id"), col("chunk_id"))
     }, Some(
       """WITH st AS (
@@ -1968,6 +1981,9 @@ object TextPipeline {
       val tf = toks.groupBy(col("doc_id"), col("token"))
         .agg(count(lit(1)).as("tf"))
       val dft = tf.groupBy(col("token")).agg(count(lit(1)).as("df_docs"))
+      // Row count, not a data pass: the aggregate projects NO columns, so
+      // the parquet scan reads footer row counts — deriving n_docs from
+      // the tf plan instead would re-run the corpus explode.
       val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("tfidf_e6").desc, col("token"))
@@ -2010,20 +2026,13 @@ object TextPipeline {
       // (plan-test-pinned). Output: the chunk manifest an embedding job
       // consumes, over only the gated, deduplicated corpus.
       val w = Window.partitionBy(col("content_hash")).orderBy(col("doc_id"))
-      withQualityFlags(Tables.documents(s, d))
-        .filter(col("kept"))
-        .withColumn("content_hash",
-          md5(regexp_replace(trim(col("text")), "\\s+", " ")))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("doc_id"),
-          explode(expr("sequence(1, greatest(length(text), 1), 150)")).as("chunk_start"),
-          col("text"))
-        .select(col("doc_id"),
-          expr("cast((chunk_start - 1) div 150 AS bigint)").as("chunk_id"),
-          col("chunk_start").cast("long").as("chunk_start"),
-          length(expr("substring(text, chunk_start, 200)")).cast("long").as("chunk_len"),
-          md5(expr("substring(text, chunk_start, 200)")).as("chunk_md5"))
+      chunked(withQualityFlags(Tables.documents(s, d))
+          .filter(col("kept"))
+          .withColumn("content_hash",
+            md5(regexp_replace(trim(col("text")), "\\s+", " ")))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("doc_id"), col("text")))
         .orderBy(col("doc_id"), col("chunk_id"))
     }, Some(
       """WITH gated AS (

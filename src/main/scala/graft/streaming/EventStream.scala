@@ -201,11 +201,14 @@ object EventStream {
     * `windowSec` seconds. Differs from runningStats in the two ways that
     * matter on an unbounded stream: it emits zero-or-more rows per group
     * per batch (flatMap, append-mode), and its state DROPS — the trailing
-    * deque is pruned to the window on every event, and an idle user's
-    * whole entry is removed when the event-time timeout fires after the
-    * watermark passes their last event + window. State is therefore
-    * bounded by (active users × errors-per-window), never by stream
-    * length. Timestamps stay epoch-MICROS end to end (the events table is
+    * deque retains window + allowed lateness behind the newest event (so
+    * a late row the watermark admits still finds every predecessor in its
+    * own trailing window, while each event COUNTS only its own
+    * [t − window, t] — never future events already in state), and an idle
+    * user's whole entry is removed when the event-time timeout fires
+    * after the watermark passes their last event + window + lateness.
+    * State is therefore bounded by (active users × errors-per-horizon),
+    * never by stream length. Timestamps stay epoch-MICROS end to end (the events table is
     * micros; milliseconds would silently truncate the window compare).
     * Events are processed in (ts, event_id) order within each batch, so
     * the alert set on a replay equals the batch trailing-window rule
@@ -214,10 +217,12 @@ object EventStream {
   def errorBursts(
       events: DataFrame,
       windowSec: Long = 21600L,
-      minCount: Int = 2): Dataset[ErrorBurst] = {
+      minCount: Int = 2,
+      latenessSec: Long = 1800L): Dataset[ErrorBurst] = {
     val s = events.sparkSession
     import s.implicits._
     val winUs = windowSec * 1000000L
+    val lateUs = latenessSec * 1000000L
     events
       .filter(col("event_type") === "error")
       // The event-time column must SURVIVE into the stateful operator for
@@ -234,21 +239,32 @@ object EventStream {
          state: GroupState[List[Long]]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            var recent = state.getOption.getOrElse(Nil) // trailing ts_us
+            var recent = state.getOption.getOrElse(Nil) // retained ts_us
             val out = rows.toSeq
               .map { case (_, inst, eid) =>
                 (inst.getEpochSecond * 1000000L + inst.getNano / 1000L, eid)
               }
               .sortBy(identity)
               .flatMap { case (tsUs, _) =>
-                recent = (tsUs :: recent).filter(_ >= tsUs - winUs)
-                if (recent.size >= minCount)
-                  Some(ErrorBurst(user, tsUs, recent.size))
+                // Retention and counting are SEPARATE windows: state keeps
+                // window + allowed lateness behind the newest event (so a
+                // late row the watermark still admits finds every
+                // predecessor inside ITS OWN trailing window), and each
+                // event counts only [tsUs − win, tsUs] — never the future
+                // events already in state when a late row arrives.
+                // Pruning by the new event's window instead (the obvious
+                // one-liner) silently diverges from the batch rule the
+                // moment a replay spans more than one micro-batch.
+                recent = tsUs :: recent
+                val newest = recent.max
+                recent = recent.filter(_ >= newest - winUs - lateUs)
+                val n = recent.count(x => x >= tsUs - winUs && x <= tsUs)
+                if (n >= minCount) Some(ErrorBurst(user, tsUs, n))
                 else None
               }
             state.update(recent)
             if (recent.nonEmpty)
-              state.setTimeoutTimestamp((recent.max + winUs) / 1000L)
+              state.setTimeoutTimestamp((recent.max + winUs + lateUs) / 1000L)
             out.iterator
           }
       }

@@ -256,6 +256,40 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"burst alerts diverged: streamed=${streamed.size} expected=${expected.size}")
   }
 
+  test("errorBursts: a late event in a second micro-batch counts only its own trailing window") {
+    // The multi-batch case the single-file replay can't exercise: an
+    // event arriving in a LATER micro-batch but admissibly late (within
+    // the watermark) must count only predecessors inside ITS OWN
+    // trailing window — not the newer events already sitting in state.
+    // A prune-by-newest-event implementation reports n_recent=3 here.
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.Encoders
+    val ms = MemoryStream(
+      Encoders.tuple(Encoders.scalaLong, Encoders.TIMESTAMP,
+        Encoders.scalaLong, Encoders.STRING),
+      s.sqlContext)
+    val base = 1700000000000L
+    def t(min: Int) = new java.sql.Timestamp(base + min * 60000L)
+    val q = EventStream.errorBursts(
+        ms.toDF.toDF("event_id", "ts", "user_id", "event_type"))
+      .writeStream.format("memory").queryName("bursts_late")
+      .outputMode("append").start()
+    try {
+      ms.addData((1L, t(0), 1L, "error"), (2L, t(5), 1L, "error"))
+      q.processAllAvailable()
+      ms.addData((3L, t(2), 1L, "error")) // late: watermark = t(5) − 30 min
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("bursts_late")
+      .select(col("ts_us"), col("n_recent"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    def us(min: Int) = (base + min * 60000L) * 1000L
+    assert(got == Set((us(5), 2), (us(2), 2)),
+      s"late-event burst accounting diverged: $got")
+  }
+
   test("mapGroupsWithState running stats converge to the batch moments per key") {
     val q = EventStream.runningStats(EventStream.readEvents(spark, sfDir))
       .writeStream.format("memory").queryName("run_stats").outputMode("update").start()
