@@ -559,10 +559,23 @@ object TextPipeline {
     * test split.
     *
     * Scale posture: the test-gram set is the SMALL side by construction
-    * (the 10% split, deduplicated), so the overlap probe is a broadcast
-    * join against it — the corpus-sized train side never shuffles on
-    * the gram key; at 100 TB the broadcast becomes a bloom filter /
-    * bucketed semi-join but the train side still streams map-side. The
+    * (the 10% split, deduplicated), so the default overlap probe is a
+    * broadcast join against it — the corpus-sized train side never
+    * shuffles on the gram key. When even the deduplicated test-gram set
+    * outgrows broadcast range, `bloomPrefilter = true` is the executable
+    * 100 TB fallback (PipelineSpec pins it output-identical): build a
+    * BOUNDED Bloom sketch of the test grams in one executor-side
+    * aggregate ([[BloomFilterAggregate]] over xxhash64), embed the sketch
+    * bytes as a literal, prefilter the train gram stream MAP-SIDE with
+    * the codegen-friendly `might_contain`, and exact-verify only the
+    * survivors through a merge semi-join — Bloom has no false negatives,
+    * so survivors contain every true hit, and the semi-join removes the
+    * false positives. Only the (tiny) survivor stream ever shuffles on
+    * the gram key; the per-doc totals ride the existing doc_id
+    * partitioning unshuffled. The price is one extra corpus explode
+    * (totals and survivors are separate consumers) — at scale that map
+    * work is far cheaper than shuffling the full gram stream, which is
+    * the only alternative once the broadcast is off the table. The
     * pre-explode repartition is the round-8 fanout rule (one small
     * shuffle buys full-core fanout + a reusable doc_id partitioning for
     * the downstream distinct and aggregate).
@@ -571,7 +584,9 @@ object TextPipeline {
     * grams (guarded — Spark's sequence(1, n<=0) is descending, builder
     * memory rule).
     */
-  private[graft] def decontaminate(docs: DataFrame): DataFrame = {
+  private[graft] def decontaminate(
+      docs: DataFrame,
+      bloomPrefilter: Boolean = false): DataFrame = {
     val grams = withHashSplit(docs)
       .select(col("doc_id"), col("split"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= 5)
@@ -592,10 +607,36 @@ object TextPipeline {
     // two different projections of it.
     val testGrams = grams.filter(col("split") === "test")
       .select(col("gram")).distinct().localCheckpoint(true)
-    val counts = grams.filter(col("split") === "train")
-      .join(broadcast(testGrams.withColumn("hit", lit(1))), Seq("gram"), "left")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_contaminated"))
+    val trainGrams = grams.filter(col("split") === "train")
+    val counts = if (!bloomPrefilter) {
+      trainGrams
+        .join(broadcast(testGrams.withColumn("hit", lit(1))), Seq("gram"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_contaminated"))
+    } else {
+      import org.apache.spark.sql.GraftExpressionBridge
+      import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+      import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+      // One aggregate over the (small, checkpointed) test-gram set builds
+      // the sketch; the collect ships only the bounded sketch bytes —
+      // the same class of driver traffic as IVF centroids.
+      val bfAgg = GraftExpressionBridge.column(
+        new BloomFilterAggregate(
+          GraftExpressionBridge.expression(xxhash64(col("gram"))),
+          Literal(1000000L), Literal(8000000L)).toAggregateExpression())
+      val bfBytes = testGrams.agg(bfAgg.as("bf"))
+        .collect()(0).getAs[Array[Byte]](0)
+      val mc = GraftExpressionBridge.column(BloomFilterMightContain(
+        Literal.create(bfBytes, org.apache.spark.sql.types.BinaryType),
+        GraftExpressionBridge.expression(xxhash64(col("gram")))))
+      val hits = trainGrams.filter(mc)
+        .join(testGrams.hint("merge"), Seq("gram"), "left_semi")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
+      trainGrams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"),
+          coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
+    }
     withHashSplit(docs.select(col("doc_id"))).filter(col("split") === "train")
       .select(col("doc_id"))
       .join(counts, Seq("doc_id"), "left")

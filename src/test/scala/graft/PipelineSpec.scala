@@ -441,6 +441,32 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(6L) == (2L, 2L, true), s"doc 6: ${got(6L)}")
   }
 
+  test("decontaminate: the bloom-prefilter path is output-identical and actually probes a sketch") {
+    // The 100 TB fallback must return EXACTLY the broadcast path's rows
+    // (Bloom has no false negatives; the semi-join kills the false
+    // positives), and its plan must really prefilter with might_contain
+    // rather than silently falling back to the exact join.
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "one two three four five six seven"),
+      (5L, "too short here"),
+      (6L, "beta gamma delta epsilon zeta eta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (7L, "unrelated test content words entirely different h"))
+      .toDF("doc_id", "text")
+    val bloomed = TextPipeline.decontaminate(docs, bloomPrefilter = true)
+    val plan = bloomed.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      s"bloom path lost its prefilter:\n$plan")
+    val a = TextPipeline.decontaminate(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+    val b = bloomed.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+    assert(a == b, s"bloom path diverged: broadcast=$a bloom=$b")
+  }
+
   test("repetitionSignals: loops trip the gates, diverse text passes, single token is total") {
     val s = spark
     import s.implicits._
