@@ -795,6 +795,61 @@ object Relational {
                 count(*) AS n
          FROM e GROUP BY 1 ORDER BY 1""")),
 
+    ("a13_pivot", (s: SparkSession, d: String) => {
+      // Wide pivot — per-user event counts spread across one column per
+      // event type (the report/feature-matrix reshape). The value list is
+      // EXPLICIT (the API's values-discovery variant is a full extra scan
+      // + job at 100 TB, and nondeterministic column order besides). With
+      // values given, Catalyst compiles the pivot to its two-phase
+      // PivotFirst shape: agg on (user, type), then PivotFirst on user —
+      // both exchanges run AFTER partial aggregation, so the wire volume
+      // is bounded by |users|x|types| rows, never the event count.
+      // na.fill(0): Spark leaves a cell NULL when a (user, type) combo
+      // never occurs, the oracle's FILTER count says 0 — same statement,
+      // aligned explicitly.
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .pivot("event_type",
+          Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0)
+        .orderBy(col("user_id"))
+    }, Some(
+      """SELECT user_id,
+                count(*) FILTER (WHERE event_type = 'click')    AS click,
+                count(*) FILTER (WHERE event_type = 'error')    AS error,
+                count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+                count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+                count(*) FILTER (WHERE event_type = 'view')     AS view
+         FROM events GROUP BY 1 ORDER BY 1""")),
+
+    ("a14_unpivot", (s: SparkSession, d: String) => {
+      // Unpivot/melt — the inverse reshape: monthly (rev_e4, n) metric
+      // columns become tall (month, metric, value) rows, the layout
+      // ML-feature and plotting pipelines want. Spark's native unpivot
+      // is a zero-shuffle Expand (each input row emits one row per
+      // metric, map-side); the oracle is the portable UNION ALL
+      // spelling. Values are e4-quantized longs BEFORE the monthly sum
+      // (integer-exact — a melted double sum would be
+      // accumulation-order noise).
+      Tables.orders(s, d)
+        .groupBy(to_date(date_trunc("month", col("o_orderdate"))).as("month"))
+        .agg(sum(round(col("o_totalprice") * 1e4).cast("long")).as("rev_e4"),
+          count(lit(1)).as("n"))
+        .unpivot(Array(col("month")), Array(col("rev_e4"), col("n")),
+          "metric", "value")
+        .orderBy(col("month"), col("metric"))
+    }, Some(
+      """WITH monthly AS (
+           SELECT cast(date_trunc('month', o_orderdate) AS date) AS month,
+                  sum(cast(round(o_totalprice * 1e4) AS bigint)) AS rev_e4,
+                  count(*) AS n
+           FROM orders GROUP BY 1)
+         SELECT month, 'rev_e4' AS metric, rev_e4 AS value FROM monthly
+         UNION ALL
+         SELECT month, 'n' AS metric, n AS value FROM monthly
+         ORDER BY month, metric""")),
+
     // ----- set operations --------------------------------------------------
 
     ("set_union", (s: SparkSession, d: String) => {

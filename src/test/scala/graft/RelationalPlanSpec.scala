@@ -344,6 +344,38 @@ class RelationalPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     df.collect()
   }
 
+  test("a13: the explicit-values pivot keeps its two post-partial-agg exchanges") {
+    // Giving pivot its value list avoids the values-discovery pass (an
+    // extra full scan + job); what remains is Catalyst's two-phase
+    // PivotFirst — agg on (user, type), PivotFirst on user — and BOTH
+    // exchanges must sit above a partial HashAggregate so wire volume is
+    // |users|x|types|, never the event count. A third hash exchange (or a
+    // separate values job) means the explicit list was lost.
+    val df = Relational.queries("a13_pivot")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val hashExchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashExchanges == 2,
+      s"expected the 2 PivotFirst exchanges, got $hashExchanges:\n$plan")
+    assert(plan.contains("pivot"), s"PivotFirst shape missing:\n$plan")
+  }
+
+  test("a14: the unpivot is a map-side Expand after the monthly aggregate") {
+    // Native unpivot must compile to Expand (each row emits one row per
+    // metric, no wire crossing); the only hash exchange is the monthly
+    // aggregate's own. A UNION-ALL rewrite would re-scan the aggregate
+    // per metric while staying hash-green.
+    val df = Relational.queries("a14_unpivot")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("Expand"), s"unpivot did not compile to Expand:\n$plan")
+    val hashExchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashExchanges == 1,
+      s"expected exactly 1 hash exchange (monthly agg), got $hashExchanges:\n$plan")
+  }
+
   test("s1: filter and projection reach the parquet scan") {
     // Pushdown evidence for the scan path: the parquet scan must carry
     // pushed filters and a pruned read schema, not read-everything-filter-
