@@ -605,6 +605,40 @@ object Relational {
          FROM e JOIN totals t USING (user_id)
          ORDER BY e.event_id""")),
 
+    ("j11_edit_distance_join", (s: SparkSession, d: String) => {
+      // Fuzzy string self-join — name pairs within levenshtein 2, the
+      // entity-resolution / data-cleaning primitive. A naive similarity
+      // join has NO equi key (corpus² nested loop); the scalable shape
+      // banding gives it one: levenshtein <= 2 implies the lengths differ
+      // by <= 2, so each left name explodes onto its 5 admissible right
+      // lengths (a constant fanout) and the join runs equi on that band.
+      // Pairs appear exactly once (right length matches exactly one band;
+      // name_a < name_b orients the pair). At 100 TB the name dictionary
+      // is distinct'd first — similarity runs on the vocabulary, never
+      // the corpus; production would tighten the bands with q-gram
+      // prefixes, same plan shape. dist is an integer — exact oracle.
+      val names = Tables.part(s, d).select(col("p_name")).distinct()
+      val lhs = names.select(col("p_name").as("name_a"))
+        .withColumn("band", explode(expr(
+          "sequence(length(name_a) - 2, length(name_a) + 2)")))
+      val rhs = names.select(col("p_name").as("name_b"),
+        length(col("p_name")).cast("long").as("b_len"))
+      lhs.join(rhs,
+          col("band") === col("b_len") && col("name_a") < col("name_b") &&
+            levenshtein(col("name_a"), col("name_b")) <= 2)
+        .select(col("name_a"), col("name_b"),
+          levenshtein(col("name_a"), col("name_b")).as("dist"))
+        .orderBy(col("name_a"), col("name_b"))
+    }, Some(
+      """WITH n AS (SELECT DISTINCT p_name FROM part)
+         SELECT a.p_name AS name_a, b.p_name AS name_b,
+                levenshtein(a.p_name, b.p_name) AS dist
+         FROM n a JOIN n b
+           ON a.p_name < b.p_name
+          AND abs(length(a.p_name) - length(b.p_name)) <= 2
+          AND levenshtein(a.p_name, b.p_name) <= 2
+         ORDER BY 1, 2""")),
+
     ("j3_date_align", (s: SparkSession, d: String) => {
       // Reference J3: point-lookup alignment on a computed date key
       // (forecast@origin+h vs realized). Analog: daily revenue joined to
@@ -794,6 +828,35 @@ object Relational {
                 quantile_cont(value_e4, 0.75) AS p75_e4,
                 count(*) AS n
          FROM e GROUP BY 1 ORDER BY 1""")),
+
+    ("a15_corr_matrix", (s: SparkSession, d: String) => {
+      // Pairwise Pearson correlations across the lineitem measures in ONE
+      // aggregate pass — the feature-screening primitive (drop collinear
+      // columns before a fit). All six pairs are partial-aggregated
+      // co-moments merged in the same partial+final HashAggregate: one
+      // traversal of the fact table, a 1-row result, no shuffle of data
+      // rows (only the constant-size partial states). Quantized to e9
+      // longs on both sides — corr is a ratio of co-moments, stable to
+      // ~1e-15 across engines, so a 1e-9 quantum has ~6 orders of margin.
+      val li = Tables.lineitem(s, d)
+      def c(a: String, b: String, as: String) =
+        round(corr(col(a), col(b)) * 1e9).cast("long").as(as)
+      li.agg(
+        c("l_quantity", "l_extendedprice", "qty_price_e9"),
+        c("l_quantity", "l_discount",      "qty_disc_e9"),
+        c("l_quantity", "l_tax",           "qty_tax_e9"),
+        c("l_extendedprice", "l_discount", "price_disc_e9"),
+        c("l_extendedprice", "l_tax",      "price_tax_e9"),
+        c("l_discount", "l_tax",           "disc_tax_e9"))
+    }, Some(
+      """SELECT
+           cast(round(corr(l_quantity, l_extendedprice) * 1e9) AS bigint) AS qty_price_e9,
+           cast(round(corr(l_quantity, l_discount)      * 1e9) AS bigint) AS qty_disc_e9,
+           cast(round(corr(l_quantity, l_tax)           * 1e9) AS bigint) AS qty_tax_e9,
+           cast(round(corr(l_extendedprice, l_discount) * 1e9) AS bigint) AS price_disc_e9,
+           cast(round(corr(l_extendedprice, l_tax)      * 1e9) AS bigint) AS price_tax_e9,
+           cast(round(corr(l_discount, l_tax)           * 1e9) AS bigint) AS disc_tax_e9
+         FROM lineitem""")),
 
     ("a13_pivot", (s: SparkSession, d: String) => {
       // Wide pivot — per-user event counts spread across one column per
@@ -1152,6 +1215,29 @@ object Relational {
          WINDOW w AS (PARTITION BY event_type ORDER BY ts_s
            RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
          ORDER BY event_id""")),
+
+    ("w13_ntile_binning", (s: SparkSession, d: String) => {
+      // Per-source decile assignment — rank documents by length inside
+      // each source and cut into 10 equal-count bins (the curriculum /
+      // quality-tier primitive: "train on the top decile per source").
+      // ntile is rank math, not value math: output is pure integers, and
+      // the (n_chars, doc_id) ordering is a total order, so both engines
+      // MUST produce identical bins — an exact oracle for a window op
+      // whose value-based cousin (a12 percentiles) needs quantization.
+      // Scale: one shuffle on source, heap-free linear pass per
+      // partition; deciles stay exact per source regardless of skew
+      // (unlike a global percentile cut, which needs the a12 sketch).
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("n_chars"), col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          ntile(10).over(w).as("len_decile"))
+        .orderBy(col("doc_id"))
+    }, Some(
+      """SELECT doc_id, source, n_chars,
+                ntile(10) OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id) AS len_decile
+         FROM documents ORDER BY doc_id""")),
 
     ("w5_lag_corr", (s: SparkSession, d: String) => {
       // Serial correlation: corr(x_t, x_{t−1}) per key — the SQL-checkable

@@ -376,6 +376,44 @@ class RelationalPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected exactly 1 hash exchange (monthly agg), got $hashExchanges:\n$plan")
   }
 
+  test("j11: length banding gives the similarity join an equi key — no nested loop") {
+    // The edit-distance join is only scalable because the length band is
+    // an equi key; if the band fell out of the condition Catalyst would
+    // run the vocabulary cross product as a nested loop — same 24 rows on
+    // testdata, corpus-squared work at scale.
+    val df = Relational.queries("j11_edit_distance_join")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      s"similarity join lost its equi key:\n$plan")
+  }
+
+  test("w13: the decile window partitions by source") {
+    // ntile's scale story is per-source linear rank maintenance; an
+    // unpartitioned window would serialize the corpus through one task.
+    val df = Relational.queries("w13_ntile_binning")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(source"),
+      s"decile window not partitioned by source:\n$plan")
+    val windowLine = plan.linesIterator.find(_.contains("Window ")).getOrElse("")
+    assert(!windowLine.contains("SinglePartition"),
+      s"decile window runs on one partition:\n$plan")
+  }
+
+  test("a15: the correlation matrix is one aggregate pass — no hash exchange") {
+    // All six co-moment sets must ride the same partial+final aggregate:
+    // the only exchange is the constant-size SinglePartition merge. A
+    // hash exchange (or a second scan) means the pairs stopped fusing.
+    val df = Relational.queries("a15_corr_matrix")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val hashExchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashExchanges == 0,
+      s"correlation matrix stopped being a single pass ($hashExchanges hash exchanges):\n$plan")
+    val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"expected one lineitem scan, got $scans:\n$plan")
+  }
+
   test("s1: filter and projection reach the parquet scan") {
     // Pushdown evidence for the scan path: the parquet scan must carry
     // pushed filters and a pruned read schema, not read-everything-filter-
