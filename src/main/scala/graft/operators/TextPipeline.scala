@@ -439,6 +439,41 @@ object TextPipeline {
   private[graft] def lshSearch(e: DataFrame, qPred: Column, k: Int, tables: Int): DataFrame =
     AnnIndex.lshSearch(AnnIndex.buildLsh(e, tables, persist = false), qPred, k)
 
+  /** Johnson–Lindenstrauss projection of `embedding` to `outDims` dims
+    * through the deterministic integer matrix
+    * R(i,j) = ((i·37 + (j+41)·23) mod 11) − 5 (i 1-based input dim, j
+    * 0-based output dim) — pure arithmetic, no index build, identical in
+    * any engine. Columns: vec_id, rp (array&lt;double&gt;).
+    */
+  private[graft] def rpProject(e: DataFrame, outDims: Int = 8): DataFrame =
+    e.select(col("vec_id"), expr(
+      s"""transform(sequence(0, ${outDims - 1}), j -> aggregate(
+            zip_with(embedding, sequence(1, size(embedding)),
+              (x, i) -> cast(x as double) *
+                        cast((i * 37 + (j + 41) * 23) % 11 - 5 as double)),
+            0D, (acc, v) -> acc + v))""").as("rp"))
+
+  /** Brute-force top-k cosine search in rpProject's reduced space —
+    * the spec path for the e8 query's kernel (raw-cosine rank; e8 itself
+    * ranks on the rounded score for oracle stability). Columns: q_id,
+    * vec_id, cosine, rank.
+    */
+  private[graft] def rpSearch(
+      e: DataFrame, qPred: Column, k: Int, outDims: Int = 8): DataFrame = {
+    val rp = rpProject(e, outDims)
+    val q = rp.filter(qPred)
+      .select(col("vec_id").as("q_id"), col("rp").as("q_rp"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    rp.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (dot("q_rp", "rp") /
+          (sqrt(dot("q_rp", "q_rp")) * sqrt(dot("rp", "rp")))).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Adds the deterministic md5-bucket split columns (`bucket` 0–999,
     * `split` train/valid/test at 80/10/10) to a relation with a `doc_id`
     * column — the x5 kernel, stateless so it applies unchanged to batch
@@ -1382,6 +1417,106 @@ object TextPipeline {
         col("vec_id") < 3, k = 3, nprobe = 4)
         .orderBy(col("q_id"), col("rank"))
     }, None),
+
+    ("e8_rp_recall", (s: SparkSession, d: String) => {
+      // The THIRD ANN scale path: Johnson–Lindenstrauss random projection.
+      // Embeddings drop to 8 dims through a deterministic integer matrix
+      // R(i,j) = ((i·37 + (j+41)·23) mod 11) − 5 (exact products in both
+      // engines, independent of e2's hyperplane family), brute force runs
+      // in the reduced space (8/64 of the flops and candidate-scan bytes),
+      // and this query reports recall@3 against the full-space exact
+      // top-3. Unlike LSH (e5) and IVF (e7) the projection is pure
+      // arithmetic — no index build, no SQL-inexpressible training — so
+      // the whole path is oracle-exact: both sides rank on the e6-rounded
+      // cosine (e1's determinism argument holds — per-product values are
+      // identical, only the reduction order differs, ~1e-14 against a
+      // 1e-6 quantum), and the recall division has identical integer
+      // operands. At 100 TB the projected vectors are a materialized
+      // column: 8× less to scan per query, with JL keeping neighborhoods
+      // approximately intact.
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cosine_e6").desc, col("vec_id"))
+      val exact3 = cosineScored(e, q)
+        .select(col("q_id"), col("vec_id"),
+          round(col("cosine") * 1e6).cast("long").as("cosine_e6"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("q_id"), col("vec_id"))
+      val rp = rpProject(e)
+      val qrp = rp.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("rp").as("q_rp"))
+      val rp3 = rp.crossJoin(broadcast(qrp))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          round(dot("q_rp", "rp") /
+            (sqrt(dot("q_rp", "q_rp")) * sqrt(dot("rp", "rp"))) * 1e6)
+            .cast("long").as("cosine_e6"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("q_id").as("rp_q_id"), col("vec_id").as("rp_vec_id"))
+      exact3
+        .join(rp3,
+          col("q_id") === col("rp_q_id") && col("vec_id") === col("rp_vec_id"),
+          "left")
+        .groupBy(col("q_id"))
+        .agg(count(lit(1)).as("n_exact"),
+          count(col("rp_vec_id")).as("n_hits"))
+        .withColumn("recall", col("n_hits") / col("n_exact"))
+        .orderBy(col("q_id"))
+    }, Some(
+      """WITH ex AS (
+           SELECT vec_id, i, cast(embedding[i] AS double) AS v FROM (
+             SELECT vec_id, embedding,
+                    unnest(generate_series(1, len(embedding))) AS i
+             FROM embeddings)),
+         norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ex GROUP BY 1),
+         alldots AS (
+           SELECT q.vec_id AS q_id, e.vec_id AS vec_id, sum(q.v * e.v) AS dot
+           FROM ex q JOIN ex e ON q.i = e.i
+           WHERE q.vec_id < 3 AND e.vec_id <> q.vec_id
+           GROUP BY 1, 2),
+         allscored AS (
+           SELECT d.q_id, d.vec_id,
+                  cast(round(d.dot / (nq.nrm * ne.nrm) * 1e6) AS bigint) AS c6
+           FROM alldots d
+           JOIN norms nq ON nq.vec_id = d.q_id
+           JOIN norms ne ON ne.vec_id = d.vec_id),
+         exact3 AS (
+           SELECT q_id, vec_id FROM (
+             SELECT *, row_number() OVER (PARTITION BY q_id
+                         ORDER BY c6 DESC, vec_id) AS rank
+             FROM allscored)
+           WHERE rank <= 3),
+         rp AS (
+           SELECT ex.vec_id, j.j,
+                  sum(ex.v * cast((ex.i * 37 + (j.j + 41) * 23) % 11 - 5 AS double)) AS pv
+           FROM ex, generate_series(0, 7) j(j) GROUP BY 1, 2),
+         rpnorm AS (SELECT vec_id, sqrt(sum(pv * pv)) AS nrm FROM rp GROUP BY 1),
+         rpdots AS (
+           SELECT q.vec_id AS q_id, e.vec_id AS vec_id, sum(q.pv * e.pv) AS dot
+           FROM rp q JOIN rp e ON q.j = e.j
+           WHERE q.vec_id < 3 AND e.vec_id <> q.vec_id
+           GROUP BY 1, 2),
+         rpscored AS (
+           SELECT d.q_id, d.vec_id,
+                  cast(round(d.dot / (nq.nrm * ne.nrm) * 1e6) AS bigint) AS c6
+           FROM rpdots d
+           JOIN rpnorm nq ON nq.vec_id = d.q_id
+           JOIN rpnorm ne ON ne.vec_id = d.vec_id),
+         rp3 AS (
+           SELECT q_id, vec_id FROM (
+             SELECT *, row_number() OVER (PARTITION BY q_id
+                         ORDER BY c6 DESC, vec_id) AS rank
+             FROM rpscored)
+           WHERE rank <= 3)
+         SELECT e3.q_id, count(*) AS n_exact, count(r.vec_id) AS n_hits,
+                count(r.vec_id) * 1.0 / count(*) AS recall
+         FROM exact3 e3
+         LEFT JOIN rp3 r ON r.q_id = e3.q_id AND r.vec_id = e3.vec_id
+         GROUP BY 1 ORDER BY 1""")),
 
     // ----- text analysis --------------------------------------------------
 

@@ -95,6 +95,35 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("rpSearch: planted near-duplicates are recalled at rank 1 in the projected space") {
+    // e8's quality gate, same scheme as the LSH/IVF planted tests: on a
+    // uniform corpus an 8-dim projection has no recallable structure
+    // (e8's recall on testdata is legitimately ~0), so plant 3 genuine
+    // near-duplicate pairs (cosine ≈ 0.999) and require the reduced-space
+    // brute force to put each planted neighbor at rank 1 — JL must
+    // preserve near-identical vectors, and a broken projection matrix
+    // (e.g. a collapsed column) fails this deterministically.
+    val s = spark
+    import s.implicits._
+    val dim = 16
+    val n = 120
+    val g = new TestData.Lcg(11L)
+    val base = Array.tabulate(n)(_ => Array.fill(dim)(g.gaussian().toFloat))
+    for (q <- 0 until 3)
+      base(q) = base(10 + q).map(v => v + 0.02f * g.gaussian().toFloat)
+    val df = base.zipWithIndex.map { case (e, i) => (i.toLong, e) }.toSeq
+      .toDF("vec_id", "embedding")
+    val top1 = TextPipeline.rpSearch(df, col("vec_id") < 3, k = 1, outDims = 8)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    for (q <- 0L until 3L) {
+      val (nbr, cos) = top1(q)
+      assert(nbr == 10L + q, s"query $q: expected planted neighbor ${10 + q}, got $nbr")
+      assert(cos > 0.95, s"query $q: projected cosine $cos")
+    }
+  }
+
   test("nearDupPairs: planted near-duplicates survive the composed bucket->verify plan") {
     // End-to-end d5 check: docs 100/101 are near-identical (one word edit),
     // 102/103 are exact duplicates, the rest are distinct. The composed
