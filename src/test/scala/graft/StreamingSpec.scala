@@ -290,6 +290,46 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"late-event burst accounting diverged: $got")
   }
 
+  test("dedupStream: a within-watermark duplicate in a later batch dedups; post-expiry re-emits") {
+    // The two bounded-state edges the single-batch replay can't exercise:
+    // (1) a duplicate id arriving in a LATER micro-batch while its state
+    // entry is live must be suppressed; (2) once the watermark passes the
+    // first sighting's ts + delay the state is evicted, so a fresh
+    // duplicate RE-EMITS — the honest trade dropDuplicatesWithinWatermark
+    // makes to keep state bounded on an unbounded stream (full-history
+    // exactness is the batch d1 aggregate's job). A regression to plain
+    // dropDuplicates would fail edge (2); losing state across batches
+    // would fail edge (1).
+    val s = spark
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.Encoders
+    val ms = MemoryStream(
+      Encoders.tuple(Encoders.scalaLong, Encoders.TIMESTAMP), s.sqlContext)
+    val base = 1700000000000L
+    def t(min: Int) = new java.sql.Timestamp(base + min * 60000L)
+    val q = EventStream.dedupStream(ms.toDF.toDF("event_id", "ts"))
+      .writeStream.format("memory").queryName("dedup_batches")
+      .outputMode("append").start()
+    try {
+      ms.addData((1L, t(0)), (2L, t(10)))
+      q.processAllAvailable()
+      // State for id 1 is live (expiry t(0)+30m, watermark t(10)-30m):
+      // the re-sent id must be suppressed. id 3 drags the watermark to
+      // t(70), past id 1's expiry, so its state is evicted at batch end.
+      ms.addData((1L, t(5)), (3L, t(100)))
+      q.processAllAvailable()
+      // Fresh duplicate of id 1 above the t(70) watermark: state is gone,
+      // so it re-emits.
+      ms.addData((1L, t(80)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("dedup_batches")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime)).toSet
+    val want = Set(1L -> t(0).getTime, 2L -> t(10).getTime,
+      3L -> t(100).getTime, 1L -> t(80).getTime)
+    assert(got == want, s"bounded-state dedup diverged: $got")
+  }
+
   test("mapGroupsWithState running stats converge to the batch moments per key") {
     val q = EventStream.runningStats(EventStream.readEvents(spark, sfDir))
       .writeStream.format("memory").queryName("run_stats").outputMode("update").start()
