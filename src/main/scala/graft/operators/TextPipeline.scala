@@ -1072,6 +1072,59 @@ object TextPipeline {
                 c.node = c.cluster_id AS is_keeper
          FROM comp c JOIN csz z USING (cluster_id) ORDER BY 1""")),
 
+    ("d10_survivorship", (s: SparkSession, d: String) => {
+      // Survivorship — the record-merge step AFTER cluster resolution
+      // (d7): each duplicate cluster keeps its BEST document by an
+      // explicit quality rule (longest text, doc_id tie-break), not
+      // merely the min-id label, and reports what folding away the rest
+      // costs (docs and characters dropped). This is the policy layer a
+      // production dedup needs: d7 decides WHICH rows co-refer, d10
+      // decides WHO survives. One extra shuffle over d7 (the per-cluster
+      // ranking window on lbl); the n_chars lookup rides a doc_id join
+      // against the already-shuffled label table. All-integer output —
+      // oracle-exact against the same recursive-CTE closure extended
+      // with the ranking rule.
+      val docs = Tables.documents(s, d)
+      val labels = dupClusters(nearDupPairs(docs, minJaccard = 0.5))
+      val sized = labels.join(
+        docs.select(col("doc_id").as("node"), col("n_chars")), "node")
+      val w = Window.partitionBy(col("lbl"))
+        .orderBy(col("n_chars").desc, col("node"))
+      sized.withColumn("rn", row_number().over(w))
+        .groupBy(col("lbl").as("cluster_id"))
+        .agg(
+          min(when(col("rn") === 1, col("node"))).as("keeper_doc_id"),
+          count(lit(1)).as("cluster_size"),
+          sum(when(col("rn") =!= 1, col("n_chars")).otherwise(0L))
+            .as("chars_dropped"))
+        .orderBy(col("cluster_id"))
+    }, Some(
+      s"""WITH RECURSIVE $d5OracleCtes,
+         prs AS (
+           SELECT m.doc_a, m.doc_b
+           FROM com m
+           JOIN sizes sa ON sa.doc_id = m.doc_a
+           JOIN sizes sb ON sb.doc_id = m.doc_b
+           WHERE m.common * 1.0 / (sa.n + sb.n - m.common) >= 0.5),
+         edges AS (
+           SELECT doc_a AS src, doc_b AS dst FROM prs
+           UNION ALL SELECT doc_b, doc_a FROM prs),
+         reach(node, lbl) AS (
+           SELECT src, src FROM edges
+           UNION
+           SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+         comp AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY 1),
+         rk AS (
+           SELECT c.node, c.cluster_id, d.n_chars,
+                  row_number() OVER (PARTITION BY c.cluster_id
+                                     ORDER BY d.n_chars DESC, c.node) AS rn
+           FROM comp c JOIN documents d ON d.doc_id = c.node)
+         SELECT cluster_id,
+                min(CASE WHEN rn = 1 THEN node END) AS keeper_doc_id,
+                count(*) AS cluster_size,
+                sum(CASE WHEN rn <> 1 THEN n_chars ELSE 0 END) AS chars_dropped
+         FROM rk GROUP BY 1 ORDER BY 1""")),
+
     ("d8_incremental_dedup", (s: SparkSession, d: String) => {
       // Incremental ingest dedup — the anti-join every production
       // pipeline runs on ARRIVING batches: drop a new doc iff its
