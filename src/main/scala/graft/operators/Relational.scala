@@ -102,6 +102,28 @@ object Relational {
       p
     })
 
+  private val evolvedOrdersCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  /** Per-(JVM, sfDir) two-generation parquet layout of `orders`: gen=1
+    * holds the ORIGINAL narrow schema (o_orderkey, price_e4: even keys),
+    * gen=2 the EVOLVED one that added o_orderpriority (odd keys) — the
+    * on-disk shape every long-lived ingest accumulates as its schema
+    * grows. s9 reads it back through mergeSchema.
+    */
+  private[graft] def evolvedOrders(s: SparkSession, d: String): String =
+    evolvedOrdersCache.getOrElseUpdate(d, {
+      val p = s"$csvScratchRoot/orders_evolved_${java.util.UUID.randomUUID()}"
+      val o = Tables.orders(s, d).select(col("o_orderkey"),
+        round(col("o_totalprice") * 1e4).cast("long").as("price_e4"),
+        col("o_orderpriority"))
+      o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("price_e4"))
+        .write.mode("overwrite").parquet(s"$p/gen=1")
+      o.filter(col("o_orderkey") % 2 === 1)
+        .write.mode("overwrite").parquet(s"$p/gen=2")
+      p
+    })
+
   /** Per-(JVM, sfDir) bucketed catalog table of `events`: bucketBy(8,
     * user_id) + sortBy(user_id), written once. Bucketing is the layout
     * that makes every downstream user_id aggregation AND join shuffle-free
@@ -161,6 +183,28 @@ object Relational {
          FROM events
          WHERE cast(ts AS date) BETWEEN DATE '2024-01-10' AND DATE '2024-01-14'
          GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    ("s9_schema_evolution", (s: SparkSession, d: String) => {
+      // Schema-evolution scan: the corpus accumulated a second parquet
+      // generation that ADDED a column (evolvedOrders — gen=1 narrow,
+      // gen=2 with o_orderpriority), and one mergeSchema read returns the
+      // union with NULLs where the old files predate the column, plus the
+      // discovered gen partition column. mergeSchema is opt-in because
+      // footer merging costs a pass over file metadata — the right
+      // default at 100 TB is a table-level contract (catalog schema);
+      // this query exercises the migration-window read that contract has
+      // to survive. Oracle rebuilds the same union from the base table.
+      s.read.option("mergeSchema", "true").parquet(evolvedOrders(s, d))
+        .select(col("o_orderkey"), col("price_e4"),
+          col("o_orderpriority"), col("gen"))
+        .orderBy(col("o_orderkey"))
+    }, Some(
+      """SELECT o_orderkey,
+                cast(round(o_totalprice * 1e4) AS bigint) AS price_e4,
+                CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END
+                  AS o_orderpriority,
+                CASE WHEN o_orderkey % 2 = 1 THEN 2 ELSE 1 END AS gen
+         FROM orders ORDER BY 1""")),
 
     ("s1_scan_prune", (s: SparkSession, d: String) => {
       // Projection + predicate reach the parquet scan (PushedFilters).
@@ -1378,6 +1422,47 @@ object Relational {
          CROSS JOIN (SELECT cast(round(pow(10.0, 1.0 - unnest(generate_series(0, 9)) * 0.5) * 1e6)
                      AS bigint) AS lambda_e6) l
          ORDER BY 1, 2""")),
+
+    ("f_array_hof", (s: SparkSession, d: String) => {
+      // Higher-order array function family — the codegen'd per-row
+      // kernels (filter / exists / aggregate / transform / sort /
+      // distinct / slice) that make array columns first-class WITHOUT a
+      // UDF: the whole row stays inside whole-stage codegen, nothing
+      // crosses the wire (map-only; the only exchange is the
+      // presentation sort). Tokens are re-derived with an explicit
+      // empty-token filter so degenerate docs (empty/whitespace text)
+      // stay total on both sides; the top-5 vocabulary sample is
+      // string-joined rather than returned as an array so the compare is
+      // a plain string. DuckDB's list_* lambdas are the oracle.
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          expr("filter(split(trim(text), ' +'), t -> t <> '')").as("toks"))
+        .select(col("doc_id"),
+          size(col("toks")).as("n_tokens"),
+          expr("size(filter(toks, t -> length(t) >= 6))").as("n_long_tokens"),
+          expr("exists(toks, t -> t rlike '[0-9]')").as("has_digit_token"),
+          expr("aggregate(toks, 0, (acc, t) -> acc + length(t))")
+            .cast("long").as("total_chars"),
+          concat_ws(",",
+            slice(array_sort(array_distinct(col("toks"))), 1, 5))
+            .as("vocab_head"))
+        .orderBy(col("doc_id"))
+    }, Some(
+      """WITH t AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(trim(text), ' +'),
+                              t -> t <> '') AS toks
+           FROM documents)
+         SELECT doc_id,
+                len(toks) AS n_tokens,
+                len(list_filter(toks, t -> length(t) >= 6)) AS n_long_tokens,
+                len(list_filter(toks, t -> regexp_matches(t, '[0-9]'))) > 0
+                  AS has_digit_token,
+                cast(coalesce(list_sum(list_transform(toks, t -> length(t))), 0)
+                  AS bigint) AS total_chars,
+                array_to_string(list_sort(list_distinct(toks))[1:5], ',')
+                  AS vocab_head
+         FROM t ORDER BY doc_id""")),
 
     ("f_json_extract", (s: SparkSession, d: String) => {
       Tables.events(s, d)
