@@ -2291,6 +2291,52 @@ object TextPipeline {
                 md5(substr(text, st_pos, 200)) AS chunk_md5
          FROM st ORDER BY doc_id, chunk_id""")),
 
+    ("x22_sparse_retrieval", (s: SparkSession, d: String) => {
+      // Sparse (tf-idf) retrieval — the inverted-index complement to the
+      // dense e-family: score every document against a term query and
+      // return the top-20. The at-scale shape is what distinguishes this
+      // from x20's whole-vocabulary extraction: the token stream filters
+      // to the QUERY terms immediately after the explode (the posting-
+      // list probe), so every aggregate and join downstream is bounded by
+      // |matching postings|, never the corpus vocabulary; the df/idf
+      // table derives from that filtered stream (df of matched terms is
+      // exact), broadcasts back, and the final top-k is a TakeOrdered
+      // merge, not a global sort. Determinism: per-term tf·idf rounds to
+      // an e6 long BEFORE the per-doc sum (x7's order-free integer-sum
+      // rule), and the cut ranks on (score_e6 desc, doc_id) — total
+      // order in both engines.
+      val terms = Seq("spark", "query", "vector")
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .filter(col("token").isin(terms: _*))
+      val tf = toks.groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+      val dft = tf.groupBy(col("token")).agg(count(lit(1)).as("df_docs"))
+      val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+      tf.join(broadcast(dft), Seq("token")).crossJoin(broadcast(n))
+        .withColumn("part_e6", expr(
+          "cast(round(tf * ln(cast(n_docs AS double) / df_docs) * 1e6) AS bigint)"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_terms_hit"), sum(col("part_e6")).as("score_e6"))
+        .orderBy(col("score_e6").desc, col("doc_id"))
+        .limit(20)
+    }, Some(
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS token
+           FROM documents),
+         m AS (SELECT * FROM toks WHERE token IN ('spark', 'query', 'vector')),
+         tf AS (SELECT doc_id, token, count(*) AS tf FROM m GROUP BY 1, 2),
+         dft AS (SELECT token, count(*) AS df_docs FROM tf GROUP BY 1),
+         n AS (SELECT count(*) AS n_docs FROM documents),
+         scored AS (
+           SELECT t.doc_id, t.token,
+                  cast(round(t.tf * ln(cast(n.n_docs AS double) / d.df_docs) * 1e6)
+                    AS bigint) AS part_e6
+           FROM tf t JOIN dft d ON d.token = t.token, n)
+         SELECT doc_id, count(*) AS n_terms_hit, sum(part_e6) AS score_e6
+         FROM scored GROUP BY 1
+         ORDER BY score_e6 DESC, doc_id LIMIT 20""")),
+
     ("x18_global_order", (s: SparkSession, d: String) => {
       // Deterministic global training order — every doc gets a contiguous
       // global position 0..N-1 in a salted-hash-shuffled order: the

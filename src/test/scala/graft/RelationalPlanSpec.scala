@@ -330,6 +330,24 @@ class RelationalPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected exactly 1 hash exchange (dedup window), got $hashExchanges:\n$plan")
   }
 
+  test("x22: sparse retrieval broadcasts df and cuts top-k with TakeOrdered") {
+    // The retrieval shape's two scale claims: the idf table broadcasts
+    // back onto the posting stream (a lost hint shuffles the postings on
+    // token for a 3-row dim), and the final cut is a per-partition-heap
+    // TakeOrdered merge, never a global sort of the scored docs.
+    val df = graft.operators.TextPipeline.queries("x22_sparse_retrieval")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastHashJoin"),
+      s"df/idf table not broadcast:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k is not a TakeOrdered:\n$plan")
+    assert(!plan.linesIterator.exists(l =>
+        l.contains("Sort ") && l.contains("global=true")),
+      s"global sort leaked into the retrieval cut:\n$plan")
+  }
+
   test("w12: the trailing-hour window partitions by event_type") {
     // The RANGE-frame query's scale story is per-key linear frame
     // maintenance; an unpartitioned event-time window would push the
