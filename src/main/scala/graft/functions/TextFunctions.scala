@@ -87,6 +87,28 @@ object TextFunctions {
     }
   }
 
+  /** STUB feature extractor (see mm3_feature_extract): `bands` pooled
+    * features per payload, feature j = mean of the bytes at positions
+    * ≡ j (mod bands) — stands in for a codec + pooling pipeline (image
+    * channel stats, audio band energies) producing the fixed-width
+    * vector the embedding/ANN surface consumes. Deterministic integer
+    * ratios, so the extract is oracle-checkable bit-for-bit; an empty
+    * payload yields all-zero features (total, like fakeDecode).
+    */
+  def byteBandMeans(bytes: Array[Byte], bands: Int): Array[Double] = {
+    val sums = new Array[Long](bands)
+    val counts = new Array[Long](bands)
+    var i = 0
+    while (i < bytes.length) {
+      val b = i % bands
+      sums(b) += bytes(i) & 0xff
+      counts(b) += 1
+      i += 1
+    }
+    Array.tabulate(bands)(j =>
+      if (counts(j) == 0) 0.0 else sums(j).toDouble / counts(j))
+  }
+
   /** 32-bit SimHash of a token set using the same md5-nibble bit planes as
     * the d4_simhash query (kept in sync for cross-checking in tests).
     */

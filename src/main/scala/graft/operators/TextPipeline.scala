@@ -2488,6 +2488,48 @@ object TextPipeline {
          FROM documents d LEFT JOIN pos p ON p.doc_id = d.doc_id
          GROUP BY 1 ORDER BY 1""")),
 
+    ("mm3_feature_extract", (s: SparkSession, d: String) => {
+      // Multimodal feature extraction — the decode→pool→VECTOR bridge
+      // that turns an opaque binary column into the fixed-width features
+      // the embedding/ANN surface consumes (image channel stats, audio
+      // band energies). The stub extractor pools byte means over 8
+      // position-mod bands (TextFunctions.byteBandMeans — deterministic,
+      // this container ships no codecs), but the plumbing is the real
+      // thing: binary payloads flow through mapPartitions in
+      // partition-sized batches, one vector per asset comes back, and the
+      // vector lands as typed columns. Features are ratios of identical
+      // integer operands in both engines → bit-identical doubles, so the
+      // whole extract is oracle-exact (mm1's argument, per band).
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, bytes) =>
+          val f = TextFunctions.byteBandMeans(bytes, bands = 8)
+          (id, bytes.length.toLong, f(0), f(1), f(2), f(3), f(4), f(5), f(6), f(7))
+        })
+        .toDF("doc_id", "n_bytes", "f0", "f1", "f2", "f3", "f4", "f5", "f6", "f7")
+        .orderBy(col("doc_id"))
+    }, Some(
+      """WITH pos AS (
+           SELECT doc_id, text, unnest(generate_series(1, length(text))) AS p
+           FROM documents),
+         b AS (
+           SELECT doc_id, (p - 1) % 8 AS band,
+                  ascii(substr(text, p, 1)) AS v
+           FROM pos)
+         SELECT d.doc_id, count(b.v) AS n_bytes,
+                coalesce(sum(v) FILTER (band = 0) * 1.0 / count(v) FILTER (band = 0), 0.0) AS f0,
+                coalesce(sum(v) FILTER (band = 1) * 1.0 / count(v) FILTER (band = 1), 0.0) AS f1,
+                coalesce(sum(v) FILTER (band = 2) * 1.0 / count(v) FILTER (band = 2), 0.0) AS f2,
+                coalesce(sum(v) FILTER (band = 3) * 1.0 / count(v) FILTER (band = 3), 0.0) AS f3,
+                coalesce(sum(v) FILTER (band = 4) * 1.0 / count(v) FILTER (band = 4), 0.0) AS f4,
+                coalesce(sum(v) FILTER (band = 5) * 1.0 / count(v) FILTER (band = 5), 0.0) AS f5,
+                coalesce(sum(v) FILTER (band = 6) * 1.0 / count(v) FILTER (band = 6), 0.0) AS f6,
+                coalesce(sum(v) FILTER (band = 7) * 1.0 / count(v) FILTER (band = 7), 0.0) AS f7
+         FROM documents d LEFT JOIN b ON b.doc_id = d.doc_id
+         GROUP BY 1 ORDER BY 1""")),
+
     ("mm2_frame_sample", (s: SparkSession, d: String) => {
       // Multimodal frame sampling: every 2nd 64-byte frame of each binary
       // payload, with per-frame length and checksum — the video

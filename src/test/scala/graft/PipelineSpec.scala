@@ -407,6 +407,19 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(TextFunctions.hamming(h1, h1near) < TextFunctions.hamming(h1, h2))
   }
 
+  test("byteBandMeans: band assignment, short-payload empty bands, empty payload") {
+    // A 3-byte payload fills bands 0..2 and leaves 3..7 empty (0.0, the
+    // total branch); a 16-byte payload gives each band exactly two
+    // positions whose mean must match a hand computation.
+    val short = TextFunctions.byteBandMeans(Array[Byte](10, 20, 30), bands = 8)
+    assert(short.toSeq == Seq(10.0, 20.0, 30.0, 0.0, 0.0, 0.0, 0.0, 0.0))
+    val full = TextFunctions.byteBandMeans(
+      Array.tabulate(16)(i => (i * 3).toByte), bands = 8)
+    assert(full.toSeq == Seq.tabulate(8)(j => (j * 3 + (j + 8) * 3) / 2.0))
+    assert(TextFunctions.byteBandMeans(Array.emptyByteArray, bands = 8)
+      .forall(_ == 0.0))
+  }
+
   test("fakeDecode: mean byte value and ceil-division frame count") {
     val bytes = Array.tabulate(130)(i => (i % 256).toByte)
     val (mean, frames) = TextFunctions.fakeDecode(bytes, frameSize = 64)
