@@ -1,0 +1,60 @@
+package graft.plans
+
+import graft.functions.{MinHash8, SimHash32Agg, SortedLongIntersectCount, TokenRepetitionStats}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SQL surface for the library's native Catalyst kernels. Enable with
+  * `spark.sql.extensions=graft.plans.GraftExtensions` (cluster config) or
+  * `SparkSession.builder.withExtensions(new GraftExtensions)` — after
+  * which `spark.sql` users reach the same codegen'd/Tungsten operators
+  * the DataFrame surface uses internally:
+  *
+  *   - `sorted_intersect_count(a, b)` — intersection size of two sorted
+  *     long arrays (the near-dup verify kernel; array_intersect boxes).
+  *   - `minhash8(md5hex)` — aggregate: 8-slot MinHash signature over
+  *     md5-hex shingle digests, rendered as 16-char hex strings.
+  *   - `simhash32_agg(md5hex)` — aggregate: 32-bit SimHash of a digest
+  *     stream (nibble-vote bit planes).
+  *   - `token_repetition_stats(tokens)` — per-row repetition signals
+  *     (n_tokens, distinct, top-token count, bigrams, top-bigram count)
+  *     behind the x13 Gopher-style gate.
+  *
+  * Each builder validates arity here; type checking stays with the
+  * expressions' own `checkInputDataTypes`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def one(name: String)(f: Expression => Expression)
+      : Seq[Expression] => Expression = {
+    case Seq(a) => f(a)
+    case args => throw new IllegalArgumentException(
+      s"$name expects 1 argument, got ${args.length}")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("sorted_intersect_count"),
+      new ExpressionInfo(classOf[SortedLongIntersectCount].getName,
+        "sorted_intersect_count"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => SortedLongIntersectCount(a, b)
+        case other => throw new IllegalArgumentException(
+          s"sorted_intersect_count expects 2 arguments, got ${other.length}")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("minhash8"),
+      new ExpressionInfo(classOf[MinHash8].getName, "minhash8"),
+      one("minhash8")(MinHash8(_).toAggregateExpression())))
+    ext.injectFunction((
+      FunctionIdentifier("simhash32_agg"),
+      new ExpressionInfo(classOf[SimHash32Agg].getName, "simhash32_agg"),
+      one("simhash32_agg")(SimHash32Agg(_).toAggregateExpression())))
+    ext.injectFunction((
+      FunctionIdentifier("token_repetition_stats"),
+      new ExpressionInfo(classOf[TokenRepetitionStats].getName,
+        "token_repetition_stats"),
+      one("token_repetition_stats")(TokenRepetitionStats)))
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SQL surface of the native kernels: a session configured with
+  * `spark.sql.extensions=graft.plans.GraftExtensions` (the cluster-config
+  * enablement path) must expose each registered function to `spark.sql`,
+  * producing the same results as the internal Column/local forms.
+  */
+class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("sorted_intersect_count is callable from SQL") {
+    val n = spark.sql(
+      "SELECT sorted_intersect_count(array(1L, 3L, 5L, 9L), array(3L, 4L, 9L)) AS n")
+      .collect()(0).getLong(0)
+    assert(n == 2L)
+  }
+
+  test("minhash8 aggregates md5 digests to the 8 hex-min signature") {
+    // Against the spelling it replaces: 8 windowed string-min columns
+    // over the same digest stream.
+    val s = spark
+    import s.implicits._
+    Seq("alpha", "beta", "gamma", "delta", "epsilon")
+      .toDF("tok").createOrReplaceTempView("toks")
+    val got = spark.sql(
+      "SELECT minhash8(md5(tok)) AS mhs FROM toks")
+      .collect()(0).getSeq[String](0)
+    val want = spark.sql(
+      (0 to 7).map(i => s"min(substring(concat(md5(tok), md5(tok)), ${i * 4 + 1}, 16))")
+        .mkString("SELECT array(", ", ", ") AS mhs FROM toks"))
+      .collect()(0).getSeq[String](0)
+    assert(got == want, s"got $got, want $want")
+  }
+
+  test("simhash32_agg matches the local simhash32 kernel") {
+    val s = spark
+    import s.implicits._
+    val toks = Seq("the", "quick", "brown", "fox", "jumps")
+    toks.toDF("tok").createOrReplaceTempView("sh_toks")
+    val got = spark.sql("SELECT simhash32_agg(md5(tok)) AS sh FROM sh_toks")
+      .collect()(0).getLong(0)
+    assert(got == TextFunctions.simhash32(toks), s"simhash $got diverged")
+  }
+
+  test("token_repetition_stats is callable from SQL and counts a loop") {
+    // 'a b a b a': 2 distinct, top token 'a' ×3, top bigram 'a b' ×2.
+    val r = spark.sql(
+      "SELECT token_repetition_stats(array('a', 'b', 'a', 'b', 'a')) AS st")
+      .selectExpr("st.n_distinct", "st.top_token_c", "st.top_bigram_c")
+      .collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((2L, 3L, 2L)))
+  }
+
+  test("a wrong arity fails analysis instead of crashing execution") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT sorted_intersect_count(array(1L)) AS n").collect()
+    }
+    assert(e.getMessage.contains("2 arguments"), e.getMessage)
+  }
+}
