@@ -873,6 +873,32 @@ object Relational {
                 count(*) AS n
          FROM e GROUP BY 1 ORDER BY 1""")),
 
+    ("a16_grouping_sets", (s: SparkSession, d: String) => {
+      // Explicit GROUPING SETS — the general form a10's rollup and a11's
+      // cube are shorthands for: exactly the (priority, status),
+      // (priority), and grand-total groupings, skipping the
+      // (status)-only set a cube would also pay for. One Expand + one
+      // hash aggregate, same as rollup — at 100 TB choosing the sets
+      // explicitly is how you avoid materializing the full 2^n lattice.
+      // Revenue is e4-quantized before summation (integer math).
+      Tables.orders(s, d)
+        .select(col("o_orderpriority"), col("o_orderstatus"),
+          round(col("o_totalprice") * 1e4).cast("long").as("price_e4"))
+        .groupingSets(
+          Seq(Seq(col("o_orderpriority"), col("o_orderstatus")),
+            Seq(col("o_orderpriority")), Seq()),
+          col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("price_e4")).as("rev_e4"))
+        .orderBy(col("o_orderpriority").asc_nulls_first,
+          col("o_orderstatus").asc_nulls_first)
+    }, Some(
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
+                sum(cast(round(o_totalprice * 1e4) AS bigint)) AS rev_e4
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                                 (o_orderpriority), ())
+         ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""")),
+
     ("a15_corr_matrix", (s: SparkSession, d: String) => {
       // Pairwise Pearson correlations across the lineitem measures in ONE
       // aggregate pass — the feature-screening primitive (drop collinear
@@ -1282,6 +1308,34 @@ object Relational {
                 ntile(10) OVER (PARTITION BY source
                                 ORDER BY n_chars, doc_id) AS len_decile
          FROM documents ORDER BY doc_id""")),
+
+    ("w14_rank_family", (s: SparkSession, d: String) => {
+      // The rank-family windows w13's ntile completes: rank, dense_rank,
+      // percent_rank, cume_dist per source over the (n_chars, doc_id)
+      // total order. With a total order rank == row_number, so
+      // percent_rank = (rank−1)/(n−1) and cume_dist = rank/n divide
+      // IDENTICAL integer operands in both engines — bit-identical
+      // doubles, no quantization needed (the mm1 byte_mean argument).
+      // Same scale shape as w13: one shuffle on source, linear per
+      // partition.
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("n_chars"), col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          percent_rank().over(w).as("prnk"),
+          cume_dist().over(w).as("cdist"))
+        .orderBy(col("doc_id"))
+    }, Some(
+      """SELECT doc_id, source, n_chars,
+                rank() OVER w AS rnk,
+                dense_rank() OVER w AS drnk,
+                percent_rank() OVER w AS prnk,
+                cume_dist() OVER w AS cdist
+         FROM documents
+         WINDOW w AS (PARTITION BY source ORDER BY n_chars, doc_id)
+         ORDER BY doc_id""")),
 
     ("w5_lag_corr", (s: SparkSession, d: String) => {
       // Serial correlation: corr(x_t, x_{t−1}) per key — the SQL-checkable
