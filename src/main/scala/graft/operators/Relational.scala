@@ -1337,6 +1337,45 @@ object Relational {
          WINDOW w AS (PARTITION BY source ORDER BY n_chars, doc_id)
          ORDER BY doc_id""")),
 
+    ("w15_value_windows", (s: SparkSession, d: String) => {
+      // The value-picking windows completing the family (w9 lead, j8's
+      // running last, w14 ranks): per event_type, the first / latest /
+      // 2nd-seen event values over the (ts_s, event_id) total order, each
+      // against a running frame. first_value and nth_value read the
+      // growing frame; last_value needs the explicit full-partition frame
+      // (the default ROWS..CURRENT ROW would just echo the current row —
+      // the classic silent-wrong-answer both engines share, pinned here).
+      // Values are carried e4-quantized longs — no arithmetic, exact.
+      val ord = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts_s"), col("event_id"))
+      val grow = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val full = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.events(s, d)
+        .select(col("event_id"), col("event_type"),
+          col("ts").cast("long").as("ts_s"),
+          round(col("value") * 1e4).cast("long").as("value_e4"))
+        .select(col("event_id"), col("event_type"),
+          first(col("value_e4")).over(grow).as("first_e4"),
+          last(col("value_e4")).over(full).as("final_e4"),
+          nth_value(col("value_e4"), 2).over(grow).as("second_e4"))
+        .orderBy(col("event_id"))
+    }, Some(
+      """WITH e AS (
+           SELECT event_id, event_type,
+                  cast(floor(epoch(cast(ts AS timestamp))) AS bigint) AS ts_s,
+                  cast(round(value * 1e4) AS bigint) AS value_e4
+           FROM events)
+         SELECT event_id, event_type,
+                first_value(value_e4) OVER g AS first_e4,
+                last_value(value_e4) OVER f AS final_e4,
+                nth_value(value_e4, 2) OVER g AS second_e4
+         FROM e
+         WINDOW g AS (PARTITION BY event_type ORDER BY ts_s, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                f AS (PARTITION BY event_type ORDER BY ts_s, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         ORDER BY event_id""")),
+
     ("w5_lag_corr", (s: SparkSession, d: String) => {
       // Serial correlation: corr(x_t, x_{t−1}) per key — the SQL-checkable
       // core of the reference's ACF (W5). The exact-R ACF normalization

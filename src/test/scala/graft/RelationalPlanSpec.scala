@@ -432,6 +432,33 @@ class RelationalPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(scans == 1, s"expected one lineitem scan, got $scans:\n$plan")
   }
 
+  test("a16: grouping sets expand to 3 projections, not a cube lattice") {
+    // The point of explicit sets is paying for exactly the groupings
+    // asked for: the Expand must carry 3 projections ((p,s),(p),()) —
+    // a 4-projection Expand means the query silently regressed to cube.
+    val df = Relational.queries("a16_grouping_sets")(spark, sfDir)
+    val expand = df.queryExecution.sparkPlan.collect {
+        case e: org.apache.spark.sql.execution.ExpandExec => e
+      }.headOption.getOrElse(fail("no ExpandExec in the grouping-sets plan"))
+    assert(expand.projections.length == 3,
+      s"expected 3 grouping projections, got ${expand.projections.length}")
+  }
+
+  test("w14/w15: the rank and value windows partition by their keys") {
+    // Same scale claim as w12/w13: per-key linear window maintenance; an
+    // unpartitioned window serializes the corpus through one task.
+    for ((name, key) <- Seq("w14_rank_family" -> "source",
+                            "w15_value_windows" -> "event_type")) {
+      val df = Relational.queries(name)(spark, sfDir)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains(s"hashpartitioning($key"),
+        s"$name window not partitioned by $key:\n$plan")
+      val windowLine = plan.linesIterator.find(_.contains("Window ")).getOrElse("")
+      assert(!windowLine.contains("SinglePartition"),
+        s"$name window runs on one partition:\n$plan")
+    }
+  }
+
   test("s1: filter and projection reach the parquet scan") {
     // Pushdown evidence for the scan path: the parquet scan must carry
     // pushed filters and a pruned read schema, not read-everything-filter-
