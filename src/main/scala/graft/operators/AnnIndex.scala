@@ -192,6 +192,155 @@ object AnnIndex {
   // ----- per-session index cache ------------------------------------------
 
   // Weak-keyed by the SparkSession object itself (identity equality):
+  /** A trained product-quantization index: `m` subspaces × `ksub` codes
+    * per subspace (the codebook — m·ksub·subDim doubles of driver state,
+    * broadcast at search time) and the corpus compressed to m small ints
+    * per vector (`codes`, which also carries the original and the
+    * unit-normalized embedding for the exact re-rank). With m=8 a 64-dim
+    * float vector compresses 256 → 8 bytes: at 100 TB the ADC scan reads
+    * ~32× less than a brute-force pass, which is the entire point — PQ is
+    * a COMPRESSION path (every code participates in the scan), where
+    * IVF/LSH are PRUNING paths (only probed lists/buckets do); real
+    * systems compose them.
+    */
+  final case class PqIndex(
+      m: Int,
+      ksub: Int,
+      codebook: Seq[(Int, Int, Seq[Double])],
+      codes: DataFrame)
+
+  private val unitCol = expr(
+    """transform(embedding, x -> cast(x as double) /
+      |  sqrt(aggregate(zip_with(embedding, embedding,
+      |    (a, b) -> cast(a as double) * cast(b as double)),
+      |    0D, (acc, v) -> acc + v)))""".stripMargin)
+
+  /** (vec_id, sub, subvec): each unit vector split into m contiguous
+    * subDim-dim subvectors — the decomposition PQ quantizes per subspace.
+    */
+  private def subvecs(unit: DataFrame, m: Int, subDim: Int): DataFrame =
+    unit.select(col("vec_id"), posexplode(expr(
+      s"transform(sequence(0, ${m - 1}), s -> slice(unit, s * $subDim + 1, $subDim))"))
+      .as(Seq("sub", "subvec")))
+
+  /** Each (vector, subspace) assigned to its min-L2 code, carrying the
+    * subvec for the centroid update. One distributed pass covers ALL
+    * subspaces (the codebook joins on `sub`), so a Lloyd iteration costs
+    * one shuffle regardless of m.
+    */
+  private def pqAssign(
+      sv: DataFrame, codebook: Seq[(Int, Int, Seq[Double])]): DataFrame = {
+    val s = sv.sparkSession
+    import s.implicits._
+    val dist = expr(
+      "aggregate(zip_with(subvec, cent, (x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)")
+    sv.join(broadcast(codebook.toDF("sub", "code", "cent")), "sub")
+      .select(col("vec_id"), col("sub"), col("code"), col("subvec"), dist.as("dist"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(struct(col("dist"), col("code"))).getField("code").as("code"),
+        first(col("subvec")).as("subvec"))
+  }
+
+  /** Train the PQ codebook (deterministic Lloyd's per subspace — init =
+    * the ksub lowest-vec_id vectors' subvectors, fixed iterations, no
+    * RNG) and encode the corpus. Vectors are unit-normalized FIRST, so
+    * min-L2 in code space is monotone with max-cosine (‖a−b‖² = 2−2cosθ
+    * on the unit sphere) and the ADC ranking approximates the cosine
+    * ranking the rest of the e-family uses. Each Lloyd iteration is one
+    * distributed pass; the update collects m·ksub·subDim averaged doubles.
+    * An emptied code keeps its previous centroid (IVF's rule).
+    */
+  def trainPq(
+      e: DataFrame,
+      m: Int,
+      ksub: Int,
+      iters: Int,
+      persistCodes: Boolean = true): PqIndex = {
+    val s = e.sparkSession
+    import s.implicits._
+    val unit = e.select(col("vec_id"), col("embedding"), unitCol.as("unit"))
+    val dim = unit.select(size(col("unit"))).first().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val subDim = dim / m
+    val init = unit.orderBy(col("vec_id")).limit(ksub)
+      .select(col("unit")).collect()
+      .map(_.getSeq[Double](0))
+    var codebook: Seq[(Int, Int, Seq[Double])] =
+      for (sub <- 0 until m; c <- 0 until ksub)
+        yield (sub, c, init(c).slice(sub * subDim, (sub + 1) * subDim))
+    val sv = subvecs(unit, m, subDim)
+    for (_ <- 0 until iters) {
+      val updated = pqAssign(sv, codebook)
+        .select(col("sub"), col("code"), posexplode(col("subvec")).as(Seq("pos", "v")))
+        .groupBy(col("sub"), col("code"), col("pos"))
+        .agg(avg(col("v")).as("c"))
+        .collect()
+        .groupBy(r => (r.getInt(0), r.getInt(1)))
+        .map { case (k, rows) =>
+          k -> rows.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq
+        }
+      codebook = codebook.map { case (sub, c, old) =>
+        (sub, c, updated.getOrElse((sub, c), old))
+      }
+    }
+    val codes = unit.join(
+      pqAssign(sv, codebook)
+        .groupBy(col("vec_id"))
+        .agg(expr("transform(array_sort(collect_list(struct(sub, code))), x -> x.code)")
+          .as("codes")),
+      "vec_id")
+    PqIndex(m, ksub, codebook,
+      if (persistCodes) codes.persist(StorageLevel.MEMORY_AND_DISK) else codes)
+  }
+
+  /** Search a trained PQ index: asymmetric distance computation — each
+    * query precomputes its m × ksub table of exact subspace distances
+    * (tiny, broadcast), the compressed corpus is scanned with m table
+    * lookups per vector (never touching the original floats), the top
+    * rerank·k ADC candidates are re-ranked by EXACT cosine on the carried
+    * embeddings, and the final top-k is returned — the standard
+    * PQ-then-rerank shape. Columns: q_id, vec_id, cosine, rank.
+    */
+  def pqSearch(idx: PqIndex, qPred: Column, k: Int, rerank: Int = 4): DataFrame = {
+    val s = idx.codes.sparkSession
+    import s.implicits._
+    val q = idx.codes.filter(qPred)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("unit").as("q_unit"))
+    val subDim = idx.codebook.head._3.length
+    val qsub = subvecs(
+      q.select(col("q_id").as("vec_id"), col("q_unit").as("unit")),
+      idx.m, subDim)
+    val dist = expr(
+      "aggregate(zip_with(subvec, cent, (x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)")
+    val qtabs = qsub
+      .join(broadcast(idx.codebook.toDF("sub", "code", "cent")), "sub")
+      .select(col("vec_id").as("q_id"), col("sub"), col("code"), dist.as("dist"))
+      .groupBy(col("q_id"), col("sub"))
+      .agg(expr("transform(array_sort(collect_list(struct(code, dist))), x -> x.dist)")
+        .as("tab"))
+      .groupBy(col("q_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(sub, tab))), x -> x.tab)")
+        .as("tabs"))
+      .join(q, "q_id")
+    val adist = expr(
+      "aggregate(zip_with(codes, tabs, (c, t) -> element_at(t, c + 1)), 0D, (acc, v) -> acc + v)")
+    val wa = Window.partitionBy(col("q_id")).orderBy(col("adist"), col("vec_id"))
+    val wc = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+    idx.codes.crossJoin(broadcast(qtabs.select(col("q_id"), col("q_emb"), col("tabs"))))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), col("embedding"), col("q_emb"),
+        adist.as("adist"))
+      .withColumn("arank", row_number().over(wa))
+      .filter(col("arank") <= k * rerank)
+      .select(col("q_id"), col("vec_id"),
+        (dot("q_emb", "embedding") /
+          (sqrt(dot("q_emb", "q_emb")) * sqrt(dot("embedding", "embedding"))))
+          .as("cosine"))
+      .withColumn("rank", row_number().over(wc))
+      .filter(col("rank") <= k)
+  }
+
   // a stopped, GC'd session releases its cached indexes with it. The
   // previous identityHashCode key could both collide after GC (hashes
   // are address-derived and reusable, handing a new session an index
@@ -201,6 +350,8 @@ object AnnIndex {
     scala.collection.concurrent.TrieMap[(String, Int, Int), IvfIndex]]()
   private val lshCache = new java.util.WeakHashMap[SparkSession,
     scala.collection.concurrent.TrieMap[(String, Int), DataFrame]]()
+  private val pqCache = new java.util.WeakHashMap[SparkSession,
+    scala.collection.concurrent.TrieMap[(String, Int, Int, Int), PqIndex]]()
 
   /** The shared IVF index for `path`'s embeddings in session `s` —
     * trained on first use, reused by every later query in the session
@@ -222,4 +373,14 @@ object AnnIndex {
       lshCache.computeIfAbsent(s,
         _ => scala.collection.concurrent.TrieMap.empty)
     }.getOrElseUpdate((path, tables), buildLsh(e, tables))
+
+  /** The shared PQ index for `path`'s embeddings in session `s` (e9's
+    * search and e10's recall share one codebook + code table).
+    */
+  def pqFor(s: SparkSession, path: String, e: => DataFrame,
+      m: Int, ksub: Int, iters: Int): PqIndex =
+    pqCache.synchronized {
+      pqCache.computeIfAbsent(s,
+        _ => scala.collection.concurrent.TrieMap.empty)
+    }.getOrElseUpdate((path, m, ksub, iters), trainPq(e, m, ksub, iters))
 }

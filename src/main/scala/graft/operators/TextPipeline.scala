@@ -475,6 +475,16 @@ object TextPipeline {
   private[graft] def lshSearch(e: DataFrame, qPred: Column, k: Int, tables: Int): DataFrame =
     AnnIndex.lshSearch(AnnIndex.buildLsh(e, tables, persist = false), qPred, k)
 
+  /** PQ ANN search — one-shot train + search (the spec path; the query
+    * entries share a cached [[AnnIndex.PqIndex]]). Columns: q_id, vec_id,
+    * cosine, rank.
+    */
+  private[graft] def pqSearch(
+      e: DataFrame, qPred: Column, k: Int,
+      m: Int, ksub: Int, iters: Int): DataFrame =
+    AnnIndex.pqSearch(
+      AnnIndex.trainPq(e, m, ksub, iters, persistCodes = false), qPred, k)
+
   /** Johnson–Lindenstrauss projection of `embedding` to `outDims` dims
     * through the deterministic integer matrix
     * R(i,j) = ((i·37 + (j+41)·23) mod 11) − 5 (i 1-based input dim, j
@@ -1505,6 +1515,54 @@ object TextPipeline {
         AnnIndex.ivfFor(s, d, Tables.embeddings(s, d), nlist = 16, iters = 2),
         col("vec_id") < 3, k = 3, nprobe = 4)
         .orderBy(col("q_id"), col("rank"))
+    }, None),
+
+    ("e9_pq_search", (s: SparkSession, d: String) => {
+      // The FOURTH ANN path: product quantization — the COMPRESSION
+      // complement to IVF/LSH's pruning. Unit-normalized 64-dim vectors
+      // compress to 8 one-byte codes (8 subspaces × 16-code deterministic
+      // Lloyd codebooks), queries precompute their m×ksub exact subspace
+      // distance tables (broadcast — tiny), the code table is scanned
+      // with m lookups per vector (~32× fewer bytes than brute force at
+      // 100 TB), and the top ADC candidates re-rank by exact cosine.
+      // Rows-only (codebook training is not SQL-expressible; ADC rank
+      // boundaries aren't oracle-stable); search QUALITY is the planted
+      // near-duplicate test in PipelineSpec and e10's recall metric; the
+      // exact-cosine re-rank kernel is e1's, hash-checked there. The
+      // codebook trains once per session (AnnIndex.pqFor).
+      AnnIndex.pqSearch(
+        AnnIndex.pqFor(s, d, Tables.embeddings(s, d), m = 8, ksub = 16, iters = 2),
+        col("vec_id") < 3, k = 3)
+        .orderBy(col("q_id"), col("rank"))
+    }, None),
+
+    ("e10_pq_recall", (s: SparkSession, d: String) => {
+      // Recall@3 of the PQ search against the exact top-3 — e5/e7's
+      // metric for the compression path, same left-join shape so a query
+      // with a thin re-rank set reports lower recall rather than
+      // vanishing.
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+      val exact3 = cosineScored(e, q)
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("q_id"), col("vec_id"))
+      val pq3 = AnnIndex.pqSearch(
+        AnnIndex.pqFor(s, d, e, m = 8, ksub = 16, iters = 2),
+        col("vec_id") < 3, k = 3)
+        .select(col("q_id").as("pq_q_id"), col("vec_id").as("pq_vec_id"))
+      exact3
+        .join(pq3,
+          col("q_id") === col("pq_q_id") && col("vec_id") === col("pq_vec_id"),
+          "left")
+        .groupBy(col("q_id"))
+        .agg(count(lit(1)).as("n_exact"),
+          count(col("pq_vec_id")).as("n_hits"))
+        .withColumn("recall", col("n_hits") / col("n_exact"))
+        .orderBy(col("q_id"))
     }, None),
 
     ("e8_rp_recall", (s: SparkSession, d: String) => {

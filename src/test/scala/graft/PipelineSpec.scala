@@ -124,6 +124,36 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("pqSearch: planted near-duplicates are recalled at rank 1 through the code scan") {
+    // e9/e10's quality gate, same scheme as the LSH/IVF/RP planted
+    // tests: 3 planted near-duplicate pairs (cosine ≈ 0.999) must
+    // surface at rank 1 AFTER the lossy code-space ADC scan + exact
+    // re-rank — near-identical vectors quantize to near-identical codes,
+    // so a correct codebook/ADC/re-rank chain cannot miss them, while a
+    // scrambled code order or a broken distance table fails
+    // deterministically.
+    val s = spark
+    import s.implicits._
+    val dim = 16
+    val n = 120
+    val g = new TestData.Lcg(13L)
+    val base = Array.tabulate(n)(_ => Array.fill(dim)(g.gaussian().toFloat))
+    for (q <- 0 until 3)
+      base(q) = base(10 + q).map(v => v + 0.02f * g.gaussian().toFloat)
+    val df = base.zipWithIndex.map { case (e, i) => (i.toLong, e) }.toSeq
+      .toDF("vec_id", "embedding")
+    val top1 = TextPipeline.pqSearch(df, col("vec_id") < 3, k = 1,
+        m = 4, ksub = 8, iters = 2)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    for (q <- 0L until 3L) {
+      val (nbr, cos) = top1(q)
+      assert(nbr == 10L + q, s"query $q: expected planted neighbor ${10 + q}, got $nbr")
+      assert(cos > 0.99, s"query $q: cosine $cos")
+    }
+  }
+
   test("nearDupPairs: planted near-duplicates survive the composed bucket->verify plan") {
     // End-to-end d5 check: docs 100/101 are near-identical (one word edit),
     // 102/103 are exact duplicates, the rest are distinct. The composed
