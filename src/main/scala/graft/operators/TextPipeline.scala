@@ -2431,6 +2431,45 @@ object TextPipeline {
          FROM scored GROUP BY 1
          ORDER BY score_e6 DESC, doc_id LIMIT 20""")),
 
+    ("x23_heavy_hitters", (s: SparkSession, d: String) => {
+      // Frequent items with BOUNDED memory — the sketch x15's exact
+      // top-k can't be at a truly unbounded vocabulary: a Misra–Gries
+      // summary (39 counters, custom Tungsten aggregate with the
+      // mergeable-summaries merge rule) produces a candidate superset of
+      // every token above 1/40 of the stream in one pass, then a second
+      // pass counts ONLY the broadcast candidates exactly and applies
+      // the true n/40 threshold. The output is therefore EXACT (the
+      // sketch is invisible in it — oracle is a plain GROUP BY/HAVING),
+      // while executor memory stays O(k) per partition no matter how
+      // many distinct tokens the corpus holds. Integer counts and an
+      // integer threshold compare — no quantization needed.
+      import org.apache.spark.sql.GraftExpressionBridge
+      val toks = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .filter(col("token") =!= "")
+      val mg = GraftExpressionBridge.column(
+        graft.functions.MisraGries(
+          GraftExpressionBridge.expression(col("token")), k = 40)
+          .toAggregateExpression())
+      val cands = toks.agg(mg.as("cands"))
+        .select(explode(col("cands")).as("token"))
+      val n = toks.agg(count(lit(1)).as("n_tokens"))
+      toks.join(broadcast(cands), Seq("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(n))
+        .filter(col("cnt") * 40 > col("n_tokens"))
+        .orderBy(col("token"))
+    }, Some(
+      """WITH t AS (
+           SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+         tk AS (SELECT token FROM t WHERE token <> ''),
+         n AS (SELECT count(*) AS n_tokens FROM tk)
+         SELECT token, count(*) AS cnt, n.n_tokens
+         FROM tk, n GROUP BY 1, 3
+         HAVING count(*) * 40 > n.n_tokens
+         ORDER BY 1""")),
+
     ("x18_global_order", (s: SparkSession, d: String) => {
       // Deterministic global training order — every doc gets a contiguous
       // global position 0..N-1 in a salted-hash-shuffled order: the

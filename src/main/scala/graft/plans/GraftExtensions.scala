@@ -1,9 +1,10 @@
 package graft.plans
 
-import graft.functions.{MinHash8, SimHash32Agg, SortedLongIntersectCount, TokenRepetitionStats}
+import graft.functions.{MinHash8, MisraGries, SimHash32Agg, SortedLongIntersectCount, TokenRepetitionStats}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
 
 /** SQL surface for the library's native Catalyst kernels. Enable with
   * `spark.sql.extensions=graft.plans.GraftExtensions` (cluster config) or
@@ -56,5 +57,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[TokenRepetitionStats].getName,
         "token_repetition_stats"),
       one("token_repetition_stats")(TokenRepetitionStats)))
+    ext.injectFunction((
+      FunctionIdentifier("misra_gries"),
+      new ExpressionInfo(classOf[MisraGries].getName, "misra_gries"),
+      (args: Seq[Expression]) => args match {
+        case Seq(e, Literal(k: Int, IntegerType)) =>
+          MisraGries(e, k).toAggregateExpression()
+        case other => throw new IllegalArgumentException(
+          "misra_gries expects (expr, k literal int), got " +
+            other.map(_.sql).mkString(", "))
+      }))
   }
 }

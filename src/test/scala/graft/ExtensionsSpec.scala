@@ -69,6 +69,22 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((2L, 3L, 2L)))
   }
 
+  test("misra_gries from SQL: a true heavy hitter survives forced decrements and merges") {
+    // 200 'hot' + 120 distinct rare tokens with k=5: only 4 counters
+    // exist, so decrements fire constantly and the 8 input partitions
+    // force the mergeable-summaries merge path; the theorem says any
+    // token above n/5 = 64 must still be in the summary.
+    val s = spark
+    import s.implicits._
+    val rows = Seq.fill(200)("hot") ++ (0 until 120).map(i => s"rare_$i")
+    new scala.util.Random(5L).shuffle(rows).toDF("tok").repartition(8)
+      .createOrReplaceTempView("mg_toks")
+    val cands = spark.sql("SELECT misra_gries(tok, 5) AS c FROM mg_toks")
+      .collect()(0).getSeq[String](0)
+    assert(cands.contains("hot"), s"heavy hitter lost from summary: $cands")
+    assert(cands.length <= 4, s"summary exceeded k-1 counters: $cands")
+  }
+
   test("a wrong arity fails analysis instead of crashing execution") {
     val e = intercept[Exception] {
       spark.sql("SELECT sorted_intersect_count(array(1L)) AS n").collect()
