@@ -179,7 +179,8 @@ object Relational {
         .orderBy(col("event_date"), col("event_type"))
     }, Some(
       """SELECT cast(ts AS date) AS event_date, event_type, count(*) AS n,
-                sum(cast(round(value * 1e4) AS bigint)) AS sum_value_e4
+                cast(sum(cast(round(value * 1e4) AS bigint)) AS bigint)
+                  AS sum_value_e4
          FROM events
          WHERE cast(ts AS date) BETWEEN DATE '2024-01-10' AND DATE '2024-01-14'
          GROUP BY 1, 2 ORDER BY 1, 2""")),
@@ -643,7 +644,8 @@ object Relational {
            SELECT user_id, event_id, cast(round(value * 1e4) AS bigint) AS value_e4
            FROM events),
          totals AS (
-           SELECT user_id, sum(value_e4) AS user_total_e4, count(*) AS user_n
+           SELECT user_id, cast(sum(value_e4) AS bigint) AS user_total_e4,
+                  count(*) AS user_n
            FROM e GROUP BY 1)
          SELECT e.user_id, e.event_id, e.value_e4, t.user_total_e4, t.user_n
          FROM e JOIN totals t USING (user_id)
@@ -893,7 +895,8 @@ object Relational {
           col("o_orderstatus").asc_nulls_first)
     }, Some(
       """SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
-                sum(cast(round(o_totalprice * 1e4) AS bigint)) AS rev_e4
+                cast(sum(cast(round(o_totalprice * 1e4) AS bigint)) AS bigint)
+                  AS rev_e4
          FROM orders
          GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
                                  (o_orderpriority), ())
@@ -975,7 +978,8 @@ object Relational {
     }, Some(
       """WITH monthly AS (
            SELECT cast(date_trunc('month', o_orderdate) AS date) AS month,
-                  sum(cast(round(o_totalprice * 1e4) AS bigint)) AS rev_e4,
+                  cast(sum(cast(round(o_totalprice * 1e4) AS bigint)) AS bigint)
+                    AS rev_e4,
                   count(*) AS n
            FROM orders GROUP BY 1)
          SELECT month, 'rev_e4' AS metric, rev_e4 AS value FROM monthly
@@ -1246,7 +1250,8 @@ object Relational {
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
            FROM g)
          SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
-                count(*) AS n_events, sum(value_e4) AS sum_value_e4
+                count(*) AS n_events,
+                cast(sum(value_e4) AS bigint) AS sum_value_e4
          FROM sess GROUP BY user_id, sid
          ORDER BY user_id, session_start""")),
 
@@ -1280,7 +1285,7 @@ object Relational {
            FROM events)
          SELECT event_id, event_type, ts_s,
                 count(*) OVER w AS n_window,
-                sum(value_e6) OVER w AS sum_value_e6
+                cast(sum(value_e6) OVER w AS bigint) AS sum_value_e6
          FROM e
          WINDOW w AS (PARTITION BY event_type ORDER BY ts_s
            RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)

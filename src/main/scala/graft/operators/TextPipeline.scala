@@ -1168,7 +1168,8 @@ object TextPipeline {
          SELECT cluster_id,
                 min(CASE WHEN rn = 1 THEN node END) AS keeper_doc_id,
                 count(*) AS cluster_size,
-                sum(CASE WHEN rn <> 1 THEN n_chars ELSE 0 END) AS chars_dropped
+                cast(sum(CASE WHEN rn <> 1 THEN n_chars ELSE 0 END) AS bigint)
+                  AS chars_dropped
          FROM rk GROUP BY 1 ORDER BY 1""")),
 
     ("d8_incremental_dedup", (s: SparkSession, d: String) => {
@@ -1909,9 +1910,10 @@ object TextPipeline {
          cnt AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2),
          uni AS (SELECT w1, count(*) AS cu FROM bg GROUP BY 1),
          voc AS (SELECT count(DISTINCT w2) AS v FROM bg)
-         SELECT b.doc_id, count(*) AS n_bigrams, sum(c.c) AS sum_count,
-                sum(cast(round(ln((c.c + 1.0) / (u.cu + (SELECT v FROM voc))) * 1e6)
-                    AS bigint)) AS sum_ll_e6
+         SELECT b.doc_id, count(*) AS n_bigrams,
+                cast(sum(c.c) AS bigint) AS sum_count,
+                cast(sum(cast(round(ln((c.c + 1.0) / (u.cu + (SELECT v FROM voc))) * 1e6)
+                    AS bigint)) AS bigint) AS sum_ll_e6
          FROM bg b
          JOIN cnt c ON c.w1 = b.w1 AND c.w2 = b.w2
          JOIN uni u ON u.w1 = b.w1
@@ -1945,8 +1947,10 @@ object TextPipeline {
            FROM documents)
          SELECT source, cast(rate_permille AS int) AS rate_permille,
                 count(*) AS n_docs,
-                sum(CASE WHEN mix_bucket < rate_permille THEN 1 ELSE 0 END) AS n_sampled,
-                sum(CASE WHEN mix_bucket < rate_permille THEN n_chars ELSE 0 END) AS chars_sampled
+                cast(sum(CASE WHEN mix_bucket < rate_permille THEN 1 ELSE 0 END)
+                  AS bigint) AS n_sampled,
+                cast(sum(CASE WHEN mix_bucket < rate_permille THEN n_chars ELSE 0 END)
+                  AS bigint) AS chars_sampled
          FROM m GROUP BY 1, 2 ORDER BY 1""")),
 
     ("x9_sequence_packing", (s: SparkSession, d: String) => {
@@ -1973,8 +1977,9 @@ object TextPipeline {
     }, Some(
       """WITH o AS (
            SELECT doc_id, source, n_chars,
-                  coalesce(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS byte_offset
+                  cast(coalesce(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS bigint) AS byte_offset
            FROM documents)
          SELECT doc_id, source, n_chars, byte_offset,
                 cast(byte_offset // 2048 AS bigint) AS chunk_id,
@@ -2040,9 +2045,10 @@ object TextPipeline {
              FROM split sp)
            WHERE mb < rate)
          SELECT doc_id, source, split, n_chars,
-                coalesce(sum(n_chars) OVER (PARTITION BY source, split
+                cast(coalesce(sum(n_chars) OVER (PARTITION BY source, split
                   ORDER BY doc_id
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS byte_offset,
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS bigint) AS byte_offset,
                 cast(coalesce(sum(n_chars) OVER (PARTITION BY source, split
                   ORDER BY doc_id
                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048 AS bigint)
