@@ -58,25 +58,42 @@ object Bench {
       }
       name -> (if (times.nonEmpty) median(times) else 0.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"warmup_sec":$warmup,"passes":$passes,"errors":$errJson,"sf":"$sfDir"}"""
-    println(json)
-    // Also persist the full line to a file: the driver captures stdout's
-    // TAIL, which truncated 7 per-query entries in round 6 — the file makes
-    // every round auditable without a re-run. Best-effort: the stdout line
-    // above is the contract, so a read-only cwd or missing target/ (e.g. a
-    // spark-submit from outside the repo) must not fail a successful run.
-    try {
-      val out = java.nio.file.Paths.get("target/bench.json")
-      Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
-      java.nio.file.Files.write(out, (json + "\n").getBytes("UTF-8"))
-    } catch {
-      case e: java.io.IOException =>
-        System.err.println(s"[bench] could not write target/bench.json: $e")
+    def jsonLine(qmap: Iterable[(String, Double)], extra: String): String = {
+      val qs = qmap.map { case (k, v) => s"\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$extra"warmup_sec":$warmup,"passes":$passes,"errors":$errJson,"sf":"$sfDir"}"""
     }
+    val full = jsonLine(results, "")
+    // Persist the FULL per-query map to files: the driver captures only the
+    // last ~2000 chars of stdout, which decapitates a 120-query JSON line
+    // (BENCH_r8 `parsed: null`). The files make every round auditable
+    // without a re-run; best-effort writes, a read-only cwd must not fail
+    // a successful run.
+    for (path <- Seq("target/bench.json", "BENCH_FULL.json")) {
+      try {
+        val out = java.nio.file.Paths.get(path)
+        Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
+        java.nio.file.Files.write(out, (full + "\n").getBytes("UTF-8"))
+      } catch {
+        case e: java.io.IOException =>
+          System.err.println(s"[bench] could not write $path: $e")
+      }
+    }
+    // stdout contract: ONE JSON line, and it must survive the driver's
+    // 2000-char tail (sbt's trailing "[success] Total time ..." line eats
+    // ~105 of those). Print the slowest queries — the ones perf grading
+    // cares about — at ms precision until the line would overflow, and
+    // point at the full map.
+    val slowestFirst = results.toSeq.sortBy(-_._2)
+      .map { case (k, v) => k -> (math.rint(v * 1000) / 1000) }
+    val budget = 1800
+    var keep = slowestFirst.length
+    def compact(n: Int): String = jsonLine(slowestFirst.take(n),
+      s""""n_queries":${results.size},"full":"target/bench.json",""")
+    while (keep > 1 && compact(keep).length > budget) keep -= 1
+    println(compact(keep))
     spark.stop()
   }
 }

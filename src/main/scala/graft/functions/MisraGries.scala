@@ -86,7 +86,8 @@ case class MisraGries(
       val cit = buf.values().iterator()
       while (cit.hasNext) { counts(i) = cit.next(); i += 1 }
       java.util.Arrays.sort(counts)
-      val kth = counts(counts.length - (k - 1)) // k-th largest boundary
+      // size > k - 1 implies counts.length >= k, so this index is valid.
+      val kth = counts(counts.length - k) // k-th largest boundary
       val it = buf.entrySet().iterator()
       while (it.hasNext) {
         val e = it.next()

@@ -45,11 +45,16 @@ case class TokenRepetitionStats(child: Expression) extends UnaryExpression {
   override def prettyName: String = "token_repetition_stats"
 
   override protected def nullSafeEval(input: Any): Any =
-    TokenRepetitionStats.eval(input.asInstanceOf[ArrayData])
+    TokenRepetitionStats.kernel(input.asInstanceOf[ArrayData])
 
+  // The static kernel must NOT be named `eval`: the case class inherits
+  // eval(InternalRow) from Expression, which suppresses the companion's
+  // static forwarder of the same name, so generated Java calling
+  // TokenRepetitionStats.eval(ArrayData) failed Janino resolution and the
+  // whole stage silently fell back to interpreted execution.
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, a =>
-      s"graft.functions.TokenRepetitionStats.eval($a)")
+      s"graft.functions.TokenRepetitionStats.kernel($a)")
 
   override protected def withNewChildInternal(newChild: Expression): TokenRepetitionStats =
     copy(child = newChild)
@@ -66,7 +71,7 @@ object TokenRepetitionStats {
   /** Static kernel the generated code calls — one virtual-free entry
     * point, no interpreter tree-walk per element.
     */
-  def eval(arr: ArrayData): InternalRow = {
+  def kernel(arr: ArrayData): InternalRow = {
     val n = arr.numElements()
     val toks = new Array[UTF8String](n)
     var i = 0

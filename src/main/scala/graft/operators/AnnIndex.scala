@@ -265,6 +265,9 @@ object AnnIndex {
     val init = unit.orderBy(col("vec_id")).limit(ksub)
       .select(col("unit")).collect()
       .map(_.getSeq[Double](0))
+    require(init.length >= ksub,
+      s"product quantization needs at least ksub=$ksub vectors to seed the " +
+        s"codebook, corpus has only ${init.length}")
     var codebook: Seq[(Int, Int, Seq[Double])] =
       for (sub <- 0 until m; c <- 0 until ksub)
         yield (sub, c, init(c).slice(sub * subDim, (sub + 1) * subDim))

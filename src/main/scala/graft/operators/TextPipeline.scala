@@ -2078,8 +2078,8 @@ object TextPipeline {
                      FROM t WHERE len(t) >= 5)),
          tg AS (SELECT DISTINCT gram FROM g WHERE split = 'test'),
          cnt AS (SELECT doc_id, count(*) AS n_grams,
-                        sum(CASE WHEN gram IN (SELECT gram FROM tg)
-                            THEN 1 ELSE 0 END) AS n_contaminated
+                        cast(sum(CASE WHEN gram IN (SELECT gram FROM tg)
+                            THEN 1 ELSE 0 END) AS bigint) AS n_contaminated
                  FROM g WHERE split = 'train' GROUP BY 1)
          SELECT sp.doc_id, coalesce(cnt.n_grams, 0) AS n_grams,
                 coalesce(cnt.n_contaminated, 0) AS n_contaminated,
@@ -2433,7 +2433,8 @@ object TextPipeline {
                   cast(round(t.tf * ln(cast(n.n_docs AS double) / d.df_docs) * 1e6)
                     AS bigint) AS part_e6
            FROM tf t JOIN dft d ON d.token = t.token, n)
-         SELECT doc_id, count(*) AS n_terms_hit, sum(part_e6) AS score_e6
+         SELECT doc_id, count(*) AS n_terms_hit,
+                cast(sum(part_e6) AS bigint) AS score_e6
          FROM scored GROUP BY 1
          ORDER BY score_e6 DESC, doc_id LIMIT 20""")),
 
@@ -2664,7 +2665,7 @@ object TextPipeline {
                     least(length(text), frame_idx * 64 + 64))) AS p, text
            FROM f)
          SELECT doc_id, frame_idx, count(*) AS frame_len,
-                sum(ascii(substr(text, p, 1))) AS frame_sum
+                cast(sum(ascii(substr(text, p, 1))) AS bigint) AS frame_sum
          FROM pos GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 

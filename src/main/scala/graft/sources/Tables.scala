@@ -47,15 +47,28 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects outright.
-    * Read nanos as long (legacy conf) and truncate to microsecond precision
-    * with integer division — double division would lose precision above
-    * 2^53 ns (~mid-1970s epoch). DuckDB oracles must compare on
-    * `cast(ts AS timestamp)` (ns → µs truncation) for parity.
+  /** `events.ts` has shipped in two on-disk generations: parquet
+    * TIMESTAMP(NANOS) — which Spark 4 rejects unless nanos are read as
+    * long, then truncated to µs with integer division (double division
+    * would lose precision above 2^53 ns, ~mid-1970s epoch) — and plain
+    * TIMESTAMP(MICROS) without tz metadata, which Spark reads as
+    * TIMESTAMP_NTZ. Both normalize to session-tz TimestampType (the
+    * session is pinned UTC, so the NTZ wall-clock IS the instant), so
+    * every downstream operator and oracle sees one type. DuckDB oracles
+    * compare on `cast(ts AS timestamp)` — a no-op on the µs generation,
+    * the same ns → µs truncation on the old one.
     */
-  def events(s: SparkSession, d: String): DataFrame =
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  def events(s: SparkSession, d: String): DataFrame = {
+    val df = load(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case _ =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

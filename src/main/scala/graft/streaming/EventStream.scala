@@ -39,26 +39,36 @@ object EventStream {
   final case class StatsUpdate(
       event_type: String, n: Long, mean: Double, variance: Double)
 
-  /** The events file schema for the streaming source (nanos as long —
-    * file-source scans don't run Tables' conf pinning, so the schema says
-    * it explicitly).
+  /** The events file schema for the streaming source, parameterized on the
+    * on-disk `ts` type: the column has shipped as TIMESTAMP(NANOS) (read as
+    * long — file-source scans don't run Tables' conf pinning, so the schema
+    * says it explicitly) and as TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ).
     */
-  val eventsRawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType), // TIMESTAMP(NANOS) read as long
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  def eventsRawSchema(tsType: org.apache.spark.sql.types.DataType): StructType =
+    StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", tsType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
 
-  /** File-source stream over the events parquet in `dir`. */
+  /** File-source stream over the events parquet in `dir`. One batch footer
+    * read discovers which `ts` generation is on disk (streams require an
+    * explicit schema); both normalize to session-tz TimestampType exactly
+    * as [[graft.sources.Tables.events]] does for batch.
+    */
   def readEvents(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.readStream
-      .schema(eventsRawSchema)
+    val tsType = s.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+    val raw = s.readStream
+      .schema(eventsRawSchema(tsType))
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    tsType match {
+      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _        => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   /** Tumbling 1-hour windows per event_type with a 30-minute watermark:

@@ -85,6 +85,22 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cands.length <= 4, s"summary exceeded k-1 counters: $cands")
   }
 
+  test("misra_gries merge keeps a heavy hitter just above the n/k threshold") {
+    // The adversarial merge case: partition 0 holds {a:4}, partition 1
+    // reduces 'a b b b' to {b:2} (k=2 means one counter, so the lone 'a'
+    // decrements away). n=8, n/2=4, and a's true frequency 5 > 4, so the
+    // theorem requires 'a' to survive the MERGE. Subtracting the largest
+    // counter instead of the k-th largest empties the summary here.
+    val s = spark
+    import s.implicits._
+    val rows = Seq.fill(5)("a") ++ Seq.fill(3)("b")
+    s.sparkContext.parallelize(rows, 2).toDF("tok")
+      .createOrReplaceTempView("mg_merge_toks")
+    val cands = spark.sql("SELECT misra_gries(tok, 2) AS c FROM mg_merge_toks")
+      .collect()(0).getSeq[String](0)
+    assert(cands == Seq("a"), s"near-threshold heavy hitter lost in merge: $cands")
+  }
+
   test("a wrong arity fails analysis instead of crashing execution") {
     val e = intercept[Exception] {
       spark.sql("SELECT sorted_intersect_count(array(1L)) AS n").collect()

@@ -30,6 +30,37 @@ def canon(rows, colnames):
     out = [tuple(r[i] for i in order) for r in rows]
     return sorted(out, key=lambda t: tuple(_sortkey(x) for x in t))
 
+def _canon_type(t):
+    # Normalize representational variants the DRIVER's hash also treats as
+    # equal (calibrated against CORRECTNESS_r08: queries green there must
+    # stay green here): integer widths (Spark int32 vs DuckDB int64),
+    # timestamp unit/tz (Spark INT96 reads as ns, DuckDB as us), and
+    # large_string/large_binary. decimal128 stays DISTINCT from int64 —
+    # that split is exactly the class the driver hash rejects (the r8
+    # un-cast HUGEINT sum() failures).
+    import pyarrow as pa
+    if pa.types.is_integer(t): return pa.int64()
+    # Fractional decimals hashed green against double in r8 (f_grid_expand:
+    # decimal128(22,2) vs float64); only scale-0 decimals (HUGEINT sums)
+    # split from integer columns.
+    if pa.types.is_decimal(t) and t.scale > 0: return pa.float64()
+    if pa.types.is_floating(t): return pa.float64()
+    if pa.types.is_large_string(t): return pa.string()
+    if pa.types.is_large_binary(t): return pa.binary()
+    if pa.types.is_timestamp(t): return pa.timestamp('us')
+    if pa.types.is_large_list(t) or pa.types.is_list(t):
+        return pa.list_(_canon_type(t.value_type))
+    return t
+
+def dtype_diffs(spark_schema, oracle_schema):
+    # The driver's exact hash is TYPE-sensitive: an un-cast DuckDB sum()
+    # returns HUGEINT -> decimal128(38,0) and hash-fails against Spark's
+    # int64 even when every value matches. Catch that class locally.
+    sd = {f.name: _canon_type(f.type) for f in spark_schema}
+    od = {f.name: _canon_type(f.type) for f in oracle_schema}
+    return [(n, str(sd[n]), str(od[n]))
+            for n in sorted(set(sd) & set(od)) if sd[n] != od[n]]
+
 def val_eq(a, b):
     if a is None or b is None:
         return a is None and b is None
@@ -67,13 +98,18 @@ def main(sf_dir, out_dir):
                 print(f"      WARN: empty result")
             continue
         try:
-            res = con.execute(oracle[name])
-            ocols = [c[0] for c in res.description]
-            orows = res.fetchall()
+            otbl = con.execute(oracle[name]).arrow()
+            ocols = otbl.column_names
+            orows = [tuple(r[c] for c in ocols) for r in otbl.to_pylist()]
         except Exception as e:
             print(f"FAIL  {name}: oracle SQL error: {e}"); n_fail += 1; continue
         if sorted(scols) != sorted(ocols):
             print(f"FAIL  {name}: schema mismatch spark={sorted(scols)} oracle={sorted(ocols)}")
+            n_fail += 1; continue
+        tdiffs = dtype_diffs(tbl.schema, otbl.schema)
+        if tdiffs:
+            print(f"FAIL  {name}: dtype mismatch (driver hash is type-sensitive): "
+                  + ", ".join(f"{n} spark={s} oracle={o}" for n, s, o in tdiffs))
             n_fail += 1; continue
         if len(srows) != len(orows):
             print(f"FAIL  {name}: rowcount spark={len(srows)} oracle={len(orows)}")
