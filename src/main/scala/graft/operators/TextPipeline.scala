@@ -1522,32 +1522,126 @@ object TextPipeline {
       // The FOURTH ANN path: product quantization — the COMPRESSION
       // complement to IVF/LSH's pruning. Unit-normalized 64-dim vectors
       // compress to 8 one-byte codes (8 subspaces × 16-code deterministic
-      // Lloyd codebooks), queries precompute their m×ksub exact subspace
+      // Lloyd codebooks), queries precompute their m×ksub subspace
       // distance tables (broadcast — tiny), the code table is scanned
       // with m lookups per vector (~32× fewer bytes than brute force at
       // 100 TB), and the top ADC candidates re-rank by exact cosine.
-      // Rows-only (codebook training is not SQL-expressible; ADC rank
-      // boundaries aren't oracle-stable); search QUALITY is the planted
-      // near-duplicate test in PipelineSpec and e10's recall metric; the
-      // exact-cosine re-rank kernel is e1's, hash-checked there. The
-      // codebook trains once per session (AnnIndex.pqFor).
+      // HASH-CHECKED since round 9 (was rows-only): unit vectors quantize
+      // to e6 longs BEFORE training, so codebook init, both Lloyd
+      // iterations (integer distances, floor(mean+0.5) centroid updates,
+      // lowest-code ties), the ADC sums, and both rank tie-breaks are
+      // exact integer arithmetic the oracle replays CTE-for-CTE —
+      // training included, not just the table-lookup scan. Search QUALITY
+      // stays gated by the planted near-duplicate test in PipelineSpec
+      // and e10's recall. The codebook trains once per session
+      // (AnnIndex.pqFor).
       AnnIndex.pqSearch(
         AnnIndex.pqFor(s, d, Tables.embeddings(s, d), m = 8, ksub = 16, iters = 2),
         col("vec_id") < 3, k = 3)
         .orderBy(col("q_id"), col("rank"))
-    }, None),
+    }, Some(
+      """WITH ex AS (
+           SELECT vec_id, i, cast(embedding[i] AS double) AS v FROM (
+             SELECT vec_id, embedding,
+                    unnest(generate_series(1, len(embedding))) AS i
+             FROM embeddings)),
+         nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ex GROUP BY 1),
+         u AS (SELECT e.vec_id, e.i,
+                      cast(round(e.v / n.nrm * 1e6) AS bigint) AS ue6
+               FROM ex e JOIN nrm n ON n.vec_id = e.vec_id),
+         sv AS (SELECT vec_id, cast((i - 1) // 8 AS int) AS sub,
+                       cast((i - 1) % 8 AS int) AS d, ue6 FROM u),
+         cb0 AS (SELECT sub, cast(r - 1 AS int) AS code, d, ue6 FROM (
+                   SELECT sv.*, dense_rank() OVER (ORDER BY vec_id) AS r
+                   FROM sv)
+                 WHERE r <= 16),
+         a0 AS (SELECT vec_id, sub, code FROM (
+                  SELECT vec_id, sub, code, row_number() OVER (
+                    PARTITION BY vec_id, sub ORDER BY dist, code) AS rn
+                  FROM (SELECT sv.vec_id, sv.sub, cb.code,
+                               cast(sum((sv.ue6 - cb.ue6) * (sv.ue6 - cb.ue6))
+                                 AS bigint) AS dist
+                        FROM sv JOIN cb0 cb ON cb.sub = sv.sub AND cb.d = sv.d
+                        GROUP BY 1, 2, 3))
+                WHERE rn = 1),
+         cb1 AS (SELECT cb0.sub, cb0.code, cb0.d, coalesce(up.ue6, cb0.ue6) AS ue6
+                 FROM cb0 LEFT JOIN (
+                   SELECT a.sub, a.code, sv.d,
+                          cast(floor(sum(sv.ue6) * 1.0 / count(*) + 0.5) AS bigint) AS ue6
+                   FROM a0 a JOIN sv ON sv.vec_id = a.vec_id AND sv.sub = a.sub
+                   GROUP BY 1, 2, 3) up
+                 ON up.sub = cb0.sub AND up.code = cb0.code AND up.d = cb0.d),
+         a1 AS (SELECT vec_id, sub, code FROM (
+                  SELECT vec_id, sub, code, row_number() OVER (
+                    PARTITION BY vec_id, sub ORDER BY dist, code) AS rn
+                  FROM (SELECT sv.vec_id, sv.sub, cb.code,
+                               cast(sum((sv.ue6 - cb.ue6) * (sv.ue6 - cb.ue6))
+                                 AS bigint) AS dist
+                        FROM sv JOIN cb1 cb ON cb.sub = sv.sub AND cb.d = sv.d
+                        GROUP BY 1, 2, 3))
+                WHERE rn = 1),
+         cb2 AS (SELECT cb1.sub, cb1.code, cb1.d, coalesce(up.ue6, cb1.ue6) AS ue6
+                 FROM cb1 LEFT JOIN (
+                   SELECT a.sub, a.code, sv.d,
+                          cast(floor(sum(sv.ue6) * 1.0 / count(*) + 0.5) AS bigint) AS ue6
+                   FROM a1 a JOIN sv ON sv.vec_id = a.vec_id AND sv.sub = a.sub
+                   GROUP BY 1, 2, 3) up
+                 ON up.sub = cb1.sub AND up.code = cb1.code AND up.d = cb1.d),
+         a2 AS (SELECT vec_id, sub, code FROM (
+                  SELECT vec_id, sub, code, row_number() OVER (
+                    PARTITION BY vec_id, sub ORDER BY dist, code) AS rn
+                  FROM (SELECT sv.vec_id, sv.sub, cb.code,
+                               cast(sum((sv.ue6 - cb.ue6) * (sv.ue6 - cb.ue6))
+                                 AS bigint) AS dist
+                        FROM sv JOIN cb2 cb ON cb.sub = sv.sub AND cb.d = sv.d
+                        GROUP BY 1, 2, 3))
+                WHERE rn = 1),
+         qt AS (SELECT sv.vec_id AS q_id, cb.sub, cb.code,
+                       cast(sum((sv.ue6 - cb.ue6) * (sv.ue6 - cb.ue6))
+                         AS bigint) AS dist
+                FROM sv JOIN cb2 cb ON cb.sub = sv.sub AND cb.d = sv.d
+                WHERE sv.vec_id < 3 GROUP BY 1, 2, 3),
+         adc AS (SELECT qt.q_id, a2.vec_id, cast(sum(qt.dist) AS bigint) AS adist
+                 FROM a2 JOIN qt ON qt.sub = a2.sub AND qt.code = a2.code
+                 WHERE a2.vec_id <> qt.q_id GROUP BY 1, 2),
+         cand AS (SELECT q_id, vec_id, adist FROM (
+                    SELECT adc.*, row_number() OVER (PARTITION BY q_id
+                             ORDER BY adist, vec_id) AS arank FROM adc)
+                  WHERE arank <= 12),
+         cdot AS (SELECT c.q_id, c.vec_id, c.adist, sum(q.v * e.v) AS dot
+                  FROM cand c
+                  JOIN ex q ON q.vec_id = c.q_id
+                  JOIN ex e ON e.vec_id = c.vec_id AND e.i = q.i
+                  GROUP BY 1, 2, 3),
+         scored AS (SELECT cd.q_id, cd.vec_id, cd.adist,
+                           cast(round(cd.dot / (nq.nrm * ne.nrm) * 1e6) AS bigint)
+                             AS cosine_e6
+                    FROM cdot cd
+                    JOIN nrm nq ON nq.vec_id = cd.q_id
+                    JOIN nrm ne ON ne.vec_id = cd.vec_id)
+         SELECT q_id, vec_id, adist, cosine_e6, rank FROM (
+           SELECT scored.*, row_number() OVER (PARTITION BY q_id
+                    ORDER BY cosine_e6 DESC, vec_id) AS rank
+           FROM scored)
+         WHERE rank <= 3 ORDER BY q_id, rank""")),
 
     ("e10_pq_recall", (s: SparkSession, d: String) => {
       // Recall@3 of the PQ search against the exact top-3 — e5/e7's
       // metric for the compression path, same left-join shape so a query
       // with a thin re-rank set reports lower recall rather than
-      // vanishing.
+      // vanishing. Hash-checked since round 9 alongside e9: both sides
+      // rank on the e6-rounded cosine with vec_id ties (e5's determinism
+      // argument), the PQ side replays the integer-exact codebook, and
+      // the recall division has identical integer operands in both
+      // engines.
       val e = Tables.embeddings(s, d)
       val q = e.filter(col("vec_id") < 3)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       val w = Window.partitionBy(col("q_id"))
-        .orderBy(col("cosine").desc, col("vec_id"))
+        .orderBy(col("cosine_e6").desc, col("vec_id"))
       val exact3 = cosineScored(e, q)
+        .select(col("q_id"), col("vec_id"),
+          round(col("cosine") * 1e6).cast("long").as("cosine_e6"))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 3)
         .select(col("q_id"), col("vec_id"))
@@ -1564,7 +1658,103 @@ object TextPipeline {
           count(col("pq_vec_id")).as("n_hits"))
         .withColumn("recall", col("n_hits") / col("n_exact"))
         .orderBy(col("q_id"))
-    }, None),
+    }, Some(
+      """WITH ex AS (
+           SELECT vec_id, i, cast(embedding[i] AS double) AS v FROM (
+             SELECT vec_id, embedding,
+                    unnest(generate_series(1, len(embedding))) AS i
+             FROM embeddings)),
+         nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ex GROUP BY 1),
+         u AS (SELECT e.vec_id, e.i,
+                      cast(round(e.v / n.nrm * 1e6) AS bigint) AS ue6
+               FROM ex e JOIN nrm n ON n.vec_id = e.vec_id),
+         sv AS (SELECT vec_id, cast((i - 1) // 8 AS int) AS sub,
+                       cast((i - 1) % 8 AS int) AS d, ue6 FROM u),
+         cb0 AS (SELECT sub, cast(r - 1 AS int) AS code, d, ue6 FROM (
+                   SELECT sv.*, dense_rank() OVER (ORDER BY vec_id) AS r
+                   FROM sv)
+                 WHERE r <= 16),
+         a0 AS (SELECT vec_id, sub, code FROM (
+                  SELECT vec_id, sub, code, row_number() OVER (
+                    PARTITION BY vec_id, sub ORDER BY dist, code) AS rn
+                  FROM (SELECT sv.vec_id, sv.sub, cb.code,
+                               cast(sum((sv.ue6 - cb.ue6) * (sv.ue6 - cb.ue6))
+                                 AS bigint) AS dist
+                        FROM sv JOIN cb0 cb ON cb.sub = sv.sub AND cb.d = sv.d
+                        GROUP BY 1, 2, 3))
+                WHERE rn = 1),
+         cb1 AS (SELECT cb0.sub, cb0.code, cb0.d, coalesce(up.ue6, cb0.ue6) AS ue6
+                 FROM cb0 LEFT JOIN (
+                   SELECT a.sub, a.code, sv.d,
+                          cast(floor(sum(sv.ue6) * 1.0 / count(*) + 0.5) AS bigint) AS ue6
+                   FROM a0 a JOIN sv ON sv.vec_id = a.vec_id AND sv.sub = a.sub
+                   GROUP BY 1, 2, 3) up
+                 ON up.sub = cb0.sub AND up.code = cb0.code AND up.d = cb0.d),
+         a1 AS (SELECT vec_id, sub, code FROM (
+                  SELECT vec_id, sub, code, row_number() OVER (
+                    PARTITION BY vec_id, sub ORDER BY dist, code) AS rn
+                  FROM (SELECT sv.vec_id, sv.sub, cb.code,
+                               cast(sum((sv.ue6 - cb.ue6) * (sv.ue6 - cb.ue6))
+                                 AS bigint) AS dist
+                        FROM sv JOIN cb1 cb ON cb.sub = sv.sub AND cb.d = sv.d
+                        GROUP BY 1, 2, 3))
+                WHERE rn = 1),
+         cb2 AS (SELECT cb1.sub, cb1.code, cb1.d, coalesce(up.ue6, cb1.ue6) AS ue6
+                 FROM cb1 LEFT JOIN (
+                   SELECT a.sub, a.code, sv.d,
+                          cast(floor(sum(sv.ue6) * 1.0 / count(*) + 0.5) AS bigint) AS ue6
+                   FROM a1 a JOIN sv ON sv.vec_id = a.vec_id AND sv.sub = a.sub
+                   GROUP BY 1, 2, 3) up
+                 ON up.sub = cb1.sub AND up.code = cb1.code AND up.d = cb1.d),
+         a2 AS (SELECT vec_id, sub, code FROM (
+                  SELECT vec_id, sub, code, row_number() OVER (
+                    PARTITION BY vec_id, sub ORDER BY dist, code) AS rn
+                  FROM (SELECT sv.vec_id, sv.sub, cb.code,
+                               cast(sum((sv.ue6 - cb.ue6) * (sv.ue6 - cb.ue6))
+                                 AS bigint) AS dist
+                        FROM sv JOIN cb2 cb ON cb.sub = sv.sub AND cb.d = sv.d
+                        GROUP BY 1, 2, 3))
+                WHERE rn = 1),
+         alldots AS (
+           SELECT q.vec_id AS q_id, e.vec_id AS vec_id, sum(q.v * e.v) AS dot
+           FROM ex q JOIN ex e ON q.i = e.i
+           WHERE q.vec_id < 3 AND e.vec_id <> q.vec_id
+           GROUP BY 1, 2),
+         allscored AS (
+           SELECT d.q_id, d.vec_id,
+                  cast(round(d.dot / (nq.nrm * ne.nrm) * 1e6) AS bigint) AS c6
+           FROM alldots d
+           JOIN nrm nq ON nq.vec_id = d.q_id
+           JOIN nrm ne ON ne.vec_id = d.vec_id),
+         exact3 AS (
+           SELECT q_id, vec_id FROM (
+             SELECT *, row_number() OVER (PARTITION BY q_id
+                         ORDER BY c6 DESC, vec_id) AS rank
+             FROM allscored)
+           WHERE rank <= 3),
+         qt AS (SELECT sv.vec_id AS q_id, cb.sub, cb.code,
+                       cast(sum((sv.ue6 - cb.ue6) * (sv.ue6 - cb.ue6))
+                         AS bigint) AS dist
+                FROM sv JOIN cb2 cb ON cb.sub = sv.sub AND cb.d = sv.d
+                WHERE sv.vec_id < 3 GROUP BY 1, 2, 3),
+         adc AS (SELECT qt.q_id, a2.vec_id, cast(sum(qt.dist) AS bigint) AS adist
+                 FROM a2 JOIN qt ON qt.sub = a2.sub AND qt.code = a2.code
+                 WHERE a2.vec_id <> qt.q_id GROUP BY 1, 2),
+         cand AS (SELECT q_id, vec_id FROM (
+                    SELECT adc.*, row_number() OVER (PARTITION BY q_id
+                             ORDER BY adist, vec_id) AS arank FROM adc)
+                  WHERE arank <= 12),
+         pq3 AS (SELECT q_id, vec_id FROM (
+                   SELECT a.q_id, a.vec_id, row_number() OVER (
+                     PARTITION BY a.q_id ORDER BY a.c6 DESC, a.vec_id) AS rank
+                   FROM allscored a JOIN cand c
+                     ON c.q_id = a.q_id AND c.vec_id = a.vec_id)
+                 WHERE rank <= 3)
+         SELECT e3.q_id, count(*) AS n_exact, count(p.vec_id) AS n_hits,
+                count(p.vec_id) * 1.0 / count(*) AS recall
+         FROM exact3 e3
+         LEFT JOIN pq3 p ON p.q_id = e3.q_id AND p.vec_id = e3.vec_id
+         GROUP BY 1 ORDER BY 1""")),
 
     ("e8_rp_recall", (s: SparkSession, d: String) => {
       // The THIRD ANN scale path: Johnson–Lindenstrauss random projection.

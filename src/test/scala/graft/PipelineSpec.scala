@@ -144,13 +144,14 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       .toDF("vec_id", "embedding")
     val top1 = TextPipeline.pqSearch(df, col("vec_id") < 3, k = 1,
         m = 4, ksub = 8, iters = 2)
+      .select(col("q_id"), col("vec_id"), col("cosine_e6"))
       .collect()
-      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
       .toMap
     for (q <- 0L until 3L) {
-      val (nbr, cos) = top1(q)
+      val (nbr, cosE6) = top1(q)
       assert(nbr == 10L + q, s"query $q: expected planted neighbor ${10 + q}, got $nbr")
-      assert(cos > 0.99, s"query $q: cosine $cos")
+      assert(cosE6 > 990000L, s"query $q: cosine_e6 $cosE6")
     }
   }
 
