@@ -236,6 +236,87 @@ object Estimation {
          ) AS t(series, transform, iteration)
          ORDER BY series, iteration""")),
 
+    // ----- W6: PACF per series (rows-only; numerics golden in StatsSpec) --
+
+    ("w6_pacf", (s: SparkSession, d: String) => {
+      // Durbin–Levinson PACF (lags 1..5) per event_type daily series —
+      // w5's driver-visible mirror for the second correlogram operator:
+      // series group+sort inside the engine (t1's fan-out shape), the
+      // recursion runs task-locally on the calendar-bounded series. No
+      // SQL oracle exists for the recursion — rows-only by design, exact
+      // values pinned against R's pacf in StatsSpec.
+      import s.implicits._
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(col("value")).as("v"))
+      daily
+        .groupBy(col("event_type"))
+        .agg(sort_array(collect_list(struct(col("day"), col("v")))).as("series"))
+        .as[(String, Seq[(java.sql.Date, Double)])]
+        .flatMap { case (et, series) =>
+          val p = graft.stats.Acf.pacfUnivariate(
+            DenseVector(series.map(_._2).toArray), lagMax = 5)
+          (1 to 5).map(l => (et, l, p(l - 1)))
+        }
+        .toDF("event_type", "lag", "pacf")
+        .orderBy(col("event_type"), col("lag"))
+    }, None),
+
+    // ----- M1: single elastic-net fit, oracle-checked at the ridge point --
+
+    ("m1_fixed_lambda", (s: SparkSession, d: String) => {
+      // The per-equation solver made driver-visible at its one
+      // SQL-expressible point: α=0 (pure ridge) at fixed λ has the closed
+      // form β = (XᵀX + NλI)⁻¹Xᵀy, which DuckDB computes from the same
+      // Gram sums on a 2-predictor lag design (2×2 inverse in SQL). The
+      // CD solver converges to ~1e-9·sd of that solution, ~3 orders
+      // inside the e6 quantization of the reported coefficients, so the
+      // hash compare is exact. Sparse/λ-path behavior (not
+      // SQL-expressible) stays golden-tested in LinalgSpec.
+      val panel = collectSeries(monthlyPanel(s, d), "month", Seq("rev", "n_orders"))
+      val n = panel.length - 1
+      val y = DenseVector(Array.tabulate(n)(i => panel(i + 1)(0) / 1e8))
+      val x = DenseMatrix.tabulate(n, 2)((i, j) =>
+        if (j == 0) panel(i)(0) / 1e8 else panel(i)(1) / 1e3)
+      val fit = graft.linalg.ElasticNet.fitPath(x, y, alpha = 0.0,
+        lambdas = Seq(0.01), intercept = false, standardize = false).fits.head
+      s.createDataFrame(
+        java.util.Arrays.asList(
+          Row("n_orders_l1", fit.beta(1)), Row("rev_l1", fit.beta(0))),
+        StructType(Seq(
+          StructField("feature", StringType),
+          StructField("beta_raw", DoubleType))))
+        .select(col("feature"),
+          round(col("beta_raw") * 1e6).cast("long").as("beta_e6"))
+        .orderBy(col("feature"))
+    }, Some(
+      """WITH monthly AS (
+           SELECT cast(date_trunc('month', o_orderdate) AS date) AS month,
+                  sum(o_totalprice) AS rev,
+                  cast(count(*) AS double) AS n_orders
+           FROM orders GROUP BY 1),
+         lagged AS (
+           SELECT rev / 1e8 AS y,
+                  lag(rev / 1e8)      OVER (ORDER BY month) AS x1,
+                  lag(n_orders / 1e3) OVER (ORDER BY month) AS x2
+           FROM monthly),
+         v AS (SELECT y, x1, x2 FROM lagged WHERE x1 IS NOT NULL),
+         g AS (SELECT count(*) AS n, sum(x1 * x1) AS s11, sum(x1 * x2) AS s12,
+                      sum(x2 * x2) AS s22, sum(x1 * y) AS sy1,
+                      sum(x2 * y) AS sy2
+               FROM v),
+         b AS (SELECT
+                 ((s22 + n * 0.01) * sy1 - s12 * sy2) /
+                 ((s11 + n * 0.01) * (s22 + n * 0.01) - s12 * s12) AS b1,
+                 ((s11 + n * 0.01) * sy2 - s12 * sy1) /
+                 ((s11 + n * 0.01) * (s22 + n * 0.01) - s12 * s12) AS b2
+               FROM g)
+         SELECT 'n_orders_l1' AS feature,
+                cast(round(b2 * 1e6) AS bigint) AS beta_e6 FROM b
+         UNION ALL
+         SELECT 'rev_l1', cast(round(b1 * 1e6) AS bigint) FROM b
+         ORDER BY feature""")),
+
     // ----- T3/T4: forecast-equality tests on competing forecasters --------
 
     ("t3_t4_cw_dm", (s: SparkSession, d: String) => {
