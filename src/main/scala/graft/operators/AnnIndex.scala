@@ -41,91 +41,104 @@ object AnnIndex {
 
   /** A trained IVF index: the coarse-quantizer centroids (tiny driver
     * state, broadcast at search time) and the corpus assigned to inverted
-    * lists (cid per vector).
+    * lists (cid per vector; `lists` carries the original embedding for
+    * the exact in-list ranking and the e6-quantized unit vector the
+    * quantizer trained on).
     */
   final case class IvfIndex(
       nlist: Int,
-      cents: Seq[(Int, Seq[Double])],
+      cents: Seq[(Int, Seq[Long])],
       lists: DataFrame)
 
-  private val dotCE =
-    expr("aggregate(zip_with(embedding, cent, (x, y) -> cast(x as double) * y), 0D, (acc, v) -> acc + v)")
-  private val normC = sqrt(expr("aggregate(cent, 0D, (acc, v) -> acc + v * v)"))
-  private val normE = sqrt(dot("embedding", "embedding"))
-
-  /** Every vector assigned to its max-cosine centroid: map-side work
-    * against broadcast centroids.
+  /** Every vector assigned to its min-L2 centroid in e6-quantized unit
+    * space: map-side work against broadcast centroids. Unit-normalizing
+    * first makes min-L2 monotone with max-cosine per centroid norm
+    * (‖u−c‖² = ‖u‖² + ‖c‖² − 2·u·c), i.e. the textbook cosine-IVF
+    * assignment; integer distances with lowest-cid ties make it
+    * bit-reproducible across engines (the same r9 treatment as PQ).
     */
-  private def assign(e: DataFrame, cents: Seq[(Int, Seq[Double])]): DataFrame = {
+  private def assignIvf(e: DataFrame, cents: Seq[(Int, Seq[Long])]): DataFrame = {
     val s = e.sparkSession
     import s.implicits._
+    val dist = expr(
+      "aggregate(zip_with(unit, cent, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)")
     e.crossJoin(broadcast(cents.toDF("cid", "cent")))
-      .select(col("vec_id"), col("embedding"), col("cid"),
-        (dotCE / (normC * normE)).as("ccos"))
-      .groupBy(col("vec_id"), col("embedding"))
-      .agg(max_by(col("cid"), col("ccos")).as("cid"))
+      .select(col("vec_id"), col("embedding"), col("unit"), col("cid"), dist.as("dist"))
+      .groupBy(col("vec_id"))
+      .agg(first(col("embedding")).as("embedding"), first(col("unit")).as("unit"),
+        min(struct(col("dist"), col("cid"))).getField("cid").as("cid"))
   }
 
   /** Train the IVF coarse quantizer and materialize the inverted lists.
     * Each Lloyd iteration is one distributed pass (assignment against
     * broadcast centroids); the update collects only nlist × dim averaged
-    * doubles to the driver. An emptied cluster keeps its previous
-    * centroid. `persistLists = false` skips caching for one-shot callers
-    * (tests with their own short-lived corpora).
+    * longs to the driver. An emptied cluster keeps its previous centroid.
+    * Deterministic AND engine-exact: init = the nlist lowest-vec_id unit
+    * vectors quantized to e6 longs, integer assignment distances,
+    * floor(mean+0.5) centroid updates — a DuckDB oracle replays the whole
+    * training (e6/e7, upgraded from rows-only in round 9).
+    * `persistLists = false` skips caching for one-shot callers (tests
+    * with their own short-lived corpora).
     */
   def trainIvf(
       e: DataFrame,
       nlist: Int,
       iters: Int,
       persistLists: Boolean = true): IvfIndex = {
-    var cents: Seq[(Int, Seq[Double])] = e.orderBy(col("vec_id")).limit(nlist)
-      .select(col("embedding")).collect().toSeq
-      .zipWithIndex.map { case (r, i) =>
-        i -> r.getSeq[Float](0).map(_.toDouble)
-      }
+    val s = e.sparkSession
+    import s.implicits._
+    val unit = e.select(col("vec_id"), col("embedding"), unitE6.as("unit"))
+    var cents: Seq[(Int, Seq[Long])] = unit.orderBy(col("vec_id")).limit(nlist)
+      .select(col("unit")).collect().toSeq
+      .zipWithIndex.map { case (r, i) => i -> r.getSeq[Long](0) }
     for (_ <- 0 until iters) {
-      val updated = assign(e, cents)
-        .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      val updated = assignIvf(unit, cents)
+        .select(col("cid"), posexplode(col("unit")).as(Seq("pos", "v")))
         .groupBy(col("cid"), col("pos"))
-        .agg(avg(col("v").cast("double")).as("m"))
+        .agg(floor(sum(col("v")).cast("double") / count(lit(1)) + lit(0.5))
+          .cast("long").as("m"))
         .collect()
         .groupBy(_.getInt(0))
         .map { case (cid, rows) =>
-          cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+          cid -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq
         }
       cents = cents.map { case (cid, old) => cid -> updated.getOrElse(cid, old) }
     }
-    val lists = assign(e, cents)
+    val lists = assignIvf(unit, cents)
     IvfIndex(nlist, cents,
       if (persistLists) lists.persist(StorageLevel.MEMORY_AND_DISK) else lists)
   }
 
   /** Search a trained IVF index: queries = indexed vectors with `qPred`
-    * true, probing their `nprobe` max-cosine centroids' lists and ranking
-    * exactly inside them. Search shuffles only the probed lists'
-    * candidates, never corpus². Columns: q_id, vec_id, cosine, rank.
+    * true, probing their `nprobe` min-L2 centroids' lists (integer
+    * distances, cid ties) and ranking exactly inside them on the
+    * e6-rounded cosine with vec_id ties — probe sets and ranks are
+    * engine-exact, so e6/e7 hash-check against a DuckDB replay. Search
+    * shuffles only the probed lists' candidates, never corpus².
+    * Columns: q_id, vec_id, cosine_e6, rank.
     */
   def ivfSearch(idx: IvfIndex, qPred: Column, k: Int, nprobe: Int): DataFrame = {
     val s = idx.lists.sparkSession
     import s.implicits._
+    val cdist = expr(
+      "aggregate(zip_with(q_unit, cent, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)")
     val q = idx.lists.filter(qPred)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("unit").as("q_unit"))
     val probed = q.crossJoin(broadcast(idx.cents.toDF("cid", "cent")))
-      .select(col("q_id"), col("q_emb"), col("cid"),
-        (expr("aggregate(zip_with(q_emb, cent, (x, y) -> cast(x as double) * y), 0D, (acc, v) -> acc + v)") /
-          (normC * sqrt(dot("q_emb", "q_emb")))).as("ccos"))
+      .select(col("q_id"), col("q_emb"), col("cid"), cdist.as("cdist"))
       .withColumn("crank", row_number().over(
-        Window.partitionBy(col("q_id")).orderBy(col("ccos").desc, col("cid"))))
+        Window.partitionBy(col("q_id")).orderBy(col("cdist"), col("cid"))))
       .filter(col("crank") <= nprobe)
       .select(col("q_id"), col("q_emb"), col("cid"))
     val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cosine").desc, col("vec_id"))
+      .orderBy(col("cosine_e6").desc, col("vec_id"))
     probed.join(idx.lists, "cid")
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
-        (dot("q_emb", "embedding") /
-          (sqrt(dot("q_emb", "q_emb")) * sqrt(dot("embedding", "embedding"))))
-          .as("cosine"))
+        round(dot("q_emb", "embedding") /
+          (sqrt(dot("q_emb", "q_emb")) * sqrt(dot("embedding", "embedding"))) * 1e6)
+          .cast("long").as("cosine_e6"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }

@@ -1478,12 +1478,18 @@ object TextPipeline {
       // Recall@3 of the IVF search (e6) against the exact top-3 — e5's
       // metric for the second ANN path, same left-join shape so queries
       // with thin probed lists report a lower recall rather than vanish.
+      // Hash-checked since round 9: both sides rank on the e6-rounded
+      // cosine with vec_id ties, the IVF side replays the integer-exact
+      // quantizer, and the recall division has identical integer
+      // operands in both engines.
       val e = Tables.embeddings(s, d)
       val q = e.filter(col("vec_id") < 3)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       val w = Window.partitionBy(col("q_id"))
-        .orderBy(col("cosine").desc, col("vec_id"))
+        .orderBy(col("cosine_e6").desc, col("vec_id"))
       val exact3 = cosineScored(e, q)
+        .select(col("q_id"), col("vec_id"),
+          round(col("cosine") * 1e6).cast("long").as("cosine_e6"))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 3)
         .select(col("q_id"), col("vec_id"))
@@ -1500,23 +1506,187 @@ object TextPipeline {
           count(col("ivf_vec_id")).as("n_hits"))
         .withColumn("recall", col("n_hits") / col("n_exact"))
         .orderBy(col("q_id"))
-    }, None),
+    }, Some(
+      """WITH ex AS (
+           SELECT vec_id, i, cast(embedding[i] AS double) AS v FROM (
+             SELECT vec_id, embedding,
+                    unnest(generate_series(1, len(embedding))) AS i
+             FROM embeddings)),
+         nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ex GROUP BY 1),
+         u AS (SELECT e.vec_id, e.i,
+                      cast(round(e.v / n.nrm * 1e6) AS bigint) AS ue6
+               FROM ex e JOIN nrm n ON n.vec_id = e.vec_id),
+         cb0 AS (SELECT cast(r - 1 AS int) AS cid, i, ue6 FROM (
+                   SELECT u.*, dense_rank() OVER (ORDER BY vec_id) AS r FROM u)
+                 WHERE r <= 16),
+         a0 AS (SELECT vec_id, cid FROM (
+                  SELECT vec_id, cid, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY dist, cid) AS rn
+                  FROM (SELECT u.vec_id, cb.cid,
+                               cast(sum((u.ue6 - cb.ue6) * (u.ue6 - cb.ue6))
+                                 AS bigint) AS dist
+                        FROM u JOIN cb0 cb ON cb.i = u.i GROUP BY 1, 2))
+                WHERE rn = 1),
+         cb1 AS (SELECT cb0.cid, cb0.i, coalesce(up.ue6, cb0.ue6) AS ue6
+                 FROM cb0 LEFT JOIN (
+                   SELECT a.cid, u.i,
+                          cast(floor(sum(u.ue6) * 1.0 / count(*) + 0.5) AS bigint) AS ue6
+                   FROM a0 a JOIN u ON u.vec_id = a.vec_id GROUP BY 1, 2) up
+                 ON up.cid = cb0.cid AND up.i = cb0.i),
+         a1 AS (SELECT vec_id, cid FROM (
+                  SELECT vec_id, cid, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY dist, cid) AS rn
+                  FROM (SELECT u.vec_id, cb.cid,
+                               cast(sum((u.ue6 - cb.ue6) * (u.ue6 - cb.ue6))
+                                 AS bigint) AS dist
+                        FROM u JOIN cb1 cb ON cb.i = u.i GROUP BY 1, 2))
+                WHERE rn = 1),
+         cb2 AS (SELECT cb1.cid, cb1.i, coalesce(up.ue6, cb1.ue6) AS ue6
+                 FROM cb1 LEFT JOIN (
+                   SELECT a.cid, u.i,
+                          cast(floor(sum(u.ue6) * 1.0 / count(*) + 0.5) AS bigint) AS ue6
+                   FROM a1 a JOIN u ON u.vec_id = a.vec_id GROUP BY 1, 2) up
+                 ON up.cid = cb1.cid AND up.i = cb1.i),
+         a2 AS (SELECT vec_id, cid FROM (
+                  SELECT vec_id, cid, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY dist, cid) AS rn
+                  FROM (SELECT u.vec_id, cb.cid,
+                               cast(sum((u.ue6 - cb.ue6) * (u.ue6 - cb.ue6))
+                                 AS bigint) AS dist
+                        FROM u JOIN cb2 cb ON cb.i = u.i GROUP BY 1, 2))
+                WHERE rn = 1),
+         alldots AS (
+           SELECT q.vec_id AS q_id, e.vec_id AS vec_id, sum(q.v * e.v) AS dot
+           FROM ex q JOIN ex e ON q.i = e.i
+           WHERE q.vec_id < 3 AND e.vec_id <> q.vec_id
+           GROUP BY 1, 2),
+         allscored AS (
+           SELECT d.q_id, d.vec_id,
+                  cast(round(d.dot / (nq.nrm * ne.nrm) * 1e6) AS bigint) AS c6
+           FROM alldots d
+           JOIN nrm nq ON nq.vec_id = d.q_id
+           JOIN nrm ne ON ne.vec_id = d.vec_id),
+         exact3 AS (
+           SELECT q_id, vec_id FROM (
+             SELECT *, row_number() OVER (PARTITION BY q_id
+                         ORDER BY c6 DESC, vec_id) AS rank
+             FROM allscored)
+           WHERE rank <= 3),
+         pdist AS (SELECT u.vec_id AS q_id, cb.cid,
+                          cast(sum((u.ue6 - cb.ue6) * (u.ue6 - cb.ue6))
+                            AS bigint) AS dist
+                   FROM u JOIN cb2 cb ON cb.i = u.i
+                   WHERE u.vec_id < 3 GROUP BY 1, 2),
+         probe AS (SELECT q_id, cid FROM (
+                     SELECT pdist.*, row_number() OVER (PARTITION BY q_id
+                              ORDER BY dist, cid) AS crank FROM pdist)
+                   WHERE crank <= 4),
+         cand AS (SELECT p.q_id, a2.vec_id FROM probe p
+                  JOIN a2 ON a2.cid = p.cid
+                  WHERE a2.vec_id <> p.q_id),
+         ivf3 AS (SELECT q_id, vec_id FROM (
+                    SELECT a.q_id, a.vec_id, row_number() OVER (
+                      PARTITION BY a.q_id ORDER BY a.c6 DESC, a.vec_id) AS rank
+                    FROM allscored a JOIN cand c
+                      ON c.q_id = a.q_id AND c.vec_id = a.vec_id)
+                  WHERE rank <= 3)
+         SELECT e3.q_id, count(*) AS n_exact, count(iv.vec_id) AS n_hits,
+                count(iv.vec_id) * 1.0 / count(*) AS recall
+         FROM exact3 e3
+         LEFT JOIN ivf3 iv ON iv.q_id = e3.q_id AND iv.vec_id = e3.vec_id
+         GROUP BY 1 ORDER BY 1""")),
 
     ("e6_ann_ivf_search", (s: SparkSession, d: String) => {
       // The second ANN scale path: IVF — deterministic k-means coarse
       // quantizer (16 lists, 2 Lloyd iterations), queries probe their 4
-      // nearest lists, exact top-3 inside. Rows-only (centroid training
-      // is not SQL-expressible; rank boundaries aren't oracle-stable);
-      // search QUALITY is gated by the planted-near-duplicate recall test
-      // in PipelineSpec, and the exact-cosine kernel is hash-checked by
-      // e1. The quantizer trains once per session and is shared with e7's
-      // recall query (AnnIndex.ivfFor — the build-once/search-many
-      // surface).
+      // nearest lists, exact top-3 inside. HASH-CHECKED since round 9
+      // (was rows-only): the quantizer trains on e6-quantized unit
+      // vectors with integer min-L2 assignment (lowest-cid ties) and
+      // floor(mean+0.5) centroid updates, so training, probe sets, and
+      // the e6-rounded in-list ranking are exact integer arithmetic the
+      // oracle replays CTE-for-CTE. Search QUALITY stays gated by the
+      // planted-near-duplicate recall test in PipelineSpec. The quantizer
+      // trains once per session and is shared with e7's recall query
+      // (AnnIndex.ivfFor — the build-once/search-many surface).
       AnnIndex.ivfSearch(
         AnnIndex.ivfFor(s, d, Tables.embeddings(s, d), nlist = 16, iters = 2),
         col("vec_id") < 3, k = 3, nprobe = 4)
         .orderBy(col("q_id"), col("rank"))
-    }, None),
+    }, Some(
+      """WITH ex AS (
+           SELECT vec_id, i, cast(embedding[i] AS double) AS v FROM (
+             SELECT vec_id, embedding,
+                    unnest(generate_series(1, len(embedding))) AS i
+             FROM embeddings)),
+         nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ex GROUP BY 1),
+         u AS (SELECT e.vec_id, e.i,
+                      cast(round(e.v / n.nrm * 1e6) AS bigint) AS ue6
+               FROM ex e JOIN nrm n ON n.vec_id = e.vec_id),
+         cb0 AS (SELECT cast(r - 1 AS int) AS cid, i, ue6 FROM (
+                   SELECT u.*, dense_rank() OVER (ORDER BY vec_id) AS r FROM u)
+                 WHERE r <= 16),
+         a0 AS (SELECT vec_id, cid FROM (
+                  SELECT vec_id, cid, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY dist, cid) AS rn
+                  FROM (SELECT u.vec_id, cb.cid,
+                               cast(sum((u.ue6 - cb.ue6) * (u.ue6 - cb.ue6))
+                                 AS bigint) AS dist
+                        FROM u JOIN cb0 cb ON cb.i = u.i GROUP BY 1, 2))
+                WHERE rn = 1),
+         cb1 AS (SELECT cb0.cid, cb0.i, coalesce(up.ue6, cb0.ue6) AS ue6
+                 FROM cb0 LEFT JOIN (
+                   SELECT a.cid, u.i,
+                          cast(floor(sum(u.ue6) * 1.0 / count(*) + 0.5) AS bigint) AS ue6
+                   FROM a0 a JOIN u ON u.vec_id = a.vec_id GROUP BY 1, 2) up
+                 ON up.cid = cb0.cid AND up.i = cb0.i),
+         a1 AS (SELECT vec_id, cid FROM (
+                  SELECT vec_id, cid, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY dist, cid) AS rn
+                  FROM (SELECT u.vec_id, cb.cid,
+                               cast(sum((u.ue6 - cb.ue6) * (u.ue6 - cb.ue6))
+                                 AS bigint) AS dist
+                        FROM u JOIN cb1 cb ON cb.i = u.i GROUP BY 1, 2))
+                WHERE rn = 1),
+         cb2 AS (SELECT cb1.cid, cb1.i, coalesce(up.ue6, cb1.ue6) AS ue6
+                 FROM cb1 LEFT JOIN (
+                   SELECT a.cid, u.i,
+                          cast(floor(sum(u.ue6) * 1.0 / count(*) + 0.5) AS bigint) AS ue6
+                   FROM a1 a JOIN u ON u.vec_id = a.vec_id GROUP BY 1, 2) up
+                 ON up.cid = cb1.cid AND up.i = cb1.i),
+         a2 AS (SELECT vec_id, cid FROM (
+                  SELECT vec_id, cid, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY dist, cid) AS rn
+                  FROM (SELECT u.vec_id, cb.cid,
+                               cast(sum((u.ue6 - cb.ue6) * (u.ue6 - cb.ue6))
+                                 AS bigint) AS dist
+                        FROM u JOIN cb2 cb ON cb.i = u.i GROUP BY 1, 2))
+                WHERE rn = 1),
+         pdist AS (SELECT u.vec_id AS q_id, cb.cid,
+                          cast(sum((u.ue6 - cb.ue6) * (u.ue6 - cb.ue6))
+                            AS bigint) AS dist
+                   FROM u JOIN cb2 cb ON cb.i = u.i
+                   WHERE u.vec_id < 3 GROUP BY 1, 2),
+         probe AS (SELECT q_id, cid FROM (
+                     SELECT pdist.*, row_number() OVER (PARTITION BY q_id
+                              ORDER BY dist, cid) AS crank FROM pdist)
+                   WHERE crank <= 4),
+         cand AS (SELECT p.q_id, a2.vec_id FROM probe p
+                  JOIN a2 ON a2.cid = p.cid
+                  WHERE a2.vec_id <> p.q_id),
+         cdot AS (SELECT c.q_id, c.vec_id, sum(q.v * e.v) AS dot
+                  FROM cand c JOIN ex q ON q.vec_id = c.q_id
+                  JOIN ex e ON e.vec_id = c.vec_id AND e.i = q.i
+                  GROUP BY 1, 2),
+         scored AS (SELECT cd.q_id, cd.vec_id,
+                           cast(round(cd.dot / (nq.nrm * ne.nrm) * 1e6) AS bigint)
+                             AS cosine_e6
+                    FROM cdot cd JOIN nrm nq ON nq.vec_id = cd.q_id
+                    JOIN nrm ne ON ne.vec_id = cd.vec_id)
+         SELECT q_id, vec_id, cosine_e6, rank FROM (
+           SELECT scored.*, row_number() OVER (PARTITION BY q_id
+                    ORDER BY cosine_e6 DESC, vec_id) AS rank
+           FROM scored)
+         WHERE rank <= 3 ORDER BY q_id, rank""")),
 
     ("e9_pq_search", (s: SparkSession, d: String) => {
       // The FOURTH ANN path: product quantization — the COMPRESSION

@@ -87,11 +87,11 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val res = TextPipeline.ivfSearch(df, col("vec_id") < 3, k = 3,
       nlist = 8, nprobe = 2, iters = 2)
     val top1 = res.filter(col("rank") === 1).collect()
-      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     for (q <- 0L until 3L) {
-      val (nbr, cos) = top1(q)
+      val (nbr, cosE6) = top1(q)
       assert(nbr == 10L + q, s"query $q: expected planted neighbor ${10 + q}, got $nbr")
-      assert(cos > 0.99, s"query $q: cosine $cos")
+      assert(cosE6 > 990000L, s"query $q: cosine_e6 $cosE6")
     }
   }
 
