@@ -39,6 +39,36 @@ object AnnIndex {
   private[operators] def dot(a: String, b: String) =
     expr(s"aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)), 0D, (acc, v) -> acc + v)")
 
+  /** Per-group top-k cut with BOUNDED state — `row_number() OVER
+    * (PARTITION BY group ORDER BY score [asc|desc], id) <= k` re-planned
+    * as the [[graft.functions.TopKPairs]] Tungsten aggregate. The window
+    * shape shuffles every candidate row into |groups| partitions and
+    * sorts them (corpus-sized partitions when groups are queries — the
+    * 100 TB failure mode); the aggregate's partial state is at most k
+    * pairs, map-side combine bounds the shuffle to |partitions|·k rows
+    * per group, and ordering (score, then id asc) matches the window
+    * tie-break exactly, so results are identical. Output columns:
+    * groupCol, <idName>, <scoreName>, rank (1-based, best first).
+    */
+  private[operators] def topKCut(
+      df: DataFrame, groupCol: String, scoreCol: String, idCol: String,
+      k: Int, ascending: Boolean,
+      scoreName: String, idName: String): DataFrame = {
+    import org.apache.spark.sql.GraftExpressionBridge
+    val agg = GraftExpressionBridge.column(
+      graft.functions.TopKPairs(
+        GraftExpressionBridge.expression(col(scoreCol)),
+        GraftExpressionBridge.expression(col(idCol)),
+        k, ascending).toAggregateExpression())
+    df.groupBy(col(groupCol))
+      .agg(agg.as("topk"))
+      .select(col(groupCol), posexplode(col("topk")).as(Seq("pos", "pair")))
+      .select(col(groupCol),
+        col("pair.id").as(idName),
+        col("pair.score").as(scoreName),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
+
   /** A trained IVF index: the coarse-quantizer centroids (tiny driver
     * state, broadcast at search time) and the corpus assigned to inverted
     * lists (cid per vector; `lists` carries the original embedding for
@@ -131,16 +161,18 @@ object AnnIndex {
         Window.partitionBy(col("q_id")).orderBy(col("cdist"), col("cid"))))
       .filter(col("crank") <= nprobe)
       .select(col("q_id"), col("q_emb"), col("cid"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cosine_e6").desc, col("vec_id"))
-    probed.join(idx.lists, "cid")
+    val scored = probed.join(idx.lists, "cid")
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         round(dot("q_emb", "embedding") /
           (sqrt(dot("q_emb", "q_emb")) * sqrt(dot("embedding", "embedding"))) * 1e6)
           .cast("long").as("cosine_e6"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    // The in-list candidate set is O(corpus/nlist · nprobe) per query —
+    // corpus-scale — so the cut is the bounded-state aggregate, never a
+    // per-query rank window.
+    topKCut(scored, "q_id", "cosine_e6", "vec_id", k, ascending = false,
+      scoreName = "cosine_e6", idName = "vec_id")
+      .select(col("q_id"), col("vec_id"), col("cosine_e6"), col("rank"))
   }
 
   /** Build the multi-table hyperplane LSH index: one bucket per (vector,
@@ -364,15 +396,23 @@ object AnnIndex {
       .join(q, "q_id")
     val adist = expr(
       "aggregate(zip_with(codes, tabs, (c, t) -> element_at(t, c + 1)), 0L, (acc, v) -> acc + v)")
-    val wa = Window.partitionBy(col("q_id")).orderBy(col("adist"), col("vec_id"))
+    // The ADC scan is the corpus-sized stage (|Q| × corpus rows), so its
+    // cut is the bounded-state aggregate — the scan's shuffle carries at
+    // most k·rerank pairs per (partition, query). The surviving ≤ k·rerank
+    // candidates per query then join back (broadcast — tiny) for the
+    // exact-cosine re-rank, whose own window runs on ≤ 12 rows per query.
+    val adcCands = topKCut(
+      idx.codes.crossJoin(broadcast(qtabs.select(col("q_id"), col("tabs"))))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"), adist.as("adist")),
+      "q_id", "adist", "vec_id", k * rerank, ascending = true,
+      scoreName = "adist", idName = "vec_id")
+      .select(col("q_id"), col("vec_id"), col("adist"))
     val wc = Window.partitionBy(col("q_id"))
       .orderBy(col("cosine_e6").desc, col("vec_id"))
-    idx.codes.crossJoin(broadcast(qtabs.select(col("q_id"), col("q_emb"), col("tabs"))))
-      .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"), col("embedding"), col("q_emb"),
-        adist.as("adist"))
-      .withColumn("arank", row_number().over(wa))
-      .filter(col("arank") <= k * rerank)
+    idx.codes.select(col("vec_id"), col("embedding"))
+      .join(broadcast(adcCands), "vec_id")
+      .join(broadcast(q.select(col("q_id"), col("q_emb"))), "q_id")
       .select(col("q_id"), col("vec_id"), col("adist"),
         round(dot("q_emb", "embedding") /
           (sqrt(dot("q_emb", "q_emb")) * sqrt(dot("embedding", "embedding"))) * 1e6)

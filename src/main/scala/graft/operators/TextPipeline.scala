@@ -401,6 +401,21 @@ object TextPipeline {
           (sqrt(dot("q_emb", "q_emb")) * sqrt(dot("embedding", "embedding"))))
           .as("cosine"))
 
+  /** Exact per-query top-k on the e6-rounded cosine (ties by vec_id) —
+    * the deterministic-rank kernel every e-family query shares, cut with
+    * the bounded-state top-k aggregate rather than a per-query rank
+    * window: the scored set is |Q| × corpus rows, and a window would
+    * shuffle all of them into |Q| partitions (the 100 TB failure mode)
+    * where the aggregate's map-side combine ships at most k pairs per
+    * (partition, query). Columns: q_id, vec_id, cosine_e6, rank.
+    */
+  private def exactTopK(e: DataFrame, q: DataFrame, k: Int): DataFrame =
+    AnnIndex.topKCut(
+      cosineScored(e, q).select(col("q_id"), col("vec_id"),
+        round(col("cosine") * 1e6).cast("long").as("cosine_e6")),
+      "q_id", "cosine_e6", "vec_id", k, ascending = false,
+      scoreName = "cosine_e6", idName = "vec_id")
+
   /** Random-hyperplane LSH bucket per vector: 4 deterministic integer
     * hyperplanes h_p[i] = ((i·31 + p·17) mod 7) − 3 (exact in both engines
     * — no libm), bucket = Σ 2^p over positive projections. Columns:
@@ -1287,14 +1302,7 @@ object TextPipeline {
       val e = Tables.embeddings(s, d)
       val q = e.filter(col("vec_id") < 3)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      val w = Window.partitionBy(col("q_id"))
-        .orderBy(col("cosine_e6").desc, col("vec_id"))
-      cosineScored(e, q)
-        .select(col("q_id"), col("vec_id"),
-          round(col("cosine") * 1e6).cast("long").as("cosine_e6"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 5)
-        .orderBy(col("q_id"), col("rank"))
+      exactTopK(e, q, 5).orderBy(col("q_id"), col("rank"))
     }, Some(
       """WITH ex AS (
            SELECT vec_id, i, cast(embedding[i] AS double) AS v FROM (
@@ -1330,16 +1338,18 @@ object TextPipeline {
       // stage, so the rounded rank sees the full candidate set without an
       // extra discarded raw-cosine sort). Search QUALITY is still e5's
       // recall + the planted-near-duplicate test; the bucket index is
-      // built once per session (AnnIndex.lshFor).
-      val w = Window.partitionBy(col("q_id"))
-        .orderBy(col("cosine_e6").desc, col("vec_id"))
-      AnnIndex.lshScores(
-        AnnIndex.lshFor(s, d, Tables.embeddings(s, d), tables = 4),
-        col("vec_id") < 3)
-        .select(col("q_id"), col("vec_id"),
-          round(col("cosine") * 1e6).cast("long").as("cosine_e6"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 3)
+      // built once per session (AnnIndex.lshFor). The candidate set is
+      // bucket-sized-per-table × tables — corpus-scale in the worst case —
+      // so the cut is the bounded-state top-k aggregate (r9), not a
+      // per-query rank window.
+      AnnIndex.topKCut(
+        AnnIndex.lshScores(
+          AnnIndex.lshFor(s, d, Tables.embeddings(s, d), tables = 4),
+          col("vec_id") < 3)
+          .select(col("q_id"), col("vec_id"),
+            round(col("cosine") * 1e6).cast("long").as("cosine_e6")),
+        "q_id", "cosine_e6", "vec_id", 3, ascending = false,
+        scoreName = "cosine_e6", idName = "vec_id")
         .orderBy(col("q_id"), col("rank"))
     }, Some(
       """WITH ex AS (
@@ -1397,20 +1407,14 @@ object TextPipeline {
       val e = Tables.embeddings(s, d)
       val q = e.filter(col("vec_id") < 3)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      val w = Window.partitionBy(col("q_id"))
-        .orderBy(col("cosine_e6").desc, col("vec_id"))
-      val exact3 = cosineScored(e, q)
-        .select(col("q_id"), col("vec_id"),
-          round(col("cosine") * 1e6).cast("long").as("cosine_e6"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 3)
-        .select(col("q_id"), col("vec_id"))
-      val lsh3 = AnnIndex.lshScores(
-        AnnIndex.lshFor(s, d, e, tables = 4), col("vec_id") < 3)
-        .select(col("q_id"), col("vec_id"),
-          round(col("cosine") * 1e6).cast("long").as("cosine_e6"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 3)
+      val exact3 = exactTopK(e, q, 3).select(col("q_id"), col("vec_id"))
+      val lsh3 = AnnIndex.topKCut(
+        AnnIndex.lshScores(
+          AnnIndex.lshFor(s, d, e, tables = 4), col("vec_id") < 3)
+          .select(col("q_id"), col("vec_id"),
+            round(col("cosine") * 1e6).cast("long").as("cosine_e6")),
+        "q_id", "cosine_e6", "vec_id", 3, ascending = false,
+        scoreName = "cosine_e6", idName = "vec_id")
         .select(col("q_id").as("lsh_q_id"), col("vec_id").as("lsh_vec_id"))
       exact3
         .join(lsh3,
@@ -1485,14 +1489,7 @@ object TextPipeline {
       val e = Tables.embeddings(s, d)
       val q = e.filter(col("vec_id") < 3)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      val w = Window.partitionBy(col("q_id"))
-        .orderBy(col("cosine_e6").desc, col("vec_id"))
-      val exact3 = cosineScored(e, q)
-        .select(col("q_id"), col("vec_id"),
-          round(col("cosine") * 1e6).cast("long").as("cosine_e6"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 3)
-        .select(col("q_id"), col("vec_id"))
+      val exact3 = exactTopK(e, q, 3).select(col("q_id"), col("vec_id"))
       val ivf3 = AnnIndex.ivfSearch(
         AnnIndex.ivfFor(s, d, e, nlist = 16, iters = 2),
         col("vec_id") < 3, k = 3, nprobe = 4)
@@ -1807,14 +1804,7 @@ object TextPipeline {
       val e = Tables.embeddings(s, d)
       val q = e.filter(col("vec_id") < 3)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      val w = Window.partitionBy(col("q_id"))
-        .orderBy(col("cosine_e6").desc, col("vec_id"))
-      val exact3 = cosineScored(e, q)
-        .select(col("q_id"), col("vec_id"),
-          round(col("cosine") * 1e6).cast("long").as("cosine_e6"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 3)
-        .select(col("q_id"), col("vec_id"))
+      val exact3 = exactTopK(e, q, 3).select(col("q_id"), col("vec_id"))
       val pq3 = AnnIndex.pqSearch(
         AnnIndex.pqFor(s, d, e, m = 8, ksub = 16, iters = 2),
         col("vec_id") < 3, k = 3)
@@ -1945,25 +1935,19 @@ object TextPipeline {
       val e = Tables.embeddings(s, d)
       val q = e.filter(col("vec_id") < 3)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      val w = Window.partitionBy(col("q_id"))
-        .orderBy(col("cosine_e6").desc, col("vec_id"))
-      val exact3 = cosineScored(e, q)
-        .select(col("q_id"), col("vec_id"),
-          round(col("cosine") * 1e6).cast("long").as("cosine_e6"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 3)
-        .select(col("q_id"), col("vec_id"))
+      val exact3 = exactTopK(e, q, 3).select(col("q_id"), col("vec_id"))
       val rp = rpProject(e)
       val qrp = rp.filter(col("vec_id") < 3)
         .select(col("vec_id").as("q_id"), col("rp").as("q_rp"))
-      val rp3 = rp.crossJoin(broadcast(qrp))
-        .filter(col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id"),
-          round(dot("q_rp", "rp") /
-            (sqrt(dot("q_rp", "q_rp")) * sqrt(dot("rp", "rp"))) * 1e6)
-            .cast("long").as("cosine_e6"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 3)
+      val rp3 = AnnIndex.topKCut(
+        rp.crossJoin(broadcast(qrp))
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id"),
+            round(dot("q_rp", "rp") /
+              (sqrt(dot("q_rp", "q_rp")) * sqrt(dot("rp", "rp"))) * 1e6)
+              .cast("long").as("cosine_e6")),
+        "q_id", "cosine_e6", "vec_id", 3, ascending = false,
+        scoreName = "cosine_e6", idName = "vec_id")
         .select(col("q_id").as("rp_q_id"), col("vec_id").as("rp_vec_id"))
       exact3
         .join(rp3,

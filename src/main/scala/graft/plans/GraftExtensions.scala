@@ -1,10 +1,10 @@
 package graft.plans
 
-import graft.functions.{MinHash8, MisraGries, SimHash32Agg, SortedLongIntersectCount, TokenRepetitionStats}
+import graft.functions.{MinHash8, MisraGries, SimHash32Agg, SortedLongIntersectCount, TokenRepetitionStats, TopKPairs}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{BooleanType, IntegerType}
 
 /** SQL surface for the library's native Catalyst kernels. Enable with
   * `spark.sql.extensions=graft.plans.GraftExtensions` (cluster config) or
@@ -21,6 +21,12 @@ import org.apache.spark.sql.types.IntegerType
   *   - `token_repetition_stats(tokens)` — per-row repetition signals
   *     (n_tokens, distinct, top-token count, bigrams, top-bigram count)
   *     behind the x13 Gopher-style gate.
+  *   - `misra_gries(expr, k)` — aggregate: bounded-memory heavy-hitter
+  *     candidate set (x23's first pass).
+  *   - `top_k_pairs(score, id, k, ascending)` — aggregate: per-group
+  *     top-k (score, id) pairs with bounded k-entry state — the
+  *     scale-correct replacement for corpus-sized rank windows (the ANN
+  *     searches' candidate cut).
   *
   * Each builder validates arity here; type checking stays with the
   * expressions' own `checkInputDataTypes`.
@@ -57,6 +63,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[TokenRepetitionStats].getName,
         "token_repetition_stats"),
       one("token_repetition_stats")(TokenRepetitionStats)))
+    ext.injectFunction((
+      FunctionIdentifier("top_k_pairs"),
+      new ExpressionInfo(classOf[TopKPairs].getName, "top_k_pairs"),
+      (args: Seq[Expression]) => args match {
+        case Seq(s, i, Literal(k: Int, IntegerType), Literal(asc: Boolean, BooleanType)) =>
+          TopKPairs(s, i, k, asc).toAggregateExpression()
+        case other => throw new IllegalArgumentException(
+          "top_k_pairs expects (score, id, k literal int, ascending literal bool), got " +
+            other.map(_.sql).mkString(", "))
+      }))
     ext.injectFunction((
       FunctionIdentifier("misra_gries"),
       new ExpressionInfo(classOf[MisraGries].getName, "misra_gries"),

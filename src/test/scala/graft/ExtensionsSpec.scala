@@ -101,6 +101,33 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cands == Seq("a"), s"near-threshold heavy hitter lost in merge: $cands")
   }
 
+  test("top_k_pairs equals the rank-window cut, ties and both directions included") {
+    val s = spark
+    import s.implicits._
+    // 1000 pairs across 2 groups with deliberate score collisions (score
+    // = i % 7), so the id tie-break decides most of the cut; 2 partitions
+    // force a real partial-state merge.
+    val rows = (0L until 1000L).map(i => (i % 2, i % 7, i))
+    s.sparkContext.parallelize(rows, 2).toDF("g", "score", "id")
+      .createOrReplaceTempView("tkp_rows")
+    for (asc <- Seq(true, false)) {
+      val dir = if (asc) "ASC" else "DESC"
+      val viaAgg = spark.sql(
+        s"""SELECT g, pair.id AS id, pair.score AS score, pos + 1 AS rank
+            FROM (SELECT g, posexplode(top_k_pairs(score, id, 5, $asc))
+                    AS (pos, pair) FROM tkp_rows GROUP BY g)""")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).sorted.toSeq
+      val viaWindow = spark.sql(
+        s"""SELECT g, id, score, cast(rank AS int) AS rank FROM (
+              SELECT g, id, score, row_number() OVER (
+                PARTITION BY g ORDER BY score $dir, id) AS rank
+              FROM tkp_rows)
+            WHERE rank <= 5""")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).sorted.toSeq
+      assert(viaAgg == viaWindow, s"ascending=$asc: aggregate cut != window cut")
+    }
+  }
+
   test("a wrong arity fails analysis instead of crashing execution") {
     val e = intercept[Exception] {
       spark.sql("SELECT sorted_intersect_count(array(1L)) AS n").collect()

@@ -459,6 +459,23 @@ class RelationalPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("e3: the ANN top-k cut is a bounded-state aggregate, not a rank window") {
+    // The scored set is |queries| x corpus rows; a row_number window
+    // partitioned by q_id would shuffle ALL of them into |queries|
+    // partitions and sort (the 100 TB failure mode the r9 topKCut
+    // replaced). The plan must carry the top_k_pairs ObjectHashAggregate
+    // with a partial (map-side) phase and no Window over the scored set.
+    val df = graft.operators.TextPipeline.queries("e3_ann_topk")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("top_k_pairs"),
+      s"e3 lost the bounded top-k aggregate:\n$plan")
+    assert(plan.contains("ObjectHashAggregate") &&
+      plan.contains("partial_top_k_pairs"),
+      s"e3 top-k has no map-side partial phase:\n$plan")
+    assert(!plan.contains("Window "),
+      s"a rank window crept back into e3:\n$plan")
+  }
+
   test("s1: filter and projection reach the parquet scan") {
     // Pushdown evidence for the scan path: the parquet scan must carry
     // pushed filters and a pruned read schema, not read-everything-filter-
