@@ -1196,11 +1196,21 @@ object Relational {
     ("w10_topk_per_group", (s: SparkSession, d: String) => {
       // Top-k by score per group (reference W10). Unique tie-break
       // (c_custkey) makes rank == row_number and the result deterministic.
-      val w = Window.partitionBy(col("c_mktsegment"))
-        .orderBy(col("c_acctbal").desc, col("c_custkey"))
-      Tables.customer(s, d)
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= 5)
+      // The cut is the bounded-state top_k_pairs aggregate (r9) rather
+      // than a per-group rank window: with a handful of segments the
+      // window shape funnels corpus/|groups| rows into each partition,
+      // where the aggregate's map-side combine ships at most k pairs per
+      // (partition, group). c_acctbal is 2-decimal money, so the e2-long
+      // score is an order-exact bijection; the winners (k·|groups| rows —
+      // tiny, broadcast) join back for the original double balance.
+      val cut = AnnIndex.topKCut(
+        Tables.customer(s, d).select(col("c_mktsegment"),
+          round(col("c_acctbal") * 100).cast("long").as("bal_e2"),
+          col("c_custkey")),
+        "c_mktsegment", "bal_e2", "c_custkey", 5, ascending = false,
+        scoreName = "bal_e2", idName = "c_custkey")
+      Tables.customer(s, d).select(col("c_custkey"), col("c_acctbal"))
+        .join(broadcast(cut.withColumnRenamed("rank", "rnk")), "c_custkey")
         .select(col("c_mktsegment"), col("rnk"), col("c_custkey"), col("c_acctbal"))
         .orderBy(col("c_mktsegment"), col("rnk"))
     }, Some(
