@@ -236,15 +236,20 @@ object Estimation {
          ) AS t(series, transform, iteration)
          ORDER BY series, iteration""")),
 
-    // ----- W6: PACF per series (rows-only; numerics golden in StatsSpec) --
+    // ----- W6: PACF per series, hash-checked via unrolled Durbin–Levinson -
 
     ("w6_pacf", (s: SparkSession, d: String) => {
       // Durbin–Levinson PACF (lags 1..5) per event_type daily series —
       // w5's driver-visible mirror for the second correlogram operator:
       // series group+sort inside the engine (t1's fan-out shape), the
-      // recursion runs task-locally on the calendar-bounded series. No
-      // SQL oracle exists for the recursion — rows-only by design, exact
-      // values pinned against R's pacf in StatsSpec.
+      // recursion runs task-locally on the calendar-bounded series.
+      // HASH-CHECKED: the exact-R ACF is a ratio of demeaned lag-product
+      // sums (the 1/T factors cancel), SQL-expressible with lag windows,
+      // and a 5-lag D-L recursion unrolls into closed-form column
+      // algebra — both engines then divide/multiply IDENTICAL-operand
+      // doubles (only the underlying sum reduction orders differ,
+      // ~1e-15), so the e6-rounded coefficients match exactly. Full-depth
+      // PACF stays pinned against R in StatsSpec.
       import s.implicits._
       val daily = Tables.events(s, d)
         .groupBy(col("event_type"), to_date(col("ts")).as("day"))
@@ -258,9 +263,58 @@ object Estimation {
             DenseVector(series.map(_._2).toArray), lagMax = 5)
           (1 to 5).map(l => (et, l, p(l - 1)))
         }
-        .toDF("event_type", "lag", "pacf")
+        .toDF("event_type", "lag", "pacf_raw")
+        // Quantize with Spark SQL round (HALF_UP away from zero — DuckDB's
+        // rule), not JVM rint (half-even): keeps the engines' rounding
+        // conventions aligned at the (measure-zero) .5 boundaries.
+        .select(col("event_type"), col("lag"),
+          round(col("pacf_raw") * 1e6).cast("long").as("pacf_e6"))
         .orderBy(col("event_type"), col("lag"))
-    }, None),
+    }, Some(
+      """WITH daily AS (
+           SELECT event_type, cast(cast(ts AS timestamp) AS date) AS day,
+                  sum(value) AS v
+           FROM events GROUP BY 1, 2),
+         stats AS (SELECT event_type, avg(v) AS mu FROM daily GROUP BY 1),
+         dm AS (SELECT d.event_type, d.day, d.v - s.mu AS e
+                FROM daily d JOIN stats s USING (event_type)),
+         lagged AS (
+           SELECT event_type, e,
+                  lag(e, 1) OVER w AS e1, lag(e, 2) OVER w AS e2,
+                  lag(e, 3) OVER w AS e3, lag(e, 4) OVER w AS e4,
+                  lag(e, 5) OVER w AS e5
+           FROM dm WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+         acf AS (
+           SELECT event_type,
+                  sum(e * e) AS c0, sum(e * e1) AS c1, sum(e * e2) AS c2,
+                  sum(e * e3) AS c3, sum(e * e4) AS c4, sum(e * e5) AS c5
+           FROM lagged GROUP BY 1),
+         r AS (SELECT event_type, c1 / c0 AS r1, c2 / c0 AS r2,
+                      c3 / c0 AS r3, c4 / c0 AS r4, c5 / c0 AS r5
+               FROM acf),
+         d1 AS (SELECT *, r1 AS p11 FROM r),
+         d2 AS (SELECT *, (r2 - r1 * r1) / (1 - r1 * r1) AS p22 FROM d1),
+         d2b AS (SELECT *, p11 - p22 * p11 AS p21 FROM d2),
+         d3 AS (SELECT *, (r3 - p21 * r2 - p22 * r1) /
+                          (1 - p21 * r1 - p22 * r2) AS p33 FROM d2b),
+         d3b AS (SELECT *, p21 - p33 * p22 AS p31,
+                          p22 - p33 * p21 AS p32 FROM d3),
+         d4 AS (SELECT *, (r4 - p31 * r3 - p32 * r2 - p33 * r1) /
+                          (1 - p31 * r1 - p32 * r2 - p33 * r3) AS p44 FROM d3b),
+         d4b AS (SELECT *, p31 - p44 * p33 AS p41,
+                          p32 - p44 * p32 AS p42,
+                          p33 - p44 * p31 AS p43 FROM d4),
+         d5 AS (SELECT *, (r5 - p41 * r4 - p42 * r3 - p43 * r2 - p44 * r1) /
+                          (1 - p41 * r1 - p42 * r2 - p43 * r3 - p44 * r4)
+                            AS p55 FROM d4b)
+         SELECT event_type, lag, pacf_e6 FROM (
+           SELECT event_type, 1 AS lag,
+                  cast(round(p11 * 1e6) AS bigint) AS pacf_e6 FROM d5
+           UNION ALL SELECT event_type, 2, cast(round(p22 * 1e6) AS bigint) FROM d5
+           UNION ALL SELECT event_type, 3, cast(round(p33 * 1e6) AS bigint) FROM d5
+           UNION ALL SELECT event_type, 4, cast(round(p44 * 1e6) AS bigint) FROM d5
+           UNION ALL SELECT event_type, 5, cast(round(p55 * 1e6) AS bigint) FROM d5)
+         ORDER BY 1, 2""")),
 
     // ----- M1: single elastic-net fit, oracle-checked at the ridge point --
 
