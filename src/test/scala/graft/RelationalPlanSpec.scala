@@ -476,6 +476,20 @@ class RelationalPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"a rank window crept back into e3:\n$plan")
   }
 
+  test("w10: the per-group top-k cut is the bounded aggregate + broadcast join-back") {
+    // Five market segments means a rank window would funnel corpus/5 rows
+    // per partition; the r9 shape is top_k_pairs (partial map-side phase)
+    // with the tiny winner set broadcast back for the original balance.
+    val df = Relational.queries("w10_topk_per_group")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_top_k_pairs"),
+      s"w10 top-k has no map-side partial phase:\n$plan")
+    assert(!plan.contains("Window "),
+      s"a rank window crept back into w10:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"w10 winner join-back is not broadcast:\n$plan")
+  }
+
   test("s1: filter and projection reach the parquet scan") {
     // Pushdown evidence for the scan path: the parquet scan must carry
     // pushed filters and a pruned read schema, not read-everything-filter-
