@@ -377,8 +377,15 @@ object Estimation {
       // Two forecasters of daily revenue — f1 = yesterday (random walk),
       // f2 = 7-day moving average — scored by Clark–West and
       // Diebold–Mariano on the calendar-bounded error series (P9 collect),
-      // reference enetVAR.R:775-843. Rows-only: stats golden-tested in
-      // StatsSpec.
+      // reference enetVAR.R:775-843. HASH-CHECKED since round 9 (was
+      // rows-only): both statistics are ratios of demeaned lag-product
+      // sums — the same algebra t5's NW oracle already replays — so
+      // DuckDB recomputes them exactly and the e6-quantized stats
+      // compare bit-for-bit (the reference's mixed T / T−1
+      // normalizations and both lag windows included). The p-values are
+      // a 1:1 monotone function of the statistics (t₄ / N(0,1) tails)
+      // with no SQL closed form, so the driver compares the statistics;
+      // p-value numerics stay pinned against R in StatsSpec.
       val w = Window.orderBy(col("day"))
       val wAvg = Window.orderBy(col("day")).rowsBetween(-7, -1)
       val frame = dailyRevenue(s, d)
@@ -398,15 +405,71 @@ object Estimation {
         DenseVector.tabulate(e1.length)(i => e1(i) * e1(i) - e2(i) * e2(i)), l = 3)
       s.createDataFrame(
         java.util.Arrays.asList(
-          Row("clark_west", cw.statistic, cw.pValue, e1.length.toLong),
-          Row("diebold_mariano", dm.statistic, dm.pValue, e1.length.toLong)),
+          Row("clark_west", cw.statistic, e1.length.toLong),
+          Row("diebold_mariano", dm.statistic, e1.length.toLong)),
         StructType(Seq(
           StructField("test", StringType),
-          StructField("statistic", DoubleType),
-          StructField("p_value", DoubleType),
+          StructField("stat_raw", DoubleType),
           StructField("n_obs", LongType))))
+        .select(col("test"),
+          round(col("stat_raw") * 1e6).cast("long").as("stat_e6"),
+          col("n_obs"))
         .orderBy(col("test"))
-    }, None),
+    }, Some(
+      """WITH daily AS (
+           SELECT cast(o_orderdate AS date) AS day, sum(o_totalprice) AS rev
+           FROM orders GROUP BY 1),
+         f AS (SELECT day, rev,
+                      lag(rev, 1) OVER (ORDER BY day) AS f1,
+                      avg(rev) OVER (ORDER BY day
+                        ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS f2,
+                      count(rev) OVER (ORDER BY day
+                        ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS n_prior
+               FROM daily),
+         base AS (SELECT day, rev - f1 AS e1v, rev - f2 AS e2v,
+                         f1 - f2 AS dv
+                  FROM f WHERE f1 IS NOT NULL AND n_prior = 7),
+         cwx AS (SELECT day, e1v * e1v - (e2v * e2v - dv * dv) AS x FROM base),
+         cwm AS (SELECT count(*) AS t, avg(x) AS m FROM cwx),
+         cwd AS (SELECT c.day, c.x - s.m AS dx FROM cwx c, cwm s),
+         cwl AS (SELECT dx,
+                        lag(dx, 1) OVER (ORDER BY day) AS dx1,
+                        lag(dx, 2) OVER (ORDER BY day) AS dx2,
+                        lag(dx, 3) OVER (ORDER BY day) AS dx3
+                 FROM cwd),
+         cwv AS (SELECT sum(dx * dx) / (SELECT t FROM cwm)
+                        + 2.0 * (sum(dx * dx1) / ((SELECT t FROM cwm) - 1) * 0.75
+                               + sum(dx * dx2) / ((SELECT t FROM cwm) - 1) * 0.50
+                               + sum(dx * dx3) / ((SELECT t FROM cwm) - 1) * 0.25)
+                          AS v
+                 FROM cwl),
+         cw AS (SELECT sqrt(m1.t) * m1.m / sqrt(cv.v) AS stat, m1.t
+                FROM cwm m1, cwv cv),
+         dmx AS (SELECT day, e1v * e1v - e2v * e2v AS x FROM base),
+         dmm AS (SELECT count(*) AS t, avg(x) AS m FROM dmx),
+         dmd AS (SELECT c.day, c.x - s.m AS dx FROM dmx c, dmm s),
+         dml AS (SELECT dx,
+                        lag(dx, 1) OVER (ORDER BY day) AS dx1,
+                        lag(dx, 2) OVER (ORDER BY day) AS dx2,
+                        lag(dx, 3) OVER (ORDER BY day) AS dx3
+                 FROM dmd),
+         dms AS (SELECT (sum(dx * dx) / (SELECT t FROM dmm)
+                         + 2.0 * (sum(dx * dx1) / (SELECT t FROM dmm) * 0.75
+                                + sum(dx * dx2) / (SELECT t FROM dmm) * 0.50
+                                + sum(dx * dx3) / (SELECT t FROM dmm) * 0.25))
+                          / (SELECT t FROM dmm) AS s2
+                 FROM dml),
+         dm AS (SELECT m1.m / sqrt(ds.s2) AS stat, m1.t
+                FROM dmm m1, dms ds)
+         SELECT test, stat_e6, n_obs FROM (
+           SELECT 'clark_west' AS test,
+                  cast(round(stat * 1e6) AS bigint) AS stat_e6,
+                  cast(t AS bigint) AS n_obs FROM cw
+           UNION ALL
+           SELECT 'diebold_mariano',
+                  cast(round(stat * 1e6) AS bigint),
+                  cast(t AS bigint) FROM dm)
+         ORDER BY test""")),
 
     // ----- M2: blocked CV lambda selection (rows-only) --------------------
 

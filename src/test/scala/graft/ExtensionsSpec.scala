@@ -128,6 +128,29 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("top_k_pairs property: random scores/ids/k/direction match the heap's contract") {
+    // Driverless property check of the Buffer itself (the distributed
+    // equivalence is the SQL test above): across random inputs, offers in
+    // any order, the buffer must hold exactly the k best pairs in the
+    // (score, id) total order, best-first — including duplicate scores
+    // and ids, both directions, and k larger than the input.
+    val rng = new scala.util.Random(20260813L)
+    for (trial <- 1 to 200) {
+      val n = rng.nextInt(60)
+      val k = 1 + rng.nextInt(12)
+      val asc = rng.nextBoolean()
+      val pairs = Seq.fill(n)((rng.nextInt(10).toLong - 5, rng.nextInt(20).toLong))
+      val buf = new graft.functions.TopKPairs.Buffer(k, asc)
+      rng.shuffle(pairs).foreach { case (s2, i2) => buf.offer(s2, i2) }
+      val expected = pairs.sortWith { case ((s1, i1), (s2, i2)) =>
+        if (s1 != s2) { if (asc) s1 < s2 else s1 > s2 } else i1 < i2
+      }.take(k)
+      val got = buf.sortedBestFirst().toSeq
+      assert(got == expected,
+        s"trial $trial (n=$n k=$k asc=$asc): got $got expected $expected")
+    }
+  }
+
   test("a wrong arity fails analysis instead of crashing execution") {
     val e = intercept[Exception] {
       spark.sql("SELECT sorted_intersect_count(array(1L)) AS n").collect()
