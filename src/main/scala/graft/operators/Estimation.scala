@@ -316,6 +316,96 @@ object Estimation {
            UNION ALL SELECT event_type, 5, cast(round(p55 * 1e6) AS bigint) FROM d5)
          ORDER BY 1, 2""")),
 
+    // ----- M11: naive ACF variable selection, hash-checked ---------------
+
+    ("m11_acf_selection", (s: SparkSession, d: String) => {
+      // The reference's naive ACF preselection (enetVAR.R:646-661) made
+      // driver-visible: rank series by mean squared correlation with the
+      // LAGGED target (lags 1..5) over the aligned daily event panel
+      // (target = 'click'), take the top maxNrVar−1 behind the forced
+      // target. HASH-CHECKED: the score is a ratio of demeaned
+      // lag-product sums (exact-R ACF, 1/T factors explicit), replayed
+      // in SQL over the same day-rank-aligned panel; scores are
+      // e9-quantized (inter-series gaps ≫ 1e-6, so ranking is
+      // deterministic in both engines). The greedy M12/M13 variants
+      // stay golden-class (iterative argmax with candidate culling is
+      // not SQL-shaped); this pins their shared scoring kernel at the
+      // driver level.
+      import s.implicits._
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(col("value")).as("v"))
+      val types = daily.select(col("event_type")).distinct()
+        .collect().map(_.getString(0)).sorted.toIndexedSeq
+      val names = ("click" +: types.filterNot(_ == "click")).toIndexedSeq
+      val aligned = daily.groupBy(col("day"))
+        .pivot("event_type", types).agg(first(col("v")))
+        .na.drop("any").orderBy(col("day"))
+      val rows = aligned.collect()
+      val colIdx = names.map(n => aligned.columns.indexOf(n))
+      val y = DenseMatrix.tabulate(rows.length, names.length)(
+        (i, j) => rows(i).getDouble(colIdx(j)))
+      val lag = 5
+      val sq = graft.stats.Acf.squaredVsLaggedTarget(y, lag)
+      val meanSq = names.indices.map(j =>
+        (0 until lag).map(k => sq(k, j)).sum / lag)
+      val sel = graft.tune.Selection.acfNaive(y, names, lag, maxNrVar = 4)
+      val out = sel.zipWithIndex.map { case (n, i) =>
+        Row(i + 1, n, meanSq(names.indexOf(n)))
+      }
+      s.createDataFrame(
+        java.util.Arrays.asList(out: _*),
+        StructType(Seq(
+          StructField("sel_rank", IntegerType),
+          StructField("series", StringType),
+          StructField("score_raw", DoubleType))))
+        .select(col("sel_rank"), col("series"),
+          round(col("score_raw") * 1e9).cast("long").as("score_e9"))
+        .orderBy(col("sel_rank"))
+    }, Some(
+      """WITH daily AS (
+           SELECT event_type, cast(cast(ts AS timestamp) AS date) AS day,
+                  sum(value) AS v
+           FROM events GROUP BY 1, 2),
+         full_days AS (
+           SELECT day FROM daily GROUP BY day HAVING count(*) = 5),
+         idx AS (SELECT day, row_number() OVER (ORDER BY day) AS t
+                 FROM full_days),
+         n AS (SELECT count(*) AS t FROM idx),
+         ser AS (SELECT i.t, d.event_type, d.v
+                 FROM daily d JOIN idx i USING (day)),
+         cent AS (SELECT s.t, s.event_type, s.v - a.mu AS c
+                  FROM ser s JOIN (SELECT event_type, avg(v) AS mu
+                                   FROM ser GROUP BY 1) a USING (event_type)),
+         sds AS (SELECT event_type,
+                        sqrt(sum(c * c) / (SELECT t FROM n)) AS sd
+                 FROM cent GROUP BY 1),
+         prods AS (
+           SELECT j.event_type, k.k, sum(tgt.c * j.c) AS sk
+           FROM cent j
+           CROSS JOIN (SELECT unnest(generate_series(1, 5)) AS k) k
+           JOIN (SELECT t, c FROM cent WHERE event_type = 'click') tgt
+             ON tgt.t = j.t + k.k
+           GROUP BY 1, 2),
+         r2 AS (SELECT p.event_type, p.k,
+                       ((p.sk / (SELECT t FROM n)) / (st.sd * sj.sd)) *
+                       ((p.sk / (SELECT t FROM n)) / (st.sd * sj.sd)) AS rsq
+                FROM prods p
+                JOIN sds st ON st.event_type = 'click'
+                JOIN sds sj ON sj.event_type = p.event_type),
+         score AS (SELECT event_type, sum(rsq) / 5 AS score FROM r2 GROUP BY 1),
+         ranked AS (SELECT event_type, score,
+                           row_number() OVER (ORDER BY score DESC) AS rnk
+                    FROM score WHERE event_type <> 'click')
+         SELECT sel_rank, series, score_e9 FROM (
+           SELECT 1 AS sel_rank, 'click' AS series,
+                  cast(round(score * 1e9) AS bigint) AS score_e9
+           FROM score WHERE event_type = 'click'
+           UNION ALL
+           SELECT rnk + 1, event_type, cast(round(score * 1e9) AS bigint)
+           FROM ranked WHERE rnk <= 3)
+         ORDER BY sel_rank""")),
+
     // ----- M1: single elastic-net fit, oracle-checked at the ridge point --
 
     ("m1_fixed_lambda", (s: SparkSession, d: String) => {
