@@ -490,6 +490,19 @@ class RelationalPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"w10 winner join-back is not broadcast:\n$plan")
   }
 
+  test("e9: the ADC scan cuts with the bounded aggregate and re-ranks via broadcast") {
+    // The PQ search's corpus-sized stage is the ADC code-table scan; its
+    // candidate cut must be the bounded top_k_pairs aggregate (partial
+    // map-side phase), and the surviving <= k*rerank candidates re-rank
+    // through broadcast join-backs — never a corpus-wide rank window.
+    val df = graft.operators.TextPipeline.queries("e9_pq_search")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_top_k_pairs"),
+      s"e9 ADC cut lost its map-side partial phase:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"e9 candidate join-back is not broadcast:\n$plan")
+  }
+
   test("s1: filter and projection reach the parquet scan") {
     // Pushdown evidence for the scan path: the parquet scan must carry
     // pushed filters and a pruned read schema, not read-everything-filter-
