@@ -368,7 +368,8 @@ object Estimation {
                   sum(value) AS v
            FROM events GROUP BY 1, 2),
          full_days AS (
-           SELECT day FROM daily GROUP BY day HAVING count(*) = 5),
+           SELECT day FROM daily GROUP BY day
+           HAVING count(*) = (SELECT count(DISTINCT event_type) FROM daily)),
          idx AS (SELECT day, row_number() OVER (ORDER BY day) AS t
                  FROM full_days),
          n AS (SELECT count(*) AS t FROM idx),
