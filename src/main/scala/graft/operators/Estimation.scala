@@ -42,10 +42,22 @@ object Estimation {
 
   /** Once-per-JVM stationarity-repair ledger (t2_stationarity_ledger):
     * repair is deterministic, so caching only saves the ~7 s re-run on
-    * every bench pass.
+    * every bench pass. Plain double-checked locking, NOT
+    * AtomicReference.updateAndGet — that contract wants a side-effect-free
+    * function and may re-execute it under contention, which would launch
+    * duplicate ~7 s Spark jobs.
     */
-  private val t2LedgerCache =
-    new java.util.concurrent.atomic.AtomicReference[Array[graft.experiment.Stationarity.LedgerEntry]]()
+  @volatile private var t2LedgerCache: Array[graft.experiment.Stationarity.LedgerEntry] = _
+  private val t2LedgerLock = new Object
+  private def t2Ledger(s: SparkSession): Array[graft.experiment.Stationarity.LedgerEntry] = {
+    val cached = t2LedgerCache
+    if (cached != null) cached
+    else t2LedgerLock.synchronized {
+      if (t2LedgerCache == null)
+        t2LedgerCache = graft.experiment.GoldenExperiment.prepare(s).ledger.toArray
+      t2LedgerCache
+    }
+  }
 
   /** Monthly 2-series panel from orders: (month, rev, n_orders) — the
     * testdata's stand-in for the reference's quarterly macro panel.
@@ -210,10 +222,7 @@ object Estimation {
       // drift (ADF regression, repair-loop order, currency pooling)
       // changes these rows and fails the hash. Repair runs once per JVM
       // (~7 s); every later invocation replays the cached rows.
-      val led = t2LedgerCache.updateAndGet { cached =>
-        if (cached != null) cached
-        else graft.experiment.GoldenExperiment.prepare(s).ledger.toArray
-      }
+      val led = t2Ledger(s)
       import s.implicits._
       led.toSeq.map(e => (e.column, e.transform, e.iteration))
         .toDF("series", "transform", "iteration")
@@ -349,6 +358,9 @@ object Estimation {
       val sq = graft.stats.Acf.squaredVsLaggedTarget(y, lag)
       val meanSq = names.indices.map(j =>
         (0 until lag).map(k => sq(k, j)).sum / lag)
+      // acfNaive's sortBy is stable, so equal scores keep `names` order —
+      // alphabetical among non-targets — matching the oracle's explicit
+      // (score DESC, event_type) tie-break.
       val sel = graft.tune.Selection.acfNaive(y, names, lag, maxNrVar = 4)
       val out = sel.zipWithIndex.map { case (n, i) =>
         Row(i + 1, n, meanSq(names.indexOf(n)))
@@ -396,7 +408,7 @@ object Estimation {
                 JOIN sds sj ON sj.event_type = p.event_type),
          score AS (SELECT event_type, sum(rsq) / 5 AS score FROM r2 GROUP BY 1),
          ranked AS (SELECT event_type, score,
-                           row_number() OVER (ORDER BY score DESC) AS rnk
+                           row_number() OVER (ORDER BY score DESC, event_type) AS rnk
                     FROM score WHERE event_type <> 'click')
          SELECT sel_rank, series, score_e9 FROM (
            SELECT 1 AS sel_rank, 'click' AS series,

@@ -1201,17 +1201,18 @@ object Relational {
       // window shape funnels corpus/|groups| rows into each partition,
       // where the aggregate's map-side combine ships at most k pairs per
       // (partition, group). c_acctbal is 2-decimal money, so the e2-long
-      // score is an order-exact bijection; the winners (k·|groups| rows —
-      // tiny, broadcast) join back for the original double balance.
-      val cut = AnnIndex.topKCut(
+      // score is an order-exact bijection AND exactly invertible:
+      // bal_e2 / 100.0 is the correctly-rounded double of n/100, i.e. the
+      // bit-identical parquet value — no second scan or join-back needed
+      // to recover the original balance.
+      AnnIndex.topKCut(
         Tables.customer(s, d).select(col("c_mktsegment"),
           round(col("c_acctbal") * 100).cast("long").as("bal_e2"),
           col("c_custkey")),
         "c_mktsegment", "bal_e2", "c_custkey", 5, ascending = false,
         scoreName = "bal_e2", idName = "c_custkey")
-      Tables.customer(s, d).select(col("c_custkey"), col("c_acctbal"))
-        .join(broadcast(cut.withColumnRenamed("rank", "rnk")), "c_custkey")
-        .select(col("c_mktsegment"), col("rnk"), col("c_custkey"), col("c_acctbal"))
+        .select(col("c_mktsegment"), col("rank").as("rnk"), col("c_custkey"),
+          (col("bal_e2").cast("double") / 100.0).as("c_acctbal"))
         .orderBy(col("c_mktsegment"), col("rnk"))
     }, Some(
       """SELECT c_mktsegment, rnk, c_custkey, c_acctbal FROM (

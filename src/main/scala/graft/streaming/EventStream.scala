@@ -60,7 +60,13 @@ object EventStream {
     */
   def readEvents(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val tsType = s.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+    // The sniff is best-effort: a landing directory where events.parquet
+    // has not arrived yet must still accept the stream definition (the
+    // old fixed-schema behavior), so a failed batch read falls back to
+    // the current-generation µs/NTZ schema instead of throwing here.
+    val tsType = scala.util.Try(
+      s.read.parquet(s"$dir/events.parquet").schema("ts").dataType)
+      .getOrElse(org.apache.spark.sql.types.TimestampNTZType)
     val raw = s.readStream
       .schema(eventsRawSchema(tsType))
       .option("pathGlobFilter", "events.parquet")

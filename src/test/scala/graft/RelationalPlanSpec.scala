@@ -476,18 +476,21 @@ class RelationalPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"a rank window crept back into e3:\n$plan")
   }
 
-  test("w10: the per-group top-k cut is the bounded aggregate + broadcast join-back") {
+  test("w10: the per-group top-k cut is the bounded aggregate, one scan, no window") {
     // Five market segments means a rank window would funnel corpus/5 rows
     // per partition; the r9 shape is top_k_pairs (partial map-side phase)
-    // with the tiny winner set broadcast back for the original balance.
+    // with the balance reconstructed exactly from the e2 score — no
+    // second customer scan, no join-back.
     val df = Relational.queries("w10_topk_per_group")(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("partial_top_k_pairs"),
       s"w10 top-k has no map-side partial phase:\n$plan")
     assert(!plan.contains("Window "),
       s"a rank window crept back into w10:\n$plan")
-    assert(plan.contains("BroadcastHashJoin"),
-      s"w10 winner join-back is not broadcast:\n$plan")
+    assert(!plan.contains("Join"),
+      s"w10 re-grew a join it does not need:\n$plan")
+    assert(plan.linesIterator.count(_.contains("Scan parquet")) == 1,
+      s"w10 scans customer more than once:\n$plan")
   }
 
   test("e9: the ADC scan cuts with the bounded aggregate and re-ranks via broadcast") {
