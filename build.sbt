@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run output defaults to sbt's logger, which prefixes every stdout
+// line with "[info] " — that breaks any consumer expecting Bench's bare
+// one-line JSON contract (every BENCH_r*.json so far shows parsed:null).
+// StdoutOutput passes the child's stdout through verbatim.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

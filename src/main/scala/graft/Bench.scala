@@ -30,8 +30,17 @@ object Bench {
     // a 0.5 s steady-state query reading 8-30 s cold). One full untimed
     // pass first, so the timed passes below measure steady-state execution;
     // the warmup cost is reported separately, not hidden.
+    // SPARK_GRAFT_BENCH_ONLY=q1_agg,e9_pq_search — optional comma-separated
+    // subset for local A/B iteration; unset runs everything (the driver's
+    // per-round mode).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val queries = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None => SparkEntry.queries
+    }
     val tw = System.nanoTime()
-    SparkEntry.queries.foreach { case (_, fn) =>
+    queries.foreach { case (_, fn) =>
       try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
       catch { case _: Throwable => () }
     }
@@ -42,7 +51,7 @@ object Bench {
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
     var errors = List.empty[String]
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = queries.map { case (name, fn) =>
       val times = (1 to passes).flatMap { _ =>
         val t0 = System.nanoTime()
         try {
@@ -93,7 +102,10 @@ object Bench {
     def compact(n: Int): String = jsonLine(slowestFirst.take(n),
       s""""n_queries":${results.size},"full":"target/bench.json",""")
     while (keep > 1 && compact(keep).length > budget) keep -= 1
-    println(compact(keep))
+    val line = compact(keep)
+    // Stop Spark BEFORE printing: shutdown logs after the JSON line would
+    // push it out of a tail-limited capture of the combined output.
     spark.stop()
+    println(line)
   }
 }

@@ -40,6 +40,16 @@ case class TopKPairs(
 
   override def children: Seq[Expression] = Seq(score, id)
 
+  // Registered as a public SQL function (GraftExtensions): reject non-long
+  // score/id at analysis instead of ClassCastException at execution.
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (score.dataType == LongType && id.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (bigint score, bigint id), got " +
+        s"${score.dataType.catalogString} and ${id.dataType.catalogString}")
+  }
+
   override def nullable: Boolean = false
 
   override def dataType: DataType = ArrayType(StructType(Seq(

@@ -118,9 +118,12 @@ object AnnIndex {
     val s = e.sparkSession
     import s.implicits._
     val unit = e.select(col("vec_id"), col("embedding"), unitE6.as("unit"))
-    var cents: Seq[(Int, Seq[Long])] = unit.orderBy(col("vec_id")).limit(nlist)
+    val init = unit.orderBy(col("vec_id")).limit(nlist)
       .select(col("unit")).collect().toSeq
-      .zipWithIndex.map { case (r, i) => i -> r.getSeq[Long](0) }
+    require(init.length >= nlist,
+      s"trainIvf needs at least nlist=$nlist vectors, corpus has ${init.length}")
+    var cents: Seq[(Int, Seq[Long])] =
+      init.zipWithIndex.map { case (r, i) => i -> r.getSeq[Long](0) }
     for (_ <- 0 until iters) {
       val updated = assignIvf(unit, cents)
         .select(col("cid"), posexplode(col("unit")).as(Seq("pos", "v")))

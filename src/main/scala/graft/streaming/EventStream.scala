@@ -60,13 +60,19 @@ object EventStream {
     */
   def readEvents(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // The sniff is best-effort: a landing directory where events.parquet
-    // has not arrived yet must still accept the stream definition (the
-    // old fixed-schema behavior), so a failed batch read falls back to
-    // the current-generation µs/NTZ schema instead of throwing here.
-    val tsType = scala.util.Try(
-      s.read.parquet(s"$dir/events.parquet").schema("ts").dataType)
-      .getOrElse(org.apache.spark.sql.types.TimestampNTZType)
+    // The sniff tolerates exactly one failure mode: a landing directory
+    // where events.parquet has not arrived yet must still accept the
+    // stream definition, so path-not-found / can't-infer-schema falls back
+    // to the current-generation µs/NTZ schema. Any OTHER failure (IO
+    // error, corrupt footer, permissions) on an existing file would make
+    // the fallback silently pick the wrong generation and fail later at
+    // runtime — rethrow those at definition time instead.
+    val tsType =
+      try s.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          org.apache.spark.sql.types.TimestampNTZType
+      }
     val raw = s.readStream
       .schema(eventsRawSchema(tsType))
       .option("pathGlobFilter", "events.parquet")
