@@ -51,21 +51,35 @@ object Bench {
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
     var errors = List.empty[String]
-    val results = queries.map { case (name, fn) =>
-      val times = (1 to passes).flatMap { _ =>
+    // Passes run as round-robin EPOCHS (pass 1 of every query, then pass
+    // 2, ...), not back-to-back per query: in a shared JVM a GC pause or
+    // JIT recompilation storm is a point-in-time event, and consecutive
+    // passes hand all of a query's samples to the same storm — the median
+    // defends nothing (r9's "regressions" were exactly this: 8 queries
+    // ≥2× with byte-identical plans, a DIFFERENT 8 every run; the r10
+    // isolated A/B reproduced r8's times). Across epochs the storm lands
+    // on different queries, so the per-query median is taken over
+    // independent JVM states. One System.gc() per epoch levels the
+    // collection debt carried into each.
+    val samples = scala.collection.mutable.Map.empty[String, List[Double]]
+    for (_ <- 1 to passes) {
+      System.gc()
+      queries.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-          Some((System.nanoTime() - t0) / 1e9)
+          val dt = (System.nanoTime() - t0) / 1e9
+          samples(name) = dt :: samples.getOrElse(name, Nil)
         } catch { case e: Throwable =>
           if (!errors.contains(name)) {
             errors ::= name
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
           }
-          None
         }
       }
-      name -> (if (times.nonEmpty) median(times) else 0.0)
+    }
+    val results = queries.map { case (name, _) =>
+      name -> samples.get(name).map(median).getOrElse(0.0)
     }
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0

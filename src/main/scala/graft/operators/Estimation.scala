@@ -184,14 +184,23 @@ object Estimation {
                          + sum(dy * dy3) / (t - 1) * 0.25) AS nw_var
          FROM d GROUP BY t""")),
 
-    // ----- T1: batch ADF as a distributed per-series fan-out (rows-only) --
+    // ----- T1: batch ADF as a distributed per-series fan-out ---------------
 
     ("t1_adf_batch", (s: SparkSession, d: String) => {
       // One task per series (the reference's 146-way per-column fan-out,
       // SURVEY §3.1-4): series are grouped and ordered inside the engine,
-      // the ADF regression runs task-locally. No SQL oracle exists for the
-      // test statistic — the numerics are golden-tested in StatsSpec; the
-      // driver records a rows-only check by design.
+      // the ADF regression runs task-locally. HASH-CHECKED since round 10
+      // (was rows-only): the trend-case ADF regression is a 3+k-regressor
+      // OLS, so the oracle rebuilds the design long-form, accumulates the
+      // (3+k)×(3+k) normal equations relationally, solves [XᵀX | Xᵀy | e₀]
+      // by a recursive-CTE Gauss–Jordan over list-typed rows (generic in
+      // k — nothing is unrolled), and replays the two-stage Dickey–Fuller
+      // p-value interpolation (Banerjee et al. Table 4.2c, R approx
+      // rule=2 clamping). Statistic and p-value compare e4-quantized:
+      // LAPACK's pivoted LU and the oracle's Gauss–Jordan agree far below
+      // 5e-5 on this well-posed 6×6 system. Raw doubles stay available
+      // via stats.Adf; the golden StatsSpec values (vs published tseries
+      // output) still pin the numerics independently.
       import s.implicits._
       val daily = Tables.events(s, d)
         .groupBy(col("event_type"), to_date(col("ts")).as("day"))
@@ -202,11 +211,12 @@ object Estimation {
         .as[(String, Seq[(java.sql.Date, Double)])]
         .map { case (et, series) =>
           val r = Adf.test(DenseVector(series.map(_._2).toArray))
-          (et, r.statistic, r.pValue, r.lagOrder, series.length.toLong)
+          (et, math.round(r.statistic * 1e4), math.round(r.pValue * 1e4),
+            r.lagOrder, series.length.toLong)
         }
-        .toDF("event_type", "adf_stat", "p_value", "lag_order", "n_obs")
+        .toDF("event_type", "stat_e4", "p_e4", "lag_order", "n_obs")
         .orderBy(col("event_type"))
-    }, None),
+    }, Some(AdfOracle.sql)),
 
     // ----- T2: stationarity repair, driver-visible via its ledger ---------
 

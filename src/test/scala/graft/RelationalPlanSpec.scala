@@ -516,4 +516,50 @@ class RelationalPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(scan.contains("PushedFilters: [") && !scan.contains("PushedFilters: []"),
       s"no pushed filters on the scan:\n$scan")
   }
+
+  test("calendar windows: every unpartitioned window runs on post-aggregation input") {
+    // The W-family time-series queries use Window.orderBy with no
+    // partition key — defensible ONLY because their input is a per-day /
+    // per-month aggregate whose cardinality is calendar-bounded (at 100×
+    // the data the day count is unchanged). This guard pins that defense:
+    // if an edit ever slides a raw-corpus frame under one of these specs,
+    // the unpartitioned window would sit directly on a scan and this
+    // fails — before the single-partition stage ships to a cluster.
+    // This is a guard over EVERY query, not a fixed-name list: any query
+    // whose optimized plan contains an unpartitioned Window must either
+    // (a) feed it from an Aggregate (per-day/per-month series), or
+    // (b) scan only the repo-local converted-reference panel fixture
+    //     (data/panel — the reference's own Excel-derived dataset, a few
+    //     hundred rows by construction, independent of sfDir).
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LeafNode, Window => LWindow}
+    var found = 0
+    for ((name, fn) <- graft.SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val plan = fn(spark, sfDir).queryExecution.optimizedPlan
+      val unpartitioned = plan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }
+      for (w <- unpartitioned) {
+        found += 1
+        val aggBelow = w.child.collectFirst { case a: Aggregate => a }.isDefined
+        val fixtureOnly = {
+          val leaves = w.child.collect { case l: LeafNode => l }
+          leaves.nonEmpty && leaves.forall {
+            case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+              lr.relation match {
+                case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                  fs.location.rootPaths.forall(_.toString.contains("data/panel"))
+                case _ => false
+              }
+            case _ => false
+          }
+        }
+        assert(aggBelow || fixtureOnly,
+          s"$name: unpartitioned window over NON-aggregated, non-fixture " +
+            s"input — this ships the raw corpus into one partition at scale:\n$w")
+      }
+    }
+    // The time-series family guarantees some hits; zero means the plan
+    // walk itself broke (wrong node class after a Spark upgrade, say).
+    assert(found >= 5, s"expected calendar windows in the corpus, found $found")
+  }
 }
