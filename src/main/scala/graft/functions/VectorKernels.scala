@@ -1,0 +1,273 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native codegen'd vector kernels for the ANN/dedup hot paths.
+  *
+  * Every corpus-sized similarity scan previously ran its inner product /
+  * squared distance through `aggregate(zip_with(...))`: higher-order
+  * functions are interpreted (no `doGenCode`), and `zip_with` materializes
+  * an intermediate array per ROW before the fold walks it — per-element
+  * lambda dispatch plus an allocation, multiplied by |corpus| × |queries|
+  * rows on the brute-force paths. Each kernel here is a tight primitive
+  * loop over the two `ArrayData` (no boxing, no intermediate array) that
+  * stays inside whole-stage codegen, with an interpreted `nullSafeEval`
+  * mirror for the fallback paths.
+  *
+  * Numeric parity with the HOFs they replace is exact: the loop
+  * accumulates left-to-right in index order — the same fold order as
+  * `aggregate` — and multiplies/casts identical per-element operands, so
+  * every e6-rounded driver hash is unchanged by the swap.
+  *
+  * Null semantics: SQL-null result when either input is null or the
+  * lengths disagree (`zip_with` pads the shorter side with nulls, which
+  * nulls the fold — length mismatch was already a null upstream). Element
+  * nulls are NOT checked: the inputs are engine-built arrays
+  * (parquet embeddings, `transform`/`slice` products) that are null-free
+  * by construction.
+  */
+object VectorKernels {
+
+  /** Java code reading element `i` of `arr` as double, per element type. */
+  private[functions] def readAsDouble(arr: String, i: String, et: DataType): String =
+    et match {
+      case FloatType  => s"(double) $arr.getFloat($i)"
+      case DoubleType => s"$arr.getDouble($i)"
+      case LongType   => s"(double) $arr.getLong($i)"
+      case IntegerType => s"(double) $arr.getInt($i)"
+      case other => throw new IllegalStateException(s"unsupported element type $other")
+    }
+
+  private[functions] def numericElem(dt: DataType): Option[DataType] = dt match {
+    case ArrayType(et @ (FloatType | DoubleType | LongType | IntegerType), _) => Some(et)
+    case _ => None
+  }
+
+  private[functions] def getAsDouble(a: ArrayData, i: Int, et: DataType): Double =
+    et match {
+      case FloatType  => a.getFloat(i).toDouble
+      case DoubleType => a.getDouble(i)
+      case LongType   => a.getLong(i).toDouble
+      case IntegerType => a.getInt(i).toDouble
+      case other => throw new IllegalStateException(s"unsupported element type $other")
+    }
+}
+
+/** Σᵢ aᵢ·bᵢ as double over two numeric arrays (float/double/long/int
+  * elements, independently typed per side — both cast to double before the
+  * multiply, exactly the HOF's `cast(x as double) * cast(y as double)`).
+  */
+case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(e => VectorKernels.numericElem(e.dataType).isDefined)
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two numeric-element array inputs, " +
+        s"got ${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "vec_dot"
+
+  private lazy val leftElem = VectorKernels.numericElem(left.dataType).get
+  private lazy val rightElem = VectorKernels.numericElem(right.dataType).get
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) null
+    else {
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        acc += VectorKernels.getAsDouble(x, i, leftElem) *
+          VectorKernels.getAsDouble(y, i, rightElem)
+        i += 1
+      }
+      acc
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += (${VectorKernels.readAsDouble(a, i, leftElem)})
+         |      * (${VectorKernels.readAsDouble(b, i, rightElem)});
+         |  }
+         |  ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecDot =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Σᵢ (aᵢ−bᵢ)² as long over two array<bigint> — the exact integer squared
+  * distance of the e6-quantized unit vectors (IVF assignment, PQ Lloyd
+  * assignment and query tables). Bounds: |aᵢ−bᵢ| ≤ 2e6 ⇒ each term ≤
+  * 4e12, ≤ dim·4e12 total — no overflow at any dim the engine ships.
+  */
+case class LongSqDist(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<bigint> inputs, " +
+        s"got ${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "long_sq_dist"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) null
+    else {
+      var acc = 0L
+      var i = 0
+      while (i < n) {
+        val d = x.getLong(i) - y.getLong(i)
+        acc += d * d
+        i += 1
+      }
+      acc
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    long $d = $a.getLong($i) - $b.getLong($i);
+         |    $acc += $d * $d;
+         |  }
+         |  ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LongSqDist =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Σᵢ tabs[i][codes[i]] as long — the PQ asymmetric-distance scan: m
+  * table lookups per compressed vector against the query's broadcast
+  * per-subspace distance tables. codes is array<int> (or array<bigint>),
+  * tabs array<array<bigint>>; codes are 0-based. SQL-null on length
+  * mismatch, an out-of-range code, or a null table row (`element_at`'s
+  * null, never an error — the scan must not die on a malformed code).
+  */
+case class AdcLookupSum(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val codesOk = left.dataType match {
+      case ArrayType(IntegerType | LongType, _) => true
+      case _ => false
+    }
+    val tabsOk = right.dataType match {
+      case ArrayType(ArrayType(LongType, _), _) => true
+      case _ => false
+    }
+    if (codesOk && tabsOk) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<int|bigint> codes, array<array<bigint>> tabs), " +
+        s"got ${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "adc_lookup_sum"
+
+  private lazy val codeIsLong = left.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val codes = a.asInstanceOf[ArrayData]
+    val tabs = b.asInstanceOf[ArrayData]
+    val n = codes.numElements()
+    if (n != tabs.numElements()) null
+    else {
+      var acc = 0L
+      var i = 0
+      while (i < n) {
+        if (tabs.isNullAt(i)) return null
+        val t = tabs.getArray(i)
+        val c = if (codeIsLong) codes.getLong(i).toInt else codes.getInt(i)
+        if (c < 0 || c >= t.numElements()) return null
+        acc += t.getLong(c)
+        i += 1
+      }
+      acc
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val bad = ctx.freshName("bad")
+      val t = ctx.freshName("t")
+      val c = ctx.freshName("c")
+      val readCode =
+        if (codeIsLong) s"(int) $a.getLong($i)" else s"$a.getInt($i)"
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $acc = 0L;
+         |  boolean $bad = false;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($b.isNullAt($i)) { $bad = true; break; }
+         |    org.apache.spark.sql.catalyst.util.ArrayData $t = $b.getArray($i);
+         |    int $c = $readCode;
+         |    if ($c < 0 || $c >= $t.numElements()) { $bad = true; break; }
+         |    $acc += $t.getLong($c);
+         |  }
+         |  if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $acc; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): AdcLookupSum =
+    copy(left = newLeft, right = newRight)
+}

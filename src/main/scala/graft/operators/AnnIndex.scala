@@ -33,11 +33,24 @@ import org.apache.spark.storage.StorageLevel
   */
 object AnnIndex {
 
-  /** Codegen'd dot product of two Array[Float] columns (elements cast to
-    * double before arithmetic so both engines multiply identical values).
+  import org.apache.spark.sql.GraftExpressionBridge.{column => kcol, expression => kexpr}
+
+  /** Dot product of two numeric-array columns via the native
+    * [[graft.functions.VecDot]] kernel (round 10 — replaces the
+    * interpreted `aggregate(zip_with(...))` HOF: same left-to-right fold
+    * over identical double-cast operands, so every e6-rounded hash is
+    * unchanged, but the loop is a codegen'd primitive walk with no
+    * intermediate array, on the corpus × queries hot path).
     */
-  private[operators] def dot(a: String, b: String) =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)), 0D, (acc, v) -> acc + v)")
+  private[operators] def dot(a: String, b: String): Column =
+    kcol(graft.functions.VecDot(kexpr(col(a)), kexpr(col(b))))
+
+  /** Exact integer squared distance of two e6-quantized unit vectors via
+    * the native [[graft.functions.LongSqDist]] kernel (round 10 — same
+    * replacement story as [[dot]]; integer arithmetic, exact).
+    */
+  private[operators] def sqDist(a: String, b: String): Column =
+    kcol(graft.functions.LongSqDist(kexpr(col(a)), kexpr(col(b))))
 
   /** Per-group top-k cut with BOUNDED state — `row_number() OVER
     * (PARTITION BY group ORDER BY score [asc|desc], id) <= k` re-planned
@@ -90,8 +103,7 @@ object AnnIndex {
   private def assignIvf(e: DataFrame, cents: Seq[(Int, Seq[Long])]): DataFrame = {
     val s = e.sparkSession
     import s.implicits._
-    val dist = expr(
-      "aggregate(zip_with(unit, cent, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)")
+    val dist = sqDist("unit", "cent")
     e.crossJoin(broadcast(cents.toDF("cid", "cent")))
       .select(col("vec_id"), col("embedding"), col("unit"), col("cid"), dist.as("dist"))
       .groupBy(col("vec_id"))
@@ -153,8 +165,7 @@ object AnnIndex {
   def ivfSearch(idx: IvfIndex, qPred: Column, k: Int, nprobe: Int): DataFrame = {
     val s = idx.lists.sparkSession
     import s.implicits._
-    val cdist = expr(
-      "aggregate(zip_with(q_unit, cent, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)")
+    val cdist = sqDist("q_unit", "cent")
     val q = idx.lists.filter(qPred)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("unit").as("q_unit"))
@@ -293,8 +304,7 @@ object AnnIndex {
       sv: DataFrame, codebook: Seq[(Int, Int, Seq[Long])]): DataFrame = {
     val s = sv.sparkSession
     import s.implicits._
-    val dist = expr(
-      "aggregate(zip_with(subvec, cent, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)")
+    val dist = sqDist("subvec", "cent")
     sv.join(broadcast(codebook.toDF("sub", "code", "cent")), "sub")
       .select(col("vec_id"), col("sub"), col("code"), col("subvec"), dist.as("dist"))
       .groupBy(col("vec_id"), col("sub"))
@@ -385,8 +395,7 @@ object AnnIndex {
     val qsub = subvecs(
       q.select(col("q_id").as("vec_id"), col("q_unit").as("unit")),
       idx.m, subDim)
-    val dist = expr(
-      "aggregate(zip_with(subvec, cent, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)")
+    val dist = sqDist("subvec", "cent")
     val qtabs = qsub
       .join(broadcast(idx.codebook.toDF("sub", "code", "cent")), "sub")
       .select(col("vec_id").as("q_id"), col("sub"), col("code"), dist.as("dist"))
@@ -397,8 +406,8 @@ object AnnIndex {
       .agg(expr("transform(array_sort(collect_list(struct(sub, tab))), x -> x.tab)")
         .as("tabs"))
       .join(q, "q_id")
-    val adist = expr(
-      "aggregate(zip_with(codes, tabs, (c, t) -> element_at(t, c + 1)), 0L, (acc, v) -> acc + v)")
+    val adist = kcol(graft.functions.AdcLookupSum(
+      kexpr(col("codes")), kexpr(col("tabs"))))
     // The ADC scan is the corpus-sized stage (|Q| × corpus rows), so its
     // cut is the bounded-state aggregate — the scan's shuffle carries at
     // most k·rerank pairs per (partition, query). The surviving ≤ k·rerank

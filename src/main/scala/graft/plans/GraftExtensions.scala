@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{MinHash8, MisraGries, SimHash32Agg, SortedLongIntersectCount, TokenRepetitionStats, TopKPairs}
+import graft.functions.{AdcLookupSum, LongSqDist, MinHash8, MisraGries, SimHash32Agg, SortedLongIntersectCount, TokenRepetitionStats, TopKPairs, VecDot}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -23,6 +23,12 @@ import org.apache.spark.sql.types.{BooleanType, IntegerType}
   *     behind the x13 Gopher-style gate.
   *   - `misra_gries(expr, k)` — aggregate: bounded-memory heavy-hitter
   *     candidate set (x23's first pass).
+  *   - `vec_dot(a, b)` — codegen'd Σ aᵢ·bᵢ (double) over two numeric
+  *     arrays (the brute-force cosine / re-rank kernel).
+  *   - `long_sq_dist(a, b)` — codegen'd Σ (aᵢ−bᵢ)² (long) over two
+  *     array<bigint> (the e6-quantized IVF/PQ assignment distance).
+  *   - `adc_lookup_sum(codes, tabs)` — codegen'd Σ tabs[i][codes[i]]
+  *     (long), the PQ asymmetric-distance scan.
   *   - `top_k_pairs(score, id, k, ascending)` — aggregate: per-group
   *     top-k (score, id) pairs with bounded k-entry state — the
   *     scale-correct replacement for corpus-sized rank windows (the ANN
@@ -38,6 +44,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     case Seq(a) => f(a)
     case args => throw new IllegalArgumentException(
       s"$name expects 1 argument, got ${args.length}")
+  }
+
+  private def two(name: String)(f: (Expression, Expression) => Expression)
+      : Seq[Expression] => Expression = {
+    case Seq(a, b) => f(a, b)
+    case args => throw new IllegalArgumentException(
+      s"$name expects 2 arguments, got ${args.length}")
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -83,5 +96,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "misra_gries expects (expr, k literal int), got " +
             other.map(_.sql).mkString(", "))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      two("vec_dot")(VecDot)))
+    ext.injectFunction((
+      FunctionIdentifier("long_sq_dist"),
+      new ExpressionInfo(classOf[LongSqDist].getName, "long_sq_dist"),
+      two("long_sq_dist")(LongSqDist)))
+    ext.injectFunction((
+      FunctionIdentifier("adc_lookup_sum"),
+      new ExpressionInfo(classOf[AdcLookupSum].getName, "adc_lookup_sum"),
+      two("adc_lookup_sum")(AdcLookupSum)))
   }
 }

@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.{AnalysisException, SparkSession}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.util.Random
+
+/** The native vector kernels (VecDot / LongSqDist / AdcLookupSum) against
+  * the interpreted `aggregate(zip_with(...))` HOFs they replaced on the
+  * ANN hot paths: bit-identical results on randomized data (same fold
+  * order, same per-element casts), matching null semantics on length
+  * mismatch, and analysis-time (not runtime) rejection of wrong types
+  * through the SQL registration.
+  */
+class VectorKernelsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("vec_dot is bit-identical to the aggregate(zip_with(...)) fold on random floats") {
+    val s = spark
+    import s.implicits._
+    val rnd = new Random(42)
+    val rows = Seq.fill(200)((
+      Array.fill(64)(rnd.nextFloat() * 2 - 1),
+      Array.fill(64)(rnd.nextFloat() * 2 - 1)))
+    val df = rows.toDF("a", "b")
+    df.createOrReplaceTempView("vk_dot")
+    val got = spark.sql(
+      """SELECT vec_dot(a, b) AS native,
+                aggregate(zip_with(a, b, (x, y) -> cast(x as double) * cast(y as double)),
+                          0D, (acc, v) -> acc + v) AS hof
+         FROM vk_dot""").collect()
+    got.foreach { r =>
+      // Bit-identical, not approximately equal: same fold order, same casts.
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("long_sq_dist matches the HOF and is exact on e6-scale integers") {
+    val s = spark
+    import s.implicits._
+    val rnd = new Random(7)
+    val rows = Seq.fill(200)((
+      Array.fill(64)(rnd.nextInt(4000001).toLong - 2000000L),
+      Array.fill(64)(rnd.nextInt(4000001).toLong - 2000000L)))
+    rows.toDF("a", "b").createOrReplaceTempView("vk_sq")
+    val got = spark.sql(
+      """SELECT long_sq_dist(a, b) AS native,
+                aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)),
+                          0L, (acc, v) -> acc + v) AS hof
+         FROM vk_sq""").collect()
+    got.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
+  test("adc_lookup_sum matches element_at-based lookup (1-based SQL vs 0-based codes)") {
+    val s = spark
+    import s.implicits._
+    val rnd = new Random(99)
+    val rows = Seq.fill(100)((
+      Array.fill(8)(rnd.nextInt(16)),
+      Array.fill(8)(Array.fill(16)(rnd.nextInt(1000000).toLong))))
+    rows.toDF("codes", "tabs").createOrReplaceTempView("vk_adc")
+    val got = spark.sql(
+      """SELECT adc_lookup_sum(codes, tabs) AS native,
+                aggregate(zip_with(codes, tabs, (c, t) -> element_at(t, c + 1)),
+                          0L, (acc, v) -> acc + v) AS hof
+         FROM vk_adc""").collect()
+    got.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
+  test("length mismatch and null inputs give SQL null, not an error") {
+    val r = spark.sql(
+      """SELECT vec_dot(array(1.0D, 2.0D), array(1.0D)) AS d,
+                long_sq_dist(array(1L), array(1L, 2L)) AS q,
+                vec_dot(cast(NULL AS array<double>), array(1.0D)) AS n,
+                adc_lookup_sum(array(99), array(array(1L))) AS oob""")
+      .collect()(0)
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3))
+  }
+
+  test("wrong input types fail at analysis, not execution") {
+    val bad = Seq(
+      "SELECT vec_dot(array('x'), array(1.0D))",
+      "SELECT long_sq_dist(array(1.5D), array(1L))",
+      "SELECT adc_lookup_sum(array(1L), array(1L))")
+    for (q <- bad) {
+      intercept[AnalysisException](spark.sql(q).collect())
+    }
+  }
+
+  test("the kernels run inside whole-stage codegen on the scan path") {
+    // A real parquet scan (a local Seq constant-folds to LocalTableScan):
+    // the projection evaluating the kernel must land inside a
+    // WholeStageCodegen subtree — the whole point of doGenCode over a HOF.
+    val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    df.createOrReplaceTempView("vk_wsc")
+    val q = spark.sql("SELECT vec_dot(embedding, embedding) AS n2 FROM vk_wsc")
+    val plan = q.queryExecution.executedPlan.toString
+    val projLine = plan.linesIterator.find(_.contains("vec_dot")).getOrElse("")
+    assert(projLine.trim.startsWith("*"),
+      s"vec_dot projection not inside WholeStageCodegen (no * prefix):\n$plan")
+    assert(q.collect().forall(!_.isNullAt(0)))
+  }
+}
