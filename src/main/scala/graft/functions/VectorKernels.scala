@@ -271,3 +271,79 @@ case class AdcLookupSum(left: Expression, right: Expression) extends BinaryExpre
       newLeft: Expression, newRight: Expression): AdcLookupSum =
     copy(left = newLeft, right = newRight)
 }
+
+/** All `nOut` deterministic-hyperplane projections of a numeric vector in
+  * ONE pass: out[h] = Σᵢ xᵢ · ((i·a + (h+off)·c) mod m − s), i 1-based —
+  * the shared shape of the LSH bucket planes (a=31, off=0, c=17, m=7,
+  * s=3; h = t·4+p) and the Johnson–Lindenstrauss projection matrix
+  * (a=37, off=41, c=23, m=11, s=5). Replaces a per-(row, plane)
+  * interpreted `aggregate(zip_with(embedding, sequence(...)))` — nOut
+  * HOF evaluations each allocating an index array and re-walking the
+  * vector — with a single codegen'd nested loop. Inner loop ascends i,
+  * the HOF's fold order, so every projection is bit-identical to the
+  * spelling it replaces. Weights are exact small ints (all operands
+  * ≥ 0, so Java % == SQL %).
+  */
+case class ModProjAll(
+    child: Expression, nOut: Int, a: Int, off: Int, c: Int, m: Int, s: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(nOut >= 1, s"$prettyName needs nOut >= 1, got $nOut")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (VectorKernels.numericElem(child.dataType).isDefined)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a numeric-element array input, " +
+        s"got ${child.dataType.catalogString}")
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "mod_proj_all"
+
+  private lazy val elem = VectorKernels.numericElem(child.dataType).get
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val x = input.asInstanceOf[ArrayData]
+    val d = x.numElements()
+    val out = new Array[Double](nOut)
+    var h = 0
+    while (h < nOut) {
+      var acc = 0.0
+      var i = 0
+      while (i < d) {
+        val w = ((i + 1) * a + (h + off) * c) % m - s
+        acc += VectorKernels.getAsDouble(x, i, elem) * w
+        i += 1
+      }
+      out(h) = acc
+      h += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val i = ctx.freshName("i")
+      val h = ctx.freshName("h")
+      val d = ctx.freshName("d")
+      val acc = ctx.freshName("acc")
+      val out = ctx.freshName("out")
+      val w = ctx.freshName("w")
+      s"""
+         |int $d = $x.numElements();
+         |double[] $out = new double[$nOut];
+         |for (int $h = 0; $h < $nOut; $h++) {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $d; $i++) {
+         |    int $w = (($i + 1) * $a + ($h + $off) * $c) % $m - $s;
+         |    $acc += (${VectorKernels.readAsDouble(x, i, elem)}) * $w;
+         |  }
+         |  $out[$h] = $acc;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): ModProjAll =
+    copy(child = newChild)
+}

@@ -129,7 +129,7 @@ object AnnIndex {
       persistLists: Boolean = true): IvfIndex = {
     val s = e.sparkSession
     import s.implicits._
-    val unit = e.select(col("vec_id"), col("embedding"), unitE6.as("unit"))
+    val unit = withUnitE6(e)
     val init = unit.orderBy(col("vec_id")).limit(nlist)
       .select(col("unit")).collect().toSeq
     require(init.length >= nlist,
@@ -198,18 +198,21 @@ object AnnIndex {
     // projection fanout on one partition, and every consumer of the
     // persisted index (bucket self-joins in particular) would stream from
     // that single cached partition.
+    // All tables·4 hyperplane projections come from ONE ModProjAll pass
+    // (round 10): the previous shape exploded each vector into 32 rows and
+    // re-ran an interpreted aggregate(zip_with(...)) per row — 32
+    // re-walks of the embedding plus 32 index-array allocations per
+    // vector. Plane h = t·4 + p, so `h div 4` / `h % 4` recover the
+    // (table, plane) pair and every projection is bit-identical to the
+    // old spelling (same ascending fold, same integer weights).
+    val projAll = kcol(graft.functions.ModProjAll(
+      kexpr(col("embedding")), tables * 4, a = 31, off = 0, c = 17, m = 7, s = 3))
     val buckets = e
       .repartition(e.sparkSession.sparkContext.defaultParallelism, col("vec_id"))
       .select(col("vec_id"), col("embedding"),
-        explode(expr(s"sequence(0, ${tables - 1})")).as("t"))
-      .select(col("vec_id"), col("embedding"), col("t"),
-        explode(expr("sequence(0, 3)")).as("p"))
-      .select(col("vec_id"), col("embedding"), col("t"), col("p"),
-        expr("""aggregate(zip_with(embedding, sequence(1, size(embedding)),
-                  (x, i) -> cast(x as double) * cast((i * 31 + (t * 4 + p) * 17) % 7 - 3 as double)),
-                0D, (acc, v) -> acc + v)""").as("proj"))
-      .groupBy(col("vec_id"), col("embedding"), col("t"))
-      .agg(sum(expr("CASE WHEN proj > 0 THEN shiftleft(1, p) ELSE 0 END")).as("bucket"))
+        posexplode(projAll).as(Seq("h", "proj")))
+      .groupBy(col("vec_id"), col("embedding"), expr("h div 4").cast("int").as("t"))
+      .agg(sum(expr("CASE WHEN proj > 0 THEN shiftleft(1, h % 4) ELSE 0 END")).as("bucket"))
     if (persist) buckets.persist(StorageLevel.MEMORY_AND_DISK) else buckets
   }
 
@@ -268,22 +271,32 @@ object AnnIndex {
       codebook: Seq[(Int, Int, Seq[Long])],
       codes: DataFrame)
 
-  /** Unit-normalized embedding QUANTIZED to e6 longs. Everything after
-    * this point — Lloyd assignment distances, centroid updates, the ADC
-    * tables — is exact integer arithmetic, so the trained index and every
-    * ADC score are bit-reproducible across engines and a DuckDB oracle can
-    * replay training AND search (the r8 judge's e9/e10 ask). The only
-    * engine-sensitive step left is this rounding itself, which shares e1's
-    * determinism argument (identical per-element operands; the norm
-    * reduction's ~1e-14 wobble against a 0.5e-6 rounding margin). The
-    * 1e-6 quantization error is ~3 orders below the subspace distances ADC
-    * discriminates, so recall is unaffected.
+  /** (vec_id, embedding, unit): unit-normalized embedding QUANTIZED to e6
+    * longs. Everything after this point — Lloyd assignment distances,
+    * centroid updates, the ADC tables — is exact integer arithmetic, so
+    * the trained index and every ADC score are bit-reproducible across
+    * engines and a DuckDB oracle can replay training AND search (the r8
+    * judge's e9/e10 ask). The only engine-sensitive step left is this
+    * rounding itself, which shares e1's determinism argument (identical
+    * per-element operands; the norm reduction's ~1e-14 wobble against a
+    * 0.5e-6 rounding margin). The 1e-6 quantization error is ~3 orders
+    * below the subspace distances ADC discriminates, so recall is
+    * unaffected.
+    *
+    * Two-step shape (round 10): the squared norm is computed ONCE per row
+    * by the native [[graft.functions.VecDot]] and referenced from the
+    * per-element transform — the previous single-expression spelling
+    * nested the norm fold inside the transform lambda, and interpreted
+    * HOF evaluation re-ran it for EVERY element (O(dim²) per row on the
+    * training/encode path). Values are bit-identical: same norm fold,
+    * same per-element division.
     */
-  private val unitE6 = expr(
-    """transform(embedding, x -> cast(round(cast(x as double) /
-      |  sqrt(aggregate(zip_with(embedding, embedding,
-      |    (a, b) -> cast(a as double) * cast(b as double)),
-      |    0D, (acc, v) -> acc + v)) * 1e6) as bigint))""".stripMargin)
+  private def withUnitE6(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), col("embedding"),
+        dot("embedding", "embedding").as("_n2"))
+      .select(col("vec_id"), col("embedding"), expr(
+        "transform(embedding, x -> cast(round(cast(x as double) / sqrt(_n2) * 1e6) as bigint))")
+        .as("unit"))
 
   /** (vec_id, sub, subvec): each unit vector split into m contiguous
     * subDim-dim subvectors — the decomposition PQ quantizes per subspace.
@@ -329,7 +342,7 @@ object AnnIndex {
       persistCodes: Boolean = true): PqIndex = {
     val s = e.sparkSession
     import s.implicits._
-    val unit = e.select(col("vec_id"), col("embedding"), unitE6.as("unit"))
+    val unit = withUnitE6(e)
     val dim = unit.select(size(col("unit"))).first().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val subDim = dim / m

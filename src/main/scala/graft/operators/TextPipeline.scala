@@ -506,13 +506,16 @@ object TextPipeline {
     * 0-based output dim) — pure arithmetic, no index build, identical in
     * any engine. Columns: vec_id, rp (array&lt;double&gt;).
     */
-  private[graft] def rpProject(e: DataFrame, outDims: Int = 8): DataFrame =
-    e.select(col("vec_id"), expr(
-      s"""transform(sequence(0, ${outDims - 1}), j -> aggregate(
-            zip_with(embedding, sequence(1, size(embedding)),
-              (x, i) -> cast(x as double) *
-                        cast((i * 37 + (j + 41) * 23) % 11 - 5 as double)),
-            0D, (acc, v) -> acc + v))""").as("rp"))
+  private[graft] def rpProject(e: DataFrame, outDims: Int = 8): DataFrame = {
+    // One codegen'd ModProjAll pass (round 10) instead of outDims
+    // interpreted aggregate(zip_with(...)) folds per row — bit-identical
+    // projections (same ascending fold, same integer weights).
+    import org.apache.spark.sql.GraftExpressionBridge
+    e.select(col("vec_id"), GraftExpressionBridge.column(
+      graft.functions.ModProjAll(
+        GraftExpressionBridge.expression(col("embedding")),
+        outDims, a = 37, off = 41, c = 23, m = 11, s = 5)).as("rp"))
+  }
 
   /** Brute-force top-k cosine search in rpProject's reduced space —
     * the spec path for the e8 query's kernel (raw-cosine rank; e8 itself
