@@ -421,15 +421,18 @@ object TextPipeline {
     * — no libm), bucket = Σ 2^p over positive projections. Columns:
     * vec_id, embedding, bucket.
     */
-  private def hyperplaneBuckets(e: DataFrame): DataFrame =
+  private def hyperplaneBuckets(e: DataFrame): DataFrame = {
+    // All 4 plane projections in one codegen'd ModProjAll pass (round 10
+    // — the same swap as AnnIndex.buildLsh; bit-identical projections).
+    import org.apache.spark.sql.GraftExpressionBridge
+    val projAll = GraftExpressionBridge.column(graft.functions.ModProjAll(
+      GraftExpressionBridge.expression(col("embedding")),
+      nOut = 4, a = 31, off = 0, c = 17, m = 7, s = 3))
     e.select(col("vec_id"), col("embedding"),
-        explode(expr("sequence(0, 3)")).as("p"))
-      .select(col("vec_id"), col("embedding"), col("p"),
-        expr("""aggregate(zip_with(embedding, sequence(1, size(embedding)),
-                  (x, i) -> cast(x as double) * cast((i * 31 + p * 17) % 7 - 3 as double)),
-                0D, (acc, v) -> acc + v)""").as("proj"))
+        posexplode(projAll).as(Seq("p", "proj")))
       .groupBy(col("vec_id"), col("embedding"))
       .agg(sum(expr("CASE WHEN proj > 0 THEN shiftleft(1, p) ELSE 0 END")).as("bucket"))
+  }
 
   /** Embedding-cosine near-dup verify over a pre-built LSH bucket index
     * (the d6 core): candidate pairs = collision in ANY table, verify =

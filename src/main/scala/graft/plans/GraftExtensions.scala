@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{AdcLookupSum, LongSqDist, MinHash8, MisraGries, SimHash32Agg, SortedLongIntersectCount, TokenRepetitionStats, TopKPairs, VecDot}
+import graft.functions.{AdcLookupSum, LongSqDist, MinHash8, MisraGries, ModProjAll, SimHash32Agg, SortedLongIntersectCount, TokenRepetitionStats, TopKPairs, VecDot}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -29,6 +29,9 @@ import org.apache.spark.sql.types.{BooleanType, IntegerType}
   *     array<bigint> (the e6-quantized IVF/PQ assignment distance).
   *   - `adc_lookup_sum(codes, tabs)` — codegen'd Σ tabs[i][codes[i]]
   *     (long), the PQ asymmetric-distance scan.
+  *   - `mod_proj_all(arr, nOut, a, off, c, m, s)` — all nOut
+  *     deterministic-hyperplane projections of a vector in one codegen'd
+  *     pass (the LSH plane / JL projection kernel).
   *   - `top_k_pairs(score, id, k, ascending)` — aggregate: per-group
   *     top-k (score, id) pairs with bounded k-entry state — the
   *     scale-correct replacement for corpus-sized rank windows (the ANN
@@ -108,5 +111,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("adc_lookup_sum"),
       new ExpressionInfo(classOf[AdcLookupSum].getName, "adc_lookup_sum"),
       two("adc_lookup_sum")(AdcLookupSum)))
+    ext.injectFunction((
+      FunctionIdentifier("mod_proj_all"),
+      new ExpressionInfo(classOf[ModProjAll].getName, "mod_proj_all"),
+      (args: Seq[Expression]) => args match {
+        case Seq(e, Literal(n: Int, IntegerType), Literal(a: Int, IntegerType),
+            Literal(off: Int, IntegerType), Literal(c: Int, IntegerType),
+            Literal(m: Int, IntegerType), Literal(s: Int, IntegerType)) =>
+          ModProjAll(e, n, a, off, c, m, s)
+        case other => throw new IllegalArgumentException(
+          "mod_proj_all expects (arr, nOut, a, off, c, m, s — all literal ints), got " +
+            other.map(_.sql).mkString(", "))
+      }))
   }
 }

@@ -82,6 +82,39 @@ class VectorKernelsSpec extends AnyFunSuite with BeforeAndAfterAll {
     got.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
+  test("mod_proj_all is bit-identical to the per-plane HOF folds (LSH + JL params)") {
+    val s = spark
+    import s.implicits._
+    val rnd = new Random(5)
+    Seq.fill(100)(Array.fill(64)(rnd.nextFloat() * 2 - 1)).toDF("embedding")
+      .createOrReplaceTempView("vk_proj")
+    // LSH plane family: h = 0..31, w = (i*31 + h*17) % 7 - 3.
+    val lsh = spark.sql(
+      """SELECT mod_proj_all(embedding, 32, 31, 0, 17, 7, 3) AS native,
+                transform(sequence(0, 31), h -> aggregate(
+                  zip_with(embedding, sequence(1, size(embedding)),
+                    (x, i) -> cast(x as double) * cast((i * 31 + h * 17) % 7 - 3 as double)),
+                  0D, (acc, v) -> acc + v)) AS hof
+         FROM vk_proj""").collect()
+    // JL family: j = 0..7, w = (i*37 + (j+41)*23) % 11 - 5.
+    val jl = spark.sql(
+      """SELECT mod_proj_all(embedding, 8, 37, 41, 23, 11, 5) AS native,
+                transform(sequence(0, 7), j -> aggregate(
+                  zip_with(embedding, sequence(1, size(embedding)),
+                    (x, i) -> cast(x as double) * cast((i * 37 + (j + 41) * 23) % 11 - 5 as double)),
+                  0D, (acc, v) -> acc + v)) AS hof
+         FROM vk_proj""").collect()
+    for (r <- lsh ++ jl) {
+      val native = r.getSeq[Double](0)
+      val hof = r.getSeq[Double](1)
+      assert(native.length == hof.length)
+      native.zip(hof).foreach { case (n, h) =>
+        assert(java.lang.Double.doubleToLongBits(n) ==
+          java.lang.Double.doubleToLongBits(h))
+      }
+    }
+  }
+
   test("length mismatch and null inputs give SQL null, not an error") {
     val r = spark.sql(
       """SELECT vec_dot(array(1.0D, 2.0D), array(1.0D)) AS d,
