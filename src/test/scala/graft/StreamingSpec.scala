@@ -396,4 +396,29 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(bad.getMessage.contains("missing_eq"))
   }
+
+  test("stream sniff: an empty landing dir falls back to the us/NTZ schema; a corrupt footer rethrows") {
+    // The advice-item contract (r10): only "file not yet arrived" may
+    // fall back silently — any other read failure on an existing
+    // events.parquet must surface at stream DEFINITION time, not as a
+    // wrong-schema runtime failure later.
+    val empty = java.nio.file.Files.createTempDirectory("graft_sniff_empty").toFile
+    try {
+      // No events.parquet yet: definition must succeed (fallback schema).
+      val df = EventStream.readEvents(spark, empty.getAbsolutePath)
+      assert(df.isStreaming)
+    } finally {
+      empty.delete()
+    }
+    val corrupt = java.nio.file.Files.createTempDirectory("graft_sniff_bad").toFile
+    val f = new java.io.File(corrupt, "events.parquet")
+    java.nio.file.Files.write(f.toPath, "this is not parquet".getBytes("UTF-8"))
+    try {
+      intercept[Exception] {
+        EventStream.readEvents(spark, corrupt.getAbsolutePath)
+      }
+    } finally {
+      f.delete(); corrupt.delete()
+    }
+  }
 }

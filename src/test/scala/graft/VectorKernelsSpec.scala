@@ -135,6 +135,27 @@ class VectorKernelsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("top_k_pairs rejects non-long score/id at analysis (advice r9)") {
+    val s = spark
+    import s.implicits._
+    Seq((1.5, 1L), (2.5, 2L)).toDF("score", "id").createOrReplaceTempView("vk_tkp")
+    intercept[AnalysisException] {
+      spark.sql("SELECT top_k_pairs(score, id, 2, true) FROM vk_tkp").collect()
+    }
+  }
+
+  test("trainIvf refuses a corpus smaller than nlist (advice r9)") {
+    val s = spark
+    import s.implicits._
+    val tiny = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.AnnIndex.trainIvf(tiny, nlist = 4, iters = 1,
+        persistLists = false)
+    }
+    assert(e.getMessage.contains("nlist"))
+  }
+
   test("the kernels run inside whole-stage codegen on the scan path") {
     // A real parquet scan (a local Seq constant-folds to LocalTableScan):
     // the projection evaluating the kernel must land inside a
