@@ -689,14 +689,20 @@ object TextPipeline {
   private[graft] def decontaminate(
       docs: DataFrame,
       bloomPrefilter: Boolean = false): DataFrame = {
+    // Per-doc gram distinctness is computed MAP-SIDE (array_distinct on
+    // the pre-explode gram array, r10) — the previous corpus-wide
+    // .distinct() after the explode shuffled every (doc_id, split, gram)
+    // row just to dedup within rows that were already doc-local. One
+    // less corpus-sized exchange; the row count this feeds downstream is
+    // identical (doc_id is unique pre-explode, so per-row dedup IS the
+    // old global dedup).
     val grams = withHashSplit(docs)
       .select(col("doc_id"), col("split"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= 5)
       .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
-      .select(col("doc_id"), col("split"), explode(expr(
+      .select(col("doc_id"), col("split"), explode(array_distinct(expr(
         """transform(sequence(1, size(t) - 4),
-          |  i -> concat_ws(' ', slice(t, i, 5)))""".stripMargin)).as("gram"))
-      .distinct()
+          |  i -> concat_ws(' ', slice(t, i, 5)))""".stripMargin))).as("gram"))
     // The test-gram set is MATERIALIZED (x7's localCheckpoint lesson):
     // left lazy, its branch re-ran the corpus explode, and the train
     // side ran it twice more — once per consumer (totals + semi-join
