@@ -409,15 +409,22 @@ object AnnIndex {
       q.select(col("q_id").as("vec_id"), col("q_unit").as("unit")),
       idx.m, subDim)
     val dist = sqDist("subvec", "cent")
+    // ONE aggregation builds the nested m×ksub table (round 10 — was a
+    // groupBy(q_id, sub) + groupBy(q_id) pair, two shuffles of the tiny
+    // |Q|·m·ksub stream): every query has exactly m·ksub (sub, code)
+    // cells, so sorting the flat collect_list by (sub, code) and slicing
+    // it per subspace reconstructs exactly the per-sub sorted tabs the
+    // two-level aggregation produced.
+    val ksub = idx.ksub
     val qtabs = qsub
       .join(broadcast(idx.codebook.toDF("sub", "code", "cent")), "sub")
       .select(col("vec_id").as("q_id"), col("sub"), col("code"), dist.as("dist"))
-      .groupBy(col("q_id"), col("sub"))
-      .agg(expr("transform(array_sort(collect_list(struct(code, dist))), x -> x.dist)")
-        .as("tab"))
       .groupBy(col("q_id"))
-      .agg(expr("transform(array_sort(collect_list(struct(sub, tab))), x -> x.tab)")
-        .as("tabs"))
+      .agg(expr(
+        s"""transform(sequence(0, ${idx.m - 1}), s ->
+              transform(slice(array_sort(collect_list(struct(sub, code, dist))),
+                              s * $ksub + 1, $ksub),
+                        x -> x.dist))""").as("tabs"))
       .join(q, "q_id")
     val adist = kcol(graft.functions.AdcLookupSum(
       kexpr(col("codes")), kexpr(col("tabs"))))
