@@ -276,6 +276,83 @@ object Relational {
       """SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
          FROM documents ORDER BY doc_id""")),
 
+    ("s10_orc_roundtrip", (s: SparkSession, d: String) => {
+      // ORC sink + re-scan (engine ext., round 10) — the other columnar
+      // format Spark ships natively; a warehouse migrating between
+      // ORC-based (Hive/Trino) and parquet-based stacks needs both ends.
+      // Same explicit-schema discipline as s5/s8 (no inference in the
+      // query path), same unique scratch-dir protocol; the md5 proves
+      // the text column byte-lossless through the ORC writer/reader.
+      // DuckDB cannot read ORC, so the oracle replays the expected
+      // result from the SOURCE parquet — a stronger check than
+      // re-reading our own output: the roundtrip must agree with what
+      // was written, not merely with itself.
+      import org.apache.spark.sql.types._
+      val tmp = s"$csvScratchRoot/${java.util.UUID.randomUUID()}"
+      Tables.documents(s, d).write.mode("overwrite").orc(tmp)
+      s.read
+        .schema(StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("text", StringType),
+          StructField("lang", StringType),
+          StructField("source", StringType),
+          StructField("n_chars", LongType))))
+        .orc(tmp)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          md5(col("text")).as("text_md5"))
+        .orderBy(col("doc_id"))
+    }, Some(
+      """SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+         FROM documents ORDER BY doc_id""")),
+
+    ("s11_compacted_write", (s: SparkSession, d: String) => {
+      // Writer-side layout hygiene (engine ext., round 10): the
+      // small-files problem is THE ingest failure mode at 100 TB — a
+      // partitioned write that lets every task emit every partition
+      // yields O(tasks × partitions) tiny files that poison later scans.
+      // The fix is the standard one: repartition BY the partition column
+      // first (each partition's rows land in one task), bound rows per
+      // file with maxRecordsPerFile, and partitionBy on the write. The
+      // query re-reads the layout it wrote and returns per-source counts
+      // + the file count per partition dir, asserting the layout
+      // contract — ceil(rows_per_source / 10k) files, valid at ANY sf
+      // because repartition(source) puts each source wholly in one task
+      // — inside the hash-checked result, so a layout regression fails
+      // the driver compare, not just a test.
+      import scala.jdk.CollectionConverters._
+      val tmp = s"$csvScratchRoot/${java.util.UUID.randomUUID()}"
+      Tables.documents(s, d)
+        .repartition(col("source"))
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", 10000)
+        .partitionBy("source").parquet(tmp)
+      val files = java.nio.file.Files.walk(java.nio.file.Paths.get(tmp))
+        .iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet"))
+        .toSeq
+        .groupBy(p => p.getParent.getFileName.toString)
+        .map { case (dir, fs) =>
+          (dir.stripPrefix("source="), fs.size.toLong)
+        }.toSeq
+      val layout = s.createDataFrame(
+        files.map(f => org.apache.spark.sql.Row(f._1, f._2)).asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("source",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n_files",
+            org.apache.spark.sql.types.LongType))))
+      s.read.parquet(tmp)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .join(layout, "source")
+        .select(col("source"), col("n_docs"), col("sum_chars"), col("n_files"))
+        .orderBy(col("source"))
+    }, Some(
+      """SELECT source, count(*) AS n_docs,
+                cast(sum(n_chars) AS bigint) AS sum_chars,
+                cast(ceil(count(*) / 10000.0) AS bigint) AS n_files
+         FROM documents GROUP BY 1 ORDER BY 1""")),
+
     ("s4_tuning_import", (s: SparkSession, d: String) => {
       // Tuning-parameter import round-trip (SURVEY S4; reference
       // Testing.R:223-225 reads a pre-tuned 2×K α/λ workbook into
