@@ -399,33 +399,10 @@ object AnnIndex {
     * q_id, vec_id, adist, cosine_e6, rank.
     */
   def pqSearch(idx: PqIndex, qPred: Column, k: Int, rerank: Int = 4): DataFrame = {
-    val s = idx.codes.sparkSession
-    import s.implicits._
     val q = idx.codes.filter(qPred)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("unit").as("q_unit"))
-    val subDim = idx.codebook.head._3.length
-    val qsub = subvecs(
-      q.select(col("q_id").as("vec_id"), col("q_unit").as("unit")),
-      idx.m, subDim)
-    val dist = sqDist("subvec", "cent")
-    // ONE aggregation builds the nested m×ksub table (round 10 — was a
-    // groupBy(q_id, sub) + groupBy(q_id) pair, two shuffles of the tiny
-    // |Q|·m·ksub stream): every query has exactly m·ksub (sub, code)
-    // cells, so sorting the flat collect_list by (sub, code) and slicing
-    // it per subspace reconstructs exactly the per-sub sorted tabs the
-    // two-level aggregation produced.
-    val ksub = idx.ksub
-    val qtabs = qsub
-      .join(broadcast(idx.codebook.toDF("sub", "code", "cent")), "sub")
-      .select(col("vec_id").as("q_id"), col("sub"), col("code"), dist.as("dist"))
-      .groupBy(col("q_id"))
-      .agg(expr(
-        s"""transform(sequence(0, ${idx.m - 1}), s ->
-              transform(slice(array_sort(collect_list(struct(sub, code, dist))),
-                              s * $ksub + 1, $ksub),
-                        x -> x.dist))""").as("tabs"))
-      .join(q, "q_id")
+    val qtabs = adcTabs(idx, q).join(q, "q_id")
     val adist = kcol(graft.functions.AdcLookupSum(
       kexpr(col("codes")), kexpr(col("tabs"))))
     // The ADC scan is the corpus-sized stage (|Q| × corpus rows), so its
@@ -440,6 +417,44 @@ object AnnIndex {
       "q_id", "adist", "vec_id", k * rerank, ascending = true,
       scoreName = "adist", idName = "vec_id")
       .select(col("q_id"), col("vec_id"), col("adist"))
+    rerankExact(idx, adcCands, q, k)
+  }
+
+  /** The per-query m × ksub ADC table, as ONE aggregation of the tiny
+    * |Q|·m·ksub distance stream (was a groupBy(q_id, sub) + groupBy(q_id)
+    * pair — two shuffles): every query has exactly m·ksub (sub, code)
+    * cells, so sorting the flat collect_list by (sub, code) and slicing it
+    * per subspace reconstructs exactly the per-sub sorted tabs the
+    * two-level aggregation produced. Input `q` carries (q_id, q_unit);
+    * output is (q_id, tabs).
+    */
+  private def adcTabs(idx: PqIndex, q: DataFrame): DataFrame = {
+    val s = idx.codes.sparkSession
+    import s.implicits._
+    val subDim = idx.codebook.head._3.length
+    val qsub = subvecs(
+      q.select(col("q_id").as("vec_id"), col("q_unit").as("unit")),
+      idx.m, subDim)
+    val dist = sqDist("subvec", "cent")
+    val ksub = idx.ksub
+    qsub
+      .join(broadcast(idx.codebook.toDF("sub", "code", "cent")), "sub")
+      .select(col("vec_id").as("q_id"), col("sub"), col("code"), dist.as("dist"))
+      .groupBy(col("q_id"))
+      .agg(expr(
+        s"""transform(sequence(0, ${idx.m - 1}), s ->
+              transform(slice(array_sort(collect_list(struct(sub, code, dist))),
+                              s * $ksub + 1, $ksub),
+                        x -> x.dist))""").as("tabs"))
+  }
+
+  /** Exact-cosine re-rank of the surviving ADC candidates: both joins are
+    * broadcasts of the ≤ k·rerank-per-query candidate set, and the final
+    * rank window runs on those few rows per query — never corpus-sized.
+    * Columns: q_id, vec_id, adist, cosine_e6, rank.
+    */
+  private def rerankExact(
+      idx: PqIndex, adcCands: DataFrame, q: DataFrame, k: Int): DataFrame = {
     val wc = Window.partitionBy(col("q_id"))
       .orderBy(col("cosine_e6").desc, col("vec_id"))
     idx.codes.select(col("vec_id"), col("embedding"))
@@ -453,6 +468,56 @@ object AnnIndex {
       .filter(col("rank") <= k)
   }
 
+  /** The composed IVF+PQ index — the production 100 TB ANN layout: IVF
+    * PRUNES (only probed lists are touched) and PQ COMPRESSES (the probed
+    * lists are scanned as m-byte codes, not floats). `coded` is the
+    * materialized composition: (vec_id, cid, codes) — at 100 TB this is
+    * the stored index, partitioned by list id, ~8 bytes + a list id per
+    * vector; originals stay in the PQ side's code table for the exact
+    * re-rank of the few ADC survivors.
+    */
+  final case class IvfPqIndex(ivf: IvfIndex, pq: PqIndex, coded: DataFrame)
+
+  /** Search the composed index: queries probe their `nprobe` min-L2
+    * coarse centroids (integer distances, cid ties — e6's rule), the ADC
+    * scan joins the broadcast (q_id, cid, tabs) probe set to `coded` ON
+    * cid — a hash join that touches ONLY probed lists' codes, never the
+    * full corpus (the plan-shape contrast with pqSearch's crossJoin scan)
+    * — and the ≤ k·rerank ADC survivors re-rank by exact cosine. Every
+    * stage reuses the integer-exact arithmetic of its parent path, so
+    * probe sets, ADC sums, and both rank tie-breaks replay exactly in a
+    * relational oracle. Columns: q_id, vec_id, adist, cosine_e6, rank.
+    */
+  def ivfPqSearch(
+      idx: IvfPqIndex, qPred: Column, k: Int, nprobe: Int,
+      rerank: Int = 4): DataFrame = {
+    val s = idx.pq.codes.sparkSession
+    import s.implicits._
+    val q = idx.pq.codes.filter(qPred)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("unit").as("q_unit"))
+    val cdist = sqDist("q_unit", "cent")
+    // nlist rows per query — the rank window is centroid-bounded, not
+    // corpus-bounded.
+    val probed = q.crossJoin(broadcast(idx.ivf.cents.toDF("cid", "cent")))
+      .select(col("q_id"), col("cid"), cdist.as("cdist"))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cdist"), col("cid"))))
+      .filter(col("crank") <= nprobe)
+      .select(col("q_id"), col("cid"))
+    val probeTabs = probed.join(adcTabs(idx.pq, q), "q_id")
+    val adist = kcol(graft.functions.AdcLookupSum(
+      kexpr(col("codes")), kexpr(col("tabs"))))
+    val adcCands = topKCut(
+      idx.coded.join(broadcast(probeTabs), "cid")
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"), adist.as("adist")),
+      "q_id", "adist", "vec_id", k * rerank, ascending = true,
+      scoreName = "adist", idName = "vec_id")
+      .select(col("q_id"), col("vec_id"), col("adist"))
+    rerankExact(idx.pq, adcCands, q, k)
+  }
+
   // a stopped, GC'd session releases its cached indexes with it. The
   // previous identityHashCode key could both collide after GC (hashes
   // are address-derived and reusable, handing a new session an index
@@ -464,6 +529,8 @@ object AnnIndex {
     scala.collection.concurrent.TrieMap[(String, Int), DataFrame]]()
   private val pqCache = new java.util.WeakHashMap[SparkSession,
     scala.collection.concurrent.TrieMap[(String, Int, Int, Int), PqIndex]]()
+  private val ivfPqCache = new java.util.WeakHashMap[SparkSession,
+    scala.collection.concurrent.TrieMap[(String, Int, Int, Int, Int, Int), IvfPqIndex]]()
 
   /** The shared IVF index for `path`'s embeddings in session `s` —
     * trained on first use, reused by every later query in the session
@@ -495,4 +562,24 @@ object AnnIndex {
       pqCache.computeIfAbsent(s,
         _ => scala.collection.concurrent.TrieMap.empty)
     }.getOrElseUpdate((path, m, ksub, iters), trainPq(e, m, ksub, iters))
+
+  /** The shared composed IVF+PQ index for `path`'s embeddings in session
+    * `s`. Reuses the session's cached IVF quantizer and PQ codebook (the
+    * same instances e6/e7 and e9/e10 search), so composing costs one
+    * corpus-sized (vec_id → cid, codes) join, materialized once — the
+    * stored-index build a real system would run at ingest.
+    */
+  def ivfPqFor(s: SparkSession, path: String, e: => DataFrame,
+      nlist: Int, ivfIters: Int, m: Int, ksub: Int, pqIters: Int): IvfPqIndex =
+    ivfPqCache.synchronized {
+      ivfPqCache.computeIfAbsent(s,
+        _ => scala.collection.concurrent.TrieMap.empty)
+    }.getOrElseUpdate((path, nlist, ivfIters, m, ksub, pqIters), {
+      val ivf = ivfFor(s, path, e, nlist, ivfIters)
+      val pq = pqFor(s, path, e, m, ksub, pqIters)
+      val coded = pq.codes.select(col("vec_id"), col("codes"))
+        .join(ivf.lists.select(col("vec_id"), col("cid")), "vec_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      IvfPqIndex(ivf, pq, coded)
+    })
 }

@@ -1928,6 +1928,165 @@ object TextPipeline {
          LEFT JOIN pq3 p ON p.q_id = e3.q_id AND p.vec_id = e3.vec_id
          GROUP BY 1 ORDER BY 1""")),
 
+    ("e11_ivfpq_search", (s: SparkSession, d: String) => {
+      // The FIFTH ANN path — IVF and PQ COMPOSED, the production 100 TB
+      // layout (FAISS's IVFPQ shape): the coarse quantizer PRUNES the
+      // corpus to the queries' 4 probed lists, and inside them the scan
+      // reads 8-byte PQ codes, not floats — pruning × compression, so a
+      // 1000-executor scan touches nprobe/nlist of the data at ~1/32 the
+      // bytes. Both halves reuse the session's cached e6/e9 indexes
+      // (ivfPqFor), the ADC scan is a hash join ON cid against the
+      // broadcast probe set (probed-lists-only — pinned by plan test,
+      // vs pqSearch's full-corpus crossJoin), the cut is the bounded
+      // top_k_pairs aggregate, and the ≤12 survivors re-rank by exact
+      // cosine. Training, probe sets, ADC sums, and both tie-breaks are
+      // the same integer-exact arithmetic as e6/e9, so the oracle replays
+      // the whole composition CTE-for-CTE.
+      AnnIndex.ivfPqSearch(
+        AnnIndex.ivfPqFor(s, d, Tables.embeddings(s, d),
+          nlist = 16, ivfIters = 2, m = 8, ksub = 16, pqIters = 2),
+        col("vec_id") < 3, k = 3, nprobe = 4)
+        .orderBy(col("q_id"), col("rank"))
+    }, Some(
+      """WITH ex AS (
+           SELECT vec_id, i, cast(embedding[i] AS double) AS v FROM (
+             SELECT vec_id, embedding,
+                    unnest(generate_series(1, len(embedding))) AS i
+             FROM embeddings)),
+         nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ex GROUP BY 1),
+         u AS (SELECT e.vec_id, e.i,
+                      cast(round(e.v / n.nrm * 1e6) AS bigint) AS ue6
+               FROM ex e JOIN nrm n ON n.vec_id = e.vec_id),
+         icb0 AS (SELECT cast(r - 1 AS int) AS cid, i, ue6 FROM (
+                    SELECT u.*, dense_rank() OVER (ORDER BY vec_id) AS r FROM u)
+                  WHERE r <= 16),
+         ia0 AS (SELECT vec_id, cid FROM (
+                   SELECT vec_id, cid, row_number() OVER (
+                     PARTITION BY vec_id ORDER BY dist, cid) AS rn
+                   FROM (SELECT u.vec_id, cb.cid,
+                                cast(sum((u.ue6 - cb.ue6) * (u.ue6 - cb.ue6))
+                                  AS bigint) AS dist
+                         FROM u JOIN icb0 cb ON cb.i = u.i GROUP BY 1, 2))
+                 WHERE rn = 1),
+         icb1 AS (SELECT icb0.cid, icb0.i, coalesce(up.ue6, icb0.ue6) AS ue6
+                  FROM icb0 LEFT JOIN (
+                    SELECT a.cid, u.i,
+                           cast(floor(sum(u.ue6) * 1.0 / count(*) + 0.5) AS bigint) AS ue6
+                    FROM ia0 a JOIN u ON u.vec_id = a.vec_id GROUP BY 1, 2) up
+                  ON up.cid = icb0.cid AND up.i = icb0.i),
+         ia1 AS (SELECT vec_id, cid FROM (
+                   SELECT vec_id, cid, row_number() OVER (
+                     PARTITION BY vec_id ORDER BY dist, cid) AS rn
+                   FROM (SELECT u.vec_id, cb.cid,
+                                cast(sum((u.ue6 - cb.ue6) * (u.ue6 - cb.ue6))
+                                  AS bigint) AS dist
+                         FROM u JOIN icb1 cb ON cb.i = u.i GROUP BY 1, 2))
+                 WHERE rn = 1),
+         icb2 AS (SELECT icb1.cid, icb1.i, coalesce(up.ue6, icb1.ue6) AS ue6
+                  FROM icb1 LEFT JOIN (
+                    SELECT a.cid, u.i,
+                           cast(floor(sum(u.ue6) * 1.0 / count(*) + 0.5) AS bigint) AS ue6
+                    FROM ia1 a JOIN u ON u.vec_id = a.vec_id GROUP BY 1, 2) up
+                  ON up.cid = icb1.cid AND up.i = icb1.i),
+         ia2 AS (SELECT vec_id, cid FROM (
+                   SELECT vec_id, cid, row_number() OVER (
+                     PARTITION BY vec_id ORDER BY dist, cid) AS rn
+                   FROM (SELECT u.vec_id, cb.cid,
+                                cast(sum((u.ue6 - cb.ue6) * (u.ue6 - cb.ue6))
+                                  AS bigint) AS dist
+                         FROM u JOIN icb2 cb ON cb.i = u.i GROUP BY 1, 2))
+                 WHERE rn = 1),
+         pdist AS (SELECT u.vec_id AS q_id, cb.cid,
+                          cast(sum((u.ue6 - cb.ue6) * (u.ue6 - cb.ue6))
+                            AS bigint) AS dist
+                   FROM u JOIN icb2 cb ON cb.i = u.i
+                   WHERE u.vec_id < 3 GROUP BY 1, 2),
+         probe AS (SELECT q_id, cid FROM (
+                     SELECT pdist.*, row_number() OVER (PARTITION BY q_id
+                              ORDER BY dist, cid) AS crank FROM pdist)
+                   WHERE crank <= 4),
+         sv AS (SELECT vec_id, cast((i - 1) // 8 AS int) AS sub,
+                       cast((i - 1) % 8 AS int) AS d, ue6 FROM u),
+         cb0 AS (SELECT sub, cast(r - 1 AS int) AS code, d, ue6 FROM (
+                   SELECT sv.*, dense_rank() OVER (ORDER BY vec_id) AS r
+                   FROM sv)
+                 WHERE r <= 16),
+         a0 AS (SELECT vec_id, sub, code FROM (
+                  SELECT vec_id, sub, code, row_number() OVER (
+                    PARTITION BY vec_id, sub ORDER BY dist, code) AS rn
+                  FROM (SELECT sv.vec_id, sv.sub, cb.code,
+                               cast(sum((sv.ue6 - cb.ue6) * (sv.ue6 - cb.ue6))
+                                 AS bigint) AS dist
+                        FROM sv JOIN cb0 cb ON cb.sub = sv.sub AND cb.d = sv.d
+                        GROUP BY 1, 2, 3))
+                WHERE rn = 1),
+         cb1 AS (SELECT cb0.sub, cb0.code, cb0.d, coalesce(up.ue6, cb0.ue6) AS ue6
+                 FROM cb0 LEFT JOIN (
+                   SELECT a.sub, a.code, sv.d,
+                          cast(floor(sum(sv.ue6) * 1.0 / count(*) + 0.5) AS bigint) AS ue6
+                   FROM a0 a JOIN sv ON sv.vec_id = a.vec_id AND sv.sub = a.sub
+                   GROUP BY 1, 2, 3) up
+                 ON up.sub = cb0.sub AND up.code = cb0.code AND up.d = cb0.d),
+         a1 AS (SELECT vec_id, sub, code FROM (
+                  SELECT vec_id, sub, code, row_number() OVER (
+                    PARTITION BY vec_id, sub ORDER BY dist, code) AS rn
+                  FROM (SELECT sv.vec_id, sv.sub, cb.code,
+                               cast(sum((sv.ue6 - cb.ue6) * (sv.ue6 - cb.ue6))
+                                 AS bigint) AS dist
+                        FROM sv JOIN cb1 cb ON cb.sub = sv.sub AND cb.d = sv.d
+                        GROUP BY 1, 2, 3))
+                WHERE rn = 1),
+         cb2 AS (SELECT cb1.sub, cb1.code, cb1.d, coalesce(up.ue6, cb1.ue6) AS ue6
+                 FROM cb1 LEFT JOIN (
+                   SELECT a.sub, a.code, sv.d,
+                          cast(floor(sum(sv.ue6) * 1.0 / count(*) + 0.5) AS bigint) AS ue6
+                   FROM a1 a JOIN sv ON sv.vec_id = a.vec_id AND sv.sub = a.sub
+                   GROUP BY 1, 2, 3) up
+                 ON up.sub = cb1.sub AND up.code = cb1.code AND up.d = cb1.d),
+         a2 AS (SELECT vec_id, sub, code FROM (
+                  SELECT vec_id, sub, code, row_number() OVER (
+                    PARTITION BY vec_id, sub ORDER BY dist, code) AS rn
+                  FROM (SELECT sv.vec_id, sv.sub, cb.code,
+                               cast(sum((sv.ue6 - cb.ue6) * (sv.ue6 - cb.ue6))
+                                 AS bigint) AS dist
+                        FROM sv JOIN cb2 cb ON cb.sub = sv.sub AND cb.d = sv.d
+                        GROUP BY 1, 2, 3))
+                WHERE rn = 1),
+         qt AS (SELECT sv.vec_id AS q_id, cb.sub, cb.code,
+                       cast(sum((sv.ue6 - cb.ue6) * (sv.ue6 - cb.ue6))
+                         AS bigint) AS dist
+                FROM sv JOIN cb2 cb ON cb.sub = sv.sub AND cb.d = sv.d
+                WHERE sv.vec_id < 3 GROUP BY 1, 2, 3),
+         ivfcand AS (SELECT p.q_id, l.vec_id FROM probe p
+                     JOIN ia2 l ON l.cid = p.cid
+                     WHERE l.vec_id <> p.q_id),
+         adc AS (SELECT c.q_id, c.vec_id, cast(sum(qt.dist) AS bigint) AS adist
+                 FROM ivfcand c
+                 JOIN a2 ON a2.vec_id = c.vec_id
+                 JOIN qt ON qt.q_id = c.q_id AND qt.sub = a2.sub
+                        AND qt.code = a2.code
+                 GROUP BY 1, 2),
+         acand AS (SELECT q_id, vec_id, adist FROM (
+                     SELECT adc.*, row_number() OVER (PARTITION BY q_id
+                              ORDER BY adist, vec_id) AS arank FROM adc)
+                   WHERE arank <= 12),
+         cdot AS (SELECT c.q_id, c.vec_id, c.adist, sum(q.v * e.v) AS dot
+                  FROM acand c
+                  JOIN ex q ON q.vec_id = c.q_id
+                  JOIN ex e ON e.vec_id = c.vec_id AND e.i = q.i
+                  GROUP BY 1, 2, 3),
+         scored AS (SELECT cd.q_id, cd.vec_id, cd.adist,
+                           cast(round(cd.dot / (nq.nrm * ne.nrm) * 1e6) AS bigint)
+                             AS cosine_e6
+                    FROM cdot cd
+                    JOIN nrm nq ON nq.vec_id = cd.q_id
+                    JOIN nrm ne ON ne.vec_id = cd.vec_id)
+         SELECT q_id, vec_id, adist, cosine_e6, rank FROM (
+           SELECT scored.*, row_number() OVER (PARTITION BY q_id
+                    ORDER BY cosine_e6 DESC, vec_id) AS rank
+           FROM scored)
+         WHERE rank <= 3 ORDER BY q_id, rank""")),
+
     ("e8_rp_recall", (s: SparkSession, d: String) => {
       // The THIRD ANN scale path: Johnson–Lindenstrauss random projection.
       // Embeddings drop to 8 dims through a deterministic integer matrix

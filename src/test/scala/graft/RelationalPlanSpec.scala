@@ -506,6 +506,25 @@ class RelationalPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"e9 candidate join-back is not broadcast:\n$plan")
   }
 
+  test("e11: the composed IVF+PQ ADC scan touches only probed lists via a cid hash join") {
+    // The composition's whole point at 100 TB: the code-table scan must be
+    // a hash join keyed on the list id against the broadcast probe set —
+    // touching nprobe/nlist of the corpus — never pqSearch's full-corpus
+    // crossJoin. The only nested-loop joins allowed are the two
+    // centroid-bounded crosses (rows × nlist broadcast centroids: the
+    // probe stage and the IVF assignment scan), never a corpus × corpus
+    // shape, and the cut stays the bounded top_k_pairs aggregate.
+    val df = graft.operators.TextPipeline.queries("e11_ivfpq_search")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin \\[cid".r.findFirstIn(plan).isDefined,
+      s"e11 ADC scan is not a cid-keyed hash join against the probe set:\n$plan")
+    assert(plan.contains("partial_top_k_pairs"),
+      s"e11 ADC cut lost its map-side partial phase:\n$plan")
+    val bnlj = plan.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 2,
+      s"e11 grew a cross join beyond the two centroid-bounded ones (found $bnlj):\n$plan")
+  }
+
   test("s1: filter and projection reach the parquet scan") {
     // Pushdown evidence for the scan path: the parquet scan must carry
     // pushed filters and a pruned read schema, not read-everything-filter-
