@@ -677,17 +677,25 @@ object Estimation {
         .orderBy(col("equation"))
     }, None),
 
-    // ----- M8/M9: IC table over lag orders (rows-only) --------------------
+    // ----- M8/M9: IC table over lag orders, hash-checked at ridge ---------
 
     ("m8_ic_table", (s: SparkSession, d: String) => {
-      // infCrit (Tibshirani–Taylor dof) for p = 1..3 at fixed α, λ —
-      // the inner step of enetVARselect (M9). Deterministic small table.
+      // infCrit (Tibshirani–Taylor dof) for p = 1..3 at fixed λ — the
+      // inner step of enetVARselect (M9). HASH-CHECKED since round 10
+      // (was rows-only) at the solver's one SQL-expressible point, α=0
+      // (m1's convention): the per-equation ridge has the closed form
+      // (X̃ᵀX̃+NλI)β̃ = X̃ᵀy on the sd-scaled design, every coefficient is
+      // active so the dof trace collapses to K·tr((ZᵀZ+λ/2·I)⁻¹ZᵀZ), and
+      // the K=2 testdata panel keeps det Σ̂ a 2×2 — so the whole IC table
+      // replays through M8Oracle's recursive Gauss–Jordan, generic in p.
+      // General-α/-K behavior (CD solver, sparse active sets) stays
+      // golden-tested in VarModelSpec.
       val panel = collectSeries(monthlyPanel(s, d), "month", Seq("rev", "n_orders"))
       val y = new DenseMatrix(panel.length, 2,
         panel.map(_(0) / 1e8) ++ panel.map(_(1) / 1e3))
       val rows = (1 to 3).map { p =>
         val model = EnetVar.fit(y, p, IndexedSeq("rev", "n_orders"),
-          alphas = Seq(0.5), lambdas = Seq(0.01))
+          alphas = Seq(0.0), lambdas = Seq(0.01))
         val ic = InfCrit(model)
         Row(p.toLong, ic.fpe, ic.aic, ic.hq, ic.sc, ic.dof)
       }
@@ -700,8 +708,14 @@ object Estimation {
           StructField("hq", DoubleType),
           StructField("sc", DoubleType),
           StructField("dof", DoubleType))))
+        .select(col("lag"),
+          round(col("fpe") * 1e4).cast("long").as("fpe_e4"),
+          round(col("aic") * 1e4).cast("long").as("aic_e4"),
+          round(col("hq") * 1e4).cast("long").as("hq_e4"),
+          round(col("sc") * 1e4).cast("long").as("sc_e4"),
+          round(col("dof") * 1e4).cast("long").as("dof_e4"))
         .orderBy(col("lag"))
-    }, None),
+    }, Some(M8Oracle.sql)),
 
     // ----- M7: group (mgaussian) elastic-net VAR (rows-only) --------------
 
