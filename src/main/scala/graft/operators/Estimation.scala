@@ -654,28 +654,40 @@ object Estimation {
     ("m2_cv_lambda", (s: SparkSession, d: String) => {
       // Blocked-fold CV on the monthly VAR design (contiguous 10-row
       // blocks → ceil(N/10) folds, enetVAR.R:27-36): reports the selected
-      // λ and its pooled CV-MSE per equation. Deterministic; numerics
-      // golden-tested in LinalgSpec.
+      // λ (grid position + ln value) and its pooled CV-MSE per equation.
+      // HASH-CHECKED since round 10 (was rows-only) at the solver's one
+      // SQL-expressible point, α=0 (m1's/m8's convention): every (fold, λ)
+      // fit has the ridge closed form (X̃ᵀX̃ + N·λI)β̃ = X̃ᵀy on the fold's
+      // sd-scaled training complement, the VAR(1)×K=2 design keeps each
+      // system a 2×2 Cramer solve, and glmnet's auto λ grid
+      // (λmax = maxⱼ|⟨x̃ⱼ,y⟩|/(N·0.001), 100 log-spaced points down to
+      // λmax·1e-4) is analytic — so the whole CV surface replays in
+      // M2Oracle. General-α CD behavior stays golden-tested in LinalgSpec.
       val panel = collectSeries(monthlyPanel(s, d), "month", Seq("rev", "n_orders"))
       // Scale to O(1) so the CV path is well-conditioned (revenues are 1e8).
       val y = new DenseMatrix(panel.length, 2,
         panel.map(_(0) / 1e8) ++ panel.map(_(1) / 1e3))
       val design = VarDesign.build(y, p = 1, IndexedSeq("rev", "n_orders"))
       val rows = (0 until design.n).map { j =>
-        val cv = BlockedCv.cvFitBlocked(design.z, design.response(j), alpha = 0.5)
-        val cvmAtMin = cv.cvm(cv.lambdas.indexOf(cv.lambdaMin))
-        Row(design.names(j), cv.lambdaMin, cvmAtMin,
+        val cv = BlockedCv.cvFitBlocked(design.z, design.response(j), alpha = 0.0)
+        val li = cv.lambdas.indexOf(cv.lambdaMin)
+        Row(design.names(j), li.toLong, math.log(cv.lambdaMin), cv.cvm(li),
           BlockedCv.foldIds(design.z.rows).max.toLong)
       }
       s.createDataFrame(
         java.util.Arrays.asList(rows: _*),
         StructType(Seq(
           StructField("equation", StringType),
-          StructField("lambda_min", DoubleType),
+          StructField("lambda_idx", LongType),
+          StructField("ln_lambda", DoubleType),
           StructField("cv_mse", DoubleType),
           StructField("n_folds", LongType))))
+        .select(col("equation"), col("lambda_idx"),
+          round(col("ln_lambda") * 1e6).cast("long").as("ln_lambda_e6"),
+          round(col("cv_mse") * 1e6).cast("long").as("cv_mse_e6"),
+          col("n_folds"))
         .orderBy(col("equation"))
-    }, None),
+    }, Some(M2Oracle.sql)),
 
     // ----- M8/M9: IC table over lag orders, hash-checked at ridge ---------
 

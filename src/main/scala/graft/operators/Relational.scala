@@ -353,6 +353,61 @@ object Relational {
                 cast(ceil(count(*) / 10000.0) AS bigint) AS n_files
          FROM documents GROUP BY 1 ORDER BY 1""")),
 
+    ("s12_zorder_layout", (s: SparkSession, d: String) => {
+      // Z-order (Morton) clustering readout (engine ext., round 10): the
+      // multi-dimensional data-skipping layout. A single-column sort gives
+      // parquet min/max skipping on ONE predicate column; interleaving the
+      // key bits gives it on BOTH at once — assigning rows to files by
+      // z-prefix bounds every file's (a, b) footprint to a tight box, so
+      // a 100 TB scan with a predicate on EITHER dimension prunes ~√-
+      // proportionally instead of not at all. The z value is pure per-row
+      // bit arithmetic (codegen'd, no shuffle), and the bucket is the
+      // z-PREFIX — top 4 bits — so layout assignment is a groupBy, never a
+      // global sort (an ntile over corpus-wide z would single-partition
+      // the window; the prefix IS the range id). The query reports each
+      // bucket's bounding box: 16 disjoint 256×256 boxes out of the
+      // 1024×1024 domain — the 1/16-area skipping contract, hash-checked
+      // (all-integer) so a broken interleave fails the driver compare.
+      val a0 = col("l_orderkey") % 1024
+      val b0 = col("l_partkey") % 1024
+      // Standard 16-bit bit-spread (insert a 0 between consecutive bits):
+      // x = (x|x<<8)&0x00FF00FF; (x|x<<4)&0x0F0F0F0F; (x|x<<2)&0x33333333;
+      // (x|x<<1)&0x55555555 — then z = spread(a) | spread(b)<<1.
+      def spread(c: Column): Column = {
+        val s1 = (c.bitwiseOR(shiftleft(c, 8))).bitwiseAND(lit(16711935L))
+        val s2 = (s1.bitwiseOR(shiftleft(s1, 4))).bitwiseAND(lit(252645135L))
+        val s3 = (s2.bitwiseOR(shiftleft(s2, 2))).bitwiseAND(lit(858993459L))
+        (s3.bitwiseOR(shiftleft(s3, 1))).bitwiseAND(lit(1431655765L))
+      }
+      Tables.lineitem(s, d)
+        .select(a0.cast("long").as("a"), b0.cast("long").as("b"))
+        .withColumn("zval", spread(col("a"))
+          .bitwiseOR(shiftleft(spread(col("b")), 1)))
+        .groupBy(shiftRightUnsigned(col("zval"), 16).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("a")).as("min_a"), max(col("a")).as("max_a"),
+          min(col("b")).as("min_b"), max(col("b")).as("max_b"))
+        .orderBy(col("bucket"))
+    }, Some(
+      """WITH base AS (
+           SELECT l_orderkey % 1024 AS a, l_partkey % 1024 AS b FROM lineitem),
+         sp AS (
+           SELECT a, b, ((a | (a << 8)) & 16711935) AS a1,
+                  ((b | (b << 8)) & 16711935) AS b1 FROM base),
+         sp2 AS (
+           SELECT a, b, ((a1 | (a1 << 4)) & 252645135) AS a2,
+                  ((b1 | (b1 << 4)) & 252645135) AS b2 FROM sp),
+         sp3 AS (
+           SELECT a, b, ((a2 | (a2 << 2)) & 858993459) AS a3,
+                  ((b2 | (b2 << 2)) & 858993459) AS b3 FROM sp2),
+         z AS (
+           SELECT a, b, ((a3 | (a3 << 1)) & 1431655765)
+                  | ((((b3 | (b3 << 1)) & 1431655765)) << 1) AS zval FROM sp3)
+         SELECT cast(zval >> 16 AS bigint) AS bucket, count(*) AS n,
+                cast(min(a) AS bigint) AS min_a, cast(max(a) AS bigint) AS max_a,
+                cast(min(b) AS bigint) AS min_b, cast(max(b) AS bigint) AS max_b
+         FROM z GROUP BY 1 ORDER BY 1""")),
+
     ("s4_tuning_import", (s: SparkSession, d: String) => {
       // Tuning-parameter import round-trip (SURVEY S4; reference
       // Testing.R:223-225 reads a pre-tuned 2×K α/λ workbook into
@@ -761,6 +816,43 @@ object Relational {
           AND abs(length(a.p_name) - length(b.p_name)) <= 2
           AND levenshtein(a.p_name, b.p_name) <= 2
          ORDER BY 1, 2""")),
+
+    ("j12_dynamic_partition_prune", (s: SparkSession, d: String) => {
+      // Dynamic partition pruning (engine ext., round 10): the join-driven
+      // complement of s7's static pruning — the star-schema shape where
+      // the predicate lives on a DIMENSION attribute (here a date dim's
+      // day-of-week), not on the fact's partition column, so no static
+      // PartitionFilter can prune the fact scan. Catalyst's DPP closes
+      // the gap: the filtered dim is broadcast for the hash join anyway,
+      // and the reused broadcast feeds a dynamicpruning subquery into the
+      // fact scan's partition filters, so only the Sundays' 4 of ~30
+      // partition directories are read — at 100 TB the difference between
+      // scanning a week and scanning the archive whenever the pruning
+      // predicate routes through a join. (DPP requires a SELECTIVE FILTER
+      // on the dim side — a top-k limit doesn't qualify for Catalyst's
+      // PartitionPruning rule, a comparison predicate does.)
+      // RelationalPlanSpec asserts the dynamicpruning filter lands on the
+      // scan; day-of-week is deterministic so the oracle replays the dim.
+      val hot = Tables.events(s, d)
+        .select(to_date(col("ts")).as("event_date")).distinct()
+        .filter(dayofweek(col("event_date")) === 1)
+      s.read.parquet(partitionedEvents(s, d))
+        .join(hot, Seq("event_date"))
+        .groupBy(col("event_date"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 1e4).cast("long")).as("sum_value_e4"))
+        .orderBy(col("event_date"), col("event_type"))
+    }, Some(
+      """WITH hot AS (
+           SELECT DISTINCT cast(ts AS date) AS event_date FROM events
+           WHERE dayofweek(cast(ts AS date)) = 0)
+         SELECT e.event_date, e.event_type, count(*) AS n,
+                cast(sum(cast(round(e.value * 1e4) AS bigint)) AS bigint)
+                  AS sum_value_e4
+         FROM (SELECT cast(ts AS date) AS event_date, event_type, value
+               FROM events) e
+         JOIN hot h ON h.event_date = e.event_date
+         GROUP BY 1, 2 ORDER BY 1, 2""")),
 
     ("j3_date_align", (s: SparkSession, d: String) => {
       // Reference J3: point-lookup alignment on a computed date key

@@ -87,6 +87,23 @@ class RelationalPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(selected == 5, s"expected 5 pruned partitions, read $selected")
   }
 
+  test("j12: the dim-attribute filter dynamically prunes the partitioned scan") {
+    // No static predicate exists on the fact's partition column — the
+    // filter lives on the date dim's day-of-week — so the only way the
+    // fact scan reads the Sundays' 4 of ~30 partition directories is
+    // Catalyst's dynamic partition pruning reusing the dim's broadcast. A
+    // lost DPP filter keeps the query hash-green while silently
+    // re-reading the whole archive at 100 TB.
+    val df = Relational.queries("j12_dynamic_partition_prune")(spark, sfDir)
+    val scan = df.queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.partitionFilters.nonEmpty => f
+      }.headOption
+      .getOrElse(fail("no partition-filtered FileSourceScanExec in the j12 plan"))
+    assert(scan.partitionFilters.mkString.contains("dynamicpruning"),
+      s"partition filter is not dynamic: ${scan.partitionFilters.mkString}")
+  }
+
   test("j10: bucketed layout makes the aggregate and join shuffle-free") {
     // The bucketed table exists so that neither the per-user aggregate
     // nor the join back to the rows re-partitions the data: the only
@@ -520,7 +537,16 @@ class RelationalPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"e11 ADC scan is not a cid-keyed hash join against the probe set:\n$plan")
     assert(plan.contains("partial_top_k_pairs"),
       s"e11 ADC cut lost its map-side partial phase:\n$plan")
-    val bnlj = plan.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    // Count LIVE nested-loop joins by tree traversal, not by string: the
+    // executedPlan STRING also dumps every cached InMemoryRelation's build
+    // lineage (whose corpus × nlist assignment cross is fine — it ran once
+    // at index build), and AQE prints each such subtree twice
+    // (initial + final), so a line count sees phantom crosses. sparkPlan
+    // traversal stops at InMemoryTableScan leaves: only joins this query
+    // will actually execute are counted.
+    val bnlj = df.queryExecution.sparkPlan.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+    }.size
     assert(bnlj <= 2,
       s"e11 grew a cross join beyond the two centroid-bounded ones (found $bnlj):\n$plan")
   }
