@@ -347,3 +347,105 @@ case class ModProjAll(
   override protected def withNewChildInternal(newChild: Expression): ModProjAll =
     copy(child = newChild)
 }
+
+/** Scalar-quantization (SQ8) asymmetric squared distance: the corpus side
+  * is an `array<int>` of per-dimension 8-bit codes, the query side the
+  * e6-quantized unit vector (`array<bigint>`), and `mn`/`span` are the
+  * trained per-dimension quantizer bounds baked in as constants (they are
+  * index parameters, not data — embedded like ModProjAll's plane params so
+  * the corpus × queries scan carries no extra column). Per dimension the
+  * code dequantizes by integer round-half-up
+  * `recon = mn + (code·span·2 + 255) / 510` (numerator non-negative, so
+  * truncating and flooring division agree across engines) and the kernel
+  * accumulates Σ (q − recon)² as exact long arithmetic — the same
+  * integer-oracle discipline as the PQ/IVF paths, inside whole-stage
+  * codegen.
+  */
+case class Sq8Dist(left: Expression, right: Expression,
+    mn: Seq[Long], span: Seq[Long]) extends BinaryExpression {
+
+  require(mn.length == span.length,
+    s"$prettyName: mn/span length mismatch (${mn.length} vs ${span.length})")
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val codesOk = left.dataType match {
+      case ArrayType(IntegerType | LongType, _) => true
+      case _ => false
+    }
+    val qOk = right.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (codesOk && qOk) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<int|bigint> codes, array<bigint> query), " +
+        s"got ${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "sq8_dist"
+
+  private lazy val codeIsLong = left.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
+  @transient private lazy val mnArr: Array[Long] = mn.toArray
+  @transient private lazy val spanArr: Array[Long] = span.toArray
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val codes = a.asInstanceOf[ArrayData]
+    val q = b.asInstanceOf[ArrayData]
+    val n = codes.numElements()
+    if (n != q.numElements() || n != mnArr.length) null
+    else {
+      var acc = 0L
+      var i = 0
+      while (i < n) {
+        val c = if (codeIsLong) codes.getLong(i) else codes.getInt(i).toLong
+        val sp = spanArr(i)
+        val recon = mnArr(i) + (if (sp == 0L) 0L else (c * sp * 2L + 255L) / 510L)
+        val diff = q.getLong(i) - recon
+        acc += diff * diff
+        i += 1
+      }
+      acc
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val mnRef = ctx.addReferenceObj("sq8mn", mnArr, "long[]")
+      val spRef = ctx.addReferenceObj("sq8span", spanArr, "long[]")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val c = ctx.freshName("c")
+      val sp = ctx.freshName("sp")
+      val recon = ctx.freshName("recon")
+      val diff = ctx.freshName("diff")
+      val readCode =
+        if (codeIsLong) s"$a.getLong($i)" else s"(long) $a.getInt($i)"
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements() || $n != $mnRef.length) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    long $c = $readCode;
+         |    long $sp = $spRef[$i];
+         |    long $recon = $mnRef[$i] + ($sp == 0L ? 0L : ($c * $sp * 2L + 255L) / 510L);
+         |    long $diff = $b.getLong($i) - $recon;
+         |    $acc += $diff * $diff;
+         |  }
+         |  ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Sq8Dist =
+    copy(left = newLeft, right = newRight)
+}

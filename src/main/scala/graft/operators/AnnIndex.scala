@@ -417,7 +417,7 @@ object AnnIndex {
       "q_id", "adist", "vec_id", k * rerank, ascending = true,
       scoreName = "adist", idName = "vec_id")
       .select(col("q_id"), col("vec_id"), col("adist"))
-    rerankExact(idx, adcCands, q, k)
+    rerankExact(idx.codes, adcCands, q, k)
   }
 
   /** The per-query m × ksub ADC table, as ONE aggregation of the tiny
@@ -454,10 +454,10 @@ object AnnIndex {
     * Columns: q_id, vec_id, adist, cosine_e6, rank.
     */
   private def rerankExact(
-      idx: PqIndex, adcCands: DataFrame, q: DataFrame, k: Int): DataFrame = {
+      corpus: DataFrame, adcCands: DataFrame, q: DataFrame, k: Int): DataFrame = {
     val wc = Window.partitionBy(col("q_id"))
       .orderBy(col("cosine_e6").desc, col("vec_id"))
-    idx.codes.select(col("vec_id"), col("embedding"))
+    corpus.select(col("vec_id"), col("embedding"))
       .join(broadcast(adcCands), "vec_id")
       .join(broadcast(q.select(col("q_id"), col("q_emb"))), "q_id")
       .select(col("q_id"), col("vec_id"), col("adist"),
@@ -466,6 +466,77 @@ object AnnIndex {
           .cast("long").as("cosine_e6"))
       .withColumn("rank", row_number().over(wc))
       .filter(col("rank") <= k)
+  }
+
+  /** Scalar-quantization (SQ8) index: per-dimension 8-bit codes against
+    * trained per-dimension [mn, mn+span] bounds over the e6 unit vectors —
+    * the THIRD compression family next to PQ (per-subspace codebooks) and
+    * IVF (pruning). SQ8 is the production default when 4× compression
+    * suffices: no codebook training (one min/max aggregate is the whole
+    * "fit"), encode/decode are pure per-element integer arithmetic, and
+    * the asymmetric scan is one codegen'd kernel ([[graft.functions.Sq8Dist]])
+    * with the quantizer bounds baked in as constants. All integer-exact —
+    * the e12 oracle replays train + encode + scan CTE-for-CTE.
+    *
+    * `codes`: (vec_id, embedding, unit, sq8) persisted; `mn`/`span`:
+    * the d-length quantizer bounds (driver-held — d·16 bytes).
+    */
+  final case class Sq8Index(codes: DataFrame, mn: Seq[Long], span: Seq[Long])
+
+  def trainSq8(e: DataFrame, persistCodes: Boolean = true): Sq8Index = {
+    val unit = withUnitE6(e)
+    // One aggregate over the exploded components trains the quantizer:
+    // per-dimension min and span. d rows collect to the driver — the
+    // quantizer is index METADATA (like PQ's codebook), not data.
+    val bounds = unit
+      .select(posexplode(col("unit")).as(Seq("pos", "v")))
+      .groupBy(col("pos"))
+      .agg(min(col("v")).as("mn"), (max(col("v")) - min(col("v"))).as("span"))
+      .collect().sortBy(_.getInt(0))
+    val mn = bounds.map(_.getLong(1)).toSeq
+    val span = bounds.map(_.getLong(2)).toSeq
+    val mnL = typedlit(mn)
+    val spL = typedlit(span)
+    // Encode: code = round-half-up((u - mn) * 255 / span) as pure integer
+    // arithmetic, (du*510 + span) div (2*span) — numerator non-negative,
+    // so floor()-of-double-division (operands < 2^31, quotient >= 2.5e-7
+    // from any integer, both exact in double) equals the integer division
+    // the kernel and the DuckDB oracle (`//`) use. Encode runs ONCE at
+    // build; the interpreted HOF is off the search path.
+    val codes = unit.withColumn("sq8",
+      org.apache.spark.sql.functions.transform(col("unit"), (x, i) => {
+        val m = element_at(mnL, (i + 1).cast("int"))
+        val sp = element_at(spL, (i + 1).cast("int"))
+        when(sp === 0L, 0)
+          .otherwise(floor(((x - m) * 510L + sp) / (sp * 2L)).cast("int"))
+      }))
+    Sq8Index(
+      if (persistCodes) codes.persist(StorageLevel.MEMORY_AND_DISK) else codes,
+      mn, span)
+  }
+
+  /** SQ8 top-k search: the corpus-sized stage scans 1-byte-per-dimension
+    * codes against each broadcast query through the codegen'd
+    * [[graft.functions.Sq8Dist]] (quantizer constants baked in — the scan
+    * carries no per-row quantizer state), cuts with the bounded
+    * `top_k_pairs` aggregate, and exact-reranks the <= k*rerank
+    * survivors — the e9 shape with the codebook replaced by two constant
+    * arrays.
+    */
+  def sq8Search(idx: Sq8Index, qPred: Column, k: Int, rerank: Int = 4): DataFrame = {
+    val q = idx.codes.filter(qPred)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("unit").as("q_unit"))
+    val adist = kcol(graft.functions.Sq8Dist(
+      kexpr(col("sq8")), kexpr(col("q_unit")), idx.mn, idx.span))
+    val adcCands = topKCut(
+      idx.codes.crossJoin(broadcast(q.select(col("q_id"), col("q_unit"))))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"), adist.as("adist")),
+      "q_id", "adist", "vec_id", k * rerank, ascending = true,
+      scoreName = "adist", idName = "vec_id")
+      .select(col("q_id"), col("vec_id"), col("adist"))
+    rerankExact(idx.codes, adcCands, q, k)
   }
 
   /** The composed IVF+PQ index — the production 100 TB ANN layout: IVF
@@ -515,7 +586,7 @@ object AnnIndex {
       "q_id", "adist", "vec_id", k * rerank, ascending = true,
       scoreName = "adist", idName = "vec_id")
       .select(col("q_id"), col("vec_id"), col("adist"))
-    rerankExact(idx.pq, adcCands, q, k)
+    rerankExact(idx.pq.codes, adcCands, q, k)
   }
 
   // a stopped, GC'd session releases its cached indexes with it. The
@@ -594,6 +665,19 @@ object AnnIndex {
     }.getOrElseUpdate((path, m, ksub, iters),
       timedBuild(s"pq:$m:$ksub:$iters") {
         val idx = trainPq(e, m, ksub, iters); idx.codes.count(); idx
+      })
+
+  private val sq8Cache = new java.util.WeakHashMap[SparkSession,
+    scala.collection.concurrent.TrieMap[String, Sq8Index]]()
+
+  /** The shared SQ8 index for `path`'s embeddings in session `s`. */
+  def sq8For(s: SparkSession, path: String, e: => DataFrame): Sq8Index =
+    sq8Cache.synchronized {
+      sq8Cache.computeIfAbsent(s,
+        _ => scala.collection.concurrent.TrieMap.empty)
+    }.getOrElseUpdate(path,
+      timedBuild("sq8") {
+        val idx = trainSq8(e); idx.codes.count(); idx
       })
 
   /** The shared composed IVF+PQ index for `path`'s embeddings in session

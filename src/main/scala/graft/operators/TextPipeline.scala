@@ -2087,6 +2087,74 @@ object TextPipeline {
            FROM scored)
          WHERE rank <= 3 ORDER BY q_id, rank""")),
 
+    ("e12_sq8_search", (s: SparkSession, d: String) => {
+      // The SIXTH ANN path: scalar quantization (SQ8) — the third
+      // compression family after PQ (per-subspace codebooks) and IVF+PQ
+      // (pruned compressed lists). Each dimension of the e6 unit vector
+      // maps to one byte against trained per-dimension [mn, mn+span]
+      // bounds: 4x fewer bytes than float32 with NO codebook training
+      // (one min/max aggregate is the whole fit) — the production default
+      // when moderate compression is enough, and the layout FAISS calls
+      // SQ8/SQfp variants. The corpus scan runs the codegen'd sq8_dist
+      // kernel with the quantizer bounds baked in as constants (no
+      // per-row quantizer state, no broadcast table), the cut is the
+      // bounded top_k_pairs aggregate, and the <= 12 survivors re-rank by
+      // exact cosine. Train, encode (integer round-half-up), the
+      // asymmetric scan, and both tie-breaks are exact integer arithmetic
+      // the oracle replays CTE-for-CTE. The index builds once per session
+      // (AnnIndex.sq8For).
+      AnnIndex.sq8Search(
+        AnnIndex.sq8For(s, d, Tables.embeddings(s, d)),
+        col("vec_id") < 3, k = 3)
+        .orderBy(col("q_id"), col("rank"))
+    }, Some(
+      """WITH ex AS (
+           SELECT vec_id, i, cast(embedding[i] AS double) AS v FROM (
+             SELECT vec_id, embedding,
+                    unnest(generate_series(1, len(embedding))) AS i
+             FROM embeddings)),
+         nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ex GROUP BY 1),
+         u AS (SELECT e.vec_id, e.i,
+                      cast(round(e.v / n.nrm * 1e6) AS bigint) AS ue6
+               FROM ex e JOIN nrm n ON n.vec_id = e.vec_id),
+         mm AS (SELECT i, min(ue6) AS mn, max(ue6) - min(ue6) AS span
+                FROM u GROUP BY 1),
+         codes AS (SELECT u.vec_id, u.i,
+                          CASE WHEN m.span = 0 THEN 0
+                               ELSE ((u.ue6 - m.mn) * 510 + m.span)
+                                    // (m.span * 2) END AS code
+                   FROM u JOIN mm m ON m.i = u.i),
+         recon AS (SELECT c.vec_id, c.i,
+                          m.mn + CASE WHEN m.span = 0 THEN 0
+                                      ELSE (c.code * m.span * 2 + 255) // 510
+                                 END AS re6
+                   FROM codes c JOIN mm m ON m.i = c.i),
+         qd AS (SELECT q.vec_id AS q_id, r.vec_id,
+                       cast(sum((q.ue6 - r.re6) * (q.ue6 - r.re6)) AS bigint)
+                         AS adist
+                FROM u q JOIN recon r ON r.i = q.i
+                WHERE q.vec_id < 3 AND r.vec_id <> q.vec_id GROUP BY 1, 2),
+         cand AS (SELECT q_id, vec_id, adist FROM (
+                    SELECT qd.*, row_number() OVER (PARTITION BY q_id
+                             ORDER BY adist, vec_id) AS arank FROM qd)
+                  WHERE arank <= 12),
+         cdot AS (SELECT c.q_id, c.vec_id, c.adist, sum(q.v * e.v) AS dot
+                  FROM cand c
+                  JOIN ex q ON q.vec_id = c.q_id
+                  JOIN ex e ON e.vec_id = c.vec_id AND e.i = q.i
+                  GROUP BY 1, 2, 3),
+         scored AS (SELECT cd.q_id, cd.vec_id, cd.adist,
+                           cast(round(cd.dot / (nq.nrm * ne.nrm) * 1e6) AS bigint)
+                             AS cosine_e6
+                    FROM cdot cd
+                    JOIN nrm nq ON nq.vec_id = cd.q_id
+                    JOIN nrm ne ON ne.vec_id = cd.vec_id)
+         SELECT q_id, vec_id, adist, cosine_e6, rank FROM (
+           SELECT scored.*, row_number() OVER (PARTITION BY q_id
+                    ORDER BY cosine_e6 DESC, vec_id) AS rank
+           FROM scored)
+         WHERE rank <= 3 ORDER BY q_id, rank""")),
+
     ("e8_rp_recall", (s: SparkSession, d: String) => {
       // The THIRD ANN scale path: Johnson–Lindenstrauss random projection.
       // Embeddings drop to 8 dims through a deterministic integer matrix

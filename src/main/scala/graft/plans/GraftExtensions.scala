@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{AdcLookupSum, LongSqDist, MinHash8, MisraGries, ModProjAll, SimHash32Agg, SortedLongIntersectCount, TokenRepetitionStats, TopKPairs, VecDot}
+import graft.functions.{AdcLookupSum, LongSqDist, MinHash8, MisraGries, ModProjAll, SimHash32Agg, SortedLongIntersectCount, Sq8Dist, TokenRepetitionStats, TopKPairs, VecDot}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -32,6 +32,9 @@ import org.apache.spark.sql.types.{BooleanType, IntegerType}
   *   - `mod_proj_all(arr, nOut, a, off, c, m, s)` — all nOut
   *     deterministic-hyperplane projections of a vector in one codegen'd
   *     pass (the LSH plane / JL projection kernel).
+  *   - `sq8_dist(codes, q, mn, span)` — codegen'd SQ8 asymmetric squared
+  *     distance (long); `mn`/`span` are foldable array<bigint> quantizer
+  *     bounds, evaluated once at plan time and baked into the kernel.
   *   - `top_k_pairs(score, id, k, ascending)` — aggregate: per-group
   *     top-k (score, id) pairs with bounded k-entry state — the
   *     scale-correct replacement for corpus-sized rank windows (the ANN
@@ -111,6 +114,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("adc_lookup_sum"),
       new ExpressionInfo(classOf[AdcLookupSum].getName, "adc_lookup_sum"),
       two("adc_lookup_sum")(AdcLookupSum)))
+    ext.injectFunction((
+      FunctionIdentifier("sq8_dist"),
+      new ExpressionInfo(classOf[Sq8Dist].getName, "sq8_dist"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c, q, mnE, spanE) if mnE.foldable && spanE.foldable =>
+          def longs(e: Expression): Seq[Long] =
+            e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+              .toLongArray().toSeq
+          Sq8Dist(c, q, longs(mnE), longs(spanE))
+        case other => throw new IllegalArgumentException(
+          "sq8_dist expects (codes, q, mn foldable array<bigint>, span foldable array<bigint>), got " +
+            other.map(_.sql).mkString(", "))
+      }))
     ext.injectFunction((
       FunctionIdentifier("mod_proj_all"),
       new ExpressionInfo(classOf[ModProjAll].getName, "mod_proj_all"),

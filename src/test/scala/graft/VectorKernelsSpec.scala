@@ -156,6 +156,59 @@ class VectorKernelsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("nlist"))
   }
 
+  test("sq8_dist matches the explicit dequantize-and-sum fold and stays codegen'd") {
+    val s = spark
+    import s.implicits._
+    val rnd = new Random(11)
+    val dim = 16
+    val rows = Seq.fill(100)((
+      Array.fill(dim)(rnd.nextInt(256)),
+      Array.fill(dim)(rnd.nextInt(2000001).toLong - 1000000L)))
+    rows.toDF("codes", "q").createOrReplaceTempView("vk_sq8")
+    val mn = Array.fill(dim)(rnd.nextInt(1000001).toLong - 1000000L).toSeq
+    val span = (0 until dim).map(i =>
+      if (i == 3) 0L else rnd.nextInt(2000000).toLong + 1L) // dim 3: degenerate
+    def arr(xs: Seq[Long]) = xs.mkString("array(", "L,", "L)")
+    val got = spark.sql(
+      s"""SELECT sq8_dist(codes, q, ${arr(mn)}, ${arr(span)}) AS native,
+                 aggregate(
+                   zip_with(codes, q, (c, x) -> struct(c AS c, x AS x)),
+                   struct(0L AS acc, 0 AS i),
+                   (st, e) -> struct(
+                     st.acc + (e.x - (element_at(${arr(mn)}, st.i + 1)
+                       + CASE WHEN element_at(${arr(span)}, st.i + 1) = 0L THEN 0L
+                         ELSE cast(floor((cast(e.c AS bigint)
+                           * element_at(${arr(span)}, st.i + 1) * 2 + 255) / 510.0)
+                           AS bigint) END))
+                       * (e.x - (element_at(${arr(mn)}, st.i + 1)
+                       + CASE WHEN element_at(${arr(span)}, st.i + 1) = 0L THEN 0L
+                         ELSE cast(floor((cast(e.c AS bigint)
+                           * element_at(${arr(span)}, st.i + 1) * 2 + 255) / 510.0)
+                           AS bigint) END)),
+                     st.i + 1),
+                   st -> st.acc) AS ref
+          FROM vk_sq8""").collect()
+    got.foreach(r => assert(r.getLong(0) == r.getLong(1),
+      s"sq8_dist ${r.getLong(0)} != fold ${r.getLong(1)}"))
+    // Length mismatch with the trained bounds -> SQL null, not an error.
+    val bad = spark.sql(
+      s"SELECT sq8_dist(slice(codes, 1, 8), slice(q, 1, 8), ${arr(mn)}, ${arr(span)}) FROM vk_sq8 LIMIT 1")
+      .collect()
+    assert(bad.head.isNullAt(0))
+    // And the real e12 scan evaluates the kernel inside WholeStageCodegen.
+    // Execute first: before execution the AQE wrapper prints the INITIAL
+    // plan, which carries no WholeStageCodegen stars yet.
+    val e12 = graft.operators.TextPipeline.queries("e12_sq8_search")(
+      spark, "/root/testdata/sf0.001")
+    e12.collect() // a write would spawn its own QueryExecution; collect finalizes THIS one
+    val pl = e12.queryExecution.executedPlan.toString
+    val line = pl.linesIterator.find(_.contains("sq8_dist")).getOrElse("")
+    // The node may sit under a join branch ("…:  +- *(3) Project …"), so
+    // match the star-stage marker anywhere on the line, not as a prefix.
+    assert(line.contains("+- *("),
+      s"sq8_dist scan not inside WholeStageCodegen:\n$pl")
+  }
+
   test("the kernels run inside whole-stage codegen on the scan path") {
     // A real parquet scan (a local Seq constant-folds to LocalTableScan):
     // the projection evaluating the kernel must land inside a
