@@ -2155,6 +2155,89 @@ object TextPipeline {
            FROM scored)
          WHERE rank <= 3 ORDER BY q_id, rank""")),
 
+    ("e13_sq8_recall", (s: SparkSession, d: String) => {
+      // Recall@3 of the SQ8 search against the exact top-3 — the e10
+      // metric for the scalar-quantization path, same left-join shape.
+      // Hash-checked like e10: both sides rank on the e6-rounded cosine
+      // with vec_id ties, the SQ8 side replays the integer-exact
+      // quantizer, and the recall division has identical integer
+      // operands in both engines.
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val exact3 = exactTopK(e, q, 3).select(col("q_id"), col("vec_id"))
+      val sq3 = AnnIndex.sq8Search(AnnIndex.sq8For(s, d, e),
+        col("vec_id") < 3, k = 3)
+        .select(col("q_id").as("sq_q_id"), col("vec_id").as("sq_vec_id"))
+      exact3
+        .join(sq3,
+          col("q_id") === col("sq_q_id") && col("vec_id") === col("sq_vec_id"),
+          "left")
+        .groupBy(col("q_id"))
+        .agg(count(lit(1)).as("n_exact"),
+          count(col("sq_vec_id")).as("n_hits"))
+        .withColumn("recall", col("n_hits") / col("n_exact"))
+        .orderBy(col("q_id"))
+    }, Some(
+      """WITH ex AS (
+           SELECT vec_id, i, cast(embedding[i] AS double) AS v FROM (
+             SELECT vec_id, embedding,
+                    unnest(generate_series(1, len(embedding))) AS i
+             FROM embeddings)),
+         nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ex GROUP BY 1),
+         u AS (SELECT e.vec_id, e.i,
+                      cast(round(e.v / n.nrm * 1e6) AS bigint) AS ue6
+               FROM ex e JOIN nrm n ON n.vec_id = e.vec_id),
+         alldots AS (
+           SELECT q.vec_id AS q_id, e.vec_id, sum(q.v * e.v) AS dot
+           FROM ex q JOIN ex e ON q.i = e.i
+           WHERE q.vec_id < 3 AND e.vec_id <> q.vec_id
+           GROUP BY 1, 2),
+         allscored AS (
+           SELECT d.q_id, d.vec_id,
+                  cast(round(d.dot / (nq.nrm * ne.nrm) * 1e6) AS bigint) AS c6
+           FROM alldots d
+           JOIN nrm nq ON nq.vec_id = d.q_id
+           JOIN nrm ne ON ne.vec_id = d.vec_id),
+         exact3 AS (
+           SELECT q_id, vec_id FROM (
+             SELECT *, row_number() OVER (PARTITION BY q_id
+                         ORDER BY c6 DESC, vec_id) AS rank
+             FROM allscored)
+           WHERE rank <= 3),
+         mm AS (SELECT i, min(ue6) AS mn, max(ue6) - min(ue6) AS span
+                FROM u GROUP BY 1),
+         codes AS (SELECT u.vec_id, u.i,
+                          CASE WHEN m.span = 0 THEN 0
+                               ELSE ((u.ue6 - m.mn) * 510 + m.span)
+                                    // (m.span * 2) END AS code
+                   FROM u JOIN mm m ON m.i = u.i),
+         recon AS (SELECT c.vec_id, c.i,
+                          m.mn + CASE WHEN m.span = 0 THEN 0
+                                      ELSE (c.code * m.span * 2 + 255) // 510
+                                 END AS re6
+                   FROM codes c JOIN mm m ON m.i = c.i),
+         qd AS (SELECT q.vec_id AS q_id, r.vec_id,
+                       cast(sum((q.ue6 - r.re6) * (q.ue6 - r.re6)) AS bigint)
+                         AS adist
+                FROM u q JOIN recon r ON r.i = q.i
+                WHERE q.vec_id < 3 AND r.vec_id <> q.vec_id GROUP BY 1, 2),
+         cand AS (SELECT q_id, vec_id FROM (
+                    SELECT qd.*, row_number() OVER (PARTITION BY q_id
+                             ORDER BY adist, vec_id) AS arank FROM qd)
+                  WHERE arank <= 12),
+         sq3 AS (SELECT q_id, vec_id FROM (
+                   SELECT a.q_id, a.vec_id, row_number() OVER (
+                     PARTITION BY a.q_id ORDER BY a.c6 DESC, a.vec_id) AS rank
+                   FROM allscored a JOIN cand c
+                     ON c.q_id = a.q_id AND c.vec_id = a.vec_id)
+                 WHERE rank <= 3)
+         SELECT e3.q_id, count(*) AS n_exact, count(p.vec_id) AS n_hits,
+                count(p.vec_id) * 1.0 / count(*) AS recall
+         FROM exact3 e3
+         LEFT JOIN sq3 p ON p.q_id = e3.q_id AND p.vec_id = e3.vec_id
+         GROUP BY 1 ORDER BY 1""")),
+
     ("e8_rp_recall", (s: SparkSession, d: String) => {
       // The THIRD ANN scale path: Johnson–Lindenstrauss random projection.
       // Embeddings drop to 8 dims through a deterministic integer matrix
