@@ -493,26 +493,53 @@ object AnnIndex {
       .groupBy(col("pos"))
       .agg(min(col("v")).as("mn"), (max(col("v")) - min(col("v"))).as("span"))
       .collect().sortBy(_.getInt(0))
+    require(bounds.nonEmpty,
+      "scalar quantization needs a non-empty corpus to train min/span bounds")
     val mn = bounds.map(_.getLong(1)).toSeq
     val span = bounds.map(_.getLong(2)).toSeq
-    val mnL = typedlit(mn)
-    val spL = typedlit(span)
-    // Encode: code = round-half-up((u - mn) * 255 / span) as pure integer
-    // arithmetic, (du*510 + span) div (2*span) — numerator non-negative,
-    // so floor()-of-double-division (operands < 2^31, quotient >= 2.5e-7
-    // from any integer, both exact in double) equals the integer division
-    // the kernel and the DuckDB oracle (`//`) use. Encode runs ONCE at
-    // build; the interpreted HOF is off the search path.
-    val codes = unit.withColumn("sq8",
-      org.apache.spark.sql.functions.transform(col("unit"), (x, i) => {
-        val m = element_at(mnL, (i + 1).cast("int"))
-        val sp = element_at(spL, (i + 1).cast("int"))
-        when(sp === 0L, 0)
-          .otherwise(floor(((x - m) * 510L + sp) / (sp * 2L)).cast("int"))
-      }))
+    val codes = unit.withColumn("sq8", sq8EncodeCol(mn, span))
     Sq8Index(
       if (persistCodes) codes.persist(StorageLevel.MEMORY_AND_DISK) else codes,
       mn, span)
+  }
+
+  /** SQ8 encode of a `unit` column against the (possibly frozen) bounds:
+    * code = round-half-up((u − mn)·255 / span) as (du·510 + span) floor-div
+    * (2·span), CLAMPED to [0, 255]. The clamp is a no-op for the training
+    * corpus (its own values defined the bounds) but REQUIRED for rows
+    * encoded later under a frozen quantizer (e14): out-of-range values
+    * saturate — the standard SQ index-maintenance contract. Floor division
+    * here (and `//` in the oracles) because the pre-clamp numerator CAN go
+    * negative for arrivals; operands stay < 2^31 and any non-integer
+    * quotient is ≥ 2.5e-7 from an integer, so the double-division floor is
+    * exact. Encode runs ONCE at build; the interpreted HOF is off the
+    * search path.
+    */
+  private def sq8EncodeCol(mn: Seq[Long], span: Seq[Long]): Column = {
+    val mnL = typedlit(mn)
+    val spL = typedlit(span)
+    org.apache.spark.sql.functions.transform(col("unit"), (x, i) => {
+      val m = element_at(mnL, (i + 1).cast("int"))
+      val sp = element_at(spL, (i + 1).cast("int"))
+      greatest(lit(0), least(lit(255),
+        when(sp === 0L, 0)
+          .otherwise(floor(((x - m) * 510L + sp) / (sp * 2L)).cast("int"))))
+    })
+  }
+
+  /** Incremental index maintenance: train the quantizer on the BASE
+    * corpus only, then encode later ARRIVALS under the FROZEN bounds
+    * (clamped — no retrain, no re-encode of the base) and serve one
+    * union index. This is the property that makes scalar quantization
+    * the low-ops production default at 100 TB: ingest appends encoded
+    * rows; the quantizer is immutable metadata. Accuracy under drifted
+    * arrivals is e14's oracle-checked output, not an assumption.
+    */
+  def trainSq8Incremental(base: DataFrame, arrivals: DataFrame): Sq8Index = {
+    val idx = trainSq8(base, persistCodes = false)
+    val newCodes = withUnitE6(arrivals)
+      .withColumn("sq8", sq8EncodeCol(idx.mn, idx.span))
+    Sq8Index(idx.codes.unionByName(newCodes), idx.mn, idx.span)
   }
 
   /** SQ8 top-k search: the corpus-sized stage scans 1-byte-per-dimension
@@ -669,6 +696,27 @@ object AnnIndex {
 
   private val sq8Cache = new java.util.WeakHashMap[SparkSession,
     scala.collection.concurrent.TrieMap[String, Sq8Index]]()
+
+  private val sq8IncrCache = new java.util.WeakHashMap[SparkSession,
+    scala.collection.concurrent.TrieMap[String, Sq8Index]]()
+
+  /** The shared INCREMENTAL SQ8 index for `path` in session `s`: bounds
+    * trained on `base` only, `arrivals` encoded under them, one persisted
+    * union (e14's serve-side state).
+    */
+  def sq8IncrFor(s: SparkSession, path: String,
+      base: => DataFrame, arrivals: => DataFrame): Sq8Index =
+    sq8IncrCache.synchronized {
+      sq8IncrCache.computeIfAbsent(s,
+        _ => scala.collection.concurrent.TrieMap.empty)
+    }.getOrElseUpdate(path,
+      timedBuild("sq8incr") {
+        val idx = trainSq8Incremental(base, arrivals)
+        val persisted = idx.copy(codes =
+          idx.codes.persist(StorageLevel.MEMORY_AND_DISK))
+        persisted.codes.count()
+        persisted
+      })
 
   /** The shared SQ8 index for `path`'s embeddings in session `s`. */
   def sq8For(s: SparkSession, path: String, e: => DataFrame): Sq8Index =

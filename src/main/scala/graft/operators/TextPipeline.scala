@@ -2155,6 +2155,75 @@ object TextPipeline {
            FROM scored)
          WHERE rank <= 3 ORDER BY q_id, rank""")),
 
+    ("e14_sq8_incremental", (s: SparkSession, d: String) => {
+      // SQ8 index MAINTENANCE — the property that makes scalar
+      // quantization the low-ops production default at 100 TB: the
+      // quantizer (per-dimension min/span) trains ONCE on the base
+      // corpus and is then immutable metadata; later arrivals encode
+      // under the FROZEN bounds (out-of-range components saturate at the
+      // [0, 255] clamp) and append to the serve index — no retrain, no
+      // re-encode of petabytes already written. Base = vec_id % 4 != 0,
+      // arrivals = the rest; query 0 is itself an arrival, so the search
+      // exercises drifted-encode rows on BOTH sides. Train, frozen-bounds
+      // encode (floor division — the pre-clamp numerator can go negative
+      // for arrivals), clamp, scan, and tie-breaks are exact integer
+      // arithmetic the oracle replays CTE-for-CTE.
+      val e = Tables.embeddings(s, d)
+      AnnIndex.sq8Search(
+        AnnIndex.sq8IncrFor(s, d,
+          e.filter(col("vec_id") % 4 =!= 0),
+          e.filter(col("vec_id") % 4 === 0)),
+        col("vec_id") < 3, k = 3)
+        .orderBy(col("q_id"), col("rank"))
+    }, Some(
+      """WITH ex AS (
+           SELECT vec_id, i, cast(embedding[i] AS double) AS v FROM (
+             SELECT vec_id, embedding,
+                    unnest(generate_series(1, len(embedding))) AS i
+             FROM embeddings)),
+         nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ex GROUP BY 1),
+         u AS (SELECT e.vec_id, e.i,
+                      cast(round(e.v / n.nrm * 1e6) AS bigint) AS ue6
+               FROM ex e JOIN nrm n ON n.vec_id = e.vec_id),
+         mm AS (SELECT i, min(ue6) AS mn, max(ue6) - min(ue6) AS span
+                FROM u WHERE vec_id % 4 <> 0 GROUP BY 1),
+         codes AS (SELECT u.vec_id, u.i,
+                          greatest(0, least(255,
+                            CASE WHEN m.span = 0 THEN 0
+                                 ELSE ((u.ue6 - m.mn) * 510 + m.span)
+                                      // (m.span * 2) END)) AS code
+                   FROM u JOIN mm m ON m.i = u.i),
+         recon AS (SELECT c.vec_id, c.i,
+                          m.mn + CASE WHEN m.span = 0 THEN 0
+                                      ELSE (c.code * m.span * 2 + 255) // 510
+                                 END AS re6
+                   FROM codes c JOIN mm m ON m.i = c.i),
+         qd AS (SELECT q.vec_id AS q_id, r.vec_id,
+                       cast(sum((q.ue6 - r.re6) * (q.ue6 - r.re6)) AS bigint)
+                         AS adist
+                FROM u q JOIN recon r ON r.i = q.i
+                WHERE q.vec_id < 3 AND r.vec_id <> q.vec_id GROUP BY 1, 2),
+         cand AS (SELECT q_id, vec_id, adist FROM (
+                    SELECT qd.*, row_number() OVER (PARTITION BY q_id
+                             ORDER BY adist, vec_id) AS arank FROM qd)
+                  WHERE arank <= 12),
+         cdot AS (SELECT c.q_id, c.vec_id, c.adist, sum(q.v * e.v) AS dot
+                  FROM cand c
+                  JOIN ex q ON q.vec_id = c.q_id
+                  JOIN ex e ON e.vec_id = c.vec_id AND e.i = q.i
+                  GROUP BY 1, 2, 3),
+         scored AS (SELECT cd.q_id, cd.vec_id, cd.adist,
+                           cast(round(cd.dot / (nq.nrm * ne.nrm) * 1e6) AS bigint)
+                             AS cosine_e6
+                    FROM cdot cd
+                    JOIN nrm nq ON nq.vec_id = cd.q_id
+                    JOIN nrm ne ON ne.vec_id = cd.vec_id)
+         SELECT q_id, vec_id, adist, cosine_e6, rank FROM (
+           SELECT scored.*, row_number() OVER (PARTITION BY q_id
+                    ORDER BY cosine_e6 DESC, vec_id) AS rank
+           FROM scored)
+         WHERE rank <= 3 ORDER BY q_id, rank""")),
+
     ("e13_sq8_recall", (s: SparkSession, d: String) => {
       // Recall@3 of the SQ8 search against the exact top-3 — the e10
       // metric for the scalar-quantization path, same left-join shape.

@@ -523,6 +523,22 @@ class RelationalPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"e9 candidate join-back is not broadcast:\n$plan")
   }
 
+  test("e12: the SQ8 scan cuts with the bounded aggregate and re-ranks via broadcast") {
+    // The scalar-quantization scan is corpus-sized: its cut must be the
+    // bounded top_k_pairs aggregate (map-side partial phase) and the
+    // survivors re-rank through broadcast join-backs — never a
+    // corpus-wide rank window. The quantizer bounds travel as kernel
+    // constants, so no extra join or broadcast may appear for them.
+    val df = graft.operators.TextPipeline.queries("e12_sq8_search")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_top_k_pairs"),
+      s"e12 SQ8 cut lost its map-side partial phase:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"e12 candidate join-back is not broadcast:\n$plan")
+    assert(plan.contains("sq8_dist"),
+      s"e12 scan does not evaluate the sq8_dist kernel:\n$plan")
+  }
+
   test("e11: the composed IVF+PQ ADC scan touches only probed lists via a cid hash join") {
     // The composition's whole point at 100 TB: the code-table scan must be
     // a hash join keyed on the list id against the broadcast probe set —
