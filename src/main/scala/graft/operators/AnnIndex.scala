@@ -537,10 +537,19 @@ object AnnIndex {
     */
   def trainSq8Incremental(base: DataFrame, arrivals: DataFrame): Sq8Index = {
     val idx = trainSq8(base, persistCodes = false)
-    val newCodes = withUnitE6(arrivals)
-      .withColumn("sq8", sq8EncodeCol(idx.mn, idx.span))
-    Sq8Index(idx.codes.unionByName(newCodes), idx.mn, idx.span)
+    Sq8Index(idx.codes.unionByName(sq8Encode(idx, arrivals)), idx.mn, idx.span)
   }
+
+  /** Frozen-bounds SQ8 encode of (vec_id, embedding) rows under `idx`'s
+    * quantizer: unit-normalize (codegen'd VecDot norm), quantize to e6,
+    * encode with the saturating clamp. Every step is a stateless per-row
+    * projection, so the SAME operator applies unchanged to a STREAM of
+    * arrivals ([[graft.streaming.EventStream.sq8Ingest]]) — the streaming
+    * half of e14's append-only maintenance contract, replay-equal to this
+    * batch form by construction (pinned in StreamingSpec).
+    */
+  def sq8Encode(idx: Sq8Index, rows: DataFrame): DataFrame =
+    withUnitE6(rows).withColumn("sq8", sq8EncodeCol(idx.mn, idx.span))
 
   /** SQ8 top-k search: the corpus-sized stage scans 1-byte-per-dimension
     * codes against each broadcast query through the codegen'd

@@ -215,7 +215,36 @@ object EventStream {
         col("n_tokens"), col("avg_token_len"), col("stopword_ratio"),
         col("n_digit_runs"), md5(col("redacted")).as("redacted_hash"))
 
-  final case class ErrorBurst(user_id: Long, ts_us: Long, n_recent: Int)
+  val embeddingsSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  /** File-source stream over the embeddings parquet in `dir` — the
+    * continuously-arriving vector corpus an ANN serve index ingests.
+    */
+  def readEmbeddings(s: SparkSession, dir: String): DataFrame =
+    s.readStream
+      .schema(embeddingsSchema)
+      .option("pathGlobFilter", "embeddings.parquet")
+      .parquet(dir)
+
+  /** Continuous SQ8 ingest — the streaming half of e14's append-only
+    * index maintenance: arriving vectors unit-normalize and encode under
+    * the FROZEN quantizer of an already-trained [[graft.operators.AnnIndex.Sq8Index]]
+    * (saturating clamp for drifted components). Every step is a stateless
+    * per-row projection (the VecDot norm, the quantize, the encode), so
+    * the stream form IS the batch operator applied to a streaming frame:
+    * no state store, no watermark, append-mode, replay-equal to
+    * AnnIndex.sq8Encode by construction (pinned in StreamingSpec). At
+    * scale this is how the serve index grows between retrains: encode at
+    * the ingest edge, append 1-byte-per-dimension rows.
+    */
+  def sq8Ingest(idx: graft.operators.AnnIndex.Sq8Index, arrivals: DataFrame): DataFrame =
+    graft.operators.AnnIndex.sq8Encode(idx, arrivals)
+      .select(col("vec_id"), col("sq8"))
+
+    final case class ErrorBurst(user_id: Long, ts_us: Long, n_recent: Int)
 
   /** Custom keyed state with EVICTION (flatMapGroupsWithState + event-time
     * timeout) — the CEP-lite shape: alert on every error event that is at

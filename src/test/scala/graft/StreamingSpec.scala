@@ -385,7 +385,33 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed.map(_.getBoolean(2)).toSet == Set(true, false))
   }
 
-  test("S4 tuning table round-trips into per-equation vectors in order") {
+  test("streaming SQ8 ingest replays to the batch frozen-bounds encode") {
+    // The e14 maintenance contract, stream side: train the quantizer on
+    // the base corpus (batch), then encode the arriving vectors under the
+    // FROZEN bounds as a stream. Replay must equal the batch encode of
+    // the same arrivals — same unit rounding, same clamp.
+    val base = Tables.embeddings(spark, sfDir).filter(col("vec_id") % 4 =!= 0)
+    val idx = graft.operators.AnnIndex.trainSq8(base, persistCodes = false)
+    val q = EventStream.sq8Ingest(idx,
+        EventStream.readEmbeddings(spark, sfDir).filter(col("vec_id") % 4 === 0))
+      .writeStream.format("memory").queryName("sq8ingest").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("sq8ingest").orderBy("vec_id").collect()
+
+    val batch = graft.operators.AnnIndex.sq8Encode(idx,
+        Tables.embeddings(spark, sfDir).filter(col("vec_id") % 4 === 0))
+      .select(col("vec_id"), col("sq8"))
+      .orderBy("vec_id").collect()
+
+    assert(streamed.length == batch.length && streamed.length > 0)
+    assert(streamed.map(_.toSeq).toSeq == batch.map(_.toSeq).toSeq,
+      "streaming SQ8 encode diverged from the batch operator")
+    // Codes really are bytes: every component in [0, 255].
+    val allCodes = streamed.flatMap(_.getSeq[Int](1))
+    assert(allCodes.forall(c => c >= 0 && c <= 255))
+  }
+
+    test("S4 tuning table round-trips into per-equation vectors in order") {
     val path = java.nio.file.Files.createTempDirectory("graft_tuning_").toString + "/t"
     TuningIO.write(spark, path, Seq(("rev", 0.25, 0.01), ("n_orders", 0.9, 0.3)))
     val (alphas, lambdas) = TuningIO.asVectors(spark, path, Seq("n_orders", "rev"))
