@@ -36,7 +36,14 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val queries = only match {
-      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case Some(names) =>
+        // A typo'd name would otherwise silently shrink (or empty) the
+        // subset and print a well-formed 0-second result.
+        val unknown = names -- SparkEntry.queries.keySet
+        if (unknown.nonEmpty)
+          System.err.println(
+            s"[bench] SPARK_GRAFT_BENCH_ONLY names match nothing: ${unknown.toSeq.sorted.mkString(", ")}")
+        SparkEntry.queries.filter { case (n, _) => names(n) }
       case None => SparkEntry.queries
     }
     val tw = System.nanoTime()

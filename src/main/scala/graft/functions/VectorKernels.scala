@@ -23,12 +23,16 @@ import org.apache.spark.sql.types._
   * `aggregate` — and multiplies/casts identical per-element operands, so
   * every e6-rounded driver hash is unchanged by the swap.
   *
-  * Null semantics: SQL-null result when either input is null or the
+  * Null semantics: SQL-null result when either input is null, the
   * lengths disagree (`zip_with` pads the shorter side with nulls, which
-  * nulls the fold — length mismatch was already a null upstream). Element
-  * nulls are NOT checked: the inputs are engine-built arrays
-  * (parquet embeddings, `transform`/`slice` products) that are null-free
-  * by construction.
+  * nulls the fold — length mismatch was already a null upstream), or any
+  * ELEMENT is null — the same result the `aggregate` fold produces when
+  * a null element poisons its accumulator. The element check is gated
+  * statically on the input types' `containsNull`, so the engine's own
+  * null-free arrays (`transform` products over non-null lambdas) pay no
+  * per-element branch; arrays that may carry nulls (parquet reads, the
+  * public SQL registration) get the check instead of silently reading
+  * null slots as 0 (r10 review finding).
   */
 object VectorKernels {
 
@@ -45,6 +49,11 @@ object VectorKernels {
   private[functions] def numericElem(dt: DataType): Option[DataType] = dt match {
     case ArrayType(et @ (FloatType | DoubleType | LongType | IntegerType), _) => Some(et)
     case _ => None
+  }
+
+  private[functions] def mayHaveNullElems(dt: DataType): Boolean = dt match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => false
   }
 
   private[functions] def getAsDouble(a: ArrayData, i: Int, et: DataType): Double =
@@ -77,6 +86,9 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
 
   private lazy val leftElem = VectorKernels.numericElem(left.dataType).get
   private lazy val rightElem = VectorKernels.numericElem(right.dataType).get
+  private lazy val checkNulls =
+    VectorKernels.mayHaveNullElems(left.dataType) ||
+      VectorKernels.mayHaveNullElems(right.dataType)
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -87,6 +99,7 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
       var acc = 0.0
       var i = 0
       while (i < n) {
+        if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
         acc += VectorKernels.getAsDouble(x, i, leftElem) *
           VectorKernels.getAsDouble(y, i, rightElem)
         i += 1
@@ -100,6 +113,9 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
+      val nullCheck = if (checkNulls)
+        s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+      else ""
       s"""
          |int $n = $a.numElements();
          |if ($n != $b.numElements()) {
@@ -107,10 +123,11 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
          |} else {
          |  double $acc = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
          |    $acc += (${VectorKernels.readAsDouble(a, i, leftElem)})
          |      * (${VectorKernels.readAsDouble(b, i, rightElem)});
          |  }
-         |  ${ev.value} = $acc;
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
          |}
        """.stripMargin
     })
@@ -142,6 +159,10 @@ case class LongSqDist(left: Expression, right: Expression) extends BinaryExpress
   override def nullable: Boolean = true
   override def prettyName: String = "long_sq_dist"
 
+  private lazy val checkNulls =
+    VectorKernels.mayHaveNullElems(left.dataType) ||
+      VectorKernels.mayHaveNullElems(right.dataType)
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -151,6 +172,7 @@ case class LongSqDist(left: Expression, right: Expression) extends BinaryExpress
       var acc = 0L
       var i = 0
       while (i < n) {
+        if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
         val d = x.getLong(i) - y.getLong(i)
         acc += d * d
         i += 1
@@ -165,6 +187,9 @@ case class LongSqDist(left: Expression, right: Expression) extends BinaryExpress
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       val d = ctx.freshName("d")
+      val nullCheck = if (checkNulls)
+        s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+      else ""
       s"""
          |int $n = $a.numElements();
          |if ($n != $b.numElements()) {
@@ -172,10 +197,11 @@ case class LongSqDist(left: Expression, right: Expression) extends BinaryExpress
          |} else {
          |  long $acc = 0L;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
          |    long $d = $a.getLong($i) - $b.getLong($i);
          |    $acc += $d * $d;
          |  }
-         |  ${ev.value} = $acc;
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
          |}
        """.stripMargin
     })
@@ -227,10 +253,10 @@ case class AdcLookupSum(left: Expression, right: Expression) extends BinaryExpre
       var acc = 0L
       var i = 0
       while (i < n) {
-        if (tabs.isNullAt(i)) return null
+        if (codes.isNullAt(i) || tabs.isNullAt(i)) return null
         val t = tabs.getArray(i)
         val c = if (codeIsLong) codes.getLong(i).toInt else codes.getInt(i)
-        if (c < 0 || c >= t.numElements()) return null
+        if (c < 0 || c >= t.numElements() || t.isNullAt(c)) return null
         acc += t.getLong(c)
         i += 1
       }
@@ -256,10 +282,10 @@ case class AdcLookupSum(left: Expression, right: Expression) extends BinaryExpre
          |  long $acc = 0L;
          |  boolean $bad = false;
          |  for (int $i = 0; $i < $n; $i++) {
-         |    if ($b.isNullAt($i)) { $bad = true; break; }
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
          |    org.apache.spark.sql.catalyst.util.ArrayData $t = $b.getArray($i);
          |    int $c = $readCode;
-         |    if ($c < 0 || $c >= $t.numElements()) { $bad = true; break; }
+         |    if ($c < 0 || $c >= $t.numElements() || $t.isNullAt($c)) { $bad = true; break; }
          |    $acc += $t.getLong($c);
          |  }
          |  if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $acc; }
@@ -301,10 +327,16 @@ case class ModProjAll(
   override def prettyName: String = "mod_proj_all"
 
   private lazy val elem = VectorKernels.numericElem(child.dataType).get
+  private lazy val checkNulls = VectorKernels.mayHaveNullElems(child.dataType)
+  override def nullable: Boolean = true
 
   override protected def nullSafeEval(input: Any): Any = {
     val x = input.asInstanceOf[ArrayData]
     val d = x.numElements()
+    if (checkNulls) {
+      var i = 0
+      while (i < d) { if (x.isNullAt(i)) return null; i += 1 }
+    }
     val out = new Array[Double](nOut)
     var h = 0
     while (h < nOut) {
@@ -329,8 +361,15 @@ case class ModProjAll(
       val acc = ctx.freshName("acc")
       val out = ctx.freshName("out")
       val w = ctx.freshName("w")
+      val nullCheck = if (checkNulls)
+        s"""for (int $i = 0; $i < $d && !${ev.isNull}; $i++) {
+           |  if ($x.isNullAt($i)) { ${ev.isNull} = true; }
+           |}""".stripMargin
+      else ""
       s"""
          |int $d = $x.numElements();
+         |$nullCheck
+         |if (!${ev.isNull}) {
          |double[] $out = new double[$nOut];
          |for (int $h = 0; $h < $nOut; $h++) {
          |  double $acc = 0.0;
@@ -341,6 +380,7 @@ case class ModProjAll(
          |  $out[$h] = $acc;
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |}
        """.stripMargin
     })
 
@@ -394,6 +434,10 @@ case class Sq8Dist(left: Expression, right: Expression,
   @transient private lazy val mnArr: Array[Long] = mn.toArray
   @transient private lazy val spanArr: Array[Long] = span.toArray
 
+  private lazy val checkNulls =
+    VectorKernels.mayHaveNullElems(left.dataType) ||
+      VectorKernels.mayHaveNullElems(right.dataType)
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val codes = a.asInstanceOf[ArrayData]
     val q = b.asInstanceOf[ArrayData]
@@ -403,6 +447,7 @@ case class Sq8Dist(left: Expression, right: Expression,
       var acc = 0L
       var i = 0
       while (i < n) {
+        if (checkNulls && (codes.isNullAt(i) || q.isNullAt(i))) return null
         val c = if (codeIsLong) codes.getLong(i) else codes.getInt(i).toLong
         val sp = spanArr(i)
         val recon = mnArr(i) + (if (sp == 0L) 0L else (c * sp * 2L + 255L) / 510L)
@@ -427,6 +472,9 @@ case class Sq8Dist(left: Expression, right: Expression,
       val diff = ctx.freshName("diff")
       val readCode =
         if (codeIsLong) s"$a.getLong($i)" else s"(long) $a.getInt($i)"
+      val nullCheck = if (checkNulls)
+        s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+      else ""
       s"""
          |int $n = $a.numElements();
          |if ($n != $b.numElements() || $n != $mnRef.length) {
@@ -434,13 +482,14 @@ case class Sq8Dist(left: Expression, right: Expression,
          |} else {
          |  long $acc = 0L;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
          |    long $c = $readCode;
          |    long $sp = $spRef[$i];
          |    long $recon = $mnRef[$i] + ($sp == 0L ? 0L : ($c * $sp * 2L + 255L) / 510L);
          |    long $diff = $b.getLong($i) - $recon;
          |    $acc += $diff * $diff;
          |  }
-         |  ${ev.value} = $acc;
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
          |}
        """.stripMargin
     })

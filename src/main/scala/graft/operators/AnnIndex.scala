@@ -402,7 +402,9 @@ object AnnIndex {
     val q = idx.codes.filter(qPred)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("unit").as("q_unit"))
-    val qtabs = adcTabs(idx, q).join(q, "q_id")
+    // (The pre-r10 spelling joined q back here for the rerank columns;
+    // rerankExact now takes q directly, so the tabs frame stands alone.)
+    val qtabs = adcTabs(idx, q)
     val adist = kcol(graft.functions.AdcLookupSum(
       kexpr(col("codes")), kexpr(col("tabs"))))
     // The ADC scan is the corpus-sized stage (|Q| × corpus rows), so its
@@ -411,7 +413,7 @@ object AnnIndex {
     // candidates per query then join back (broadcast — tiny) for the
     // exact-cosine re-rank, whose own window runs on ≤ 12 rows per query.
     val adcCands = topKCut(
-      idx.codes.crossJoin(broadcast(qtabs.select(col("q_id"), col("tabs"))))
+      idx.codes.crossJoin(broadcast(qtabs))
         .filter(col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id"), adist.as("adist")),
       "q_id", "adist", "vec_id", k * rerank, ascending = true,
@@ -709,16 +711,20 @@ object AnnIndex {
   private val sq8IncrCache = new java.util.WeakHashMap[SparkSession,
     scala.collection.concurrent.TrieMap[String, Sq8Index]]()
 
-  /** The shared INCREMENTAL SQ8 index for `path` in session `s`: bounds
+  /** The shared INCREMENTAL SQ8 index for `key` in session `s`: bounds
     * trained on `base` only, `arrivals` encoded under them, one persisted
-    * union (e14's serve-side state).
+    * union (e14's serve-side state). `key` must encode the SPLIT as well
+    * as the data path — the by-name frames are never evaluated on a cache
+    * hit, so a path-only key would silently hand a different base/arrival
+    * split the first split's quantizer (the other caches key on their
+    * build params for the same reason).
     */
-  def sq8IncrFor(s: SparkSession, path: String,
+  def sq8IncrFor(s: SparkSession, key: String,
       base: => DataFrame, arrivals: => DataFrame): Sq8Index =
     sq8IncrCache.synchronized {
       sq8IncrCache.computeIfAbsent(s,
         _ => scala.collection.concurrent.TrieMap.empty)
-    }.getOrElseUpdate(path,
+    }.getOrElseUpdate(key,
       timedBuild("sq8incr") {
         val idx = trainSq8Incremental(base, arrivals)
         val persisted = idx.copy(codes =

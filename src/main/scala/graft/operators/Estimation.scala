@@ -129,8 +129,14 @@ object Estimation {
     val score = prods
       .join(sds, "event_type").crossJoin(broadcast(sdT))
       .select(col("event_type"),
-        (((col("sk") / lit(bigT)) / (col("sd_t") * col("sd"))) *
-          ((col("sk") / lit(bigT)) / (col("sd_t") * col("sd")))).as("rsq"))
+        // Degenerate sd (constant series or constant target) would make
+        // rsq NaN, and Spark's desc sort ranks NaN FIRST where the
+        // driver-matrix spelling's Scala sort ranks it last — define the
+        // score as 0 in both (Selection.acfNaive applies the same rule).
+        when(col("sd_t") * col("sd") > 0.0,
+          ((col("sk") / lit(bigT)) / (col("sd_t") * col("sd"))) *
+            ((col("sk") / lit(bigT)) / (col("sd_t") * col("sd"))))
+          .otherwise(lit(0.0)).as("rsq"))
       .groupBy(col("event_type"))
       .agg((sum(col("rsq")) / lag).as("score"))
     val ranked = score.filter(col("event_type") =!= target)

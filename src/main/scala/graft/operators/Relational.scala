@@ -326,10 +326,13 @@ object Relational {
         .write.mode("overwrite")
         .option("maxRecordsPerFile", 10000)
         .partitionBy("source").parquet(tmp)
-      val files = java.nio.file.Files.walk(java.nio.file.Paths.get(tmp))
-        .iterator().asScala
+      // Close the walk stream deterministically: it holds DirectoryStream
+      // handles until close(), and this query runs once per bench pass.
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(tmp))
+      val files = (try walk.iterator().asScala
         .filter(p => p.toString.endsWith(".parquet"))
         .toSeq
+      finally walk.close())
         .groupBy(p => p.getParent.getFileName.toString)
         .map { case (dir, fs) =>
           (dir.stripPrefix("source="), fs.size.toLong)

@@ -2170,7 +2170,7 @@ object TextPipeline {
       // arithmetic the oracle replays CTE-for-CTE.
       val e = Tables.embeddings(s, d)
       AnnIndex.sq8Search(
-        AnnIndex.sq8IncrFor(s, d,
+        AnnIndex.sq8IncrFor(s, s"$d#mod4",
           e.filter(col("vec_id") % 4 =!= 0),
           e.filter(col("vec_id") % 4 === 0)),
         col("vec_id") < 3, k = 3)

@@ -25,7 +25,15 @@ object Selection {
       lag: Int = 5,
       maxNrVar: Int = 10): Seq[String] = {
     val sq = Acf.squaredVsLaggedTarget(y, lag)
-    val meanSq = (0 until y.cols).map(j => (0 until lag).map(k => sq(k, j)).sum / lag)
+    // A constant series (sd = 0) has NaN correlations (the reference's
+    // acf() refuses constant input outright); define its score as 0 so it
+    // ranks LAST deterministically — and identically in the distributed
+    // spelling (acfSelectionDistributed), where Spark's desc sort would
+    // otherwise put NaN FIRST while Scala's TotalOrdering puts it last.
+    val meanSq = (0 until y.cols).map { j =>
+      val v = (0 until lag).map(k => sq(k, j)).sum / lag
+      if (v.isNaN) 0.0 else v
+    }
     val ranked = meanSq.zipWithIndex.sortBy(-_._1).map(p => names(p._2))
     names(0) +: ranked.filterNot(_ == names(0)).take(maxNrVar - 1)
   }

@@ -115,6 +115,23 @@ class VectorKernelsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("a null ELEMENT gives SQL null, matching the HOF fold it replaces") {
+    // The registered SQL surface accepts arrays that may carry nulls;
+    // reading a null slot as 0 would be a silently wrong distance
+    // (r10 review finding). The check is gated on containsNull, so the
+    // engine's null-free arrays pay nothing.
+    val r = spark.sql(
+      """SELECT vec_dot(array(1.0D, cast(null AS double)), array(2.0D, 3.0D)) AS vd,
+                long_sq_dist(array(1L, cast(null AS bigint)), array(2L, 3L)) AS sq,
+                sq8_dist(array(1, cast(null AS int)), array(2L, 3L),
+                         array(0L, 0L), array(100L, 100L)) AS s8,
+                adc_lookup_sum(array(0, cast(null AS int)),
+                               array(array(1L), array(2L))) AS adc,
+                mod_proj_all(array(1.0D, cast(null AS double)), 2, 17, 0, 29, 7, 3) AS mp
+      """).collect().head
+    (0 until 5).foreach(i => assert(r.isNullAt(i), s"column $i not null"))
+  }
+
   test("length mismatch and null inputs give SQL null, not an error") {
     val r = spark.sql(
       """SELECT vec_dot(array(1.0D, 2.0D), array(1.0D)) AS d,
