@@ -739,29 +739,43 @@ object Estimation {
 
     ("m7_group_enet", (s: SparkSession, d: String) => {
       // One joint group fit over the monthly 2-series design: blocked-CV
-      // λ, joint row sparsity (a lag variable is in or out for both
-      // equations at once). Deterministic; numerics golden-tested in
-      // GroupEnetSpec (ridge closed form + group KKT).
-      import graft.varmodel.GroupEnetVar
+      // λ over the mgaussian objective (joint row sparsity — a lag
+      // variable is in or out for both equations at once).
+      // HASH-CHECKED since round 10 (was rows-only) at the solver's one
+      // SQL-expressible point, α=0 (m1/m2/m8's convention): the group
+      // penalty collapses to ridge, which SEPARATES per response on the
+      // response-sd-scaled working problem — every (fold, λ) fit is one
+      // 4×4 normal-equations solve with 2 right-hand sides, the group
+      // λmax (max_j ‖X̃ᵀỸ‖₂-row / N·0.001) is analytic, and the pooled
+      // 2-response CV error replays relationally, so M7Oracle reruns the
+      // whole CV surface + the full-data fit at λmin through the m8-style
+      // recursive Gauss–Jordan (systems keyed by fold × λ). Tight solver
+      // tol here (not GlmnetEquivTol): the e6 coefficient quantization
+      // needs the CD path within ~1e-7 of the closed form. General-α
+      // group-sparsity behavior stays golden-tested in GroupEnetSpec.
+      import graft.linalg.GroupElasticNet
       val panel = collectSeries(monthlyPanel(s, d), "month", Seq("rev", "n_orders"))
       val y = new DenseMatrix(panel.length, 2,
         panel.map(_(0) / 1e8) ++ panel.map(_(1) / 1e3))
-      val model = GroupEnetVar.fit(y, p = 2, IndexedSeq("rev", "n_orders"), alpha = 0.5,
-        solverTol = graft.linalg.BlockedCv.GlmnetEquivTol)
-      val rows = model.design.zNames.zipWithIndex.map { case (zn, j) =>
-        val active = (0 until 2).exists(c => model.coefMatrix(j, c) != 0.0)
-        Row(zn, model.coefMatrix(j, 0), model.coefMatrix(j, 1), active, model.lambdaMin)
+      val design = VarDesign.build(y, p = 2, IndexedSeq("rev", "n_orders"))
+      val cv = GroupElasticNet.cvFitBlocked(design.z, design.yP, alpha = 0.0)
+      val li = cv.lambdas.indexOf(cv.lambdaMin)
+      val fit = cv.path.at(cv.lambdaMin)
+      val rows = design.zNames.zipWithIndex.map { case (zn, j) =>
+        val active = (0 until 2).exists(c => fit.b(j, c) != 0.0)
+        Row(zn, math.round(fit.b(j, 0) * 1e6), math.round(fit.b(j, 1) * 1e6),
+          active, li.toLong)
       }
       s.createDataFrame(
         java.util.Arrays.asList(rows: _*),
         StructType(Seq(
           StructField("predictor", StringType),
-          StructField("coef_rev", DoubleType),
-          StructField("coef_n_orders", DoubleType),
+          StructField("coef_rev_e6", LongType),
+          StructField("coef_n_orders_e6", LongType),
           StructField("active", BooleanType),
-          StructField("lambda_min", DoubleType))))
+          StructField("lambda_idx", LongType))))
         .orderBy(col("predictor"))
-    }, None),
+    }, Some(M7Oracle.sql)),
 
     // ----- M15: rolling-origin hyperparameter tuning (rows-only) ----------
 
