@@ -213,6 +213,41 @@ object ElasticNet {
     val p = cov.p
     val xArr = cov.xArr
     val zArr = cov.zArr
+
+    // λ = 0 is UNPENALIZED least squares, where cyclic CD is the wrong
+    // algorithm: its per-sweep contraction is the squared correlation of
+    // the working columns, and on a scaled-NOT-centered design of positive
+    // series (every macro panel) that correlation is ~1−1e-4 — measured in
+    // round 10, 2·10⁶ sweeps to reach 1e-9 while maxIter=2000 leaves ~0.5
+    // relative coefficient error hiding along the near-null direction.
+    // Solve the standardized normal equations exactly instead — the same
+    // limit the CD path converges to, O(p³) once. Exactly-singular designs
+    // (where the OLS minimizer is non-unique) fall through to CD, whose
+    // iterates stay bounded and pick one minimizer.
+    if (lambda == 0.0) {
+      val act = Array.range(0, p).filter(zArr(_) > 0)
+      val m = act.length
+      var solved = m == 0
+      if (m > 0) {
+        val g = DenseMatrix.tabulate(m, m)((a, b) => cov.gramRow(act(a))(act(b)))
+        val rhs = DenseVector.tabulate(m)(a => cov.colDot(act(a), yw))
+        try {
+          val sol = g \ rhs
+          if ((0 until m).forall(a => java.lang.Double.isFinite(sol(a)))) {
+            java.util.Arrays.fill(beta, 0.0)
+            var a = 0
+            while (a < m) {
+              beta(act(a)) = sol(a)
+              active(act(a)) = true
+              a += 1
+            }
+            solved = true
+          }
+        } catch { case _: breeze.linalg.MatrixSingularException => () }
+      }
+      if (solved) return
+    }
+
     // Exact refresh of r and cᵢ at the λ boundary: r = yw − Σ x̃ⱼβⱼ.
     System.arraycopy(yw, 0, r, 0, nRows)
     var j = 0

@@ -807,6 +807,42 @@ object Estimation {
         .orderBy(col("equation"))
     }, None),
 
+    ("m15_ridge_tune", (s: SparkSession, d: String) => {
+      // The SAME rolling-origin tuner at its one SQL-expressible point,
+      // α=0 (m1/m2/m7/m8's convention): every (origin, λ) fit is the ridge
+      // closed form (X̃ᵀX̃ + N·λI)β̃ = X̃ᵀy on the origin's sd-scaled prefix
+      // — a 2×2 Cramer solve on the VAR(1)×K=2 design — and the λ grid is
+      // analytic, so M15Oracle replays the whole resample × grid surface
+      // (prefix standardization, horizon-block RMSE, caret's mean-RMSE
+      // selection, the first-grid-index tie-break) in DuckDB. The
+      // general-α grid behavior stays in `m15_rolling_tune` (rows-only,
+      // SparkParitySpec-pinned) — this is the hash gate on the identical
+      // distributed machinery (same runOrigin, same executor-side
+      // segment fold).
+      import graft.tune.RollingOriginTuner
+      val panel = collectSeries(monthlyPanel(s, d), "month", Seq("rev", "n_orders"))
+      val n = panel.length
+      val y = new DenseMatrix(n, 2,
+        panel.map(_(0) / 1e8) ++ panel.map(_(1) / 1e3))
+      val lambdas = (0 until 40).map(i => math.pow(10.0, 1.0 - 5.0 * i / 39))
+      val best = RollingOriginTuner.tune(y, p = 1, initWindow = n / 2,
+        horizon = 8, RollingOriginTuner.Grid(Seq(0.0), lambdas),
+        IndexedSeq("rev", "n_orders"), spark = Some(s), tol = 1e-12)
+      val rows = best.map { b =>
+        val li = lambdas.indexWhere(_ == b.lambda)
+        Row(IndexedSeq("rev", "n_orders")(b.equation), li.toLong,
+          math.round(math.log(b.lambda) * 1e6), math.round(b.meanRmse * 1e6))
+      }
+      s.createDataFrame(
+        java.util.Arrays.asList(rows: _*),
+        StructType(Seq(
+          StructField("equation", StringType),
+          StructField("lambda_idx", LongType),
+          StructField("ln_lambda_e6", LongType),
+          StructField("mean_rmse_e6", LongType))))
+        .orderBy(col("equation"))
+    }, Some(M15Oracle.sql)),
+
     // ----- S2/W1/W2/A1/J1: the real-panel data-prep pipeline --------------
 
     ("s2_panel_endvar", (s: SparkSession, d: String) => {
@@ -852,8 +888,17 @@ object Estimation {
       // modeltrain on the monthly 2-series panel: per-origin refits run as
       // ONE Spark job over the broadcast panel (SURVEY §3.2); output is the
       // per-horizon metric table (MSFE, Theil's U vs RW — reference quirk
-      // preserved — and vs AR(1)). Rows-only: golden-tested end-to-end in
-      // ExperimentSpec.
+      // preserved — and vs AR(1)).
+      // HASH-CHECKED since round 10 (was rows-only): the query's own
+      // published parameters fix λ = 0, where every per-origin refit IS the
+      // raw OLS 2×2 solve (standardization is equivariant at λ=0), the
+      // recursive forecast is an 8-step 2×2 matrix recursion, and the AR(1)
+      // benchmark's φ is a ratio of the same prefix sums — so M17Oracle
+      // replays the WHOLE experiment (origins × horizons, zero-padding, the
+      // RW off-by-one quirk, horizon-aligned metric windows) in DuckDB.
+      // Tight solver tol: the e6 metric quantization needs the CD path
+      // within ~1e-7 of the closed form. General-λ/α behavior stays
+      // golden-tested end-to-end in ExperimentSpec.
       val panel = collectSeries(monthlyPanel(s, d), "month", Seq("rev", "n_orders"))
       val n = panel.length
       val y = new DenseMatrix(n, 2,
@@ -861,7 +906,8 @@ object Estimation {
       val startPred = n - 20 // last ~20 periods are the evaluation window
       val res = ModelTrain.run(y, IndexedSeq("rev", "n_orders"),
         startPredIdx = startPred, h = 8, alphas = Seq(0.4),
-        lambdas = Seq(0.0), lag = 1, const = false, spark = Some(s))
+        lambdas = Seq(0.0), lag = 1, const = false, spark = Some(s),
+        solverTol = 1e-12)
       val rows = Seq(1, 2, 4, 8).map { h =>
         val m = res.byHorizon(h)
         Row(h.toLong, m.msfe, m.theilsURw, m.theilsUAr1, m.errors.length.toLong)
@@ -874,8 +920,13 @@ object Estimation {
           StructField("theils_u_rw", DoubleType),
           StructField("theils_u_ar1", DoubleType),
           StructField("n_eval", LongType))))
+        .select(col("horizon"),
+          round(col("msfe") * 1e6).cast("long").as("msfe_e6"),
+          round(col("theils_u_rw") * 1e6).cast("long").as("theils_u_rw_e6"),
+          round(col("theils_u_ar1") * 1e6).cast("long").as("theils_u_ar1_e6"),
+          col("n_eval"))
         .orderBy(col("horizon"))
-    }, None)
+    }, Some(M17Oracle.sql))
   )
 
   def queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap
