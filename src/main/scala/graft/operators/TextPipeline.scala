@@ -461,6 +461,46 @@ object TextPipeline {
       .filter(col("cosine_e6") >= minCosineE6)
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023, arXiv
+    * 2303.09540) over a trained IVF quantizer: cluster the corpus with
+    * k-means, then WITHIN each cluster drop every vector whose cosine to a
+    * more-extreme clustermate reaches `minCosineE6` — "more extreme" =
+    * farther from the centroid (the paper's keep-far-from-centroid rule,
+    * which retains the semantic outlier of each duplicate ball), ordered
+    * by (integer centroid distance DESC, vec_id) so the keep/drop decision
+    * is engine-exact. This is the published scale shape: the quadratic
+    * stage is per-cluster (corpus/nlist-sized lists), never corpus², and
+    * the cluster assignment is the SAME shared integer-exact quantizer the
+    * e6/e7 searches use — one training, three consumers. Columns: vec_id,
+    * cid, cent_dist, dropped.
+    */
+  private[graft] def semDedup(idx: AnnIndex.IvfIndex, minCosineE6: Long): DataFrame = {
+    val s = idx.lists.sparkSession
+    import s.implicits._
+    val cents = broadcast(idx.cents.toDF("cid", "cent"))
+    val ranked = idx.lists.join(cents, "cid")
+      .select(col("cid"), col("vec_id"), col("embedding"),
+        AnnIndex.sqDist("unit", "cent").as("cent_dist"),
+        sqrt(dot("embedding", "embedding")).as("nrm"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("cid"))
+          .orderBy(col("cent_dist").desc, col("vec_id"))))
+    def side(n: String): DataFrame = ranked.select(col("cid"),
+      col("vec_id").as(s"vec_$n"), col("embedding").as(s"emb_$n"),
+      col("rk").as(s"rk_$n"), col("nrm").as(s"nrm_$n"))
+    val dropped = side("a").join(side("b"), "cid")
+      .filter(col("rk_a") < col("rk_b"))
+      .select(col("vec_b").as("vec_id"),
+        round(dot("emb_a", "emb_b") / (col("nrm_a") * col("nrm_b")) * 1e6)
+          .cast("long").as("cosine_e6"))
+      .filter(col("cosine_e6") >= minCosineE6)
+      .select(col("vec_id")).distinct()
+    ranked
+      .join(dropped.withColumn("dropped", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid").cast("long").as("cid"),
+        col("cent_dist"), coalesce(col("dropped"), lit(false)).as("dropped"))
+  }
+
   /** Multi-table hyperplane LSH: `tables` independent 4-bit tables
     * (OR-amplification — table t uses planes (4t+p)·17, so table 0 IS e2's
     * family). One bucket per (vector, table); a candidate pair needs to
@@ -1198,6 +1238,100 @@ object TextPipeline {
                 cast(sum(CASE WHEN rn <> 1 THEN n_chars ELSE 0 END) AS bigint)
                   AS chars_dropped
          FROM rk GROUP BY 1 ORDER BY 1""")),
+
+    ("d11_semantic_dedup", (s: SparkSession, d: String) => {
+      // SemDeDup (Abbas et al. 2023) — the sixth dedup family: cluster
+      // embeddings with k-means, drop within-cluster semantic duplicates,
+      // keep each duplicate ball's far-from-centroid representative. The
+      // cluster assignment is the SAME shared integer-exact IVF quantizer
+      // e6/e7 search with (AnnIndex.ivfFor — one training, three
+      // consumers), so training, centroid distances, and the keep order
+      // are exact integer arithmetic and the oracle replays Lloyd's
+      // CTE-for-CTE (e7's chain) before re-deriving every keep/drop
+      // decision. τ = 420000 on the ROUNDED cosine in both engines; the
+      // nearest observed within-cluster pair is > 2500 quanta from τ at
+      // both SFs, so float noise cannot flip a decision. Scale shape:
+      // the quadratic stage is per-cluster (corpus/nlist), never corpus².
+      semDedup(
+        AnnIndex.ivfFor(s, d, Tables.embeddings(s, d), nlist = 16, iters = 2),
+        minCosineE6 = 420000L)
+        .orderBy(col("vec_id"))
+    }, Some(
+      """WITH ex AS (
+           SELECT vec_id, i, cast(embedding[i] AS double) AS v FROM (
+             SELECT vec_id, embedding,
+                    unnest(generate_series(1, len(embedding))) AS i
+             FROM embeddings)),
+         nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ex GROUP BY 1),
+         u AS (SELECT e.vec_id, e.i,
+                      cast(round(e.v / n.nrm * 1e6) AS bigint) AS ue6
+               FROM ex e JOIN nrm n ON n.vec_id = e.vec_id),
+         cb0 AS (SELECT cast(r - 1 AS int) AS cid, i, ue6 FROM (
+                   SELECT u.*, dense_rank() OVER (ORDER BY vec_id) AS r FROM u)
+                 WHERE r <= 16),
+         a0 AS (SELECT vec_id, cid FROM (
+                  SELECT vec_id, cid, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY dist, cid) AS rn
+                  FROM (SELECT u.vec_id, cb.cid,
+                               cast(sum((u.ue6 - cb.ue6) * (u.ue6 - cb.ue6))
+                                 AS bigint) AS dist
+                        FROM u JOIN cb0 cb ON cb.i = u.i GROUP BY 1, 2))
+                WHERE rn = 1),
+         cb1 AS (SELECT cb0.cid, cb0.i, coalesce(up.ue6, cb0.ue6) AS ue6
+                 FROM cb0 LEFT JOIN (
+                   SELECT a.cid, u.i,
+                          cast(floor(sum(u.ue6) * 1.0 / count(*) + 0.5) AS bigint) AS ue6
+                   FROM a0 a JOIN u ON u.vec_id = a.vec_id GROUP BY 1, 2) up
+                 ON up.cid = cb0.cid AND up.i = cb0.i),
+         a1 AS (SELECT vec_id, cid FROM (
+                  SELECT vec_id, cid, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY dist, cid) AS rn
+                  FROM (SELECT u.vec_id, cb.cid,
+                               cast(sum((u.ue6 - cb.ue6) * (u.ue6 - cb.ue6))
+                                 AS bigint) AS dist
+                        FROM u JOIN cb1 cb ON cb.i = u.i GROUP BY 1, 2))
+                WHERE rn = 1),
+         cb2 AS (SELECT cb1.cid, cb1.i, coalesce(up.ue6, cb1.ue6) AS ue6
+                 FROM cb1 LEFT JOIN (
+                   SELECT a.cid, u.i,
+                          cast(floor(sum(u.ue6) * 1.0 / count(*) + 0.5) AS bigint) AS ue6
+                   FROM a1 a JOIN u ON u.vec_id = a.vec_id GROUP BY 1, 2) up
+                 ON up.cid = cb1.cid AND up.i = cb1.i),
+         a2 AS (SELECT vec_id, cid FROM (
+                  SELECT vec_id, cid, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY dist, cid) AS rn
+                  FROM (SELECT u.vec_id, cb.cid,
+                               cast(sum((u.ue6 - cb.ue6) * (u.ue6 - cb.ue6))
+                                 AS bigint) AS dist
+                        FROM u JOIN cb2 cb ON cb.i = u.i GROUP BY 1, 2))
+                WHERE rn = 1),
+         cd AS (SELECT a.vec_id, a.cid,
+                       cast(sum((u.ue6 - cb.ue6) * (u.ue6 - cb.ue6))
+                         AS bigint) AS cent_dist
+                FROM a2 a
+                JOIN u ON u.vec_id = a.vec_id
+                JOIN cb2 cb ON cb.cid = a.cid AND cb.i = u.i
+                GROUP BY 1, 2),
+         rk AS (SELECT vec_id, cid, cent_dist, row_number() OVER (
+                  PARTITION BY cid ORDER BY cent_dist DESC, vec_id) AS rk
+                FROM cd),
+         prs AS (SELECT a.vec_id AS va, b.vec_id AS vb
+                 FROM rk a JOIN rk b ON a.cid = b.cid AND a.rk < b.rk),
+         dots AS (SELECT p.va, p.vb, sum(x.v * y.v) AS dot
+                  FROM prs p
+                  JOIN ex x ON x.vec_id = p.va
+                  JOIN ex y ON y.vec_id = p.vb AND y.i = x.i
+                  GROUP BY 1, 2),
+         drp AS (SELECT DISTINCT d.vb AS vec_id
+                 FROM dots d
+                 JOIN nrm na ON na.vec_id = d.va
+                 JOIN nrm nb ON nb.vec_id = d.vb
+                 WHERE cast(round(d.dot / (na.nrm * nb.nrm) * 1e6) AS bigint)
+                       >= 420000)
+         SELECT r.vec_id, cast(r.cid AS bigint) AS cid, r.cent_dist,
+                (drp.vec_id IS NOT NULL) AS dropped
+         FROM rk r LEFT JOIN drp ON drp.vec_id = r.vec_id
+         ORDER BY r.vec_id""")),
 
     ("d8_incremental_dedup", (s: SparkSession, d: String) => {
       // Incremental ingest dedup — the anti-join every production

@@ -284,6 +284,39 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"expected exactly the planted pairs, got $pairs")
   }
 
+  test("semDedup: exactly one member of each planted dup ball drops; far-from-centroid survives") {
+    // d11 quality gate, same planted scheme: near-identical vectors land
+    // in the same Voronoi cell of ANY trained quantizer, so each planted
+    // pair must resolve to one kept + one dropped; no random pair reaches
+    // cosine 0.95. The kept member must be the pair's far-from-centroid
+    // one (SemDeDup's keep rule; vec_id breaks exact distance ties).
+    val s = spark
+    import s.implicits._
+    val dim = 16
+    val n = 120
+    val g = new TestData.Lcg(23L)
+    val base = Array.tabulate(n)(_ => Array.fill(dim)(g.gaussian().toFloat))
+    for (q <- 0 until 3)
+      base(q) = base(10 + q).map(v => v + 0.02f * g.gaussian().toFloat)
+    val df = base.zipWithIndex.map { case (e, i) => (i.toLong, e) }.toSeq
+      .toDF("vec_id", "embedding")
+    val idx = operators.AnnIndex.trainIvf(df, nlist = 8, iters = 2,
+      persistLists = false)
+    val out = TextPipeline.semDedup(idx, minCosineE6 = 950000L).collect()
+    assert(out.length == n, "every vector must appear exactly once")
+    val dropped = out.filter(_.getBoolean(3)).map(_.getLong(0)).toSet
+    assert(dropped.size == 3, s"expected 3 drops, got $dropped")
+    val cd = out.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    for (q <- 0L until 3L) {
+      assert(dropped.contains(q) ^ dropped.contains(10L + q),
+        s"pair ($q, ${10 + q}): exactly one must drop, got $dropped")
+      val (kept, drp) =
+        if (dropped.contains(q)) (10L + q, q) else (q, 10L + q)
+      assert(cd(kept) > cd(drp) || (cd(kept) == cd(drp) && kept < drp),
+        s"pair ($q, ${10 + q}): kept $kept is not the far-from-centroid member")
+    }
+  }
+
   test("sampleFrames: stride, ragged tail, and checksums") {
     // 130 bytes at frameSize 64 = frames 0..2; stride 2 keeps frames 0 and
     // 2; frame 2 is the 2-byte ragged tail.
