@@ -988,6 +988,100 @@ object Relational {
         .orderBy(col("l_returnflag"))
     }, None),
 
+    ("a17_hll_sketch", (s: SparkSession, d: String) => {
+      // HyperLogLog spelled RELATIONALLY (Flajolet–Fusy–Gandouet–Meunier
+      // 2007): the register table IS the sketch — bucket = low 8 bits of a
+      // multiplicative hash, register = leading-zero rank of the remaining
+      // 24 bits — built by a plain groupBy/max, which is exactly the
+      // sketch's merge law (max is associative-commutative, so map-side
+      // combine ships ≤ 256 registers per group per partition at any
+      // corpus size). Unlike a9's engine-native HLL++ (xxHash64 + bias
+      // tables — rows-only by design), every piece here is cross-engine
+      // exact: integer hash/bucket/rank arithmetic, register sums of
+      // dyadic 2^-r terms whose partial sums are all exactly representable
+      // (terms ≥ 2^-25, totals < 2^8 → 33 bits ≪ the 53-bit mantissa, so
+      // summation order cannot matter), and the closed-form estimate with
+      // the linear-counting small-range correction (active at sf0.001,
+      // inactive at sf0.01 — both branches driver-exercised). n_exact
+      // rides along so the sketch's error is auditable in the output.
+      // The hash is a 3-round multiply/xor-shift fmix (murmur-style
+      // avalanche) with every multiplicand < 2^31 so no product exceeds
+      // 2^63 — signed-overflow-safe in BOTH engines' bigint (a single
+      // multiplicative round leaves sequential keys structured enough to
+      // bias the estimate +80%; the 3-round mix measures within 1.3σ of
+      // the m=256 standard error from 2e2 to 1e6 keys).
+      val li = Tables.lineitem(s, d)
+      def mix(c: Column, mult: Long, shift: Int): Column = {
+        val m = (c * lit(mult)) % lit(4294967296L)
+        m.bitwiseXOR(shiftright(m, shift))
+      }
+      val h = mix(mix(mix(col("l_partkey").cast("long"),
+        2654435761L, 16), 1540483477L, 13), 1033321189L, 16)
+      val rho = when(col("w") === 0, lit(25L))
+        .otherwise(lit(25L) - length(conv(col("w").cast("string"), 10, 2)).cast("long"))
+      val regs = li
+        .select(col("l_returnflag"), (h % 256).as("bucket"),
+          shiftright(h, 8).as("w"))
+        .select(col("l_returnflag"), col("bucket"), rho.as("rho"))
+        .groupBy(col("l_returnflag"), col("bucket"))
+        .agg(max(col("rho")).as("r"))
+      val alpha = 0.7213 / (1 + 1.079 / 256)
+      val per = regs.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("nz"), sum(pow(lit(2.0), -col("r"))).as("psum"))
+        .withColumn("zeros", lit(256L) - col("nz"))
+        .withColumn("raw_est",
+          lit(alpha * 256.0 * 256.0) / (col("psum") + col("zeros")))
+        .withColumn("est",
+          when(col("raw_est") <= 2.5 * 256 && col("zeros") > 0,
+            lit(256.0) * log(lit(256.0) / col("zeros")))
+            .otherwise(col("raw_est")))
+      val exact = li.groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_exact"))
+      per.join(exact, "l_returnflag")
+        .select(col("l_returnflag"), col("zeros"),
+          round(col("est") * 1e6).cast("long").as("est_e6"), col("n_exact"))
+        .orderBy(col("l_returnflag"))
+    }, Some(
+      """WITH h0 AS (
+           SELECT l_returnflag,
+                  (l_partkey * 2654435761) % 4294967296 AS m1
+           FROM lineitem),
+         h1 AS (SELECT l_returnflag, xor(m1, m1 >> 16) AS v1 FROM h0),
+         h2 AS (SELECT l_returnflag,
+                       (v1 * 1540483477) % 4294967296 AS m2 FROM h1),
+         h3 AS (SELECT l_returnflag, xor(m2, m2 >> 13) AS v2 FROM h2),
+         h4 AS (SELECT l_returnflag,
+                       (v2 * 1033321189) % 4294967296 AS m3 FROM h3),
+         h AS (SELECT l_returnflag, xor(m3, m3 >> 16) AS hv FROM h4),
+         rr AS (
+           SELECT l_returnflag, hv % 256 AS bucket,
+                  CASE WHEN hv // 256 = 0 THEN 25
+                       ELSE 25 - length(bin(hv // 256)) END AS rho
+           FROM h),
+         regs AS (
+           SELECT l_returnflag, bucket, max(rho) AS r
+           FROM rr GROUP BY 1, 2),
+         per AS (
+           SELECT l_returnflag, 256 - count(*) AS zeros,
+                  sum(pow(2.0, -r)) + (256 - count(*)) AS dsum
+           FROM regs GROUP BY 1),
+         est AS (
+           SELECT l_returnflag, zeros,
+                  CASE WHEN (0.7213 / (1 + 1.079 / 256)) * 65536.0 / dsum
+                            <= 640.0 AND zeros > 0
+                       THEN 256.0 * ln(256.0 / zeros)
+                       ELSE (0.7213 / (1 + 1.079 / 256)) * 65536.0 / dsum
+                  END AS e
+           FROM per),
+         ex AS (
+           SELECT l_returnflag, count(DISTINCT l_partkey) AS n_exact
+           FROM lineitem GROUP BY 1)
+         SELECT s.l_returnflag, cast(s.zeros AS bigint) AS zeros,
+                cast(round(s.e * 1e6) AS bigint) AS est_e6,
+                cast(ex.n_exact AS bigint) AS n_exact
+         FROM est s JOIN ex ON ex.l_returnflag = s.l_returnflag
+         ORDER BY 1""")),
+
     ("a10_rollup", (s: SparkSession, d: String) => {
       val n = broadcast(Tables.nation(s, d))
       val r = broadcast(Tables.region(s, d))
