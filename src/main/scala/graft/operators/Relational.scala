@@ -59,6 +59,24 @@ object Relational {
     * Output: every probe column, plus the matched quote row as one
     * `asof` struct column (NULL when no quote precedes the probe).
     */
+  /** 3-round multiply/xor-shift 32-bit mix (murmur-style avalanche) over a
+    * non-negative long column — the engine's cross-engine-exact hash for
+    * sketch/sampling operators (a17's HLL buckets, x24's sampling keys).
+    * Every multiplicand is < 2³¹ so no intermediate product exceeds 2⁶³:
+    * signed-overflow-safe in both engines' bigint, and the DuckDB replay
+    * is the same arithmetic verbatim. Output is uniform-ish in [0, 2³²) —
+    * a single multiplicative round leaves sequential keys structured
+    * enough to bias an HLL estimate +80%; this mix measures within 1.3σ
+    * of the m=256 HLL standard error from 2e2 to 1e6 sequential keys.
+    */
+  private[operators] def fmix32(c: Column): Column = {
+    def mix(x: Column, mult: Long, shift: Int): Column = {
+      val m = (x * lit(mult)) % lit(4294967296L)
+      m.bitwiseXOR(shiftright(m, shift))
+    }
+    mix(mix(mix(c, 2654435761L, 16), 1540483477L, 13), 1033321189L, 16)
+  }
+
   private[graft] def asOfJoin(
       probe: DataFrame,
       quote: DataFrame,
@@ -1004,19 +1022,10 @@ object Relational {
       // the linear-counting small-range correction (active at sf0.001,
       // inactive at sf0.01 — both branches driver-exercised). n_exact
       // rides along so the sketch's error is auditable in the output.
-      // The hash is a 3-round multiply/xor-shift fmix (murmur-style
-      // avalanche) with every multiplicand < 2^31 so no product exceeds
-      // 2^63 — signed-overflow-safe in BOTH engines' bigint (a single
-      // multiplicative round leaves sequential keys structured enough to
-      // bias the estimate +80%; the 3-round mix measures within 1.3σ of
-      // the m=256 standard error from 2e2 to 1e6 keys).
+      // The hash is the shared 3-round [[fmix32]] (see its doc for the
+      // overflow-safety and avalanche-quality argument).
       val li = Tables.lineitem(s, d)
-      def mix(c: Column, mult: Long, shift: Int): Column = {
-        val m = (c * lit(mult)) % lit(4294967296L)
-        m.bitwiseXOR(shiftright(m, shift))
-      }
-      val h = mix(mix(mix(col("l_partkey").cast("long"),
-        2654435761L, 16), 1540483477L, 13), 1033321189L, 16)
+      val h = fmix32(col("l_partkey").cast("long"))
       val rho = when(col("w") === 0, lit(25L))
         .otherwise(lit(25L) - length(conv(col("w").cast("string"), 10, 2)).cast("long"))
       val regs = li

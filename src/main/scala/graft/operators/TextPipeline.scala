@@ -3053,6 +3053,56 @@ object TextPipeline {
          SELECT doc_id, source, cast(smp_rank AS int) AS smp_rank
          FROM r WHERE smp_rank <= 20 ORDER BY doc_id""")),
 
+    ("x24_weighted_sample", (s: SparkSession, d: String) => {
+      // Weighted sampling WITHOUT replacement, k per stratum — the
+      // Efraimidis–Spirakis one-pass reservoir (A-ES, IPL 2006): item i
+      // draws key u_i^(1/w_i) and the k largest keys win, which samples
+      // proportional-to-weight without replacement. Where x14 draws
+      // uniformly and x8 thins by rate, this is the TRAINING-MIX draw:
+      // weight = n_chars, so a source's sample leans toward its long
+      // documents the way a token-budget draw should. Determinism: u is
+      // the shared 3-round integer mix (Relational.fmix32) on doc_id
+      // mapped to (0,1) — reproducible across re-reads/re-partitions,
+      // replayable in SQL — and the rank key is the monotone transform
+      // ln(u)/w, e12-quantized with doc_id ties so the selection boundary
+      // is total. Scale: the per-stratum cut is the bounded-state
+      // top_k_pairs aggregate (map-side combine ships ≤ k pairs per
+      // partition per source), never a corpus-wide rank window.
+      val u = (Relational.fmix32(col("doc_id").cast("long")).cast("double")
+        + lit(0.5)) / lit(4294967296.0)
+      val scored = Tables.documents(s, d)
+        .select(col("source"), col("doc_id"),
+          round(log(u) / greatest(coalesce(col("n_chars"), lit(1L)), lit(1L))
+            .cast("double") * 1e12).cast("long").as("es_key_e12"))
+      AnnIndex.topKCut(scored, "source", "es_key_e12", "doc_id", k = 10,
+        ascending = false, scoreName = "es_key_e12", idName = "doc_id")
+        .orderBy(col("source"), col("rank"))
+    }, Some(
+      """WITH h0 AS (
+           SELECT source, doc_id, n_chars,
+                  (doc_id * 2654435761) % 4294967296 AS m1
+           FROM documents),
+         h1 AS (SELECT source, doc_id, n_chars, xor(m1, m1 >> 16) AS v1 FROM h0),
+         h2 AS (SELECT source, doc_id, n_chars,
+                       (v1 * 1540483477) % 4294967296 AS m2 FROM h1),
+         h3 AS (SELECT source, doc_id, n_chars, xor(m2, m2 >> 13) AS v2 FROM h2),
+         h4 AS (SELECT source, doc_id, n_chars,
+                       (v2 * 1033321189) % 4294967296 AS m3 FROM h3),
+         h AS (SELECT source, doc_id, n_chars, xor(m3, m3 >> 16) AS hv FROM h4),
+         scored AS (
+           SELECT source, doc_id,
+                  cast(round(ln((hv + 0.5) / 4294967296.0)
+                             / greatest(coalesce(n_chars, 1), 1) * 1e12)
+                    AS bigint) AS es_key_e12
+           FROM h),
+         r AS (
+           SELECT source, doc_id, es_key_e12,
+                  row_number() OVER (PARTITION BY source
+                                     ORDER BY es_key_e12 DESC, doc_id) AS rank
+           FROM scored)
+         SELECT source, doc_id, es_key_e12, cast(rank AS int) AS rank
+         FROM r WHERE rank <= 10 ORDER BY source, rank""")),
+
     ("x15_vocab_topk", (s: SparkSession, d: String) => {
       // Corpus vocabulary building — the top-k token-frequency table every
       // tokenizer-training / vocab-audit step starts from: explode
