@@ -69,7 +69,7 @@ object Relational {
     * enough to bias an HLL estimate +80%; this mix measures within 1.3σ
     * of the m=256 HLL standard error from 2e2 to 1e6 sequential keys.
     */
-  private[operators] def fmix32(c: Column): Column = {
+  private[graft] def fmix32(c: Column): Column = {
     def mix(x: Column, mult: Long, shift: Int): Column = {
       val m = (x * lit(mult)) % lit(4294967296L)
       m.bitwiseXOR(shiftright(m, shift))

@@ -107,6 +107,37 @@ object EventStream {
       .withWatermark("ts", "30 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming approximate-distinct — the a17 relational HyperLogLog
+    * under a watermark: per (1-hour window, event_type), the sketch is the
+    * 256-register table (bucket = low 8 bits of the shared fmix32 hash of
+    * user_id, register = max leading-zero rank of the rest), and MAX is
+    * the merge law — so each micro-batch folds into the streaming state
+    * associatively and the state per group is bounded at 256 longs
+    * regardless of how many users stream through. The estimate is a
+    * closed form over the final registers (computed downstream — Spark
+    * disallows a second chained streaming aggregation, and the registers
+    * ARE the mergeable artifact a 100 TB pipeline would persist anyway).
+    * The register table replays EXACTLY to the batch spelling over the
+    * same events (StreamingSpec), a17's cross-engine-exactness argument
+    * carried onto the streaming surface. Columns: window_start,
+    * event_type, bucket, r.
+    */
+  def hllRegisterStream(events: DataFrame): DataFrame = {
+    val h = graft.operators.Relational.fmix32(col("user_id"))
+    val w = shiftright(h, 8)
+    val rho = when(w === 0, lit(25L))
+      .otherwise(lit(25L) - length(conv(w.cast("string"), 10, 2)).cast("long"))
+    events
+      .withWatermark("ts", "30 minutes")
+      .select(col("ts"), col("event_type"),
+        (h % 256).as("bucket"), rho.as("rho"))
+      .groupBy(window(col("ts"), "1 hour").as("win"),
+        col("event_type"), col("bucket"))
+      .agg(max(col("rho")).as("r"))
+      .select(col("win.start").as("window_start"), col("event_type"),
+        col("bucket"), col("r"))
+  }
+
   /** Streaming CONTENT dedup — the d1 exact-dedup operator composed with
     * the streaming surface: the dedup key is a content fingerprint (md5 of
     * the whitespace-normalized payload, exactly d1's canonicalization),

@@ -51,6 +51,59 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("streaming HLL registers replay to the batch sketch; estimate lands near exact") {
+    // a17's relational HyperLogLog on the streaming surface: the register
+    // table folded across micro-batches by MAX must equal the batch
+    // spelling register-for-register (max is the sketch's merge law), and
+    // the closed-form estimate over the streamed registers must land near
+    // the exact per-(window, type) distinct-user count.
+    val q = EventStream.hllRegisterStream(EventStream.readEvents(spark, sfDir))
+      .writeStream.format("memory").queryName("hll_regs")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("hll_regs")
+      .orderBy("window_start", "event_type", "bucket").collect()
+
+    val h = operators.Relational.fmix32(col("user_id"))
+    val w = shiftright(h, 8)
+    val rho = when(w === 0, lit(25L))
+      .otherwise(lit(25L) - length(conv(w.cast("string"), 10, 2)).cast("long"))
+    val batch = Tables.events(spark, sfDir)
+      .select(col("ts"), col("event_type"), (h % 256).as("bucket"), rho.as("rho"))
+      .groupBy(window(col("ts"), "1 hour").as("win"),
+        col("event_type"), col("bucket"))
+      .agg(max(col("rho")).as("r"))
+      .select(col("win.start").as("window_start"), col("event_type"),
+        col("bucket"), col("r"))
+      .orderBy("window_start", "event_type", "bucket").collect()
+
+    assert(streamed.length == batch.length && streamed.nonEmpty,
+      s"register rows: streamed ${streamed.length} vs batch ${batch.length}")
+    streamed.zip(batch).foreach { case (a, b) => assert(a == b) }
+
+    // Estimate sanity on the most-registered (window, type) group.
+    val top = spark.table("hll_regs")
+      .groupBy("window_start", "event_type").count()
+      .orderBy(col("count").desc, col("window_start"), col("event_type"))
+      .first()
+    val rs = spark.table("hll_regs")
+      .filter(col("window_start") === top.get(0) &&
+        col("event_type") === top.getString(1))
+      .select("r").collect().map(_.getLong(0))
+    val zeros = 256 - rs.length
+    val dsum = rs.map(r => math.pow(2.0, -r.toDouble)).sum + zeros
+    val raw = 0.7213 / (1 + 1.079 / 256) * 65536.0 / dsum
+    val est = if (raw <= 640 && zeros > 0) 256.0 * math.log(256.0 / zeros) else raw
+    val exact = Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+      .agg(countDistinct(col("user_id")).as("nd"))
+      .filter(col("win.start") === top.get(0) &&
+        col("event_type") === top.getString(1))
+      .first().getLong(2)
+    assert(exact > 0 && math.abs(est / exact - 1.0) < 0.3,
+      s"HLL estimate $est vs exact $exact")
+  }
+
   test("streaming dedup keeps each event_id once") {
     val q = EventStream.dedupStream(EventStream.readEvents(spark, sfDir))
       .writeStream.format("memory").queryName("dedup").outputMode("append").start()
