@@ -1091,6 +1091,87 @@ object Relational {
          FROM est s JOIN ex ON ex.l_returnflag = s.l_returnflag
          ORDER BY 1""")),
 
+    ("a18_bottomk_quantiles", (s: SparkSession, d: String) => {
+      // Quantile SKETCH by bottom-k sampling — the third mergeable sketch
+      // family (distinct: a17's HLL, heavy hitters: x23, quantiles: here):
+      // keeping the k items with the SMALLEST deterministic hash per group
+      // is a uniform sample without replacement (the KMV/bottom-k sketch),
+      // mergeable by union-then-recut — so the sample's empirical
+      // quantiles estimate the group's, with state bounded at k rows per
+      // group (k = 64: the sample-median spread at k = 32 measured up to
+      // +40% on the near-uniform price distribution; 64 halves it). Where a12 computes exact percentiles, this is the sketch a
+      // 100 TB pipeline keeps INCREMENTALLY: the cut is the bounded-state
+      // top_k_pairs aggregate (ascending on the hash — map-side combine
+      // ships ≤ k pairs per partition per group), values rejoin over the
+      // row key (broadcast — the cut is |groups|·k rows), and the
+      // in-sample rank window partitions by group over ≤ k rows. All
+      // integer/dyadic arithmetic: the fmix32 row hash, cent-quantized
+      // prices, ceil-rank selection with row-key ties — oracle-exact.
+      // The sampled VALUE rides through the cut inside the aggregate's id
+      // (price in the high 32 bits over the 32-bit row fingerprint — the
+      // packed ordering IS (price, fingerprint) lexicographic), so there
+      // is NO join-back from the sample to the corpus at all.
+      val li = Tables.lineitem(s, d)
+      val priceC = round(col("l_extendedprice") * 100).cast("long")
+      val fp = (col("l_orderkey") * 31 + col("l_linenumber") * 7 + priceC)
+        .cast("long") % lit(4294967296L)
+      val scored = li.select(col("l_returnflag"), fmix32(fp).as("u"),
+        (priceC * lit(4294967296L) + fp).as("pid"))
+      val cut = graft.operators.AnnIndex.topKCut(scored, "l_returnflag",
+        "u", "pid", k = 64, ascending = true, scoreName = "u", idName = "pid")
+      val ranked = cut
+        .select(col("l_returnflag"), shiftright(col("pid"), 32).as("price_c"),
+          col("pid"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("l_returnflag")).orderBy(col("pid"))))
+        .withColumn("ns", count(lit(1)).over(Window.partitionBy(col("l_returnflag"))))
+      ranked.groupBy(col("l_returnflag"))
+        .agg(max(col("ns")).as("n_sample"),
+          max(when(col("rn") === ceil(col("ns") * 0.25), col("price_c"))).as("q25_c"),
+          max(when(col("rn") === ceil(col("ns") * 0.5), col("price_c"))).as("q50_c"),
+          max(when(col("rn") === ceil(col("ns") * 0.75), col("price_c"))).as("q75_c"),
+          max(when(col("rn") === ceil(col("ns") * 0.9), col("price_c"))).as("q90_c"))
+        .orderBy(col("l_returnflag"))
+    }, Some(
+      """WITH base AS (
+           SELECT l_returnflag,
+                  (l_orderkey * 31 + l_linenumber * 7
+                   + cast(round(l_extendedprice * 100) AS bigint))
+                    % 4294967296 AS fp,
+                  cast(round(l_extendedprice * 100) AS bigint) AS price_c
+           FROM lineitem),
+         h1 AS (SELECT l_returnflag, fp, price_c,
+                       (fp * 2654435761) % 4294967296 AS m1 FROM base),
+         h2 AS (SELECT l_returnflag, fp, price_c,
+                       xor(m1, m1 >> 16) AS v1 FROM h1),
+         h3 AS (SELECT l_returnflag, fp, price_c,
+                       (v1 * 1540483477) % 4294967296 AS m2 FROM h2),
+         h4 AS (SELECT l_returnflag, fp, price_c,
+                       xor(m2, m2 >> 13) AS v2 FROM h3),
+         h5 AS (SELECT l_returnflag, fp, price_c,
+                       (v2 * 1033321189) % 4294967296 AS m3 FROM h4),
+         h AS (SELECT l_returnflag, fp, price_c,
+                      xor(m3, m3 >> 16) AS u,
+                      price_c * 4294967296 + fp AS pid FROM h5),
+         cut AS (
+           SELECT l_returnflag, pid, price_c FROM (
+             SELECT *, row_number() OVER (PARTITION BY l_returnflag
+                         ORDER BY u, pid) AS krn
+             FROM h)
+           WHERE krn <= 64),
+         ranked AS (
+           SELECT l_returnflag, price_c,
+                  row_number() OVER (PARTITION BY l_returnflag
+                                     ORDER BY pid) AS rn,
+                  count(*) OVER (PARTITION BY l_returnflag) AS ns
+           FROM cut)
+         SELECT l_returnflag, cast(max(ns) AS bigint) AS n_sample,
+                max(CASE WHEN rn = ceil(ns * 0.25) THEN price_c END) AS q25_c,
+                max(CASE WHEN rn = ceil(ns * 0.5)  THEN price_c END) AS q50_c,
+                max(CASE WHEN rn = ceil(ns * 0.75) THEN price_c END) AS q75_c,
+                max(CASE WHEN rn = ceil(ns * 0.9)  THEN price_c END) AS q90_c
+         FROM ranked GROUP BY 1 ORDER BY 1""")),
+
     ("a10_rollup", (s: SparkSession, d: String) => {
       val n = broadcast(Tables.nation(s, d))
       val r = broadcast(Tables.region(s, d))
