@@ -3585,7 +3585,89 @@ object TextPipeline {
            FROM f)
          SELECT doc_id, frame_idx, count(*) AS frame_len,
                 cast(sum(ascii(substr(text, p, 1))) AS bigint) AS frame_sum
-         FROM pos GROUP BY 1, 2 ORDER BY 1, 2"""))
+         FROM pos GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    ("mm4_frame_retrieval", (s: SparkSession, d: String) => {
+      // Cross-asset frame retrieval — the multimodal surface composed
+      // end-to-end: mm2's frame sampling (every 2nd 64-byte frame) feeds
+      // mm3's band-mean feature extraction PER FRAME, and the resulting
+      // 8-dim frame vectors flow through the e-family's exact top-k
+      // cosine kernel — "find the 3 most similar frames in OTHER assets"
+      // (the video near-dup-scene / similar-shot shape). Query frames
+      // come from assets 0-2, the corpus is every other asset's frames;
+      // frame identity is doc_id·2¹⁶ + frame_idx so the rank tie-break
+      // stays a single long. Determinism: band means are ratios of
+      // integer sums (mm3's bit-identical argument), the cut is the
+      // bounded-state top_k_pairs aggregate on the e6-rounded cosine
+      // (e3's argument), so the whole composition hash-checks. A real
+      // codec swaps the byte-band extractor; the sampling → extract →
+      // retrieve plumbing is what a 100 TB video pipeline reuses.
+      import s.implicits._
+      val frames = Tables.documents(s, d)
+        .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.flatMap { case (id, bytes) =>
+          val nFrames = (bytes.length + 63) / 64
+          (0 until nFrames by 2).iterator.map { fi =>
+            val slice = java.util.Arrays.copyOfRange(
+              bytes, fi * 64, math.min(bytes.length, fi * 64 + 64))
+            (id * 65536L + fi, TextFunctions.byteBandMeans(slice, bands = 8))
+          }
+        })
+        .toDF("vec_id", "embedding")
+      val q = frames.filter(col("vec_id") < 3L * 65536)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      exactTopK(frames.filter(col("vec_id") >= 3L * 65536), q, 3)
+        .select(
+          shiftright(col("q_id"), 16).as("q_doc"),
+          (col("q_id") % 65536).as("q_frame"),
+          shiftright(col("vec_id"), 16).as("doc_id"),
+          (col("vec_id") % 65536).as("frame_idx"),
+          col("cosine_e6"), col("rank"))
+        .orderBy(col("q_doc"), col("q_frame"), col("rank"))
+    }, Some(
+      """WITH f AS (
+           SELECT doc_id, text,
+                  unnest(generate_series(0,
+                    cast(ceil(length(text) / 64.0) AS int) - 1, 2)) AS frame_idx
+           FROM documents),
+         pos AS (
+           SELECT doc_id, frame_idx,
+                  unnest(generate_series(frame_idx * 64 + 1,
+                    least(length(text), frame_idx * 64 + 64))) AS p, text
+           FROM f),
+         fb AS (
+           SELECT doc_id, frame_idx,
+                  (p - frame_idx * 64 - 1) % 8 AS band,
+                  ascii(substr(text, p, 1)) AS v
+           FROM pos),
+         fv AS (
+           SELECT doc_id, frame_idx, band,
+                  sum(v) * 1.0 / count(v) AS v
+           FROM fb GROUP BY 1, 2, 3),
+         nrm AS (
+           SELECT doc_id, frame_idx, sqrt(sum(v * v)) AS nrm
+           FROM fv GROUP BY 1, 2),
+         dots AS (
+           SELECT q.doc_id AS q_doc, q.frame_idx AS q_frame,
+                  c.doc_id AS doc_id, c.frame_idx AS frame_idx,
+                  sum(q.v * c.v) AS dot
+           FROM fv q JOIN fv c ON c.band = q.band
+           WHERE q.doc_id < 3 AND c.doc_id >= 3
+           GROUP BY 1, 2, 3, 4),
+         scored AS (
+           SELECT d.q_doc, d.q_frame, d.doc_id, d.frame_idx,
+                  cast(round(d.dot / (nq.nrm * nc.nrm) * 1e6) AS bigint) AS cosine_e6
+           FROM dots d
+           JOIN nrm nq ON nq.doc_id = d.q_doc AND nq.frame_idx = d.q_frame
+           JOIN nrm nc ON nc.doc_id = d.doc_id AND nc.frame_idx = d.frame_idx)
+         SELECT q_doc, q_frame, doc_id, frame_idx, cosine_e6, cast(rank AS int) AS rank
+         FROM (
+           SELECT *, row_number() OVER (
+                       PARTITION BY q_doc, q_frame
+                       ORDER BY cosine_e6 DESC, doc_id * 65536 + frame_idx) AS rank
+           FROM scored)
+         WHERE rank <= 3 ORDER BY q_doc, q_frame, rank"""))
   )
 
   def queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap
