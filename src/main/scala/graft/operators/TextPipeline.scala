@@ -1333,6 +1333,66 @@ object TextPipeline {
          FROM rk r LEFT JOIN drp ON drp.vec_id = r.vec_id
          ORDER BY r.vec_id""")),
 
+    ("d12_span_dedup", (s: SparkSession, d: String) => {
+      // Exact-substring (span) deduplication — the "repeated passages"
+      // shape (Lee et al. 2022, Deduplicating Training Data Makes
+      // Language Models Better): d1-d11 decide whether DOCUMENTS
+      // co-refer; this finds which fixed-width spans recur VERBATIM in
+      // other documents — the memorization-risk signal substring-level
+      // dedup removes. Spans are 64 chars at stride 32 (every char
+      // covered by ≤ 2 spans, so corpus blow-up is bounded at 2×); a
+      // span is duplicated when it appears in ≥ 2 DISTINCT docs. Scale
+      // shape: one explode (2× chars), one Zipf-bounded group-by-span
+      // with map-side combine, and a semi-join of the span stream
+      // against the (small) duplicated-span set — broadcast here,
+      // shuffle-semi-join when the dup set outgrows it. Per-doc rollup:
+      // span count, duplicated-occurrence count, distinct duplicated
+      // spans. Exact string arithmetic end-to-end — oracle-exact.
+      val docs = Tables.documents(s, d).filter(length(col("text")) >= 64)
+      val spans = docs
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(1),
+            (floor((length(col("text")) - 64) / 32) + 1).cast("int"))).as("si"))
+        .select(col("doc_id"),
+          expr("substring(text, (si - 1) * 32 + 1, 64)").as("span"))
+      val dupSpans = spans.groupBy(col("span"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") > 1)
+        .select(col("span"))
+      val perDoc = spans.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_spans"))
+      val dupPerDoc = spans.join(broadcast(dupSpans), "span")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_dup_spans"),
+          countDistinct(col("span")).as("n_dup_distinct"))
+      perDoc.join(dupPerDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_spans"),
+          coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+          coalesce(col("n_dup_distinct"), lit(0L)).as("n_dup_distinct"))
+        .orderBy(col("doc_id"))
+    }, Some(
+      """WITH spans AS (
+           SELECT doc_id, substr(text, (si - 1) * 32 + 1, 64) AS span
+           FROM documents,
+                unnest(generate_series(1,
+                  cast(floor((length(text) - 64) / 32.0) AS int) + 1)) t(si)
+           WHERE length(text) >= 64),
+         dup AS (
+           SELECT span FROM spans
+           GROUP BY span HAVING count(DISTINCT doc_id) > 1),
+         per AS (
+           SELECT doc_id, count(*) AS n_spans FROM spans GROUP BY 1),
+         dd AS (
+           SELECT s.doc_id, count(*) AS n_dup_spans,
+                  count(DISTINCT s.span) AS n_dup_distinct
+           FROM spans s JOIN dup d ON d.span = s.span
+           GROUP BY 1)
+         SELECT p.doc_id, cast(p.n_spans AS bigint) AS n_spans,
+                cast(coalesce(dd.n_dup_spans, 0) AS bigint) AS n_dup_spans,
+                cast(coalesce(dd.n_dup_distinct, 0) AS bigint) AS n_dup_distinct
+         FROM per p LEFT JOIN dd ON dd.doc_id = p.doc_id
+         ORDER BY p.doc_id""")),
+
     ("d8_incremental_dedup", (s: SparkSession, d: String) => {
       // Incremental ingest dedup — the anti-join every production
       // pipeline runs on ARRIVING batches: drop a new doc iff its
