@@ -493,6 +493,37 @@ class RelationalPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"a rank window crept back into e3:\n$plan")
   }
 
+  test("a18/x24: the sketch cuts are the bounded aggregate with a partial phase") {
+    // Both sketches claim bounded per-group state: the bottom-k sample
+    // (a18) and the weighted reservoir (x24) must cut with top_k_pairs
+    // carrying a map-side partial phase — a rank window would shuffle the
+    // corpus into |groups| partitions, exactly what the sketch family
+    // exists to avoid. a18's only window runs over the k-row samples
+    // (post-cut), so the pre-cut plan region must be window-free.
+    for (name <- Seq("a18_bottomk_quantiles", "x24_weighted_sample")) {
+      val df =
+        if (name.startsWith("a18")) Relational.queries(name)(spark, sfDir)
+        else graft.operators.TextPipeline.queries(name)(spark, sfDir)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("partial_top_k_pairs"),
+        s"$name cut has no map-side partial phase:\n$plan")
+    }
+  }
+
+  test("d12: the duplicated-span membership probe is a broadcast join") {
+    // The span stream is 2x corpus chars; probing it against the small
+    // duplicated-span set must broadcast — a lost hint would shuffle the
+    // whole span stream on the 64-char span key while staying hash-green
+    // on testdata.
+    val df = graft.operators.TextPipeline.queries("d12_span_dedup")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("span")),
+      s"d12 span probe is not a broadcast join:\n$plan")
+  }
+
   test("w10: the per-group top-k cut is the bounded aggregate, one scan, no window") {
     // Five market segments means a rank window would funnel corpus/5 rows
     // per partition; the r9 shape is top_k_pairs (partial map-side phase)
