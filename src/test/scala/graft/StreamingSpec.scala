@@ -51,6 +51,58 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("hllRegisterStream folds registers by MAX across micro-batches") {
+    // The merge-law edge the single-batch replay can't exercise: users
+    // split across two micro-batches must land in the SAME register table
+    // as one batch over their union — the streaming state's MAX fold is
+    // the sketch's merge. A register lost or reset between batches
+    // diverges here while staying green on the one-batch replay.
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.Encoders
+    val ms = MemoryStream(
+      Encoders.tuple(Encoders.scalaLong, Encoders.TIMESTAMP, Encoders.STRING),
+      s.sqlContext)
+    val base = 1700000000000L
+    def t(min: Int) = new java.sql.Timestamp(base + min * 60000L)
+    def rows(us: Range) = us.map(u => (u.toLong, t(u % 50), "view"))
+    val q = EventStream.hllRegisterStream(
+        ms.toDF.toDF("user_id", "ts", "event_type"))
+      .writeStream.format("memory").queryName("hll_batches")
+      .outputMode("complete").start()
+    try {
+      ms.addData(rows(1 to 40): _*)
+      q.processAllAvailable()
+      ms.addData(rows(41 to 80): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("hll_batches")
+      .orderBy("window_start", "event_type", "bucket").collect()
+    val batch = batchRegisters(
+        rows(1 to 80).toDF("user_id", "ts", "event_type"))
+      .orderBy("window_start", "event_type", "bucket").collect()
+    assert(streamed.length == batch.length && streamed.nonEmpty)
+    streamed.zip(batch).foreach { case (a, b) => assert(a == b) }
+  }
+
+  /** The batch spelling of hllRegisterStream's register table — shared by
+    * the replay tests (identical expressions, no watermark).
+    */
+  private def batchRegisters(events: org.apache.spark.sql.DataFrame) = {
+    val h = operators.Relational.fmix32(col("user_id"))
+    val w = shiftright(h, 8)
+    val rho = when(w === 0, lit(25L))
+      .otherwise(lit(25L) - length(conv(w.cast("string"), 10, 2)).cast("long"))
+    events
+      .select(col("ts"), col("event_type"), (h % 256).as("bucket"), rho.as("rho"))
+      .groupBy(window(col("ts"), "1 hour").as("win"),
+        col("event_type"), col("bucket"))
+      .agg(max(col("rho")).as("r"))
+      .select(col("win.start").as("window_start"), col("event_type"),
+        col("bucket"), col("r"))
+  }
+
   test("streaming HLL registers replay to the batch sketch; estimate lands near exact") {
     // a17's relational HyperLogLog on the streaming surface: the register
     // table folded across micro-batches by MAX must equal the batch
@@ -64,17 +116,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val streamed = spark.table("hll_regs")
       .orderBy("window_start", "event_type", "bucket").collect()
 
-    val h = operators.Relational.fmix32(col("user_id"))
-    val w = shiftright(h, 8)
-    val rho = when(w === 0, lit(25L))
-      .otherwise(lit(25L) - length(conv(w.cast("string"), 10, 2)).cast("long"))
-    val batch = Tables.events(spark, sfDir)
-      .select(col("ts"), col("event_type"), (h % 256).as("bucket"), rho.as("rho"))
-      .groupBy(window(col("ts"), "1 hour").as("win"),
-        col("event_type"), col("bucket"))
-      .agg(max(col("rho")).as("r"))
-      .select(col("win.start").as("window_start"), col("event_type"),
-        col("bucket"), col("r"))
+    val batch = batchRegisters(Tables.events(spark, sfDir))
       .orderBy("window_start", "event_type", "bucket").collect()
 
     assert(streamed.length == batch.length && streamed.nonEmpty,
