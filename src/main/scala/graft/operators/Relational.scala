@@ -374,6 +374,60 @@ object Relational {
                 cast(ceil(count(*) / 10000.0) AS bigint) AS n_files
          FROM documents GROUP BY 1 ORDER BY 1""")),
 
+    ("s13_binary_ingest", (s: SparkSession, d: String) => {
+      // The multimodal INGEST edge (engine ext., round 10): opaque asset
+      // files land in a directory and `spark.read.format("binaryFile")`
+      // turns them into (path, length, content) rows — the entry point a
+      // real image/audio corpus takes before mm1-mm4's decode/extract
+      // plumbing. One .bin per document (payload = the utf-8 text, the
+      // fake-codec convention), written task-side from a foreachPartition
+      // (executors write asset files in a real pipeline — the driver
+      // never sees payload bytes), then re-ingested through the
+      // binaryFile source with a pathGlobFilter. Output is per-asset
+      // (asset id parsed from the path, byte length, unsigned byte sum);
+      // the oracle recomputes all three from the parquet text, so the
+      // check spans write → file-source scan → content fold. binaryFile
+      // caps per-file content at spark.sql.sources.binaryFile
+      // .maxLength — fine for assets that fit executor memory; bigger
+      // media streams through mm2's frame sampling instead.
+      import s.implicits._
+      val tmp = s"$csvScratchRoot/assets_${java.util.UUID.randomUUID()}"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(tmp))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .foreachPartition { it: Iterator[(Long, String)] =>
+          it.foreach { case (id, t) =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(tmp, f"$id%08d.bin"),
+              t.getBytes("UTF-8"))
+          }
+        }
+      s.read.format("binaryFile").option("pathGlobFilter", "*.bin")
+        .load(tmp)
+        .select(
+          regexp_extract(col("path"), "([0-9]+)\\.bin$", 1)
+            .cast("long").as("asset_id"),
+          col("length").as("n_bytes"), col("content"))
+        .as[(Long, Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, len, bytes) =>
+          var sum = 0L
+          var i = 0
+          while (i < bytes.length) { sum += bytes(i) & 0xff; i += 1 }
+          (id, len, sum)
+        })
+        .toDF("asset_id", "n_bytes", "byte_sum")
+        .orderBy(col("asset_id"))
+    }, Some(
+      """WITH pos AS (
+           SELECT doc_id, unnest(generate_series(1, length(text))) AS p, text
+           FROM documents)
+         SELECT d.doc_id AS asset_id,
+                cast(length(d.text) AS bigint) AS n_bytes,
+                cast(coalesce(sum(ascii(substr(pos.text, pos.p, 1))), 0)
+                  AS bigint) AS byte_sum
+         FROM documents d LEFT JOIN pos ON pos.doc_id = d.doc_id
+         GROUP BY 1, 2 ORDER BY 1""")),
+
     ("s12_zorder_layout", (s: SparkSession, d: String) => {
       // Z-order (Morton) clustering readout (engine ext., round 10): the
       // multi-dimensional data-skipping layout. A single-column sort gives
