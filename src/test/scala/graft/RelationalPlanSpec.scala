@@ -654,4 +654,18 @@ class RelationalPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // walk itself broke (wrong node class after a Spark upgrade, say).
     assert(found >= 5, s"expected calendar windows in the corpus, found $found")
   }
+
+  test("s13: the asset directory is written once and re-scanned on later calls") {
+    // s13's write-once-per-sfDir cache (the ingest-pays-once shape): a
+    // second call must scan the SAME asset files — not rewrite a fresh
+    // directory — and return identical rows. inputFiles identity is the
+    // observable: a broken cache yields a fresh UUID directory whose
+    // paths differ even though the rows still hash green.
+    val first = Relational.queries("s13_binary_ingest")(spark, sfDir)
+    val second = Relational.queries("s13_binary_ingest")(spark, sfDir)
+    assert(first.inputFiles.nonEmpty, "s13 scan reports no input files")
+    assert(first.inputFiles.toSet == second.inputFiles.toSet,
+      "second s13 call re-wrote the asset directory instead of re-scanning")
+    assert(first.collect().toSeq == second.collect().toSeq)
+  }
 }
