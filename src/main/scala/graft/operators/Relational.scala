@@ -62,19 +62,32 @@ object Relational {
   /** 3-round multiply/xor-shift 32-bit mix (murmur-style avalanche) over a
     * non-negative long column — the engine's cross-engine-exact hash for
     * sketch/sampling operators (a17's HLL buckets, x24's sampling keys).
-    * Every multiplicand is < 2³¹ so no intermediate product exceeds 2⁶³:
-    * signed-overflow-safe in both engines' bigint, and the DuckDB replay
-    * is the same arithmetic verbatim. Output is uniform-ish in [0, 2³²) —
+    * Signed-overflow-safe for ANY non-negative long input: the input is
+    * first reduced mod 2³², and the one multiplier that exceeds 2³¹
+    * (0x9E3779B1 = 2654435761) is split as 2³¹ + 506952113 with the two
+    * sub-products summed mod 2³² — so every intermediate product is at
+    * most (2³²−1)·2³¹ = 2⁶³−2³¹ < Long.MaxValue. (A single
+    * x·2654435761 would overflow int64 from x ≈ 3.47e9, i.e. inside the
+    * documented [0, 2³²) domain — a18 feeds a full 32-bit fingerprint.)
+    * The split is identity mod 2³², so hashes are unchanged for all
+    * inputs; the DuckDB replays carry the same split verbatim. The other
+    * two multiplicands are < 2³¹ and their inputs < 2³², so those rounds
+    * stay under 2⁶³ unsplit. Output is uniform-ish in [0, 2³²) —
     * a single multiplicative round leaves sequential keys structured
     * enough to bias an HLL estimate +80%; this mix measures within 1.3σ
     * of the m=256 HLL standard error from 2e2 to 1e6 sequential keys.
     */
   private[graft] def fmix32(c: Column): Column = {
+    val M = 4294967296L // 2^32
     def mix(x: Column, mult: Long, shift: Int): Column = {
-      val m = (x * lit(mult)) % lit(4294967296L)
+      val m = (x * lit(mult)) % lit(M)
       m.bitwiseXOR(shiftright(m, shift))
     }
-    mix(mix(mix(c, 2654435761L, 16), 1540483477L, 13), 1033321189L, 16)
+    val x0 = c % lit(M)
+    val m1 = ((x0 * lit(2147483648L)) % lit(M) +
+      (x0 * lit(506952113L)) % lit(M)) % lit(M)
+    val r1 = m1.bitwiseXOR(shiftright(m1, 16))
+    mix(mix(r1, 1540483477L, 13), 1033321189L, 16)
   }
 
   private[graft] def asOfJoin(
@@ -1117,10 +1130,14 @@ object Relational {
           round(col("est") * 1e6).cast("long").as("est_e6"), col("n_exact"))
         .orderBy(col("l_returnflag"))
     }, Some(
-      """WITH h0 AS (
-           SELECT l_returnflag,
-                  (l_partkey * 2654435761) % 4294967296 AS m1
+      """WITH x0 AS (
+           SELECT l_returnflag, l_partkey % 4294967296 AS x
            FROM lineitem),
+         h0 AS (
+           SELECT l_returnflag,
+                  ((x * 2147483648) % 4294967296
+                   + (x * 506952113) % 4294967296) % 4294967296 AS m1
+           FROM x0),
          h1 AS (SELECT l_returnflag, xor(m1, m1 >> 16) AS v1 FROM h0),
          h2 AS (SELECT l_returnflag,
                        (v1 * 1540483477) % 4294967296 AS m2 FROM h1),
@@ -1207,7 +1224,9 @@ object Relational {
                   cast(round(l_extendedprice * 100) AS bigint) AS price_c
            FROM lineitem),
          h1 AS (SELECT l_returnflag, fp, price_c,
-                       (fp * 2654435761) % 4294967296 AS m1 FROM base),
+                       ((fp * 2147483648) % 4294967296
+                        + (fp * 506952113) % 4294967296) % 4294967296
+                         AS m1 FROM base),
          h2 AS (SELECT l_returnflag, fp, price_c,
                        xor(m1, m1 >> 16) AS v1 FROM h1),
          h3 AS (SELECT l_returnflag, fp, price_c,

@@ -3138,10 +3138,14 @@ object TextPipeline {
         ascending = false, scoreName = "es_key_e12", idName = "doc_id")
         .orderBy(col("source"), col("rank"))
     }, Some(
-      """WITH h0 AS (
-           SELECT source, doc_id, n_chars,
-                  (doc_id * 2654435761) % 4294967296 AS m1
+      """WITH x0 AS (
+           SELECT source, doc_id, n_chars, doc_id % 4294967296 AS x
            FROM documents),
+         h0 AS (
+           SELECT source, doc_id, n_chars,
+                  ((x * 2147483648) % 4294967296
+                   + (x * 506952113) % 4294967296) % 4294967296 AS m1
+           FROM x0),
          h1 AS (SELECT source, doc_id, n_chars, xor(m1, m1 >> 16) AS v1 FROM h0),
          h2 AS (SELECT source, doc_id, n_chars,
                        (v1 * 1540483477) % 4294967296 AS m2 FROM h1),

@@ -668,4 +668,39 @@ class RelationalPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "second s13 call re-wrote the asset directory instead of re-scanning")
     assert(first.collect().toSeq == second.collect().toSeq)
   }
+
+  test("fmix32: overflow-safe across the full 32-bit domain, ANSI-strict") {
+    // The r10 advice finding: the first multiplier 0x9E3779B1 exceeds 2^31,
+    // so the unsplit x*2654435761 overflows int64 from x ~ 3.47e9 — inside
+    // the documented [0, 2^32) domain that a18's full 32-bit fingerprint
+    // actually reaches (around orderkey ~1.1e8, i.e. SF ~20). The split
+    // form must (a) survive ANSI mode, where a silent wrap becomes a hard
+    // ARITHMETIC_OVERFLOW, and (b) equal the exact BigInt reference for
+    // inputs spanning both sides of the old failure threshold, plus
+    // inputs ABOVE 2^32 (the mod-reduce-first contract).
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val xs: Seq[Long] = Seq(0L, 1L, 12345L, (1L << 31) - 1, 3470000001L,
+      (1L << 32) - 1, (1L << 32), 999999999999L, Long.MaxValue / 2)
+    def ref(x: Long): Long = {
+      val M = BigInt(1) << 32
+      def mix(v: BigInt, mult: Long, sh: Int): BigInt = {
+        val m = (v * mult) mod M
+        m ^ (m >> sh)
+      }
+      mix(mix(mix(BigInt(x) mod M, 2654435761L, 16),
+        1540483477L, 13), 1033321189L, 16).toLong
+    }
+    val prev = s.conf.get("spark.sql.ansi.enabled", "false")
+    s.conf.set("spark.sql.ansi.enabled", "true")
+    try {
+      val got = xs.toDF("x").select(col("x"),
+        Relational.fmix32(col("x")).as("h")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      xs.foreach { x =>
+        assert(got(x) == ref(x), s"fmix32($x): got ${got(x)}, want ${ref(x)}")
+      }
+    } finally s.conf.set("spark.sql.ansi.enabled", prev)
+  }
 }
