@@ -678,6 +678,112 @@ object TextPipeline {
         sum(col("lp")).as("sum_ll_e6"))
   }
 
+  /** The d12 kernel — exact-substring (span) deduplication, the "repeated
+    * passages" shape (Lee et al. 2022, Deduplicating Training Data Makes
+    * Language Models Better): d1-d11 decide whether DOCUMENTS co-refer;
+    * this finds which fixed-width spans recur VERBATIM in other documents
+    * — the memorization-risk signal substring-level dedup removes. Spans
+    * are 64 chars at stride 32 (every char covered by ≤ 2 spans, so
+    * corpus blow-up is bounded at 2×); a span is duplicated when it
+    * appears in ≥ 2 DISTINCT docs. Scale shape: one explode (2× chars),
+    * one Zipf-bounded group-by-span with map-side combine, and a join of
+    * the span stream against the duplicated-span set. That set is
+    * CORPUS-DERIVED and grows with the corpus's duplication rate, so the
+    * join is size-gated exactly like [[bigramTypicality]]'s count tables:
+    * while the source relation's plan stats fit `broadcastSpanBytes` the
+    * dup set (a filtered projection of the same spans) broadcasts; past
+    * the budget it falls back to a pinned sort-merge join — an
+    * unconditional broadcast here would ship an unbounded set to every
+    * executor on a boilerplate-heavy 100 TB corpus. Per-doc rollup: span
+    * count, duplicated-occurrence count, distinct duplicated spans.
+    * Exact string arithmetic end-to-end — oracle-exact either path.
+    */
+  private[graft] def spanDedup(
+      docs0: DataFrame,
+      broadcastSpanBytes: Long = 1L << 30): DataFrame = {
+    val docs = docs0.filter(length(col("text")) >= 64)
+    val spans = docs
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1),
+          (floor((length(col("text")) - 64) / 32) + 1).cast("int"))).as("si"))
+      .select(col("doc_id"),
+        expr("substring(text, (si - 1) * 32 + 1, 64)").as("span"))
+    val dupSpans = spans.groupBy(col("span"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1)
+      .select(col("span"))
+    val useBroadcast =
+      docs0.queryExecution.optimizedPlan.stats.sizeInBytes <= broadcastSpanBytes
+    val dim = if (useBroadcast) broadcast(dupSpans) else dupSpans.hint("merge")
+    val perDoc = spans.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"))
+    val dupPerDoc = spans.join(dim, "span")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_spans"),
+        countDistinct(col("span")).as("n_dup_distinct"))
+    perDoc.join(dupPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("n_dup_distinct"), lit(0L)).as("n_dup_distinct"))
+  }
+
+  /** The d8 kernel — incremental ingest dedup, the anti-join every
+    * production pipeline runs on ARRIVING batches: drop a new doc iff its
+    * canonical content hash already exists in the accepted corpus (here:
+    * upper-half doc_ids arrive against the lower-half corpus; a real
+    * pipeline reads the corpus's hash index). The new batch also dedups
+    * WITHIN itself (min doc_id keeps, d1 semantics) so two copies
+    * arriving together admit exactly one. Scale posture: the probe side
+    * is the corpus's DISTINCT HASH INDEX, not the corpus — but that index
+    * still scales with corpus size, so it broadcasts only while the
+    * source relation's plan stats fit `broadcastIndexBytes`. Past the
+    * budget it switches to x11's executable Bloom prefilter shape: one
+    * aggregate over the index builds a bounded-bytes sketch (the only
+    * driver traffic), batch rows the sketch rejects are DEFINITELY fresh
+    * (Bloom has no false negatives — they skip the join entirely), and
+    * only the might-contain remainder anti-joins the index through a
+    * pinned sort-merge join. The arriving batch (the small side by
+    * definition of incremental ingest) never shuffles more than once on
+    * its own hash for the self-dedup window.
+    */
+  private[graft] def incrementalDedup(
+      docs: DataFrame,
+      broadcastIndexBytes: Long = 1L << 30): DataFrame = {
+    val hashed = docs
+      .withColumn("content_hash",
+        md5(regexp_replace(trim(col("text")), "\\s+", " ")))
+    val half = hashed.agg(expr("percentile(doc_id, 0.5)")).first().getDouble(0)
+    val corpusIdx = hashed.filter(col("doc_id") <= half)
+      .select(col("content_hash")).distinct()
+    val batch = hashed.filter(col("doc_id") > half)
+    val useBroadcast =
+      docs.queryExecution.optimizedPlan.stats.sizeInBytes <= broadcastIndexBytes
+    val fresh = if (useBroadcast) {
+      batch.join(broadcast(corpusIdx), Seq("content_hash"), "left_anti")
+    } else {
+      import org.apache.spark.sql.GraftExpressionBridge
+      import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+      import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+      val bfAgg = GraftExpressionBridge.column(
+        new BloomFilterAggregate(
+          GraftExpressionBridge.expression(xxhash64(col("content_hash"))),
+          Literal(1000000L), Literal(8000000L)).toAggregateExpression())
+      val bfBytes = corpusIdx.agg(bfAgg.as("bf"))
+        .collect()(0).getAs[Array[Byte]](0)
+      val mc = GraftExpressionBridge.column(BloomFilterMightContain(
+        Literal.create(bfBytes, org.apache.spark.sql.types.BinaryType),
+        GraftExpressionBridge.expression(xxhash64(col("content_hash")))))
+      batch.filter(!mc).unionByName(
+        batch.filter(mc)
+          .join(corpusIdx.hint("merge"), Seq("content_hash"), "left_anti"))
+    }
+    val w = Window.partitionBy(col("content_hash")).orderBy(col("doc_id"))
+    fresh
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("content_hash"))
+  }
+
   /** Adds x8's deterministic mixture-sampling columns: `mix_bucket` — a
     * SALTED md5 draw ('mix:' prefix), independent of x5's split coin —
     * and `rate_permille`, the per-source mixture weight (derived from
@@ -1334,42 +1440,7 @@ object TextPipeline {
          ORDER BY r.vec_id""")),
 
     ("d12_span_dedup", (s: SparkSession, d: String) => {
-      // Exact-substring (span) deduplication — the "repeated passages"
-      // shape (Lee et al. 2022, Deduplicating Training Data Makes
-      // Language Models Better): d1-d11 decide whether DOCUMENTS
-      // co-refer; this finds which fixed-width spans recur VERBATIM in
-      // other documents — the memorization-risk signal substring-level
-      // dedup removes. Spans are 64 chars at stride 32 (every char
-      // covered by ≤ 2 spans, so corpus blow-up is bounded at 2×); a
-      // span is duplicated when it appears in ≥ 2 DISTINCT docs. Scale
-      // shape: one explode (2× chars), one Zipf-bounded group-by-span
-      // with map-side combine, and a semi-join of the span stream
-      // against the (small) duplicated-span set — broadcast here,
-      // shuffle-semi-join when the dup set outgrows it. Per-doc rollup:
-      // span count, duplicated-occurrence count, distinct duplicated
-      // spans. Exact string arithmetic end-to-end — oracle-exact.
-      val docs = Tables.documents(s, d).filter(length(col("text")) >= 64)
-      val spans = docs
-        .select(col("doc_id"), col("text"),
-          explode(sequence(lit(1),
-            (floor((length(col("text")) - 64) / 32) + 1).cast("int"))).as("si"))
-        .select(col("doc_id"),
-          expr("substring(text, (si - 1) * 32 + 1, 64)").as("span"))
-      val dupSpans = spans.groupBy(col("span"))
-        .agg(countDistinct(col("doc_id")).as("nd"))
-        .filter(col("nd") > 1)
-        .select(col("span"))
-      val perDoc = spans.groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_spans"))
-      val dupPerDoc = spans.join(broadcast(dupSpans), "span")
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_dup_spans"),
-          countDistinct(col("span")).as("n_dup_distinct"))
-      perDoc.join(dupPerDoc, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_spans"),
-          coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
-          coalesce(col("n_dup_distinct"), lit(0L)).as("n_dup_distinct"))
-        .orderBy(col("doc_id"))
+      spanDedup(Tables.documents(s, d)).orderBy(col("doc_id"))
     }, Some(
       """WITH spans AS (
            SELECT doc_id, substr(text, (si - 1) * 32 + 1, 64) AS span
@@ -1394,32 +1465,7 @@ object TextPipeline {
          ORDER BY p.doc_id""")),
 
     ("d8_incremental_dedup", (s: SparkSession, d: String) => {
-      // Incremental ingest dedup — the anti-join every production
-      // pipeline runs on ARRIVING batches: drop a new doc iff its
-      // canonical content hash already exists in the accepted corpus
-      // (here: upper-half doc_ids arrive against the lower-half corpus;
-      // a real pipeline reads the corpus's hash index). The new batch
-      // also dedups WITHIN itself (min doc_id keeps, d1 semantics) so
-      // two copies arriving together admit exactly one. Scale posture:
-      // the probe side is the corpus's DISTINCT HASH INDEX, not the
-      // corpus — broadcast while small, bloom/bucketed semi-join past
-      // that — and the arriving batch (the small side by definition of
-      // incremental ingest) never shuffles more than once, on its own
-      // hash for the self-dedup window.
-      val hashed = Tables.documents(s, d)
-        .withColumn("content_hash",
-          md5(regexp_replace(trim(col("text")), "\\s+", " ")))
-      val half = hashed.agg(expr("percentile(doc_id, 0.5)")).first().getDouble(0)
-      val corpusIdx = hashed.filter(col("doc_id") <= half)
-        .select(col("content_hash")).distinct()
-      val batch = hashed.filter(col("doc_id") > half)
-      val w = Window.partitionBy(col("content_hash")).orderBy(col("doc_id"))
-      batch
-        .join(broadcast(corpusIdx), Seq("content_hash"), "left_anti")
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("doc_id"), col("content_hash"))
-        .orderBy(col("doc_id"))
+      incrementalDedup(Tables.documents(s, d)).orderBy(col("doc_id"))
     }, Some(
       """WITH h AS (
            SELECT doc_id,

@@ -512,9 +512,9 @@ class RelationalPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("d12: the duplicated-span membership probe is a broadcast join") {
     // The span stream is 2x corpus chars; probing it against the small
-    // duplicated-span set must broadcast — a lost hint would shuffle the
-    // whole span stream on the 64-char span key while staying hash-green
-    // on testdata.
+    // duplicated-span set must broadcast WHILE the corpus fits the size
+    // gate — a lost hint would shuffle the whole span stream on the
+    // 64-char span key while staying hash-green on testdata.
     val df = graft.operators.TextPipeline.queries("d12_span_dedup")(spark, sfDir)
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
@@ -522,6 +522,51 @@ class RelationalPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.linesIterator.exists(l =>
       l.contains("BroadcastHashJoin") && l.contains("span")),
       s"d12 span probe is not a broadcast join:\n$plan")
+  }
+
+  test("d12: past the size budget the span probe falls back off-broadcast") {
+    // The dup-span set is corpus-derived and unbounded (r10 finding #1):
+    // a zero byte budget must force the pinned sort-merge shape — no
+    // broadcast anywhere on the span key — and the rows must be
+    // IDENTICAL to the broadcast path (the fallback is a plan change,
+    // never a semantics change).
+    import graft.operators.TextPipeline
+    import org.apache.spark.sql.functions.col
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val fb = TextPipeline.spanDedup(docs, broadcastSpanBytes = 0L)
+    val plan = fb.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("span")),
+      s"d12 fallback still broadcasts the dup-span set:\n$plan")
+    assert(plan.contains("SortMergeJoin"),
+      s"d12 fallback lost the pinned merge join:\n$plan")
+    val bc = TextPipeline.spanDedup(docs).orderBy(col("doc_id")).collect().toSeq
+    assert(fb.orderBy(col("doc_id")).collect().toSeq == bc,
+      "d12 fallback rows differ from the broadcast path")
+  }
+
+  test("d8: past the size budget the corpus index probes via Bloom + merge anti-join") {
+    // r10 finding #2: the corpus hash index scales with the corpus, so
+    // past the budget the broadcast anti-join must become the x11 shape —
+    // a bounded Bloom sketch rejects definitely-fresh rows, and only the
+    // might-contain remainder anti-joins the index through a pinned
+    // sort-merge join. Rows identical to the broadcast path.
+    import graft.operators.TextPipeline
+    import org.apache.spark.sql.functions.col
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val fb = TextPipeline.incrementalDedup(docs, broadcastIndexBytes = 0L)
+    val plan = fb.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"d8 fallback still broadcasts the corpus index:\n$plan")
+    assert(plan.contains("SortMergeJoin") && plan.contains("LeftAnti"),
+      s"d8 fallback lost the merge anti-join:\n$plan")
+    assert(plan.contains("might_contain"),
+      s"d8 fallback lost the Bloom prefilter:\n$plan")
+    val bc = TextPipeline.incrementalDedup(docs).orderBy(col("doc_id")).collect().toSeq
+    assert(fb.orderBy(col("doc_id")).collect().toSeq == bc,
+      "d8 fallback rows differ from the broadcast path")
   }
 
   test("w10: the per-group top-k cut is the bounded aggregate, one scan, no window") {
