@@ -58,6 +58,24 @@ object Bench {
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
     var errors = List.empty[String]
+    // Machine-load canary: a fixed-work, IO-free, plan-stable query timed
+    // once per epoch. Its per-epoch times are reported raw — when the r10
+    // artifact's 43% full-run spread recurs, the canary series says
+    // whether the machine/JVM was loaded during THAT run (canary inflated
+    // in lockstep) or a query genuinely regressed (canary flat). Range
+    // source + hash + sum: no shuffle, no parquet, no cache — nothing but
+    // CPU, so it tracks exactly the contention the corpus queries share.
+    def canaryPass(): Double = {
+      import org.apache.spark.sql.functions.{bit_xor, xxhash64, col}
+      val t0 = System.nanoTime()
+      // bit_xor, not sum: xxhash64 is full-range, so summing 32M of them
+      // overflows long and ANSI mode turns that into a hard error.
+      spark.range(0L, 32L * 1000 * 1000, 1L, cpus.toInt)
+        .select(bit_xor(xxhash64(col("id"))).as("h"))
+        .write.mode("overwrite").format("noop").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    canaryPass() // untimed: pays the canary's own codegen, like the warmup
     // Passes run as round-robin EPOCHS (pass 1 of every query, then pass
     // 2, ...), not back-to-back per query: in a shared JVM a GC pause or
     // JIT recompilation storm is a point-in-time event, and consecutive
@@ -69,8 +87,10 @@ object Bench {
     // independent JVM states. One System.gc() per epoch levels the
     // collection debt carried into each.
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
+    val canary = scala.collection.mutable.ListBuffer.empty[Double]
     for (_ <- 1 to passes) {
       System.gc()
+      canary += canaryPass()
       queries.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
         try {
@@ -97,12 +117,25 @@ object Bench {
     val buildJson = graft.operators.AnnIndex.buildLog.toSeq.sorted
       .map { case (k, v) => s"\"" + k + "\":" + (math.rint(v * 1000) / 1000) }
       .mkString("{", ",", "}")
+    // Dispersion: per-query [min, median, max] across epochs (full file
+    // only — stdout's 2000-char budget can't carry 140 triples). A wide
+    // per-query spread WITH a flat canary isolates JVM noise to that
+    // query; everything spread wide WITH an inflated canary is machine
+    // load — the r10 distinction the round driver couldn't make.
+    val ms3 = (v: Double) => math.rint(v * 1000) / 1000
+    val canaryJson = canary.map(ms3).mkString("[", ",", "]")
+    val dispJson = queries.keys.toSeq.sorted.flatMap { name =>
+      samples.get(name).map { xs =>
+        s"\"" + name + "\":[" + ms3(xs.min) + "," + ms3(median(xs)) + "," +
+          ms3(xs.max) + "]"
+      }
+    }.mkString("{", ",", "}")
     def jsonLine(qmap: Iterable[(String, Double)], extra: String): String = {
       val qs = qmap.map { case (k, v) => s"\"" + k + "\":" + v }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$extra"index_build_sec":$buildJson,"warmup_sec":$warmup,"passes":$passes,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$extra"canary_sec":$canaryJson,"index_build_sec":$buildJson,"warmup_sec":$warmup,"passes":$passes,"errors":$errJson,"sf":"$sfDir"}"""
     }
-    val full = jsonLine(results, "")
+    val full = jsonLine(results, s""""dispersion":$dispJson,""")
     // Persist the FULL per-query map to files: the driver captures only the
     // last ~2000 chars of stdout, which decapitates a 120-query JSON line
     // (BENCH_r8 `parsed: null`). The files make every round auditable
