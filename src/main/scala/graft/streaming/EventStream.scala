@@ -21,7 +21,10 @@ import org.apache.spark.sql.types._
   *  - a watermarked stream-stream interval join (attributedStream — the
   *    attribution shape; state bounded by watermark + join interval), and
   *  - evictable custom state via flatMapGroupsWithState + event-time
-  *    timeout (errorBursts — CEP-lite trailing-window alerting).
+  *    timeout (errorBursts — CEP-lite trailing-window alerting), and
+  *  - two windowed mergeable sketches (hllRegisterStream — a17's HLL
+  *    registers folded by MAX; bottomKStream — a18's KMV bottom-k sample
+  *    folded through the bounded top_k_pairs aggregate).
   *
   * Scale posture: all are keyed-state streaming aggregations — state is
   * bounded by (watermark horizon × key cardinality) or by key cardinality
@@ -136,6 +139,45 @@ object EventStream {
       .agg(max(col("rho")).as("r"))
       .select(col("win.start").as("window_start"), col("event_type"),
         col("bucket"), col("r"))
+  }
+
+  /** Streaming bottom-k (KMV) quantile sketch — a18 on the streaming
+    * surface, completing the persisted-sketch story the way
+    * [[hllRegisterStream]] did for a17: per (1-hour window, event_type),
+    * keep the k rows with the SMALLEST deterministic fmix32 hash — a
+    * uniform sample without replacement whose empirical quantiles
+    * estimate the group's. Min-k is associative (union then re-cut), so
+    * each micro-batch folds into the streaming state through the SAME
+    * bounded `top_k_pairs` aggregate the batch query uses: state per
+    * group is ≤ k (score, id) pairs regardless of stream length, and the
+    * sampled VALUE rides through the cut inside the packed id (cents in
+    * the high 32 bits over the 32-bit row fingerprint), so there is no
+    * join-back from the sample to the stream. The sample replays EXACTLY
+    * to the batch spelling over the same events (StreamingSpec).
+    * Columns: window_start, event_type, rank, u, value_c.
+    */
+  def bottomKStream(events: DataFrame, k: Int = 64): DataFrame = {
+    import org.apache.spark.sql.GraftExpressionBridge
+    val vc = round(col("value") * 100).cast("long")
+    val fp = (col("event_id") * 31 + col("user_id") * 7 + vc) % lit(4294967296L)
+    val u = graft.operators.Relational.fmix32(fp)
+    val pid = vc * lit(4294967296L) + fp
+    val agg = GraftExpressionBridge.column(
+      graft.functions.TopKPairs(
+        GraftExpressionBridge.expression(col("u")),
+        GraftExpressionBridge.expression(col("pid")),
+        k, ascending = true).toAggregateExpression())
+    events
+      .withWatermark("ts", "30 minutes")
+      .select(col("ts"), col("event_type"), u.as("u"), pid.as("pid"))
+      .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+      .agg(agg.as("sample"))
+      .select(col("win.start").as("window_start"), col("event_type"),
+        posexplode(col("sample")).as(Seq("pos", "pair")))
+      .select(col("window_start"), col("event_type"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("pair.score").as("u"),
+        shiftright(col("pair.id"), 32).as("value_c"))
   }
 
   /** Streaming CONTENT dedup — the d1 exact-dedup operator composed with

@@ -714,6 +714,31 @@ class RelationalPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(first.collect().toSeq == second.collect().toSeq)
   }
 
+  test("a9 vs a17: the two HLL estimates agree within combined error bounds") {
+    // a9 (engine-native HLL++, rsd 1%) is rows-only at the driver — its
+    // xxHash64/bias-table internals can't be replayed in DuckDB — so this
+    // is its audit: on the SAME column and grouping, a9's estimate and
+    // a17's relational m=256 sketch (se ~ 1.04/sqrt(256) = 6.5%) must
+    // land within z=3 of each other relative to the exact count a17
+    // carries. A drift in either implementation (a Spark upgrade moving
+    // HLL++ internals, a broken a17 register law) breaks the agreement
+    // long before it breaks rows-only.
+    val s = spark
+    import org.apache.spark.sql.functions.col
+    val a9 = Relational.queries("a9_approx_distinct")(s, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val a17 = Relational.queries("a17_hll_sketch")(s, sfDir)
+      .select(col("l_returnflag"), col("est_e6"), col("n_exact"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1) / 1e6, r.getLong(2))).toMap
+    assert(a9.keySet == a17.keySet)
+    val bound = 3.0 * math.sqrt(0.065 * 0.065 + 0.01 * 0.01)
+    a17.foreach { case (flag, (est17, exact)) =>
+      val diff = math.abs(a9(flag) - est17) / exact.toDouble
+      assert(diff <= bound,
+        s"flag $flag: |a9=${a9(flag)} - a17=$est17| / exact=$exact = $diff > $bound")
+    }
+  }
+
   test("fmix32: overflow-safe across the full 32-bit domain, ANSI-strict") {
     // The r10 advice finding: the first multiplier 0x9E3779B1 exceeds 2^31,
     // so the unsplit x*2654435761 overflows int64 from x ~ 3.47e9 — inside

@@ -146,6 +146,68 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"HLL estimate $est vs exact $exact")
   }
 
+  test("bottomKStream folds the KMV sample across micro-batches (min-k merge law)") {
+    // The a18 analog of the hll merge test: events split across two
+    // micro-batches must land in the SAME bottom-k sample as one batch
+    // over their union — the streaming state's union-then-recut through
+    // the bounded top_k_pairs aggregate IS the KMV merge. A pair lost or
+    // re-ranked between batches diverges here while staying green on the
+    // one-batch replay.
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.Encoders
+    val ms = MemoryStream(
+      Encoders.tuple(Encoders.scalaLong, Encoders.TIMESTAMP,
+        Encoders.scalaLong, Encoders.STRING, Encoders.scalaDouble),
+      s.sqlContext)
+    val base = 1700000000000L
+    def t(min: Int) = new java.sql.Timestamp(base + min * 60000L)
+    def rows(es: Range) = es.map(e =>
+      (e.toLong, t(e % 50), (e * 7 % 23).toLong, "view", (e % 97) + 0.25))
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
+    val q = EventStream.bottomKStream(
+        ms.toDF.toDF(cols: _*), k = 8)
+      .writeStream.format("memory").queryName("kmv_batches")
+      .outputMode("complete").start()
+    try {
+      ms.addData(rows(1 to 60): _*)
+      q.processAllAvailable()
+      ms.addData(rows(61 to 120): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("kmv_batches")
+      .orderBy("window_start", "event_type", "rank").collect()
+    // Batch spelling: the SAME function over the union frame (withWatermark
+    // is a no-op on a batch Dataset), so expressions are identical by
+    // construction and the comparison isolates the streaming fold.
+    val batch = EventStream.bottomKStream(
+        rows(1 to 120).toDF(cols: _*), k = 8)
+      .orderBy("window_start", "event_type", "rank").collect()
+    assert(streamed.length == batch.length && streamed.nonEmpty)
+    streamed.zip(batch).foreach { case (a, b) => assert(a == b) }
+  }
+
+  test("streaming KMV bottom-k replays to the batch sample on the events table") {
+    val q = EventStream.bottomKStream(EventStream.readEvents(spark, sfDir))
+      .writeStream.format("memory").queryName("kmv_replay")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("kmv_replay")
+      .orderBy("window_start", "event_type", "rank").collect()
+    val batch = EventStream.bottomKStream(Tables.events(spark, sfDir))
+      .orderBy("window_start", "event_type", "rank").collect()
+    assert(streamed.length == batch.length && streamed.nonEmpty,
+      s"sample rows: streamed ${streamed.length} vs batch ${batch.length}")
+    streamed.zip(batch).foreach { case (a, b) => assert(a == b) }
+    // The sample is bounded: no (window, type) group exceeds k rows, and
+    // ranks are dense from 1.
+    val over = spark.table("kmv_replay")
+      .groupBy("window_start", "event_type").count()
+      .filter(col("count") > 64).count()
+    assert(over == 0, "a group exceeded the k=64 sample bound")
+  }
+
   test("streaming dedup keeps each event_id once") {
     val q = EventStream.dedupStream(EventStream.readEvents(spark, sfDir))
       .writeStream.format("memory").queryName("dedup").outputMode("append").start()
