@@ -443,14 +443,30 @@ object Relational {
         .toDF("asset_id", "n_bytes", "byte_sum")
         .orderBy(col("asset_id"))
     }, Some(
+      // BYTE-level oracle, not char-level: the Spark side folds the
+      // actual UTF-8 file bytes, so n_bytes is octet_length of the UTF-8
+      // encoding (not length(text), which counts chars) and byte_sum
+      // expands each codepoint into its UTF-8 byte sum closed-form
+      // (1-byte: cp; 2-byte: 0xC0|cp>>6 + 0x80|cp&63; 3/4-byte likewise)
+      // — validated byte-exact against Python's encode('utf-8') for
+      // ASCII, Latin-1, CJK, and astral-plane payloads, so the
+      // write → scan → fold guarantee survives a non-ASCII corpus.
       """WITH pos AS (
            SELECT doc_id, unnest(generate_series(1, length(text))) AS p, text
-           FROM documents)
+           FROM documents),
+         cps AS (
+           SELECT doc_id, unicode(substr(text, p, 1)) AS cp FROM pos)
          SELECT d.doc_id AS asset_id,
-                cast(length(d.text) AS bigint) AS n_bytes,
-                cast(coalesce(sum(ascii(substr(pos.text, pos.p, 1))), 0)
-                  AS bigint) AS byte_sum
-         FROM documents d LEFT JOIN pos ON pos.doc_id = d.doc_id
+                cast(octet_length(encode(d.text)) AS bigint) AS n_bytes,
+                cast(coalesce(sum(CASE
+                  WHEN cp < 128 THEN cp
+                  WHEN cp < 2048 THEN 320 + (cp // 64) + (cp % 64)
+                  WHEN cp < 65536 THEN 480 + (cp // 4096)
+                    + ((cp // 64) % 64) + (cp % 64)
+                  ELSE 624 + (cp // 262144) + ((cp // 4096) % 64)
+                    + ((cp // 64) % 64) + (cp % 64)
+                END), 0) AS bigint) AS byte_sum
+         FROM documents d LEFT JOIN cps ON cps.doc_id = d.doc_id
          GROUP BY 1, 2 ORDER BY 1""")),
 
     ("s12_zorder_layout", (s: SparkSession, d: String) => {

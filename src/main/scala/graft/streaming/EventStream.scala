@@ -180,6 +180,40 @@ object EventStream {
         shiftright(col("pair.id"), 32).as("value_c"))
   }
 
+  /** Streaming frequent-items candidates — x23's Misra–Gries summary on
+    * the streaming surface, the third sketch family persisted across
+    * micro-batches (distinct: [[hllRegisterStream]], quantiles:
+    * [[bottomKStream]], heavy hitters: here): per (1-hour window,
+    * event_type), at most k−1 counters fold through the custom
+    * `misra_gries` Tungsten aggregate, each micro-batch merging into the
+    * state with the mergeable-summaries rule (sum counters, subtract the
+    * k-th largest, drop non-positives). One honest difference from the
+    * other two sketches, stated rather than papered over: MG summaries
+    * are ORDER-DEPENDENT (the candidate set varies with fold order), so
+    * streaming does not replay set-for-set against the batch spelling —
+    * what IS invariant, and what StreamingSpec pins, is the guarantee
+    * the candidates are FOR: every item with true frequency > n/k of its
+    * group survives every fold order. Downstream, exactly like batch
+    * x23, a candidate set this small verifies with one exact filtered
+    * count — the sketch bounds memory, the verify pass restores
+    * exactness. Columns: window_start, event_type, candidate.
+    */
+  def heavyHittersStream(events: DataFrame, k: Int = 40): DataFrame = {
+    import org.apache.spark.sql.GraftExpressionBridge
+    val mg = GraftExpressionBridge.column(
+      graft.functions.MisraGries(
+        GraftExpressionBridge.expression(col("event_key")), k)
+        .toAggregateExpression())
+    events
+      .withWatermark("ts", "30 minutes")
+      .select(col("ts"), col("event_type"),
+        concat(col("event_type"), lit(":"), col("user_id")).as("event_key"))
+      .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+      .agg(mg.as("cands"))
+      .select(col("win.start").as("window_start"), col("event_type"),
+        explode(col("cands")).as("candidate"))
+  }
+
   /** Streaming CONTENT dedup — the d1 exact-dedup operator composed with
     * the streaming surface: the dedup key is a content fingerprint (md5 of
     * the whitespace-normalized payload, exactly d1's canonicalization),

@@ -26,6 +26,28 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = if (spark != null) spark.stop()
 
+  test("mm-family byte oracles: the documents corpus is pure ASCII (their stated invariant)") {
+    // mm2/mm3/mm4's DuckDB oracles recompute byte means/bands from CHAR
+    // positions (ascii(substr(...)) at (p-1)%band), which equals the
+    // Spark side's real UTF-8 byte arithmetic ONLY while every char is
+    // single-byte — the banding index itself diverges on multi-byte
+    // chars, not just the values, so the invariant must be CHECKED, not
+    // assumed (r10 advice). s13's oracle is byte-exact for any corpus
+    // (octet_length + per-codepoint UTF-8 byte sums) and does not rely
+    // on this. If the driver ever regenerates testdata with non-ASCII
+    // text, this fails loudly: upgrade the mm oracles to byte-position
+    // SQL then.
+    import org.apache.spark.sql.functions.{col, length, octet_length}
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val docs = graft.sources.Tables.documents(spark, s"/root/testdata/$sf")
+      val nonAscii = docs
+        .filter(octet_length(col("text")) =!= length(col("text"))).count()
+      assert(nonAscii == 0L,
+        s"$sf: $nonAscii documents contain non-ASCII text — the mm-family " +
+          "char-position oracles no longer hold; rewrite them byte-level")
+    }
+  }
+
   test("lshSearch: planted near-duplicates are recalled at rank 1; candidate set is pruned") {
     // The reference-free quality gate VERDICT r3 asked for: uniform random
     // corpora have no recallable structure (any pruning search caps out

@@ -208,6 +208,47 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(over == 0, "a group exceeded the k=64 sample bound")
   }
 
+  test("heavyHittersStream: true heavy hitters survive the micro-batch MG fold; state is bounded") {
+    // MG candidate sets are fold-order-dependent, so there is no
+    // set-for-set batch replay to pin (the method doc says so) — the
+    // invariant MG actually guarantees, and the one downstream verify
+    // passes rely on, is the superset property: every key with true
+    // frequency > n/k survives ANY fold order. Plant two heavy keys,
+    // feed the background rows FIRST (the adversarial order: the
+    // counters are full of light keys before any heavy row arrives),
+    // split across micro-batches, and require both planted keys in the
+    // candidates with the k-1 bound holding.
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.Encoders
+    val ms = MemoryStream(
+      Encoders.tuple(Encoders.TIMESTAMP, Encoders.scalaLong, Encoders.STRING),
+      s.sqlContext)
+    val base = 1700000000000L
+    def t(min: Int) = new java.sql.Timestamp(base + min * 60000L)
+    // One 1-hour window: 60 background singletons, then 40+25 heavy rows.
+    val background = (0 until 60).map(i => (t(i % 50), 100L + i, "view"))
+    val heavy = Seq.fill(40)((t(7), 1L, "view")) ++ Seq.fill(25)((t(9), 2L, "view"))
+    val q = EventStream.heavyHittersStream(
+        ms.toDF.toDF("ts", "user_id", "event_type"), k = 10)
+      .writeStream.format("memory").queryName("mg_cands")
+      .outputMode("complete").start()
+    try {
+      ms.addData(background: _*)
+      q.processAllAvailable()
+      ms.addData(heavy: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val cands = spark.table("mg_cands")
+      .select("candidate").collect().map(_.getString(0)).toSet
+    // n = 125, k = 10 -> threshold 12.5: user 1 (40) and user 2 (25) are
+    // true heavy hitters and MUST survive; the light keys may or may not.
+    assert(cands.contains("view:1") && cands.contains("view:2"),
+      s"planted heavy hitters missing from MG candidates: $cands")
+    assert(cands.size <= 9, s"MG state exceeded k-1 counters: ${cands.size}")
+  }
+
   test("streaming dedup keeps each event_id once") {
     val q = EventStream.dedupStream(EventStream.readEvents(spark, sfDir))
       .writeStream.format("memory").queryName("dedup").outputMode("append").start()
