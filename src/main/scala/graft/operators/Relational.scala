@@ -90,6 +90,37 @@ object Relational {
     mix(mix(r1, 1540483477L, 13), 1033321189L, 16)
   }
 
+  /** The a19 kernel — KMV distinct-count estimate per group (Bar-Yossef
+    * et al. 2002), sharing a18's bottom-k machinery: distinct the
+    * (group, value) pairs (the one corpus shuffle, map-side combined),
+    * hash with [[fmix32]], keep the k smallest hashes per group through
+    * the bounded `top_k_pairs` cut, and estimate |distinct| as
+    * (k−1)·2³²/u_(k). A group holding fewer than k distinct values keeps
+    * them all and reports the exact count. n_exact joins in for error
+    * auditability. Output: groupCol, n_sample, est_e6, n_exact.
+    */
+  private[graft] def kmvDistinct(
+      df: DataFrame, groupCol: String, valueCol: String,
+      k: Int = 64): DataFrame = {
+    val dv = df.select(col(groupCol), col(valueCol)).distinct()
+    val scored = dv.select(col(groupCol),
+      fmix32(col(valueCol).cast("long")).as("u"),
+      col(valueCol).cast("long").as("pid"))
+    val cut = AnnIndex.topKCut(scored, groupCol, "u", "pid",
+      k = k, ascending = true, scoreName = "u", idName = "pid")
+    val per = cut.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_sample"), max(col("u")).as("u_k"))
+    val exact = df.groupBy(col(groupCol))
+      .agg(countDistinct(col(valueCol)).as("n_exact"))
+    per.join(exact, groupCol)
+      .select(col(groupCol), col("n_sample"),
+        when(col("n_sample") < k, col("n_sample") * lit(1000000L))
+          .otherwise(round(lit((k - 1).toDouble * 4294967296.0) / col("u_k")
+            * lit(1000000.0)).cast("long"))
+          .as("est_e6"),
+        col("n_exact"))
+  }
+
   private[graft] def asOfJoin(
       probe: DataFrame,
       quote: DataFrame,
@@ -1272,6 +1303,64 @@ object Relational {
                 max(CASE WHEN rn = ceil(ns * 0.75) THEN price_c END) AS q75_c,
                 max(CASE WHEN rn = ceil(ns * 0.9)  THEN price_c END) AS q90_c
          FROM ranked GROUP BY 1 ORDER BY 1""")),
+
+    ("a19_kmv_distinct", (s: SparkSession, d: String) => {
+      // The KMV sketch's SECOND estimator — distinct count from the same
+      // bottom-k sample a18 keeps for quantiles (Bar-Yossef et al. 2002):
+      // hash the VALUES (duplicates collapse on the distinct), keep the k
+      // smallest hashes per group, and the k-th smallest u_(k) estimates
+      // cardinality as (k−1)·2³²/u_(k) — if k uniform draws span [0,
+      // u_(k)], distincts are spaced ~u_(k)/k apart. A group with fewer
+      // than k distinct values keeps them ALL, so the estimate is exact
+      // there (the n_sample < k branch; pinned by a golden small-corpus
+      // test — driver groups all exceed k). Same scale shape as a18: the
+      // distinct is the only corpus shuffle (map-side combined), the cut
+      // is the bounded top_k_pairs aggregate, everything after is
+      // |groups|-sized. n_exact rides along to make the ~1/√(k−2) error
+      // auditable — and the three distinct-count paths (a8 exact, a9
+      // engine HLL++, a17 relational HLL, now KMV) cross-check on the
+      // same column. Double arithmetic is division of exact integers in
+      // a fixed parse order, bit-identical across engines — e6-quantized
+      // anyway, a17's convention.
+      kmvDistinct(Tables.lineitem(s, d), "l_returnflag", "l_partkey")
+        .orderBy(col("l_returnflag"))
+    }, Some(
+      """WITH dv AS (
+           SELECT DISTINCT l_returnflag, l_partkey FROM lineitem),
+         x0 AS (
+           SELECT l_returnflag, l_partkey,
+                  l_partkey % 4294967296 AS x FROM dv),
+         h0 AS (SELECT l_returnflag, l_partkey,
+                       ((x * 2147483648) % 4294967296
+                        + (x * 506952113) % 4294967296) % 4294967296 AS m1
+                FROM x0),
+         h1 AS (SELECT l_returnflag, l_partkey, xor(m1, m1 >> 16) AS v1 FROM h0),
+         h2 AS (SELECT l_returnflag, l_partkey,
+                       (v1 * 1540483477) % 4294967296 AS m2 FROM h1),
+         h3 AS (SELECT l_returnflag, l_partkey, xor(m2, m2 >> 13) AS v2 FROM h2),
+         h4 AS (SELECT l_returnflag, l_partkey,
+                       (v2 * 1033321189) % 4294967296 AS m3 FROM h3),
+         h AS (SELECT l_returnflag, l_partkey AS pid,
+                      xor(m3, m3 >> 16) AS u FROM h4),
+         cut AS (
+           SELECT l_returnflag, u FROM (
+             SELECT *, row_number() OVER (PARTITION BY l_returnflag
+                         ORDER BY u, pid) AS krn
+             FROM h)
+           WHERE krn <= 64),
+         per AS (
+           SELECT l_returnflag, count(*) AS n_sample, max(u) AS u_k
+           FROM cut GROUP BY 1),
+         ex AS (
+           SELECT l_returnflag, count(DISTINCT l_partkey) AS n_exact
+           FROM lineitem GROUP BY 1)
+         SELECT p.l_returnflag, cast(p.n_sample AS bigint) AS n_sample,
+                cast(CASE WHEN p.n_sample < 64 THEN p.n_sample * 1000000
+                     ELSE cast(round(270582939648.0 / p.u_k * 1000000.0)
+                          AS bigint) END AS bigint) AS est_e6,
+                cast(ex.n_exact AS bigint) AS n_exact
+         FROM per p JOIN ex ON ex.l_returnflag = p.l_returnflag
+         ORDER BY 1""")),
 
     ("a10_rollup", (s: SparkSession, d: String) => {
       val n = broadcast(Tables.nation(s, d))

@@ -739,6 +739,29 @@ class RelationalPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("a19 kmv: a group under k distinct values reports the exact count; estimate lands in bounds") {
+    // The n_sample < k branch no driver group exercises (all driver
+    // groups hold 200+ distinct partkeys): 10 distinct values in one
+    // group and 70 in another through the same kernel — the small group
+    // must report exactly 10 at e6 scale, the large one the formula
+    // estimate within the KMV z=3 relative bound ~3/sqrt(k-2).
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val rows = (1 to 40).map(i => ("small", (i % 10) + 1L)) ++
+      (1 to 210).map(i => ("large", (i % 70) * 9973L + 17L))
+    val df = rows.toDF("g", "v")
+    val out = Relational.kmvDistinct(df, "g", "v", k = 64)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out("small") == ((10L, 10000000L, 10L)),
+      s"small group not exact: ${out("small")}")
+    val (ns, est, exact) = out("large")
+    assert(ns == 64L && exact == 70L)
+    val rel = math.abs(est / 1e6 - exact) / exact
+    assert(rel <= 3.0 / math.sqrt(62.0),
+      s"large-group estimate ${est / 1e6} vs exact $exact: rel err $rel")
+  }
+
   test("fmix32: overflow-safe across the full 32-bit domain, ANSI-strict") {
     // The r10 advice finding: the first multiplier 0x9E3779B1 exceeds 2^31,
     // so the unsplit x*2654435761 overflows int64 from x ~ 3.47e9 — inside
