@@ -11,11 +11,11 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ graft.operators.Estimation.queries ++
-      graft.operators.TextPipeline.queries
+      graft.operators.TextPipeline.queries ++ graft.operators.GraphOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ graft.operators.Estimation.oracle ++
-      graft.operators.TextPipeline.oracle
+      graft.operators.TextPipeline.oracle ++ graft.operators.GraphOps.oracle
 }

@@ -762,6 +762,46 @@ class RelationalPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"large-group estimate ${est / 1e6} vs exact $exact: rel err $rel")
   }
 
+  test("g1 pageRank: rank joins broadcast under the node budget, shuffle past it, same rows") {
+    // The superstep join's size gate: while the node count fits the
+    // budget the rank vector broadcasts (the measured-faster shape —
+    // one shuffle per superstep); a zero budget must force the shuffle
+    // fallback with NO broadcast of the rank vector, and the final
+    // ranks must be IDENTICAL — the integer fixpoint cannot depend on
+    // the join strategy.
+    import graft.operators.GraphOps
+    import org.apache.spark.sql.functions.col
+    val s = spark
+    import s.implicits._
+    // A small cyclic graph with an isolated node (5 has no edges).
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 1L), (4L, 1L))
+      .toDF("src", "dst")
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L).toDF("node")
+    val bc = GraphOps.pageRank(edges, nodes, iters = 3)
+    val fb = GraphOps.pageRank(edges, nodes, iters = 3, bcastNodeBudget = 0L)
+    val bcPlan = bc.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val fbPlan = fb.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(bcPlan.contains("BroadcastHashJoin"),
+      s"g1 under-budget run lost the broadcast rank join:\n$bcPlan")
+    assert(!bcPlan.contains("SortMergeJoin"),
+      s"g1 under-budget run shuffles a rank join:\n$bcPlan")
+    // The fallback pins hint("merge") on BOTH joins of every superstep
+    // (auto-broadcast would otherwise kick in on tiny test frames and
+    // the gate would test nothing): 2 × iters sort-merge joins.
+    val smj = "SortMergeJoin".r.findAllIn(fbPlan).size
+    assert(smj >= 6, s"g1 zero-budget run has $smj merge joins, want 6:\n$fbPlan")
+    val a = bc.orderBy(col("node")).collect().toSeq
+    val b = fb.orderBy(col("node")).collect().toSeq
+    assert(a == b, "pageRank rows differ between join strategies")
+    // Connectivity sanity: node 1 (most in-edges) outranks the isolated
+    // node 5, which holds exactly the base mass.
+    val rank = a.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rank(1L) > rank(5L))
+    assert(rank(5L) == 150000000000L / 5)
+  }
+
   test("fmix32: overflow-safe across the full 32-bit domain, ANSI-strict") {
     // The r10 advice finding: the first multiplier 0x9E3779B1 exceeds 2^31,
     // so the unsplit x*2654435761 overflows int64 from x ~ 3.47e9 — inside
