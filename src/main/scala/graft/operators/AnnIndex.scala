@@ -63,7 +63,7 @@ object AnnIndex {
     * tie-break exactly, so results are identical. Output columns:
     * groupCol, <idName>, <scoreName>, rank (1-based, best first).
     */
-  private[operators] def topKCut(
+  private[graft] def topKCut(
       df: DataFrame, groupCol: String, scoreCol: String, idCol: String,
       k: Int, ascending: Boolean,
       scoreName: String, idName: String): DataFrame = {

@@ -1,0 +1,148 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.rng.Seed
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based checks for the custom operators whose example-based
+  * tests pin specific edges: randomized inputs search the space BETWEEN
+  * the edges (duplicate keys, ties, empty groups, all-tied scores) for
+  * divergence from an executable brute-force reference. Seeded — every
+  * run draws the same cases, so a failure here reproduces.
+  */
+class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def check(name: String, cases: Int, prop: Prop): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default
+        .withMinSuccessfulTests(cases)
+        .withInitialSeed(Seed(0xC0FFEE_11L)),
+      prop)
+    assert(res.passed, s"$name: $res")
+  }
+
+  // Small domains on purpose: collisions, ties, and empty groups must be
+  // COMMON, not lucky draws.
+  private val keyGen = Gen.choose(0L, 2L)
+  private val tsGen = Gen.choose(0L, 12L)
+  private val valGen = Gen.choose(-5L, 5L)
+
+  test("asOfJoin equals the per-probe brute force on random quote/probe sets") {
+    val s = spark
+    import s.implicits._
+    val rowGen = Gen.zip(keyGen, tsGen, valGen)
+    val setsGen = Gen.zip(
+      Gen.listOfN(14, rowGen), Gen.listOfN(10, rowGen))
+    val prop = Prop.forAll(setsGen) { case (quotes, probes) =>
+      val probe = probes.toDF("k", "ts", "pv")
+      val quote = quotes.toDF("k", "ts", "qv")
+      val got = graft.operators.Relational
+        .asOfJoin(probe, quote, Seq("k"), "ts")
+        .collect()
+        .map { r =>
+          val m = Option(r.getStruct(3))
+            .map(q => (q.getLong(0), q.getLong(1), q.getLong(2)))
+          ((r.getLong(0), r.getLong(1), r.getLong(2)), m)
+        }
+        .sortBy(x => (x._1, x._2))
+      // Brute force: latest quote at-or-before, ties by the FULL quote
+      // row ascending (the documented struct tie-break) — the max such
+      // row wins. Quote column order is (k, ts, qv).
+      val want = probes.map { case p @ (k, ts, _) =>
+        val cands = quotes.filter(q => q._1 == k && q._2 <= ts)
+        (p, if (cands.isEmpty) None else Some(cands.max))
+      }.sortBy(x => (x._1, x._2))
+      got.toSeq == want
+    }
+    check("asOfJoin", cases = 12, prop)
+  }
+
+  test("topKCut equals the sorted-take reference for every group, any k") {
+    val s = spark
+    import s.implicits._
+    val rowGen = Gen.zip(keyGen, valGen, Gen.choose(0L, 30L))
+    val caseGen = Gen.zip(Gen.listOfN(20, rowGen), Gen.choose(1, 5),
+      Gen.oneOf(true, false))
+    val prop = Prop.forAll(caseGen) { case (rows, k, asc) =>
+      val df = rows.toDF("g", "score", "id")
+      val got = graft.operators.AnnIndex
+        .topKCut(df, "g", "score", "id", k, asc, "s", "i")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getLong(1), r.getInt(3)))
+        .sortBy(x => (x._1, x._4))
+      val want = rows.groupBy(_._1).toSeq.flatMap { case (g, rs) =>
+        val ordered =
+          if (asc) rs.map(r => (r._2, r._3)).sorted
+          else rs.map(r => (r._2, r._3)).sortBy { case (sc, id) => (-sc, id) }
+        ordered.take(k).zipWithIndex.map { case ((sc, id), i) =>
+          (g, sc, id, i + 1)
+        }
+      }.sortBy(x => (x._1, x._4))
+      got.toSeq == want
+    }
+    check("topKCut", cases = 12, prop)
+  }
+
+  test("kmvDistinct: under-k groups are exact; n_sample = min(k, distinct)") {
+    val s = spark
+    import s.implicits._
+    val rowGen = Gen.zip(keyGen, Gen.choose(0L, 40L))
+    val prop = Prop.forAll(Gen.listOfN(30, rowGen)) { rows =>
+      val df = rows.toDF("g", "v")
+      val k = 16
+      val got = graft.operators.Relational.kmvDistinct(df, "g", "v", k)
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toMap
+      rows.groupBy(_._1).forall { case (g, rs) =>
+        val nd = rs.map(_._2).distinct.size.toLong
+        val (ns, est, exact) = got(g)
+        exact == nd && ns == math.min(k.toLong, nd) &&
+          (nd >= k || est == nd * 1000000L)
+      }
+    }
+    check("kmvDistinct", cases = 12, prop)
+  }
+
+  test("MisraGries: every key above n/k survives, any input distribution") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.GraftExpressionBridge
+    // Zipf-ish draws so heavy hitters actually occur: key 0 is drawn
+    // ~half the time.
+    val skewGen = Gen.frequency(
+      (8, Gen.const("h0")), (3, Gen.const("h1")),
+      (2, Gen.const("m0")), (1, Gen.choose(0, 20).map("t" + _)))
+    val prop = Prop.forAll(Gen.listOfN(60, skewGen)) { rows =>
+      val k = 8
+      val mg = GraftExpressionBridge.column(
+        graft.functions.MisraGries(
+          GraftExpressionBridge.expression(col("t")), k)
+          .toAggregateExpression())
+      val cands = rows.toDF("t").repartition(4)
+        .agg(mg.as("c")).collect()(0)
+        .getSeq[String](0).toSet
+      val n = rows.size
+      val heavy = rows.groupBy(identity)
+        .collect { case (t, occ) if occ.size * k > n => t }
+      cands.size <= k - 1 && heavy.forall(cands.contains)
+    }
+    check("MisraGries", cases = 12, prop)
+  }
+}
