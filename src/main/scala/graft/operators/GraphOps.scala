@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -12,7 +12,10 @@ import graft.sources.Tables
   * use exactly this as a corpus quality signal: CommonCrawl-scale
   * curation weights documents by the link graph's centrality before
   * sampling (the reference for the idea is the original PageRank use in
-  * web corpus ranking; modern LLM pipelines keep it as a source prior).
+  * web corpus ranking; modern LLM pipelines keep it as a source prior,
+  * and personalized PageRank from a TRUSTED seed set is the
+  * quality-propagation variant — mass teleports only to seeds, so rank
+  * measures proximity to known-good sources).
   *
   * Scale posture: one superstep = one join (edges ⋈ the node-sized rank
   * vector — broadcast while the node count fits the budget, shuffled on
@@ -27,16 +30,64 @@ import graft.sources.Tables
   * node's outflow is `rank div outdeg` (integral division, remainder
   * deliberately dropped: deterministic in both engines), inflow is an
   * integer sum (order-free), and the damping update is integer
-  * `(85 * inflow) div 100` plus an integer base. Doubles never appear,
-  * so 5 chained supersteps replay bit-exactly in DuckDB's unrolled CTEs
-  * — the same all-integer-fixpoint trick as e6's quantized Lloyd
-  * training.
+  * `(85 * inflow) div 100` plus an integer per-node base. Doubles never
+  * appear, so 5 chained supersteps replay bit-exactly in DuckDB's
+  * unrolled CTEs — the same all-integer-fixpoint trick as e6's
+  * quantized Lloyd training.
   */
 object GraphOps {
 
-  /** PageRank over an edge list with integer e12 arithmetic: nodes =
-    * every distinct value in `nodes` (isolated nodes keep the base
-    * mass), damping 0.85, dangling mass dropped (a node with no
+  /** The shared superstep core: `nodeBase` carries one row per node with
+    * the per-node teleport mass (`base_e12`) and initial rank
+    * (`init_e12`); each superstep flows `rank div outdeg` along edges,
+    * sums inflow by destination, and applies the integer damping
+    * update. Uniform PageRank and the personalized variant differ ONLY
+    * in the vectors they pass here.
+    */
+  private def supersteps(
+      ew: DataFrame, nodeBase: DataFrame, iters: Int,
+      dim: DataFrame => DataFrame): DataFrame = {
+    var ranks = nodeBase.select(col("node"), col("init_e12").as("rank_e12"))
+    for (_ <- 1 to iters) {
+      val inflow = ew
+        .join(dim(ranks.withColumnRenamed("node", "src")), "src")
+        .select(col("dst"), expr("rank_e12 div odeg").as("contrib"))
+        .groupBy(col("dst")).agg(sum(col("contrib")).as("inflow"))
+      ranks = nodeBase
+        .join(dim(inflow.withColumnRenamed("dst", "node")), Seq("node"), "left")
+        .select(col("node"),
+          (col("base_e12") + expr("85 * coalesce(inflow, 0L) div 100"))
+            .as("rank_e12"))
+    }
+    ranks
+  }
+
+  // The edge subplan is loop-invariant and left LAZY on purpose: it
+  // appears once per superstep in the final plan, but its exchanges
+  // are byte-identical so ReuseExchange collapses them to one physical
+  // derivation. A/B at sf0.1 (5 passes each): lazy+broadcast 4.97 s,
+  // lazy+shuffle 5.77 s, eager localCheckpoint variants 5.9-6.9 s —
+  // materialization pays its write cost without saving repeated work
+  // here, and its retained blocks inflate GC (the run canary rises
+  // with it). A cluster run with MORE supersteps would checkpoint
+  // every few steps to cut lineage depth, not for re-use.
+  private def withOutdeg(edges: DataFrame): DataFrame =
+    edges.join(edges.groupBy(col("src")).agg(count(lit(1)).as("odeg")), "src")
+
+  // The rank vector is NODE-sized — one long per node — so while it
+  // fits the broadcast budget each superstep's two joins go map-side
+  // and the only shuffle left per superstep is the inflow aggregation
+  // (map-side combined down to |nodes| rows). Past the budget the
+  // fallback PINS sort-merge (x7's dim() convention) — just dropping
+  // the hint would let Catalyst auto-broadcast by its own threshold
+  // and the gate would test nothing.
+  private def rankDim(n: Long, budget: Long): DataFrame => DataFrame =
+    if (n <= budget) (d: DataFrame) => broadcast(d)
+    else (d: DataFrame) => d.hint("merge")
+
+  /** Uniform PageRank over an edge list with integer e12 arithmetic:
+    * nodes = every distinct value in `nodes` (isolated nodes keep the
+    * base mass), damping 0.85, dangling mass dropped (a node with no
     * out-edges contributes nothing — the convention both engines
     * replicate exactly), `iters` supersteps.
     * Output: node, rank_e12.
@@ -44,61 +95,102 @@ object GraphOps {
   private[graft] def pageRank(
       edges: DataFrame, nodes: DataFrame, iters: Int = 5,
       bcastNodeBudget: Long = 4L * 1000 * 1000): DataFrame = {
-    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("odeg"))
-    // The edge subplan is loop-invariant and left LAZY on purpose: it
-    // appears once per superstep in the final plan, but its exchanges
-    // are byte-identical so ReuseExchange collapses them to one physical
-    // derivation. A/B at sf0.1 (5 passes each): lazy+broadcast 4.97 s,
-    // lazy+shuffle 5.77 s, eager localCheckpoint variants 5.9-6.9 s —
-    // materialization pays its write cost without saving repeated work
-    // here, and its retained blocks inflate GC (the run canary rises
-    // with it). A cluster run with MORE supersteps would checkpoint
-    // every few steps to cut lineage depth, not for re-use.
-    val ew = edges.join(outdeg, "src")
     val n = nodes.count()
-    val base = 150000000000L / n // 0.15 * 1e12, pre-divided by N
-    val r0 = 1000000000000L / n
-    // The rank vector is NODE-sized — one long per node — so while it
-    // fits the broadcast budget each superstep's two joins go map-side
-    // and the only shuffle left per superstep is the inflow aggregation
-    // (map-side combined down to |nodes| rows). Past the budget (the
-    // x7 dim() convention, gated on the known node count) both joins
-    // fall back to shuffles on the node key, which consecutive
-    // supersteps then share.
-    val bcastRanks = n <= bcastNodeBudget
-    // Past the budget the fallback PINS sort-merge (x7's dim()
-    // convention) — just dropping the hint would let Catalyst
-    // auto-broadcast by its own threshold and the gate would test
-    // nothing.
-    def dim(d: DataFrame): DataFrame =
-      if (bcastRanks) broadcast(d) else d.hint("merge")
-    var ranks = nodes.select(col("node"), lit(r0).as("rank_e12"))
-    for (_ <- 1 to iters) {
-      val inflow = ew
-        .join(dim(ranks.withColumnRenamed("node", "src")), "src")
-        .select(col("dst"), expr("rank_e12 div odeg").as("contrib"))
-        .groupBy(col("dst")).agg(sum(col("contrib")).as("inflow"))
-      ranks = nodes
-        .join(dim(inflow.withColumnRenamed("dst", "node")), Seq("node"), "left")
-        .select(col("node"),
-          (lit(base) + expr("85 * coalesce(inflow, 0L) div 100"))
-            .as("rank_e12"))
-    }
-    ranks
+    val nodeBase = nodes.select(col("node"),
+      lit(150000000000L / n).as("base_e12"),
+      lit(1000000000000L / n).as("init_e12"))
+    supersteps(withOutdeg(edges), nodeBase, iters,
+      rankDim(n, bcastNodeBudget))
   }
 
-  /** One unrolled PageRank superstep as a DuckDB CTE pair — kept next to
-    * the Scala superstep so the two spellings evolve together.
+  /** Personalized PageRank: teleport mass lands ONLY on the seed set
+    * (both the initial vector and the per-superstep base), so a node's
+    * rank measures random-walk proximity to the seeds — the
+    * trusted-source quality-propagation variant. Non-seed nodes start
+    * at zero and earn rank exclusively through in-edges.
+    * Output: node, rank_e12.
     */
-  private def sqlStep(i: Int, base: String): String =
+  private[graft] def personalizedPageRank(
+      edges: DataFrame, nodes: DataFrame, seeds: DataFrame, iters: Int = 5,
+      bcastNodeBudget: Long = 4L * 1000 * 1000): DataFrame = {
+    val n = nodes.count()
+    val nS = seeds.count()
+    require(nS > 0, "personalized PageRank needs a non-empty seed set")
+    val nodeBase = nodes
+      .join(seeds.withColumn("is_seed", lit(true)), Seq("node"), "left")
+      .select(col("node"),
+        when(col("is_seed"), lit(150000000000L / nS)).otherwise(lit(0L))
+          .as("base_e12"),
+        when(col("is_seed"), lit(1000000000000L / nS)).otherwise(lit(0L))
+          .as("init_e12"))
+    supersteps(withOutdeg(edges), nodeBase, iters,
+      rankDim(n, bcastNodeBudget))
+  }
+
+  /** One unrolled superstep as a DuckDB CTE pair over the shared
+    * `nb(node, base_e12, init_e12)` vector CTE — kept next to the Scala
+    * superstep so the two spellings evolve together.
+    */
+  private def sqlStep(i: Int): String =
     s"""fl$i AS (
           SELECT e.dst, sum(r.rank_e12 // e.odeg) AS inflow
           FROM ew e JOIN r${i - 1} r ON r.node = e.src
           GROUP BY 1),
         r$i AS (
-          SELECT n.node,
-                 $base + (85 * coalesce(f.inflow, 0)) // 100 AS rank_e12
-          FROM nodes n LEFT JOIN fl$i f ON f.dst = n.node)"""
+          SELECT nb.node,
+                 nb.base_e12 + (85 * coalesce(f.inflow, 0)) // 100
+                   AS rank_e12
+          FROM nb LEFT JOIN fl$i f ON f.dst = nb.node)"""
+
+  /** The market-basket co-purchase graph both g-queries walk: parts
+    * sharing an order link both ways (the within-order self-join is
+    * quadratic only in order size, which the schema bounds at 7
+    * lineitems — the d5 size-capped-bucket argument), giving cycles by
+    * construction so rank genuinely circulates.
+    */
+  private def copurchase(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val e = li.as("a").join(li.as("b"), "ok")
+      .filter(col("a.pk") =!= col("b.pk"))
+      .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+      .distinct()
+    val nodes = li.select(col("pk").as("node")).distinct()
+    (e, nodes)
+  }
+
+  private val sqlGraph =
+    """li AS (
+         SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       e AS (
+         SELECT DISTINCT a.pk AS src, b.pk AS dst
+         FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk),
+       nodes AS (SELECT DISTINCT pk AS node FROM li),
+       n AS (SELECT count(*) AS c FROM nodes),
+       outdeg AS (SELECT src, count(*) AS odeg FROM e GROUP BY 1),
+       ew AS (SELECT e.src, e.dst, o.odeg
+              FROM e JOIN outdeg o ON o.src = e.src)"""
+
+  private def sqlTail: String =
+    s"""${(1 to 5).map(sqlStep).mkString(",\n")},
+       ranked AS (
+         SELECT node, rank_e12, row_number() OVER (
+           ORDER BY rank_e12 DESC, node) AS rank
+         FROM r5)
+       SELECT node, cast(rank_e12 AS bigint) AS rank_e12,
+              cast(rank AS int) AS rank
+       FROM ranked WHERE rank <= 20 ORDER BY rank"""
+
+  /** Top-20 readout through the bounded top_k_pairs cut — no
+    * corpus-sized rank window.
+    */
+  private def top20(ranks: DataFrame): DataFrame =
+    AnnIndex.topKCut(ranks.select(lit(1).as("g"), col("node"),
+        col("rank_e12")), "g", "rank_e12", "node",
+        k = 20, ascending = false, scoreName = "rank_e12",
+        idName = "node")
+      .select(col("node"), col("rank_e12"), col("rank"))
+      .orderBy(col("rank"))
 
   type Q = (SparkSession, String) => DataFrame
 
@@ -106,53 +198,52 @@ object GraphOps {
   val entries: Seq[(String, Q, Option[String])] = Seq(
 
     ("g1_copurchase_pagerank", (s: SparkSession, d: String) => {
-      // Co-purchase centrality: parts sharing an order link both ways
-      // (the market-basket graph — its self-join is quadratic only
-      // within an order, whose size the schema bounds at 7 lineitems:
-      // the d5 size-capped-bucket argument), then 5 integer-PageRank
-      // supersteps, then the bounded top_k_pairs cut for the top 20 —
-      // no corpus-sized rank window. The graph has cycles by
-      // construction (every edge is bidirectional), so rank genuinely
-      // circulates; isolated parts (single-item orders only) hold the
-      // base mass and rank below every connected part.
-      val li = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      val e = li.as("a").join(li.as("b"), "ok")
-        .filter(col("a.pk") =!= col("b.pk"))
-        .select(col("a.pk").as("src"), col("b.pk").as("dst"))
-        .distinct()
-      val nodes = li.select(col("pk").as("node")).distinct()
-      val ranks = pageRank(e, nodes, iters = 5)
-      AnnIndex.topKCut(ranks.select(lit(1).as("g"), col("node"),
-          col("rank_e12")), "g", "rank_e12", "node",
-          k = 20, ascending = false, scoreName = "rank_e12",
-          idName = "node")
-        .select(col("node"), col("rank_e12"), col("rank"))
-        .orderBy(col("rank"))
-    }, {
-      val base = "(150000000000 // (SELECT c FROM n))"
-      Some(
-        s"""WITH li AS (
-              SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
-            e AS (
-              SELECT DISTINCT a.pk AS src, b.pk AS dst
-              FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk),
-            nodes AS (SELECT DISTINCT pk AS node FROM li),
-            n AS (SELECT count(*) AS c FROM nodes),
-            outdeg AS (SELECT src, count(*) AS odeg FROM e GROUP BY 1),
-            ew AS (SELECT e.src, e.dst, o.odeg
-                   FROM e JOIN outdeg o ON o.src = e.src),
-            r0 AS (SELECT node, 1000000000000 // (SELECT c FROM n)
-                     AS rank_e12 FROM nodes),
-            ${(1 to 5).map(sqlStep(_, base)).mkString(",\n")},
-            ranked AS (
-              SELECT node, rank_e12, row_number() OVER (
-                ORDER BY rank_e12 DESC, node) AS rank
-              FROM r5)
-            SELECT node, cast(rank_e12 AS bigint) AS rank_e12,
-                   cast(rank AS int) AS rank
-            FROM ranked WHERE rank <= 20 ORDER BY rank""")
-    }))
+      // Uniform co-purchase centrality: 5 integer-PageRank supersteps
+      // over the market-basket graph; isolated parts (single-item
+      // orders only) hold the base mass and rank below every connected
+      // part.
+      val (e, nodes) = copurchase(s, d)
+      top20(pageRank(e, nodes, iters = 5))
+    }, Some(
+      s"""WITH $sqlGraph,
+          nb AS (SELECT node,
+                        150000000000 // (SELECT c FROM n) AS base_e12,
+                        1000000000000 // (SELECT c FROM n) AS init_e12
+                 FROM nodes),
+          r0 AS (SELECT node, init_e12 AS rank_e12 FROM nb),
+          $sqlTail""")),
+
+    ("g2_personalized_pagerank", (s: SparkSession, d: String) => {
+      // Trusted-seed quality propagation: teleport mass lands only on
+      // the max-size parts (p_size = 50 — a deterministic ~2% of the
+      // catalog standing in for "trusted sources"), so a part's rank
+      // measures co-purchase proximity to the seed set; parts never
+      // co-bought with a seed's neighborhood stay at zero. Same
+      // superstep kernel, same integer fixpoint — only the base/init
+      // vectors differ, which is the point: the propagation operator
+      // is ONE kernel, personalization is data.
+      val (e, nodes) = copurchase(s, d)
+      val seeds = Tables.part(s, d).filter(col("p_size") === 50)
+        .select(col("p_partkey").as("node"))
+        .join(nodes, "node")
+      top20(personalizedPageRank(e, nodes, seeds, iters = 5))
+    }, Some(
+      s"""WITH $sqlGraph,
+          seeds AS (
+            SELECT p.p_partkey AS node FROM part p
+            JOIN nodes nd ON nd.node = p.p_partkey
+            WHERE p.p_size = 50),
+          ns AS (SELECT count(*) AS c FROM seeds),
+          nb AS (SELECT nd.node,
+                        CASE WHEN s.node IS NOT NULL
+                             THEN 150000000000 // (SELECT c FROM ns)
+                             ELSE 0 END AS base_e12,
+                        CASE WHEN s.node IS NOT NULL
+                             THEN 1000000000000 // (SELECT c FROM ns)
+                             ELSE 0 END AS init_e12
+                 FROM nodes nd LEFT JOIN seeds s ON s.node = nd.node),
+          r0 AS (SELECT node, init_e12 AS rank_e12 FROM nb),
+          $sqlTail""")))
 
   def queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap
 

@@ -802,6 +802,28 @@ class RelationalPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rank(5L) == 150000000000L / 5)
   }
 
+  test("g2 personalized: mass reaches only the seed component; unreachable nodes stay zero") {
+    // The property separating personalization from uniform PageRank:
+    // teleport mass lands only on seeds, so a component with no path
+    // from any seed holds EXACTLY zero rank after any number of
+    // supersteps — while in g1's uniform variant every node holds at
+    // least the base mass.
+    import graft.operators.GraphOps
+    import org.apache.spark.sql.functions.col
+    val s = spark
+    import s.implicits._
+    val edges = Seq((1L, 2L), (2L, 1L), (3L, 4L), (4L, 3L))
+      .toDF("src", "dst")
+    val nodes = Seq(1L, 2L, 3L, 4L).toDF("node")
+    val seeds = Seq(1L).toDF("node")
+    val rank = GraphOps.personalizedPageRank(edges, nodes, seeds, iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rank(3L) == 0L && rank(4L) == 0L,
+      s"unreachable component earned rank: $rank")
+    assert(rank(1L) > rank(2L) && rank(2L) > 0L,
+      s"seed component mass distribution wrong: $rank")
+  }
+
   test("fmix32: overflow-safe across the full 32-bit domain, ANSI-strict") {
     // The r10 advice finding: the first multiplier 0x9E3779B1 exceeds 2^31,
     // so the unsplit x*2654435761 overflows int64 from x ~ 3.47e9 — inside
