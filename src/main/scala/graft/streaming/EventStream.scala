@@ -19,7 +19,9 @@ import org.apache.spark.sql.types._
   *  - stateless continuous corpus curation (curatedDocs — the x5/x6
   *    quality-gate + split kernels applied to a documents stream), and
   *  - a watermarked stream-stream interval join (attributedStream — the
-  *    attribution shape; state bounded by watermark + join interval), and
+  *    attribution shape; state bounded by watermark + join interval),
+  *    with a LEFT OUTER variant (attributedLeftStream) whose null rows
+  *    emit on state eviction, and
   *  - evictable custom state via flatMapGroupsWithState + event-time
   *    timeout (errorBursts — CEP-lite trailing-window alerting), and
   *  - two windowed mergeable sketches (hllRegisterStream — a17's HLL
@@ -282,6 +284,36 @@ object EventStream {
         col("c_user") === col("user_id") &&
         col("click_ts") >= col("purchase_ts") - expr("interval 1 hour") &&
         col("click_ts") <= col("purchase_ts"))
+      .select(col("user_id"), col("purchase_id"), col("purchase_ts"),
+        col("click_id"), col("click_ts"), col("value"))
+  }
+
+  /** Stream-STREAM interval join, LEFT OUTER — the attribution shape a
+    * billing pipeline actually needs: every purchase emits exactly once
+    * per matching click, and a purchase with NO click in its preceding
+    * hour still emits (null click columns) once the watermark passes the
+    * point where a matching click could still arrive. The inner variant
+    * ([[attributedStream]]) silently drops unattributed purchases — fine
+    * for analysis, wrong for revenue accounting. Same state bound: each
+    * side retains (watermark delay + join interval) of history per user
+    * key; the null-joined row emits on state EVICTION, so results are
+    * append-mode but late by up to delay + interval — the inherent
+    * outer-join trade on an unbounded stream.
+    */
+  def attributedLeftStream(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "30 minutes")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"), col("value"))
+      .withWatermark("purchase_ts", "30 minutes")
+    purchases.join(clicks,
+        col("c_user") === col("user_id") &&
+        col("click_ts") >= col("purchase_ts") - expr("interval 1 hour") &&
+        col("click_ts") <= col("purchase_ts"),
+        "left_outer")
       .select(col("user_id"), col("purchase_id"), col("purchase_ts"),
         col("click_id"), col("click_ts"), col("value"))
   }

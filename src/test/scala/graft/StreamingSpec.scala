@@ -419,6 +419,56 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.table("attributed").count() == streamed.size.toLong)
   }
 
+  test("left-outer interval join: unattributed purchases emit with null click after the watermark") {
+    // What separates attributedLeftStream from the inner variant: a
+    // purchase with no click in its preceding hour must still emit —
+    // with null click columns — once the watermark passes the point
+    // where a matching click could arrive; and a click OUTSIDE the hour
+    // (3 earlier) must NOT attribute. MemoryStream controls the
+    // watermark: batch 1 holds the scenario, batches 2-3 push the
+    // watermark far past it so the evicted state emits its null rows.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.Encoders
+    val s = spark
+    import s.implicits._
+    val ms = MemoryStream(
+      Encoders.tuple(Encoders.scalaLong, Encoders.TIMESTAMP,
+        Encoders.scalaLong, Encoders.STRING, Encoders.scalaDouble),
+      s.sqlContext)
+    def t(hhmm: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
+    val q = EventStream.attributedLeftStream(ms.toDF.toDF(cols: _*))
+      .writeStream.format("memory").queryName("attr_left")
+      .outputMode("append").start()
+    try {
+      ms.addData(
+        (100L, t("10:00"), 1L, "click", 0.0),
+        (200L, t("10:30"), 1L, "purchase", 5.0),
+        (201L, t("10:30"), 2L, "purchase", 7.0), // no click at all
+        (101L, t("08:00"), 3L, "click", 0.0), // outside the hour
+        (202L, t("10:30"), 3L, "purchase", 9.0))
+      q.processAllAvailable()
+      // The join's watermark is the MIN over both inputs, so the pusher
+      // must advance clicks AND purchases or eviction never fires.
+      ms.addData((900L, t("20:00"), 9L, "click", 0.0),
+        (902L, t("20:00"), 9L, "purchase", 1.0))
+      q.processAllAvailable()
+      ms.addData((901L, t("21:30"), 9L, "click", 0.0),
+        (903L, t("21:30"), 9L, "purchase", 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("attr_left")
+      .filter(col("user_id") < 9L)
+      .collect()
+      .map(r => (r.getLong(1),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+      .toSet
+    assert(got == Set((200L, 100L), (201L, -1L), (202L, -1L)),
+      s"left-outer attribution diverged: $got")
+    // No duplicates: exactly one row per purchase here.
+    assert(spark.table("attr_left").filter(col("user_id") < 9L).count() == 3L)
+  }
+
   test("flatMapGroupsWithState error bursts replay to the batch trailing-window rule") {
     // The CEP-lite alert operator must emit exactly the rows the batch
     // rule defines: one alert per error event that is >= the 2nd error
