@@ -1027,6 +1027,48 @@ object TextPipeline {
            JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
            GROUP BY 1, 2)"""
 
+  /** The x25 kernel — Population Stability Index of `cur` against `ref`
+    * on e6-integer terms: bin edges are the reference window's OCTILES
+    * per event_type (dyadic probabilities → bit-exact cross-engine
+    * interpolation), both windows count into the frozen bins, counts are
+    * Laplace-smoothed (c+1)/(n+8) so ln never sees zero, and each bin's
+    * (p_ref − p_cur)·ln(p_ref/p_cur) term e6-rounds BEFORE the order-free
+    * integer sum. Inputs need (event_type, vc) columns. Output:
+    * event_type, n_ref, n_cur, psi_e6, drifted (> the standard 0.2).
+    */
+  private[graft] def driftPsi(ref: DataFrame, cur: DataFrame): DataFrame = {
+    val s = ref.sparkSession
+    val cuts = ref.groupBy(col("event_type"))
+      .agg(expr("""percentile(vc, array(0.125D, 0.25D, 0.375D, 0.5D,
+                                        0.625D, 0.75D, 0.875D))""").as("cuts"),
+        count(lit(1)).as("n_ref"))
+    def binned(w: DataFrame, cnt: String) = w
+      .join(broadcast(cuts.select(col("event_type"), col("cuts"))), "event_type")
+      .select(col("event_type"),
+        expr("aggregate(cuts, 0, (a, c) -> a + IF(vc > c, 1, 0))").as("bin"))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(count(lit(1)).as(cnt))
+    val spine = cuts.select(col("event_type"), col("n_ref"))
+      .crossJoin(broadcast(
+        s.range(0, 8).select(col("id").cast("int").as("bin"))))
+    val nCur = cur.groupBy(col("event_type")).agg(count(lit(1)).as("n_cur"))
+    val p1 = (col("c1") + lit(1.0)) / (col("n_ref") + lit(8.0))
+    val p2 = (col("c2") + lit(1.0)) / (col("n_cur") + lit(8.0))
+    spine
+      .join(binned(ref, "c1"), Seq("event_type", "bin"), "left")
+      .join(binned(cur, "c2"), Seq("event_type", "bin"), "left")
+      .join(broadcast(nCur), "event_type")
+      .select(col("event_type"), col("n_ref"), col("n_cur"),
+        coalesce(col("c1"), lit(0L)).as("c1"),
+        coalesce(col("c2"), lit(0L)).as("c2"))
+      .select(col("event_type"), col("n_ref"), col("n_cur"),
+        round(log(p1 / p2) * (p1 - p2) * 1e6).cast("long").as("term_e6"))
+      .groupBy(col("event_type"))
+      .agg(max(col("n_ref")).as("n_ref"), max(col("n_cur")).as("n_cur"),
+        sum(col("term_e6")).as("psi_e6"))
+      .withColumn("drifted", col("psi_e6") > 200000L)
+  }
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
 
     // ----- dedup ----------------------------------------------------------
@@ -3212,6 +3254,82 @@ object TextPipeline {
            FROM scored)
          SELECT source, doc_id, es_key_e12, cast(rank AS int) AS rank
          FROM r WHERE rank <= 10 ORDER BY source, rank""")),
+
+    ("x25_drift_psi", (s: SparkSession, d: String) => {
+      // Distribution-drift monitor — the Population Stability Index every
+      // production training pipeline runs between a reference window and
+      // the current one before trusting new data: bin the reference
+      // window's value distribution, count both windows into those FROZEN
+      // bins, PSI = Σ (p_ref − p_cur)·ln(p_ref/p_cur); > 0.2 is the
+      // standard retrain/alert threshold. Engineering for oracle
+      // exactness: the window split is the d8 percentile-half idiom; bin
+      // edges are the reference OCTILES — dyadic probabilities i/8, so
+      // the type-7 interpolation is bit-exact cross-engine (the a12
+      // argument; deciles would not be); counts are Laplace-smoothed
+      // (c+1)/(n+8) so no bin is ever empty and ln never sees 0 — and
+      // the smoothing constant is part of the metric's definition here,
+      // not a hack (PSI with zero bins is undefined); each bin's term is
+      // e6-rounded BEFORE the sum (x7's order-free integer aggregation).
+      // Scale: octile cuts are |event_type| rows (broadcast back), the
+      // binning is a map-side HOF fold against the broadcast cuts, and
+      // both count tables are 8·|event_type| rows — the corpus is
+      // scanned twice (once per window), shuffled only for the tiny
+      // per-(type, bin) counts.
+      val ev = Tables.events(s, d).select(col("event_type"), col("event_id"),
+        round(col("value") * 100).cast("long").as("vc"))
+      val half = ev.agg(expr("percentile(event_id, 0.5)")).first().getDouble(0)
+      driftPsi(ev.filter(col("event_id") <= half),
+          ev.filter(col("event_id") > half))
+        .orderBy(col("event_type"))
+    }, Some(
+      """WITH ev AS (
+           SELECT event_type, event_id,
+                  cast(round(value * 100) AS bigint) AS vc
+           FROM events),
+         half AS (SELECT quantile_cont(event_id, 0.5) AS m FROM ev),
+         ref AS (SELECT * FROM ev WHERE event_id <= (SELECT m FROM half)),
+         cur AS (SELECT * FROM ev WHERE event_id > (SELECT m FROM half)),
+         cu AS (
+           SELECT event_type,
+                  quantile_cont(vc, 0.125) AS q1, quantile_cont(vc, 0.25) AS q2,
+                  quantile_cont(vc, 0.375) AS q3, quantile_cont(vc, 0.5) AS q4,
+                  quantile_cont(vc, 0.625) AS q5, quantile_cont(vc, 0.75) AS q6,
+                  quantile_cont(vc, 0.875) AS q7,
+                  count(*) AS n_ref
+           FROM ref GROUP BY 1),
+         br AS (
+           SELECT r.event_type,
+                  (r.vc > q1)::int + (r.vc > q2)::int + (r.vc > q3)::int
+                  + (r.vc > q4)::int + (r.vc > q5)::int + (r.vc > q6)::int
+                  + (r.vc > q7)::int AS bin, count(*) AS c1
+           FROM ref r JOIN cu USING (event_type) GROUP BY 1, 2),
+         bc AS (
+           SELECT r.event_type,
+                  (r.vc > q1)::int + (r.vc > q2)::int + (r.vc > q3)::int
+                  + (r.vc > q4)::int + (r.vc > q5)::int + (r.vc > q6)::int
+                  + (r.vc > q7)::int AS bin, count(*) AS c2
+           FROM cur r JOIN cu USING (event_type) GROUP BY 1, 2),
+         nc AS (SELECT event_type, count(*) AS n_cur FROM cur GROUP BY 1),
+         spine AS (
+           SELECT cu.event_type, cu.n_ref, t.bin
+           FROM cu, unnest(generate_series(0, 7)) t(bin)),
+         terms AS (
+           SELECT s.event_type, s.n_ref, nc.n_cur,
+                  cast(round(
+                    ln(((coalesce(br.c1, 0) + 1.0) / (s.n_ref + 8.0))
+                       / ((coalesce(bc.c2, 0) + 1.0) / (nc.n_cur + 8.0)))
+                    * (((coalesce(br.c1, 0) + 1.0) / (s.n_ref + 8.0))
+                       - ((coalesce(bc.c2, 0) + 1.0) / (nc.n_cur + 8.0)))
+                    * 1e6) AS bigint) AS term_e6
+           FROM spine s
+           LEFT JOIN br ON br.event_type = s.event_type AND br.bin = s.bin
+           LEFT JOIN bc ON bc.event_type = s.event_type AND bc.bin = s.bin
+           JOIN nc ON nc.event_type = s.event_type)
+         SELECT event_type, cast(max(n_ref) AS bigint) AS n_ref,
+                cast(max(n_cur) AS bigint) AS n_cur,
+                cast(sum(term_e6) AS bigint) AS psi_e6,
+                (cast(sum(term_e6) AS bigint) > 200000) AS drifted
+         FROM terms GROUP BY 1 ORDER BY 1""")),
 
     ("x15_vocab_topk", (s: SparkSession, d: String) => {
       // Corpus vocabulary building — the top-k token-frequency table every

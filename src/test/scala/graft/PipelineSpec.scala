@@ -48,6 +48,29 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("driftPsi: a shifted current window trips the 0.2 threshold; same-distribution stays calm") {
+    // The drifted=true branch no driver data reaches (the events halves
+    // share one distribution, PSI ~ 0.004-0.014): a current window
+    // shifted wholesale past the reference's octiles concentrates all
+    // mass in the top bin, so PSI must exceed the standard 0.2 alert
+    // threshold — while an identical-distribution pair on the same
+    // kernel stays an order of magnitude under it.
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    def win(vals: Seq[Long]) =
+      vals.map(v => ("a", v)).toDF("event_type", "vc")
+    val ref = win(1L to 400L)
+    val calm = graft.operators.TextPipeline
+      .driftPsi(ref, win(1L to 400L)).collect()(0)
+    assert(!calm.getBoolean(4) && calm.getLong(3) < 20000L,
+      s"identical windows reported drift: $calm")
+    val shifted = graft.operators.TextPipeline
+      .driftPsi(ref, win(401L to 800L)).collect()(0)
+    assert(shifted.getBoolean(4) && shifted.getLong(3) > 200000L,
+      s"wholesale shift not flagged: $shifted")
+  }
+
   test("lshSearch: planted near-duplicates are recalled at rank 1; candidate set is pruned") {
     // The reference-free quality gate VERDICT r3 asked for: uniform random
     // corpora have no recallable structure (any pruning search caps out
