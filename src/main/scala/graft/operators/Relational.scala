@@ -850,6 +850,55 @@ object Relational {
          SELECT event_id, user_id, event_type, last_purchase_id, last_purchase_value
          FROM m WHERE is_probe = 1 ORDER BY event_id""")),
 
+    ("j13_asof_forward", (s: SparkSession, d: String) => {
+      // FORWARD as-of — each purchase pairs with the same user's EARLIEST
+      // error at or after it (time-to-next-failure, the mirror of j8's
+      // backward lookup). No second operator: negating the timestamp
+      // reduces forward to backward through the SAME [[asOfJoin]] kernel
+      // (latest −ts ≤ −probe_ts ⟺ earliest ts ≥ probe_ts), so the one
+      // shuffle + sorted-pass cost model carries over unchanged — the
+      // reduction IS the point, the way a max is a min of negations.
+      // Tie-break inherits the kernel's max-quote-struct rule, which on
+      // the (k, tsn, error_id) quote frame means equal-ts errors resolve
+      // to the LARGEST error_id; the oracle replays that explicitly.
+      // gap_us is integer micros arithmetic — oracle-exact; a purchase
+      // with no later error keeps NULL columns (left semantics).
+      val ev = Tables.events(s, d)
+      val probe = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("k"),
+          (-unix_micros(col("ts"))).as("tsn"),
+          col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+      val quote = ev.filter(col("event_type") === "error")
+        .select(col("user_id").as("k"),
+          (-unix_micros(col("ts"))).as("tsn"),
+          col("event_id").as("error_id"), col("ts").as("error_ts"))
+      asOfJoin(probe, quote, keys = Seq("k"), tsCol = "tsn")
+        .select(col("purchase_id"), col("k").as("user_id"),
+          col("asof.error_id").as("next_error_id"),
+          (unix_micros(col("asof.error_ts")) - unix_micros(col("purchase_ts")))
+            .as("gap_us"))
+        .orderBy(col("purchase_id"))
+    }, Some(
+      """WITH p AS (
+           SELECT event_id AS purchase_id, user_id,
+                  cast(ts AS timestamp) AS ts
+           FROM events WHERE event_type = 'purchase'),
+         q AS (
+           SELECT event_id AS error_id, user_id,
+                  cast(ts AS timestamp) AS ts
+           FROM events WHERE event_type = 'error' AND user_id IS NOT NULL),
+         cand AS (
+           SELECT p.purchase_id, q.error_id, q.ts AS ets,
+                  row_number() OVER (PARTITION BY p.purchase_id
+                    ORDER BY q.ts ASC, q.error_id DESC) AS rn
+           FROM p JOIN q ON q.user_id = p.user_id AND q.ts >= p.ts)
+         SELECT p.purchase_id, p.user_id,
+                c.error_id AS next_error_id,
+                cast(epoch_us(c.ets) - epoch_us(p.ts) AS bigint) AS gap_us
+         FROM p LEFT JOIN cand c
+           ON c.purchase_id = p.purchase_id AND c.rn = 1
+         ORDER BY p.purchase_id""")),
+
     ("j9_range_bucket_join", (s: SparkSession, d: String) => {
       // Bucketized RANGE join — the at-scale plan for an interval
       // predicate: a naive `a.ts BETWEEN b.lo AND b.hi` join has no equi
@@ -1361,6 +1410,122 @@ object Relational {
                 cast(ex.n_exact AS bigint) AS n_exact
          FROM per p JOIN ex ON ex.l_returnflag = p.l_returnflag
          ORDER BY 1""")),
+
+    ("a20_hll_set_algebra", (s: SparkSession, d: String) => {
+      // Sketch ALGEBRA — the reason a 100 TB pipeline persists register
+      // tables instead of answers: two groups' HLL sketches compose
+      // WITHOUT the raw data. Union = register-wise MAX (exactly the
+      // merge law a17's groupBy already is, re-applied across groups),
+      // intersection = inclusion-exclusion over the three estimates —
+      // |A∩R| ≈ est(A) + est(R) − est(A∪R). Here: distinct ORDERKEYS touched by
+      // return flags A and R (genuinely partially-overlapping sets —
+      // the partkey domain degenerates to identical sets per flag on
+      // this data), their union sketch re-aggregated FROM the
+      // per-flag register table (never from rows), both exact counts
+      // riding along for the error audit. Same m=256 fmix32 sketch and
+      // closed-form estimate as a17, estimates e6-quantized; the
+      // inclusion-exclusion combines three deterministic doubles in
+      // fixed order — cross-engine exact. Intersection estimates can go
+      // negative on near-disjoint sets; the signed value is reported
+      // as-is (clamping would hide the sketch's actual behavior).
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_returnflag").isin("A", "R"))
+      val h = fmix32(col("l_orderkey").cast("long"))
+      val rho = when(col("w") === 0, lit(25L))
+        .otherwise(lit(25L) - length(conv(col("w").cast("string"), 10, 2)).cast("long"))
+      val perFlag = li
+        .select(col("l_returnflag").as("sid"), (h % 256).as("bucket"),
+          shiftright(h, 8).as("w"))
+        .select(col("sid"), col("bucket"), rho.as("rho"))
+        .groupBy(col("sid"), col("bucket"))
+        .agg(max(col("rho")).as("r"))
+      // The union sketch derives from the REGISTER TABLE — max is the
+      // merge law, so this is sketch composition, not a data pass.
+      val regs = perFlag.unionByName(
+        perFlag.groupBy(col("bucket")).agg(max(col("r")).as("r"))
+          .select(lit("U").as("sid"), col("bucket"), col("r")))
+      val alpha = 0.7213 / (1 + 1.079 / 256)
+      val est = regs.groupBy(col("sid"))
+        .agg(count(lit(1)).as("nz"), sum(pow(lit(2.0), -col("r"))).as("psum"))
+        .withColumn("zeros", lit(256L) - col("nz"))
+        .withColumn("raw_est",
+          lit(alpha * 256.0 * 256.0) / (col("psum") + col("zeros")))
+        .withColumn("est",
+          when(col("raw_est") <= 2.5 * 256 && col("zeros") > 0,
+            lit(256.0) * log(lit(256.0) / col("zeros")))
+            .otherwise(col("raw_est")))
+        .groupBy()
+        .agg(max(when(col("sid") === "A", col("est"))).as("est_a"),
+          max(when(col("sid") === "R", col("est"))).as("est_r"),
+          max(when(col("sid") === "U", col("est"))).as("est_u"))
+      val exactU = li.agg(countDistinct(col("l_orderkey")).as("n_exact_union"))
+      val exactI = li.groupBy(col("l_orderkey"))
+        .agg(countDistinct(col("l_returnflag")).as("nf"))
+        .filter(col("nf") === 2)
+        .agg(count(lit(1)).as("n_exact_int"))
+      est.crossJoin(exactU).crossJoin(exactI)
+        .select(
+          round(col("est_a") * 1e6).cast("long").as("est_a_e6"),
+          round(col("est_r") * 1e6).cast("long").as("est_r_e6"),
+          round(col("est_u") * 1e6).cast("long").as("est_union_e6"),
+          round((col("est_a") + col("est_r") - col("est_u")) * 1e6)
+            .cast("long").as("est_int_e6"),
+          col("n_exact_union"), col("n_exact_int"))
+    }, Some(
+      """WITH li AS (
+           SELECT l_returnflag, l_orderkey FROM lineitem
+           WHERE l_returnflag IN ('A', 'R')),
+         x0 AS (
+           SELECT l_returnflag AS sid, l_orderkey % 4294967296 AS x FROM li),
+         h0 AS (
+           SELECT sid, ((x * 2147483648) % 4294967296
+                        + (x * 506952113) % 4294967296) % 4294967296 AS m1
+           FROM x0),
+         h1 AS (SELECT sid, xor(m1, m1 >> 16) AS v1 FROM h0),
+         h2 AS (SELECT sid, (v1 * 1540483477) % 4294967296 AS m2 FROM h1),
+         h3 AS (SELECT sid, xor(m2, m2 >> 13) AS v2 FROM h2),
+         h4 AS (SELECT sid, (v2 * 1033321189) % 4294967296 AS m3 FROM h3),
+         h AS (SELECT sid, xor(m3, m3 >> 16) AS hv FROM h4),
+         rr AS (
+           SELECT sid, hv % 256 AS bucket,
+                  CASE WHEN hv // 256 = 0 THEN 25
+                       ELSE 25 - length(bin(hv // 256)) END AS rho
+           FROM h),
+         pf AS (
+           SELECT sid, bucket, max(rho) AS r FROM rr GROUP BY 1, 2),
+         regs AS (
+           SELECT * FROM pf
+           UNION ALL
+           SELECT 'U' AS sid, bucket, max(r) AS r FROM pf GROUP BY 2),
+         per AS (
+           SELECT sid, 256 - count(*) AS zeros,
+                  sum(pow(2.0, -r)) + (256 - count(*)) AS dsum
+           FROM regs GROUP BY 1),
+         est AS (
+           SELECT sid,
+                  CASE WHEN (0.7213 / (1 + 1.079 / 256)) * 65536.0 / dsum
+                            <= 640.0 AND zeros > 0
+                       THEN 256.0 * ln(256.0 / zeros)
+                       ELSE (0.7213 / (1 + 1.079 / 256)) * 65536.0 / dsum
+                  END AS e
+           FROM per),
+         p AS (
+           SELECT max(CASE WHEN sid = 'A' THEN e END) AS ea,
+                  max(CASE WHEN sid = 'R' THEN e END) AS er,
+                  max(CASE WHEN sid = 'U' THEN e END) AS eu
+           FROM est),
+         exu AS (SELECT count(DISTINCT l_orderkey) AS n_exact_union FROM li),
+         exi AS (
+           SELECT count(*) AS n_exact_int FROM (
+             SELECT l_orderkey FROM li
+             GROUP BY 1 HAVING count(DISTINCT l_returnflag) = 2))
+         SELECT cast(round(p.ea * 1e6) AS bigint) AS est_a_e6,
+                cast(round(p.er * 1e6) AS bigint) AS est_r_e6,
+                cast(round(p.eu * 1e6) AS bigint) AS est_union_e6,
+                cast(round((p.ea + p.er - p.eu) * 1e6) AS bigint) AS est_int_e6,
+                cast(exu.n_exact_union AS bigint) AS n_exact_union,
+                cast(exi.n_exact_int AS bigint) AS n_exact_int
+         FROM p, exu, exi""")),
 
     ("a10_rollup", (s: SparkSession, d: String) => {
       val n = broadcast(Tables.nation(s, d))

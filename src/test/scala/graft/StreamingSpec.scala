@@ -225,7 +225,11 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val ms = MemoryStream(
       Encoders.tuple(Encoders.TIMESTAMP, Encoders.scalaLong, Encoders.STRING),
       s.sqlContext)
-    val base = 1700000000000L
+    // HOUR-ALIGNED base: tumbling windows cut on wall-clock hours, so an
+    // unaligned base splits the minutes 0-49 across TWO windows and the
+    // total candidate count legitimately exceeds one window's k-1 (the
+    // first version of this test flaked exactly there).
+    val base = 1699999200000L
     def t(min: Int) = new java.sql.Timestamp(base + min * 60000L)
     // One 1-hour window: 60 background singletons, then 40+25 heavy rows.
     val background = (0 until 60).map(i => (t(i % 50), 100L + i, "view"))
@@ -240,8 +244,12 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       ms.addData(heavy: _*)
       q.processAllAvailable()
     } finally q.stop()
-    val cands = spark.table("mg_cands")
-      .select("candidate").collect().map(_.getString(0)).toSet
+    val rows = spark.table("mg_cands")
+      .select("window_start", "candidate").collect()
+      .map(r => r.getTimestamp(0) -> r.getString(1))
+    assert(rows.map(_._1).distinct.length == 1,
+      s"fixture leaked across windows: ${rows.map(_._1).distinct.toSeq}")
+    val cands = rows.map(_._2).toSet
     // n = 125, k = 10 -> threshold 12.5: user 1 (40) and user 2 (25) are
     // true heavy hitters and MUST survive; the light keys may or may not.
     assert(cands.contains("view:1") && cands.contains("view:2"),
