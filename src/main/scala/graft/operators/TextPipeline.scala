@@ -1506,6 +1506,70 @@ object TextPipeline {
          FROM per p LEFT JOIN dd ON dd.doc_id = p.doc_id
          ORDER BY p.doc_id""")),
 
+    ("d13_leakage_safe_split", (s: SparkSession, d: String) => {
+      // Cluster-aware train/valid/test split — the leakage guard the
+      // plain x5 hash split lacks: near-duplicate documents hashed
+      // independently can straddle train and test, and the test set then
+      // "contains" training data in everything but doc_id (the
+      // memorization-leak failure dedup literature warns about; x11
+      // decontaminates EXACT n-grams, this closes the near-dup channel).
+      // The fix composes two existing kernels: every doc's split hashes
+      // its CLUSTER REPRESENTATIVE (d7's connected-component min label;
+      // docs in no near-dup pair represent themselves), so an entire
+      // dup cluster lands in one split by construction. The naive
+      // per-doc split rides along, so `leak_prevented` marks exactly the
+      // docs the guard re-routed. Scale: one left join of the corpus
+      // against the pair-bounded label table on top of x5's stateless
+      // map — the closure itself is the shared d7 computation (cached
+      // per session, same as d7/d10 consume).
+      val docs = Tables.documents(s, d)
+      val labels = dupLabelsFor(s, d, docs, minJaccard = 0.5)
+      def bucketOf(c: String) =
+        expr(s"cast(conv(substring(md5(cast($c AS string)), 1, 6), 16, 10) AS bigint) % 1000")
+      def splitOf(b: Column) =
+        when(b < 800, "train").when(b < 900, "valid").otherwise("test")
+      docs.select(col("doc_id"))
+        .join(labels.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("rep_id"))
+        .select(col("doc_id"), col("rep_id"),
+          splitOf(bucketOf("rep_id")).as("split"),
+          (splitOf(bucketOf("rep_id")) =!= splitOf(bucketOf("doc_id")))
+            .as("leak_prevented"))
+        .orderBy(col("doc_id"))
+    }, Some(
+      s"""WITH RECURSIVE $d5OracleCtes,
+         prs AS (
+           SELECT m.doc_a, m.doc_b
+           FROM com m
+           JOIN sizes sa ON sa.doc_id = m.doc_a
+           JOIN sizes sb ON sb.doc_id = m.doc_b
+           WHERE m.common * 1.0 / (sa.n + sb.n - m.common) >= 0.5),
+         edges AS (
+           SELECT doc_a AS src, doc_b AS dst FROM prs
+           UNION ALL SELECT doc_b, doc_a FROM prs),
+         reach(node, lbl) AS (
+           SELECT src, src FROM edges
+           UNION
+           SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+         comp AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY 1),
+         rep AS (
+           SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS rep_id
+           FROM documents d LEFT JOIN comp c ON c.node = d.doc_id),
+         sp AS (
+           SELECT doc_id, rep_id,
+                  ${hexBucketSql("md5(cast(rep_id AS varchar))")} % 1000 AS rb,
+                  ${hexBucketSql("md5(cast(doc_id AS varchar))")} % 1000 AS db
+           FROM rep)
+         SELECT doc_id, rep_id,
+                CASE WHEN rb < 800 THEN 'train'
+                     WHEN rb < 900 THEN 'valid' ELSE 'test' END AS split,
+                (CASE WHEN rb < 800 THEN 'train'
+                      WHEN rb < 900 THEN 'valid' ELSE 'test' END <>
+                 CASE WHEN db < 800 THEN 'train'
+                      WHEN db < 900 THEN 'valid' ELSE 'test' END)
+                  AS leak_prevented
+         FROM sp ORDER BY doc_id""")),
+
     ("d8_incremental_dedup", (s: SparkSession, d: String) => {
       incrementalDedup(Tables.documents(s, d)).orderBy(col("doc_id"))
     }, Some(

@@ -71,6 +71,32 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"wholesale shift not flagged: $shifted")
   }
 
+  test("d13: no near-dup pair straddles a split boundary; x5's naive split does") {
+    // The operator's whole claim, checked against the actual pair table
+    // rather than by construction: every d5 near-dup pair must land in
+    // ONE split under d13 — and the guard must be non-vacuous, i.e. the
+    // naive per-doc x5 split must disagree inside at least one cluster
+    // on this corpus (otherwise the test would pass on a broken
+    // compose that just called x5).
+    import org.apache.spark.sql.functions.col
+    val d = "/root/testdata/sf0.01"
+    val split = graft.operators.TextPipeline
+      .queries("d13_leakage_safe_split")(spark, d)
+      .collect().map(r => r.getLong(0) -> (r.getString(2), r.getBoolean(3))).toMap
+    val pairs = graft.operators.TextPipeline
+      .nearDupPairsFor(spark, d,
+        graft.sources.Tables.documents(spark, d), minJaccard = 0.5)
+      .select(col("doc_a"), col("doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "fixture lost its near-dup pairs")
+    pairs.foreach { case (a, b) =>
+      assert(split(a)._1 == split(b)._1,
+        s"pair ($a, $b) straddles splits: ${split(a)._1} vs ${split(b)._1}")
+    }
+    assert(split.values.exists(_._2),
+      "guard is vacuous on this corpus: no doc was re-routed")
+  }
+
   test("lshSearch: planted near-duplicates are recalled at rank 1; candidate set is pruned") {
     // The reference-free quality gate VERDICT r3 asked for: uniform random
     // corpora have no recallable structure (any pruning search caps out
