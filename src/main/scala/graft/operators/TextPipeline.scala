@@ -3395,6 +3395,159 @@ object TextPipeline {
                 (cast(sum(term_e6) AS bigint) > 200000) AS drifted
          FROM terms GROUP BY 1 ORDER BY 1""")),
 
+    ("x26_quality_probe", (s: SparkSession, d: String) => {
+      // Learned quality scoring — the fasttext-classifier slot of a
+      // curation pipeline driven by the engine's own estimation surface:
+      // fit a linear probe of x6's heuristic `kept` label on the three
+      // quality features by OLS, then score every document with the
+      // fitted coefficients. The point is the composition — the same
+      // normal-equations + elimination machinery the m-family runs on
+      // the econometric panel, turned on the corpus. Cross-engine
+      // exactness the M2/AdfOracle way, hardened one step further:
+      // features e6-quantize to INTEGERS, so X'X / X'y are exact integer
+      // sums (largest entry ~2e18 < 2^63; its double conversion is the
+      // same IEEE rounding in both engines); the 4x4 solve is a FIXED
+      // operation-order Gauss-Jordan — the Scala loop below mirrors the
+      // oracle's recursive-CTE list arithmetic expression for expression
+      // (x − row[s]·pivrow[c]/piv, then the normalize pass), so the
+      // coefficients are bit-identical doubles, not merely close; and
+      // per-doc scores e9-round BEFORE the class aggregation (x7's
+      // order-free integer-sum rule). The one collect is the 14-long
+      // normal-equations row — index-metadata-sized, the d8/IVF class.
+      // Output: per kept-class doc counts, score sums and means, with
+      // the e12-quantized coefficients riding along.
+      val feats = withQualityFlags(Tables.documents(s, d))
+        .select(
+          col("n_tokens").cast("long").as("f1"),
+          round(col("avg_token_len") * 1e6).cast("long").as("f2"),
+          round(col("stopword_ratio") * 1e6).cast("long").as("f3"),
+          col("kept").cast("long").as("y"))
+      val r = feats.agg(
+        count(lit(1)).as("n"),
+        sum(col("f1")).as("s1"), sum(col("f2")).as("s2"),
+        sum(col("f3")).as("s3"),
+        sum(col("f1") * col("f1")).as("s11"),
+        sum(col("f1") * col("f2")).as("s12"),
+        sum(col("f1") * col("f3")).as("s13"),
+        sum(col("f2") * col("f2")).as("s22"),
+        sum(col("f2") * col("f3")).as("s23"),
+        sum(col("f3") * col("f3")).as("s33"),
+        sum(col("y")).as("sy"),
+        sum(col("f1") * col("y")).as("sy1"),
+        sum(col("f2") * col("y")).as("sy2"),
+        sum(col("f3") * col("y")).as("sy3")).first()
+      def g(i: Int) = r.getLong(i).toDouble
+      var aug = Array(
+        Array(g(0), g(1), g(2), g(3), g(10)),
+        Array(g(1), g(4), g(5), g(6), g(11)),
+        Array(g(2), g(5), g(7), g(8), g(12)),
+        Array(g(3), g(6), g(8), g(9), g(13)))
+      for (step <- 0 until 4) {
+        val old = aug
+        val piv = old(step)(step)
+        aug = Array.tabulate(4) { rr =>
+          if (rr == step) old(rr).map(_ / piv)
+          else Array.tabulate(5)(c => old(rr)(c) - old(rr)(step) * old(step)(c) / piv)
+        }
+      }
+      val b = Array(aug(0)(4), aug(1)(4), aug(2)(4), aug(3)(4))
+      def e12(x: Double): Long = // round half away from zero, both engines' round()
+        (if (x >= 0) math.floor(x * 1e12 + 0.5) else math.ceil(x * 1e12 - 0.5)).toLong
+      val score = lit(b(0)) + lit(b(1)) * col("f1") +
+        lit(b(2)) * col("f2") + lit(b(3)) * col("f3")
+      feats
+        .select(col("y"), round(score * 1e9).cast("long").as("sc"))
+        .groupBy(col("y"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("sc")).as("score_sum_e9"))
+        .select(col("y").as("kept"), col("n_docs"), col("score_sum_e9"),
+          round(col("score_sum_e9") / col("n_docs")).cast("long")
+            .as("mean_score_e9"),
+          lit(e12(b(0))).as("b0_e12"), lit(e12(b(1))).as("b1_e12"),
+          lit(e12(b(2))).as("b2_e12"), lit(e12(b(3))).as("b3_e12"))
+        .orderBy(col("kept"))
+    }, Some(
+      """WITH sig AS (
+           SELECT doc_id,
+                  length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 AS n_tokens,
+                  cast(length(replace(text, ' ', '')) AS double)
+                    / (length(trim(text)) - length(replace(trim(text), ' ', '')) + 1)
+                    AS avg_token_len,
+                  cast(len(list_filter(string_split(text, ' '),
+                        t -> t = 'the' OR t = 'a')) AS double)
+                    / (length(trim(text)) - length(replace(trim(text), ' ', '')) + 1)
+                    AS stopword_ratio
+           FROM documents),
+         lab AS (
+           SELECT doc_id,
+                  cast(n_tokens AS bigint) AS f1,
+                  cast(round(avg_token_len * 1e6) AS bigint) AS f2,
+                  cast(round(stopword_ratio * 1e6) AS bigint) AS f3,
+                  CASE WHEN NOT (n_tokens < 25) AND NOT (avg_token_len > 5.0)
+                            AND NOT (stopword_ratio < 0.02)
+                       THEN 1 ELSE 0 END AS y
+           FROM sig),
+         ne AS (
+           SELECT cast(count(*) AS bigint) AS n,
+                  cast(sum(f1) AS bigint) AS s1, cast(sum(f2) AS bigint) AS s2,
+                  cast(sum(f3) AS bigint) AS s3,
+                  cast(sum(f1 * f1) AS bigint) AS s11,
+                  cast(sum(f1 * f2) AS bigint) AS s12,
+                  cast(sum(f1 * f3) AS bigint) AS s13,
+                  cast(sum(f2 * f2) AS bigint) AS s22,
+                  cast(sum(f2 * f3) AS bigint) AS s23,
+                  cast(sum(f3 * f3) AS bigint) AS s33,
+                  cast(sum(y) AS bigint) AS sy,
+                  cast(sum(f1 * y) AS bigint) AS sy1,
+                  cast(sum(f2 * y) AS bigint) AS sy2,
+                  cast(sum(f3 * y) AS bigint) AS sy3
+           FROM lab),
+         aug0 AS (
+           SELECT 0 AS step,
+                  [[cast(n AS double), cast(s1 AS double), cast(s2 AS double),
+                    cast(s3 AS double), cast(sy AS double)],
+                   [cast(s1 AS double), cast(s11 AS double), cast(s12 AS double),
+                    cast(s13 AS double), cast(sy1 AS double)],
+                   [cast(s2 AS double), cast(s12 AS double), cast(s22 AS double),
+                    cast(s23 AS double), cast(sy2 AS double)],
+                   [cast(s3 AS double), cast(s13 AS double), cast(s23 AS double),
+                    cast(s33 AS double), cast(sy3 AS double)]] AS aug
+           FROM ne),
+         gj AS (
+           WITH RECURSIVE g AS (
+             SELECT * FROM aug0
+             UNION ALL
+             SELECT g.step + 1,
+               list_transform(g.aug, (row, r) ->
+                 CASE WHEN r = g.step + 1
+                   THEN list_transform(row, x -> x / g.aug[g.step + 1][g.step + 1])
+                   ELSE list_transform(row, (x, c) ->
+                     x - row[g.step + 1] * g.aug[g.step + 1][c]
+                       / g.aug[g.step + 1][g.step + 1])
+                 END)
+             FROM g WHERE g.step < 4)
+           SELECT aug FROM g WHERE step = 4),
+         b AS (
+           SELECT aug[1][5] AS b0, aug[2][5] AS b1,
+                  aug[3][5] AS b2, aug[4][5] AS b3
+           FROM gj),
+         scored AS (
+           SELECT l.y,
+                  cast(round((b.b0 + b.b1 * l.f1 + b.b2 * l.f2 + b.b3 * l.f3)
+                    * 1e9) AS bigint) AS sc
+           FROM lab l CROSS JOIN b)
+         SELECT cast(s.y AS bigint) AS kept,
+                cast(count(*) AS bigint) AS n_docs,
+                cast(sum(s.sc) AS bigint) AS score_sum_e9,
+                cast(round(cast(sum(s.sc) AS bigint) / count(*)) AS bigint)
+                  AS mean_score_e9,
+                cast(round(b.b0 * 1e12) AS bigint) AS b0_e12,
+                cast(round(b.b1 * 1e12) AS bigint) AS b1_e12,
+                cast(round(b.b2 * 1e12) AS bigint) AS b2_e12,
+                cast(round(b.b3 * 1e12) AS bigint) AS b3_e12
+         FROM scored s CROSS JOIN b
+         GROUP BY s.y, b.b0, b.b1, b.b2, b.b3
+         ORDER BY 1""")),
+
     ("x15_vocab_topk", (s: SparkSession, d: String) => {
       // Corpus vocabulary building — the top-k token-frequency table every
       // tokenizer-training / vocab-audit step starts from: explode
