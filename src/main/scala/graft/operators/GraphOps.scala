@@ -62,17 +62,18 @@ object GraphOps {
     ranks
   }
 
-  // The edge subplan is loop-invariant and left LAZY on purpose: it
-  // appears once per superstep in the final plan, but its exchanges
-  // are byte-identical so ReuseExchange collapses them to one physical
-  // derivation. A/B at sf0.1 (5 passes each): lazy+broadcast 4.97 s,
-  // lazy+shuffle 5.77 s, eager localCheckpoint variants 5.9-6.9 s —
-  // materialization pays its write cost without saving repeated work
-  // here, and its retained blocks inflate GC (the run canary rises
-  // with it). A cluster run with MORE supersteps would checkpoint
-  // every few steps to cut lineage depth, not for re-use.
+  // Degree-joined edge table. Callers that iterate should pass a
+  // PERSISTED ew (copurchase's cache) — profiled at sf0.1, the
+  // derivation (self-join + distinct, 2.4M edges) costs ~5 s and each
+  // superstep's marginal cost is ~0.8 s of cached-scan + aggregate +
+  // broadcast latency; caching ew cut the two g-queries from
+  // 6.4 s/7.6 s to 4.7 s/5.7 s in the same harness. (Earlier A/B also
+  // ruled out eager localCheckpoint of the raw edges: 5.9-6.9 s —
+  // write cost without a saving, since ReuseExchange already collapses
+  // the duplicate exchanges within one execution.)
   private def withOutdeg(edges: DataFrame): DataFrame =
-    edges.join(edges.groupBy(col("src")).agg(count(lit(1)).as("odeg")), "src")
+    if (edges.columns.contains("odeg")) edges
+    else edges.join(edges.groupBy(col("src")).agg(count(lit(1)).as("odeg")), "src")
 
   // The rank vector is NODE-sized — one long per node — so while it
   // fits the broadcast budget each superstep's two joins go map-side
@@ -146,18 +147,33 @@ object GraphOps {
     * sharing an order link both ways (the within-order self-join is
     * quadratic only in order size, which the schema bounds at 7
     * lineitems — the d5 size-capped-bucket argument), giving cycles by
-    * construction so rank genuinely circulates.
+    * construction so rank genuinely circulates. Built ONCE per
+    * (session, sfDir) and persisted — the AnnIndex/pairCache
+    * build-once pattern: the self-join + distinct is the expensive
+    * derivation, two queries walk the result, and within each query
+    * five supersteps re-scan it (from cache instead of re-deriving;
+    * ReuseExchange only collapses duplicates inside ONE execution).
     */
-  private def copurchase(s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    val li = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-    val e = li.as("a").join(li.as("b"), "ok")
-      .filter(col("a.pk") =!= col("b.pk"))
-      .select(col("a.pk").as("src"), col("b.pk").as("dst"))
-      .distinct()
-    val nodes = li.select(col("pk").as("node")).distinct()
-    (e, nodes)
-  }
+  private val graphCache = new java.util.WeakHashMap[SparkSession,
+    scala.collection.concurrent.TrieMap[String, (DataFrame, DataFrame)]]()
+  private def copurchase(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    graphCache.synchronized {
+      graphCache.computeIfAbsent(s,
+        _ => scala.collection.concurrent.TrieMap.empty)
+    }.getOrElseUpdate(d, {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val e = li.as("a").join(li.as("b"), "ok")
+        .filter(col("a.pk") =!= col("b.pk"))
+        .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+        .distinct()
+      // Cache the DEGREE-JOINED table: every superstep scans exactly one
+      // cached relation instead of re-joining edges with the degree
+      // aggregate per level.
+      val ew = withOutdeg(e).persist()
+      val nodes = li.select(col("pk").as("node")).distinct().persist()
+      (ew, nodes)
+    })
 
   private val sqlGraph =
     """li AS (
