@@ -26,7 +26,10 @@ import org.apache.spark.sql.types._
   *    timeout (errorBursts — CEP-lite trailing-window alerting), and
   *  - two windowed mergeable sketches (hllRegisterStream — a17's HLL
   *    registers folded by MAX; bottomKStream — a18's KMV bottom-k sample
-  *    folded through the bounded top_k_pairs aggregate).
+  *    folded through the bounded top_k_pairs aggregate), and
+  *  - the x25 drift monitor's deployment shape (driftBinStream —
+  *    frozen reference octiles, windowed bin counts, 8 longs of state
+  *    per group).
   *
   * Scale posture: all are keyed-state streaming aggregations — state is
   * bounded by (watermark horizon × key cardinality) or by key cardinality
@@ -316,6 +319,42 @@ object EventStream {
         "left_outer")
       .select(col("user_id"), col("purchase_id"), col("purchase_ts"),
         col("click_id"), col("click_ts"), col("value"))
+  }
+
+  /** Streaming drift-bin counts — x25's PSI monitor in its deployment
+    * shape: the octile bin edges come FROZEN from a batch reference
+    * window (computed once offline — the same frozen-artifact contract
+    * as e14's SQ8 bounds), the arriving stream bins against them
+    * map-side (a stateless fold over the broadcast-size cuts array),
+    * and a windowed count per (window, event_type, bin) is the
+    * streaming state — bounded at 8 longs per (window, type), the
+    * hllRegisterStream pattern. The PSI itself is a closed form over
+    * the final counts computed downstream (Spark disallows a second
+    * chained streaming aggregation, and the bin-count table IS the
+    * mergeable artifact a monitor persists anyway — counts sum across
+    * windows/partitions). Replays exactly to the batch binning
+    * (StreamingSpec). Columns: window_start, event_type, bin, c.
+    */
+  def driftBinStream(
+      events: DataFrame,
+      cuts: Map[String, Seq[Double]]): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val cutsDf = broadcast(
+      cuts.toSeq.map { case (et, cs) => (et, cs) }
+        .toDF("event_type", "cuts"))
+    events
+      .withWatermark("ts", "30 minutes")
+      .select(col("ts"), col("event_type"),
+        round(col("value") * 100).cast("long").as("vc"))
+      .join(cutsDf, Seq("event_type"))
+      .select(col("ts"), col("event_type"),
+        expr("aggregate(cuts, 0, (a, c) -> a + IF(vc > c, 1, 0))").as("bin"))
+      .groupBy(window(col("ts"), "1 hour").as("win"),
+        col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("win.start").as("window_start"), col("event_type"),
+        col("bin"), col("c"))
   }
 
   /** The documents file schema for the streaming corpus source. */

@@ -257,6 +257,40 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cands.size <= 9, s"MG state exceeded k-1 counters: ${cands.size}")
   }
 
+  test("driftBinStream replays to the batch binning under the frozen reference cuts") {
+    // The monitor's deployment contract: octile cuts computed ONCE from
+    // a batch reference window, the stream binned against them frozen.
+    // The streamed per-(window, type, bin) counts must equal the batch
+    // spelling over the same events — the stateless map-side fold plus
+    // windowed count is exactly a17's replay argument, with the added
+    // frozen-artifact input.
+    val ev = Tables.events(spark, sfDir)
+    val cuts = ev
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").as("vc"))
+      .groupBy(col("event_type"))
+      .agg(expr("""percentile(vc, array(0.125D, 0.25D, 0.375D, 0.5D,
+                                        0.625D, 0.75D, 0.875D))""").as("cuts"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1).toSeq).toMap
+    val q = EventStream.driftBinStream(
+        EventStream.readEvents(spark, sfDir), cuts)
+      .writeStream.format("memory").queryName("drift_bins")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("drift_bins")
+      .orderBy("window_start", "event_type", "bin").collect()
+    val batch = EventStream.driftBinStream(ev, cuts)
+      .orderBy("window_start", "event_type", "bin").collect()
+    assert(streamed.length == batch.length && streamed.nonEmpty)
+    streamed.zip(batch).foreach { case (a, b) => assert(a == b) }
+    // State-bound sanity: no (window, type) group exceeds 8 bins.
+    val over = spark.table("drift_bins")
+      .groupBy("window_start", "event_type").count()
+      .filter(col("count") > 8).count()
+    assert(over == 0, "a drift group exceeded the 8-bin bound")
+  }
+
   test("streaming dedup keeps each event_id once") {
     val q = EventStream.dedupStream(EventStream.readEvents(spark, sfDir))
       .writeStream.format("memory").queryName("dedup").outputMode("append").start()
