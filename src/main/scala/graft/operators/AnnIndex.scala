@@ -679,6 +679,50 @@ object AnnIndex {
         val idx = trainIvf(e, nlist, iters); idx.lists.count(); idx
       })
 
+  /** Persist a trained IVF index as two parquet tables — the index
+    * LIFECYCLE a serving deployment needs (build offline, ship the
+    * artifact, load in the serving cluster): `centroids` (cid, cent —
+    * tiny) and the assigned inverted `lists` (corpus-sized, partitioned
+    * as written). [[loadIvf]] reconstructs an [[IvfIndex]] that searches
+    * identically — e6-quantized unit vectors and float embeddings both
+    * survive a parquet roundtrip bit-exactly, so e15 pins the roundtrip
+    * against e6's own oracle.
+    */
+  def saveIvf(idx: IvfIndex, dir: String): Unit = {
+    val s = idx.lists.sparkSession
+    import s.implicits._
+    idx.cents.toDF("cid", "cent").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    idx.lists.write.mode("overwrite").parquet(s"$dir/lists")
+  }
+
+  /** Load an IVF index persisted by [[saveIvf]]: the centroid collect is
+    * nlist × dim longs (index metadata, the trainIvf class); the lists
+    * stay a lazy parquet scan — the serving cluster's cache policy, not
+    * the loader's, decides their residency.
+    */
+  def loadIvf(s: SparkSession, dir: String): IvfIndex = {
+    val cents = s.read.parquet(s"$dir/centroids").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Long](1))
+      .sortBy(_._1).toSeq
+    IvfIndex(cents.length, cents, s.read.parquet(s"$dir/lists"))
+  }
+
+  /** Write-once-per-sfDir saved-index directory (the s13 asset-dir
+    * pattern): the first call trains (or reuses) the shared e6/e7 index
+    * and ships it to parquet; later calls hand back the same artifact.
+    */
+  private val savedIvfCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  def savedIvfFor(s: SparkSession, path: String, e: => DataFrame,
+      nlist: Int, iters: Int): String =
+    savedIvfCache.getOrElseUpdate(path, {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_ivf_index_").toString
+      saveIvf(ivfFor(s, path, e, nlist, iters), dir)
+      dir
+    })
+
   /** The shared LSH bucket index for `path`'s embeddings in session `s`
     * (e4's search and e5's recall share one bucket table).
     */

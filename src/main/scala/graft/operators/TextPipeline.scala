@@ -1069,6 +1069,85 @@ object TextPipeline {
       .withColumn("drifted", col("psi_e6") > 200000L)
   }
 
+  /** The e6 IVF-search oracle — shared verbatim with e15, whose
+    * save/load roundtrip must reproduce the e6 answer exactly.
+    */
+  private val e6OracleSql: String =
+    """WITH ex AS (
+           SELECT vec_id, i, cast(embedding[i] AS double) AS v FROM (
+             SELECT vec_id, embedding,
+                    unnest(generate_series(1, len(embedding))) AS i
+             FROM embeddings)),
+         nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ex GROUP BY 1),
+         u AS (SELECT e.vec_id, e.i,
+                      cast(round(e.v / n.nrm * 1e6) AS bigint) AS ue6
+               FROM ex e JOIN nrm n ON n.vec_id = e.vec_id),
+         cb0 AS (SELECT cast(r - 1 AS int) AS cid, i, ue6 FROM (
+                   SELECT u.*, dense_rank() OVER (ORDER BY vec_id) AS r FROM u)
+                 WHERE r <= 16),
+         a0 AS (SELECT vec_id, cid FROM (
+                  SELECT vec_id, cid, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY dist, cid) AS rn
+                  FROM (SELECT u.vec_id, cb.cid,
+                               cast(sum((u.ue6 - cb.ue6) * (u.ue6 - cb.ue6))
+                                 AS bigint) AS dist
+                        FROM u JOIN cb0 cb ON cb.i = u.i GROUP BY 1, 2))
+                WHERE rn = 1),
+         cb1 AS (SELECT cb0.cid, cb0.i, coalesce(up.ue6, cb0.ue6) AS ue6
+                 FROM cb0 LEFT JOIN (
+                   SELECT a.cid, u.i,
+                          cast(floor(sum(u.ue6) * 1.0 / count(*) + 0.5) AS bigint) AS ue6
+                   FROM a0 a JOIN u ON u.vec_id = a.vec_id GROUP BY 1, 2) up
+                 ON up.cid = cb0.cid AND up.i = cb0.i),
+         a1 AS (SELECT vec_id, cid FROM (
+                  SELECT vec_id, cid, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY dist, cid) AS rn
+                  FROM (SELECT u.vec_id, cb.cid,
+                               cast(sum((u.ue6 - cb.ue6) * (u.ue6 - cb.ue6))
+                                 AS bigint) AS dist
+                        FROM u JOIN cb1 cb ON cb.i = u.i GROUP BY 1, 2))
+                WHERE rn = 1),
+         cb2 AS (SELECT cb1.cid, cb1.i, coalesce(up.ue6, cb1.ue6) AS ue6
+                 FROM cb1 LEFT JOIN (
+                   SELECT a.cid, u.i,
+                          cast(floor(sum(u.ue6) * 1.0 / count(*) + 0.5) AS bigint) AS ue6
+                   FROM a1 a JOIN u ON u.vec_id = a.vec_id GROUP BY 1, 2) up
+                 ON up.cid = cb1.cid AND up.i = cb1.i),
+         a2 AS (SELECT vec_id, cid FROM (
+                  SELECT vec_id, cid, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY dist, cid) AS rn
+                  FROM (SELECT u.vec_id, cb.cid,
+                               cast(sum((u.ue6 - cb.ue6) * (u.ue6 - cb.ue6))
+                                 AS bigint) AS dist
+                        FROM u JOIN cb2 cb ON cb.i = u.i GROUP BY 1, 2))
+                WHERE rn = 1),
+         pdist AS (SELECT u.vec_id AS q_id, cb.cid,
+                          cast(sum((u.ue6 - cb.ue6) * (u.ue6 - cb.ue6))
+                            AS bigint) AS dist
+                   FROM u JOIN cb2 cb ON cb.i = u.i
+                   WHERE u.vec_id < 3 GROUP BY 1, 2),
+         probe AS (SELECT q_id, cid FROM (
+                     SELECT pdist.*, row_number() OVER (PARTITION BY q_id
+                              ORDER BY dist, cid) AS crank FROM pdist)
+                   WHERE crank <= 4),
+         cand AS (SELECT p.q_id, a2.vec_id FROM probe p
+                  JOIN a2 ON a2.cid = p.cid
+                  WHERE a2.vec_id <> p.q_id),
+         cdot AS (SELECT c.q_id, c.vec_id, sum(q.v * e.v) AS dot
+                  FROM cand c JOIN ex q ON q.vec_id = c.q_id
+                  JOIN ex e ON e.vec_id = c.vec_id AND e.i = q.i
+                  GROUP BY 1, 2),
+         scored AS (SELECT cd.q_id, cd.vec_id,
+                           cast(round(cd.dot / (nq.nrm * ne.nrm) * 1e6) AS bigint)
+                             AS cosine_e6
+                    FROM cdot cd JOIN nrm nq ON nq.vec_id = cd.q_id
+                    JOIN nrm ne ON ne.vec_id = cd.vec_id)
+         SELECT q_id, vec_id, cosine_e6, rank FROM (
+           SELECT scored.*, row_number() OVER (PARTITION BY q_id
+                    ORDER BY cosine_e6 DESC, vec_id) AS rank
+           FROM scored)
+         WHERE rank <= 3 ORDER BY q_id, rank"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
 
     // ----- dedup ----------------------------------------------------------
@@ -1968,80 +2047,26 @@ object TextPipeline {
         col("vec_id") < 3, k = 3, nprobe = 4)
         .orderBy(col("q_id"), col("rank"))
     }, Some(
-      """WITH ex AS (
-           SELECT vec_id, i, cast(embedding[i] AS double) AS v FROM (
-             SELECT vec_id, embedding,
-                    unnest(generate_series(1, len(embedding))) AS i
-             FROM embeddings)),
-         nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ex GROUP BY 1),
-         u AS (SELECT e.vec_id, e.i,
-                      cast(round(e.v / n.nrm * 1e6) AS bigint) AS ue6
-               FROM ex e JOIN nrm n ON n.vec_id = e.vec_id),
-         cb0 AS (SELECT cast(r - 1 AS int) AS cid, i, ue6 FROM (
-                   SELECT u.*, dense_rank() OVER (ORDER BY vec_id) AS r FROM u)
-                 WHERE r <= 16),
-         a0 AS (SELECT vec_id, cid FROM (
-                  SELECT vec_id, cid, row_number() OVER (
-                    PARTITION BY vec_id ORDER BY dist, cid) AS rn
-                  FROM (SELECT u.vec_id, cb.cid,
-                               cast(sum((u.ue6 - cb.ue6) * (u.ue6 - cb.ue6))
-                                 AS bigint) AS dist
-                        FROM u JOIN cb0 cb ON cb.i = u.i GROUP BY 1, 2))
-                WHERE rn = 1),
-         cb1 AS (SELECT cb0.cid, cb0.i, coalesce(up.ue6, cb0.ue6) AS ue6
-                 FROM cb0 LEFT JOIN (
-                   SELECT a.cid, u.i,
-                          cast(floor(sum(u.ue6) * 1.0 / count(*) + 0.5) AS bigint) AS ue6
-                   FROM a0 a JOIN u ON u.vec_id = a.vec_id GROUP BY 1, 2) up
-                 ON up.cid = cb0.cid AND up.i = cb0.i),
-         a1 AS (SELECT vec_id, cid FROM (
-                  SELECT vec_id, cid, row_number() OVER (
-                    PARTITION BY vec_id ORDER BY dist, cid) AS rn
-                  FROM (SELECT u.vec_id, cb.cid,
-                               cast(sum((u.ue6 - cb.ue6) * (u.ue6 - cb.ue6))
-                                 AS bigint) AS dist
-                        FROM u JOIN cb1 cb ON cb.i = u.i GROUP BY 1, 2))
-                WHERE rn = 1),
-         cb2 AS (SELECT cb1.cid, cb1.i, coalesce(up.ue6, cb1.ue6) AS ue6
-                 FROM cb1 LEFT JOIN (
-                   SELECT a.cid, u.i,
-                          cast(floor(sum(u.ue6) * 1.0 / count(*) + 0.5) AS bigint) AS ue6
-                   FROM a1 a JOIN u ON u.vec_id = a.vec_id GROUP BY 1, 2) up
-                 ON up.cid = cb1.cid AND up.i = cb1.i),
-         a2 AS (SELECT vec_id, cid FROM (
-                  SELECT vec_id, cid, row_number() OVER (
-                    PARTITION BY vec_id ORDER BY dist, cid) AS rn
-                  FROM (SELECT u.vec_id, cb.cid,
-                               cast(sum((u.ue6 - cb.ue6) * (u.ue6 - cb.ue6))
-                                 AS bigint) AS dist
-                        FROM u JOIN cb2 cb ON cb.i = u.i GROUP BY 1, 2))
-                WHERE rn = 1),
-         pdist AS (SELECT u.vec_id AS q_id, cb.cid,
-                          cast(sum((u.ue6 - cb.ue6) * (u.ue6 - cb.ue6))
-                            AS bigint) AS dist
-                   FROM u JOIN cb2 cb ON cb.i = u.i
-                   WHERE u.vec_id < 3 GROUP BY 1, 2),
-         probe AS (SELECT q_id, cid FROM (
-                     SELECT pdist.*, row_number() OVER (PARTITION BY q_id
-                              ORDER BY dist, cid) AS crank FROM pdist)
-                   WHERE crank <= 4),
-         cand AS (SELECT p.q_id, a2.vec_id FROM probe p
-                  JOIN a2 ON a2.cid = p.cid
-                  WHERE a2.vec_id <> p.q_id),
-         cdot AS (SELECT c.q_id, c.vec_id, sum(q.v * e.v) AS dot
-                  FROM cand c JOIN ex q ON q.vec_id = c.q_id
-                  JOIN ex e ON e.vec_id = c.vec_id AND e.i = q.i
-                  GROUP BY 1, 2),
-         scored AS (SELECT cd.q_id, cd.vec_id,
-                           cast(round(cd.dot / (nq.nrm * ne.nrm) * 1e6) AS bigint)
-                             AS cosine_e6
-                    FROM cdot cd JOIN nrm nq ON nq.vec_id = cd.q_id
-                    JOIN nrm ne ON ne.vec_id = cd.vec_id)
-         SELECT q_id, vec_id, cosine_e6, rank FROM (
-           SELECT scored.*, row_number() OVER (PARTITION BY q_id
-                    ORDER BY cosine_e6 DESC, vec_id) AS rank
-           FROM scored)
-         WHERE rank <= 3 ORDER BY q_id, rank""")),
+      e6OracleSql)),
+
+    ("e15_index_persistence", (s: SparkSession, d: String) => {
+      // Index LIFECYCLE — the operational gap between "can build an
+      // index" and "can serve one": the trained e6/e7 IVF quantizer
+      // ships to parquet ONCE per sfDir (centroids + inverted lists,
+      // AnnIndex.saveIvf), a fresh IvfIndex loads from the artifact
+      // (centroid collect = index metadata; lists stay a lazy scan),
+      // and the SAME search as e6 runs against the LOADED index. The
+      // oracle is e6's own SQL verbatim — the strongest roundtrip check
+      // available: the persisted artifact must reproduce the in-memory
+      // index's answer hash-exactly, which also pins that e6-quantized
+      // unit vectors and float embeddings survive parquet bit-exactly.
+      val dir = AnnIndex.savedIvfFor(s, d, Tables.embeddings(s, d),
+        nlist = 16, iters = 2)
+      AnnIndex.ivfSearch(AnnIndex.loadIvf(s, dir),
+          col("vec_id") < 3, k = 3, nprobe = 4)
+        .orderBy(col("q_id"), col("rank"))
+    }, Some(
+      e6OracleSql)),
 
     ("e9_pq_search", (s: SparkSession, d: String) => {
       // The FOURTH ANN path: product quantization — the COMPRESSION
