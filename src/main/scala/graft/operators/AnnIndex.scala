@@ -162,7 +162,8 @@ object AnnIndex {
     * shuffles only the probed lists' candidates, never corpus².
     * Columns: q_id, vec_id, cosine_e6, rank.
     */
-  def ivfSearch(idx: IvfIndex, qPred: Column, k: Int, nprobe: Int): DataFrame = {
+  def ivfSearch(idx: IvfIndex, qPred: Column, k: Int, nprobe: Int,
+      candidates: Option[DataFrame] = None): DataFrame = {
     val s = idx.lists.sparkSession
     import s.implicits._
     val cdist = sqDist("q_unit", "cent")
@@ -175,7 +176,16 @@ object AnnIndex {
         Window.partitionBy(col("q_id")).orderBy(col("cdist"), col("cid"))))
       .filter(col("crank") <= nprobe)
       .select(col("q_id"), col("q_emb"), col("cid"))
-    val scored = probed.join(idx.lists, "cid")
+    // Filtered search (e16): the allow-set semi-join restricts the
+    // CANDIDATE side only — queries still come from the full index, and
+    // the restriction applies PRE-ranking (inside the probed lists), so
+    // the top-k is the true top-k of the filtered domain, not a
+    // post-filtered remnant that can return fewer than k survivors.
+    val candLists = candidates match {
+      case Some(allowed) => idx.lists.join(allowed, Seq("vec_id"), "left_semi")
+      case None => idx.lists
+    }
+    val scored = probed.join(candLists, "cid")
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         round(dot("q_emb", "embedding") /

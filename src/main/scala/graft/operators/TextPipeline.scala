@@ -2068,6 +2068,32 @@ object TextPipeline {
     }, Some(
       e6OracleSql)),
 
+    ("e16_filtered_search", (s: SparkSession, d: String) => {
+      // FILTERED vector search — the modern serving requirement plain
+      // top-k misses: "nearest neighbors among vectors matching a
+      // metadata predicate" (permission scopes, language filters, date
+      // ranges). The trap is POST-filtering: rank first, filter the
+      // top-k after, and a selective predicate returns fewer than k
+      // survivors with arbitrary holes. This is the PRE-filter shape —
+      // the allow-set (label < 5, ~half the corpus) semi-joins the
+      // candidate side INSIDE the probed lists, so the top-3 is the
+      // true top-3 of the filtered domain; queries still come from the
+      // full index. Same shared quantizer, one extra semi-join over e6
+      // (at 100 TB: keyed on vec_id, bucketable with the lists). The
+      // oracle is e6's SQL with the same predicate spliced into its
+      // candidate CTE — coupled by construction.
+      val idx = AnnIndex.ivfFor(s, d, Tables.embeddings(s, d),
+        nlist = 16, iters = 2)
+      val allowed = Tables.embeddings(s, d)
+        .filter(col("label") < 5).select(col("vec_id"))
+      AnnIndex.ivfSearch(idx, col("vec_id") < 3, k = 3, nprobe = 4,
+          candidates = Some(allowed))
+        .orderBy(col("q_id"), col("rank"))
+    }, Some(
+      e6OracleSql.replace("WHERE a2.vec_id <> p.q_id)",
+        """JOIN embeddings lb ON lb.vec_id = a2.vec_id
+                  WHERE a2.vec_id <> p.q_id AND lb.label < 5)"""))),
+
     ("e9_pq_search", (s: SparkSession, d: String) => {
       // The FOURTH ANN path: product quantization — the COMPRESSION
       // complement to IVF/LSH's pruning. Unit-normalized 64-dim vectors
