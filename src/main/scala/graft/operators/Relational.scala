@@ -2103,6 +2103,88 @@ object Relational {
                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
          ORDER BY event_id""")),
 
+    ("w17_seasonal_decompose", (s: SparkSession, d: String) => {
+      // Classical additive seasonal decomposition (the moving-average
+      // method, period 12) over the monthly revenue panel — the
+      // time-series operator between W1-W3's differencing and the
+      // m-family's models: y = trend + seasonal + remainder, where trend
+      // is the centered 2x12 MA, seasonal the centered month-of-year
+      // mean of the detrended series, remainder the rest. Integer-exact
+      // engineering: monthly revenue sums per-row-rounded CENTS (exact
+      // long sums — summing raw doubles would be order-dependent), the
+      // series scales to c2 (hundredths of a cent) so the centered MA's
+      // numerator y(t-6) + 2*sum(t-5..t+5) + y(t+6) is one integer whose
+      // /24 division rounds identically cross-engine, and every later
+      // step (detrend, month means, centering, remainder) is integer
+      // arithmetic on those rounded values. Edge months (t < 7,
+      // t > N-6) have no centered MA and drop, exactly as the textbook
+      // method defines. The windows are calendar-bounded (the <=231-row
+      // monthly panel — the w-family's global-window convention), never
+      // corpus-sized.
+      val monthly = Tables.orders(s, d)
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev_c"))
+      val wOrd = Window.orderBy(col("t"))
+      val idx = monthly
+        .withColumn("t", row_number().over(Window.orderBy(col("month"))))
+        .withColumn("y2", col("rev_c") * 100)
+      val dt = idx
+        .withColumn("num",
+          lag(col("y2"), 6).over(wOrd) +
+            lit(2) * sum(col("y2")).over(wOrd.rowsBetween(-5, 5)) +
+            lead(col("y2"), 6).over(wOrd))
+        .filter(col("num").isNotNull)
+        .withColumn("trend_c2", round(col("num") / 24.0).cast("long"))
+        .withColumn("det_c2", col("y2") - col("trend_c2"))
+        .withColumn("m", month(col("month")))
+      val sRaw = dt.groupBy(col("m"))
+        .agg(round(sum(col("det_c2")) / count(lit(1))).cast("long").as("s_raw"))
+      val sAdj = sRaw.crossJoin(broadcast(
+          sRaw.agg(round(sum(col("s_raw")) / count(lit(1))).cast("long").as("adj"))))
+        .select(col("m"), (col("s_raw") - col("adj")).as("seasonal_c2"))
+      dt.join(broadcast(sAdj), "m")
+        .select(col("t"), col("m").as("month_no"), col("y2").as("y_c2"),
+          col("trend_c2"), col("seasonal_c2"),
+          (col("det_c2") - col("seasonal_c2")).as("remainder_c2"))
+        .orderBy(col("t"))
+    }, Some(
+      """WITH monthly AS (
+           SELECT date_trunc('month', o_orderdate) AS month,
+                  cast(sum(cast(round(o_totalprice * 100) AS bigint)) AS bigint)
+                    AS rev_c
+           FROM orders GROUP BY 1),
+         idx AS (
+           SELECT row_number() OVER (ORDER BY month) AS t, month,
+                  rev_c * 100 AS y2
+           FROM monthly),
+         tr AS (
+           SELECT t, month, y2,
+                  lag(y2, 6) OVER (ORDER BY t) AS l6,
+                  lead(y2, 6) OVER (ORDER BY t) AS d6,
+                  sum(y2) OVER (ORDER BY t
+                    ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING) AS s11
+           FROM idx),
+         dd AS (
+           SELECT t, month, y2,
+                  cast(round((l6 + 2 * s11 + d6) / 24.0) AS bigint) AS trend_c2,
+                  y2 - cast(round((l6 + 2 * s11 + d6) / 24.0) AS bigint) AS det_c2,
+                  month(month) AS m
+           FROM tr WHERE l6 IS NOT NULL AND d6 IS NOT NULL),
+         sr AS (
+           SELECT m, cast(round(cast(sum(det_c2) AS bigint) / count(*))
+                    AS bigint) AS s_raw
+           FROM dd GROUP BY 1),
+         aj AS (
+           SELECT cast(round(cast(sum(s_raw) AS bigint) / count(*)) AS bigint)
+                    AS adj
+           FROM sr),
+         se AS (
+           SELECT m, s_raw - (SELECT adj FROM aj) AS seasonal_c2 FROM sr)
+         SELECT d.t, cast(d.m AS int) AS month_no, d.y2 AS y_c2,
+                d.trend_c2, se.seasonal_c2,
+                d.det_c2 - se.seasonal_c2 AS remainder_c2
+         FROM dd d JOIN se ON se.m = d.m ORDER BY d.t""")),
+
     ("w5_lag_corr", (s: SparkSession, d: String) => {
       // Serial correlation: corr(x_t, x_{t−1}) per key — the SQL-checkable
       // core of the reference's ACF (W5). The exact-R ACF normalization
