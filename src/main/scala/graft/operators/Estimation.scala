@@ -289,6 +289,127 @@ object Estimation {
         .orderBy(col("event_type"))
     }, Some(AdfOracle.sql)),
 
+    // ----- T8 (ext.): KPSS — the stationarity test ADF complements --------
+
+    ("t8_kpss_batch", (s: SparkSession, d: String) => {
+      // KPSS level-stationarity test (Kwiatkowski-Phillips-Schmidt-Shin
+      // 1992) per series — ADF's complement: ADF's null is a unit root,
+      // KPSS's null is stationarity, and running BOTH is the standard
+      // protocol (agreement = confidence, disagreement = near-integrated
+      // or fractional). Statistic: eta = n^-2 SUM_t S_t^2 / s^2_lr with
+      // S_t the partial sums of demeaned x and s^2_lr the Bartlett
+      // long-run variance at bandwidth k = floor(cbrt(n)) (t1's
+      // convention). Cross-engine exactness without a Scala kernel —
+      // the whole test is relational: daily values sum per-row-rounded
+      // CENTS (exact longs), demeaning multiplies through by n so
+      // E_t = n*x_t - SUM(x) and its running sum T_t stay integers, the
+      // kilocent-scaled per-term quantities round to integers BEFORE
+      // their sums (the x7 order-free rule; the scale cancels between
+      // numerator and denominator), and the Bartlett weights multiply
+      // through by (k+1) so the weighted sum D is integer arithmetic.
+      // eta assembles from three exact integers in one fixed double
+      // expression, e6-quantized; the 5%/1% rejections compare integers
+      // against the published critical values (0.463 / 0.739). Scale:
+      // per-series windows are calendar-bounded; the lag self-join is
+      // |days| x (k+1) rows per series, never corpus-sized.
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("x"))
+      val meta = daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+        .withColumn("k", floor(cbrt(col("n").cast("double"))).cast("long"))
+      val wT = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val e = daily
+        .withColumn("t", row_number().over(wT))
+        .join(broadcast(meta), "event_type")
+        .withColumn("ebig", col("n") * col("x") - col("sx"))
+        .withColumn("tbig", sum(col("ebig")).over(
+          Window.partitionBy(col("event_type")).orderBy(col("t"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val s2 = e.select(col("event_type"),
+          round((col("tbig") * lit(1.0) / col("n") / lit(1000.0)) *
+            (col("tbig") * lit(1.0) / col("n") / lit(1000.0)))
+            .cast("long").as("s2t"))
+        .groupBy(col("event_type")).agg(sum(col("s2t")).as("s2sum"))
+      val ee = e.select(col("event_type"), col("t"), col("ebig"),
+        col("n"), col("k"))
+      val gs = ee.as("a").join(ee.as("b"),
+          col("a.event_type") === col("b.event_type") &&
+            col("b.t") >= col("a.t") &&
+            col("b.t") <= col("a.t") + col("a.k"))
+        .select(col("a.event_type").as("event_type"),
+          (col("b.t") - col("a.t")).as("j"), col("a.k").as("k"),
+          round((col("a.ebig") * lit(1.0) / col("a.n") / lit(1000.0)) *
+            (col("b.ebig") * lit(1.0) / col("a.n") / lit(1000.0)))
+            .cast("long").as("ee"))
+        .groupBy(col("event_type"), col("j"), col("k"))
+        .agg(sum(col("ee")).as("gsum"))
+      val dsum = gs
+        .withColumn("wgt",
+          when(col("j") === 0, col("k") + 1)
+            .otherwise(lit(2) * (col("k") + 1 - col("j"))))
+        .groupBy(col("event_type"))
+        .agg(sum(col("wgt") * col("gsum")).as("dsum"))
+      s2.join(dsum, "event_type").join(broadcast(meta), "event_type")
+        .select(col("event_type"), col("n"), col("k"),
+          round(col("s2sum").cast("double") * (col("k") + 1)
+            / (col("n") * col("dsum")).cast("double") * 1e6)
+            .cast("long").as("eta_e6"))
+        .withColumn("reject_5pct", col("eta_e6") > 463000L)
+        .withColumn("reject_1pct", col("eta_e6") > 739000L)
+        .orderBy(col("event_type"))
+    }, Some(
+      """WITH daily AS (
+           SELECT event_type, cast(ts AS date) AS day,
+                  cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS x
+           FROM events GROUP BY 1, 2),
+         meta AS (
+           SELECT event_type, count(*) AS n, cast(sum(x) AS bigint) AS sx,
+                  cast(floor(cbrt(cast(count(*) AS double))) AS bigint) AS k
+           FROM daily GROUP BY 1),
+         e AS (
+           SELECT d.event_type,
+                  row_number() OVER (PARTITION BY d.event_type ORDER BY d.day)
+                    AS t,
+                  m.n, m.k, m.n * d.x - m.sx AS ebig
+           FROM daily d JOIN meta m ON m.event_type = d.event_type),
+         te AS (
+           SELECT *, sum(ebig) OVER (PARTITION BY event_type ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS tbig
+           FROM e),
+         s2 AS (
+           SELECT event_type,
+                  cast(sum(cast(round((tbig * 1.0 / n / 1000.0)
+                    * (tbig * 1.0 / n / 1000.0)) AS bigint)) AS bigint)
+                    AS s2sum
+           FROM te GROUP BY 1),
+         gs AS (
+           SELECT a.event_type, b.t - a.t AS j, a.k,
+                  cast(sum(cast(round((a.ebig * 1.0 / a.n / 1000.0)
+                    * (b.ebig * 1.0 / a.n / 1000.0)) AS bigint)) AS bigint)
+                    AS gsum
+           FROM e a JOIN e b ON b.event_type = a.event_type
+             AND b.t >= a.t AND b.t <= a.t + a.k
+           GROUP BY 1, 2, 3),
+         ds AS (
+           SELECT event_type,
+                  cast(sum((CASE WHEN j = 0 THEN k + 1
+                            ELSE 2 * (k + 1 - j) END) * gsum) AS bigint)
+                    AS dsum
+           FROM gs GROUP BY 1),
+         eta AS (
+           SELECT s2.event_type, m.n, m.k,
+                  cast(round(cast(s2.s2sum AS double) * (m.k + 1)
+                    / cast(m.n * ds.dsum AS double) * 1e6) AS bigint)
+                    AS eta_e6
+           FROM s2 JOIN ds ON ds.event_type = s2.event_type
+           JOIN meta m ON m.event_type = s2.event_type)
+         SELECT event_type, cast(n AS bigint) AS n, cast(k AS bigint) AS k,
+                eta_e6, eta_e6 > 463000 AS reject_5pct,
+                eta_e6 > 739000 AS reject_1pct
+         FROM eta ORDER BY 1""")),
+
     // ----- T2: stationarity repair, driver-visible via its ledger ---------
 
     ("t2_stationarity_ledger", (s: SparkSession, d: String) => {
