@@ -181,6 +181,121 @@ object Estimation {
            AND rev_l2 IS NOT NULL AND n_orders_l2 IS NOT NULL
          ORDER BY month""")),
 
+    // ----- M18 (ext.): block-bootstrap CI as a distributed grid -----------
+
+    ("m18_bootstrap_ci", (s: SparkSession, d: String) => {
+      // Circular BLOCK bootstrap confidence interval for the random-walk
+      // forecast MSFE on the monthly revenue panel — the uncertainty
+      // quantification the m-family's point MSFEs lack, and the textbook
+      // embarrassingly-parallel Spark shape: B=200 replicates x m blocks
+      // is a GRID (like the tuner's alpha x lambda fan-out), each
+      // replicate resamples length-6 blocks of the error series
+      // circularly and re-computes the statistic; the CI is the exact
+      // 2.5%/97.5% order statistics over the 200 replicate values.
+      // Deterministic end to end: errors are integer cent first
+      // differences (per-row-rounded sums, the w17 treatment), block
+      // starts come from the shared fmix32 hash of (replicate, block) —
+      // reproducible resampling, the x5/x14 derandomization rule applied
+      // to the bootstrap — squared errors are integer, replicate MSFEs
+      // round one exact integer division, and the order statistics are
+      // integer compares. Scale: the error series is calendar-bounded
+      // (broadcast); the grid is B x n rows — fan-out work, one shuffle
+      // on the replicate id, no corpus-sized state.
+      val monthly = Tables.orders(s, d)
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev_c"))
+      val wM = Window.orderBy(col("month"))
+      // Errors rescale to KILO-dollars before squaring: monthly revenue
+      // diffs reach ~1e10 cents at sf0.1, whose square overflows int64 —
+      // the same class as the fmix32 advice finding, caught here by the
+      // ANSI gate instead of shipping.
+      val err = monthly
+        .withColumn("ec", col("rev_c") - lag(col("rev_c"), 1).over(wM))
+        .filter(col("ec").isNotNull)
+        .withColumn("e", round(col("ec").cast("double") / 1e5).cast("long"))
+        .withColumn("idx",
+          row_number().over(Window.orderBy(col("month"))) - 1)
+        .select(col("idx").cast("long").as("idx"), col("e"))
+      val meta = err.agg(count(lit(1)).as("n"))
+      val bL = 6
+      val nB = 200
+      val draws = s.range(1, nB + 1).select(col("id").as("b"))
+        .crossJoin(broadcast(meta))
+        .select(col("b"), col("n"),
+          explode(expr(s"sequence(0, (n + ${bL - 1}) div $bL - 1)")).as("j"))
+        .withColumn("start",
+          Relational.fmix32(col("b") * 131 + col("j") * 17) % col("n"))
+        .select(col("b"), col("n"), col("j"), col("start"),
+          explode(expr(s"sequence(0, ${bL - 1})")).as("i"))
+        .filter(col("j") * bL + col("i") < col("n"))
+        .withColumn("idx", (col("start") + col("i")) % col("n"))
+        .join(broadcast(err), "idx")
+      val msfeB = draws.groupBy(col("b"))
+        .agg(round(sum(col("e") * col("e")) / count(lit(1)))
+          .cast("long").as("msfe"))
+        .withColumn("r", row_number().over(Window.orderBy(col("msfe"), col("b"))))
+      val point = err.agg(
+        round(sum(col("e") * col("e")) / count(lit(1))).cast("long")
+          .as("msfe_kusd2"), count(lit(1)).as("n_errors"))
+      point.crossJoin(broadcast(
+          msfeB.filter(col("r") === 5).select(col("msfe").as("ci_lo_kusd2"))))
+        .crossJoin(broadcast(
+          msfeB.filter(col("r") === 195).select(col("msfe").as("ci_hi_kusd2"))))
+        .select(col("n_errors"), lit(nB.toLong).as("n_boot"),
+          col("msfe_kusd2"), col("ci_lo_kusd2"), col("ci_hi_kusd2"))
+    }, Some(
+      """WITH monthly AS (
+           SELECT date_trunc('month', o_orderdate) AS month,
+                  cast(sum(cast(round(o_totalprice * 100) AS bigint)) AS bigint)
+                    AS rev_c
+           FROM orders GROUP BY 1),
+         er0 AS (
+           SELECT month, rev_c - lag(rev_c, 1) OVER (ORDER BY month) AS ec
+           FROM monthly),
+         err AS (
+           SELECT row_number() OVER (ORDER BY month) - 1 AS idx,
+                  cast(round(ec / 100000.0) AS bigint) AS e
+           FROM er0 WHERE ec IS NOT NULL),
+         meta AS (SELECT count(*) AS n FROM err),
+         grid AS (
+           SELECT b.b, m.n, j.j
+           FROM (SELECT unnest(generate_series(1, 200)) AS b) b
+           CROSS JOIN meta m
+           JOIN (SELECT unnest(generate_series(0, 1000)) AS j) j
+             ON j.j <= (m.n + 5) // 6 - 1),
+         x0 AS (SELECT b, n, j, (b * 131 + j * 17) % 4294967296 AS x FROM grid),
+         h0 AS (SELECT b, n, j, ((x * 2147483648) % 4294967296
+                  + (x * 506952113) % 4294967296) % 4294967296 AS m1 FROM x0),
+         h1 AS (SELECT b, n, j, xor(m1, m1 >> 16) AS v1 FROM h0),
+         h2 AS (SELECT b, n, j, (v1 * 1540483477) % 4294967296 AS m2 FROM h1),
+         h3 AS (SELECT b, n, j, xor(m2, m2 >> 13) AS v2 FROM h2),
+         h4 AS (SELECT b, n, j, (v2 * 1033321189) % 4294967296 AS m3 FROM h3),
+         st AS (SELECT b, n, j, xor(m3, m3 >> 16) % n AS start FROM h4),
+         dr AS (
+           SELECT s.b, (s.start + i.i) % s.n AS idx
+           FROM st s
+           JOIN (SELECT unnest(generate_series(0, 5)) AS i) i
+             ON s.j * 6 + i.i < s.n),
+         msfeb AS (
+           SELECT d.b,
+                  cast(round(cast(sum(e.e * e.e) AS bigint) / count(*))
+                    AS bigint) AS msfe
+           FROM dr d JOIN err e ON e.idx = d.idx
+           GROUP BY 1),
+         ranked AS (
+           SELECT msfe, row_number() OVER (ORDER BY msfe, b) AS r FROM msfeb),
+         pt AS (
+           SELECT cast(round(cast(sum(e * e) AS bigint) / count(*)) AS bigint)
+                    AS msfe_kusd2,
+                  count(*) AS n_errors
+           FROM err)
+         SELECT cast(pt.n_errors AS bigint) AS n_errors,
+                cast(200 AS bigint) AS n_boot, pt.msfe_kusd2,
+                lo.msfe AS ci_lo_kusd2, hi.msfe AS ci_hi_kusd2
+         FROM pt,
+              (SELECT msfe FROM ranked WHERE r = 5) lo,
+              (SELECT msfe FROM ranked WHERE r = 195) hi""")),
+
     // ----- M16: AR(1) coefficient, fully declarative ----------------------
 
     ("m16_ar1_phi", (s: SparkSession, d: String) => {
