@@ -29,7 +29,11 @@ import org.apache.spark.sql.types._
   *    folded through the bounded top_k_pairs aggregate), and
   *  - the x25 drift monitor's deployment shape (driftBinStream —
   *    frozen reference octiles, windowed bin counts, 8 longs of state
-  *    per group).
+  *    per group), and
+  *  - the Spark 4 arbitrary-state API (topKPurchasesStream — a
+  *    StatefulProcessor via transformWithState keeping a bounded
+  *    per-user top-k, the stateful analog of the top_k_pairs
+  *    aggregate, converging to the batch cut exactly).
   *
   * Scale posture: all are keyed-state streaming aggregations — state is
   * bounded by (watermark horizon × key cardinality) or by key cardinality
@@ -355,6 +359,70 @@ object EventStream {
       .agg(count(lit(1)).as("c"))
       .select(col("win.start").as("window_start"), col("event_type"),
         col("bin"), col("c"))
+  }
+
+  final case class TopKState(pairs: List[(Long, Long)])
+  final case class TopKUpdate(
+      user_id: Long, n_seen: Long,
+      v1_c: Long, v2_c: Long, v3_c: Long,
+      id1: Long, id2: Long, id3: Long)
+
+  /** Per-user running top-3 purchases via `transformWithState` — the
+    * Spark 4 arbitrary-state API (StatefulProcessor + typed state
+    * handles, the successor to mapGroupsWithState): the state is a
+    * BOUNDED k-pair list per user — the stateful analog of the batch
+    * `top_k_pairs` aggregate, and the test closes that loop by
+    * comparing the final emission per user against topKCut over the
+    * same purchases. Ordering matches the aggregate exactly (value
+    * desc, event_id asc on ties); each micro-batch emits one refreshed
+    * snapshot per updated user (update-mode), tagged with a
+    * monotonically increasing n_seen so a replay can identify the
+    * final state without batch ids. Values are per-row cent-rounded
+    * BEFORE entering state (the integer-exactness rule).
+    */
+  def topKPurchasesStream(events: DataFrame): org.apache.spark.sql.Dataset[TopKUpdate] = {
+    val s = events.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{StatefulProcessor, TimeMode, OutputMode, TTLConfig, TimerValues, ValueState}
+    import org.apache.spark.sql.Encoders
+    class TopKProcessor extends StatefulProcessor[Long, (Long, Long, Long), TopKUpdate] {
+      @transient private var st: ValueState[TopKState] = _
+      @transient private var seen: ValueState[Long] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+        st = getHandle.getValueState[TopKState]("topk",
+          Encoders.product[TopKState], TTLConfig.NONE)
+        seen = getHandle.getValueState[Long]("seen",
+          Encoders.scalaLong, TTLConfig.NONE)
+      }
+      override def handleInputRows(
+          key: Long, rows: Iterator[(Long, Long, Long)],
+          timerValues: TimerValues): Iterator[TopKUpdate] = {
+        var pairs = Option(st.get()).map(_.pairs).getOrElse(Nil)
+        var n = Option(seen.get()).getOrElse(0L)
+        rows.foreach { case (_, eid, vc) =>
+          n += 1
+          // (value desc, id asc) — the top_k_pairs tie-break, kept
+          // sorted so the k-bound cut is a take(3).
+          pairs = ((vc, eid) :: pairs)
+            .sortBy { case (v, id) => (-v, id) }.take(3)
+        }
+        st.update(TopKState(pairs))
+        seen.update(n)
+        def at(i: Int, f: ((Long, Long)) => Long, dflt: Long): Long =
+          if (pairs.length > i) f(pairs(i)) else dflt
+        Iterator.single(TopKUpdate(key, n,
+          at(0, _._1, -1L), at(1, _._1, -1L), at(2, _._1, -1L),
+          at(0, _._2, -1L), at(1, _._2, -1L), at(2, _._2, -1L)))
+      }
+    }
+    events
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"),
+        round(col("value") * 100).cast("long").as("vc"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new TopKProcessor,
+        TimeMode.None(), OutputMode.Update())
   }
 
   /** The documents file schema for the streaming corpus source. */

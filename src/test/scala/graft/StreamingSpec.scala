@@ -291,6 +291,77 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(over == 0, "a drift group exceeded the 8-bin bound")
   }
 
+  test("transformWithState top-k: the final per-user state equals the batch top_k_pairs cut") {
+    // The Spark 4 arbitrary-state API (StatefulProcessor) driven across
+    // micro-batches, closed against the batch kernel it mirrors: the
+    // bounded per-user top-3 purchase state must converge to EXACTLY
+    // what AnnIndex.topKCut computes over the same purchases — same
+    // (value desc, id asc) tie-break, same k-bound. Purchases split
+    // adversarially (later batch carries higher values, forcing state
+    // replacement). transformWithState requires the RocksDB state store
+    // provider; set for this query, restored after.
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.Encoders
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(provKey)
+    s.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream(
+        Encoders.tuple(Encoders.scalaLong, Encoders.TIMESTAMP,
+          Encoders.scalaLong, Encoders.STRING, Encoders.scalaDouble),
+        s.sqlContext)
+      val base = 1699999200000L
+      def t(min: Int) = new java.sql.Timestamp(base + min * 60000L)
+      val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
+      // user 1: 5 purchases split 3/2; user 2: 2; a click that must be
+      // ignored; ties on value (ids 104 vs 101) resolve to the lower id.
+      val batch1 = Seq((100L, t(1), 1L, "purchase", 5.0),
+        (101L, t(2), 1L, "purchase", 9.0), (102L, t(3), 1L, "purchase", 7.0),
+        (200L, t(4), 2L, "purchase", 4.0), (900L, t(5), 1L, "click", 99.0))
+      val batch2 = Seq((103L, t(6), 1L, "purchase", 8.0),
+        (104L, t(7), 1L, "purchase", 9.0), (201L, t(8), 2L, "purchase", 6.0))
+      val q = EventStream.topKPurchasesStream(ms.toDF.toDF(cols: _*))
+        .writeStream.format("memory").queryName("twstate_topk")
+        .outputMode("update").start()
+      try {
+        ms.addData(batch1: _*); q.processAllAvailable()
+        ms.addData(batch2: _*); q.processAllAvailable()
+      } finally q.stop()
+      // Final state per user = the row with max n_seen.
+      val fin = spark.table("twstate_topk")
+        .orderBy(col("user_id"), col("n_seen").desc)
+        .collect().groupBy(_.getLong(0)).map { case (u, rs) => u -> rs.head }
+      // Batch kernel over the same purchases through topKCut.
+      val purchases = (batch1 ++ batch2).filter(_._4 == "purchase")
+        .map(r => (r._3, r._1, math.round(r._5 * 100)))
+        .toDF("user_id", "event_id", "vc")
+      val want = graft.operators.AnnIndex.topKCut(purchases,
+          "user_id", "vc", "event_id", k = 3, ascending = false,
+          scoreName = "vc", idName = "event_id")
+        .collect().groupBy(_.getLong(0))
+        .map { case (u, rs) =>
+          u -> rs.sortBy(_.getInt(3)).map(r => (r.getLong(2), r.getLong(1)))
+        }
+      want.foreach { case (u, pairs) =>
+        val f = fin(u)
+        val got = Seq((f.getLong(2), f.getLong(5)), (f.getLong(3), f.getLong(6)),
+          (f.getLong(4), f.getLong(7))).filter(_._1 >= 0)
+        assert(got == pairs.toSeq,
+          s"user $u: streaming state $got != batch cut ${pairs.toSeq}")
+      }
+      // The tie (9.0 at ids 101 and 104) resolves to the lower id first.
+      assert(fin(1L).getLong(5) == 101L && fin(1L).getLong(6) == 104L)
+    } finally {
+      prev match {
+        case Some(v) => s.conf.set(provKey, v)
+        case None => s.conf.unset(provKey)
+      }
+    }
+  }
+
   test("streaming dedup keeps each event_id once") {
     val q = EventStream.dedupStream(EventStream.readEvents(spark, sfDir))
       .writeStream.format("memory").queryName("dedup").outputMode("append").start()
