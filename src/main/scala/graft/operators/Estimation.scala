@@ -181,9 +181,9 @@ object Estimation {
            AND rev_l2 IS NOT NULL AND n_orders_l2 IS NOT NULL
          ORDER BY month""")),
 
-    // ----- M18 (ext.): block-bootstrap CI as a distributed grid -----------
+    // ----- M19 (ext.): block-bootstrap CI as a distributed grid -----------
 
-    ("m18_bootstrap_ci", (s: SparkSession, d: String) => {
+    ("m19_bootstrap_ci", (s: SparkSession, d: String) => {
       // Circular BLOCK bootstrap confidence interval for the random-walk
       // forecast MSFE on the monthly revenue panel — the uncertainty
       // quantification the m-family's point MSFEs lack, and the textbook
