@@ -3446,6 +3446,90 @@ object TextPipeline {
                 (cast(sum(term_e6) AS bigint) > 200000) AS drifted
          FROM terms GROUP BY 1 ORDER BY 1""")),
 
+    ("x27_source_report", (s: SparkSession, d: String) => {
+      // Per-source corpus health — the one-page report a curation team
+      // reviews before a training run, composed from kernels the engine
+      // already computes (and at 100 TB already CACHES): per source,
+      // document and token volume, the x6 quality-kept rate, and the
+      // near-dup participation rate (share of docs in a d7 cluster of
+      // size >= 2 — the d5/d7 pair table and labels are the shared
+      // per-session artifacts, so this report costs one corpus pass for
+      // the quality flags plus joins against pair-bounded tables).
+      // Ratios e6-quantize from integer count pairs — oracle-exact; the
+      // report is the composition's value: volume, quality, and
+      // duplication land in ONE relation keyed by source, the thing
+      // dashboards and mixture planners consume.
+      val docs = Tables.documents(s, d)
+      val labels = dupLabelsFor(s, d, docs, minJaccard = 0.5)
+      val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("cs"))
+      val dupDocs = labels.join(sizes, "lbl").filter(col("cs") >= 2)
+        .select(col("node").as("doc_id"), lit(1L).as("is_dup"))
+      withQualityFlags(docs)
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("kept").cast("long").as("kept"))
+        .join(dupDocs, Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          sum(col("kept")).as("n_kept"),
+          sum(coalesce(col("is_dup"), lit(0L))).as("n_dup"))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("n_kept"), col("n_dup"),
+          round(col("n_kept") * lit(1000000L) / col("n_docs")).cast("long")
+            .as("kept_rate_e6"),
+          round(col("n_dup") * lit(1000000L) / col("n_docs")).cast("long")
+            .as("dup_rate_e6"))
+        .orderBy(col("source"))
+    }, Some(
+      s"""WITH RECURSIVE $d5OracleCtes,
+         prs AS (
+           SELECT m.doc_a, m.doc_b
+           FROM com m
+           JOIN sizes sa ON sa.doc_id = m.doc_a
+           JOIN sizes sb ON sb.doc_id = m.doc_b
+           WHERE m.common * 1.0 / (sa.n + sb.n - m.common) >= 0.5),
+         edges AS (
+           SELECT doc_a AS src, doc_b AS dst FROM prs
+           UNION ALL SELECT doc_b, doc_a FROM prs),
+         reach(node, lbl) AS (
+           SELECT src, src FROM edges
+           UNION
+           SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+         comp AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY 1),
+         csz AS (SELECT cluster_id, count(*) AS cs FROM comp GROUP BY 1),
+         dupd AS (
+           SELECT c.node AS doc_id FROM comp c
+           JOIN csz z ON z.cluster_id = c.cluster_id WHERE z.cs >= 2),
+         q AS (
+           SELECT doc_id, source,
+                  length(trim(text)) - length(replace(trim(text), ' ', '')) + 1
+                    AS n_tokens,
+                  CASE WHEN NOT (length(trim(text))
+                           - length(replace(trim(text), ' ', '')) + 1 < 25)
+                        AND NOT (cast(length(replace(text, ' ', '')) AS double)
+                           / (length(trim(text))
+                              - length(replace(trim(text), ' ', '')) + 1) > 5.0)
+                        AND NOT (cast(len(list_filter(string_split(text, ' '),
+                              t -> t = 'the' OR t = 'a')) AS double)
+                           / (length(trim(text))
+                              - length(replace(trim(text), ' ', '')) + 1) < 0.02)
+                       THEN 1 ELSE 0 END AS kept
+           FROM documents),
+         rep AS (
+           SELECT q.source, count(*) AS n_docs,
+                  cast(sum(q.n_tokens) AS bigint) AS n_tokens,
+                  cast(sum(q.kept) AS bigint) AS n_kept,
+                  cast(sum(CASE WHEN dd.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS bigint) AS n_dup
+           FROM q LEFT JOIN dupd dd ON dd.doc_id = q.doc_id
+           GROUP BY 1)
+         SELECT source, cast(n_docs AS bigint) AS n_docs, n_tokens, n_kept,
+                n_dup,
+                cast(round(n_kept * 1000000 / n_docs) AS bigint)
+                  AS kept_rate_e6,
+                cast(round(n_dup * 1000000 / n_docs) AS bigint) AS dup_rate_e6
+         FROM rep ORDER BY source""")),
+
     ("x26_quality_probe", (s: SparkSession, d: String) => {
       // Learned quality scoring — the fasttext-classifier slot of a
       // curation pipeline driven by the engine's own estimation surface:
