@@ -153,6 +153,41 @@ object Estimation {
       .orderBy(col("sel_rank"))
   }
 
+  /** The w18 kernel over any (event_type, day, x:long) daily panel —
+    * extracted so a test can plant a genuine level shift (the driver
+    * panel is i.i.d. and never trips the 1.358 threshold).
+    */
+  private[graft] def cusum(daily: DataFrame): DataFrame = {
+    val meta = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+    val wT = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val e = daily
+      .withColumn("t", row_number().over(wT))
+      .join(broadcast(meta), "event_type")
+      .withColumn("ebig", col("n") * col("x") - col("sx"))
+      .withColumn("tbig", sum(col("ebig")).over(
+        Window.partitionBy(col("event_type")).orderBy(col("t"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val peak = e
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("event_type"))
+          .orderBy(abs(col("tbig")).desc, col("t"))))
+      .filter(col("r") === 1)
+      .select(col("event_type"), abs(col("tbig")).as("m"),
+        col("t").as("t_hat"), col("day").as("day_hat"))
+    val g0 = e.select(col("event_type"),
+        round((col("ebig") * lit(1.0) / col("n") / lit(1000.0)) *
+          (col("ebig") * lit(1.0) / col("n") / lit(1000.0)))
+          .cast("long").as("ee"))
+      .groupBy(col("event_type")).agg(sum(col("ee")).as("g0"))
+    peak.join(g0, "event_type").join(broadcast(meta), "event_type")
+      .select(col("event_type"), col("n"),
+        round(col("m").cast("double") / (col("n") * lit(1000.0))
+          / sqrt(col("g0").cast("double")) * 1e6).cast("long").as("q_e6"),
+        col("t_hat"), col("day_hat"))
+      .withColumn("changepoint", col("q_e6") > 1358000L)
+  }
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
 
     // ----- W4 as a component: the reusable design-matrix builder ----------
@@ -524,6 +559,68 @@ object Estimation {
                 eta_e6, eta_e6 > 463000 AS reject_5pct,
                 eta_e6 > 739000 AS reject_1pct
          FROM eta ORDER BY 1""")),
+
+
+    // ----- W18 (ext.): CUSUM changepoint detection -------------------------
+
+    ("w18_cusum_changepoint", (s: SparkSession, d: String) => {
+      // CUSUM structural-break detection per series — the classic
+      // mean-shift monitor (Brownian-bridge sup-norm): the statistic is
+      // max_t |S_t| / (sigma_hat * sqrt(n)) over the partial sums S_t of
+      // the demeaned series, flagged against the 95% Kolmogorov critical
+      // value 1.358, with the argmax position as the changepoint
+      // estimate. Shares t8's integer machinery: demeaning multiplies
+      // through by n so E_t and the running T_t = n*S_t stay EXACT longs
+      // — max_t |T_t| and its argmax are pure integer comparisons (ties
+      // to the earliest t, both engines) — and sigma_hat^2 = gamma_0
+      // reuses the kilocent-rounded squared-term sum. The statistic
+      // assembles from three exact integers in one fixed double
+      // expression: (M/(n*1000)) / sqrt(g0) — the sqrt(n) and the /n in
+      // sigma cancel into sqrt(g0) since g0 already sums n terms.
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("x"))
+      cusum(daily).orderBy(col("event_type"))
+    }, Some(
+      """WITH daily AS (
+           SELECT event_type, cast(ts AS date) AS day,
+                  cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS x
+           FROM events GROUP BY 1, 2),
+         meta AS (
+           SELECT event_type, count(*) AS n, cast(sum(x) AS bigint) AS sx
+           FROM daily GROUP BY 1),
+         e AS (
+           SELECT d.event_type, d.day,
+                  row_number() OVER (PARTITION BY d.event_type ORDER BY d.day)
+                    AS t,
+                  m.n, m.n * d.x - m.sx AS ebig
+           FROM daily d JOIN meta m ON m.event_type = d.event_type),
+         te AS (
+           SELECT *, sum(ebig) OVER (PARTITION BY event_type ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS tbig
+           FROM e),
+         peak AS (
+           SELECT event_type, abs(tbig) AS m, t AS t_hat, day AS day_hat
+           FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+                   ORDER BY abs(tbig) DESC, t) AS r FROM te)
+           WHERE r = 1),
+         g0 AS (
+           SELECT event_type,
+                  cast(sum(cast(round((ebig * 1.0 / n / 1000.0)
+                    * (ebig * 1.0 / n / 1000.0)) AS bigint)) AS bigint) AS g0
+           FROM te GROUP BY 1)
+         SELECT p.event_type, cast(m2.n AS bigint) AS n,
+                cast(round(cast(p.m AS double) / (m2.n * 1000.0)
+                  / sqrt(cast(g0.g0 AS double)) * 1e6) AS bigint) AS q_e6,
+                cast(p.t_hat AS bigint) AS t_hat, p.day_hat,
+                cast(round(cast(p.m AS double) / (m2.n * 1000.0)
+                  / sqrt(cast(g0.g0 AS double)) * 1e6) AS bigint) > 1358000
+                  AS changepoint
+         FROM peak p
+         JOIN g0 ON g0.event_type = p.event_type
+         JOIN meta m2 ON m2.event_type = p.event_type
+         ORDER BY 1""")),
 
     // ----- T2: stationarity repair, driver-visible via its ledger ---------
 

@@ -97,6 +97,32 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       "guard is vacuous on this corpus: no doc was re-routed")
   }
 
+  test("cusum: a planted level shift trips the 1.358 threshold at the break point") {
+    // The changepoint=true branch the i.i.d. driver panel never reaches:
+    // a hard mean shift at day 15 of 30 must produce a CUSUM statistic
+    // far above the Brownian-bridge 95% critical value, with the argmax
+    // AT the break; an i.i.d.-ish control series on the same kernel must
+    // stay below it.
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    def day(i: Int) = java.sql.Date.valueOf(f"2024-02-${i + 1}%02d")
+    val shifted = (0 until 30).map(i =>
+      ("shift", day(i), if (i < 15) 100000L else 900000L))
+    val lcg = new TestData.Lcg(7L)
+    val flat = (0 until 30).map(i =>
+      ("flat", day(i), 500000L + math.round(lcg.gaussian() * 20000)))
+    val out = graft.operators.Estimation
+      .cusum((shifted ++ flat).toDF("event_type", "day", "x"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getInt(3), r.getBoolean(5)))
+      .toMap
+    val (q, tHat, flag) = out("shift")
+    assert(flag && q > 1358000L, s"planted shift not flagged: q=$q")
+    assert(tHat == 15, s"changepoint located at t=$tHat, want 15")
+    assert(!out("flat")._3, s"control series flagged: ${out("flat")}")
+  }
+
   test("lshSearch: planted near-duplicates are recalled at rank 1; candidate set is pruned") {
     // The reference-free quality gate VERDICT r3 asked for: uniform random
     // corpora have no recallable structure (any pruning search caps out
