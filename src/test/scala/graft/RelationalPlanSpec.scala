@@ -824,6 +824,31 @@ class RelationalPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"seed component mass distribution wrong: $rank")
   }
 
+  test("r11 plan shapes: j13 joins nothing, x25 broadcasts its cuts, m19 broadcasts the errors") {
+    // The at-scale claims the new queries' docs make, pinned:
+    //  - j13's forward as-of is the union+window kernel — NO join
+    //    operator anywhere (a regression to a range self-join would
+    //    still be hash-green on testdata while scaling as corpus^2);
+    //  - x25's octile cut tables broadcast back to both window scans
+    //    (losing the hint would shuffle the corpus on event_type);
+    //  - m19's calendar-bounded error series broadcasts into the
+    //    replicate grid (the fan-out side must never shuffle the grid
+    //    on idx).
+    val j13 = Relational.queries("j13_asof_forward")(spark, sfDir)
+      .queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!j13.contains("Join"), s"j13 grew a join:\n$j13")
+    assert(j13.contains("RunningWindowFunction") || j13.contains("Window"),
+      s"j13 lost the running-window kernel:\n$j13")
+    val x25 = graft.operators.TextPipeline.queries("x25_drift_psi")(spark, sfDir)
+      .queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert("BroadcastHashJoin".r.findAllIn(x25).size >= 2,
+      s"x25 lost the broadcast cut joins:\n$x25")
+    val m19 = graft.operators.Estimation.queries("m19_bootstrap_ci")(spark, sfDir)
+      .queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(m19.contains("BroadcastHashJoin"),
+      s"m19 lost the broadcast error join:\n$m19")
+  }
+
   test("fmix32: overflow-safe across the full 32-bit domain, ANSI-strict") {
     // The r10 advice finding: the first multiplier 0x9E3779B1 exceeds 2^31,
     // so the unsplit x*2654435761 overflows int64 from x ~ 3.47e9 — inside
