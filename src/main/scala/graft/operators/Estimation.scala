@@ -622,6 +622,62 @@ object Estimation {
          JOIN meta m2 ON m2.event_type = p.event_type
          ORDER BY 1""")),
 
+    // ----- W19 (ext.): robust anomaly flags (median/MAD) -------------------
+
+    ("w19_robust_anomaly", (s: SparkSession, d: String) => {
+      // Robust per-series spike detection — the median/MAD outlier rule
+      // (|x − median| / MAD > 3.5, Iglewicz–Hoaglin's cutoff family)
+      // that mean/stddev z-scores cannot do: one wild day inflates the
+      // stddev and masks itself, while the median and MAD are immune to
+      // half the panel going bad. Exactness without tolerance: daily
+      // values are per-row-rounded cent integers; the median of
+      // integers interpolates at most to a HALF-integer (dyadic 0.5 is
+      // exact — the a12 argument), so med2 = 2·median is an exact
+      // integer; deviations d2 = |2x − med2| are integers; the MAD
+      // interpolates the same way, so mad4 = 2·(median of d2) is
+      // integer; and the 3.5 cutoff clears denominators —
+      // d2/2 > 3.5 · mad4/4 ⟺ 4·d2 > 7·mad4 — an INTEGER comparison.
+      // Output: the flagged (series, day) spikes with their e6 robust
+      // z-scores. The per-series aggregates are calendar-bounded.
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("x"))
+      val med = daily.groupBy(col("event_type"))
+        .agg(round(expr("percentile(x, 0.5D)") * 2).cast("long").as("med2"))
+      val dev = daily.join(broadcast(med), "event_type")
+        .withColumn("d2", abs(col("x") * 2 - col("med2")))
+      val mad = dev.groupBy(col("event_type"))
+        .agg(round(expr("percentile(d2, 0.5D)") * 2).cast("long").as("mad4"))
+      dev.join(broadcast(mad), "event_type")
+        .filter(col("d2") * 4 > col("mad4") * 7)
+        .select(col("event_type"), col("day"), col("x"),
+          round(col("d2") * lit(2.0) / col("mad4") * 1e6).cast("long")
+            .as("robust_z_e6"))
+        .orderBy(col("event_type"), col("day"))
+    }, Some(
+      """WITH daily AS (
+           SELECT event_type, cast(ts AS date) AS day,
+                  cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS x
+           FROM events GROUP BY 1, 2),
+         med AS (
+           SELECT event_type,
+                  cast(round(quantile_cont(x, 0.5) * 2) AS bigint) AS med2
+           FROM daily GROUP BY 1),
+         dev AS (
+           SELECT d.event_type, d.day, d.x,
+                  abs(d.x * 2 - m.med2) AS d2
+           FROM daily d JOIN med m ON m.event_type = d.event_type),
+         mad AS (
+           SELECT event_type,
+                  cast(round(quantile_cont(d2, 0.5) * 2) AS bigint) AS mad4
+           FROM dev GROUP BY 1)
+         SELECT v.event_type, v.day, v.x,
+                cast(round(v.d2 * 2.0 / a.mad4 * 1e6) AS bigint)
+                  AS robust_z_e6
+         FROM dev v JOIN mad a ON a.event_type = v.event_type
+         WHERE v.d2 * 4 > a.mad4 * 7
+         ORDER BY v.event_type, v.day""")),
+
     // ----- T2: stationarity repair, driver-visible via its ledger ---------
 
     ("t2_stationarity_ledger", (s: SparkSession, d: String) => {
