@@ -153,6 +153,55 @@ object Estimation {
       .orderBy(col("sel_rank"))
   }
 
+  /** The t8 kernel over any (event_type, day, x:long) daily panel —
+    * extracted so a test can plant a random walk (the i.i.d. driver
+    * panel never rejects stationarity).
+    */
+  private[graft] def kpss(daily: DataFrame): DataFrame = {
+        val meta = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+      .withColumn("k", floor(cbrt(col("n").cast("double"))).cast("long"))
+    val wT = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val e = daily
+      .withColumn("t", row_number().over(wT))
+      .join(broadcast(meta), "event_type")
+      .withColumn("ebig", col("n") * col("x") - col("sx"))
+      .withColumn("tbig", sum(col("ebig")).over(
+        Window.partitionBy(col("event_type")).orderBy(col("t"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val s2 = e.select(col("event_type"),
+        round((col("tbig") * lit(1.0) / col("n") / lit(1000.0)) *
+          (col("tbig") * lit(1.0) / col("n") / lit(1000.0)))
+          .cast("long").as("s2t"))
+      .groupBy(col("event_type")).agg(sum(col("s2t")).as("s2sum"))
+    val ee = e.select(col("event_type"), col("t"), col("ebig"),
+      col("n"), col("k"))
+    val gs = ee.as("a").join(ee.as("b"),
+        col("a.event_type") === col("b.event_type") &&
+          col("b.t") >= col("a.t") &&
+          col("b.t") <= col("a.t") + col("a.k"))
+      .select(col("a.event_type").as("event_type"),
+        (col("b.t") - col("a.t")).as("j"), col("a.k").as("k"),
+        round((col("a.ebig") * lit(1.0) / col("a.n") / lit(1000.0)) *
+          (col("b.ebig") * lit(1.0) / col("a.n") / lit(1000.0)))
+          .cast("long").as("ee"))
+      .groupBy(col("event_type"), col("j"), col("k"))
+      .agg(sum(col("ee")).as("gsum"))
+    val dsum = gs
+      .withColumn("wgt",
+        when(col("j") === 0, col("k") + 1)
+          .otherwise(lit(2) * (col("k") + 1 - col("j"))))
+      .groupBy(col("event_type"))
+      .agg(sum(col("wgt") * col("gsum")).as("dsum"))
+    s2.join(dsum, "event_type").join(broadcast(meta), "event_type")
+      .select(col("event_type"), col("n"), col("k"),
+        round(col("s2sum").cast("double") * (col("k") + 1)
+          / (col("n") * col("dsum")).cast("double") * 1e6)
+          .cast("long").as("eta_e6"))
+      .withColumn("reject_5pct", col("eta_e6") > 463000L)
+      .withColumn("reject_1pct", col("eta_e6") > 739000L)
+  }
+
   /** The w18 kernel over any (event_type, day, x:long) daily panel —
     * extracted so a test can plant a genuine level shift (the driver
     * panel is i.i.d. and never trips the 1.358 threshold).
@@ -465,49 +514,7 @@ object Estimation {
       val daily = Tables.events(s, d)
         .groupBy(col("event_type"), to_date(col("ts")).as("day"))
         .agg(sum(round(col("value") * 100).cast("long")).as("x"))
-      val meta = daily.groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
-        .withColumn("k", floor(cbrt(col("n").cast("double"))).cast("long"))
-      val wT = Window.partitionBy(col("event_type")).orderBy(col("day"))
-      val e = daily
-        .withColumn("t", row_number().over(wT))
-        .join(broadcast(meta), "event_type")
-        .withColumn("ebig", col("n") * col("x") - col("sx"))
-        .withColumn("tbig", sum(col("ebig")).over(
-          Window.partitionBy(col("event_type")).orderBy(col("t"))
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      val s2 = e.select(col("event_type"),
-          round((col("tbig") * lit(1.0) / col("n") / lit(1000.0)) *
-            (col("tbig") * lit(1.0) / col("n") / lit(1000.0)))
-            .cast("long").as("s2t"))
-        .groupBy(col("event_type")).agg(sum(col("s2t")).as("s2sum"))
-      val ee = e.select(col("event_type"), col("t"), col("ebig"),
-        col("n"), col("k"))
-      val gs = ee.as("a").join(ee.as("b"),
-          col("a.event_type") === col("b.event_type") &&
-            col("b.t") >= col("a.t") &&
-            col("b.t") <= col("a.t") + col("a.k"))
-        .select(col("a.event_type").as("event_type"),
-          (col("b.t") - col("a.t")).as("j"), col("a.k").as("k"),
-          round((col("a.ebig") * lit(1.0) / col("a.n") / lit(1000.0)) *
-            (col("b.ebig") * lit(1.0) / col("a.n") / lit(1000.0)))
-            .cast("long").as("ee"))
-        .groupBy(col("event_type"), col("j"), col("k"))
-        .agg(sum(col("ee")).as("gsum"))
-      val dsum = gs
-        .withColumn("wgt",
-          when(col("j") === 0, col("k") + 1)
-            .otherwise(lit(2) * (col("k") + 1 - col("j"))))
-        .groupBy(col("event_type"))
-        .agg(sum(col("wgt") * col("gsum")).as("dsum"))
-      s2.join(dsum, "event_type").join(broadcast(meta), "event_type")
-        .select(col("event_type"), col("n"), col("k"),
-          round(col("s2sum").cast("double") * (col("k") + 1)
-            / (col("n") * col("dsum")).cast("double") * 1e6)
-            .cast("long").as("eta_e6"))
-        .withColumn("reject_5pct", col("eta_e6") > 463000L)
-        .withColumn("reject_1pct", col("eta_e6") > 739000L)
-        .orderBy(col("event_type"))
+      kpss(daily).orderBy(col("event_type"))
     }, Some(
       """WITH daily AS (
            SELECT event_type, cast(ts AS date) AS day,

@@ -97,6 +97,35 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       "guard is vacuous on this corpus: no doc was re-routed")
   }
 
+  test("kpss: a planted trend rejects stationarity at 1%; white noise does not") {
+    // The reject branch the i.i.d. driver panel never reaches: KPSS's
+    // null IS stationarity, so a strong trend must push eta past the 1%
+    // critical value 0.739 (a pure random walk at n=56 lands between
+    // the 5% and 1% values — direction right, magnitude sample-bound),
+    // while white noise on the same kernel stays under the 5% value
+    // 0.463. Deterministic LCG draws.
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    def day(i: Int) = java.sql.Date.valueOf(
+      f"2024-0${i / 28 + 1}%01d-${i % 28 + 1}%02d")
+    val lcg = new TestData.Lcg(11L)
+    val trend = (0 until 56).map { i =>
+      ("trend", day(i),
+        500000L + i * 40000L + math.round(lcg.gaussian() * 100000))
+    }
+    val lcg2 = new TestData.Lcg(13L)
+    val wn = (0 until 56).map(i =>
+      ("wn", day(i), 500000L + math.round(lcg2.gaussian() * 100000)))
+    val out = graft.operators.Estimation
+      .kpss((trend ++ wn).toDF("event_type", "day", "x"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(3), r.getBoolean(4), r.getBoolean(5)))
+      .toMap
+    assert(out("trend")._3, s"planted trend not rejected at 1%: ${out("trend")}")
+    assert(!out("wn")._2, s"white noise rejected at 5%: ${out("wn")}")
+  }
+
   test("cusum: a planted level shift trips the 1.358 threshold at the break point") {
     // The changepoint=true branch the i.i.d. driver panel never reaches:
     // a hard mean shift at day 15 of 30 must produce a CUSUM statistic
