@@ -1069,6 +1069,82 @@ object TextPipeline {
       .withColumn("drifted", col("psi_e6") > 200000L)
   }
 
+  /** The e7 oracle's CTE chain up through the per-query centroid
+    * distances (`pdist`) — shared with e17, which sweeps nprobe over the
+    * same prefix.
+    */
+  private val e7OraclePrefix: String =
+    """WITH ex AS (
+           SELECT vec_id, i, cast(embedding[i] AS double) AS v FROM (
+             SELECT vec_id, embedding,
+                    unnest(generate_series(1, len(embedding))) AS i
+             FROM embeddings)),
+         nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ex GROUP BY 1),
+         u AS (SELECT e.vec_id, e.i,
+                      cast(round(e.v / n.nrm * 1e6) AS bigint) AS ue6
+               FROM ex e JOIN nrm n ON n.vec_id = e.vec_id),
+         cb0 AS (SELECT cast(r - 1 AS int) AS cid, i, ue6 FROM (
+                   SELECT u.*, dense_rank() OVER (ORDER BY vec_id) AS r FROM u)
+                 WHERE r <= 16),
+         a0 AS (SELECT vec_id, cid FROM (
+                  SELECT vec_id, cid, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY dist, cid) AS rn
+                  FROM (SELECT u.vec_id, cb.cid,
+                               cast(sum((u.ue6 - cb.ue6) * (u.ue6 - cb.ue6))
+                                 AS bigint) AS dist
+                        FROM u JOIN cb0 cb ON cb.i = u.i GROUP BY 1, 2))
+                WHERE rn = 1),
+         cb1 AS (SELECT cb0.cid, cb0.i, coalesce(up.ue6, cb0.ue6) AS ue6
+                 FROM cb0 LEFT JOIN (
+                   SELECT a.cid, u.i,
+                          cast(floor(sum(u.ue6) * 1.0 / count(*) + 0.5) AS bigint) AS ue6
+                   FROM a0 a JOIN u ON u.vec_id = a.vec_id GROUP BY 1, 2) up
+                 ON up.cid = cb0.cid AND up.i = cb0.i),
+         a1 AS (SELECT vec_id, cid FROM (
+                  SELECT vec_id, cid, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY dist, cid) AS rn
+                  FROM (SELECT u.vec_id, cb.cid,
+                               cast(sum((u.ue6 - cb.ue6) * (u.ue6 - cb.ue6))
+                                 AS bigint) AS dist
+                        FROM u JOIN cb1 cb ON cb.i = u.i GROUP BY 1, 2))
+                WHERE rn = 1),
+         cb2 AS (SELECT cb1.cid, cb1.i, coalesce(up.ue6, cb1.ue6) AS ue6
+                 FROM cb1 LEFT JOIN (
+                   SELECT a.cid, u.i,
+                          cast(floor(sum(u.ue6) * 1.0 / count(*) + 0.5) AS bigint) AS ue6
+                   FROM a1 a JOIN u ON u.vec_id = a.vec_id GROUP BY 1, 2) up
+                 ON up.cid = cb1.cid AND up.i = cb1.i),
+         a2 AS (SELECT vec_id, cid FROM (
+                  SELECT vec_id, cid, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY dist, cid) AS rn
+                  FROM (SELECT u.vec_id, cb.cid,
+                               cast(sum((u.ue6 - cb.ue6) * (u.ue6 - cb.ue6))
+                                 AS bigint) AS dist
+                        FROM u JOIN cb2 cb ON cb.i = u.i GROUP BY 1, 2))
+                WHERE rn = 1),
+         alldots AS (
+           SELECT q.vec_id AS q_id, e.vec_id AS vec_id, sum(q.v * e.v) AS dot
+           FROM ex q JOIN ex e ON q.i = e.i
+           WHERE q.vec_id < 3 AND e.vec_id <> q.vec_id
+           GROUP BY 1, 2),
+         allscored AS (
+           SELECT d.q_id, d.vec_id,
+                  cast(round(d.dot / (nq.nrm * ne.nrm) * 1e6) AS bigint) AS c6
+           FROM alldots d
+           JOIN nrm nq ON nq.vec_id = d.q_id
+           JOIN nrm ne ON ne.vec_id = d.vec_id),
+         exact3 AS (
+           SELECT q_id, vec_id FROM (
+             SELECT *, row_number() OVER (PARTITION BY q_id
+                         ORDER BY c6 DESC, vec_id) AS rank
+             FROM allscored)
+           WHERE rank <= 3),
+         pdist AS (SELECT u.vec_id AS q_id, cb.cid,
+                          cast(sum((u.ue6 - cb.ue6) * (u.ue6 - cb.ue6))
+                            AS bigint) AS dist
+                   FROM u JOIN cb2 cb ON cb.i = u.i
+                   WHERE u.vec_id < 3 GROUP BY 1, 2)"""
+
   /** The e6 IVF-search oracle — shared verbatim with e15, whose
     * save/load roundtrip must reproduce the e6 answer exactly.
     */
@@ -1941,76 +2017,7 @@ object TextPipeline {
         .withColumn("recall", col("n_hits") / col("n_exact"))
         .orderBy(col("q_id"))
     }, Some(
-      """WITH ex AS (
-           SELECT vec_id, i, cast(embedding[i] AS double) AS v FROM (
-             SELECT vec_id, embedding,
-                    unnest(generate_series(1, len(embedding))) AS i
-             FROM embeddings)),
-         nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ex GROUP BY 1),
-         u AS (SELECT e.vec_id, e.i,
-                      cast(round(e.v / n.nrm * 1e6) AS bigint) AS ue6
-               FROM ex e JOIN nrm n ON n.vec_id = e.vec_id),
-         cb0 AS (SELECT cast(r - 1 AS int) AS cid, i, ue6 FROM (
-                   SELECT u.*, dense_rank() OVER (ORDER BY vec_id) AS r FROM u)
-                 WHERE r <= 16),
-         a0 AS (SELECT vec_id, cid FROM (
-                  SELECT vec_id, cid, row_number() OVER (
-                    PARTITION BY vec_id ORDER BY dist, cid) AS rn
-                  FROM (SELECT u.vec_id, cb.cid,
-                               cast(sum((u.ue6 - cb.ue6) * (u.ue6 - cb.ue6))
-                                 AS bigint) AS dist
-                        FROM u JOIN cb0 cb ON cb.i = u.i GROUP BY 1, 2))
-                WHERE rn = 1),
-         cb1 AS (SELECT cb0.cid, cb0.i, coalesce(up.ue6, cb0.ue6) AS ue6
-                 FROM cb0 LEFT JOIN (
-                   SELECT a.cid, u.i,
-                          cast(floor(sum(u.ue6) * 1.0 / count(*) + 0.5) AS bigint) AS ue6
-                   FROM a0 a JOIN u ON u.vec_id = a.vec_id GROUP BY 1, 2) up
-                 ON up.cid = cb0.cid AND up.i = cb0.i),
-         a1 AS (SELECT vec_id, cid FROM (
-                  SELECT vec_id, cid, row_number() OVER (
-                    PARTITION BY vec_id ORDER BY dist, cid) AS rn
-                  FROM (SELECT u.vec_id, cb.cid,
-                               cast(sum((u.ue6 - cb.ue6) * (u.ue6 - cb.ue6))
-                                 AS bigint) AS dist
-                        FROM u JOIN cb1 cb ON cb.i = u.i GROUP BY 1, 2))
-                WHERE rn = 1),
-         cb2 AS (SELECT cb1.cid, cb1.i, coalesce(up.ue6, cb1.ue6) AS ue6
-                 FROM cb1 LEFT JOIN (
-                   SELECT a.cid, u.i,
-                          cast(floor(sum(u.ue6) * 1.0 / count(*) + 0.5) AS bigint) AS ue6
-                   FROM a1 a JOIN u ON u.vec_id = a.vec_id GROUP BY 1, 2) up
-                 ON up.cid = cb1.cid AND up.i = cb1.i),
-         a2 AS (SELECT vec_id, cid FROM (
-                  SELECT vec_id, cid, row_number() OVER (
-                    PARTITION BY vec_id ORDER BY dist, cid) AS rn
-                  FROM (SELECT u.vec_id, cb.cid,
-                               cast(sum((u.ue6 - cb.ue6) * (u.ue6 - cb.ue6))
-                                 AS bigint) AS dist
-                        FROM u JOIN cb2 cb ON cb.i = u.i GROUP BY 1, 2))
-                WHERE rn = 1),
-         alldots AS (
-           SELECT q.vec_id AS q_id, e.vec_id AS vec_id, sum(q.v * e.v) AS dot
-           FROM ex q JOIN ex e ON q.i = e.i
-           WHERE q.vec_id < 3 AND e.vec_id <> q.vec_id
-           GROUP BY 1, 2),
-         allscored AS (
-           SELECT d.q_id, d.vec_id,
-                  cast(round(d.dot / (nq.nrm * ne.nrm) * 1e6) AS bigint) AS c6
-           FROM alldots d
-           JOIN nrm nq ON nq.vec_id = d.q_id
-           JOIN nrm ne ON ne.vec_id = d.vec_id),
-         exact3 AS (
-           SELECT q_id, vec_id FROM (
-             SELECT *, row_number() OVER (PARTITION BY q_id
-                         ORDER BY c6 DESC, vec_id) AS rank
-             FROM allscored)
-           WHERE rank <= 3),
-         pdist AS (SELECT u.vec_id AS q_id, cb.cid,
-                          cast(sum((u.ue6 - cb.ue6) * (u.ue6 - cb.ue6))
-                            AS bigint) AS dist
-                   FROM u JOIN cb2 cb ON cb.i = u.i
-                   WHERE u.vec_id < 3 GROUP BY 1, 2),
+      e7OraclePrefix + """,
          probe AS (SELECT q_id, cid FROM (
                      SELECT pdist.*, row_number() OVER (PARTITION BY q_id
                               ORDER BY dist, cid) AS crank FROM pdist)
@@ -2028,6 +2035,71 @@ object TextPipeline {
                 count(iv.vec_id) * 1.0 / count(*) AS recall
          FROM exact3 e3
          LEFT JOIN ivf3 iv ON iv.q_id = e3.q_id AND iv.vec_id = e3.vec_id
+         GROUP BY 1 ORDER BY 1""")),
+
+    ("e17_nprobe_sweep", (s: SparkSession, d: String) => {
+      // The recall-vs-nprobe TUNING CURVE — the artifact an ANN
+      // deployment is actually operated by: recall@3 against the exact
+      // top-3 at nprobe ∈ {1, 2, 4, 8} over the same shared quantizer,
+      // in one relation. This is the knob e6/e7 fix at 4; the sweep
+      // shows what each extra probed list buys (recall is monotone
+      // nondecreasing in nprobe by construction — a probe set at p is a
+      // subset of the set at p' > p — and a test asserts it). Four
+      // searches against the cached index; the oracle extends e7's
+      // replay with a probe-count dimension (crank <= p) over the SAME
+      // CTE prefix, so the two stay coupled. recall_e6 divides
+      // identical integer operands — cross-engine exact.
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val exact3 = exactTopK(e, q, 3).select(col("q_id"), col("vec_id"))
+      val idx = AnnIndex.ivfFor(s, d, e, nlist = 16, iters = 2)
+      val pvals = Seq(1, 2, 4, 8)
+      val sweeps = pvals.map { p =>
+        AnnIndex.ivfSearch(idx, col("vec_id") < 3, k = 3, nprobe = p)
+          .select(lit(p).as("vp"), col("q_id").as("ivf_q_id"),
+            col("vec_id").as("ivf_vec_id"))
+      }.reduce(_ unionByName _)
+      val gridExact = pvals.map(p => exact3.withColumn("nprobe", lit(p)))
+        .reduce(_ unionByName _)
+      gridExact.join(sweeps,
+          col("nprobe") === col("vp") && col("q_id") === col("ivf_q_id") &&
+            col("vec_id") === col("ivf_vec_id"), "left")
+        .groupBy(col("nprobe"))
+        .agg(countDistinct(col("q_id")).as("n_queries"),
+          count(lit(1)).as("n_exact"),
+          count(col("ivf_vec_id")).as("n_hits"))
+        .select(col("nprobe"), col("n_queries"), col("n_exact"), col("n_hits"),
+          round(col("n_hits") * lit(1000000L) / col("n_exact")).cast("long")
+            .as("recall_e6"))
+        .orderBy(col("nprobe"))
+    }, Some(e7OraclePrefix + """,
+         ps AS (SELECT unnest([1, 2, 4, 8]) AS p),
+         probe AS (
+           SELECT d.q_id, d.cid, ps.p FROM (
+             SELECT pdist.*, row_number() OVER (PARTITION BY q_id
+                      ORDER BY dist, cid) AS crank FROM pdist) d
+           CROSS JOIN ps WHERE d.crank <= ps.p),
+         cand AS (SELECT pr.p, pr.q_id, a2.vec_id FROM probe pr
+                  JOIN a2 ON a2.cid = pr.cid
+                  WHERE a2.vec_id <> pr.q_id),
+         ivf3 AS (SELECT p, q_id, vec_id FROM (
+                    SELECT c.p, a.q_id, a.vec_id, row_number() OVER (
+                      PARTITION BY c.p, a.q_id
+                      ORDER BY a.c6 DESC, a.vec_id) AS rank
+                    FROM allscored a JOIN cand c
+                      ON c.q_id = a.q_id AND c.vec_id = a.vec_id)
+                  WHERE rank <= 3),
+         gx AS (SELECT ps.p, e3.q_id, e3.vec_id
+                FROM exact3 e3 CROSS JOIN ps)
+         SELECT cast(g.p AS int) AS nprobe,
+                cast(count(DISTINCT g.q_id) AS bigint) AS n_queries,
+                cast(count(*) AS bigint) AS n_exact,
+                cast(count(iv.vec_id) AS bigint) AS n_hits,
+                cast(round(count(iv.vec_id) * 1000000 / count(*)) AS bigint)
+                  AS recall_e6
+         FROM gx g LEFT JOIN ivf3 iv
+           ON iv.p = g.p AND iv.q_id = g.q_id AND iv.vec_id = g.vec_id
          GROUP BY 1 ORDER BY 1""")),
 
     ("e6_ann_ivf_search", (s: SparkSession, d: String) => {

@@ -849,6 +849,20 @@ class RelationalPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"m19 lost the broadcast error join:\n$m19")
   }
 
+  test("e17: recall is monotone nondecreasing in nprobe (probe sets nest)") {
+    // The sweep's structural law: the probe set at p is a subset of the
+    // set at p' > p, so recall can only grow — a violation means the
+    // probe ranking or the candidate join broke, regardless of the
+    // hashes staying green at any single p.
+    val rows = graft.operators.TextPipeline
+      .queries("e17_nprobe_sweep")(spark, sfDir)
+      .collect().map(r => r.getInt(0) -> r.getLong(4)).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(1, 2, 4, 8))
+    rows.sliding(2).foreach { case Array((pa, ra), (pb, rb)) =>
+      assert(ra <= rb, s"recall fell from $ra at nprobe=$pa to $rb at nprobe=$pb")
+    }
+  }
+
   test("fmix32: overflow-safe across the full 32-bit domain, ANSI-strict") {
     // The r10 advice finding: the first multiplier 0x9E3779B1 exceeds 2^31,
     // so the unsplit x*2654435761 overflows int64 from x ~ 3.47e9 — inside
