@@ -726,7 +726,10 @@ object AnnIndex {
     scala.collection.concurrent.TrieMap.empty[String, String]
   def savedIvfFor(s: SparkSession, path: String, e: => DataFrame,
       nlist: Int, iters: Int): String =
-    savedIvfCache.getOrElseUpdate(path, {
+    // Keyed by (path, nlist, iters) to match ivfFor's cache contract
+    // (ADVICE r11) — a later call with different training parameters
+    // must train and persist its own artifact, not inherit the first.
+    savedIvfCache.getOrElseUpdate(s"$path|nlist=$nlist|iters=$iters", {
       val dir = java.nio.file.Files
         .createTempDirectory("graft_ivf_index_").toString
       saveIvf(ivfFor(s, path, e, nlist, iters), dir)

@@ -193,13 +193,19 @@ object Estimation {
           .otherwise(lit(2) * (col("k") + 1 - col("j"))))
       .groupBy(col("event_type"))
       .agg(sum(col("wgt") * col("gsum")).as("dsum"))
+    // dsum = 0 ⟺ zero-variance (constant) series: the long-run variance
+    // is undefined, so eta is a documented NULL and the rejects an
+    // explicit non-reject instead of a NULL flag (ADVICE r11).
     s2.join(dsum, "event_type").join(broadcast(meta), "event_type")
       .select(col("event_type"), col("n"), col("k"),
-        round(col("s2sum").cast("double") * (col("k") + 1)
-          / (col("n") * col("dsum")).cast("double") * 1e6)
-          .cast("long").as("eta_e6"))
-      .withColumn("reject_5pct", col("eta_e6") > 463000L)
-      .withColumn("reject_1pct", col("eta_e6") > 739000L)
+        when(col("dsum") =!= 0,
+          round(col("s2sum").cast("double") * (col("k") + 1)
+            / (col("n") * col("dsum")).cast("double") * 1e6)
+            .cast("long")).as("eta_e6"))
+      .withColumn("reject_5pct",
+        coalesce(col("eta_e6") > 463000L, lit(false)))
+      .withColumn("reject_1pct",
+        coalesce(col("eta_e6") > 739000L, lit(false)))
   }
 
   /** The w18 kernel over any (event_type, day, x:long) daily panel —
@@ -229,12 +235,36 @@ object Estimation {
           (col("ebig") * lit(1.0) / col("n") / lit(1000.0)))
           .cast("long").as("ee"))
       .groupBy(col("event_type")).agg(sum(col("ee")).as("g0"))
+    // g0 = 0 ⟺ constant series: no scale to normalize by — q is a
+    // documented NULL and changepoint an explicit false (ADVICE r11).
     peak.join(g0, "event_type").join(broadcast(meta), "event_type")
       .select(col("event_type"), col("n"),
-        round(col("m").cast("double") / (col("n") * lit(1000.0))
-          / sqrt(col("g0").cast("double")) * 1e6).cast("long").as("q_e6"),
+        when(col("g0") =!= 0,
+          round(col("m").cast("double") / (col("n") * lit(1000.0))
+            / sqrt(col("g0").cast("double")) * 1e6).cast("long"))
+          .as("q_e6"),
         col("t_hat"), col("day_hat"))
-      .withColumn("changepoint", col("q_e6") > 1358000L)
+      .withColumn("changepoint", coalesce(col("q_e6") > 1358000L, lit(false)))
+  }
+
+  /** The w19 kernel over any (event_type, day, x:long) daily panel —
+    * extracted (like [[kpss]]/[[cusum]]) so a test can plant a
+    * half-constant series where MAD = 0: the mad4 > 0 guard (ADVICE
+    * r11) means an undefined scale flags NOTHING rather than every
+    * deviating day with an infinite z, in both engines.
+    */
+  private[graft] def robustAnomaly(daily: DataFrame): DataFrame = {
+    val med = daily.groupBy(col("event_type"))
+      .agg(round(expr("percentile(x, 0.5D)") * 2).cast("long").as("med2"))
+    val dev = daily.join(broadcast(med), "event_type")
+      .withColumn("d2", abs(col("x") * 2 - col("med2")))
+    val mad = dev.groupBy(col("event_type"))
+      .agg(round(expr("percentile(d2, 0.5D)") * 2).cast("long").as("mad4"))
+    dev.join(broadcast(mad), "event_type")
+      .filter(col("mad4") > 0 && col("d2") * 4 > col("mad4") * 7)
+      .select(col("event_type"), col("day"), col("x"),
+        round(col("d2") * lit(2.0) / col("mad4") * 1e6).cast("long")
+          .as("robust_z_e6"))
   }
 
   val entries: Seq[(String, Q, Option[String])] = Seq(
@@ -557,14 +587,15 @@ object Estimation {
            FROM gs GROUP BY 1),
          eta AS (
            SELECT s2.event_type, m.n, m.k,
-                  cast(round(cast(s2.s2sum AS double) * (m.k + 1)
-                    / cast(m.n * ds.dsum AS double) * 1e6) AS bigint)
-                    AS eta_e6
+                  CASE WHEN ds.dsum <> 0 THEN
+                    cast(round(cast(s2.s2sum AS double) * (m.k + 1)
+                      / cast(m.n * ds.dsum AS double) * 1e6) AS bigint)
+                  END AS eta_e6
            FROM s2 JOIN ds ON ds.event_type = s2.event_type
            JOIN meta m ON m.event_type = s2.event_type)
          SELECT event_type, cast(n AS bigint) AS n, cast(k AS bigint) AS k,
-                eta_e6, eta_e6 > 463000 AS reject_5pct,
-                eta_e6 > 739000 AS reject_1pct
+                eta_e6, coalesce(eta_e6 > 463000, false) AS reject_5pct,
+                coalesce(eta_e6 > 739000, false) AS reject_1pct
          FROM eta ORDER BY 1""")),
 
 
@@ -618,12 +649,15 @@ object Estimation {
                     * (ebig * 1.0 / n / 1000.0)) AS bigint)) AS bigint) AS g0
            FROM te GROUP BY 1)
          SELECT p.event_type, cast(m2.n AS bigint) AS n,
-                cast(round(cast(p.m AS double) / (m2.n * 1000.0)
-                  / sqrt(cast(g0.g0 AS double)) * 1e6) AS bigint) AS q_e6,
+                CASE WHEN g0.g0 <> 0 THEN
+                  cast(round(cast(p.m AS double) / (m2.n * 1000.0)
+                    / sqrt(cast(g0.g0 AS double)) * 1e6) AS bigint)
+                END AS q_e6,
                 cast(p.t_hat AS bigint) AS t_hat, p.day_hat,
-                cast(round(cast(p.m AS double) / (m2.n * 1000.0)
-                  / sqrt(cast(g0.g0 AS double)) * 1e6) AS bigint) > 1358000
-                  AS changepoint
+                coalesce(CASE WHEN g0.g0 <> 0 THEN
+                  cast(round(cast(p.m AS double) / (m2.n * 1000.0)
+                    / sqrt(cast(g0.g0 AS double)) * 1e6) AS bigint)
+                END > 1358000, false) AS changepoint
          FROM peak p
          JOIN g0 ON g0.event_type = p.event_type
          JOIN meta m2 ON m2.event_type = p.event_type
@@ -649,18 +683,7 @@ object Estimation {
       val daily = Tables.events(s, d)
         .groupBy(col("event_type"), to_date(col("ts")).as("day"))
         .agg(sum(round(col("value") * 100).cast("long")).as("x"))
-      val med = daily.groupBy(col("event_type"))
-        .agg(round(expr("percentile(x, 0.5D)") * 2).cast("long").as("med2"))
-      val dev = daily.join(broadcast(med), "event_type")
-        .withColumn("d2", abs(col("x") * 2 - col("med2")))
-      val mad = dev.groupBy(col("event_type"))
-        .agg(round(expr("percentile(d2, 0.5D)") * 2).cast("long").as("mad4"))
-      dev.join(broadcast(mad), "event_type")
-        .filter(col("d2") * 4 > col("mad4") * 7)
-        .select(col("event_type"), col("day"), col("x"),
-          round(col("d2") * lit(2.0) / col("mad4") * 1e6).cast("long")
-            .as("robust_z_e6"))
-        .orderBy(col("event_type"), col("day"))
+      robustAnomaly(daily).orderBy(col("event_type"), col("day"))
     }, Some(
       """WITH daily AS (
            SELECT event_type, cast(ts AS date) AS day,
@@ -682,7 +705,7 @@ object Estimation {
                 cast(round(v.d2 * 2.0 / a.mad4 * 1e6) AS bigint)
                   AS robust_z_e6
          FROM dev v JOIN mad a ON a.event_type = v.event_type
-         WHERE v.d2 * 4 > a.mad4 * 7
+         WHERE a.mad4 > 0 AND v.d2 * 4 > a.mad4 * 7
          ORDER BY v.event_type, v.day""")),
 
     // ----- T2: stationarity repair, driver-visible via its ledger ---------

@@ -168,7 +168,12 @@ object EventStream {
   def bottomKStream(events: DataFrame, k: Int = 64): DataFrame = {
     import org.apache.spark.sql.GraftExpressionBridge
     val vc = round(col("value") * 100).cast("long")
-    val fp = (col("event_id") * 31 + col("user_id") * 7 + vc) % lit(4294967296L)
+    // pmod, not %: Spark's % is sign-preserving, and a negative value
+    // cent would push fp negative — outside fmix32's documented
+    // non-negative domain and corrupting the vc<<32|fp packing
+    // (ADVICE r11; identity on the non-negative driver data).
+    val fp = pmod(col("event_id") * 31 + col("user_id") * 7 + vc,
+      lit(4294967296L))
     val u = graft.operators.Relational.fmix32(fp)
     val pid = vc * lit(4294967296L) + fp
     val agg = GraftExpressionBridge.column(

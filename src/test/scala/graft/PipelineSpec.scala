@@ -152,6 +152,52 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!out("flat")._3, s"control series flagged: ${out("flat")}")
   }
 
+  test("kpss/cusum: a constant series yields NULL statistic and explicit non-reject") {
+    // The degenerate-series contract (ADVICE r11): zero variance means
+    // the long-run variance is 0, so the statistic is a documented NULL
+    // — NOT a division error or a NULL reject flag. Both kernels must
+    // return the row with flags explicitly false.
+    val s = spark
+    import s.implicits._
+    def day(i: Int) = java.sql.Date.valueOf(f"2024-03-${i + 1}%02d")
+    val const = (0 until 20).map(i => ("const", day(i), 424200L))
+    val k = graft.operators.Estimation.kpss(const.toDF("event_type", "day", "x"))
+      .collect()
+    assert(k.length == 1 && k(0).isNullAt(3), s"eta not NULL: ${k.toSeq}")
+    assert(!k(0).getBoolean(4) && !k(0).getBoolean(5),
+      s"constant series rejected stationarity: ${k.toSeq}")
+    val c = graft.operators.Estimation.cusum(const.toDF("event_type", "day", "x"))
+      .collect()
+    assert(c.length == 1 && c(0).isNullAt(2), s"q not NULL: ${c.toSeq}")
+    assert(!c(0).getBoolean(5), s"constant series flagged a changepoint: ${c.toSeq}")
+  }
+
+  test("robustAnomaly: MAD = 0 (half-constant series) flags nothing; a spiked control flags its spike") {
+    // >= half the days at the median makes MAD = 0 — scale undefined —
+    // so w19's guard must flag NO day (not every deviating day with an
+    // infinite z, ADVICE r11). The control series on the same kernel
+    // keeps flagging its genuine spike.
+    val s = spark
+    import s.implicits._
+    def day(i: Int) = java.sql.Date.valueOf(f"2024-04-${i + 1}%02d")
+    // 11 of 20 days exactly at 100000 → median 100000, d2 = 0 for a
+    // majority → MAD = 0; the other 9 days deviate wildly.
+    val degenerate = (0 until 20).map(i =>
+      ("deg", day(i), if (i < 11) 100000L else 100000L + (i - 10) * 777777L))
+    // Control: tight noise around 500000 with one huge spike at day 10.
+    val lcg = new TestData.Lcg(17L)
+    val ctrl = (0 until 20).map(i =>
+      ("ctrl", day(i),
+        if (i == 10) 5000000L else 500000L + math.round(lcg.gaussian() * 1000)))
+    val out = graft.operators.Estimation
+      .robustAnomaly((degenerate ++ ctrl).toDF("event_type", "day", "x"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toString))
+    assert(!out.exists(_._1 == "deg"),
+      s"MAD=0 series flagged days: ${out.filter(_._1 == "deg").toSeq}")
+    assert(out.contains(("ctrl", "2024-04-11")),
+      s"control spike not flagged: ${out.toSeq}")
+  }
+
   test("lshSearch: planted near-duplicates are recalled at rank 1; candidate set is pruned") {
     // The reference-free quality gate VERDICT r3 asked for: uniform random
     // corpora have no recallable structure (any pruning search caps out
