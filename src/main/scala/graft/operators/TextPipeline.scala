@@ -773,7 +773,10 @@ object TextPipeline {
       val mc = GraftExpressionBridge.column(BloomFilterMightContain(
         Literal.create(bfBytes, org.apache.spark.sql.types.BinaryType),
         GraftExpressionBridge.expression(xxhash64(col("content_hash")))))
-      batch.filter(!mc).unionByName(
+      // mc.isNull keeps NULL-hash rows on the definitely-fresh branch —
+      // the broadcast left_anti path keeps null-key rows too, so the two
+      // size-gate paths agree on null text (ADVICE r11).
+      batch.filter(mc.isNull || !mc).unionByName(
         batch.filter(mc)
           .join(corpusIdx.hint("merge"), Seq("content_hash"), "left_anti"))
     }
@@ -1223,6 +1226,113 @@ object TextPipeline {
                     ORDER BY cosine_e6 DESC, vec_id) AS rank
            FROM scored)
          WHERE rank <= 3 ORDER BY q_id, rank"""
+
+  /** x28's kernel — BPE merge TRAINING (the learned-merge half of a
+    * tokenizer, which x4's pre-tokenization stops short of): over a
+    * (word, cnt) frequency table, repeat k times — count adjacent symbol
+    * pairs weighted by word frequency, take the most frequent pair
+    * (ties: count desc, then (lhs, rhs) lexicographic — deterministic in
+    * both engines), rewrite every word's symbol sequence merging that
+    * pair greedily left-to-right non-overlapping (canonical BPE: "aaa"
+    * under (a,a) → [aa, a], the just-merged token never re-merges), and
+    * record the merge. Stops early when no pair remains.
+    *
+    * The rewrite is a per-row `aggregate` fold — codegen'd, no UDF, no
+    * shuffle; the ONLY shuffle per round is the pair-count groupBy over
+    * the vocab (map-side combinable, vocab ≪ corpus), and the only
+    * collect is the one argmax row per round (scalar, the g1/x26
+    * class). Each round's vocab is persisted and the previous round
+    * unpersisted, so lineage stays bounded at any k — the checkpoint
+    * contract GraphOps documents, made structural here. 100 TB: one
+    * corpus pass builds the word-frequency table; everything after is
+    * vocab-sized.
+    */
+  private[graft] def bpeMerges(words: DataFrame, k: Int): DataFrame = {
+    val s = words.sparkSession
+    var vocab = words
+      .select(col("cnt").cast("long").as("cnt"),
+        expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))")
+          .as("syms"))
+      .persist()
+    val merges =
+      scala.collection.mutable.ListBuffer.empty[(Int, String, String, String, Long)]
+    for (r <- 1 to k if merges.size == r - 1) {
+      val top = vocab.filter(size(col("syms")) >= 2)
+        .select(col("cnt"), explode(expr(
+          """transform(sequence(1, size(syms) - 1),
+             i -> struct(element_at(syms, i) AS l, element_at(syms, i + 1) AS r))"""))
+          .as("p"))
+        .groupBy(col("p.l").as("lhs"), col("p.r").as("rhs"))
+        .agg(sum(col("cnt")).as("pc"))
+        .orderBy(col("pc").desc, col("lhs"), col("rhs"))
+        .limit(1).collect()
+      if (top.nonEmpty) {
+        val (a, b, pc) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((r, a, b, a + b, pc))
+        val next = vocab.select(col("cnt"),
+          aggregate(
+            slice(col("syms"), lit(2), size(col("syms")) - 1),
+            array(element_at(col("syms"), 1)),
+            (acc, x) => when(
+              x === lit(b) && element_at(acc, -1) === lit(a),
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+              .otherwise(concat(acc, array(x))))
+            .as("syms"))
+          .persist()
+        next.count()
+        vocab.unpersist()
+        vocab = next
+      }
+    }
+    vocab.unpersist()
+    import s.implicits._
+    merges.toSeq.toDF("rank", "lhs", "rhs", "merged", "pair_count")
+  }
+
+  /** x28's DuckDB oracle: the SAME k-round fixpoint unrolled as CTEs
+    * (g1's pattern). The greedy non-overlapping rewrite replays as a
+    * `list_reduce` fold over a TAB-joined accumulator string: the last
+    * symbol is the suffix after the last tab, so "merge lhs·rhs" is
+    * exactly "append rhs without a tab" — and a just-merged token can't
+    * re-merge because its tail no longer reads ⇥lhs (verified against
+    * the Spark fold on planted runs, PipelineSpec). Symbols stay [a-z]+
+    * by construction, so the tab separator can't collide.
+    */
+  private def bpeOracleSql(k: Int): String = {
+    val rounds = (0 until k).map { r =>
+      val rewrite = if (r == 0) "" else s"""
+         seq$r AS (
+           SELECT s.cnt,
+                  string_split(list_reduce(s.syms,
+                    (acc, x) -> CASE WHEN x = t.r
+                          AND (acc = t.l OR ends_with(acc, chr(9) || t.l))
+                        THEN acc || x
+                        ELSE acc || chr(9) || x END), chr(9)) AS syms
+           FROM seq${r - 1} s, t${r - 1} t),"""
+      s"""$rewrite
+         p$r AS (
+           SELECT syms[i] AS l, syms[i + 1] AS r, cast(sum(cnt) AS bigint) AS pc
+           FROM (SELECT cnt, syms, unnest(generate_series(1, len(syms) - 1)) AS i
+                 FROM seq$r WHERE len(syms) >= 2)
+           GROUP BY 1, 2),
+         t$r AS (SELECT l, r, pc FROM p$r ORDER BY pc DESC, l, r LIMIT 1)"""
+    }.mkString(",")
+    val arms = (0 until k).map(r =>
+      s"SELECT ${r + 1} AS rank, l AS lhs, r AS rhs, l || r AS merged, pc AS pair_count FROM t$r")
+      .mkString("\n         UNION ALL ")
+    s"""WITH wf AS (
+           SELECT word, cast(count(*) AS bigint) AS cnt
+           FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+                 FROM documents)
+           GROUP BY 1),
+         seq0 AS (
+           SELECT cnt, list_transform(generate_series(1, length(word)),
+                    i -> substr(word, i, 1)) AS syms
+           FROM wf),$rounds
+         $arms
+         ORDER BY rank"""
+  }
 
   val entries: Seq[(String, Q, Option[String])] = Seq(
 
@@ -3601,6 +3711,22 @@ object TextPipeline {
                   AS kept_rate_e6,
                 cast(round(n_dup * 1000000 / n_docs) AS bigint) AS dup_rate_e6
          FROM rep ORDER BY source""")),
+
+    ("x28_bpe_merges", (s: SparkSession, d: String) => {
+      // BPE merge TRAINING over the corpus (VERDICT r11 #3) — the
+      // learned-merge table x4's pre-tokenization feeds: lowercase
+      // letter-run words (the [a-z]+ arm of x4's pre-tokenizer regex),
+      // frequency-weighted, 6 merge rounds. Output: the merge table a
+      // tokenizer ships — (rank, lhs, rhs, merged, pair_count) — the
+      // first k entries of a vocab build, replayed move-for-move by the
+      // unrolled-CTE oracle (deterministic argmax tie-break, greedy
+      // non-overlap rewrite pinned by the planted-corpus kernel test).
+      val words = Tables.documents(s, d)
+        .select(explode(
+          expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      bpeMerges(words, 6).orderBy(col("rank"))
+    }, Some(bpeOracleSql(6))),
 
     ("x26_quality_probe", (s: SparkSession, d: String) => {
       // Learned quality scoring — the fasttext-classifier slot of a

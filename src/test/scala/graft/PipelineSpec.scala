@@ -198,6 +198,35 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"control spike not flagged: ${out.toSeq}")
   }
 
+  test("bpeMerges: planted corpus learns the obvious merges in order, greedy non-overlap, early stop") {
+    // Canonical BPE on a corpus where every decision is hand-checkable:
+    //   round 1: (a,b) appears 2×10 (abab) + 5 (ab) = 25 — beats every
+    //            other pair, including (a,a)'s 14 from aaa;
+    //   round 2: (a,a) at 14 — and the GREEDY NON-OVERLAP rewrite must
+    //            turn aaa into [aa, a] (a naive rescan would double-merge);
+    //   round 3: (ab,ab) at 10 — multi-char symbols as a merge pair;
+    //   round 4: (aa,a) at 7 — the just-merged token joining a leftover;
+    //   round 5: (c,d) at 3; round 6+: vocabulary exhausted → early stop,
+    //            so k=8 still returns exactly 5 merges.
+    val s = spark
+    import s.implicits._
+    val words = Seq(("abab", 10L), ("ab", 5L), ("cd", 3L), ("aaa", 7L))
+      .toDF("word", "cnt")
+    val got = graft.operators.TextPipeline.bpeMerges(words, 8)
+      .orderBy(col("rank"))
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+      .toSeq
+    val want = Seq(
+      (1, "a", "b", "ab", 25L),
+      (2, "a", "a", "aa", 14L),
+      (3, "ab", "ab", "abab", 10L),
+      (4, "aa", "a", "aaa", 7L),
+      (5, "c", "d", "cd", 3L))
+    assert(got == want, s"merge table diverged:\n got: $got\nwant: $want")
+  }
+
   test("lshSearch: planted near-duplicates are recalled at rank 1; candidate set is pruned") {
     // The reference-free quality gate VERDICT r3 asked for: uniform random
     // corpora have no recallable structure (any pruning search caps out
