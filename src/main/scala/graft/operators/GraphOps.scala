@@ -21,10 +21,11 @@ import graft.sources.Tables
   * vector — broadcast while the node count fits the budget, shuffled on
   * the node key past it) + one aggregation (inflow by dst, map-side
   * combined down to |nodes| rows). State per superstep is one rank row
-  * per node — never edge-sized. A production run at 100 TB with deep
-  * iteration counts would checkpoint the rank frame every few
-  * supersteps to cut lineage; at 5 supersteps the pure plan is kept so
-  * the whole fixpoint stays oracle-replayable.
+  * per node — never edge-sized. Deep iteration counts checkpoint the
+  * rank frame every `checkpointEvery` supersteps to cut lineage
+  * (bit-identical to the pure plan — GraphOpsSpec runs iters=20 both
+  * ways); the driver queries keep the pure plan at 5 supersteps so the
+  * whole fixpoint stays oracle-replayable.
   *
   * Determinism: ranks are e12-quantized INTEGERS end to end — each
   * node's outflow is `rank div outdeg` (integral division, remainder
@@ -43,12 +44,25 @@ object GraphOps {
     * sums inflow by destination, and applies the integer damping
     * update. Uniform PageRank and the personalized variant differ ONLY
     * in the vectors they pass here.
+    *
+    * `checkpointEvery > 0` localCheckpoints the rank frame every that
+    * many supersteps (VERDICT r11 #4): the unrolled plan otherwise grows
+    * linearly with `iters` and Catalyst's optimization cost with it, so
+    * deep iteration counts MUST cut lineage. Checkpointing truncates to
+    * the materialized rank rows — node-sized, one long per node — and
+    * the integer arithmetic makes the result bit-identical to the pure
+    * plan (pinned by GraphOpsSpec). The default 0 keeps the driver
+    * queries pure at iters=5 so the whole fixpoint stays
+    * oracle-replayable. (localCheckpoint stores blocks on executors —
+    * fine at local[n] and for fault-free batch; a long-lived 1000-node
+    * run would use reliable `checkpoint()` with a checkpoint dir, same
+    * cadence.)
     */
   private def supersteps(
       ew: DataFrame, nodeBase: DataFrame, iters: Int,
-      dim: DataFrame => DataFrame): DataFrame = {
+      dim: DataFrame => DataFrame, checkpointEvery: Int = 0): DataFrame = {
     var ranks = nodeBase.select(col("node"), col("init_e12").as("rank_e12"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val inflow = ew
         .join(dim(ranks.withColumnRenamed("node", "src")), "src")
         .select(col("dst"), expr("rank_e12 div odeg").as("contrib"))
@@ -58,6 +72,8 @@ object GraphOps {
         .select(col("node"),
           (col("base_e12") + expr("85 * coalesce(inflow, 0L) div 100"))
             .as("rank_e12"))
+      if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters)
+        ranks = ranks.localCheckpoint()
     }
     ranks
   }
@@ -95,13 +111,14 @@ object GraphOps {
     */
   private[graft] def pageRank(
       edges: DataFrame, nodes: DataFrame, iters: Int = 5,
-      bcastNodeBudget: Long = 4L * 1000 * 1000): DataFrame = {
+      bcastNodeBudget: Long = 4L * 1000 * 1000,
+      checkpointEvery: Int = 0): DataFrame = {
     val n = nodes.count()
     val nodeBase = nodes.select(col("node"),
       lit(150000000000L / n).as("base_e12"),
       lit(1000000000000L / n).as("init_e12"))
     supersteps(withOutdeg(edges), nodeBase, iters,
-      rankDim(n, bcastNodeBudget))
+      rankDim(n, bcastNodeBudget), checkpointEvery)
   }
 
   /** Personalized PageRank: teleport mass lands ONLY on the seed set
@@ -113,7 +130,8 @@ object GraphOps {
     */
   private[graft] def personalizedPageRank(
       edges: DataFrame, nodes: DataFrame, seeds: DataFrame, iters: Int = 5,
-      bcastNodeBudget: Long = 4L * 1000 * 1000): DataFrame = {
+      bcastNodeBudget: Long = 4L * 1000 * 1000,
+      checkpointEvery: Int = 0): DataFrame = {
     val n = nodes.count()
     val nS = seeds.count()
     require(nS > 0, "personalized PageRank needs a non-empty seed set")
@@ -125,7 +143,7 @@ object GraphOps {
         when(col("is_seed"), lit(1000000000000L / nS)).otherwise(lit(0L))
           .as("init_e12"))
     supersteps(withOutdeg(edges), nodeBase, iters,
-      rankDim(n, bcastNodeBudget))
+      rankDim(n, bcastNodeBudget), checkpointEvery)
   }
 
   /** One unrolled superstep as a DuckDB CTE pair over the shared
