@@ -709,14 +709,64 @@ object AnnIndex {
   /** Load an IVF index persisted by [[saveIvf]]: the centroid collect is
     * nlist × dim longs (index metadata, the trainIvf class); the lists
     * stay a lazy parquet scan — the serving cluster's cache policy, not
-    * the loader's, decides their residency.
+    * the loader's, decides their residency. `listsName` selects which
+    * list generation to serve ("lists" as written by saveIvf, or
+    * "lists_compact" after [[compactIvf]]).
     */
-  def loadIvf(s: SparkSession, dir: String): IvfIndex = {
+  def loadIvf(s: SparkSession, dir: String,
+      listsName: String = "lists"): IvfIndex = {
     val cents = s.read.parquet(s"$dir/centroids").collect()
       .map(r => r.getInt(0) -> r.getSeq[Long](1))
       .sortBy(_._1).toSeq
-    IvfIndex(cents.length, cents, s.read.parquet(s"$dir/lists"))
+    IvfIndex(cents.length, cents, s.read.parquet(s"$dir/$listsName"))
   }
+
+  /** The DELETE half of the index lifecycle (e18, VERDICT r11 #5) —
+    * build (e6) / persist+load (e15) / append under frozen bounds (e14)
+    * covered the rest. Two phases, matching how a served index actually
+    * deletes:
+    *  - TOMBSTONE: `dead` (vec_id kill set) ships to
+    *    `dir/tombstones` — O(|dead|), no list touched; serving filters
+    *    the candidate side through the survivors (ivfSearch's
+    *    `candidates` anti/semi shape, one join keyed on vec_id).
+    *  - COMPACT: rewrite the inverted lists dropping tombstoned rows to
+    *    `dir/lists_compact` — a pure data rewrite, centroids FROZEN
+    *    (e14's frozen-bounds contract: assignments were computed under
+    *    the shipped quantizer and stay valid), after which serving needs
+    *    no runtime filter at all (RelationalPlanSpec pins the plan).
+    * 100 TB: tombstone cost is kill-set-sized; compaction is one
+    * anti-join + rewrite of the lists, amortized over every
+    * post-compaction query.
+    */
+  def tombstoneIvf(s: SparkSession, dir: String, dead: DataFrame): Unit =
+    dead.select(col("vec_id")).write.mode("overwrite")
+      .parquet(s"$dir/tombstones")
+
+  def compactIvf(s: SparkSession, dir: String): Unit = {
+    val ts = s.read.parquet(s"$dir/tombstones")
+    s.read.parquet(s"$dir/lists")
+      .join(ts, Seq("vec_id"), "left_anti")
+      .write.mode("overwrite").parquet(s"$dir/lists_compact")
+  }
+
+  /** Write-once tombstone+compaction of the shared saved artifact: the
+    * first call persists the e6/e7 index (via [[savedIvfFor]]), writes
+    * the kill set, and compacts; later calls reuse the artifact. Keyed
+    * by (path, nlist, iters, tag) — `tag` names the kill-set spec, the
+    * savedIvfFor cache-contract lesson (ADVICE r11) applied up front.
+    */
+  private val compactedIvfCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  def compactedIvfFor(s: SparkSession, path: String, e: => DataFrame,
+      nlist: Int, iters: Int, dead: => DataFrame, tag: String): String =
+    compactedIvfCache.getOrElseUpdate(
+      s"$path|nlist=$nlist|iters=$iters|dead=$tag",
+      timedBuild(s"ivf-compact:$nlist:$iters:$tag") {
+        val dir = savedIvfFor(s, path, e, nlist, iters)
+        tombstoneIvf(s, dir, dead)
+        compactIvf(s, dir)
+        dir
+      })
 
   /** Write-once-per-sfDir saved-index directory (the s13 asset-dir
     * pattern): the first call trains (or reuses) the shared e6/e7 index

@@ -2276,6 +2276,31 @@ object TextPipeline {
         """JOIN embeddings lb ON lb.vec_id = a2.vec_id
                   WHERE a2.vec_id <> p.q_id AND lb.label < 5)"""))),
 
+    ("e18_delete_compact", (s: SparkSession, d: String) => {
+      // Index DELETION + COMPACTION (VERDICT r11 #5) — the lifecycle
+      // stage e15 (persist/load) and e14 (append) left open: a
+      // deterministic ~14% of the corpus (vec_id ≡ 3 mod 7) is
+      // tombstoned against the SAME saved artifact e15 serves, then the
+      // inverted lists are compacted (rewritten dropping the dead rows;
+      // centroids frozen — a data rewrite, not a retrain) and the
+      // search runs against the COMPACTED lists with no runtime filter.
+      // The oracle is e6's SQL restricted to the surviving candidate
+      // domain — so the compacted artifact must reproduce, hash-exactly,
+      // what tombstone-filtered serving answers (the two paths' equality
+      // and the no-filter plan are pinned in RelationalPlanSpec; the
+      // queries vec_id < 3 all survive the kill set by construction).
+      val cdir = AnnIndex.compactedIvfFor(s, d, Tables.embeddings(s, d),
+        nlist = 16, iters = 2,
+        dead = Tables.embeddings(s, d)
+          .filter(col("vec_id") % 7 === 3).select(col("vec_id")),
+        tag = "mod7eq3")
+      AnnIndex.ivfSearch(AnnIndex.loadIvf(s, cdir, "lists_compact"),
+          col("vec_id") < 3, k = 3, nprobe = 4)
+        .orderBy(col("q_id"), col("rank"))
+    }, Some(
+      e6OracleSql.replace("WHERE a2.vec_id <> p.q_id)",
+        "WHERE a2.vec_id <> p.q_id AND a2.vec_id % 7 <> 3)"))),
+
     ("e9_pq_search", (s: SparkSession, d: String) => {
       // The FOURTH ANN path: product quantization — the COMPRESSION
       // complement to IVF/LSH's pruning. Unit-normalized 64-dim vectors

@@ -864,6 +864,50 @@ class RelationalPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(deep2 == deepRanks, "deep checkpointed run is not deterministic")
   }
 
+  test("e18: compaction physically applies tombstones — same answers, no runtime filter") {
+    // The delete half of the index lifecycle (VERDICT r11 #5): serving
+    // the compacted lists must (a) answer exactly what tombstone-
+    // FILTERED serving on the full lists answers, and (b) carry no
+    // runtime trace of the kill set — no anti-join, no tombstone scan,
+    // reading only the compacted generation. A regression to filtering
+    // at query time would still be hash-green but pay the anti-join on
+    // every search at 100 TB.
+    import graft.operators.AnnIndex
+    import graft.sources.Tables
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, sfDir)
+    val dead = emb.filter(col("vec_id") % 7 === 3).select(col("vec_id"))
+    val nDead = dead.count()
+    assert(nDead > 0, "kill set empty — the test would be vacuous")
+    val cdir = AnnIndex.compactedIvfFor(spark, sfDir, emb,
+      nlist = 16, iters = 2, dead = dead, tag = "mod7eq3")
+    val surviving = emb.filter(col("vec_id") % 7 =!= 3).select(col("vec_id"))
+    val tomb = AnnIndex.ivfSearch(AnnIndex.loadIvf(spark, cdir),
+        col("vec_id") < 3, k = 3, nprobe = 4, candidates = Some(surviving))
+      .orderBy(col("q_id"), col("rank")).collect().toSeq
+    assert(tomb.nonEmpty, "tombstone-filtered serving returned nothing")
+    val comp = AnnIndex.ivfSearch(
+      AnnIndex.loadIvf(spark, cdir, "lists_compact"),
+      col("vec_id") < 3, k = 3, nprobe = 4)
+    val plan = comp.queryExecution.executedPlan.toString
+    assert(!plan.contains("LeftAnti"),
+      s"compacted serving still anti-joins a kill set:\n$plan")
+    assert(!plan.contains("tombstones"),
+      s"compacted serving still scans the tombstone table:\n$plan")
+    assert(plan.contains("lists_compact"),
+      s"compacted serving does not read the compacted generation:\n$plan")
+    assert(comp.orderBy(col("q_id"), col("rank")).collect().toSeq == tomb,
+      "compacted index diverges from tombstone-filtered serving")
+    // The rewrite really dropped the dead rows — and nothing else.
+    val nAll = spark.read.parquet(s"$cdir/lists").count()
+    val nComp = spark.read.parquet(s"$cdir/lists_compact").count()
+    assert(nComp == nAll - nDead,
+      s"compacted lists have $nComp rows, want $nAll - $nDead")
+    assert(spark.read.parquet(s"$cdir/lists_compact")
+      .filter(col("vec_id") % 7 === 3).count() == 0,
+      "a tombstoned vector survived compaction")
+  }
+
   test("r11 plan shapes: j13 joins nothing, x25 broadcasts its cuts, m19 broadcasts the errors") {
     // The at-scale claims the new queries' docs make, pinned:
     //  - j13's forward as-of is the union+window kernel — NO join
