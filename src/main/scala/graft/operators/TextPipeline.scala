@@ -1227,6 +1227,23 @@ object TextPipeline {
            FROM scored)
          WHERE rank <= 3 ORDER BY q_id, rank"""
 
+  /** x24's Efraimidis–Spirakis scoring — each document's A-ES rank key
+    * ln(u)/w (u = the shared fmix32 draw on doc_id, w = n_chars),
+    * e12-quantized so the per-source selection boundary is total.
+    * Shared VERBATIM by the batch cut (x24) and the streaming fold
+    * ([[graft.streaming.EventStream.weightedSampleStream]]) so the two
+    * spellings cannot drift — the keys are per-row state-free, which is
+    * exactly what makes the sample mergeable: top-k by key over a union
+    * equals the re-cut of per-part top-k's.
+    */
+  private[graft] def esScored(docs: DataFrame): DataFrame = {
+    val u = (Relational.fmix32(col("doc_id").cast("long")).cast("double")
+      + lit(0.5)) / lit(4294967296.0)
+    docs.select(col("source"), col("doc_id"),
+      round(log(u) / greatest(coalesce(col("n_chars"), lit(1L)), lit(1L))
+        .cast("double") * 1e12).cast("long").as("es_key_e12"))
+  }
+
   /** x28's kernel — BPE merge TRAINING (the learned-merge half of a
     * tokenizer, which x4's pre-tokenization stops short of): over a
     * (word, cnt) frequency table, repeat k times — count adjacent symbol
@@ -3538,13 +3555,8 @@ object TextPipeline {
       // is total. Scale: the per-stratum cut is the bounded-state
       // top_k_pairs aggregate (map-side combine ships ≤ k pairs per
       // partition per source), never a corpus-wide rank window.
-      val u = (Relational.fmix32(col("doc_id").cast("long")).cast("double")
-        + lit(0.5)) / lit(4294967296.0)
-      val scored = Tables.documents(s, d)
-        .select(col("source"), col("doc_id"),
-          round(log(u) / greatest(coalesce(col("n_chars"), lit(1L)), lit(1L))
-            .cast("double") * 1e12).cast("long").as("es_key_e12"))
-      AnnIndex.topKCut(scored, "source", "es_key_e12", "doc_id", k = 10,
+      AnnIndex.topKCut(esScored(Tables.documents(s, d)), "source",
+          "es_key_e12", "doc_id", k = 10,
         ascending = false, scoreName = "es_key_e12", idName = "doc_id")
         .orderBy(col("source"), col("rank"))
     }, Some(

@@ -466,6 +466,26 @@ object EventStream {
         col("n_tokens"), col("avg_token_len"), col("stopword_ratio"),
         col("n_digit_runs"), md5(col("redacted")).as("redacted_hash"))
 
+  /** Streaming weighted sampling — x24's A-ES reservoir folded across
+    * micro-batches (VERDICT r11 #6), the fourth sketch family with a
+    * streaming twin (distinct: hllRegisterStream, quantiles:
+    * bottomKStream, frequency: heavyHittersStream). Efraimidis–Spirakis
+    * keys are per-row and state-free (ln(u)/w from the shared fmix32
+    * draw — [[graft.operators.TextPipeline.esScored]], the SAME
+    * expression as the batch cut), so the weighted sample is mergeable
+    * by construction: the k largest keys of a union are the re-cut of
+    * per-batch top-k's, which is exactly the bounded `top_k_pairs`
+    * fold `AnnIndex.topKCut` runs — state per source is ≤ k (key,
+    * doc_id) pairs regardless of stream length. Replays EXACTLY to the
+    * batch x24 cut over the same documents (StreamingSpec).
+    * Columns: source, doc_id, es_key_e12, rank.
+    */
+  def weightedSampleStream(docs: DataFrame, k: Int = 10): DataFrame =
+    graft.operators.AnnIndex.topKCut(
+      graft.operators.TextPipeline.esScored(docs),
+      "source", "es_key_e12", "doc_id", k,
+      ascending = false, scoreName = "es_key_e12", idName = "doc_id")
+
   val embeddingsSchema: StructType = StructType(Seq(
     StructField("vec_id", LongType),
     StructField("embedding", ArrayType(FloatType)),

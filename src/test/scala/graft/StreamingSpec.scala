@@ -208,6 +208,61 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(over == 0, "a group exceeded the k=64 sample bound")
   }
 
+  test("weightedSampleStream folds the A-ES reservoir across micro-batches (top-k merge law)") {
+    // The x24 analog of the bottomK merge test: documents split across
+    // two micro-batches must land in the SAME per-source weighted
+    // sample as one batch over their union — A-ES keys are per-row and
+    // state-free, so the streaming union-then-recut through top_k_pairs
+    // IS the weighted-reservoir merge. A weight misread or a key
+    // recomputed differently between batches diverges here.
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.Encoders
+    val ms = MemoryStream(
+      Encoders.tuple(Encoders.scalaLong, Encoders.STRING, Encoders.scalaLong),
+      s.sqlContext)
+    def rows(es: Range) = es.map(i =>
+      (i.toLong, s"src_${i % 3}", (i * 37 % 900 + 10).toLong))
+    val cols = Seq("doc_id", "source", "n_chars")
+    val q = EventStream.weightedSampleStream(ms.toDF.toDF(cols: _*), k = 6)
+      .writeStream.format("memory").queryName("es_batches")
+      .outputMode("complete").start()
+    try {
+      ms.addData(rows(1 to 80): _*)
+      q.processAllAvailable()
+      ms.addData(rows(81 to 160): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("es_batches")
+      .orderBy("source", "rank").collect()
+    val batch = EventStream.weightedSampleStream(
+        rows(1 to 160).toDF(cols: _*), k = 6)
+      .orderBy("source", "rank").collect()
+    assert(streamed.length == batch.length && streamed.nonEmpty)
+    streamed.zip(batch).foreach { case (a, b) => assert(a == b) }
+  }
+
+  test("streaming weighted sample replays to the batch x24 cut on the documents table") {
+    val q = EventStream.weightedSampleStream(
+        EventStream.readDocuments(spark, sfDir))
+      .writeStream.format("memory").queryName("es_replay")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("es_replay")
+      .orderBy("source", "rank").collect()
+    val batch = graft.operators.TextPipeline
+      .queries("x24_weighted_sample")(spark, sfDir)
+      .orderBy("source", "rank").collect()
+    assert(streamed.length == batch.length && streamed.nonEmpty,
+      s"sample rows: streamed ${streamed.length} vs batch ${batch.length}")
+    streamed.zip(batch).foreach { case (a, b) => assert(a == b) }
+    // Bounded state: no source exceeds the k=10 cut, ranks dense from 1.
+    val over = spark.table("es_replay")
+      .groupBy("source").count().filter(col("count") > 10).count()
+    assert(over == 0, "a source exceeded the k=10 sample bound")
+  }
+
   test("heavyHittersStream: true heavy hitters survive the micro-batch MG fold; state is bounded") {
     // MG candidate sets are fold-order-dependent, so there is no
     // set-for-set batch replay to pin (the method doc says so) — the
