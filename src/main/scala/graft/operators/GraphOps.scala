@@ -146,6 +146,63 @@ object GraphOps {
       rankDim(n, bcastNodeBudget), checkpointEvery)
   }
 
+  /** Synchronous label propagation over an edge list (g3) — the other
+    * classic signal the superstep shape carries: each round every node
+    * adopts the MAJORITY label among its in-neighbors (ties: smallest
+    * label — `min(struct(-count, lbl))`, the exact relational argmax
+    * the oracle spells as `row_number() ORDER BY c DESC, lbl`), nodes
+    * with no in-edges keep their label, k rounds from the identity
+    * labeling. All-integer state (one label per node), so the fixpoint
+    * replays bit-exactly in unrolled CTEs like the rank flow. Same
+    * cached degree-joined edge table, same node-sized-state broadcast
+    * gate, same `checkpointEvery` lineage contract as pageRank; the
+    * per-round cost is two map-side-combinable aggregations (label
+    * counts per (dst, lbl), then the per-dst argmax) — never more than
+    * edge-sized intermediates.
+    */
+  private[graft] def labelPropagation(
+      edges: DataFrame, nodes: DataFrame, iters: Int = 5,
+      bcastNodeBudget: Long = 4L * 1000 * 1000,
+      checkpointEvery: Int = 0): DataFrame = {
+    val n = nodes.count()
+    val dim = rankDim(n, bcastNodeBudget)
+    val ew = withOutdeg(edges)
+    var labels = nodes.select(col("node"), col("node").as("lbl"))
+    for (i <- 1 to iters) {
+      val counts = ew
+        .join(dim(labels.withColumnRenamed("node", "src")), "src")
+        .groupBy(col("dst"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+      val winners = counts.groupBy(col("dst"))
+        .agg(min(struct((-col("c")).as("nc"), col("lbl").as("l")))
+          .getField("l").as("new_lbl"))
+      labels = labels
+        .join(dim(winners.withColumnRenamed("dst", "node")), Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("new_lbl"), col("lbl")).as("lbl"))
+      if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters)
+        labels = labels.localCheckpoint()
+    }
+    labels
+  }
+
+  /** One unrolled LPA round as a DuckDB CTE triple — kept next to the
+    * Scala round so the two spellings evolve together.
+    */
+  private def lpaStep(i: Int): String =
+    s"""c$i AS (
+          SELECT e.dst, l.lbl, count(*) AS c
+          FROM ew e JOIN lb${i - 1} l ON l.node = e.src
+          GROUP BY 1, 2),
+        w$i AS (
+          SELECT dst, lbl FROM (
+            SELECT dst, lbl, row_number() OVER (
+              PARTITION BY dst ORDER BY c DESC, lbl) AS rn
+            FROM c$i) WHERE rn = 1),
+        lb$i AS (
+          SELECT p.node, coalesce(w.lbl, p.lbl) AS lbl
+          FROM lb${i - 1} p LEFT JOIN w$i w ON w.dst = p.node)"""
+
   /** One unrolled superstep as a DuckDB CTE pair over the shared
     * `nb(node, base_e12, init_e12)` vector CTE — kept next to the Scala
     * superstep so the two spellings evolve together.
@@ -277,7 +334,48 @@ object GraphOps {
                              ELSE 0 END AS init_e12
                  FROM nodes nd LEFT JOIN seeds s ON s.node = nd.node),
           r0 AS (SELECT node, init_e12 AS rank_e12 FROM nb),
-          $sqlTail""")))
+          $sqlTail""")),
+
+    ("g3_label_propagation", (s: SparkSession, d: String) => {
+      // Community detection on the same cached co-purchase graph the
+      // rank queries walk (the d7-components complement: d7 finds
+      // exact connected components of the near-dup pair graph; LPA
+      // finds DENSE regions of a connected graph): synchronous
+      // majority-label rounds from the identity labeling, then the
+      // bounded top-20 communities by size. The kernel generalizes the
+      // superstep shape beyond rank flow — label counts per (dst, lbl)
+      // and a deterministic argmax instead of an inflow sum — while
+      // reusing the cached degree-joined edges, the node-sized-state
+      // broadcast gate, and the checkpoint contract. iters = 3 is where
+      // this graph's community structure lives: the co-purchase graph
+      // is one dense connected component, so labels collapse toward a
+      // single community as rounds deepen (measured trajectory
+      // 95 → 42 → 3 → 2 → 1 communities at sf0.01, 556 at round 2 /
+      // 170 at round 3 for sf0.1) — round 3 keeps genuine mesoscale
+      // structure; by round 5 the readout would be the trivial
+      // partition.
+      val (e, nodes) = copurchase(s, d)
+      val sizes = labelPropagation(e, nodes, iters = 3)
+        .groupBy(col("lbl")).agg(count(lit(1)).as("community_size"))
+      AnnIndex.topKCut(
+          sizes.select(lit(1).as("g"), col("lbl"), col("community_size")),
+          "g", "community_size", "lbl", k = 20, ascending = false,
+          scoreName = "community_size", idName = "lbl")
+        .select(col("lbl"), col("community_size"), col("rank"))
+        .orderBy(col("rank"))
+    }, Some(
+      s"""WITH $sqlGraph,
+          lb0 AS (SELECT node, node AS lbl FROM nodes),
+          ${(1 to 3).map(lpaStep).mkString(",\n")},
+          cs AS (SELECT lbl, cast(count(*) AS bigint) AS community_size
+                 FROM lb3 GROUP BY 1),
+          ranked AS (
+            SELECT lbl, community_size, row_number() OVER (
+              ORDER BY community_size DESC, lbl) AS rank
+            FROM cs)
+          SELECT cast(lbl AS bigint) AS lbl, community_size,
+                 cast(rank AS int) AS rank
+          FROM ranked WHERE rank <= 20 ORDER BY rank""")))
 
   def queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap
 

@@ -864,6 +864,36 @@ class RelationalPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(deep2 == deepRanks, "deep checkpointed run is not deterministic")
   }
 
+  test("g3 labelPropagation: planted communities converge to their min label; isolated node keeps its own") {
+    // Two disjoint triangles must each converge to ONE label (their
+    // minimum node id, by the deterministic tie-break) and stay
+    // distinct from each other; a node with no edges keeps the identity
+    // label at any depth. Also pins broadcast-vs-shuffle row equality —
+    // the same gate contract as g1.
+    import graft.operators.GraphOps
+    import org.apache.spark.sql.functions.col
+    val s = spark
+    import s.implicits._
+    def tri(a: Long, b: Long, c: Long) =
+      Seq((a, b), (b, a), (b, c), (c, b), (a, c), (c, a))
+    val edges = (tri(1L, 2L, 3L) ++ tri(10L, 11L, 12L)).toDF("src", "dst")
+    val nodes = Seq(1L, 2L, 3L, 10L, 11L, 12L, 99L).toDF("node")
+    val lbl = GraphOps.labelPropagation(edges, nodes, iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Set(lbl(1L), lbl(2L), lbl(3L)).size == 1,
+      s"triangle A did not converge: $lbl")
+    assert(Set(lbl(10L), lbl(11L), lbl(12L)).size == 1,
+      s"triangle B did not converge: $lbl")
+    assert(lbl(1L) != lbl(10L), s"disjoint communities merged: $lbl")
+    assert(lbl(1L) == 1L && lbl(10L) == 10L,
+      s"communities did not settle on their min label: $lbl")
+    assert(lbl(99L) == 99L, s"isolated node lost its label: $lbl")
+    val fb = GraphOps.labelPropagation(edges, nodes, iters = 4,
+        bcastNodeBudget = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fb == lbl, "LPA rows differ between join strategies")
+  }
+
   test("e18: compaction physically applies tombstones — same answers, no runtime filter") {
     // The delete half of the index lifecycle (VERDICT r11 #5): serving
     // the compacted lists must (a) answer exactly what tombstone-
