@@ -1264,10 +1264,27 @@ object TextPipeline {
     * corpus pass builds the word-frequency table; everything after is
     * vocab-sized.
     */
-  private[graft] def bpeMerges(words: DataFrame, k: Int): DataFrame = {
-    val s = words.sparkSession
+  /** The one-merge greedy rewrite as a codegen'd fold — shared by every
+    * training round and by the encoder's chained application.
+    */
+  private def mergeFold(a: String, b: String): Column =
+    aggregate(
+      slice(col("syms"), lit(2), size(col("syms")) - 1),
+      array(element_at(col("syms"), 1)),
+      (acc, x) => when(
+        x === lit(b) && element_at(acc, -1) === lit(a),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+        .otherwise(concat(acc, array(x))))
+
+  /** Full training state: the learned merges AND the final rewritten
+    * vocab (word, cnt, syms after all merges) — the encoder's lookup
+    * table, kept PERSISTED (x29 joins it back to the corpus; callers
+    * that only want merges go through [[bpeMerges]], which unpersists).
+    */
+  private[graft] def bpeTrain(words: DataFrame, k: Int)
+      : (Seq[(Int, String, String, String, Long)], DataFrame) = {
     var vocab = words
-      .select(col("cnt").cast("long").as("cnt"),
+      .select(col("word"), col("cnt").cast("long").as("cnt"),
         expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))")
           .as("syms"))
       .persist()
@@ -1287,25 +1304,49 @@ object TextPipeline {
         val (a, b, pc) =
           (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((r, a, b, a + b, pc))
-        val next = vocab.select(col("cnt"),
-          aggregate(
-            slice(col("syms"), lit(2), size(col("syms")) - 1),
-            array(element_at(col("syms"), 1)),
-            (acc, x) => when(
-              x === lit(b) && element_at(acc, -1) === lit(a),
-              concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
-              .otherwise(concat(acc, array(x))))
-            .as("syms"))
+        val next = vocab
+          .select(col("word"), col("cnt"), mergeFold(a, b).as("syms"))
           .persist()
         next.count()
         vocab.unpersist()
         vocab = next
       }
     }
+    (merges.toList, vocab)
+  }
+
+  private[graft] def bpeMerges(words: DataFrame, k: Int): DataFrame = {
+    val s = words.sparkSession
+    val (merges, vocab) = bpeTrain(words, k)
     vocab.unpersist()
     import s.implicits._
-    merges.toSeq.toDF("rank", "lhs", "rhs", "merged", "pair_count")
+    merges.toDF("rank", "lhs", "rhs", "merged", "pair_count")
   }
+
+  /** Session-cached BPE training per (corpus, k) — x28 reads the merge
+    * table, x29 the encoded vocab; one training run serves both (the
+    * copurchase/AnnIndex build-once pattern).
+    */
+  private val bpeCache = new java.util.WeakHashMap[SparkSession,
+    scala.collection.concurrent.TrieMap[(String, Int),
+      (Seq[(Int, String, String, String, Long)], DataFrame)]]()
+  private[graft] def bpeTrainedFor(s: SparkSession, d: String, k: Int)
+      : (Seq[(Int, String, String, String, Long)], DataFrame) =
+    bpeCache.synchronized {
+      bpeCache.computeIfAbsent(s,
+        _ => scala.collection.concurrent.TrieMap.empty)
+    }.getOrElseUpdate((d, k), {
+      val words = corpusWords(Tables.documents(s, d))
+        .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      bpeTrain(words, k)
+    })
+
+  /** The corpus word stream x28/x29 tokenize over: the [a-z]+ arm of
+    * x4's pre-tokenizer on lowercased text, one row per OCCURRENCE.
+    */
+  private[graft] def corpusWords(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(
+      expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
 
   /** x28's DuckDB oracle: the SAME k-round fixpoint unrolled as CTEs
     * (g1's pattern). The greedy non-overlapping rewrite replays as a
@@ -1316,17 +1357,24 @@ object TextPipeline {
     * the Spark fold on planted runs, PipelineSpec). Symbols stay [a-z]+
     * by construction, so the tab separator can't collide.
     */
-  private def bpeOracleSql(k: Int): String = {
-    val rounds = (0 until k).map { r =>
-      val rewrite = if (r == 0) "" else s"""
-         seq$r AS (
-           SELECT s.cnt,
+  private def bpeRewriteCte(i: Int): String =
+    s"""seq$i AS (
+           SELECT s.word, s.cnt,
                   string_split(list_reduce(s.syms,
                     (acc, x) -> CASE WHEN x = t.r
                           AND (acc = t.l OR ends_with(acc, chr(9) || t.l))
                         THEN acc || x
                         ELSE acc || chr(9) || x END), chr(9)) AS syms
-           FROM seq${r - 1} s, t${r - 1} t),"""
+           FROM seq${i - 1} s, t${i - 1} t)"""
+
+  /** The shared k-round training CTE chain (occ → wf → seq0/p0/t0 → …).
+    * `finalRewrite` additionally materializes seq_k — the fully-merged
+    * vocab x29's encoder joins back to the corpus (training itself
+    * never needs the rewrite after the last pick).
+    */
+  private def bpeOracleCtes(k: Int, finalRewrite: Boolean): String = {
+    val rounds = (0 until k).map { r =>
+      val rewrite = if (r == 0) "" else bpeRewriteCte(r) + ","
       s"""$rewrite
          p$r AS (
            SELECT syms[i] AS l, syms[i + 1] AS r, cast(sum(cnt) AS bigint) AS pc
@@ -1335,21 +1383,46 @@ object TextPipeline {
            GROUP BY 1, 2),
          t$r AS (SELECT l, r, pc FROM p$r ORDER BY pc DESC, l, r LIMIT 1)"""
     }.mkString(",")
+    val tail = if (finalRewrite) "," + bpeRewriteCte(k) else ""
+    s"""occ AS (
+           SELECT doc_id,
+                  unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+           FROM documents),
+         wf AS (
+           SELECT word, cast(count(*) AS bigint) AS cnt
+           FROM occ GROUP BY 1),
+         seq0 AS (
+           SELECT word, cnt, list_transform(generate_series(1, length(word)),
+                    i -> substr(word, i, 1)) AS syms
+           FROM wf),$rounds$tail"""
+  }
+
+  private def bpeOracleSql(k: Int): String = {
     val arms = (0 until k).map(r =>
       s"SELECT ${r + 1} AS rank, l AS lhs, r AS rhs, l || r AS merged, pc AS pair_count FROM t$r")
       .mkString("\n         UNION ALL ")
-    s"""WITH wf AS (
-           SELECT word, cast(count(*) AS bigint) AS cnt
-           FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
-                 FROM documents)
-           GROUP BY 1),
-         seq0 AS (
-           SELECT cnt, list_transform(generate_series(1, length(word)),
-                    i -> substr(word, i, 1)) AS syms
-           FROM wf),$rounds
+    s"""WITH ${bpeOracleCtes(k, finalRewrite = false)}
          $arms
          ORDER BY rank"""
   }
+
+  private def bpeEncodeOracleSql(k: Int): String =
+    s"""WITH ${bpeOracleCtes(k, finalRewrite = true)},
+         enc AS (SELECT word, cast(len(syms) AS bigint) AS n_syms FROM seq$k),
+         agg AS (
+           SELECT o.doc_id, cast(count(*) AS bigint) AS n_words,
+                  cast(sum(length(o.word)) AS bigint) AS n_chars_alpha,
+                  cast(sum(e.n_syms) AS bigint) AS n_bpe_tokens
+           FROM occ o JOIN enc e ON e.word = o.word GROUP BY 1)
+         SELECT d.doc_id, coalesce(a.n_words, 0) AS n_words,
+                coalesce(a.n_chars_alpha, 0) AS n_chars_alpha,
+                coalesce(a.n_bpe_tokens, 0) AS n_bpe_tokens,
+                CASE WHEN coalesce(a.n_chars_alpha, 0) > 0
+                     THEN cast(round(a.n_bpe_tokens * 1000000.0
+                            / a.n_chars_alpha) AS bigint)
+                END AS compression_e6
+         FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+         ORDER BY d.doc_id"""
 
   val entries: Seq[(String, Q, Option[String])] = Seq(
 
@@ -3758,12 +3831,51 @@ object TextPipeline {
       // first k entries of a vocab build, replayed move-for-move by the
       // unrolled-CTE oracle (deterministic argmax tie-break, greedy
       // non-overlap rewrite pinned by the planted-corpus kernel test).
-      val words = Tables.documents(s, d)
-        .select(explode(
-          expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
-        .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
-      bpeMerges(words, 6).orderBy(col("rank"))
+      import s.implicits._
+      bpeTrainedFor(s, d, 6)._1
+        .toDF("rank", "lhs", "rhs", "merged", "pair_count")
+        .orderBy(col("rank"))
     }, Some(bpeOracleSql(6))),
+
+    ("x29_bpe_encode", (s: SparkSession, d: String) => {
+      // BPE ENCODING — the inference half of the tokenizer x28 trains
+      // (together they close the tokenizer loop: learn merges once,
+      // tokenize the corpus forever). The fully-merged vocab from the
+      // SAME session-cached training run becomes the per-word
+      // token-count lookup (train once, serve many — the AnnIndex
+      // pattern), joined back to the word-occurrence stream under a
+      // size gate (broadcast while the vocab fits, pinned sort-merge
+      // past it), then per-document totals: word count, alphabetic
+      // chars, BPE token count, and the e6 compression ratio — the
+      // token-budget signal (x16's class) a trained tokenizer actually
+      // produces. Per-doc totals are exact integer sums; the oracle
+      // replays training AND encoding from the same CTE chain with one
+      // extra rewrite (the vocab after the final merge, which training
+      // itself never materializes).
+      val (_, vocab) = bpeTrainedFor(s, d, 6)
+      val enc = vocab.select(col("word"),
+        size(col("syms")).cast("long").as("n_syms"))
+      val encSide =
+        if (vocab.queryExecution.optimizedPlan.stats.sizeInBytes <= (1L << 30))
+          broadcast(enc)
+        else enc.hint("merge")
+      val agg = corpusWords(Tables.documents(s, d))
+        .join(encSide, "word")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(length(col("word")).cast("long")).as("n_chars_alpha"),
+          sum(col("n_syms")).as("n_bpe_tokens"))
+      Tables.documents(s, d).select(col("doc_id"))
+        .join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_words"), lit(0L)).as("n_words"),
+          coalesce(col("n_chars_alpha"), lit(0L)).as("n_chars_alpha"),
+          coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"),
+          when(coalesce(col("n_chars_alpha"), lit(0L)) > 0,
+            round(col("n_bpe_tokens") * lit(1000000.0) / col("n_chars_alpha"))
+              .cast("long")).as("compression_e6"))
+        .orderBy(col("doc_id"))
+    }, Some(bpeEncodeOracleSql(6))),
 
     ("x26_quality_probe", (s: SparkSession, d: String) => {
       // Learned quality scoring — the fasttext-classifier slot of a

@@ -225,6 +225,21 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       (4, "aa", "a", "aaa", 7L),
       (5, "c", "d", "cd", 3L))
     assert(got == want, s"merge table diverged:\n got: $got\nwant: $want")
+    // The ENCODE side (x29): after k=2 merges ((a,b) then (a,a)) the
+    // final vocab must carry the fully-merged symbol sequences — in
+    // particular aaa → [aa, a], the greedy non-overlap law again, and
+    // cd untouched because (c,d) hasn't been learned yet.
+    val (m2, vocab2) = graft.operators.TextPipeline.bpeTrain(words, 2)
+    assert(m2.map(t => (t._2, t._3)) == Seq(("a", "b"), ("a", "a")))
+    val enc = vocab2.collect()
+      .map(r => r.getString(0) -> r.getSeq[String](2).toList).toMap
+    vocab2.unpersist()
+    val wantEnc = Map(
+      "abab" -> List("ab", "ab"),
+      "ab" -> List("ab"),
+      "aaa" -> List("aa", "a"),
+      "cd" -> List("c", "d"))
+    assert(enc == wantEnc, s"encoded vocab diverged:\n got: $enc")
   }
 
   test("lshSearch: planted near-duplicates are recalled at rank 1; candidate set is pruned") {
