@@ -145,4 +145,61 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     check("MisraGries", cases = 12, prop)
   }
+
+  test("bpeTrain equals a local greedy-BPE reference on random corpora") {
+    // The x28/x29 kernel against an executable local re-implementation:
+    // same pair counting, same (count desc, pair lex) argmax, same
+    // greedy non-overlapping left-to-right fold, same permanent early
+    // stop. A two-letter alphabet makes overlapping runs (the aaa
+    // case) and argmax ties COMMON; both the learned merge sequence
+    // and the final encoded vocab must match case-for-case — which
+    // also implies the reconstruction law (concat(syms) == word) the
+    // reference preserves by construction.
+    val s = spark
+    import s.implicits._
+    def foldMerge(syms: List[String], a: String, b: String): List[String] =
+      syms.foldLeft(List.empty[String]) { (acc, x) =>
+        if (acc.nonEmpty && acc.last == a && x == b) acc.init :+ (a + b)
+        else acc :+ x
+      }
+    def localBpe(words: List[(String, Long)], k: Int)
+        : (List[(String, String)], Map[String, List[String]]) = {
+      var vocab = words.map { case (w, c) =>
+        w -> (c, w.map(_.toString).toList)
+      }.toMap
+      val merges = scala.collection.mutable.ListBuffer.empty[(String, String)]
+      var alive = true
+      for (_ <- 1 to k if alive) {
+        val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+          .withDefaultValue(0L)
+        for ((_, (c, syms)) <- vocab; i <- 0 until syms.length - 1)
+          pc((syms(i), syms(i + 1))) += c
+        if (pc.isEmpty) alive = false
+        else {
+          val ((a, b), _) = pc.toList.minBy { case ((a, b), c) => (-c, a, b) }
+          merges += ((a, b))
+          vocab = vocab.view.mapValues { case (c, syms) =>
+            (c, foldMerge(syms, a, b))
+          }.toMap
+        }
+      }
+      (merges.toList, vocab.view.mapValues(_._2).toMap)
+    }
+    val wordGen = Gen.zip(
+      Gen.choose(1, 5).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf("a", "b")).map(_.mkString)),
+      Gen.choose(1L, 4L))
+    val prop = Prop.forAll(Gen.listOfN(6, wordGen)) { raw =>
+      val words = raw.groupBy(_._1).view
+        .mapValues(_.map(_._2).sum).toList.sortBy(_._1)
+      val (wantMerges, wantVocab) = localBpe(words, 3)
+      val (gotMerges, vocabDf) =
+        graft.operators.TextPipeline.bpeTrain(words.toDF("word", "cnt"), 3)
+      val gotVocab = vocabDf.collect()
+        .map(r => r.getString(0) -> r.getSeq[String](2).toList).toMap
+      vocabDf.unpersist()
+      gotMerges.map(t => (t._2, t._3)) == wantMerges && gotVocab == wantVocab
+    }
+    check("bpeTrain", cases = 10, prop)
+  }
 }
