@@ -662,7 +662,7 @@ object AnnIndex {
 
   def buildLog: Map[String, Double] = buildLogMap.toMap
 
-  private def timedBuild[A](key: String)(build: => A): A = {
+  private[graft] def timedBuild[A](key: String)(build: => A): A = {
     val t0 = System.nanoTime()
     val out = build
     buildLogMap.updateWith(key) {

@@ -864,6 +864,32 @@ class RelationalPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(deep2 == deepRanks, "deep checkpointed run is not deterministic")
   }
 
+  test("g1/g3 off the cached graph: per-superstep aggregations are exchange-free") {
+    // The r12 A/B win, pinned: the co-purchase edge cache is
+    // repartitioned on dst at build time, so every superstep's
+    // aggregation (rank inflow by dst; LPA counts by (dst, lbl) — a
+    // superset of the partition key — and the per-dst argmax) is
+    // satisfied by the cached partitioning and inserts NO exchange.
+    // Only the bounded readout (one-group top-20 cut + display sort)
+    // may shuffle. A regression re-adds one exchange per superstep —
+    // still hash-green, ~25% slower at sf0.1.
+    // The precise invariant: NO exchange hash-partitions on dst — the
+    // per-superstep aggregation keys are served by the cache. The
+    // remaining exchanges are the bounded readout (rank sort, one-group
+    // cut, |nodes|-sized community sizes) and the one-time cache build
+    // printed inside the InMemoryRelation subtree.
+    import graft.operators.GraphOps
+    for (q <- Seq("g1_copurchase_pagerank", "g3_label_propagation")) {
+      val plan = GraphOps.queries(q)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(!plan.contains("hashpartitioning(dst"),
+        s"$q re-shuffles a superstep aggregation on dst:\n$plan")
+      val x = "Exchange".r.findAllIn(plan).size
+      assert(x <= 4, s"$q plan has $x exchanges (want readout + cache build only):\n$plan")
+    }
+  }
+
   test("g3 labelPropagation: planted communities converge to their min label; isolated node keeps its own") {
     // Two disjoint triangles must each converge to ONE label (their
     // minimum node id, by the deterministic tie-break) and stay
