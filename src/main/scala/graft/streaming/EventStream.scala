@@ -194,6 +194,44 @@ object EventStream {
         shiftright(col("pair.id"), 32).as("value_c"))
   }
 
+  /** Streaming distinct-count estimation — a19's KMV estimator on the
+    * streaming surface: distinct users per (1-hour window, event_type)
+    * from the k smallest DISTINCT fmix32 hashes, folded across
+    * micro-batches through [[graft.functions.KmvBottomK]] (set
+    * semantics — the same user recurring in a later batch is absorbed,
+    * not double-counted, which is what a multiset top-k fold would get
+    * wrong). State per group is ≤ k pairs; the estimate is a19's exact
+    * formula off the folded sample — (k−1)·2³²/u₍ₖ₎ e6-quantized, EXACT
+    * (n·10⁶) when the window holds fewer than k distinct users. With
+    * this, all FOUR persisted sketch families have streaming twins:
+    * distinct (HLL registers a17 + KMV here), quantiles (a18),
+    * frequency (x23), weighted sample (x24).
+    * Columns: window_start, event_type, n_sample, est_e6.
+    */
+  def kmvDistinctStream(events: DataFrame, k: Int = 64): DataFrame = {
+    import org.apache.spark.sql.GraftExpressionBridge
+    val u = graft.operators.Relational.fmix32(col("user_id").cast("long"))
+    val agg = GraftExpressionBridge.column(
+      graft.functions.KmvBottomK(
+        GraftExpressionBridge.expression(col("u")),
+        GraftExpressionBridge.expression(col("uid")),
+        k).toAggregateExpression())
+    events
+      .withWatermark("ts", "30 minutes")
+      .select(col("ts"), col("event_type"),
+        u.as("u"), col("user_id").cast("long").as("uid"))
+      .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+      .agg(agg.as("sample"))
+      .select(col("win.start").as("window_start"), col("event_type"),
+        size(col("sample")).cast("long").as("n_sample"),
+        element_at(col("sample"), -1).getField("score").as("u_k"))
+      .select(col("window_start"), col("event_type"), col("n_sample"),
+        when(col("n_sample") < k, col("n_sample") * lit(1000000L))
+          .otherwise(round(lit((k - 1).toDouble * 4294967296.0) / col("u_k")
+            * lit(1000000.0)).cast("long"))
+          .as("est_e6"))
+  }
+
   /** Streaming frequent-items candidates — x23's Misra–Gries summary on
     * the streaming surface, the third sketch family persisted across
     * micro-batches (distinct: [[hllRegisterStream]], quantiles:

@@ -146,6 +146,31 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     check("MisraGries", cases = 12, prop)
   }
 
+  test("KmvBottomK buffer equals the sorted-distinct-take reference, any offer order or split") {
+    // The set-semantics contract the streaming KMV fold rests on:
+    // however pairs arrive — duplicated, shuffled, or split across two
+    // buffers then merged (the micro-batch shape) — the state must be
+    // exactly the k smallest DISTINCT (score, id) pairs in order.
+    // Small domains so duplicates and full-buffer evictions are common.
+    val pairGen = Gen.zip(Gen.choose(0L, 9L), Gen.choose(0L, 4L))
+    val prop = Prop.forAll(
+      Gen.listOfN(40, pairGen), Gen.choose(1, 8), Gen.choose(0, 40)) {
+      (pairs, k, cut) =>
+        val want = pairs.distinct.sorted.take(k)
+        val direct = new graft.functions.KmvBottomK.Buffer(k)
+        pairs.foreach { case (s, i) => direct.offer(s, i) }
+        val a = new graft.functions.KmvBottomK.Buffer(k)
+        val b = new graft.functions.KmvBottomK.Buffer(k)
+        pairs.take(cut).foreach { case (s, i) => a.offer(s, i) }
+        pairs.drop(cut).foreach { case (s, i) => b.offer(s, i) }
+        (0 until b.size).foreach(j => a.offer(b.scores(j), b.ids(j)))
+        def dump(buf: graft.functions.KmvBottomK.Buffer) =
+          (0 until buf.size).map(j => (buf.scores(j), buf.ids(j))).toList
+        dump(direct) == want && dump(a) == want
+    }
+    check("KmvBottomK", cases = 40, prop)
+  }
+
   test("bpeTrain equals a local greedy-BPE reference on random corpora") {
     // The x28/x29 kernel against an executable local re-implementation:
     // same pair counting, same (count desc, pair lex) argmax, same

@@ -208,6 +208,68 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(over == 0, "a group exceeded the k=64 sample bound")
   }
 
+  test("kmvDistinctStream absorbs cross-batch duplicates; estimate exact under k, in-bounds over it") {
+    // The property a multiset fold would get wrong: the SAME users
+    // recurring in a later micro-batch must be absorbed by the KMV
+    // set state, not double-counted — so the streamed estimate equals
+    // the batch spelling over the union, is EXACT (n·10⁶) for a window
+    // with fewer than k distinct users, and lands inside the
+    // ~3/√(k−2) KMV band for a window with many more.
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.Encoders
+    val ms = MemoryStream(
+      Encoders.tuple(Encoders.scalaLong, Encoders.TIMESTAMP,
+        Encoders.scalaLong, Encoders.STRING, Encoders.scalaDouble),
+      s.sqlContext)
+    val base = 1699999200000L // hour-aligned: windows don't split the minutes
+    // Window A (hour 0): 40 distinct users (< k=64), each seen twice.
+    // Window B (hour 2): 500 distinct users (>> k).
+    def rowsA(eOff: Int) = (0 until 40).map(i =>
+      ((eOff + i).toLong, new java.sql.Timestamp(base + i * 60000L),
+        (i % 40).toLong, "view", 1.0))
+    def rowsB(eOff: Int, us: Range) = us.map(i =>
+      ((eOff + i).toLong, new java.sql.Timestamp(base + 7200000L + (i % 50) * 60000L),
+        i.toLong, "view", 1.0))
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
+    val q = EventStream.kmvDistinctStream(ms.toDF.toDF(cols: _*))
+      .writeStream.format("memory").queryName("kmv_est_batches")
+      .outputMode("complete").start()
+    try {
+      // Batch 1: window A once + first half of B's users.
+      ms.addData((rowsA(0) ++ rowsB(1000, 0 until 250)): _*)
+      q.processAllAvailable()
+      // Batch 2: window A AGAIN (pure duplicates) + second half of B
+      //          + the first 100 B users repeated.
+      ms.addData((rowsA(2000) ++ rowsB(3000, 250 until 500)
+        ++ rowsB(5000, 0 until 100)): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("kmv_est_batches")
+      .orderBy("window_start", "event_type").collect()
+      .map(r => (r.getLong(2), r.getLong(3)))
+    assert(streamed.length == 2, s"want 2 windows, got ${streamed.toSeq}")
+    val (nA, estA) = streamed(0)
+    val (nB, estB) = streamed(1)
+    assert(nA == 40 && estA == 40L * 1000000L,
+      s"under-k window not exact despite duplicate batches: n=$nA est=$estA")
+    assert(nB == 64, s"over-k window sample not full: $nB")
+    val relErr = math.abs(estB / 1e6 - 500.0) / 500.0
+    assert(relErr <= 3.0 / math.sqrt(62.0),
+      s"over-k estimate ${estB / 1e6} vs exact 500: rel err $relErr")
+    // Batch replay: the same function over the union frame agrees
+    // row-for-row with the folded stream.
+    val union = (rowsA(0) ++ rowsB(1000, 0 until 250) ++ rowsA(2000)
+      ++ rowsB(3000, 250 until 500) ++ rowsB(5000, 0 until 100))
+      .toDF(cols: _*)
+    val batch = EventStream.kmvDistinctStream(union)
+      .orderBy("window_start", "event_type").collect()
+      .map(r => (r.getLong(2), r.getLong(3)))
+    assert(batch.toSeq == streamed.toSeq,
+      s"streamed ${streamed.toSeq} != batch ${batch.toSeq}")
+  }
+
   test("weightedSampleStream folds the A-ES reservoir across micro-batches (top-k merge law)") {
     // The x24 analog of the bottomK merge test: documents split across
     // two micro-batches must land in the SAME per-source weighted
