@@ -1352,6 +1352,38 @@ object TextPipeline {
     docs.select(col("doc_id"), explode(
       expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
 
+  /** x29's encode join: per-document word/char/BPE-token counts from a
+    * trained vocab. The vocab lookup broadcasts while its stats fit the
+    * budget and pins sort-merge past it (the d12 gate convention — both
+    * paths plan-tested, rows identical, so the gate is demonstrably not
+    * decorative).
+    */
+  private[graft] def bpeDocTokenCounts(
+      docs: DataFrame, vocab: DataFrame,
+      broadcastVocabBytes: Long = 1L << 30): DataFrame = {
+    val enc = vocab.select(col("word"),
+      size(col("syms")).cast("long").as("n_syms"))
+    val encSide =
+      if (vocab.queryExecution.optimizedPlan.stats.sizeInBytes
+          <= broadcastVocabBytes) broadcast(enc)
+      else enc.hint("merge")
+    val agg = corpusWords(docs)
+      .join(encSide, "word")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("word")).cast("long")).as("n_chars_alpha"),
+        sum(col("n_syms")).as("n_bpe_tokens"))
+    docs.select(col("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_chars_alpha"), lit(0L)).as("n_chars_alpha"),
+        coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"),
+        when(coalesce(col("n_chars_alpha"), lit(0L)) > 0,
+          round(col("n_bpe_tokens") * lit(1000000.0) / col("n_chars_alpha"))
+            .cast("long")).as("compression_e6"))
+  }
+
   /** x28's DuckDB oracle: the SAME k-round fixpoint unrolled as CTEs
     * (g1's pattern). The greedy non-overlapping rewrite replays as a
     * `list_reduce` fold over a TAB-joined accumulator string: the last
@@ -3857,27 +3889,7 @@ object TextPipeline {
       // extra rewrite (the vocab after the final merge, which training
       // itself never materializes).
       val (_, vocab) = bpeTrainedFor(s, d, 6)
-      val enc = vocab.select(col("word"),
-        size(col("syms")).cast("long").as("n_syms"))
-      val encSide =
-        if (vocab.queryExecution.optimizedPlan.stats.sizeInBytes <= (1L << 30))
-          broadcast(enc)
-        else enc.hint("merge")
-      val agg = corpusWords(Tables.documents(s, d))
-        .join(encSide, "word")
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_words"),
-          sum(length(col("word")).cast("long")).as("n_chars_alpha"),
-          sum(col("n_syms")).as("n_bpe_tokens"))
-      Tables.documents(s, d).select(col("doc_id"))
-        .join(agg, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("n_words"), lit(0L)).as("n_words"),
-          coalesce(col("n_chars_alpha"), lit(0L)).as("n_chars_alpha"),
-          coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"),
-          when(coalesce(col("n_chars_alpha"), lit(0L)) > 0,
-            round(col("n_bpe_tokens") * lit(1000000.0) / col("n_chars_alpha"))
-              .cast("long")).as("compression_e6"))
+      bpeDocTokenCounts(Tables.documents(s, d), vocab)
         .orderBy(col("doc_id"))
     }, Some(bpeEncodeOracleSql(6))),
 

@@ -864,6 +864,35 @@ class RelationalPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(deep2 == deepRanks, "deep checkpointed run is not deterministic")
   }
 
+  test("x29 vocab gate: broadcast under the budget, pinned sort-merge past it, same rows") {
+    // The encode join's size gate (the d12 convention): under-budget
+    // runs broadcast the vocab lookup; a zero budget must pin the
+    // sort-merge fallback with NO broadcast of the vocab side — and the
+    // per-doc counts must be identical, because a gate that changes
+    // results is worse than no gate.
+    import graft.operators.TextPipeline
+    import graft.sources.Tables
+    import org.apache.spark.sql.functions.col
+    val (_, vocab) = TextPipeline.bpeTrainedFor(spark, sfDir, 6)
+    val docs = Tables.documents(spark, sfDir)
+    val bc = TextPipeline.bpeDocTokenCounts(docs, vocab)
+    val fb = TextPipeline.bpeDocTokenCounts(docs, vocab,
+      broadcastVocabBytes = 0L)
+    val bcPlan = bc.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(bcPlan.contains("BroadcastHashJoin"),
+      s"under-budget encode join lost the broadcast:\n$bcPlan")
+    val fbPlan = fb.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(fbPlan.contains("SortMergeJoin"),
+      s"zero-budget encode join did not pin sort-merge:\n$fbPlan")
+    val a = bc.orderBy(col("doc_id")).collect().toSeq
+    val b = fb.orderBy(col("doc_id")).collect().toSeq
+    assert(a == b, "encode join rows differ between gate paths")
+    assert(a.nonEmpty && a.exists(_.getLong(3) > 0),
+      "encode produced no BPE tokens — the gate test would be vacuous")
+  }
+
   test("g1/g3 off the cached graph: per-superstep aggregations are exchange-free") {
     // The r12 A/B win, pinned: the co-purchase edge cache is
     // repartitioned on dst at build time, so every superstep's
