@@ -99,6 +99,39 @@ object Relational {
     * them all and reports the exact count. n_exact joins in for error
     * auditability. Output: groupCol, n_sample, est_e6, n_exact.
     */
+  /** w20's kernel — per-key MAX CONCURRENCY of inclusive [start, end]
+    * intervals by sweep-line: +1 at start, −1 at end+1, net per day,
+    * running sum = the day's exact concurrency, then the per-key peak
+    * with its EARLIEST day. This is the scale-correct REPLACEMENT for
+    * the interval self-join ("which intervals overlap?") when the
+    * question is a per-key aggregate: the self-join is quadratic in the
+    * overlap degree, while the sweep is one map-side-combinable
+    * aggregation (key, day) plus a per-key window over
+    * calendar-bounded days — no pair is ever materialized. Aggregating
+    * to daily nets BEFORE the running sum also removes within-day
+    * event-order ambiguity, so the result is total-order-free and
+    * engine-exact.
+    */
+  private[graft] def intervalSweep(
+      iv: DataFrame, keyCol: String, startCol: String, endCol: String)
+      : DataFrame = {
+    val deltas = iv.select(col(keyCol), col(startCol).as("t"),
+        lit(1L).as("delta"))
+      .unionAll(iv.select(col(keyCol), date_add(col(endCol), 1).as("t"),
+        lit(-1L).as("delta")))
+    val daily = deltas.groupBy(col(keyCol), col("t"))
+      .agg(sum(col("delta")).as("net"))
+    val run = daily.withColumn("conc",
+      sum(col("net")).over(Window.partitionBy(col(keyCol)).orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    run.withColumn("rn", row_number().over(
+        Window.partitionBy(col(keyCol))
+          .orderBy(col("conc").desc, col("t"))))
+      .filter(col("rn") === 1)
+      .select(col(keyCol), col("conc").as("peak_concurrency"),
+        col("t").as("peak_day"))
+  }
+
   private[graft] def kmvDistinct(
       df: DataFrame, groupCol: String, valueCol: String,
       k: Int = 64): DataFrame = {
@@ -2102,6 +2135,55 @@ object Relational {
                 f AS (PARTITION BY event_type ORDER BY ts_s, event_id
                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
          ORDER BY event_id""")),
+
+    ("w20_interval_sweep", (s: SparkSession, d: String) => {
+      // Max concurrent shipments per supplier — the interval-overlap
+      // question ("how many in-transit windows are simultaneously
+      // open?") answered WITHOUT the interval self-join a naive
+      // spelling writes: the sweep-line kernel ([[intervalSweep]])
+      // turns it into one (suppkey, day) aggregation plus a per-supplier
+      // running sum over calendar-bounded days. At 100 TB the self-join
+      // is quadratic in per-supplier overlap degree; the sweep never
+      // materializes a pair. The driver's trimmed lineitem has no
+      // l_receiptdate, so the transit window is derived
+      // DETERMINISTICALLY: [l_shipdate, l_shipdate + (l_linenumber % 7)
+      // + 3] — 3-9 day windows both engines compute identically.
+      // Inclusive dates (−1 lands at end+1), peak ties resolve to the
+      // earliest day. Output: one row per supplier.
+      intervalSweep(
+        Tables.lineitem(s, d).select(
+          col("l_suppkey").cast("long").as("suppkey"),
+          to_date(col("l_shipdate")).as("ship_day"),
+          date_add(to_date(col("l_shipdate")),
+            (col("l_linenumber") % 7 + 3).cast("int")).as("receipt_day")),
+        "suppkey", "ship_day", "receipt_day")
+        .orderBy(col("suppkey"))
+    }, Some(
+      """WITH d AS (
+           SELECT l_suppkey AS suppkey, cast(l_shipdate AS date) AS t,
+                  1 AS delta
+           FROM lineitem
+           UNION ALL
+           SELECT l_suppkey,
+                  cast(l_shipdate AS date)
+                    + cast(l_linenumber % 7 + 3 AS int) + 1, -1
+           FROM lineitem),
+         daily AS (
+           SELECT suppkey, t, cast(sum(delta) AS bigint) AS net
+           FROM d GROUP BY 1, 2),
+         run AS (
+           SELECT suppkey, t,
+                  cast(sum(net) OVER (PARTITION BY suppkey ORDER BY t
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS bigint) AS conc
+           FROM daily),
+         pk AS (
+           SELECT suppkey, conc, t, row_number() OVER (
+             PARTITION BY suppkey ORDER BY conc DESC, t) AS rn
+           FROM run)
+         SELECT cast(suppkey AS bigint) AS suppkey,
+                conc AS peak_concurrency, t AS peak_day
+         FROM pk WHERE rn = 1 ORDER BY suppkey""")),
 
     ("w17_seasonal_decompose", (s: SparkSession, d: String) => {
       // Classical additive seasonal decomposition (the moving-average

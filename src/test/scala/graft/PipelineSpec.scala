@@ -198,6 +198,27 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"control spike not flagged: ${out.toSeq}")
   }
 
+  test("intervalSweep: planted intervals peak where they overlap; the end+1 handoff nets to zero") {
+    // Key 1 holds [1,5], [3,7], [6,9] (inclusive): days 3-5 and 6-7
+    // both hold 2 open intervals — day 6 is the handoff day where
+    // [1,5]'s −1 (at end+1 = 6) and [6,9]'s +1 cancel, so the running
+    // sum must stay at 2, not dip — and the peak reports the EARLIEST
+    // peak day, 3. Key 2's disjoint intervals peak at 1 on day 1.
+    val s = spark
+    import s.implicits._
+    def d(i: Int) = java.sql.Date.valueOf(f"2024-05-$i%02d")
+    val iv = Seq(
+      (1L, d(1), d(5)), (1L, d(3), d(7)), (1L, d(6), d(9)),
+      (2L, d(1), d(2)), (2L, d(5), d(6)))
+      .toDF("k", "s", "e")
+    val out = graft.operators.Relational.intervalSweep(iv, "k", "s", "e")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDate(2).toString))
+      .toMap
+    assert(out(1L) == (2L, "2024-05-03"), s"overlap key wrong: ${out(1L)}")
+    assert(out(2L) == (1L, "2024-05-01"), s"disjoint key wrong: ${out(2L)}")
+  }
+
   test("bpeMerges: planted corpus learns the obvious merges in order, greedy non-overlap, early stop") {
     // Canonical BPE on a corpus where every decision is hand-checkable:
     //   round 1: (a,b) appears 2×10 (abab) + 5 (ab) = 25 — beats every
