@@ -132,6 +132,41 @@ object Relational {
         col("t").as("peak_day"))
   }
 
+  /** j14's kernel — interval×interval OVERLAP pairs per key, counted
+    * without a nested loop: both sides explode onto fixed-width grid
+    * cells (width ≥ the max interval length ⇒ ≤ 2 cells per interval),
+    * equi-join on (key, cell), and the classic REPORTING-CELL dedup
+    * kills double counting without a distinct — a pair sharing two
+    * cells is counted only in the cell containing max(start_a, start_b)
+    * (an overlapping pair always shares that cell, since
+    * max(start) ≤ min(end)). This is the pair-producing complement to
+    * [[intervalSweep]]: the sweep answers per-key concurrency with no
+    * pairs; this shape materializes (here: counts) the pairs with
+    * shuffle O(rows·2) and per-cell-bounded compare work — the
+    * nested-loop fallback a bare `a.sd <= b.ed AND b.sd <= a.ed` join
+    * triggers is corpus². `uid` must be unique per interval; pairs are
+    * ordered uid_a < uid_b so each counts once.
+    */
+  private[graft] def intervalOverlapPairs(
+      iv: DataFrame, cellDays: Int): DataFrame = {
+    val cells = iv.withColumn("cell",
+      explode(expr(s"sequence(sd div $cellDays, ed div $cellDays)")))
+    val a = cells.as("a")
+    val b = cells.as("b")
+    val pairs = a.join(b,
+        col("a.key") === col("b.key") && col("a.cell") === col("b.cell") &&
+          col("a.uid") < col("b.uid") &&
+          col("a.sd") <= col("b.ed") && col("b.sd") <= col("a.ed") &&
+          col("a.cell") === greatest(col("a.sd"), col("b.sd"))
+            .divide(lit(cellDays)).cast("long"))
+      .groupBy(col("a.key").as("key"))
+      .agg(count(lit(1)).as("n_overlap_pairs"))
+    iv.groupBy(col("key")).agg(count(lit(1)).as("n_lines"))
+      .join(pairs, Seq("key"), "left")
+      .select(col("key"), col("n_lines"),
+        coalesce(col("n_overlap_pairs"), lit(0L)).as("n_overlap_pairs"))
+  }
+
   private[graft] def kmvDistinct(
       df: DataFrame, groupCol: String, valueCol: String,
       k: Int = 64): DataFrame = {
@@ -931,6 +966,56 @@ object Relational {
          FROM p LEFT JOIN cand c
            ON c.purchase_id = p.purchase_id AND c.rn = 1
          ORDER BY p.purchase_id""")),
+
+    ("j14_interval_overlap_join", (s: SparkSession, d: String) => {
+      // Interval×interval overlap join — j9's big sibling: j9 buckets a
+      // POINT against ranges (each point owns one bin, no dedup);
+      // here BOTH sides are intervals (the w20 transit windows, one
+      // ship-year), so a pair can share two grid cells and the
+      // reporting-cell rule ([[intervalOverlapPairs]]) counts it
+      // exactly once without a distinct. Cell width 16 d ≥ the 10 d max
+      // window ⇒ ≤ 2 cells per interval; the join is a plain equi-join
+      // on (suppkey, cell) with the overlap predicate inside the
+      // bucket — never the corpus² nested loop the bare range
+      // predicate triggers (plan-pinned). Output: per supplier, line
+      // and overlapping-pair counts; oracle = the honest quadratic
+      // join at sf0.01.
+      val base = Tables.lineitem(s, d)
+        .filter(year(col("l_shipdate")) === 1995)
+        .select(col("l_suppkey").cast("long").as("key"),
+          (col("l_orderkey") * 8 + col("l_linenumber")).cast("long").as("uid"),
+          datediff(to_date(col("l_shipdate")),
+            lit("1992-01-01").cast("date")).cast("long").as("sd"),
+          (datediff(to_date(col("l_shipdate")),
+            lit("1992-01-01").cast("date"))
+            + (col("l_linenumber") % 7 + 3)).cast("long").as("ed"))
+      intervalOverlapPairs(base, cellDays = 16)
+        .select(col("key").as("suppkey"), col("n_lines"),
+          col("n_overlap_pairs"))
+        .orderBy(col("suppkey"))
+    }, Some(
+      """WITH base AS (
+           SELECT l_suppkey AS suppkey,
+                  l_orderkey * 8 + l_linenumber AS uid,
+                  datediff('day', DATE '1992-01-01',
+                    cast(l_shipdate AS date)) AS sd,
+                  datediff('day', DATE '1992-01-01',
+                    cast(l_shipdate AS date)) + (l_linenumber % 7 + 3) AS ed
+           FROM lineitem
+           WHERE year(cast(l_shipdate AS timestamp)) = 1995),
+         p AS (
+           SELECT a.suppkey, cast(count(*) AS bigint) AS n_overlap_pairs
+           FROM base a JOIN base b
+             ON b.suppkey = a.suppkey AND a.uid < b.uid
+            AND a.sd <= b.ed AND b.sd <= a.ed
+           GROUP BY 1),
+         n AS (SELECT suppkey, cast(count(*) AS bigint) AS n_lines
+               FROM base GROUP BY 1)
+         SELECT cast(n.suppkey AS bigint) AS suppkey, n.n_lines,
+                cast(coalesce(p.n_overlap_pairs, 0) AS bigint)
+                  AS n_overlap_pairs
+         FROM n LEFT JOIN p ON p.suppkey = n.suppkey
+         ORDER BY 1""")),
 
     ("j9_range_bucket_join", (s: SparkSession, d: String) => {
       // Bucketized RANGE join — the at-scale plan for an interval

@@ -219,6 +219,24 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(2L) == (1L, "2024-05-01"), s"disjoint key wrong: ${out(2L)}")
   }
 
+  test("intervalOverlapPairs: a pair sharing two cells counts once; disjoint and cross-key pairs count zero") {
+    // The reporting-cell dedup's exact failure mode, planted: intervals
+    // [14,18] and [15,20] overlap AND straddle the cell-15 boundary at
+    // width 16, so the naive bucketed join sees them in TWO common
+    // cells — the count must still be 1. [30,31] overlaps neither;
+    // key 2's identical copies of the pair must not leak across keys.
+    val s = spark
+    import s.implicits._
+    val iv = Seq(
+      (1L, 10L, 14L, 18L), (1L, 11L, 15L, 20L), (1L, 12L, 30L, 31L),
+      (2L, 20L, 14L, 18L), (2L, 21L, 15L, 20L))
+      .toDF("key", "uid", "sd", "ed")
+    val out = graft.operators.Relational.intervalOverlapPairs(iv, cellDays = 16)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) == (3L, 1L), s"key 1 wrong: ${out(1L)} (double-counted?)")
+    assert(out(2L) == (2L, 1L), s"key 2 wrong: ${out(2L)}")
+  }
+
   test("bpeMerges: planted corpus learns the obvious merges in order, greedy non-overlap, early stop") {
     // Canonical BPE on a corpus where every decision is hand-checkable:
     //   round 1: (a,b) appears 2×10 (abab) + 5 (ab) = 25 — beats every

@@ -864,6 +864,21 @@ class RelationalPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(deep2 == deepRanks, "deep checkpointed run is not deterministic")
   }
 
+  test("j14: the interval overlap join is an equi-join on (key, cell), never a nested loop") {
+    // The at-scale claim: the bare overlap predicate has no equi key
+    // and Catalyst would nested-loop it (corpus²). The cell explode
+    // must give the planner a hash-joinable key — a regression to
+    // BroadcastNestedLoopJoin/CartesianProduct stays hash-green on
+    // testdata while being quadratic at 100 TB.
+    val plan = Relational.queries("j14_interval_overlap_join")(spark, sfDir)
+      .queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"j14 fell back to a nested loop:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+      || plan.contains("BroadcastHashJoin"),
+      s"j14 shows no hash-keyed join:\n$plan")
+  }
+
   test("x29 vocab gate: broadcast under the budget, pinned sort-merge past it, same rows") {
     // The encode join's size gate (the d12 convention): under-budget
     // runs broadcast the vocab lookup; a zero budget must pin the
