@@ -171,6 +171,56 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     check("KmvBottomK", cases = 40, prop)
   }
 
+  test("intervalSweep and intervalOverlapPairs equal their brute-force references on random intervals") {
+    // Small day-domain so intervals collide, nest, touch, and straddle
+    // the 4-day grid cells constantly. The sweep's (peak, earliest day)
+    // is checked against literal per-day counting; the overlap-pair
+    // count against the O(n²) pairwise predicate — cell width 4 with
+    // intervals up to 4 days long keeps the ≤2-cells invariant under
+    // pressure (length-4 exactly fills a cell or straddles two).
+    val s = spark
+    import s.implicits._
+    import java.time.LocalDate
+    val epoch = LocalDate.of(2024, 6, 1)
+    def day(i: Long) = java.sql.Date.valueOf(epoch.plusDays(i))
+    val ivGen = for {
+      key <- Gen.choose(0L, 1L)
+      sd <- Gen.choose(0L, 11L)
+      len <- Gen.choose(0L, 3L)
+    } yield (key, sd, sd + len)
+    val prop = Prop.forAll(Gen.listOfN(9, ivGen)) { raw =>
+      val iv = raw.zipWithIndex.map { case ((k, sd, ed), i) =>
+        (k, i.toLong, sd, ed)
+      }
+      // Brute force per key: per-day counts and pairwise overlaps.
+      val wantSweep = iv.groupBy(_._1).map { case (k, xs) =>
+        val byDay = (0L to 16L).map(t =>
+          t -> xs.count(x => x._3 <= t && t <= x._4))
+        val peak = byDay.map(_._2).max
+        k -> (peak.toLong, byDay.find(_._2 == peak).get._1)
+      }
+      val wantPairs = iv.groupBy(_._1).map { case (k, xs) =>
+        k -> (xs.size.toLong,
+          xs.combinations(2).count { case Seq(a, b) =>
+            a._3 <= b._4 && b._3 <= a._4 }.toLong)
+      }
+      val dates = iv.map { case (k, u, sd, ed) => (k, u, day(sd), day(ed)) }
+        .toDF("key", "uid", "s", "e")
+      val gotSweep = graft.operators.Relational
+        .intervalSweep(dates, "key", "s", "e")
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), epoch.until(r.getDate(2).toLocalDate,
+            java.time.temporal.ChronoUnit.DAYS))).toMap
+      val gotPairs = graft.operators.Relational
+        .intervalOverlapPairs(
+          iv.toDF("key", "uid", "sd", "ed"), cellDays = 4)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2))).toMap
+      gotSweep == wantSweep && gotPairs == wantPairs
+    }
+    check("intervalKernels", cases = 10, prop)
+  }
+
   test("bpeTrain equals a local greedy-BPE reference on random corpora") {
     // The x28/x29 kernel against an executable local re-implementation:
     // same pair counting, same (count desc, pair lex) argmax, same
