@@ -154,6 +154,35 @@ object AnnIndex {
       if (persistLists) lists.persist(StorageLevel.MEMORY_AND_DISK) else lists)
   }
 
+  /** STATELESS per-row IVF assignment under a FROZEN quantizer — the
+    * streaming half of the inverted-list lifecycle (build e6 / persist
+    * e15 / delete+compact e18): arriving vectors unit-normalize and take
+    * their min-L2 centroid WITHOUT the batch path's crossJoin + groupBy
+    * (a keyed aggregation is unbounded state on a stream): the nlist
+    * centroids ride as an array LITERAL and the argmin is a per-row
+    * `array_min` over (dist, cid) structs — struct ordering IS the
+    * (min dist, lowest cid) tie rule [[assignIvf]] uses, so the two
+    * spellings agree pair-for-pair (pinned in StreamingSpec against the
+    * lists the batch build assigned). Distances go through the same
+    * codegen'd [[graft.functions.LongSqDist]] kernel. No shuffle, no
+    * state: assignment at the ingest edge is a map.
+    * Columns: vec_id, cid, unit.
+    */
+  def ivfAssign(idx: IvfIndex, arrivals: DataFrame): DataFrame = {
+    val centsLit = array(idx.cents.map { case (cid, cent) =>
+      struct(lit(cid).cast("int").as("cid"),
+        array(cent.map(v => lit(v)): _*).as("cent"))
+    }: _*)
+    withUnitE6(arrivals)
+      .select(col("vec_id"), col("unit"),
+        array_min(transform(centsLit, c =>
+          struct(kcol(graft.functions.LongSqDist(
+              kexpr(col("unit")), kexpr(c.getField("cent")))).as("dist"),
+            c.getField("cid").as("cid"))))
+          .getField("cid").as("cid"))
+      .select(col("vec_id"), col("cid"), col("unit"))
+  }
+
   /** Search a trained IVF index: queries = indexed vectors with `qPred`
     * true, probing their `nprobe` min-L2 centroids' lists (integer
     * distances, cid ties) and ranking exactly inside them on the

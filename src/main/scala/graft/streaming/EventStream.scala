@@ -553,6 +553,19 @@ object EventStream {
     graft.operators.AnnIndex.sq8Encode(idx, arrivals)
       .select(col("vec_id"), col("sq8"))
 
+  /** Continuous IVF ingest — the e15/e18 lifecycle's streaming arrival
+    * path: vectors assign to the FROZEN coarse quantizer's inverted
+    * lists as they arrive, via [[graft.operators.AnnIndex.ivfAssign]]'s
+    * per-row argmin (centroids ride as a literal; no crossJoin, no
+    * keyed aggregation, no state — a pure map, like sq8Ingest). The
+    * stream's assignments match the batch-built lists pair-for-pair
+    * including distance ties (StreamingSpec), so appending them to the
+    * e15 artifact is exactly what a batch rebuild would produce.
+    */
+  def ivfIngest(idx: graft.operators.AnnIndex.IvfIndex, arrivals: DataFrame): DataFrame =
+    graft.operators.AnnIndex.ivfAssign(idx, arrivals)
+      .select(col("vec_id"), col("cid"))
+
     final case class ErrorBurst(user_id: Long, ts_us: Long, n_recent: Int)
 
   /** Custom keyed state with EVICTION (flatMapGroupsWithState + event-time

@@ -208,6 +208,32 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(over == 0, "a group exceeded the k=64 sample bound")
   }
 
+  test("ivfIngest: streamed assignments match the batch-built lists pair-for-pair") {
+    // Two independent spellings of the same argmin must agree on every
+    // vector INCLUDING ties: the batch build's crossJoin + groupBy
+    // min(struct(dist, cid)) versus the stream's per-row array_min over
+    // a centroid literal. Then the streamed run must equal the batch
+    // run of the same function — a pure map, so the replay is exact.
+    val idx = graft.operators.AnnIndex.ivfFor(spark, sfDir,
+      Tables.embeddings(spark, sfDir), nlist = 16, iters = 2)
+    val batchAssign = graft.operators.AnnIndex
+      .ivfAssign(idx, Tables.embeddings(spark, sfDir))
+      .select(col("vec_id"), col("cid"))
+      .orderBy("vec_id").collect().toSeq
+    val fromLists = idx.lists.select(col("vec_id"), col("cid"))
+      .orderBy("vec_id").collect().toSeq
+    assert(batchAssign == fromLists,
+      "per-row argmin diverges from the build-time assignment")
+    val q = EventStream.ivfIngest(idx, EventStream.readEmbeddings(spark, sfDir))
+      .writeStream.format("memory").queryName("ivf_ingest")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("ivf_ingest")
+      .orderBy("vec_id").collect().toSeq
+    assert(streamed == batchAssign && streamed.nonEmpty,
+      s"streamed ${streamed.length} rows diverge from batch assignment")
+  }
+
   test("kmvDistinctStream absorbs cross-batch duplicates; estimate exact under k, in-bounds over it") {
     // The property a multiset fold would get wrong: the SAME users
     // recurring in a later micro-batch must be absorbed by the KMV
