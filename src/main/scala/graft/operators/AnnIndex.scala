@@ -738,9 +738,9 @@ object AnnIndex {
   /** Load an IVF index persisted by [[saveIvf]]: the centroid collect is
     * nlist × dim longs (index metadata, the trainIvf class); the lists
     * stay a lazy parquet scan — the serving cluster's cache policy, not
-    * the loader's, decides their residency. `listsName` selects which
-    * list generation to serve ("lists" as written by saveIvf, or
-    * "lists_compact" after [[compactIvf]]).
+    * the loader's, decides their residency. (`listsName` is a
+    * flexibility hook; both saveIvf and compactIvf write the default
+    * "lists" — a compacted artifact is a complete standalone index.)
     */
   def loadIvf(s: SparkSession, dir: String,
       listsName: String = "lists"): IvfIndex = {
@@ -767,22 +767,38 @@ object AnnIndex {
     * anti-join + rewrite of the lists, amortized over every
     * post-compaction query.
     */
-  def tombstoneIvf(s: SparkSession, dir: String, dead: DataFrame): Unit =
+  /** Tombstones live BESIDE the source artifact, one kill set per tag
+    * (`dir/tombstones-$tag`) — two concurrent delete campaigns against
+    * the same index must not clobber each other's kill sets.
+    */
+  def tombstoneIvf(s: SparkSession, dir: String, dead: DataFrame,
+      tag: String): Unit =
     dead.select(col("vec_id")).write.mode("overwrite")
-      .parquet(s"$dir/tombstones")
+      .parquet(s"$dir/tombstones-$tag")
 
-  def compactIvf(s: SparkSession, dir: String): Unit = {
-    val ts = s.read.parquet(s"$dir/tombstones")
+  /** Compaction produces a COMPLETE standalone index directory
+    * (centroids re-shipped — nlist rows, negligible — plus the
+    * surviving lists as plain `lists`), so the compacted artifact loads
+    * through the default [[loadIvf]] path like any other index and can
+    * never collide with another tag's generation in the source dir.
+    */
+  def compactIvf(s: SparkSession, dir: String, tag: String,
+      outDir: String): Unit = {
+    val ts = s.read.parquet(s"$dir/tombstones-$tag")
+    s.read.parquet(s"$dir/centroids").coalesce(1)
+      .write.mode("overwrite").parquet(s"$outDir/centroids")
     s.read.parquet(s"$dir/lists")
       .join(ts, Seq("vec_id"), "left_anti")
-      .write.mode("overwrite").parquet(s"$dir/lists_compact")
+      .write.mode("overwrite").parquet(s"$outDir/lists")
   }
 
   /** Write-once tombstone+compaction of the shared saved artifact: the
     * first call persists the e6/e7 index (via [[savedIvfFor]]), writes
-    * the kill set, and compacts; later calls reuse the artifact. Keyed
-    * by (path, nlist, iters, tag) — `tag` names the kill-set spec, the
-    * savedIvfFor cache-contract lesson (ADVICE r11) applied up front.
+    * the tag's kill set, and compacts into a FRESH standalone directory
+    * (returned); later calls reuse it. Keyed by (path, nlist, iters,
+    * tag) — and because every evaluation writes its own temp dir, a
+    * racing duplicate build is wasted work, never a corrupted artifact
+    * (the r12 review's tag-collision finding, fixed structurally).
     */
   private val compactedIvfCache =
     scala.collection.concurrent.TrieMap.empty[String, String]
@@ -792,9 +808,11 @@ object AnnIndex {
       s"$path|nlist=$nlist|iters=$iters|dead=$tag",
       timedBuild(s"ivf-compact:$nlist:$iters:$tag") {
         val dir = savedIvfFor(s, path, e, nlist, iters)
-        tombstoneIvf(s, dir, dead)
-        compactIvf(s, dir)
-        dir
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_ivf_compact_").toString
+        tombstoneIvf(s, dir, dead, tag)
+        compactIvf(s, dir, tag, out)
+        out
       })
 
   /** Write-once-per-sfDir saved-index directory (the s13 asset-dir

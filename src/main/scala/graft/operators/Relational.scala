@@ -157,8 +157,10 @@ object Relational {
         col("a.key") === col("b.key") && col("a.cell") === col("b.cell") &&
           col("a.uid") < col("b.uid") &&
           col("a.sd") <= col("b.ed") && col("b.sd") <= col("a.ed") &&
-          col("a.cell") === greatest(col("a.sd"), col("b.sd"))
-            .divide(lit(cellDays)).cast("long"))
+          // Integral `div`, the SAME spelling that generated the cells —
+          // a float divide+cast agrees only coincidentally on this
+          // domain (r12 review finding).
+          col("a.cell") === expr(s"greatest(a.sd, b.sd) div $cellDays"))
       .groupBy(col("a.key").as("key"))
       .agg(count(lit(1)).as("n_overlap_pairs"))
     iv.groupBy(col("key")).agg(count(lit(1)).as("n_lines"))

@@ -1393,15 +1393,21 @@ object TextPipeline {
     * the Spark fold on planted runs, PipelineSpec). Symbols stay [a-z]+
     * by construction, so the tab separator can't collide.
     */
+  // LEFT JOIN ON true, not a cross join: when round i−1 found no pair
+  // (t empty — training exhausted before k), the vocab passes through
+  // UNCHANGED, exactly mirroring bpeTrain's permanent early stop; a
+  // cross join would empty every later seq and zero the encoder
+  // (r12 review finding).
   private def bpeRewriteCte(i: Int): String =
     s"""seq$i AS (
            SELECT s.word, s.cnt,
-                  string_split(list_reduce(s.syms,
+                  CASE WHEN t.l IS NULL THEN s.syms
+                  ELSE string_split(list_reduce(s.syms,
                     (acc, x) -> CASE WHEN x = t.r
                           AND (acc = t.l OR ends_with(acc, chr(9) || t.l))
                         THEN acc || x
-                        ELSE acc || chr(9) || x END), chr(9)) AS syms
-           FROM seq${i - 1} s, t${i - 1} t)"""
+                        ELSE acc || chr(9) || x END), chr(9)) END AS syms
+           FROM seq${i - 1} s LEFT JOIN t${i - 1} t ON true)"""
 
   /** The shared k-round training CTE chain (occ → wf → seq0/p0/t0 → …).
     * `finalRewrite` additionally materializes seq_k — the fully-merged
@@ -2420,7 +2426,7 @@ object TextPipeline {
         dead = Tables.embeddings(s, d)
           .filter(col("vec_id") % 7 === 3).select(col("vec_id")),
         tag = "mod7eq3")
-      AnnIndex.ivfSearch(AnnIndex.loadIvf(s, cdir, "lists_compact"),
+      AnnIndex.ivfSearch(AnnIndex.loadIvf(s, cdir),
           col("vec_id") < 3, k = 3, nprobe = 4)
         .orderBy(col("q_id"), col("rank"))
     }, Some(

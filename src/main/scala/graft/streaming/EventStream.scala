@@ -210,7 +210,11 @@ object EventStream {
     */
   def kmvDistinctStream(events: DataFrame, k: Int = 64): DataFrame = {
     import org.apache.spark.sql.GraftExpressionBridge
-    val u = graft.operators.Relational.fmix32(col("user_id").cast("long"))
+    // pmod before fmix32, the bottomKStream convention (ADVICE r11): a
+    // negative user_id would otherwise yield a negative "hash" that
+    // poisons the bottom-k and the estimator.
+    val u = graft.operators.Relational.fmix32(
+      pmod(col("user_id").cast("long"), lit(4294967296L)))
     val agg = GraftExpressionBridge.column(
       graft.functions.KmvBottomK(
         GraftExpressionBridge.expression(col("u")),
@@ -224,7 +228,12 @@ object EventStream {
       .agg(agg.as("sample"))
       .select(col("win.start").as("window_start"), col("event_type"),
         size(col("sample")).cast("long").as("n_sample"),
-        element_at(col("sample"), -1).getField("score").as("u_k"))
+        // when() guards the empty sample (an all-NULL-user group): ANSI
+        // mode makes an unguarded element_at(-1) on [] a hard error
+        // (r12 review finding); the downstream n_sample < k branch
+        // never reads u_k for such a group.
+        when(size(col("sample")) > 0,
+          element_at(col("sample"), -1).getField("score")).as("u_k"))
       .select(col("window_start"), col("event_type"), col("n_sample"),
         when(col("n_sample") < k, col("n_sample") * lit(1000000L))
           .otherwise(round(lit((k - 1).toDouble * 4294967296.0) / col("u_k")

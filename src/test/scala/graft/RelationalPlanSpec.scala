@@ -981,29 +981,30 @@ class RelationalPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(nDead > 0, "kill set empty — the test would be vacuous")
     val cdir = AnnIndex.compactedIvfFor(spark, sfDir, emb,
       nlist = 16, iters = 2, dead = dead, tag = "mod7eq3")
+    val srcDir = AnnIndex.savedIvfFor(spark, sfDir, emb,
+      nlist = 16, iters = 2)
     val surviving = emb.filter(col("vec_id") % 7 =!= 3).select(col("vec_id"))
-    val tomb = AnnIndex.ivfSearch(AnnIndex.loadIvf(spark, cdir),
+    val tomb = AnnIndex.ivfSearch(AnnIndex.loadIvf(spark, srcDir),
         col("vec_id") < 3, k = 3, nprobe = 4, candidates = Some(surviving))
       .orderBy(col("q_id"), col("rank")).collect().toSeq
     assert(tomb.nonEmpty, "tombstone-filtered serving returned nothing")
-    val comp = AnnIndex.ivfSearch(
-      AnnIndex.loadIvf(spark, cdir, "lists_compact"),
+    val comp = AnnIndex.ivfSearch(AnnIndex.loadIvf(spark, cdir),
       col("vec_id") < 3, k = 3, nprobe = 4)
     val plan = comp.queryExecution.executedPlan.toString
     assert(!plan.contains("LeftAnti"),
       s"compacted serving still anti-joins a kill set:\n$plan")
     assert(!plan.contains("tombstones"),
       s"compacted serving still scans the tombstone table:\n$plan")
-    assert(plan.contains("lists_compact"),
+    assert(plan.contains("graft_ivf_compact"),
       s"compacted serving does not read the compacted generation:\n$plan")
     assert(comp.orderBy(col("q_id"), col("rank")).collect().toSeq == tomb,
       "compacted index diverges from tombstone-filtered serving")
     // The rewrite really dropped the dead rows — and nothing else.
-    val nAll = spark.read.parquet(s"$cdir/lists").count()
-    val nComp = spark.read.parquet(s"$cdir/lists_compact").count()
+    val nAll = spark.read.parquet(s"$srcDir/lists").count()
+    val nComp = spark.read.parquet(s"$cdir/lists").count()
     assert(nComp == nAll - nDead,
       s"compacted lists have $nComp rows, want $nAll - $nDead")
-    assert(spark.read.parquet(s"$cdir/lists_compact")
+    assert(spark.read.parquet(s"$cdir/lists")
       .filter(col("vec_id") % 7 === 3).count() == 0,
       "a tombstoned vector survived compaction")
   }
