@@ -267,6 +267,49 @@ object Estimation {
           .as("robust_z_e6"))
   }
 
+  /** The t9 kernel over any (event_type, day, x:long) daily panel —
+    * Pesaran–Timmermann (1992) directional accuracy of the momentum
+    * forecast sign(x_{t−1} − x_{t−2}) for the realized direction
+    * sign(x_t − x_{t−1}): from four exact integer counts (n, Σa, Σf,
+    * Σ[a = f]; ties Δ = 0 map to "down" in both engines) the statistic
+    * assembles in a FIXED chain of double expressions — each step's
+    * formula text is shared verbatim with the oracle so the IEEE
+    * arithmetic parses identically — and e6-quantizes. A degenerate
+    * denominator (vp − vps ≤ 0: all moves one way, the t8/w18 lesson)
+    * yields a documented NULL statistic and an explicit non-reject.
+    * One-sided 5% critical value 1.644854.
+    */
+  private[graft] def ptDirection(daily: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val dirs = daily
+      .withColumn("x1", lag(col("x"), 1).over(w))
+      .withColumn("x2", lag(col("x"), 2).over(w))
+      .filter(col("x2").isNotNull)
+      .select(col("event_type"),
+        (col("x") > col("x1")).cast("long").as("a"),
+        (col("x1") > col("x2")).cast("long").as("f"))
+    dirs.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("a")).as("sa"),
+        sum(col("f")).as("sf"),
+        sum((col("a") === col("f")).cast("long")).as("sh"))
+      .withColumn("pa", expr("cast(sa AS double)/n"))
+      .withColumn("pf", expr("cast(sf AS double)/n"))
+      .withColumn("ph", expr("cast(sh AS double)/n"))
+      .withColumn("pstar", expr("pa*pf + (1.0-pa)*(1.0-pf)"))
+      .withColumn("vp", expr("pstar*(1.0-pstar)/n"))
+      .withColumn("vps", expr(
+        "((2.0*pf-1.0)*(2.0*pf-1.0)*pa*(1.0-pa) + " +
+          "(2.0*pa-1.0)*(2.0*pa-1.0)*pf*(1.0-pf) + " +
+          "4.0*pa*pf*(1.0-pa)*(1.0-pf)/n)/n"))
+      .select(col("event_type"), col("n"),
+        expr("cast(round(ph*1e6) AS bigint)").as("hit_e6"),
+        expr("CASE WHEN vp - vps > 0 THEN " +
+          "cast(round((ph-pstar)/sqrt(vp-vps)*1e6) AS bigint) END")
+          .as("pt_e6"))
+      .withColumn("reject_5pct",
+        coalesce(col("pt_e6") > 1644854L, lit(false)))
+  }
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
 
     // ----- W4 as a component: the reusable design-matrix builder ----------
@@ -519,6 +562,62 @@ object Estimation {
     }, Some(AdfOracle.sql)),
 
     // ----- T8 (ext.): KPSS — the stationarity test ADF complements --------
+
+    ("t9_pt_direction", (s: SparkSession, d: String) => {
+      // Pesaran–Timmermann directional accuracy per series — the
+      // forecast-evaluation axis t3/t4 (Clark–West, Diebold–Mariano)
+      // don't cover: CW/DM compare error MAGNITUDES; PT asks whether a
+      // forecast gets the DIRECTION right more often than independence
+      // allows — the sign-economy question trading/ordering decisions
+      // actually turn on. Forecast under test: momentum (yesterday's
+      // direction predicts today's). Exactness: the four inputs are
+      // integer counts; the statistic is a fixed chain of double
+      // expressions whose formula TEXT is shared verbatim with the
+      // oracle (the x26 bit-identical-doubles discipline); degenerate
+      // variance → NULL + explicit non-reject (the t8/w18 contract).
+      // Scale: per-series lags are calendar-bounded windows; the
+      // counts aggregation is map-side combinable to |series| rows.
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("x"))
+      ptDirection(daily).orderBy(col("event_type"))
+    }, Some(
+      """WITH daily AS (
+           SELECT event_type, cast(ts AS date) AS day,
+                  cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS x
+           FROM events GROUP BY 1, 2),
+         l AS (
+           SELECT event_type, x,
+                  lag(x, 1) OVER (PARTITION BY event_type ORDER BY day) AS x1,
+                  lag(x, 2) OVER (PARTITION BY event_type ORDER BY day) AS x2
+           FROM daily),
+         d2 AS (
+           SELECT event_type,
+                  CASE WHEN x > x1 THEN 1 ELSE 0 END AS a,
+                  CASE WHEN x1 > x2 THEN 1 ELSE 0 END AS f
+           FROM l WHERE x2 IS NOT NULL),
+         c AS (
+           SELECT event_type, cast(count(*) AS bigint) AS n,
+                  cast(sum(a) AS bigint) AS sa,
+                  cast(sum(f) AS bigint) AS sf,
+                  cast(sum(CASE WHEN a = f THEN 1 ELSE 0 END) AS bigint) AS sh
+           FROM d2 GROUP BY 1),
+         s1 AS (SELECT *, cast(sa AS double)/n AS pa,
+                       cast(sf AS double)/n AS pf,
+                       cast(sh AS double)/n AS ph FROM c),
+         s2 AS (SELECT *, pa*pf + (1.0-pa)*(1.0-pf) AS pstar FROM s1),
+         s3 AS (SELECT *, pstar*(1.0-pstar)/n AS vp,
+                       ((2.0*pf-1.0)*(2.0*pf-1.0)*pa*(1.0-pa) +
+                        (2.0*pa-1.0)*(2.0*pa-1.0)*pf*(1.0-pf) +
+                        4.0*pa*pf*(1.0-pa)*(1.0-pf)/n)/n AS vps FROM s2)
+         SELECT event_type, n, cast(round(ph*1e6) AS bigint) AS hit_e6,
+                CASE WHEN vp - vps > 0 THEN
+                  cast(round((ph-pstar)/sqrt(vp-vps)*1e6) AS bigint)
+                END AS pt_e6,
+                coalesce(CASE WHEN vp - vps > 0 THEN
+                  cast(round((ph-pstar)/sqrt(vp-vps)*1e6) AS bigint)
+                END > 1644854, false) AS reject_5pct
+         FROM s3 ORDER BY 1""")),
 
     ("t8_kpss_batch", (s: SparkSession, d: String) => {
       // KPSS level-stationarity test (Kwiatkowski-Phillips-Schmidt-Shin

@@ -172,6 +172,39 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!c(0).getBoolean(5), s"constant series flagged a changepoint: ${c.toSeq}")
   }
 
+  test("ptDirection: persistent directions reject independence; white noise and constants do not") {
+    // A slow sine (period 20, 80 days) has long directional runs —
+    // momentum predicts direction ~90% of the time with pa ≈ pf ≈ 0.5,
+    // exactly PT's power case — while LCG white noise has independent
+    // directions, and a constant series (all ties → all "down") hits
+    // the degenerate-variance branch: NULL statistic, explicit
+    // non-reject, no error.
+    val s = spark
+    import s.implicits._
+    def day(i: Int) = java.sql.Date.valueOf(
+      f"2024-0${i / 28 + 1}%01d-${i % 28 + 1}%02d")
+    val sine = (0 until 80).map(i =>
+      ("sine", day(i),
+        math.round(1e6 * math.sin(2 * math.Pi * i / 20.0))))
+    val lcg = new TestData.Lcg(23L)
+    val wn = (0 until 80).map(i =>
+      ("wn", day(i), math.round(lcg.gaussian() * 1e6)))
+    val const = (0 until 80).map(i => ("const", day(i), 42L))
+    val out = graft.operators.Estimation
+      .ptDirection((sine ++ wn ++ const).toDF("event_type", "day", "x"))
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(2), if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          r.getBoolean(4)))
+      .toMap
+    val (hitS, ptS, rejS) = out("sine")
+    assert(rejS && ptS.exists(_ > 1644854L) && hitS > 800000L,
+      s"persistent directions not detected: ${out("sine")}")
+    assert(!out("wn")._3, s"white noise rejected: ${out("wn")}")
+    assert(out("const")._2.isEmpty && !out("const")._3,
+      s"constant series not degenerate-safe: ${out("const")}")
+  }
+
   test("robustAnomaly: MAD = 0 (half-constant series) flags nothing; a spiked control flags its spike") {
     // >= half the days at the median makes MAD = 0 — scale undefined —
     // so w19's guard must flag NO day (not every deviating day with an
