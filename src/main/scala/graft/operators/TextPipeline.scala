@@ -1244,6 +1244,37 @@ object TextPipeline {
         .cast("double") * 1e12).cast("long").as("es_key_e12"))
   }
 
+  /** x30's kernel — BM25 top-k over a term query (k1 = 1.2, b = 0.75),
+    * extracted so a planted test can pin the two behaviors that make
+    * BM25 a different RANKING than x22's tf·idf (not a rescale):
+    * tf saturation and document-length normalization.
+    */
+  private[graft] def bm25TopK(
+      docs: DataFrame, terms: Seq[String], k: Int): DataFrame = {
+    val dl = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("sum_dl"))
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token").isin(terms: _*))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy(col("token")).agg(count(lit(1)).as("df_docs"))
+    tf.join(broadcast(dft), Seq("token"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("part_e6", expr(
+        "cast(round(ln((cast(n_docs AS double) - df_docs + 0.5)" +
+          "/(df_docs + 0.5) + 1.0) * (tf * 2.2)" +
+          "/(tf + 1.2 * (0.25 + 0.75 * dl" +
+          "/(cast(sum_dl AS double)/n_docs))) * 1e6) AS bigint)"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms_hit"), sum(col("part_e6")).as("score_e6"))
+      .orderBy(col("score_e6").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** x28's kernel — BPE merge TRAINING (the learned-merge half of a
     * tokenizer, which x4's pre-tokenization stops short of): over a
     * (word, cnt) frequency table, repeat k times — count adjacent symbol
@@ -4301,6 +4332,44 @@ object TextPipeline {
                   cast(round(t.tf * ln(cast(n.n_docs AS double) / d.df_docs) * 1e6)
                     AS bigint) AS part_e6
            FROM tf t JOIN dft d ON d.token = t.token, n)
+         SELECT doc_id, count(*) AS n_terms_hit,
+                cast(sum(part_e6) AS bigint) AS score_e6
+         FROM scored GROUP BY 1
+         ORDER BY score_e6 DESC, doc_id LIMIT 20""")),
+
+    ("x30_bm25", (s: SparkSession, d: String) => {
+      // BM25 retrieval — the modern default scorer x22's plain tf·idf
+      // is the ancestor of, and a DIFFERENT ranking (not a rescale):
+      // term frequency SATURATES (tf·(k1+1)/(tf+k1·norm) plateaus where
+      // raw tf grows linearly) and documents are LENGTH-normalized
+      // (norm = 1−b+b·dl/avgdl penalizes long documents that match
+      // often merely by being long), with the Robertson–Sparck Jones
+      // idf ln((N−df+0.5)/(df+0.5)+1). Standard constants k1 = 1.2,
+      // b = 0.75. Same posting-probe scale shape as x22 (filter to the
+      // query terms right after the explode — everything downstream is
+      // bounded by |matching postings|); doc lengths join the postings
+      // on doc_id, the df/stats tables broadcast. Exactness: per-term
+      // scores e6-round BEFORE the per-doc sum (x7's rule), and the
+      // double chain's formula TEXT is shared verbatim with the oracle
+      // (the x26 discipline). Top-20 by (score desc, doc_id).
+      bm25TopK(Tables.documents(s, d),
+        Seq("spark", "query", "vector"), k = 20)
+    }, Some(
+      """WITH dl AS (
+           SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+         st AS (SELECT cast(count(*) AS bigint) AS n_docs,
+                       cast(sum(dl) AS bigint) AS sum_dl FROM dl),
+         m AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS token
+           FROM documents),
+         tf AS (SELECT doc_id, token, count(*) AS tf FROM m
+                WHERE token IN ('spark', 'query', 'vector') GROUP BY 1, 2),
+         dft AS (SELECT token, count(*) AS df_docs FROM tf GROUP BY 1),
+         scored AS (
+           SELECT t.doc_id,
+                  cast(round(ln((cast(n_docs AS double) - df_docs + 0.5)/(df_docs + 0.5) + 1.0) * (t.tf * 2.2)/(t.tf + 1.2 * (0.25 + 0.75 * l.dl/(cast(sum_dl AS double)/n_docs))) * 1e6) AS bigint) AS part_e6
+           FROM tf t JOIN dft d ON d.token = t.token
+           JOIN dl l ON l.doc_id = t.doc_id, st)
          SELECT doc_id, count(*) AS n_terms_hit,
                 cast(sum(part_e6) AS bigint) AS score_e6
          FROM scored GROUP BY 1

@@ -172,6 +172,28 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!c(0).getBoolean(5), s"constant series flagged a changepoint: ${c.toSeq}")
   }
 
+  test("bm25TopK: saturation + length normalization rank a dense short doc above a raw-tf winner") {
+    // The planted case where BM25 and plain tf·idf DISAGREE: the long
+    // doc holds tf=6 (a raw-tf/tf·idf winner), the short doc tf=2 in a
+    // 5-token text — BM25's saturating tf and length penalty must put
+    // the short doc FIRST. Worked by hand: avgdl = 22.5, long's
+    // saturated term 13.2/7.9 ≈ 1.67 < short's 4.4/2.5 ≈ 1.76. A doc
+    // without the term must not appear at all.
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, ("spark " * 6) + ("x " * 33).trim),           // dl=39+1=40ish
+      (2L, "spark spark x y z"),                          // dl=5, tf=2
+      (3L, "nothing relevant here at all"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextPipeline
+      .bm25TopK(docs, Seq("spark"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(out.map(_._1).toSeq == Seq(2L, 1L),
+      s"BM25 did not flip the raw-tf ranking: ${out.toSeq}")
+    assert(!out.exists(_._1 == 3L), "a term-free doc scored")
+  }
+
   test("ptDirection: persistent directions reject independence; white noise and constants do not") {
     // A slow sine (period 20, 80 days) has long directional runs —
     // momentum predicts direction ~90% of the time with pa ≈ pf ≈ 0.5,
