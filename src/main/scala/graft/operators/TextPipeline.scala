@@ -1148,6 +1148,30 @@ object TextPipeline {
                    FROM u JOIN cb2 cb ON cb.i = u.i
                    WHERE u.vec_id < 3 GROUP BY 1, 2)"""
 
+  /** The x30 BM25 oracle — shared with x31, whose sparse arm must be
+    * exactly x30's ranking.
+    */
+  private val bm25OracleSql: String =
+    """WITH dl AS (
+           SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+         st AS (SELECT cast(count(*) AS bigint) AS n_docs,
+                       cast(sum(dl) AS bigint) AS sum_dl FROM dl),
+         m AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS token
+           FROM documents),
+         tf AS (SELECT doc_id, token, count(*) AS tf FROM m
+                WHERE token IN ('spark', 'query', 'vector') GROUP BY 1, 2),
+         dft AS (SELECT token, count(*) AS df_docs FROM tf GROUP BY 1),
+         scored AS (
+           SELECT t.doc_id,
+                  cast(round(ln((cast(n_docs AS double) - df_docs + 0.5)/(df_docs + 0.5) + 1.0) * (t.tf * 2.2)/(t.tf + 1.2 * (0.25 + 0.75 * l.dl/(cast(sum_dl AS double)/n_docs))) * 1e6) AS bigint) AS part_e6
+           FROM tf t JOIN dft d ON d.token = t.token
+           JOIN dl l ON l.doc_id = t.doc_id, st)
+         SELECT doc_id, count(*) AS n_terms_hit,
+                cast(sum(part_e6) AS bigint) AS score_e6
+         FROM scored GROUP BY 1
+         ORDER BY score_e6 DESC, doc_id LIMIT 20"""
+
   /** The e6 IVF-search oracle — shared verbatim with e15, whose
     * save/load roundtrip must reproduce the e6 answer exactly.
     */
@@ -4354,26 +4378,73 @@ object TextPipeline {
       // (the x26 discipline). Top-20 by (score desc, doc_id).
       bm25TopK(Tables.documents(s, d),
         Seq("spark", "query", "vector"), k = 20)
-    }, Some(
-      """WITH dl AS (
-           SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
-         st AS (SELECT cast(count(*) AS bigint) AS n_docs,
-                       cast(sum(dl) AS bigint) AS sum_dl FROM dl),
-         m AS (
-           SELECT doc_id, unnest(string_split(text, ' ')) AS token
-           FROM documents),
-         tf AS (SELECT doc_id, token, count(*) AS tf FROM m
-                WHERE token IN ('spark', 'query', 'vector') GROUP BY 1, 2),
-         dft AS (SELECT token, count(*) AS df_docs FROM tf GROUP BY 1),
-         scored AS (
-           SELECT t.doc_id,
-                  cast(round(ln((cast(n_docs AS double) - df_docs + 0.5)/(df_docs + 0.5) + 1.0) * (t.tf * 2.2)/(t.tf + 1.2 * (0.25 + 0.75 * l.dl/(cast(sum_dl AS double)/n_docs))) * 1e6) AS bigint) AS part_e6
-           FROM tf t JOIN dft d ON d.token = t.token
-           JOIN dl l ON l.doc_id = t.doc_id, st)
-         SELECT doc_id, count(*) AS n_terms_hit,
-                cast(sum(part_e6) AS bigint) AS score_e6
-         FROM scored GROUP BY 1
-         ORDER BY score_e6 DESC, doc_id LIMIT 20""")),
+    }, Some(bm25OracleSql)),
+
+    ("x31_hybrid_rrf", (s: SparkSession, d: String) => {
+      // HYBRID retrieval by reciprocal-rank fusion — the canonical RAG
+      // serving pattern: a dense arm (the shared e6 IVF index, query
+      // vector 0, top-20 by exact in-list cosine) and a sparse arm
+      // (x30's BM25 top-20, identical ranking by construction — the
+      // kernel AND oracle are shared) fuse by RRF(60): each arm
+      // contributes 1/(60+rank), absent docs contribute 0, top-10 by
+      // fused score. The embeddings table is the documents table's
+      // vector column (vec_id ≡ doc_id), so the two arms genuinely
+      // rank the same corpus. Exactness: each RRF term e9-rounds to an
+      // integer BEFORE the sum (x7's rule — and at two terms the
+      // rounding is the definition, not an approximation); ties break
+      // on doc_id. Cost: both arms are session-cached artifacts; the
+      // fusion itself is a 40-row full outer join.
+      val idx = AnnIndex.ivfFor(s, d, Tables.embeddings(s, d),
+        nlist = 16, iters = 2)
+      val dense = AnnIndex.ivfSearch(idx, col("vec_id") === 0,
+          k = 20, nprobe = 4)
+        .select(col("vec_id").as("doc_id"), col("rank").as("dense_rank"))
+      val sparse = bm25TopK(Tables.documents(s, d),
+          Seq("spark", "query", "vector"), k = 20)
+        .withColumn("sparse_rank", row_number().over(
+          Window.orderBy(col("score_e6").desc, col("doc_id"))).cast("int"))
+        .select(col("doc_id"), col("sparse_rank"))
+      dense.join(sparse, Seq("doc_id"), "full_outer")
+        .withColumn("rrf_e9",
+          coalesce(expr(
+            "cast(round(1000000000.0/(60 + dense_rank)) AS bigint)"), lit(0L))
+            + coalesce(expr(
+            "cast(round(1000000000.0/(60 + sparse_rank)) AS bigint)"), lit(0L)))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("rrf_e9").desc, col("doc_id"))).cast("int"))
+        .filter(col("rank") <= 10)
+        .select(col("doc_id"), col("rrf_e9"), col("dense_rank"),
+          col("sparse_rank"), col("rank"))
+        .orderBy(col("rank"))
+    }, Some {
+      val denseSql = e6OracleSql
+        .replace("WHERE u.vec_id < 3 GROUP BY 1, 2),",
+          "WHERE u.vec_id = 0 GROUP BY 1, 2),")
+        .replace("WHERE rank <= 3 ORDER BY q_id, rank",
+          "WHERE rank <= 20")
+      s"""WITH dense AS (
+            SELECT vec_id AS doc_id, rank AS dense_rank
+            FROM ($denseSql)),
+          sparse AS (
+            SELECT doc_id, cast(row_number() OVER (
+              ORDER BY score_e6 DESC, doc_id) AS int) AS sparse_rank
+            FROM ($bm25OracleSql)),
+          f AS (
+            SELECT coalesce(d.doc_id, s.doc_id) AS doc_id,
+                   d.dense_rank, s.sparse_rank,
+                   coalesce(cast(round(1000000000.0/(60 + d.dense_rank))
+                     AS bigint), 0) +
+                   coalesce(cast(round(1000000000.0/(60 + s.sparse_rank))
+                     AS bigint), 0) AS rrf_e9
+            FROM dense d FULL JOIN sparse s ON s.doc_id = d.doc_id),
+          r AS (
+            SELECT doc_id, rrf_e9, dense_rank, sparse_rank,
+                   cast(row_number() OVER (ORDER BY rrf_e9 DESC, doc_id)
+                     AS int) AS rank
+            FROM f)
+          SELECT doc_id, rrf_e9, dense_rank, sparse_rank, rank
+          FROM r WHERE rank <= 10 ORDER BY rank"""
+    }),
 
     ("x23_heavy_hitters", (s: SparkSession, d: String) => {
       // Frequent items with BOUNDED memory — the sketch x15's exact
