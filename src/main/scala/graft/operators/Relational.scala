@@ -119,7 +119,13 @@ object Relational {
         lit(1L).as("delta"))
       .unionAll(iv.select(col(keyCol), date_add(col(endCol), 1).as("t"),
         lit(-1L).as("delta")))
-    val daily = deltas.groupBy(col(keyCol), col("t"))
+    // ONE shuffle, the g-family lesson: repartition on the key up
+    // front — the (key, t) aggregation's distribution is satisfied by
+    // the key partitioning (subset rule) and the per-key window needs
+    // no further exchange, where the naive plan shuffles twice
+    // ((key, t) for the agg, then key for the window).
+    val daily = deltas.repartition(col(keyCol))
+      .groupBy(col(keyCol), col("t"))
       .agg(sum(col("delta")).as("net"))
     val run = daily.withColumn("conc",
       sum(col("net")).over(Window.partitionBy(col(keyCol)).orderBy(col("t"))

@@ -864,6 +864,18 @@ class RelationalPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(deep2 == deepRanks, "deep checkpointed run is not deterministic")
   }
 
+  test("w20: one hash exchange — the daily agg and per-key window both ride the key repartition") {
+    // The single-shuffle claim: after the up-front repartition on the
+    // key, the (key, day) aggregation (subset rule) and the per-key
+    // running-sum window need no further exchange. A regression to the
+    // naive plan re-adds a second hash exchange — hash-green, ~15%
+    // slower at sf0.1, and 2× the shuffled bytes at 100 TB.
+    val plan = Relational.queries("w20_interval_sweep")(spark, sfDir)
+      .queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx <= 1, s"w20 has $hashEx hash exchanges, want 1:\n$plan")
+  }
+
   test("j14: the interval overlap join is an equi-join on (key, cell), never a nested loop") {
     // The at-scale claim: the bare overlap predicate has no equi key
     // and Catalyst would nested-loop it (corpus²). The cell explode
