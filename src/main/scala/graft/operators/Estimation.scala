@@ -310,6 +310,121 @@ object Estimation {
         coalesce(col("pt_e6") > 1644854L, lit(false)))
   }
 
+  /** Chi-square 95% critical values (e6-quantized) for df 1..10 — the
+    * shared lookup for the t10 reject flag; the CASE text is emitted
+    * identically into the Spark plan and the DuckDB oracle.
+    */
+  private val chi2Crit95Case: String =
+    "CASE h WHEN 1 THEN 3841459 WHEN 2 THEN 5991465 WHEN 3 THEN 7814728 " +
+      "WHEN 4 THEN 9487729 WHEN 5 THEN 11070498 WHEN 6 THEN 12591587 " +
+      "WHEN 7 THEN 14067140 WHEN 8 THEN 15507313 WHEN 9 THEN 16918978 " +
+      "WHEN 10 THEN 18307038 END"
+
+  /** The t10 kernel over any (event_type, day, x:long) daily panel —
+    * Ljung-Box portmanteau test of joint autocorrelation up to lag
+    * h = min(10, n div 5): Q = n(n+2) Σ_{k≤h} ρ_k²/(n−k), the standard
+    * pre-fit whiteness screen the AR-order tools (w6 PACF, m11 ACF
+    * selection) implicitly assume has been run. Exactness is t8's
+    * recipe verbatim: E_t = n·x_t − Σx stays integer, every lagged
+    * product quantizes to kilocent-scale integers BEFORE its sum (the
+    * x7 order-free rule; the scale cancels in ρ_k = S_k/S_0), each
+    * lag's ρ_k²/(n−k) term e12-quantizes BEFORE the over-k sum, and Q
+    * assembles by pure integer arithmetic (n(n+2)·tsum ≤ ~1e16 —
+    * int64-safe). Rejection compares against the chi-square(h) 95%
+    * critical value from the shared CASE table. Degenerate S_0 = 0
+    * (constant series) → documented NULL + explicit non-reject (the
+    * t8/w18 contract). Scale: the lag self-join is |days| × (h+1) rows
+    * per series — calendar-bounded, never corpus-sized.
+    */
+  private[graft] def ljungBox(daily: DataFrame): DataFrame = {
+    val meta = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+      .withColumn("h", expr("least(10, n div 5)"))
+    val wT = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val e = daily
+      .withColumn("t", row_number().over(wT))
+      .join(broadcast(meta), "event_type")
+      .withColumn("ebig", col("n") * col("x") - col("sx"))
+      .select(col("event_type"), col("t"), col("ebig"), col("n"), col("h"))
+    val sk = e.as("a").join(e.as("b"),
+        col("a.event_type") === col("b.event_type") &&
+          col("b.t") >= col("a.t") &&
+          col("b.t") <= col("a.t") + col("a.h"))
+      .select(col("a.event_type").as("event_type"),
+        (col("b.t") - col("a.t")).as("j"),
+        round((col("a.ebig") * lit(1.0) / col("a.n") / lit(1000.0)) *
+          (col("b.ebig") * lit(1.0) / col("a.n") / lit(1000.0)))
+          .cast("long").as("ee"))
+      .groupBy(col("event_type"), col("j"))
+      .agg(sum(col("ee")).as("sk"))
+    val s0 = sk.filter(col("j") === 0)
+      .select(col("event_type"), col("sk").as("s0"))
+    val tsum = sk.filter(col("j") >= 1)
+      .join(s0, "event_type")
+      .join(broadcast(meta.select(col("event_type"), col("n"))), "event_type")
+      .filter(col("s0") =!= 0)
+      .select(col("event_type"),
+        round((col("sk").cast("double") / col("s0")) *
+          (col("sk").cast("double") / col("s0")) /
+          (col("n") - col("j")) * 1e12).cast("long").as("term"))
+      .groupBy(col("event_type")).agg(sum(col("term")).as("tsum"))
+    meta.join(tsum, Seq("event_type"), "left")
+      .select(col("event_type"), col("n"), col("h"),
+        expr("CASE WHEN tsum IS NOT NULL THEN " +
+          "(n * (n + 2) * tsum + 500000) div 1000000 END").as("q_e6"))
+      .withColumn("reject_5pct",
+        coalesce(col("q_e6") > expr(chi2Crit95Case), lit(false)))
+  }
+
+  /** The t11 kernel over any (event_type, day, x:long) daily panel —
+    * Jarque-Bera normality test from sample skewness and kurtosis:
+    * JB = n/6·(g1² + (g2−3)²/4) with g1 = m3/m2^1.5, g2 = m4/m2².
+    * The residual-diagnostic complement to t10: whiteness says the
+    * errors are uncorrelated, JB says their DISTRIBUTION is Gaussian —
+    * the assumption every t-statistic in the m/t family quotes.
+    * Exactness: the kilocent-quantized deviation u = round(E/n/1000)
+    * (E = n·x − Σx integer; the t8 scale, which cancels in both
+    * dimensionless moment ratios) powers to exact integer sums
+    * Σu², Σu³, Σu⁴ — |u| stays ~10³ at the driver scales, so Σu⁴
+    * ≤ ~1e13 with int64 headroom to |u| ≈ 5×10⁴ at n = 365; past that
+    * the sums widen to decimal(38,0)/hugeint, same plan shape. The
+    * moment ratios and JB assemble in a fixed double chain whose text
+    * is shared verbatim with the oracle, e6-quantized; degenerate
+    * Σu² = 0 → documented NULLs + explicit non-reject. Rejection at
+    * chi-square(2) 95% = 5.991465. Scale: one map-side-combinable
+    * aggregation to |series| rows after the bounded meta broadcast.
+    */
+  private[graft] def jarqueBera(daily: DataFrame): DataFrame = {
+    val meta = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+    val u = daily
+      .join(broadcast(meta), "event_type")
+      .withColumn("ebig", col("n") * col("x") - col("sx"))
+      .select(col("event_type"), col("n"),
+        round(col("ebig") * lit(1.0) / col("n") / lit(1000.0))
+          .cast("long").as("u"))
+    u.groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"),
+        sum(col("u") * col("u")).as("s2"),
+        sum(col("u") * col("u") * col("u")).as("s3"),
+        sum(col("u") * col("u") * col("u") * col("u")).as("s4"))
+      .withColumn("m2", expr("cast(s2 AS double) / n"))
+      // m2^1.5 spelled m2*sqrt(m2): sqrt and * are correctly rounded in
+      // BOTH engines; pow(x, 1.5) is libm-dependent to the last ulp.
+      .withColumn("g1", expr(
+        "CASE WHEN s2 <> 0 THEN (cast(s3 AS double) / n) / (m2 * sqrt(m2)) END"))
+      .withColumn("g2", expr(
+        "CASE WHEN s2 <> 0 THEN (cast(s4 AS double) / n) / (m2 * m2) END"))
+      .withColumn("jb", expr(
+        "n / 6.0 * (g1 * g1 + (g2 - 3.0) * (g2 - 3.0) / 4.0)"))
+      .select(col("event_type"), col("n"),
+        expr("cast(round(g1 * 1e6) AS bigint)").as("skew_e6"),
+        expr("cast(round(g2 * 1e6) AS bigint)").as("kurt_e6"),
+        expr("cast(round(jb * 1e6) AS bigint)").as("jb_e6"))
+      .withColumn("reject_5pct",
+        coalesce(col("jb_e6") > 5991465L, lit(false)))
+  }
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
 
     // ----- W4 as a component: the reusable design-matrix builder ----------
@@ -697,6 +812,114 @@ object Estimation {
                 coalesce(eta_e6 > 739000, false) AS reject_1pct
          FROM eta ORDER BY 1""")),
 
+    // ----- T10 (ext.): Ljung-Box portmanteau whiteness test ----------------
+
+    ("t10_ljung_box", (s: SparkSession, d: String) => {
+      // Joint-autocorrelation screen per series on the daily cents
+      // panel — the whiteness test t1/t8 assume and w6/m11 order-pick
+      // from; kernel contract documented on [[ljungBox]].
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("x"))
+      ljungBox(daily).orderBy(col("event_type"))
+    }, Some(
+      """WITH daily AS (
+           SELECT event_type, cast(ts AS date) AS day,
+                  cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS x
+           FROM events GROUP BY 1, 2),
+         meta AS (
+           SELECT event_type, count(*) AS n, cast(sum(x) AS bigint) AS sx,
+                  least(10, count(*) // 5) AS h
+           FROM daily GROUP BY 1),
+         e AS (
+           SELECT d.event_type,
+                  row_number() OVER (PARTITION BY d.event_type ORDER BY d.day)
+                    AS t,
+                  m.n, m.h, m.n * d.x - m.sx AS ebig
+           FROM daily d JOIN meta m ON m.event_type = d.event_type),
+         sk AS (
+           SELECT a.event_type, b.t - a.t AS j,
+                  cast(sum(cast(round((a.ebig * 1.0 / a.n / 1000.0)
+                    * (b.ebig * 1.0 / a.n / 1000.0)) AS bigint)) AS bigint)
+                    AS sk
+           FROM e a JOIN e b ON b.event_type = a.event_type
+             AND b.t >= a.t AND b.t <= a.t + a.h
+           GROUP BY 1, 2),
+         s0 AS (SELECT event_type, sk AS s0 FROM sk WHERE j = 0),
+         ts AS (
+           SELECT sk.event_type,
+                  cast(sum(cast(round((cast(sk.sk AS double) / s0.s0)
+                    * (cast(sk.sk AS double) / s0.s0)
+                    / (m.n - sk.j) * 1e12) AS bigint)) AS bigint) AS tsum
+           FROM sk JOIN s0 ON s0.event_type = sk.event_type
+           JOIN meta m ON m.event_type = sk.event_type
+           WHERE sk.j >= 1 AND s0.s0 <> 0
+           GROUP BY 1)
+         SELECT m.event_type, cast(m.n AS bigint) AS n,
+                cast(m.h AS bigint) AS h,
+                CASE WHEN ts.tsum IS NOT NULL THEN
+                  (m.n * (m.n + 2) * ts.tsum + 500000) // 1000000
+                END AS q_e6,
+                coalesce(CASE WHEN ts.tsum IS NOT NULL THEN
+                  (m.n * (m.n + 2) * ts.tsum + 500000) // 1000000
+                END > (CASE m.h WHEN 1 THEN 3841459 WHEN 2 THEN 5991465
+                  WHEN 3 THEN 7814728 WHEN 4 THEN 9487729
+                  WHEN 5 THEN 11070498 WHEN 6 THEN 12591587
+                  WHEN 7 THEN 14067140 WHEN 8 THEN 15507313
+                  WHEN 9 THEN 16918978 WHEN 10 THEN 18307038 END),
+                  false) AS reject_5pct
+         FROM meta m LEFT JOIN ts ON ts.event_type = m.event_type
+         ORDER BY 1""")),
+
+    // ----- T11 (ext.): Jarque-Bera normality test --------------------------
+
+    ("t11_jarque_bera", (s: SparkSession, d: String) => {
+      // Distributional Gaussianity per series on the daily cents panel —
+      // the residual diagnostic that licenses the m/t-family
+      // t-statistics; kernel contract documented on [[jarqueBera]].
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("x"))
+      jarqueBera(daily).orderBy(col("event_type"))
+    }, Some(
+      """WITH daily AS (
+           SELECT event_type, cast(ts AS date) AS day,
+                  cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS x
+           FROM events GROUP BY 1, 2),
+         meta AS (
+           SELECT event_type, count(*) AS n, cast(sum(x) AS bigint) AS sx
+           FROM daily GROUP BY 1),
+         u AS (
+           SELECT d.event_type, m.n,
+                  cast(round((m.n * d.x - m.sx) * 1.0 / m.n / 1000.0)
+                    AS bigint) AS u
+           FROM daily d JOIN meta m ON m.event_type = d.event_type),
+         ms AS (
+           SELECT event_type, max(n) AS n,
+                  cast(sum(u * u) AS bigint) AS s2,
+                  cast(sum(u * u * u) AS bigint) AS s3,
+                  cast(sum(u * u * u * u) AS bigint) AS s4
+           FROM u GROUP BY 1),
+         g AS (
+           SELECT *, cast(s2 AS double) / n AS m2 FROM ms),
+         gg AS (
+           SELECT *,
+                  CASE WHEN s2 <> 0 THEN
+                    (cast(s3 AS double) / n) / (m2 * sqrt(m2)) END AS g1,
+                  CASE WHEN s2 <> 0 THEN
+                    (cast(s4 AS double) / n) / (m2 * m2) END AS g2
+           FROM g),
+         jbt AS (
+           SELECT *, n / 6.0 * (g1 * g1 + (g2 - 3.0) * (g2 - 3.0) / 4.0)
+                    AS jb
+           FROM gg)
+         SELECT event_type, cast(n AS bigint) AS n,
+                cast(round(g1 * 1e6) AS bigint) AS skew_e6,
+                cast(round(g2 * 1e6) AS bigint) AS kurt_e6,
+                cast(round(jb * 1e6) AS bigint) AS jb_e6,
+                coalesce(cast(round(jb * 1e6) AS bigint) > 5991465, false)
+                  AS reject_5pct
+         FROM jbt ORDER BY 1""")),
 
     // ----- W18 (ext.): CUSUM changepoint detection -------------------------
 

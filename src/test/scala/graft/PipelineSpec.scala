@@ -253,6 +253,72 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"control spike not flagged: ${out.toSeq}")
   }
 
+  test("ljungBox: a slow sine rejects whiteness; white noise and constants do not") {
+    // The reject branch the i.i.d. driver panel never reaches: a
+    // period-20 sine over 80 days has near-1 autocorrelations at small
+    // lags, so Q at h = 10 lands orders of magnitude past the
+    // chi-square(10) 95% value 18.307 — while LCG white noise stays
+    // under it and a constant series (S_0 = 0) hits the degenerate
+    // branch: NULL statistic, explicit non-reject, no error.
+    val s = spark
+    import s.implicits._
+    def day(i: Int) = java.sql.Date.valueOf(
+      f"2024-0${i / 28 + 1}%01d-${i % 28 + 1}%02d")
+    val sine = (0 until 80).map(i =>
+      ("sine", day(i), math.round(1e6 * math.sin(2 * math.Pi * i / 20.0))))
+    val lcg = new TestData.Lcg(29L)
+    val wn = (0 until 80).map(i =>
+      ("wn", day(i), math.round(lcg.gaussian() * 1e6)))
+    val const = (0 until 80).map(i => ("const", day(i), 42L))
+    val out = graft.operators.Estimation
+      .ljungBox((sine ++ wn ++ const).toDF("event_type", "day", "x"))
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(2), if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          r.getBoolean(4)))
+      .toMap
+    assert(out("sine")._1 == 10L, s"h != 10 at n=80: ${out("sine")}")
+    assert(out("sine")._3 && out("sine")._2.exists(_ > 100000000L),
+      s"sine autocorrelation not detected: ${out("sine")}")
+    assert(!out("wn")._3, s"white noise rejected: ${out("wn")}")
+    assert(out("const")._2.isEmpty && !out("const")._3,
+      s"constant series not degenerate-safe: ${out("const")}")
+  }
+
+  test("jarqueBera: an exponential series rejects normality; gaussian noise and constants do not") {
+    // The reject branch: exponential draws (skew 2, kurtosis 9) push
+    // JB to ~n/6·13 ≫ 5.99, with the skew_e6 sign positive — while
+    // gaussian LCG noise at the same scale stays under the
+    // chi-square(2) 95% value and a constant series (Σu² = 0) yields
+    // NULL moments and an explicit non-reject.
+    val s = spark
+    import s.implicits._
+    def day(i: Int) = java.sql.Date.valueOf(
+      f"2024-0${i / 28 + 1}%01d-${i % 28 + 1}%02d")
+    val lcg = new TestData.Lcg(31L)
+    val expo = (0 until 80).map(i =>
+      ("expo", day(i),
+        math.round(-math.log((lcg.next() + 1.0) / 2.0 max 1e-12) * 1e6)))
+    val lcg2 = new TestData.Lcg(37L)
+    val wn = (0 until 80).map(i =>
+      ("wn", day(i), math.round(lcg2.gaussian() * 1e6)))
+    val const = (0 until 80).map(i => ("const", day(i), 42L))
+    val out = graft.operators.Estimation
+      .jarqueBera((expo ++ wn ++ const).toDF("event_type", "day", "x"))
+      .collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)),
+          r.getBoolean(5)))
+      .toMap
+    assert(out("expo")._3 && out("expo")._1.exists(_ > 1000000L),
+      s"exponential skew not detected: ${out("expo")}")
+    assert(!out("wn")._3, s"gaussian noise rejected: ${out("wn")}")
+    assert(out("const")._1.isEmpty && out("const")._2.isEmpty &&
+      !out("const")._3,
+      s"constant series not degenerate-safe: ${out("const")}")
+  }
+
   test("intervalSweep: planted intervals peak where they overlap; the end+1 handoff nets to zero") {
     // Key 1 holds [1,5], [3,7], [6,9] (inclusive): days 3-5 and 6-7
     // both hold 2 open intervals — day 6 is the handoff day where
