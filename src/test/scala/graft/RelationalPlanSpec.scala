@@ -864,6 +864,51 @@ class RelationalPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(deep2 == deepRanks, "deep checkpointed run is not deterministic")
   }
 
+  test("g4 triangleParticipation: K4 corners sit in 3 triangles each; the pendant path in none") {
+    // Planted graph: a 4-clique on {1,2,3,4} (4 triangles, each corner
+    // in C(3,2) = 3 of them) plus a pendant path 4-5-6 that closes
+    // nothing. The count must be identical under the broadcast dim and
+    // the merge-hint fallback — triangle counting cannot depend on the
+    // join strategy.
+    import graft.operators.GraphOps
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val s = spark
+    import s.implicits._
+    val und = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    def run(dim: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) =
+      GraphOps.triangleParticipation(edges, dim)
+        .orderBy(col("node")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    val bc = run(d => broadcast(d))
+    assert(bc == Seq(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L),
+      s"K4 participation wrong: $bc")
+    assert(run(d => d.hint("merge")) == bc,
+      "triangle counts differ between join strategies")
+  }
+
+  test("g5 commonNeighbors: star leaves pair through the hub; adjacent pairs are excluded") {
+    // Planted graph: hub 1 linked to leaves {10, 11, 12} — every leaf
+    // pair shares exactly the hub and is NOT adjacent, so all three
+    // pairs score cn = 1 — plus a triangle {20, 21, 22} whose pairs all
+    // share a neighbor but ARE adjacent, so the anti-join must drop
+    // them. Hub-leaf pairs are adjacent too; cross-component pairs
+    // share nothing.
+    import graft.operators.GraphOps
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val s = spark
+    import s.implicits._
+    val und = Seq((1L, 10L), (1L, 11L), (1L, 12L),
+      (20L, 21L), (20L, 22L), (21L, 22L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val out = GraphOps.commonNeighbors(edges, d => broadcast(d))
+      .orderBy(col("u"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq((10L, 11L, 1L), (10L, 12L, 1L), (11L, 12L, 1L)),
+      s"star link-prediction candidates wrong: $out")
+  }
+
   test("w20: one hash exchange — the daily agg and per-key window both ride the key repartition") {
     // The single-shuffle claim: after the up-front repartition on the
     // key, the (key, day) aggregation (subset rule) and the per-key
