@@ -425,6 +425,39 @@ object Estimation {
         coalesce(col("jb_e6") > 5991465L, lit(false)))
   }
 
+  /** The w21 kernel over any (event_type, day, x:long) daily panel —
+    * Theil-Sen robust trend: the median of all pairwise slopes
+    * (x_j − x_i)/(day_j − day_i), the estimator with a 29.3% breakdown
+    * point where the LS slope (m16's closed form) has 0% — one wild
+    * day can move OLS arbitrarily but not the pairwise-slope median.
+    * Exactness without interpolation ambiguity: each pairwise slope
+    * quantizes to an e3 integer (cents/day × 1e3) BEFORE ranking, and
+    * the median is the LOWER-median ORDER STATISTIC — the value at
+    * sorted position (m+1) div 2 — which is a pure relational readout
+    * identical in both engines, sidestepping percentile-interpolation
+    * semantics entirely (ties collapse to the same value at any rank,
+    * so the non-total sort order is still value-deterministic). Scale:
+    * pairs are |days|²/2 per series — calendar-bounded (≤ ~66k rows at
+    * n = 365), never corpus-sized; one window rank per series.
+    */
+  private[graft] def theilSen(daily: DataFrame): DataFrame = {
+    val pairs = daily.as("a").join(daily.as("b"),
+        col("a.event_type") === col("b.event_type") &&
+          col("b.day") > col("a.day"))
+      .select(col("a.event_type").as("event_type"),
+        round((col("b.x") - col("a.x")) * lit(1000.0) /
+          datediff(col("b.day"), col("a.day"))).cast("long").as("slope_e3"))
+    val m = pairs.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_pairs"))
+    pairs
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col("slope_e3"))))
+      .join(broadcast(m), "event_type")
+      .filter(col("rn") === expr("(n_pairs + 1) div 2"))
+      .select(col("event_type"), col("n_pairs"), col("slope_e3"))
+      .withColumn("rising", col("slope_e3") > 0L)
+  }
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
 
     // ----- W4 as a component: the reusable design-matrix builder ----------
@@ -920,6 +953,41 @@ object Estimation {
                 coalesce(cast(round(jb * 1e6) AS bigint) > 5991465, false)
                   AS reject_5pct
          FROM jbt ORDER BY 1""")),
+
+    // ----- W21 (ext.): Theil-Sen robust trend ------------------------------
+
+    ("w21_theil_sen", (s: SparkSession, d: String) => {
+      // Robust per-series trend on the daily cents panel — the
+      // outlier-immune complement to m16's least-squares AR slope;
+      // kernel contract (e3 slope quantization + lower-median order
+      // statistic, no percentile interpolation) on [[theilSen]].
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("x"))
+      theilSen(daily).orderBy(col("event_type"))
+    }, Some(
+      """WITH daily AS (
+           SELECT event_type, cast(ts AS date) AS day,
+                  cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS x
+           FROM events GROUP BY 1, 2),
+         pairs AS (
+           SELECT a.event_type,
+                  cast(round((b.x - a.x) * 1000.0
+                    / date_diff('day', a.day, b.day)) AS bigint) AS slope_e3
+           FROM daily a JOIN daily b
+           ON b.event_type = a.event_type AND b.day > a.day),
+         m AS (
+           SELECT event_type, cast(count(*) AS bigint) AS n_pairs
+           FROM pairs GROUP BY 1),
+         r AS (
+           SELECT event_type, slope_e3, row_number() OVER (
+             PARTITION BY event_type ORDER BY slope_e3) AS rn
+           FROM pairs)
+         SELECT r.event_type, m.n_pairs, r.slope_e3,
+                r.slope_e3 > 0 AS rising
+         FROM r JOIN m ON m.event_type = r.event_type
+         WHERE r.rn = (m.n_pairs + 1) // 2
+         ORDER BY 1""")),
 
     // ----- W18 (ext.): CUSUM changepoint detection -------------------------
 

@@ -319,6 +319,30 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"constant series not degenerate-safe: ${out("const")}")
   }
 
+  test("theilSen: one wild outlier cannot move the slope; a constant series reads zero") {
+    // The breakdown-point claim, planted: a clean 500-cents/day ramp
+    // with day 15 replaced by 10^9 still medians to slope_e3 = 500000
+    // (only 29 of 435 pairwise slopes touch the outlier), where any
+    // mean-based slope would be pulled by orders of magnitude; a
+    // constant series medians to exactly 0 with rising = false.
+    val s = spark
+    import s.implicits._
+    def day(i: Int) = java.sql.Date.valueOf(
+      f"2024-0${i / 28 + 1}%01d-${i % 28 + 1}%02d")
+    val ramp = (0 until 30).map(i =>
+      ("ramp", day(i), if (i == 15) 1000000000L else 1000L + 500L * i))
+    val const = (0 until 30).map(i => ("const", day(i), 777L))
+    val out = graft.operators.Estimation
+      .theilSen((ramp ++ const).toDF("event_type", "day", "x"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toMap
+    assert(out("ramp") == ((435L, 500000L, true)),
+      s"outlier moved the Theil-Sen slope: ${out("ramp")}")
+    assert(out("const") == ((435L, 0L, false)),
+      s"constant series not flat: ${out("const")}")
+  }
+
   test("intervalSweep: planted intervals peak where they overlap; the end+1 handoff nets to zero") {
     // Key 1 holds [1,5], [3,7], [6,9] (inclusive): days 3-5 and 6-7
     // both hold 2 open intervals — day 6 is the handoff day where
