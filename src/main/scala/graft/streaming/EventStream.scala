@@ -658,6 +658,65 @@ object EventStream {
     * state the built-in aggregates can't express — the streaming analog of
     * the expanding-window operator W7.
     */
+  /** Frozen per-key CUSUM reference: in-control mean, allowance (slack)
+    * and alarm threshold, all in exact cents — trained on history by a
+    * batch pass (the SQ8/IVF frozen-model posture: the stream APPLIES a
+    * model, it never retrains one mid-flight).
+    */
+  final case class CusumRef(muCents: Long, kCents: Long, hCents: Long)
+
+  final case class CusumState(
+      n: Long, sPos: Long, sNeg: Long, firstAlarmUs: Long)
+
+  final case class CusumUpdate(
+      event_type: String, n: Long, s_pos_cents: Long, s_neg_cents: Long,
+      alarmed: Boolean, first_alarm_us: Long)
+
+  /** Streaming Page's CUSUM drift monitor — the one-pass complement to
+    * the w18 batch changepoint test (which needs the series' global
+    * mean and so can't stream): against a FROZEN reference, maintain
+    * S⁺ = max(0, S⁺ + (x − μ − k)) and S⁻ = max(0, S⁻ + (μ − x − k))
+    * per key and latch the FIRST event time either side crosses h.
+    * State is three longs + a timestamp per key, all arithmetic exact
+    * integer cents — a replay from the same batches reproduces the
+    * alarm bit-exactly. CUSUM is path-dependent and the micro-batch
+    * iterator has no order contract, so each batch's rows sort by
+    * (event time, value) before folding; cross-batch order is the
+    * source's append order, as for any monitor. Keys without a
+    * reference are filtered out up front — no state accrues for them.
+    */
+  def cusumStream(
+      events: DataFrame, ref: Map[String, CusumRef]): Dataset[CusumUpdate] = {
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      .select(col("event_type"), col("ts"), col("value"))
+      .filter(col("value").isNotNull &&
+        col("event_type").isin(ref.keys.toSeq: _*))
+      .select(col("event_type"), unix_micros(col("ts")).as("us"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[CusumState, CusumUpdate](GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Long, Long)],
+            state: GroupState[CusumState]) =>
+          val r = ref(key)
+          var st = state.getOption.getOrElse(CusumState(0L, 0L, 0L, -1L))
+          rows.toSeq.sortBy(t => (t._2, t._3)).foreach { case (_, us, cents) =>
+            val sp = math.max(0L, st.sPos + (cents - r.muCents - r.kCents))
+            val sn = math.max(0L, st.sNeg + (r.muCents - cents - r.kCents))
+            val alarm =
+              if (st.firstAlarmUs >= 0) st.firstAlarmUs
+              else if (sp > r.hCents || sn > r.hCents) us
+              else -1L
+            st = CusumState(st.n + 1, sp, sn, alarm)
+          }
+          state.update(st)
+          CusumUpdate(key, st.n, st.sPos, st.sNeg,
+            st.firstAlarmUs >= 0, st.firstAlarmUs)
+      }
+  }
+
   def runningStats(events: DataFrame): Dataset[StatsUpdate] = {
     val s = events.sparkSession
     import s.implicits._

@@ -834,6 +834,60 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == want, s"bounded-state dedup diverged: $got")
   }
 
+  test("cusumStream: a planted level shift latches the first crossing; in-control data never alarms") {
+    // Frozen reference μ = 100 cents, slack k = 10, threshold h = 200.
+    // Key "shift": batch 1 holds 10 in-control points (1.00 ± 0.05 →
+    // every increment ≤ |5| − 10 < 0, both sides clamp at 0); batch 2
+    // jumps to 1.60, so S⁺ grows by exactly 60 − 10 = 50 per point and
+    // crosses 200 on the 5th shifted point (250 > 200) — the alarm must
+    // latch THAT event time and the exact S⁺ path must survive the
+    // batch boundary. Key "calm" stays in-control throughout: S⁺ = S⁻ =
+    // 0 and no alarm. Integer cents end to end — equality is exact.
+    val s = spark
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.Encoders
+    val ms = MemoryStream(
+      Encoders.tuple(Encoders.STRING, Encoders.TIMESTAMP, Encoders.scalaDouble),
+      s.sqlContext)
+    val base = 1700000000000L
+    def t(min: Int) = new java.sql.Timestamp(base + min * 60000L)
+    def us(min: Int) = (base + min * 60000L) * 1000L
+    val ref = Map(
+      "shift" -> EventStream.CusumRef(100L, 10L, 200L),
+      "calm" -> EventStream.CusumRef(100L, 10L, 200L))
+    val q = EventStream.cusumStream(
+        ms.toDF.toDF("event_type", "ts", "value"), ref)
+      .writeStream.format("memory").queryName("cusum_mon")
+      .outputMode("update").start()
+    try {
+      val inControl = (0 until 10).flatMap(i => Seq(
+        ("shift", t(i), 1.00 + 0.05 * ((i % 3) - 1)),
+        ("calm", t(i), 1.00 + 0.05 * ((i % 3) - 1))))
+      ms.addData(inControl: _*)
+      q.processAllAvailable()
+      ms.addData((10 until 20).flatMap(i => Seq(
+        ("shift", t(i), 1.60),
+        ("calm", t(i), 1.00))): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val fin = spark.table("cusum_mon")
+      .groupBy("event_type")
+      .agg(max(struct(col("n"), col("s_pos_cents"), col("s_neg_cents"),
+        col("alarmed"), col("first_alarm_us"))).as("f"))
+      .select(col("event_type"), col("f.n"), col("f.s_pos_cents"),
+        col("f.s_neg_cents"), col("f.alarmed"), col("f.first_alarm_us"))
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4), r.getLong(5)))
+      .toMap
+    // 10 shifted points × 50 = 500 cents of S⁺; alarm latched at the
+    // 5th shifted point (minute 14), NOT re-stamped by later crossings.
+    assert(fin("shift") == ((20L, 500L, 0L, true, us(14))),
+      s"shift path diverged: ${fin("shift")}")
+    assert(fin("calm") == ((20L, 0L, 0L, false, -1L)),
+      s"in-control key alarmed: ${fin("calm")}")
+  }
+
   test("mapGroupsWithState running stats converge to the batch moments per key") {
     val q = EventStream.runningStats(EventStream.readEvents(spark, sfDir))
       .writeStream.format("memory").queryName("run_stats").outputMode("update").start()
