@@ -175,6 +175,31 @@ object TextPipeline {
     * executes the scan+partial-aggregate once (round 6 scanned the corpus
     * text twice and built two alias-distinct broadcasts).
     */
+  /** The x32 kernel over any (source, text) frame — per-source
+    * type-token ratio and hapax fraction from exact integer counts;
+    * entry contract documented on the x32 query. Extracted so a spec
+    * can plant a repetitive vs a fully-diverse source.
+    */
+  private[graft] def lexicalDiversity(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    docs
+      .select(col("source"), col("text"))
+      .repartition(s.sparkContext.defaultParallelism, col("source"))
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("source"), col("n_tokens"), col("n_types"),
+        col("n_hapax"),
+        expr("cast(round(n_types * 1e6 / n_tokens) AS bigint)")
+          .as("ttr_e6"),
+        expr("cast(round(n_hapax * 1e6 / n_types) AS bigint)")
+          .as("hapax_e6"))
+  }
+
   private[graft] def nearDupPairs(
       docs: DataFrame,
       minJaccard: Double,
@@ -4136,6 +4161,37 @@ object TextPipeline {
          SELECT token, count(*) AS cnt, count(DISTINCT doc_id) AS df
          FROM toks GROUP BY token
          ORDER BY cnt DESC, token LIMIT 100""")),
+
+    ("x32_lexical_diversity", (s: SparkSession, d: String) => {
+      // Per-source lexical diversity — the vocabulary-health report a
+      // corpus audit reads next to x27's volume report: type-token
+      // ratio (distinct types / total tokens, the classic diversity
+      // measure; low TTR = templated/repetitive source) and hapax
+      // fraction (share of types seen exactly once — high hapax =
+      // long-tail-rich or noisy vocabulary, the signal tokenizer
+      // training sizes its vocab against). Scale shape: two map-side
+      // combinable hash aggregates — the first collapses the
+      // corpus-sized token stream to (source × Zipf-bounded types),
+      // the second to |sources| rows; exact integer counts feed one
+      // fixed shared-text division each, e6-quantized.
+      lexicalDiversity(Tables.documents(s, d)).orderBy(col("source"))
+    }, Some(
+      """WITH toks AS (
+           SELECT source, unnest(string_split(text, ' ')) AS token
+           FROM documents),
+         tc AS (
+           SELECT source, token, cast(count(*) AS bigint) AS c
+           FROM toks GROUP BY 1, 2),
+         agg AS (
+           SELECT source, cast(sum(c) AS bigint) AS n_tokens,
+                  cast(count(*) AS bigint) AS n_types,
+                  cast(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS bigint)
+                    AS n_hapax
+           FROM tc GROUP BY 1)
+         SELECT source, n_tokens, n_types, n_hapax,
+                cast(round(n_types * 1e6 / n_tokens) AS bigint) AS ttr_e6,
+                cast(round(n_hapax * 1e6 / n_types) AS bigint) AS hapax_e6
+         FROM agg ORDER BY 1""")),
 
     ("x16_token_budget", (s: SparkSession, d: String) => {
       // Token-budget subsetting — fill each source's training-token budget

@@ -319,6 +319,28 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"constant series not degenerate-safe: ${out("const")}")
   }
 
+  test("lexicalDiversity: a repetitive source bottoms out; a fully-diverse source reads 1.0 everywhere") {
+    // "rep": 8 tokens, 1 type, 0 hapax → ttr = 1/8, hapax = 0/1.
+    // "div": 4 tokens, 4 types, all hapax → ttr = hapax = 1.0 exactly.
+    // "mix": "a a b" + "b c" → 5 tokens, 3 types, 1 hapax (c).
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      ("rep", "x x x x"), ("rep", "x x x x"),
+      ("div", "w x y z"),
+      ("mix", "a a b"), ("mix", "b c")).toDF("source", "text")
+    val out = graft.operators.TextPipeline.lexicalDiversity(docs)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(out("rep") == ((8L, 1L, 0L, 125000L, 0L)), s"rep: ${out("rep")}")
+    assert(out("div") == ((4L, 4L, 4L, 1000000L, 1000000L)),
+      s"div: ${out("div")}")
+    assert(out("mix") == ((5L, 3L, 1L, 600000L, 333333L)),
+      s"mix: ${out("mix")}")
+  }
+
   test("theilSen: one wild outlier cannot move the slope; a constant series reads zero") {
     // The breakdown-point claim, planted: a clean 500-cents/day ramp
     // with day 15 replaced by 10^9 still medians to slope_e3 = 500000
