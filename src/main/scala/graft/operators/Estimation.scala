@@ -415,8 +415,13 @@ object Estimation {
         "CASE WHEN s2 <> 0 THEN (cast(s3 AS double) / n) / (m2 * sqrt(m2)) END"))
       .withColumn("g2", expr(
         "CASE WHEN s2 <> 0 THEN (cast(s4 AS double) / n) / (m2 * m2) END"))
+      // cast(n AS double) up front: a bare `n / 6.0` is DECIMAL division
+      // in Spark (rounded to scale 6) but DOUBLE in DuckDB — the two
+      // engines disagree in the 7th significant digit, which the e6
+      // quantization sees. Double-first keeps the chain correctly
+      // rounded and text-shared.
       .withColumn("jb", expr(
-        "n / 6.0 * (g1 * g1 + (g2 - 3.0) * (g2 - 3.0) / 4.0)"))
+        "cast(n AS double) / 6.0 * (g1 * g1 + (g2 - 3.0) * (g2 - 3.0) / 4.0)"))
       .select(col("event_type"), col("n"),
         expr("cast(round(g1 * 1e6) AS bigint)").as("skew_e6"),
         expr("cast(round(g2 * 1e6) AS bigint)").as("kurt_e6"),
@@ -457,6 +462,87 @@ object Estimation {
       .select(col("event_type"), col("n_pairs"), col("slope_e3"))
       .withColumn("rising", col("slope_e3") > 0L)
   }
+
+  /** The w22 kernel over any (event_type, day, x:long) daily panel —
+    * single exponential smoothing (EWMA level) with α = 0.3 as the
+    * INTEGER recursion S_1 = x_1, S_t = (3·x_t + 7·S_{t−1}) div 10,
+    * plus the running sum of absolute one-step-ahead errors
+    * |x_t − S_{t−1}| — the simplest forecasting baseline (and the MAE
+    * yardstick fancier models must beat). The recursion is inherently
+    * sequential per series, so it runs as ONE `aggregate()` fold over
+    * the sorted (day, x) array per series — per-series state never
+    * leaves the task, no driver loop, no per-step shuffle (the t1
+    * collect-the-calendar-bounded-series posture; the HOF runs
+    * interpreted, negligible over ≤365 elements). The DuckDB oracle
+    * replays the SAME integer recursion as a WITH RECURSIVE walk over
+    * row_number order (the AdfOracle/M17 pattern), generic in series
+    * length. Integer div keeps both engines exact for the nonnegative
+    * cents the panel carries; mae_e3 is the one fixed shared-text
+    * division, NULL for single-point series.
+    */
+  private[graft] def ewma(daily: DataFrame): DataFrame =
+    daily
+      .groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("day"), col("x")))).as("s"))
+      .select(col("event_type"),
+        size(col("s")).cast("long").as("n"),
+        expr("""aggregate(s,
+            named_struct('level', cast(null AS bigint),
+                         'sae', cast(0 AS bigint)),
+            (acc, r) -> named_struct(
+              'level', CASE WHEN acc.level IS NULL THEN r.x
+                       ELSE (3 * r.x + 7 * acc.level) div 10 END,
+              'sae', CASE WHEN acc.level IS NULL THEN acc.sae
+                     ELSE acc.sae + abs(r.x - acc.level) END))""").as("f"))
+      .select(col("event_type"), col("n"),
+        col("f.level").as("level_cents"), col("f.sae").as("sae_cents"),
+        // 1e3 (a DOUBLE literal in both engines), not 1000.0 (DECIMAL in
+        // Spark, whose division rounds to a fixed scale DuckDB doesn't).
+        expr("CASE WHEN n > 1 THEN " +
+          "cast(round(f.sae * 1e3 / (n - 1)) AS bigint) END")
+          .as("mae_e3"))
+
+  /** The w23 kernel over any (event_type, day, x:long) daily panel —
+    * Holt's linear (double exponential) smoothing with α = 0.3,
+    * β = 0.1 as the INTEGER recursion: with forecast F = S + B,
+    * S_t = (3·x_t + 7·F_{t−1}) div 10 and
+    * B_t = ((S_t − S_{t−1}) + 9·B_{t−1}) div 10, initialized
+    * S_1 = x_1, B_1 = 0, plus the running Σ|x_t − F_{t−1}| — the
+    * trend-aware upgrade of [[ewma]], whose MAE it must beat on
+    * trending series to justify the extra parameter. Same posture:
+    * one `aggregate()` fold over the sorted calendar-bounded series,
+    * state never leaves the task; the oracle replays the identical
+    * integer recursion as a WITH RECURSIVE walk carrying both state
+    * columns. Trend B (and hence F) can go NEGATIVE on declining
+    * series even over nonnegative cents — safe because Spark's `div`
+    * and DuckDB's `//` both truncate toward zero (verified: −7//10 = 0
+    * in both); mae_e3 is the one shared-text double division.
+    */
+  private[graft] def holt(daily: DataFrame): DataFrame =
+    daily
+      .groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("day"), col("x")))).as("s"))
+      .select(col("event_type"),
+        size(col("s")).cast("long").as("n"),
+        expr("""aggregate(s,
+            named_struct('level', cast(null AS bigint),
+                         'trend', cast(0 AS bigint),
+                         'sae', cast(0 AS bigint)),
+            (acc, r) -> CASE WHEN acc.level IS NULL THEN named_struct(
+              'level', r.x, 'trend', cast(0 AS bigint), 'sae', acc.sae)
+            ELSE named_struct(
+              'level', (3 * r.x + 7 * (acc.level + acc.trend)) div 10,
+              'trend', (((3 * r.x + 7 * (acc.level + acc.trend)) div 10
+                         - acc.level) + 9 * acc.trend) div 10,
+              'sae', acc.sae + abs(r.x - (acc.level + acc.trend))) END)""")
+          .as("f"))
+      .select(col("event_type"), col("n"),
+        col("f.level").as("level_cents"), col("f.trend").as("trend_cents"),
+        (col("f.level") + col("f.trend")).as("forecast_cents"),
+        col("f.sae").as("sae_cents"),
+        expr("CASE WHEN n > 1 THEN " +
+          "cast(round(f.sae * 1e3 / (n - 1)) AS bigint) END")
+          .as("mae_e3"))
 
   val entries: Seq[(String, Q, Option[String])] = Seq(
 
@@ -943,8 +1029,8 @@ object Estimation {
                     (cast(s4 AS double) / n) / (m2 * m2) END AS g2
            FROM g),
          jbt AS (
-           SELECT *, n / 6.0 * (g1 * g1 + (g2 - 3.0) * (g2 - 3.0) / 4.0)
-                    AS jb
+           SELECT *, cast(n AS double) / 6.0
+                       * (g1 * g1 + (g2 - 3.0) * (g2 - 3.0) / 4.0) AS jb
            FROM gg)
          SELECT event_type, cast(n AS bigint) AS n,
                 cast(round(g1 * 1e6) AS bigint) AS skew_e6,
@@ -987,6 +1073,87 @@ object Estimation {
                 r.slope_e3 > 0 AS rising
          FROM r JOIN m ON m.event_type = r.event_type
          WHERE r.rn = (m.n_pairs + 1) // 2
+         ORDER BY 1""")),
+
+    // ----- W22 (ext.): EWMA smoothing + one-step-ahead MAE -----------------
+
+    ("w22_ewma", (s: SparkSession, d: String) => {
+      // Per-series exponential smoothing on the daily cents panel —
+      // the forecasting baseline and its one-step MAE; kernel contract
+      // (integer α = 3/10 recursion as an aggregate() fold, recursive-
+      // CTE oracle) documented on [[ewma]].
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("x"))
+      ewma(daily).orderBy(col("event_type"))
+    }, Some(
+      """WITH RECURSIVE daily AS (
+           SELECT event_type, cast(ts AS date) AS day,
+                  cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS x
+           FROM events GROUP BY 1, 2),
+         e AS (
+           SELECT event_type, x, row_number() OVER (
+             PARTITION BY event_type ORDER BY day) AS t
+           FROM daily),
+         rec AS (
+           SELECT event_type, t, x AS level, cast(0 AS bigint) AS sae
+           FROM e WHERE t = 1
+           UNION ALL
+           SELECT e.event_type, e.t, (3 * e.x + 7 * rec.level) // 10,
+                  rec.sae + abs(e.x - rec.level)
+           FROM rec JOIN e ON e.event_type = rec.event_type
+             AND e.t = rec.t + 1),
+         fin AS (SELECT event_type, max(t) AS n FROM rec GROUP BY 1)
+         SELECT r.event_type, cast(f.n AS bigint) AS n,
+                r.level AS level_cents, r.sae AS sae_cents,
+                CASE WHEN f.n > 1 THEN
+                  cast(round(r.sae * 1e3 / (f.n - 1)) AS bigint)
+                END AS mae_e3
+         FROM rec r JOIN fin f ON f.event_type = r.event_type AND r.t = f.n
+         ORDER BY 1""")),
+
+    // ----- W23 (ext.): Holt linear smoothing + one-step-ahead MAE ---------
+
+    ("w23_holt", (s: SparkSession, d: String) => {
+      // Trend-aware double exponential smoothing on the daily cents
+      // panel — level + trend state, h=1 forecast, and the one-step MAE
+      // that w22's flat EWMA must be compared against; kernel contract
+      // (integer α = 3/10, β = 1/10 recursion as an aggregate() fold,
+      // two-state recursive-CTE oracle) documented on [[holt]].
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("x"))
+      holt(daily).orderBy(col("event_type"))
+    }, Some(
+      """WITH RECURSIVE daily AS (
+           SELECT event_type, cast(ts AS date) AS day,
+                  cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS x
+           FROM events GROUP BY 1, 2),
+         e AS (
+           SELECT event_type, x, row_number() OVER (
+             PARTITION BY event_type ORDER BY day) AS t
+           FROM daily),
+         rec AS (
+           SELECT event_type, t, x AS level, cast(0 AS bigint) AS trend,
+                  cast(0 AS bigint) AS sae
+           FROM e WHERE t = 1
+           UNION ALL
+           SELECT e.event_type, e.t,
+                  (3 * e.x + 7 * (rec.level + rec.trend)) // 10,
+                  (((3 * e.x + 7 * (rec.level + rec.trend)) // 10
+                    - rec.level) + 9 * rec.trend) // 10,
+                  rec.sae + abs(e.x - (rec.level + rec.trend))
+           FROM rec JOIN e ON e.event_type = rec.event_type
+             AND e.t = rec.t + 1),
+         fin AS (SELECT event_type, max(t) AS n FROM rec GROUP BY 1)
+         SELECT r.event_type, cast(f.n AS bigint) AS n,
+                r.level AS level_cents, r.trend AS trend_cents,
+                r.level + r.trend AS forecast_cents,
+                r.sae AS sae_cents,
+                CASE WHEN f.n > 1 THEN
+                  cast(round(r.sae * 1e3 / (f.n - 1)) AS bigint)
+                END AS mae_e3
+         FROM rec r JOIN fin f ON f.event_type = r.event_type AND r.t = f.n
          ORDER BY 1""")),
 
     // ----- W18 (ext.): CUSUM changepoint detection -------------------------

@@ -277,4 +277,220 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     check("bpeTrain", cases = 10, prop)
   }
+
+  test("theilSen/ljungBox/jarqueBera equal their local integer references on random panels") {
+    // The three r12 diagnostic kernels against executable local
+    // re-implementations of the EXACT quantization chain (same IEEE
+    // expression shapes, same half-away-from-zero rounding — NOT
+    // math.round, which rounds −.5 toward zero and would diverge on
+    // negative-half ties the integer-day slope ratios genuinely
+    // produce). Panels draw short series with irregular day gaps,
+    // occasional constants (degenerate branches), and sub-kilocent
+    // values (everything quantizes to zero) — parity must hold on all.
+    val s = spark
+    import s.implicits._
+    // Spark's Round on DoubleType: BigDecimal.valueOf (the SHORTEST
+    // decimal repr, not the exact binary value) then HALF_UP — replicate
+    // verbatim; floor(x+0.5) diverges on the 0.49999999999999994 class.
+    def rnd(x: Double): Long = java.math.BigDecimal.valueOf(x)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+    val d0 = java.time.LocalDate.of(2024, 1, 1)
+    def day(i: Int) = java.sql.Date.valueOf(d0.plusDays(i))
+
+    def localTheilSen(series: List[(Int, Long)]): Option[(Long, Long, Boolean)] = {
+      val pts = series.sortBy(_._1)
+      val slopes = for {
+        i <- pts.indices; j <- (i + 1) until pts.length
+      } yield rnd((pts(j)._2 - pts(i)._2) * 1000.0 / (pts(j)._1 - pts(i)._1))
+      if (slopes.isEmpty) None
+      else {
+        val m = slopes.length.toLong
+        val med = slopes.sorted.apply(((m + 1) / 2 - 1).toInt)
+        Some((m, med, med > 0))
+      }
+    }
+    def localJb(series: List[(Int, Long)])
+        : (Long, Option[Long], Option[Long], Option[Long], Boolean) = {
+      val n = series.length.toLong
+      val sx = series.map(_._2).sum
+      val us = series.map { case (_, x) => rnd(((n * x - sx) * 1.0 / n) / 1000.0) }
+      val s2 = us.map(u => u * u).sum
+      val s3 = us.map(u => u * u * u).sum
+      val s4 = us.map(u => u * u * u * u).sum
+      if (s2 == 0) (n, None, None, None, false)
+      else {
+        val m2 = s2.toDouble / n
+        val g1 = (s3.toDouble / n) / (m2 * math.sqrt(m2))
+        val g2 = (s4.toDouble / n) / (m2 * m2)
+        val jb = n / 6.0 * (g1 * g1 + (g2 - 3.0) * (g2 - 3.0) / 4.0)
+        val jbE6 = rnd(jb * 1e6)
+        (n, Some(rnd(g1 * 1e6)), Some(rnd(g2 * 1e6)), Some(jbE6),
+          jbE6 > 5991465L)
+      }
+    }
+    val crit = Map(1 -> 3841459L, 2 -> 5991465L, 3 -> 7814728L,
+      4 -> 9487729L, 5 -> 11070498L, 6 -> 12591587L, 7 -> 14067140L,
+      8 -> 15507313L, 9 -> 16918978L, 10 -> 18307038L)
+    def localLb(series: List[(Int, Long)])
+        : (Long, Long, Option[Long], Boolean) = {
+      val pts = series.sortBy(_._1)
+      val n = pts.length.toLong
+      val sx = pts.map(_._2).sum
+      val h = math.min(10L, n / 5)
+      val e = pts.map { case (_, x) => n * x - sx }
+      def sk(j: Int): Long =
+        (0 until (e.length - j)).map { t =>
+          rnd((e(t) * 1.0 / n / 1000.0) * (e(t + j) * 1.0 / n / 1000.0))
+        }.sum
+      val s0 = sk(0)
+      val terms = (1 to h.toInt).filter(_ => s0 != 0).map { j =>
+        rnd((sk(j).toDouble / s0) * (sk(j).toDouble / s0) / (n - j) * 1e12)
+      }
+      if (terms.isEmpty) (n, h, None, false)
+      else {
+        val q = (n * (n + 2) * terms.sum + 500000L) / 1000000L
+        (n, h, Some(q), crit.get(h.toInt).exists(q > _))
+      }
+    }
+
+    val seriesGen = Gen.zip(
+      Gen.choose(1, 26),
+      Gen.oneOf(Gen.const(0L), Gen.choose(-2000000L, 2000000L), valGen))
+      .flatMap { case (len, base) =>
+        Gen.zip(
+          Gen.listOfN(len, Gen.choose(0, 60)).map(_.distinct.sorted),
+          Gen.oneOf(true, false)).flatMap { case (days, const) =>
+          if (const) Gen.const(days.map(i => (i, base)))
+          else Gen.listOfN(days.length, Gen.choose(-2000000L, 2000000L))
+            .map(vs => days.zip(vs))
+        }
+      }
+    val panelGen = Gen.zip(seriesGen, seriesGen, seriesGen)
+    val prop = Prop.forAll(panelGen) { case (sa, sb, sc) =>
+      val panel = Map("a" -> sa, "b" -> sb, "c" -> sc)
+        .filter(_._2.nonEmpty)
+      val df = panel.toList
+        .flatMap { case (k, pts) => pts.map(p => (k, day(p._1), p._2)) }
+        .toDF("event_type", "day", "x")
+      val ts = graft.operators.Estimation.theilSen(df).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+        .toMap
+      val jb = graft.operators.Estimation.jarqueBera(df).collect()
+        .map(r => r.getString(0) -> (r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)),
+          r.getBoolean(5)))
+        .toMap
+      val lb = graft.operators.Estimation.ljungBox(df).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          r.getBoolean(4)))
+        .toMap
+      val errs = panel.toList.flatMap { case (k, pts) =>
+        val e1 = localTheilSen(pts) match {
+          case Some(w) if !ts.get(k).contains(w) =>
+            List(s"theilSen $k: got ${ts.get(k)} want $w pts=$pts")
+          case None if ts.contains(k) =>
+            List(s"theilSen $k: got ${ts(k)} want absent pts=$pts")
+          case _ => Nil
+        }
+        val e2 = if (jb(k) != localJb(pts))
+          List(s"jb $k: got ${jb(k)} want ${localJb(pts)} pts=$pts") else Nil
+        val e3 = if (lb(k) != localLb(pts))
+          List(s"lb $k: got ${lb(k)} want ${localLb(pts)} pts=$pts") else Nil
+        e1 ++ e2 ++ e3
+      }
+      Prop(errs.isEmpty) :| errs.mkString("; ")
+    }
+    check("diagnosticKernels", cases = 25, prop)
+  }
+
+  test("ewma/holt equal their local integer recursions on random panels") {
+    // The two smoothing folds against step-by-step local replays. The
+    // generator INCLUDES negative values and sawtooth series: Holt's
+    // trend state (and hence the 3x+7F numerator) goes negative there,
+    // pinning that the aggregate()'s `div` truncates toward zero like
+    // Scala's Long division (the DuckDB `//` side is pinned by the
+    // sf0.01 oracle gate, where declining series arise naturally).
+    val s = spark
+    import s.implicits._
+    def rnd(x: Double): Long = java.math.BigDecimal.valueOf(x)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+    val d0 = java.time.LocalDate.of(2024, 1, 1)
+    def day(i: Int) = java.sql.Date.valueOf(d0.plusDays(i))
+
+    def localEwma(series: List[(Int, Long)]): (Long, Long, Long, Option[Long]) = {
+      val xs = series.sortBy(_._1).map(_._2)
+      var level = xs.head
+      var sae = 0L
+      xs.tail.foreach { x =>
+        sae += math.abs(x - level)
+        level = (3 * x + 7 * level) / 10
+      }
+      val n = xs.length.toLong
+      (n, level, sae, if (n > 1) Some(rnd(sae * 1e3 / (n - 1))) else None)
+    }
+    def localHolt(series: List[(Int, Long)])
+        : (Long, Long, Long, Long, Long, Option[Long]) = {
+      val xs = series.sortBy(_._1).map(_._2)
+      var level = xs.head
+      var trend = 0L
+      var sae = 0L
+      xs.tail.foreach { x =>
+        val f = level + trend
+        sae += math.abs(x - f)
+        val nl = (3 * x + 7 * f) / 10
+        trend = ((nl - level) + 9 * trend) / 10
+        level = nl
+      }
+      val n = xs.length.toLong
+      (n, level, trend, level + trend, sae,
+        if (n > 1) Some(rnd(sae * 1e3 / (n - 1))) else None)
+    }
+
+    val seriesGen = Gen.choose(1, 26).flatMap { len =>
+      Gen.zip(
+        Gen.listOfN(len, Gen.choose(0, 60)).map(_.distinct.sorted),
+        Gen.oneOf("rand", "saw", "drop")).flatMap { case (days, shape) =>
+        Gen.listOfN(days.length, Gen.choose(-2000000L, 2000000L)).map { vs =>
+          val shaped = shape match {
+            case "saw" => vs.zipWithIndex.map { case (v, i) =>
+              if (i % 2 == 0) math.abs(v) else -math.abs(v) }
+            case "drop" => vs.zipWithIndex.map { case (v, i) =>
+              math.abs(v) - 100000L * i }
+            case _ => vs
+          }
+          days.zip(shaped)
+        }
+      }
+    }
+    val prop = Prop.forAll(Gen.zip(seriesGen, seriesGen, seriesGen)) {
+      case (sa, sb, sc) =>
+        val panel = Map("a" -> sa, "b" -> sb, "c" -> sc).filter(_._2.nonEmpty)
+        val df = panel.toList
+          .flatMap { case (k, pts) => pts.map(p => (k, day(p._1), p._2)) }
+          .toDF("event_type", "day", "x")
+        val ew = graft.operators.Estimation.ewma(df).collect()
+          .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+            if (r.isNullAt(4)) None else Some(r.getLong(4))))
+          .toMap
+        val ho = graft.operators.Estimation.holt(df).collect()
+          .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getLong(4), r.getLong(5),
+            if (r.isNullAt(6)) None else Some(r.getLong(6))))
+          .toMap
+        val errs = panel.toList.flatMap { case (k, pts) =>
+          val e1 = if (ew(k) != localEwma(pts))
+            List(s"ewma $k: got ${ew(k)} want ${localEwma(pts)} pts=$pts")
+          else Nil
+          val e2 = if (ho(k) != localHolt(pts))
+            List(s"holt $k: got ${ho(k)} want ${localHolt(pts)} pts=$pts")
+          else Nil
+          e1 ++ e2
+        }
+        Prop(errs.isEmpty) :| errs.mkString("; ")
+    }
+    check("smoothingKernels", cases = 25, prop)
+  }
 }
