@@ -310,6 +310,49 @@ object GraphOps {
     cn.join(dim(adj), Seq("u", "v"), "left_anti")
   }
 
+  /** k-core peeling over a symmetric edge list (g6): `rounds` synchronous
+    * rounds of "drop every node with degree < k, restrict edges to
+    * surviving endpoints" — the standard densest-region screen (the
+    * 2-core strips trees and pendant chains; higher k isolates the
+    * cohesive clusters bundle mining actually wants, where triangle
+    * counting (g4) scores nodes the k-core keeps). The peel converges
+    * when a round removes nothing; the operator contract is the FIXED
+    * unroll both engines replay identically (rounds supersteps, like the
+    * rank fixpoint's iters=5), which on these graphs reaches the
+    * fixpoint — peeling is monotone, so extra rounds are no-ops on the
+    * converged edge set. Exchange posture: degrees aggregate by DST
+    * (symmetry makes deg-by-dst the full degree), so off the
+    * dst-partitioned cache every round's aggregation is exchange-free;
+    * the surviving-node set is node-sized and broadcasts through `dim`
+    * (rankDim convention), and broadcast joins preserve the streamed
+    * side's partitioning — so ALL rounds run without a single new
+    * exchange. Output: node, core_deg over the surviving edge set.
+    */
+  private[graft] def kcore(edges: DataFrame, k: Int, rounds: Int,
+      dim: DataFrame => DataFrame): DataFrame = {
+    var e = edges.select(col("src"), col("dst"))
+    for (_ <- 1 to rounds) {
+      val keep = e.groupBy(col("dst")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("dst"))
+      e = e.join(dim(keep.withColumnRenamed("dst", "src")), "src")
+        .join(dim(keep), "dst")
+        .select(col("src"), col("dst"))
+    }
+    e.groupBy(col("dst")).agg(count(lit(1)).as("core_deg"))
+      .select(col("dst").as("node"), col("core_deg"))
+  }
+
+  /** One unrolled k-core peel round as a DuckDB CTE pair — kept next to
+    * the Scala round so the two spellings evolve together.
+    */
+  private def kcoreStep(i: Int, k: Int): String =
+    s"""k$i AS (
+          SELECT dst FROM e${i - 1} GROUP BY dst HAVING count(*) >= $k),
+        e$i AS (
+          SELECT e.src, e.dst FROM e${i - 1} e
+          JOIN k$i a ON a.dst = e.src
+          JOIN k$i b ON b.dst = e.dst)"""
+
   /** The strong co-purchase graph g4/g5 mine: parts co-bought in ≥ 2
     * DISTINCT orders (count(DISTINCT ok) — a part repeated within one
     * order must not fake support). Thresholding the co-occurrence graph
@@ -546,6 +589,36 @@ object GraphOps {
               ORDER BY cn DESC, u, v) AS rank
             FROM cand)
           SELECT u, v, cn, cast(rank AS int) AS rank
+          FROM ranked WHERE rank <= 20 ORDER BY rank""")),
+
+    ("g6_kcore", (s: SparkSession, d: String) => {
+      // Cohesive-cluster screen on the strong co-purchase graph: the
+      // 3-core after 4 peel rounds, top-20 members by residual in-core
+      // degree — the subgraph where every surviving part has ≥ 3 repeat
+      // co-purchase partners that themselves survive, i.e. the dense
+      // bundle cores g4's triangle scores rank within. Kernel contract
+      // (dst-aggregated degrees + broadcast keep-sets = exchange-free
+      // rounds off the cached frame) on [[kcore]].
+      val strong = strongCopurchase(s, d)
+      val dim = rankDim(strong.count(), 4L * 1000 * 1000)
+      val core = kcore(strong, k = 3, rounds = 4, dim)
+      AnnIndex.topKCut(
+          core.select(lit(1).as("g"), col("node"), col("core_deg")),
+          "g", "core_deg", "node", k = 20, ascending = false,
+          scoreName = "core_deg", idName = "node")
+        .select(col("node"), col("core_deg"), col("rank"))
+        .orderBy(col("rank"))
+    }, Some(
+      s"""WITH $sqlStrong,
+          e0 AS (SELECT src, dst FROM strong),
+          ${(1 to 4).map(kcoreStep(_, 3)).mkString(",\n")},
+          deg AS (SELECT dst AS node, cast(count(*) AS bigint) AS core_deg
+                  FROM e4 GROUP BY 1),
+          ranked AS (
+            SELECT node, core_deg, row_number() OVER (
+              ORDER BY core_deg DESC, node) AS rank
+            FROM deg)
+          SELECT node, core_deg, cast(rank AS int) AS rank
           FROM ranked WHERE rank <= 20 ORDER BY rank""")))
 
   def queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap

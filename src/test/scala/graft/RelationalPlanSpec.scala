@@ -909,6 +909,36 @@ class RelationalPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"star link-prediction candidates wrong: $out")
   }
 
+  test("g6 kcore: the pendant path peels over cascading rounds; the K4 core survives") {
+    // Planted graph: K4 on {1,2,3,4} plus a pendant path 4-5-6-7. Under
+    // k = 2 the path must peel one node per SYNCHRONOUS round from the
+    // tail in (7, then 6, then 5) — so rounds = 2 still shows node 5 at
+    // residual degree 1 (pinning the fixed-unroll contract: the readout
+    // is the state after exactly `rounds` peels), while rounds = 4
+    // reaches the fixpoint: the K4 alone, every corner at in-core
+    // degree 3. Identical under broadcast and merge-hint keep-set joins.
+    import graft.operators.GraphOps
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val s = spark
+    import s.implicits._
+    val und = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    def run(rounds: Int,
+        dim: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) =
+      GraphOps.kcore(edges, k = 2, rounds = rounds, dim)
+        .orderBy(col("node")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    val converged = run(4, d => broadcast(d))
+    assert(converged == Seq(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L),
+      s"k=2 core of K4+path wrong: $converged")
+    assert(run(4, d => d.hint("merge")) == converged,
+      "kcore differs between join strategies")
+    val mid = run(2, d => broadcast(d))
+    assert(mid == Seq(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 4L, 5L -> 1L),
+      s"2-round partial peel wrong: $mid")
+  }
+
   test("w20: one hash exchange — the daily agg and per-key window both ride the key repartition") {
     // The single-shuffle claim: after the up-front repartition on the
     // key, the (key, day) aggregation (subset rule) and the per-key
