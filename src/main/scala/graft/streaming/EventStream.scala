@@ -717,6 +717,55 @@ object EventStream {
       }
   }
 
+  final case class HoltState(n: Long, level: Long, trend: Long, sae: Long)
+
+  final case class HoltUpdate(
+      event_type: String, n: Long, level_cents: Long, trend_cents: Long,
+      forecast_cents: Long, sae_cents: Long)
+
+  /** Streaming Holt linear smoothing — the one-pass twin of the w23
+    * batch fold: per key, the SAME integer α = 3/10, β = 1/10 recursion
+    * over cents (S_t = (3x + 7F) div 10, B_t = ((S_t − S_{t−1}) + 9B)
+    * div 10, F = S + B), plus the running Σ|x − F| forecast error,
+    * folded across micro-batches. State is four longs per key, all
+    * arithmetic exact integer — fed the same ordered points, the stream
+    * reproduces the batch kernel's level/trend/sae bit-exactly (pinned
+    * by StreamingSpec against [[graft.operators.Estimation.holt]]).
+    * Path-dependent like cusumStream, so each batch's rows sort by
+    * (event time, value) before folding; cross-batch order is the
+    * source's append order. Scala Long division truncates toward zero
+    * exactly like the batch side's `div`.
+    */
+  def holtStream(events: DataFrame): Dataset[HoltUpdate] = {
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      .select(col("event_type"), col("ts"), col("value"))
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), unix_micros(col("ts")).as("us"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[HoltState, HoltUpdate](GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Long, Long)],
+            state: GroupState[HoltState]) =>
+          var st = state.getOption.getOrElse(HoltState(0L, 0L, 0L, 0L))
+          rows.toSeq.sortBy(t => (t._2, t._3)).foreach { case (_, _, cents) =>
+            st =
+              if (st.n == 0) HoltState(1L, cents, 0L, 0L)
+              else {
+                val f = st.level + st.trend
+                val nl = (3 * cents + 7 * f) / 10
+                HoltState(st.n + 1, nl, ((nl - st.level) + 9 * st.trend) / 10,
+                  st.sae + math.abs(cents - f))
+              }
+          }
+          state.update(st)
+          HoltUpdate(key, st.n, st.level, st.trend, st.level + st.trend,
+            st.sae)
+      }
+  }
+
   def runningStats(events: DataFrame): Dataset[StatsUpdate] = {
     val s = events.sparkSession
     import s.implicits._

@@ -888,6 +888,55 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"in-control key alarmed: ${fin("calm")}")
   }
 
+  test("holtStream: the folded recursion bit-matches the w23 batch kernel across a batch boundary") {
+    // One event per (key, day): the streaming event-grain fold and the
+    // batch daily-panel fold see the SAME ordered cents sequence, so the
+    // final streamed state must equal Estimation.holt's row exactly —
+    // level, trend, forecast, and sae, integer end to end. The sequence
+    // includes a decline (negative trend state, exercising the
+    // truncation-toward-zero division) and splits mid-series across two
+    // micro-batches, so the (level, trend, sae) state must survive the
+    // boundary to stay on the batch path.
+    val s = spark
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.Encoders
+    import s.implicits._
+    val ms = MemoryStream(
+      Encoders.tuple(Encoders.STRING, Encoders.TIMESTAMP, Encoders.scalaDouble),
+      s.sqlContext)
+    val base = 1700000000000L
+    def t(dayIdx: Int) = new java.sql.Timestamp(base + dayIdx * 86400000L)
+    val vals = Seq(10.00, 12.50, 15.00, 14.00, 9.00, 3.50, 2.00, 8.25)
+    val q = EventStream.holtStream(ms.toDF.toDF("event_type", "ts", "value"))
+      .writeStream.format("memory").queryName("holt_mon")
+      .outputMode("update").start()
+    try {
+      ms.addData(vals.take(4).zipWithIndex.map { case (v, i) => ("a", t(i), v) }: _*)
+      q.processAllAvailable()
+      ms.addData(vals.drop(4).zipWithIndex.map { case (v, i) => ("a", t(i + 4), v) }: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("holt_mon")
+      .groupBy("event_type")
+      .agg(max(struct(col("n"), col("level_cents"), col("trend_cents"),
+        col("forecast_cents"), col("sae_cents"))).as("f"))
+      .select(col("f.n"), col("f.level_cents"), col("f.trend_cents"),
+        col("f.forecast_cents"), col("f.sae_cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).head
+    val daily = vals.zipWithIndex
+      .map { case (v, i) => ("a", new java.sql.Date(t(i).getTime),
+        math.round(v * 100)) }
+      .toDF("event_type", "day", "x")
+    val batch = graft.operators.Estimation.holt(daily)
+      .select(col("n"), col("level_cents"), col("trend_cents"),
+        col("forecast_cents"), col("sae_cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).head
+    assert(streamed == batch,
+      s"streamed Holt state $streamed diverged from batch kernel $batch")
+  }
+
   test("mapGroupsWithState running stats converge to the batch moments per key") {
     val q = EventStream.runningStats(EventStream.readEvents(spark, sfDir))
       .writeStream.format("memory").queryName("run_stats").outputMode("update").start()
