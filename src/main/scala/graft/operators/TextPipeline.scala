@@ -200,6 +200,60 @@ object TextPipeline {
           .as("hapax_e6"))
   }
 
+  /** The x33 kernel over any (text) frame — corpus-level collocation
+    * mining: adjacent-token bigrams ranked by PMI against the
+    * bigram-position unigram marginals (c1 = Σ_w2 c(w1,w2),
+    * c2 = Σ_w1 c(w1,w2), N = Σ c), with a min-count support floor so
+    * one-off juxtapositions can't top the list — the phrase-mining
+    * step tokenizer vocab construction and stop-phrase lists read.
+    * Monotone trick: PMI = ln(c·N/(c1·c2)) is rank-equivalent to the
+    * RATIO c·N/(c1·c2), so no transcendental enters — the score is
+    * `round(cast(c AS double) * nb * 1e6 / c1 / c2)`, a fixed
+    * shared-text chain of correctly-rounded double ops over exact
+    * integer counts (c·N stays exact in double to 2^53; past that the
+    * last-ulp wobble is ~1e-10 of a score the e6 grid reads at 1e-6
+    * relative — and identical in both engines regardless). Scale: one
+    * corpus scan + one map-side-combined bigram count shuffle; the
+    * count table is Zipf-bounded and MATERIALIZED (x7's localCheckpoint
+    * rationale) so marginals and total derive from it, not from
+    * re-exploded corpus; the support filter shrinks the scored side
+    * before the two marginal joins, which broadcast (marginal tables
+    * are vocabulary-sized). Readout: top-k by (score, w1, w2) through
+    * orderBy+limit — TakeOrderedAndProject, no corpus-wide sort.
+    */
+  private[graft] def pmiCollocations(
+      docs: DataFrame, minCount: Long = 5L, k: Int = 20): DataFrame = {
+    val s = docs.sparkSession
+    val bg = docs
+      .select(split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 2)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(explode(expr(
+        """transform(sequence(1, size(t) - 1),
+          |  i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))"""
+          .stripMargin)).as("b"))
+      .select(col("b.w1"), col("b.w2"))
+    val cnt = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val u1 = cnt.groupBy(col("w1")).agg(sum(col("c")).as("c1"))
+    val u2 = cnt.groupBy(col("w2")).agg(sum(col("c")).as("c2"))
+    val nb = cnt.agg(sum(col("c")).as("nb"))
+    val scored = cnt.filter(col("c") >= minCount)
+      .join(broadcast(u1), "w1")
+      .join(broadcast(u2), "w2")
+      .crossJoin(broadcast(nb))
+      .select(col("w1"), col("w2"), col("c"), col("c1"), col("c2"),
+        expr("cast(round(cast(c AS double) * nb * 1e6 / c1 / c2) AS bigint)")
+          .as("pmi_ratio_e6"))
+    val top = scored
+      .orderBy(col("pmi_ratio_e6").desc, col("w1"), col("w2")).limit(k)
+    top.withColumn("rank", row_number().over(
+        Window.orderBy(col("pmi_ratio_e6").desc, col("w1"), col("w2"))))
+      .select(col("w1"), col("w2"), col("c"), col("c1"), col("c2"),
+        col("pmi_ratio_e6"), col("rank"))
+      .orderBy(col("rank"))
+  }
+
   private[graft] def nearDupPairs(
       docs: DataFrame,
       minJaccard: Double,
@@ -4192,6 +4246,42 @@ object TextPipeline {
                 cast(round(n_types * 1e6 / n_tokens) AS bigint) AS ttr_e6,
                 cast(round(n_hapax * 1e6 / n_types) AS bigint) AS hapax_e6
          FROM agg ORDER BY 1""")),
+
+    ("x33_pmi_collocations", (s: SparkSession, d: String) => {
+      // Corpus-level phrase mining: top-20 adjacent-token bigrams by
+      // PMI with a min-count-5 support floor — the collocation list
+      // tokenizer vocab construction reads (x28's BPE learns merges
+      // bottom-up from characters; PMI surfaces the word-level units
+      // worth protecting). Transcendental-free rank trick and the
+      // one-scan/one-shuffle posture documented on [[pmiCollocations]].
+      pmiCollocations(Tables.documents(s, d))
+    }, Some(
+      """WITH toks AS (
+           SELECT string_split(text, ' ') AS t FROM documents
+           WHERE len(string_split(text, ' ')) >= 2),
+         bg AS (
+           SELECT t[i] AS w1, t[i + 1] AS w2
+           FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+                 FROM toks)),
+         cnt AS (SELECT w1, w2, cast(count(*) AS bigint) AS c
+                 FROM bg GROUP BY 1, 2),
+         u1 AS (SELECT w1, cast(sum(c) AS bigint) AS c1 FROM cnt GROUP BY 1),
+         u2 AS (SELECT w2, cast(sum(c) AS bigint) AS c2 FROM cnt GROUP BY 1),
+         tot AS (SELECT cast(sum(c) AS bigint) AS nb FROM cnt),
+         scored AS (
+           SELECT cnt.w1, cnt.w2, cnt.c, u1.c1, u2.c2,
+                  cast(round(cast(cnt.c AS double) * (SELECT nb FROM tot)
+                    * 1e6 / u1.c1 / u2.c2) AS bigint) AS pmi_ratio_e6
+           FROM cnt
+           JOIN u1 ON u1.w1 = cnt.w1
+           JOIN u2 ON u2.w2 = cnt.w2
+           WHERE cnt.c >= 5),
+         ranked AS (
+           SELECT *, row_number() OVER (
+             ORDER BY pmi_ratio_e6 DESC, w1, w2) AS rank
+           FROM scored)
+         SELECT w1, w2, c, c1, c2, pmi_ratio_e6, cast(rank AS int) AS rank
+         FROM ranked WHERE rank <= 20 ORDER BY rank""")),
 
     ("x16_token_budget", (s: SparkSession, d: String) => {
       // Token-budget subsetting — fill each source's training-token budget

@@ -341,6 +341,32 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"mix: ${out("mix")}")
   }
 
+  test("pmiCollocations: exclusive pairs top the list; the support floor drops rare perfect pairs") {
+    // Planted corpus, N = 29 bigrams: "alpha beta" ×5 is exclusively
+    // associated (c = c1 = c2 = 5 → ratio 5·29/25 = 5.8) and must rank
+    // 1; "the cat sat" ×10 gives two high-frequency but unselective
+    // pairs (10·29/100 = 2.9) tying on score and breaking by w1
+    // (cat < the); "rare gem" ×4 is PERFECTLY associated but below the
+    // min-count-5 floor and must not appear; the single-token doc must
+    // not crash the sequence() transform.
+    val s = spark
+    import s.implicits._
+    val docs = (
+      Seq.fill(5)("alpha beta") ++ Seq.fill(4)("rare gem") ++
+        Seq.fill(10)("the cat sat") ++ Seq("solo")
+      ).map(t => ("src", t)).toDF("source", "text")
+    val out = graft.operators.TextPipeline.pmiCollocations(docs)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getInt(6)))
+      .toSeq
+    assert(out == Seq(
+      ("alpha", "beta", 5L, 5L, 5L, 5800000L, 1),
+      ("cat", "sat", 10L, 10L, 10L, 2900000L, 2),
+      ("the", "cat", 10L, 10L, 10L, 2900000L, 3)),
+      s"collocation ranking wrong: $out")
+  }
+
   test("theilSen: one wild outlier cannot move the slope; a constant series reads zero") {
     // The breakdown-point claim, planted: a clean 500-cents/day ramp
     // with day 15 replaced by 10^9 still medians to slope_e3 = 500000
