@@ -544,6 +544,51 @@ object Estimation {
           "cast(round(f.sae * 1e3 / (n - 1)) AS bigint) END")
           .as("mae_e3"))
 
+  /** The w24 kernel over any (event_type, day, x:long) daily panel —
+    * the forecast scorecard: one row per series comparing the
+    * one-step-ahead absolute-error SUMS of the three nested baselines
+    * (naive x̂_t = x_{t−1}, [[ewma]]'s flat level, [[holt]]'s
+    * level+trend — each over the same t ≥ 2 error set, so comparing
+    * sums IS comparing MAEs) plus the MASE-style ratios
+    * sae_model·1e6/sad_naive (Hyndman's scale: < 1e6 beats naive) and
+    * a deterministic winner (ties resolve toward the simpler model:
+    * naive ≤ ewma ≤ holt). Composes the two verified smoothing folds
+    * with a lag-window SAD — three calendar-bounded per-series frames
+    * joined on the key; the oracle replays both recursions in ONE
+    * combined WITH RECURSIVE walk (same integer steps, so the shared
+    * states are bit-equal to the single-kernel oracles). mase is NULL
+    * when the naive SAD is 0 (constant or single-point series) — the
+    * winner then reads 'naive' by the tie rule.
+    */
+  private[graft] def forecastScorecard(daily: DataFrame): DataFrame = {
+    val wT = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val nv = daily
+      .withColumn("px", lag(col("x"), 1).over(wT))
+      .filter(col("px").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(sum(abs(col("x") - col("px"))).as("sad_naive_cents"))
+    ewma(daily)
+      .select(col("event_type"), col("n"),
+        col("sae_cents").as("sae_ewma_cents"))
+      .join(holt(daily)
+        .select(col("event_type"), col("sae_cents").as("sae_holt_cents")),
+        "event_type")
+      .join(nv, Seq("event_type"), "left")
+      .withColumn("sad_naive_cents", coalesce(col("sad_naive_cents"), lit(0L)))
+      .select(col("event_type"), col("n"), col("sad_naive_cents"),
+        col("sae_ewma_cents"), col("sae_holt_cents"),
+        expr("CASE WHEN sad_naive_cents > 0 THEN cast(round(" +
+          "sae_ewma_cents * 1e6 / sad_naive_cents) AS bigint) END")
+          .as("mase_ewma_e6"),
+        expr("CASE WHEN sad_naive_cents > 0 THEN cast(round(" +
+          "sae_holt_cents * 1e6 / sad_naive_cents) AS bigint) END")
+          .as("mase_holt_e6"),
+        expr("CASE WHEN sad_naive_cents <= sae_ewma_cents AND " +
+          "sad_naive_cents <= sae_holt_cents THEN 'naive' " +
+          "WHEN sae_ewma_cents <= sae_holt_cents THEN 'ewma' " +
+          "ELSE 'holt' END").as("best"))
+  }
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
 
     // ----- W4 as a component: the reusable design-matrix builder ----------
@@ -1153,6 +1198,58 @@ object Estimation {
                 CASE WHEN f.n > 1 THEN
                   cast(round(r.sae * 1e3 / (f.n - 1)) AS bigint)
                 END AS mae_e3
+         FROM rec r JOIN fin f ON f.event_type = r.event_type AND r.t = f.n
+         ORDER BY 1""")),
+
+    // ----- W24 (ext.): forecast scorecard — naive vs EWMA vs Holt ----------
+
+    ("w24_forecast_scorecard", (s: SparkSession, d: String) => {
+      // Model selection for the smoothing family on the daily cents
+      // panel: per series, the three baselines' one-step error sums,
+      // MASE ratios against the naive scale, and the deterministic
+      // winner; kernel contract on [[forecastScorecard]].
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("x"))
+      forecastScorecard(daily).orderBy(col("event_type"))
+    }, Some(
+      """WITH RECURSIVE daily AS (
+           SELECT event_type, cast(ts AS date) AS day,
+                  cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS x
+           FROM events GROUP BY 1, 2),
+         e AS (
+           SELECT event_type, x, row_number() OVER (
+             PARTITION BY event_type ORDER BY day) AS t
+           FROM daily),
+         rec AS (
+           SELECT event_type, t, x AS px,
+                  x AS le, cast(0 AS bigint) AS se,
+                  x AS lh, cast(0 AS bigint) AS th, cast(0 AS bigint) AS sh,
+                  cast(0 AS bigint) AS sad
+           FROM e WHERE t = 1
+           UNION ALL
+           SELECT e.event_type, e.t, e.x,
+                  (3 * e.x + 7 * rec.le) // 10,
+                  rec.se + abs(e.x - rec.le),
+                  (3 * e.x + 7 * (rec.lh + rec.th)) // 10,
+                  (((3 * e.x + 7 * (rec.lh + rec.th)) // 10
+                    - rec.lh) + 9 * rec.th) // 10,
+                  rec.sh + abs(e.x - (rec.lh + rec.th)),
+                  rec.sad + abs(e.x - rec.px)
+           FROM rec JOIN e ON e.event_type = rec.event_type
+             AND e.t = rec.t + 1),
+         fin AS (SELECT event_type, max(t) AS n FROM rec GROUP BY 1)
+         SELECT r.event_type, cast(f.n AS bigint) AS n,
+                r.sad AS sad_naive_cents,
+                r.se AS sae_ewma_cents,
+                r.sh AS sae_holt_cents,
+                CASE WHEN r.sad > 0 THEN
+                  cast(round(r.se * 1e6 / r.sad) AS bigint) END AS mase_ewma_e6,
+                CASE WHEN r.sad > 0 THEN
+                  cast(round(r.sh * 1e6 / r.sad) AS bigint) END AS mase_holt_e6,
+                CASE WHEN r.sad <= r.se AND r.sad <= r.sh THEN 'naive'
+                     WHEN r.se <= r.sh THEN 'ewma'
+                     ELSE 'holt' END AS best
          FROM rec r JOIN fin f ON f.event_type = r.event_type AND r.t = f.n
          ORDER BY 1""")),
 

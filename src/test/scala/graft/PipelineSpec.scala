@@ -367,6 +367,41 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"collocation ranking wrong: $out")
   }
 
+  test("forecastScorecard: Holt wins the ramp, EWMA the sawtooth, naive the constant") {
+    // The scorecard's point is that each baseline has a regime it wins:
+    // a linear ramp (Holt's trend state converges to the slope, so its
+    // one-step error vanishes while naive pays the slope every step and
+    // EWMA pays slope/alpha), a sawtooth (EWMA holds the midpoint at
+    // half the naive's full-swing error; Holt's trend-chasing can't
+    // beat the flat level), and a constant (all error sums 0 — the tie
+    // rule reads 'naive' and the MASE ratios are NULL with sad = 0).
+    val s = spark
+    import s.implicits._
+    def day(i: Int) = java.sql.Date.valueOf(
+      java.time.LocalDate.of(2024, 1, 1).plusDays(i))
+    val ramp = (0 until 40).map(i => ("ramp", day(i), 1000L * i))
+    val saw = (0 until 40).map(i =>
+      ("saw", day(i), if (i % 2 == 0) 0L else 10000L))
+    val const = (0 until 40).map(i => ("const", day(i), 500L))
+    val out = graft.operators.Estimation
+      .forecastScorecard((ramp ++ saw ++ const).toDF("event_type", "day", "x"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3), r.getLong(4),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)),
+        if (r.isNullAt(6)) None else Some(r.getLong(6)),
+        r.getString(7)))
+      .toMap
+    val rampRow = out("ramp")
+    assert(rampRow._6 == "holt" && rampRow._4.exists(_ > 1000000L) &&
+      rampRow._5.exists(_ < 1000000L),
+      s"ramp scorecard wrong: $rampRow")
+    val sawRow = out("saw")
+    assert(sawRow._6 == "ewma" && sawRow._4.exists(_ < 1000000L),
+      s"sawtooth scorecard wrong: $sawRow")
+    assert(out("const") == ((0L, 0L, 0L, None, None, "naive")),
+      s"constant scorecard wrong: ${out("const")}")
+  }
+
   test("theilSen: one wild outlier cannot move the slope; a constant series reads zero") {
     // The breakdown-point claim, planted: a clean 500-cents/day ramp
     // with day 15 replaced by 10^9 still medians to slope_e3 = 500000
