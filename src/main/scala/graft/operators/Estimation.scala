@@ -430,6 +430,48 @@ object Estimation {
         coalesce(col("jb_e6") > 5991465L, lit(false)))
   }
 
+  /** The t12 kernel over any (event_type, day, x:long) daily panel —
+    * Durbin-Watson first-order autocorrelation statistic
+    * DW = Σ_{t≥2}(u_t − u_{t−1})² / Σ u_t² over the kilocent-quantized
+    * demeaned series u = round(E/n/1000), E = n·x − Σx (the t8/t11
+    * scale, which cancels in the dimensionless ratio). The lag-1
+    * complement to t10's joint portmanteau: DW reads ONE lag but maps
+    * onto the classic 0–4 scale (≈2 ⟺ white; the bounds-free
+    * rule-of-thumb flags at 1.5/2.5 — exact dL/dU bounds are
+    * (n, k)-indexed tables regression tooling joins in; the statistic
+    * itself is what this kernel owes). Both sums are exact integers
+    * (numerator ≤ 4·n·u² — int64-safe at the driver scales, widening
+    * like t11 past them); dw_e6 assembles in the one fixed shared-text
+    * double division. Degenerate Σu² = 0 → documented NULL + explicit
+    * non-flags. Scale: one lag window + one map-side-combinable
+    * aggregation per series after the bounded meta broadcast — never
+    * corpus-sized state.
+    */
+  private[graft] def durbinWatson(daily: DataFrame): DataFrame = {
+    val meta = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+    val wT = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    daily
+      .join(broadcast(meta), "event_type")
+      .withColumn("ebig", col("n") * col("x") - col("sx"))
+      .select(col("event_type"), col("day"),
+        round(col("ebig") * lit(1.0) / col("n") / lit(1000.0))
+          .cast("long").as("u"))
+      .withColumn("pu", lag(col("u"), 1).over(wT))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("pu").isNotNull,
+          (col("u") - col("pu")) * (col("u") - col("pu"))).otherwise(0L))
+          .as("ssd"),
+        sum(col("u") * col("u")).as("s2"))
+      .withColumn("dw_e6", expr(
+        "CASE WHEN s2 <> 0 THEN cast(round(ssd * 1e6 / s2) AS bigint) END"))
+      .withColumn("positive_autocorr",
+        coalesce(col("dw_e6") < 1500000L, lit(false)))
+      .withColumn("negative_autocorr",
+        coalesce(col("dw_e6") > 2500000L, lit(false)))
+  }
+
   /** The w21 kernel over any (event_type, day, x:long) daily panel —
     * Theil-Sen robust trend: the median of all pairwise slopes
     * (x_j − x_i)/(day_j − day_i), the estimator with a 29.3% breakdown
@@ -1084,6 +1126,50 @@ object Estimation {
                 coalesce(cast(round(jb * 1e6) AS bigint) > 5991465, false)
                   AS reject_5pct
          FROM jbt ORDER BY 1""")),
+
+    // ----- T12 (ext.): Durbin-Watson lag-1 autocorrelation -----------------
+
+    ("t12_durbin_watson", (s: SparkSession, d: String) => {
+      // Lag-1 autocorrelation on the classic 0-4 DW scale per series on
+      // the daily cents panel — the single-lag complement to t10's
+      // joint whiteness test; kernel contract on [[durbinWatson]].
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("x"))
+      durbinWatson(daily).orderBy(col("event_type"))
+    }, Some(
+      """WITH daily AS (
+           SELECT event_type, cast(ts AS date) AS day,
+                  cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS x
+           FROM events GROUP BY 1, 2),
+         meta AS (
+           SELECT event_type, count(*) AS n, cast(sum(x) AS bigint) AS sx
+           FROM daily GROUP BY 1),
+         u AS (
+           SELECT d.event_type, d.day,
+                  cast(round((m.n * d.x - m.sx) * 1.0 / m.n / 1000.0)
+                    AS bigint) AS u
+           FROM daily d JOIN meta m ON m.event_type = d.event_type),
+         lagged AS (
+           SELECT event_type, u, lag(u) OVER (
+             PARTITION BY event_type ORDER BY day) AS pu
+           FROM u),
+         agg AS (
+           SELECT event_type, cast(count(*) AS bigint) AS n,
+                  cast(sum(CASE WHEN pu IS NOT NULL
+                    THEN (u - pu) * (u - pu) ELSE 0 END) AS bigint) AS ssd,
+                  cast(sum(u * u) AS bigint) AS s2
+           FROM lagged GROUP BY 1)
+         SELECT event_type, n, ssd, s2,
+                CASE WHEN s2 <> 0 THEN
+                  cast(round(ssd * 1e6 / s2) AS bigint) END AS dw_e6,
+                coalesce(CASE WHEN s2 <> 0 THEN
+                  cast(round(ssd * 1e6 / s2) AS bigint) END < 1500000, false)
+                  AS positive_autocorr,
+                coalesce(CASE WHEN s2 <> 0 THEN
+                  cast(round(ssd * 1e6 / s2) AS bigint) END > 2500000, false)
+                  AS negative_autocorr
+         FROM agg ORDER BY 1""")),
 
     // ----- W21 (ext.): Theil-Sen robust trend ------------------------------
 

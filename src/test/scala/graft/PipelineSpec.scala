@@ -367,6 +367,37 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"collocation ranking wrong: $out")
   }
 
+  test("durbinWatson: a ramp reads near 0, an alternator near 4, a constant is degenerate-safe") {
+    // DW's three regimes, planted deterministically: a linear ramp's
+    // demeaned series moves in constant small steps (successive-
+    // difference energy ≪ level energy → DW → 0, positive flag); a
+    // 0/10000 alternator's demeaned series flips sign every day
+    // (difference energy ≈ 4× level energy → DW → 4, negative flag); a
+    // constant series quantizes to u ≡ 0 → NULL statistic, both flags
+    // explicitly false.
+    val s = spark
+    import s.implicits._
+    def day(i: Int) = java.sql.Date.valueOf(
+      java.time.LocalDate.of(2024, 1, 1).plusDays(i))
+    val ramp = (0 until 40).map(i => ("ramp", day(i), 100000L * i))
+    val alt = (0 until 40).map(i =>
+      ("alt", day(i), if (i % 2 == 0) 0L else 10000000L))
+    val const = (0 until 40).map(i => ("const", day(i), 777L))
+    val out = graft.operators.Estimation
+      .durbinWatson((ramp ++ alt ++ const).toDF("event_type", "day", "x"))
+      .collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(4)) None else Some(r.getLong(4)),
+          r.getBoolean(5), r.getBoolean(6)))
+      .toMap
+    assert(out("ramp")._1.exists(_ < 100000L) && out("ramp")._2 &&
+      !out("ramp")._3, s"ramp DW wrong: ${out("ramp")}")
+    assert(out("alt")._1.exists(_ > 3500000L) && !out("alt")._2 &&
+      out("alt")._3, s"alternator DW wrong: ${out("alt")}")
+    assert(out("const") == ((None, false, false)),
+      s"constant series not degenerate-safe: ${out("const")}")
+  }
+
   test("forecastScorecard: Holt wins the ramp, EWMA the sawtooth, naive the constant") {
     // The scorecard's point is that each baseline has a regime it wins:
     // a linear ramp (Holt's trend state converges to the slope, so its
