@@ -1653,6 +1653,61 @@ object Relational {
                 cast(exi.n_exact_int AS bigint) AS n_exact_int
          FROM p, exu, exi""")),
 
+    ("a21_neyman_sample", (s: SparkSession, d: String) => {
+      // Variance-proportional stratified sampling — the survey-sampling
+      // answer to "spend a 10k-row eval budget across strata": Neyman
+      // allocation n_h ∝ N_h·σ_h oversamples volatile strata where a
+      // uniform rate wastes budget on near-constant ones, then a SALTED
+      // deterministic md5 coin realizes each stratum's rate (x8's
+      // resample-free mechanism, 'ney:' salt — independent of every
+      // other pipeline coin). Kernel contract on [[neymanSample]].
+      neymanSample(Tables.events(s, d)).orderBy(col("event_type"))
+    }, Some(
+      """WITH rows0 AS (
+           SELECT event_type, event_id,
+                  cast(round(value * 100) AS bigint) AS c
+           FROM events WHERE value IS NOT NULL),
+         st AS (
+           SELECT event_type, cast(count(*) AS bigint) AS n_pop,
+                  cast(sum(c) AS bigint) AS sx,
+                  cast(sum(c * c) AS bigint) AS sxx
+           FROM rows0 GROUP BY 1),
+         sg AS (
+           SELECT *, sqrt(greatest(sxx * 1.0 / n_pop
+                    - (sx * 1.0 / n_pop) * (sx * 1.0 / n_pop),
+                    cast(0 AS double))) AS sigma
+           FROM st),
+         wv AS (
+           SELECT *, cast(round(n_pop * sigma * 1e3) AS bigint) AS w_e3
+           FROM sg),
+         tt AS (SELECT cast(sum(w_e3) AS bigint) AS wtot FROM wv),
+         al AS (
+           SELECT w.*, least(w.n_pop,
+                    CASE WHEN t.wtot > 0 THEN
+                      cast(round(10000 * (w.w_e3 * 1.0 / t.wtot)) AS bigint)
+                    ELSE cast(0 AS bigint) END) AS alloc_n
+           FROM wv w, tt t),
+         al2 AS (
+           SELECT *, cast(round(alloc_n * 1e6 / n_pop) AS bigint) AS rate_ppm
+           FROM al),
+         smp AS (
+           SELECT r.event_type, cast(count(*) AS bigint) AS n_sampled
+           FROM rows0 r JOIN al2 a ON a.event_type = r.event_type
+           WHERE ((strpos('0123456789abcdef', substr(md5('ney:' || cast(r.event_id AS varchar)), 1, 1)) - 1) * 1048576
+                + (strpos('0123456789abcdef', substr(md5('ney:' || cast(r.event_id AS varchar)), 2, 1)) - 1) * 65536
+                + (strpos('0123456789abcdef', substr(md5('ney:' || cast(r.event_id AS varchar)), 3, 1)) - 1) * 4096
+                + (strpos('0123456789abcdef', substr(md5('ney:' || cast(r.event_id AS varchar)), 4, 1)) - 1) * 256
+                + (strpos('0123456789abcdef', substr(md5('ney:' || cast(r.event_id AS varchar)), 5, 1)) - 1) * 16
+                + (strpos('0123456789abcdef', substr(md5('ney:' || cast(r.event_id AS varchar)), 6, 1)) - 1)) % 1000000
+                < a.rate_ppm
+           GROUP BY 1)
+         SELECT a.event_type, a.n_pop,
+                cast(round(a.sigma * 1e3) AS bigint) AS sigma_e3,
+                a.alloc_n, a.rate_ppm,
+                cast(coalesce(s.n_sampled, 0) AS bigint) AS n_sampled
+         FROM al2 a LEFT JOIN smp s ON s.event_type = a.event_type
+         ORDER BY 1""")),
+
     ("a10_rollup", (s: SparkSession, d: String) => {
       val n = broadcast(Tables.nation(s, d))
       val r = broadcast(Tables.region(s, d))
@@ -2553,6 +2608,58 @@ object Relational {
                 count(*) AS n
          FROM events GROUP BY 1 ORDER BY 1"""))
   )
+
+  /** The a21 kernel over any (event_type, event_id, value) frame —
+    * Neyman-allocated stratified sampling: per stratum the exact
+    * integer count/sum/sum-of-squares moments (int64-safe at the
+    * driver's cent scales; they widen to decimal past |c| ≈ 3e6 ×
+    * 1e6 rows, same plan shape), the population σ via one fixed
+    * shared-text double chain (guarded by greatest(…, 0) against
+    * cancellation on constant strata — an unguarded sqrt of the FP
+    * residual would NaN), the allocation weight N_h·σ_h e3-QUANTIZED
+    * BEFORE the cross-strata sum (an order-free integer total — a
+    * double Σw would be reduction-order-dependent and flake the
+    * exact-hash gate), budget shares rounded against that integer
+    * total and capped at N_h, and the realized sample counted by a
+    * salted per-row md5 coin at the stratum's ppm rate. Scale: two
+    * map-side-combinable aggregations over the corpus (moments, then
+    * realized counts) with only stratum-sized frames in between —
+    * the allocation table broadcasts; nothing corpus-sized shuffles.
+    */
+  private[graft] def neymanSample(
+      events: DataFrame, budget: Long = 10000L): DataFrame = {
+    val rows = events
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("event_id"),
+        round(col("value") * 100).cast("long").as("c"))
+    val stats = rows.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_pop"), sum(col("c")).as("sx"),
+        sum(col("c") * col("c")).as("sxx"))
+      .withColumn("sigma", expr(
+        "sqrt(greatest(sxx * 1.0 / n_pop " +
+          "- (sx * 1.0 / n_pop) * (sx * 1.0 / n_pop), cast(0 AS double)))"))
+      .withColumn("w_e3", expr("cast(round(n_pop * sigma * 1e3) AS bigint)"))
+    val tot = stats.agg(sum(col("w_e3")).as("wtot"))
+    val alloc = stats.crossJoin(broadcast(tot))
+      .withColumn("alloc_n", expr(
+        s"least(n_pop, CASE WHEN wtot > 0 THEN " +
+          s"cast(round($budget * (w_e3 * 1.0 / wtot)) AS bigint) " +
+          "ELSE cast(0 AS bigint) END)"))
+      .withColumn("rate_ppm",
+        expr("cast(round(alloc_n * 1e6 / n_pop) AS bigint)"))
+    val sampled = rows
+      .withColumn("bucket", expr(
+        "cast(conv(substring(md5(concat('ney:', cast(event_id AS string))), 1, 6), 16, 10) AS bigint) % 1000000"))
+      .join(broadcast(alloc.select(col("event_type"), col("rate_ppm"))),
+        "event_type")
+      .filter(col("bucket") < col("rate_ppm"))
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n_sampled"))
+    alloc.join(sampled, Seq("event_type"), "left")
+      .select(col("event_type"), col("n_pop"),
+        expr("cast(round(sigma * 1e3) AS bigint)").as("sigma_e3"),
+        col("alloc_n"), col("rate_ppm"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
+  }
 
   def queries: Map[String, Q] =
     entries.map(e => e._1 -> e._2).toMap

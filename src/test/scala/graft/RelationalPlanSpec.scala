@@ -939,6 +939,32 @@ class RelationalPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"2-round partial peel wrong: $mid")
   }
 
+  test("a21 neymanSample: a zero-variance stratum gets nothing; a volatile one caps at its size") {
+    // Two strata: "flat" (100 rows, constant 5.00 → sigma = 0 → weight 0
+    // → allocation 0, rate 0, nothing sampled — and the greatest()
+    // guard must keep the FP-cancelled variance from going sqrt(NaN))
+    // and "wild" (50 rows alternating 0.00/100.00 → sigma = 5000 cents
+    // exactly). Wild carries ALL the weight, so its Neyman share is the
+    // whole 10000 budget — which the least() cap must clamp to its 50
+    // rows, giving rate 1e6 ppm and a fully-realized sample of 50.
+    import org.apache.spark.sql.functions.col
+    val s = spark
+    import s.implicits._
+    val flat = (0 until 100).map(i => ("flat", i.toLong, 5.00))
+    val wild = (0 until 50).map(i =>
+      ("wild", 1000L + i, if (i % 2 == 0) 0.00 else 100.00))
+    val out = graft.operators.Relational
+      .neymanSample((flat ++ wild).toDF("event_type", "event_id", "value"))
+      .orderBy(col("event_type")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+      .toSeq
+    assert(out == Seq(
+      ("flat", 100L, 0L, 0L, 0L, 0L),
+      ("wild", 50L, 5000000L, 50L, 1000000L, 50L)),
+      s"Neyman allocation wrong: $out")
+  }
+
   test("w20: one hash exchange — the daily agg and per-key window both ride the key repartition") {
     // The single-shuffle claim: after the up-front repartition on the
     // key, the (key, day) aggregation (subset rule) and the per-key
