@@ -631,6 +631,45 @@ object Estimation {
           "ELSE 'holt' END").as("best"))
   }
 
+  /** The w25 kernel over any (event_type, day, x:long) daily panel —
+    * robust location: the 10%-trimmed mean (drop the g = n div 10
+    * smallest and largest observations by the total order (x, day),
+    * average the rest) and its winsorized sibling (CLAMP the tails to
+    * the order statistics x_(g+1) / x_(n−g) instead of dropping them),
+    * next to the raw mean they defend against — the location
+    * complement to w21's robust slope and w19's MAD gate. Everything
+    * is exact integers until three fixed shared-text divisions: ranks
+    * are row_number over a TOTAL order (ties broken by day, so both
+    * engines rank identically), the trimmed sum and the two clamp
+    * values fall out of ONE conditional aggregation over the ranked
+    * rows, and n − 2g > 0 always (g ≤ n/10). Scale: one per-series
+    * rank window + one map-side-combinable aggregation,
+    * calendar-bounded per key.
+    */
+  private[graft] def trimmedMean(daily: DataFrame): DataFrame = {
+    val meta = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+      .withColumn("g", expr("n div 10"))
+    val wR = Window.partitionBy(col("event_type"))
+      .orderBy(col("x"), col("day"))
+    daily
+      .join(broadcast(meta), "event_type")
+      .withColumn("rn", row_number().over(wR))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"), max(col("g")).as("g"),
+        max(col("sx")).as("sx"),
+        sum(when(col("rn") > col("g") && col("rn") <= col("n") - col("g"),
+          col("x")).otherwise(0L)).as("tsx"),
+        max(when(col("rn") === col("g") + 1, col("x"))).as("lo"),
+        max(when(col("rn") === col("n") - col("g"), col("x"))).as("hi"))
+      .select(col("event_type"), col("n"), col("g"),
+        expr("cast(round(sx * 1e3 / n) AS bigint)").as("mean_e3"),
+        expr("cast(round(tsx * 1e3 / (n - 2 * g)) AS bigint)")
+          .as("tmean_e3"),
+        expr("cast(round((tsx + g * (lo + hi)) * 1e3 / n) AS bigint)")
+          .as("wmean_e3"))
+  }
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
 
     // ----- W4 as a component: the reusable design-matrix builder ----------
@@ -1338,6 +1377,46 @@ object Estimation {
                      ELSE 'holt' END AS best
          FROM rec r JOIN fin f ON f.event_type = r.event_type AND r.t = f.n
          ORDER BY 1""")),
+
+    // ----- W25 (ext.): trimmed & winsorized robust means --------------------
+
+    ("w25_trimmed_mean", (s: SparkSession, d: String) => {
+      // Robust location per series on the daily cents panel — raw vs
+      // 10%-trimmed vs winsorized means; kernel contract (total-order
+      // ranks, one conditional aggregation, three shared-text
+      // divisions) on [[trimmedMean]].
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("x"))
+      trimmedMean(daily).orderBy(col("event_type"))
+    }, Some(
+      """WITH daily AS (
+           SELECT event_type, cast(ts AS date) AS day,
+                  cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS x
+           FROM events GROUP BY 1, 2),
+         meta AS (
+           SELECT event_type, cast(count(*) AS bigint) AS n,
+                  cast(sum(x) AS bigint) AS sx,
+                  cast(count(*) AS bigint) // 10 AS g
+           FROM daily GROUP BY 1),
+         rk AS (
+           SELECT d.event_type, d.x, m.n, m.sx, m.g,
+                  row_number() OVER (
+                    PARTITION BY d.event_type ORDER BY d.x, d.day) AS rn
+           FROM daily d JOIN meta m ON m.event_type = d.event_type),
+         agg AS (
+           SELECT event_type, max(n) AS n, max(g) AS g, max(sx) AS sx,
+                  cast(sum(CASE WHEN rn > g AND rn <= n - g
+                    THEN x ELSE 0 END) AS bigint) AS tsx,
+                  max(CASE WHEN rn = g + 1 THEN x END) AS lo,
+                  max(CASE WHEN rn = n - g THEN x END) AS hi
+           FROM rk GROUP BY 1)
+         SELECT event_type, n, g,
+                cast(round(sx * 1e3 / n) AS bigint) AS mean_e3,
+                cast(round(tsx * 1e3 / (n - 2 * g)) AS bigint) AS tmean_e3,
+                cast(round((tsx + g * (lo + hi)) * 1e3 / n) AS bigint)
+                  AS wmean_e3
+         FROM agg ORDER BY 1""")),
 
     // ----- W18 (ext.): CUSUM changepoint detection -------------------------
 

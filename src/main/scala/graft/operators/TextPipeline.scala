@@ -254,6 +254,53 @@ object TextPipeline {
       .orderBy(col("rank"))
   }
 
+  /** The x34 kernel over any (doc_id:long dense 0..N−1, text) frame —
+    * vocabulary growth curve: ingest the corpus in doc_id order, split
+    * into 10 equal-width doc buckets (bucket = doc_id·10 div N, a pure
+    * map — no corpus-sized rank window), and report per bucket the
+    * token volume and the NEW types introduced (a type belongs to the
+    * bucket of its FIRST occurrence = min doc_id over its postings),
+    * with running totals and the cumulative type/token ratio — the
+    * Heaps-law audit tokenizer vocab sizing reads (sublinear growth =
+    * healthy long tail; a flattening curve says the vocab is saturating
+    * and more data buys no new types). Scale: one explode + one
+    * map-side-combinable groupBy(token) collapse to the Zipf-bounded
+    * type table (min is the combiner), one groupBy(bucket) token count;
+    * the running sums window over exactly 10 rows. Transcendental-free:
+    * the ratio is the one fixed shared-text double division,
+    * e6-quantized; fitting the actual Heaps exponent is a client-side
+    * regression over these 10 exact points.
+    */
+  private[graft] def vocabGrowth(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    val n = docs.agg(max(col("doc_id")).as("mx"))
+      .select((col("mx") + 1L).as("nd"))
+    val toks = docs
+      .select(col("doc_id"), col("text"))
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .crossJoin(broadcast(n))
+      .select(expr("doc_id * 10 div nd").as("bucket"),
+        col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    val vol = toks.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_tokens"),
+        count_distinct(col("doc_id")).as("n_docs"))
+    val firsts = toks.groupBy(col("token"))
+      .agg(min(col("bucket")).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("new_types"))
+    val w10 = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    vol.join(firsts, Seq("bucket"), "left")
+      .withColumn("new_types", coalesce(col("new_types"), lit(0L)))
+      .withColumn("cum_types", sum(col("new_types")).over(w10))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w10))
+      .select(col("bucket").cast("long").as("bucket"), col("n_docs"),
+        col("n_tokens"), col("new_types"), col("cum_types"),
+        col("cum_tokens"),
+        expr("cast(round(cum_types * 1e6 / cum_tokens) AS bigint)")
+          .as("cum_ttr_e6"))
+      .orderBy(col("bucket"))
+  }
+
   private[graft] def nearDupPairs(
       docs: DataFrame,
       minJaccard: Double,
@@ -4282,6 +4329,47 @@ object TextPipeline {
            FROM scored)
          SELECT w1, w2, c, c1, c2, pmi_ratio_e6, cast(rank AS int) AS rank
          FROM ranked WHERE rank <= 20 ORDER BY rank""")),
+
+    ("x34_vocab_growth", (s: SparkSession, d: String) => {
+      // Heaps-law vocabulary growth audit: 10 equal-width doc buckets
+      // in ingest order, per bucket the token volume and the types
+      // FIRST seen there, cumulative totals, and the shrinking
+      // cumulative type/token ratio — the saturation curve that says
+      // whether more corpus still buys new vocabulary; kernel contract
+      // (first-occurrence trick, no corpus-sized rank window) on
+      // [[vocabGrowth]].
+      vocabGrowth(Tables.documents(s, d))
+    }, Some(
+      """WITH nd AS (SELECT max(doc_id) + 1 AS nd FROM documents),
+         toks AS (
+           SELECT doc_id * 10 // (SELECT nd FROM nd) AS bucket, doc_id,
+                  unnest(string_split(text, ' ')) AS token
+           FROM documents),
+         vol AS (
+           SELECT bucket, cast(count(*) AS bigint) AS n_tokens,
+                  cast(count(DISTINCT doc_id) AS bigint) AS n_docs
+           FROM toks GROUP BY 1),
+         fo AS (SELECT token, min(bucket) AS bucket FROM toks GROUP BY 1),
+         nt AS (SELECT bucket, cast(count(*) AS bigint) AS new_types
+                FROM fo GROUP BY 1),
+         jn AS (
+           SELECT v.bucket, v.n_docs, v.n_tokens,
+                  cast(coalesce(n.new_types, 0) AS bigint) AS new_types
+           FROM vol v LEFT JOIN nt n ON n.bucket = v.bucket),
+         cm AS (
+           SELECT *,
+                  cast(sum(new_types) OVER (ORDER BY bucket
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS bigint) AS cum_types,
+                  cast(sum(n_tokens) OVER (ORDER BY bucket
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS bigint) AS cum_tokens
+           FROM jn)
+         SELECT cast(bucket AS bigint) AS bucket, n_docs, n_tokens,
+                new_types, cum_types, cum_tokens,
+                cast(round(cum_types * 1e6 / cum_tokens) AS bigint)
+                  AS cum_ttr_e6
+         FROM cm ORDER BY 1""")),
 
     ("x16_token_budget", (s: SparkSession, d: String) => {
       // Token-budget subsetting — fill each source's training-token budget

@@ -367,6 +367,54 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"collocation ranking wrong: $out")
   }
 
+  test("vocabGrowth: types land in their first-occurrence bucket; cumulative ratio tracks exactly") {
+    // 10 one-doc buckets: every doc carries one FRESH type t<i> plus
+    // the shared type "common", so bucket 0 introduces 2 types and
+    // every later bucket exactly 1 — the shared type must NOT recount.
+    // Final state: 11 types over 20 tokens → cum_ttr_e6 = 550000.
+    val s = spark
+    import s.implicits._
+    val docs = (0 until 10).map(i => (i.toLong, s"t$i common"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextPipeline.vocabGrowth(docs)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toSeq
+    val want = (0 until 10).map { b =>
+      val nt = if (b == 0) 2L else 1L
+      (b.toLong, 1L, 2L, nt, (b + 2).toLong, (2 * b + 2).toLong,
+        math.round((b + 2) * 1e6 / (2 * b + 2.0)))
+    }
+    assert(out == want, s"vocab growth curve wrong: $out")
+  }
+
+  test("trimmedMean: one wild day cannot move the trimmed or winsorized mean") {
+    // 20 days: 19 at 1000 cents plus one 10^9 outlier. g = 2, so the
+    // trim drops ranks {1,2} and {19,20} — the outlier and one clean
+    // tail point — leaving 16 × 1000 → tmean exactly 1000.000; the
+    // winsorized clamp maps both tails to x_(3) = x_(18) = 1000 →
+    // wmean exactly 1000.000; the raw mean is dragged to ~5×10^7
+    // cents. A 5-day series (g = 0) must read all three means equal.
+    val s = spark
+    import s.implicits._
+    def day(i: Int) = java.sql.Date.valueOf(
+      java.time.LocalDate.of(2024, 3, 1).plusDays(i))
+    val spiky = (0 until 20).map(i =>
+      ("spiky", day(i), if (i == 7) 1000000000L else 1000L))
+    val tiny = (0 until 5).map(i => ("tiny", day(i), 200L + 100L * i))
+    val out = graft.operators.Estimation
+      .trimmedMean((spiky ++ tiny).toDF("event_type", "day", "x"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(out("spiky") == ((20L, 2L, 50000950000L, 1000000L, 1000000L)),
+      s"outlier moved the robust means: ${out("spiky")}")
+    assert(out("tiny") == ((5L, 0L, 400000L, 400000L, 400000L)),
+      s"g=0 series should read identical means: ${out("tiny")}")
+  }
+
   test("durbinWatson: a ramp reads near 0, an alternator near 4, a constant is degenerate-safe") {
     // DW's three regimes, planted deterministically: a linear ramp's
     // demeaned series moves in constant small steps (successive-
