@@ -193,6 +193,22 @@ object AnnIndex {
     */
   def ivfSearch(idx: IvfIndex, qPred: Column, k: Int, nprobe: Int,
       candidates: Option[DataFrame] = None): DataFrame = {
+    val scored = probedScores(idx, qPred, nprobe, candidates)
+    // The in-list candidate set is O(corpus/nlist · nprobe) per query —
+    // corpus-scale — so the cut is the bounded-state aggregate, never a
+    // per-query rank window.
+    topKCut(scored, "q_id", "cosine_e6", "vec_id", k, ascending = false,
+      scoreName = "cosine_e6", idName = "vec_id")
+      .select(col("q_id"), col("vec_id"), col("cosine_e6"), col("rank"))
+  }
+
+  /** The probe-and-score core [[ivfSearch]] and [[ivfRangeSearch]]
+    * share: probe the `nprobe` min-L2 centroids per query (integer
+    * distances, cid ties) and score every candidate in the probed lists
+    * on the e6-rounded cosine. Columns: q_id, vec_id, cosine_e6.
+    */
+  private def probedScores(idx: IvfIndex, qPred: Column, nprobe: Int,
+      candidates: Option[DataFrame]): DataFrame = {
     val s = idx.lists.sparkSession
     import s.implicits._
     val cdist = sqDist("q_unit", "cent")
@@ -214,19 +230,29 @@ object AnnIndex {
       case Some(allowed) => idx.lists.join(allowed, Seq("vec_id"), "left_semi")
       case None => idx.lists
     }
-    val scored = probed.join(candLists, "cid")
+    probed.join(candLists, "cid")
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         round(dot("q_emb", "embedding") /
           (sqrt(dot("q_emb", "q_emb")) * sqrt(dot("embedding", "embedding"))) * 1e6)
           .cast("long").as("cosine_e6"))
-    // The in-list candidate set is O(corpus/nlist · nprobe) per query —
-    // corpus-scale — so the cut is the bounded-state aggregate, never a
-    // per-query rank window.
-    topKCut(scored, "q_id", "cosine_e6", "vec_id", k, ascending = false,
-      scoreName = "cosine_e6", idName = "vec_id")
-      .select(col("q_id"), col("vec_id"), col("cosine_e6"), col("rank"))
   }
+
+  /** Range (threshold) search over a trained IVF index: every candidate
+    * in the probed lists with e6-cosine ≥ `tauE6` — the retrieval mode
+    * near-duplicate mining and radius joins use, where top-k's fixed
+    * depth truncates dense neighborhoods and pads sparse ones. Same
+    * probe set and scoring as [[ivfSearch]]; the threshold IS the cut,
+    * so NO rank state exists anywhere — the whole operator is a pure
+    * filter over the probed lists (per-query output is radius-bounded,
+    * which is the caller's contract for any range search; the probe
+    * budget bounds the scan either way). Columns: q_id, vec_id,
+    * cosine_e6.
+    */
+  def ivfRangeSearch(idx: IvfIndex, qPred: Column, tauE6: Long,
+      nprobe: Int, candidates: Option[DataFrame] = None): DataFrame =
+    probedScores(idx, qPred, nprobe, candidates)
+      .filter(col("cosine_e6") >= tauE6)
 
   /** Build the multi-table hyperplane LSH index: one bucket per (vector,
     * table). Columns: vec_id, embedding, t, bucket.

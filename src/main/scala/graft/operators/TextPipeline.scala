@@ -2614,6 +2614,41 @@ object TextPipeline {
       e6OracleSql.replace("WHERE a2.vec_id <> p.q_id)",
         "WHERE a2.vec_id <> p.q_id AND a2.vec_id % 7 <> 3)"))),
 
+    ("e19_range_search", (s: SparkSession, d: String) => {
+      // RANGE (threshold) search — the other retrieval mode: "every
+      // neighbor with cosine ≥ τ" instead of "the k nearest". Top-k
+      // truncates dense neighborhoods and pads sparse ones with
+      // irrelevant fill; radius queries are what near-duplicate mining
+      // and similarity joins actually want (d6/d11 hard-code the same
+      // shape as a batch join — this is its served, index-backed form).
+      // Same shared quantizer and probe set as e6/e7; the threshold IS
+      // the cut, so the plan is a pure filter over the probed lists —
+      // no rank window, no top-k aggregate state AT ALL (a plan test
+      // pins that). τ = 0.25 sits just under the sf0.01 p99, so every
+      // query returns a small, non-empty, query-dependent set — the
+      // variable-cardinality behavior that distinguishes range from
+      // top-k. Oracle: e7's replayed probe/candidate CTEs with the
+      // threshold spliced where the rank cut would be.
+      AnnIndex.ivfRangeSearch(
+          AnnIndex.ivfFor(s, d, Tables.embeddings(s, d),
+            nlist = 16, iters = 2),
+          col("vec_id") < 3, tauE6 = 250000L, nprobe = 4)
+        .orderBy(col("q_id"), col("vec_id"))
+    }, Some(
+      e7OraclePrefix + """,
+         probe AS (SELECT q_id, cid FROM (
+                     SELECT pdist.*, row_number() OVER (PARTITION BY q_id
+                              ORDER BY dist, cid) AS crank FROM pdist)
+                   WHERE crank <= 4),
+         cand AS (SELECT p.q_id, a2.vec_id FROM probe p
+                  JOIN a2 ON a2.cid = p.cid
+                  WHERE a2.vec_id <> p.q_id)
+         SELECT a.q_id, a.vec_id, a.c6 AS cosine_e6
+         FROM allscored a JOIN cand c
+           ON c.q_id = a.q_id AND c.vec_id = a.vec_id
+         WHERE a.c6 >= 250000
+         ORDER BY 1, 2""")),
+
     ("e9_pq_search", (s: SparkSession, d: String) => {
       // The FOURTH ANN path: product quantization — the COMPRESSION
       // complement to IVF/LSH's pruning. Unit-normalized 64-dim vectors

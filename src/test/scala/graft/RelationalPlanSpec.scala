@@ -939,6 +939,29 @@ class RelationalPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"2-round partial peel wrong: $mid")
   }
 
+  test("e19 range search: the threshold is the cut — no top-k state, only the probe window") {
+    // Range search's defining plan property: the radius predicate
+    // replaces ALL rank machinery. The executed plan must carry no
+    // top_k_pairs aggregate and no window over the corpus-sized scored
+    // set — the only window allowed is the probe-selection crank, which
+    // ranks the nlist-bounded (query × centroid) frame, never
+    // candidates. A regression that reintroduces a per-query cut would
+    // stay hash-green (the filter subsumes it) while re-adding the
+    // shuffle-and-sort this operator exists to avoid.
+    val df = graft.operators.TextPipeline.queries("e19_range_search")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!plan.contains("top_k_pairs"),
+      s"e19 grew a top-k aggregate:\n$plan")
+    val windows = "Window ".r.findAllIn(plan).size
+    assert(windows <= 1, s"e19 has $windows windows, want only the probe crank:\n$plan")
+    // And the rows really are variable-cardinality per query (the
+    // behavior that distinguishes range from top-k on this data).
+    val counts = df.groupBy(org.apache.spark.sql.functions.col("q_id"))
+      .count().collect()
+      .map(r => r.getLong(1)).toSet
+    assert(counts.size > 1, s"range search returned fixed-size sets: $counts")
+  }
+
   test("a21 neymanSample: a zero-variance stratum gets nothing; a volatile one caps at its size") {
     // Two strata: "flat" (100 rows, constant 5.00 → sigma = 0 → weight 0
     // → allocation 0, rate 0, nothing sampled — and the greatest()
