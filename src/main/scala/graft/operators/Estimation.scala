@@ -472,6 +472,51 @@ object Estimation {
         coalesce(col("dw_e6") > 2500000L, lit(false)))
   }
 
+  /** The t13 kernel over any (event_type, day, x:long) daily panel —
+    * Wald–Wolfowitz runs test of randomness: dichotomize each day as
+    * above/not-above the series' LOWER-median order statistic (w21's
+    * interpolation-free median — ties land "below", deterministically),
+    * count the runs R of equal signs in day order, and compare against
+    * the exact null moments μ = 2n₁n₂/n + 1,
+    * σ² = 2n₁n₂(2n₁n₂ − n)/(n²(n−1)). The NONPARAMETRIC randomness
+    * screen: t12/t10 read linear autocorrelation, the runs test catches
+    * any sign-pattern structure (trends, cycles, clustering) with no
+    * distributional assumption. All counts exact integers (2n₁n₂ ≤ n²/2
+    * — int64-trivial at calendar scales); z assembles in one fixed
+    * shared-text double chain, e6-quantized, two-sided 5% at 1.959964.
+    * Degenerate: all-one-side series (n₁ ∈ {0, n}) or σ² = 0 (n = 2)
+    * → documented NULL + explicit non-reject. Scale: one rank window
+    * for the median, one lag window for sign changes, one aggregation —
+    * calendar-bounded per key.
+    */
+  private[graft] def runsTest(daily: DataFrame): DataFrame = {
+    val wR = Window.partitionBy(col("event_type"))
+      .orderBy(col("x"), col("day"))
+    val wT = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val meta = daily.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val med = daily.join(broadcast(meta), "event_type")
+      .withColumn("rn", row_number().over(wR))
+      .filter(col("rn") === expr("(n + 1) div 2"))
+      .select(col("event_type"), col("x").as("med"))
+    daily.join(broadcast(med), "event_type")
+      .withColumn("s", (col("x") > col("med")).cast("long"))
+      .withColumn("ps", lag(col("s"), 1).over(wT))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("s")).as("n1"),
+        (lit(1L) + sum(when(col("ps").isNotNull && col("s") =!= col("ps"),
+          1L).otherwise(0L))).as("runs"))
+      .withColumn("n2", col("n") - col("n1"))
+      .withColumn("z_e6", expr(
+        "CASE WHEN n1 > 0 AND n2 > 0 AND 2 * n1 * n2 - n > 0 THEN " +
+          "cast(round((runs - (cast(2 * n1 * n2 AS double) / n + 1)) " +
+          "/ sqrt(cast(2 * n1 * n2 AS double) * (2 * n1 * n2 - n) " +
+          "/ (cast(n AS double) * n * (n - 1))) * 1e6) AS bigint) END"))
+      .withColumn("reject_5pct",
+        coalesce(abs(col("z_e6")) > 1959964L, lit(false)))
+      .select(col("event_type"), col("n"), col("n1"), col("n2"),
+        col("runs"), col("z_e6"), col("reject_5pct"))
+  }
+
   /** The w21 kernel over any (event_type, day, x:long) daily panel —
     * Theil-Sen robust trend: the median of all pairwise slopes
     * (x_j − x_i)/(day_j − day_i), the estimator with a 29.3% breakdown
@@ -1209,6 +1254,56 @@ object Estimation {
                   cast(round(ssd * 1e6 / s2) AS bigint) END > 2500000, false)
                   AS negative_autocorr
          FROM agg ORDER BY 1""")),
+
+    // ----- T13 (ext.): Wald–Wolfowitz runs test -----------------------------
+
+    ("t13_runs_test", (s: SparkSession, d: String) => {
+      // Nonparametric randomness per series on the daily cents panel —
+      // the sign-pattern screen t10/t12's linear autocorrelation
+      // statistics can miss; kernel contract on [[runsTest]].
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("x"))
+      runsTest(daily).orderBy(col("event_type"))
+    }, Some(
+      """WITH daily AS (
+           SELECT event_type, cast(ts AS date) AS day,
+                  cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS x
+           FROM events GROUP BY 1, 2),
+         meta AS (
+           SELECT event_type, cast(count(*) AS bigint) AS n
+           FROM daily GROUP BY 1),
+         med AS (
+           SELECT event_type, x AS med FROM (
+             SELECT d.event_type, d.x, m.n, row_number() OVER (
+               PARTITION BY d.event_type ORDER BY d.x, d.day) AS rn
+             FROM daily d JOIN meta m ON m.event_type = d.event_type)
+           WHERE rn = (n + 1) // 2),
+         sg AS (
+           SELECT d.event_type,
+                  CASE WHEN d.x > m.med THEN 1 ELSE 0 END AS s,
+                  lag(CASE WHEN d.x > m.med THEN 1 ELSE 0 END) OVER (
+                    PARTITION BY d.event_type ORDER BY d.day) AS ps
+           FROM daily d JOIN med m ON m.event_type = d.event_type),
+         agg AS (
+           SELECT event_type, cast(count(*) AS bigint) AS n,
+                  cast(sum(s) AS bigint) AS n1,
+                  cast(1 + sum(CASE WHEN ps IS NOT NULL AND s <> ps
+                    THEN 1 ELSE 0 END) AS bigint) AS runs
+           FROM sg GROUP BY 1),
+         fin AS (
+           SELECT event_type, n, n1, n - n1 AS n2, runs,
+                  CASE WHEN n1 > 0 AND n - n1 > 0
+                            AND 2 * n1 * (n - n1) - n > 0 THEN
+                    cast(round((runs - (cast(2 * n1 * (n - n1) AS double) / n + 1))
+                      / sqrt(cast(2 * n1 * (n - n1) AS double)
+                             * (2 * n1 * (n - n1) - n)
+                             / (cast(n AS double) * n * (n - 1))) * 1e6)
+                      AS bigint) END AS z_e6
+           FROM agg)
+         SELECT event_type, n, n1, n2, runs, z_e6,
+                coalesce(abs(z_e6) > 1959964, false) AS reject_5pct
+         FROM fin ORDER BY 1""")),
 
     // ----- W21 (ext.): Theil-Sen robust trend ------------------------------
 

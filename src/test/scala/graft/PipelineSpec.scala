@@ -415,6 +415,40 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"g=0 series should read identical means: ${out("tiny")}")
   }
 
+  test("runsTest: a trend collapses to 2 runs, an alternator to n, a constant is degenerate-safe") {
+    // The two rejection directions, planted: a monotone ramp spends its
+    // whole first half below the median and the second above — exactly
+    // 2 runs, z far negative (too FEW runs = clustering/trend); a
+    // perfect alternator flips sign daily — n runs, z far positive (too
+    // MANY runs = negative dependence); a constant series has every day
+    // = the median (ties land below), n1 = 0 → NULL + explicit
+    // non-reject.
+    val s = spark
+    import s.implicits._
+    def day(i: Int) = java.sql.Date.valueOf(
+      java.time.LocalDate.of(2024, 1, 1).plusDays(i))
+    val ramp = (0 until 40).map(i => ("ramp", day(i), 1000L * (i + 1)))
+    val alt = (0 until 40).map(i =>
+      ("alt", day(i), if (i % 2 == 0) 100L else 9000L))
+    val const = (0 until 40).map(i => ("const", day(i), 42L))
+    val out = graft.operators.Estimation
+      .runsTest((ramp ++ alt ++ const).toDF("event_type", "day", "x"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)),
+        r.getBoolean(6)))
+      .toMap
+    val rampRow = out("ramp")
+    assert(rampRow._4 == 2L && rampRow._5.exists(_ < -1959964L) && rampRow._6,
+      s"ramp runs wrong: $rampRow")
+    val altRow = out("alt")
+    assert(altRow._4 == 40L && altRow._5.exists(_ > 1959964L) && altRow._6,
+      s"alternator runs wrong: $altRow")
+    assert(out("const") == ((40L, 0L, 40L, 1L, None, false)),
+      s"constant series not degenerate-safe: ${out("const")}")
+  }
+
   test("durbinWatson: a ramp reads near 0, an alternator near 4, a constant is degenerate-safe") {
     // DW's three regimes, planted deterministically: a linear ramp's
     // demeaned series moves in constant small steps (successive-
