@@ -203,6 +203,50 @@ object GraphOps {
           SELECT p.node, coalesce(w.lbl, p.lbl) AS lbl
           FROM lb${i - 1} p LEFT JOIN w$i w ON w.dst = p.node)"""
 
+  /** Connected components by hash-min label propagation (g7): every
+    * round each node takes the min of its own label and its neighbors'
+    * (symmetric edges ⇒ labels flood per-component minima in
+    * O(diameter) rounds) — the membership complement to g3's
+    * density-seeking majority rule, same fixed-unroll contract as the
+    * rank fixpoint. Exchange posture matches the family: the
+    * neighbor-min aggregates by DST (exchange-free off the
+    * dst-partitioned cache), the node-sized label vector broadcasts
+    * through `dim`. Scale honesty: O(diameter) rounds is the Pregel
+    * flood — for adversarially deep graphs the log-rounds answer is
+    * pointer-jumping (d7's closure, already in the library); on
+    * thresholded co-occurrence graphs the diameter is small and the
+    * flood is one exchange-free aggregation per round.
+    * Output: node, lbl (the component's minimum node id after `iters`).
+    */
+  private[graft] def minLabelComponents(
+      edges: DataFrame, nodes: DataFrame, iters: Int,
+      bcastNodeBudget: Long = 4L * 1000 * 1000): DataFrame = {
+    val dim = rankDim(nodes.count(), bcastNodeBudget)
+    var labels = nodes.select(col("node"), col("node").as("lbl"))
+    for (_ <- 1 to iters) {
+      val mins = edges
+        .join(dim(labels.withColumnRenamed("node", "src")), "src")
+        .groupBy(col("dst")).agg(min(col("lbl")).as("nbr_lbl"))
+      labels = labels
+        .join(dim(mins.withColumnRenamed("dst", "node")), Seq("node"), "left")
+        .select(col("node"),
+          least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
+    }
+    labels
+  }
+
+  /** One unrolled hash-min round as a DuckDB CTE pair — kept next to the
+    * Scala round so the two spellings evolve together.
+    */
+  private def minLabelStep(i: Int): String =
+    s"""m$i AS (
+          SELECT e.dst, min(l.lbl) AS ml
+          FROM strong e JOIN lb${i - 1} l ON l.node = e.src
+          GROUP BY 1),
+        lb$i AS (
+          SELECT p.node, least(p.lbl, coalesce(m.ml, p.lbl)) AS lbl
+          FROM lb${i - 1} p LEFT JOIN m$i m ON m.dst = p.node)"""
+
   /** One unrolled superstep as a DuckDB CTE pair over the shared
     * `nb(node, base_e12, init_e12)` vector CTE — kept next to the Scala
     * superstep so the two spellings evolve together.
@@ -619,6 +663,36 @@ object GraphOps {
               ORDER BY core_deg DESC, node) AS rank
             FROM deg)
           SELECT node, core_deg, cast(rank AS int) AS rank
+          FROM ranked WHERE rank <= 20 ORDER BY rank""")),
+
+    ("g7_components", (s: SparkSession, d: String) => {
+      // Component membership on the strong co-purchase graph: 5
+      // hash-min flood rounds from the identity labeling, then the
+      // top-20 components by size — "which repeat-co-purchase bundle
+      // does this part belong to", the partition g4/g6's density scores
+      // rank within (and the served sibling of d7's pointer-jumped
+      // dedup components). Kernel contract on [[minLabelComponents]].
+      val strong = strongCopurchase(s, d)
+      val nodes = strong.select(col("src").as("node")).distinct()
+      val sizes = minLabelComponents(strong, nodes, iters = 5)
+        .groupBy(col("lbl")).agg(count(lit(1)).as("component_size"))
+      AnnIndex.topKCut(
+          sizes.select(lit(1).as("g"), col("lbl"), col("component_size")),
+          "g", "component_size", "lbl", k = 20, ascending = false,
+          scoreName = "component_size", idName = "lbl")
+        .select(col("lbl"), col("component_size"), col("rank"))
+        .orderBy(col("rank"))
+    }, Some(
+      s"""WITH $sqlStrong,
+          lb0 AS (SELECT DISTINCT src AS node, src AS lbl FROM strong),
+          ${(1 to 5).map(minLabelStep).mkString(",\n")},
+          cs AS (SELECT lbl, cast(count(*) AS bigint) AS component_size
+                 FROM lb5 GROUP BY 1),
+          ranked AS (
+            SELECT lbl, component_size, row_number() OVER (
+              ORDER BY component_size DESC, lbl) AS rank
+            FROM cs)
+          SELECT lbl, component_size, cast(rank AS int) AS rank
           FROM ranked WHERE rank <= 20 ORDER BY rank""")))
 
   def queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap

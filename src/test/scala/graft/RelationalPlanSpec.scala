@@ -962,6 +962,35 @@ class RelationalPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(counts.size > 1, s"range search returned fixed-size sets: $counts")
   }
 
+  test("g7 minLabelComponents: the min floods one hop per round; components get their min id") {
+    // Planted graph: triangle {5,6,7} and path 10-11-12-13. The flood
+    // is synchronous — label 10 reaches node 13 only at round 3 — so
+    // iters = 2 must show node 13 still holding 11 (pinning the
+    // fixed-unroll contract), while iters = 3 reaches the fixpoint:
+    // every node labeled by its component's minimum id. Identical under
+    // both join strategies.
+    import graft.operators.GraphOps
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val s = spark
+    import s.implicits._
+    val und = Seq((5L, 6L), (5L, 7L), (6L, 7L),
+      (10L, 11L), (11L, 12L), (12L, 13L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val nodes = edges.select(col("src").as("node")).distinct()
+    def run(iters: Int, budget: Long) =
+      GraphOps.minLabelComponents(edges, nodes, iters, budget)
+        .orderBy(col("node")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    val fix = run(3, 4L * 1000 * 1000)
+    assert(fix == Seq(5L -> 5L, 6L -> 5L, 7L -> 5L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L),
+      s"component fixpoint wrong: $fix")
+    assert(run(3, 0L) == fix, "components differ between join strategies")
+    val partial = run(2, 4L * 1000 * 1000)
+    assert(partial.toMap.apply(13L) == 11L,
+      s"synchronous flood semantics broken (13 should still hold 11): $partial")
+  }
+
   test("a21 neymanSample: a zero-variance stratum gets nothing; a volatile one caps at its size") {
     // Two strata: "flat" (100 rows, constant 5.00 → sigma = 0 → weight 0
     // → allocation 0, rate 0, nothing sampled — and the greatest()
