@@ -766,6 +766,64 @@ object EventStream {
       }
   }
 
+  final case class RunsState(n: Long, n1: Long, runs: Long, last: Int)
+
+  final case class RunsUpdate(
+      event_type: String, n: Long, n1: Long, n2: Long, runs: Long,
+      z_e6: Option[Long], reject_5pct: Boolean)
+
+  /** Streaming Wald–Wolfowitz runs monitor — the one-pass twin of the
+    * t13 batch test, against a FROZEN per-key reference median (the
+    * cusumStream posture: the batch pass trains the dichotomy point,
+    * the stream applies it — a true median needs the full series and
+    * can't stream). State is three longs + the last sign per key;
+    * every count is exact integer, and the z chain mirrors the batch
+    * kernel's shared-text double ops step for step (2n₁n₂ formed as an
+    * exact integer FIRST, then converted — pinned bit-equal to
+    * Estimation.runsTest in StreamingSpec when the frozen reference
+    * equals the batch median). Path-dependent like every run-length
+    * statistic, so rows sort by (event time, value) within each batch.
+    */
+  def runsStream(
+      events: DataFrame, refMed: Map[String, Long]): Dataset[RunsUpdate] = {
+    val s = events.sparkSession
+    import s.implicits._
+    def rnd(x: Double): Long = java.math.BigDecimal.valueOf(x)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+    events
+      .select(col("event_type"), col("ts"), col("value"))
+      .filter(col("value").isNotNull &&
+        col("event_type").isin(refMed.keys.toSeq: _*))
+      .select(col("event_type"), unix_micros(col("ts")).as("us"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[RunsState, RunsUpdate](GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Long, Long)],
+            state: GroupState[RunsState]) =>
+          val med = refMed(key)
+          var st = state.getOption.getOrElse(RunsState(0L, 0L, 0L, -1))
+          rows.toSeq.sortBy(t => (t._2, t._3)).foreach { case (_, _, cents) =>
+            val sign = if (cents > med) 1 else 0
+            st = RunsState(st.n + 1, st.n1 + sign,
+              st.runs + (if (st.last == -1 || sign != st.last) 1L else 0L),
+              sign)
+          }
+          state.update(st)
+          val (n, n1) = (st.n, st.n1)
+          val n2 = n - n1
+          val t2 = 2 * n1 * n2
+          val z =
+            if (n1 > 0 && n2 > 0 && t2 - n > 0)
+              Some(rnd((st.runs - (t2.toDouble / n + 1)) /
+                math.sqrt(t2.toDouble * (t2 - n) /
+                  (n.toDouble * n * (n - 1))) * 1e6))
+            else None
+          RunsUpdate(key, n, n1, n2, st.runs, z,
+            z.exists(v => math.abs(v) > 1959964L))
+      }
+  }
+
   def runningStats(events: DataFrame): Dataset[StatsUpdate] = {
     val s = events.sparkSession
     import s.implicits._

@@ -937,6 +937,55 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"streamed Holt state $streamed diverged from batch kernel $batch")
   }
 
+  test("runsStream: the folded runs count bit-matches the t13 batch kernel across a batch boundary") {
+    // One event per day, frozen reference = the series' lower median
+    // (100 cents for the 1.00/90.00 alternator), so the stream's
+    // dichotomy matches the batch kernel's own median — every output
+    // column (n, n1, n2, runs, z_e6, reject) must then equal
+    // Estimation.runsTest's row exactly, including across the
+    // mid-series micro-batch boundary where the last-sign state must
+    // survive for the run count to stay unbroken.
+    val s = spark
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.Encoders
+    import s.implicits._
+    val ms = MemoryStream(
+      Encoders.tuple(Encoders.STRING, Encoders.TIMESTAMP, Encoders.scalaDouble),
+      s.sqlContext)
+    val base = 1700000000000L
+    def t(dayIdx: Int) = new java.sql.Timestamp(base + dayIdx * 86400000L)
+    val vals = (0 until 30).map(i => if (i % 2 == 0) 1.00 else 90.00)
+    val q = EventStream.runsStream(
+        ms.toDF.toDF("event_type", "ts", "value"), Map("a" -> 100L))
+      .writeStream.format("memory").queryName("runs_mon")
+      .outputMode("update").start()
+    try {
+      ms.addData(vals.take(13).zipWithIndex.map { case (v, i) => ("a", t(i), v) }: _*)
+      q.processAllAvailable()
+      ms.addData(vals.drop(13).zipWithIndex.map { case (v, i) => ("a", t(i + 13), v) }: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("runs_mon")
+      .groupBy("event_type")
+      .agg(max(struct(col("n"), col("n1"), col("n2"), col("runs"),
+        col("z_e6"), col("reject_5pct"))).as("f"))
+      .select(col("f.n"), col("f.n1"), col("f.n2"), col("f.runs"),
+        col("f.z_e6"), col("f.reject_5pct"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5))).head
+    val daily = vals.zipWithIndex
+      .map { case (v, i) => ("a", new java.sql.Date(t(i).getTime),
+        math.round(v * 100)) }
+      .toDF("event_type", "day", "x")
+    val batch = graft.operators.Estimation.runsTest(daily)
+      .select(col("n"), col("n1"), col("n2"), col("runs"), col("z_e6"),
+        col("reject_5pct"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5))).head
+    assert(streamed == batch,
+      s"streamed runs state $streamed diverged from batch kernel $batch")
+  }
+
   test("mapGroupsWithState running stats converge to the batch moments per key") {
     val q = EventStream.runningStats(EventStream.readEvents(spark, sfDir))
       .writeStream.format("memory").queryName("run_stats").outputMode("update").start()
