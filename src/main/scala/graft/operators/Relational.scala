@@ -926,6 +926,66 @@ object Relational {
          SELECT event_id, user_id, event_type, last_purchase_id, last_purchase_value
          FROM m WHERE is_probe = 1 ORDER BY event_id""")),
 
+    ("j15_asof_tolerance", (s: SparkSession, d: String) => {
+      // TOLERANCED as-of — j8's backward lookup with a max-staleness
+      // bound (pandas merge_asof's `tolerance`, kdb's window join): a
+      // match older than 3 days is as good as no match, the semantics
+      // every "current price at event time" consumer actually wants
+      // once quotes can go quiet. No second operator: the SAME
+      // [[asOfJoin]] kernel runs, the carried match timestamp yields
+      // gap_us by integer micros arithmetic, and one CASE nulls stale
+      // matches — tolerance is a POST-FILTER on the matched struct, not
+      // a different join (so the one-shuffle cost model carries over
+      // verbatim, and fresh/stale/no-match all flow from one plan). The
+      // oracle extends j8's running-last replay with the carried ts and
+      // the same CASE.
+      val ev = Tables.events(s, d)
+      val tolUs = 3L * 86400L * 1000000L
+      val probe = ev.filter(col("event_type") =!= "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      val quote = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"),
+          col("value").as("purchase_value"))
+      asOfJoin(probe, quote, keys = Seq("user_id"), tsCol = "ts")
+        .withColumn("gap_us",
+          unix_micros(col("ts")) - unix_micros(col("asof.ts")))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          when(col("gap_us") <= tolUs, col("asof.purchase_id"))
+            .as("last_purchase_id"),
+          when(col("gap_us") <= tolUs, col("asof.purchase_value"))
+            .as("last_purchase_value"),
+          when(col("gap_us") <= tolUs, col("gap_us")).as("gap_us"))
+        .orderBy(col("event_id"))
+    }, Some(
+      """WITH u AS (
+           SELECT event_id, user_id, cast(ts AS timestamp) AS ts, event_type, value,
+                  CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS is_probe
+           FROM events
+           WHERE NOT (event_type = 'purchase' AND user_id IS NULL)),
+         m AS (
+           SELECT *,
+                  last_value(CASE WHEN is_probe = 0 THEN event_id END IGNORE NULLS)
+                    OVER w AS last_purchase_id,
+                  last_value(CASE WHEN is_probe = 0 THEN value END IGNORE NULLS)
+                    OVER w AS last_purchase_value,
+                  last_value(CASE WHEN is_probe = 0 THEN ts END IGNORE NULLS)
+                    OVER w AS last_ts
+           FROM u
+           WINDOW w AS (PARTITION BY user_id
+                        ORDER BY ts, is_probe,
+                                 CASE WHEN is_probe = 0 THEN event_id END
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         g AS (
+           SELECT *, epoch_us(ts) - epoch_us(last_ts) AS gap
+           FROM m WHERE is_probe = 1)
+         SELECT event_id, user_id, event_type,
+                CASE WHEN gap <= 259200000000 THEN last_purchase_id END
+                  AS last_purchase_id,
+                CASE WHEN gap <= 259200000000 THEN last_purchase_value END
+                  AS last_purchase_value,
+                CASE WHEN gap <= 259200000000 THEN gap END AS gap_us
+         FROM g ORDER BY event_id""")),
+
     ("j13_asof_forward", (s: SparkSession, d: String) => {
       // FORWARD as-of — each purchase pairs with the same user's EARLIEST
       // error at or after it (time-to-next-failure, the mirror of j8's
