@@ -2411,69 +2411,76 @@ object Relational {
       // method defines. The windows are calendar-bounded (the <=231-row
       // monthly panel — the w-family's global-window convention), never
       // corpus-sized.
-      val monthly = Tables.orders(s, d)
-        .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
-        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev_c"))
-      val wOrd = Window.orderBy(col("t"))
-      val idx = monthly
-        .withColumn("t", row_number().over(Window.orderBy(col("month"))))
-        .withColumn("y2", col("rev_c") * 100)
-      val dt = idx
-        .withColumn("num",
-          lag(col("y2"), 6).over(wOrd) +
-            lit(2) * sum(col("y2")).over(wOrd.rowsBetween(-5, 5)) +
-            lead(col("y2"), 6).over(wOrd))
-        .filter(col("num").isNotNull)
-        .withColumn("trend_c2", round(col("num") / 24.0).cast("long"))
-        .withColumn("det_c2", col("y2") - col("trend_c2"))
-        .withColumn("m", month(col("month")))
-      val sRaw = dt.groupBy(col("m"))
-        .agg(round(sum(col("det_c2")) / count(lit(1))).cast("long").as("s_raw"))
-      val sAdj = sRaw.crossJoin(broadcast(
-          sRaw.agg(round(sum(col("s_raw")) / count(lit(1))).cast("long").as("adj"))))
-        .select(col("m"), (col("s_raw") - col("adj")).as("seasonal_c2"))
-      dt.join(broadcast(sAdj), "m")
-        .select(col("t"), col("m").as("month_no"), col("y2").as("y_c2"),
-          col("trend_c2"), col("seasonal_c2"),
-          (col("det_c2") - col("seasonal_c2")).as("remainder_c2"))
-        .orderBy(col("t"))
+      seasonalDecompose(s, d).orderBy(col("t"))
     }, Some(
-      """WITH monthly AS (
-           SELECT date_trunc('month', o_orderdate) AS month,
-                  cast(sum(cast(round(o_totalprice * 100) AS bigint)) AS bigint)
-                    AS rev_c
-           FROM orders GROUP BY 1),
-         idx AS (
-           SELECT row_number() OVER (ORDER BY month) AS t, month,
-                  rev_c * 100 AS y2
-           FROM monthly),
-         tr AS (
-           SELECT t, month, y2,
-                  lag(y2, 6) OVER (ORDER BY t) AS l6,
-                  lead(y2, 6) OVER (ORDER BY t) AS d6,
-                  sum(y2) OVER (ORDER BY t
-                    ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING) AS s11
-           FROM idx),
-         dd AS (
-           SELECT t, month, y2,
-                  cast(round((l6 + 2 * s11 + d6) / 24.0) AS bigint) AS trend_c2,
-                  y2 - cast(round((l6 + 2 * s11 + d6) / 24.0) AS bigint) AS det_c2,
-                  month(month) AS m
-           FROM tr WHERE l6 IS NOT NULL AND d6 IS NOT NULL),
-         sr AS (
-           SELECT m, cast(round(cast(sum(det_c2) AS bigint) / count(*))
-                    AS bigint) AS s_raw
-           FROM dd GROUP BY 1),
-         aj AS (
-           SELECT cast(round(cast(sum(s_raw) AS bigint) / count(*)) AS bigint)
-                    AS adj
-           FROM sr),
-         se AS (
-           SELECT m, s_raw - (SELECT adj FROM aj) AS seasonal_c2 FROM sr)
+      s"""$w17OracleCtes
          SELECT d.t, cast(d.m AS int) AS month_no, d.y2 AS y_c2,
                 d.trend_c2, se.seasonal_c2,
                 d.det_c2 - se.seasonal_c2 AS remainder_c2
          FROM dd d JOIN se ON se.m = d.m ORDER BY d.t""")),
+
+    ("w26_strength_indices", (s: SparkSession, d: String) => {
+      // tsfeatures-style decomposition strengths (Hyndman): trend
+      // strength 1 − Var(R)/Var(T+R) and seasonal strength
+      // 1 − Var(R)/Var(S+R), clamped at 0 — the two numbers that
+      // summarize w17's whole decomposition for series classification
+      // and model routing (near-1 trend ⇒ difference before modeling;
+      // near-0 seasonal ⇒ skip the seasonal terms). Components quantize
+      // to KILODOLLARS (c2 div 1e7, truncation identical in both
+      // engines) so the centered variance numerators n·Σx² − (Σx)² stay
+      // exact int64 through ~sf1000 (sf0.01 months already carry ~5e7
+      // dollars — plain dollars overflowed int64 under ANSI); each strength is then one shared-text
+      // double division, e6-quantized, NULL on a degenerate zero
+      // denominator. One aggregation over the ≤231-row component frame.
+      val c = seasonalDecompose(s, d)
+        .select(
+          expr("remainder_c2 div 10000000").as("r"),
+          expr("(trend_c2 + remainder_c2) div 10000000").as("tr"),
+          expr("(seasonal_c2 + remainder_c2) div 10000000").as("sr"))
+      c.agg(count(lit(1)).as("n"),
+          sum(col("r")).as("s_r"), sum(col("r") * col("r")).as("ss_r"),
+          sum(col("tr")).as("s_t"), sum(col("tr") * col("tr")).as("ss_t"),
+          sum(col("sr")).as("s_s"), sum(col("sr") * col("sr")).as("ss_s"))
+        .select(col("n"),
+          (col("n") * col("ss_r") - col("s_r") * col("s_r")).as("vr"),
+          (col("n") * col("ss_t") - col("s_t") * col("s_t")).as("vt"),
+          (col("n") * col("ss_s") - col("s_s") * col("s_s")).as("vs"))
+        .select(col("n"),
+          expr("CASE WHEN vt > 0 THEN cast(greatest(cast(0 AS double), " +
+            "round((1 - cast(vr AS double) / vt) * 1e6)) AS bigint) END")
+            .as("trend_strength_e6"),
+          expr("CASE WHEN vs > 0 THEN cast(greatest(cast(0 AS double), " +
+            "round((1 - cast(vr AS double) / vs) * 1e6)) AS bigint) END")
+            .as("seasonal_strength_e6"))
+    }, Some(
+      s"""$w17OracleCtes,
+         comp AS (
+           SELECT (d.det_c2 - se.seasonal_c2) // 10000000 AS rr,
+                  (d.trend_c2 + d.det_c2 - se.seasonal_c2) // 10000000 AS tt,
+                  (se.seasonal_c2 + d.det_c2 - se.seasonal_c2) // 10000000 AS ss
+           FROM dd d JOIN se ON se.m = d.m),
+         ag AS (
+           SELECT cast(count(*) AS bigint) AS n,
+                  cast(sum(rr) AS bigint) AS s_r,
+                  cast(sum(rr * rr) AS bigint) AS ss_r,
+                  cast(sum(tt) AS bigint) AS s_t,
+                  cast(sum(tt * tt) AS bigint) AS ss_t,
+                  cast(sum(ss) AS bigint) AS s_s,
+                  cast(sum(ss * ss) AS bigint) AS ss_s
+           FROM comp),
+         v AS (
+           SELECT n, n * ss_r - s_r * s_r AS vr,
+                  n * ss_t - s_t * s_t AS vt,
+                  n * ss_s - s_s * s_s AS vs
+           FROM ag)
+         SELECT n,
+                CASE WHEN vt > 0 THEN cast(greatest(cast(0 AS double),
+                  round((1 - cast(vr AS double) / vt) * 1e6)) AS bigint)
+                END AS trend_strength_e6,
+                CASE WHEN vs > 0 THEN cast(greatest(cast(0 AS double),
+                  round((1 - cast(vr AS double) / vs) * 1e6)) AS bigint)
+                END AS seasonal_strength_e6
+         FROM v""")),
 
     ("w5_lag_corr", (s: SparkSession, d: String) => {
       // Serial correlation: corr(x_t, x_{t−1}) per key — the SQL-checkable
@@ -2668,6 +2675,84 @@ object Relational {
                 count(*) AS n
          FROM events GROUP BY 1 ORDER BY 1"""))
   )
+
+  /** The w17 oracle's decomposition CTE chain (monthly panel → centered
+    * MA trend → detrend → centered month-of-year seasonal) — shared
+    * with w26, whose strength indices must consume the identical
+    * components. Ends at `dd` (t, month, y2, trend_c2, det_c2, m) and
+    * `se` (m, seasonal_c2).
+    */
+  // lazy: referenced while `entries` (declared earlier) initializes — a
+  // strict val here would interpolate as "null" into the oracle text.
+  private lazy val w17OracleCtes: String =
+    """WITH monthly AS (
+           SELECT date_trunc('month', o_orderdate) AS month,
+                  cast(sum(cast(round(o_totalprice * 100) AS bigint)) AS bigint)
+                    AS rev_c
+           FROM orders GROUP BY 1),
+         idx AS (
+           SELECT row_number() OVER (ORDER BY month) AS t, month,
+                  rev_c * 100 AS y2
+           FROM monthly),
+         tr AS (
+           SELECT t, month, y2,
+                  lag(y2, 6) OVER (ORDER BY t) AS l6,
+                  lead(y2, 6) OVER (ORDER BY t) AS d6,
+                  sum(y2) OVER (ORDER BY t
+                    ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING) AS s11
+           FROM idx),
+         dd AS (
+           SELECT t, month, y2,
+                  cast(round((l6 + 2 * s11 + d6) / 24.0) AS bigint) AS trend_c2,
+                  y2 - cast(round((l6 + 2 * s11 + d6) / 24.0) AS bigint) AS det_c2,
+                  month(month) AS m
+           FROM tr WHERE l6 IS NOT NULL AND d6 IS NOT NULL),
+         sr AS (
+           SELECT m, cast(round(cast(sum(det_c2) AS bigint) / count(*))
+                    AS bigint) AS s_raw
+           FROM dd GROUP BY 1),
+         aj AS (
+           SELECT cast(round(cast(sum(s_raw) AS bigint) / count(*)) AS bigint)
+                    AS adj
+           FROM sr),
+         se AS (
+           SELECT m, s_raw - (SELECT adj FROM aj) AS seasonal_c2 FROM sr)"""
+
+  /** The w17 decomposition core, extracted so w26's strength indices
+    * consume the identical components: classical additive decomposition
+    * (centered 2×12 MA trend, centered month-of-year seasonal) of the
+    * monthly revenue panel in exact c2 integers — full contract
+    * documented on the w17 entry. Columns: t, month_no, y_c2, trend_c2,
+    * seasonal_c2, remainder_c2.
+    */
+  private[graft] def seasonalDecompose(
+      s: SparkSession, d: String): DataFrame = {
+    val monthly = Tables.orders(s, d)
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev_c"))
+    val wOrd = Window.orderBy(col("t"))
+    val idx = monthly
+      .withColumn("t", row_number().over(Window.orderBy(col("month"))))
+      .withColumn("y2", col("rev_c") * 100)
+    val dt = idx
+      .withColumn("num",
+        lag(col("y2"), 6).over(wOrd) +
+          lit(2) * sum(col("y2")).over(wOrd.rowsBetween(-5, 5)) +
+          lead(col("y2"), 6).over(wOrd))
+      .filter(col("num").isNotNull)
+      .withColumn("trend_c2", round(col("num") / 24.0).cast("long"))
+      .withColumn("det_c2", col("y2") - col("trend_c2"))
+      .withColumn("m", month(col("month")))
+    val sRaw = dt.groupBy(col("m"))
+      .agg(round(sum(col("det_c2")) / count(lit(1))).cast("long").as("s_raw"))
+    val sAdj = sRaw.crossJoin(broadcast(
+        sRaw.agg(round(sum(col("s_raw")) / count(lit(1))).cast("long").as("adj"))))
+      .select(col("m"), (col("s_raw") - col("adj")).as("seasonal_c2"))
+    dt.join(broadcast(sAdj), "m")
+      .select(col("t"), col("m").as("month_no"), col("y2").as("y_c2"),
+        col("trend_c2"), col("seasonal_c2"),
+        (col("det_c2") - col("seasonal_c2")).as("remainder_c2"))
+  }
 
   /** The a21 kernel over any (event_type, event_id, value) frame —
     * Neyman-allocated stratified sampling: per stratum the exact
