@@ -109,6 +109,27 @@ object TextFunctions {
       if (counts(j) == 0) 0.0 else sums(j).toDouble / counts(j))
   }
 
+  /** STUB resizer (see mm5_resize): box-downsample the payload by
+    * `factor` — output byte j is the truncating mean of input block
+    * [j·factor, (j+1)·factor) — standing in for an image resize /
+    * audio resample kernel. Truncating (floor) mean on 0-255 values
+    * keeps every output byte an exact integer both engines recompute;
+    * a real resampler swaps the block mean for its filter, plumbing
+    * unchanged. The trailing partial block averages over its actual
+    * length, as a real resampler's edge handling would.
+    */
+  def resizeBytes(bytes: Array[Byte], factor: Int): Array[Byte] = {
+    val n = (bytes.length + factor - 1) / factor
+    Array.tabulate(n) { j =>
+      val start = j * factor
+      val end = math.min(bytes.length, start + factor)
+      var sum = 0L
+      var i = start
+      while (i < end) { sum += bytes(i) & 0xff; i += 1 }
+      (sum / (end - start)).toByte
+    }
+  }
+
   /** 32-bit SimHash of a token set using the same md5-nibble bit planes as
     * the d4_simhash query (kept in sync for cross-checking in tests).
     */

@@ -4945,6 +4945,58 @@ object TextPipeline {
                 cast(sum(ascii(substr(text, p, 1))) AS bigint) AS frame_sum
          FROM pos GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    ("mm5_resize", (s: SparkSession, d: String) => {
+      // Multimodal RESIZE — the remaining plumbing shape of the
+      // decode/extract/resize/frame-sample quartet: each binary payload
+      // box-downsamples by 4 (output byte = truncating block mean —
+      // TextFunctions.resizeBytes; a real image resampler swaps the
+      // filter, plumbing unchanged), and the query reports the resized
+      // payload's length, checksum, and byte mean so the oracle can
+      // recompute the ENTIRE resampled artifact from character codes —
+      // verifying the mapPartitions batch shape end-to-end, mm1's
+      // argument applied to a byte-producing (not scalar-producing)
+      // kernel. byte_mean divides identical integer operands →
+      // bit-identical doubles.
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, bytes) =>
+          val out = TextFunctions.resizeBytes(bytes, factor = 4)
+          var sum = 0L
+          var i = 0
+          while (i < out.length) { sum += out(i) & 0xff; i += 1 }
+          (id, bytes.length.toLong, out.length.toLong, sum,
+            if (out.isEmpty) 0.0 else sum.toDouble / out.length)
+        })
+        .toDF("doc_id", "n_bytes_in", "n_bytes_out", "resized_sum",
+          "resized_mean")
+        .orderBy(col("doc_id"))
+    }, Some(
+      """WITH pos AS (
+           SELECT doc_id, ascii(substr(text, p, 1)) AS v, (p - 1) // 4 AS blk
+           FROM (SELECT doc_id, text,
+                        unnest(generate_series(1, length(text))) AS p
+                 FROM documents)),
+         rb AS (
+           SELECT doc_id, blk,
+                  cast(sum(v) AS bigint) // count(*) AS ob,
+                  cast(count(*) AS bigint) AS bl
+           FROM pos GROUP BY 1, 2),
+         agg AS (
+           SELECT doc_id, cast(sum(bl) AS bigint) AS n_in,
+                  cast(count(*) AS bigint) AS n_out,
+                  cast(sum(ob) AS bigint) AS rsum
+           FROM rb GROUP BY 1)
+         SELECT d.doc_id,
+                cast(coalesce(a.n_in, 0) AS bigint) AS n_bytes_in,
+                cast(coalesce(a.n_out, 0) AS bigint) AS n_bytes_out,
+                cast(coalesce(a.rsum, 0) AS bigint) AS resized_sum,
+                CASE WHEN coalesce(a.n_out, 0) = 0 THEN 0.0
+                     ELSE a.rsum * 1.0 / a.n_out END AS resized_mean
+         FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+         ORDER BY 1""")),
+
     ("mm4_frame_retrieval", (s: SparkSession, d: String) => {
       // Cross-asset frame retrieval — the multimodal surface composed
       // end-to-end: mm2's frame sampling (every 2nd 64-byte frame) feeds
