@@ -406,6 +406,109 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     check("diagnosticKernels", cases = 25, prop)
   }
 
+  test("durbinWatson/trimmedMean/runsTest equal their local references on random panels") {
+    // The three newest relational kernels against step-by-step local
+    // replays mirroring the engine's expression shapes exactly (same
+    // double op order, same BigDecimal HALF_UP rounding, same
+    // truncating integer division). Panels include constants (every
+    // degenerate branch), negatives, and single-point series.
+    val s = spark
+    import s.implicits._
+    def rnd(x: Double): Long = java.math.BigDecimal.valueOf(x)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+    val d0 = java.time.LocalDate.of(2024, 1, 1)
+    def day(i: Int) = java.sql.Date.valueOf(d0.plusDays(i))
+
+    def localDw(series: List[(Int, Long)])
+        : (Long, Long, Long, Option[Long], Boolean, Boolean) = {
+      val pts = series.sortBy(_._1)
+      val n = pts.length.toLong
+      val sx = pts.map(_._2).sum
+      val us = pts.map { case (_, x) => rnd(((n * x - sx) * 1.0 / n) / 1000.0) }
+      val s2 = us.map(u => u * u).sum
+      val ssd = us.zip(us.drop(1)).map { case (a, b) => (b - a) * (b - a) }.sum
+      val dw = if (s2 != 0) Some(rnd(ssd * 1e6 / s2)) else None
+      (n, ssd, s2, dw, dw.exists(_ < 1500000L), dw.exists(_ > 2500000L))
+    }
+    def localTm(series: List[(Int, Long)])
+        : (Long, Long, Long, Long, Long) = {
+      val n = series.length.toLong
+      val g = n / 10
+      val sorted = series.sortBy(p => (p._2, p._1)).map(_._2)
+      val sx = sorted.sum
+      val tsx = sorted.slice(g.toInt, (n - g).toInt).sum
+      val lo = sorted(g.toInt)
+      val hi = sorted((n - g - 1).toInt)
+      (n, g, rnd(sx * 1e3 / n), rnd(tsx * 1e3 / (n - 2 * g)),
+        rnd((tsx + g * (lo + hi)) * 1e3 / n))
+    }
+    def localRuns(series: List[(Int, Long)])
+        : (Long, Long, Long, Long, Option[Long], Boolean) = {
+      val byDay = series.sortBy(_._1)
+      val n = byDay.length.toLong
+      val med = series.sortBy(p => (p._2, p._1))
+        .apply(((n + 1) / 2 - 1).toInt)._2
+      val signs = byDay.map(p => if (p._2 > med) 1L else 0L)
+      val n1 = signs.sum
+      val n2 = n - n1
+      val runs = 1L + signs.zip(signs.drop(1)).count { case (a, b) => a != b }
+      val t2 = 2 * n1 * n2
+      val z =
+        if (n1 > 0 && n2 > 0 && t2 - n > 0)
+          Some(rnd((runs - (t2.toDouble / n + 1)) /
+            math.sqrt(t2.toDouble * (t2 - n) /
+              (n.toDouble * n * (n - 1))) * 1e6))
+        else None
+      (n, n1, n2, runs, z, z.exists(v => math.abs(v) > 1959964L))
+    }
+
+    val seriesGen = Gen.zip(
+      Gen.choose(1, 26),
+      Gen.oneOf(Gen.const(0L), Gen.choose(-2000000L, 2000000L), valGen))
+      .flatMap { case (len, base) =>
+        Gen.zip(
+          Gen.listOfN(len, Gen.choose(0, 60)).map(_.distinct.sorted),
+          Gen.oneOf(true, false)).flatMap { case (days, const) =>
+          if (const) Gen.const(days.map(i => (i, base)))
+          else Gen.listOfN(days.length, Gen.choose(-2000000L, 2000000L))
+            .map(vs => days.zip(vs))
+        }
+      }
+    val prop = Prop.forAll(Gen.zip(seriesGen, seriesGen, seriesGen)) {
+      case (sa, sb, sc) =>
+        val panel = Map("a" -> sa, "b" -> sb, "c" -> sc).filter(_._2.nonEmpty)
+        val df = panel.toList
+          .flatMap { case (k, pts) => pts.map(p => (k, day(p._1), p._2)) }
+          .toDF("event_type", "day", "x")
+        val dw = graft.operators.Estimation.durbinWatson(df).collect()
+          .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+            if (r.isNullAt(4)) None else Some(r.getLong(4)),
+            r.getBoolean(5), r.getBoolean(6)))
+          .toMap
+        val tm = graft.operators.Estimation.trimmedMean(df).collect()
+          .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getLong(4), r.getLong(5)))
+          .toMap
+        val rt = graft.operators.Estimation.runsTest(df).collect()
+          .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getLong(4),
+            if (r.isNullAt(5)) None else Some(r.getLong(5)),
+            r.getBoolean(6)))
+          .toMap
+        val errs = panel.toList.flatMap { case (k, pts) =>
+          val e1 = if (dw(k) != localDw(pts))
+            List(s"dw $k: got ${dw(k)} want ${localDw(pts)} pts=$pts") else Nil
+          val e2 = if (tm(k) != localTm(pts))
+            List(s"tm $k: got ${tm(k)} want ${localTm(pts)} pts=$pts") else Nil
+          val e3 = if (rt(k) != localRuns(pts))
+            List(s"runs $k: got ${rt(k)} want ${localRuns(pts)} pts=$pts") else Nil
+          e1 ++ e2 ++ e3
+        }
+        Prop(errs.isEmpty) :| errs.mkString("; ")
+    }
+    check("locationAndRuns", cases = 25, prop)
+  }
+
   test("ewma/holt equal their local integer recursions on random panels") {
     // The two smoothing folds against step-by-step local replays. The
     // generator INCLUDES negative values and sawtooth series: Holt's
