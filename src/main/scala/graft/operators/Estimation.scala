@@ -639,29 +639,46 @@ object Estimation {
     * sums IS comparing MAEs) plus the MASE-style ratios
     * sae_model·1e6/sad_naive (Hyndman's scale: < 1e6 beats naive) and
     * a deterministic winner (ties resolve toward the simpler model:
-    * naive ≤ ewma ≤ holt). Composes the two verified smoothing folds
-    * with a lag-window SAD — three calendar-bounded per-series frames
-    * joined on the key; the oracle replays both recursions in ONE
-    * combined WITH RECURSIVE walk (same integer steps, so the shared
-    * states are bit-equal to the single-kernel oracles). mase is NULL
-    * when the naive SAD is 0 (constant or single-point series) — the
-    * winner then reads 'naive' by the tie rule.
+    * naive ≤ ewma ≤ holt). ONE `aggregate()` fold carries all three
+    * recursions' state (prev x, EWMA level+sae, Holt level+trend+sae,
+    * naive SAD) — the per-step text is shared verbatim with [[ewma]]
+    * and [[holt]], whose property tests pin the recursions, and the
+    * oracle replays the same combined walk in ONE recursive CTE. (The
+    * first spelling composed the three kernels as separate
+    * aggregations — three scans of the same daily frame for state one
+    * fold carries; the r12 self-review flagged it and this single-fold
+    * rewrite re-verified hash-exact against the unchanged oracle.)
+    * mase is NULL when the naive SAD is 0 (constant or single-point
+    * series) — the winner then reads 'naive' by the tie rule.
     */
   private[graft] def forecastScorecard(daily: DataFrame): DataFrame = {
-    val wT = Window.partitionBy(col("event_type")).orderBy(col("day"))
-    val nv = daily
-      .withColumn("px", lag(col("x"), 1).over(wT))
-      .filter(col("px").isNotNull)
+    daily
       .groupBy(col("event_type"))
-      .agg(sum(abs(col("x") - col("px"))).as("sad_naive_cents"))
-    ewma(daily)
+      .agg(sort_array(collect_list(struct(col("day"), col("x")))).as("s"))
+      .select(col("event_type"),
+        size(col("s")).cast("long").as("n"),
+        expr("""aggregate(s,
+            named_struct('px', cast(null AS bigint),
+                         'le', cast(0 AS bigint), 'se', cast(0 AS bigint),
+                         'lh', cast(0 AS bigint), 'th', cast(0 AS bigint),
+                         'sh', cast(0 AS bigint), 'sad', cast(0 AS bigint)),
+            (acc, r) -> CASE WHEN acc.px IS NULL THEN named_struct(
+                'px', r.x, 'le', r.x, 'se', cast(0 AS bigint),
+                'lh', r.x, 'th', cast(0 AS bigint), 'sh', cast(0 AS bigint),
+                'sad', cast(0 AS bigint))
+              ELSE named_struct(
+                'px', r.x,
+                'le', (3 * r.x + 7 * acc.le) div 10,
+                'se', acc.se + abs(r.x - acc.le),
+                'lh', (3 * r.x + 7 * (acc.lh + acc.th)) div 10,
+                'th', (((3 * r.x + 7 * (acc.lh + acc.th)) div 10
+                        - acc.lh) + 9 * acc.th) div 10,
+                'sh', acc.sh + abs(r.x - (acc.lh + acc.th)),
+                'sad', acc.sad + abs(r.x - acc.px)) END)""").as("f"))
       .select(col("event_type"), col("n"),
-        col("sae_cents").as("sae_ewma_cents"))
-      .join(holt(daily)
-        .select(col("event_type"), col("sae_cents").as("sae_holt_cents")),
-        "event_type")
-      .join(nv, Seq("event_type"), "left")
-      .withColumn("sad_naive_cents", coalesce(col("sad_naive_cents"), lit(0L)))
+        col("f.sad").as("sad_naive_cents"),
+        col("f.se").as("sae_ewma_cents"),
+        col("f.sh").as("sae_holt_cents"))
       .select(col("event_type"), col("n"), col("sad_naive_cents"),
         col("sae_ewma_cents"), col("sae_holt_cents"),
         expr("CASE WHEN sad_naive_cents > 0 THEN cast(round(" +

@@ -1733,8 +1733,8 @@ object Relational {
                   cast(sum(c * c) AS bigint) AS sxx
            FROM rows0 GROUP BY 1),
          sg AS (
-           SELECT *, sqrt(greatest(sxx * 1.0 / n_pop
-                    - (sx * 1.0 / n_pop) * (sx * 1.0 / n_pop),
+           SELECT *, sqrt(greatest(cast(sxx AS double) / n_pop
+                    - (cast(sx AS double) / n_pop) * (cast(sx AS double) / n_pop),
                     cast(0 AS double))) AS sigma
            FROM st),
          wv AS (
@@ -1744,7 +1744,7 @@ object Relational {
          al AS (
            SELECT w.*, least(w.n_pop,
                     CASE WHEN t.wtot > 0 THEN
-                      cast(round(10000 * (w.w_e3 * 1.0 / t.wtot)) AS bigint)
+                      cast(round(10000 * (cast(w.w_e3 AS double) / t.wtot)) AS bigint)
                     ELSE cast(0 AS bigint) END) AS alloc_n
            FROM wv w, tt t),
          al2 AS (
@@ -2780,15 +2780,19 @@ object Relational {
     val stats = rows.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_pop"), sum(col("c")).as("sx"),
         sum(col("c") * col("c")).as("sxx"))
+      // cast(... AS double) first — a bare `sxx * 1.0 / n_pop` would be
+      // DECIMAL division in Spark while DuckDB evaluates the shared
+      // text as DOUBLE (the t11 divergence class).
       .withColumn("sigma", expr(
-        "sqrt(greatest(sxx * 1.0 / n_pop " +
-          "- (sx * 1.0 / n_pop) * (sx * 1.0 / n_pop), cast(0 AS double)))"))
+        "sqrt(greatest(cast(sxx AS double) / n_pop " +
+          "- (cast(sx AS double) / n_pop) * (cast(sx AS double) / n_pop), " +
+          "cast(0 AS double)))"))
       .withColumn("w_e3", expr("cast(round(n_pop * sigma * 1e3) AS bigint)"))
     val tot = stats.agg(sum(col("w_e3")).as("wtot"))
     val alloc = stats.crossJoin(broadcast(tot))
       .withColumn("alloc_n", expr(
         s"least(n_pop, CASE WHEN wtot > 0 THEN " +
-          s"cast(round($budget * (w_e3 * 1.0 / wtot)) AS bigint) " +
+          s"cast(round($budget * (cast(w_e3 AS double) / wtot)) AS bigint) " +
           "ELSE cast(0 AS bigint) END)"))
       .withColumn("rate_ppm",
         expr("cast(round(alloc_n * 1e6 / n_pop) AS bigint)"))

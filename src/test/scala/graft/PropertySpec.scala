@@ -43,6 +43,33 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
   private val tsGen = Gen.choose(0L, 12L)
   private val valGen = Gen.choose(-5L, 5L)
 
+  // Spark's Round on DoubleType: BigDecimal.valueOf (the SHORTEST
+  // decimal repr, not the exact binary value) then HALF_UP — every
+  // local reference must replicate it verbatim; floor(x+0.5) diverges
+  // on the 0.49999999999999994 class and math.round rounds negative
+  // halves toward zero.
+  private def rnd(x: Double): Long = java.math.BigDecimal.valueOf(x)
+    .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+
+  private val panelD0 = java.time.LocalDate.of(2024, 1, 1)
+  private def day(i: Int) = java.sql.Date.valueOf(panelD0.plusDays(i))
+
+  // Shared daily-panel series generator: short series with irregular
+  // day gaps, occasional constants (degenerate branches), and
+  // sub-kilocent values (everything quantizes to zero).
+  private val dailySeriesGen: Gen[List[(Int, Long)]] = Gen.zip(
+    Gen.choose(1, 26),
+    Gen.oneOf(Gen.const(0L), Gen.choose(-2000000L, 2000000L), valGen))
+    .flatMap { case (len, base) =>
+      Gen.zip(
+        Gen.listOfN(len, Gen.choose(0, 60)).map(_.distinct.sorted),
+        Gen.oneOf(true, false)).flatMap { case (days, const) =>
+        if (const) Gen.const(days.map(i => (i, base)))
+        else Gen.listOfN(days.length, Gen.choose(-2000000L, 2000000L))
+          .map(vs => days.zip(vs))
+      }
+    }
+
   test("asOfJoin equals the per-probe brute force on random quote/probe sets") {
     val s = spark
     import s.implicits._
@@ -289,14 +316,6 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     // values (everything quantizes to zero) — parity must hold on all.
     val s = spark
     import s.implicits._
-    // Spark's Round on DoubleType: BigDecimal.valueOf (the SHORTEST
-    // decimal repr, not the exact binary value) then HALF_UP — replicate
-    // verbatim; floor(x+0.5) diverges on the 0.49999999999999994 class.
-    def rnd(x: Double): Long = java.math.BigDecimal.valueOf(x)
-      .setScale(0, java.math.RoundingMode.HALF_UP).longValue
-    val d0 = java.time.LocalDate.of(2024, 1, 1)
-    def day(i: Int) = java.sql.Date.valueOf(d0.plusDays(i))
-
     def localTheilSen(series: List[(Int, Long)]): Option[(Long, Long, Boolean)] = {
       val pts = series.sortBy(_._1)
       val slopes = for {
@@ -353,19 +372,7 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
       }
     }
 
-    val seriesGen = Gen.zip(
-      Gen.choose(1, 26),
-      Gen.oneOf(Gen.const(0L), Gen.choose(-2000000L, 2000000L), valGen))
-      .flatMap { case (len, base) =>
-        Gen.zip(
-          Gen.listOfN(len, Gen.choose(0, 60)).map(_.distinct.sorted),
-          Gen.oneOf(true, false)).flatMap { case (days, const) =>
-          if (const) Gen.const(days.map(i => (i, base)))
-          else Gen.listOfN(days.length, Gen.choose(-2000000L, 2000000L))
-            .map(vs => days.zip(vs))
-        }
-      }
-    val panelGen = Gen.zip(seriesGen, seriesGen, seriesGen)
+    val panelGen = Gen.zip(dailySeriesGen, dailySeriesGen, dailySeriesGen)
     val prop = Prop.forAll(panelGen) { case (sa, sb, sc) =>
       val panel = Map("a" -> sa, "b" -> sb, "c" -> sc)
         .filter(_._2.nonEmpty)
@@ -414,11 +421,6 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     // degenerate branch), negatives, and single-point series.
     val s = spark
     import s.implicits._
-    def rnd(x: Double): Long = java.math.BigDecimal.valueOf(x)
-      .setScale(0, java.math.RoundingMode.HALF_UP).longValue
-    val d0 = java.time.LocalDate.of(2024, 1, 1)
-    def day(i: Int) = java.sql.Date.valueOf(d0.plusDays(i))
-
     def localDw(series: List[(Int, Long)])
         : (Long, Long, Long, Option[Long], Boolean, Boolean) = {
       val pts = series.sortBy(_._1)
@@ -462,19 +464,7 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
       (n, n1, n2, runs, z, z.exists(v => math.abs(v) > 1959964L))
     }
 
-    val seriesGen = Gen.zip(
-      Gen.choose(1, 26),
-      Gen.oneOf(Gen.const(0L), Gen.choose(-2000000L, 2000000L), valGen))
-      .flatMap { case (len, base) =>
-        Gen.zip(
-          Gen.listOfN(len, Gen.choose(0, 60)).map(_.distinct.sorted),
-          Gen.oneOf(true, false)).flatMap { case (days, const) =>
-          if (const) Gen.const(days.map(i => (i, base)))
-          else Gen.listOfN(days.length, Gen.choose(-2000000L, 2000000L))
-            .map(vs => days.zip(vs))
-        }
-      }
-    val prop = Prop.forAll(Gen.zip(seriesGen, seriesGen, seriesGen)) {
+    val prop = Prop.forAll(Gen.zip(dailySeriesGen, dailySeriesGen, dailySeriesGen)) {
       case (sa, sb, sc) =>
         val panel = Map("a" -> sa, "b" -> sb, "c" -> sc).filter(_._2.nonEmpty)
         val df = panel.toList
@@ -518,11 +508,6 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     // sf0.01 oracle gate, where declining series arise naturally).
     val s = spark
     import s.implicits._
-    def rnd(x: Double): Long = java.math.BigDecimal.valueOf(x)
-      .setScale(0, java.math.RoundingMode.HALF_UP).longValue
-    val d0 = java.time.LocalDate.of(2024, 1, 1)
-    def day(i: Int) = java.sql.Date.valueOf(d0.plusDays(i))
-
     def localEwma(series: List[(Int, Long)]): (Long, Long, Long, Option[Long]) = {
       val xs = series.sortBy(_._1).map(_._2)
       var level = xs.head
