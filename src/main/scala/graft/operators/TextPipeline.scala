@@ -4406,6 +4406,62 @@ object TextPipeline {
                   AS cum_ttr_e6
          FROM cm ORDER BY 1""")),
 
+    ("x35_source_overlap", (s: SparkSession, d: String) => {
+      // Pairwise source similarity matrix — the mixing diagnostic read
+      // BEFORE x8 assigns mixture weights: for every source pair, the
+      // shared distinct vocabulary with Jaccard and overlap
+      // coefficients (overlap = |A∩B|/min(|A|,|B|) catches a small
+      // source's vocabulary embedded in a big one where Jaccard
+      // dilutes — d9's containment argument at source grain).
+      // Near-identical sources should be merged or co-weighted, not
+      // mixed as if independent. Scale: one distinct collapse of the
+      // corpus token stream to the Zipf-bounded (source × type) table,
+      // then a self-join keyed on the type whose per-key fanout is
+      // bounded by |sources| — output is |sources|²/2 rows. All counts
+      // exact integers; the two coefficients are fixed shared-text
+      // double divisions, e6-quantized.
+      val sh = Tables.documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("t"))
+        .distinct()
+      val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      sh.as("a").join(sh.as("b"),
+          col("a.t") === col("b.t") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .join(broadcast(sizes.select(col("source").as("source_a"),
+          col("n").as("n_a"))), "source_a")
+        .join(broadcast(sizes.select(col("source").as("source_b"),
+          col("n").as("n_b"))), "source_b")
+        .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+          col("n_shared"),
+          expr("cast(round(cast(n_shared AS double) * 1e6 " +
+            "/ (n_a + n_b - n_shared)) AS bigint)").as("jaccard_e6"),
+          expr("cast(round(cast(n_shared AS double) * 1e6 " +
+            "/ least(n_a, n_b)) AS bigint)").as("overlap_e6"))
+        .orderBy(col("source_a"), col("source_b"))
+    }, Some(
+      """WITH sh AS (
+           SELECT DISTINCT source, t FROM (
+             SELECT source, unnest(string_split(text, ' ')) AS t
+             FROM documents)),
+         sizes AS (
+           SELECT source, cast(count(*) AS bigint) AS n FROM sh GROUP BY 1),
+         pairs AS (
+           SELECT a.source AS source_a, b.source AS source_b,
+                  cast(count(*) AS bigint) AS n_shared
+           FROM sh a JOIN sh b ON a.t = b.t AND a.source < b.source
+           GROUP BY 1, 2)
+         SELECT p.source_a, p.source_b, sa.n AS n_a, sb.n AS n_b,
+                p.n_shared,
+                cast(round(cast(p.n_shared AS double) * 1e6
+                  / (sa.n + sb.n - p.n_shared)) AS bigint) AS jaccard_e6,
+                cast(round(cast(p.n_shared AS double) * 1e6
+                  / least(sa.n, sb.n)) AS bigint) AS overlap_e6
+         FROM pairs p
+         JOIN sizes sa ON sa.source = p.source_a
+         JOIN sizes sb ON sb.source = p.source_b
+         ORDER BY 1, 2""")),
+
     ("x16_token_budget", (s: SparkSession, d: String) => {
       // Token-budget subsetting — fill each source's training-token budget
       // with its BEST documents first: order docs inside a source by
