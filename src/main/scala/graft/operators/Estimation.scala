@@ -732,6 +732,53 @@ object Estimation {
           .as("wmean_e3"))
   }
 
+  /** The t14 kernel over any (event_type, day, x:long) daily panel —
+    * the paired SIGN test of forecast accuracy: per series, count the
+    * days EWMA's one-step absolute error strictly beats Holt's and
+    * vice versa (ties — equal integer errors — drop, the standard sign
+    * test treatment), then the binomial z = (wins_e − m/2)/√(m/4) over
+    * the m non-tied days against the two-sided 5% point. The
+    * NONPARAMETRIC forecast-comparison sibling of the DM/CW t-family
+    * machinery: no variance estimation, just per-day wins — robust to
+    * the heavy-tailed error distributions that wreck a DM variance.
+    * Runs as w24's combined fold EXTENDED with two win counters —
+    * per-day errors never materialize as rows; the recursion state
+    * carries everything. All counts exact integers; z is one
+    * shared-text double chain, e6-quantized; m = 0 (all tied or n ≤ 1)
+    * → documented NULL + explicit non-reject.
+    */
+  private[graft] def signTest(daily: DataFrame): DataFrame =
+    daily
+      .groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("day"), col("x")))).as("s"))
+      .select(col("event_type"),
+        size(col("s")).cast("long").as("n"),
+        expr("""aggregate(s,
+            named_struct('le', cast(null AS bigint),
+                         'lh', cast(0 AS bigint), 'th', cast(0 AS bigint),
+                         'we', cast(0 AS bigint), 'wh', cast(0 AS bigint)),
+            (acc, r) -> CASE WHEN acc.le IS NULL THEN named_struct(
+                'le', r.x, 'lh', r.x, 'th', cast(0 AS bigint),
+                'we', cast(0 AS bigint), 'wh', cast(0 AS bigint))
+              ELSE named_struct(
+                'le', (3 * r.x + 7 * acc.le) div 10,
+                'lh', (3 * r.x + 7 * (acc.lh + acc.th)) div 10,
+                'th', (((3 * r.x + 7 * (acc.lh + acc.th)) div 10
+                        - acc.lh) + 9 * acc.th) div 10,
+                'we', acc.we + CASE WHEN abs(r.x - acc.le)
+                        < abs(r.x - (acc.lh + acc.th)) THEN 1 ELSE 0 END,
+                'wh', acc.wh + CASE WHEN abs(r.x - (acc.lh + acc.th))
+                        < abs(r.x - acc.le) THEN 1 ELSE 0 END) END)""")
+          .as("f"))
+      .select(col("event_type"), col("n"),
+        col("f.we").as("wins_ewma"), col("f.wh").as("wins_holt"),
+        (col("f.we") + col("f.wh")).as("m"))
+      .withColumn("z_e6", expr(
+        "CASE WHEN m > 0 THEN cast(round((wins_ewma - cast(m AS double) / 2) " +
+          "/ sqrt(cast(m AS double) / 4) * 1e6) AS bigint) END"))
+      .withColumn("reject_5pct",
+        coalesce(abs(col("z_e6")) > 1959964L, lit(false)))
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
 
     // ----- W4 as a component: the reusable design-matrix builder ----------
@@ -1529,6 +1576,60 @@ object Estimation {
                 cast(round((tsx + g * (lo + hi)) * 1e3 / n) AS bigint)
                   AS wmean_e3
          FROM agg ORDER BY 1""")),
+
+    // ----- T14 (ext.): paired sign test — EWMA vs Holt ---------------------
+
+    ("t14_sign_test", (s: SparkSession, d: String) => {
+      // Nonparametric paired forecast comparison per series on the
+      // daily cents panel — which smoother wins more days, and is the
+      // margin binomially significant; kernel contract on [[signTest]].
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("x"))
+      signTest(daily).orderBy(col("event_type"))
+    }, Some(
+      """WITH RECURSIVE daily AS (
+           SELECT event_type, cast(ts AS date) AS day,
+                  cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS x
+           FROM events GROUP BY 1, 2),
+         e AS (
+           SELECT event_type, x, row_number() OVER (
+             PARTITION BY event_type ORDER BY day) AS t
+           FROM daily),
+         rec AS (
+           SELECT event_type, t, x AS le, x AS lh,
+                  cast(0 AS bigint) AS th,
+                  cast(0 AS bigint) AS we, cast(0 AS bigint) AS wh
+           FROM e WHERE t = 1
+           UNION ALL
+           SELECT e.event_type, e.t,
+                  (3 * e.x + 7 * rec.le) // 10,
+                  (3 * e.x + 7 * (rec.lh + rec.th)) // 10,
+                  (((3 * e.x + 7 * (rec.lh + rec.th)) // 10
+                    - rec.lh) + 9 * rec.th) // 10,
+                  rec.we + CASE WHEN abs(e.x - rec.le)
+                    < abs(e.x - (rec.lh + rec.th)) THEN 1 ELSE 0 END,
+                  rec.wh + CASE WHEN abs(e.x - (rec.lh + rec.th))
+                    < abs(e.x - rec.le) THEN 1 ELSE 0 END
+           FROM rec JOIN e ON e.event_type = rec.event_type
+             AND e.t = rec.t + 1),
+         fin AS (SELECT event_type, max(t) AS n FROM rec GROUP BY 1),
+         lastr AS (
+           SELECT r.event_type, cast(f.n AS bigint) AS n,
+                  r.we AS wins_ewma, r.wh AS wins_holt,
+                  r.we + r.wh AS m
+           FROM rec r JOIN fin f ON f.event_type = r.event_type
+             AND r.t = f.n)
+         SELECT event_type, n, wins_ewma, wins_holt, m,
+                CASE WHEN m > 0 THEN
+                  cast(round((wins_ewma - cast(m AS double) / 2)
+                    / sqrt(cast(m AS double) / 4) * 1e6) AS bigint)
+                END AS z_e6,
+                coalesce(abs(CASE WHEN m > 0 THEN
+                  cast(round((wins_ewma - cast(m AS double) / 2)
+                    / sqrt(cast(m AS double) / 4) * 1e6) AS bigint)
+                END) > 1959964, false) AS reject_5pct
+         FROM lastr ORDER BY 1""")),
 
     // ----- W18 (ext.): CUSUM changepoint detection -------------------------
 

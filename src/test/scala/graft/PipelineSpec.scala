@@ -480,6 +480,42 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"constant series not degenerate-safe: ${out("const")}")
   }
 
+  test("signTest: Holt sweeps the ramp days, EWMA the sawtooth days, constants all tie") {
+    // The per-day refinement of the scorecard's sum-level verdict: on
+    // a steep ramp Holt's trend state beats the flat EWMA level on
+    // essentially every day once warm (z strongly negative — wins_ewma
+    // far below m/2 — and rejected); on a sawtooth the flat level wins
+    // day after day (z positive, rejected); a constant series has both
+    // errors identically 0 every day — all ties, m = 0, NULL z and an
+    // explicit non-reject. The sawtooth margin is directional but NOT
+    // binomially significant (23/38 at the tested length — Holt's
+    // small-β trend wobble loses most days only narrowly), which is
+    // itself the sign test's point: more wins ≠ significantly better.
+    val s = spark
+    import s.implicits._
+    def day(i: Int) = java.sql.Date.valueOf(
+      java.time.LocalDate.of(2024, 1, 1).plusDays(i))
+    val ramp = (0 until 40).map(i => ("ramp", day(i), 100000L * i))
+    val saw = (0 until 40).map(i =>
+      ("saw", day(i), if (i % 2 == 0) 0L else 10000000L))
+    val const = (0 until 40).map(i => ("const", day(i), 500L))
+    val out = graft.operators.Estimation
+      .signTest((ramp ++ saw ++ const).toDF("event_type", "day", "x"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3), r.getLong(4),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)),
+        r.getBoolean(6)))
+      .toMap
+    val rampRow = out("ramp")
+    assert(rampRow._2 > rampRow._1 && rampRow._4.exists(_ < -1959964L) &&
+      rampRow._5, s"ramp sign test wrong: $rampRow")
+    val sawRow = out("saw")
+    assert(sawRow._1 > sawRow._2 && sawRow._4.exists(_ > 0L) && !sawRow._5,
+      s"sawtooth sign test wrong: $sawRow")
+    assert(out("const") == ((0L, 0L, 0L, None, false)),
+      s"constant series should be all ties: ${out("const")}")
+  }
+
   test("forecastScorecard: Holt wins the ramp, EWMA the sawtooth, naive the constant") {
     // The scorecard's point is that each baseline has a regime it wins:
     // a linear ramp (Holt's trend state converges to the slope, so its
