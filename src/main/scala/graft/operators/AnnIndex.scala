@@ -450,6 +450,57 @@ object AnnIndex {
       if (persistCodes) codes.persist(StorageLevel.MEMORY_AND_DISK) else codes)
   }
 
+  /** Per-row PQ encode against a FROZEN codebook — the streaming-safe
+    * twin of the batch assign (which is a join + keyed aggregation:
+    * unbounded state on a stream). The m×ksub codebook rides as nested
+    * literals and each subspace's argmin is an `array_min` over
+    * (dist, code) structs — the [[ivfAssign]] pattern applied per
+    * subspace, with struct ordering supplying the (min dist, lowest
+    * code) tie rule the batch path uses. Distances go through the same
+    * codegen'd [[graft.functions.LongSqDist]] kernel. No shuffle, no
+    * state: a pure map, pinned code-for-code against the trained
+    * index's corpus codes in StreamingSpec.
+    * Columns: vec_id, codes (array of m ints, subspace order).
+    */
+  def pqEncodeRowwise(idx: PqIndex, arrivals: DataFrame): DataFrame = {
+    val subDim = idx.codebook.head._3.length
+    val codes = array((0 until idx.m).map { sub =>
+      val subLit = array(idx.codebook.filter(_._1 == sub).sortBy(_._2).map {
+        case (_, c, cent) => struct(lit(c).cast("int").as("code"),
+          array(cent.map(v => lit(v)): _*).as("cent"))
+      }: _*)
+      val sv = expr(s"slice(unit, ${sub * subDim + 1}, $subDim)")
+      array_min(transform(subLit, cc =>
+        struct(kcol(graft.functions.LongSqDist(
+            kexpr(sv), kexpr(cc.getField("cent")))).as("dist"),
+          cc.getField("code").as("code"))))
+        .getField("code")
+    }: _*)
+    withUnitE6(arrivals).select(col("vec_id"), codes.as("codes"))
+  }
+
+  /** Per-row LSH bucket assignment — the streaming-safe twin of
+    * [[buildLsh]]'s explode + keyed aggregation: ALL tables·4
+    * hyperplane projections still come from ONE
+    * [[graft.functions.ModProjAll]] pass, and each table's 4-bit bucket
+    * folds from the projection array with a bounded `aggregate()` HOF
+    * instead of a groupBy — bit-identical buckets (same planes, same
+    * sign rule, same bit weights), zero shuffle, zero state.
+    * Columns: vec_id, buckets (array of `tables` longs, table order).
+    */
+  def lshBucketsRowwise(arrivals: DataFrame, tables: Int): DataFrame = {
+    val projAll = kcol(graft.functions.ModProjAll(
+      kexpr(col("embedding")), tables * 4, a = 31, off = 0, c = 17, m = 7, s = 3))
+    arrivals
+      .select(col("vec_id"), projAll.as("proj"))
+      .select(col("vec_id"), expr(
+        s"""transform(sequence(0, ${tables - 1}), t ->
+            aggregate(sequence(0, 3), cast(0 AS bigint),
+              (acc, p) -> acc + CASE WHEN element_at(proj, t * 4 + p + 1) > 0
+                THEN cast(shiftleft(1, p) AS bigint)
+                ELSE cast(0 AS bigint) END))""").as("buckets"))
+  }
+
   /** Search a trained PQ index: asymmetric distance computation — each
     * query precomputes its m × ksub table of exact subspace distances
     * (tiny, broadcast), the compressed corpus is scanned with m table

@@ -575,6 +575,31 @@ object EventStream {
     graft.operators.AnnIndex.ivfAssign(idx, arrivals)
       .select(col("vec_id"), col("cid"))
 
+  /** Continuous PQ ingest — the compression family's streaming arrival
+    * path (IVF and SQ8 already have theirs): arriving vectors encode to
+    * m codes under the FROZEN codebook via
+    * [[graft.operators.AnnIndex.pqEncodeRowwise]]'s per-subspace
+    * argmin over codebook literals — no join, no keyed aggregation, no
+    * state, a pure map like the other two. The stream's codes match the
+    * batch-trained index's corpus codes code-for-code including
+    * distance ties (StreamingSpec), so appending them to the code table
+    * is exactly what a batch re-encode would produce.
+    */
+  def pqIngest(idx: graft.operators.AnnIndex.PqIndex,
+      arrivals: DataFrame): DataFrame =
+    graft.operators.AnnIndex.pqEncodeRowwise(idx, arrivals)
+
+  /** Continuous LSH ingest — the pruning family's fourth streaming
+    * arrival path: arriving vectors hash to their per-table 4-bit
+    * buckets via [[graft.operators.AnnIndex.lshBucketsRowwise]] (one
+    * ModProjAll pass + a bounded fold per table — the batch build's
+    * planes and sign rule verbatim, without its explode + keyed
+    * aggregation). Buckets match the batch index bit-for-bit
+    * (StreamingSpec), so arrivals drop straight into the bucket table.
+    */
+  def lshIngest(arrivals: DataFrame, tables: Int = 8): DataFrame =
+    graft.operators.AnnIndex.lshBucketsRowwise(arrivals, tables)
+
     final case class ErrorBurst(user_id: Long, ts_us: Long, n_recent: Int)
 
   /** Custom keyed state with EVICTION (flatMapGroupsWithState + event-time

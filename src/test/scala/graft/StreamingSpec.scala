@@ -234,6 +234,54 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"streamed ${streamed.length} rows diverge from batch assignment")
   }
 
+  test("pqIngest: streamed codes match the batch-trained corpus codes code-for-code") {
+    // Two spellings of the per-subspace argmin must agree on every
+    // vector including distance ties: the batch train's join + keyed
+    // min(struct(dist, code)) versus the stream's array_min over
+    // codebook literals. With that pinned, the streamed run of the
+    // frozen-codebook encode must reproduce the trained index's own
+    // code table exactly — every index family's streaming arrivals can
+    // then append without a batch re-encode.
+    val idx = graft.operators.AnnIndex.pqFor(spark, sfDir,
+      Tables.embeddings(spark, sfDir), m = 8, ksub = 16, iters = 2)
+    val batch = idx.codes.select(col("vec_id"), col("codes"))
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1).toList)).toSeq
+    val q = EventStream.pqIngest(idx, EventStream.readEmbeddings(spark, sfDir))
+      .writeStream.format("memory").queryName("pq_ingest")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("pq_ingest")
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1).toList)).toSeq
+    assert(streamed == batch && streamed.nonEmpty,
+      s"streamed PQ codes diverge from the trained code table")
+  }
+
+  test("lshIngest: streamed buckets match the batch-built index bit-for-bit") {
+    // The rowwise fold must reproduce buildLsh's explode + groupBy
+    // buckets exactly — same ModProjAll planes, same sign rule, same
+    // bit weights — so streaming arrivals drop straight into the
+    // bucket table the e4/e5 searches join against.
+    val batch = graft.operators.AnnIndex.lshFor(spark, sfDir,
+        Tables.embeddings(spark, sfDir), tables = 4)
+      .select(col("vec_id"), col("t"), col("bucket"))
+      .orderBy("vec_id", "t").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val q = EventStream.lshIngest(
+        EventStream.readEmbeddings(spark, sfDir), tables = 4)
+      .select(col("vec_id"),
+        posexplode(col("buckets")).as(Seq("t", "bucket")))
+      .writeStream.format("memory").queryName("lsh_ingest")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("lsh_ingest")
+      .orderBy("vec_id", "t").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(streamed == batch && streamed.nonEmpty,
+      s"streamed LSH buckets diverge from the batch index")
+  }
+
   test("kmvDistinctStream absorbs cross-batch duplicates; estimate exact under k, in-bounds over it") {
     // The property a multiset fold would get wrong: the SAME users
     // recurring in a later micro-batch must be absorbed by the KMV
