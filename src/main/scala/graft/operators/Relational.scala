@@ -1768,6 +1768,75 @@ object Relational {
          FROM al2 a LEFT JOIN smp s ON s.event_type = a.event_type
          ORDER BY 1""")),
 
+    ("a22_countmin", (s: SparkSession, d: String) => {
+      // Count-Min sketch (Cormode–Muthukrishnan) — the POINT-FREQUENCY
+      // sketch beside the family's cardinality (a17/a19/a20) and
+      // heavy-hitter (Misra–Gries) members: d = 4 rows × w = 256
+      // counters, item u increments row r's counter fmix32(4u + r) % w,
+      // a point estimate reads the MIN across rows — overestimate-only
+      // error (≤ εN with high probability), never under. The register
+      // table is 1024 integers built by one map-side-combinable
+      // aggregation over the ×4 exploded stream (at 100 TB: the sketch,
+      // not the answers, is what's persisted — a20's argument); the
+      // probe side here is the exact top-10 users (ties by user_id), so
+      // the driver row set is deterministic and the est ≥ exact
+      // overestimate invariant is visible per row. The 4u + r input
+      // stays inside fmix32's documented non-negative domain and gives
+      // each row a disjoint input class (demo-grade row family — a
+      // production sketch would carry d independent seeds through the
+      // same chain).
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .filter(col("user_id").isNotNull)
+        .select(col("user_id"))
+      val rows4 = ev.crossJoin(broadcast(Seq(0, 1, 2, 3).toDF("r")))
+      val regs = rows4
+        .select(col("r"),
+          (fmix32(col("user_id") * 4 + col("r")) % 256).as("bucket"))
+        .groupBy(col("r"), col("bucket")).agg(count(lit(1)).as("c"))
+      val exact = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("user_id")).limit(10)
+      val probes = exact.crossJoin(broadcast(Seq(0, 1, 2, 3).toDF("r")))
+        .select(col("user_id"), col("n_exact"), col("r"),
+          (fmix32(col("user_id") * 4 + col("r")) % 256).as("bucket"))
+      probes.join(broadcast(regs), Seq("r", "bucket"))
+        .groupBy(col("user_id"), col("n_exact"))
+        .agg(min(col("c")).as("cm_est"))
+        .withColumn("overestimate", col("cm_est") - col("n_exact"))
+        .orderBy(col("n_exact").desc, col("user_id"))
+    }, Some(
+      """WITH ev AS (
+           SELECT user_id FROM events WHERE user_id IS NOT NULL),
+         rr AS (SELECT unnest([0, 1, 2, 3]) AS r),
+         x0 AS (
+           SELECT user_id, r, (user_id * 4 + r) % 4294967296 AS x
+           FROM ev CROSS JOIN rr),
+         h0 AS (
+           SELECT user_id, r, ((x * 2147483648) % 4294967296
+                    + (x * 506952113) % 4294967296) % 4294967296 AS m1
+           FROM x0),
+         h1 AS (SELECT user_id, r, xor(m1, m1 >> 16) AS v1 FROM h0),
+         h2 AS (SELECT user_id, r, (v1 * 1540483477) % 4294967296 AS m2 FROM h1),
+         h3 AS (SELECT user_id, r, xor(m2, m2 >> 13) AS v2 FROM h2),
+         h4 AS (SELECT user_id, r, (v2 * 1033321189) % 4294967296 AS m3 FROM h3),
+         hh AS (SELECT user_id, r, xor(m3, m3 >> 16) % 256 AS bucket FROM h4),
+         regs AS (
+           SELECT r, bucket, cast(count(*) AS bigint) AS c
+           FROM hh GROUP BY 1, 2),
+         exact AS (
+           SELECT user_id, cast(count(*) AS bigint) AS n_exact
+           FROM ev GROUP BY 1
+           ORDER BY n_exact DESC, user_id LIMIT 10),
+         probes AS (
+           SELECT DISTINCT e.user_id, e.n_exact, h.r, h.bucket
+           FROM exact e JOIN hh h ON h.user_id = e.user_id)
+         SELECT p.user_id, p.n_exact,
+                cast(min(g.c) AS bigint) AS cm_est,
+                cast(min(g.c) - p.n_exact AS bigint) AS overestimate
+         FROM probes p JOIN regs g ON g.r = p.r AND g.bucket = p.bucket
+         GROUP BY 1, 2
+         ORDER BY 2 DESC, 1""")),
+
     ("a10_rollup", (s: SparkSession, d: String) => {
       val n = broadcast(Tables.nation(s, d))
       val r = broadcast(Tables.region(s, d))

@@ -739,6 +739,24 @@ class RelationalPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("a22 count-min: every probe's estimate is >= the exact count (one-sided error law)") {
+    // Count-Min's DETERMINISTIC half: collisions only ADD, so the min
+    // across rows can never fall below the true frequency — an
+    // underestimate means a register was dropped or a probe hashed to a
+    // bucket its increments didn't, i.e. the build and probe sides of
+    // fmix32(4u + r) % w drifted apart. (The <= eps*N half is
+    // probabilistic and belongs to the oracle's fixed dataset, not here.)
+    val out = Relational.queries("a22_countmin")(spark, sfDir)
+      .collect()
+    assert(out.length == 10, s"expected the exact top-10 probes, got ${out.length}")
+    out.foreach { r =>
+      val (exact, est) = (r.getAs[Long]("n_exact"), r.getAs[Long]("cm_est"))
+      assert(est >= exact,
+        s"user ${r.get(0)}: cm_est=$est underestimates n_exact=$exact")
+      assert(r.getAs[Long]("overestimate") == est - exact)
+    }
+  }
+
   test("a19 kmv: a group under k distinct values reports the exact count; estimate lands in bounds") {
     // The n_sample < k branch no driver group exercises (all driver
     // groups hold 200+ distinct partkeys): 10 distinct values in one
