@@ -90,6 +90,25 @@ object Relational {
     mix(mix(r1, 1540483477L, 13), 1033321189L, 16)
   }
 
+  /** a22's Count-Min kernel pieces, shared with the streaming arrival
+    * path ([[graft.streaming.EventStream.cmIngest]]): the ×4 row
+    * expansion is a join-free explode of a literal array (a pure
+    * projection — streaming-legal, and cheaper than the broadcast
+    * nested-loop join a crossJoin against a 4-row frame plans), the
+    * bucket law is fmix32(4u + r) % 256, and the register table is one
+    * map-side-combinable count per (row, bucket) — so the stream's
+    * keyed state is bounded by the SKETCH size (≤ 1024 keys), never by
+    * stream length.
+    */
+  private[graft] def cmRowExplode: Column =
+    explode(array((0 until 4).map(lit(_)): _*))
+  private[graft] def cmBucket(u: Column, r: Column): Column =
+    fmix32(u * 4 + r) % 256
+  private[graft] def cmRegisters(ev: DataFrame): DataFrame =
+    ev.select(cmRowExplode.as("r"), col("user_id"))
+      .select(col("r"), cmBucket(col("user_id"), col("r")).as("bucket"))
+      .groupBy(col("r"), col("bucket")).agg(count(lit(1)).as("c"))
+
   /** The a19 kernel — KMV distinct-count estimate per group (Bar-Yossef
     * et al. 2002), sharing a18's bottom-k machinery: distinct the
     * (group, value) pairs (the one corpus shuffle, map-side combined),
@@ -1785,20 +1804,16 @@ object Relational {
       // each row a disjoint input class (demo-grade row family — a
       // production sketch would carry d independent seeds through the
       // same chain).
-      import s.implicits._
       val ev = Tables.events(s, d)
         .filter(col("user_id").isNotNull)
         .select(col("user_id"))
-      val rows4 = ev.crossJoin(broadcast(Seq(0, 1, 2, 3).toDF("r")))
-      val regs = rows4
-        .select(col("r"),
-          (fmix32(col("user_id") * 4 + col("r")) % 256).as("bucket"))
-        .groupBy(col("r"), col("bucket")).agg(count(lit(1)).as("c"))
+      val regs = cmRegisters(ev)
       val exact = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_exact"))
         .orderBy(col("n_exact").desc, col("user_id")).limit(10)
-      val probes = exact.crossJoin(broadcast(Seq(0, 1, 2, 3).toDF("r")))
+      val probes = exact
+        .select(col("user_id"), col("n_exact"), cmRowExplode.as("r"))
         .select(col("user_id"), col("n_exact"), col("r"),
-          (fmix32(col("user_id") * 4 + col("r")) % 256).as("bucket"))
+          cmBucket(col("user_id"), col("r")).as("bucket"))
       probes.join(broadcast(regs), Seq("r", "bucket"))
         .groupBy(col("user_id"), col("n_exact"))
         .agg(min(col("c")).as("cm_est"))

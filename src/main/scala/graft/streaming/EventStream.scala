@@ -600,6 +600,23 @@ object EventStream {
   def lshIngest(arrivals: DataFrame, tables: Int = 8): DataFrame =
     graft.operators.AnnIndex.lshBucketsRowwise(arrivals, tables)
 
+  /** Continuous Count-Min maintenance — a22's register table fed by the
+    * event stream. Unlike the pure-map index ingests above, this IS a
+    * stateful aggregation — but its keyed state is the SKETCH itself
+    * (≤ 4×256 register keys, counts folded across micro-batches by
+    * Spark's streaming agg state), bounded by sketch geometry rather
+    * than stream length: the textbook reason frequency sketches exist
+    * on unbounded streams. Shares
+    * [[graft.operators.Relational.cmRegisters]] verbatim, so the
+    * streamed table is count-for-count what the batch build over the
+    * same prefix produces (StreamingSpec pins the cross-batch fold),
+    * and a22's probe side can read it directly. Complete output mode:
+    * the result is the full (bounded) register table each batch.
+    */
+  def cmIngest(events: DataFrame): DataFrame =
+    graft.operators.Relational.cmRegisters(
+      events.filter(col("user_id").isNotNull).select(col("user_id")))
+
     final case class ErrorBurst(user_id: Long, ts_us: Long, n_recent: Int)
 
   /** Custom keyed state with EVICTION (flatMapGroupsWithState + event-time

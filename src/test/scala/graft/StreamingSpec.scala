@@ -282,6 +282,41 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"streamed LSH buckets diverge from the batch index")
   }
 
+  test("cmIngest folds register counts across micro-batches, count-for-count with the batch build") {
+    // The Count-Min merge law is ADDITION (unlike HLL's max): users
+    // split across two micro-batches — with overlap, so the same
+    // (row, bucket) keys are hit in both — must land on the SAME
+    // register table as one batch over the concatenation. A register
+    // reset between batches, or a multiset/dedup confusion (CM counts
+    // occurrences, not distinct users), diverges here.
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.Encoders
+    val ms = MemoryStream(Encoders.scalaLong, s.sqlContext)
+    def rows(us: Range) = us.map(_.toLong * 7919L)
+    val q = EventStream.cmIngest(ms.toDF.toDF("user_id"))
+      .writeStream.format("memory").queryName("cm_ingest")
+      .outputMode("complete").start()
+    try {
+      ms.addData(rows(1 to 60): _*)
+      q.processAllAvailable()
+      ms.addData(rows(31 to 90): _*) // 31..60 recur: same keys, counts add
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("cm_ingest")
+      .orderBy("r", "bucket").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    val batch = operators.Relational.cmRegisters(
+        (rows(1 to 60) ++ rows(31 to 90)).toDF("user_id"))
+      .orderBy("r", "bucket").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(streamed == batch && streamed.nonEmpty,
+      "streamed Count-Min registers diverge from the batch build over the union")
+    assert(streamed.map(_._3).sum == 120L * 4,
+      "register mass must equal 4 increments per event")
+  }
+
   test("kmvDistinctStream absorbs cross-batch duplicates; estimate exact under k, in-bounds over it") {
     // The property a multiset fold would get wrong: the SAME users
     // recurring in a later micro-batch must be absorbed by the KMV
