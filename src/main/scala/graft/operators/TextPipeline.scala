@@ -4462,6 +4462,75 @@ object TextPipeline {
          JOIN sizes sb ON sb.source = p.source_b
          ORDER BY 1, 2""")),
 
+    ("x36_zipf_slope", (s: SparkSession, d: String) => {
+      // Per-source Zipf exponent — the rank-frequency power-law fit read
+      // beside x32's diversity ratios: OLS of ln(freq) on ln(rank) over
+      // each source's top-100 terms. Natural text sits near slope −1;
+      // a source far off it (flatter = templated/boilerplate-heavy,
+      // steeper = a few tokens dominating) is a curation flag x6's
+      // ratio gates can't see, because THEY score documents and this
+      // scores the source's aggregate token law. Scale: the same
+      // (source × type) count collapse as x32/x15 (one shuffle,
+      // map-side combined), a rank window over the Zipf-bounded type
+      // table, then the OLS moments are a 100-row-per-source aggregate
+      // — ln() only ever touches top-100 rows, and the closed-form
+      // slope needs no iteration. Determinism: rank ties break on
+      // token text (total order, both engines), and the four double
+      // moments sum 100 terms of O(10) — summation-order noise ~1e-14
+      // relative, invisible at e6 quantization.
+      val tc = Tables.documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("token"))
+        .groupBy(col("source"), col("token")).agg(count(lit(1)).as("c"))
+      val rk = Window.partitionBy(col("source"))
+        .orderBy(col("c").desc, col("token"))
+      val xy = tc.withColumn("rank", row_number().over(rk))
+        .filter(col("rank") <= 100)
+        .select(col("source"),
+          log(col("rank").cast("double")).as("x"),
+          log(col("c").cast("double")).as("y"))
+      val ag = xy.groupBy(col("source")).agg(
+        count(lit(1)).as("n_terms"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      val slope = (col("n_terms") * col("sxy") - col("sx") * col("sy")) /
+        (col("n_terms") * col("sxx") - col("sx") * col("sx"))
+      ag.filter(col("n_terms") >= 2)
+        .select(col("source"), col("n_terms"),
+          round(slope * 1e6).cast("long").as("slope_e6"),
+          round((col("sy") - slope * col("sx")) / col("n_terms") * 1e6)
+            .cast("long").as("intercept_e6"))
+        .orderBy(col("source"))
+    }, Some(
+      """WITH tc AS (
+           SELECT source, token, cast(count(*) AS bigint) AS c
+           FROM (SELECT source, unnest(string_split(text, ' ')) AS token
+                 FROM documents)
+           GROUP BY 1, 2),
+         rk AS (
+           SELECT source, c, row_number() OVER (
+             PARTITION BY source ORDER BY c DESC, token) AS rank
+           FROM tc),
+         xy AS (
+           SELECT source, ln(cast(rank AS double)) AS x,
+                  ln(cast(c AS double)) AS y
+           FROM rk WHERE rank <= 100),
+         ag AS (
+           SELECT source, cast(count(*) AS bigint) AS n_terms,
+                  sum(x) AS sx, sum(y) AS sy,
+                  sum(x * y) AS sxy, sum(x * x) AS sxx
+           FROM xy GROUP BY 1),
+         sl AS (
+           SELECT source, n_terms, sx, sy,
+                  (n_terms * sxy - sx * sy)
+                    / (n_terms * sxx - sx * sx) AS slope
+           FROM ag WHERE n_terms >= 2)
+         SELECT source, n_terms,
+                cast(round(slope * 1e6) AS bigint) AS slope_e6,
+                cast(round((sy - slope * sx) / n_terms * 1e6) AS bigint)
+                  AS intercept_e6
+         FROM sl ORDER BY 1""")),
+
     ("x16_token_budget", (s: SparkSession, d: String) => {
       // Token-budget subsetting — fill each source's training-token budget
       // with its BEST documents first: order docs inside a source by
