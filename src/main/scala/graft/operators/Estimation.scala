@@ -1577,6 +1577,65 @@ object Estimation {
                   AS wmean_e3
          FROM agg ORDER BY 1""")),
 
+    // ----- T15 (ext.): Granger causality — the VAR-native pair test --------
+
+    ("t15_granger", (s: SparkSession, d: String) => {
+      // Pairwise Granger causality over the daily event-type panel —
+      // THE test a VAR engine owes its users (does x's history improve
+      // y's lag-2 autoregression?): for every ordered (effect, cause)
+      // pair, restricted [1, y₋₁, y₋₂] vs unrestricted [+ x₋₁, x₋₂]
+      // OLS on the day-ALIGNED series, F = ((RSSᵣ − RSSᵤ)/2) /
+      // (RSSᵤ/(n_eff − 5)) with the partial R² beside it. Split of
+      // labor per the file contract: the corpus-sized work is the
+      // daily aggregation + the day-alignment self-join (both
+      // declarative, map-side combinable / |types|-bounded fanout);
+      // each pair's regression consumes a calendar-bounded series, so
+      // the per-pair Breeze solve is task-local P9 machinery, one task
+      // per (effect, cause). RSS via the same quadratic form the
+      // oracle uses (yᵀy − 2β̂ᵀXᵀy + β̂ᵀXᵀXβ̂ — GrangerOracle solves
+      // the identical normal equations by Gauss–Jordan; LU vs GJ agree
+      // ~1e-10, far under the e4/e6 quantization).
+      import s.implicits._
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(col("value")).as("v"))
+      val pr = daily.as("y").join(daily.as("x"),
+          col("x.day") === col("y.day") &&
+            col("x.event_type") =!= col("y.event_type"))
+        .select(col("y.event_type").as("ey"), col("x.event_type").as("ex"),
+          col("y.day").as("day"), col("y.v").as("vy"), col("x.v").as("vx"))
+      pr.groupBy(col("ey"), col("ex"))
+        .agg(sort_array(collect_list(struct(col("day"), col("vy"),
+          col("vx")))).as("series"))
+        .as[(String, String, Seq[(java.sql.Date, Double, Double)])]
+        .map { case (ey, ex, ser) =>
+          val vy = ser.map(_._2).toArray
+          val vx = ser.map(_._3).toArray
+          val nEff = vy.length - 2
+          val y = DenseVector(Array.tabulate(nEff)(i => vy(i + 2)))
+          val xu = DenseMatrix.tabulate(nEff, 5)((i, j) => j match {
+            case 0 => 1.0
+            case 1 => vy(i + 1)
+            case 2 => vy(i)
+            case 3 => vx(i + 1)
+            case _ => vx(i)
+          })
+          def rssOf(x: DenseMatrix[Double]): Double = {
+            val xtx = x.t * x
+            val xty = x.t * y
+            val b = xtx \ xty
+            (y dot y) - 2.0 * (b dot xty) + (b dot (xtx * b))
+          }
+          val rssR = rssOf(xu(::, 0 until 3).toDenseMatrix)
+          val rssU = rssOf(xu)
+          val f = ((rssR - rssU) / 2.0) / (rssU / (nEff - 5))
+          (ey, ex, nEff.toLong, math.round(f * 1e4),
+            math.round((rssR - rssU) / rssR * 1e6))
+        }
+        .toDF("effect", "cause", "n_eff", "f_e4", "partial_r2_e6")
+        .orderBy(col("effect"), col("cause"))
+    }, Some(GrangerOracle.sql)),
+
     // ----- T14 (ext.): paired sign test — EWMA vs Holt ---------------------
 
     ("t14_sign_test", (s: SparkSession, d: String) => {
