@@ -235,6 +235,48 @@ object GraphOps {
     labels
   }
 
+  /** Multi-seed BFS hop distance by synchronous min-fold rounds — g7's
+    * hash-min shape with `min(dist + 1)` in place of `min(lbl)`: after
+    * k rounds a node holds its exact distance-to-nearest-seed if that
+    * distance is ≤ k, else the 999 infinity sentinel (a 999 node
+    * propagates 1000, which `least` rejects — the sentinel is stable
+    * for any diameter the bounded rounds can reach). Same scale
+    * posture as minLabelComponents: one join + one node-sized min
+    * aggregation per round, the node frame broadcast under the budget
+    * and shuffled past it.
+    */
+  private[graft] def seedDistance(
+      edges: DataFrame, nodes: DataFrame, seeds: DataFrame, rounds: Int,
+      bcastNodeBudget: Long = 4L * 1000 * 1000): DataFrame = {
+    val dim = rankDim(nodes.count(), bcastNodeBudget)
+    var dist = nodes
+      .join(seeds.withColumn("is_seed", lit(1)), Seq("node"), "left")
+      .select(col("node"),
+        when(col("is_seed").isNotNull, 0L).otherwise(999L).as("dist"))
+    for (_ <- 1 to rounds) {
+      val mins = edges
+        .join(dim(dist.withColumnRenamed("node", "src")), "src")
+        .groupBy(col("dst")).agg(min(col("dist") + 1).as("nd"))
+      dist = dist
+        .join(dim(mins.withColumnRenamed("dst", "node")), Seq("node"), "left")
+        .select(col("node"),
+          least(col("dist"), coalesce(col("nd"), col("dist"))).as("dist"))
+    }
+    dist
+  }
+
+  /** One unrolled BFS min-fold round as a DuckDB CTE pair — kept next
+    * to the Scala round so the two spellings evolve together.
+    */
+  private def seedDistStep(i: Int): String =
+    s"""bm$i AS (
+          SELECT e.dst, min(d.dist + 1) AS nd
+          FROM strong e JOIN bd${i - 1} d ON d.node = e.src
+          GROUP BY 1),
+        bd$i AS (
+          SELECT p.node, least(p.dist, coalesce(m.nd, p.dist)) AS dist
+          FROM bd${i - 1} p LEFT JOIN bm$i m ON m.dst = p.node)"""
+
   /** One unrolled hash-min round as a DuckDB CTE pair — kept next to the
     * Scala round so the two spellings evolve together.
     */
@@ -693,7 +735,45 @@ object GraphOps {
               ORDER BY component_size DESC, lbl) AS rank
             FROM cs)
           SELECT lbl, component_size, cast(rank AS int) AS rank
-          FROM ranked WHERE rank <= 20 ORDER BY rank""")))
+          FROM ranked WHERE rank <= 20 ORDER BY rank""")),
+
+    ("g8_seed_distance", (s: SparkSession, d: String) => {
+      // Distance-to-trusted-seeds on the strong co-purchase graph — the
+      // proximity signal the scaladoc's curation story teleports rank
+      // toward (g2 measures it as personalized-PageRank mass; this is
+      // the HOP-COUNT version a seed-set audit reads directly): seeds
+      // are the top-3 hubs by strong out-degree (ties by node), 4
+      // synchronous BFS min-fold rounds give every node its exact
+      // distance ≤ 4 or the 999 unreached sentinel, and the output is
+      // the distance histogram with per-ring min/max node — ring sizes
+      // are how "how much of the graph is within k hops of trust"
+      // gets answered before sampling weights are assigned. Kernel
+      // contract on [[seedDistance]].
+      val strong = strongCopurchase(s, d)
+      val nodes = strong.select(col("src").as("node")).distinct()
+      val seeds = strong.groupBy(col("src")).agg(count(lit(1)).as("dg"))
+        .orderBy(col("dg").desc, col("src")).limit(3)
+        .select(col("src").as("node"))
+      seedDistance(strong, nodes, seeds, rounds = 4)
+        .groupBy(col("dist"))
+        .agg(count(lit(1)).as("n_nodes"),
+          min(col("node")).as("min_node"), max(col("node")).as("max_node"))
+        .orderBy(col("dist"))
+    }, Some(
+      s"""WITH $sqlStrong,
+          bdeg AS (SELECT src, count(*) AS dg FROM strong GROUP BY 1),
+          bseeds AS (
+            SELECT src AS node FROM bdeg ORDER BY dg DESC, src LIMIT 3),
+          bnodes AS (SELECT DISTINCT src AS node FROM strong),
+          bd0 AS (
+            SELECT n.node,
+                   CASE WHEN s.node IS NULL THEN 999 ELSE 0 END AS dist
+            FROM bnodes n LEFT JOIN bseeds s ON s.node = n.node),
+          ${(1 to 4).map(seedDistStep).mkString(",\n")}
+          SELECT cast(dist AS bigint) AS dist,
+                 cast(count(*) AS bigint) AS n_nodes,
+                 min(node) AS min_node, max(node) AS max_node
+          FROM bd4 GROUP BY 1 ORDER BY 1""")))
 
   def queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap
 

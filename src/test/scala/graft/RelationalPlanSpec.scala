@@ -780,6 +780,33 @@ class RelationalPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"large-group estimate ${est / 1e6} vs exact $exact: rel err $rel")
   }
 
+  test("g8 seedDistance: exact hops on a hand graph, identical under both join strategies") {
+    // A path 1→2→3→4 plus isolated 5 (self-loop-free, symmetric by
+    // listing both directions), seed {1}: distances must be 0,1,2 and
+    // then the sentinel — node 4 is 3 hops away but rounds=2 can only
+    // certify ≤ 2, so it must stay 999 (the bounded-rounds contract),
+    // and 5 never receives mail. Zero broadcast budget must produce
+    // the SAME rows through the shuffle fallback.
+    import graft.operators.GraphOps
+    import org.apache.spark.sql.functions.col
+    val s = spark
+    import s.implicits._
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (3L, 4L),
+      (4L, 3L)).toDF("src", "dst")
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L).toDF("node")
+    val seeds = Seq(1L).toDF("node")
+    val got = GraphOps.seedDistance(edges, nodes, seeds, rounds = 2)
+      .orderBy(col("node")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 999L,
+      5L -> 999L), s"hand-graph distances wrong: $got")
+    val fb = GraphOps.seedDistance(edges, nodes, seeds, rounds = 2,
+        bcastNodeBudget = 0L)
+      .orderBy(col("node")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(fb == got, "seedDistance rows differ between join strategies")
+  }
+
   test("g1 pageRank: rank joins broadcast under the node budget, shuffle past it, same rows") {
     // The superstep join's size gate: while the node count fits the
     // budget the rank vector broadcasts (the measured-faster shape —
