@@ -631,6 +631,70 @@ object Estimation {
           "cast(round(f.sae * 1e3 / (n - 1)) AS bigint) END")
           .as("mae_e3"))
 
+  /** The w27 kernel — additive Holt–Winters (level + trend + period-7
+    * day-of-week seasonal) over any (event_type, day, x:long) daily
+    * panel, completing the smoothing ladder w22 (level) → w23
+    * (+trend) → here (+seasonality). All-integer recursion in cents
+    * (α = 2/10, β = 1/10, γ = 3/10, `div` truncation both engines —
+    * the w22/w23 discipline): per step, with s = seas[dow],
+    *   pred  = level + trend + s            (SAE accrues |x − pred|)
+    *   L'    = (2(x − s) + 8(level+trend)) div 10
+    *   T'    = ((L' − level) + 9·trend) div 10
+    *   s'    = (3(x − L') + 7s) div 10      (only the struck slot moves)
+    * The 7-slot state rides the ONE `aggregate()` fold as an
+    * array<bigint> (the oracle's recursive CTE carries the same list;
+    * slot indexing is 1-based element_at here and 1-based list index
+    * there, while the transform lambda's index is 0-based here vs
+    * 1-based in list_transform — the only spelled difference).
+    * Day-of-week is Spark dayofweek − 1 ≡ DuckDB dayofweek (Sunday 0).
+    * h=1 forecast reads the NEXT calendar day's slot, (ld + 1) mod 7.
+    * Scale: same contract as [[holt]] — the corpus-sized work is the
+    * daily aggregation; each series' fold is one calendar-bounded
+    * array walk.
+    */
+  private[graft] def holtWinters(daily: DataFrame): DataFrame =
+    daily
+      .groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("day"), col("x"),
+        (dayofweek(col("day")) - 1).cast("long").as("dw")))).as("s"))
+      .select(col("event_type"),
+        size(col("s")).cast("long").as("n"),
+        expr("""aggregate(s,
+            named_struct('level', cast(null AS bigint),
+                         'trend', cast(0 AS bigint),
+                         'sae', cast(0 AS bigint),
+                         'seas', array_repeat(cast(0 AS bigint), 7),
+                         'ld', cast(0 AS bigint)),
+            (acc, r) -> CASE WHEN acc.level IS NULL THEN named_struct(
+              'level', r.x, 'trend', cast(0 AS bigint),
+              'sae', cast(0 AS bigint), 'seas', acc.seas, 'ld', r.dw)
+            ELSE named_struct(
+              'level', (2 * (r.x - element_at(acc.seas,
+                          cast(r.dw + 1 AS int)))
+                        + 8 * (acc.level + acc.trend)) div 10,
+              'trend', (((2 * (r.x - element_at(acc.seas,
+                            cast(r.dw + 1 AS int)))
+                          + 8 * (acc.level + acc.trend)) div 10
+                         - acc.level) + 9 * acc.trend) div 10,
+              'sae', acc.sae + abs(r.x - (acc.level + acc.trend
+                       + element_at(acc.seas, cast(r.dw + 1 AS int)))),
+              'seas', transform(acc.seas, (v, i) ->
+                CASE WHEN i = r.dw THEN
+                  (3 * (r.x - ((2 * (r.x - element_at(acc.seas,
+                                  cast(r.dw + 1 AS int)))
+                                + 8 * (acc.level + acc.trend)) div 10))
+                   + 7 * v) div 10
+                ELSE v END),
+              'ld', r.dw) END)""").as("f"))
+      .select(col("event_type"), col("n"),
+        col("f.level").as("level_cents"), col("f.trend").as("trend_cents"),
+        col("f.sae").as("sae_cents"),
+        expr("CASE WHEN n > 1 THEN " +
+          "cast(round(f.sae * 1e3 / (n - 1)) AS bigint) END")
+          .as("mae_e3"),
+        expr("f.level + f.trend + element_at(f.seas, " +
+          "cast((f.ld + 1) % 7 + 1 AS int))").as("forecast_cents"))
+
   /** The w24 kernel over any (event_type, day, x:long) daily panel —
     * the forecast scorecard: one row per series comparing the
     * one-step-ahead absolute-error SUMS of the three nested baselines
@@ -1482,6 +1546,67 @@ object Estimation {
                 CASE WHEN f.n > 1 THEN
                   cast(round(r.sae * 1e3 / (f.n - 1)) AS bigint)
                 END AS mae_e3
+         FROM rec r JOIN fin f ON f.event_type = r.event_type AND r.t = f.n
+         ORDER BY 1""")),
+
+    // ----- W27 (ext.): Holt–Winters — the seasonal rung of the ladder ------
+
+    ("w27_holt_winters", (s: SparkSession, d: String) => {
+      // Additive Holt–Winters on the daily cents panel: level + trend
+      // + a 7-slot day-of-week seasonal profile, h=1 forecast reading
+      // the NEXT calendar day's slot, and the one-step MAE on the same
+      // error set as w22/w23 — the rung that says whether weekly
+      // seasonality is signal the trend-only smoother leaves on the
+      // table. Kernel contract (all-integer recursion, array-state
+      // fold, list-carrying recursive-CTE oracle) on [[holtWinters]].
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("x"))
+      holtWinters(daily).orderBy(col("event_type"))
+    }, Some(
+      """WITH RECURSIVE daily AS (
+           SELECT event_type, cast(ts AS date) AS day,
+                  cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS x
+           FROM events GROUP BY 1, 2),
+         e AS (
+           SELECT event_type, x, cast(dayofweek(day) AS bigint) AS dw,
+                  row_number() OVER (
+             PARTITION BY event_type ORDER BY day) AS t
+           FROM daily),
+         rec AS (
+           SELECT event_type, t, x AS level, cast(0 AS bigint) AS trend,
+                  cast(0 AS bigint) AS sae,
+                  list_transform(range(1, 8), i -> cast(0 AS bigint))
+                    AS seas,
+                  dw AS ld
+           FROM e WHERE t = 1
+           UNION ALL
+           SELECT e.event_type, e.t,
+                  (2 * (e.x - rec.seas[e.dw + 1])
+                   + 8 * (rec.level + rec.trend)) // 10,
+                  (((2 * (e.x - rec.seas[e.dw + 1])
+                     + 8 * (rec.level + rec.trend)) // 10
+                    - rec.level) + 9 * rec.trend) // 10,
+                  rec.sae + abs(e.x - (rec.level + rec.trend
+                    + rec.seas[e.dw + 1])),
+                  list_transform(rec.seas, (v, i) ->
+                    CASE WHEN i = e.dw + 1 THEN
+                      (3 * (e.x - ((2 * (e.x - rec.seas[e.dw + 1])
+                                    + 8 * (rec.level + rec.trend)) // 10))
+                       + 7 * v) // 10
+                    ELSE v END),
+                  e.dw
+           FROM rec JOIN e ON e.event_type = rec.event_type
+             AND e.t = rec.t + 1),
+         fin AS (SELECT event_type, max(t) AS n FROM rec GROUP BY 1)
+         SELECT r.event_type, cast(f.n AS bigint) AS n,
+                r.level AS level_cents, r.trend AS trend_cents,
+                r.sae AS sae_cents,
+                CASE WHEN f.n > 1 THEN
+                  cast(round(r.sae * 1e3 / (f.n - 1)) AS bigint)
+                END AS mae_e3,
+                r.level + r.trend + r.seas[(r.ld + 1) % 7 + 1]
+                  AS forecast_cents
          FROM rec r JOIN fin f ON f.event_type = r.event_type AND r.t = f.n
          ORDER BY 1""")),
 

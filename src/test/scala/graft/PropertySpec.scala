@@ -581,4 +581,71 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     check("smoothingKernels", cases = 25, prop)
   }
+
+  test("holtWinters equals its local integer recursion on random panels") {
+    // The seasonal rung against a step-by-step local replay: the 7-slot
+    // array state, the slot selection by day-of-week (Sunday = 0, the
+    // Spark dayofweek − 1 mapping), truncating `div` on the negative
+    // numerators sawtooth series force, and the h=1 forecast reading
+    // the NEXT calendar day's slot — each would diverge here before
+    // the oracle gate could localize it.
+    val s = spark
+    import s.implicits._
+    def localHw(series: List[(Int, Long)])
+        : (Long, Long, Long, Long, Option[Long], Long) = {
+      val pts = series.sortBy(_._1)
+      def dow(i: Int): Int =
+        day(pts(i)._1).toLocalDate.getDayOfWeek.getValue % 7
+      val xs = pts.map(_._2)
+      var level = xs.head; var trend = 0L; var sae = 0L
+      val seas = Array.fill(7)(0L)
+      var ld = dow(0)
+      for (k <- 1 until xs.length) {
+        val x = xs(k); val dw = dow(k); val sdw = seas(dw)
+        sae += math.abs(x - (level + trend + sdw))
+        val nl = (2 * (x - sdw) + 8 * (level + trend)) / 10
+        trend = ((nl - level) + 9 * trend) / 10
+        seas(dw) = (3 * (x - nl) + 7 * sdw) / 10
+        level = nl
+        ld = dw
+      }
+      val n = xs.length.toLong
+      (n, level, trend, sae,
+        if (n > 1) Some(rnd(sae * 1e3 / (n - 1))) else None,
+        level + trend + seas((ld + 1) % 7))
+    }
+    val seriesGen = Gen.choose(1, 30).flatMap { len =>
+      Gen.zip(
+        Gen.listOfN(len, Gen.choose(0, 70)).map(_.distinct.sorted),
+        Gen.oneOf("rand", "saw")).flatMap { case (days, shape) =>
+        Gen.listOfN(days.length, Gen.choose(-2000000L, 2000000L)).map { vs =>
+          val shaped =
+            if (shape == "saw") vs.zipWithIndex.map { case (v, i) =>
+              if (i % 2 == 0) math.abs(v) else -math.abs(v) }
+            else vs
+          days.zip(shaped)
+        }
+      }
+    }
+    val prop = Prop.forAll(Gen.zip(seriesGen, seriesGen)) {
+      case (sa, sb) =>
+        val panel = Map("a" -> sa, "b" -> sb).filter(_._2.nonEmpty)
+        val df = panel.toList
+          .flatMap { case (k, pts) => pts.map(p => (k, day(p._1), p._2)) }
+          .toDF("event_type", "day", "x")
+        val hw = graft.operators.Estimation.holtWinters(df).collect()
+          .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getLong(4),
+            if (r.isNullAt(5)) None else Some(r.getLong(5)),
+            r.getLong(6)))
+          .toMap
+        val errs = panel.toList.flatMap { case (k, pts) =>
+          if (hw(k) != localHw(pts))
+            List(s"hw $k: got ${hw(k)} want ${localHw(pts)} pts=$pts")
+          else Nil
+        }
+        Prop(errs.isEmpty) :| errs.mkString("; ")
+    }
+    check("holtWintersKernel", cases = 25, prop)
+  }
 }
