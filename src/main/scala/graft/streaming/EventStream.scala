@@ -808,6 +808,60 @@ object EventStream {
       }
   }
 
+  final case class HwState(n: Long, level: Long, trend: Long, sae: Long,
+    seas: Seq[Long], ld: Long)
+
+  final case class HwUpdate(event_type: String, n: Long, level_cents: Long,
+    trend_cents: Long, sae_cents: Long, forecast_cents: Long)
+
+  /** Streaming Holt–Winters — w27's seasonal recursion folded across
+    * micro-batches, completing the smoothing family's streaming ladder
+    * (ewmaStream → holtStream → here). The per-key state adds the
+    * 7-slot day-of-week seasonal array to Holt's (level, trend, sae);
+    * the slot index derives from event time as UTC epoch-day + 4 mod 7
+    * (Thursday epoch ⇒ Sunday = 0 — exactly the batch kernel's
+    * `dayofweek − 1` under the session-UTC contract Tables.events
+    * normalizes to). Integer end to end, same truncating division, so
+    * the folded state bit-matches [[graft.operators.Estimation.holtWinters]]
+    * on the same ordered cents sequence (StreamingSpec pins it across
+    * a batch boundary). Rows sort by (event time, value) within each
+    * batch — the path-dependence contract shared with holtStream.
+    */
+  def hwStream(events: DataFrame): Dataset[HwUpdate] = {
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      .select(col("event_type"), col("ts"), col("value"))
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), unix_micros(col("ts")).as("us"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[HwState, HwUpdate](GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Long, Long)],
+            state: GroupState[HwState]) =>
+          var st = state.getOption.getOrElse(
+            HwState(0L, 0L, 0L, 0L, Seq.fill(7)(0L), 0L))
+          rows.toSeq.sortBy(t => (t._2, t._3)).foreach { case (_, us, cents) =>
+            val dw = ((Math.floorDiv(us, 86400000000L) + 4) % 7 + 7) % 7
+            st =
+              if (st.n == 0) HwState(1L, cents, 0L, 0L, st.seas, dw)
+              else {
+                val sdw = st.seas(dw.toInt)
+                val f = st.level + st.trend + sdw
+                val nl = (2 * (cents - sdw) + 8 * (st.level + st.trend)) / 10
+                HwState(st.n + 1, nl, ((nl - st.level) + 9 * st.trend) / 10,
+                  st.sae + math.abs(cents - f),
+                  st.seas.updated(dw.toInt, (3 * (cents - nl) + 7 * sdw) / 10),
+                  dw)
+              }
+          }
+          state.update(st)
+          HwUpdate(key, st.n, st.level, st.trend, st.sae,
+            st.level + st.trend + st.seas(((st.ld + 1) % 7).toInt))
+      }
+  }
+
   final case class RunsState(n: Long, n1: Long, runs: Long, last: Int)
 
   final case class RunsUpdate(

@@ -1020,6 +1020,56 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"streamed Holt state $streamed diverged from batch kernel $batch")
   }
 
+  test("hwStream: the folded seasonal recursion bit-matches the w27 batch kernel across a batch boundary") {
+    // One event per (key, day) over 12 consecutive days — long enough
+    // that several day-of-week slots are struck TWICE, so a slot
+    // update lost at the micro-batch boundary (or a dow mapping off
+    // by one) diverges. Batch days are built from the SAME UTC
+    // epoch-day the stream derives from unix_micros, so the
+    // comparison pins the dow contract itself, not the JVM timezone.
+    val s = spark
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.Encoders
+    import s.implicits._
+    val ms = MemoryStream(
+      Encoders.tuple(Encoders.STRING, Encoders.TIMESTAMP, Encoders.scalaDouble),
+      s.sqlContext)
+    val base = 1700000000000L
+    def t(dayIdx: Int) = new java.sql.Timestamp(base + dayIdx * 86400000L)
+    def d(dayIdx: Int) = java.sql.Date.valueOf(
+      java.time.LocalDate.ofEpochDay(
+        Math.floorDiv(base + dayIdx * 86400000L, 86400000L)))
+    val vals = Seq(10.00, 12.50, 15.00, 14.00, 9.00, 3.50, 2.00, 8.25,
+      11.75, 6.00, 13.25, 4.50)
+    val q = EventStream.hwStream(ms.toDF.toDF("event_type", "ts", "value"))
+      .writeStream.format("memory").queryName("hw_mon")
+      .outputMode("update").start()
+    try {
+      ms.addData(vals.take(5).zipWithIndex.map { case (v, i) => ("a", t(i), v) }: _*)
+      q.processAllAvailable()
+      ms.addData(vals.drop(5).zipWithIndex.map { case (v, i) => ("a", t(i + 5), v) }: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("hw_mon")
+      .groupBy("event_type")
+      .agg(max(struct(col("n"), col("level_cents"), col("trend_cents"),
+        col("sae_cents"), col("forecast_cents"))).as("f"))
+      .select(col("f.n"), col("f.level_cents"), col("f.trend_cents"),
+        col("f.sae_cents"), col("f.forecast_cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).head
+    val daily = vals.zipWithIndex
+      .map { case (v, i) => ("a", d(i), math.round(v * 100)) }
+      .toDF("event_type", "day", "x")
+    val batch = graft.operators.Estimation.holtWinters(daily)
+      .select(col("n"), col("level_cents"), col("trend_cents"),
+        col("sae_cents"), col("forecast_cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).head
+    assert(streamed == batch,
+      s"streamed Holt-Winters state $streamed diverged from batch kernel $batch")
+  }
+
   test("runsStream: the folded runs count bit-matches the t13 batch kernel across a batch boundary") {
     // One event per day, frozen reference = the series' lower median
     // (100 cents for the 1.00/90.00 alternator), so the stream's
