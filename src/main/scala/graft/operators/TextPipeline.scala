@@ -542,6 +542,34 @@ object TextPipeline {
       "q_id", "cosine_e6", "vec_id", k, ascending = false,
       scoreName = "cosine_e6", idName = "vec_id")
 
+  /** One unrolled greedy MMR round as a DuckDB CTE triple (e20): round
+    * i scores every not-yet-selected candidate as λ·rel − (1−λ)·max
+    * sim-to-selected on the e6-quantized INTEGER sims (λ = 0.7 ⇒
+    * 7·rel_e6 − 3·maxsim_e6, an e7-scale integer — no division, no
+    * double, so the greedy path is deterministic in both engines),
+    * picks the winner (ties by vec_id), and appends it to the selected
+    * set. Kept beside the Scala greedy so the two spellings evolve
+    * together.
+    */
+  private def mmrStep(i: Int): String =
+    s"""ms$i AS (
+          SELECT c.q_id, c.vec_id, c.rel_e6, max(p.sim_e6) AS ms
+          FROM mcand c
+          JOIN msel${i - 1} s ON s.q_id = c.q_id
+          JOIN mpsim p ON p.q_id = c.q_id AND p.va = c.vec_id
+            AND p.vb = s.vec_id
+          WHERE NOT EXISTS (SELECT 1 FROM msel${i - 1} x
+            WHERE x.q_id = c.q_id AND x.vec_id = c.vec_id)
+          GROUP BY 1, 2, 3),
+        pick$i AS (
+          SELECT q_id, vec_id, rel_e6, 7 * rel_e6 - 3 * ms AS mmr_e7,
+                 $i AS sel_rank
+          FROM ms$i
+          QUALIFY row_number() OVER (PARTITION BY q_id
+            ORDER BY 7 * rel_e6 - 3 * ms DESC, vec_id) = 1),
+        msel$i AS (
+          SELECT * FROM msel${i - 1} UNION ALL SELECT * FROM pick$i)"""
+
   /** Random-hyperplane LSH bucket per vector: 4 deterministic integer
     * hyperplanes h_p[i] = ((i·31 + p·17) mod 7) − 3 (exact in both engines
     * — no libm), bucket = Σ 2^p over positive projections. Columns:
@@ -2648,6 +2676,107 @@ object TextPipeline {
            ON c.q_id = a.q_id AND c.vec_id = a.vec_id
          WHERE a.c6 >= 250000
          ORDER BY 1, 2""")),
+
+    ("e20_mmr_rerank", (s: SparkSession, d: String) => {
+      // Diversified retrieval — greedy Maximal Marginal Relevance
+      // (Carbonell & Goldstein 1998) over each query's exact top-20:
+      // select 5 results maximizing λ·relevance − (1−λ)·max-sim-to-
+      // already-selected, the re-rank that keeps a near-duplicate
+      // cluster from monopolizing a result page (the serve-side
+      // complement of d6's batch near-dup removal). Scale: the
+      // candidate set is the bounded exactTopK cut (k per query, never
+      // corpus-sized), so the 20×19 pairwise sims and the 5 greedy
+      // rounds are P9-bounded work; determinism: greedy runs entirely
+      // on e6-rounded integer sims (λ = 0.7 ⇒ score 7·rel − 3·maxsim,
+      // an e7 integer; ties by vec_id), the e3 discipline extended to
+      // the re-rank path. The Scala side folds per query task-locally;
+      // the oracle unrolls the same 5 rounds as CTEs ([[mmrStep]]).
+      import s.implicits._
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val cand = exactTopK(e, q, 20)
+        .select(col("q_id"), col("vec_id"), col("cosine_e6").as("rel_e6"))
+      val ce = cand.join(e, "vec_id")
+        .select(col("q_id"), col("vec_id"), col("embedding").as("emb"))
+      val ps = ce.as("a").join(ce.as("b"),
+          col("a.q_id") === col("b.q_id") &&
+            col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.q_id").as("q_id"), col("a.vec_id").as("va"),
+          col("b.vec_id").as("vb"),
+          round(dot("a.emb", "b.emb") /
+            (sqrt(dot("a.emb", "a.emb")) * sqrt(dot("b.emb", "b.emb")))
+            * 1e6).cast("long").as("sim_e6"))
+      val candAgg = cand.groupBy(col("q_id"))
+        .agg(collect_list(struct(col("vec_id"), col("rel_e6"))).as("cands"))
+      val psAgg = ps.groupBy(col("q_id"))
+        .agg(collect_list(struct(col("va"), col("vb"),
+          col("sim_e6"))).as("sims"))
+      candAgg.join(psAgg, "q_id")
+        .as[(Long, Seq[(Long, Long)], Seq[(Long, Long, Long)])]
+        .flatMap { case (qid, cands, sims) =>
+          val simMap = sims.map(t => (t._1, t._2) -> t._3).toMap
+          var selected = List.empty[Long]
+          var remaining = cands.sortBy(c => (-c._2, c._1)).toList
+          (1 to 5).map { r =>
+            val pick = remaining.map { case (v, rel) =>
+              val ms =
+                if (selected.isEmpty) 0L
+                else selected.map(sv => simMap((v, sv))).max
+              (v, rel, 7 * rel - 3 * ms)
+            }.minBy { case (v, _, sc) => (-sc, v) }
+            selected ::= pick._1
+            remaining = remaining.filterNot(_._1 == pick._1)
+            (qid, r, pick._1, pick._2, pick._3)
+          }
+        }
+        .toDF("q_id", "sel_rank", "vec_id", "rel_e6", "mmr_e7")
+        .orderBy(col("q_id"), col("sel_rank"))
+    }, Some(
+      s"""WITH ex AS (
+           SELECT vec_id, i, cast(embedding[i] AS double) AS v FROM (
+             SELECT vec_id, embedding,
+                    unnest(generate_series(1, len(embedding))) AS i
+             FROM embeddings)),
+         norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ex GROUP BY 1),
+         dots AS (
+           SELECT q.vec_id AS q_id, e.vec_id AS vec_id, sum(q.v * e.v) AS dot
+           FROM ex q JOIN ex e ON q.i = e.i
+           WHERE q.vec_id < 3 AND e.vec_id <> q.vec_id
+           GROUP BY 1, 2),
+         sc AS (
+           SELECT d.q_id, d.vec_id,
+                  cast(round(d.dot / (nq.nrm * ne.nrm) * 1e6) AS bigint)
+                    AS rel_e6
+           FROM dots d
+           JOIN norms nq ON nq.vec_id = d.q_id
+           JOIN norms ne ON ne.vec_id = d.vec_id),
+         mcand AS (
+           SELECT q_id, vec_id, rel_e6 FROM sc
+           QUALIFY row_number() OVER (PARTITION BY q_id
+             ORDER BY rel_e6 DESC, vec_id) <= 20),
+         mpsim AS (
+           SELECT a.q_id, a.vec_id AS va, b.vec_id AS vb,
+                  cast(round(sum(ea.v * eb.v) / (na.nrm * nb.nrm) * 1e6)
+                    AS bigint) AS sim_e6
+           FROM mcand a
+           JOIN mcand b ON b.q_id = a.q_id AND b.vec_id <> a.vec_id
+           JOIN ex ea ON ea.vec_id = a.vec_id
+           JOIN ex eb ON eb.vec_id = b.vec_id AND eb.i = ea.i
+           JOIN norms na ON na.vec_id = a.vec_id
+           JOIN norms nb ON nb.vec_id = b.vec_id
+           GROUP BY a.q_id, a.vec_id, b.vec_id, na.nrm, nb.nrm),
+         pick1 AS (
+           SELECT q_id, vec_id, rel_e6, 7 * rel_e6 AS mmr_e7,
+                  1 AS sel_rank
+           FROM mcand
+           QUALIFY row_number() OVER (PARTITION BY q_id
+             ORDER BY rel_e6 DESC, vec_id) = 1),
+         msel1 AS (SELECT * FROM pick1),
+         ${(2 to 5).map(mmrStep).mkString(",\n")}
+         SELECT q_id, cast(sel_rank AS int) AS sel_rank, vec_id, rel_e6,
+                mmr_e7
+         FROM msel5 ORDER BY 1, 2""")),
 
     ("e9_pq_search", (s: SparkSession, d: String) => {
       // The FOURTH ANN path: product quantization — the COMPRESSION
