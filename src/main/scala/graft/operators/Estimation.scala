@@ -2561,7 +2561,137 @@ object Estimation {
           round(col("theils_u_ar1") * 1e6).cast("long").as("theils_u_ar1_e6"),
           col("n_eval"))
         .orderBy(col("horizon"))
-    }, Some(M17Oracle.sql))
+    }, Some(M17Oracle.sql)),
+
+    // ----- M20 (ext.): impulse responses — what the fitted VAR says -------
+
+    ("m20_irf", (s: SparkSession, d: String) => {
+      // Impulse-response functions of the full-sample VAR(1) on m17's
+      // scaled monthly 2-series panel — the question a fitted VAR
+      // exists to answer (how does a shock to one variable propagate
+      // through the system?): plain IRFs Ψ_h = B^h for h = 0..8, and
+      // orthogonalized IRFs Ψ_h·L with L the lower Cholesky factor of
+      // the residual covariance (divisor n_design, shared text) —
+      // shock ordering (rev, n_orders), the Sims recursive
+      // identification. λ = 0 ⇒ the fit is the raw 2×2 Cramer solve
+      // (M17Oracle's argument), residuals/covariance/Cholesky/powers
+      // are closed-form chains both engines spell identically, and
+      // every output is e6-quantized with ~1e-9 agreement margin.
+      // Scale: the monthly aggregation is the corpus-sized work; the
+      // collected panel is calendar-bounded (P9 contract), so the
+      // 2×2 algebra runs driver-side like m16/m17.
+      val panel = collectSeries(monthlyPanel(s, d), "month",
+        Seq("rev", "n_orders"))
+      val n = panel.length
+      val y1 = panel.map(_(0) / 1e8)
+      val y2 = panel.map(_(1) / 1e3)
+      var (s11, s12, s22) = (0.0, 0.0, 0.0)
+      var (p1, p2, q1, q2) = (0.0, 0.0, 0.0, 0.0)
+      for (t <- 1 until n) {
+        val (x1, x2, z1, z2) = (y1(t - 1), y2(t - 1), y1(t), y2(t))
+        s11 += x1 * x1; s12 += x1 * x2; s22 += x2 * x2
+        p1 += x1 * z1; p2 += x2 * z1; q1 += x1 * z2; q2 += x2 * z2
+      }
+      val det = s11 * s22 - s12 * s12
+      val b11 = (p1 * s22 - s12 * p2) / det
+      val b12 = (s11 * p2 - s12 * p1) / det
+      val b21 = (q1 * s22 - s12 * q2) / det
+      val b22 = (s11 * q2 - s12 * q1) / det
+      var (g11, g12, g22) = (0.0, 0.0, 0.0)
+      for (t <- 1 until n) {
+        val u1 = y1(t) - (b11 * y1(t - 1) + b12 * y2(t - 1))
+        val u2 = y2(t) - (b21 * y1(t - 1) + b22 * y2(t - 1))
+        g11 += u1 * u1; g12 += u1 * u2; g22 += u2 * u2
+      }
+      val m = (n - 1).toDouble
+      g11 /= m; g12 /= m; g22 /= m
+      val l11 = math.sqrt(g11)
+      val l21 = g12 / math.sqrt(g11)
+      val l22 = math.sqrt(g22 - g12 * g12 / g11)
+      var (m11, m12, m21, m22) = (1.0, 0.0, 0.0, 1.0)
+      val rows = (0 to 8).map { h =>
+        if (h > 0) {
+          val (n11, n12) = (b11 * m11 + b12 * m21, b11 * m12 + b12 * m22)
+          val (n21, n22) = (b21 * m11 + b22 * m21, b21 * m12 + b22 * m22)
+          m11 = n11; m12 = n12; m21 = n21; m22 = n22
+        }
+        Row(h.toLong,
+          math.round(m11 * 1e6), math.round(m12 * 1e6),
+          math.round(m21 * 1e6), math.round(m22 * 1e6),
+          math.round((m11 * l11 + m12 * l21) * 1e6),
+          math.round(m12 * l22 * 1e6),
+          math.round((m21 * l11 + m22 * l21) * 1e6),
+          math.round(m22 * l22 * 1e6))
+      }
+      s.createDataFrame(
+        java.util.Arrays.asList(rows: _*),
+        StructType(Seq("horizon", "irf_11_e6", "irf_12_e6", "irf_21_e6",
+          "irf_22_e6", "oirf_11_e6", "oirf_12_e6", "oirf_21_e6",
+          "oirf_22_e6").map(StructField(_, LongType))))
+        .orderBy(col("horizon"))
+    }, Some(
+      """WITH RECURSIVE monthly AS (
+           SELECT cast(date_trunc('month', o_orderdate) AS date) AS month,
+                  sum(o_totalprice) / 1e8 AS y1,
+                  count(*) / 1e3 AS y2
+           FROM orders GROUP BY 1),
+         idx AS (
+           SELECT row_number() OVER (ORDER BY month) AS t, y1, y2
+           FROM monthly),
+         d AS (
+           SELECT r.t, l.y1 AS x1, l.y2 AS x2, r.y1 AS z1, r.y2 AS z2
+           FROM idx r JOIN idx l ON l.t = r.t - 1),
+         sums AS (
+           SELECT sum(x1 * x1) AS s11, sum(x1 * x2) AS s12,
+                  sum(x2 * x2) AS s22,
+                  sum(x1 * z1) AS p1, sum(x2 * z1) AS p2,
+                  sum(x1 * z2) AS q1, sum(x2 * z2) AS q2,
+                  cast(count(*) AS double) AS m
+           FROM d),
+         bmat AS (
+           SELECT m,
+                  (p1 * s22 - s12 * p2) / (s11 * s22 - s12 * s12) AS b11,
+                  (s11 * p2 - s12 * p1) / (s11 * s22 - s12 * s12) AS b12,
+                  (q1 * s22 - s12 * q2) / (s11 * s22 - s12 * s12) AS b21,
+                  (s11 * q2 - s12 * q1) / (s11 * s22 - s12 * s12) AS b22
+           FROM sums),
+         res AS (
+           SELECT d.z1 - (b.b11 * d.x1 + b.b12 * d.x2) AS u1,
+                  d.z2 - (b.b21 * d.x1 + b.b22 * d.x2) AS u2
+           FROM d CROSS JOIN bmat b),
+         sig AS (
+           SELECT sum(u1 * u1) / max(b.m) AS g11,
+                  sum(u1 * u2) / max(b.m) AS g12,
+                  sum(u2 * u2) / max(b.m) AS g22
+           FROM res CROSS JOIN bmat b),
+         chol AS (
+           SELECT sqrt(g11) AS l11, g12 / sqrt(g11) AS l21,
+                  sqrt(g22 - g12 * g12 / g11) AS l22
+           FROM sig),
+         pw AS (
+           SELECT 0 AS h, cast(1 AS double) AS m11,
+                  cast(0 AS double) AS m12, cast(0 AS double) AS m21,
+                  cast(1 AS double) AS m22
+           UNION ALL
+           SELECT pw.h + 1,
+                  b.b11 * pw.m11 + b.b12 * pw.m21,
+                  b.b11 * pw.m12 + b.b12 * pw.m22,
+                  b.b21 * pw.m11 + b.b22 * pw.m21,
+                  b.b21 * pw.m12 + b.b22 * pw.m22
+           FROM pw CROSS JOIN bmat b WHERE pw.h < 8)
+         SELECT cast(h AS bigint) AS horizon,
+                cast(round(m11 * 1e6) AS bigint) AS irf_11_e6,
+                cast(round(m12 * 1e6) AS bigint) AS irf_12_e6,
+                cast(round(m21 * 1e6) AS bigint) AS irf_21_e6,
+                cast(round(m22 * 1e6) AS bigint) AS irf_22_e6,
+                cast(round((m11 * c.l11 + m12 * c.l21) * 1e6) AS bigint)
+                  AS oirf_11_e6,
+                cast(round(m12 * c.l22 * 1e6) AS bigint) AS oirf_12_e6,
+                cast(round((m21 * c.l11 + m22 * c.l21) * 1e6) AS bigint)
+                  AS oirf_21_e6,
+                cast(round(m22 * c.l22 * 1e6) AS bigint) AS oirf_22_e6
+         FROM pw CROSS JOIN chol c
+         ORDER BY 1"""))
   )
 
   def queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap
