@@ -82,6 +82,112 @@ object Estimation {
     rows.map(r => valueCols.indices.map(i => r.getDouble(i)).toArray)
   }
 
+  /** Full-sample VAR(1) fit on m17's scaled monthly (rev, n_orders)
+    * panel plus the lower Cholesky factor of its residual covariance —
+    * the shared driver-side kernel behind m20 (impulse responses) and
+    * m21 (variance decomposition). λ = 0 ⇒ the fit is the raw 2×2
+    * Cramer solve (M17Oracle's argument); covariance divisor is
+    * n_design (= n − 1), matching the shared oracle text. Returns
+    * (b11, b12, b21, b22, l11, l21, l22). Scale: the monthly
+    * aggregation is the corpus-sized work; the collected panel is
+    * calendar-bounded (P9 contract), so the 2×2 algebra runs
+    * driver-side like m16/m17.
+    */
+  private def var1CholFit(s: SparkSession, d: String)
+      : (Double, Double, Double, Double, Double, Double, Double) = {
+    val panel = collectSeries(monthlyPanel(s, d), "month",
+      Seq("rev", "n_orders"))
+    val n = panel.length
+    val y1 = panel.map(_(0) / 1e8)
+    val y2 = panel.map(_(1) / 1e3)
+    var (s11, s12, s22) = (0.0, 0.0, 0.0)
+    var (p1, p2, q1, q2) = (0.0, 0.0, 0.0, 0.0)
+    for (t <- 1 until n) {
+      val (x1, x2, z1, z2) = (y1(t - 1), y2(t - 1), y1(t), y2(t))
+      s11 += x1 * x1; s12 += x1 * x2; s22 += x2 * x2
+      p1 += x1 * z1; p2 += x2 * z1; q1 += x1 * z2; q2 += x2 * z2
+    }
+    val det = s11 * s22 - s12 * s12
+    val b11 = (p1 * s22 - s12 * p2) / det
+    val b12 = (s11 * p2 - s12 * p1) / det
+    val b21 = (q1 * s22 - s12 * q2) / det
+    val b22 = (s11 * q2 - s12 * q1) / det
+    var (g11, g12, g22) = (0.0, 0.0, 0.0)
+    for (t <- 1 until n) {
+      val u1 = y1(t) - (b11 * y1(t - 1) + b12 * y2(t - 1))
+      val u2 = y2(t) - (b21 * y1(t - 1) + b22 * y2(t - 1))
+      g11 += u1 * u1; g12 += u1 * u2; g22 += u2 * u2
+    }
+    val m = (n - 1).toDouble
+    g11 /= m; g12 /= m; g22 /= m
+    val l11 = math.sqrt(g11)
+    val l21 = g12 / math.sqrt(g11)
+    val l22 = math.sqrt(g22 - g12 * g12 / g11)
+    (b11, b12, b21, b22, l11, l21, l22)
+  }
+
+  /** Shared DuckDB prefix for the m20/m21 oracles: monthly panel →
+    * lag pairs → normal-equation sums → Cramer B → residual covariance
+    * (divisor m = n_design) → Cholesky → recursive powers Bʰ, h = 0..8.
+    * The recursion anchor spells cast(1 AS double): a bare `1.0` types
+    * the WHOLE recursion DECIMAL(2,1) in DuckDB and quantizes every
+    * iterate to one decimal (the r12 anchor-literal lesson). LAZY: a
+    * strict val here would interpolate null into `entries` rows built
+    * before this object initializes (the r12 w26 lesson).
+    */
+  private object IrfOracle {
+    lazy val prefix: String =
+      """WITH RECURSIVE monthly AS (
+           SELECT cast(date_trunc('month', o_orderdate) AS date) AS month,
+                  sum(o_totalprice) / 1e8 AS y1,
+                  count(*) / 1e3 AS y2
+           FROM orders GROUP BY 1),
+         idx AS (
+           SELECT row_number() OVER (ORDER BY month) AS t, y1, y2
+           FROM monthly),
+         d AS (
+           SELECT r.t, l.y1 AS x1, l.y2 AS x2, r.y1 AS z1, r.y2 AS z2
+           FROM idx r JOIN idx l ON l.t = r.t - 1),
+         sums AS (
+           SELECT sum(x1 * x1) AS s11, sum(x1 * x2) AS s12,
+                  sum(x2 * x2) AS s22,
+                  sum(x1 * z1) AS p1, sum(x2 * z1) AS p2,
+                  sum(x1 * z2) AS q1, sum(x2 * z2) AS q2,
+                  cast(count(*) AS double) AS m
+           FROM d),
+         bmat AS (
+           SELECT m,
+                  (p1 * s22 - s12 * p2) / (s11 * s22 - s12 * s12) AS b11,
+                  (s11 * p2 - s12 * p1) / (s11 * s22 - s12 * s12) AS b12,
+                  (q1 * s22 - s12 * q2) / (s11 * s22 - s12 * s12) AS b21,
+                  (s11 * q2 - s12 * q1) / (s11 * s22 - s12 * s12) AS b22
+           FROM sums),
+         res AS (
+           SELECT d.z1 - (b.b11 * d.x1 + b.b12 * d.x2) AS u1,
+                  d.z2 - (b.b21 * d.x1 + b.b22 * d.x2) AS u2
+           FROM d CROSS JOIN bmat b),
+         sig AS (
+           SELECT sum(u1 * u1) / max(b.m) AS g11,
+                  sum(u1 * u2) / max(b.m) AS g12,
+                  sum(u2 * u2) / max(b.m) AS g22
+           FROM res CROSS JOIN bmat b),
+         chol AS (
+           SELECT sqrt(g11) AS l11, g12 / sqrt(g11) AS l21,
+                  sqrt(g22 - g12 * g12 / g11) AS l22
+           FROM sig),
+         pw AS (
+           SELECT 0 AS h, cast(1 AS double) AS m11,
+                  cast(0 AS double) AS m12, cast(0 AS double) AS m21,
+                  cast(1 AS double) AS m22
+           UNION ALL
+           SELECT pw.h + 1,
+                  b.b11 * pw.m11 + b.b12 * pw.m21,
+                  b.b11 * pw.m12 + b.b12 * pw.m22,
+                  b.b21 * pw.m11 + b.b22 * pw.m21,
+                  b.b21 * pw.m12 + b.b22 * pw.m22
+           FROM pw CROSS JOIN bmat b WHERE pw.h < 8)"""
+  }
+
   /** Distributed form of the m11 naive-ACF selection — the SCALE PATH for
     * the one driver-matrix query whose input could plausibly outgrow the
     * driver (days × event-types: the day axis is calendar-bounded but the
@@ -2573,41 +2679,12 @@ object Estimation {
       // orthogonalized IRFs Ψ_h·L with L the lower Cholesky factor of
       // the residual covariance (divisor n_design, shared text) —
       // shock ordering (rev, n_orders), the Sims recursive
-      // identification. λ = 0 ⇒ the fit is the raw 2×2 Cramer solve
-      // (M17Oracle's argument), residuals/covariance/Cholesky/powers
-      // are closed-form chains both engines spell identically, and
-      // every output is e6-quantized with ~1e-9 agreement margin.
-      // Scale: the monthly aggregation is the corpus-sized work; the
-      // collected panel is calendar-bounded (P9 contract), so the
-      // 2×2 algebra runs driver-side like m16/m17.
-      val panel = collectSeries(monthlyPanel(s, d), "month",
-        Seq("rev", "n_orders"))
-      val n = panel.length
-      val y1 = panel.map(_(0) / 1e8)
-      val y2 = panel.map(_(1) / 1e3)
-      var (s11, s12, s22) = (0.0, 0.0, 0.0)
-      var (p1, p2, q1, q2) = (0.0, 0.0, 0.0, 0.0)
-      for (t <- 1 until n) {
-        val (x1, x2, z1, z2) = (y1(t - 1), y2(t - 1), y1(t), y2(t))
-        s11 += x1 * x1; s12 += x1 * x2; s22 += x2 * x2
-        p1 += x1 * z1; p2 += x2 * z1; q1 += x1 * z2; q2 += x2 * z2
-      }
-      val det = s11 * s22 - s12 * s12
-      val b11 = (p1 * s22 - s12 * p2) / det
-      val b12 = (s11 * p2 - s12 * p1) / det
-      val b21 = (q1 * s22 - s12 * q2) / det
-      val b22 = (s11 * q2 - s12 * q1) / det
-      var (g11, g12, g22) = (0.0, 0.0, 0.0)
-      for (t <- 1 until n) {
-        val u1 = y1(t) - (b11 * y1(t - 1) + b12 * y2(t - 1))
-        val u2 = y2(t) - (b21 * y1(t - 1) + b22 * y2(t - 1))
-        g11 += u1 * u1; g12 += u1 * u2; g22 += u2 * u2
-      }
-      val m = (n - 1).toDouble
-      g11 /= m; g12 /= m; g22 /= m
-      val l11 = math.sqrt(g11)
-      val l21 = g12 / math.sqrt(g11)
-      val l22 = math.sqrt(g22 - g12 * g12 / g11)
+      // identification. Fit + Cholesky come from the shared
+      // `var1CholFit` kernel (m21 decomposes the same responses);
+      // residuals/covariance/Cholesky/powers are closed-form chains
+      // both engines spell identically, and every output is
+      // e6-quantized with ~1e-9 agreement margin.
+      val (b11, b12, b21, b22, l11, l21, l22) = var1CholFit(s, d)
       var (m11, m12, m21, m22) = (1.0, 0.0, 0.0, 1.0)
       val rows = (0 to 8).map { h =>
         if (h > 0) {
@@ -2629,56 +2706,8 @@ object Estimation {
           "irf_22_e6", "oirf_11_e6", "oirf_12_e6", "oirf_21_e6",
           "oirf_22_e6").map(StructField(_, LongType))))
         .orderBy(col("horizon"))
-    }, Some(
-      """WITH RECURSIVE monthly AS (
-           SELECT cast(date_trunc('month', o_orderdate) AS date) AS month,
-                  sum(o_totalprice) / 1e8 AS y1,
-                  count(*) / 1e3 AS y2
-           FROM orders GROUP BY 1),
-         idx AS (
-           SELECT row_number() OVER (ORDER BY month) AS t, y1, y2
-           FROM monthly),
-         d AS (
-           SELECT r.t, l.y1 AS x1, l.y2 AS x2, r.y1 AS z1, r.y2 AS z2
-           FROM idx r JOIN idx l ON l.t = r.t - 1),
-         sums AS (
-           SELECT sum(x1 * x1) AS s11, sum(x1 * x2) AS s12,
-                  sum(x2 * x2) AS s22,
-                  sum(x1 * z1) AS p1, sum(x2 * z1) AS p2,
-                  sum(x1 * z2) AS q1, sum(x2 * z2) AS q2,
-                  cast(count(*) AS double) AS m
-           FROM d),
-         bmat AS (
-           SELECT m,
-                  (p1 * s22 - s12 * p2) / (s11 * s22 - s12 * s12) AS b11,
-                  (s11 * p2 - s12 * p1) / (s11 * s22 - s12 * s12) AS b12,
-                  (q1 * s22 - s12 * q2) / (s11 * s22 - s12 * s12) AS b21,
-                  (s11 * q2 - s12 * q1) / (s11 * s22 - s12 * s12) AS b22
-           FROM sums),
-         res AS (
-           SELECT d.z1 - (b.b11 * d.x1 + b.b12 * d.x2) AS u1,
-                  d.z2 - (b.b21 * d.x1 + b.b22 * d.x2) AS u2
-           FROM d CROSS JOIN bmat b),
-         sig AS (
-           SELECT sum(u1 * u1) / max(b.m) AS g11,
-                  sum(u1 * u2) / max(b.m) AS g12,
-                  sum(u2 * u2) / max(b.m) AS g22
-           FROM res CROSS JOIN bmat b),
-         chol AS (
-           SELECT sqrt(g11) AS l11, g12 / sqrt(g11) AS l21,
-                  sqrt(g22 - g12 * g12 / g11) AS l22
-           FROM sig),
-         pw AS (
-           SELECT 0 AS h, cast(1 AS double) AS m11,
-                  cast(0 AS double) AS m12, cast(0 AS double) AS m21,
-                  cast(1 AS double) AS m22
-           UNION ALL
-           SELECT pw.h + 1,
-                  b.b11 * pw.m11 + b.b12 * pw.m21,
-                  b.b11 * pw.m12 + b.b12 * pw.m22,
-                  b.b21 * pw.m11 + b.b22 * pw.m21,
-                  b.b21 * pw.m12 + b.b22 * pw.m22
-           FROM pw CROSS JOIN bmat b WHERE pw.h < 8)
+    }, Some(IrfOracle.prefix +
+      """
          SELECT cast(h AS bigint) AS horizon,
                 cast(round(m11 * 1e6) AS bigint) AS irf_11_e6,
                 cast(round(m12 * 1e6) AS bigint) AS irf_12_e6,
@@ -2691,7 +2720,78 @@ object Estimation {
                   AS oirf_21_e6,
                 cast(round(m22 * c.l22 * 1e6) AS bigint) AS oirf_22_e6
          FROM pw CROSS JOIN chol c
-         ORDER BY 1"""))
+         ORDER BY 1""")),
+
+    // ----- M21 (ext.): forecast-error variance decomposition ---------------
+
+    ("m21_fevd", (s: SparkSession, d: String) => {
+      // FEVD — the second half of what a fitted VAR answers (m20's IRF
+      // traces a shock forward; this attributes each variable's h-step
+      // forecast-error variance BACK to the orthogonalized shocks):
+      // with Θ_h = Ψ_h·L the orthogonalized responses, the h-step
+      // forecast MSE of variable i is Σ_{s≤h} Σ_j Θ_s(i,j)², and
+      // fevd_ij(h) is shock j's share of it. Shares are cumulative
+      // ratios of the same closed-form chain both engines spell
+      // identically (the oracle extends IrfOracle's recursive powers
+      // with a cumulative window over h); at h = 0 the recursive
+      // identification forces fevd_11 = 1 exactly (rev's own shock
+      // owns its impact variance — shock ordering (rev, n_orders)).
+      // Scale: identical to m20 — corpus work is the monthly
+      // aggregation; the 2×2 algebra is driver-side on the
+      // calendar-bounded panel.
+      val (b11, b12, b21, b22, l11, l21, l22) = var1CholFit(s, d)
+      var (pm11, pm12, pm21, pm22) = (1.0, 0.0, 0.0, 1.0)
+      var (c11, c12, c21, c22) = (0.0, 0.0, 0.0, 0.0)
+      val rows = (0 to 8).map { h =>
+        if (h > 0) {
+          val (n11, n12) = (b11 * pm11 + b12 * pm21, b11 * pm12 + b12 * pm22)
+          val (n21, n22) = (b21 * pm11 + b22 * pm21, b21 * pm12 + b22 * pm22)
+          pm11 = n11; pm12 = n12; pm21 = n21; pm22 = n22
+        }
+        val o11 = pm11 * l11 + pm12 * l21
+        val o12 = pm12 * l22
+        val o21 = pm21 * l11 + pm22 * l21
+        val o22 = pm22 * l22
+        c11 += o11 * o11; c12 += o12 * o12
+        c21 += o21 * o21; c22 += o22 * o22
+        Row(h.toLong,
+          math.round(c11 / (c11 + c12) * 1e6),
+          math.round(c12 / (c11 + c12) * 1e6),
+          math.round(c21 / (c21 + c22) * 1e6),
+          math.round(c22 / (c21 + c22) * 1e6),
+          math.round((c11 + c12) * 1e6),
+          math.round((c21 + c22) * 1e6))
+      }
+      s.createDataFrame(
+        java.util.Arrays.asList(rows: _*),
+        StructType(Seq("horizon", "fevd_11_e6", "fevd_12_e6",
+          "fevd_21_e6", "fevd_22_e6", "mse_1_e6", "mse_2_e6")
+          .map(StructField(_, LongType))))
+        .orderBy(col("horizon"))
+    }, Some(IrfOracle.prefix +
+      """, oirf AS (
+           SELECT pw.h,
+                  pw.m11 * c.l11 + pw.m12 * c.l21 AS o11,
+                  pw.m12 * c.l22 AS o12,
+                  pw.m21 * c.l11 + pw.m22 * c.l21 AS o21,
+                  pw.m22 * c.l22 AS o22
+           FROM pw CROSS JOIN chol c),
+         cum AS (
+           SELECT h,
+                  sum(o11 * o11) OVER w AS c11,
+                  sum(o12 * o12) OVER w AS c12,
+                  sum(o21 * o21) OVER w AS c21,
+                  sum(o22 * o22) OVER w AS c22
+           FROM oirf
+           WINDOW w AS (ORDER BY h ROWS UNBOUNDED PRECEDING))
+         SELECT cast(h AS bigint) AS horizon,
+                cast(round(c11 / (c11 + c12) * 1e6) AS bigint) AS fevd_11_e6,
+                cast(round(c12 / (c11 + c12) * 1e6) AS bigint) AS fevd_12_e6,
+                cast(round(c21 / (c21 + c22) * 1e6) AS bigint) AS fevd_21_e6,
+                cast(round(c22 / (c21 + c22) * 1e6) AS bigint) AS fevd_22_e6,
+                cast(round((c11 + c12) * 1e6) AS bigint) AS mse_1_e6,
+                cast(round((c21 + c22) * 1e6) AS bigint) AS mse_2_e6
+         FROM cum ORDER BY 1"""))
   )
 
   def queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap
