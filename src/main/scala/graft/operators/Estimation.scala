@@ -1867,6 +1867,139 @@ object Estimation {
         .orderBy(col("effect"), col("cause"))
     }, Some(GrangerOracle.sql)),
 
+    // ----- T16 (ext.): Engle–Granger cointegration --------------------------
+
+    ("t16_engle_granger", (s: SparkSession, d: String) => {
+      // Two-step Engle–Granger cointegration over the daily event-type
+      // panel — the long-run counterpart of t15's short-run causality
+      // (Granger asks whether x's HISTORY helps predict y; this asks
+      // whether y and x share a common stochastic TREND): step 1 fits
+      // the static regression y = α + β·x by OLS over the day-aligned
+      // pair; step 2 runs an ADF regression Δe_t = ρ·e_{t−1} +
+      // φ·Δe_{t−1} + ε on its residuals — no deterministic terms, the
+      // residuals are mean-zero by construction — and rejects "no
+      // cointegration" when the t-statistic on ρ falls below the
+      // MacKinnon 5% residual critical value −3.34. Everything is
+      // closed form (step 1 from five sums, step 2 a 2×2 Cramer solve
+      // with RSS via the quadratic form), so unlike t15 no Gauss–Jordan
+      // recursion is needed and BOTH engines spell the identical
+      // arithmetic — the only divergence is distributed-sum order
+      // (~1e-13 relative) against e4/e6 quantization margins. Scale:
+      // the daily aggregation is the corpus pass; the alignment
+      // self-join fans out |types|²-bounded; the lag windows partition
+      // by pair (calendar-bounded per the W-family defense); rejection
+      // compares the QUANTIZED t-stat so the flag cannot straddle a
+      // rounding boundary (the t14 convention).
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(col("value")).as("v"))
+      val pr = daily.as("y").join(daily.as("x"),
+          col("x.day") === col("y.day") &&
+            col("x.event_type") =!= col("y.event_type"))
+        .select(col("y.event_type").as("lhs"), col("x.event_type").as("rhs"),
+          col("y.day").as("day"), col("y.v").as("vy"), col("x.v").as("vx"))
+      val fit = pr.groupBy(col("lhs"), col("rhs"))
+        .agg(count(lit(1)).as("n"), sum(col("vx")).as("sx"),
+          sum(col("vy")).as("sy"), sum(col("vx") * col("vx")).as("sxx"),
+          sum(col("vx") * col("vy")).as("sxy"))
+        .withColumn("beta",
+          (col("sxy") - col("sx") * col("sy") / col("n")) /
+            (col("sxx") - col("sx") * col("sx") / col("n")))
+        .withColumn("alpha", (col("sy") - col("beta") * col("sx")) / col("n"))
+        .select(col("lhs"), col("rhs"), col("n"), col("beta"), col("alpha"))
+      val res = pr.join(fit, Seq("lhs", "rhs"))
+        .withColumn("e", col("vy") - col("alpha") - col("beta") * col("vx"))
+      val w = Window.partitionBy(col("lhs"), col("rhs")).orderBy(col("day"))
+      val lagd = res
+        .withColumn("e1", lag(col("e"), 1).over(w))
+        .withColumn("e2", lag(col("e"), 2).over(w))
+        .filter(col("e2").isNotNull)
+      val adf = lagd.groupBy(col("lhs"), col("rhs"))
+        .agg(count(lit(1)).as("nr"),
+          sum(col("e1") * col("e1")).as("a11"),
+          sum(col("e1") * (col("e1") - col("e2"))).as("a12"),
+          sum((col("e1") - col("e2")) * (col("e1") - col("e2"))).as("a22"),
+          sum(col("e1") * (col("e") - col("e1"))).as("c1"),
+          sum((col("e1") - col("e2")) * (col("e") - col("e1"))).as("c2"),
+          sum((col("e") - col("e1")) * (col("e") - col("e1"))).as("syy"),
+          first(col("beta")).as("beta"), first(col("alpha")).as("alpha"),
+          first(col("n")).as("n"))
+        .filter(col("nr") > 10)
+        .withColumn("det", col("a11") * col("a22") - col("a12") * col("a12"))
+        .withColumn("rho",
+          (col("c1") * col("a22") - col("a12") * col("c2")) / col("det"))
+        .withColumn("phi",
+          (col("a11") * col("c2") - col("a12") * col("c1")) / col("det"))
+        .withColumn("s2",
+          (col("syy") - col("rho") * col("c1") - col("phi") * col("c2")) /
+            (col("nr") - 2))
+        .withColumn("t_stat_e4",
+          round(col("rho") / sqrt(col("s2") * col("a22") / col("det")) * 1e4)
+            .cast("long"))
+      adf.select(col("lhs"), col("rhs"), col("n").cast("long").as("n_days"),
+          col("nr").cast("long").as("n_eff"),
+          round(col("beta") * 1e6).cast("long").as("beta_e6"),
+          round(col("alpha") * 1e4).cast("long").as("alpha_e4"),
+          round(col("rho") * 1e6).cast("long").as("rho_e6"),
+          col("t_stat_e4"),
+          (col("t_stat_e4") < -33400L).as("coint_5pct"))
+        .orderBy(col("lhs"), col("rhs"))
+    }, Some(
+      """WITH daily AS (
+           SELECT event_type AS et, cast(ts AS date) AS day, sum(value) AS v
+           FROM events GROUP BY 1, 2),
+         pr AS (
+           SELECT y.et AS lhs, x.et AS rhs, y.day, y.v AS vy, x.v AS vx
+           FROM daily y JOIN daily x ON x.day = y.day AND x.et <> y.et),
+         st1 AS (
+           SELECT lhs, rhs, count(*) AS n, sum(vx) AS sx, sum(vy) AS sy,
+                  sum(vx * vx) AS sxx, sum(vx * vy) AS sxy
+           FROM pr GROUP BY 1, 2),
+         fit AS (
+           SELECT lhs, rhs, n, beta, (sy - beta * sx) / n AS alpha
+           FROM (SELECT *, (sxy - sx * sy / n) / (sxx - sx * sx / n) AS beta
+                 FROM st1)),
+         res AS (
+           SELECT p.lhs, p.rhs, p.day, f.n, f.beta, f.alpha,
+                  p.vy - f.alpha - f.beta * p.vx AS e
+           FROM pr p JOIN fit f ON f.lhs = p.lhs AND f.rhs = p.rhs),
+         lagd AS (
+           SELECT lhs, rhs, n, beta, alpha, e,
+                  lag(e, 1) OVER w AS e1, lag(e, 2) OVER w AS e2
+           FROM res WINDOW w AS (PARTITION BY lhs, rhs ORDER BY day)),
+         adf AS (
+           SELECT lhs, rhs, count(*) AS nr,
+                  sum(e1 * e1) AS a11,
+                  sum(e1 * (e1 - e2)) AS a12,
+                  sum((e1 - e2) * (e1 - e2)) AS a22,
+                  sum(e1 * (e - e1)) AS c1,
+                  sum((e1 - e2) * (e - e1)) AS c2,
+                  sum((e - e1) * (e - e1)) AS syy,
+                  any_value(beta) AS beta, any_value(alpha) AS alpha,
+                  any_value(n) AS n
+           FROM lagd WHERE e2 IS NOT NULL GROUP BY 1, 2
+           HAVING count(*) > 10),
+         fin AS (
+           SELECT lhs, rhs, n, nr, beta, alpha, det, rho,
+                  (syy - rho * c1 - phi * c2) / (nr - 2) AS s2, a22, c1
+           FROM (SELECT *,
+                   a11 * a22 - a12 * a12 AS det,
+                   (c1 * a22 - a12 * c2) / (a11 * a22 - a12 * a12) AS rho,
+                   (a11 * c2 - a12 * c1) / (a11 * a22 - a12 * a12) AS phi
+                 FROM adf)),
+         quant AS (
+           SELECT lhs, rhs, cast(n AS bigint) AS n_days,
+                  cast(nr AS bigint) AS n_eff,
+                  cast(round(beta * 1e6) AS bigint) AS beta_e6,
+                  cast(round(alpha * 1e4) AS bigint) AS alpha_e4,
+                  cast(round(rho * 1e6) AS bigint) AS rho_e6,
+                  cast(round(rho / sqrt(s2 * a22 / det) * 1e4) AS bigint)
+                    AS t_stat_e4
+           FROM fin)
+         SELECT lhs, rhs, n_days, n_eff, beta_e6, alpha_e4, rho_e6,
+                t_stat_e4, t_stat_e4 < -33400 AS coint_5pct
+         FROM quant ORDER BY 1, 2""")),
+
     // ----- T14 (ext.): paired sign test — EWMA vs Holt ---------------------
 
     ("t14_sign_test", (s: SparkSession, d: String) => {
