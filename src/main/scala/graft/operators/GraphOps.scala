@@ -707,6 +707,69 @@ object GraphOps {
           SELECT node, core_deg, cast(rank AS int) AS rank
           FROM ranked WHERE rank <= 20 ORDER BY rank""")),
 
+    ("g9_clustering_coeff", (s: SparkSession, d: String) => {
+      // Local clustering coefficient on the strong co-purchase graph:
+      // C(v) = 2·tri(v) / (deg(v)·(deg(v)−1)) — the normalized form of
+      // g4's raw triangle counts (how close each part's repeat-partner
+      // neighborhood is to a clique), the per-node density signal that
+      // separates "sits in many triangles because it is a hub" from
+      // "sits in a bundle". Reuses [[triangleParticipation]] and the
+      // dst-partitioned cache (degree-by-dst is exchange-free; the
+      // symmetric frame makes deg-by-dst the full degree). Exactness is
+      // STRUCTURAL here: tri and deg are exact longs and the
+      // coefficient is ONE double division of integers ≤ 2^53, so both
+      // engines round the identical double — no sum-order wobble.
+      // Readout: top-20 by (cc, deg, node) via orderBy+limit
+      // (TakeOrderedAndProject — bounded per partition, the g5
+      // convention); deg ≥ 2 keeps the denominator live.
+      val strong = strongCopurchase(s, d)
+      val dim = rankDim(strong.count(), 4L * 1000 * 1000)
+      val tri = triangleParticipation(strong, dim)
+      val deg = strong.groupBy(col("dst"))
+        .agg(count(lit(1)).as("deg"))
+        .select(col("dst").as("node"), col("deg"))
+      val cc = deg.filter(col("deg") >= 2)
+        .join(tri, Seq("node"), "left")
+        .withColumn("tri_cnt", coalesce(col("tri_cnt"), lit(0L)))
+        .withColumn("cc_e6",
+          round(col("tri_cnt") * 2e6 / (col("deg") * (col("deg") - 1)))
+            .cast("long"))
+      val top = cc.orderBy(col("cc_e6").desc, col("deg").desc, col("node"))
+        .limit(20)
+      top.withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("cc_e6").desc, col("deg").desc, col("node"))))
+        .select(col("node"), col("deg"), col("tri_cnt"), col("cc_e6"),
+          col("rank"))
+        .orderBy(col("rank"))
+    }, Some(
+      s"""WITH $sqlStrong,
+          deg AS (SELECT dst AS node, cast(count(*) AS bigint) AS deg
+                  FROM strong GROUP BY 1),
+          c AS (SELECT src, dst FROM strong WHERE src < dst),
+          w AS (SELECT x.src AS a, x.dst AS b, y.dst AS cc
+                FROM c x JOIN c y ON y.src = x.dst),
+          t AS (SELECT w.a, w.b, w.cc
+                FROM w JOIN c z ON z.src = w.a AND z.dst = w.cc),
+          p AS (SELECT a AS node FROM t
+                UNION ALL SELECT b FROM t
+                UNION ALL SELECT cc FROM t),
+          cnt AS (SELECT node, cast(count(*) AS bigint) AS tri_cnt
+                  FROM p GROUP BY 1),
+          coef AS (
+            SELECT dg.node, dg.deg,
+                   coalesce(cnt.tri_cnt, 0) AS tri_cnt,
+                   cast(round(coalesce(cnt.tri_cnt, 0) * 2e6
+                     / (dg.deg * (dg.deg - 1))) AS bigint) AS cc_e6
+            FROM deg dg LEFT JOIN cnt ON cnt.node = dg.node
+            WHERE dg.deg >= 2),
+          ranked AS (
+            SELECT node, deg, tri_cnt, cc_e6, row_number() OVER (
+              ORDER BY cc_e6 DESC, deg DESC, node) AS rank
+            FROM coef)
+          SELECT node, deg, tri_cnt, cc_e6, cast(rank AS int) AS rank
+          FROM ranked WHERE rank <= 20 ORDER BY rank""")),
+
     ("g7_components", (s: SparkSession, d: String) => {
       // Component membership on the strong co-purchase graph: 5
       // hash-min flood rounds from the identity labeling, then the
