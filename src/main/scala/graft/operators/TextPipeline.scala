@@ -4884,6 +4884,60 @@ object TextPipeline {
          FROM scored GROUP BY 1
          ORDER BY score_e6 DESC, doc_id LIMIT 20""")),
 
+    ("x37_tfidf_keywords", (s: SparkSession, d: String) => {
+      // Per-document keyword EXTRACTION — the annotation-side twin of
+      // x22's retrieval (same tf·idf arithmetic, opposite direction:
+      // x22 scores docs for a query; this tags every doc with the top-3
+      // terms that distinguish it from the corpus — the metadata facet
+      // tagging / cluster labeling / dedup-explanation step reads).
+      // Scale shape: tf aggregates the exploded stream by (doc, token)
+      // with map-side combine; the corpus-wide df table derives from tf
+      // (one more aggregate) and joins back on token — at a true 100 TB
+      // vocabulary that join shuffles on token rather than broadcasting,
+      // which Spark picks via AQE from the size, and the per-doc rank
+      // window is PARTITIONED by doc_id (bounded per doc, never a
+      // global sort). Exactness: the per-term score is x22's shared
+      // text verbatim — one ln() on a ratio of exact counts, e6-rounded
+      // per term (x7's rule); ties break (score desc, token asc), total
+      // order in both engines.
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .filter(col("token") =!= "")
+      val tf = toks.groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+      val dft = tf.groupBy(col("token")).agg(count(lit(1)).as("df_docs"))
+      val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+      tf.join(dft, Seq("token")).crossJoin(broadcast(n))
+        .withColumn("tfidf_e6", expr(
+          "cast(round(tf * ln(cast(n_docs AS double) / df_docs) * 1e6) AS bigint)"))
+        .withColumn("kw_rank", row_number().over(
+          Window.partitionBy(col("doc_id"))
+            .orderBy(col("tfidf_e6").desc, col("token"))).cast("int"))
+        .filter(col("kw_rank") <= 3)
+        .select(col("doc_id"), col("token"), col("tf"), col("tfidf_e6"),
+          col("kw_rank"))
+        .orderBy(col("doc_id"), col("kw_rank"))
+    }, Some(
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS token
+           FROM documents),
+         m AS (SELECT * FROM toks WHERE token <> ''),
+         tf AS (SELECT doc_id, token, count(*) AS tf FROM m GROUP BY 1, 2),
+         dft AS (SELECT token, count(*) AS df_docs FROM tf GROUP BY 1),
+         n AS (SELECT count(*) AS n_docs FROM documents),
+         scored AS (
+           SELECT t.doc_id, t.token, cast(t.tf AS bigint) AS tf,
+                  cast(round(t.tf * ln(cast(n.n_docs AS double) / d.df_docs) * 1e6)
+                    AS bigint) AS tfidf_e6
+           FROM tf t JOIN dft d ON d.token = t.token, n),
+         ranked AS (
+           SELECT doc_id, token, tf, tfidf_e6, cast(row_number() OVER (
+             PARTITION BY doc_id ORDER BY tfidf_e6 DESC, token) AS int)
+               AS kw_rank
+           FROM scored)
+         SELECT doc_id, token, tf, tfidf_e6, kw_rank FROM ranked
+         WHERE kw_rank <= 3 ORDER BY doc_id, kw_rank""")),
+
     ("x30_bm25", (s: SparkSession, d: String) => {
       // BM25 retrieval — the modern default scorer x22's plain tf·idf
       // is the ancestor of, and a DIFFERENT ranking (not a rescale):
