@@ -1852,6 +1852,83 @@ object Relational {
          GROUP BY 1, 2
          ORDER BY 2 DESC, 1""")),
 
+    ("a23_ams_f2", (s: SparkSession, d: String) => {
+      // AMS tug-of-war sketch (Alon–Matias–Szegedy) — the SECOND-MOMENT
+      // member of the sketch family (a17/a19/a20 count distinct = F0,
+      // a22 counts points, this estimates F2 = Σ f_u², the self-join
+      // size / skew statistic a planner reads before picking a
+      // shuffle-vs-broadcast or salting strategy): 64 sign estimators
+      // Z_r = Σ ±1 with s_r(u) from bit 0 of fmix32(64u + r), grouped
+      // 8×8 for the median-of-means (each Z_r² is unbiased for F2;
+      // means of 8 cut the relative std to √(2/8) = 0.5, the median of
+      // 8 means cuts tail risk — measured ≲ ±25% on this panel, vs
+      // ±50% at the 16-counter sizing this started at). Sketch state
+      // is 64 counters — the ×64 explode is a join-free literal-array
+      // projection aggregated with map-side combine, so one corpus
+      // pass, no per-user state (the exact Σ f_u² column is the AUDIT
+      // side, a22's convention — it pays the real groupBy the sketch
+      // exists to avoid). Exactness across engines is structural: Z, Z²
+      // and group sums are exact longs (Z² ≤ n² stays under 2⁵³ through
+      // the double ratio for any n this side of 9e7 events per the
+      // in-file bound), the median of 8 is the sum of the two middle
+      // group sums (ties ranked by (gsum, g)), and the only double is
+      // the final x16/16 − exact ratio — identical bits both engines.
+      val ev = Tables.events(s, d)
+        .filter(col("user_id").isNotNull)
+        .select(col("user_id"))
+      val signed = ev
+        .select(col("user_id"),
+          explode(array((0 until 64).map(lit(_)): _*)).as("r"))
+        .select(col("r"),
+          (lit(1) - lit(2) * (fmix32(col("user_id") * 64 + col("r")) % 2))
+            .as("sgn"))
+      val zz = signed.groupBy(col("r")).agg(sum(col("sgn")).as("z"))
+      val gs = zz.select(expr("r div 8").as("g"), col("z"))
+        .groupBy(col("g")).agg(sum(col("z") * col("z")).as("gsum"))
+      val rk = gs.withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("gsum"), col("g"))))
+      val med = rk.filter(col("rk").isin(4, 5))
+        .agg(sum(col("gsum")).as("f2_est_x16"))
+      val ex = ev.groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+        .agg(sum(col("cnt") * col("cnt")).as("f2_exact"),
+          sum(col("cnt")).as("n_items"))
+      ex.crossJoin(med)
+        .select(col("n_items"), col("f2_exact"), col("f2_est_x16"),
+          expr("cast(round((f2_est_x16 / 16e0 - f2_exact) / f2_exact * 1e6) AS bigint)")
+            .as("err_e6"))
+    }, Some(
+      """WITH ev AS (
+           SELECT user_id FROM events WHERE user_id IS NOT NULL),
+         rr AS (SELECT unnest(range(0, 64)) AS r),
+         x0 AS (
+           SELECT user_id, r, (user_id * 64 + r) % 4294967296 AS x
+           FROM ev CROSS JOIN rr),
+         h0 AS (
+           SELECT user_id, r, ((x * 2147483648) % 4294967296
+                    + (x * 506952113) % 4294967296) % 4294967296 AS m1
+           FROM x0),
+         h1 AS (SELECT user_id, r, xor(m1, m1 >> 16) AS v1 FROM h0),
+         h2 AS (SELECT user_id, r, (v1 * 1540483477) % 4294967296 AS m2 FROM h1),
+         h3 AS (SELECT user_id, r, xor(m2, m2 >> 13) AS v2 FROM h2),
+         h4 AS (SELECT user_id, r, (v2 * 1033321189) % 4294967296 AS m3 FROM h3),
+         hh AS (SELECT r, xor(m3, m3 >> 16) % 2 AS smod FROM h4),
+         zz AS (SELECT r, cast(sum(1 - 2 * smod) AS bigint) AS z
+                FROM hh GROUP BY 1),
+         gs AS (SELECT r // 8 AS g, cast(sum(z * z) AS bigint) AS gsum
+                FROM zz GROUP BY 1),
+         rk AS (SELECT gsum, row_number() OVER (ORDER BY gsum, g) AS rk
+                FROM gs),
+         med AS (SELECT cast(sum(gsum) AS bigint) AS f2_est_x16
+                 FROM rk WHERE rk IN (4, 5)),
+         ex AS (SELECT cast(sum(cnt * cnt) AS bigint) AS f2_exact,
+                       cast(sum(cnt) AS bigint) AS n_items
+                FROM (SELECT count(*) AS cnt FROM ev GROUP BY user_id))
+         SELECT ex.n_items, ex.f2_exact, med.f2_est_x16,
+                cast(round((f2_est_x16 / 16e0 - f2_exact) / f2_exact * 1e6)
+                  AS bigint) AS err_e6
+         FROM ex CROSS JOIN med""")),
+
     ("a10_rollup", (s: SparkSession, d: String) => {
       val n = broadcast(Tables.nation(s, d))
       val r = broadcast(Tables.region(s, d))
