@@ -2924,7 +2924,69 @@ object Estimation {
                 cast(round(c22 / (c21 + c22) * 1e6) AS bigint) AS fevd_22_e6,
                 cast(round((c11 + c12) * 1e6) AS bigint) AS mse_1_e6,
                 cast(round((c21 + c22) * 1e6) AS bigint) AS mse_2_e6
-         FROM cum ORDER BY 1"""))
+         FROM cum ORDER BY 1""")),
+
+    // ----- M22 (ext.): VAR stability — companion eigenvalue moduli ---------
+
+    ("m22_var_stability", (s: SparkSession, d: String) => {
+      // Stability diagnostic of the fitted VAR(1): the eigenvalue
+      // moduli of B — THE precondition for everything m20/m21 report
+      // (IRFs decay and FEVD shares converge iff the spectral radius
+      // is < 1; a root on/outside the unit circle means the impulse
+      // algebra is describing an explosive system). For the 2×2
+      // companion the spectrum is closed form: λ = (tr ± √(tr²−4·det))/2,
+      // complex pair ⇒ both moduli are √det. Both engines evaluate the
+      // ONE shared formula text on the same Cramer-solved B (the
+      // oracle reads IrfOracle's bmat CTE; unreferenced CTEs are not
+      // executed), and the stability flag compares the QUANTIZED
+      // spectral radius (the t14 convention — the boolean cannot
+      // straddle a rounding boundary). Scale: m20's argument — corpus
+      // work is the monthly aggregation, the spectrum is driver-side
+      // arithmetic on a calendar-bounded fit.
+      val (b11, b12, b21, b22, _, _, _) = var1CholFit(s, d)
+      val tr = b11 + b22
+      val dt = b11 * b22 - b12 * b21
+      val disc = tr * tr - 4 * dt
+      val (mod1, mod2) =
+        if (disc >= 0) {
+          val r1 = math.abs((tr + math.sqrt(disc)) / 2)
+          val r2 = math.abs((tr - math.sqrt(disc)) / 2)
+          (math.max(r1, r2), math.min(r1, r2))
+        } else (math.sqrt(dt), math.sqrt(dt))
+      val m1e6 = math.round(mod1 * 1e6)
+      s.createDataFrame(
+        java.util.Arrays.asList(Row(
+          math.round(tr * 1e6), math.round(dt * 1e6),
+          math.round(disc * 1e6), m1e6, math.round(mod2 * 1e6),
+          java.lang.Boolean.valueOf(m1e6 < 1000000L))),
+        StructType(Seq("trace_e6", "det_e6", "disc_e6", "mod1_e6",
+          "mod2_e6").map(StructField(_, LongType)) :+
+          StructField("stable", BooleanType)))
+    }, Some(IrfOracle.prefix +
+      """, sp AS (
+           SELECT b11 + b22 AS tr,
+                  b11 * b22 - b12 * b21 AS dt,
+                  (b11 + b22) * (b11 + b22)
+                    - 4 * (b11 * b22 - b12 * b21) AS disc
+           FROM bmat),
+         mods AS (
+           SELECT tr, dt, disc,
+                  CASE WHEN disc >= 0 THEN
+                    greatest(abs((tr + sqrt(disc)) / 2),
+                             abs((tr - sqrt(disc)) / 2))
+                  ELSE sqrt(dt) END AS mod1,
+                  CASE WHEN disc >= 0 THEN
+                    least(abs((tr + sqrt(disc)) / 2),
+                          abs((tr - sqrt(disc)) / 2))
+                  ELSE sqrt(dt) END AS mod2
+           FROM sp)
+         SELECT cast(round(tr * 1e6) AS bigint) AS trace_e6,
+                cast(round(dt * 1e6) AS bigint) AS det_e6,
+                cast(round(disc * 1e6) AS bigint) AS disc_e6,
+                cast(round(mod1 * 1e6) AS bigint) AS mod1_e6,
+                cast(round(mod2 * 1e6) AS bigint) AS mod2_e6,
+                cast(round(mod1 * 1e6) AS bigint) < 1000000 AS stable
+         FROM mods"""))
   )
 
   def queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap
