@@ -109,6 +109,22 @@ object Relational {
       .select(col("r"), cmBucket(col("user_id"), col("r")).as("bucket"))
       .groupBy(col("r"), col("bucket")).agg(count(lit(1)).as("c"))
 
+  /** a23's AMS tug-of-war kernel, shared with the streaming arrival path
+    * ([[graft.streaming.EventStream.amsIngest]]): the ×64 row expansion
+    * is a join-free literal-array explode (the cmRegisters convention),
+    * the sign law is bit 0 of fmix32(64u + r) mapped to ±1, and the
+    * estimator table is one map-side-combinable sum per r — 64 counters
+    * of state no matter the stream length, merged across batches by
+    * ADDITION (signs sum; the CM merge law, not HLL's max).
+    */
+  private[graft] def amsZ(ev: DataFrame): DataFrame =
+    ev.select(col("user_id"),
+        explode(array((0 until 64).map(lit(_)): _*)).as("r"))
+      .select(col("r"),
+        (lit(1) - lit(2) * (fmix32(col("user_id") * 64 + col("r")) % 2))
+          .as("sgn"))
+      .groupBy(col("r")).agg(sum(col("sgn")).as("z"))
+
   /** The a19 kernel — KMV distinct-count estimate per group (Bar-Yossef
     * et al. 2002), sharing a18's bottom-k machinery: distinct the
     * (group, value) pairs (the one corpus shuffle, map-side combined),
@@ -1876,13 +1892,7 @@ object Relational {
       val ev = Tables.events(s, d)
         .filter(col("user_id").isNotNull)
         .select(col("user_id"))
-      val signed = ev
-        .select(col("user_id"),
-          explode(array((0 until 64).map(lit(_)): _*)).as("r"))
-        .select(col("r"),
-          (lit(1) - lit(2) * (fmix32(col("user_id") * 64 + col("r")) % 2))
-            .as("sgn"))
-      val zz = signed.groupBy(col("r")).agg(sum(col("sgn")).as("z"))
+      val zz = amsZ(ev)
       val gs = zz.select(expr("r div 8").as("g"), col("z"))
         .groupBy(col("g")).agg(sum(col("z") * col("z")).as("gsum"))
       val rk = gs.withColumn("rk", row_number().over(

@@ -617,6 +617,21 @@ object EventStream {
     graft.operators.Relational.cmRegisters(
       events.filter(col("user_id").isNotNull).select(col("user_id")))
 
+  /** Continuous AMS maintenance — a23's 64 tug-of-war estimators fed by
+    * the event stream, the second-moment sibling of [[cmIngest]] (same
+    * posture: the keyed state IS the sketch — 64 r-keys, sign sums
+    * folded across micro-batches by Spark's streaming agg state — and
+    * the merge law is ADDITION, so the streamed Z table equals the
+    * batch [[graft.operators.Relational.amsZ]] over the same prefix
+    * sign-for-sign; StreamingSpec pins the cross-batch fold). Complete
+    * output mode: the full 64-row estimator table each batch. The F2
+    * readout (group, square, median the means) is a 64-row batch-side
+    * epilogue on whatever snapshot is current.
+    */
+  def amsIngest(events: DataFrame): DataFrame =
+    graft.operators.Relational.amsZ(
+      events.filter(col("user_id").isNotNull).select(col("user_id")))
+
     final case class ErrorBurst(user_id: Long, ts_us: Long, n_recent: Int)
 
   /** Custom keyed state with EVICTION (flatMapGroupsWithState + event-time

@@ -317,6 +317,40 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       "register mass must equal 4 increments per event")
   }
 
+  test("amsIngest folds sign sums across micro-batches, sign-for-sign with the batch kernel") {
+    // The AMS merge law is ADDITION like Count-Min's (signs sum — a
+    // recurring user contributes its ±1 once per OCCURRENCE): users
+    // split across two micro-batches with overlap must land on the
+    // SAME 64-row Z table as one batch over the concatenation, and
+    // total estimator mass must stay bounded by ±(events × 64).
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.Encoders
+    val ms = MemoryStream(Encoders.scalaLong, s.sqlContext)
+    def rows(us: Range) = us.map(_.toLong * 6151L)
+    val q = EventStream.amsIngest(ms.toDF.toDF("user_id"))
+      .writeStream.format("memory").queryName("ams_ingest")
+      .outputMode("complete").start()
+    try {
+      ms.addData(rows(1 to 60): _*)
+      q.processAllAvailable()
+      ms.addData(rows(31 to 90): _*) // 31..60 recur: occurrences, not distinct
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("ams_ingest")
+      .orderBy("r").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq
+    val batch = operators.Relational.amsZ(
+        (rows(1 to 60) ++ rows(31 to 90)).toDF("user_id"))
+      .orderBy("r").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(streamed == batch && streamed.nonEmpty,
+      "streamed AMS sign sums diverge from the batch kernel over the union")
+    assert(streamed.size == 64 && streamed.forall(z => math.abs(z._2) <= 120),
+      "estimator table must be 64 rows with |Z| bounded by the event count")
+  }
+
   test("kmvDistinctStream absorbs cross-batch duplicates; estimate exact under k, in-bounds over it") {
     // The property a multiset fold would get wrong: the SAME users
     // recurring in a later micro-batch must be absorbed by the KMV
