@@ -1716,6 +1716,74 @@ object Estimation {
          FROM rec r JOIN fin f ON f.event_type = r.event_type AND r.t = f.n
          ORDER BY 1""")),
 
+    // ----- W28 (ext.): rolling correlation — revenue vs order volume -------
+
+    ("w28_rolling_corr", (s: SparkSession, d: String) => {
+      // 28-day rolling Pearson correlation between daily revenue and
+      // daily order VOLUME — the relationship-drift monitor (a stable
+      // price mix keeps the two locked; a drifting window correlation
+      // flags mix shifts the level monitors w18/w19 can't see, because
+      // each series alone looks healthy). Exactness is STRUCTURAL (the
+      // g9 class, no sum-order wobble): the panel is integerized per
+      // row (revenue to whole dollars), the six windowed sums are
+      // exact longs (rows-based 28-day frame — window sums of longs
+      // are order-free), and the correlation assembles from those
+      // longs in ONE shared double expression, so both engines round
+      // identical bits. Magnitude headroom: 28·Σrev² at sf0.1 is
+      // ~2e18 < 2⁶³ — one more decade of scale means shifting the
+      // revenue unit, not the operator. The variance guards compare
+      // exact INTEGERS (a flat window yields NULL, not a 0/0). Scale:
+      // the daily aggregation is the corpus pass; the unpartitioned
+      // window is calendar-bounded (the W-family defense).
+      val daily = Tables.orders(s, d)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice")).cast("long")).as("rev"))
+      val w2 = Window.orderBy(col("day")).rowsBetween(-27, 0)
+      val win = daily
+        .withColumn("rk", row_number().over(Window.orderBy(col("day"))))
+        .withColumn("sx", sum(col("n_orders")).over(w2))
+        .withColumn("sy", sum(col("rev")).over(w2))
+        .withColumn("sxx", sum(col("n_orders") * col("n_orders")).over(w2))
+        .withColumn("sxy", sum(col("n_orders") * col("rev")).over(w2))
+        .withColumn("syy", sum(col("rev") * col("rev")).over(w2))
+      win.filter(col("rk") >= 28)
+        .select(col("day"), col("n_orders").cast("long").as("n_orders"),
+          col("rev"),
+          when(lit(28) * col("sxx") - col("sx") * col("sx") > 0 &&
+               lit(28) * col("syy") - col("sy") * col("sy") > 0,
+            round((lit(28) * col("sxy") - col("sx") * col("sy")) /
+              (sqrt(lit(28) * col("sxx") - col("sx") * col("sx")) *
+               sqrt(lit(28) * col("syy") - col("sy") * col("sy"))) * 1e6)
+              .cast("long")).as("corr_e6"))
+        .orderBy(col("day"))
+    }, Some(
+      """WITH daily AS (
+           SELECT cast(o_orderdate AS date) AS day,
+                  count(*) AS n_orders,
+                  cast(sum(cast(round(o_totalprice) AS bigint)) AS bigint)
+                    AS rev
+           FROM orders GROUP BY 1),
+         win AS (
+           SELECT day, n_orders, rev,
+                  row_number() OVER (ORDER BY day) AS rk,
+                  cast(sum(n_orders) OVER w2 AS bigint) AS sx,
+                  cast(sum(rev) OVER w2 AS bigint) AS sy,
+                  cast(sum(n_orders * n_orders) OVER w2 AS bigint) AS sxx,
+                  cast(sum(n_orders * rev) OVER w2 AS bigint) AS sxy,
+                  cast(sum(rev * rev) OVER w2 AS bigint) AS syy
+           FROM daily
+           WINDOW w2 AS (ORDER BY day ROWS BETWEEN 27 PRECEDING
+                         AND CURRENT ROW))
+         SELECT day, cast(n_orders AS bigint) AS n_orders, rev,
+                CASE WHEN 28 * sxx - sx * sx > 0
+                      AND 28 * syy - sy * sy > 0 THEN
+                  cast(round((28 * sxy - sx * sy) /
+                    (sqrt(28 * sxx - sx * sx) * sqrt(28 * syy - sy * sy))
+                    * 1e6) AS bigint)
+                END AS corr_e6
+         FROM win WHERE rk >= 28 ORDER BY day""")),
+
     // ----- W24 (ext.): forecast scorecard — naive vs EWMA vs Holt ----------
 
     ("w24_forecast_scorecard", (s: SparkSession, d: String) => {
