@@ -2068,6 +2068,137 @@ object Estimation {
                 t_stat_e4, t_stat_e4 < -33400 AS coint_5pct
          FROM quant ORDER BY 1, 2""")),
 
+    // ----- T17 (ext.): Johansen trace test ---------------------------------
+
+    ("t17_johansen", (s: SparkSession, d: String) => {
+      // Johansen trace test on m17's scaled monthly (rev, n_orders)
+      // panel — the SYSTEM cointegration test t16's single-equation
+      // Engle–Granger approximates (EG conditions on one normalization
+      // and loses power when the cointegrating vector loads on both
+      // series; Johansen reads the rank of Π in Δy = Π·y₋₁ + ε
+      // directly): the eigenvalues of P11⁻¹·P10·P00⁻¹·P01 (raw
+      // cross-product matrices of Δy and the lagged level — the 1/T
+      // normalizations cancel through the inverse chain) are the
+      // squared canonical correlations; λtrace(r) = −T·Σ_{i>r}
+      // ln(1−λᵢ). For the 2×2 the spectrum is m22's closed form
+      // (trace/det quadratic — disc clamped at 0 both engines: the
+      // near-equal-roots guard), every matrix step is a 2×2 adjugate
+      // spelled identically in both engines, and the rank decision
+      // reads QUANTIZED stats against the zero-mean-case 5% values
+      // (≈12.53 for r=0, ≈3.84 for r≤1 — Osterwald-Lenum Table 0 /
+      // the χ²(1) bound for the last root; shared constants, t14's
+      // convention). Scale: m20's split — monthly aggregation is the
+      // corpus pass, the algebra is driver-side on the
+      // calendar-bounded panel.
+      val panel = collectSeries(monthlyPanel(s, d), "month",
+        Seq("rev", "n_orders"))
+      val n = panel.length
+      val y1 = panel.map(_(0) / 1e8)
+      val y2 = panel.map(_(1) / 1e3)
+      var (p00_11, p00_12, p00_22) = (0.0, 0.0, 0.0)
+      var (p11_11, p11_12, p11_22) = (0.0, 0.0, 0.0)
+      var (p01_11, p01_12, p01_21, p01_22) = (0.0, 0.0, 0.0, 0.0)
+      for (t <- 1 until n) {
+        val (x1, x2) = (y1(t - 1), y2(t - 1))
+        val (dy1, dy2) = (y1(t) - x1, y2(t) - x2)
+        p00_11 += dy1 * dy1; p00_12 += dy1 * dy2; p00_22 += dy2 * dy2
+        p11_11 += x1 * x1; p11_12 += x1 * x2; p11_22 += x2 * x2
+        p01_11 += dy1 * x1; p01_12 += dy1 * x2
+        p01_21 += dy2 * x1; p01_22 += dy2 * x2
+      }
+      val tEff = (n - 1).toDouble
+      val d00 = p00_11 * p00_22 - p00_12 * p00_12
+      val d11 = p11_11 * p11_22 - p11_12 * p11_12
+      val g11 = (p00_22 * p01_11 - p00_12 * p01_21) / d00
+      val g12 = (p00_22 * p01_12 - p00_12 * p01_22) / d00
+      val g21 = (p00_11 * p01_21 - p00_12 * p01_11) / d00
+      val g22 = (p00_11 * p01_22 - p00_12 * p01_12) / d00
+      val h11 = p01_11 * g11 + p01_21 * g21
+      val h12 = p01_11 * g12 + p01_21 * g22
+      val h21 = p01_12 * g11 + p01_22 * g21
+      val h22 = p01_12 * g12 + p01_22 * g22
+      val m11 = (p11_22 * h11 - p11_12 * h21) / d11
+      val m12 = (p11_22 * h12 - p11_12 * h22) / d11
+      val m21 = (p11_11 * h21 - p11_12 * h11) / d11
+      val m22 = (p11_11 * h22 - p11_12 * h12) / d11
+      val tr = m11 + m22
+      val dt = m11 * m22 - m12 * m21
+      val disc = math.max(tr * tr - 4 * dt, 0.0)
+      val l1 = (tr + math.sqrt(disc)) / 2
+      val l2 = (tr - math.sqrt(disc)) / 2
+      val tr0 = math.round(-tEff * (math.log(1 - l1) + math.log(1 - l2)) * 1e6)
+      val tr1 = math.round(-tEff * math.log(1 - l2) * 1e6)
+      val rank = if (tr0 <= 12530000L) 0 else if (tr1 <= 3840000L) 1 else 2
+      s.createDataFrame(
+        java.util.Arrays.asList(Row(tEff.toLong,
+          math.round(l1 * 1e6), math.round(l2 * 1e6), tr0, tr1, rank)),
+        StructType(Seq("n_eff", "lambda1_e6", "lambda2_e6", "trace_r0_e6",
+          "trace_r1_e6").map(StructField(_, LongType)) :+
+          StructField("coint_rank", IntegerType)))
+    }, Some(IrfOracle.prefix +
+      """, js AS (
+           SELECT count(*) * 1e0 AS t_eff,
+                  sum((z1 - x1) * (z1 - x1)) AS p00_11,
+                  sum((z1 - x1) * (z2 - x2)) AS p00_12,
+                  sum((z2 - x2) * (z2 - x2)) AS p00_22,
+                  sum(x1 * x1) AS p11_11, sum(x1 * x2) AS p11_12,
+                  sum(x2 * x2) AS p11_22,
+                  sum((z1 - x1) * x1) AS p01_11,
+                  sum((z1 - x1) * x2) AS p01_12,
+                  sum((z2 - x2) * x1) AS p01_21,
+                  sum((z2 - x2) * x2) AS p01_22
+           FROM d),
+         jg AS (
+           SELECT *,
+                  (p00_22 * p01_11 - p00_12 * p01_21)
+                    / (p00_11 * p00_22 - p00_12 * p00_12) AS g11,
+                  (p00_22 * p01_12 - p00_12 * p01_22)
+                    / (p00_11 * p00_22 - p00_12 * p00_12) AS g12,
+                  (p00_11 * p01_21 - p00_12 * p01_11)
+                    / (p00_11 * p00_22 - p00_12 * p00_12) AS g21,
+                  (p00_11 * p01_22 - p00_12 * p01_12)
+                    / (p00_11 * p00_22 - p00_12 * p00_12) AS g22
+           FROM js),
+         jh AS (
+           SELECT *,
+                  p01_11 * g11 + p01_21 * g21 AS h11,
+                  p01_11 * g12 + p01_21 * g22 AS h12,
+                  p01_12 * g11 + p01_22 * g21 AS h21,
+                  p01_12 * g12 + p01_22 * g22 AS h22
+           FROM jg),
+         jm AS (
+           SELECT t_eff,
+                  (p11_22 * h11 - p11_12 * h21)
+                    / (p11_11 * p11_22 - p11_12 * p11_12) AS m11,
+                  (p11_22 * h12 - p11_12 * h22)
+                    / (p11_11 * p11_22 - p11_12 * p11_12) AS m12,
+                  (p11_11 * h21 - p11_12 * h11)
+                    / (p11_11 * p11_22 - p11_12 * p11_12) AS m21,
+                  (p11_11 * h22 - p11_12 * h12)
+                    / (p11_11 * p11_22 - p11_12 * p11_12) AS m22
+           FROM jh),
+         jeig AS (
+           SELECT t_eff,
+                  (m11 + m22 + sqrt(greatest((m11 + m22) * (m11 + m22)
+                    - 4 * (m11 * m22 - m12 * m21), 0))) / 2 AS l1,
+                  (m11 + m22 - sqrt(greatest((m11 + m22) * (m11 + m22)
+                    - 4 * (m11 * m22 - m12 * m21), 0))) / 2 AS l2
+           FROM jm),
+         jq AS (
+           SELECT cast(t_eff AS bigint) AS n_eff,
+                  cast(round(l1 * 1e6) AS bigint) AS lambda1_e6,
+                  cast(round(l2 * 1e6) AS bigint) AS lambda2_e6,
+                  cast(round(-t_eff * (ln(1 - l1) + ln(1 - l2)) * 1e6)
+                    AS bigint) AS trace_r0_e6,
+                  cast(round(-t_eff * ln(1 - l2) * 1e6) AS bigint)
+                    AS trace_r1_e6
+           FROM jeig)
+         SELECT n_eff, lambda1_e6, lambda2_e6, trace_r0_e6, trace_r1_e6,
+                cast(CASE WHEN trace_r0_e6 <= 12530000 THEN 0
+                          WHEN trace_r1_e6 <= 3840000 THEN 1
+                          ELSE 2 END AS int) AS coint_rank
+         FROM jq""")),
+
     // ----- T14 (ext.): paired sign test — EWMA vs Holt ---------------------
 
     ("t14_sign_test", (s: SparkSession, d: String) => {
