@@ -1994,6 +1994,11 @@ object Estimation {
           first(col("n")).as("n"))
         .filter(col("nr") > 10)
         .withColumn("det", col("a11") * col("a22") - col("a12") * col("a12"))
+        // Degenerate-pair guard: identically-zero residuals (one series
+        // an exact affine image of the other) zero the ADF design and
+        // rho would be 0/0 — NaN flows silently in Spark but errors in
+        // DuckDB's bigint cast (self-review r12, t17's class).
+        .filter(col("det") > 0)
         .withColumn("rho",
           (col("c1") * col("a22") - col("a12") * col("c2")) / col("det"))
         .withColumn("phi",
@@ -2054,7 +2059,7 @@ object Estimation {
                    a11 * a22 - a12 * a12 AS det,
                    (c1 * a22 - a12 * c2) / (a11 * a22 - a12 * a12) AS rho,
                    (a11 * c2 - a12 * c1) / (a11 * a22 - a12 * a12) AS phi
-                 FROM adf)),
+                 FROM adf WHERE a11 * a22 - a12 * a12 > 0)),
          quant AS (
            SELECT lhs, rhs, cast(n AS bigint) AS n_days,
                   cast(nr AS bigint) AS n_eff,
@@ -2126,8 +2131,14 @@ object Estimation {
       val disc = math.max(tr * tr - 4 * dt, 0.0)
       val l1 = (tr + math.sqrt(disc)) / 2
       val l2 = (tr - math.sqrt(disc)) / 2
-      val tr0 = math.round(-tEff * (math.log(1 - l1) + math.log(1 - l2)) * 1e6)
-      val tr1 = math.round(-tEff * math.log(1 - l2) * 1e6)
+      // Clamp the ln arguments away from 0: a degenerate panel (Δy
+      // exactly predicted by the level) puts an eigenvalue AT 1, where
+      // Scala would round(-Inf) while DuckDB errors — the same
+      // divergence class as the disc clamp above (self-review r12).
+      val c1 = math.min(l1, 1 - 1e-12)
+      val c2 = math.min(l2, 1 - 1e-12)
+      val tr0 = math.round(-tEff * (math.log(1 - c1) + math.log(1 - c2)) * 1e6)
+      val tr1 = math.round(-tEff * math.log(1 - c2) * 1e6)
       val rank = if (tr0 <= 12530000L) 0 else if (tr1 <= 3840000L) 1 else 2
       s.createDataFrame(
         java.util.Arrays.asList(Row(tEff.toLong,
@@ -2188,10 +2199,11 @@ object Estimation {
            SELECT cast(t_eff AS bigint) AS n_eff,
                   cast(round(l1 * 1e6) AS bigint) AS lambda1_e6,
                   cast(round(l2 * 1e6) AS bigint) AS lambda2_e6,
-                  cast(round(-t_eff * (ln(1 - l1) + ln(1 - l2)) * 1e6)
+                  cast(round(-t_eff * (ln(1 - least(l1, 1 - 1e-12))
+                    + ln(1 - least(l2, 1 - 1e-12))) * 1e6)
                     AS bigint) AS trace_r0_e6,
-                  cast(round(-t_eff * ln(1 - l2) * 1e6) AS bigint)
-                    AS trace_r1_e6
+                  cast(round(-t_eff * ln(1 - least(l2, 1 - 1e-12)) * 1e6)
+                    AS bigint) AS trace_r1_e6
            FROM jeig)
          SELECT n_eff, lambda1_e6, lambda2_e6, trace_r0_e6, trace_r1_e6,
                 cast(CASE WHEN trace_r0_e6 <= 12530000 THEN 0

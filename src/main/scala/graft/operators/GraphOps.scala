@@ -476,6 +476,24 @@ object GraphOps {
          FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk
          GROUP BY 1, 2 HAVING count(DISTINCT a.ok) >= 2)"""
 
+  /** The triangle-count CTE chain over `strong` (canonical orientation →
+    * wedge → closure → corner explode → per-node count) — shared by the
+    * g4 and g9 oracles so the two spellings cannot desynchronize (the
+    * sqlStrong/kcoreStep convention; a future switch to
+    * degree-orientation edits ONE site).
+    */
+  private val sqlTriangles =
+    """c AS (SELECT src, dst FROM strong WHERE src < dst),
+       w AS (SELECT x.src AS a, x.dst AS b, y.dst AS cc
+             FROM c x JOIN c y ON y.src = x.dst),
+       t AS (SELECT w.a, w.b, w.cc
+             FROM w JOIN c z ON z.src = w.a AND z.dst = w.cc),
+       p AS (SELECT a AS node FROM t
+             UNION ALL SELECT b FROM t
+             UNION ALL SELECT cc FROM t),
+       cnt AS (SELECT node, cast(count(*) AS bigint) AS tri_cnt
+               FROM p GROUP BY 1)"""
+
   private val sqlGraph =
     """li AS (
          SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
@@ -622,16 +640,7 @@ object GraphOps {
         .orderBy(col("rank"))
     }, Some(
       s"""WITH $sqlStrong,
-          c AS (SELECT src, dst FROM strong WHERE src < dst),
-          w AS (SELECT x.src AS a, x.dst AS b, y.dst AS cc
-                FROM c x JOIN c y ON y.src = x.dst),
-          t AS (SELECT w.a, w.b, w.cc
-                FROM w JOIN c z ON z.src = w.a AND z.dst = w.cc),
-          p AS (SELECT a AS node FROM t
-                UNION ALL SELECT b FROM t
-                UNION ALL SELECT cc FROM t),
-          cnt AS (SELECT node, cast(count(*) AS bigint) AS tri_cnt
-                  FROM p GROUP BY 1),
+          $sqlTriangles,
           ranked AS (
             SELECT node, tri_cnt, row_number() OVER (
               ORDER BY tri_cnt DESC, node) AS rank
@@ -746,16 +755,7 @@ object GraphOps {
       s"""WITH $sqlStrong,
           deg AS (SELECT dst AS node, cast(count(*) AS bigint) AS deg
                   FROM strong GROUP BY 1),
-          c AS (SELECT src, dst FROM strong WHERE src < dst),
-          w AS (SELECT x.src AS a, x.dst AS b, y.dst AS cc
-                FROM c x JOIN c y ON y.src = x.dst),
-          t AS (SELECT w.a, w.b, w.cc
-                FROM w JOIN c z ON z.src = w.a AND z.dst = w.cc),
-          p AS (SELECT a AS node FROM t
-                UNION ALL SELECT b FROM t
-                UNION ALL SELECT cc FROM t),
-          cnt AS (SELECT node, cast(count(*) AS bigint) AS tri_cnt
-                  FROM p GROUP BY 1),
+          $sqlTriangles,
           coef AS (
             SELECT dg.node, dg.deg,
                    coalesce(cnt.tri_cnt, 0) AS tri_cnt,
