@@ -188,6 +188,115 @@ object Estimation {
            FROM pw CROSS JOIN bmat b WHERE pw.h < 8)"""
   }
 
+  /** Johansen driver kernel on the scaled monthly (rev, n_orders)
+    * panel, shared by t17 (trace test) and m23 (VECM): raw Δy/level
+    * cross-product sums (the 1/T normalizations cancel through the
+    * inverse chain), the 2×2 adjugate chain to M = P11⁻¹P10P00⁻¹P01,
+    * and its closed-form spectrum (disc clamped at 0 — the
+    * near-equal-roots guard). Returns (tEff, p11_11, p11_12, p11_22,
+    * p01_11, p01_12, p01_21, p01_22, m11, m12, l1, l2).
+    */
+  private def johansenKernel(s: SparkSession, d: String)
+      : (Double, Double, Double, Double, Double, Double, Double, Double,
+         Double, Double, Double, Double) = {
+    val panel = collectSeries(monthlyPanel(s, d), "month",
+      Seq("rev", "n_orders"))
+    val n = panel.length
+    val y1 = panel.map(_(0) / 1e8)
+    val y2 = panel.map(_(1) / 1e3)
+    var (p00_11, p00_12, p00_22) = (0.0, 0.0, 0.0)
+    var (p11_11, p11_12, p11_22) = (0.0, 0.0, 0.0)
+    var (p01_11, p01_12, p01_21, p01_22) = (0.0, 0.0, 0.0, 0.0)
+    for (t <- 1 until n) {
+      val (x1, x2) = (y1(t - 1), y2(t - 1))
+      val (dy1, dy2) = (y1(t) - x1, y2(t) - x2)
+      p00_11 += dy1 * dy1; p00_12 += dy1 * dy2; p00_22 += dy2 * dy2
+      p11_11 += x1 * x1; p11_12 += x1 * x2; p11_22 += x2 * x2
+      p01_11 += dy1 * x1; p01_12 += dy1 * x2
+      p01_21 += dy2 * x1; p01_22 += dy2 * x2
+    }
+    val tEff = (n - 1).toDouble
+    val d00 = p00_11 * p00_22 - p00_12 * p00_12
+    val d11 = p11_11 * p11_22 - p11_12 * p11_12
+    val g11 = (p00_22 * p01_11 - p00_12 * p01_21) / d00
+    val g12 = (p00_22 * p01_12 - p00_12 * p01_22) / d00
+    val g21 = (p00_11 * p01_21 - p00_12 * p01_11) / d00
+    val g22 = (p00_11 * p01_22 - p00_12 * p01_12) / d00
+    val h11 = p01_11 * g11 + p01_21 * g21
+    val h12 = p01_11 * g12 + p01_21 * g22
+    val h21 = p01_12 * g11 + p01_22 * g21
+    val h22 = p01_12 * g12 + p01_22 * g22
+    val m11 = (p11_22 * h11 - p11_12 * h21) / d11
+    val m12 = (p11_22 * h12 - p11_12 * h22) / d11
+    val m21 = (p11_11 * h21 - p11_12 * h11) / d11
+    val m22 = (p11_11 * h22 - p11_12 * h12) / d11
+    val tr = m11 + m22
+    val dt = m11 * m22 - m12 * m21
+    val disc = math.max(tr * tr - 4 * dt, 0.0)
+    val l1 = (tr + math.sqrt(disc)) / 2
+    val l2 = (tr - math.sqrt(disc)) / 2
+    (tEff, p11_11, p11_12, p11_22, p01_11, p01_12, p01_21, p01_22,
+      m11, m12, l1, l2)
+  }
+
+  /** Shared DuckDB chain for the t17/m23 oracles: IrfOracle's panel
+    * CTEs extended with the Johansen cross-product sums, adjugate
+    * chain, and closed-form spectrum. LAZY for the same entries-
+    * initialization reason as IrfOracle.prefix.
+    */
+  private object JoOracle {
+    lazy val chain: String = IrfOracle.prefix +
+      """, js AS (
+           SELECT count(*) * 1e0 AS t_eff,
+                  sum((z1 - x1) * (z1 - x1)) AS p00_11,
+                  sum((z1 - x1) * (z2 - x2)) AS p00_12,
+                  sum((z2 - x2) * (z2 - x2)) AS p00_22,
+                  sum(x1 * x1) AS p11_11, sum(x1 * x2) AS p11_12,
+                  sum(x2 * x2) AS p11_22,
+                  sum((z1 - x1) * x1) AS p01_11,
+                  sum((z1 - x1) * x2) AS p01_12,
+                  sum((z2 - x2) * x1) AS p01_21,
+                  sum((z2 - x2) * x2) AS p01_22
+           FROM d),
+         jg AS (
+           SELECT *,
+                  (p00_22 * p01_11 - p00_12 * p01_21)
+                    / (p00_11 * p00_22 - p00_12 * p00_12) AS g11,
+                  (p00_22 * p01_12 - p00_12 * p01_22)
+                    / (p00_11 * p00_22 - p00_12 * p00_12) AS g12,
+                  (p00_11 * p01_21 - p00_12 * p01_11)
+                    / (p00_11 * p00_22 - p00_12 * p00_12) AS g21,
+                  (p00_11 * p01_22 - p00_12 * p01_12)
+                    / (p00_11 * p00_22 - p00_12 * p00_12) AS g22
+           FROM js),
+         jh AS (
+           SELECT *,
+                  p01_11 * g11 + p01_21 * g21 AS h11,
+                  p01_11 * g12 + p01_21 * g22 AS h12,
+                  p01_12 * g11 + p01_22 * g21 AS h21,
+                  p01_12 * g12 + p01_22 * g22 AS h22
+           FROM jg),
+         jm AS (
+           SELECT t_eff, p11_11, p11_12, p11_22,
+                  p01_11, p01_12, p01_21, p01_22,
+                  (p11_22 * h11 - p11_12 * h21)
+                    / (p11_11 * p11_22 - p11_12 * p11_12) AS m11,
+                  (p11_22 * h12 - p11_12 * h22)
+                    / (p11_11 * p11_22 - p11_12 * p11_12) AS m12,
+                  (p11_11 * h21 - p11_12 * h11)
+                    / (p11_11 * p11_22 - p11_12 * p11_12) AS m21,
+                  (p11_11 * h22 - p11_12 * h12)
+                    / (p11_11 * p11_22 - p11_12 * p11_12) AS m22
+           FROM jh),
+         jeig AS (
+           SELECT *,
+                  (m11 + m22 + sqrt(greatest((m11 + m22) * (m11 + m22)
+                    - 4 * (m11 * m22 - m12 * m21), 0))) / 2 AS l1,
+                  (m11 + m22 - sqrt(greatest((m11 + m22) * (m11 + m22)
+                    - 4 * (m11 * m22 - m12 * m21), 0))) / 2 AS l2
+           FROM jm)"""
+  }
+
   /** Distributed form of the m11 naive-ACF selection — the SCALE PATH for
     * the one driver-matrix query whose input could plausibly outgrow the
     * driver (days × event-types: the day axis is calendar-bounded but the
@@ -2094,47 +2203,15 @@ object Estimation {
       // the χ²(1) bound for the last root; shared constants, t14's
       // convention). Scale: m20's split — monthly aggregation is the
       // corpus pass, the algebra is driver-side on the
-      // calendar-bounded panel.
-      val panel = collectSeries(monthlyPanel(s, d), "month",
-        Seq("rev", "n_orders"))
-      val n = panel.length
-      val y1 = panel.map(_(0) / 1e8)
-      val y2 = panel.map(_(1) / 1e3)
-      var (p00_11, p00_12, p00_22) = (0.0, 0.0, 0.0)
-      var (p11_11, p11_12, p11_22) = (0.0, 0.0, 0.0)
-      var (p01_11, p01_12, p01_21, p01_22) = (0.0, 0.0, 0.0, 0.0)
-      for (t <- 1 until n) {
-        val (x1, x2) = (y1(t - 1), y2(t - 1))
-        val (dy1, dy2) = (y1(t) - x1, y2(t) - x2)
-        p00_11 += dy1 * dy1; p00_12 += dy1 * dy2; p00_22 += dy2 * dy2
-        p11_11 += x1 * x1; p11_12 += x1 * x2; p11_22 += x2 * x2
-        p01_11 += dy1 * x1; p01_12 += dy1 * x2
-        p01_21 += dy2 * x1; p01_22 += dy2 * x2
-      }
-      val tEff = (n - 1).toDouble
-      val d00 = p00_11 * p00_22 - p00_12 * p00_12
-      val d11 = p11_11 * p11_22 - p11_12 * p11_12
-      val g11 = (p00_22 * p01_11 - p00_12 * p01_21) / d00
-      val g12 = (p00_22 * p01_12 - p00_12 * p01_22) / d00
-      val g21 = (p00_11 * p01_21 - p00_12 * p01_11) / d00
-      val g22 = (p00_11 * p01_22 - p00_12 * p01_12) / d00
-      val h11 = p01_11 * g11 + p01_21 * g21
-      val h12 = p01_11 * g12 + p01_21 * g22
-      val h21 = p01_12 * g11 + p01_22 * g21
-      val h22 = p01_12 * g12 + p01_22 * g22
-      val m11 = (p11_22 * h11 - p11_12 * h21) / d11
-      val m12 = (p11_22 * h12 - p11_12 * h22) / d11
-      val m21 = (p11_11 * h21 - p11_12 * h11) / d11
-      val m22 = (p11_11 * h22 - p11_12 * h12) / d11
-      val tr = m11 + m22
-      val dt = m11 * m22 - m12 * m21
-      val disc = math.max(tr * tr - 4 * dt, 0.0)
-      val l1 = (tr + math.sqrt(disc)) / 2
-      val l2 = (tr - math.sqrt(disc)) / 2
+      // calendar-bounded panel. Kernel shared with m23 (the VECM that
+      // the rank decision licenses) on [[johansenKernel]].
+      val k = johansenKernel(s, d)
+      val (tEff, l1, l2) = (k._1, k._11, k._12)
       // Clamp the ln arguments away from 0: a degenerate panel (Δy
       // exactly predicted by the level) puts an eigenvalue AT 1, where
       // Scala would round(-Inf) while DuckDB errors — the same
-      // divergence class as the disc clamp above (self-review r12).
+      // divergence class as the disc clamp in the kernel (self-review
+      // r12).
       val c1 = math.min(l1, 1 - 1e-12)
       val c2 = math.min(l2, 1 - 1e-12)
       val tr0 = math.round(-tEff * (math.log(1 - c1) + math.log(1 - c2)) * 1e6)
@@ -2146,56 +2223,8 @@ object Estimation {
         StructType(Seq("n_eff", "lambda1_e6", "lambda2_e6", "trace_r0_e6",
           "trace_r1_e6").map(StructField(_, LongType)) :+
           StructField("coint_rank", IntegerType)))
-    }, Some(IrfOracle.prefix +
-      """, js AS (
-           SELECT count(*) * 1e0 AS t_eff,
-                  sum((z1 - x1) * (z1 - x1)) AS p00_11,
-                  sum((z1 - x1) * (z2 - x2)) AS p00_12,
-                  sum((z2 - x2) * (z2 - x2)) AS p00_22,
-                  sum(x1 * x1) AS p11_11, sum(x1 * x2) AS p11_12,
-                  sum(x2 * x2) AS p11_22,
-                  sum((z1 - x1) * x1) AS p01_11,
-                  sum((z1 - x1) * x2) AS p01_12,
-                  sum((z2 - x2) * x1) AS p01_21,
-                  sum((z2 - x2) * x2) AS p01_22
-           FROM d),
-         jg AS (
-           SELECT *,
-                  (p00_22 * p01_11 - p00_12 * p01_21)
-                    / (p00_11 * p00_22 - p00_12 * p00_12) AS g11,
-                  (p00_22 * p01_12 - p00_12 * p01_22)
-                    / (p00_11 * p00_22 - p00_12 * p00_12) AS g12,
-                  (p00_11 * p01_21 - p00_12 * p01_11)
-                    / (p00_11 * p00_22 - p00_12 * p00_12) AS g21,
-                  (p00_11 * p01_22 - p00_12 * p01_12)
-                    / (p00_11 * p00_22 - p00_12 * p00_12) AS g22
-           FROM js),
-         jh AS (
-           SELECT *,
-                  p01_11 * g11 + p01_21 * g21 AS h11,
-                  p01_11 * g12 + p01_21 * g22 AS h12,
-                  p01_12 * g11 + p01_22 * g21 AS h21,
-                  p01_12 * g12 + p01_22 * g22 AS h22
-           FROM jg),
-         jm AS (
-           SELECT t_eff,
-                  (p11_22 * h11 - p11_12 * h21)
-                    / (p11_11 * p11_22 - p11_12 * p11_12) AS m11,
-                  (p11_22 * h12 - p11_12 * h22)
-                    / (p11_11 * p11_22 - p11_12 * p11_12) AS m12,
-                  (p11_11 * h21 - p11_12 * h11)
-                    / (p11_11 * p11_22 - p11_12 * p11_12) AS m21,
-                  (p11_11 * h22 - p11_12 * h12)
-                    / (p11_11 * p11_22 - p11_12 * p11_12) AS m22
-           FROM jh),
-         jeig AS (
-           SELECT t_eff,
-                  (m11 + m22 + sqrt(greatest((m11 + m22) * (m11 + m22)
-                    - 4 * (m11 * m22 - m12 * m21), 0))) / 2 AS l1,
-                  (m11 + m22 - sqrt(greatest((m11 + m22) * (m11 + m22)
-                    - 4 * (m11 * m22 - m12 * m21), 0))) / 2 AS l2
-           FROM jm),
-         jq AS (
+    }, Some(JoOracle.chain +
+      """, jq AS (
            SELECT cast(t_eff AS bigint) AS n_eff,
                   cast(round(l1 * 1e6) AS bigint) AS lambda1_e6,
                   cast(round(l2 * 1e6) AS bigint) AS lambda2_e6,
@@ -2210,6 +2239,56 @@ object Estimation {
                           WHEN trace_r1_e6 <= 3840000 THEN 1
                           ELSE 2 END AS int) AS coint_rank
          FROM jq""")),
+
+    // ----- M23 (ext.): VECM — the model the rank decision licenses ---------
+
+    ("m23_vecm", (s: SparkSession, d: String) => {
+      // Error-correction estimates for the rank-1 relation t17 finds:
+      // the cointegrating vector β = (1, β₂) from the leading
+      // eigenvector of the Johansen kernel's M ((M − λ₁I)v = 0 ⇒
+      // β₂ = (λ₁ − m11)/m12, normalized on rev), and the adjustment
+      // loadings α = P01·β·(βᵀP11β)⁻¹ — how hard each equation pulls
+      // back when the long-run relation rev + β₂·orders is violated
+      // (the 1/T factors cancel as in t17). ec_load = 1 row of βᵀα —
+      // the disequilibrium's own AR coefficient minus one; negative =
+      // mean reversion, the thing a rank-1 finding promises. Same
+      // engine-parity argument as t17: one shared closed-form chain on
+      // [[johansenKernel]]/JoOracle, e6-quantized. Scale: m20's split.
+      val k = johansenKernel(s, d)
+      val (tEff, p11_11, p11_12, p11_22, p01_11, p01_12, p01_21, p01_22,
+        m11, m12, l1, _) = k
+      val b2 = (l1 - m11) / m12
+      val bq = p11_11 + 2 * b2 * p11_12 + b2 * b2 * p11_22
+      val a1 = (p01_11 + b2 * p01_12) / bq
+      val a2 = (p01_21 + b2 * p01_22) / bq
+      s.createDataFrame(
+        java.util.Arrays.asList(Row(tEff.toLong,
+          math.round(l1 * 1e6), math.round(b2 * 1e6),
+          math.round(a1 * 1e6), math.round(a2 * 1e6),
+          math.round((a1 + b2 * a2) * 1e6))),
+        StructType(Seq("n_eff", "lambda1_e6", "beta2_e6", "alpha1_e6",
+          "alpha2_e6", "ec_load_e6").map(StructField(_, LongType))))
+    }, Some(JoOracle.chain +
+      """, vec AS (
+           SELECT cast(t_eff AS bigint) AS n_eff,
+                  cast(round(l1 * 1e6) AS bigint) AS lambda1_e6,
+                  (l1 - m11) / m12 AS b2,
+                  p11_11, p11_12, p11_22,
+                  p01_11, p01_12, p01_21, p01_22
+           FROM jeig),
+         ab AS (
+           SELECT n_eff, lambda1_e6, b2,
+                  (p01_11 + b2 * p01_12)
+                    / (p11_11 + 2 * b2 * p11_12 + b2 * b2 * p11_22) AS a1,
+                  (p01_21 + b2 * p01_22)
+                    / (p11_11 + 2 * b2 * p11_12 + b2 * b2 * p11_22) AS a2
+           FROM vec)
+         SELECT n_eff, lambda1_e6,
+                cast(round(b2 * 1e6) AS bigint) AS beta2_e6,
+                cast(round(a1 * 1e6) AS bigint) AS alpha1_e6,
+                cast(round(a2 * 1e6) AS bigint) AS alpha2_e6,
+                cast(round((a1 + b2 * a2) * 1e6) AS bigint) AS ec_load_e6
+         FROM ab""")),
 
     // ----- T14 (ext.): paired sign test — EWMA vs Holt ---------------------
 
