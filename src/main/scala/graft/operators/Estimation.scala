@@ -201,9 +201,17 @@ object Estimation {
          Double, Double, Double, Double) = {
     val panel = collectSeries(monthlyPanel(s, d), "month",
       Seq("rev", "n_orders"))
-    val n = panel.length
-    val y1 = panel.map(_(0) / 1e8)
-    val y2 = panel.map(_(1) / 1e3)
+    johansenOn(panel.map(_(0) / 1e8), panel.map(_(1) / 1e3))
+  }
+
+  /** The pure-array Johansen core — separated so PropertySpec can pin
+    * the adjugate chain and closed-form spectrum against an
+    * independent Breeze eigensolver on random panels.
+    */
+  private[graft] def johansenOn(y1: Array[Double], y2: Array[Double])
+      : (Double, Double, Double, Double, Double, Double, Double, Double,
+         Double, Double, Double, Double) = {
+    val n = y1.length
     var (p00_11, p00_12, p00_22) = (0.0, 0.0, 0.0)
     var (p11_11, p11_12, p11_22) = (0.0, 0.0, 0.0)
     var (p01_11, p01_12, p01_21, p01_22) = (0.0, 0.0, 0.0, 0.0)

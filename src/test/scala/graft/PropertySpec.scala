@@ -648,4 +648,60 @@ class PropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     check("holtWintersKernel", cases = 25, prop)
   }
+
+  test("johansenOn matches a Breeze eigensolver and the eigen equations on random I(1) panels") {
+    // The t17/m23 chain (adjugate inverses → M → closed-form spectrum)
+    // re-derived by an INDEPENDENT route: build the cross-product
+    // matrices with Breeze linear algebra, take LAPACK's eigenvalues of
+    // M, and require the closed form to agree — plus the defining
+    // invariants: canonical correlations live in [0, 1] and the m23
+    // eigenvector (m12, λ1 − m11) annihilates (M − λ1·I).
+    import breeze.linalg.{DenseMatrix, eig, inv}
+    val panelGen: Gen[(Array[Double], Array[Double])] =
+      Gen.choose(10, 40).flatMap { n =>
+        Gen.zip(
+          Gen.listOfN(n, Gen.choose(-100, 100)),
+          Gen.listOfN(n, Gen.choose(-100, 100)),
+          Gen.choose(-3, 3)).map { case (s1, s2, cpl) =>
+          // Random walks, the second optionally error-correcting toward
+          // the first — so both the rank-0 and rank-1 regimes are drawn.
+          val y1 = s1.scanLeft(100.0)((a, b) => a + b).tail.toArray
+          val y2 = s2.zip(y1).scanLeft(50.0) { case (a, (b, y)) =>
+            a + 0.1 * cpl * (y - a) + b }.tail.toArray
+          (y1, y2)
+        }
+      }
+    val prop = Prop.forAll(panelGen) { case (y1, y2) =>
+      val n = y1.length
+      val r0 = DenseMatrix.tabulate(n - 1, 2)((i, j) =>
+        if (j == 0) y1(i + 1) - y1(i) else y2(i + 1) - y2(i))
+      val r1 = DenseMatrix.tabulate(n - 1, 2)((i, j) =>
+        if (j == 0) y1(i) else y2(i))
+      val p00 = r0.t * r0
+      val p11 = r1.t * r1
+      val p01 = r0.t * r1
+      val d00 = p00(0, 0) * p00(1, 1) - p00(0, 1) * p00(1, 0)
+      val d11 = p11(0, 0) * p11(1, 1) - p11(0, 1) * p11(1, 0)
+      if (math.abs(d00) < 1e-6 || math.abs(d11) < 1e-6) Prop(true)
+      else {
+        val m = inv(p11) * p01.t * inv(p00) * p01
+        val ev = eig(m).eigenvalues.toArray.sorted.reverse
+        val k = graft.operators.Estimation.johansenOn(y1, y2)
+        val (m11, m12, l1, l2) = (k._9, k._10, k._11, k._12)
+        val tol = 1e-7 * math.max(1.0, math.abs(ev(0)))
+        val evOk = math.abs(l1 - ev(0)) < tol && math.abs(l2 - ev(1)) < tol
+        val rangeOk = l1 <= 1 + 1e-8 && l2 >= -1e-8 && l2 <= l1
+        // Eigen residual for m23's vector v = (m12, λ1 − m11):
+        // (M − λ1 I) v = 0 up to conditioning.
+        val (v1, v2) = (m12, l1 - m11)
+        val res1 = (m(0, 0) - l1) * v1 + m(0, 1) * v2
+        val res2 = m(1, 0) * v1 + (m(1, 1) - l1) * v2
+        val vnorm = math.max(math.sqrt(v1 * v1 + v2 * v2), 1e-12)
+        val eigOk = math.sqrt(res1 * res1 + res2 * res2) / vnorm < 1e-6
+        Prop(evOk && rangeOk && eigOk) :|
+          s"l=($l1,$l2) breeze=(${ev(0)},${ev(1)}) evOk=$evOk rangeOk=$rangeOk eigOk=$eigOk"
+      }
+    }
+    check("johansenOn", cases = 40, prop)
+  }
 }
