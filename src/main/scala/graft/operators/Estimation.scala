@@ -435,7 +435,16 @@ object Estimation {
     * extracted so a test can plant a genuine level shift (the driver
     * panel is i.i.d. and never trips the 1.358 threshold).
     */
-  private[graft] def cusum(daily: DataFrame): DataFrame = {
+  /** The shared indexed-CUSUM chain behind [[cusum]] (w18) and
+    * [[chowAtCusum]] (t18): per-series meta (n, Σx), the day-ranked
+    * frame carrying the exact-integer demeaned terms ebig = n·x − Σx
+    * and their running sums, and the |T| argmax (ties to the earliest
+    * t). One spelling so the locator and the test that interrogates
+    * its breakpoint cannot desynchronize (the sqlTriangles argument,
+    * Scala side).
+    */
+  private def cusumIndexed(daily: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
     val meta = daily.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
     val wT = Window.partitionBy(col("event_type")).orderBy(col("day"))
@@ -453,6 +462,11 @@ object Estimation {
       .filter(col("r") === 1)
       .select(col("event_type"), abs(col("tbig")).as("m"),
         col("t").as("t_hat"), col("day").as("day_hat"))
+    (meta, e, peak)
+  }
+
+  private[graft] def cusum(daily: DataFrame): DataFrame = {
+    val (meta, e, peak) = cusumIndexed(daily)
     val g0 = e.select(col("event_type"),
         round((col("ebig") * lit(1.0) / col("n") / lit(1000.0)) *
           (col("ebig") * lit(1.0) / col("n") / lit(1000.0)))
@@ -468,6 +482,66 @@ object Estimation {
           .as("q_e6"),
         col("t_hat"), col("day_hat"))
       .withColumn("changepoint", coalesce(col("q_e6") > 1358000L, lit(false)))
+  }
+
+  /** The t18 kernel: Chow-style mean-shift F test AT the CUSUM-located
+    * breakpoint — w18 finds WHERE the series most likely broke, this
+    * tests whether the means on the two sides actually differ
+    * (one-way F with k = 1 restriction: F = (RSS_pooled − RSS_a −
+    * RSS_b) / ((RSS_a + RSS_b)/(n − 2))). Exactness: per-segment
+    * counts, sums and square-sums are exact longs via conditional
+    * aggregation (segment b's derive by subtraction, so one pass),
+    * each RSS is ONE shared double expression over them, and the
+    * reject compares the QUANTIZED F to the asymptotic χ²(1) 5% value
+    * 3.8415 (documented approximation — the exact F(1, n−2) quantile
+    * varies with n; at the panel's n ≈ 30 the true 5% cut is ≈ 4.20,
+    * so the flag is mildly anticonservative, stated on the output
+    * name). Degenerate guards (t8/w18's class): a one-sided split
+    * yields NULL F and a non-reject, but zero within-variance ACROSS a
+    * real split with pooled variance remaining (two exactly-constant
+    * segments at different levels — the hardest possible break, F = ∞)
+    * is an explicit REJECT with NULL F: the planted-shift test pins
+    * that branch, where a naive rssa + rssb > 0 guard silently
+    * swallows the strongest evidence. The zero-compares are exact —
+    * segment RSS assembles from exact longs, so a constant segment's
+    * RSS is 0.0 to the bit in both engines.
+    */
+  private[graft] def chowAtCusum(daily: DataFrame): DataFrame = {
+    val (_, e, peak) = cusumIndexed(daily)
+    val sg = e.join(peak.select(col("event_type"), col("t_hat"),
+        col("day_hat")), "event_type")
+      .withColumn("ina", col("t") <= col("t_hat"))
+    val agg = sg.groupBy(col("event_type"), col("t_hat"), col("day_hat"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("ssq"),
+        sum(when(col("ina"), 1L).otherwise(0L)).as("na"),
+        sum(when(col("ina"), col("x")).otherwise(0L)).as("sxa"),
+        sum(when(col("ina"), col("x") * col("x")).otherwise(0L)).as("ssqa"))
+      .withColumn("nb", col("n") - col("na"))
+      .withColumn("sxb", col("sx") - col("sxa"))
+      .withColumn("ssqb", col("ssq") - col("ssqa"))
+    val rss = agg
+      .withColumn("rssp", col("ssq") - col("sx") * col("sx") / col("n"))
+      .withColumn("rssa",
+        col("ssqa") - col("sxa") * col("sxa") / col("na"))
+      .withColumn("rssb", when(col("nb") > 0,
+        col("ssqb") - col("sxb") * col("sxb") / col("nb")))
+    rss
+      .withColumn("f_e4",
+        when(col("nb") > 0 && col("rssa") + col("rssb") > 0,
+          round((col("rssp") - col("rssa") - col("rssb")) /
+            ((col("rssa") + col("rssb")) / (col("n") - 2)) * 1e4)
+            .cast("long")))
+      .withColumn("reject_asym_5pct",
+        coalesce(col("f_e4") > 38415L, lit(false)) ||
+          (col("nb") > 0 && col("rssa") + col("rssb") === 0 &&
+            col("rssp") > 0))
+      .select(col("event_type"), col("n"), col("t_hat"), col("day_hat"),
+        round(col("sxa") * 1e2 / col("na")).cast("long").as("mean_a_e2"),
+        when(col("nb") > 0, round(col("sxb") * 1e2 / col("nb")).cast("long"))
+          .as("mean_b_e2"),
+        col("f_e4"), col("reject_asym_5pct"))
   }
 
   /** The w19 kernel over any (event_type, day, x:long) daily panel —
@@ -2415,6 +2489,81 @@ object Estimation {
          JOIN g0 ON g0.event_type = p.event_type
          JOIN meta m2 ON m2.event_type = p.event_type
          ORDER BY 1""")),
+
+    // ----- T18 (ext.): Chow mean-shift test at the CUSUM breakpoint --------
+
+    ("t18_chow_at_break", (s: SparkSession, d: String) => {
+      // The composition w18 sets up: CUSUM LOCATES the most likely
+      // breakpoint, this TESTS it — a one-restriction Chow/ANOVA F for
+      // a mean shift at t_hat, per series. Kernel contract (shared
+      // cusumIndexed chain, conditional-aggregation exactness, the
+      // documented asymptotic-χ² flag) on [[chowAtCusum]].
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("x"))
+      chowAtCusum(daily).orderBy(col("event_type"))
+    }, Some(
+      """WITH daily AS (
+           SELECT event_type, cast(ts AS date) AS day,
+                  cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS x
+           FROM events GROUP BY 1, 2),
+         meta AS (
+           SELECT event_type, count(*) AS n, cast(sum(x) AS bigint) AS sx
+           FROM daily GROUP BY 1),
+         e AS (
+           SELECT d.event_type, d.day, d.x,
+                  row_number() OVER (PARTITION BY d.event_type ORDER BY d.day)
+                    AS t,
+                  m.n, m.n * d.x - m.sx AS ebig
+           FROM daily d JOIN meta m ON m.event_type = d.event_type),
+         te AS (
+           SELECT *, sum(ebig) OVER (PARTITION BY event_type ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS tbig
+           FROM e),
+         peak AS (
+           SELECT event_type, t AS t_hat, day AS day_hat
+           FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+                   ORDER BY abs(tbig) DESC, t) AS r FROM te)
+           WHERE r = 1),
+         agg AS (
+           SELECT te.event_type, p.t_hat, p.day_hat,
+                  cast(count(*) AS bigint) AS n,
+                  cast(sum(te.x) AS bigint) AS sx,
+                  cast(sum(te.x * te.x) AS bigint) AS ssq,
+                  cast(sum(CASE WHEN te.t <= p.t_hat THEN 1 ELSE 0 END)
+                    AS bigint) AS na,
+                  cast(sum(CASE WHEN te.t <= p.t_hat THEN te.x ELSE 0 END)
+                    AS bigint) AS sxa,
+                  cast(sum(CASE WHEN te.t <= p.t_hat THEN te.x * te.x
+                    ELSE 0 END) AS bigint) AS ssqa
+           FROM te JOIN peak p ON p.event_type = te.event_type
+           GROUP BY 1, 2, 3),
+         seg AS (
+           SELECT *, n - na AS nb, sx - sxa AS sxb, ssq - ssqa AS ssqb
+           FROM agg),
+         rss AS (
+           SELECT *,
+                  ssq - sx * sx / n AS rssp,
+                  ssqa - sxa * sxa / na AS rssa,
+                  CASE WHEN nb > 0 THEN ssqb - sxb * sxb / nb END AS rssb
+           FROM seg),
+         fin AS (
+           SELECT event_type, n, cast(t_hat AS int) AS t_hat, day_hat,
+                  cast(round(sxa * 1e2 / na) AS bigint) AS mean_a_e2,
+                  CASE WHEN nb > 0 THEN
+                    cast(round(sxb * 1e2 / nb) AS bigint) END AS mean_b_e2,
+                  CASE WHEN nb > 0 AND rssa + rssb > 0 THEN
+                    cast(round((rssp - rssa - rssb) /
+                      ((rssa + rssb) / (n - 2)) * 1e4) AS bigint)
+                  END AS f_e4,
+                  nb, rssa, rssb, rssp
+           FROM rss)
+         SELECT event_type, n, t_hat, day_hat, mean_a_e2, mean_b_e2, f_e4,
+                coalesce(f_e4 > 38415, false)
+                  OR (nb > 0 AND rssa + rssb = 0 AND rssp > 0)
+                  AS reject_asym_5pct
+         FROM fin ORDER BY 1""")),
 
     // ----- W19 (ext.): robust anomaly flags (median/MAD) -------------------
 

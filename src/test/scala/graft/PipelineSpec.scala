@@ -150,6 +150,33 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(flag && q > 1358000L, s"planted shift not flagged: q=$q")
     assert(tHat == 15, s"changepoint located at t=$tHat, want 15")
     assert(!out("flat")._3, s"control series flagged: ${out("flat")}")
+
+    // The t18 composition on the same plant: the Chow F at the located
+    // break must confirm a mean shift with segment means at the planted
+    // levels, while a ONE-POINT segment (n=2 with the split at t=1)
+    // stays well-defined, and the flat control must not reject.
+    val chow = graft.operators.Estimation
+      .chowAtCusum((shifted ++ flat).toDF("event_type", "day", "x"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getInt(2), r.getLong(4), r.getLong(5),
+        if (r.isNullAt(6)) None else Some(r.getLong(6)), r.getBoolean(7)))
+      .toMap
+    val (ct, ma, mb, f, rej) = chow("shift")
+    assert(ct == 15 && ma == 10000000L && mb == 90000000L,
+      s"chow segments wrong: t=$ct means=($ma,$mb)")
+    // Exactly-constant segments are the perfect-separation branch:
+    // F = ∞ is a documented NULL with an explicit REJECT.
+    assert(rej && f.isEmpty, s"perfect split not rejected: f=$f rej=$rej")
+    assert(!chow("flat")._5, s"control series rejected: ${chow("flat")}")
+    // A noised plant exercises the FINITE-F reject path.
+    val noisy = (0 until 30).map(i =>
+      ("noisy", day(i), (if (i < 15) 100000L else 900000L)
+        + math.round(lcg.gaussian() * 20000)))
+    val nr = graft.operators.Estimation
+      .chowAtCusum(noisy.toDF("event_type", "day", "x")).collect()
+    assert(!nr(0).isNullAt(6) && nr(0).getLong(6) > 38415L
+        && nr(0).getBoolean(7),
+      s"noised shift not rejected with finite F: ${nr.toSeq}")
   }
 
   test("kpss/cusum: a constant series yields NULL statistic and explicit non-reject") {
