@@ -527,6 +527,47 @@ object GraphOps {
       .select(col("node"), col("rank_e12"), col("rank"))
       .orderBy(col("rank"))
 
+  /** The bipartite customer→part purchase graph (g10's HITS mine),
+    * cached per (session, sfDir) and pre-partitioned like
+    * [[copurchase]]: every HITS half-round aggregates alternately by
+    * part and by cust, so the cache partitions on CUST (the heavier
+    * hub side joins/aggregates exchange-free; the part-side round pays
+    * the one exchange the alternation forces).
+    */
+  private val bipartiteCache = new java.util.WeakHashMap[SparkSession,
+    scala.collection.concurrent.TrieMap[String, DataFrame]]()
+  private def bipartite(s: SparkSession, d: String): DataFrame =
+    bipartiteCache.synchronized {
+      bipartiteCache.computeIfAbsent(s,
+        _ => scala.collection.concurrent.TrieMap.empty)
+    }.getOrElseUpdate(d, {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("part"))
+      val or = Tables.orders(s, d)
+        .select(col("o_orderkey").as("ok"), col("o_custkey").as("cust"))
+      li.join(or, "ok").select(col("cust"), col("part"))
+        .distinct().repartition(col("cust")).persist()
+    })
+
+  /** One HITS half-round as a DuckDB CTE quadruple (raw inflow sum →
+    * max-normalize to e6, authorities then hubs) — kept beside the
+    * Scala round so the spellings evolve together (the kcoreStep
+    * convention). Integer end to end: sums, max, `//`.
+    */
+  private def hitsStep(i: Int): String =
+    s"""a${i}r AS (
+          SELECT e.part, cast(sum(h.h) AS bigint) AS a
+          FROM eg e JOIN h${i - 1} h ON h.cust = e.cust GROUP BY 1),
+        a$i AS (
+          SELECT part, a * 1000000 // (SELECT max(a) FROM a${i}r) AS a
+          FROM a${i}r),
+        h${i}r AS (
+          SELECT e.cust, cast(sum(a.a) AS bigint) AS h
+          FROM eg e JOIN a$i a ON a.part = e.part GROUP BY 1),
+        h$i AS (
+          SELECT cust, h * 1000000 // (SELECT max(h) FROM h${i}r) AS h
+          FROM h${i}r)"""
+
   type Q = (SparkSession, String) => DataFrame
 
   /** name -> (spark query, optional duckdb oracle sql) */
@@ -768,6 +809,58 @@ object GraphOps {
               ORDER BY cc_e6 DESC, deg DESC, node) AS rank
             FROM coef)
           SELECT node, deg, tri_cnt, cc_e6, cast(rank AS int) AS rank
+          FROM ranked WHERE rank <= 20 ORDER BY rank""")),
+
+    ("g10_hits", (s: SparkSession, d: String) => {
+      // HITS on the BIPARTITE customer→part purchase graph — the
+      // two-sided ranking the one-sided co-purchase projections (g1-g9)
+      // can't express: hub customers are those whose baskets
+      // concentrate on authoritative parts, authoritative parts those
+      // bought by hub customers — the mutual recursion that separates
+      // "bought by many" (plain degree) from "bought by the right
+      // many". 3 alternating rounds, max-normalized to e6 each
+      // half-step so the fixpoint is a pure INTEGER recursion (sums,
+      // max, integer division — bit-equal across engines by
+      // construction, the g1 discipline without even a rounding
+      // boundary); top-20 authorities by (score, part). Scale: the
+      // order→lineitem join is the corpus pass; each round is two
+      // aggregations over the edge list with a scalar broadcast — the
+      // node-sized rank frames never leave the cluster, and rounds are
+      // a fixed unroll like g1's iters=5.
+      val eg = bipartite(s, d)
+      var h = eg.select(col("cust")).distinct()
+        .withColumn("h", lit(1000000L))
+      var a: DataFrame = null
+      for (_ <- 1 to 3) {
+        val ar = eg.join(h, "cust").groupBy(col("part"))
+          .agg(sum(col("h")).as("a"))
+        a = ar.crossJoin(broadcast(ar.agg(max(col("a")).as("mx"))))
+          .select(col("part"), expr("a * 1000000 div mx").as("a"))
+        val hr = eg.join(a, "part").groupBy(col("cust"))
+          .agg(sum(col("a")).as("h"))
+        h = hr.crossJoin(broadcast(hr.agg(max(col("h")).as("mx"))))
+          .select(col("cust"), expr("h * 1000000 div mx").as("h"))
+      }
+      AnnIndex.topKCut(
+          a.select(lit(1).as("g"), col("part"), col("a")),
+          "g", "a", "part", k = 20, ascending = false,
+          scoreName = "auth_e6", idName = "part")
+        .select(col("part"), col("auth_e6"), col("rank"))
+        .orderBy(col("rank"))
+    }, Some(
+      s"""WITH li AS (SELECT l_orderkey AS ok, l_partkey AS part
+                      FROM lineitem),
+          orx AS (SELECT o_orderkey AS ok, o_custkey AS cust FROM orders),
+          eg AS (SELECT DISTINCT o.cust, l.part
+                 FROM li l JOIN orx o ON o.ok = l.ok),
+          h0 AS (SELECT DISTINCT cust, cast(1000000 AS bigint) AS h
+                 FROM eg),
+          ${(1 to 3).map(hitsStep).mkString(",\n")},
+          ranked AS (
+            SELECT part, a AS auth_e6, row_number() OVER (
+              ORDER BY a DESC, part) AS rank
+            FROM a3)
+          SELECT part, auth_e6, cast(rank AS int) AS rank
           FROM ranked WHERE rank <= 20 ORDER BY rank""")),
 
     ("g7_components", (s: SparkSession, d: String) => {
