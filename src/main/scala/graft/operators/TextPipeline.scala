@@ -1760,6 +1760,72 @@ object TextPipeline {
          WHERE greatest(p.common * 1.0 / sa.n, p.common * 1.0 / sb.n) >= 0.5
          ORDER BY 1, 2""")),
 
+    ("d14_decontaminate", (s: SparkSession, d: String) => {
+      // Benchmark DECONTAMINATION — the one-vs-corpus direction the
+      // pairwise dedup family (d2/d9) doesn't report: for every eval
+      // (test-split) document, the fraction of its 5-shingles that
+      // appear ANYWHERE in the train split — the n-gram-overlap
+      // contamination check every LLM training pipeline runs before
+      // trusting an eval number. Composes the family's own laws: x5's
+      // content-addressed split (so the eval set is reproducible on any
+      // engine) and d2/d9's shingle definition (one `shingles` helper —
+      // the scores can't drift from the dedup family's). Scale shape:
+      // the train shingle set DISTINCTs once and the test shingles
+      // left-semi-join it on the shingle key — a hash shuffle both
+      // sides, never a broadcast of a corpus-sized set, and the per-doc
+      // rates aggregate map-side. Exactness: counts are exact longs,
+      // the rate is one shared double division, the flag compares the
+      // QUANTIZED rate (>20% — the t14 convention).
+      val docs = withHashSplit(Tables.documents(s, d))
+      val sh = shingles(docs)
+      val shs = sh.join(docs.select(col("doc_id"), col("split")), "doc_id")
+      val trainSh = shs.filter(col("split") === "train")
+        .select(col("s")).distinct()
+      val testSh = shs.filter(col("split") === "test")
+        .select(col("doc_id"), col("s"))
+      val hits = testSh.join(trainSh, Seq("s"), "left_semi")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+      testSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+        .join(hits, Seq("doc_id"), "left")
+        .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+        .withColumn("contamination_e6",
+          round(col("n_hit") * 1e6 / col("n_shingles")).cast("long"))
+        .withColumn("flagged", col("contamination_e6") > 200000L)
+        .select(col("doc_id"), col("n_shingles"), col("n_hit"),
+          col("contamination_e6"), col("flagged"))
+        .orderBy(col("doc_id"))
+    }, Some(
+      s"""WITH b AS (
+            SELECT doc_id, text, $splitBucketSql AS bucket FROM documents),
+          sp AS (
+            SELECT doc_id, text,
+                   CASE WHEN bucket < 800 THEN 'train'
+                        WHEN bucket < 900 THEN 'valid'
+                        ELSE 'test' END AS split
+            FROM b),
+          sh AS (
+            SELECT DISTINCT doc_id, substr(text, i, 5) AS s FROM (
+              SELECT doc_id, text,
+                     unnest(generate_series(1, greatest(length(text) - 4, 1)))
+                       AS i
+              FROM sp)),
+          shs AS (
+            SELECT sh.doc_id, sh.s, sp.split
+            FROM sh JOIN sp ON sp.doc_id = sh.doc_id),
+          tr AS (SELECT DISTINCT s FROM shs WHERE split = 'train'),
+          te AS (SELECT doc_id, s FROM shs WHERE split = 'test'),
+          tot AS (SELECT doc_id, count(*) AS n_shingles FROM te GROUP BY 1),
+          hit AS (SELECT te.doc_id, count(*) AS n_hit
+                  FROM te JOIN tr ON tr.s = te.s GROUP BY 1)
+          SELECT t.doc_id, cast(t.n_shingles AS bigint) AS n_shingles,
+                 cast(coalesce(h.n_hit, 0) AS bigint) AS n_hit,
+                 cast(round(coalesce(h.n_hit, 0) * 1e6 / t.n_shingles)
+                   AS bigint) AS contamination_e6,
+                 cast(round(coalesce(h.n_hit, 0) * 1e6 / t.n_shingles)
+                   AS bigint) > 200000 AS flagged
+          FROM tot t LEFT JOIN hit h ON h.doc_id = t.doc_id
+          ORDER BY 1""")),
+
     ("d3_minhash_lsh", (s: SparkSession, d: String) => {
       // MinHash-LSH bucket assignment: 8 signatures (min over shingles of
       // 16-hex-char rotations of md5(shingle) — lexicographic min of
