@@ -2565,6 +2565,91 @@ object Estimation {
                   AS reject_asym_5pct
          FROM fin ORDER BY 1""")),
 
+    // ----- T19 (ext.): Lo–MacKinlay variance-ratio test ---------------------
+
+    ("t19_variance_ratio", (s: SparkSession, d: String) => {
+      // Variance-ratio test (Lo–MacKinlay 1988) of the random-walk
+      // hypothesis for cumulative revenue: if daily increments are
+      // i.i.d., the variance of 5-day sums is 5× the 1-day variance
+      // (VR = 1); VR < 1 flags mean reversion, VR > 1 momentum — the
+      // aggregation-level diagnostic the smoothing ladder (w22-w27)
+      // implicitly assumes an answer to. Exactness is the w28 class:
+      // daily revenue integerizes to kilodollars (keeping every moment
+      // under 2⁵³ — dollars would blow (Σr)² past int64 at this very
+      // SF, the reason for the unit), the 1- and 5-period sums of
+      // values and squares are exact longs (the 5-sums via a rows-based
+      // window — order-free), and VR and its z assemble in ONE shared
+      // double chain (q/n spelled q·1e0/n — the decimal-division rule).
+      // Homoskedastic z, two-sided 5% on the QUANTIZED statistic.
+      // Scale: the daily aggregation is the corpus pass; the window is
+      // calendar-bounded.
+      val q = 5
+      val daily = Tables.orders(s, d)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(expr("sum(cast(round(o_totalprice) AS bigint)) div 1000")
+          .as("x"))
+      val wq = Window.orderBy(col("day")).rowsBetween(-(q - 1), 0)
+      val st = daily
+        .withColumn("rk", row_number().over(Window.orderBy(col("day"))))
+        .withColumn("sq5", sum(col("x")).over(wq))
+      val base = daily.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+      val qs = st.filter(col("rk") >= q)
+        .agg(count(lit(1)).as("nq"), sum(col("sq5")).as("sq"),
+          sum(col("sq5") * col("sq5")).as("sqq"))
+      base.crossJoin(qs)
+        .withColumn("mu", col("sx") / col("n"))
+        .withColumn("va",
+          (col("sxx") - col("sx") * col("mu")) / (col("n") - 1))
+        .withColumn("vb",
+          (col("sqq") - lit(2 * q) * col("mu") * col("sq") +
+            col("nq") * (lit(q) * col("mu")) * (lit(q) * col("mu"))) /
+            (lit(q) * col("nq") * (lit(1) - lit(q) * lit(1e0) / col("n"))))
+        .withColumn("vr", col("vb") / col("va"))
+        .withColumn("z", (col("vr") - 1) * sqrt(col("n") * lit(1e0)) /
+          sqrt(lit(2e0 * (2 * q - 1) * (q - 1) / (3.0 * q))))
+        .select(col("n"), lit(q).cast("int").as("q"),
+          round(col("vr") * 1e6).cast("long").as("vr_e6"),
+          round(col("z") * 1e4).cast("long").as("z_e4"))
+        .withColumn("reject_5pct", abs(col("z_e4")) > 19600L)
+    }, Some(
+      """WITH daily AS (
+           SELECT cast(o_orderdate AS date) AS day,
+                  cast(sum(cast(round(o_totalprice) AS bigint)) AS bigint)
+                    // 1000 AS x
+           FROM orders GROUP BY 1),
+         st AS (
+           SELECT day, x,
+                  row_number() OVER (ORDER BY day) AS rk,
+                  cast(sum(x) OVER (ORDER BY day ROWS BETWEEN 4 PRECEDING
+                    AND CURRENT ROW) AS bigint) AS sq5
+           FROM daily),
+         base AS (
+           SELECT count(*) AS n, cast(sum(x) AS bigint) AS sx,
+                  cast(sum(x * x) AS bigint) AS sxx
+           FROM daily),
+         qs AS (
+           SELECT count(*) AS nq, cast(sum(sq5) AS bigint) AS sq,
+                  cast(sum(sq5 * sq5) AS bigint) AS sqq
+           FROM st WHERE rk >= 5),
+         fin AS (
+           SELECT n, sx, sx / n AS mu, sxx, sq, sqq, nq
+           FROM base CROSS JOIN qs),
+         vv AS (
+           SELECT n,
+                  (sxx - sx * mu) / (n - 1) AS va,
+                  (sqq - 10 * mu * sq + nq * (5 * mu) * (5 * mu)) /
+                    (5 * nq * (1 - 5 * 1e0 / n)) AS vb
+           FROM fin)
+         SELECT cast(n AS bigint) AS n, cast(5 AS int) AS q,
+                cast(round(vb / va * 1e6) AS bigint) AS vr_e6,
+                cast(round((vb / va - 1) * sqrt(n * 1e0) /
+                  sqrt(2e0 * 9 * 4 / (3.0 * 5)) * 1e4) AS bigint) AS z_e4,
+                abs(cast(round((vb / va - 1) * sqrt(n * 1e0) /
+                  sqrt(2e0 * 9 * 4 / (3.0 * 5)) * 1e4) AS bigint)) > 19600
+                  AS reject_5pct
+         FROM vv""")),
+
     // ----- W19 (ext.): robust anomaly flags (median/MAD) -------------------
 
     ("w19_robust_anomaly", (s: SparkSession, d: String) => {
