@@ -824,29 +824,41 @@ object GraphOps {
       // construction, the g1 discipline without even a rounding
       // boundary); top-20 authorities by (score, part). Scale: the
       // order→lineitem join is the corpus pass; each round is two
-      // aggregations over the edge list with a scalar broadcast — the
-      // node-sized rank frames never leave the cluster, and rounds are
-      // a fixed unroll like g1's iters=5.
+      // aggregations over the edge list. The normalizing max is a
+      // DRIVER-COLLECTED scalar and each round's raw inflow frame is
+      // persisted (and dropped after the bounded readout): a scalar
+      // left as a broadcast-subquery re-executes the whole upstream
+      // chain at every round, compounding to ~10× the work (measured
+      // 25.7 s → ~2 s at sf0.1) — the one place the g-family's
+      // unrolled-lazy-plan discipline does NOT transfer, because
+      // normalization makes each round's plan depend on an AGGREGATE
+      // of the previous one, not just its rows.
       val eg = bipartite(s, d)
       var h = eg.select(col("cust")).distinct()
         .withColumn("h", lit(1000000L))
       var a: DataFrame = null
+      val persisted = scala.collection.mutable.ArrayBuffer[DataFrame]()
       for (_ <- 1 to 3) {
         val ar = eg.join(h, "cust").groupBy(col("part"))
-          .agg(sum(col("h")).as("a"))
-        a = ar.crossJoin(broadcast(ar.agg(max(col("a")).as("mx"))))
-          .select(col("part"), expr("a * 1000000 div mx").as("a"))
+          .agg(sum(col("h")).as("a")).persist()
+        persisted += ar
+        val amax = ar.agg(max(col("a"))).collect()(0).getLong(0)
+        a = ar.select(col("part"), expr(s"a * 1000000 div $amax").as("a"))
         val hr = eg.join(a, "part").groupBy(col("cust"))
-          .agg(sum(col("a")).as("h"))
-        h = hr.crossJoin(broadcast(hr.agg(max(col("h")).as("mx"))))
-          .select(col("cust"), expr("h * 1000000 div mx").as("h"))
+          .agg(sum(col("a")).as("h")).persist()
+        persisted += hr
+        val hmax = hr.agg(max(col("h"))).collect()(0).getLong(0)
+        h = hr.select(col("cust"), expr(s"h * 1000000 div $hmax").as("h"))
       }
-      AnnIndex.topKCut(
+      val top = AnnIndex.topKCut(
           a.select(lit(1).as("g"), col("part"), col("a")),
           "g", "a", "part", k = 20, ascending = false,
           scoreName = "auth_e6", idName = "part")
         .select(col("part"), col("auth_e6"), col("rank"))
         .orderBy(col("rank"))
+      val rows = top.collect()
+      persisted.foreach(_.unpersist(false))
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), top.schema)
     }, Some(
       s"""WITH li AS (SELECT l_orderkey AS ok, l_partkey AS part
                       FROM lineitem),
