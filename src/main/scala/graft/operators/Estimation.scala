@@ -544,6 +544,67 @@ object Estimation {
         col("f_e4"), col("reject_asym_5pct"))
   }
 
+  /** The t16 kernel over any (lhs, rhs, day, vy, vx) aligned-pair
+    * frame — extracted so a planted-cointegration test can drive it on
+    * synthetic pairs (an error-correcting pair must reject, independent
+    * random walks must not). Two-step Engle–Granger: static OLS of vy
+    * on vx from five sums, then a no-deterministic-terms lag-1 ADF on
+    * the residuals as a 2×2 Cramer solve; det > 0 drops degenerate
+    * pairs (self-review r12), nr > 10 drops too-short alignments.
+    */
+  private[graft] def engleGranger(pr: DataFrame): DataFrame = {
+    val fit = pr.groupBy(col("lhs"), col("rhs"))
+      .agg(count(lit(1)).as("n"), sum(col("vx")).as("sx"),
+        sum(col("vy")).as("sy"), sum(col("vx") * col("vx")).as("sxx"),
+        sum(col("vx") * col("vy")).as("sxy"))
+      .withColumn("beta",
+        (col("sxy") - col("sx") * col("sy") / col("n")) /
+          (col("sxx") - col("sx") * col("sx") / col("n")))
+      .withColumn("alpha", (col("sy") - col("beta") * col("sx")) / col("n"))
+      .select(col("lhs"), col("rhs"), col("n"), col("beta"), col("alpha"))
+    val res = pr.join(fit, Seq("lhs", "rhs"))
+      .withColumn("e", col("vy") - col("alpha") - col("beta") * col("vx"))
+    val w = Window.partitionBy(col("lhs"), col("rhs")).orderBy(col("day"))
+    val lagd = res
+      .withColumn("e1", lag(col("e"), 1).over(w))
+      .withColumn("e2", lag(col("e"), 2).over(w))
+      .filter(col("e2").isNotNull)
+    val adf = lagd.groupBy(col("lhs"), col("rhs"))
+      .agg(count(lit(1)).as("nr"),
+        sum(col("e1") * col("e1")).as("a11"),
+        sum(col("e1") * (col("e1") - col("e2"))).as("a12"),
+        sum((col("e1") - col("e2")) * (col("e1") - col("e2"))).as("a22"),
+        sum(col("e1") * (col("e") - col("e1"))).as("c1"),
+        sum((col("e1") - col("e2")) * (col("e") - col("e1"))).as("c2"),
+        sum((col("e") - col("e1")) * (col("e") - col("e1"))).as("syy"),
+        first(col("beta")).as("beta"), first(col("alpha")).as("alpha"),
+        first(col("n")).as("n"))
+      .filter(col("nr") > 10)
+      .withColumn("det", col("a11") * col("a22") - col("a12") * col("a12"))
+      // Degenerate-pair guard: identically-zero residuals (one series
+      // an exact affine image of the other) zero the ADF design and
+      // rho would be 0/0 — NaN flows silently in Spark but errors in
+      // DuckDB's bigint cast (self-review r12, t17's class).
+      .filter(col("det") > 0)
+      .withColumn("rho",
+        (col("c1") * col("a22") - col("a12") * col("c2")) / col("det"))
+      .withColumn("phi",
+        (col("a11") * col("c2") - col("a12") * col("c1")) / col("det"))
+      .withColumn("s2",
+        (col("syy") - col("rho") * col("c1") - col("phi") * col("c2")) /
+          (col("nr") - 2))
+      .withColumn("t_stat_e4",
+        round(col("rho") / sqrt(col("s2") * col("a22") / col("det")) * 1e4)
+          .cast("long"))
+    adf.select(col("lhs"), col("rhs"), col("n").cast("long").as("n_days"),
+      col("nr").cast("long").as("n_eff"),
+      round(col("beta") * 1e6).cast("long").as("beta_e6"),
+      round(col("alpha") * 1e4).cast("long").as("alpha_e4"),
+      round(col("rho") * 1e6).cast("long").as("rho_e6"),
+      col("t_stat_e4"),
+      (col("t_stat_e4") < -33400L).as("coint_5pct"))
+  }
+
   /** The w19 kernel over any (event_type, day, x:long) daily panel —
     * extracted (like [[kpss]]/[[cusum]]) so a test can plant a
     * half-constant series where MAD = 0: the mad4 > 0 guard (ADVICE
@@ -2148,7 +2209,9 @@ object Estimation {
       // self-join fans out |types|²-bounded; the lag windows partition
       // by pair (calendar-bounded per the W-family defense); rejection
       // compares the QUANTIZED t-stat so the flag cannot straddle a
-      // rounding boundary (the t14 convention).
+      // rounding boundary (the t14 convention). Kernel on
+      // [[engleGranger]] — extracted so a planted-cointegration test
+      // can drive it on synthetic pairs.
       val daily = Tables.events(s, d)
         .groupBy(col("event_type"), to_date(col("ts")).as("day"))
         .agg(sum(col("value")).as("v"))
@@ -2157,57 +2220,7 @@ object Estimation {
             col("x.event_type") =!= col("y.event_type"))
         .select(col("y.event_type").as("lhs"), col("x.event_type").as("rhs"),
           col("y.day").as("day"), col("y.v").as("vy"), col("x.v").as("vx"))
-      val fit = pr.groupBy(col("lhs"), col("rhs"))
-        .agg(count(lit(1)).as("n"), sum(col("vx")).as("sx"),
-          sum(col("vy")).as("sy"), sum(col("vx") * col("vx")).as("sxx"),
-          sum(col("vx") * col("vy")).as("sxy"))
-        .withColumn("beta",
-          (col("sxy") - col("sx") * col("sy") / col("n")) /
-            (col("sxx") - col("sx") * col("sx") / col("n")))
-        .withColumn("alpha", (col("sy") - col("beta") * col("sx")) / col("n"))
-        .select(col("lhs"), col("rhs"), col("n"), col("beta"), col("alpha"))
-      val res = pr.join(fit, Seq("lhs", "rhs"))
-        .withColumn("e", col("vy") - col("alpha") - col("beta") * col("vx"))
-      val w = Window.partitionBy(col("lhs"), col("rhs")).orderBy(col("day"))
-      val lagd = res
-        .withColumn("e1", lag(col("e"), 1).over(w))
-        .withColumn("e2", lag(col("e"), 2).over(w))
-        .filter(col("e2").isNotNull)
-      val adf = lagd.groupBy(col("lhs"), col("rhs"))
-        .agg(count(lit(1)).as("nr"),
-          sum(col("e1") * col("e1")).as("a11"),
-          sum(col("e1") * (col("e1") - col("e2"))).as("a12"),
-          sum((col("e1") - col("e2")) * (col("e1") - col("e2"))).as("a22"),
-          sum(col("e1") * (col("e") - col("e1"))).as("c1"),
-          sum((col("e1") - col("e2")) * (col("e") - col("e1"))).as("c2"),
-          sum((col("e") - col("e1")) * (col("e") - col("e1"))).as("syy"),
-          first(col("beta")).as("beta"), first(col("alpha")).as("alpha"),
-          first(col("n")).as("n"))
-        .filter(col("nr") > 10)
-        .withColumn("det", col("a11") * col("a22") - col("a12") * col("a12"))
-        // Degenerate-pair guard: identically-zero residuals (one series
-        // an exact affine image of the other) zero the ADF design and
-        // rho would be 0/0 — NaN flows silently in Spark but errors in
-        // DuckDB's bigint cast (self-review r12, t17's class).
-        .filter(col("det") > 0)
-        .withColumn("rho",
-          (col("c1") * col("a22") - col("a12") * col("c2")) / col("det"))
-        .withColumn("phi",
-          (col("a11") * col("c2") - col("a12") * col("c1")) / col("det"))
-        .withColumn("s2",
-          (col("syy") - col("rho") * col("c1") - col("phi") * col("c2")) /
-            (col("nr") - 2))
-        .withColumn("t_stat_e4",
-          round(col("rho") / sqrt(col("s2") * col("a22") / col("det")) * 1e4)
-            .cast("long"))
-      adf.select(col("lhs"), col("rhs"), col("n").cast("long").as("n_days"),
-          col("nr").cast("long").as("n_eff"),
-          round(col("beta") * 1e6).cast("long").as("beta_e6"),
-          round(col("alpha") * 1e4).cast("long").as("alpha_e4"),
-          round(col("rho") * 1e6).cast("long").as("rho_e6"),
-          col("t_stat_e4"),
-          (col("t_stat_e4") < -33400L).as("coint_5pct"))
-        .orderBy(col("lhs"), col("rhs"))
+      engleGranger(pr).orderBy(col("lhs"), col("rhs"))
     }, Some(
       """WITH daily AS (
            SELECT event_type AS et, cast(ts AS date) AS day, sum(value) AS v

@@ -179,6 +179,41 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"noised shift not rejected with finite F: ${nr.toSeq}")
   }
 
+  test("engleGranger: an error-correcting pair rejects, independent random walks do not") {
+    // The kernel's two regimes, planted: (coint) y tracks 2x + 50 with
+    // the deviation mean-reverting hard each day — residuals are
+    // near-white, the ADF t-stat must fall below −3.34; (indep) two
+    // unrelated random walks — spurious-regression residuals are
+    // themselves a random walk, the t-stat must NOT reject. Seeded LCG
+    // streams make both deterministic.
+    val s = spark
+    import s.implicits._
+    def day(i: Int) = java.sql.Date.valueOf(
+      java.time.LocalDate.of(2024, 1, 1).plusDays(i))
+    val lcg = new TestData.Lcg(42L)
+    val n = 200
+    val xw = Array.iterate(100.0, n)(v => v + lcg.gaussian())
+    val coint = (0 until n).map { i =>
+      ("y1", "x1", day(i), 2.0 * xw(i) + 50.0 + lcg.gaussian() * 0.5, xw(i))
+    }
+    val lcg2 = new TestData.Lcg(7L)
+    val w1 = Array.iterate(50.0, n)(v => v + lcg2.gaussian())
+    val w2 = Array.iterate(80.0, n)(v => v + lcg2.gaussian())
+    val indep = (0 until n).map(i => ("y2", "x2", day(i), w1(i), w2(i)))
+    val out = graft.operators.Estimation
+      .engleGranger((coint ++ indep).toDF("lhs", "rhs", "day", "vy", "vx"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(4), r.getLong(7),
+        r.getBoolean(8)))
+      .toMap
+    val (beta, t1, rej1) = out("y1")
+    assert(rej1 && t1 < -33400L, s"planted cointegration not rejected: t=$t1")
+    assert(math.abs(beta - 2000000L) < 100000L,
+      s"cointegrating beta off: $beta want ~2e6")
+    assert(!out("y2")._3,
+      s"independent walks spuriously cointegrated: ${out("y2")}")
+  }
+
   test("kpss/cusum: a constant series yields NULL statistic and explicit non-reject") {
     // The degenerate-series contract (ADVICE r11): zero variance means
     // the long-run variance is 0, so the statistic is a documented NULL
