@@ -2653,6 +2653,46 @@ object Relational {
                 END AS seasonal_strength_e6
          FROM v""")),
 
+    ("w29_deseasonal_anomaly", (s: SparkSession, d: String) => {
+      // Anomaly flags on the DESEASONALIZED remainder — the composition
+      // w17 + w19 exist for: a month that is merely "December-high"
+      // never trips this (the seasonal component absorbed it), while a
+      // month off its trend-and-season expectation does — the outliers
+      // raw-level MAD (w19) masks near seasonal peaks. Reuses both
+      // kernels verbatim: [[seasonalDecompose]]'s exact-c2 remainder is
+      // the input series, [[graft.operators.Estimation.robustAnomaly]]
+      // the flag rule (integer median/MAD, 4·d2 > 7·mad4 integer
+      // compare, mad4 > 0 guard), with the month INDEX t standing in
+      // for the day key (the kernel only passes it through). All frames
+      // are calendar-bounded (≤231 months).
+      val dec = seasonalDecompose(s, d)
+      graft.operators.Estimation.robustAnomaly(
+          dec.select(lit("rev").as("event_type"), col("t").as("day"),
+            col("remainder_c2").as("x")))
+        .select(col("day").as("t"), col("x").as("remainder_c2"),
+          col("robust_z_e6"))
+        .orderBy(col("t"))
+    }, Some(
+      s"""$w17OracleCtes,
+         rem AS (
+           SELECT d.t, d.det_c2 - se.seasonal_c2 AS x
+           FROM dd d JOIN se ON se.m = d.m),
+         med AS (
+           SELECT cast(round(quantile_cont(x, 0.5) * 2) AS bigint) AS med2
+           FROM rem),
+         dev AS (
+           SELECT r.t, r.x, abs(r.x * 2 - m.med2) AS d2
+           FROM rem r CROSS JOIN med m),
+         mad AS (
+           SELECT cast(round(quantile_cont(d2, 0.5) * 2) AS bigint) AS mad4
+           FROM dev)
+         SELECT cast(v.t AS int) AS t, v.x AS remainder_c2,
+                cast(round(v.d2 * 2.0 / a.mad4 * 1e6) AS bigint)
+                  AS robust_z_e6
+         FROM dev v CROSS JOIN mad a
+         WHERE a.mad4 > 0 AND v.d2 * 4 > a.mad4 * 7
+         ORDER BY v.t""")),
+
     ("w5_lag_corr", (s: SparkSession, d: String) => {
       // Serial correlation: corr(x_t, x_{t−1}) per key — the SQL-checkable
       // core of the reference's ACF (W5). The exact-R ACF normalization
