@@ -941,6 +941,47 @@ object TextPipeline {
       .select(col("doc_id"), col("content_hash"))
   }
 
+  /** The STATELESS contamination screen behind
+    * [[graft.streaming.EventStream.decontaminateStream]] — d14's check
+    * re-posed for the arrival door: the train shingle set folds ONCE
+    * into a driver-collected Bloom filter (d8's BloomFilterAggregate
+    * machinery, 1M items / 8M bits), and each arriving document scores
+    * itself per ROW — distinct shingles via array_distinct over an
+    * in-row transform (no explode, no groupBy), hits via
+    * BloomFilterMightContain inside a higher-order filter. No keyed
+    * state, no watermark, append-mode. The Bloom makes the rate an
+    * OVERESTIMATE-ONLY approximation of d14's exact semi-join rate
+    * (false positives only ever inflate it) — the conservative
+    * direction for a contamination GATE, and the a22/CM error law;
+    * StreamingSpec pins both the stream≡batch replay of this spelling
+    * and the ≥-exact domination against d14's arithmetic.
+    */
+  private[graft] def contaminationScreen(
+      docs: DataFrame, trainShingles: DataFrame): DataFrame = {
+    import org.apache.spark.sql.GraftExpressionBridge
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    val bfAgg = GraftExpressionBridge.column(
+      new BloomFilterAggregate(
+        GraftExpressionBridge.expression(xxhash64(col("s"))),
+        Literal(1000000L), Literal(8000000L)).toAggregateExpression())
+    val bfBytes = trainShingles.agg(bfAgg.as("bf"))
+      .collect()(0).getAs[Array[Byte]](0)
+    val bfLit = Literal.create(bfBytes, org.apache.spark.sql.types.BinaryType)
+    docs
+      .select(col("doc_id"), expr(
+        "array_distinct(transform(sequence(1, greatest(char_length(text) - 4, 1)), i -> substring(text, i, 5)))")
+        .as("sh"))
+      .select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"),
+        size(filter(col("sh"), x => GraftExpressionBridge.column(
+          BloomFilterMightContain(bfLit,
+            GraftExpressionBridge.expression(xxhash64(x))))))
+          .cast("long").as("n_hit"))
+      .withColumn("contamination_e6",
+        round(col("n_hit") * 1e6 / col("n_shingles")).cast("long"))
+      .withColumn("flagged", col("contamination_e6") > 200000L)
+  }
+
   /** Adds x8's deterministic mixture-sampling columns: `mix_bucket` — a
     * SALTED md5 draw ('mix:' prefix), independent of x5's split coin —
     * and `rate_permille`, the per-source mixture weight (derived from

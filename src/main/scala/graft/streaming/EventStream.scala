@@ -632,6 +632,19 @@ object EventStream {
     graft.operators.Relational.amsZ(
       events.filter(col("user_id").isNotNull).select(col("user_id")))
 
+  /** Streaming decontamination gate — d14's eval-contamination check at
+    * the ARRIVAL door: documents score themselves against a frozen
+    * Bloom filter of the train shingle set as they stream in. Pure
+    * stateless per-row projection (the curatedDocs class — no state
+    * store, no watermark, append-mode); overestimate-only vs d14's
+    * exact rate, which is the conservative direction for a gate.
+    * Kernel contract on
+    * [[graft.operators.TextPipeline.contaminationScreen]].
+    */
+  def decontaminateStream(docs: DataFrame,
+      trainShingles: DataFrame): DataFrame =
+    graft.operators.TextPipeline.contaminationScreen(docs, trainShingles)
+
     final case class ErrorBurst(user_id: Long, ts_us: Long, n_recent: Int)
 
   /** Custom keyed state with EVICTION (flatMapGroupsWithState + event-time

@@ -1208,6 +1208,46 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed.map(_.getBoolean(2)).toSet == Set(true, false))
   }
 
+  test("streaming decontamination replays to the batch screen and dominates the exact rate") {
+    // The d14 check at the arrival door: (1) the stream replays the
+    // batch spelling of the Bloom screen row-for-row (stateless, like
+    // curatedDocs); (2) the Bloom rate DOMINATES d14's exact semi-join
+    // rate per document — false positives only ever inflate it, the
+    // overestimate-only law the a22 family pins.
+    val docs = Tables.documents(spark, sfDir)
+    val split = graft.operators.TextPipeline.withHashSplit(docs)
+      .select(col("doc_id"), col("split"))
+    val shingleExpr = "array_distinct(transform(sequence(1, " +
+      "greatest(char_length(text) - 4, 1)), i -> substring(text, i, 5)))"
+    val trainSh = docs.join(split.filter(col("split") === "train"), "doc_id")
+      .select(explode(expr(shingleExpr)).as("s")).distinct()
+    val testDocs = docs.join(split.filter(col("split") === "test"), "doc_id")
+      .select(col("doc_id"), col("text"))
+    val q = EventStream.decontaminateStream(
+        graft.operators.TextPipeline.withHashSplit(
+            EventStream.readDocuments(spark, sfDir))
+          .filter(col("split") === "test")
+          .select(col("doc_id"), col("text")),
+        trainSh)
+      .writeStream.format("memory").queryName("decon")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("decon").orderBy("doc_id").collect()
+    val batch = graft.operators.TextPipeline
+      .contaminationScreen(testDocs, trainSh).orderBy("doc_id").collect()
+    assert(streamed.nonEmpty &&
+      streamed.map(_.toSeq).toSeq == batch.map(_.toSeq).toSeq,
+      "streamed contamination screen diverged from the batch spelling")
+    val exact = docs.join(split.filter(col("split") === "test"), "doc_id")
+      .select(col("doc_id"), explode(expr(shingleExpr)).as("s"))
+      .join(trainSh, Seq("s"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bloom = streamed.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(exact.forall { case (id, nh) => bloom(id) >= nh },
+      "Bloom screen under-counted an exact train hit")
+  }
+
   test("streaming SQ8 ingest replays to the batch frozen-bounds encode") {
     // The e14 maintenance contract, stream side: train the quantizer on
     // the base corpus (batch), then encode the arriving vectors under the
