@@ -2663,6 +2663,95 @@ object Estimation {
                   AS reject_5pct
          FROM vv""")),
 
+    // ----- T20 (ext.): Kruskal–Wallis one-way test --------------------------
+
+    ("t20_kruskal_wallis", (s: SparkSession, d: String) => {
+      // Kruskal–Wallis across the event types' daily cent values — the
+      // nonparametric one-way ANOVA (do the types share a location, on
+      // RANKS — immune to the heavy tails that invalidate a plain F),
+      // joining t13/t14's rank-based family. Exactness: cent values tie,
+      // so ranks use the average-rank convention carried as the exact
+      // INTEGER avg2 = 2·rank (2·r_min + cnt − 1 — dyadic halves cleared
+      // like w19's mad4); per-group rank sums and the tie table Σ(t³−t)
+      // are exact longs, and H with its tie correction assembles in one
+      // shared double chain (the only cross-group double sum is 5 terms
+      // against an e4 margin). Flag: the χ²(k−1) 5% value on the
+      // QUANTIZED statistic, constants shared via one CASE. The global
+      // rank window is calendar×types-bounded (≤ 150 rows).
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("x"))
+      val rk = daily
+        .withColumn("r_lo", rank().over(Window.orderBy(col("x"))))
+        .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("x"))))
+        .withColumn("avg2", lit(2) * col("r_lo") + col("cnt") - 1)
+      val g = rk.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("ni"), sum(col("avg2")).as("s2"))
+      val sums = g.agg(count(lit(1)).as("k"), sum(col("ni")).as("nn"),
+        sum(col("s2") * col("s2") / (lit(4e0) * col("ni"))).as("ssum"))
+      val ties = rk.groupBy(col("x")).agg(count(lit(1)).as("t"))
+        .agg(sum(col("t") * col("t") * col("t") - col("t")).as("tsum"))
+      sums.crossJoin(ties)
+        .withColumn("h",
+          lit(12e0) / (col("nn") * (col("nn") + 1)) * col("ssum") -
+            lit(3) * (col("nn") + 1))
+        .withColumn("hc", col("h") /
+          (lit(1) - col("tsum") * lit(1e0) /
+            (col("nn") * col("nn") * col("nn") - col("nn"))))
+        .withColumn("h_e4", round(col("hc") * 1e4).cast("long"))
+        .withColumn("df", (col("k") - 1).cast("int"))
+        .select(col("k").cast("int").as("k"), col("nn").cast("long").as("n"),
+          col("df"), col("h_e4"),
+          expr("""CASE WHEN df = 1 THEN h_e4 > 38415
+                       WHEN df = 2 THEN h_e4 > 59915
+                       WHEN df = 3 THEN h_e4 > 78147
+                       WHEN df = 4 THEN h_e4 > 94877
+                       WHEN df = 5 THEN h_e4 > 110705
+                  END""").as("reject_5pct"))
+    }, Some(
+      """WITH daily AS (
+           SELECT event_type, cast(ts AS date) AS day,
+                  cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS x
+           FROM events GROUP BY 1, 2),
+         rk AS (
+           SELECT event_type, x,
+                  rank() OVER (ORDER BY x) AS r_lo,
+                  count(*) OVER (PARTITION BY x) AS cnt
+           FROM daily),
+         av AS (
+           SELECT event_type, x,
+                  cast(2 * r_lo + cnt - 1 AS bigint) AS avg2
+           FROM rk),
+         g AS (
+           SELECT event_type, count(*) AS ni,
+                  cast(sum(avg2) AS bigint) AS s2
+           FROM av GROUP BY 1),
+         sums AS (
+           SELECT count(*) AS k, cast(sum(ni) AS bigint) AS nn,
+                  sum(s2 * s2 / (4e0 * ni)) AS ssum
+           FROM g),
+         ties AS (
+           SELECT cast(sum(t * t * t - t) AS bigint) AS tsum
+           FROM (SELECT count(*) AS t FROM av GROUP BY x)),
+         fin AS (
+           SELECT k, nn, tsum,
+                  12e0 / (nn * (nn + 1)) * ssum - 3 * (nn + 1) AS h
+           FROM sums CROSS JOIN ties),
+         q AS (
+           SELECT cast(k AS int) AS k, cast(nn AS bigint) AS n,
+                  cast(k - 1 AS int) AS df,
+                  cast(round(h / (1 - tsum * 1e0 / (nn * nn * nn - nn))
+                    * 1e4) AS bigint) AS h_e4
+           FROM fin)
+         SELECT k, n, df, h_e4,
+                CASE WHEN df = 1 THEN h_e4 > 38415
+                     WHEN df = 2 THEN h_e4 > 59915
+                     WHEN df = 3 THEN h_e4 > 78147
+                     WHEN df = 4 THEN h_e4 > 94877
+                     WHEN df = 5 THEN h_e4 > 110705
+                END AS reject_5pct
+         FROM q""")),
+
     // ----- W19 (ext.): robust anomaly flags (median/MAD) -------------------
 
     ("w19_robust_anomaly", (s: SparkSession, d: String) => {
