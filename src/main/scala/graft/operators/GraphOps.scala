@@ -396,6 +396,35 @@ object GraphOps {
     cn.join(dim(adj), Seq("u", "v"), "left_anti")
   }
 
+  /** Adamic–Adar link prediction over a symmetric edge list (g11): g5's
+    * common-neighbor count refined by the classic inverse-log-degree
+    * weight — a shared neighbor that links to EVERYTHING is weak
+    * evidence, a rare one strong. Same exchange posture as
+    * [[commonNeighbors]] (degree-by-dst and the wedge pivot both run
+    * off the dst-partitioned cache exchange-free). Exactness: the
+    * per-neighbor weight e6-rounds BEFORE the per-pair sum (x7's
+    * order-free integer-sum rule); ln(deg) is safe because a neighbor
+    * shared by two distinct endpoints has deg ≥ 2 by construction —
+    * the deg ≥ 2 filter drops the pair-incapable deg-1 rows whose
+    * 1/ln(1) would otherwise evaluate to ∞ in the projection. Output:
+    * non-adjacent (u, v, aa_e6, cn).
+    */
+  private[graft] def adamicAdar(
+      edges: DataFrame, dim: DataFrame => DataFrame): DataFrame = {
+    val deg = edges.groupBy(col("dst")).agg(count(lit(1)).as("deg"))
+    val ew = edges.join(deg, "dst").filter(col("deg") >= 2)
+      .withColumn("w_e6", expr("cast(round(1e6 / ln(deg)) AS bigint)"))
+    val aa = ew.as("x").join(ew.as("y"),
+        col("x.dst") === col("y.dst") && col("x.src") < col("y.src"))
+      .select(col("x.src").as("u"), col("y.src").as("v"),
+        col("x.w_e6").as("w_e6"))
+      .groupBy(col("u"), col("v"))
+      .agg(sum(col("w_e6")).as("aa_e6"), count(lit(1)).as("cn"))
+    val adj = edges.filter(col("src") < col("dst"))
+      .select(col("src").as("u"), col("dst").as("v"))
+    aa.join(dim(adj), Seq("u", "v"), "left_anti")
+  }
+
   /** k-core peeling over a symmetric edge list (g6): `rounds` synchronous
     * rounds of "drop every node with degree < k, restrict edges to
     * surviving endpoints" — the standard densest-region screen (the
@@ -873,6 +902,48 @@ object GraphOps {
               ORDER BY a DESC, part) AS rank
             FROM a3)
           SELECT part, auth_e6, cast(rank AS int) AS rank
+          FROM ranked WHERE rank <= 20 ORDER BY rank""")),
+
+    ("g11_adamic_adar", (s: SparkSession, d: String) => {
+      // Link prediction, weighted: g5 counts shared neighbors; this
+      // weights each by 1/ln(deg) — the Adamic–Adar score that
+      // separates "share a ubiquitous hub" (weak) from "share a rare
+      // partner" (strong), the standard first-order refinement. Top-20
+      // non-adjacent pairs via orderBy+limit (TakeOrderedAndProject,
+      // the g5 convention). Kernel contract on [[adamicAdar]].
+      val strong = strongCopurchase(s, d)
+      val dim = rankDim(strong.count(), 4L * 1000 * 1000)
+      val top = adamicAdar(strong, dim)
+        .orderBy(col("aa_e6").desc, col("u"), col("v")).limit(20)
+      top.withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("aa_e6").desc, col("u"), col("v"))))
+        .select(col("u"), col("v"), col("aa_e6"), col("cn"), col("rank"))
+        .orderBy(col("rank"))
+    }, Some(
+      s"""WITH $sqlStrong,
+          deg AS (SELECT dst, count(*) AS deg FROM strong GROUP BY 1),
+          ew AS (
+            SELECT e.src, e.dst,
+                   cast(round(1e6 / ln(d.deg)) AS bigint) AS w_e6
+            FROM strong e JOIN deg d ON d.dst = e.dst
+            WHERE d.deg >= 2),
+          w AS (SELECT x.src AS u, y.src AS v, x.w_e6
+                FROM ew x JOIN ew y
+                ON y.dst = x.dst AND x.src < y.src),
+          aa AS (SELECT u, v, cast(sum(w_e6) AS bigint) AS aa_e6,
+                        cast(count(*) AS bigint) AS cn
+                 FROM w GROUP BY 1, 2),
+          adj AS (SELECT src AS u, dst AS v FROM strong WHERE src < dst),
+          cand AS (
+            SELECT aa.u, aa.v, aa.aa_e6, aa.cn FROM aa
+            LEFT JOIN adj ON adj.u = aa.u AND adj.v = aa.v
+            WHERE adj.u IS NULL),
+          ranked AS (
+            SELECT u, v, aa_e6, cn, row_number() OVER (
+              ORDER BY aa_e6 DESC, u, v) AS rank
+            FROM cand)
+          SELECT u, v, aa_e6, cn, cast(rank AS int) AS rank
           FROM ranked WHERE rank <= 20 ORDER BY rank""")),
 
     ("g7_components", (s: SparkSession, d: String) => {
