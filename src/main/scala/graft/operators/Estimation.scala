@@ -2385,6 +2385,99 @@ object Estimation {
                 cast(round((a1 + b2 * a2) * 1e6) AS bigint) AS ec_load_e6
          FROM ab""")),
 
+    // ----- M24 (ext.): historical decomposition -----------------------------
+
+    ("m24_hist_decomp", (s: SparkSession, d: String) => {
+      // Historical decomposition — the third classic answer of a fitted
+      // VAR (m20's IRF traces a UNIT shock forward, m21 averages over
+      // shocks; this attributes each OBSERVED month to the actual
+      // structural shocks that produced it): with ε_t = y_t − B·y_{t−1}
+      // and w = L⁻¹ε the orthogonalized innovations, y_t decomposes
+      // EXACTLY as B^{t−1}·y_1 (initial condition) + Σ_s B^{t−s}·L·e_j·
+      // w_{j,s} per shock j — maintained as two coupled 2-vector
+      // recursions c_j(t) = B·c_j(t−1) + L_{·j}·w_j(t). The identity
+      // y = init + c₁ + c₂ holds to machine precision by construction,
+      // and ships as the audit column identity_gap_e6 (≡ 0 in both
+      // engines — a broken recursion fails loudly). Shares var1CholFit;
+      // the oracle recurses over IrfOracle's month grid carrying the
+      // six state doubles. Scale: m20's split — the recursion is
+      // driver-side on the calendar-bounded panel.
+      val (b11, b12, b21, b22, l11, l21, l22) = var1CholFit(s, d)
+      val panel = collectSeries(monthlyPanel(s, d), "month",
+        Seq("rev", "n_orders"))
+      val y1 = panel.map(_(0) / 1e8)
+      val y2 = panel.map(_(1) / 1e3)
+      var (i1, i2) = (y1(0), y2(0))
+      var (c11, c12) = (0.0, 0.0)
+      var (c21, c22) = (0.0, 0.0)
+      val rows = (1 until panel.length).map { t =>
+        val e1 = y1(t) - (b11 * y1(t - 1) + b12 * y2(t - 1))
+        val e2 = y2(t) - (b21 * y1(t - 1) + b22 * y2(t - 1))
+        val w1 = e1 / l11
+        val w2 = (e2 - l21 * w1) / l22
+        val (ni1, ni2) = (b11 * i1 + b12 * i2, b21 * i1 + b22 * i2)
+        val (nc11, nc12) = (b11 * c11 + b12 * c12 + l11 * w1,
+          b21 * c11 + b22 * c12 + l21 * w1)
+        val (nc21, nc22) = (b11 * c21 + b12 * c22,
+          b21 * c21 + b22 * c22 + l22 * w2)
+        i1 = ni1; i2 = ni2
+        c11 = nc11; c12 = nc12; c21 = nc21; c22 = nc22
+        Row((t + 1).toLong,
+          math.round(y1(t) * 1e6), math.round(i1 * 1e6),
+          math.round(c11 * 1e6), math.round(c21 * 1e6),
+          math.round(y2(t) * 1e6), math.round(i2 * 1e6),
+          math.round(c12 * 1e6), math.round(c22 * 1e6),
+          math.round((y1(t) - i1 - c11 - c21) * 1e6) +
+            math.round((y2(t) - i2 - c12 - c22) * 1e6))
+      }
+      s.createDataFrame(
+        java.util.Arrays.asList(rows: _*),
+        StructType(Seq("t", "y1_e6", "init_y1_e6", "s1_y1_e6", "s2_y1_e6",
+          "y2_e6", "init_y2_e6", "s1_y2_e6", "s2_y2_e6",
+          "identity_gap_e6").map(StructField(_, LongType))))
+        .orderBy(col("t"))
+    }, Some(IrfOracle.prefix +
+      """, yy AS (
+           SELECT t, y1, y2 FROM idx),
+         hd AS (
+           WITH RECURSIVE r AS (
+             SELECT y.t, y.y1, y.y2,
+                    y.y1 AS i1, y.y2 AS i2,
+                    cast(0 AS double) AS c11, cast(0 AS double) AS c12,
+                    cast(0 AS double) AS c21, cast(0 AS double) AS c22
+             FROM yy y WHERE y.t = 1
+             UNION ALL
+             SELECT y.t, y.y1, y.y2,
+                    b.b11 * r.i1 + b.b12 * r.i2,
+                    b.b21 * r.i1 + b.b22 * r.i2,
+                    b.b11 * r.c11 + b.b12 * r.c12
+                      + c.l11 * ((y.y1 - (b.b11 * r.y1 + b.b12 * r.y2))
+                        / c.l11),
+                    b.b21 * r.c11 + b.b22 * r.c12
+                      + c.l21 * ((y.y1 - (b.b11 * r.y1 + b.b12 * r.y2))
+                        / c.l11),
+                    b.b11 * r.c21 + b.b12 * r.c22,
+                    b.b21 * r.c21 + b.b22 * r.c22
+                      + c.l22 * (((y.y2 - (b.b21 * r.y1 + b.b22 * r.y2))
+                        - c.l21 * ((y.y1 - (b.b11 * r.y1 + b.b12 * r.y2))
+                          / c.l11)) / c.l22)
+             FROM r JOIN yy y ON y.t = r.t + 1
+             CROSS JOIN bmat b CROSS JOIN chol c)
+           SELECT * FROM r WHERE t > 1)
+         SELECT cast(t AS bigint) AS t,
+                cast(round(y1 * 1e6) AS bigint) AS y1_e6,
+                cast(round(i1 * 1e6) AS bigint) AS init_y1_e6,
+                cast(round(c11 * 1e6) AS bigint) AS s1_y1_e6,
+                cast(round(c21 * 1e6) AS bigint) AS s2_y1_e6,
+                cast(round(y2 * 1e6) AS bigint) AS y2_e6,
+                cast(round(i2 * 1e6) AS bigint) AS init_y2_e6,
+                cast(round(c12 * 1e6) AS bigint) AS s1_y2_e6,
+                cast(round(c22 * 1e6) AS bigint) AS s2_y2_e6,
+                cast(round((y1 - i1 - c11 - c21) * 1e6) AS bigint)
+                  + cast(round((y2 - i2 - c12 - c22) * 1e6) AS bigint)
+                  AS identity_gap_e6
+         FROM hd ORDER BY 1""")),
+
     // ----- T14 (ext.): paired sign test — EWMA vs Holt ---------------------
 
     ("t14_sign_test", (s: SparkSession, d: String) => {
