@@ -2845,6 +2845,107 @@ object Estimation {
                 END AS reject_5pct
          FROM q""")),
 
+    // ----- T21 (ext.): Mann–Whitney U, pairwise -----------------------------
+
+    ("t21_mann_whitney", (s: SparkSession, d: String) => {
+      // Pairwise Mann–Whitney U over the event-type pairs — the
+      // two-sample member beside t20's k-way test (WHERE t20's omnibus
+      // rejection lives): rank-sum U with the tie-corrected normal
+      // approximation. Exactness is t20's discipline: avg2 = 2·rank
+      // exact integers per PAIR-pooled ranking (the pool fans out
+      // |types|²-bounded and the rank windows partition by pair),
+      // rank sums / pair sizes / the tie table are exact longs, U
+      // carries ×2 to stay integer (u1_x2 = ΣR₁·2/2... = avg2-sum −
+      // n₁(n₁+1)), and z assembles in one shared double chain. Flags
+      // on the QUANTIZED two-sided 5% z.
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("x"))
+      val types = daily.select(col("event_type")).distinct()
+      val pairs = types.as("a").join(types.as("b"),
+          col("a.event_type") < col("b.event_type"))
+        .select(col("a.event_type").as("t1"), col("b.event_type").as("t2"))
+      val pooled = pairs.join(daily,
+          col("event_type") === col("t1") || col("event_type") === col("t2"))
+        .select(col("t1"), col("t2"), col("event_type"), col("x"))
+      val wp = Window.partitionBy(col("t1"), col("t2"))
+      val rk = pooled
+        .withColumn("r_lo", rank().over(wp.orderBy(col("x"))))
+        .withColumn("cnt", count(lit(1)).over(
+          Window.partitionBy(col("t1"), col("t2"), col("x"))))
+        .withColumn("avg2", lit(2) * col("r_lo") + col("cnt") - 1)
+      val agg = rk.groupBy(col("t1"), col("t2"))
+        .agg(count(lit(1)).as("nn"),
+          sum(when(col("event_type") === col("t1"), 1L).otherwise(0L))
+            .as("n1"),
+          sum(when(col("event_type") === col("t1"), col("avg2"))
+            .otherwise(0L)).as("r1_2"))
+      val ties = rk.groupBy(col("t1"), col("t2"), col("x"))
+        .agg(count(lit(1)).as("t"))
+        .groupBy(col("t1"), col("t2"))
+        .agg(sum(col("t") * col("t") * col("t") - col("t")).as("tsum"))
+      agg.join(ties, Seq("t1", "t2"))
+        .withColumn("n2", col("nn") - col("n1"))
+        .withColumn("u1_x2", col("r1_2") - col("n1") * (col("n1") + 1))
+        .withColumn("z",
+          (col("u1_x2") - col("n1") * col("n2")) / lit(2e0) /
+            sqrt(col("n1") * lit(1e0) * col("n2") / 12 *
+              ((col("nn") + 1) - col("tsum") * lit(1e0) /
+                (col("nn") * (col("nn") - 1)))))
+        .select(col("t1"), col("t2"), col("n1").cast("long").as("n1"),
+          col("n2").cast("long").as("n2"), col("u1_x2"),
+          round(col("z") * 1e4).cast("long").as("z_e4"))
+        .withColumn("reject_5pct", abs(col("z_e4")) > 19600L)
+        .orderBy(col("t1"), col("t2"))
+    }, Some(
+      """WITH daily AS (
+           SELECT event_type, cast(ts AS date) AS day,
+                  cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS x
+           FROM events GROUP BY 1, 2),
+         types AS (SELECT DISTINCT event_type FROM daily),
+         pairs AS (
+           SELECT a.event_type AS t1, b.event_type AS t2
+           FROM types a JOIN types b ON a.event_type < b.event_type),
+         pooled AS (
+           SELECT p.t1, p.t2, d.event_type, d.x
+           FROM pairs p JOIN daily d
+             ON d.event_type = p.t1 OR d.event_type = p.t2),
+         rk AS (
+           SELECT t1, t2, event_type, x,
+                  rank() OVER (PARTITION BY t1, t2 ORDER BY x) AS r_lo,
+                  count(*) OVER (PARTITION BY t1, t2, x) AS cnt
+           FROM pooled),
+         av AS (
+           SELECT t1, t2, event_type, x,
+                  cast(2 * r_lo + cnt - 1 AS bigint) AS avg2
+           FROM rk),
+         agg AS (
+           SELECT t1, t2, count(*) AS nn,
+                  cast(sum(CASE WHEN event_type = t1 THEN 1 ELSE 0 END)
+                    AS bigint) AS n1,
+                  cast(sum(CASE WHEN event_type = t1 THEN avg2 ELSE 0 END)
+                    AS bigint) AS r1_2
+           FROM av GROUP BY 1, 2),
+         ties AS (
+           SELECT t1, t2, cast(sum(t * t * t - t) AS bigint) AS tsum
+           FROM (SELECT t1, t2, x, count(*) AS t FROM av GROUP BY 1, 2, 3)
+           GROUP BY 1, 2),
+         fin AS (
+           SELECT a.t1, a.t2, a.nn, a.n1, a.nn - a.n1 AS n2,
+                  a.r1_2 - a.n1 * (a.n1 + 1) AS u1_x2, ti.tsum
+           FROM agg a JOIN ties ti ON ti.t1 = a.t1 AND ti.t2 = a.t2),
+         z AS (
+           SELECT t1, t2, cast(n1 AS bigint) AS n1, cast(n2 AS bigint) AS n2,
+                  cast(u1_x2 AS bigint) AS u1_x2,
+                  cast(round((u1_x2 - n1 * n2) / 2e0 /
+                    sqrt(n1 * 1e0 * n2 / 12 *
+                      ((nn + 1) - tsum * 1e0 / (nn * (nn - 1)))) * 1e4)
+                    AS bigint) AS z_e4
+           FROM fin)
+         SELECT t1, t2, n1, n2, u1_x2, z_e4,
+                abs(z_e4) > 19600 AS reject_5pct
+         FROM z ORDER BY 1, 2""")),
+
     // ----- W19 (ext.): robust anomaly flags (median/MAD) -------------------
 
     ("w19_robust_anomaly", (s: SparkSession, d: String) => {
