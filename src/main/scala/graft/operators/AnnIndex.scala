@@ -316,6 +316,34 @@ object AnnIndex {
           .as("cosine"))
   }
 
+  /** Multi-probe variant of [[lshScores]] (e21): each query probes its
+    * own bucket PLUS the four buckets at Hamming distance 1 (XOR with
+    * each single plane bit) in every table — the standard trick that
+    * buys recall without more tables, because a near neighbor that
+    * landed one hyperplane away is by far the most likely miss. Probe
+    * fanout is exactly 5× per (query, table) — a bounded explode of the
+    * BROADCAST query side, so the corpus-side join cost is unchanged in
+    * shape. Candidates dedupe across probes and tables before the exact
+    * rescore, same as the single-probe path.
+    */
+  def lshScoresMultiProbe(buckets: DataFrame, qPred: Column): DataFrame = {
+    val q = buckets.filter(qPred)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("t").as("q_t"), col("bucket").as("q_bucket"))
+      .select(col("q_id"), col("q_emb"), col("q_t"), col("q_bucket"),
+        explode(array(Seq(0L, 1L, 2L, 4L, 8L).map(lit(_)): _*)).as("fm"))
+      .withColumn("q_probe", col("q_bucket").bitwiseXOR(col("fm")))
+    buckets.join(broadcast(q),
+        col("t") === col("q_t") && col("bucket") === col("q_probe"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("q_emb"), col("vec_id"), col("embedding"))
+      .distinct()
+      .select(col("q_id"), col("vec_id"),
+        (dot("q_emb", "embedding") /
+          (sqrt(dot("q_emb", "q_emb")) * sqrt(dot("embedding", "embedding"))))
+          .as("cosine"))
+  }
+
   // ----- per-session index cache ------------------------------------------
 
   // Weak-keyed by the SparkSession object itself (identity equality):

@@ -1346,6 +1346,47 @@ object TextPipeline {
   /** The x30 BM25 oracle — shared with x31, whose sparse arm must be
     * exactly x30's ranking.
     */
+  /** Shared DuckDB prefix for the e5/e21 LSH-recall oracles: exploded
+    * embeddings → norms → exact all-pairs top-3, plus the hyperplane
+    * projections and 4-bit buckets (the buildLsh law replayed). Ends at
+    * `buckets` (vec_id, t, bucket). LAZY — referenced while `entries`
+    * initializes (the w26/IrfOracle lesson).
+    */
+  private lazy val lshRecallOracleCtes: String =
+    """WITH ex AS (
+           SELECT vec_id, i, cast(embedding[i] AS double) AS v FROM (
+             SELECT vec_id, embedding,
+                    unnest(generate_series(1, len(embedding))) AS i
+             FROM embeddings)),
+         norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ex GROUP BY 1),
+         alldots AS (
+           SELECT q.vec_id AS q_id, e.vec_id AS vec_id, sum(q.v * e.v) AS dot
+           FROM ex q JOIN ex e ON q.i = e.i
+           WHERE q.vec_id < 3 AND e.vec_id <> q.vec_id
+           GROUP BY 1, 2),
+         allscored AS (
+           SELECT d.q_id, d.vec_id,
+                  cast(round(d.dot / (nq.nrm * ne.nrm) * 1e6) AS bigint) AS c6
+           FROM alldots d
+           JOIN norms nq ON nq.vec_id = d.q_id
+           JOIN norms ne ON ne.vec_id = d.vec_id),
+         exact3 AS (
+           SELECT q_id, vec_id FROM (
+             SELECT *, row_number() OVER (PARTITION BY q_id
+                         ORDER BY c6 DESC, vec_id) AS rank
+             FROM allscored)
+           WHERE rank <= 3),
+         proj AS (
+           SELECT ex.vec_id, g.t, g.p,
+                  sum(ex.v * cast((ex.i * 31 + (g.t * 4 + g.p) * 17) % 7 - 3 AS double)) AS proj
+           FROM ex, (SELECT t.t, p.p FROM generate_series(0, 3) t(t),
+                     generate_series(0, 3) p(p)) g
+           GROUP BY 1, 2, 3),
+         buckets AS (
+           SELECT vec_id, t,
+                  cast(sum(CASE WHEN proj > 0 THEN 1 << p ELSE 0 END) AS bigint) AS bucket
+           FROM proj GROUP BY 1, 2)"""
+
   private val bm25OracleSql: String =
     """WITH dl AS (
            SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
@@ -2496,41 +2537,8 @@ object TextPipeline {
           count(col("lsh_vec_id")).as("n_hits"))
         .withColumn("recall", col("n_hits") / col("n_exact"))
         .orderBy(col("q_id"))
-    }, Some(
-      """WITH ex AS (
-           SELECT vec_id, i, cast(embedding[i] AS double) AS v FROM (
-             SELECT vec_id, embedding,
-                    unnest(generate_series(1, len(embedding))) AS i
-             FROM embeddings)),
-         norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ex GROUP BY 1),
-         alldots AS (
-           SELECT q.vec_id AS q_id, e.vec_id AS vec_id, sum(q.v * e.v) AS dot
-           FROM ex q JOIN ex e ON q.i = e.i
-           WHERE q.vec_id < 3 AND e.vec_id <> q.vec_id
-           GROUP BY 1, 2),
-         allscored AS (
-           SELECT d.q_id, d.vec_id,
-                  cast(round(d.dot / (nq.nrm * ne.nrm) * 1e6) AS bigint) AS c6
-           FROM alldots d
-           JOIN norms nq ON nq.vec_id = d.q_id
-           JOIN norms ne ON ne.vec_id = d.vec_id),
-         exact3 AS (
-           SELECT q_id, vec_id FROM (
-             SELECT *, row_number() OVER (PARTITION BY q_id
-                         ORDER BY c6 DESC, vec_id) AS rank
-             FROM allscored)
-           WHERE rank <= 3),
-         proj AS (
-           SELECT ex.vec_id, g.t, g.p,
-                  sum(ex.v * cast((ex.i * 31 + (g.t * 4 + g.p) * 17) % 7 - 3 AS double)) AS proj
-           FROM ex, (SELECT t.t, p.p FROM generate_series(0, 3) t(t),
-                     generate_series(0, 3) p(p)) g
-           GROUP BY 1, 2, 3),
-         buckets AS (
-           SELECT vec_id, t,
-                  cast(sum(CASE WHEN proj > 0 THEN 1 << p ELSE 0 END) AS bigint) AS bucket
-           FROM proj GROUP BY 1, 2),
-         cand AS (
+    }, Some(lshRecallOracleCtes +
+      """, cand AS (
            SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS vec_id
            FROM buckets q JOIN buckets c
              ON q.t = c.t AND q.bucket = c.bucket AND q.vec_id <> c.vec_id
@@ -2548,6 +2556,75 @@ object TextPipeline {
          FROM exact3 e3
          LEFT JOIN lsh3 l ON l.q_id = e3.q_id AND l.vec_id = e3.vec_id
          GROUP BY 1 ORDER BY 1""")),
+
+    ("e21_multiprobe_lsh", (s: SparkSession, d: String) => {
+      // Multi-probe LSH recall@3 — e5's metric with each query probing
+      // its bucket PLUS the four Hamming-1 neighbors per table (the
+      // standard recall-without-more-tables trick: the likeliest miss
+      // landed one hyperplane away). Reported WITH the candidate count,
+      // so the recall/cost trade reads off one relation against e5's
+      // single-probe row (recall can only rise — the probe set is a
+      // superset; n_cands shows what it cost). Same oracle-exactness
+      // argument as e5: integer hit counts, ranks on the rounded
+      // cosine, and the candidate set replayed from the shared bucket
+      // law. Kernel on [[graft.operators.AnnIndex.lshScoresMultiProbe]].
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val exact3 = exactTopK(e, q, 3).select(col("q_id"), col("vec_id"))
+      val scores = AnnIndex.lshScoresMultiProbe(
+          AnnIndex.lshFor(s, d, e, tables = 4), col("vec_id") < 3)
+        .select(col("q_id"), col("vec_id"),
+          round(col("cosine") * 1e6).cast("long").as("cosine_e6"))
+      val nCands = scores.groupBy(col("q_id"))
+        .agg(count(lit(1)).as("n_cands"))
+      val mp3 = AnnIndex.topKCut(scores,
+          "q_id", "cosine_e6", "vec_id", 3, ascending = false,
+          scoreName = "cosine_e6", idName = "vec_id")
+        .select(col("q_id").as("mp_q_id"), col("vec_id").as("mp_vec_id"))
+      exact3
+        .join(mp3,
+          col("q_id") === col("mp_q_id") && col("vec_id") === col("mp_vec_id"),
+          "left")
+        .groupBy(col("q_id"))
+        .agg(count(lit(1)).as("n_exact"),
+          count(col("mp_vec_id")).as("n_hits"))
+        .join(nCands, Seq("q_id"), "left")
+        .withColumn("n_cands", coalesce(col("n_cands"), lit(0L)))
+        .withColumn("recall", col("n_hits") / col("n_exact"))
+        .select(col("q_id"), col("n_cands"), col("n_exact"), col("n_hits"),
+          col("recall"))
+        .orderBy(col("q_id"))
+    }, Some(lshRecallOracleCtes +
+      """, cand AS (
+           SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS vec_id
+           FROM buckets q
+           CROSS JOIN (SELECT unnest([0, 1, 2, 4, 8]) AS fm) f
+           JOIN buckets c
+             ON c.t = q.t AND c.bucket = xor(q.bucket, cast(f.fm AS bigint))
+               AND q.vec_id <> c.vec_id
+           WHERE q.vec_id < 3),
+         nc AS (
+           SELECT q_id, cast(count(*) AS bigint) AS n_cands
+           FROM cand GROUP BY 1),
+         mp3 AS (
+           SELECT q_id, vec_id FROM (
+             SELECT a.q_id, a.vec_id,
+                    row_number() OVER (PARTITION BY a.q_id
+                      ORDER BY a.c6 DESC, a.vec_id) AS rank
+             FROM allscored a JOIN cand cd
+               ON cd.q_id = a.q_id AND cd.vec_id = a.vec_id)
+           WHERE rank <= 3),
+         rec AS (
+           SELECT e3.q_id, count(*) AS n_exact, count(l.vec_id) AS n_hits,
+                  count(l.vec_id) * 1.0 / count(*) AS recall
+           FROM exact3 e3
+           LEFT JOIN mp3 l ON l.q_id = e3.q_id AND l.vec_id = e3.vec_id
+           GROUP BY 1)
+         SELECT r.q_id, coalesce(nc.n_cands, 0) AS n_cands,
+                r.n_exact, r.n_hits, r.recall
+         FROM rec r LEFT JOIN nc ON nc.q_id = r.q_id
+         ORDER BY 1""")),
 
     ("e7_ivf_recall", (s: SparkSession, d: String) => {
       // Recall@3 of the IVF search (e6) against the exact top-3 — e5's
