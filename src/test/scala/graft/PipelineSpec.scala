@@ -759,6 +759,24 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select(col("q_id"), col("vec_id")).distinct().count()
     assert(nCands > 0 && nCands < 3L * n * 8 / 10,
       s"candidate set not pruned: $nCands of ${3 * n} pairs")
+
+    // e21's superset law: the Hamming-1 probe set contains the exact
+    // bucket, so multi-probe candidates must CONTAIN the single-probe
+    // set (recall can only rise), while still pruning the corpus.
+    val single = graft.operators.AnnIndex.lshScores(
+        graft.operators.AnnIndex.buildLsh(df, 4, persist = false),
+        col("vec_id") < 3)
+      .select(col("q_id"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val multi = graft.operators.AnnIndex.lshScoresMultiProbe(
+        graft.operators.AnnIndex.buildLsh(df, 4, persist = false),
+        col("vec_id") < 3)
+      .select(col("q_id"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(single.subsetOf(multi),
+      s"multi-probe dropped ${(single -- multi).size} single-probe candidates")
+    assert(multi.size < 3 * n,
+      s"multi-probe stopped pruning: ${multi.size} of ${3 * n}")
   }
 
   test("ivfSearch: planted near-duplicates are recalled at rank 1; probing prunes the corpus") {
