@@ -257,6 +257,14 @@ object AnnIndex {
   /** Build the multi-table hyperplane LSH index: one bucket per (vector,
     * table). Columns: vec_id, embedding, t, bucket.
     */
+  /** Hyperplanes per LSH table — the bucket is this many bits wide.
+    * Shared by [[buildLsh]]'s projection/packing and
+    * [[lshScoresMultiProbe]]'s Hamming-1 masks so the probe set cannot
+    * silently desynchronize from the bucket layout (self-review r12);
+    * the DuckDB oracles hardcode the same 4 in their replay text.
+    */
+  private[graft] val LshPlanesPerTable = 4
+
   def buildLsh(e: DataFrame, tables: Int, persist: Boolean = true): DataFrame = {
     // Pre-explode repartition, same reasoning as shingleDigests: the
     // one-file corpus scan would otherwise run the tables×4-plane
@@ -270,14 +278,15 @@ object AnnIndex {
     // vector. Plane h = t·4 + p, so `h div 4` / `h % 4` recover the
     // (table, plane) pair and every projection is bit-identical to the
     // old spelling (same ascending fold, same integer weights).
+    val p = LshPlanesPerTable
     val projAll = kcol(graft.functions.ModProjAll(
-      kexpr(col("embedding")), tables * 4, a = 31, off = 0, c = 17, m = 7, s = 3))
+      kexpr(col("embedding")), tables * p, a = 31, off = 0, c = 17, m = 7, s = 3))
     val buckets = e
       .repartition(e.sparkSession.sparkContext.defaultParallelism, col("vec_id"))
       .select(col("vec_id"), col("embedding"),
         posexplode(projAll).as(Seq("h", "proj")))
-      .groupBy(col("vec_id"), col("embedding"), expr("h div 4").cast("int").as("t"))
-      .agg(sum(expr("CASE WHEN proj > 0 THEN shiftleft(1, h % 4) ELSE 0 END")).as("bucket"))
+      .groupBy(col("vec_id"), col("embedding"), expr(s"h div $p").cast("int").as("t"))
+      .agg(sum(expr(s"CASE WHEN proj > 0 THEN shiftleft(1, h % $p) ELSE 0 END")).as("bucket"))
     if (persist) buckets.persist(StorageLevel.MEMORY_AND_DISK) else buckets
   }
 
@@ -331,7 +340,8 @@ object AnnIndex {
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("t").as("q_t"), col("bucket").as("q_bucket"))
       .select(col("q_id"), col("q_emb"), col("q_t"), col("q_bucket"),
-        explode(array(Seq(0L, 1L, 2L, 4L, 8L).map(lit(_)): _*)).as("fm"))
+        explode(array((0L +: (0 until LshPlanesPerTable)
+          .map(1L << _)).map(lit(_)): _*)).as("fm"))
       .withColumn("q_probe", col("q_bucket").bitwiseXOR(col("fm")))
     buckets.join(broadcast(q),
         col("t") === col("q_t") && col("bucket") === col("q_probe"))

@@ -502,9 +502,17 @@ object Estimation {
     * segments at different levels — the hardest possible break, F = ∞)
     * is an explicit REJECT with NULL F: the planted-shift test pins
     * that branch, where a naive rssa + rssb > 0 guard silently
-    * swallows the strongest evidence. The zero-compares are exact —
-    * segment RSS assembles from exact longs, so a constant segment's
-    * RSS is 0.0 to the bit in both engines.
+    * swallows the strongest evidence. Branch ROUTING runs on the exact
+    * INTEGER centered numerators n_h·Σx² − (Σx)² (self-review r12 #2:
+    * a double rssa computed from a > 2⁵³ square is nonzero noise on a
+    * constant segment, so a double zero-test both misses the perfect
+    * break and risks 0-division); they stay int64 through |daily
+    * cents| ≈ 3e8 on the 30-day panel — an order of magnitude past the
+    * shipped SFs, stated here as the widening bound. The F value is
+    * capped through least(·, 9e17) BEFORE the bigint cast: a
+    * near-perfect split's astronomically-large (or infinite) F would
+    * otherwise saturate in Spark but ERROR in DuckDB — the cap makes
+    * the cast identical in both engines.
     */
   private[graft] def chowAtCusum(daily: DataFrame): DataFrame = {
     val (_, e, peak) = cusumIndexed(daily)
@@ -521,6 +529,11 @@ object Estimation {
       .withColumn("nb", col("n") - col("na"))
       .withColumn("sxb", col("sx") - col("sxa"))
       .withColumn("ssqb", col("ssq") - col("ssqa"))
+      .withColumn("ivp", col("n") * col("ssq") - col("sx") * col("sx"))
+      .withColumn("iva",
+        col("na") * col("ssqa") - col("sxa") * col("sxa"))
+      .withColumn("ivb", when(col("nb") > 0,
+        col("nb") * col("ssqb") - col("sxb") * col("sxb")))
     val rss = agg
       .withColumn("rssp", col("ssq") - col("sx") * col("sx") / col("n"))
       .withColumn("rssa",
@@ -529,14 +542,14 @@ object Estimation {
         col("ssqb") - col("sxb") * col("sxb") / col("nb")))
     rss
       .withColumn("f_e4",
-        when(col("nb") > 0 && col("rssa") + col("rssb") > 0,
-          round((col("rssp") - col("rssa") - col("rssb")) /
-            ((col("rssa") + col("rssb")) / (col("n") - 2)) * 1e4)
-            .cast("long")))
+        when(col("nb") > 0 && (col("iva") > 0 || col("ivb") > 0),
+          round(least((col("rssp") - col("rssa") - col("rssb")) /
+            ((col("rssa") + col("rssb")) / (col("n") - 2)) * 1e4,
+            lit(9e17))).cast("long")))
       .withColumn("reject_asym_5pct",
         coalesce(col("f_e4") > 38415L, lit(false)) ||
-          (col("nb") > 0 && col("rssa") + col("rssb") === 0 &&
-            col("rssp") > 0))
+          (col("nb") > 0 && col("iva") === 0 && col("ivb") === 0 &&
+            col("ivp") > 0))
       .select(col("event_type"), col("n"), col("t_hat"), col("day_hat"),
         round(col("sxa") * 1e2 / col("na")).cast("long").as("mean_a_e2"),
         when(col("nb") > 0, round(col("sxb") * 1e2 / col("nb")).cast("long"))
@@ -2352,22 +2365,31 @@ object Estimation {
       val k = johansenKernel(s, d)
       val (tEff, p11_11, p11_12, p11_22, p01_11, p01_12, p01_21, p01_22,
         m11, m12, l1, _) = k
-      val b2 = (l1 - m11) / m12
-      val bq = p11_11 + 2 * b2 * p11_12 + b2 * b2 * p11_22
-      val a1 = (p01_11 + b2 * p01_12) / bq
-      val a2 = (p01_21 + b2 * p01_22) / bq
-      s.createDataFrame(
-        java.util.Arrays.asList(Row(tEff.toLong,
+      // An (exactly or numerically) diagonal M leaves the
+      // rev-normalized eigenvector undefined — b2 = (λ₁−m11)/m12 would
+      // blow through the e6 cast divergently (self-review r12 #2, the
+      // disc/ln-clamp class). |m12| > 1e-12 is a shared threshold on
+      // doubles the engines agree on to ~1e-16.
+      val row = if (math.abs(m12) > 1e-12) {
+        val b2 = (l1 - m11) / m12
+        val bq = p11_11 + 2 * b2 * p11_12 + b2 * b2 * p11_22
+        val a1 = (p01_11 + b2 * p01_12) / bq
+        val a2 = (p01_21 + b2 * p01_22) / bq
+        Row(tEff.toLong,
           math.round(l1 * 1e6), math.round(b2 * 1e6),
           math.round(a1 * 1e6), math.round(a2 * 1e6),
-          math.round((a1 + b2 * a2) * 1e6))),
+          math.round((a1 + b2 * a2) * 1e6))
+      } else Row(tEff.toLong, math.round(l1 * 1e6), null, null, null, null)
+      s.createDataFrame(
+        java.util.Arrays.asList(row),
         StructType(Seq("n_eff", "lambda1_e6", "beta2_e6", "alpha1_e6",
           "alpha2_e6", "ec_load_e6").map(StructField(_, LongType))))
     }, Some(JoOracle.chain +
       """, vec AS (
            SELECT cast(t_eff AS bigint) AS n_eff,
                   cast(round(l1 * 1e6) AS bigint) AS lambda1_e6,
-                  (l1 - m11) / m12 AS b2,
+                  CASE WHEN abs(m12) > 1e-12
+                       THEN (l1 - m11) / m12 END AS b2,
                   p11_11, p11_12, p11_22,
                   p01_11, p01_12, p01_21, p01_22
            FROM jeig),
@@ -2648,26 +2670,32 @@ object Estimation {
          seg AS (
            SELECT *, n - na AS nb, sx - sxa AS sxb, ssq - ssqa AS ssqb
            FROM agg),
+         iv AS (
+           SELECT *,
+                  n * ssq - sx * sx AS ivp,
+                  na * ssqa - sxa * sxa AS iva,
+                  CASE WHEN nb > 0 THEN nb * ssqb - sxb * sxb END AS ivb
+           FROM seg),
          rss AS (
            SELECT *,
                   ssq - sx * sx / n AS rssp,
                   ssqa - sxa * sxa / na AS rssa,
                   CASE WHEN nb > 0 THEN ssqb - sxb * sxb / nb END AS rssb
-           FROM seg),
+           FROM iv),
          fin AS (
            SELECT event_type, n, cast(t_hat AS int) AS t_hat, day_hat,
                   cast(round(sxa * 1e2 / na) AS bigint) AS mean_a_e2,
                   CASE WHEN nb > 0 THEN
                     cast(round(sxb * 1e2 / nb) AS bigint) END AS mean_b_e2,
-                  CASE WHEN nb > 0 AND rssa + rssb > 0 THEN
-                    cast(round((rssp - rssa - rssb) /
-                      ((rssa + rssb) / (n - 2)) * 1e4) AS bigint)
+                  CASE WHEN nb > 0 AND (iva > 0 OR ivb > 0) THEN
+                    cast(round(least((rssp - rssa - rssb) /
+                      ((rssa + rssb) / (n - 2)) * 1e4, 9e17)) AS bigint)
                   END AS f_e4,
-                  nb, rssa, rssb, rssp
+                  nb, iva, ivb, ivp
            FROM rss)
          SELECT event_type, n, t_hat, day_hat, mean_a_e2, mean_b_e2, f_e4,
                 coalesce(f_e4 > 38415, false)
-                  OR (nb > 0 AND rssa + rssb = 0 AND rssp > 0)
+                  OR (nb > 0 AND iva = 0 AND ivb = 0 AND ivp > 0)
                   AS reject_asym_5pct
          FROM fin ORDER BY 1""")),
 
@@ -2714,10 +2742,18 @@ object Estimation {
         .withColumn("vr", col("vb") / col("va"))
         .withColumn("z", (col("vr") - 1) * sqrt(col("n") * lit(1e0)) /
           sqrt(lit(2e0 * (2 * q - 1) * (q - 1) / (3.0 * q))))
+        // Constant series ⟺ n·Σx² = (Σx)² exactly (integer compare):
+        // va = 0 and vr = NaN/Inf — silent in Spark, an error in
+        // DuckDB's cast (self-review r12 #2, the t8/w18 class).
+        .withColumn("iva",
+          col("n") * col("sxx") - col("sx") * col("sx"))
         .select(col("n"), lit(q).cast("int").as("q"),
-          round(col("vr") * 1e6).cast("long").as("vr_e6"),
-          round(col("z") * 1e4).cast("long").as("z_e4"))
-        .withColumn("reject_5pct", abs(col("z_e4")) > 19600L)
+          when(col("iva") > 0, round(col("vr") * 1e6).cast("long"))
+            .as("vr_e6"),
+          when(col("iva") > 0, round(col("z") * 1e4).cast("long"))
+            .as("z_e4"))
+        .withColumn("reject_5pct",
+          coalesce(abs(col("z_e4")) > 19600L, lit(false)))
     }, Some(
       """WITH daily AS (
            SELECT cast(o_orderdate AS date) AS day,
@@ -2739,21 +2775,26 @@ object Estimation {
                   cast(sum(sq5 * sq5) AS bigint) AS sqq
            FROM st WHERE rk >= 5),
          fin AS (
-           SELECT n, sx, sx / n AS mu, sxx, sq, sqq, nq
+           SELECT n, sx, sx / n AS mu, sxx, sq, sqq, nq,
+                  n * sxx - sx * sx AS iva
            FROM base CROSS JOIN qs),
          vv AS (
-           SELECT n,
+           SELECT n, iva,
                   (sxx - sx * mu) / (n - 1) AS va,
                   (sqq - 10 * mu * sq + nq * (5 * mu) * (5 * mu)) /
                     (5 * nq * (1 - 5 * 1e0 / n)) AS vb
            FROM fin)
          SELECT cast(n AS bigint) AS n, cast(5 AS int) AS q,
-                cast(round(vb / va * 1e6) AS bigint) AS vr_e6,
-                cast(round((vb / va - 1) * sqrt(n * 1e0) /
-                  sqrt(2e0 * 9 * 4 / (3.0 * 5)) * 1e4) AS bigint) AS z_e4,
-                abs(cast(round((vb / va - 1) * sqrt(n * 1e0) /
-                  sqrt(2e0 * 9 * 4 / (3.0 * 5)) * 1e4) AS bigint)) > 19600
-                  AS reject_5pct
+                CASE WHEN iva > 0 THEN
+                  cast(round(vb / va * 1e6) AS bigint) END AS vr_e6,
+                CASE WHEN iva > 0 THEN
+                  cast(round((vb / va - 1) * sqrt(n * 1e0) /
+                    sqrt(2e0 * 9 * 4 / (3.0 * 5)) * 1e4) AS bigint)
+                END AS z_e4,
+                coalesce(abs(CASE WHEN iva > 0 THEN
+                  cast(round((vb / va - 1) * sqrt(n * 1e0) /
+                    sqrt(2e0 * 9 * 4 / (3.0 * 5)) * 1e4) AS bigint)
+                END) > 19600, false) AS reject_5pct
          FROM vv""")),
 
     // ----- T20 (ext.): Kruskal–Wallis one-way test --------------------------
@@ -2791,16 +2832,25 @@ object Estimation {
         .withColumn("hc", col("h") /
           (lit(1) - col("tsum") * lit(1e0) /
             (col("nn") * col("nn") * col("nn") - col("nn"))))
-        .withColumn("h_e4", round(col("hc") * 1e4).cast("long"))
+        // Guard on the exact INTEGER tie total: tsum = nn³ − nn ⟺ every
+        // pooled value ties, the correction divides by 0 and hc is
+        // NaN/Inf — silent in Spark, an error in DuckDB's bigint cast
+        // (self-review r12 #2, the t8/w18 class).
+        .withColumn("h_e4", when(
+          col("tsum") < col("nn") * col("nn") * col("nn") - col("nn"),
+          round(col("hc") * 1e4).cast("long")))
         .withColumn("df", (col("k") - 1).cast("int"))
         .select(col("k").cast("int").as("k"), col("nn").cast("long").as("n"),
           col("df"), col("h_e4"),
-          expr("""CASE WHEN df = 1 THEN h_e4 > 38415
+          expr("""coalesce(CASE WHEN df = 1 THEN h_e4 > 38415
                        WHEN df = 2 THEN h_e4 > 59915
                        WHEN df = 3 THEN h_e4 > 78147
                        WHEN df = 4 THEN h_e4 > 94877
                        WHEN df = 5 THEN h_e4 > 110705
-                  END""").as("reject_5pct"))
+                       WHEN df = 6 THEN h_e4 > 125916
+                       WHEN df = 7 THEN h_e4 > 140671
+                       WHEN df = 8 THEN h_e4 > 155073
+                  END, false)""").as("reject_5pct"))
     }, Some(
       """WITH daily AS (
            SELECT event_type, cast(ts AS date) AS day,
@@ -2833,16 +2883,20 @@ object Estimation {
          q AS (
            SELECT cast(k AS int) AS k, cast(nn AS bigint) AS n,
                   cast(k - 1 AS int) AS df,
-                  cast(round(h / (1 - tsum * 1e0 / (nn * nn * nn - nn))
-                    * 1e4) AS bigint) AS h_e4
+                  CASE WHEN tsum < nn * nn * nn - nn THEN
+                    cast(round(h / (1 - tsum * 1e0 / (nn * nn * nn - nn))
+                      * 1e4) AS bigint) END AS h_e4
            FROM fin)
          SELECT k, n, df, h_e4,
-                CASE WHEN df = 1 THEN h_e4 > 38415
+                coalesce(CASE WHEN df = 1 THEN h_e4 > 38415
                      WHEN df = 2 THEN h_e4 > 59915
                      WHEN df = 3 THEN h_e4 > 78147
                      WHEN df = 4 THEN h_e4 > 94877
                      WHEN df = 5 THEN h_e4 > 110705
-                END AS reject_5pct
+                     WHEN df = 6 THEN h_e4 > 125916
+                     WHEN df = 7 THEN h_e4 > 140671
+                     WHEN df = 8 THEN h_e4 > 155073
+                END, false) AS reject_5pct
          FROM q""")),
 
     // ----- T21 (ext.): Mann–Whitney U, pairwise -----------------------------
@@ -2894,8 +2948,15 @@ object Estimation {
                 (col("nn") * (col("nn") - 1)))))
         .select(col("t1"), col("t2"), col("n1").cast("long").as("n1"),
           col("n2").cast("long").as("n2"), col("u1_x2"),
-          round(col("z") * 1e4).cast("long").as("z_e4"))
-        .withColumn("reject_5pct", abs(col("z_e4")) > 19600L)
+          // All-tied pool ⟺ tsum = nn³ − nn exactly (integer compare):
+          // the tie-corrected variance is 0 and z = 0/0 — NaN is silent
+          // in Spark but errors in DuckDB (self-review r12 #2,
+          // engleGranger's class). N·(N+1)·(N−1) = nn³ − nn.
+          when(col("tsum") <
+              col("nn") * col("nn") * col("nn") - col("nn"),
+            round(col("z") * 1e4).cast("long")).as("z_e4"))
+        .withColumn("reject_5pct",
+          coalesce(abs(col("z_e4")) > 19600L, lit(false)))
         .orderBy(col("t1"), col("t2"))
     }, Some(
       """WITH daily AS (
@@ -2937,13 +2998,14 @@ object Estimation {
          z AS (
            SELECT t1, t2, cast(n1 AS bigint) AS n1, cast(n2 AS bigint) AS n2,
                   cast(u1_x2 AS bigint) AS u1_x2,
-                  cast(round((u1_x2 - n1 * n2) / 2e0 /
-                    sqrt(n1 * 1e0 * n2 / 12 *
-                      ((nn + 1) - tsum * 1e0 / (nn * (nn - 1)))) * 1e4)
-                    AS bigint) AS z_e4
+                  CASE WHEN tsum < nn * nn * nn - nn THEN
+                    cast(round((u1_x2 - n1 * n2) / 2e0 /
+                      sqrt(n1 * 1e0 * n2 / 12 *
+                        ((nn + 1) - tsum * 1e0 / (nn * (nn - 1)))) * 1e4)
+                      AS bigint) END AS z_e4
            FROM fin)
          SELECT t1, t2, n1, n2, u1_x2, z_e4,
-                abs(z_e4) > 19600 AS reject_5pct
+                coalesce(abs(z_e4) > 19600, false) AS reject_5pct
          FROM z ORDER BY 1, 2""")),
 
     // ----- W19 (ext.): robust anomaly flags (median/MAD) -------------------
