@@ -24,9 +24,16 @@ import graft.sources.Tables
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // Parallelism follows the host (env-overridable) rather than a
+    // hardcoded local[32]: on a smaller host a fixed 32 folds scheduling
+    // contention into the fitted exponent α, making readings
+    // incomparable across machines. The value used is recorded in every
+    // emitted JSON line so α can be interpreted next to it.
+    val cores = sys.env.get("SPARK_GRAFT_CORES").map(_.toInt)
+      .getOrElse(Runtime.getRuntime.availableProcessors)
     val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", 32)
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -125,7 +132,7 @@ object ScaleProbe {
     shapes.foreach { case (name, run) =>
       val ts = ks.map(k => timeMin(run(k)))
       val alpha = math.log(ts(2) / ts(0)) / math.log(16.0)
-      println(f"""{"shape":"$name","t4":${ts(0)}%.3f,"t16":${ts(1)}%.3f,"t64":${ts(2)}%.3f,"alpha":$alpha%.3f}""")
+      println(f"""{"shape":"$name","t4":${ts(0)}%.3f,"t16":${ts(1)}%.3f,"t64":${ts(2)}%.3f,"alpha":$alpha%.3f,"cores":$cores}""")
     }
     spark.stop()
   }

@@ -506,9 +506,11 @@ object Estimation {
     * INTEGER centered numerators n_h·Σx² − (Σx)² (self-review r12 #2:
     * a double rssa computed from a > 2⁵³ square is nonzero noise on a
     * constant segment, so a double zero-test both misses the perfect
-    * break and risks 0-division); they stay int64 through |daily
-    * cents| ≈ 3e8 on the 30-day panel — an order of magnitude past the
-    * shipped SFs, stated here as the widening bound. The F value is
+    * break and risks 0-division); with |daily cents| ≤ C on the
+    * n = 30-day panel the worst term is n_h·Σx² ≤ 30·30·C² = 900·C²,
+    * and 900·C² ≤ 2⁶³−1 requires C ≲ 1.0e8 — that is the widening
+    * bound (orders of magnitude past the shipped SFs; ANSI mode
+    * errors loudly rather than wrapping if a future panel exceeds it). The F value is
     * capped through least(·, 9e17) BEFORE the bigint cast: a
     * near-perfect split's astronomically-large (or infinite) F would
     * otherwise saturate in Spark but ERROR in DuckDB — the cap makes
@@ -3606,6 +3608,40 @@ object Estimation {
           StructField("mean_rmse_e6", LongType))))
         .orderBy(col("equation"))
     }, Some(M15Oracle.sql)),
+
+    ("m15_lasso_tune", (s: SparkSession, d: String) => {
+      // The SAME rolling-origin tuner at the OTHER SQL-expressible point,
+      // α=1 on a ONE-predictor design (VAR(1) × K=1 on monthly revenue):
+      // there the coordinate-descent fixed point IS the soft-threshold
+      // closed form β̃ = S(⟨x̃,y⟩/o, λ)/z₁ on the origin's scaled-not-
+      // centered prefix (the solver lands on it exactly — first sweep,
+      // delta 0, KKT clean), so M15LassoOracle replays the whole
+      // resample × grid surface in DuckDB. Together with `m15_ridge_tune`
+      // (α=0) this brackets the rows-only general-α `m15_rolling_tune`
+      // from both ends of its α range on identical machinery (same
+      // runOrigin, same executor-side segment fold).
+      import graft.tune.RollingOriginTuner
+      val panel = collectSeries(monthlyPanel(s, d), "month", Seq("rev"))
+      val n = panel.length
+      val y = new DenseMatrix(n, 1, panel.map(_(0) / 1e8))
+      val lambdas = (0 until 40).map(i => math.pow(10.0, 1.0 - 5.0 * i / 39))
+      val best = RollingOriginTuner.tune(y, p = 1, initWindow = n / 2,
+        horizon = 8, RollingOriginTuner.Grid(Seq(1.0), lambdas),
+        IndexedSeq("rev"), spark = Some(s), tol = 1e-12)
+      val rows = best.map { b =>
+        val li = lambdas.indexWhere(_ == b.lambda)
+        Row("rev", li.toLong, math.round(math.log(b.lambda) * 1e6),
+          math.round(b.meanRmse * 1e6))
+      }
+      s.createDataFrame(
+        java.util.Arrays.asList(rows: _*),
+        StructType(Seq(
+          StructField("equation", StringType),
+          StructField("lambda_idx", LongType),
+          StructField("ln_lambda_e6", LongType),
+          StructField("mean_rmse_e6", LongType))))
+        .orderBy(col("equation"))
+    }, Some(M15LassoOracle.sql)),
 
     // ----- S2/W1/W2/A1/J1: the real-panel data-prep pipeline --------------
 
