@@ -265,6 +265,48 @@ object GraphOps {
     dist
   }
 
+  /** Weighted single/multi-source shortest paths (g12) — [[seedDistance]]'s
+    * synchronous min-fold with `min(dist + w)` in place of `min(dist + 1)`:
+    * Bellman–Ford relaxation rounds, so after k rounds a node holds its
+    * exact cheapest-path cost among paths of ≤ k EDGES (the bounded-rounds
+    * contract the whole fixpoint family states; hop-BFS is the w ≡ 1
+    * special case). Costs are int64 and non-negative, so the 999999999
+    * sentinel is stable (sentinel + w only ever loses the `least`). Same
+    * scale posture: one broadcast-gated join + one dst-aggregated min per
+    * round off the dst-partitioned cache, node-sized state.
+    */
+  private[graft] def weightedSeedDistance(
+      edges: DataFrame, nodes: DataFrame, seeds: DataFrame, rounds: Int,
+      bcastNodeBudget: Long = 4L * 1000 * 1000): DataFrame = {
+    val dim = rankDim(nodes.count(), bcastNodeBudget)
+    var dist = nodes
+      .join(seeds.withColumn("is_seed", lit(1)), Seq("node"), "left")
+      .select(col("node"),
+        when(col("is_seed").isNotNull, 0L).otherwise(999999999L).as("dist"))
+    for (_ <- 1 to rounds) {
+      val mins = edges
+        .join(dim(dist.withColumnRenamed("node", "src")), "src")
+        .groupBy(col("dst")).agg(min(col("dist") + col("w")).as("nd"))
+      dist = dist
+        .join(dim(mins.withColumnRenamed("dst", "node")), Seq("node"), "left")
+        .select(col("node"),
+          least(col("dist"), coalesce(col("nd"), col("dist"))).as("dist"))
+    }
+    dist
+  }
+
+  /** One unrolled weighted min-plus round as a DuckDB CTE pair — kept
+    * next to the Scala round so the two spellings evolve together.
+    */
+  private def wsdStep(i: Int): String =
+    s"""wm$i AS (
+          SELECT e.dst, min(d.dist + e.w) AS nd
+          FROM strongw e JOIN wd${i - 1} d ON d.node = e.src
+          GROUP BY 1),
+        wd$i AS (
+          SELECT p.node, least(p.dist, coalesce(m.nd, p.dist)) AS dist
+          FROM wd${i - 1} p LEFT JOIN wm$i m ON m.dst = p.node)"""
+
   /** One unrolled BFS min-fold round as a DuckDB CTE pair — kept next
     * to the Scala round so the two spellings evolve together.
     */
@@ -480,7 +522,16 @@ object GraphOps {
     */
   private val strongCache = new java.util.WeakHashMap[SparkSession,
     scala.collection.concurrent.TrieMap[String, DataFrame]]()
-  private def strongCopurchase(s: SparkSession, d: String): DataFrame =
+
+  /** The weighted strong graph backing [[strongCopurchase]]: same
+    * threshold, but the distinct-order support count survives as the
+    * edge weight column `orders` (g12's min-plus costs derive from it).
+    * ONE persisted dst-partitioned frame serves both views — the
+    * unweighted family reads it through a projection (column pruning on
+    * an InMemoryRelation adds no exchange), so adding the weighted
+    * consumer costs no second corpus scan or cache copy.
+    */
+  private[graft] def strongWeighted(s: SparkSession, d: String): DataFrame =
     strongCache.synchronized {
       strongCache.computeIfAbsent(s,
         _ => scala.collection.concurrent.TrieMap.empty)
@@ -493,9 +544,11 @@ object GraphOps {
         .groupBy(col("src"), col("dst"))
         .agg(count_distinct(col("ok")).as("orders"))
         .filter(col("orders") >= 2)
-        .select(col("src"), col("dst"))
         .repartition(col("dst")).persist()
     })
+
+  private def strongCopurchase(s: SparkSession, d: String): DataFrame =
+    strongWeighted(s, d).select(col("src"), col("dst"))
 
   private val sqlStrong =
     """li AS (
@@ -1012,7 +1065,51 @@ object GraphOps {
           SELECT cast(dist AS bigint) AS dist,
                  cast(count(*) AS bigint) AS n_nodes,
                  min(node) AS min_node, max(node) AS max_node
-          FROM bd4 GROUP BY 1 ORDER BY 1""")))
+          FROM bd4 GROUP BY 1 ORDER BY 1""")),
+
+    ("g12_weighted_sssp", (s: SparkSession, d: String) => {
+      // Weighted shortest paths to the trusted seeds (g8's missing
+      // distance mode): edge cost is INVERSE affinity — floor(1000 /
+      // distinct-co-order support), so a chain of strong ties can beat
+      // one weak direct tie (the planted WeightedSsspSpec graph pins a
+      // case where the hop-shortest and weight-shortest paths differ).
+      // 5 Bellman–Ford min-plus rounds off the SAME cached
+      // dst-partitioned strong graph (now carrying its support count —
+      // strongWeighted), same seeds as g8 (top-3 hubs, ties by node),
+      // output the cost histogram with per-ring min/max node. Kernel
+      // contract on [[weightedSeedDistance]].
+      val sw = strongWeighted(s, d).select(col("src"), col("dst"),
+        floor(lit(1000.0) / col("orders")).cast("long").as("w"))
+      val nodes = sw.select(col("src").as("node")).distinct()
+      val seeds = sw.groupBy(col("src")).agg(count(lit(1)).as("dg"))
+        .orderBy(col("dg").desc, col("src")).limit(3)
+        .select(col("src").as("node"))
+      weightedSeedDistance(sw, nodes, seeds, rounds = 5)
+        .groupBy(col("dist"))
+        .agg(count(lit(1)).as("n_nodes"),
+          min(col("node")).as("min_node"), max(col("node")).as("max_node"))
+        .orderBy(col("dist"))
+    }, Some(
+      s"""WITH li AS (
+            SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+          strongw AS (
+            SELECT a.pk AS src, b.pk AS dst,
+                   cast(floor(1000.0 / count(DISTINCT a.ok)) AS bigint) AS w
+            FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk
+            GROUP BY 1, 2 HAVING count(DISTINCT a.ok) >= 2),
+          wdeg AS (SELECT src, count(*) AS dg FROM strongw GROUP BY 1),
+          wseeds AS (
+            SELECT src AS node FROM wdeg ORDER BY dg DESC, src LIMIT 3),
+          wnodes AS (SELECT DISTINCT src AS node FROM strongw),
+          wd0 AS (
+            SELECT n.node,
+                   CASE WHEN s.node IS NULL THEN 999999999 ELSE 0 END AS dist
+            FROM wnodes n LEFT JOIN wseeds s ON s.node = n.node),
+          ${(1 to 5).map(wsdStep).mkString(",\n")}
+          SELECT cast(dist AS bigint) AS dist,
+                 cast(count(*) AS bigint) AS n_nodes,
+                 min(node) AS min_node, max(node) AS max_node
+          FROM wd5 GROUP BY 1 ORDER BY 1""")))
 
   def queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap
 
