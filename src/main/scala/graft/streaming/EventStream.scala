@@ -477,6 +477,89 @@ object EventStream {
         TimeMode.None(), OutputMode.Update())
   }
 
+  final case class ComponentSnapshot(node: Long, lbl: Long, n_edges_seen: Long)
+
+  /** Incremental connected components over an edge-arrival stream — the
+    * batch graph family's first streaming twin (r12 verdict, Next round
+    * #7): a union–find over the nodes seen so far, held in a
+    * `transformWithState` MapState of parent pointers, unioned toward
+    * the SMALLER root so every tree's root IS the component's minimum
+    * node id — exactly g7's min-label semantics, so the replay law is
+    * "final snapshot ≡ minLabelComponents' converged flood on the same
+    * edges" with no translation layer. Each micro-batch emits one full
+    * (node, lbl) snapshot plus the running edge count (update-mode;
+    * n_edges_seen identifies the final snapshot in a replay, the
+    * topKPurchasesStream convention).
+    *
+    * Scale posture, stated honestly: the state is NODE-SIZED — the same
+    * budget class the batch family broadcasts its label vector under
+    * (rankDim's 4M-node gate) — but it folds under ONE key, i.e. one
+    * task, because component merges are inherently cross-key. That makes
+    * this the arrival-door MONITOR for label-vector-sized graphs (watch
+    * component structure form as edges stream in, without re-flooding
+    * per batch); a corpus whose node set outgrows the budget gets the
+    * batch flood on a schedule, not this operator — the same
+    * cutover the dedup family documents for its Bloom door. Per-batch
+    * work is α(n)-amortized per edge (path compression) + the
+    * node-sized snapshot emission.
+    */
+  def componentsStream(edges: DataFrame): Dataset[ComponentSnapshot] = {
+    val s = edges.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+    import org.apache.spark.sql.Encoders
+    class UnionFind extends StatefulProcessor[Int, (Long, Long), ComponentSnapshot] {
+      @transient private var parent: MapState[Long, Long] = _
+      @transient private var seen: ValueState[Long] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+        parent = getHandle.getMapState[Long, Long]("parent",
+          Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
+        seen = getHandle.getValueState[Long]("n_edges",
+          Encoders.scalaLong, TTLConfig.NONE)
+      }
+      private def ensure(x: Long): Unit =
+        if (!parent.containsKey(x)) parent.updateValue(x, x)
+      private def root(x: Long): Long = {
+        var r = x
+        while (parent.getValue(r) != r) r = parent.getValue(r)
+        // Path compression: point the walked chain at the root so the
+        // next find is O(1) — the state write is what keeps per-edge
+        // work amortized near-constant across batches.
+        var c = x
+        while (parent.getValue(c) != r) {
+          val next = parent.getValue(c)
+          parent.updateValue(c, r)
+          c = next
+        }
+        r
+      }
+      override def handleInputRows(
+          key: Int, rows: Iterator[(Long, Long)],
+          timerValues: TimerValues): Iterator[ComponentSnapshot] = {
+        var n = Option(seen.get()).getOrElse(0L)
+        rows.foreach { case (a, b) =>
+          n += 1
+          ensure(a); ensure(b)
+          val (ra, rb) = (root(a), root(b))
+          if (ra != rb) {
+            // Union toward the smaller id: roots stay component minima.
+            if (ra < rb) parent.updateValue(rb, ra)
+            else parent.updateValue(ra, rb)
+          }
+        }
+        seen.update(n)
+        val out = parent.keys().toSeq.sorted
+          .map(x => ComponentSnapshot(x, root(x), n))
+        out.iterator
+      }
+    }
+    edges
+      .select(col("src").cast("long"), col("dst").cast("long"))
+      .as[(Long, Long)]
+      .groupByKey(_ => 0)
+      .transformWithState(new UnionFind, TimeMode.None(), OutputMode.Update())
+  }
+
   /** The documents file schema for the streaming corpus source. */
   val documentsSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),

@@ -1248,6 +1248,64 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       "Bloom screen under-counted an exact train hit")
   }
 
+  test("componentsStream: cross-batch merges land on g7's converged flood (planted edge stream)") {
+    // The graph family's first streaming twin: edges arrive in three
+    // micro-batches arranged so components MERGE ACROSS batches — the
+    // one law a single-batch replay can't exercise. Batch 1 forms {1,2}
+    // and {3,4}; batch 2 forms {5,6} (three islands); batch 3 bridges
+    // 2–3 and 4–5, collapsing everything into one component rooted at
+    // the minimum id 1. The final snapshot must equal the batch
+    // minLabelComponents flood (converged: iters ≥ diameter) over the
+    // SAME edges made symmetric, and the intermediate snapshot after
+    // batch 1 must show the pre-merge islands — state that survives
+    // between batches, not a per-batch recompute.
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.Encoders
+    // transformWithState requires the RocksDB state store provider; set
+    // for this query, restored after (the topKPurchasesStream pattern).
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(provKey)
+    s.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream(
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong), s.sqlContext)
+      val q = EventStream.componentsStream(ms.toDF.toDF("src", "dst"))
+        .writeStream.format("memory").queryName("cc_stream")
+        .outputMode("update").start()
+      try {
+        ms.addData((1L, 2L), (3L, 4L))
+        q.processAllAvailable()
+        ms.addData((5L, 6L))
+        q.processAllAvailable()
+        ms.addData((2L, 3L), (4L, 5L))
+        q.processAllAvailable()
+      } finally q.stop()
+    val all = spark.table("cc_stream")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val afterB1 = all.filter(_._3 == 2L).map(t => t._1 -> t._2).toMap
+    assert(afterB1 == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L),
+      s"batch-1 snapshot must show the pre-merge islands: $afterB1")
+    val finalSnap = all.filter(_._3 == 5L).map(t => t._1 -> t._2).toMap
+    assert(finalSnap.size == 6, s"final snapshot incomplete: $finalSnap")
+    val allEdges = Seq((1L, 2L), (3L, 4L), (5L, 6L), (2L, 3L), (4L, 5L))
+    val sym = (allEdges ++ allEdges.map(_.swap)).toDF("src", "dst")
+    val nodes = (1L to 6L).toDF("node")
+    val flood = graft.operators.GraphOps
+      .minLabelComponents(sym, nodes, iters = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(finalSnap == flood,
+      s"streamed union-find diverged from the batch flood: $finalSnap vs $flood")
+    } finally {
+      prev match {
+        case Some(v) => s.conf.set(provKey, v)
+        case None => s.conf.unset(provKey)
+      }
+    }
+  }
+
   test("streaming SQ8 ingest replays to the batch frozen-bounds encode") {
     // The e14 maintenance contract, stream side: train the quantizer on
     // the base corpus (batch), then encode the arriving vectors under the
