@@ -626,6 +626,52 @@ object Estimation {
     * r11) means an undefined scale flags NOTHING rather than every
     * deviating day with an infinite z, in both engines.
     */
+  /** t22's kernel — the exact-binomial sign-test battery + the BH
+    * step-up, on a (event_type, day, x) daily panel; semantics and the
+    * integer-exactness argument in the query's scaladoc. Extracted so
+    * the planted spec can drive the step-up's signature case (a rank
+    * that fails its OWN threshold q·i/m but is rejected because a
+    * larger rank passes — the behavior that distinguishes BH from
+    * per-test thresholding).
+    */
+  private[graft] def bhFdr(daily: DataFrame): DataFrame = {
+    val d0 = daily.agg(min(col("day")).as("d0"))
+    val wt = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val diffs = daily.crossJoin(broadcast(d0))
+      .filter(datediff(col("day"), col("d0")) < 30)
+      .withColumn("dx", col("x") - lag(col("x"), 1).over(wt))
+      .filter(col("dx").isNotNull && col("dx") =!= 0)
+    val st = diffs.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("nz"),
+        sum(when(col("dx") > 0, 1L).otherwise(0L)).as("n_pos"))
+      .withColumn("smin", least(col("n_pos"), col("nz") - col("n_pos")))
+      .withColumn("tail_sum", expr(
+        """CASE WHEN smin = 0 THEN cast(1 AS bigint) ELSE
+           aggregate(sequence(1, cast(smin AS int)),
+             named_struct('c', cast(1 AS bigint), 's', cast(1 AS bigint)),
+             (a, j) -> named_struct(
+               'c', a.c * (nz - j + 1) div j,
+               's', a.s + a.c * (nz - j + 1) div j),
+             a -> a.s) END"""))
+      .withColumn("den",
+        expr("shiftleft(cast(1 AS bigint), cast(nz AS int))"))
+      .withColumn("p_num", least(col("tail_sum") * 2, col("den")))
+      .withColumn("p", expr("p_num / den"))
+    val wFull = Window.partitionBy().rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    st.withColumn("m", count(lit(1)).over(wFull))
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("p"), col("event_type"))))
+      .withColumn("cond",
+        col("p_num") * 10 * col("m") <= col("rank") * col("den"))
+      .withColumn("thr",
+        max(when(col("cond"), col("rank")).otherwise(0L)).over(wFull))
+      .select(col("event_type"), col("nz"), col("n_pos"),
+        expr("cast(round(1e9 * p_num / den) AS bigint)").as("p_e9"),
+        col("rank").cast("long").as("bh_rank"),
+        (col("rank") <= col("thr")).as("bh_reject"))
+  }
+
   private[graft] def robustAnomaly(daily: DataFrame): DataFrame = {
     val med = daily.groupBy(col("event_type"))
       .agg(round(expr("percentile(x, 0.5D)") * 2).cast("long").as("med2"))
@@ -3009,6 +3055,94 @@ object Estimation {
          SELECT t1, t2, n1, n2, u1_x2, z_e4,
                 coalesce(abs(z_e4) > 19600, false) AS reject_5pct
          FROM z ORDER BY 1, 2""")),
+
+    // ----- T22 (ext.): Benjamini–Hochberg FDR over a sign-test battery ----
+
+    ("t22_bh_fdr", (s: SparkSession, d: String) => {
+      // MULTIPLE-TESTING control — the correction every per-series test
+      // battery in this file (t1 ADF ×K, t13/t14, t20/t21) implicitly
+      // owes its users: run m tests at 5% each and ~m/20 false rejects
+      // arrive by construction. Benjamini–Hochberg's step-up holds the
+      // FALSE DISCOVERY RATE at q instead: rank the battery's p-values
+      // ascending, find the largest rank i with p_i ≤ q·i/m, reject
+      // ranks 1..i. The battery here is the per-series EXACT-binomial
+      // sign test on daily first differences (up-days vs down-days over
+      // the panel's first 30 days — the window bound keeps 2^nz in
+      // int64 structurally): unlike t14's normal approximation, the
+      // binomial tail is a RATIONAL number with denominator 2^nz, so
+      // the whole chain is integer-exact in both engines — C(nz, j)
+      // builds by the multiplicative recurrence C·(nz−j+1)/j (each
+      // step divides exactly), p = min(2·Σ_{j≤min(k,nz−k)} C(nz,j),
+      // 2^nz)/2^nz is a dyadic double (≤ 30 mantissa bits — EXACTLY
+      // representable, so the rank ordering cannot diverge), and the
+      // BH condition clears denominators: p ≤ q·i/m at q = 0.1 ⟺
+      // 10·m·p_num ≤ i·2^nz — an integer comparison. Series with no
+      // nonzero in-window diff have no test and drop from the battery
+      // in both spellings (the filter precedes the grouping). The
+      // rank/threshold windows are unpartitioned but |types|-bounded
+      // (WindowAuditSpec's inventory class). Output: per series, the
+      // test counts, exact p (e9), BH rank, and the step-up reject.
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("x"))
+      bhFdr(daily).orderBy(col("event_type"))
+    }, Some(
+      """WITH RECURSIVE daily AS (
+           SELECT event_type, cast(ts AS date) AS day,
+                  cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS x
+           FROM events GROUP BY 1, 2),
+         d0 AS (SELECT min(day) AS d0 FROM daily),
+         win AS (
+           SELECT d.event_type, d.day, d.x
+           FROM daily d, d0 WHERE datediff('day', d0.d0, d.day) < 30),
+         df AS (
+           SELECT event_type,
+                  x - lag(x) OVER (PARTITION BY event_type ORDER BY day) AS dx
+           FROM win),
+         nzs AS (
+           SELECT event_type, cast(count(*) AS bigint) AS nz,
+                  cast(sum(CASE WHEN dx > 0 THEN 1 ELSE 0 END) AS bigint)
+                    AS n_pos
+           FROM df WHERE dx IS NOT NULL AND dx <> 0 GROUP BY 1),
+         st AS (
+           SELECT event_type, nz, n_pos, least(n_pos, nz - n_pos) AS smin
+           FROM nzs),
+         bin AS (
+           SELECT event_type, cast(0 AS bigint) AS j, cast(1 AS bigint) AS c,
+                  cast(1 AS bigint) AS s
+           FROM st
+           UNION ALL
+           SELECT b.event_type, b.j + 1,
+                  b.c * (t.nz - b.j) // (b.j + 1),
+                  b.s + b.c * (t.nz - b.j) // (b.j + 1)
+           FROM bin b JOIN st t ON t.event_type = b.event_type
+           WHERE b.j < t.smin),
+         tl AS (
+           SELECT b.event_type, b.s AS tail_sum
+           FROM bin b JOIN st t ON t.event_type = b.event_type
+             AND b.j = t.smin),
+         pr AS (
+           SELECT t.event_type, t.nz, t.n_pos,
+                  least(2 * l.tail_sum,
+                    (cast(1 AS bigint) << cast(t.nz AS int))) AS p_num,
+                  (cast(1 AS bigint) << cast(t.nz AS int)) AS den
+           FROM st t JOIN tl l ON l.event_type = t.event_type),
+         mm AS (SELECT count(*) AS m FROM pr),
+         rk AS (
+           SELECT p.*, mm.m,
+                  row_number() OVER (ORDER BY p.p_num / p.den, p.event_type)
+                    AS bh_rank
+           FROM pr p, mm),
+         th AS (
+           SELECT max(CASE WHEN 10 * m * p_num <= bh_rank * den
+                      THEN bh_rank ELSE 0 END) AS thr
+           FROM rk)
+         SELECT r.event_type, r.nz, r.n_pos,
+                cast(round(1e9 * r.p_num / r.den) AS bigint) AS p_e9,
+                cast(r.bh_rank AS bigint) AS bh_rank,
+                coalesce(r.bh_rank <= th.thr, false) AS bh_reject
+         FROM rk r, th
+         ORDER BY r.event_type""")),
 
     // ----- W19 (ext.): robust anomaly flags (median/MAD) -------------------
 

@@ -46,4 +46,37 @@ class EstimationSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"$sfDir: distributed=$distributed matrix=$fromMatrix")
     }
   }
+
+  test("t22 bhFdr: the step-up rejects a rank that fails its own threshold (planted battery)") {
+    // BH's distinguishing behavior vs per-test thresholding, planted
+    // exactly: a 3-test battery at q = 0.1 where the smallest p
+    // (series a: 8-of-9 up-days, p = 20/512 = 0.0390625) EXCEEDS its
+    // own threshold q·1/3 ≈ 0.0333, but rank 2 (series b: 13-of-17,
+    // p = 6428/131072 ≈ 0.04904) clears q·2/3 ≈ 0.0667 — so the
+    // step-up threshold lands at 2 and BOTH a and b are rejected while
+    // the alternating series c (p = 1 exactly: Σ_{j≤4}C(9,j) = 256 =
+    // 2⁹/2) is kept. All three p-values and the binomial tail sums are
+    // checked e9-exact against hand arithmetic, so the multiplicative
+    // C(n,j) recurrence is pinned too.
+    val s = spark
+    import s.implicits._
+    def series(name: String, vals: Seq[Long]) =
+      vals.zipWithIndex.map { case (v, i) =>
+        (name, java.sql.Date.valueOf(f"2024-03-${i + 1}%02d"), v)
+      }
+    val a = series("a", Seq(100L, 101, 102, 103, 104, 105, 106, 107, 106, 107))
+    val b = series("b",
+      (100L to 113L) ++ Seq(112L, 111, 110, 109))
+    val c = series("c", Seq(100L, 99, 100, 99, 100, 99, 100, 99, 100, 99))
+    val daily = (a ++ b ++ c).toDF("event_type", "day", "x")
+    val got = graft.operators.Estimation.bhFdr(daily)
+      .orderBy(col("event_type")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))
+    assert(got.toSeq == Seq(
+      ("a", 9L, 8L, 39062500L, 1L, true),
+      ("b", 17L, 13L, 49041748L, 2L, true),
+      ("c", 9L, 4L, 1000000000L, 3L, false)),
+      s"planted BH battery diverged: ${got.toSeq}")
+  }
 }
