@@ -307,6 +307,117 @@ object GraphOps {
           SELECT p.node, least(p.dist, coalesce(m.nd, p.dist)) AS dist
           FROM wd${i - 1} p LEFT JOIN wm$i m ON m.dst = p.node)"""
 
+  /** Seed-set betweenness centrality (g13) — Brandes' algorithm with the
+    * seed set as sources, bounded to `rounds` BFS levels, spelled as the
+    * family's integer fixpoints so both engines replay it exactly:
+    *
+    *  - FORWARD: synchronous BFS rounds carry (seed, node, dist, σ)
+    *    where σ is the exact integer count of shortest seed→node paths
+    *    (each round aggregates σ over edges from the previous frontier
+    *    by dst, first-arrival = shortest because rounds ARE levels);
+    *  - BACKWARD: Brandes' dependency δ(u) = Σ_{w: succ} σu/σw·(1+δw)
+    *    runs deepest-level-first with δ held at e12 FIXED POINT — each
+    *    edge term floors σu·(1e12 + δw_e12)/σw in int64 (the g1
+    *    rank_e12 convention: per-term integer division then integer
+    *    sums, so no engine can drift a ulp in a double fold). Widening
+    *    bound, stated: σu·(1e12 + δw) must stay < 2⁶³ — with δ ≤
+    *    rounds·1e12 that caps σ at ~2·10⁶ paths, orders past the
+    *    thresholded graph's counts; ANSI mode errors loudly beyond.
+    *
+    * Betweenness(v) = Σ_seeds δ_s(v), v ≠ s per walk — the "how much
+    * trust-flow routes THROUGH v" complement to g8's "how far is v from
+    * trust": g8 prices reachability, this prices brokerage. Exchange
+    * posture matches the family: per round one dst-aggregated sum off
+    * the dst-partitioned cache + broadcast-gated joins of the
+    * (seeds×node)-sized state through `dim`.
+    */
+  private[graft] def seedBetweenness(
+      edges: DataFrame, nodes: DataFrame, seeds: DataFrame, rounds: Int,
+      bcastNodeBudget: Long = 4L * 1000 * 1000): DataFrame = {
+    val dim = rankDim(nodes.count(), bcastNodeBudget)
+    var st = seeds.select(col("node").as("seed"), col("node"),
+      lit(0L).as("dist"), lit(1L).as("sigma"))
+    for (r <- 1 to rounds) {
+      val fr = st.filter(col("dist") === (r - 1))
+        .select(col("seed"), col("node").as("src"), col("sigma"))
+      val cand = edges.join(dim(fr), "src")
+        .groupBy(col("seed"), col("dst")).agg(sum(col("sigma")).as("sig"))
+      val nw = cand.join(
+          dim(st.select(col("seed"), col("node").as("dst"))
+            .withColumn("seen", lit(1))),
+          Seq("seed", "dst"), "left")
+        .filter(col("seen").isNull)
+        .select(col("seed"), col("dst").as("node"),
+          lit(r.toLong).as("dist"), col("sig").as("sigma"))
+      st = st.unionByName(nw)
+    }
+    var dep = st.withColumn("dep_e12", lit(0L))
+    for (l <- (rounds - 1) to 0 by -1) {
+      val wside = dep.filter(col("dist") === (l + 1))
+        .select(col("seed"), col("node").as("dst"),
+          col("dep_e12").as("dw"), col("sigma").as("sw"))
+      val uside = dep.filter(col("dist") === l)
+        .select(col("seed"), col("node").as("src"), col("sigma").as("su"))
+      val contrib = edges.join(dim(wside), "dst")
+        .join(dim(uside), Seq("seed", "src"))
+        .withColumn("term", expr("su * (1000000000000 + dw) div sw"))
+        .groupBy(col("seed"), col("src")).agg(sum(col("term")).as("acc"))
+      dep = dep.join(
+          dim(contrib.withColumnRenamed("src", "node")),
+          Seq("seed", "node"), "left")
+        .select(col("seed"), col("node"), col("dist"), col("sigma"),
+          when(col("dist") === l, coalesce(col("acc"), lit(0L)))
+            .otherwise(col("dep_e12")).as("dep_e12"))
+    }
+    dep.filter(col("node") =!= col("seed"))
+      .groupBy(col("node")).agg(sum(col("dep_e12")).as("bc_e12"))
+  }
+
+  /** One unrolled Brandes FORWARD round as a DuckDB CTE pair (path-count
+    * BFS: frontier σ summed by dst, first arrival = shortest) — kept
+    * next to the Scala round so the two spellings evolve together.
+    *
+    * Every Brandes CTE is `AS MATERIALIZED`: each level is referenced
+    * 2–3 times by the next, and DuckDB INLINES multiply-referenced CTEs
+    * by default, so the unhinted unrolled DAG re-evaluates each level
+    * per reference — ~3^rounds copies of the edge join, which exhausted
+    * temp disk at sf0.1. Materialized, the oracle is one pass per level
+    * (1.5 s at sf0.1). Edges come through `strongm`, the materialized
+    * alias of the shared `strong` CTE, for the same reason.
+    */
+  private def bcFwdStep(i: Int): String =
+    s"""bc$i AS MATERIALIZED (
+          SELECT p.seed, e.dst, cast(sum(p.sigma) AS bigint) AS sig
+          FROM strongm e JOIN bs${i - 1} p
+            ON p.node = e.src AND p.dist = ${i - 1}
+          GROUP BY 1, 2),
+        bs$i AS MATERIALIZED (
+          SELECT * FROM bs${i - 1} UNION ALL
+          SELECT c.seed, c.dst, $i, c.sig FROM bc$i c
+          LEFT JOIN bs${i - 1} p ON p.seed = c.seed AND p.node = c.dst
+          WHERE p.node IS NULL)"""
+
+  /** One unrolled Brandes BACKWARD level as a DuckDB CTE pair (e12
+    * fixed-point dependency: per-edge floored term, integer sums).
+    * MATERIALIZED for the same inlining-blowup reason as [[bcFwdStep]].
+    */
+  private def bcBackStep(l: Int): String =
+    s"""bt$l AS MATERIALIZED (
+          SELECT u.seed, u.node,
+                 cast(sum(u.sigma * (1000000000000 + w.dep) // w.sigma)
+                   AS bigint) AS acc
+          FROM strongm e
+          JOIN bd${l + 1} w ON w.node = e.dst AND w.dist = ${l + 1}
+          JOIN bd${l + 1} u ON u.seed = w.seed AND u.node = e.src
+            AND u.dist = $l
+          GROUP BY 1, 2),
+        bd$l AS MATERIALIZED (
+          SELECT d.seed, d.node, d.dist, d.sigma,
+                 CASE WHEN d.dist = $l THEN coalesce(t.acc, 0)
+                      ELSE d.dep END AS dep
+          FROM bd${l + 1} d LEFT JOIN bt$l t
+            ON t.seed = d.seed AND t.node = d.node)"""
+
   /** One unrolled BFS min-fold round as a DuckDB CTE pair — kept next
     * to the Scala round so the two spellings evolve together.
     */
@@ -1109,7 +1220,41 @@ object GraphOps {
           SELECT cast(dist AS bigint) AS dist,
                  cast(count(*) AS bigint) AS n_nodes,
                  min(node) AS min_node, max(node) AS max_node
-          FROM wd5 GROUP BY 1 ORDER BY 1""")))
+          FROM wd5 GROUP BY 1 ORDER BY 1""")),
+
+    ("g13_betweenness", (s: SparkSession, d: String) => {
+      // Brokerage centrality to complete the distance suite: g8 asks
+      // "how FAR is a part from the trusted hubs", g12 "how CHEAP is
+      // the path" — this asks "which parts do the hubs' shortest paths
+      // route THROUGH" (the curation lens: a high-betweenness part is
+      // a bridge whose removal fragments trust flow). Brandes from the
+      // same top-3 seeds, 3 BFS levels, e12 fixed-point dependencies;
+      // kernel contract + widening bound on [[seedBetweenness]].
+      // Output: top-20 brokers by accumulated dependency.
+      val strong = strongCopurchase(s, d)
+      val nodes = strong.select(col("src").as("node")).distinct()
+      val seeds = strong.groupBy(col("src")).agg(count(lit(1)).as("dg"))
+        .orderBy(col("dg").desc, col("src")).limit(3)
+        .select(col("src").as("node"))
+      seedBetweenness(strong, nodes, seeds, rounds = 3)
+        .orderBy(col("bc_e12").desc, col("node")).limit(20)
+    }, Some(
+      s"""WITH $sqlStrong,
+          strongm AS MATERIALIZED (SELECT * FROM strong),
+          hdeg AS (SELECT src, count(*) AS dg FROM strongm GROUP BY 1),
+          bseeds AS (
+            SELECT src AS node FROM hdeg ORDER BY dg DESC, src LIMIT 3),
+          bs0 AS MATERIALIZED (
+            SELECT node AS seed, node, 0 AS dist, cast(1 AS bigint) AS sigma
+            FROM bseeds),
+          ${(1 to 3).map(bcFwdStep).mkString(",\n")},
+          bd3 AS MATERIALIZED (
+            SELECT seed, node, dist, sigma, cast(0 AS bigint) AS dep
+            FROM bs3),
+          ${(2 to 0 by -1).map(bcBackStep).mkString(",\n")}
+          SELECT node, cast(sum(dep) AS bigint) AS bc_e12
+          FROM bd0 WHERE node <> seed
+          GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 20""")))
 
   def queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap
 

@@ -838,6 +838,40 @@ class RelationalPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "weightedSeedDistance rows differ between join strategies")
   }
 
+  test("g13 seedBetweenness: chain dependencies and diamond sigma-splits on hand graphs") {
+    // Two hand graphs pin the two Brandes mechanics:
+    //  - CHAIN 1–2–3–4–5, seed {1}, rounds=3: σ ≡ 1, so dependencies
+    //    telescope — δ(4) = 0 (frontier edge), δ(3) = 1·(1+0) = 1e12,
+    //    δ(2) = 1·(1+δ3) = 2e12; node 5 is beyond the round bound and
+    //    absorbs nothing.
+    //  - DIAMOND 1–2–4, 1–3–4, seed {1}: σ(4) = 2 (two shortest paths),
+    //    so each middle node carries HALF the unit: δ(2) = δ(3) =
+    //    ⌊1·1e12/2⌋ = 5e11, δ(4) = 0 — the σ-ratio split a chain can't
+    //    exercise.
+    // Both identical under the broadcast and shuffle join paths.
+    import graft.operators.GraphOps
+    import org.apache.spark.sql.functions.col
+    val s = spark
+    import s.implicits._
+    def sym(es: Seq[(Long, Long)]) = (es ++ es.map(_.swap)).toDF("src", "dst")
+    def run(edges: org.apache.spark.sql.DataFrame, nodes: Seq[Long],
+        budget: Long = 4L * 1000 * 1000) =
+      GraphOps.seedBetweenness(edges, nodes.toDF("node"), Seq(1L).toDF("node"),
+          rounds = 3, budget)
+        .orderBy(col("node")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val chain = sym(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)))
+    val got = run(chain, Seq(1L, 2L, 3L, 4L, 5L))
+    assert(got == Seq(2L -> 2000000000000L, 3L -> 1000000000000L, 4L -> 0L),
+      s"chain dependencies wrong: $got")
+    assert(run(chain, Seq(1L, 2L, 3L, 4L, 5L), budget = 0L) == got,
+      "seedBetweenness rows differ between join strategies")
+    val diamond = sym(Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L)))
+    val gd = run(diamond, Seq(1L, 2L, 3L, 4L))
+    assert(gd == Seq(2L -> 500000000000L, 3L -> 500000000000L, 4L -> 0L),
+      s"diamond sigma-split wrong: $gd")
+  }
+
   test("g1 pageRank: rank joins broadcast under the node budget, shuffle past it, same rows") {
     // The superstep join's size gate: while the node count fits the
     // budget the rank vector broadcasts (the measured-faster shape —
