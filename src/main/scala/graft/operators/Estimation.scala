@@ -634,6 +634,44 @@ object Estimation {
     * larger rank passes — the behavior that distinguishes BH from
     * per-test thresholding).
     */
+  /** Pairwise two-sample Kolmogorov-Smirnov kernel (t23) over a
+    * (event_type, day, x) daily panel — semantics, integer-exactness
+    * argument, and the int64 widening bound on the t23 query entry.
+    */
+  private[graft] def ksPairs(daily: DataFrame): DataFrame = {
+    val types = daily.select(col("event_type")).distinct()
+    val pairs = types.as("a").join(types.as("b"),
+        col("a.event_type") < col("b.event_type"))
+      .select(col("a.event_type").as("t1"), col("b.event_type").as("t2"))
+    val pooled = pairs.join(daily,
+        col("event_type") === col("t1") || col("event_type") === col("t2"))
+      .select(col("t1"), col("t2"), col("event_type"), col("x"))
+    val perx = pooled.groupBy(col("t1"), col("t2"), col("x"))
+      .agg(sum(when(col("event_type") === col("t1"), 1L).otherwise(0L))
+          .as("ca"),
+        sum(when(col("event_type") === col("t1"), 0L).otherwise(1L))
+          .as("cb"))
+    val wp = Window.partitionBy(col("t1"), col("t2")).orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wtot = Window.partitionBy(col("t1"), col("t2"))
+    val gaps = perx
+      .withColumn("cum_a", sum(col("ca")).over(wp))
+      .withColumn("cum_b", sum(col("cb")).over(wp))
+      .withColumn("n1", sum(col("ca")).over(wtot))
+      .withColumn("n2", sum(col("cb")).over(wtot))
+      .withColumn("gap",
+        abs(col("n2") * col("cum_a") - col("n1") * col("cum_b")))
+    gaps.groupBy(col("t1"), col("t2"))
+      .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+        max(col("gap")).as("d_num"))
+      .withColumn("d_e6",
+        expr("d_num * 1000000 div (n1 * n2)"))
+      .withColumn("reject_5pct",
+        col("d_num") * col("d_num") * lit(1000000L) >
+          lit(1844164L) * (col("n1") + col("n2")) * col("n1") * col("n2"))
+      .orderBy(col("t1"), col("t2"))
+  }
+
   private[graft] def bhFdr(daily: DataFrame): DataFrame = {
     val d0 = daily.agg(min(col("day")).as("d0"))
     val wt = Window.partitionBy(col("event_type")).orderBy(col("day"))
@@ -3143,6 +3181,75 @@ object Estimation {
                 coalesce(r.bh_rank <= th.thr, false) AS bh_reject
          FROM rk r, th
          ORDER BY r.event_type""")),
+
+    // ----- T23 (ext.): two-sample Kolmogorov-Smirnov, pairwise -------------
+
+    ("t23_ks_test", (s: SparkSession, d: String) => {
+      // Pairwise two-sample Kolmogorov-Smirnov over the event-type
+      // pairs — the DISTRIBUTION-shape member beside t21's location
+      // test (Mann-Whitney can read "same" for two samples with equal
+      // medians but different spread; KS's sup-gap between the
+      // empirical CDFs catches any difference). ENTIRELY integer — the
+      // family's only test with no double anywhere: clearing both
+      // denominators, D = d_num/(n1·n2) where d_num =
+      // max_x |n2·cumA(x) − n1·cumB(x)| over the pooled DISTINCT
+      // daily-cent values (CDFs evaluated after counting all points at
+      // x, the standard ties treatment — grouping by x before the
+      // running sum gives exactly that), and the asymptotic 5% reject
+      // D > 1.358·sqrt((n1+n2)/(n1·n2)) clears its square root the
+      // same way: d_num²·10⁶ > 1844164·(n1+n2)·n1·n2 (c² =
+      // 1.358² = 1.844164 exactly). Widening bound, stated: with
+      // calendar-bounded daily panels n1·n2 ≤ ~1.2e6 here, so
+      // d_num²·10⁶ ≤ 1.5e18 < 2⁶³; the comparison stays in int64
+      // while n1·n2 < 3.03e6 (~1740 days per side). Windows are
+      // pair-partitioned (never corpus-wide); the pair fanout is
+      // |types|²-bounded like t21. d_e6 = the statistic itself under
+      // exact integer division, identical `div`/`//` on nonnegatives.
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("x"))
+      ksPairs(daily)
+    }, Some(
+      """WITH daily AS (
+           SELECT event_type, cast(ts AS date) AS day,
+                  cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS x
+           FROM events GROUP BY 1, 2),
+         types AS (SELECT DISTINCT event_type FROM daily),
+         pairs AS (
+           SELECT a.event_type AS t1, b.event_type AS t2
+           FROM types a JOIN types b ON a.event_type < b.event_type),
+         pooled AS (
+           SELECT p.t1, p.t2, d.event_type, d.x
+           FROM pairs p JOIN daily d
+             ON d.event_type = p.t1 OR d.event_type = p.t2),
+         perx AS (
+           SELECT t1, t2, x,
+                  cast(sum(CASE WHEN event_type = t1 THEN 1 ELSE 0 END)
+                    AS bigint) AS ca,
+                  cast(sum(CASE WHEN event_type = t1 THEN 0 ELSE 1 END)
+                    AS bigint) AS cb
+           FROM pooled GROUP BY 1, 2, 3),
+         cums AS (
+           SELECT t1, t2,
+                  sum(ca) OVER (PARTITION BY t1, t2 ORDER BY x
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS cum_a,
+                  sum(cb) OVER (PARTITION BY t1, t2 ORDER BY x
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS cum_b,
+                  sum(ca) OVER (PARTITION BY t1, t2) AS n1,
+                  sum(cb) OVER (PARTITION BY t1, t2) AS n2
+           FROM perx),
+         res AS (
+           SELECT t1, t2, cast(max(n1) AS bigint) AS n1,
+                  cast(max(n2) AS bigint) AS n2,
+                  cast(max(abs(n2 * cum_a - n1 * cum_b)) AS bigint) AS d_num
+           FROM cums GROUP BY 1, 2)
+         SELECT t1, t2, n1, n2, d_num,
+                cast(d_num * 1000000 // (n1 * n2) AS bigint) AS d_e6,
+                d_num * d_num * 1000000 >
+                  1844164 * (n1 + n2) * n1 * n2 AS reject_5pct
+         FROM res ORDER BY 1, 2""")),
 
     // ----- W19 (ext.): robust anomaly flags (median/MAD) -------------------
 

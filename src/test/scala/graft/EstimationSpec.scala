@@ -79,4 +79,38 @@ class EstimationSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("c", 9L, 4L, 1000000000L, 3L, false)),
       s"planted BH battery diverged: ${got.toSeq}")
   }
+
+  test("t23 ksPairs: separation, ties, and the asymptotic smallness boundary (planted)") {
+    // Three types pin the three KS mechanics on hand panels:
+    //  - (a,b): a={1,2,3,4} vs b={5,6,7,8}, complete separation at
+    //    n=(4,4) — D = 1 (d_num = 16 = n1·n2) and the 5% reject is a
+    //    BOUNDARY exercise: d²·10⁶ = 2.56e8 vs 1844164·8·16 =
+    //    2.36052992e8, rejected by ~8% margin;
+    //  - (a,c): c={1,1,2} overlaps a — pooled TIES across sides, CDFs
+    //    evaluated after counting all points at x: gaps over distinct
+    //    x ∈ {1,2,3,4} are |3·1−4·2|=5, |6−12|=6, |9−12|=3, 0 →
+    //    d_num = 6, d_e6 = ⌊6e6/12⌋ = 500000;
+    //  - (b,c): complete separation again BUT n=(4,3) — D = 1 yet
+    //    144e6 < 1844164·7·12 ≈ 1.549e8: the asymptotic threshold is
+    //    UNREACHABLE at these sizes, so reject stays false. The test
+    //    that "cannot fire" firing would mean the cleared-denominator
+    //    inequality drifted.
+    val s = spark
+    import s.implicits._
+    def series(name: String, vals: Seq[Long]) =
+      vals.zipWithIndex.map { case (v, i) =>
+        (name, java.sql.Date.valueOf(f"2024-03-${i + 1}%02d"), v)
+      }
+    val daily = (series("a", Seq(1L, 2, 3, 4)) ++
+      series("b", Seq(5L, 6, 7, 8)) ++
+      series("c", Seq(1L, 1, 2))).toDF("event_type", "day", "x")
+    val got = graft.operators.Estimation.ksPairs(daily).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6))).toSeq
+    assert(got == Seq(
+      ("a", "b", 4L, 4L, 16L, 1000000L, true),
+      ("a", "c", 4L, 3L, 6L, 500000L, false),
+      ("b", "c", 4L, 3L, 12L, 1000000L, false)),
+      s"planted KS battery diverged: $got")
+  }
 }
