@@ -2586,6 +2586,105 @@ object Estimation {
                   AS identity_gap_e6
          FROM hd ORDER BY 1""")),
 
+    // ----- M25 (ext.): local-projection IRF (Jordà) -------------------------
+
+    ("m25_local_projection", (s: SparkSession, d: String) => {
+      // Jordà's LOCAL-PROJECTION impulse response — the
+      // regression-based complement to m20's VAR-implied IRF (m20
+      // trusts the VAR(1) recursion B^h to extrapolate every horizon
+      // from one-step dynamics; local projections estimate each
+      // horizon by ITS OWN regression y_{t+h} ~ x_t, robust to the
+      // misspecification the recursion compounds). Shock x = daily
+      // order VOLUME, response y = daily revenue in whole DOLLARS
+      // (w28's unit discipline keeps n·Σy² within int64 at sf0.1 —
+      // headroom stated there), horizons h = 0..8 via a 9-row lead
+      // join (d1 = d0 + h is an equi-key — Catalyst extracts the
+      // key expression; never a nested loop). Exactness is the w28
+      // class, STRUCTURAL: the six per-horizon sums are exact longs,
+      // and β, the intercept, SSR, and the t-statistic assemble in
+      // ONE shared double chain from those longs, so both engines
+      // round identical bits — which also makes the ssr > 0 branch
+      // test safe (identical doubles take identical branches; the
+      // degenerate den = 0 guard is a pure-integer test). Output per
+      // horizon: n, β (e6), t (e4, NULL on degenerate den/SSR),
+      // 5% reject on the quantized t.
+      val daily = Tables.orders(s, d)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("x"),
+          sum(round(col("o_totalprice")).cast("long")).as("y"))
+      val hs = s.range(0, 9).select(col("id").cast("int").as("h"))
+      val a = daily.select(col("day").as("d0"), col("x"))
+      val b = daily.select(col("day").as("d1"), col("y"))
+      val sums = hs.crossJoin(a)
+        .join(b, expr("d1 = date_add(d0, h)"))
+        .groupBy(col("h"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("y") * col("y")).as("syy"))
+      sums
+        .withColumn("den", col("n") * col("sxx") - col("sx") * col("sx"))
+        .withColumn("num", col("n") * col("sxy") - col("sx") * col("sy"))
+        .withColumn("beta", col("num").cast("double") / col("den"))
+        .withColumn("ssr",
+          (col("syy") - (col("sy") - col("beta") * col("sx")) / col("n") *
+            col("sy") - col("beta") * col("sxy")))
+        .withColumn("beta_e6",
+          when(col("den") > 0, round(col("beta") * 1e6).cast("long")))
+        .withColumn("t_e4",
+          when(col("den") > 0 && col("n") > 2 && col("ssr") > 0,
+            round(col("beta") /
+              sqrt(col("ssr") * col("n") /
+                ((col("n") - 2) * col("den"))) * 1e4).cast("long")))
+        .select(col("h").cast("int").as("h"), col("n"),
+          col("beta_e6"), col("t_e4"),
+          coalesce(abs(col("t_e4")) > 19600L, lit(false))
+            .as("reject_5pct"))
+        .orderBy(col("h"))
+    }, Some(
+      """WITH daily AS (
+           SELECT cast(o_orderdate AS date) AS day,
+                  count(*) AS x,
+                  cast(sum(cast(round(o_totalprice) AS bigint)) AS bigint)
+                    AS y
+           FROM orders GROUP BY 1),
+         hs AS (SELECT cast(h AS int) AS h FROM range(0, 9) t(h)),
+         sums AS (
+           SELECT hs.h, count(*) AS n,
+                  cast(sum(a.x) AS bigint) AS sx,
+                  cast(sum(b.y) AS bigint) AS sy,
+                  cast(sum(a.x * a.x) AS bigint) AS sxx,
+                  cast(sum(a.x * b.y) AS bigint) AS sxy,
+                  cast(sum(b.y * b.y) AS bigint) AS syy
+           FROM hs CROSS JOIN daily a
+           JOIN daily b ON b.day = a.day + hs.h
+           GROUP BY 1),
+         fit AS (
+           SELECT h, n, sx, sy, sxy, syy,
+                  n * sxx - sx * sx AS den,
+                  n * sxy - sx * sy AS num
+           FROM sums),
+         bt AS (
+           SELECT h, n, sx, sy, sxy, syy, den,
+                  cast(num AS double) / den AS beta
+           FROM fit),
+         chain AS (
+           SELECT h, n, den, beta,
+                  (syy - (sy - beta * sx) / n * sy - beta * sxy) AS ssr
+           FROM bt),
+         q AS (
+           SELECT cast(h AS int) AS h, cast(n AS bigint) AS n,
+                  CASE WHEN den > 0
+                    THEN cast(round(beta * 1e6) AS bigint) END AS beta_e6,
+                  CASE WHEN den > 0 AND n > 2 AND ssr > 0
+                    THEN cast(round(beta /
+                      sqrt(ssr * n / ((n - 2) * den)) * 1e4) AS bigint)
+                  END AS t_e4
+           FROM chain)
+         SELECT h, n, beta_e6, t_e4,
+                coalesce(abs(t_e4) > 19600, false) AS reject_5pct
+         FROM q ORDER BY 1""")),
+
     // ----- T14 (ext.): paired sign test — EWMA vs Holt ---------------------
 
     ("t14_sign_test", (s: SparkSession, d: String) => {

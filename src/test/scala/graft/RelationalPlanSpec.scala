@@ -1154,6 +1154,25 @@ class RelationalPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"j14 shows no hash-keyed join:\n$plan")
   }
 
+  test("m25: the horizon lead join is hash-keyed on date_add, only the 9-row fanout nested-loops") {
+    // The at-scale claim on the entry: `b.d1 = date_add(a.d0, h)` must
+    // reach the planner as an extractable equi-key (hash/SMJ), not a
+    // calendar² nested loop. The ONE allowed nested-loop is the
+    // intentional bounded ×9 horizons crossJoin (broadcast of a 9-row
+    // range) — more than one, or any CartesianProduct, means the lead
+    // join regressed to quadratic.
+    val plan = graft.operators.Estimation
+      .queries("m25_local_projection")(spark, sfDir)
+      .queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!plan.contains("CartesianProduct"),
+      s"m25 shows a CartesianProduct:\n$plan")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size <= 1,
+      s"m25 shows more than the one bounded horizons nested loop:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+      || plan.contains("BroadcastHashJoin"),
+      s"m25's lead join is not hash-keyed:\n$plan")
+  }
+
   test("x29 vocab gate: broadcast under the budget, pinned sort-merge past it, same rows") {
     // The encode join's size gate (the d12 convention): under-budget
     // runs broadcast the vocab lookup; a zero budget must pin the
