@@ -672,6 +672,52 @@ object Estimation {
       .orderBy(col("t1"), col("t2"))
   }
 
+  /** Pairwise Spearman rank correlation kernel (t24) over a
+    * (event_type, day, x) daily panel — semantics and exactness
+    * argument on the t24 query entry.
+    */
+  private[graft] def spearmanPairs(daily: DataFrame): DataFrame = {
+    val paired = daily.as("a").join(daily.as("b"),
+        col("a.day") === col("b.day") &&
+          col("a.event_type") < col("b.event_type"))
+      .select(col("a.event_type").as("t1"), col("b.event_type").as("t2"),
+        col("a.day").as("day"), col("a.x").as("xa"), col("b.x").as("xb"))
+    val wp = Window.partitionBy(col("t1"), col("t2"))
+    val rk = paired
+      .withColumn("ra_lo", rank().over(wp.orderBy(col("xa"))))
+      .withColumn("ca", count(lit(1)).over(
+        Window.partitionBy(col("t1"), col("t2"), col("xa"))))
+      .withColumn("rb_lo", rank().over(wp.orderBy(col("xb"))))
+      .withColumn("cb", count(lit(1)).over(
+        Window.partitionBy(col("t1"), col("t2"), col("xb"))))
+      .withColumn("a2", lit(2) * col("ra_lo") + col("ca") - 1)
+      .withColumn("b2", lit(2) * col("rb_lo") + col("cb") - 1)
+    rk.groupBy(col("t1"), col("t2"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("a2")).as("sa"), sum(col("b2")).as("sb"),
+        sum(col("a2") * col("a2")).as("saa"),
+        sum(col("b2") * col("b2")).as("sbb"),
+        sum(col("a2") * col("b2")).as("sab"))
+      .withColumn("num", col("n") * col("sab") - col("sa") * col("sb"))
+      .withColumn("dena", col("n") * col("saa") - col("sa") * col("sa"))
+      .withColumn("denb", col("n") * col("sbb") - col("sb") * col("sb"))
+      // The division lives INSIDE the when(): ANSI mode errors on any
+      // divide-by-zero, and CaseWhen short-circuits per row, so the
+      // degenerate dena/denb = 0 rows never evaluate it (the planted
+      // constant-series pair caught the unguarded spelling loudly).
+      .withColumn("rho_e6",
+        when(col("dena") > 0 && col("denb") > 0,
+          round(col("num") / (sqrt(col("dena")) * sqrt(col("denb"))) * 1e6)
+            .cast("long")))
+      .withColumn("z_e4",
+        when(col("dena") > 0 && col("denb") > 0,
+          round(col("num") / (sqrt(col("dena")) * sqrt(col("denb"))) *
+            sqrt(col("n") - 1) * 1e4).cast("long")))
+      .select(col("t1"), col("t2"), col("n"), col("rho_e6"), col("z_e4"),
+        coalesce(abs(col("z_e4")) > 19600L, lit(false)).as("reject_5pct"))
+      .orderBy(col("t1"), col("t2"))
+  }
+
   private[graft] def bhFdr(daily: DataFrame): DataFrame = {
     val d0 = daily.agg(min(col("day")).as("d0"))
     val wt = Window.partitionBy(col("event_type")).orderBy(col("day"))
@@ -3349,6 +3395,79 @@ object Estimation {
                 d_num * d_num * 1000000 >
                   1844164 * (n1 + n2) * n1 * n2 AS reject_5pct
          FROM res ORDER BY 1, 2""")),
+
+    // ----- T24 (ext.): Spearman rank correlation, pairwise -----------------
+
+    ("t24_spearman", (s: SparkSession, d: String) => {
+      // Pairwise Spearman rank correlation over the event types' daily
+      // series, PAIRED BY DAY — the monotone-association member of the
+      // rank family (t21 asks "is one type's distribution shifted",
+      // t23 "is it differently shaped"; this asks "do the two series
+      // MOVE TOGETHER day by day", robust to the heavy tails that
+      // invalidate Pearson on levels). Tie-corrected exactly by
+      // definition: Pearson on AVERAGE ranks, with avg ranks carried
+      // as t20's exact-integer avg2 = 2·rank convention (the global
+      // ×2 cancels in rho). The six per-pair sums are exact longs
+      // (avg2 ≤ 2n, so n·Σavg2² ≤ 4n³ ≈ 2e9 at n = 730 — far inside
+      // int64); dena·denb would overflow, so rho divides by
+      // sqrt(dena)·sqrt(denb) — one shared double chain from exact
+      // longs (t21's shape), with the degenerate constant-series
+      // guard a pure-integer dena/denb = 0 test. Flag on the
+      // QUANTIZED z = rho·sqrt(n−1) at the two-sided 5% (19600, the
+      // t21 constant). Self-join is day-keyed equi; windows are
+      // pair-partitioned; fanout |types|²-bounded.
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("x"))
+      spearmanPairs(daily)
+    }, Some(
+      """WITH daily AS (
+           SELECT event_type, cast(ts AS date) AS day,
+                  cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS x
+           FROM events GROUP BY 1, 2),
+         paired AS (
+           SELECT a.event_type AS t1, b.event_type AS t2, a.day,
+                  a.x AS xa, b.x AS xb
+           FROM daily a JOIN daily b
+             ON a.day = b.day AND a.event_type < b.event_type),
+         rk AS (
+           SELECT t1, t2,
+                  rank() OVER (PARTITION BY t1, t2 ORDER BY xa) AS ra_lo,
+                  count(*) OVER (PARTITION BY t1, t2, xa) AS ca,
+                  rank() OVER (PARTITION BY t1, t2 ORDER BY xb) AS rb_lo,
+                  count(*) OVER (PARTITION BY t1, t2, xb) AS cb
+           FROM paired),
+         av AS (
+           SELECT t1, t2,
+                  cast(2 * ra_lo + ca - 1 AS bigint) AS a2,
+                  cast(2 * rb_lo + cb - 1 AS bigint) AS b2
+           FROM rk),
+         sums AS (
+           SELECT t1, t2, count(*) AS n,
+                  cast(sum(a2) AS bigint) AS sa,
+                  cast(sum(b2) AS bigint) AS sb,
+                  cast(sum(a2 * a2) AS bigint) AS saa,
+                  cast(sum(b2 * b2) AS bigint) AS sbb,
+                  cast(sum(a2 * b2) AS bigint) AS sab
+           FROM av GROUP BY 1, 2),
+         fit AS (
+           SELECT t1, t2, n,
+                  n * sab - sa * sb AS num,
+                  n * saa - sa * sa AS dena,
+                  n * sbb - sb * sb AS denb
+           FROM sums),
+         q AS (
+           SELECT t1, t2, cast(n AS bigint) AS n,
+                  CASE WHEN dena > 0 AND denb > 0 THEN
+                    cast(round(num / (sqrt(dena) * sqrt(denb)) * 1e6)
+                      AS bigint) END AS rho_e6,
+                  CASE WHEN dena > 0 AND denb > 0 THEN
+                    cast(round(num / (sqrt(dena) * sqrt(denb)) *
+                      sqrt(n - 1) * 1e4) AS bigint) END AS z_e4
+           FROM fit)
+         SELECT t1, t2, n, rho_e6, z_e4,
+                coalesce(abs(z_e4) > 19600, false) AS reject_5pct
+         FROM q ORDER BY 1, 2""")),
 
     // ----- W19 (ext.): robust anomaly flags (median/MAD) -------------------
 

@@ -113,4 +113,46 @@ class EstimationSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("b", "c", 4L, 3L, 12L, 1000000L, false)),
       s"planted KS battery diverged: $got")
   }
+
+  test("t24 spearmanPairs: monotone/anti/tied/constant quadrants on a hand panel (planted)") {
+    // Five 5-day series pin the four Spearman mechanics:
+    //  - a=(1..5) vs b=(2,4,..10): rho = 1 exactly, z = sqrt(4) = 2 →
+    //    z_e4 = 20000, a BOUNDARY reject (> 19600 by 2%);
+    //  - a vs c=(10,8,..2): rho = −1, the sign mirror;
+    //  - a vs e=(1,1,2,2,3): TIES — avg2 ranks (3,3,7,7,10) give
+    //    num = 180, dena = 200, denb = 180, rho = 180/√36000 =
+    //    0.9486833 → rho_e6 = 948683, z_e4 = 18974 → NOT rejected
+    //    (the tie correction pulls a perfect-looking monotone under
+    //    the threshold — the behavior an uncorrected rho misses);
+    //  - any pair with d=(5,5,5,5,5): denb = 0 exactly (integer
+    //    guard) → NULL rho, reject false.
+    val s = spark
+    import s.implicits._
+    def series(name: String, vals: Seq[Long]) =
+      vals.zipWithIndex.map { case (v, i) =>
+        (name, java.sql.Date.valueOf(f"2024-03-${i + 1}%02d"), v)
+      }
+    val daily = (series("a", Seq(1L, 2, 3, 4, 5)) ++
+      series("b", Seq(2L, 4, 6, 8, 10)) ++
+      series("c", Seq(10L, 8, 6, 4, 2)) ++
+      series("d", Seq(5L, 5, 5, 5, 5)) ++
+      series("e", Seq(1L, 1, 2, 2, 3))).toDF("event_type", "day", "x")
+    val got = graft.operators.Estimation.spearmanPairs(daily).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getLong(3),
+        if (r.isNullAt(4)) null else r.getLong(4),
+        r.getBoolean(5))).toSeq
+    assert(got == Seq(
+      ("a", "b", 5L, 1000000L, 20000L, true),
+      ("a", "c", 5L, -1000000L, -20000L, true),
+      ("a", "d", 5L, null, null, false),
+      ("a", "e", 5L, 948683L, 18974L, false),
+      ("b", "c", 5L, -1000000L, -20000L, true),
+      ("b", "d", 5L, null, null, false),
+      ("b", "e", 5L, 948683L, 18974L, false),
+      ("c", "d", 5L, null, null, false),
+      ("c", "e", 5L, -948683L, -18974L, false),
+      ("d", "e", 5L, null, null, false)),
+      s"planted Spearman battery diverged: $got")
+  }
 }
