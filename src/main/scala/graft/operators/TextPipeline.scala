@@ -5122,6 +5122,64 @@ object TextPipeline {
          SELECT doc_id, token, tf, tfidf_e6, kw_rank FROM ranked
          WHERE kw_rank <= 3 ORDER BY doc_id, kw_rank""")),
 
+    // ----- X38 (ext.): blocklist scrubbing (the PII-redaction plumbing) ----
+
+    ("x38_blocklist_scrub", (s: SparkSession, d: String) => {
+      // Pattern-based REDACTION — the scrub pass every training corpus
+      // runs before release (PII, policy terms, boilerplate): count
+      // matches of a word-boundary blocklist alternation per document,
+      // rewrite them to a fixed token with a GLOBAL regexp_replace,
+      // and account the rewrite exactly. The synthetic corpus carries
+      // no digits, so literal email/phone patterns would be vacuous —
+      // the blocklist uses two corpus-native stand-in terms instead;
+      // the machinery (count / global replace / audit) is the real
+      // PII path, only the pattern constant differs. Cross-engine
+      // regex discipline: \b(...|...)\b with plain ASCII literals
+      // behaves identically in Java regex and RE2, and both engines
+      // take matches non-overlapping left-to-right; DuckDB's replace
+      // needs the explicit 'g' flag to match Spark's replace-all
+      // default. Exactness: counts and char deltas are integers;
+      // `remaining` RE-COUNTS the pattern in the scrubbed text —
+      // an identity audit column (m24's convention) that must read 0
+      // in both engines or the redaction leaked. Scale: one corpus
+      // pass, per-doc codegen'd regex, map-side-combinable rollup to
+      // source grain.
+      // NOTE: the pattern goes through functions.regexp_count/lit, never
+      // expr() — a Spark SQL string LITERAL would escape-process '\b'
+      // into a backspace character (Hive escape rules) while the Scala
+      // string passes the two-char sequence through verbatim.
+      val pat = "\\b(customer|spark)\\b"
+      val scrubbed = Tables.documents(s, d)
+        .select(col("source"), col("text"),
+          regexp_count(col("text"), lit(pat)).as("hits"),
+          regexp_replace(col("text"), pat, "[TERM]").as("clean"))
+      scrubbed.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("hits") > 0, 1L).otherwise(0L)).as("docs_hit"),
+          sum(col("hits")).cast("long").as("hits"),
+          sum(length(col("text")) - length(col("clean"))).cast("long")
+            .as("chars_delta"),
+          sum(regexp_count(col("clean"), lit(pat))).cast("long")
+            .as("remaining"))
+        .orderBy(col("source"))
+    }, Some(
+      """WITH scrubbed AS (
+           SELECT source, text,
+                  len(regexp_extract_all(text, '\b(customer|spark)\b'))
+                    AS hits,
+                  regexp_replace(text, '\b(customer|spark)\b', '[TERM]', 'g')
+                    AS clean
+           FROM documents)
+         SELECT source, cast(count(*) AS bigint) AS n_docs,
+                cast(sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS bigint)
+                  AS docs_hit,
+                cast(sum(hits) AS bigint) AS hits,
+                cast(sum(length(text) - length(clean)) AS bigint)
+                  AS chars_delta,
+                cast(sum(len(regexp_extract_all(clean,
+                  '\b(customer|spark)\b'))) AS bigint) AS remaining
+         FROM scrubbed GROUP BY 1 ORDER BY 1""")),
+
     ("x30_bm25", (s: SparkSession, d: String) => {
       // BM25 retrieval — the modern default scorer x22's plain tf·idf
       // is the ancestor of, and a DIFFERENT ranking (not a rescale):
