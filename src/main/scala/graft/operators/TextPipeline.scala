@@ -2672,6 +2672,49 @@ object TextPipeline {
          LEFT JOIN ivf3 iv ON iv.q_id = e3.q_id AND iv.vec_id = e3.vec_id
          GROUP BY 1 ORDER BY 1""")),
 
+    ("e22_occupancy_report", (s: SparkSession, d: String) => {
+      // IVF list-occupancy report — the index-QUALITY diagnostic the
+      // serving family (e6/e15/e17/e18) is operated by: per inverted
+      // list, its size, corpus share, and imbalance factor
+      // (sz·nlist/total — 1e6 means perfectly balanced lists). At
+      // scale this is the number that predicts tail latency: a probe
+      // into a list holding 10× its share scans 10× the candidates,
+      // and k-means degenerating to a few mega-lists is how IVF
+      // deployments quietly lose their speedup while recall still
+      // looks fine. Empty lists are REPORTED (left join from the
+      // centroid table), not dropped — a dead centroid is wasted
+      // nprobe budget. Same session-cached quantizer as e6; cost is
+      // one count over the lists plus a 16-row reshape. Integer
+      // shares via div/// on nonnegative longs. Oracle: e6's training
+      // prefix verbatim through the final assignment CTE (a2),
+      // coupled by construction.
+      import s.implicits._
+      val idx = AnnIndex.ivfFor(s, d, Tables.embeddings(s, d),
+        nlist = 16, iters = 2)
+      val occ = idx.lists.groupBy(col("cid")).agg(count(lit(1)).as("sz"))
+      val allc = idx.cents.map(_._1).toDF("cid")
+      val tot = occ.agg(sum(col("sz")).as("tot"))
+      allc.join(occ, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("sz"), lit(0L)).as("sz"))
+        .crossJoin(broadcast(tot))
+        .select(col("cid").cast("int").as("cid"), col("sz"),
+          expr("sz * 1000000 div tot").as("share_e6"),
+          expr("sz * 16000000 div tot").as("imbalance_e6"))
+        .orderBy(col("cid"))
+    }, Some(
+      e6OracleSql.take(e6OracleSql.indexOf(",\n         pdist")) +
+      """,
+         occ AS (SELECT cid, cast(count(*) AS bigint) AS sz
+                 FROM a2 GROUP BY 1),
+         allc AS (SELECT DISTINCT cid FROM cb2),
+         tot AS (SELECT cast(sum(sz) AS bigint) AS tot FROM occ),
+         fin AS (SELECT c.cid, coalesce(o.sz, 0) AS sz
+                 FROM allc c LEFT JOIN occ o ON o.cid = c.cid)
+         SELECT cast(f.cid AS int) AS cid, cast(f.sz AS bigint) AS sz,
+                cast(f.sz * 1000000 // t.tot AS bigint) AS share_e6,
+                cast(f.sz * 16000000 // t.tot AS bigint) AS imbalance_e6
+         FROM fin f, tot t ORDER BY 1""")),
+
     ("e17_nprobe_sweep", (s: SparkSession, d: String) => {
       // The recall-vs-nprobe TUNING CURVE — the artifact an ANN
       // deployment is actually operated by: recall@3 against the exact
