@@ -718,6 +718,38 @@ object Estimation {
       .orderBy(col("t1"), col("t2"))
   }
 
+  /** Engle ARCH LM(1) kernel (t25) over a (event_type, day, y) daily
+    * panel — semantics, unit discipline, and the 4th-power widening
+    * bound on the t25 query entry.
+    */
+  private[graft] def archLm(daily: DataFrame): DataFrame = {
+    val wt = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val z = daily
+      .withColumn("dx", col("y") - lag(col("y"), 1).over(wt))
+      .filter(col("dx").isNotNull)
+      .withColumn("z", col("dx") * col("dx"))
+      .withColumn("zl", lag(col("z"), 1).over(wt))
+      .filter(col("zl").isNotNull)
+    z.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("z")).as("sz"), sum(col("zl")).as("szl"),
+        sum(col("z") * col("z")).as("szz"),
+        sum(col("zl") * col("zl")).as("szlzl"),
+        sum(col("z") * col("zl")).as("szzl"))
+      .withColumn("num", col("n") * col("szzl") - col("sz") * col("szl"))
+      .withColumn("dena", col("n") * col("szz") - col("sz") * col("sz"))
+      .withColumn("denb",
+        col("n") * col("szlzl") - col("szl") * col("szl"))
+      .withColumn("lm_e4",
+        when(col("dena") > 0 && col("denb") > 0,
+          round(col("num") / (sqrt(col("dena")) * sqrt(col("denb"))) *
+            (col("num") / (sqrt(col("dena")) * sqrt(col("denb")))) *
+            col("n") * 1e4).cast("long")))
+      .select(col("event_type"), col("n"), col("lm_e4"),
+        coalesce(col("lm_e4") > 38415L, lit(false)).as("reject_5pct"))
+      .orderBy(col("event_type"))
+  }
+
   private[graft] def bhFdr(daily: DataFrame): DataFrame = {
     val d0 = daily.agg(min(col("day")).as("d0"))
     val wt = Window.partitionBy(col("event_type")).orderBy(col("day"))
@@ -3468,6 +3500,70 @@ object Estimation {
          SELECT t1, t2, n, rho_e6, z_e4,
                 coalesce(abs(z_e4) > 19600, false) AS reject_5pct
          FROM q ORDER BY 1, 2""")),
+
+    // ----- T25 (ext.): Engle's ARCH LM test --------------------------------
+
+    ("t25_arch_lm", (s: SparkSession, d: String) => {
+      // Engle's ARCH test per event type — the VOLATILITY-clustering
+      // diagnostic the t-family lacks (t12/t13 test level dependence;
+      // conditional heteroskedasticity hides from both: a series can
+      // be serially uncorrelated while its VARIANCE is predictable,
+      // which breaks every homoskedastic interval downstream). LM(1):
+      // regress squared daily first differences z_t = dx² on z_{t−1};
+      // LM = n·R² ~ χ²(1), and R² of a single-regressor fit is the
+      // squared correlation — so this is t24's chain on (z, lag z):
+      // five exact-long sums, r = num/(sqrt(dena)·sqrt(denb)) in one
+      // shared double chain (division inside the when(): the ANSI
+      // lesson), LM flagged at the χ²(1) 5% point 38415 on the
+      // QUANTIZED e4 value (t20's df = 1 constant). UNIT: diffs in
+      // whole DOLLARS (w28's discipline) — 4th powers are the bound
+      // here: n²·max(z²) < 2⁶³ needs |dx| ≲ 1e4 at n = 30 (sf0.1
+      // reads ≤ 6e3; one more decade shifts the unit, not the
+      // operator). Degenerate constant-z series: pure-integer
+      // dena/denb = 0 → NULL, explicit non-reject.
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(round(col("value")).cast("long")).as("y"))
+      archLm(daily)
+    }, Some(
+      """WITH daily AS (
+           SELECT event_type, cast(ts AS date) AS day,
+                  cast(sum(cast(round(value) AS bigint)) AS bigint) AS y
+           FROM events GROUP BY 1, 2),
+         dx AS (
+           SELECT event_type, day,
+                  y - lag(y) OVER (PARTITION BY event_type ORDER BY day)
+                    AS dx
+           FROM daily),
+         z AS (
+           SELECT event_type, day, dx * dx AS z,
+                  lag(dx * dx) OVER (PARTITION BY event_type ORDER BY day)
+                    AS zl
+           FROM dx WHERE dx IS NOT NULL),
+         sums AS (
+           SELECT event_type, count(*) AS n,
+                  cast(sum(z) AS bigint) AS sz,
+                  cast(sum(zl) AS bigint) AS szl,
+                  cast(sum(z * z) AS bigint) AS szz,
+                  cast(sum(zl * zl) AS bigint) AS szlzl,
+                  cast(sum(z * zl) AS bigint) AS szzl
+           FROM z WHERE zl IS NOT NULL GROUP BY 1),
+         fit AS (
+           SELECT event_type, n,
+                  n * szzl - sz * szl AS num,
+                  n * szz - sz * sz AS dena,
+                  n * szlzl - szl * szl AS denb
+           FROM sums),
+         q AS (
+           SELECT event_type, cast(n AS bigint) AS n,
+                  CASE WHEN dena > 0 AND denb > 0 THEN
+                    cast(round(num / (sqrt(dena) * sqrt(denb)) *
+                      (num / (sqrt(dena) * sqrt(denb))) * n * 1e4)
+                      AS bigint) END AS lm_e4
+           FROM fit)
+         SELECT event_type, n, lm_e4,
+                coalesce(lm_e4 > 38415, false) AS reject_5pct
+         FROM q ORDER BY 1""")),
 
     // ----- W19 (ext.): robust anomaly flags (median/MAD) -------------------
 

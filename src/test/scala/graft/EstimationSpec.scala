@@ -155,4 +155,36 @@ class EstimationSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("d", "e", 5L, null, null, false)),
       s"planted Spearman battery diverged: $got")
   }
+
+  test("t25 archLm: volatility clustering rejects, mild clustering and constant variance do not (planted)") {
+    // Three hand series pin the LM mechanics end to end (z = squared
+    // first diffs, LM = n·R² of z on lag z, χ²(1) 5% at 3.8415):
+    //  - v: diffs (3,3,3,3,1,1,1,1) → z regime-blocks (9×4, 1×4) →
+    //    num = 576, dena = denb = 768, LM = 7·(0.75)² · ... = 3.9375 →
+    //    lm_e4 = 39375, a BOUNDARY reject (2.5% above the critical
+    //    value — the shortest planted series that clears it);
+    //  - w: one regime shorter, diffs (3,3,3,1,1,1) → LM = 2.2222 →
+    //    22222, NOT rejected (same clustering shape, below the χ²
+    //    bar at n = 5 — the size-sensitivity the statistic owes);
+    //  - u: constant diffs → z constant → dena = 0 EXACTLY (integer
+    //    guard) → NULL statistic, explicit non-reject.
+    val s = spark
+    import s.implicits._
+    def series(name: String, ys: Seq[Long]) =
+      ys.zipWithIndex.map { case (v, i) =>
+        (name, java.sql.Date.valueOf(f"2024-03-${i + 1}%02d"), v)
+      }
+    val daily = (series("u", Seq(100L, 102, 104, 106, 108, 110, 112)) ++
+      series("v", Seq(100L, 103, 106, 109, 112, 113, 114, 115, 116)) ++
+      series("w", Seq(100L, 103, 106, 109, 110, 111, 112)))
+      .toDF("event_type", "day", "y")
+    val got = graft.operators.Estimation.archLm(daily).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getLong(2), r.getBoolean(3))).toSeq
+    assert(got == Seq(
+      ("u", 5L, null, false),
+      ("v", 7L, 39375L, true),
+      ("w", 5L, 22222L, false)),
+      s"planted ARCH battery diverged: $got")
+  }
 }
