@@ -1992,6 +1992,95 @@ object TextPipeline {
          WHERE m.common * 1.0 / (sa.n + sb.n - m.common) >= 0.5
          ORDER BY 1, 2""")),
 
+    ("d15_lsh_recall", (s: SparkSession, d: String) => {
+      // MEASURED candidate quality for the LSH pipeline — the e5-class
+      // audit the dedup family owed (e5 measures ANN recall against
+      // brute force; nothing measured what fraction of TRUE near-dup
+      // pairs d3's 4×2 banding actually surfaces): on a 200-doc gated
+      // sub-corpus (≤ 19,900 pairs — the d7 boundedness class, because
+      // exact ground truth IS all-pairs Jaccard and must never run
+      // corpus-wide), the exact pair table meets the banded candidate
+      // set and precision/recall are counted per threshold
+      // θ ∈ {0.3, 0.5, 0.7}. Jaccard comes from ONE side (the exact
+      // raw-shingle table) in BOTH engines, so digest-prefix collision
+      // corner cases cancel; the candidate set replays nearDupPairs'
+      // real path (banding + the ≤128 super-bucket prune) at
+      // minJaccard = 0 — the audit sees candidates pre-verify.
+      // Integer ratios via div///; zero-denominator θ rows are NULL by
+      // the integer guard. The theory it measures: P(collide) =
+      // 1 − (1 − J²)⁴, so J = 0.5 pairs collide ~66% — recall here is
+      // the banding's honest miss rate, not a bug signal.
+      import s.implicits._
+      val sub = Tables.documents(s, d).filter(col("doc_id") < 200)
+      val truth = shinglePairStats(sub)
+        .select(col("doc_a"), col("doc_b"),
+          (col("common") / (col("n_a") + col("n_b") - col("common")))
+            .as("jaccard"))
+      val cand = nearDupPairs(sub, minJaccard = 0.0)
+        .select(col("doc_a"), col("doc_b"), lit(true).as("isc"))
+      val fl = truth.join(cand, Seq("doc_a", "doc_b"), "left")
+      val thetas = Seq(300000L, 500000L, 700000L).toDF("theta_e6")
+      val jge =
+        col("jaccard") >= col("theta_e6").cast("double") / lit(1e6)
+      thetas.crossJoin(fl)
+        .groupBy(col("theta_e6"))
+        .agg(sum(when(jge, 1L).otherwise(0L)).as("truth_pairs"),
+          sum(when(col("isc").isNotNull, 1L).otherwise(0L))
+            .as("cand_pairs"),
+          sum(when(jge && col("isc").isNotNull, 1L).otherwise(0L))
+            .as("tp"))
+        .select(col("theta_e6"), col("truth_pairs"), col("cand_pairs"),
+          col("tp"),
+          when(col("cand_pairs") > 0,
+            expr("tp * 1000000 div cand_pairs")).as("precision_e6"),
+          when(col("truth_pairs") > 0,
+            expr("tp * 1000000 div truth_pairs")).as("recall_e6"))
+        .orderBy(col("theta_e6"))
+    }, Some(
+      s"""WITH sub AS (SELECT * FROM documents WHERE doc_id < 200),
+         ${d5OracleCtes.replace("FROM documents", "FROM sub")},
+         rsh AS (
+           SELECT DISTINCT doc_id, substr(text, i, 5) AS s2 FROM (
+             SELECT doc_id, text,
+                    unnest(generate_series(1, greatest(length(text) - 4, 1))) AS i
+             FROM sub)),
+         rsz AS (SELECT doc_id, count(*) AS n FROM rsh GROUP BY 1),
+         rcom AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+           FROM rsh a JOIN rsh b ON a.s2 = b.s2 AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         truth AS (
+           SELECT c.doc_a, c.doc_b,
+                  c.common * 1.0 / (sa.n + sb.n - c.common) AS jaccard
+           FROM rcom c
+           JOIN rsz sa ON sa.doc_id = c.doc_a
+           JOIN rsz sb ON sb.doc_id = c.doc_b),
+         fl AS (
+           SELECT t.doc_a, t.doc_b, t.jaccard,
+                  (c.doc_a IS NOT NULL) AS isc
+           FROM truth t LEFT JOIN cand c
+             ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b),
+         th AS (SELECT cast(t AS bigint) AS theta_e6
+                FROM (VALUES (300000), (500000), (700000)) v(t)),
+         agg AS (
+           SELECT th.theta_e6,
+                  cast(sum(CASE WHEN jaccard >= cast(theta_e6 AS double) / 1e6
+                      THEN 1 ELSE 0 END) AS bigint) AS truth_pairs,
+                  cast(sum(CASE WHEN isc THEN 1 ELSE 0 END) AS bigint)
+                    AS cand_pairs,
+                  cast(sum(CASE WHEN isc AND
+                      jaccard >= cast(theta_e6 AS double) / 1e6
+                      THEN 1 ELSE 0 END) AS bigint) AS tp
+           FROM th CROSS JOIN fl GROUP BY 1)
+         SELECT theta_e6, truth_pairs, cand_pairs, tp,
+                CASE WHEN cand_pairs > 0
+                  THEN cast(tp * 1000000 // cand_pairs AS bigint)
+                END AS precision_e6,
+                CASE WHEN truth_pairs > 0
+                  THEN cast(tp * 1000000 // truth_pairs AS bigint)
+                END AS recall_e6
+         FROM agg ORDER BY 1""")),
+
     ("d6_embed_neardup", (s: SparkSession, d: String) => {
       // Embedding-cosine near-duplicate detection — the fifth dedup family
       // (exact d1, shingle-Jaccard d2, MinHash-LSH d3, SimHash d4): two
