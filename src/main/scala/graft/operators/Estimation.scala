@@ -2703,7 +2703,13 @@ object Estimation {
       sums
         .withColumn("den", col("n") * col("sxx") - col("sx") * col("sx"))
         .withColumn("num", col("n") * col("sxy") - col("sx") * col("sy"))
-        .withColumn("beta", col("num").cast("double") / col("den"))
+        // beta's division sits INSIDE the den > 0 guard (the t24 ANSI
+        // lesson: Spark errors on ANY divide-by-zero, CaseWhen
+        // short-circuits per row; a constant-x degenerate panel must
+        // yield documented NULLs, not a crash). NULL then propagates
+        // through ssr and every downstream arithmetic without division.
+        .withColumn("beta",
+          when(col("den") > 0, col("num").cast("double") / col("den")))
         .withColumn("ssr",
           (col("syy") - (col("sy") - col("beta") * col("sx")) / col("n") *
             col("sy") - col("beta") * col("sxy")))
