@@ -1031,6 +1031,72 @@ object EventStream {
       }
   }
 
+  final case class ArchState(
+      hasY: Boolean, lastY: Long, hasZ: Boolean, lastZ: Long,
+      n: Long, sz: Long, szl: Long, szz: Long, szlzl: Long, szzl: Long)
+
+  final case class ArchUpdate(
+      event_type: String, n: Long, lm_e4: Option[Long],
+      reject_5pct: Boolean)
+
+  /** Streaming Engle ARCH LM(1) monitor — the one-pass twin of the t25
+    * batch test over a stream of DAILY rows (the monitor sits after a
+    * daily rollup, where the batch kernel's first-difference grain
+    * lives): state is the last level, the last squared diff, and the
+    * six exact-long sums of the (z, lag z) regression; each arrival
+    * extends the lagged pair set by exactly the row the batch window
+    * would produce, and LM assembles in the batch kernel's shared
+    * double chain (r = num/(√dena·√denb), LM = n·r², HALF_UP e4 —
+    * pinned bit-equal to Estimation.archLm in StreamingSpec across a
+    * micro-batch boundary). Path-dependent through the differencing,
+    * so rows sort by (event time, value) within each batch — the
+    * runsStream discipline. Unit: whole dollars per the batch entry's
+    * 4th-power widening bound.
+    */
+  def archLmStream(events: DataFrame): Dataset[ArchUpdate] = {
+    val s = events.sparkSession
+    import s.implicits._
+    def rnd(x: Double): Long = java.math.BigDecimal.valueOf(x)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+    events
+      .select(col("event_type"), col("ts"), col("value"))
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), unix_micros(col("ts")).as("us"),
+        round(col("value")).cast("long").as("y"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[ArchState, ArchUpdate](GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Long, Long)],
+            state: GroupState[ArchState]) =>
+          var st = state.getOption.getOrElse(
+            ArchState(false, 0L, false, 0L, 0L, 0L, 0L, 0L, 0L, 0L))
+          rows.toSeq.sortBy(t => (t._2, t._3)).foreach { case (_, _, y) =>
+            if (st.hasY) {
+              val dx = y - st.lastY
+              val z = dx * dx
+              if (st.hasZ) {
+                val zl = st.lastZ
+                st = st.copy(n = st.n + 1, sz = st.sz + z,
+                  szl = st.szl + zl, szz = st.szz + z * z,
+                  szlzl = st.szlzl + zl * zl, szzl = st.szzl + z * zl)
+              }
+              st = st.copy(hasZ = true, lastZ = z)
+            }
+            st = st.copy(hasY = true, lastY = y)
+          }
+          state.update(st)
+          val num = st.n * st.szzl - st.sz * st.szl
+          val dena = st.n * st.szz - st.sz * st.sz
+          val denb = st.n * st.szlzl - st.szl * st.szl
+          val lm =
+            if (dena > 0 && denb > 0) {
+              val r = num / (math.sqrt(dena) * math.sqrt(denb))
+              Some(rnd(r * r * st.n * 1e4))
+            } else None
+          ArchUpdate(key, st.n, lm, lm.exists(_ > 38415L))
+      }
+  }
+
   def runningStats(events: DataFrame): Dataset[StatsUpdate] = {
     val s = events.sparkSession
     import s.implicits._

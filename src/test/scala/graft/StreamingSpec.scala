@@ -1153,6 +1153,51 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"streamed runs state $streamed diverged from batch kernel $batch")
   }
 
+  test("archLmStream: the folded ARCH LM bit-matches the t25 batch kernel across a batch boundary") {
+    // One event per day carrying t25's planted reject series (diffs
+    // 3,3,3,3,1,1,1,1 → lm_e4 = 39375, the boundary reject): the
+    // stream's final (n, lm_e4, reject_5pct) must equal
+    // Estimation.archLm's row exactly, with the micro-batch split
+    // placed mid-series so BOTH carried levels (last y for the diff,
+    // last z for the lag pair) must survive the boundary for the sums
+    // to stay unbroken.
+    val s = spark
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.Encoders
+    import s.implicits._
+    val ms = MemoryStream(
+      Encoders.tuple(Encoders.STRING, Encoders.TIMESTAMP, Encoders.scalaDouble),
+      s.sqlContext)
+    val base = 1700000000000L
+    def t(dayIdx: Int) = new java.sql.Timestamp(base + dayIdx * 86400000L)
+    val ys = Seq(100.0, 103, 106, 109, 112, 113, 114, 115, 116)
+    val q = EventStream.archLmStream(ms.toDF.toDF("event_type", "ts", "value"))
+      .writeStream.format("memory").queryName("arch_mon")
+      .outputMode("update").start()
+    try {
+      ms.addData(ys.take(5).zipWithIndex.map { case (v, i) => ("a", t(i), v) }: _*)
+      q.processAllAvailable()
+      ms.addData(ys.drop(5).zipWithIndex.map { case (v, i) => ("a", t(i + 5), v) }: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("arch_mon")
+      .groupBy("event_type")
+      .agg(max(struct(col("n"), col("lm_e4"), col("reject_5pct"))).as("f"))
+      .select(col("f.n"), col("f.lm_e4"), col("f.reject_5pct"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).head
+    val daily = ys.zipWithIndex
+      .map { case (v, i) => ("a", new java.sql.Date(t(i).getTime),
+        math.round(v)) }
+      .toDF("event_type", "day", "y")
+    val batch = graft.operators.Estimation.archLm(daily)
+      .select(col("n"), col("lm_e4"), col("reject_5pct"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).head
+    assert(streamed == batch,
+      s"archLmStream diverged from the batch kernel: stream=$streamed batch=$batch")
+    assert(streamed == ((7L, 39375L, true)),
+      s"planted ARCH stream values wrong: $streamed")
+  }
+
   test("mapGroupsWithState running stats converge to the batch moments per key") {
     val q = EventStream.runningStats(EventStream.readEvents(spark, sfDir))
       .writeStream.format("memory").queryName("run_stats").outputMode("update").start()
