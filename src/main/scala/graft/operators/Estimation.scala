@@ -750,6 +750,61 @@ object Estimation {
       .orderBy(col("event_type"))
   }
 
+  /** Friedman repeated-measures rank kernel (t26) over a
+    * (event_type, day, x) daily panel -- semantics, the complete-block
+    * guard, and the tie-corrected chain on the t26 query entry.
+    */
+  private[graft] def friedman(daily: DataFrame): DataFrame = {
+    val k1 = daily.select(col("event_type")).distinct()
+      .agg(count(lit(1)).as("k"))
+    val dayN = daily.groupBy(col("day")).agg(count(lit(1)).as("nd"))
+    val full = daily.join(broadcast(dayN), "day")
+      .crossJoin(broadcast(k1)).filter(col("nd") === col("k"))
+    val rk = full
+      .withColumn("r_lo",
+        rank().over(Window.partitionBy(col("day")).orderBy(col("x"))))
+      .withColumn("cnt", count(lit(1)).over(
+        Window.partitionBy(col("day"), col("x"))))
+      .withColumn("avg2", lit(2) * col("r_lo") + col("cnt") - 1)
+    val perType = rk.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("avg2")).as("r2"),
+        max(col("k")).as("k"))
+    val s2sum = perType.agg(
+      sum(col("r2") * col("r2") / lit(4e0)).as("ssum"),
+      max(col("n")).as("n"), max(col("k")).as("k"))
+    val ties = rk.groupBy(col("day"), col("x"))
+      .agg(count(lit(1)).as("t"))
+      .agg(coalesce(sum(col("t") * col("t") * col("t") - col("t")),
+        lit(0L)).as("tsum"))
+    val stat = s2sum.crossJoin(ties)
+      .withColumn("chi",
+        lit(12e0) / (col("n") * col("k") * (col("k") + 1)) * col("ssum")
+          - lit(3) * col("n") * (col("k") + 1))
+      .withColumn("chi2_e4", when(
+        col("tsum") <
+          col("n") * (col("k") * col("k") * col("k") - col("k")),
+        round(col("chi") /
+          (lit(1) - col("tsum") * lit(1e0) /
+            (col("n") * (col("k") * col("k") * col("k") - col("k")))) *
+          1e4).cast("long")))
+      .withColumn("df", (col("k") - 1).cast("int"))
+      .select(col("df"), col("chi2_e4"),
+        expr("""coalesce(CASE WHEN df = 1 THEN chi2_e4 > 38415
+                   WHEN df = 2 THEN chi2_e4 > 59915
+                   WHEN df = 3 THEN chi2_e4 > 78147
+                   WHEN df = 4 THEN chi2_e4 > 94877
+                   WHEN df = 5 THEN chi2_e4 > 110705
+                   WHEN df = 6 THEN chi2_e4 > 125916
+                   WHEN df = 7 THEN chi2_e4 > 140671
+                   WHEN df = 8 THEN chi2_e4 > 155073
+              END, false)""").as("reject_5pct"))
+    perType
+      .select(col("event_type"), col("n"), col("r2"),
+        expr("r2 * 1000000 div (2 * n)").as("mean_rank_e6"))
+      .crossJoin(broadcast(stat))
+      .orderBy(col("event_type"))
+  }
+
   private[graft] def bhFdr(daily: DataFrame): DataFrame = {
     val d0 = daily.agg(min(col("day")).as("d0"))
     val wt = Window.partitionBy(col("event_type")).orderBy(col("day"))
@@ -3570,6 +3625,84 @@ object Estimation {
          SELECT event_type, n, lm_e4,
                 coalesce(lm_e4 > 38415, false) AS reject_5pct
          FROM q ORDER BY 1""")),
+
+    // ----- T26 (ext.): Friedman test (ranks within day blocks) -------------
+
+    ("t26_friedman", (s: SparkSession, d: String) => {
+      // Friedman's repeated-measures rank test — the BLOCKED companion
+      // to t20's global-pool Kruskal–Wallis: ranking WITHIN each day
+      // across the k types removes the common daily level (weekday
+      // traffic, platform-wide spikes) that t20's global ranking
+      // absorbs as noise, so it asks "is one type consistently ranked
+      // higher DAY BY DAY". Only COMPLETE blocks enter (days carrying
+      // all k types — the structural guard an unbalanced panel needs;
+      // here the panel is complete and a test would catch drift).
+      // Exactness is t20's discipline block-local: avg2 = 2·rank
+      // integers per day window, per-type rank sums R2_j and the tie
+      // table Σ(t³−t) exact longs, χ²_F with its tie correction in
+      // one shared double chain, the all-tied degenerate routed on the
+      // exact INTEGER test tsum = n·(k³−k). Flag battery = t20's
+      // χ²(df) 5% constants on the QUANTIZED e4 value. Output per
+      // type: block count, exact rank sum (×2), mean rank (e6,
+      // integer div), and the shared statistic + reject.
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("x"))
+      friedman(daily)
+    }, Some(
+      """WITH daily AS (
+           SELECT event_type, cast(ts AS date) AS day,
+                  cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS x
+           FROM events GROUP BY 1, 2),
+         k1 AS (SELECT count(DISTINCT event_type) AS k FROM daily),
+         dayn AS (SELECT day, count(*) AS nd FROM daily GROUP BY 1),
+         fb AS (
+           SELECT d.event_type, d.day, d.x, k1.k
+           FROM daily d JOIN dayn ON dayn.day = d.day, k1
+           WHERE dayn.nd = k1.k),
+         rk AS (
+           SELECT event_type, day, x, k,
+                  rank() OVER (PARTITION BY day ORDER BY x) AS r_lo,
+                  count(*) OVER (PARTITION BY day, x) AS cnt
+           FROM fb),
+         av AS (
+           SELECT event_type, day, x, k,
+                  cast(2 * r_lo + cnt - 1 AS bigint) AS avg2
+           FROM rk),
+         pertype AS (
+           SELECT event_type, count(*) AS n,
+                  cast(sum(avg2) AS bigint) AS r2, max(k) AS k
+           FROM av GROUP BY 1),
+         s2sum AS (
+           SELECT sum(r2 * r2 / 4e0) AS ssum, max(n) AS n, max(k) AS k
+           FROM pertype),
+         ties AS (
+           SELECT cast(coalesce(sum(t * t * t - t), 0) AS bigint) AS tsum
+           FROM (SELECT day, x, count(*) AS t FROM av GROUP BY 1, 2)),
+         stat AS (
+           SELECT cast(k - 1 AS int) AS df,
+                  CASE WHEN tsum < n * (k * k * k - k) THEN
+                    cast(round(
+                      (12e0 / (n * k * (k + 1)) * ssum - 3 * n * (k + 1)) /
+                      (1 - tsum * 1e0 / (n * (k * k * k - k))) * 1e4)
+                      AS bigint) END AS chi2_e4
+           FROM s2sum CROSS JOIN ties),
+         fin AS (
+           SELECT df, chi2_e4,
+                  coalesce(CASE WHEN df = 1 THEN chi2_e4 > 38415
+                       WHEN df = 2 THEN chi2_e4 > 59915
+                       WHEN df = 3 THEN chi2_e4 > 78147
+                       WHEN df = 4 THEN chi2_e4 > 94877
+                       WHEN df = 5 THEN chi2_e4 > 110705
+                       WHEN df = 6 THEN chi2_e4 > 125916
+                       WHEN df = 7 THEN chi2_e4 > 140671
+                       WHEN df = 8 THEN chi2_e4 > 155073
+                  END, false) AS reject_5pct
+           FROM stat)
+         SELECT p.event_type, cast(p.n AS bigint) AS n, p.r2,
+                cast(p.r2 * 1000000 // (2 * p.n) AS bigint) AS mean_rank_e6,
+                f.df, f.chi2_e4, f.reject_5pct
+         FROM pertype p CROSS JOIN fin f ORDER BY 1""")),
 
     // ----- W19 (ext.): robust anomaly flags (median/MAD) -------------------
 

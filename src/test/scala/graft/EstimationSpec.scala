@@ -187,4 +187,48 @@ class EstimationSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("w", 5L, 22222L, false)),
       s"planted ARCH battery diverged: $got")
   }
+
+  test("t26 friedman: consistent blocks reject, incomplete days drop, all-tied degenerates (planted)") {
+    // Battery 1 — Friedman's signature: a < b < c WITHIN every day
+    // while the daily LEVELS shift by decades (1,2,3 / 11,12,13 / ...),
+    // so a global pool (t20's view) sees heavy mixing but the blocked
+    // ranks are perfectly consistent: R2 = (8, 16, 24) over n = 4
+    // complete days, chi2 = 12/(4*3*4)*224 - 48 = 8 exactly →
+    // chi2_e4 = 80000 > 59915 (df = 2) → reject. A 5th day carrying
+    // only type 'a' must be EXCLUDED by the complete-block guard
+    // (n stays 4 — an unbalanced day would skew every rank sum).
+    // Battery 2 — both types tied within every day: tsum = 3·(2³−2) =
+    // 18 = n·(k³−k) EXACTLY (the integer degenerate test) → NULL
+    // statistic, explicit non-reject, mean rank 1.5 for both.
+    val s = spark
+    import s.implicits._
+    def rows(tp: String, vals: Seq[(Int, Long)]) =
+      vals.map { case (di, v) =>
+        (tp, java.sql.Date.valueOf(f"2024-03-${di}%02d"), v)
+      }
+    val b1 = (rows("a", Seq(1 -> 1L, 2 -> 11L, 3 -> 21L, 4 -> 31L, 5 -> 99L)) ++
+      rows("b", Seq(1 -> 2L, 2 -> 12L, 3 -> 22L, 4 -> 32L)) ++
+      rows("c", Seq(1 -> 3L, 2 -> 13L, 3 -> 23L, 4 -> 33L)))
+      .toDF("event_type", "day", "x")
+    val got1 = graft.operators.Estimation.friedman(b1).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4), if (r.isNullAt(5)) null else r.getLong(5),
+        r.getBoolean(6))).toSeq
+    assert(got1 == Seq(
+      ("a", 4L, 8L, 1000000L, 2, 80000L, true),
+      ("b", 4L, 16L, 2000000L, 2, 80000L, true),
+      ("c", 4L, 24L, 3000000L, 2, 80000L, true)),
+      s"planted Friedman battery 1 diverged: $got1")
+    val b2 = (rows("p", Seq(1 -> 5L, 2 -> 7L, 3 -> 9L)) ++
+      rows("q", Seq(1 -> 5L, 2 -> 7L, 3 -> 9L)))
+      .toDF("event_type", "day", "x")
+    val got2 = graft.operators.Estimation.friedman(b2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4), if (r.isNullAt(5)) null else r.getLong(5),
+        r.getBoolean(6))).toSeq
+    assert(got2 == Seq(
+      ("p", 3L, 9L, 1500000L, 1, null, false),
+      ("q", 3L, 9L, 1500000L, 1, null, false)),
+      s"planted Friedman battery 2 diverged: $got2")
+  }
 }
