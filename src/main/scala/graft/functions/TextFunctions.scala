@@ -65,6 +65,32 @@ object TextFunctions {
       ((bytes.length + frameSize - 1) / frameSize).toLong)
   }
 
+  /** STUB perceptual hash (see mm6_perceptual_hash): average-hash (aHash)
+    * over 64 payload samples at positions ⌊i·len/64⌋ — bit i set iff the
+    * sample exceeds the 64-sample mean, packed as two unsigned 32-bit
+    * halves (a single 64-bit pack would put bit 63 in int64's sign,
+    * which parquet/DuckDB comparisons then order differently). The
+    * threshold is the INTEGER test 64·b > Σb — no division, no double.
+    * Stands in for thumbnail-decode + downsample; swapping the byte
+    * sampler for a real 8×8 grayscale decoder changes no plumbing.
+    */
+  def perceptualHash(bytes: Array[Byte]): (Long, Long, Long) = {
+    if (bytes.isEmpty) return (0L, 0L, 0L)
+    val n = bytes.length
+    val samp = Array.tabulate(64)(i => (bytes((i * n) / 64) & 0xff).toLong)
+    val ssum = samp.sum
+    var hi = 0L; var lo = 0L; var bits = 0L
+    var i = 0
+    while (i < 64) {
+      if (64L * samp(i) > ssum) {
+        bits += 1
+        if (i < 32) lo += 1L << i else hi += 1L << (i - 32)
+      }
+      i += 1
+    }
+    (hi, lo, bits)
+  }
+
   /** STUB frame sampler (see mm2_frame_sample): every `stride`-th
     * frameSize-byte frame of the payload with its length and byte-sum
     * checksum — stands in for codec frame extraction (video frame

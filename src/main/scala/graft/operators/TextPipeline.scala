@@ -5679,6 +5679,61 @@ object TextPipeline {
          FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
          ORDER BY 1""")),
 
+    ("mm6_perceptual_hash", (s: SparkSession, d: String) => {
+      // Perceptual near-dup hashing on the BINARY column — d4's SimHash
+      // analogue for the image side of the corpus (aHash: 64 samples at
+      // ⌊i·len/64⌋, bit i set iff the sample exceeds the 64-sample
+      // mean): Hamming-near hashes ≈ visually-near thumbnails, the
+      // primitive image dedup pipelines bucket on. The hash packs as
+      // two unsigned 32-bit halves (one 64-bit pack would put bit 63
+      // in int64's sign), the threshold is the INTEGER test 64·b > Σb
+      // (no division, no double anywhere), and empty payloads report
+      // (0, 0, 0) through the same LEFT JOIN convention as mm1/mm5.
+      // The decode stand-in is TextFunctions.perceptualHash over the
+      // mapPartitions batch shape — a real 8×8 grayscale thumbnail
+      // decoder swaps in with no plumbing change; the oracle recomputes
+      // the full 64-bit pack from character codes.
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          it.map { case (id, bytes) =>
+            val (hi, lo, bits) = TextFunctions.perceptualHash(bytes)
+            (id, hi, lo, bits)
+          }
+        }
+        .toDF("doc_id", "phash_hi", "phash_lo", "bits_set")
+        .orderBy(col("doc_id"))
+    }, Some(
+      """WITH smp AS (
+           SELECT d.doc_id, g.i AS i,
+                  ascii(substr(d.text,
+                    cast((g.i * length(d.text)) // 64 AS int) + 1, 1)) AS b
+           FROM documents d, generate_series(0, 63) g(i)
+           WHERE length(d.text) > 0),
+         ss AS (SELECT doc_id, cast(sum(b) AS bigint) AS ssum
+                FROM smp GROUP BY 1),
+         bits AS (
+           SELECT s.doc_id, s.i,
+                  CASE WHEN 64 * s.b > t.ssum THEN 1 ELSE 0 END AS bit
+           FROM smp s JOIN ss t ON t.doc_id = s.doc_id),
+         ph AS (
+           SELECT doc_id,
+                  cast(sum(CASE WHEN bit = 1 AND i >= 32
+                      THEN cast(1 AS bigint) << (i - 32) ELSE 0 END)
+                    AS bigint) AS phash_hi,
+                  cast(sum(CASE WHEN bit = 1 AND i < 32
+                      THEN cast(1 AS bigint) << i ELSE 0 END)
+                    AS bigint) AS phash_lo,
+                  cast(sum(bit) AS bigint) AS bits_set
+           FROM bits GROUP BY 1)
+         SELECT d.doc_id, coalesce(p.phash_hi, 0) AS phash_hi,
+                coalesce(p.phash_lo, 0) AS phash_lo,
+                coalesce(p.bits_set, 0) AS bits_set
+         FROM documents d LEFT JOIN ph p ON p.doc_id = d.doc_id
+         ORDER BY 1""")),
+
     ("mm4_frame_retrieval", (s: SparkSession, d: String) => {
       // Cross-asset frame retrieval — the multimodal surface composed
       // end-to-end: mm2's frame sampling (every 2nd 64-byte frame) feeds
