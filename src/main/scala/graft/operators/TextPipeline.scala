@@ -1183,6 +1183,16 @@ object TextPipeline {
         s"(strpos('0123456789abcdef', substr($h, ${i + 1}, 1)) - 1) * $pw"
     }.mkString("(", " + ", ")")
 
+  /** DuckDB-side decode of the j-th 6-hex-char chunk of md5 expression
+    * `h` (j a column named `j` in scope) to a Bloom bit position —
+    * hexBucketSql's offset-parameterized sibling for the a24 audit.
+    */
+  private def hexChunkPosSql(h: String): String =
+    Seq(1048576L, 65536L, 4096L, 256L, 16L, 1L).zipWithIndex.map {
+      case (pw, i) =>
+        s"(strpos('0123456789abcdef', substr($h, j * 6 + ${i + 1}, 1)) - 1) * $pw"
+    }.mkString("(", " + ", ")") + " % 8192"
+
   private val splitBucketSql = hexBucketSql("md5(cast(doc_id AS varchar))") + " % 1000"
   private val mixBucketSql =
     hexBucketSql("md5('mix:' || cast(doc_id AS varchar))") + " % 1000"
@@ -2080,6 +2090,80 @@ object TextPipeline {
                   THEN cast(tp * 1000000 // truth_pairs AS bigint)
                 END AS recall_e6
          FROM agg ORDER BY 1""")),
+
+    ("a24_bloom_audit", (s: SparkSession, d: String) => {
+      // MEASURED Bloom-filter false-positive rate — the d15-class audit
+      // for the sketch family's membership screen (d8/d14/the streaming
+      // door use Blooms as arrival filters; nothing measured what the
+      // screen actually costs in false "seen" verdicts): a Bloom built
+      // RELATIONALLY (m = 8192 bits, k = 4 positions per key from
+      // non-overlapping 6-hex-char md5 chunks — the x5 bucket-draw
+      // convention, so the bit table is just a ≤ m-row DISTINCT) over
+      // the train shingle set (docs with doc_id % 4 ≠ 0), probed with
+      // the TRUE NEGATIVES (eval-only shingles, left-anti the train
+      // set): a probe is a false positive iff all 4 of its positions
+      // are set. m is deliberately UNDERSIZED so the audit exercises a
+      // non-trivial rate (a well-sized screen would measure ≈ 0 and
+      // the audit would be vacuous); the numbers to read together are
+      // load_e6 (fraction of bits set) and fpp_e6 ≈ load⁴ — the
+      // theoretical curve the measurement should track. All counts
+      // exact integers; ratios by div///; Spark's built-in
+      // BloomFilterAggregate is NOT used here precisely so both
+      // engines replay the identical bit arithmetic.
+      val sh = shingles(Tables.documents(s, d))
+      val train = sh.filter(col("doc_id") % 4 =!= 0).select(col("s"))
+        .distinct()
+      val neg = sh.filter(col("doc_id") % 4 === 0).select(col("s"))
+        .distinct()
+        .join(train, Seq("s"), "left_anti")
+      def positions(c: org.apache.spark.sql.Column) =
+        explode(array((0 to 3).map(j => expr(
+          s"cast(conv(substring(md5(s), ${j * 6 + 1}, 6), 16, 10) AS bigint) % 8192")): _*))
+      val bits = train.select(positions(col("s")).as("b")).distinct()
+      val fps = neg.select(col("s"), positions(col("s")).as("b"))
+        .join(bits, "b")
+        .groupBy(col("s")).agg(count(lit(1)).as("hits"))
+        .filter(col("hits") === 4)
+      train.agg(count(lit(1)).as("n_train"))
+        .crossJoin(bits.agg(count(lit(1)).as("bits_set")))
+        .crossJoin(neg.agg(count(lit(1)).as("n_neg")))
+        .crossJoin(fps.agg(count(lit(1)).as("fp")))
+        .select(lit(8192).as("m_bits"), lit(4).as("k_hashes"),
+          col("n_train"), col("bits_set"), col("n_neg"), col("fp"),
+          when(col("n_neg") > 0, expr("fp * 1000000 div n_neg"))
+            .as("fpp_e6"),
+          expr("bits_set * 1000000 div 8192").as("load_e6"))
+    }, Some(
+      s"""WITH sh AS (
+           SELECT DISTINCT doc_id, substr(text, i, 5) AS s FROM (
+             SELECT doc_id, text,
+                    unnest(generate_series(1, greatest(length(text) - 4, 1))) AS i
+             FROM documents)),
+         train AS (SELECT DISTINCT s FROM sh WHERE doc_id % 4 <> 0),
+         neg AS (
+           SELECT DISTINCT e.s FROM sh e
+           WHERE e.doc_id % 4 = 0
+             AND NOT EXISTS (SELECT 1 FROM train t WHERE t.s = e.s)),
+         bits AS (
+           SELECT DISTINCT ${hexChunkPosSql("md5(t.s)")} AS b
+           FROM train t, generate_series(0, 3) g(j)),
+         npos AS (
+           SELECT n.s, ${hexChunkPosSql("md5(n.s)")} AS b
+           FROM neg n, generate_series(0, 3) g(j)),
+         fps AS (
+           SELECT p.s FROM npos p JOIN bits ON bits.b = p.b
+           GROUP BY 1 HAVING count(*) = 4),
+         cnts AS (
+           SELECT (SELECT cast(count(*) AS bigint) FROM train) AS n_train,
+                  (SELECT cast(count(*) AS bigint) FROM bits) AS bits_set,
+                  (SELECT cast(count(*) AS bigint) FROM neg) AS n_neg,
+                  (SELECT cast(count(*) AS bigint) FROM fps) AS fp)
+         SELECT cast(8192 AS int) AS m_bits, cast(4 AS int) AS k_hashes,
+                n_train, bits_set, n_neg, fp,
+                CASE WHEN n_neg > 0
+                  THEN cast(fp * 1000000 // n_neg AS bigint) END AS fpp_e6,
+                cast(bits_set * 1000000 // 8192 AS bigint) AS load_e6
+         FROM cnts""")),
 
     ("d6_embed_neardup", (s: SparkSession, d: String) => {
       // Embedding-cosine near-duplicate detection — the fifth dedup family
