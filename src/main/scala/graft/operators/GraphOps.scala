@@ -1254,7 +1254,84 @@ object GraphOps {
           ${(2 to 0 by -1).map(bcBackStep).mkString(",\n")}
           SELECT node, cast(sum(dep) AS bigint) AS bc_e12
           FROM bd0 WHERE node <> seed
-          GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 20""")))
+          GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 20""")),
+
+    ("g14_ktruss", (s: SparkSession, d: String) => {
+      // 4-truss peeling — the DENSITY robustifier of g4's triangle
+      // count (a high triangle count can ride on one hub; a k-truss
+      // edge must sit in ≥ k−2 triangles whose OTHER edges also
+      // survive, so the fixpoint keeps only cohesively dense bundles —
+      // the subgraph a bundle-detector would actually ship). Three
+      // synchronous peeling rounds: per round, each surviving edge's
+      // support = |N(u) ∩ N(v)| on the CURRENT subgraph (one dst-keyed
+      // wedge join + one edge-membership join — g4's triangle shape,
+      // iterated), edges with support < 2 drop simultaneously. Output:
+      // per round, surviving (undirected) edge and node counts — the
+      // peeling trajectory, plus round 0 as the baseline. Exact
+      // integers throughout; the oracle unrolls the rounds with every
+      // CTE AS MATERIALIZED (the g13 inlining lesson — each round's
+      // edge set is referenced 3× by the next).
+      ktruss(strongCopurchase(s, d), rounds = 3, minSupport = 2)
+    }, Some(
+      s"""WITH $sqlStrong,
+          ts0 AS MATERIALIZED (SELECT src, dst FROM strong),
+          ${(1 to 3).map(ktrussStep).mkString(",\n")},
+          rounds AS (
+            ${(0 to 3).map(r =>
+              s"""SELECT $r AS round,
+                  (SELECT cast(count(*) AS bigint) FROM ts$r
+                   WHERE src < dst) AS n_edges,
+                  (SELECT cast(count(DISTINCT src) AS bigint) FROM ts$r)
+                    AS n_nodes""").mkString("\n            UNION ALL\n            ")})
+          SELECT cast(round AS int) AS round, n_edges, n_nodes
+          FROM rounds ORDER BY 1""")))
+
+  /** Synchronous k-truss peeling kernel (g14) over a SYMMETRIC edge
+    * table — semantics and the per-round join shape on the g14 query
+    * entry. Emits the peeling trajectory: (round, n_edges, n_nodes)
+    * for round 0 (baseline) through `rounds`.
+    */
+  private[graft] def ktruss(
+      edges: DataFrame, rounds: Int, minSupport: Int): DataFrame = {
+    def stats(e: DataFrame, r: Int): DataFrame =
+      e.filter(col("src") < col("dst")).agg(count(lit(1)).as("n_edges"))
+        .crossJoin(e.select(col("src").as("n")).distinct()
+          .agg(count(lit(1)).as("n_nodes")))
+        .select(lit(r).as("round"), col("n_edges"), col("n_nodes"))
+    var e = edges
+    var out = stats(e, 0)
+    for (r <- 1 to rounds) {
+      val tri = e.as("uw").join(e.as("vw"),
+          col("uw.dst") === col("vw.dst") &&
+            col("uw.src") < col("vw.src"))
+        .select(col("uw.src").as("u"), col("vw.src").as("v"))
+      val sup = tri
+        .join(e.select(col("src").as("u"), col("dst").as("v")),
+          Seq("u", "v"))
+        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("sp"))
+        .filter(col("sp") >= minSupport)
+      e = sup.select(col("u").as("src"), col("v").as("dst"))
+        .unionByName(sup.select(col("v").as("src"), col("u").as("dst")))
+      out = out.unionByName(stats(e, r))
+    }
+    out.orderBy(col("round"))
+  }
+
+  /** One unrolled 4-truss peeling round as a DuckDB CTE pair —
+    * MATERIALIZED per the g13 inlining lesson (ts$i is referenced 3×
+    * by round i+1's wedge and membership joins).
+    */
+  private def ktrussStep(i: Int): String =
+    s"""ksup$i AS MATERIALIZED (
+          SELECT a.src AS u, b.src AS v, count(*) AS sp
+          FROM ts${i - 1} a
+          JOIN ts${i - 1} b ON b.dst = a.dst AND a.src < b.src
+          JOIN ts${i - 1} e ON e.src = a.src AND e.dst = b.src
+          GROUP BY 1, 2),
+        ts$i AS MATERIALIZED (
+          SELECT u AS src, v AS dst FROM ksup$i WHERE sp >= 2
+          UNION ALL
+          SELECT v, u FROM ksup$i WHERE sp >= 2)"""
 
   def queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap
 

@@ -872,6 +872,29 @@ class RelationalPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"diamond sigma-split wrong: $gd")
   }
 
+  test("g14 ktruss: K4 survives 4-truss peeling, the pendant triangle and chain peel off") {
+    // Hand graph = K4 on {1,2,3,4} + a triangle {4,5,6} sharing node 4
+    // + a pendant chain 6-7-8. Round 0: 9 undirected edges, 8 nodes.
+    // 4-truss (support ≥ 2): every K4 edge sits in exactly 2 triangles
+    // whose edges are all K4-internal → survives every round; each
+    // {4,5,6} triangle edge sits in exactly 1 triangle → peels in
+    // round 1; chain edges have support 0 → peel too. Fixpoint after
+    // round 1 = the K4: (6 edges, 4 nodes), unchanged in rounds 2-3 —
+    // the "dense bundle survives, hub-glued appendages don't"
+    // behavior that distinguishes a truss from g4's raw counts.
+    import graft.operators.GraphOps
+    import org.apache.spark.sql.functions.col
+    val s = spark
+    import s.implicits._
+    val und = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (4L, 6L), (5L, 6L), (6L, 7L), (7L, 8L))
+    val sym = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val got = GraphOps.ktruss(sym, rounds = 3, minSupport = 2)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((0, 11L, 8L), (1, 6L, 4L), (2, 6L, 4L), (3, 6L, 4L)),
+      s"ktruss peeling trajectory wrong: $got")
+  }
+
   test("g1 pageRank: rank joins broadcast under the node budget, shuffle past it, same rows") {
     // The superstep join's size gate: while the node count fits the
     // budget the rank vector broadcasts (the measured-faster shape —
