@@ -349,7 +349,13 @@ object GraphOps {
         .filter(col("seen").isNull)
         .select(col("seed"), col("dst").as("node"),
           lit(r.toLong).as("dist"), col("sig").as("sigma"))
-      st = st.unionByName(nw)
+      // localCheckpoint per round: st is referenced THREE times by the
+      // next round (frontier, seen-set, union), so an unpersisted
+      // lineage re-executes ~3^rounds times — the same inlining blowup
+      // the oracle's MATERIALIZED hints fix on the DuckDB side
+      // (measured: 22.5 s → the g8-class cost once truncated). State is
+      // (seeds × reached-nodes)-sized, the family's cheap class.
+      st = st.unionByName(nw).localCheckpoint()
     }
     var dep = st.withColumn("dep_e12", lit(0L))
     for (l <- (rounds - 1) to 0 by -1) {
@@ -368,6 +374,9 @@ object GraphOps {
         .select(col("seed"), col("node"), col("dist"), col("sigma"),
           when(col("dist") === l, coalesce(col("acc"), lit(0L)))
             .otherwise(col("dep_e12")).as("dep_e12"))
+        // Same lineage truncation as the forward pass: dep feeds the
+        // next level's wside AND uside AND the rebuild join.
+        .localCheckpoint()
     }
     dep.filter(col("node") =!= col("seed"))
       .groupBy(col("node")).agg(sum(col("dep_e12")).as("bc_e12"))
@@ -1310,8 +1319,16 @@ object GraphOps {
           Seq("u", "v"))
         .groupBy(col("u"), col("v")).agg(count(lit(1)).as("sp"))
         .filter(col("sp") >= minSupport)
+      // localCheckpoint per round: each round's edge set is referenced
+      // THREE times by the next (both wedge sides + the membership
+      // join) plus twice by its own stats — unpersisted, the wedge
+      // join re-executes ~3^rounds times (the g13/oracle-MATERIALIZED
+      // inlining blowup in Spark form; measured 24.9 s → g4-class cost
+      // once truncated). Peeled edge sets only shrink, so the
+      // checkpointed state is bounded by the input graph.
       e = sup.select(col("u").as("src"), col("v").as("dst"))
         .unionByName(sup.select(col("v").as("src"), col("u").as("dst")))
+        .localCheckpoint()
       out = out.unionByName(stats(e, r))
     }
     out.orderBy(col("round"))
