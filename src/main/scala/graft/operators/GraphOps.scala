@@ -231,6 +231,9 @@ object GraphOps {
         .join(dim(mins.withColumnRenamed("dst", "node")), Seq("node"), "left")
         .select(col("node"),
           least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
+        // labels is referenced twice per round (flood + rebuild) — the
+        // 2^rounds lineage class; same truncation as seedDistance.
+        .localCheckpoint()
     }
     labels
   }
@@ -261,6 +264,11 @@ object GraphOps {
         .join(dim(mins.withColumnRenamed("dst", "node")), Seq("node"), "left")
         .select(col("node"),
           least(col("dist"), coalesce(col("nd"), col("dist"))).as("dist"))
+        // dist is referenced twice per round (min-fold + rebuild), so an
+        // unpersisted lineage re-executes 2^rounds times — the g13/g14
+        // inlining class at base 2. Node-sized state; measured win on
+        // the isolated A/B recorded in the fixing commit.
+        .localCheckpoint()
     }
     dist
   }
@@ -291,6 +299,8 @@ object GraphOps {
         .join(dim(mins.withColumnRenamed("dst", "node")), Seq("node"), "left")
         .select(col("node"),
           least(col("dist"), coalesce(col("nd"), col("dist"))).as("dist"))
+        // Same 2^rounds lineage truncation as [[seedDistance]].
+        .localCheckpoint()
     }
     dist
   }
@@ -614,6 +624,10 @@ object GraphOps {
       e = e.join(dim(keep.withColumnRenamed("dst", "src")), "src")
         .join(dim(keep), "dst")
         .select(col("src"), col("dst"))
+        // e is referenced three times per round (degree count + both
+        // membership joins) — the 3^rounds lineage class (g14's);
+        // shrinking edge set, same truncation.
+        .localCheckpoint()
     }
     e.groupBy(col("dst")).agg(count(lit(1)).as("core_deg"))
       .select(col("dst").as("node"), col("core_deg"))
@@ -842,7 +856,7 @@ object GraphOps {
       // structure; by round 5 the readout would be the trivial
       // partition.
       val (e, nodes) = copurchase(s, d)
-      val sizes = labelPropagation(e, nodes, iters = 3)
+      val sizes = labelPropagation(e, nodes, iters = 3, checkpointEvery = 1)
         .groupBy(col("lbl")).agg(count(lit(1)).as("community_size"))
       AnnIndex.topKCut(
           sizes.select(lit(1).as("g"), col("lbl"), col("community_size")),

@@ -1239,15 +1239,30 @@ class RelationalPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // remaining exchanges are the bounded readout (rank sort, one-group
     // cut, |nodes|-sized community sizes) and the one-time cache build
     // printed inside the InMemoryRelation subtree.
+    // The invariant is on PLANNER-INSERTED exchanges
+    // (ENSURE_REQUIREMENTS): a regression makes the planner shuffle a
+    // superstep aggregation on dst. The cache build's own explicit
+    // repartition prints as REPARTITION_BY_COL — and since the r13
+    // per-round localCheckpoint materializes the cache eagerly during
+    // query construction, the InMemoryRelation subtree (cache build
+    // included) is now visible in the final plan string, so the checks
+    // key on the exchange ORIGIN tag rather than bare substrings.
     import graft.operators.GraphOps
     for (q <- Seq("g1_copurchase_pagerank", "g3_label_propagation")) {
       val plan = GraphOps.queries(q)(spark, sfDir)
         .queryExecution.executedPlan.toString
         .split("== Initial Plan ==").head
-      assert(!plan.contains("hashpartitioning(dst"),
+      val planned = plan.linesIterator
+        .filter(_.contains("ENSURE_REQUIREMENTS")).toSeq
+      // The sharp invariant: no planner-inserted exchange keyed on dst
+      // (the superstep aggregation keys are dst and (dst, lbl) — a
+      // regression shuffles one per superstep). The visible cache-build
+      // interior legitimately shuffles on (src, dst)/src once.
+      assert(!planned.exists(_.contains("hashpartitioning(dst")),
         s"$q re-shuffles a superstep aggregation on dst:\n$plan")
-      val x = "Exchange".r.findAllIn(plan).size
-      assert(x <= 4, s"$q plan has $x exchanges (want readout + cache build only):\n$plan")
+      assert(planned.size <= 7,
+        s"$q plan has ${planned.size} planner-inserted exchanges " +
+          s"(readout ≤ 4 + the one-time cache-build interior ≤ 3):\n$plan")
     }
   }
 
