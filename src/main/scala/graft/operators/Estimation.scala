@@ -805,6 +805,50 @@ object Estimation {
       .orderBy(col("event_type"))
   }
 
+  /** Forecast-combination kernel (m26) — semantics and the integer
+    * weight-clearing argument on the m26 query entry. One fold carries
+    * BOTH component recursions (w22's EWMA level, w23's Holt S/B) plus
+    * their one-step absolute-error sums.
+    */
+  private[graft] def forecastCombo(daily: DataFrame): DataFrame =
+    daily
+      .groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("day"), col("x")))).as("s"))
+      .select(col("event_type"), size(col("s")).cast("long").as("n"),
+        expr("""aggregate(s,
+            named_struct('el', cast(null AS bigint),
+                         'hl', cast(null AS bigint),
+                         'hb', cast(0 AS bigint),
+                         'esae', cast(0 AS bigint),
+                         'hsae', cast(0 AS bigint)),
+            (acc, r) -> CASE WHEN acc.el IS NULL THEN
+                named_struct('el', r.x, 'hl', r.x,
+                             'hb', cast(0 AS bigint),
+                             'esae', acc.esae, 'hsae', acc.hsae)
+              ELSE named_struct(
+                'el', (3 * r.x + 7 * acc.el) div 10,
+                'hl', (3 * r.x + 7 * (acc.hl + acc.hb)) div 10,
+                'hb', (((3 * r.x + 7 * (acc.hl + acc.hb)) div 10
+                        - acc.hl) + 9 * acc.hb) div 10,
+                'esae', acc.esae + abs(r.x - acc.el),
+                'hsae', acc.hsae + abs(r.x - (acc.hl + acc.hb)))
+              END)""").as("f"))
+      .withColumn("fc_ewma", col("f.el"))
+      .withColumn("fc_holt", col("f.hl") + col("f.hb"))
+      .withColumn("sae_ewma", col("f.esae"))
+      .withColumn("sae_holt", col("f.hsae"))
+      .withColumn("den", col("sae_ewma") + col("sae_holt"))
+      .withColumn("w_ewma_e6",
+        when(col("den") > 0, expr("sae_holt * 1000000 div den")))
+      .withColumn("fc_combo",
+        when(col("den") > 0,
+          expr("(fc_ewma * sae_holt + fc_holt * sae_ewma) div den"))
+          .otherwise(col("fc_ewma")))
+      .select(col("event_type"), col("n"), col("fc_ewma"), col("fc_holt"),
+        col("sae_ewma"), col("sae_holt"), col("w_ewma_e6"),
+        col("fc_combo"))
+      .orderBy(col("event_type"))
+
   private[graft] def bhFdr(daily: DataFrame): DataFrame = {
     val d0 = daily.agg(min(col("day")).as("d0"))
     val wt = Window.partitionBy(col("event_type")).orderBy(col("day"))
@@ -2823,6 +2867,71 @@ object Estimation {
          SELECT h, n, beta_e6, t_e4,
                 coalesce(abs(t_e4) > 19600, false) AS reject_5pct
          FROM q ORDER BY 1""")),
+
+    // ----- M26 (ext.): forecast combination (Bates–Granger) ----------------
+
+    ("m26_forecast_combo", (s: SparkSession, d: String) => {
+      // Bates–Granger FORECAST COMBINATION over the w22/w23 smoother
+      // pair — the classical result the scorecard family (w24, t14)
+      // stops short of USING: a weighted average of imperfectly
+      // correlated forecasts has lower expected error than either
+      // component, with weights inverse to each model's own error.
+      // Weights here are inverse one-step MAE with denominators
+      // CLEARED to integers: w_E ∝ sae_H, and the combined h=1
+      // forecast is (F_E·sae_H + F_H·sae_E) div (sae_E + sae_H) —
+      // exact integer arithmetic end to end (bound: F·sae ≤
+      // ~2e7·6e8 = 1.2e16 < 2⁶³ on the daily-cents panel). Both
+      // component recursions (EWMA α = 0.3; Holt α = 0.3, β = 0.1 —
+      // w22/w23's exact integer folds) run in ONE `aggregate()` pass
+      // carrying five state fields, and the oracle replays the joint
+      // recursion in one WITH RECURSIVE walk. The den = 0 degenerate
+      // (both models exact ⟺ constant series ⟺ F_E = F_H) keeps the
+      // combined forecast (= F_E) with a documented NULL weight.
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("x"))
+      forecastCombo(daily)
+    }, Some(
+      """WITH RECURSIVE daily AS (
+           SELECT event_type, cast(ts AS date) AS day,
+                  cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS x
+           FROM events GROUP BY 1, 2),
+         e AS (
+           SELECT event_type, x, row_number() OVER (
+             PARTITION BY event_type ORDER BY day) AS t
+           FROM daily),
+         rec AS (
+           SELECT event_type, t, x AS el, x AS hl,
+                  cast(0 AS bigint) AS hb,
+                  cast(0 AS bigint) AS esae, cast(0 AS bigint) AS hsae
+           FROM e WHERE t = 1
+           UNION ALL
+           SELECT e.event_type, e.t,
+                  (3 * e.x + 7 * rec.el) // 10,
+                  (3 * e.x + 7 * (rec.hl + rec.hb)) // 10,
+                  (((3 * e.x + 7 * (rec.hl + rec.hb)) // 10
+                    - rec.hl) + 9 * rec.hb) // 10,
+                  rec.esae + abs(e.x - rec.el),
+                  rec.hsae + abs(e.x - (rec.hl + rec.hb))
+           FROM rec JOIN e ON e.event_type = rec.event_type
+             AND e.t = rec.t + 1),
+         fin AS (SELECT event_type, max(t) AS n FROM rec GROUP BY 1),
+         lastr AS (
+           SELECT r.event_type, cast(f.n AS bigint) AS n,
+                  r.el AS fc_ewma, r.hl + r.hb AS fc_holt,
+                  r.esae AS sae_ewma, r.hsae AS sae_holt,
+                  r.esae + r.hsae AS den
+           FROM rec r JOIN fin f
+             ON f.event_type = r.event_type AND r.t = f.n)
+         SELECT event_type, n, fc_ewma, fc_holt, sae_ewma, sae_holt,
+                CASE WHEN den > 0
+                  THEN cast(sae_holt * 1000000 // den AS bigint)
+                END AS w_ewma_e6,
+                CASE WHEN den > 0 THEN
+                  cast((fc_ewma * sae_holt + fc_holt * sae_ewma) // den
+                    AS bigint)
+                ELSE fc_ewma END AS fc_combo
+         FROM lastr ORDER BY 1""")),
 
     // ----- T14 (ext.): paired sign test — EWMA vs Holt ---------------------
 

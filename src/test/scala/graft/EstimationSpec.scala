@@ -231,4 +231,44 @@ class EstimationSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("q", 3L, 9L, 1500000L, 1, null, false)),
       s"planted Friedman battery 2 diverged: $got2")
   }
+
+  test("m26 forecastCombo: the combination is a true weighted average; constant series hit the NULL-weight branch") {
+    // Two pins without hand-replaying the joint recursion (the
+    // component recursions are already planted in the w22/w23 specs):
+    //  - PROPERTY, on a trending and an alternating hand series: the
+    //    combined forecast must lie in [min(F_E, F_H), max(F_E, F_H)]
+    //    (it is a convex combination by construction — cleared-
+    //    denominator integer division can floor but never exit the
+    //    hull), and the weight must favor the model with the SMALLER
+    //    error sum (w_ewma > 5e5 ⟺ sae_ewma < sae_holt);
+    //  - DEGENERATE: a constant series makes both models exact
+    //    (den = 0, the integer test) → NULL weight and
+    //    fc_combo = fc_ewma = the constant, with both saes zero.
+    val s = spark
+    import s.implicits._
+    def series(name: String, vals: Seq[Long]) =
+      vals.zipWithIndex.map { case (v, i) =>
+        (name, java.sql.Date.valueOf(f"2024-03-${i + 1}%02d"), v)
+      }
+    val daily = (series("trend", (1 to 12).map(i => 100L + 10 * i)) ++
+      series("flat", Seq.fill(8)(500L)) ++
+      series("saw", (1 to 12).map(i => if (i % 2 == 0) 900L else 100L)))
+      .toDF("event_type", "day", "x")
+    val rows = graft.operators.Estimation.forecastCombo(daily).collect()
+      .map(r => r.getString(0) -> r).toMap
+    for (k <- Seq("trend", "saw")) {
+      val r = rows(k)
+      val (fe, fh, se, sh) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      val (w, combo) = (r.getLong(6), r.getLong(7))
+      assert(combo >= math.min(fe, fh) && combo <= math.max(fe, fh),
+        s"$k: combo $combo outside [$fe, $fh]")
+      assert((w > 500000) == (se < sh),
+        s"$k: weight $w disagrees with error ordering ($se vs $sh)")
+    }
+    val f = rows("flat")
+    assert(f.getLong(4) == 0L && f.getLong(5) == 0L && f.isNullAt(6) &&
+      f.getLong(7) == 500L && f.getLong(2) == 500L,
+      s"flat series should hit the den=0 branch: $f")
+  }
 }
