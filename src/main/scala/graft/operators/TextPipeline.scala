@@ -1421,6 +1421,34 @@ object TextPipeline {
   /** The e6 IVF-search oracle — shared verbatim with e15, whose
     * save/load roundtrip must reproduce the e6 answer exactly.
     */
+  /** The SQ8 oracle's shared training/encode/reconstruction CTE chain
+    * (unit vectors → per-dim bounds → codes → cell-center recon) — e12
+    * appends the search, e23 the per-dimension error audit, so the two
+    * spellings cannot drift.
+    */
+  private val sq8OraclePrefix: String =
+    """WITH ex AS (
+           SELECT vec_id, i, cast(embedding[i] AS double) AS v FROM (
+             SELECT vec_id, embedding,
+                    unnest(generate_series(1, len(embedding))) AS i
+             FROM embeddings)),
+         nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ex GROUP BY 1),
+         u AS (SELECT e.vec_id, e.i,
+                      cast(round(e.v / n.nrm * 1e6) AS bigint) AS ue6
+               FROM ex e JOIN nrm n ON n.vec_id = e.vec_id),
+         mm AS (SELECT i, min(ue6) AS mn, max(ue6) - min(ue6) AS span
+                FROM u GROUP BY 1),
+         codes AS (SELECT u.vec_id, u.i,
+                          CASE WHEN m.span = 0 THEN 0
+                               ELSE ((u.ue6 - m.mn) * 510 + m.span)
+                                    // (m.span * 2) END AS code
+                   FROM u JOIN mm m ON m.i = u.i),
+         recon AS (SELECT c.vec_id, c.i,
+                          m.mn + CASE WHEN m.span = 0 THEN 0
+                                      ELSE (c.code * m.span * 2 + 255) // 510
+                                 END AS re6
+                   FROM codes c JOIN mm m ON m.i = c.i)"""
+
   private val e6OracleSql: String =
     """WITH ex AS (
            SELECT vec_id, i, cast(embedding[i] AS double) AS v FROM (
@@ -3589,27 +3617,7 @@ object TextPipeline {
         col("vec_id") < 3, k = 3)
         .orderBy(col("q_id"), col("rank"))
     }, Some(
-      """WITH ex AS (
-           SELECT vec_id, i, cast(embedding[i] AS double) AS v FROM (
-             SELECT vec_id, embedding,
-                    unnest(generate_series(1, len(embedding))) AS i
-             FROM embeddings)),
-         nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ex GROUP BY 1),
-         u AS (SELECT e.vec_id, e.i,
-                      cast(round(e.v / n.nrm * 1e6) AS bigint) AS ue6
-               FROM ex e JOIN nrm n ON n.vec_id = e.vec_id),
-         mm AS (SELECT i, min(ue6) AS mn, max(ue6) - min(ue6) AS span
-                FROM u GROUP BY 1),
-         codes AS (SELECT u.vec_id, u.i,
-                          CASE WHEN m.span = 0 THEN 0
-                               ELSE ((u.ue6 - m.mn) * 510 + m.span)
-                                    // (m.span * 2) END AS code
-                   FROM u JOIN mm m ON m.i = u.i),
-         recon AS (SELECT c.vec_id, c.i,
-                          m.mn + CASE WHEN m.span = 0 THEN 0
-                                      ELSE (c.code * m.span * 2 + 255) // 510
-                                 END AS re6
-                   FROM codes c JOIN mm m ON m.i = c.i),
+      sq8OraclePrefix + """,
          qd AS (SELECT q.vec_id AS q_id, r.vec_id,
                        cast(sum((q.ue6 - r.re6) * (q.ue6 - r.re6)) AS bigint)
                          AS adist
@@ -3635,6 +3643,60 @@ object TextPipeline {
                     ORDER BY cosine_e6 DESC, vec_id) AS rank
            FROM scored)
          WHERE rank <= 3 ORDER BY q_id, rank""")),
+
+    ("e23_sq8_error_audit", (s: SparkSession, d: String) => {
+      // The MEASURED quantization-error profile for the SQ8 family —
+      // the third leg of the audit trilogy (d15 measures what LSH
+      // banding misses, a24 what the Bloom screen falsely admits, this
+      // what scalar quantization actually loses, per dimension): every
+      // component's cell-center reconstruction error |u − deq(q(u))|
+      // against the PROVABLE bound span/510 + 2 e6-ULPs (half a
+      // quantization step from the encode rounding + one ULP from each
+      // of the two integer roundings). `violations` counts components
+      // exceeding the bound — an identity-audit column that must read
+      // 0 in both engines or the encode/decode pair drifted; max and
+      // mean error per dimension are the numbers an SQ8 deployment
+      // reads to decide whether 8 bits suffice. Same session-cached
+      // index as e12; all arithmetic exact integers (the decode is
+      // e12's own recon convention, shared oracle text by
+      // construction). Output: one row per dimension.
+      val idx = AnnIndex.sq8For(s, d, Tables.embeddings(s, d))
+      val mnL = typedlit(idx.mn)
+      val spL = typedlit(idx.span)
+      idx.codes
+        .select(col("sq8"), posexplode(col("unit")).as(Seq("pos", "ue6")))
+        .select(col("pos"), col("ue6"),
+          element_at(col("sq8"), (col("pos") + 1).cast("int")).as("code"),
+          element_at(mnL, (col("pos") + 1).cast("int")).as("mn"),
+          element_at(spL, (col("pos") + 1).cast("int")).as("span"))
+        .withColumn("re6", col("mn") +
+          when(col("span") === 0L, 0L)
+            .otherwise(expr("(code * span * 2 + 255) div 510")))
+        .withColumn("err", abs(col("ue6") - col("re6")))
+        .withColumn("bound_e6", expr("span div 510 + 2"))
+        .groupBy((col("pos") + 1).cast("int").as("i"), col("span"),
+          col("bound_e6"))
+        .agg(count(lit(1)).as("n"), max(col("err")).as("max_err_e6"),
+          expr("sum(err) * 1000 div count(1)").as("mean_err_e9"),
+          sum(when(col("err") > col("bound_e6"), 1L).otherwise(0L))
+            .as("violations"))
+        .select(col("i"), col("span"), col("bound_e6"), col("n"),
+          col("max_err_e6"), col("mean_err_e9"), col("violations"))
+        .orderBy(col("i"))
+    }, Some(
+      sq8OraclePrefix + """,
+         err AS (
+           SELECT u.i, m.span, abs(u.ue6 - r.re6) AS err
+           FROM u JOIN recon r ON r.vec_id = u.vec_id AND r.i = u.i
+           JOIN mm m ON m.i = u.i)
+         SELECT cast(i AS int) AS i, span,
+                cast(span // 510 + 2 AS bigint) AS bound_e6,
+                cast(count(*) AS bigint) AS n,
+                cast(max(err) AS bigint) AS max_err_e6,
+                cast(sum(err) * 1000 // count(*) AS bigint) AS mean_err_e9,
+                cast(sum(CASE WHEN err > span // 510 + 2 THEN 1 ELSE 0 END)
+                  AS bigint) AS violations
+         FROM err GROUP BY 1, 2 ORDER BY 1""")),
 
     ("e14_sq8_incremental", (s: SparkSession, d: String) => {
       // SQ8 index MAINTENANCE — the property that makes scalar
