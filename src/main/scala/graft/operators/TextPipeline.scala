@@ -5458,6 +5458,58 @@ object TextPipeline {
                   '\b(customer|spark)\b'))) AS bigint) AS remaining
          FROM scrubbed GROUP BY 1 ORDER BY 1""")),
 
+    ("x39_good_turing", (s: SparkSession, d: String) => {
+      // Good–Turing UNSEEN-MASS estimation per source — the question
+      // x34's vocab-growth curve raises but doesn't answer: how much
+      // probability mass do words we have NOT yet seen hold? Turing's
+      // estimator is the singleton share p₀ ≈ n₁/N (tokens seen exactly
+      // once over total tokens — a high p₀ says the source is
+      // undersampled and more crawling buys real new vocabulary; near
+      // zero says the vocabulary is saturated and more data is mostly
+      // repetition). Beside it, Chao1's species-richness floor
+      // V + n₁²/(2·n₂) estimates how large the TRUE vocabulary is from
+      // the singleton/doubleton ratio. Both are pure integer ratios of
+      // exact counts: one token explode, one (source, word) count, two
+      // integer divisions (p0 e6-scaled; Chao1 NULL on the n₂ = 0
+      // degenerate — an integer guard, since the correction divides by
+      // it). Scale: one corpus pass, map-side-combinable counts, output
+      // |sources| rows.
+      val toks = Tables.documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("t"))
+      val wc = toks.groupBy(col("source"), col("t"))
+        .agg(count(lit(1)).as("c"))
+      wc.groupBy(col("source"))
+        .agg(sum(col("c")).as("n_tokens"),
+          count(lit(1)).as("vocab"),
+          sum(when(col("c") === 1L, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("c") === 2L, 1L).otherwise(0L)).as("n2"))
+        .select(col("source"), col("n_tokens"), col("vocab"), col("n1"),
+          col("n2"),
+          expr("n1 * 1000000 div n_tokens").as("p0_e6"),
+          when(col("n2") > 0,
+            col("vocab") + expr("n1 * n1 div (2 * n2)")).as("chao1"))
+        .orderBy(col("source"))
+    }, Some(
+      """WITH toks AS (
+           SELECT source, unnest(string_split(text, ' ')) AS t
+           FROM documents),
+         wc AS (
+           SELECT source, t, count(*) AS c FROM toks GROUP BY 1, 2),
+         agg AS (
+           SELECT source, cast(sum(c) AS bigint) AS n_tokens,
+                  cast(count(*) AS bigint) AS vocab,
+                  cast(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS bigint)
+                    AS n1,
+                  cast(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS bigint)
+                    AS n2
+           FROM wc GROUP BY 1)
+         SELECT source, n_tokens, vocab, n1, n2,
+                cast(n1 * 1000000 // n_tokens AS bigint) AS p0_e6,
+                CASE WHEN n2 > 0
+                  THEN cast(vocab + n1 * n1 // (2 * n2) AS bigint)
+                END AS chao1
+         FROM agg ORDER BY 1""")),
+
     ("x30_bm25", (s: SparkSession, d: String) => {
       // BM25 retrieval — the modern default scorer x22's plain tf·idf
       // is the ancestor of, and a DIFFERENT ranking (not a rescale):
