@@ -139,10 +139,15 @@ object Bench {
           ms3(xs.max) + "]"
       }
     }.mkString("{", ",", "}")
+    // Self-labeling load indicator (VERDICT r13 #8): median_sum / min_sum.
+    // ≈1.0 on a quiet machine; a loaded run inflates medians but not mins,
+    // so a ratio ≫ 1 (r13's driver run: 1.14) tells the reader to trust
+    // value_min_sec and not read the median dict as regressions.
+    val loadSkew = if (totalMin > 0) math.rint(total / totalMin * 1000) / 1000 else 1.0
     def jsonLine(qmap: Iterable[(String, Double)], extra: String): String = {
       val qs = qmap.map { case (k, v) => s"\"" + k + "\":" + v }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":$total,"value_min_sec":${ms3(totalMin)},"unit":"sec","queries":$qs,$extra"canary_sec":$canaryJson,"index_build_sec":$buildJson,"warmup_sec":$warmup,"passes":$passes,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"value_min_sec":${ms3(totalMin)},"load_skew":$loadSkew,"unit":"sec","queries":$qs,$extra"canary_sec":$canaryJson,"index_build_sec":$buildJson,"warmup_sec":$warmup,"passes":$passes,"errors":$errJson,"sf":"$sfDir"}"""
     }
     val full = jsonLine(results, s""""dispersion":$dispJson,""")
     // Persist the FULL per-query map to files: the driver captures only the

@@ -19,13 +19,16 @@ import graft.sources.Tables
   *  - the five ScaleProbe shapes re-run from disk at k ∈ {4, 16, 64}
   *    (agg / join / window / shingle_band / superstep) so the on-disk α
   *    column sits directly beside the in-memory one;
-  *  - the two heavy REAL operators the r12 verdict named — j14's
-  *    interval-overlap grid join and d14's decontamination semi-join —
-  *    run as their actual `queries()` entries against the inflated dirs
-  *    (each ×k dir carries ALL tables: the big ones key-shifted ×k, the
-  *    dimension tables copied through) at k ∈ {4, 16} (their per-run
-  *    cost at ×64 would dominate the probe's budget without changing
-  *    the exponent read).
+  *  - the heavy REAL operators the r12/r13 verdicts named — j14's
+  *    interval-overlap grid join, d14's decontamination semi-join, x28's
+  *    uncached BPE merge kernel and g8's seed-distance fixpoint — run as
+  *    their actual `queries()` entries (x28: kernel) against the inflated
+  *    dirs (each ×k dir carries ALL tables: the big ones key-shifted ×k,
+  *    the dimension tables copied through) at k ∈ {4, 16, 64} — the r13
+  *    verdict's #1 ask closed: the real-operator lane now reads the same
+  *    ×64 column as the synthetic one. `SPARK_GRAFT_REAL_KS` / \
+  *    `SPARK_GRAFT_PROBE_KS` (comma-separated) restrict either lane for
+  *    a cheap re-run; lanes with an empty list are skipped.
   *
   * Inflation semantics match ScaleProbe exactly (k key-shifted copies,
   * offset 2⁴⁰ — volume ×k AND key cardinality ×k); the known caveat
@@ -152,11 +155,15 @@ object DiskScaleProbe {
       ("g8_rounds", d =>
         noop(graft.operators.GraphOps.queries("g8_seed_distance")(spark, d))))
 
-    val probeKs = Seq(4, 16, 64)
-    val realKs = Seq(4, 16)
-    (probeKs ++ Seq.empty).foreach(materialize)
+    def ksEnv(name: String, dflt: Seq[Int]): Seq[Int] =
+      sys.env.get(name).map(_.split(",").filter(_.nonEmpty).map(_.trim.toInt).toSeq)
+        .getOrElse(dflt)
+    val probeKs = ksEnv("SPARK_GRAFT_PROBE_KS", Seq(4, 16, 64))
+    val realKs = ksEnv("SPARK_GRAFT_REAL_KS", Seq(4, 16, 64))
+    (probeKs ++ realKs).distinct.sorted.foreach(materialize)
 
     def report(name: String, ks: Seq[Int], run: String => Unit): Unit = {
+      if (ks.isEmpty) return
       val ts = ks.map(k => timeMin(run(kdir(k))))
       val alpha = math.log(ts.last / ts.head) /
         math.log(ks.last.toDouble / ks.head)
@@ -164,8 +171,16 @@ object DiskScaleProbe {
         .mkString(",")
       println(f"""{"shape":"$name",$fields,"alpha":$alpha%.3f,"cores":$cores,"source":"disk"}""")
     }
-    probeShapes.foreach { case (n, r) => report(n, probeKs, r) }
-    realShapes.foreach { case (n, r) => report(n, realKs, r) }
+    // SPARK_GRAFT_SHAPES: comma-separated shape-name filter for isolated
+    // re-measurement (a shared session lets one shape's storage pressure
+    // color the next shape's timed passes — the r14 g8 lesson).
+    val only = sys.env.get("SPARK_GRAFT_SHAPES")
+      .map(_.split(",").map(_.trim).toSet)
+    def wanted(n: String): Boolean = only.forall(_.contains(n))
+    probeShapes.filter(p => wanted(p._1))
+      .foreach { case (n, r) => report(n, probeKs, r) }
+    realShapes.filter(p => wanted(p._1))
+      .foreach { case (n, r) => report(n, realKs, r) }
     spark.stop()
   }
 }

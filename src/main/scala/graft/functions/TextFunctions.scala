@@ -65,24 +65,121 @@ object TextFunctions {
       ((bytes.length + frameSize - 1) / frameSize).toLong)
   }
 
-  /** STUB perceptual hash (see mm6_perceptual_hash): average-hash (aHash)
-    * over 64 payload samples at positions ⌊i·len/64⌋ — bit i set iff the
-    * sample exceeds the 64-sample mean, packed as two unsigned 32-bit
-    * halves (a single 64-bit pack would put bit 63 in int64's sign,
-    * which parquet/DuckDB comparisons then order differently). The
-    * threshold is the INTEGER test 64·b > Σb — no division, no double.
-    * Stands in for thumbnail-decode + downsample; swapping the byte
-    * sampler for a real 8×8 grayscale decoder changes no plumbing.
+  /** Deterministic synthetic 16×16 P6 PPM raster for a document — the
+    * DECODABLE asset mm6 hashes (r13 verdict #2: a real image format in
+    * the binary column, not a byte sampler). Pixel p (row-major,
+    * 0 ≤ p < 256) has value
+    * v(p) = (cp(p mod n)·31 + (p+1)·131 + (docId mod 997)·101) mod 256,
+    * where cp(i) is the text's i-th UNICODE CODEPOINT (n = 0 drops the
+    * cp term) — codepoint arithmetic, not UTF-16 chars or UTF-8 bytes,
+    * so the Scala generator and the DuckDB oracle (whose length/substr/
+    * unicode are codepoint-based) agree on ANY corpus, closing the
+    * mm-family ASCII coupling ADVICE r13 flagged. Channels are
+    * r = v, g = (v+37) mod 256, b = (v+74) mod 256 — distinct per
+    * channel, so a decoder that reads only one channel (or mis-strides
+    * the triples) fails the oracle. Header is canonical
+    * "P6\n16 16\n255\n"; any PPM reader opens the file.
     */
-  def perceptualHash(bytes: Array[Byte]): (Long, Long, Long) = {
-    if (bytes.isEmpty) return (0L, 0L, 0L)
-    val n = bytes.length
-    val samp = Array.tabulate(64)(i => (bytes((i * n) / 64) & 0xff).toLong)
-    val ssum = samp.sum
+  def renderPpm(docId: Long, text: String): Array[Byte] = {
+    val header = "P6\n16 16\n255\n".getBytes("US-ASCII")
+    val cps = text.codePoints().toArray
+    val n = cps.length
+    val out = new Array[Byte](header.length + 768)
+    System.arraycopy(header, 0, out, 0, header.length)
+    val seed = ((docId % 997) * 101).toInt
+    var p = 0
+    while (p < 256) {
+      val cp = if (n == 0) 0 else cps(p % n)
+      val v = (cp * 31 + (p + 1) * 131 + seed) % 256
+      out(header.length + 3 * p) = v.toByte
+      out(header.length + 3 * p + 1) = ((v + 37) % 256).toByte
+      out(header.length + 3 * p + 2) = ((v + 74) % 256).toByte
+      p += 1
+    }
+    out
+  }
+
+  /** REAL P6 PPM decoder (see mm6_perceptual_hash): parses the magic, a
+    * whitespace/`#`-comment-tolerant header (width, height, maxval), the
+    * single whitespace byte that ends it, then the w·h binary RGB
+    * triples; returns (w, h, grayscale) with gray = (r+g+b)/3
+    * truncating — exact integers both engines recompute. Throws on a
+    * malformed magic / header / short payload: an asset pipeline wants
+    * loud codec failures, not silent zeros (the bad row is quarantined
+    * upstream by pathGlobFilter + corrupt-file policy, not masked here).
+    */
+  def decodePpm(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
+    require(bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6',
+      "not a P6 PPM")
+    var pos = 2
+    def nextInt(): Int = {
+      var scanning = true
+      while (scanning) {
+        while (pos < bytes.length &&
+          Character.isWhitespace(bytes(pos).toChar)) pos += 1
+        if (pos < bytes.length && bytes(pos) == '#') {
+          while (pos < bytes.length && bytes(pos) != '\n') pos += 1
+        } else scanning = false
+      }
+      require(pos < bytes.length && bytes(pos) >= '0' && bytes(pos) <= '9',
+        "bad PPM header integer")
+      var v = 0
+      while (pos < bytes.length && bytes(pos) >= '0' && bytes(pos) <= '9') {
+        v = v * 10 + (bytes(pos) - '0'); pos += 1
+      }
+      v
+    }
+    val w = nextInt(); val h = nextInt(); val maxval = nextInt()
+    require(maxval == 255, s"unsupported PPM maxval $maxval")
+    pos += 1 // the single whitespace byte that terminates the header
+    require(bytes.length - pos >= w * h * 3, "short PPM payload")
+    val gray = new Array[Int](w * h)
+    var p = 0
+    while (p < w * h) {
+      val r = bytes(pos + 3 * p) & 0xff
+      val g = bytes(pos + 3 * p + 1) & 0xff
+      val b = bytes(pos + 3 * p + 2) & 0xff
+      gray(p) = (r + g + b) / 3
+      p += 1
+    }
+    (w, h, gray)
+  }
+
+  /** Average-hash over a decoded grayscale raster: 8×8 box-downsample
+    * (output cell (Y,X) = truncating mean of its grid block
+    * [⌊Y·h/8⌋, ⌊(Y+1)·h/8⌋) × [⌊X·w/8⌋, ⌊(X+1)·w/8⌋) — general w×h,
+    * exact 2×2 blocks for the 16×16 assets), then bit i = Y·8+X set iff
+    * 64·g_i > Σg — the INTEGER aHash test, no division, no double.
+    * Packed as two unsigned 32-bit halves (one 64-bit pack would put
+    * bit 63 in int64's sign, which parquet/DuckDB comparisons then
+    * order differently). Returns (hi, lo, bits_set).
+    */
+  def aHash8(w: Int, h: Int, gray: Array[Int]): (Long, Long, Long) = {
+    require(w >= 8 && h >= 8, "raster smaller than the 8x8 hash grid")
+    val g8 = new Array[Long](64)
+    var yy = 0
+    while (yy < 8) {
+      var xx = 0
+      while (xx < 8) {
+        val y0 = yy * h / 8; val y1 = (yy + 1) * h / 8
+        val x0 = xx * w / 8; val x1 = (xx + 1) * w / 8
+        var sum = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) { sum += gray(y * w + x); x += 1 }
+          y += 1
+        }
+        g8(yy * 8 + xx) = sum / ((y1 - y0).toLong * (x1 - x0))
+        xx += 1
+      }
+      yy += 1
+    }
+    val ssum = g8.sum
     var hi = 0L; var lo = 0L; var bits = 0L
     var i = 0
     while (i < 64) {
-      if (64L * samp(i) > ssum) {
+      if (64L * g8(i) > ssum) {
         bits += 1
         if (i < 32) lo += 1L << i else hi += 1L << (i - 32)
       }

@@ -3610,7 +3610,8 @@ object Estimation {
       // definition: Pearson on AVERAGE ranks, with avg ranks carried
       // as t20's exact-integer avg2 = 2·rank convention (the global
       // ×2 cancels in rho). The six per-pair sums are exact longs
-      // (avg2 ≤ 2n, so n·Σavg2² ≤ 4n³ ≈ 2e9 at n = 730 — far inside
+      // (avg2 ≤ 2n, so Σavg2² ≤ 4n³ and the widened n·Σavg2² ≤ 4n⁴
+      // ≈ 1.1e12 at n = 730 — far inside
       // int64); dena·denb would overflow, so rho divides by
       // sqrt(dena)·sqrt(denb) — one shared double chain from exact
       // longs (t21's shape), with the degenerate constant-series

@@ -94,13 +94,21 @@ object GraphOps {
   // The rank vector is NODE-sized — one long per node — so while it
   // fits the broadcast budget each superstep's two joins go map-side
   // and the only shuffle left per superstep is the inflow aggregation
-  // (map-side combined down to |nodes| rows). Past the budget the
-  // fallback PINS sort-merge (x7's dim() convention) — just dropping
-  // the hint would let Catalyst auto-broadcast by its own threshold
-  // and the gate would test nothing.
+  // (map-side combined down to |nodes| rows). But the broadcast
+  // relation is built SINGLE-THREADED on the driver EVERY round, so
+  // past ~10⁵ nodes that serial build dominates the whole fixpoint —
+  // measured on the ×64 on-disk graph (379k nodes, 457k edges, 4 BFS
+  // rounds): broadcast 9.6–18 s vs shuffle-hash 3.2 s vs sort-merge
+  // 5.9 s (r14 DiskScaleProbe A/B). Hence TWO gates: broadcast while
+  // n ≤ min(budget, 2¹⁷); past it PIN shuffle-hash — the node-sized
+  // build side fits per-partition memory by construction, and it
+  // skips the per-round sorts sort-merge pays. The hint is pinned
+  // (x7's dim() convention) — just dropping it would let Catalyst
+  // auto-broadcast tiny test frames and the gate would test nothing.
+  private[graft] val bcastSerialCap: Long = 1L << 17
   private def rankDim(n: Long, budget: Long): DataFrame => DataFrame =
-    if (n <= budget) (d: DataFrame) => broadcast(d)
-    else (d: DataFrame) => d.hint("merge")
+    if (n <= math.min(budget, bcastSerialCap)) (d: DataFrame) => broadcast(d)
+    else (d: DataFrame) => d.hint("shuffle_hash")
 
   /** Uniform PageRank over an edge list with integer e12 arithmetic:
     * nodes = every distinct value in `nodes` (isolated nodes keep the

@@ -1041,6 +1041,67 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(TextFunctions.sampleFrames(Array.emptyByteArray, 64, 2).isEmpty)
   }
 
+  test("decodePpm: real header parse, comment tolerance, loud failures") {
+    // Round-trip the generator through the REAL parser: header fields,
+    // RGB→gray truncating mean, and the exact pixel the formula says.
+    val ppm = TextFunctions.renderPpm(docId = 7L, text = "hello world")
+    val (w, h, gray) = TextFunctions.decodePpm(ppm)
+    assert((w, h) == (16, 16))
+    assert(gray.length == 256)
+    val cps = "hello world".codePoints().toArray
+    val v0 = (cps(0) * 31 + 1 * 131 + (7 % 997) * 101) % 256
+    assert(gray(0) == (v0 + (v0 + 37) % 256 + (v0 + 74) % 256) / 3)
+    // A hand-built PPM with a comment line and non-square dims parses too
+    // (the decoder is a real parser, not a fixed-offset slice).
+    val hand = "P6\n# a comment\n9 10\n255\n".getBytes("US-ASCII") ++
+      Array.tabulate(9 * 10 * 3)(i => (i % 251).toByte)
+    val (w2, h2, g2) = TextFunctions.decodePpm(hand)
+    assert((w2, h2) == (9, 10) && g2.length == 90)
+    intercept[IllegalArgumentException] {
+      TextFunctions.decodePpm("P5\n2 2\n255\n".getBytes("US-ASCII"))
+    }
+    intercept[IllegalArgumentException] {
+      TextFunctions.decodePpm("P6\n16 16\n255\n".getBytes("US-ASCII"))
+    }
+  }
+
+  test("aHash8: planted near-dup image pair crosses the hamming threshold") {
+    def hamming(a: (Long, Long, Long), b: (Long, Long, Long)): Int =
+      java.lang.Long.bitCount(a._1 ^ b._1) +
+        java.lang.Long.bitCount(a._2 ^ b._2)
+    def ppmOf(pix: Int => Int): Array[Byte] =
+      "P6\n16 16\n255\n".getBytes("US-ASCII") ++
+        (0 until 256).flatMap { p =>
+          val v = pix(p); Seq(v.toByte, v.toByte, v.toByte)
+        }.toArray
+    // Base image: a left-dark / right-bright split (half the hash bits
+    // set). Near-dup: the same image with the two pixels of ONE 2×2
+    // block blown out to 255 — that cell's mean (147) crosses the
+    // global threshold, exactly one hash bit flips, every other cell
+    // is untouched: hamming 1, well inside an ≤8 bucket threshold.
+    // Far image: the inversion — every bit flips, hamming = 64.
+    val base = ppmOf(p => if (p % 16 < 8) 40 else 200)
+    val near = ppmOf { p =>
+      if (p == 0 || p == 17) 255 else if (p % 16 < 8) 40 else 200
+    }
+    val far = ppmOf(p => if (p % 16 < 8) 200 else 40)
+    def hash(b: Array[Byte]) = {
+      val (w, h, g) = TextFunctions.decodePpm(b)
+      TextFunctions.aHash8(w, h, g)
+    }
+    val (hb, hn, hf) = (hash(base), hash(near), hash(far))
+    assert(hb._3 == 32, s"split image must set half the bits, got ${hb._3}")
+    assert(hamming(hb, hn) == 1,
+      s"planted near-dup pair must differ in exactly the perturbed cell: ${hamming(hb, hn)}")
+    assert(hamming(hb, hf) == 64, "inverted image must flip every bit")
+    // Non-square rasters downsample through the same general grid.
+    val rect = "P6\n24 8\n255\n".getBytes("US-ASCII") ++
+      Array.tabulate(24 * 8 * 3)(i => if ((i / 3) % 24 < 12) 10.toByte
+        else 240.toByte)
+    val (rw, rh, rg) = TextFunctions.decodePpm(rect)
+    assert(TextFunctions.aHash8(rw, rh, rg)._3 == 32)
+  }
+
   test("AnnIndex: ivfFor/lshFor build once per (session, path, params) and search many") {
     // The build-once/search-many surface: a second lookup with the same
     // key must return the SAME trained index without re-reading the

@@ -920,11 +920,15 @@ class RelationalPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"g1 under-budget run lost the broadcast rank join:\n$bcPlan")
     assert(!bcPlan.contains("SortMergeJoin"),
       s"g1 under-budget run shuffles a rank join:\n$bcPlan")
-    // The fallback pins hint("merge") on BOTH joins of every superstep
-    // (auto-broadcast would otherwise kick in on tiny test frames and
-    // the gate would test nothing): 2 × iters sort-merge joins.
-    val smj = "SortMergeJoin".r.findAllIn(fbPlan).size
-    assert(smj >= 6, s"g1 zero-budget run has $smj merge joins, want 6:\n$fbPlan")
+    // The fallback pins hint("shuffle_hash") on BOTH joins of every
+    // superstep (auto-broadcast would otherwise kick in on tiny test
+    // frames and the gate would test nothing): 2 × iters shuffled hash
+    // joins, and NO per-round sort-merge (the r14 A/B: SMJ's per-round
+    // sorts cost 2× at the ×64 graph).
+    val shj = "ShuffledHashJoin".r.findAllIn(fbPlan).size
+    assert(shj >= 6, s"g1 zero-budget run has $shj shuffled-hash joins, want 6:\n$fbPlan")
+    assert(!fbPlan.contains("SortMergeJoin"),
+      s"g1 zero-budget run fell back to sort-merge:\n$fbPlan")
     val a = bc.orderBy(col("node")).collect().toSeq
     val b = fb.orderBy(col("node")).collect().toSeq
     assert(a == b, "pageRank rows differ between join strategies")
