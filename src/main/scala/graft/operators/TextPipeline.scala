@@ -554,6 +554,60 @@ object TextPipeline {
       dir
     })
 
+  /** Language-ID gate kernel (x40): per-document language call over the
+    * PLANTED bilingual corpus. The second language is planted
+    * deterministically — odd doc_ids are rot13'd via `translate`
+    * (identical builtin in both engines; non-lowercase passes through),
+    * which remaps every letter trigram while preserving lengths and
+    * spaces, so "language" here is exactly what a character-n-gram
+    * classifier keys on: disjoint trigram inventories. Classifier is
+    * the standard n-gram-profile method in exact integers (the x26
+    * discipline): the train slice (doc_id % 5 = 0, both langs by
+    * parity) builds each language's top-64 trigram profile (ties by
+    * trigram — deterministic), every document scores the INTEGER
+    * trigram mass it shares with each profile, argmax with the sa ≥ sb
+    * tie rule, confidence = winner-mass·1e6 // total matched mass
+    * (NULL when nothing matched — the integer guard). Scale: one
+    * corpus explode → hash agg (map-side combine), the 128-row profile
+    * broadcast into the score join, window only over the profile build
+    * (partitioned by lang). Returns per-doc
+    * (doc_id, source, lang_true, sa, sb, pred_lang, conf_e6).
+    */
+  private[graft] def langIdPerDoc(docs: DataFrame): DataFrame = {
+    val bi = docs.select(col("doc_id"), col("source"),
+      when(col("doc_id") % 2 === 1,
+        translate(col("text"), "abcdefghijklmnopqrstuvwxyz",
+          "nopqrstuvwxyzabcdefghijklm"))
+        .otherwise(col("text")).as("tx"),
+      when(col("doc_id") % 2 === 1, lit("lb")).otherwise(lit("la"))
+        .as("lang_true"))
+    val cnt = bi.select(col("doc_id"), col("lang_true"),
+        explode(expr("transform(sequence(1, greatest(char_length(tx) - 2, 1)), i -> substring(tx, i, 3))")).as("t"))
+      .groupBy(col("doc_id"), col("lang_true"), col("t"))
+      .agg(count(lit(1)).as("c"))
+    val prof = cnt.filter(col("doc_id") % 5 === 0)
+      .groupBy(col("lang_true"), col("t")).agg(sum(col("c")).as("tc"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("lang_true"))
+          .orderBy(col("tc").desc, col("t"))))
+      .filter(col("rn") <= 64)
+      .select(col("lang_true").as("plang"), col("t"))
+    val sc = cnt.join(broadcast(prof), "t")
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("plang") === "la", col("c")).otherwise(0L)).as("sa"),
+        sum(when(col("plang") === "lb", col("c")).otherwise(0L)).as("sb"))
+    bi.select(col("doc_id"), col("source"), col("lang_true"))
+      .join(sc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("lang_true"),
+        coalesce(col("sa"), lit(0L)).as("sa"),
+        coalesce(col("sb"), lit(0L)).as("sb"))
+      .withColumn("pred_lang",
+        when(col("sa") >= col("sb"), "la").otherwise("lb"))
+      .withColumn("conf_e6",
+        when(col("sa") + col("sb") > 0,
+          expr("greatest(sa, sb) * 1000000 div (sa + sb)")))
+  }
+
   /** Codegen'd dot product of two Array[Float] columns — shared with the
     * ANN index surface.
     */
@@ -5559,6 +5613,84 @@ object TextPipeline {
                   THEN cast(vocab + n1 * n1 // (2 * n2) AS bigint)
                 END AS chao1
          FROM agg ORDER BY 1""")),
+
+    ("x40_language_id", (s: SparkSession, d: String) => {
+      // Language-identification gate — the FIRST filter every
+      // multilingual corpus runs (r13 verdict #3; the curation suite
+      // had quality/probe/scrub but no lang router): character-trigram
+      // profile classification over the planted bilingual corpus, all
+      // arithmetic exact integers (kernel contract and the planting
+      // rationale on [[langIdPerDoc]]; the mixed-language routing case
+      // is PipelineSpec's planted majority-mass test). Output is the
+      // per-source composition rollup an ingest operator reads before
+      // routing: docs per predicted language, how many calls agree
+      // with the planted truth (n_correct ≡ n_docs here — BOTH
+      // languages are planted constructions, so a miss is a classifier
+      // bug, the audit-identity convention), total/scored confidence
+      // mass. Short docs (< 3 chars → one sub-trigram) and no-match
+      // docs carry NULL confidence through the integer guard and are
+      // counted by n_scored.
+      langIdPerDoc(Tables.documents(s, d))
+        .groupBy(col("source"), col("pred_lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("pred_lang") === col("lang_true"), 1L)
+            .otherwise(0L)).as("n_correct"),
+          sum(col("conf_e6")).as("conf_sum_e6"),
+          sum(when(col("conf_e6").isNotNull, 1L).otherwise(0L))
+            .as("n_scored"))
+        .orderBy(col("source"), col("pred_lang"))
+    }, Some(
+      """WITH bi AS (
+           SELECT doc_id, source,
+                  CASE WHEN doc_id % 2 = 1
+                    THEN translate(text, 'abcdefghijklmnopqrstuvwxyz',
+                                   'nopqrstuvwxyzabcdefghijklm')
+                    ELSE text END AS tx,
+                  CASE WHEN doc_id % 2 = 1 THEN 'lb' ELSE 'la' END
+                    AS lang_true
+           FROM documents),
+         tri AS (
+           SELECT doc_id, lang_true, substr(tx, i, 3) AS t FROM (
+             SELECT doc_id, lang_true, tx,
+                    unnest(generate_series(1, greatest(length(tx) - 2, 1)))
+                      AS i
+             FROM bi)),
+         cnt AS (
+           SELECT doc_id, lang_true, t, cast(count(*) AS bigint) AS c
+           FROM tri GROUP BY 1, 2, 3),
+         prof AS (
+           SELECT lang_true AS plang, t FROM (
+             SELECT lang_true, t, row_number() OVER (
+               PARTITION BY lang_true
+               ORDER BY cast(sum(c) AS bigint) DESC, t) AS rn
+             FROM cnt WHERE doc_id % 5 = 0 GROUP BY lang_true, t)
+           WHERE rn <= 64),
+         sc AS (
+           SELECT c.doc_id,
+                  cast(sum(CASE WHEN p.plang = 'la' THEN c.c ELSE 0 END)
+                    AS bigint) AS sa,
+                  cast(sum(CASE WHEN p.plang = 'lb' THEN c.c ELSE 0 END)
+                    AS bigint) AS sb
+           FROM cnt c JOIN prof p ON p.t = c.t GROUP BY 1),
+         scored AS (
+           SELECT b.doc_id, b.source, b.lang_true,
+                  coalesce(s.sa, 0) AS sa, coalesce(s.sb, 0) AS sb
+           FROM bi b LEFT JOIN sc s ON s.doc_id = b.doc_id),
+         pred AS (
+           SELECT source, lang_true,
+                  CASE WHEN sa >= sb THEN 'la' ELSE 'lb' END AS pred_lang,
+                  CASE WHEN sa + sb > 0
+                    THEN greatest(sa, sb) * 1000000 // (sa + sb) END
+                    AS conf_e6
+           FROM scored)
+         SELECT source, pred_lang,
+                cast(count(*) AS bigint) AS n_docs,
+                cast(sum(CASE WHEN pred_lang = lang_true THEN 1 ELSE 0 END)
+                  AS bigint) AS n_correct,
+                cast(sum(conf_e6) AS bigint) AS conf_sum_e6,
+                cast(sum(CASE WHEN conf_e6 IS NOT NULL THEN 1 ELSE 0 END)
+                  AS bigint) AS n_scored
+         FROM pred GROUP BY 1, 2 ORDER BY 1, 2""")),
 
     ("x30_bm25", (s: SparkSession, d: String) => {
       // BM25 retrieval — the modern default scorer x22's plain tf·idf

@@ -1065,6 +1065,42 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("x40 langIdPerDoc: mixed-language doc routes by majority trigram mass") {
+    // The verdict-prescribed planted case: a document that is 7 parts
+    // langA text and 3 parts langB (pre-rot13'd segments inside an
+    // even doc_id, which the kernel leaves untransformed) must route
+    // to langA with BOTH profile masses genuinely engaged — the
+    // majority-mass rule, not a first-match shortcut.
+    val s = spark
+    import s.implicits._
+    def rot13(t: String): String = t.map(c =>
+      if (c >= 'a' && c <= 'z') (((c - 'a' + 13) % 26) + 'a').toChar else c)
+    val base = "the cat sat on the mat and the dog ran off "
+    // ids 0..39: train pool (doc_id % 5 = 0 rows of both parities feed
+    // the profiles); 42: the planted mixed doc; 43: a pure odd doc.
+    val docs = ((0L until 40L).map(i => (i, "src", base * 20)) ++
+      Seq((42L, "src", base * 7 + rot13(base) * 3),
+        (43L, "src", base * 20))).toDF("doc_id", "source", "text")
+    val out = TextPipeline.langIdPerDoc(docs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(3), r.getLong(4), r.getString(5),
+          if (r.isNullAt(6)) -1L else r.getLong(6))).toMap
+    val (sa, sb, pred, conf) = out(42L)
+    assert(pred == "la", s"mixed doc must route to the majority lang: $pred")
+    assert(sa > 0 && sb > 0,
+      s"both profile masses must engage on the mixed doc: sa=$sa sb=$sb")
+    assert(conf > 550000 && conf < 950000,
+      s"mixed-doc confidence must sit between the pure calls: $conf")
+    // Pure docs of each parity: the odd doc is rot13'd by the kernel
+    // and must call lb; a pure even doc calls la near-certain.
+    val (_, _, predOdd, confOdd) = out(43L)
+    assert(predOdd == "lb" && confOdd > 900000,
+      s"pure odd doc must call lb confidently: $predOdd $confOdd")
+    val (_, _, predEven, confEven) = out(0L)
+    assert(predEven == "la" && confEven > 900000,
+      s"pure even doc must call la confidently: $predEven $confEven")
+  }
+
   test("aHash8: planted near-dup image pair crosses the hamming threshold") {
     def hamming(a: (Long, Long, Long), b: (Long, Long, Long)): Int =
       java.lang.Long.bitCount(a._1 ^ b._1) +
