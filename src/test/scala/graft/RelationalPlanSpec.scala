@@ -1418,4 +1418,46 @@ class RelationalPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
     } finally s.conf.set("spark.sql.ansi.enabled", prev)
   }
+
+  test("s14/s15: MERGE semantics — cross-op ordering, upsert payloads, SCD2 identity") {
+    // Planted micro-MERGE pinning the semantics the query comments
+    // claim: k=1 single update, k=2 update-then-delete (delete seq is
+    // later — must WIN), k=3 untouched, k=4 insert on a fresh key, k=5
+    // two updates (keep-latest must take seq 2).
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val base = Seq((1L, 100L, "p1"), (2L, 200L, "p2"), (3L, 300L, "p3"),
+      (5L, 500L, "p5")).toDF("k", "price_e4", "prio")
+    val cdc = Seq(
+      ("U", 1L, 1L, Some(110L), None: Option[String]),
+      ("U", 2L, 1L, Some(220L), None: Option[String]),
+      ("D", 2L, 3L, None: Option[Long], None: Option[String]),
+      ("I", 4L, 1L, Some(440L), Some("p4")),
+      ("U", 5L, 1L, Some(510L), None: Option[String]),
+      ("U", 5L, 2L, Some(520L), None: Option[String]))
+      .toDF("op", "k", "seq", "price_e4", "prio")
+    val applied = Relational.mergeApply(base, Relational.cdcLatest(cdc))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getString(2), r.getString(3))).toMap
+    assert(applied(1L) == ((110L, "p1", "U")),
+      s"partial-payload update must keep the base prio: ${applied(1L)}")
+    assert(!applied.contains(2L),
+      "update-then-delete must resolve to the LATER delete")
+    assert(applied(3L) == ((300L, "p3", "N")))
+    assert(applied(4L) == ((440L, "p4", "I")))
+    assert(applied(5L) == ((520L, "p5", "U")),
+      s"keep-latest must take seq 2: ${applied(5L)}")
+    // SCD2 identity on the real corpus: every CDC-touched key ends
+    // either open (one current version) or deleted — n_open +
+    // n_deleted ≡ distinct keys, and the counts come from two
+    // different window paths (lead intervals vs event ranks).
+    val scd = Relational.queries("s15_scd2")(spark, sfDir)
+    val row = scd.limit(1).collect()(0)
+    val nOpen = row.getLong(row.fieldIndex("n_open"))
+    val nDel = row.getLong(row.fieldIndex("n_deleted"))
+    val nKeys = scd.select(col("k")).distinct().count()
+    assert(nOpen + nDel == nKeys,
+      s"SCD2 identity broken: n_open=$nOpen + n_deleted=$nDel != $nKeys keys")
+  }
 }
