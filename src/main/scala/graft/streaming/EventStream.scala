@@ -560,6 +560,64 @@ object EventStream {
       .transformWithState(new UnionFind, TimeMode.None(), OutputMode.Update())
   }
 
+  final case class CdcArrival(k: Long, seq: Long, op: String,
+    price_e4: Option[Long], prio: Option[String])
+  final case class MergeLatest(seq: Long, op: String,
+    price_e4: Option[Long], prio: Option[String], nOps: Long)
+  final case class MergeUpdate(k: Long, seq: Long, op: String,
+    price_e4: Option[Long], prio: Option[String], n_ops_seen: Long)
+
+  /** Streaming MERGE arrival door (30th op; r13 verdict #5) — s14's
+    * keep-latest-by-(key, seq) as a `transformWithState` ValueState per
+    * key: CDC rows arrive in any order across micro-batches, the state
+    * holds the winning row under EXACTLY cdcLatest's rule (higher seq
+    * wins; equal seq breaks ties toward the lexicographically smaller
+    * op — the row_number(ORDER BY seq DESC, op) spelling), and each
+    * micro-batch emits one refreshed per-key snapshot tagged with
+    * n_ops_seen so a replay identifies the final state without batch
+    * ids (the topKPurchases convention). Feeding the final snapshots
+    * into [[graft.operators.Relational.mergeApply]] gives the streaming
+    * MERGE: StreamingSpec replay-pins that apply row-for-row against
+    * the batch s14 path on a cross-micro-batch update stream. State is
+    * one row per key — the minimum any MERGE door can hold.
+    */
+  def mergeStream(cdc: DataFrame): Dataset[MergeUpdate] = {
+    val s = cdc.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{StatefulProcessor, TimeMode, OutputMode, TTLConfig, TimerValues, ValueState}
+    import org.apache.spark.sql.Encoders
+    class LatestProcessor
+        extends StatefulProcessor[Long, CdcArrival, MergeUpdate] {
+      @transient private var st: ValueState[MergeLatest] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+        st = getHandle.getValueState[MergeLatest]("latest",
+          Encoders.product[MergeLatest], TTLConfig.NONE)
+      }
+      override def handleInputRows(
+          key: Long, rows: Iterator[CdcArrival],
+          timerValues: TimerValues): Iterator[MergeUpdate] = {
+        var cur = Option(st.get())
+        var n = cur.map(_.nOps).getOrElse(0L)
+        rows.foreach { r =>
+          n += 1
+          val wins = cur.forall(c =>
+            r.seq > c.seq || (r.seq == c.seq && r.op < c.op))
+          cur =
+            if (wins) Some(MergeLatest(r.seq, r.op, r.price_e4, r.prio, n))
+            else cur.map(_.copy(nOps = n))
+        }
+        val c = cur.get
+        st.update(c)
+        Iterator.single(MergeUpdate(key, c.seq, c.op, c.price_e4, c.prio, n))
+      }
+    }
+    cdc.select(col("k"), col("seq"), col("op"), col("price_e4"), col("prio"))
+      .as[CdcArrival]
+      .groupByKey(_.k)
+      .transformWithState(new LatestProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
   /** The documents file schema for the streaming corpus source. */
   val documentsSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),

@@ -1198,6 +1198,77 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"planted ARCH stream values wrong: $streamed")
   }
 
+  test("mergeStream: keep-latest replays to batch cdcLatest and the s14 apply across micro-batch splits") {
+    // The planted CDC batch from the real sf0.001 orders, split into
+    // micro-batches BY SEQ (all seq-1 rows, then seq 2, then seq 3) so
+    // every multi-event key — double-update (k%21) and update-then-
+    // delete (k%7 ∧ k%11) — MUST resolve across a batch boundary, and
+    // the delete arrives LAST like a real CDC tail.
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.Encoders
+    import graft.operators.Relational
+    import graft.streaming.EventStream.CdcArrival
+    val base = Relational.ordersKeyed(spark, sfDir)
+    val cdcDf = Relational.cdcBatch(base)
+    val arrivals = cdcDf.collect().map { r =>
+      CdcArrival(r.getLong(1), r.getLong(2), r.getString(0),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getString(4)))
+    }.toSeq
+    // transformWithState requires the RocksDB state store provider; set
+    // for this query, restored after (the topKPurchases convention).
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(provKey)
+    s.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream(Encoders.product[CdcArrival], s.sqlContext)
+      val q = EventStream.mergeStream(
+          ms.toDF.select(col("k"), col("seq"), col("op"),
+            col("price_e4"), col("prio")))
+        .writeStream.format("memory").queryName("merge_door")
+        .outputMode("update").start()
+      try {
+        for (sq <- Seq(1L, 2L, 3L)) {
+          ms.addData(arrivals.filter(_.seq == sq): _*)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => s.conf.set(provKey, v)
+        case None => s.conf.unset(provKey)
+      }
+    }
+    // Final snapshot per key = the row with the highest n_ops_seen.
+    val streamLatest = spark.table("merge_door")
+      .groupBy(col("k"))
+      .agg(max(struct(col("n_ops_seen"), col("seq"), col("op"),
+        col("price_e4"), col("prio"))).as("f"))
+      .select(col("f.op").as("op"), col("k"), col("f.seq").as("seq"),
+        col("f.price_e4").as("price_e4"), col("f.prio").as("prio"))
+    val batchLatest = Relational.cdcLatest(cdcDf)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("op"), col("k"), col("seq"), col("price_e4"),
+        col("prio")).collect().map(_.toSeq).sortBy(_.toString)
+    assert(canon(streamLatest).sameElements(canon(batchLatest)),
+      "stream keep-latest state diverged from batch cdcLatest")
+    // And the full MERGE: applying the stream's final state must give
+    // the batch s14 apply row-for-row.
+    val sApplied = canon(Relational.mergeApply(base, streamLatest)
+      .select(col("last_op").as("op"), col("k"),
+        lit(0L).as("seq"), col("price_e4"),
+        col("prio")))
+    val bApplied = canon(Relational.mergeApply(base, batchLatest)
+      .select(col("last_op").as("op"), col("k"),
+        lit(0L).as("seq"), col("price_e4"), col("prio")))
+    assert(sApplied.sameElements(bApplied),
+      "streaming MERGE apply diverged from the batch s14 apply")
+    assert(bApplied.nonEmpty, "MERGE replay pin would be vacuous")
+  }
+
   test("mapGroupsWithState running stats converge to the batch moments per key") {
     val q = EventStream.runningStats(EventStream.readEvents(spark, sfDir))
       .writeStream.format("memory").queryName("run_stats").outputMode("update").start()
