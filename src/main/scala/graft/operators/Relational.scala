@@ -1849,6 +1849,167 @@ object Relational {
          FROM per p JOIN ex ON ex.l_returnflag = p.l_returnflag
          ORDER BY 1""")),
 
+    ("a25_kll_rank_sketch", (s: SparkSession, d: String) => {
+      // KLL/MRL-class rank sketch, DERANDOMIZED (r13 verdict #6) — the
+      // compactor-cascade quantile family (Manku–Rajagopalan–Lindsay '98;
+      // Karnin–Lang–Liberty '16) beside a18's bottom-k SAMPLE: where a18's
+      // error is statistical (a uniform k-sample), the cascade carries a
+      // deterministic additive rank bound that this entry REPORTS and
+      // audits. The classic per-compaction coin is derandomized to bit 0
+      // of the shared fmix32 over the level index, and a batch build then
+      // collapses to a closed form: compacting the full sorted group L
+      // times keeps exactly the 0-based ranks r ≡ R (mod 2^L), where bit
+      // l of R is the level-l coin (keeping parity c at round l fixes bit
+      // l of the original rank to c — induction on rounds), with L the
+      // smallest depth putting ceil(n/2^L) ≤ 64 survivors. So the
+      // relational spelling is: one per-group count, a 24-row coin series
+      // (L ≤ 24 covers n ≤ 2^24·64), one rank window, a modulus filter —
+      // every step integer, every step replayed verbatim by the oracle.
+      // Audit columns in the a24/e23 discipline: the chosen survivor for
+      // each target rank t is rr + ((t−rr) div 2^L)·2^L, whose TRUE rank
+      // is known exactly in the closed form, so err_φ = |chosen − t| with
+      // the provable bound 2^L − 1 and a violations ≡ 0 identity column —
+      // non-vacuous against engine drift in any of the integer spellings.
+      // Scale posture: this closed form is the EXACT-REPLAY anchor (the
+      // per-group rank window is a12's exact-percentile class, and ties
+      // on (v, fp) are interchangeable — only values of chosen ranks are
+      // emitted); the 100 TB path is the mergeable kernel this entry pins
+      // — graft.functions.KllSketch's build/merge fold (bounded k-item
+      // state, per-partition build + merge tree, the streaming twin
+      // kllStream) — whose survivor set equals THIS entry's per group by
+      // RelationalPlanSpec, and whose merge-law bound the planted union
+      // tests certify. k = 64 matching a18 so the two quantile answers
+      // are directly comparable per group.
+      val li = Tables.lineitem(s, d)
+      val priceC = round(col("l_extendedprice") * 100).cast("long")
+      val fp = (col("l_orderkey") * 31 + col("l_linenumber") * 7 + priceC)
+        .cast("long") % lit(4294967296L)
+      val scored = li.select(col("l_returnflag"), priceC.as("v"), fp.as("fp"))
+      val grp = scored.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+      val coins = s.range(0, 24).select(col("id").as("l"),
+        (fmix32(col("id")) % 2).as("c"))
+      val pow2l = expr("shiftleft(cast(1 as bigint), cast(l as int))")
+      val meta = grp.crossJoin(broadcast(coins))
+        .withColumn("hit",
+          when(pow2l < expr("(n + 63) div 64"), lit(1L)).otherwise(lit(0L)))
+        .groupBy(col("l_returnflag"), col("n"))
+        .agg(sum(col("hit")).as("lv"),
+          sum(col("hit") * col("c") * pow2l).as("rr"))
+        .withColumn("w", expr("shiftleft(cast(1 as bigint), cast(lv as int))"))
+        .withColumn("t25", expr("(25 * n + 99) div 100 - 1"))
+        .withColumn("t50", expr("(50 * n + 99) div 100 - 1"))
+        .withColumn("t75", expr("(75 * n + 99) div 100 - 1"))
+        .withColumn("t90", expr("(90 * n + 99) div 100 - 1"))
+        // greatest(0, ·) BEFORE the integral div: with a non-negative
+        // numerator Spark's div and DuckDB's // agree; a negative one
+        // truncates toward zero here and floors there (the j14 lesson).
+        .withColumn("ch25",
+          expr("rr + (greatest(cast(0 as bigint), t25 - rr) div w) * w"))
+        .withColumn("ch50",
+          expr("rr + (greatest(cast(0 as bigint), t50 - rr) div w) * w"))
+        .withColumn("ch75",
+          expr("rr + (greatest(cast(0 as bigint), t75 - rr) div w) * w"))
+        .withColumn("ch90",
+          expr("rr + (greatest(cast(0 as bigint), t90 - rr) div w) * w"))
+      val ranked = scored.withColumn("rn0",
+        (row_number().over(Window.partitionBy(col("l_returnflag"))
+          .orderBy(col("v"), col("fp"))) - 1).cast("long"))
+      ranked.join(broadcast(meta), "l_returnflag")
+        .filter(col("rn0") % col("w") === col("rr"))
+        .groupBy(col("l_returnflag"), col("n"), col("lv"), col("w"),
+          col("t25"), col("t50"), col("t75"), col("t90"),
+          col("ch25"), col("ch50"), col("ch75"), col("ch90"))
+        .agg(count(lit(1)).as("n_kept"),
+          max(when(col("rn0") === col("ch25"), col("v"))).as("q25_c"),
+          max(when(col("rn0") === col("ch50"), col("v"))).as("q50_c"),
+          max(when(col("rn0") === col("ch75"), col("v"))).as("q75_c"),
+          max(when(col("rn0") === col("ch90"), col("v"))).as("q90_c"))
+        .select(col("l_returnflag"), col("n").as("n_exact"),
+          col("lv").as("level"), col("w").as("weight"), col("n_kept"),
+          col("q25_c"), col("q50_c"), col("q75_c"), col("q90_c"),
+          abs(col("ch25") - col("t25")).as("err25"),
+          abs(col("ch50") - col("t50")).as("err50"),
+          abs(col("ch75") - col("t75")).as("err75"),
+          abs(col("ch90") - col("t90")).as("err90"),
+          (col("w") - 1).as("rank_err_bound"),
+          (when(abs(col("ch25") - col("t25")) > col("w") - 1, 1L).otherwise(0L) +
+            when(abs(col("ch50") - col("t50")) > col("w") - 1, 1L).otherwise(0L) +
+            when(abs(col("ch75") - col("t75")) > col("w") - 1, 1L).otherwise(0L) +
+            when(abs(col("ch90") - col("t90")) > col("w") - 1, 1L).otherwise(0L))
+            .as("violations"))
+        .orderBy(col("l_returnflag"))
+    }, Some(
+      """WITH base AS (
+           SELECT l_returnflag,
+                  cast(round(l_extendedprice * 100) AS bigint) AS v,
+                  (l_orderkey * 31 + l_linenumber * 7
+                   + cast(round(l_extendedprice * 100) AS bigint))
+                    % 4294967296 AS fp
+           FROM lineitem),
+         grp AS (SELECT l_returnflag, count(*) AS n FROM base GROUP BY 1),
+         lvl AS (SELECT l FROM generate_series(0, 23) t(l)),
+         ch1 AS (SELECT l, ((l * 2147483648) % 4294967296
+                            + (l * 506952113) % 4294967296) % 4294967296
+                             AS m1 FROM lvl),
+         ch2 AS (SELECT l, xor(m1, m1 >> 16) AS v1 FROM ch1),
+         ch3 AS (SELECT l, (v1 * 1540483477) % 4294967296 AS m2 FROM ch2),
+         ch4 AS (SELECT l, xor(m2, m2 >> 13) AS v2 FROM ch3),
+         ch5 AS (SELECT l, (v2 * 1033321189) % 4294967296 AS m3 FROM ch4),
+         coins AS (SELECT l, xor(m3, m3 >> 16) % 2 AS c FROM ch5),
+         meta AS (
+           SELECT g.l_returnflag, g.n,
+                  cast(sum(CASE WHEN (cast(1 AS bigint) << co.l)
+                                     < ((g.n + 63) // 64)
+                                THEN 1 ELSE 0 END) AS bigint) AS lv,
+                  cast(sum(CASE WHEN (cast(1 AS bigint) << co.l)
+                                     < ((g.n + 63) // 64)
+                                THEN co.c * (cast(1 AS bigint) << co.l)
+                                ELSE 0 END) AS bigint) AS rr
+           FROM grp g CROSS JOIN coins co GROUP BY 1, 2),
+         m2 AS (
+           SELECT *, (cast(1 AS bigint) << cast(lv AS int)) AS w,
+                  (25 * n + 99) // 100 - 1 AS t25,
+                  (50 * n + 99) // 100 - 1 AS t50,
+                  (75 * n + 99) // 100 - 1 AS t75,
+                  (90 * n + 99) // 100 - 1 AS t90
+           FROM meta),
+         m3 AS (
+           SELECT *,
+                  rr + (greatest(0, t25 - rr) // w) * w AS ch25,
+                  rr + (greatest(0, t50 - rr) // w) * w AS ch50,
+                  rr + (greatest(0, t75 - rr) // w) * w AS ch75,
+                  rr + (greatest(0, t90 - rr) // w) * w AS ch90
+           FROM m2),
+         ranked AS (
+           SELECT l_returnflag, v,
+                  row_number() OVER (PARTITION BY l_returnflag
+                                     ORDER BY v, fp) - 1 AS rn0
+           FROM base),
+         surv AS (
+           SELECT r.l_returnflag, r.v, r.rn0,
+                  m.n, m.lv, m.w, m.t25, m.t50, m.t75, m.t90,
+                  m.ch25, m.ch50, m.ch75, m.ch90
+           FROM ranked r JOIN m3 m ON m.l_returnflag = r.l_returnflag
+           WHERE r.rn0 % m.w = m.rr)
+         SELECT l_returnflag, n AS n_exact, lv AS level, w AS weight,
+                cast(count(*) AS bigint) AS n_kept,
+                max(CASE WHEN rn0 = ch25 THEN v END) AS q25_c,
+                max(CASE WHEN rn0 = ch50 THEN v END) AS q50_c,
+                max(CASE WHEN rn0 = ch75 THEN v END) AS q75_c,
+                max(CASE WHEN rn0 = ch90 THEN v END) AS q90_c,
+                abs(ch25 - t25) AS err25, abs(ch50 - t50) AS err50,
+                abs(ch75 - t75) AS err75, abs(ch90 - t90) AS err90,
+                w - 1 AS rank_err_bound,
+                (CASE WHEN abs(ch25 - t25) > w - 1 THEN 1 ELSE 0 END
+                 + CASE WHEN abs(ch50 - t50) > w - 1 THEN 1 ELSE 0 END
+                 + CASE WHEN abs(ch75 - t75) > w - 1 THEN 1 ELSE 0 END
+                 + CASE WHEN abs(ch90 - t90) > w - 1 THEN 1 ELSE 0 END)
+                  ::bigint AS violations
+         FROM surv
+         GROUP BY l_returnflag, n, lv, w, t25, t50, t75, t90,
+                  ch25, ch50, ch75, ch90
+         ORDER BY 1""")),
+
     ("a20_hll_set_algebra", (s: SparkSession, d: String) => {
       // Sketch ALGEBRA — the reason a 100 TB pipeline persists register
       // tables instead of answers: two groups' HLL sketches compose

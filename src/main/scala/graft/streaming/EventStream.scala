@@ -618,6 +618,73 @@ object EventStream {
         TimeMode.None(), OutputMode.Update())
   }
 
+  final case class KllArrival(event_type: String, cents: Long, fp: Long)
+  final case class KllStateRow(level: Int, n: Long, errBound: Long,
+    vs: Array[Long], fps: Array[Long])
+  final case class KllUpdate(event_type: String, n: Long, level: Int,
+    n_kept: Int, err_bound: Long,
+    q25_c: Long, q50_c: Long, q75_c: Long, q90_c: Long)
+
+  /** Streaming KLL-class rank sketch (31st op; r13 verdict #6) — the
+    * micro-batch fold of [[graft.functions.KllSketch]], a25's kernel:
+    * each batch's arrivals per key build the closed-form cascade (a
+    * multiset sort — arrival order WITHIN a batch cannot matter) and
+    * merge into the ValueState under the kernel's merge law, so state is
+    * at most k = 64 (value, fp) pairs + (level, n, errBound) per key no
+    * matter the stream length, and the reported err_bound composes
+    * additively through every fold exactly as the merge-law test pins.
+    * Batch-boundary placement DOES shape the survivor set (which is why
+    * the replay test fixes the split and compares against the same-split
+    * Scala fold, then bound-checks the estimates against TRUE union
+    * ranks — the sketch's only cross-split contract). Quantiles emit via
+    * the general estimator valueAtRank (no rank offset — merged sketches
+    * have none); the deterministic per-row fp is pmod(us·31 + cents,
+    * 2^32), the bottomKStream fingerprint convention.
+    */
+  def kllStream(events: DataFrame, k: Int = 64): Dataset[KllUpdate] = {
+    val s = events.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{StatefulProcessor, TimeMode, OutputMode, TTLConfig, TimerValues, ValueState}
+    import org.apache.spark.sql.Encoders
+    import graft.functions.KllSketch
+    class KllProcessor
+        extends StatefulProcessor[String, KllArrival, KllUpdate] {
+      @transient private var st: ValueState[KllStateRow] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+        st = getHandle.getValueState[KllStateRow]("kll",
+          Encoders.product[KllStateRow], TTLConfig.NONE)
+      }
+      override def handleInputRows(
+          key: String, rows: Iterator[KllArrival],
+          timerValues: TimerValues): Iterator[KllUpdate] = {
+        val prev = Option(st.get())
+          .map(r => KllSketch.Sketch(r.level,
+            r.vs.zip(r.fps).toVector, r.n, r.errBound))
+          .getOrElse(KllSketch.empty)
+        val batch = KllSketch.build(
+          rows.map(a => (a.cents, a.fp)).toSeq, k)
+        val m = KllSketch.merge(prev, batch, k)
+        st.update(KllStateRow(m.level, m.n, m.errBound,
+          m.items.map(_._1).toArray, m.items.map(_._2).toArray))
+        def q(p: Int): Long = m.valueAtRank(((p * m.n + 99) / 100).max(1L))
+        Iterator.single(KllUpdate(key, m.n, m.level, m.items.size,
+          m.errBound, q(25), q(50), q(75), q(90)))
+      }
+    }
+    events
+      .select(col("event_type"), col("ts"), col("value"))
+      .filter(col("value").isNotNull)
+      .select(col("event_type"),
+        pmod(unix_micros(col("ts")) * 31 +
+          round(col("value") * 100).cast("long"), lit(4294967296L)).as("fp"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .select(col("event_type"), col("cents"), col("fp"))
+      .as[KllArrival]
+      .groupByKey(_.event_type)
+      .transformWithState(new KllProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
   /** The documents file schema for the streaming corpus source. */
   val documentsSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),

@@ -1460,4 +1460,95 @@ class RelationalPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(nOpen + nDel == nKeys,
       s"SCD2 identity broken: n_open=$nOpen + n_deleted=$nDel != $nKeys keys")
   }
+
+  test("a25: the JVM compactor kernel reproduces the relational closed form") {
+    // The a25 entry claims the relational survivor set (ranks ≡ R mod 2^L
+    // after one rank window) IS the closed form of KllSketch.build's
+    // compaction cascade — the streaming twin folds that kernel, so the
+    // equality is what ties kllStream's state algebra to the hash-exact
+    // batch entry. Pin it per group on the real corpus: same level, same
+    // (value, fp) survivor vector, bound = 2^level − 1.
+    import graft.functions.KllSketch
+    import org.apache.spark.sql.functions.{col, round}
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val rows = li.select(col("l_returnflag"),
+        round(col("l_extendedprice") * 100).cast("long").as("v"),
+        ((col("l_orderkey") * 31 + col("l_linenumber") * 7 +
+          round(col("l_extendedprice") * 100).cast("long")).cast("long")
+          % 4294967296L).as("fp"))
+      .collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2))))
+      .groupBy(_._1).map { case (g, a) => g -> a.map(_._2).toSeq }
+    val rel = Relational.queries("a25_kll_rank_sketch")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == rel.keySet)
+    rows.foreach { case (g, vs) =>
+      val sk = KllSketch.build(vs, 64)
+      val row = rel(g)
+      assert(row.getLong(row.fieldIndex("level")) == sk.level.toLong,
+        s"$g level")
+      assert(row.getLong(row.fieldIndex("n_kept")) == sk.items.size.toLong,
+        s"$g n_kept")
+      assert(row.getLong(row.fieldIndex("rank_err_bound")) == sk.errBound,
+        s"$g bound")
+      // The relational chosen-rank quantiles are kernel SURVIVOR values
+      // at the offset-corrected index: the closed form knows each
+      // survivor's exact rank R + i·2^L, so the entry's chosen rank for
+      // 0-based target t maps to item index (t − R) div 2^L (clamped at
+      // 0) — a vector-level pin of the relational survivors to
+      // build()'s items. (valueAtRank is the GENERAL estimator — a
+      // merged sketch tracks no rank offset — so it is bound-checked in
+      // the merge-law test, not equality-pinned here.)
+      val n = sk.n
+      val r0 = KllSketch.residue(sk.level)
+      val w = sk.weight
+      def at(p: Int): Long = {
+        val t = (p * n + 99) / 100 - 1
+        sk.items((((t - r0).max(0L)) / w).toInt)._1
+      }
+      assert(row.getLong(row.fieldIndex("q25_c")) == at(25), s"$g q25")
+      assert(row.getLong(row.fieldIndex("q50_c")) == at(50), s"$g q50")
+      assert(row.getLong(row.fieldIndex("q75_c")) == at(75), s"$g q75")
+      assert(row.getLong(row.fieldIndex("q90_c")) == at(90), s"$g q90")
+    }
+  }
+
+  test("a25: merge law — bounds compose additively and hold on planted unions") {
+    // The planted rank-error bound test the r13 verdict asked for: two
+    // deterministic multisets with DISALIGNED sizes (different cascade
+    // depths force the promote path), merged under the derandomized
+    // coins; every rank query must sit within the sketch's own reported
+    // errBound of the TRUE union rank. Also: commutativity (the merged
+    // sorted union and level-keyed coins admit no order), and the bound
+    // telescope (merge bound ≥ the sides' — errors never silently reset).
+    import graft.functions.KllSketch
+    val a = (0 until 977).map(i => ((i * 37L) % 9973L, i.toLong))
+    val b = (0 until 313).map(i => ((i * 101L + 3L) % 9973L, 100000L + i))
+    val (sa, sb) = (KllSketch.build(a, 64), KllSketch.build(b, 64))
+    assert(sa.level != sb.level, "planted sizes must force promotion")
+    val m = KllSketch.merge(sa, sb, 64)
+    val m2 = KllSketch.merge(sb, sa, 64)
+    assert(m == m2, "merge must be commutative")
+    assert(m.n == 1290L && m.items.size <= 64)
+    assert(m.errBound >= math.max(sa.errBound, sb.errBound))
+    val union = (a ++ b).map(_._1).sorted
+    (0L to 10000L by 250L).foreach { q =>
+      val trueRank = union.count(_ < q).toLong
+      val err = math.abs(m.estRank(q) - trueRank)
+      assert(err <= m.errBound,
+        s"estRank($q): |${m.estRank(q)} - $trueRank| = $err > ${m.errBound}")
+    }
+    // valueAtRank honors the same bound: the returned value's true rank
+    // interval [count(<v), count(<=v)] must come within errBound of t.
+    Seq(1L, 323L, 645L, 1161L, 1290L).foreach { t =>
+      val v = m.valueAtRank(t)
+      val lo = union.count(_ < v).toLong
+      val hi = union.count(_ <= v).toLong
+      assert(t >= lo - m.errBound && t <= hi + m.errBound,
+        s"valueAtRank($t) = $v with true interval [$lo, $hi], bound ${m.errBound}")
+    }
+    // Sanity on the bound itself: sketch-sized, not sample-sized — for
+    // n = 1290 at k = 64 the cascade bound stays well under n/4.
+    assert(m.errBound < 1290L / 4, s"bound ${m.errBound} degenerate")
+  }
 }

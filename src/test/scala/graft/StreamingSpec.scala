@@ -1269,6 +1269,94 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bApplied.nonEmpty, "MERGE replay pin would be vacuous")
   }
 
+  test("kllStream: micro-batch fold replays the kernel fold and bounds true union ranks") {
+    // Planted two-key stream in three DISALIGNED micro-batches (617/53/
+    // 409 rows for key a — different cascade depths force the promote
+    // path inside merge; key b stays under k so its sketch must remain
+    // EXACT with bound 0). Pins: (1) the stream's final snapshot equals
+    // the same-split Scala fold of KllSketch.build+merge — the state
+    // algebra is a25's kernel, nothing more; (2) every emitted quantile
+    // and a rank sweep sit within the sketch's own reported err_bound of
+    // the TRUE union ranks — the cross-split contract, since batch
+    // boundaries legitimately shape the survivor set.
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.functions.KllSketch
+    import graft.streaming.EventStream.KllUpdate
+    def rowsA(i: Int): (String, java.sql.Timestamp, Double) =
+      ("a", new java.sql.Timestamp(1700000000000L + i * 1000L),
+        ((i * 37) % 9973) / 100.0)
+    def rowsB(i: Int): (String, java.sql.Timestamp, Double) =
+      ("b", new java.sql.Timestamp(1700000000000L + i * 1000L),
+        ((i * 101 + 3) % 997) / 100.0)
+    val batches: Seq[Seq[(String, java.sql.Timestamp, Double)]] = Seq(
+      (0 until 617).map(rowsA) ++ (0 until 20).map(rowsB),
+      (617 until 670).map(rowsA) ++ (20 until 35).map(rowsB),
+      (670 until 1079).map(rowsA))
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(provKey)
+    s.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream(
+        implicitly[org.apache.spark.sql.Encoder[(String, java.sql.Timestamp, Double)]],
+        s.sqlContext)
+      val q = EventStream.kllStream(
+          ms.toDF.toDF("event_type", "ts", "value"))
+        .writeStream.format("memory").queryName("kll_fold")
+        .outputMode("update").start()
+      try {
+        batches.foreach { b => ms.addData(b: _*); q.processAllAvailable() }
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => s.conf.set(provKey, v)
+        case None => s.conf.unset(provKey)
+      }
+    }
+    val fin = spark.table("kll_fold").as[KllUpdate].collect()
+      .groupBy(_.event_type).map { case (g, us) => g -> us.maxBy(_.n) }
+    // (1) Same-split Scala fold: identical pairs (cents, fp) per batch.
+    def pairs(b: Seq[(String, java.sql.Timestamp, Double)], g: String) =
+      b.filter(_._1 == g).map { case (_, ts, v) =>
+        val us = ts.getTime * 1000L
+        val cents = math.round(v * 100)
+        (cents, ((us * 31 + cents) % 4294967296L + 4294967296L) % 4294967296L)
+      }
+    Seq("a", "b").foreach { g =>
+      val fold = batches.foldLeft(KllSketch.empty) { (acc, b) =>
+        val p = pairs(b, g)
+        if (p.isEmpty) acc else KllSketch.merge(acc, KllSketch.build(p, 64), 64)
+      }
+      val u = fin(g)
+      assert(u.n == fold.n && u.level == fold.level &&
+        u.n_kept == fold.items.size && u.err_bound == fold.errBound,
+        s"$g: stream snapshot $u != fold " +
+          s"(${fold.n},${fold.level},${fold.items.size},${fold.errBound})")
+      assert(u.q50_c == fold.valueAtRank(((50 * fold.n + 99) / 100).max(1L)),
+        s"$g q50 diverged from the fold")
+      // (2) True-union bound check: the emitted quantiles' rank intervals
+      // and a sweep of estRank queries honor the reported bound.
+      val union = batches.flatMap(pairs(_, g)).map(_._1).sorted
+      Seq(25, 50, 75, 90).foreach { p =>
+        val t = ((p * fold.n + 99) / 100).max(1L)
+        val v = Seq(u.q25_c, u.q50_c, u.q75_c, u.q90_c)(Seq(25, 50, 75, 90).indexOf(p))
+        val lo = union.count(_ < v).toLong
+        val hi = union.count(_ <= v).toLong
+        assert(t >= lo - u.err_bound && t <= hi + u.err_bound,
+          s"$g q$p=$v: target $t outside [$lo-${u.err_bound}, $hi+${u.err_bound}]")
+      }
+      (0L to 10000L by 500L).foreach { qv =>
+        val err = math.abs(fold.estRank(qv) - union.count(_ < qv).toLong)
+        assert(err <= fold.errBound, s"$g estRank($qv) err $err > ${fold.errBound}")
+      }
+    }
+    // Key b never outgrew k: the sketch must still be EXACT.
+    assert(fin("b").err_bound == 0L && fin("b").level == 0 &&
+      fin("b").n_kept == 35, s"b must stay exact: ${fin("b")}")
+  }
+
   test("mapGroupsWithState running stats converge to the batch moments per key") {
     val q = EventStream.runningStats(EventStream.readEvents(spark, sfDir))
       .writeStream.format("memory").queryName("run_stats").outputMode("update").start()
