@@ -275,4 +275,105 @@ object TextFunctions {
 
   /** Hamming distance between two simhashes. */
   def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /** Deterministic synthetic RIFF/WAVE asset for a document — the audio
+    * analogue of [[renderPpm]] (mm7): a REAL canonical 44-byte-header
+    * PCM16 mono 8 kHz WAV any audio reader opens. Sample i of 256
+    * (little-endian int16) is
+    * a(i) = (cp(i mod n)·17 + (i+1)·31 + (docId mod 997)·57) mod 4096
+    *        − 2048,
+    * cp the text's i-th UNICODE CODEPOINT (n = 0 drops the term) — the
+    * mm6 codepoint discipline, so the DuckDB oracle replays the
+    * generator on any corpus. Amplitudes live in [−2048, 2047]: int16-
+    * safe, and a(i)² sums over a 64-sample frame stay < 2.7e8.
+    */
+  def renderWav(docId: Long, text: String): Array[Byte] = {
+    val n = 256
+    val dataSize = n * 2
+    val out = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(8000).putInt(16000) // sample rate, byte rate
+      .putShort(2).putShort(16) // block align, bits/sample
+    out.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    val cps = text.codePoints().toArray
+    val m = cps.length
+    val seed = ((docId % 997) * 57).toInt
+    var i = 0
+    while (i < n) {
+      val cp = if (m == 0) 0 else cps(i % m)
+      out.putShort(((cp * 17 + (i + 1) * 31 + seed) % 4096 - 2048).toShort)
+      i += 1
+    }
+    out.array()
+  }
+
+  /** REAL WAV decoder (see mm7_audio_features): verifies RIFF/WAVE,
+    * WALKS the chunk list (id + LE u32 size, word-aligned) — tolerating
+    * extra chunks like a real reader, since encoders commonly insert
+    * LIST/fact — requires fmt = PCM mono 16-bit before data, and
+    * decodes the LE int16 samples. Throws on malformed input: codec
+    * failures stay loud (the decodePpm contract).
+    */
+  def decodeWav(bytes: Array[Byte]): (Int, Array[Int]) = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(): String = {
+      val b = new Array[Byte](4); bb.get(b); new String(b, "US-ASCII")
+    }
+    require(bytes.length >= 44 && tag() == "RIFF", "not a RIFF file")
+    bb.getInt // riff size (unchecked: real files disagree; chunks rule)
+    require(tag() == "WAVE", "not a WAVE file")
+    var sampleRate = -1
+    var ok = false
+    while (bb.remaining >= 8) {
+      val id = tag(); val size = bb.getInt
+      require(size >= 0 && bb.remaining >= size, s"truncated chunk $id")
+      if (id == "fmt ") {
+        require(size >= 16, "short fmt chunk")
+        val fmtEnd = bb.position() + size + (size & 1)
+        require(bb.getShort == 1, "not PCM")
+        require(bb.getShort == 1, "not mono")
+        sampleRate = bb.getInt
+        bb.getInt; bb.getShort // byte rate, block align
+        require(bb.getShort == 16, "not 16-bit")
+        ok = true
+        bb.position(fmtEnd)
+      } else if (id == "data") {
+        require(ok, "data chunk before fmt")
+        val samples = new Array[Int](size / 2)
+        var i = 0
+        while (i < samples.length) { samples(i) = bb.getShort.toInt; i += 1 }
+        return (sampleRate, samples)
+      } else bb.position(bb.position() + size + (size & 1))
+    }
+    throw new IllegalArgumentException("no data chunk")
+  }
+
+  /** Per-frame audio features over decoded samples (frame = `frameSize`
+    * samples): (frame_idx, n_samples, energy_sum = Σa², zero-crossing
+    * count — sign change (a ≥ 0) ≠ (a' ≥ 0) between in-frame neighbors
+    * — and peak |a|). All integers; the three features every VAD /
+    * silence-trim / audio-quality gate starts from.
+    */
+  def audioFrames(samples: Array[Int], frameSize: Int)
+      : Seq[(Long, Long, Long, Long, Long)] = {
+    (0 until (samples.length + frameSize - 1) / frameSize).map { f =>
+      val lo = f * frameSize
+      val hi = math.min(lo + frameSize, samples.length)
+      var energy = 0L; var zcr = 0L; var peak = 0L
+      var i = lo
+      while (i < hi) {
+        val a = samples(i)
+        energy += a.toLong * a
+        if (i + 1 < hi && ((a >= 0) != (samples(i + 1) >= 0))) zcr += 1
+        if (math.abs(a.toLong) > peak) peak = math.abs(a.toLong)
+        i += 1
+      }
+      (f.toLong, (hi - lo).toLong, energy, zcr, peak)
+    }
+  }
 }

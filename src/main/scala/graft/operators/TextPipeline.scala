@@ -554,6 +554,30 @@ object TextPipeline {
       dir
     })
 
+  private val wavAssetCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** One real PCM16 WAV per document (renderWav), the mm7 audio asset
+    * lane — ppmAssetDir's shape, same scratch root + shutdown cleanup.
+    */
+  private[graft] def wavAssetDir(s: SparkSession, d: String): String =
+    wavAssetCache.getOrElseUpdate(d, {
+      import s.implicits._
+      val dir = s"$ppmScratchRoot/wav_${java.util.UUID.randomUUID()}"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      Tables.documents(s, d)
+        .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+        .as[(Long, String)]
+        .foreachPartition { it: Iterator[(Long, String)] =>
+          it.foreach { case (id, t) =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(dir, f"$id%08d.wav"),
+              TextFunctions.renderWav(id, t))
+          }
+        }
+      dir
+    })
+
   /** Language-ID gate kernel (x40): per-document language call over the
     * PLANTED bilingual corpus. The second language is planted
     * deterministically — odd doc_ids are rot13'd via `translate`
@@ -2041,6 +2065,110 @@ object TextPipeline {
                  cast(round(coalesce(h.n_hit, 0) * 1e6 / t.n_shingles)
                    AS bigint) > 200000 AS flagged
           FROM tot t LEFT JOIN hit h ON h.doc_id = t.doc_id
+          ORDER BY 1""")),
+
+    ("d16_dup_attribution", (s: SparkSession, d: String) => {
+      // Contamination ATTRIBUTION — the forensics d14 stops short of:
+      // d14 says an eval doc is contaminated; this says by WHICH train
+      // document (the doc sharing the most distinct shingles), the
+      // question an operator answers before deleting anything from a
+      // 100 TB corpus. Same split/shingle laws as d14 (x5 split, the
+      // shared `shingles` helper). The scale hazard is specific to
+      // attribution: joining eval→train on the shingle KEY fans out by
+      // the shingle's train document frequency, and boilerplate
+      // shingles ("the or") appear in ~every doc — so the join key is
+      // DF-GATED first (df ≤ 50 train docs): rare shingles carry the
+      // attribution signal, stop-shingles carry none, and the gate
+      // bounds the per-key fan-out by construction (the d3 banding
+      // philosophy applied to a containment join). Counts exact;
+      // containment = shared/total over the UNGATED eval shingle set
+      // (the honest denominator); top-1 by (shared desc, train_doc asc)
+      // through a per-eval-doc window — high-cardinality partitioning,
+      // candidate lists already df-bounded. Eval docs with no gated
+      // candidate report NULL attribution (clean-or-boilerplate-only),
+      // kept so the output covers the full eval split.
+      val docs = withHashSplit(Tables.documents(s, d))
+      val sh = shingles(docs)
+      val shs = sh.join(docs.select(col("doc_id"), col("split")), "doc_id")
+      val trainSh = shs.filter(col("split") === "train")
+        .select(col("doc_id").as("train_doc"), col("s"))
+      val rare = trainSh.groupBy(col("s"))
+        .agg(countDistinct(col("train_doc")).as("df"))
+        .filter(col("df") <= 50)
+        .select(col("s"))
+      val gated = trainSh.join(rare, Seq("s"), "left_semi")
+      val testSh = shs.filter(col("split") === "test")
+        .select(col("doc_id"), col("s"))
+      val pairs = testSh.join(gated, "s")
+        .groupBy(col("doc_id"), col("train_doc"))
+        .agg(count(lit(1)).as("n_shared"))
+      val best = pairs.withColumn("rn", row_number().over(
+          Window.partitionBy(col("doc_id"))
+            .orderBy(col("n_shared").desc, col("train_doc"))))
+        .filter(col("rn") === 1)
+        .drop("rn")
+      val cand = pairs.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_cand"))
+      testSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+        .join(best, Seq("doc_id"), "left")
+        .join(cand, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_shingles"),
+          col("train_doc").as("best_train_doc"),
+          coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+          coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+          round(coalesce(col("n_shared"), lit(0L)) * 1e6 / col("n_shingles"))
+            .cast("long").as("containment_e6"))
+        .orderBy(col("doc_id"))
+    }, Some(
+      s"""WITH b AS (
+            SELECT doc_id, text, $splitBucketSql AS bucket FROM documents),
+          sp AS (
+            SELECT doc_id, text,
+                   CASE WHEN bucket < 800 THEN 'train'
+                        WHEN bucket < 900 THEN 'valid'
+                        ELSE 'test' END AS split
+            FROM b),
+          sh AS (
+            SELECT DISTINCT doc_id, substr(text, i, 5) AS s FROM (
+              SELECT doc_id, text,
+                     unnest(generate_series(1, greatest(length(text) - 4, 1)))
+                       AS i
+              FROM sp)),
+          tr AS (
+            SELECT sh.doc_id AS train_doc, sh.s
+            FROM sh JOIN sp ON sp.doc_id = sh.doc_id
+            WHERE sp.split = 'train'),
+          rare AS (
+            SELECT s FROM (
+              SELECT s, count(DISTINCT train_doc) AS df FROM tr GROUP BY 1)
+            WHERE df <= 50),
+          gated AS (
+            SELECT tr.train_doc, tr.s FROM tr JOIN rare ON rare.s = tr.s),
+          te AS (
+            SELECT sh.doc_id, sh.s
+            FROM sh JOIN sp ON sp.doc_id = sh.doc_id
+            WHERE sp.split = 'test'),
+          pairs AS (
+            SELECT te.doc_id, g.train_doc, count(*) AS n_shared
+            FROM te JOIN gated g ON g.s = te.s
+            GROUP BY 1, 2),
+          best AS (
+            SELECT doc_id, train_doc, n_shared FROM (
+              SELECT *, row_number() OVER (PARTITION BY doc_id
+                          ORDER BY n_shared DESC, train_doc) AS rn
+              FROM pairs)
+            WHERE rn = 1),
+          cand AS (SELECT doc_id, count(*) AS n_cand FROM pairs GROUP BY 1),
+          tot AS (SELECT doc_id, count(*) AS n_shingles FROM te GROUP BY 1)
+          SELECT t.doc_id, cast(t.n_shingles AS bigint) AS n_shingles,
+                 b2.train_doc AS best_train_doc,
+                 cast(coalesce(b2.n_shared, 0) AS bigint) AS n_shared,
+                 cast(coalesce(c.n_cand, 0) AS bigint) AS n_cand,
+                 cast(round(coalesce(b2.n_shared, 0) * 1e6 / t.n_shingles)
+                   AS bigint) AS containment_e6
+          FROM tot t
+          LEFT JOIN best b2 ON b2.doc_id = t.doc_id
+          LEFT JOIN cand c ON c.doc_id = t.doc_id
           ORDER BY 1""")),
 
     ("d3_minhash_lsh", (s: SparkSession, d: String) => {
@@ -6139,6 +6267,77 @@ object TextPipeline {
            FROM bits GROUP BY 1)
          SELECT doc_id AS asset_id, phash_hi, phash_lo, bits_set
          FROM ph ORDER BY 1""")),
+
+    ("mm7_audio_features", (s: SparkSession, d: String) => {
+      // AUDIO joins the multimodal lane with the same full-lifecycle
+      // discipline as mm6's image path: the wavAssetDir writer emits one
+      // REAL canonical PCM16 mono RIFF/WAVE per document (renderWav —
+      // any audio reader opens it), binaryFile ingests the raw files,
+      // and the kernel PARSES the container — RIFF/WAVE magic, the
+      // chunk WALK (a real reader tolerates LIST/fact chunks; fmt must
+      // precede data and declare PCM mono 16-bit), LE int16 samples —
+      // then computes the three integer features every VAD/silence-trim
+      // /audio-quality gate starts from, per 64-sample frame: energy
+      // Σa², zero-crossings ((a≥0)≠(a'≥0) between in-frame neighbors),
+      // peak |a|. The oracle replays the GENERATOR from the documents
+      // table (the raster... here waveform is deterministic in
+      // (doc_id, text codepoints)), so any decoder defect — header
+      // mis-parse, chunk mis-walk, endianness, sign-extension of
+      // negative samples — breaks the roundtrip. All-integer features;
+      // amplitudes ∈ [−2048, 2047] keep Σa² < 2.7e8 per frame. At
+      // 100 TB: one binaryFile scan + a per-file O(samples) kernel,
+      // embarrassingly parallel, output 4 rows per asset. The planted
+      // malformed-container tests (bad magic, data-before-fmt,
+      // truncated chunk) live in PipelineSpec.
+      import s.implicits._
+      val dir = wavAssetDir(s, d)
+      s.read.format("binaryFile").option("pathGlobFilter", "*.wav")
+        .load(dir)
+        .select(
+          regexp_extract(col("path"), "([0-9]+)\\.wav$", 1)
+            .cast("long").as("asset_id"),
+          col("content"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          it.flatMap { case (id, bytes) =>
+            val (_, samples) = TextFunctions.decodeWav(bytes)
+            TextFunctions.audioFrames(samples, 64).map {
+              case (f, n, energy, zcr, peak) => (id, f, n, energy, zcr, peak)
+            }
+          }
+        }
+        .toDF("asset_id", "frame_idx", "n_samples", "energy_sum",
+          "zcr", "peak")
+        .orderBy(col("asset_id"), col("frame_idx"))
+    }, Some(
+      // Replays renderWav's generator relationally: a(i) from the
+      // text's codepoints (unicode/substr/length are codepoint-based,
+      // matching codePoints() — the mm6 lesson), frames by i // 64,
+      // the neighbor sign test via lead() bounded to the frame.
+      """WITH sm AS (
+           SELECT d.doc_id, g.i AS i,
+                  CASE WHEN d.text IS NULL OR length(d.text) = 0 THEN 0
+                       ELSE unicode(substr(d.text,
+                         cast(g.i % length(d.text) AS int) + 1, 1)) END AS cp
+           FROM documents d, generate_series(0, 255) g(i)),
+         amp AS (
+           SELECT doc_id, i, i // 64 AS frame_idx,
+                  (cp * 17 + (i + 1) * 31 + (doc_id % 997) * 57) % 4096
+                    - 2048 AS a
+           FROM sm),
+         nx AS (
+           SELECT doc_id, i, frame_idx, a,
+                  lead(a) OVER (PARTITION BY doc_id ORDER BY i) AS an,
+                  lead(i) OVER (PARTITION BY doc_id ORDER BY i) AS i_n
+           FROM amp)
+         SELECT doc_id AS asset_id, cast(frame_idx AS bigint) AS frame_idx,
+                cast(count(*) AS bigint) AS n_samples,
+                cast(sum(a * a) AS bigint) AS energy_sum,
+                cast(sum(CASE WHEN i_n IS NOT NULL AND i_n // 64 = frame_idx
+                               AND ((a >= 0) <> (an >= 0))
+                          THEN 1 ELSE 0 END) AS bigint) AS zcr,
+                cast(max(abs(a)) AS bigint) AS peak
+         FROM nx GROUP BY 1, 2 ORDER BY 1, 2""")),
 
     ("mm4_frame_retrieval", (s: SparkSession, d: String) => {
       // Cross-asset frame retrieval — the multimodal surface composed

@@ -1065,6 +1065,56 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("decodeWav: chunk walk, sign-safe samples, loud container failures") {
+    // Round-trip the generator through the REAL container parser: the
+    // exact sample the formula says (including a NEGATIVE one — the
+    // sign-extension trap), and the frame features against a hand loop.
+    val wav = TextFunctions.renderWav(docId = 7L, text = "hello world")
+    val (rate, samples) = TextFunctions.decodeWav(wav)
+    assert(rate == 8000 && samples.length == 256)
+    val cps = "hello world".codePoints().toArray
+    def ref(i: Int): Int =
+      (cps(i % cps.length) * 17 + (i + 1) * 31 + (7 % 997) * 57) % 4096 - 2048
+    assert(samples(0) == ref(0))
+    assert((0 until 256).forall(i => samples(i) == ref(i)))
+    assert(samples.exists(_ < 0), "planted waveform must cross zero")
+    val frames = TextFunctions.audioFrames(samples, 64)
+    assert(frames.size == 4 && frames.forall(_._2 == 64L))
+    val f0 = samples.take(64)
+    assert(frames.head._3 == f0.map(a => a.toLong * a).sum)
+    assert(frames.head._4 == f0.sliding(2).count(p =>
+      (p(0) >= 0) != (p(1) >= 0)))
+    assert(frames.head._5 == f0.map(a => math.abs(a.toLong)).max)
+    // A real reader tolerates foreign chunks: splice a LIST chunk
+    // between fmt and data; the walk must skip it and still decode.
+    val dataAt = 36 // offset of "data" in the canonical 44-byte header
+    val extra = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](6, 0, 0, 0) ++ "INFOab".getBytes("US-ASCII")
+    val spliced = wav.take(dataAt) ++ extra ++ wav.drop(dataAt)
+    val (_, s2) = TextFunctions.decodeWav(spliced)
+    assert(s2.sameElements(samples), "chunk walk must skip LIST")
+    // Loud failures: wrong magic, data before fmt, truncated chunk,
+    // and a stereo fmt (the kernel only claims PCM mono 16-bit).
+    intercept[IllegalArgumentException] {
+      TextFunctions.decodeWav("RIFX".getBytes("US-ASCII") ++ wav.drop(4))
+    }
+    intercept[IllegalArgumentException] {
+      // move data ahead of fmt: header(12) ++ data-chunk ++ fmt-chunk
+      val hdr = wav.take(12)
+      val fmt = wav.slice(12, 36)
+      val data = wav.drop(36)
+      TextFunctions.decodeWav(hdr ++ data ++ fmt)
+    }
+    intercept[IllegalArgumentException] {
+      TextFunctions.decodeWav(wav.take(60)) // truncated data chunk
+    }
+    intercept[IllegalArgumentException] {
+      val stereo = wav.clone
+      stereo(22) = 2 // numChannels LE lo byte
+      TextFunctions.decodeWav(stereo)
+    }
+  }
+
   test("x40 langIdPerDoc: mixed-language doc routes by majority trigram mass") {
     // The verdict-prescribed planted case: a document that is 7 parts
     // langA text and 3 parts langB (pre-rot13'd segments inside an
