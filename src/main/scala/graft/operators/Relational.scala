@@ -2010,6 +2010,119 @@ object Relational {
                   ch25, ch50, ch75, ch90
          ORDER BY 1""")),
 
+    ("a26_dgim_window_count", (s: SparkSession, d: String) => {
+      // DGIM sliding-window count (Datar–Gionis–Indyk–Motwani '02) —
+      // the WINDOWED counting family the whole-stream sketches don't
+      // cover: "events in the last 7 days" per key from O(log² n)
+      // bucket state, the rate-monitor primitive. The entry exploits
+      // the closed form graft.functions.DgimSketch documents: the
+      // bucket cascade is a lazy binary counter over digits {1, 2}, so
+      // after n events the class-i digit is 1 + bitᵢ(m) with
+      // k = ⌊log₂(n+1)⌋ classes and m = n + 1 − 2^k, and the ranks
+      // covered by classes < i telescope to Pᵢ = 2ⁱ − 1 + (m mod 2ⁱ) —
+      // NO rank window over the corpus at all: two map-side-combinable
+      // aggregations (count + max ts; in-window count against the
+      // broadcast per-key cutoff) and a 41-row level series do
+      // everything, the a25-meta discipline without even its sort. The
+      // estimate: the class holding the c-th most recent event is
+      // i* = max{i : Pᵢ < c}, newer buckets count fully (B = Pᵢ* or
+      // Pᵢ* + 2ⁱ* — whichever of the ≤ 2 same-size buckets rank c
+      // falls in), the oldest contributes ⌈2ⁱ*/2⌉; err ≤ 2ⁱ* div 2 is
+      // DGIM's guarantee, reported and audited (violations ≡ 0, exact
+      // for the size-1 class). The streaming twin (dgimStream) runs
+      // the REAL timestamped fold and is spec-pinned to land on these
+      // digits. c ≥ 1 always: max(ts) itself is in the window.
+      val ev = Tables.events(s, d).select(col("event_type"), col("ts"))
+      val g1 = ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), max(col("ts")).as("mx"))
+      val inWin = ev.join(broadcast(g1), "event_type")
+        .filter(col("ts") >= col("mx") - expr("INTERVAL 7 DAYS"))
+        .groupBy(col("event_type")).agg(count(lit(1)).as("c"))
+      val base = g1.join(inWin, Seq("event_type"))
+        .select(col("event_type"), col("n"), col("c"))
+      val series = s.range(0, 41).select(col("id").as("i"))
+      val pow2i = expr("shiftleft(cast(1 as bigint), cast(i as int))")
+      val k1 = base.crossJoin(broadcast(series))
+        .groupBy(col("event_type"), col("n"), col("c"))
+        .agg(sum(when(col("i") >= 1 && pow2i <= col("n") + 1, 1L)
+          .otherwise(0L)).as("k"))
+        .withColumn("m",
+          col("n") + 1 - expr("shiftleft(cast(1 as bigint), cast(k as int))"))
+      val meta = k1.crossJoin(broadcast(series))
+        .withColumn("p_i", pow2i - 1 + col("m") % pow2i)
+        .groupBy(col("event_type"), col("n"), col("c"), col("k"), col("m"))
+        .agg(
+          max(when(col("i") < col("k") && col("p_i") < col("c"), col("i")))
+            .as("istar"),
+          sum(when(col("i") < col("k"),
+            expr("(m div shiftleft(cast(1 as bigint), cast(i as int))) % 2"))
+            .otherwise(0L)).as("nbits"))
+        .withColumn("nb", col("k") + col("nbits"))
+      val pow2s = expr("shiftleft(cast(1 as bigint), cast(istar as int))")
+      meta
+        .withColumn("sstar", pow2s)
+        .withColumn("pstar", pow2s - 1 + col("m") % pow2s)
+        .withColumn("b", when(col("c") <= col("pstar") + col("sstar"),
+          col("pstar")).otherwise(col("pstar") + col("sstar")))
+        .withColumn("est", col("b") + expr("(sstar + 1) div 2"))
+        .select(col("event_type"), col("n").as("n_events"),
+          col("c").as("c_true"), col("k").as("k_classes"),
+          col("nb").as("n_buckets"), col("sstar").as("oldest_size"),
+          col("est"), abs(col("est") - col("c")).as("err"),
+          expr("sstar div 2").as("err_bound"),
+          when(abs(col("est") - col("c")) > expr("sstar div 2"), 1L)
+            .otherwise(0L).as("violations"))
+        .orderBy(col("event_type"))
+    }, Some(
+      """WITH ev AS (
+           SELECT event_type, cast(ts AS timestamp) AS ts FROM events),
+         g1 AS (SELECT event_type, count(*) AS n, max(ts) AS mx
+                FROM ev GROUP BY 1),
+         cw AS (SELECT e.event_type, count(*) AS c
+                FROM ev e JOIN g1 ON g1.event_type = e.event_type
+                WHERE e.ts >= g1.mx - INTERVAL 7 DAY GROUP BY 1),
+         base AS (SELECT g1.event_type, cast(g1.n AS bigint) AS n,
+                         cast(cw.c AS bigint) AS c
+                  FROM g1 JOIN cw ON cw.event_type = g1.event_type),
+         ser AS (SELECT i FROM generate_series(0, 40) t(i)),
+         k1 AS (
+           SELECT b.event_type, b.n, b.c,
+                  cast(sum(CASE WHEN s.i >= 1 AND
+                        (cast(1 AS bigint) << cast(s.i AS int)) <= b.n + 1
+                        THEN 1 ELSE 0 END) AS bigint) AS k
+           FROM base b CROSS JOIN ser s GROUP BY 1, 2, 3),
+         k2 AS (SELECT *,
+                  n + 1 - (cast(1 AS bigint) << cast(k AS int)) AS m
+                FROM k1),
+         meta AS (
+           SELECT b.event_type, b.n, b.c, b.k, b.m,
+                  max(CASE WHEN s.i < b.k AND
+                        ((cast(1 AS bigint) << cast(s.i AS int)) - 1
+                         + b.m % (cast(1 AS bigint) << cast(s.i AS int)))
+                        < b.c
+                      THEN s.i END) AS istar,
+                  b.k + cast(sum(CASE WHEN s.i < b.k
+                      THEN (b.m // (cast(1 AS bigint) << cast(s.i AS int)))
+                           % 2
+                      ELSE 0 END) AS bigint) AS nb
+           FROM k2 b CROSS JOIN ser s GROUP BY 1, 2, 3, 4, 5),
+         fin AS (
+           SELECT event_type, n, c, k, nb, m,
+                  (cast(1 AS bigint) << cast(istar AS int)) AS sstar,
+                  (cast(1 AS bigint) << cast(istar AS int)) - 1
+                    + m % (cast(1 AS bigint) << cast(istar AS int)) AS pstar
+           FROM meta),
+         f2 AS (
+           SELECT *, CASE WHEN c <= pstar + sstar THEN pstar
+                          ELSE pstar + sstar END + (sstar + 1) // 2 AS est
+           FROM fin)
+         SELECT event_type, n AS n_events, c AS c_true, k AS k_classes,
+                nb AS n_buckets, sstar AS oldest_size, est,
+                abs(est - c) AS err, sstar // 2 AS err_bound,
+                cast(CASE WHEN abs(est - c) > sstar // 2 THEN 1 ELSE 0 END
+                  AS bigint) AS violations
+         FROM f2 ORDER BY 1""")),
+
     ("a20_hll_set_algebra", (s: SparkSession, d: String) => {
       // Sketch ALGEBRA — the reason a 100 TB pipeline persists register
       // tables instead of answers: two groups' HLL sketches compose

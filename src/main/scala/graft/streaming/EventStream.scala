@@ -685,6 +685,50 @@ object EventStream {
         TimeMode.None(), OutputMode.Update())
   }
 
+  final case class DgimState(sizes: Array[Long], rights: Array[Long],
+    n: Long, maxTs: Long)
+  final case class DgimUpdate(event_type: String, n: Long, n_buckets: Int,
+    oldest_size: Long, est_7d: Long, err_bound: Long)
+
+  /** Streaming DGIM window-count monitor (32nd op) — the REAL
+    * timestamped fold of a26's closed form
+    * ([[graft.functions.DgimSketch]]): per key, O(log² n) buckets of
+    * power-of-two sizes (1-or-2 per size, oldest pair merging on
+    * overflow), answering "events in the last 7 days" with the
+    * ≤ half-oldest-bucket error a26 audits. Arrivals sort by event time
+    * within each micro-batch (the runsStream path-dependence
+    * discipline); the cascade is deterministic, so the spec pins the
+    * stream's final bucket sizes to the CANONICAL {1,2} digits of n —
+    * the closed-form theorem executed by real code — and its estimate
+    * to the a26 arithmetic on the same corpus. State is the bucket
+    * vector: ~2·log₂(n) pairs per key, the whole point of DGIM over
+    * a windowed exact count.
+    */
+  def dgimStream(events: DataFrame): Dataset[DgimUpdate] = {
+    val s = events.sparkSession
+    import s.implicits._
+    import graft.functions.DgimSketch
+    events
+      .select(col("event_type"), unix_micros(col("ts")).as("us"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[DgimState, DgimUpdate](GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Long)],
+            state: GroupState[DgimState]) =>
+          val prev = state.getOption
+            .map(r => DgimSketch.Dgim(r.sizes.toVector, r.rights.toVector,
+              r.n, r.maxTs))
+            .getOrElse(DgimSketch.empty)
+          val folded = rows.map(_._2).toSeq.sorted
+            .foldLeft(prev)(DgimSketch.add)
+          state.update(DgimState(folded.sizes.toArray,
+            folded.rights.toArray, folded.n, folded.maxTs))
+          val cutoff = folded.maxTs - 7L * 86400L * 1000000L
+          val (est, bound, oldest) = DgimSketch.estimate(folded, cutoff)
+          DgimUpdate(key, folded.n, folded.sizes.size, oldest, est, bound)
+      }
+  }
+
   /** The documents file schema for the streaming corpus source. */
   val documentsSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),

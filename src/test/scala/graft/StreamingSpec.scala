@@ -1357,6 +1357,75 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       fin("b").n_kept == 35, s"b must stay exact: ${fin("b")}")
   }
 
+  test("dgimStream: cascade lands on the canonical digits and replays the a26 closed form") {
+    // Two pins. (1) Planted cross-batch stream: after n = 1300 events
+    // split 900/400 across a micro-batch boundary, the fold's bucket
+    // sizes must equal the canonical {1,2}-digit expansion of n — the
+    // closed-form theorem a26 relies on, executed by the real
+    // timestamped cascade — and the 7-day estimate must obey the
+    // half-oldest-bucket bound against the exact in-window count.
+    // (2) Corpus replay: over the real events table the final per-key
+    // snapshot must agree with the batch a26 query on every shared
+    // column — the stream IS the arrival door of the batch closed form.
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.functions.DgimSketch
+    import graft.streaming.EventStream.DgimUpdate
+    val t0 = 1700000000000000L // µs
+    val stepUs = 30L * 60 * 1000000 // 30 min apart → 7d window = 336 events
+    def ev(i: Int): (String, java.sql.Timestamp) =
+      ("k", new java.sql.Timestamp((t0 + i * stepUs) / 1000L))
+    val ms = MemoryStream(
+      implicitly[org.apache.spark.sql.Encoder[(String, java.sql.Timestamp)]],
+      s.sqlContext)
+    val q = EventStream.dgimStream(ms.toDF.toDF("event_type", "ts"))
+      .writeStream.format("memory").queryName("dgim_fold")
+      .outputMode("update").start()
+    try {
+      ms.addData((0 until 900).map(ev): _*); q.processAllAvailable()
+      ms.addData((900 until 1300).map(ev): _*); q.processAllAvailable()
+    } finally q.stop()
+    val fin = spark.table("dgim_fold").as[DgimUpdate].collect().maxBy(_.n)
+    assert(fin.n == 1300L)
+    val digits = DgimSketch.canonicalDigits(1300L)
+    assert(fin.n_buckets == digits.sum.toInt,
+      s"bucket count ${fin.n_buckets} != canonical ${digits.sum}")
+    // Replicate the fold in-process to compare the full size vector.
+    val fold = (0 until 1300).foldLeft(DgimSketch.empty)((d, i) =>
+      DgimSketch.add(d, t0 + i * stepUs))
+    val expanded = digits.zipWithIndex
+      .flatMap { case (d, i) => Vector.fill(d.toInt)(1L << i) }
+    assert(fold.sizes == expanded,
+      s"cascade sizes ${fold.sizes} != canonical expansion $expanded")
+    // Bound check: exact in-window count vs the emitted estimate.
+    val cutoff = (t0 + 1299 * stepUs) - 7L * 86400L * 1000000L
+    val cTrue = (0 until 1300).count(i => t0 + i * stepUs >= cutoff).toLong
+    assert(math.abs(fin.est_7d - cTrue) <= fin.err_bound,
+      s"est ${fin.est_7d} vs true $cTrue exceeds bound ${fin.err_bound}")
+    // (2) Corpus replay against the batch a26 entry.
+    val q2 = EventStream.dgimStream(EventStream.readEvents(spark, sfDir))
+      .writeStream.format("memory").queryName("dgim_corpus")
+      .outputMode("update").start()
+    try q2.processAllAvailable() finally q2.stop()
+    val streamed = spark.table("dgim_corpus").as[DgimUpdate].collect()
+      .groupBy(_.event_type).map { case (g, us) => g -> us.maxBy(_.n) }
+    val batch = operators.Relational.queries("a26_dgim_window_count")(
+        spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(streamed.keySet == batch.keySet)
+    streamed.foreach { case (g, u) =>
+      val b = batch(g)
+      assert(u.n == b.getLong(b.fieldIndex("n_events")), s"$g n")
+      assert(u.n_buckets.toLong == b.getLong(b.fieldIndex("n_buckets")),
+        s"$g n_buckets")
+      assert(u.oldest_size == b.getLong(b.fieldIndex("oldest_size")),
+        s"$g oldest_size")
+      assert(u.est_7d == b.getLong(b.fieldIndex("est")), s"$g est")
+      assert(u.err_bound == b.getLong(b.fieldIndex("err_bound")), s"$g bound")
+    }
+  }
+
   test("mapGroupsWithState running stats converge to the batch moments per key") {
     val q = EventStream.runningStats(EventStream.readEvents(spark, sfDir))
       .writeStream.format("memory").queryName("run_stats").outputMode("update").start()
