@@ -887,6 +887,43 @@ object Estimation {
         (col("rank") <= col("thr")).as("bh_reject"))
   }
 
+  /** The t27 kernel over any (event_type, x:long) panel — Brown–Forsythe
+    * one-way ANOVA F on median-centered absolute deviations; contract on
+    * the t27 entry. Spec-planted branches: a heteroscedastic panel must
+    * reject, an all-groups-constant panel must take the documented
+    * NULL/non-reject degenerate (ssw_int = 0, the exact integer test).
+    */
+  private[graft] def brownForsythe(daily: DataFrame): DataFrame = {
+    val med = daily.groupBy(col("event_type"))
+      .agg(round(expr("percentile(x, 0.5D)") * 2).cast("long").as("med2"))
+    val z = daily.join(broadcast(med), "event_type")
+      .select(col("event_type"), abs(col("x") * 2 - col("med2")).as("z2"))
+    val g = z.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("ni"), sum(col("z2")).as("si"),
+        sum(col("z2") * col("z2")).as("qi"))
+    g.agg(count(lit(1)).as("k"), sum(col("ni")).as("nn"),
+        sum(col("si")).as("st"),
+        sum(col("si") * col("si") / (col("ni") * lit(1e0))).as("sb"),
+        sum(col("qi")).as("qt"),
+        sum(col("ni") * col("qi") - col("si") * col("si")).as("ssw_int"))
+      .withColumn("ssb",
+        col("sb") - col("st") * col("st") * lit(1e0) / col("nn"))
+      .withColumn("ssw", col("qt") * lit(1e0) - col("sb"))
+      .withColumn("f_e4", when(col("ssw_int") > 0,
+        round((col("nn") - col("k")) * col("ssb") /
+          ((col("k") - 1) * col("ssw")) * 1e4).cast("long")))
+      .withColumn("df1", (col("k") - 1).cast("int"))
+      .select(col("k").cast("int").as("k"), col("nn").as("n"), col("df1"),
+        col("f_e4"),
+        expr("""coalesce(CASE WHEN df1 = 1 THEN f_e4 * 1 > 38415
+                     WHEN df1 = 2 THEN f_e4 * 2 > 59915
+                     WHEN df1 = 3 THEN f_e4 * 3 > 78147
+                     WHEN df1 = 4 THEN f_e4 * 4 > 94877
+                     WHEN df1 = 5 THEN f_e4 * 5 > 110705
+                     WHEN df1 = 6 THEN f_e4 * 6 > 125916
+                END, false)""").as("reject_5pct"))
+  }
+
   private[graft] def robustAnomaly(daily: DataFrame): DataFrame = {
     val med = daily.groupBy(col("event_type"))
       .agg(round(expr("percentile(x, 0.5D)") * 2).cast("long").as("med2"))
@@ -2933,6 +2970,121 @@ object Estimation {
                 ELSE fc_ewma END AS fc_combo
          FROM lastr ORDER BY 1""")),
 
+    ("m27_encompassing", (s: SparkSession, d: String) => {
+      // Forecast ENCOMPASSING test (Harvey–Leybourne–Newbold '98) over
+      // the same w22/w23 smoother pair — the inferential question m26's
+      // combination weights assume an answer to: does the EWMA forecast
+      // already CONTAIN Holt's information (λ = 0 in
+      // y − F_E = λ·(F_H − F_E) + u), or would combination genuinely
+      // help (λ > 0)? Complements t14 (which smoother wins) and t3/t4
+      // (is accuracy EQUAL) with the mixing question. One aggregate()
+      // fold per key carries both exact integer recursions AND the
+      // no-intercept OLS sums (n, Σd², Σd·e1, Σe1²; d = F_H − F_E,
+      // e1 = y − F_E, both cent-integers: d² ≤ ~2e14/day at sf0.1, 30
+      // days ≤ 6e15 — inside int64); λ̂ = Σde1/Σd², σ̂² =
+      // (Σe1² − λ̂Σde1)/(n−1), t = λ̂/√(σ̂²/Σd²) in the shared double
+      // chain, e6/e4 quantized, normal 5% flag (|t| > 1.96, the t25
+      // large-N convention). Degenerates: Σd² = 0 (identical forecasts
+      // ⟺ constant series — EXACT integer test) → NULL λ and t; the
+      // σ̂² = 0 perfect-proportionality branch guards on the SHARED
+      // double residual rv > 0 — the Σe1²·Σd² = (Σde1)² integer test
+      // would need ~9e31 and overflow, and a verbatim-shared IEEE chain
+      // reads identically in both engines (the cross-engine contract
+      // the e6 quantization already relies on), with the cap class
+      // irrelevant since NULL, not a cast, is the fallout.
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("x"))
+      daily
+        .groupBy(col("event_type"))
+        .agg(sort_array(collect_list(struct(col("day"), col("x")))).as("s"))
+        .select(col("event_type"),
+          expr("""aggregate(s,
+              named_struct('le', cast(null AS bigint),
+                           'lh', cast(0 AS bigint), 'th', cast(0 AS bigint),
+                           'n', cast(0 AS bigint), 'sdd', cast(0 AS bigint),
+                           'sde', cast(0 AS bigint), 'see', cast(0 AS bigint)),
+              (acc, r) -> CASE WHEN acc.le IS NULL THEN named_struct(
+                  'le', r.x, 'lh', r.x, 'th', cast(0 AS bigint),
+                  'n', cast(0 AS bigint), 'sdd', cast(0 AS bigint),
+                  'sde', cast(0 AS bigint), 'see', cast(0 AS bigint))
+                ELSE named_struct(
+                  'le', (3 * r.x + 7 * acc.le) div 10,
+                  'lh', (3 * r.x + 7 * (acc.lh + acc.th)) div 10,
+                  'th', (((3 * r.x + 7 * (acc.lh + acc.th)) div 10
+                          - acc.lh) + 9 * acc.th) div 10,
+                  'n', acc.n + 1,
+                  'sdd', acc.sdd + (acc.lh + acc.th - acc.le)
+                         * (acc.lh + acc.th - acc.le),
+                  'sde', acc.sde + (acc.lh + acc.th - acc.le)
+                         * (r.x - acc.le),
+                  'see', acc.see + (r.x - acc.le) * (r.x - acc.le)) END)""")
+            .as("f"))
+        .select(col("event_type"), col("f.n").as("n"),
+          col("f.sdd").as("sdd"), col("f.sde").as("sde"),
+          col("f.see").as("see"))
+        .withColumn("lambda_e6", expr(
+          "CASE WHEN sdd > 0 THEN cast(round(sde * 1e6 / sdd) AS bigint) END"))
+        .withColumn("rv", expr(
+          "CASE WHEN sdd > 0 AND n > 1 THEN " +
+            "(see * 1e0 - sde * 1e0 * sde / sdd) / (n - 1) END"))
+        .withColumn("t_e4", expr(
+          "CASE WHEN rv > 0 THEN cast(round(sde * 1e0 / sdd " +
+            "/ sqrt(rv / sdd) * 1e4) AS bigint) END"))
+        .withColumn("reject_5pct",
+          coalesce(abs(col("t_e4")) > 19600L, lit(false)))
+        .drop("rv")
+        .orderBy(col("event_type"))
+    }, Some(
+      """WITH RECURSIVE daily AS (
+           SELECT event_type, cast(ts AS date) AS day,
+                  cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS x
+           FROM events GROUP BY 1, 2),
+         e AS (
+           SELECT event_type, x, row_number() OVER (
+             PARTITION BY event_type ORDER BY day) AS t
+           FROM daily),
+         rec AS (
+           SELECT event_type, t, x AS el, x AS hl,
+                  cast(0 AS bigint) AS hb, cast(0 AS bigint) AS n,
+                  cast(0 AS bigint) AS sdd, cast(0 AS bigint) AS sde,
+                  cast(0 AS bigint) AS see
+           FROM e WHERE t = 1
+           UNION ALL
+           SELECT e.event_type, e.t,
+                  (3 * e.x + 7 * rec.el) // 10,
+                  (3 * e.x + 7 * (rec.hl + rec.hb)) // 10,
+                  (((3 * e.x + 7 * (rec.hl + rec.hb)) // 10
+                    - rec.hl) + 9 * rec.hb) // 10,
+                  rec.n + 1,
+                  rec.sdd + (rec.hl + rec.hb - rec.el)
+                    * (rec.hl + rec.hb - rec.el),
+                  rec.sde + (rec.hl + rec.hb - rec.el) * (e.x - rec.el),
+                  rec.see + (e.x - rec.el) * (e.x - rec.el)
+           FROM rec JOIN e ON e.event_type = rec.event_type
+             AND e.t = rec.t + 1),
+         fin AS (SELECT event_type, max(t) AS tn FROM rec GROUP BY 1),
+         lastr AS (
+           SELECT r.event_type, r.n, r.sdd, r.sde, r.see
+           FROM rec r JOIN fin f
+             ON f.event_type = r.event_type AND r.t = f.tn),
+         st AS (
+           SELECT *,
+                  CASE WHEN sdd > 0 THEN
+                    cast(round(sde * 1e6 / sdd) AS bigint) END AS lambda_e6,
+                  CASE WHEN sdd > 0 AND n > 1 THEN
+                    (see * 1e0 - sde * 1e0 * sde / sdd) / (n - 1)
+                  END AS rv
+           FROM lastr)
+         SELECT event_type, n, sdd, sde, see, lambda_e6,
+                CASE WHEN rv > 0 THEN
+                  cast(round(sde * 1e0 / sdd / sqrt(rv / sdd) * 1e4)
+                    AS bigint) END AS t_e4,
+                coalesce(abs(CASE WHEN rv > 0 THEN
+                  cast(round(sde * 1e0 / sdd / sqrt(rv / sdd) * 1e4)
+                    AS bigint) END) > 19600, false) AS reject_5pct
+         FROM st ORDER BY 1""")),
+
     // ----- T14 (ext.): paired sign test — EWMA vs Holt ---------------------
 
     ("t14_sign_test", (s: SparkSession, d: String) => {
@@ -3813,6 +3965,74 @@ object Estimation {
                 cast(p.r2 * 1000000 // (2 * p.n) AS bigint) AS mean_rank_e6,
                 f.df, f.chi2_e4, f.reject_5pct
          FROM pertype p CROSS JOIN fin f ORDER BY 1""")),
+
+    ("t27_brown_forsythe", (s: SparkSession, d: String) => {
+      // Brown–Forsythe variance-homogeneity test across the event
+      // types' daily cent panels — t20's variance sibling (KW asks "one
+      // location?", this asks "one SPREAD?", the check run before
+      // trusting any pooled-variance comparison; the median-centered
+      // variant of Levene '60 per Brown–Forsythe '74, robust to the
+      // heavy tails that invalidate plain Bartlett). Exactness: group
+      // medians via the shared percentile×2 integer clearing (w19's
+      // med2), deviations z2 = |2x − med2| exact longs (the ×2 scale
+      // cancels in F — it is scale-invariant), per-group (n, Σz, Σz²)
+      // exact, and the one-way ANOVA F assembles in a FIXED shared
+      // double chain over five terms with e4 quantization. Degenerate
+      // branch on the exact INTEGER test Σ_g (n_g·Σz² − (Σz)²) = 0
+      // (every group internally constant — each Cauchy–Schwarz term
+      // ≥ 0, so the sum is 0 iff SSW is): documented NULL + explicit
+      // non-reject in both engines (the t8/w18 class). Flag: the t20
+      // χ²(k−1) constant battery on the large-N approximation
+      // (k−1)·F ≈ χ² — the same quantized comparison both sides. All
+      // frames calendar×types-bounded (≤ 150 rows).
+      brownForsythe(Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("x")))
+    }, Some(
+      """WITH daily AS (
+           SELECT event_type, cast(ts AS date) AS day,
+                  cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS x
+           FROM events GROUP BY 1, 2),
+         med AS (
+           SELECT event_type,
+                  cast(round(quantile_cont(x, 0.5) * 2) AS bigint) AS med2
+           FROM daily GROUP BY 1),
+         z AS (
+           SELECT d.event_type, abs(d.x * 2 - m.med2) AS z2
+           FROM daily d JOIN med m ON m.event_type = d.event_type),
+         g AS (
+           SELECT event_type, cast(count(*) AS bigint) AS ni,
+                  cast(sum(z2) AS bigint) AS si,
+                  cast(sum(z2 * z2) AS bigint) AS qi
+           FROM z GROUP BY 1),
+         tot AS (
+           SELECT cast(count(*) AS bigint) AS k,
+                  cast(sum(ni) AS bigint) AS nn,
+                  cast(sum(si) AS bigint) AS st,
+                  sum(si * si / (ni * 1e0)) AS sb,
+                  cast(sum(qi) AS bigint) AS qt,
+                  cast(sum(ni * qi - si * si) AS bigint) AS ssw_int
+           FROM g),
+         f AS (
+           SELECT *, sb - st * st * 1e0 / nn AS ssb,
+                  qt * 1e0 - sb AS ssw
+           FROM tot),
+         st2 AS (
+           SELECT k, nn, ssw_int,
+                  CASE WHEN ssw_int > 0 THEN
+                    cast(round((nn - k) * ssb / ((k - 1) * ssw) * 1e4)
+                      AS bigint) END AS f_e4
+           FROM f)
+         SELECT cast(k AS int) AS k, nn AS n, cast(k - 1 AS int) AS df1,
+                f_e4,
+                coalesce(CASE WHEN k - 1 = 1 THEN f_e4 * 1 > 38415
+                     WHEN k - 1 = 2 THEN f_e4 * 2 > 59915
+                     WHEN k - 1 = 3 THEN f_e4 * 3 > 78147
+                     WHEN k - 1 = 4 THEN f_e4 * 4 > 94877
+                     WHEN k - 1 = 5 THEN f_e4 * 5 > 110705
+                     WHEN k - 1 = 6 THEN f_e4 * 6 > 125916
+                END, false) AS reject_5pct
+         FROM st2 ORDER BY 1""")),
 
     // ----- W19 (ext.): robust anomaly flags (median/MAD) -------------------
 

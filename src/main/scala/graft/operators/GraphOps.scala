@@ -281,6 +281,39 @@ object GraphOps {
     dist
   }
 
+  /** Labeled multi-source BFS (g15) — [[seedDistance]] with the seed
+    * identity carried through the fold: state is (seed, node, dist) for
+    * every (seed, node) pair, so each seed gets its OWN distance field
+    * (seedDistance's min-over-the-set loses which seed is near). Same
+    * posture per round — one dst-aggregated min + one broadcast-gated
+    * rebuild join, now keyed (seed, node) — with state |seeds|·|nodes|:
+    * meant for a SMALL seed panel (here 3), which is how per-seed
+    * centrality is computed at scale (a full all-pairs run is the thing
+    * this bounds away). Same localCheckpoint rule (state referenced
+    * twice per round).
+    */
+  private[graft] def labeledSeedDistance(
+      edges: DataFrame, nodes: DataFrame, seeds: DataFrame, rounds: Int,
+      bcastNodeBudget: Long = 4L * 1000 * 1000): DataFrame = {
+    val nSeeds = seeds.count()
+    val dim = rankDim(nSeeds * nodes.count(), bcastNodeBudget)
+    var dist = nodes.crossJoin(broadcast(seeds))
+      .select(col("seed"), col("node"),
+        when(col("seed") === col("node"), 0L).otherwise(999L).as("dist"))
+    for (_ <- 1 to rounds) {
+      val mins = edges
+        .join(dim(dist.withColumnRenamed("node", "src")), "src")
+        .groupBy(col("seed"), col("dst")).agg(min(col("dist") + 1).as("nd"))
+      dist = dist
+        .join(dim(mins.withColumnRenamed("dst", "node")),
+          Seq("seed", "node"), "left")
+        .select(col("seed"), col("node"),
+          least(col("dist"), coalesce(col("nd"), col("dist"))).as("dist"))
+        .localCheckpoint()
+    }
+    dist
+  }
+
   /** Weighted single/multi-source shortest paths (g12) — [[seedDistance]]'s
     * synchronous min-fold with `min(dist + w)` in place of `min(dist + 1)`:
     * Bellman–Ford relaxation rounds, so after k rounds a node holds its
@@ -456,6 +489,21 @@ object GraphOps {
         bd$i AS (
           SELECT p.node, least(p.dist, coalesce(m.nd, p.dist)) AS dist
           FROM bd${i - 1} p LEFT JOIN bm$i m ON m.dst = p.node)"""
+
+  /** One unrolled LABELED BFS round (g15) — seedDistStep with the seed
+    * identity carried through the min-fold; MATERIALIZED because each
+    * hd level is referenced twice (the g13 inlining lesson, base 2 over
+    * a 3×-node state).
+    */
+  private def harmonicStep(i: Int): String =
+    s"""hm$i AS MATERIALIZED (
+          SELECT d.seed, e.dst, min(d.dist + 1) AS nd
+          FROM strong e JOIN hd${i - 1} d ON d.node = e.src
+          GROUP BY 1, 2),
+        hd$i AS MATERIALIZED (
+          SELECT p.seed, p.node, least(p.dist, coalesce(m.nd, p.dist)) AS dist
+          FROM hd${i - 1} p
+          LEFT JOIN hm$i m ON m.seed = p.seed AND m.dst = p.node)"""
 
   /** One unrolled hash-min round as a DuckDB CTE pair — kept next to the
     * Scala round so the two spellings evolve together.
@@ -1208,6 +1256,75 @@ object GraphOps {
                  cast(count(*) AS bigint) AS n_nodes,
                  min(node) AS min_node, max(node) AS max_node
           FROM bd4 GROUP BY 1 ORDER BY 1""")),
+
+    ("g15_harmonic_centrality", (s: SparkSession, d: String) => {
+      // PER-SEED truncated harmonic centrality at radius 4 — the
+      // centrality reading g8's set-min histogram cannot give (the set
+      // fold loses WHICH seed is near): H(s) = Σ_{v≠s, d(s,v)≤4} 1/d,
+      // the standard harmonic measure (Boldi–Vigna's axioms pick it
+      // over closeness precisely because unreached nodes contribute 0,
+      // not ∞) over the same strong co-purchase graph and the same
+      // top-3-hub seed panel as g8/g12. Exactness: distances are exact
+      // integers from 4 labeled BFS rounds ([[labeledSeedDistance]] —
+      // (seed, node, dist) state, the bounded per-seed alternative to
+      // all-pairs), and the harmonic sum is cleared to integers by
+      // ×12 = lcm(1..4): 12/d ∈ {12, 6, 4, 3} exactly, no division in
+      // either engine. Output also carries the per-ring sizes, reach,
+      // and the sum of distances (the closeness numerator) so the two
+      // classic centralities read off one row. Oracle: 4 unrolled
+      // LABELED CTE rounds, MATERIALIZED (each level referenced twice —
+      // the g13 lesson applied from day one).
+      val strong = strongCopurchase(s, d)
+      val nodes = strong.select(col("src").as("node")).distinct()
+      val seeds = strong.groupBy(col("src")).agg(count(lit(1)).as("dg"))
+        .orderBy(col("dg").desc, col("src")).limit(3)
+        .select(col("src").as("seed"))
+      labeledSeedDistance(strong, nodes, seeds, rounds = 4)
+        .filter(col("node") =!= col("seed"))
+        .groupBy(col("seed"))
+        .agg(
+          sum(when(col("dist") === 1, 1L).otherwise(0L)).as("n_r1"),
+          sum(when(col("dist") === 2, 1L).otherwise(0L)).as("n_r2"),
+          sum(when(col("dist") === 3, 1L).otherwise(0L)).as("n_r3"),
+          sum(when(col("dist") === 4, 1L).otherwise(0L)).as("n_r4"),
+          sum(when(col("dist").between(1, 4), 1L).otherwise(0L))
+            .as("n_reached"),
+          sum(when(col("dist").between(1, 4), col("dist")).otherwise(0L))
+            .as("sum_dist"),
+          sum(when(col("dist").between(1, 4),
+            expr("cast(12 as bigint) div dist")).otherwise(0L))
+            .as("harmonic_x12"),
+          sum(when(col("dist") === 999, 1L).otherwise(0L)).as("n_unreached"))
+        .orderBy(col("seed"))
+    }, Some(
+      s"""WITH $sqlStrong,
+          hdeg AS (SELECT src, count(*) AS dg FROM strong GROUP BY 1),
+          hseeds AS (
+            SELECT src AS seed FROM hdeg ORDER BY dg DESC, src LIMIT 3),
+          hnodes AS (SELECT DISTINCT src AS node FROM strong),
+          hd0 AS MATERIALIZED (
+            SELECT s.seed, n.node,
+                   CASE WHEN n.node = s.seed THEN 0 ELSE 999 END AS dist
+            FROM hnodes n CROSS JOIN hseeds s),
+          ${(1 to 4).map(harmonicStep).mkString(",\n")}
+          SELECT seed,
+                 cast(sum(CASE WHEN dist = 1 THEN 1 ELSE 0 END) AS bigint)
+                   AS n_r1,
+                 cast(sum(CASE WHEN dist = 2 THEN 1 ELSE 0 END) AS bigint)
+                   AS n_r2,
+                 cast(sum(CASE WHEN dist = 3 THEN 1 ELSE 0 END) AS bigint)
+                   AS n_r3,
+                 cast(sum(CASE WHEN dist = 4 THEN 1 ELSE 0 END) AS bigint)
+                   AS n_r4,
+                 cast(sum(CASE WHEN dist BETWEEN 1 AND 4 THEN 1 ELSE 0 END)
+                   AS bigint) AS n_reached,
+                 cast(sum(CASE WHEN dist BETWEEN 1 AND 4 THEN dist ELSE 0 END)
+                   AS bigint) AS sum_dist,
+                 cast(sum(CASE WHEN dist BETWEEN 1 AND 4 THEN 12 // dist
+                          ELSE 0 END) AS bigint) AS harmonic_x12,
+                 cast(sum(CASE WHEN dist = 999 THEN 1 ELSE 0 END) AS bigint)
+                   AS n_unreached
+          FROM hd4 WHERE node <> seed GROUP BY 1 ORDER BY 1""")),
 
     ("g12_weighted_sssp", (s: SparkSession, d: String) => {
       // Weighted shortest paths to the trusted seeds (g8's missing

@@ -188,6 +188,31 @@ class EstimationSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"planted ARCH battery diverged: $got")
   }
 
+  test("t27 brownForsythe: tenfold spread rejects, all-constant groups degenerate (planted)") {
+    // Battery 1 — the statistic's signature: two groups with the SAME
+    // shape (1..9 vs 10·(1..9)) so medians differ but each group's
+    // median-absolute deviations scale by exactly 10; the pooled
+    // between-group deviation spread dominates within-group spread and
+    // W = 16·7200/6284.4̄ ≈ 18.33 ≫ F(1,16) ≈ χ²(1) crit → reject at
+    // df1 = 1 (f_e4·1 > 38415). Battery 2 — both groups CONSTANT: every
+    // z2 = 0, the exact integer test ssw_int = Σ(n·Q − S²) = 0 fires →
+    // documented NULL statistic, explicit non-reject (the t8/w18 class).
+    val s = spark
+    import s.implicits._
+    val b1 = ((1 to 9).map(v => ("a", v.toLong)) ++
+      (1 to 9).map(v => ("b", v * 10L))).toDF("event_type", "x")
+    val r1 = graft.operators.Estimation.brownForsythe(b1).collect()(0)
+    assert(r1.getInt(0) == 2 && r1.getLong(1) == 18L && r1.getInt(2) == 1)
+    val f1 = r1.getLong(3)
+    assert(f1 > 183000L && f1 < 184000L, s"planted F drifted: $f1")
+    assert(r1.getBoolean(4), "tenfold spread must reject")
+    val b2 = ((1 to 5).map(_ => ("a", 5L)) ++
+      (1 to 5).map(_ => ("b", 7L))).toDF("event_type", "x")
+    val r2 = graft.operators.Estimation.brownForsythe(b2).collect()(0)
+    assert(r2.isNullAt(3), "all-constant groups must yield NULL F")
+    assert(!r2.getBoolean(4), "degenerate must not reject")
+  }
+
   test("t26 friedman: consistent blocks reject, incomplete days drop, all-tied degenerates (planted)") {
     // Battery 1 — Friedman's signature: a < b < c WITHIN every day
     // while the daily LEVELS shift by decades (1,2,3 / 11,12,13 / ...),
