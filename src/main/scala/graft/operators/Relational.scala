@@ -626,6 +626,72 @@ object Relational {
                 cast(ceil(count(*) / 10000.0) AS bigint) AS n_files
          FROM documents GROUP BY 1 ORDER BY 1""")),
 
+    ("s16_manifest_incremental", (s: SparkSession, d: String) => {
+      // Manifest-pruned INCREMENTAL scan (engine ext.) — the snapshot
+      // primitive under every lakehouse table format: commits append
+      // data files plus a MANIFEST row per file, and "what changed
+      // since version k" is answered by reading ONLY the files the
+      // manifest lists for versions > k — file-level pruning by
+      // metadata, no data-file listing, no full-table scan, the reason
+      // incremental consumers stay O(delta) at 100 TB. Three versioned
+      // commits of the orders table land here (o_orderkey mod 3 routes
+      // rows; repartition(2) makes each commit exactly two files — a
+      // round-robin of thousands of rows leaves no empty partition),
+      // the manifest is collected at WRITE time (the writer knows its
+      // files; nothing re-lists the directory), and the incremental
+      // read constructs its scan from manifest paths for version > 1
+      // only. The result embeds the pruning PROOF: scanned_files =
+      // inputFiles.length of the pruned plan must equal the manifest's
+      // file count for that version slice (a regression to full-table
+      // reading fails the driver compare, not just a test — the s11
+      // layout-in-result discipline). Oracle replays the mod-3 routing
+      // arithmetic on orders.
+      import scala.jdk.CollectionConverters._
+      val tmp = s"$csvScratchRoot/snap_${java.util.UUID.randomUUID()}"
+      val ord = Tables.orders(s, d).select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("price_c"))
+      val manifest = (1 to 3).flatMap { v =>
+        val path = s"$tmp/v$v"
+        ord.filter(col("o_orderkey") % 3 === v % 3)
+          .withColumn("commit_version", lit(v.toLong))
+          .repartition(2)
+          .write.mode("overwrite").parquet(path)
+        val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(path))
+        try walk.iterator().asScala
+          .filter(p => p.toString.endsWith(".parquet"))
+          .map(p => (v.toLong, p.toString)).toSeq
+        finally walk.close()
+      }
+      val sinceV = 1L
+      val incPaths = manifest.filter(_._1 > sinceV).map(_._2)
+      val inc = s.read.parquet(incPaths: _*)
+      val scannedFiles = inc.inputFiles.length.toLong
+      val manFiles = s.createDataFrame(
+        manifest.groupBy(_._1).map { case (v, fs) =>
+          org.apache.spark.sql.Row(v, fs.size.toLong)
+        }.toSeq.asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("commit_version",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("n_files",
+            org.apache.spark.sql.types.LongType))))
+      inc.groupBy(col("commit_version"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("price_c")).as("sum_price_c"))
+        .join(broadcast(manFiles), "commit_version")
+        .withColumn("scanned_files", lit(scannedFiles))
+        .select(col("commit_version"), col("n_files"), col("n_rows"),
+          col("sum_price_c"), col("scanned_files"))
+        .orderBy(col("commit_version"))
+    }, Some(
+      """SELECT v AS commit_version, 2::BIGINT AS n_files,
+                cast(count(*) AS bigint) AS n_rows,
+                cast(sum(cast(round(o_totalprice * 100) AS bigint))
+                  AS bigint) AS sum_price_c,
+                4::BIGINT AS scanned_files
+         FROM orders, (VALUES (2), (3)) t(v)
+         WHERE o_orderkey % 3 = v % 3
+         GROUP BY 1 ORDER BY 1""")),
+
     ("s13_binary_ingest", (s: SparkSession, d: String) => {
       // The multimodal INGEST edge (engine ext., round 10): opaque asset
       // files land in a directory and `spark.read.format("binaryFile")`

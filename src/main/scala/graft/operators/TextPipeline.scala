@@ -597,6 +597,53 @@ object TextPipeline {
     * (partitioned by lang). Returns per-doc
     * (doc_id, source, lang_true, sa, sb, pred_lang, conf_e6).
     */
+  /** The x41 kernel over any (doc_id, text) frame — char-entropy
+    * quality gate; contract on the x41 entry. Spec-planted branches: a
+    * one-glyph filler doc flags LOW, a max-distinct blob flags HIGH,
+    * prose passes, the empty doc gates TRUE with NULL entropy.
+    */
+  private[graft] def charEntropyGate(docs0: DataFrame): DataFrame = {
+    val docs = docs0
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+    val cc = docs
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      // split("", "") yields one EMPTY string in Spark where the
+      // oracle's generate_series(1, 0) yields no rows — without this
+      // filter an empty doc reads n_chars = 1 here and 0 there (caught
+      // by the planted empty-doc branch, not by the corpus).
+      .filter(col("ch") =!= "")
+      .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("c"))
+    val ent = cc.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_chars"),
+        count(lit(1)).as("n_distinct_chars"),
+        sum(round(col("c") * log2(col("c")) * 1e6).cast("long"))
+          .as("sterm"))
+    val cls = docs.select(col("doc_id"), length(col("text")).as("len"),
+      length(regexp_replace(col("text"), "[^A-Za-z]", "")).as("na"),
+      length(regexp_replace(col("text"), "[^0-9]", "")).as("nd"),
+      length(regexp_replace(col("text"), "[^ ]", "")).as("ns"))
+    cls.join(ent, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_chars"), lit(0L)).as("n_chars"),
+        coalesce(col("n_distinct_chars"), lit(0L)).as("n_distinct_chars"),
+        when(col("n_chars") > 0,
+          round(log2(col("n_chars")) * 1e6 -
+            col("sterm") * lit(1e0) / col("n_chars")).cast("long"))
+          .as("entropy_e6"),
+        when(col("len") > 0,
+          round(col("na") * lit(1e6) / col("len")).cast("long"))
+          .otherwise(0L).as("alpha_e6"),
+        when(col("len") > 0,
+          round(col("nd") * lit(1e6) / col("len")).cast("long"))
+          .otherwise(0L).as("digit_e6"),
+        when(col("len") > 0,
+          round(col("ns") * lit(1e6) / col("len")).cast("long"))
+          .otherwise(0L).as("space_e6"))
+      .withColumn("flag_gibberish",
+        coalesce(col("entropy_e6") < 3000000L ||
+          col("entropy_e6") > 4700000L, lit(true)))
+  }
+
   private[graft] def langIdPerDoc(docs: DataFrame): DataFrame = {
     val bi = docs.select(col("doc_id"), col("source"),
       when(col("doc_id") % 2 === 1,
@@ -2170,6 +2217,73 @@ object TextPipeline {
           LEFT JOIN best b2 ON b2.doc_id = t.doc_id
           LEFT JOIN cand c ON c.doc_id = t.doc_id
           ORDER BY 1""")),
+
+    ("x41_char_entropy", (s: SparkSession, d: String) => {
+      // Character-entropy quality gate — the COMPRESSIBILITY signal the
+      // curation suite lacks: x13 catches token/bigram repetition and
+      // x6 surface ratios, but neither flags gibberish (base64 blobs,
+      // minified code, key dumps — HIGH char entropy near log₂|Σ|) or
+      // degenerate filler (one glyph repeated — LOW entropy), the two
+      // tails every corpus-quality paper gates on. H = log₂n −
+      // (Σ c·log₂c)/n over per-doc codepoint counts; the per-char
+      // terms quantize to e6 INTEGERS BEFORE the sum (round(c·log₂c
+      // ·1e6)) so the only float reduction is an order-free integer
+      // sum — a float Σ would round differently under Spark's
+      // nondeterministic partial-agg order vs DuckDB's scan order (the
+      // cross-engine sum-order class). Character classes (alpha/digit
+      // /space) ride along via regexp_replace strip-and-measure
+      // (DuckDB side carries the explicit 'g' — the x38 lesson). Char
+      // = UTF-16 unit on the Spark side vs codepoint in the oracle:
+      // equal on this corpus's spec-pinned ASCII invariant (the
+      // mm-family convention). Scale: one explode → hash agg
+      // (map-side combined), everything else per-doc row-local.
+      // Empty docs gate TRUE with documented NULL entropy.
+      charEntropyGate(Tables.documents(s, d)).orderBy(col("doc_id"))
+    }, Some(
+      """WITH dd AS (
+           SELECT doc_id, coalesce(text, '') AS text FROM documents),
+         pos AS (
+           SELECT doc_id, substr(text, p, 1) AS ch FROM (
+             SELECT doc_id, text,
+                    unnest(generate_series(1, length(text))) AS p
+             FROM dd)),
+         cc AS (SELECT doc_id, ch, count(*) AS c FROM pos GROUP BY 1, 2),
+         ent AS (
+           SELECT doc_id, cast(sum(c) AS bigint) AS n_chars,
+                  cast(count(*) AS bigint) AS n_distinct_chars,
+                  cast(sum(cast(round(c * log2(c) * 1e6) AS bigint))
+                    AS bigint) AS sterm
+           FROM cc GROUP BY 1),
+         cls AS (
+           SELECT doc_id, length(text) AS len,
+                  length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS na,
+                  length(regexp_replace(text, '[^0-9]', '', 'g')) AS nd,
+                  length(regexp_replace(text, '[^ ]', '', 'g')) AS ns
+           FROM dd),
+         j AS (
+           SELECT c.doc_id, c.len, c.na, c.nd, c.ns,
+                  coalesce(e.n_chars, 0) AS n_chars,
+                  coalesce(e.n_distinct_chars, 0) AS n_distinct_chars,
+                  e.sterm
+           FROM cls c LEFT JOIN ent e ON e.doc_id = c.doc_id),
+         f AS (
+           SELECT doc_id, n_chars, n_distinct_chars,
+                  CASE WHEN n_chars > 0 THEN
+                    cast(round(log2(cast(n_chars AS double)) * 1e6
+                      - sterm * 1e0 / n_chars) AS bigint) END AS entropy_e6,
+                  CASE WHEN len > 0 THEN
+                    cast(round(na * 1e6 / len) AS bigint) ELSE 0 END
+                    AS alpha_e6,
+                  CASE WHEN len > 0 THEN
+                    cast(round(nd * 1e6 / len) AS bigint) ELSE 0 END
+                    AS digit_e6,
+                  CASE WHEN len > 0 THEN
+                    cast(round(ns * 1e6 / len) AS bigint) ELSE 0 END
+                    AS space_e6
+           FROM j)
+         SELECT *, coalesce(entropy_e6 < 3000000 OR entropy_e6 > 4700000,
+                  true) AS flag_gibberish
+         FROM f ORDER BY doc_id""")),
 
     ("d3_minhash_lsh", (s: SparkSession, d: String) => {
       // MinHash-LSH bucket assignment: 8 signatures (min over shingles of

@@ -1115,6 +1115,41 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("x41 charEntropyGate: both gibberish tails flag, prose passes, empty gates (planted)") {
+    // The two tails the gate exists for: one-glyph filler (H = 0 —
+    // degenerate boilerplate) and a max-distinct blob (H = log2 n at
+    // n = 64 distinct chars = 6 bits — base64/key-dump territory), with
+    // ordinary prose (H ≈ 4 bits) passing between them and the empty
+    // doc gating TRUE on the documented NULL-entropy branch.
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"),
+      (2L, ('!' to '~').take(64).mkString), // 64 distinct glyphs once each
+      (3L, "the quick brown fox jumps over the lazy dog and runs on"),
+      (4L, "")).toDF("doc_id", "text")
+    val got = graft.operators.TextPipeline.charEntropyGate(docs)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val filler = got(1L)
+    assert(filler.getLong(filler.fieldIndex("entropy_e6")) == 0L &&
+      filler.getBoolean(filler.fieldIndex("flag_gibberish")),
+      "one-glyph filler must flag LOW with H = 0")
+    val rand = got(2L)
+    assert(rand.getLong(rand.fieldIndex("entropy_e6")) == 6000000L &&
+      rand.getBoolean(rand.fieldIndex("flag_gibberish")),
+      "64-distinct blob must flag HIGH with H = 6 bits exactly")
+    val prose = got(3L)
+    val h = prose.getLong(prose.fieldIndex("entropy_e6"))
+    assert(h > 3000000L && h < 4700000L &&
+      !prose.getBoolean(prose.fieldIndex("flag_gibberish")),
+      s"prose must pass: H = $h")
+    val empty = got(4L)
+    assert(empty.isNullAt(empty.fieldIndex("entropy_e6")) &&
+      empty.getBoolean(empty.fieldIndex("flag_gibberish")) &&
+      empty.getLong(empty.fieldIndex("n_chars")) == 0L,
+      "empty doc must gate TRUE with NULL entropy")
+  }
+
   test("x40 langIdPerDoc: mixed-language doc routes by majority trigram mass") {
     // The verdict-prescribed planted case: a document that is 7 parts
     // langA text and 3 parts langB (pre-rot13'd segments inside an
