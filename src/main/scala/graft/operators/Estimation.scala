@@ -4036,6 +4036,80 @@ object Estimation {
 
     // ----- W19 (ext.): robust anomaly flags (median/MAD) -------------------
 
+    ("w30_rolling_robust", (s: SparkSession, d: String) => {
+      // ROLLING median/MAD anomaly flags — w19 made windowed: w19's
+      // global per-series median washes out under level shifts and
+      // trends (a whole post-shift regime reads anomalous against the
+      // all-time median), so production monitors center on a trailing
+      // window. Per (type, day): the 15-day trailing frame's exact
+      // median and MAD via the dyadic clearings (med2 = sum of the two
+      // middle order statistics — equals 2·median for odd counts and
+      // the pair-sum for even; mad4 likewise over |2x − med2|), and
+      // the w19 flag rule cleared one scale further: the day is a
+      // spike iff 4·|2x − med2| > 7·mad4 AND mad4 > 0 (⟺ |x−med|/mad
+      // > 3.5, the w19 clearing: z = 2·d2/mad4). Everything integer: the frame is collect_list'd (≤ 15
+      // values — bounded by the WINDOW, not the corpus), sort_array'd,
+      // and the middle pair selected by index; deviations re-derive
+      // per frame with transform(). Warm-up days (< 15 in frame) use
+      // their shorter frame, the standard trailing-window convention.
+      // Output: the flagged spikes with their window stats (the w19
+      // row discipline). Frames are calendar-bounded; the window
+      // partitions by type.
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(-14, 0)
+      Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("x"))
+        .withColumn("arr", sort_array(collect_list(col("x")).over(w)))
+        .withColumn("n", size(col("arr")))
+        .withColumn("med2",
+          expr("element_at(arr, cast((n + 1) div 2 AS int)) " +
+            "+ element_at(arr, cast((n + 2) div 2 AS int))"))
+        .withColumn("d2arr",
+          expr("array_sort(transform(arr, v -> abs(2 * v - med2)))"))
+        .withColumn("mad4",
+          expr("element_at(d2arr, cast((n + 1) div 2 AS int)) " +
+            "+ element_at(d2arr, cast((n + 2) div 2 AS int))"))
+        .filter(col("mad4") > 0 &&
+          abs(col("x") * 2 - col("med2")) * 4 > col("mad4") * 7)
+        .select(col("event_type"), col("day"), col("x"),
+          col("n").cast("long").as("n_window"), col("med2"), col("mad4"),
+          round(abs(col("x") * 2 - col("med2")) * lit(2e0) / col("mad4")
+            * 1e6).cast("long").as("robust_z_e6"))
+        .orderBy(col("event_type"), col("day"))
+    }, Some(
+      """WITH daily AS (
+           SELECT event_type, cast(ts AS date) AS day,
+                  cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS x
+           FROM events GROUP BY 1, 2),
+         fr AS (
+           SELECT event_type, day, x,
+                  list_sort(list(x) OVER (
+                    PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN 14 PRECEDING AND CURRENT ROW)) AS arr
+           FROM daily),
+         st AS (
+           SELECT event_type, day, x, len(arr) AS n,
+                  arr[(len(arr) + 1) // 2] + arr[(len(arr) + 2) // 2]
+                    AS med2, arr
+           FROM fr),
+         dv AS (
+           SELECT event_type, day, x, n, med2,
+                  list_sort(list_transform(arr,
+                    v -> abs(2 * v - med2))) AS d2arr
+           FROM st),
+         md AS (
+           SELECT event_type, day, x, n, med2,
+                  d2arr[(n + 1) // 2] + d2arr[(n + 2) // 2] AS mad4
+           FROM dv)
+         SELECT event_type, day, x, cast(n AS bigint) AS n_window,
+                cast(med2 AS bigint) AS med2, cast(mad4 AS bigint) AS mad4,
+                cast(round(abs(x * 2 - med2) * 2e0 / mad4 * 1e6) AS bigint)
+                  AS robust_z_e6
+         FROM md
+         WHERE mad4 > 0 AND abs(x * 2 - med2) * 4 > mad4 * 7
+         ORDER BY event_type, day""")),
+
     ("w19_robust_anomaly", (s: SparkSession, d: String) => {
       // Robust per-series spike detection — the median/MAD outlier rule
       // (|x − median| / MAD > 3.5, Iglewicz–Hoaglin's cutoff family)

@@ -2285,6 +2285,70 @@ object TextPipeline {
                   true) AS flag_gibberish
          FROM f ORDER BY doc_id""")),
 
+    ("x42_boilerplate_mass", (s: SparkSession, d: String) => {
+      // Per-document BOILERPLATE vs NOVELTY mass — the df-profile
+      // reading of the shared-shingle table that d16 uses for
+      // attribution: for each doc, what fraction of its distinct
+      // 5-shingles is corpus boilerplate (df ≥ ⌈n_docs/5⌉ — appearing
+      // in a fifth of the corpus: headers, footers, templates; the
+      // threshold is RELATIVE because any absolute df is meaningless
+      // across corpus sizes — at 100 TB everything crosses df ≥ 20)
+      // and what fraction is unique to it
+      // (df = 1 — the novel content a dedup pass must NOT collapse).
+      // The standard pre-dedup triage: high-boilerplate docs get
+      // template-stripping before MinHash (else banding buckets fill
+      // with template collisions — d15's precision number degrades),
+      // high-unique docs are the valuable tail. Shares the d2/d9/d14
+      // `shingles` definition (distinct per doc), so the masses are
+      // consistent with every dedup family number. Scale: one shingle
+      // df aggregation (map-side combined) + one shingle-keyed join
+      // back (the d14 posture — never a corpus broadcast); per-doc
+      // ratios aggregate map-side. Integer counts, shared-division e6
+      // ratios, documented 50% boilerplate flag.
+      val docs = Tables.documents(s, d)
+      val nd = docs.select(count(lit(1)).as("nd"))
+      val sh = shingles(docs)
+      val df = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      sh.join(df, "s").crossJoin(broadcast(nd))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("df") >= expr("(nd + 4) div 5"), 1L).otherwise(0L))
+            .as("n_boiler"),
+          sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+        .select(col("doc_id"), col("n_shingles"), col("n_boiler"),
+          col("n_unique"),
+          round(col("n_boiler") * 1e6 / col("n_shingles")).cast("long")
+            .as("boiler_e6"),
+          round(col("n_unique") * 1e6 / col("n_shingles")).cast("long")
+            .as("unique_e6"))
+        .withColumn("flag_boilerplate", col("boiler_e6") > 500000L)
+        .orderBy(col("doc_id"))
+    }, Some(
+      """WITH sh AS (
+           SELECT DISTINCT doc_id, substr(text, i, 5) AS s FROM (
+             SELECT doc_id, text,
+                    unnest(generate_series(1, greatest(length(text) - 4, 1)))
+                      AS i
+             FROM documents)),
+         df AS (SELECT s, count(*) AS df FROM sh GROUP BY 1),
+         nd AS (SELECT count(*) AS nd FROM documents),
+         j AS (
+           SELECT sh.doc_id,
+                  cast(count(*) AS bigint) AS n_shingles,
+                  cast(sum(CASE WHEN df.df >= (nd.nd + 4) // 5
+                           THEN 1 ELSE 0 END) AS bigint) AS n_boiler,
+                  cast(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END)
+                    AS bigint) AS n_unique
+           FROM sh JOIN df ON df.s = sh.s CROSS JOIN nd GROUP BY 1)
+         SELECT doc_id, n_shingles, n_boiler, n_unique,
+                cast(round(n_boiler * 1e6 / n_shingles) AS bigint)
+                  AS boiler_e6,
+                cast(round(n_unique * 1e6 / n_shingles) AS bigint)
+                  AS unique_e6,
+                cast(round(n_boiler * 1e6 / n_shingles) AS bigint) > 500000
+                  AS flag_boilerplate
+         FROM j ORDER BY 1""")),
+
     ("d3_minhash_lsh", (s: SparkSession, d: String) => {
       // MinHash-LSH bucket assignment: 8 signatures (min over shingles of
       // 16-hex-char rotations of md5(shingle) — lexicographic min of
