@@ -1326,6 +1326,82 @@ object GraphOps {
                    AS n_unreached
           FROM hd4 WHERE node <> seed GROUP BY 1 ORDER BY 1""")),
 
+    ("g16_assortativity", (s: SparkSession, d: String) => {
+      // Degree ASSORTATIVITY (Newman '02) — the one-number topology
+      // diagnostic the per-node family (g6 cores, g9 clustering, g15
+      // centrality) doesn't give: do hubs attach to hubs (r > 0,
+      // social-graph shape) or to leaves (r < 0, hub-and-spoke)?
+      // Pearson correlation of (deg(src), deg(dst)) over the EDGE list
+      // of the strong co-purchase graph. Sums (n, Σdx, Σdy, Σdxdy,
+      // Σdx², Σdy²) are exact longs (deg ≤ 10⁴, products ≤ 10¹⁴ at
+      // sf0.1); the normalized r assembles in the shared double chain
+      // (n·Σxy as n·1e0·Σxy — the INTEGER cross-products would pass
+      // 10²⁰ at scale, so the chain is double-from-the-first-product
+      // and verbatim-shared, the m27 contract) with e6 quantization.
+      // Degenerate guard is the exact INTEGER test min(deg) = max(deg)
+      // (all-equal degrees ⟺ zero variance ⟺ the double dena would be
+      // a rounding-noise near-zero and sqrt could go NaN — the t8/w18
+      // class caught at the integer source instead). Scale: one degree
+      // aggregation + two node-sized dimension joins on the edge list
+      // (the superstep posture) + one map-side-combined global sum.
+      val strong = strongCopurchase(s, d)
+      val deg = strong.groupBy(col("src")).agg(count(lit(1)).as("dg"))
+      val e = strong
+        .join(deg.select(col("src"), col("dg").as("dx")), "src")
+        .join(deg.select(col("src").as("dst"), col("dg").as("dy")), "dst")
+      e.agg(count(lit(1)).as("n_edges"),
+          sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+          sum(col("dx") * col("dy")).as("sxy"),
+          sum(col("dx") * col("dx")).as("sxx"),
+          sum(col("dy") * col("dy")).as("syy"),
+          min(col("dx")).as("mn"), max(col("dx")).as("mx"))
+        .crossJoin(broadcast(
+          deg.agg(count(lit(1)).as("n_nodes"))))
+        .withColumn("num",
+          col("n_edges") * lit(1e0) * col("sxy") -
+            col("sx") * lit(1e0) * col("sy"))
+        .withColumn("dena",
+          col("n_edges") * lit(1e0) * col("sxx") -
+            col("sx") * lit(1e0) * col("sx"))
+        .withColumn("denb",
+          col("n_edges") * lit(1e0) * col("syy") -
+            col("sy") * lit(1e0) * col("sy"))
+        .select(col("n_edges"), col("n_nodes"),
+          col("mn").as("min_deg"), col("mx").as("max_deg"),
+          when(col("mn") < col("mx"),
+            round(col("num") / (sqrt(col("dena")) * sqrt(col("denb")))
+              * 1e6).cast("long")).as("assortativity_e6"))
+    }, Some(
+      s"""WITH $sqlStrong,
+          deg AS (SELECT src, count(*) AS dg FROM strong GROUP BY 1),
+          e AS (
+            SELECT a.dg AS dx, b.dg AS dy
+            FROM strong st
+            JOIN deg a ON a.src = st.src
+            JOIN deg b ON b.src = st.dst),
+          agg AS (
+            SELECT cast(count(*) AS bigint) AS n_edges,
+                   cast(sum(dx) AS bigint) AS sx,
+                   cast(sum(dy) AS bigint) AS sy,
+                   cast(sum(dx * dy) AS bigint) AS sxy,
+                   cast(sum(dx * dx) AS bigint) AS sxx,
+                   cast(sum(dy * dy) AS bigint) AS syy,
+                   cast(min(dx) AS bigint) AS mn,
+                   cast(max(dx) AS bigint) AS mx
+            FROM e),
+          nn AS (SELECT cast(count(*) AS bigint) AS n_nodes FROM deg),
+          ch AS (
+            SELECT a.*, nn.n_nodes,
+                   a.n_edges * 1e0 * a.sxy - a.sx * 1e0 * a.sy AS num,
+                   a.n_edges * 1e0 * a.sxx - a.sx * 1e0 * a.sx AS dena,
+                   a.n_edges * 1e0 * a.syy - a.sy * 1e0 * a.sy AS denb
+            FROM agg a CROSS JOIN nn)
+          SELECT n_edges, n_nodes, mn AS min_deg, mx AS max_deg,
+                 CASE WHEN mn < mx THEN
+                   cast(round(num / (sqrt(dena) * sqrt(denb)) * 1e6)
+                     AS bigint) END AS assortativity_e6
+          FROM ch""")),
+
     ("g12_weighted_sssp", (s: SparkSession, d: String) => {
       // Weighted shortest paths to the trusted seeds (g8's missing
       // distance mode): edge cost is INVERSE affinity — floor(1000 /

@@ -1353,6 +1353,77 @@ object Relational {
            ON c.purchase_id = p.purchase_id AND c.rn = 1
          ORDER BY p.purchase_id""")),
 
+    ("j16_nearest_join", (s: SparkSession, d: String) => {
+      // NEAREST-in-time join — pandas merge_asof(direction='nearest'),
+      // the sensor-fusion alignment j8 (backward) and j13 (forward)
+      // bracket: each purchase pairs with the temporally CLOSEST error
+      // in EITHER direction, ties to the earlier one (the past is
+      // known; the future was luck). No third kernel: the two
+      // directional [[asOfJoin]] passes (forward via the j13 negation)
+      // join back on the probe key and one CASE picks the smaller
+      // |gap| — two shuffles total, each the kernel's one-shuffle
+      // sorted pass, which is the honest cost of nearest (any
+      // single-pass spelling still needs both directions' state).
+      // Within a direction, equal-timestamp errors resolve to the
+      // largest error_id (the kernel's max-struct rule; the oracle
+      // ranks error_id DESC to match). NULL semantics: one-sided miss
+      // takes the other side; a probe with no errors at all keeps NULL
+      // columns; null-key probes match nothing (kernel law).
+      val ev = Tables.events(s, d)
+      val probe = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("k"), unix_micros(col("ts")).as("t"),
+          col("event_id").as("purchase_id"))
+      val quote = ev.filter(col("event_type") === "error")
+        .select(col("user_id").as("k"), unix_micros(col("ts")).as("t"),
+          col("event_id").as("error_id"))
+      val back = asOfJoin(probe, quote, keys = Seq("k"), tsCol = "t")
+        .select(col("purchase_id"), col("k"),
+          col("asof.error_id").as("b_id"),
+          (col("t") - col("asof.t")).as("b_gap"))
+      val fwd = asOfJoin(
+          probe.select(col("k"), (-col("t")).as("t"), col("purchase_id")),
+          quote.select(col("k"), (-col("t")).as("t"), col("error_id")),
+          keys = Seq("k"), tsCol = "t")
+        .select(col("purchase_id"), col("asof.error_id").as("f_id"),
+          (col("t") - col("asof.t")).as("f_gap"))
+      back.join(fwd, Seq("purchase_id"))
+        .withColumn("pick_b", col("f_id").isNull ||
+          (col("b_id").isNotNull && col("b_gap") <= col("f_gap")))
+        .select(col("purchase_id"), col("k").as("user_id"),
+          when(col("pick_b"), col("b_id")).otherwise(col("f_id"))
+            .as("nearest_error_id"),
+          when(col("pick_b") && col("b_id").isNotNull, lit("before"))
+            .when(!col("pick_b"), lit("after")).as("direction"),
+          when(col("pick_b"), col("b_gap")).otherwise(col("f_gap"))
+            .as("gap_us"))
+        .orderBy(col("purchase_id"))
+    }, Some(
+      """WITH p AS (
+           SELECT event_id AS purchase_id, user_id,
+                  cast(ts AS timestamp) AS ts
+           FROM events WHERE event_type = 'purchase'),
+         q AS (
+           SELECT event_id AS error_id, user_id,
+                  cast(ts AS timestamp) AS ts
+           FROM events WHERE event_type = 'error' AND user_id IS NOT NULL),
+         cand AS (
+           SELECT p.purchase_id, q.error_id,
+                  abs(epoch_us(q.ts) - epoch_us(p.ts)) AS gap,
+                  CASE WHEN q.ts <= p.ts THEN 0 ELSE 1 END AS dir,
+                  row_number() OVER (PARTITION BY p.purchase_id
+                    ORDER BY abs(epoch_us(q.ts) - epoch_us(p.ts)),
+                             CASE WHEN q.ts <= p.ts THEN 0 ELSE 1 END,
+                             q.error_id DESC) AS rn
+           FROM p JOIN q ON q.user_id = p.user_id)
+         SELECT p.purchase_id, p.user_id,
+                c.error_id AS nearest_error_id,
+                CASE WHEN c.dir = 0 THEN 'before'
+                     WHEN c.dir = 1 THEN 'after' END AS direction,
+                cast(c.gap AS bigint) AS gap_us
+         FROM p LEFT JOIN cand c
+           ON c.purchase_id = p.purchase_id AND c.rn = 1
+         ORDER BY p.purchase_id""")),
+
     ("j14_interval_overlap_join", (s: SparkSession, d: String) => {
       // Interval×interval overlap join — j9's big sibling: j9 buckets a
       // POINT against ranges (each point owns one bin, no dedup);
@@ -2188,6 +2259,56 @@ object Relational {
                 cast(CASE WHEN abs(est - c) > sstar // 2 THEN 1 ELSE 0 END
                   AS bigint) AS violations
          FROM f2 ORDER BY 1""")),
+
+    ("a27_heavy_change", (s: SparkSession, d: String) => {
+      // HEAVY-CHANGE detection (Cormode–Muthukrishnan's "what's new"
+      // question) — the between-windows complement of x23's heavy
+      // hitters and x25's distribution drift: WHICH keys moved, not
+      // which are big or whether the whole shape shifted. Per user,
+      // exact counts in the two calendar halves and the Skellam-style
+      // normal test |c₂ − c₁|/√(c₁+c₂) ≥ 3, spelled EXACTLY in
+      // integers as (c₂−c₁)² ≥ 9·(c₁+c₂) — no sqrt, no double in the
+      // FILTER (the a21/x25 discipline); the reported z quantizes in
+      // the shared chain only for flagged rows. Scale: one map-side-
+      // combinable (user, half) aggregation, a per-key threshold, no
+      // window and no global cut — output is bounded by how many keys
+      // actually changed, which is the operational point (a drift
+      // alarm pages on the LIST, not a statistic). Zero-count halves
+      // are inherently covered (c₁ = 0 ∧ c₂ ≥ 9 flags — birth of a
+      // key counts as change).
+      val midpoint = "2024-01-16"
+      val byHalf = Tables.events(s, d)
+        .filter(col("user_id").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(to_date(col("ts")) < lit(midpoint), 1L).otherwise(0L))
+            .as("c1"),
+          sum(when(to_date(col("ts")) >= lit(midpoint), 1L).otherwise(0L))
+            .as("c2"))
+      byHalf
+        .withColumn("delta", col("c2") - col("c1"))
+        .filter(col("delta") * col("delta") >= (col("c1") + col("c2")) * 9)
+        .select(col("user_id"), col("c1"), col("c2"), col("delta"),
+          round(abs(col("delta")) * lit(1e6) /
+            sqrt(col("c1") + col("c2"))).cast("long").as("z_e6"),
+          when(col("delta") > 0, lit("up")).otherwise(lit("down"))
+            .as("direction"))
+        .orderBy(col("user_id"))
+    }, Some(
+      """WITH h AS (
+           SELECT user_id,
+                  cast(sum(CASE WHEN cast(ts AS date) < DATE '2024-01-16'
+                           THEN 1 ELSE 0 END) AS bigint) AS c1,
+                  cast(sum(CASE WHEN cast(ts AS date) >= DATE '2024-01-16'
+                           THEN 1 ELSE 0 END) AS bigint) AS c2
+           FROM events WHERE user_id IS NOT NULL GROUP BY 1)
+         SELECT user_id, c1, c2, c2 - c1 AS delta,
+                cast(round(abs(c2 - c1) * 1e6 / sqrt(c1 + c2)) AS bigint)
+                  AS z_e6,
+                CASE WHEN c2 - c1 > 0 THEN 'up' ELSE 'down' END AS direction
+         FROM h
+         WHERE (c2 - c1) * (c2 - c1) >= (c1 + c2) * 9
+         ORDER BY user_id""")),
 
     ("a20_hll_set_algebra", (s: SparkSession, d: String) => {
       // Sketch ALGEBRA — the reason a 100 TB pipeline persists register
