@@ -4110,6 +4110,96 @@ object Estimation {
          WHERE mad4 > 0 AND abs(x * 2 - med2) * 4 > mad4 * 7
          ORDER BY event_type, day""")),
 
+    ("m28_conformal_interval", (s: SparkSession, d: String) => {
+      // SPLIT-CONFORMAL prediction intervals (Vovk; Lei et al. '18) —
+      // the uncertainty layer the forecast family (w22/w23, m17, m26)
+      // emits point values without: calibrate the 90% interval radius
+      // as the ⌈0.9·(n_cal+1)⌉-th smallest absolute one-step error on
+      // a calibration window, then MEASURE empirical coverage on the
+      // held-out remainder. The radius is an exact ORDER STATISTIC
+      // (the finite-sample guarantee P(cover) ≥ k/(n_cal+1) holds by
+      // exchangeability rank-counting, no distributional assumption),
+      // so everything is integer: cent errors from the lag-1 naive
+      // forecast (conformal is model-agnostic — the naive base keeps
+      // the recursion out of the radius), the k-th element of the
+      // sorted 20-day calibration list (bounded by the WINDOW — the
+      // w30 discipline), exact coverage counts, e6 ratios in the
+      // shared chain. Honest caveat in-column: the guarantee assumes
+      // exchangeability, which a time series bends — the entry
+      // REPORTS guarantee vs realized coverage side by side rather
+      // than asserting one (daily cents run near-exchangeable here;
+      // the gap is the diagnostic).
+      val wd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("x"))
+      val err = daily
+        .withColumn("e", abs(col("x") - lag(col("x"), 1).over(wd)))
+        .filter(col("e").isNotNull)
+        .withColumn("rn", row_number().over(wd))
+      val cal = err.filter(col("rn") <= 20)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_cal"),
+          sort_array(collect_list(col("e"))).as("arr"))
+        .withColumn("k",
+          expr("cast(ceil(0.9 * (n_cal + 1)) AS int)"))
+        .withColumn("q_radius",
+          expr("element_at(arr, k)"))
+        .select(col("event_type"), col("n_cal"), col("k"),
+          col("q_radius"))
+      err.filter(col("rn") > 20)
+        .join(broadcast(cal), "event_type")
+        .groupBy(col("event_type"), col("n_cal"), col("k"), col("q_radius"))
+        .agg(count(lit(1)).as("n_test"),
+          sum(when(col("e") <= col("q_radius"), 1L).otherwise(0L))
+            .as("n_covered"))
+        .select(col("event_type"), col("n_cal"), col("n_test"),
+          col("q_radius"),
+          round(col("k") * lit(1e6) / (col("n_cal") + 1)).cast("long")
+            .as("guarantee_e6"),
+          col("n_covered"),
+          round(col("n_covered") * lit(1e6) / col("n_test")).cast("long")
+            .as("coverage_e6"))
+        .orderBy(col("event_type"))
+    }, Some(
+      """WITH daily AS (
+           SELECT event_type, cast(ts AS date) AS day,
+                  cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS x
+           FROM events GROUP BY 1, 2),
+         er AS (
+           SELECT event_type, day,
+                  abs(x - lag(x) OVER (PARTITION BY event_type
+                                       ORDER BY day)) AS e
+           FROM daily),
+         rn AS (
+           SELECT event_type, e, row_number() OVER (
+                    PARTITION BY event_type ORDER BY day) AS rn
+           FROM (SELECT event_type, day, e FROM er WHERE e IS NOT NULL)),
+         cal AS (
+           SELECT event_type, cast(count(*) AS bigint) AS n_cal,
+                  list_sort(list(e)) AS arr
+           FROM rn WHERE rn <= 20 GROUP BY 1),
+         q AS (
+           SELECT event_type, n_cal,
+                  cast(ceil(0.9 * (n_cal + 1)) AS int) AS k,
+                  arr[cast(ceil(0.9 * (n_cal + 1)) AS int)] AS q_radius
+           FROM cal),
+         tst AS (
+           SELECT r.event_type, q.n_cal, q.k, q.q_radius,
+                  cast(count(*) AS bigint) AS n_test,
+                  cast(sum(CASE WHEN r.e <= q.q_radius THEN 1 ELSE 0 END)
+                    AS bigint) AS n_covered
+           FROM rn r JOIN q ON q.event_type = r.event_type
+           WHERE r.rn > 20 GROUP BY 1, 2, 3, 4)
+         SELECT event_type, n_cal, n_test,
+                cast(q_radius AS bigint) AS q_radius,
+                cast(round(k * 1e6 / (n_cal + 1)) AS bigint)
+                  AS guarantee_e6,
+                n_covered,
+                cast(round(n_covered * 1e6 / n_test) AS bigint)
+                  AS coverage_e6
+         FROM tst ORDER BY 1""")),
+
     ("w19_robust_anomaly", (s: SparkSession, d: String) => {
       // Robust per-series spike detection — the median/MAD outlier rule
       // (|x − median| / MAD > 3.5, Iglewicz–Hoaglin's cutoff family)

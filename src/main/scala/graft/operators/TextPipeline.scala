@@ -578,6 +578,46 @@ object TextPipeline {
       dir
     })
 
+  /** The e24 kernel over any (vec_id, embedding) frame — vector ingest
+    * hygiene audit; contract on the e24 entry. Spec-planted branches: a
+    * zero vector, a NaN component, a runt vector, and an exact
+    * duplicate pair must each increment exactly their counter. The
+    * per-dim lane keeps FINITE components only — under ANSI a NaN
+    * reaching the e6 cast is a hard error in BOTH engines (the t8/w18
+    * class), and an audit must not crash on the defect it audits; the
+    * excluded components are exactly what n_nonfinite counts, so the
+    * row is self-gating.
+    */
+  private[graft] def vectorHygiene(emb0: DataFrame): DataFrame = {
+    val emb = emb0.select(col("vec_id"), col("embedding"))
+    val summary = emb.agg(
+      count(lit(1)).as("n_vecs"),
+      (count(lit(1)) - countDistinct(col("embedding"))).as("n_dup"),
+      sum(when(expr(
+        "!exists(embedding, v -> v <> cast(0 AS float))"), 1L)
+        .otherwise(0L)).as("n_zero_norm"),
+      sum(when(expr(
+        "exists(embedding, v -> isnan(v) OR abs(v) > cast(3e38 AS float))"),
+        1L).otherwise(0L)).as("n_nonfinite"),
+      sum(when(size(col("embedding")) =!= 64, 1L).otherwise(0L))
+        .as("n_bad_dim"))
+    emb.select(posexplode(col("embedding")).as(Seq("dim", "v")))
+      .filter(!isnan(col("v")) && abs(col("v")) <= lit(3e38f))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        min(round(col("v") * 1e6).cast("long")).as("min_e6"),
+        max(round(col("v") * 1e6).cast("long")).as("max_e6"),
+        sum(round(col("v") * 1e6).cast("long")).as("s_e6"),
+        sum(when(col("v") === 0.0f, 1L).otherwise(0L)).as("n_zero"))
+      .crossJoin(broadcast(summary))
+      .select(col("dim").cast("long").as("dim"), col("n"),
+        col("min_e6"), col("max_e6"),
+        round(col("s_e6") * lit(1e0) / col("n")).cast("long")
+          .as("mean_e6"),
+        col("n_zero"), col("n_vecs"), col("n_dup"), col("n_zero_norm"),
+        col("n_nonfinite"), col("n_bad_dim"))
+  }
+
   /** Language-ID gate kernel (x40): per-document language call over the
     * PLANTED bilingual corpus. The second language is planted
     * deterministically — odd doc_ids are rot13'd via `translate`
@@ -2284,6 +2324,60 @@ object TextPipeline {
          SELECT *, coalesce(entropy_e6 < 3000000 OR entropy_e6 > 4700000,
                   true) AS flag_gibberish
          FROM f ORDER BY doc_id""")),
+
+    ("e24_vector_hygiene", (s: SparkSession, d: String) => {
+      // Vector INGEST hygiene — the audit every ANN build (e3/e6/e9/
+      // e12) silently assumes passed: uniform dimensionality, no
+      // non-finite components, no zero-norm vectors (they break cosine
+      // — the e1 family divides by the norm), and the exact-duplicate
+      // count (duplicates waste index space and skew IVF lists — e22's
+      // imbalance number degrades). Output is the 64 per-dimension
+      // stat rows an SQ8 quantizer (e12) trains its spans from — min/
+      // max/mean per dim, components e6-quantized per VALUE before the
+      // integer sum so the float reduction is order-free (the x41
+      // discipline) — with the corpus-level hygiene counters carried
+      // as group constants (the a26 convention). Scale: one
+      // posexplode → (dim)-keyed map-side agg + row-local array
+      // predicates; the duplicate count is one groupBy on the vector
+      // value (content-addressed, the d1 posture).
+      vectorHygiene(Tables.embeddings(s, d)).orderBy(col("dim"))
+    }, Some(
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         summary AS (
+           SELECT cast(count(*) AS bigint) AS n_vecs,
+                  cast(count(*) - count(DISTINCT embedding) AS bigint)
+                    AS n_dup,
+                  cast(sum(CASE WHEN list_sum(list_transform(embedding,
+                        v -> CASE WHEN v = 0 THEN 0 ELSE 1 END)) = 0
+                      THEN 1 ELSE 0 END) AS bigint) AS n_zero_norm,
+                  cast(sum(CASE WHEN len(list_filter(embedding,
+                        v -> isnan(v) OR abs(v) > 3e38)) > 0
+                      THEN 1 ELSE 0 END) AS bigint) AS n_nonfinite,
+                  cast(sum(CASE WHEN len(embedding) <> 64 THEN 1 ELSE 0 END)
+                    AS bigint) AS n_bad_dim
+           FROM e),
+         px AS (
+           SELECT cast(p - 1 AS bigint) AS dim,
+                  cast(round(v * 1e6) AS bigint) AS v_e6,
+                  CASE WHEN v = 0 THEN 1 ELSE 0 END AS z
+           FROM (SELECT p, embedding[p] AS v
+                 FROM (SELECT embedding,
+                              unnest(generate_series(1, len(embedding)))
+                                AS p
+                       FROM e))
+           WHERE NOT isnan(v) AND abs(v) <= 3e38),
+         dims AS (
+           SELECT dim, cast(count(*) AS bigint) AS n,
+                  min(v_e6) AS min_e6, max(v_e6) AS max_e6,
+                  cast(sum(v_e6) AS bigint) AS s_e6,
+                  cast(sum(z) AS bigint) AS n_zero
+           FROM px GROUP BY 1)
+         SELECT d2.dim, d2.n, d2.min_e6, d2.max_e6,
+                cast(round(d2.s_e6 * 1e0 / d2.n) AS bigint) AS mean_e6,
+                d2.n_zero, s2.n_vecs, s2.n_dup, s2.n_zero_norm,
+                s2.n_nonfinite, s2.n_bad_dim
+         FROM dims d2 CROSS JOIN summary s2
+         ORDER BY d2.dim""")),
 
     ("x42_boilerplate_mass", (s: SparkSession, d: String) => {
       // Per-document BOILERPLATE vs NOVELTY mass — the df-profile

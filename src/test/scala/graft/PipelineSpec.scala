@@ -1150,6 +1150,39 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       "empty doc must gate TRUE with NULL entropy")
   }
 
+  test("e24 vectorHygiene: each planted defect increments exactly its counter") {
+    // A dirty six-vector corpus: one clean pair of exact DUPLICATES
+    // (n_dup = 1 — count minus distinct), one all-zero vector
+    // (n_zero_norm = 1), one NaN component (n_nonfinite = 1), one
+    // 3-dim runt (n_bad_dim = 1), one clean singleton. The per-dim
+    // rows must come from the actual components (dim 0 spans the
+    // planted min/max).
+    val s = spark
+    import s.implicits._
+    val clean = Array.tabulate(64)(i => (i + 1) * 0.01f)
+    val emb = Seq(
+      (1L, clean),
+      (2L, clean), // exact duplicate of 1
+      (3L, Array.fill(64)(0.0f)),
+      (4L, clean.updated(5, Float.NaN)),
+      (5L, Array(1.0f, 2.0f, 3.0f)),
+      (6L, clean.map(v => -v))).toDF("vec_id", "embedding")
+    val got = graft.operators.TextPipeline.vectorHygiene(emb)
+      .orderBy(col("dim")).collect()
+    val r0 = got(0)
+    def g(n: String): Long = r0.getLong(r0.fieldIndex(n))
+    assert(g("n_vecs") == 6L)
+    assert(g("n_dup") == 1L, s"dup: ${g("n_dup")}")
+    assert(g("n_zero_norm") == 1L)
+    assert(g("n_nonfinite") == 1L)
+    assert(g("n_bad_dim") == 1L)
+    // dim 0 components: 0.01, 0.01, 0, 0.01, 1.0, -0.01
+    assert(g("min_e6") == -10000L && g("max_e6") == 1000000L,
+      s"dim-0 span: ${g("min_e6")}..${g("max_e6")}")
+    assert(g("n_zero") == 1L)
+    assert(got.length == 64, "runt vector must not add dims beyond 64")
+  }
+
   test("x40 langIdPerDoc: mixed-language doc routes by majority trigram mass") {
     // The verdict-prescribed planted case: a document that is 7 parts
     // langA text and 3 parts langB (pre-rot13'd segments inside an
