@@ -2970,6 +2970,128 @@ object Estimation {
                 ELSE fc_ewma END AS fc_combo
          FROM lastr ORDER BY 1""")),
 
+    ("m29_mincer_zarnowitz", (s: SparkSession, d: String) => {
+      // Mincer–Zarnowitz forecast RATIONALITY — the third leg of the
+      // forecast-inference triptych (m26 combines, m27 asks whether one
+      // forecast contains the other, this asks whether a forecast is
+      // even rational): regress realized y on the one-step EWMA
+      // forecast f and jointly test (α, β) = (0, 1) — an unbiased,
+      // efficient forecast leaves nothing systematic in its own level.
+      // One aggregate() fold carries the w22 integer recursion and the
+      // six exact OLS sums (n, Σf, Σy, Σf², Σy², Σfy — f² ≤ 2e14/day
+      // at sf0.1, 30 days and the n· cross-products stay ≤ ~2e17,
+      // inside int64, so the variance denominator n·Σf² − (Σf)² is an
+      // EXACT INTEGER guard; the α̂ numerator's Σy·Σf² would pass 3e20,
+      // so THAT chain is double-from-first-product — sy·1e0·sff, the
+      // g16 contract, caught live by the ANSI overflow error). α̂/β̂
+      // and the joint Wald F = ((RSS_r −
+      // RSS_u)/2)/(RSS_u/(n−2)) assemble in the shared double chain
+      // (RSS_r = Σ(y−f)² by expansion; RSS_u = Σy² − α̂Σy − β̂Σfy, the
+      // OLS identity), e2/e6/e4 quantized; the rssu > 0 perfect-fit
+      // guard rides the verbatim-shared chain (the m27 contract). Flag:
+      // 2F against the t20 χ²(2) constant (the large-N convention).
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("x"))
+      daily
+        .groupBy(col("event_type"))
+        .agg(sort_array(collect_list(struct(col("day"), col("x")))).as("s"))
+        .select(col("event_type"),
+          expr("""aggregate(s,
+              named_struct('le', cast(null AS bigint),
+                           'n', cast(0 AS bigint), 'sf', cast(0 AS bigint),
+                           'sy', cast(0 AS bigint), 'sff', cast(0 AS bigint),
+                           'syy', cast(0 AS bigint), 'sfy', cast(0 AS bigint)),
+              (acc, r) -> CASE WHEN acc.le IS NULL THEN named_struct(
+                  'le', r.x, 'n', cast(0 AS bigint), 'sf', cast(0 AS bigint),
+                  'sy', cast(0 AS bigint), 'sff', cast(0 AS bigint),
+                  'syy', cast(0 AS bigint), 'sfy', cast(0 AS bigint))
+                ELSE named_struct(
+                  'le', (3 * r.x + 7 * acc.le) div 10,
+                  'n', acc.n + 1,
+                  'sf', acc.sf + acc.le,
+                  'sy', acc.sy + r.x,
+                  'sff', acc.sff + acc.le * acc.le,
+                  'syy', acc.syy + r.x * r.x,
+                  'sfy', acc.sfy + acc.le * r.x) END)""").as("f"))
+        .select(col("event_type"), col("f.n").as("n"), col("f.sf").as("sf"),
+          col("f.sy").as("sy"), col("f.sff").as("sff"),
+          col("f.syy").as("syy"), col("f.sfy").as("sfy"))
+        .withColumn("den", col("n") * col("sff") - col("sf") * col("sf"))
+        .withColumn("beta_e6", expr(
+          "CASE WHEN den > 0 THEN cast(round((n * sfy - sf * 1e0 * sy) " +
+            "/ den * 1e6) AS bigint) END"))
+        .withColumn("alpha_c_e2", expr(
+          "CASE WHEN den > 0 THEN cast(round((sy * 1e0 * sff - sf * 1e0 * sfy) " +
+            "/ den * 1e2) AS bigint) END"))
+        .withColumn("rssu", expr(
+          "CASE WHEN den > 0 THEN syy * 1e0 " +
+            "- (sy * 1e0 * sff - sf * 1e0 * sfy) / den * sy " +
+            "- (n * sfy - sf * 1e0 * sy) / den * sfy END"))
+        .withColumn("rssr",
+          col("syy") * lit(1e0) - lit(2e0) * col("sfy") + col("sff"))
+        .withColumn("f2_e4", expr(
+          "CASE WHEN rssu > 0 AND n > 2 THEN " +
+            "cast(round((rssr - rssu) / (rssu / (n - 2)) * 1e4) AS bigint) " +
+            "END"))
+        .select(col("event_type"), col("n"), col("alpha_c_e2"),
+          col("beta_e6"), col("f2_e4"),
+          coalesce(col("f2_e4") > 59915L, lit(false)).as("reject_5pct"))
+        .orderBy(col("event_type"))
+    }, Some(
+      """WITH RECURSIVE daily AS (
+           SELECT event_type, cast(ts AS date) AS day,
+                  cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS x
+           FROM events GROUP BY 1, 2),
+         e AS (
+           SELECT event_type, x, row_number() OVER (
+             PARTITION BY event_type ORDER BY day) AS t
+           FROM daily),
+         rec AS (
+           SELECT event_type, t, x AS el, cast(0 AS bigint) AS n,
+                  cast(0 AS bigint) AS sf, cast(0 AS bigint) AS sy,
+                  cast(0 AS bigint) AS sff, cast(0 AS bigint) AS syy,
+                  cast(0 AS bigint) AS sfy
+           FROM e WHERE t = 1
+           UNION ALL
+           SELECT e.event_type, e.t,
+                  (3 * e.x + 7 * rec.el) // 10,
+                  rec.n + 1,
+                  rec.sf + rec.el,
+                  rec.sy + e.x,
+                  rec.sff + rec.el * rec.el,
+                  rec.syy + e.x * e.x,
+                  rec.sfy + rec.el * e.x
+           FROM rec JOIN e ON e.event_type = rec.event_type
+             AND e.t = rec.t + 1),
+         fin AS (SELECT event_type, max(t) AS tn FROM rec GROUP BY 1),
+         lastr AS (
+           SELECT r.event_type, r.n, r.sf, r.sy, r.sff, r.syy, r.sfy,
+                  r.n * r.sff - r.sf * r.sf AS den
+           FROM rec r JOIN fin f
+             ON f.event_type = r.event_type AND r.t = f.tn),
+         st AS (
+           SELECT *,
+                  CASE WHEN den > 0 THEN
+                    syy * 1e0 - (sy * 1e0 * sff - sf * 1e0 * sfy) / den * sy
+                      - (n * sfy - sf * 1e0 * sy) / den * sfy END AS rssu,
+                  syy * 1e0 - 2e0 * sfy + sff AS rssr
+           FROM lastr)
+         SELECT event_type, n,
+                CASE WHEN den > 0 THEN
+                  cast(round((sy * 1e0 * sff - sf * 1e0 * sfy) / den * 1e2)
+                    AS bigint) END AS alpha_c_e2,
+                CASE WHEN den > 0 THEN
+                  cast(round((n * sfy - sf * 1e0 * sy) / den * 1e6)
+                    AS bigint) END AS beta_e6,
+                CASE WHEN rssu > 0 AND n > 2 THEN
+                  cast(round((rssr - rssu) / (rssu / (n - 2)) * 1e4)
+                    AS bigint) END AS f2_e4,
+                coalesce(CASE WHEN rssu > 0 AND n > 2 THEN
+                  cast(round((rssr - rssu) / (rssu / (n - 2)) * 1e4)
+                    AS bigint) END > 59915, false) AS reject_5pct
+         FROM st ORDER BY 1""")),
+
     ("m27_encompassing", (s: SparkSession, d: String) => {
       // Forecast ENCOMPASSING test (Harvey–Leybourne–Newbold '98) over
       // the same w22/w23 smoother pair — the inferential question m26's
