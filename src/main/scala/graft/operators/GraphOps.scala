@@ -1326,6 +1326,63 @@ object GraphOps {
                    AS n_unreached
           FROM hd4 WHERE node <> seed GROUP BY 1 ORDER BY 1""")),
 
+    ("g17_modularity", (s: SparkSession, d: String) => {
+      // MODULARITY of the g3 partition — the number that says whether
+      // LPA's communities are real structure or relabeled noise
+      // (Newman–Girvan Q; Q ≈ 0 ⟹ no better than random given the
+      // degree sequence). Runs the SAME 3-round LPA the g3 entry ships
+      // (one kernel — the readout can't drift from the partition it
+      // grades), then computes Q on the symmetric directed edge list
+      // in EXACT integers: Q·m² = m·Σ_c e_c − Σ_c a_c² (e_c intra-
+      // community edges, a_c community out-degree mass, m all edges) —
+      // per-community float terms would sum order-dependently across
+      // ~10² communities, but the cleared form is two integer
+      // aggregations and ONE shared final division (m·Σe ≤ ~4e10 and
+      // Σa² ≤ m² at sf0.1 — far inside int64). Scale: two node-sized
+      // label joins onto the edge list (the superstep posture) + one
+      // community-sized aggregation.
+      val (e, nodes) = copurchase(s, d)
+      val lbl = labelPropagation(e, nodes, iters = 3, checkpointEvery = 1)
+      val tagged = e
+        .join(lbl.select(col("node").as("src"), col("lbl").as("ls")), "src")
+        .join(lbl.select(col("node").as("dst"), col("lbl").as("ld")), "dst")
+      val perC = tagged.groupBy(col("ls"))
+        .agg(count(lit(1)).as("ac"),
+          sum(when(col("ls") === col("ld"), 1L).otherwise(0L)).as("ec"))
+      perC.agg(count(lit(1)).as("n_communities"),
+          sum(col("ac")).as("m_edges"),
+          sum(col("ec")).as("sum_intra"),
+          sum(col("ac") * col("ac")).as("sum_deg_sq"))
+        .select(col("n_communities"), col("m_edges"), col("sum_intra"),
+          col("sum_deg_sq"),
+          round((col("m_edges") * col("sum_intra") - col("sum_deg_sq"))
+            * lit(1e6) / (col("m_edges") * lit(1e0) * col("m_edges")))
+            .cast("long").as("q_e6"))
+    }, Some(
+      s"""WITH $sqlGraph,
+          lb0 AS (SELECT node, node AS lbl FROM nodes),
+          ${(1 to 3).map(lpaStep).mkString(",\n")},
+          tg AS (
+            SELECT a.lbl AS ls, b.lbl AS ld
+            FROM e
+            JOIN lb3 a ON a.node = e.src
+            JOIN lb3 b ON b.node = e.dst),
+          pc AS (
+            SELECT ls, cast(count(*) AS bigint) AS ac,
+                   cast(sum(CASE WHEN ls = ld THEN 1 ELSE 0 END) AS bigint)
+                     AS ec
+            FROM tg GROUP BY 1),
+          agg AS (
+            SELECT cast(count(*) AS bigint) AS n_communities,
+                   cast(sum(ac) AS bigint) AS m_edges,
+                   cast(sum(ec) AS bigint) AS sum_intra,
+                   cast(sum(ac * ac) AS bigint) AS sum_deg_sq
+            FROM pc)
+          SELECT n_communities, m_edges, sum_intra, sum_deg_sq,
+                 cast(round((m_edges * sum_intra - sum_deg_sq) * 1e6
+                   / (m_edges * 1e0 * m_edges)) AS bigint) AS q_e6
+          FROM agg""")),
+
     ("g16_assortativity", (s: SparkSession, d: String) => {
       // Degree ASSORTATIVITY (Newman '02) — the one-number topology
       // diagnostic the per-node family (g6 cores, g9 clustering, g15

@@ -2379,6 +2379,126 @@ object TextPipeline {
          FROM dims d2 CROSS JOIN summary s2
          ORDER BY d2.dim""")),
 
+    ("x43_lm_perplexity", (s: SparkSession, d: String) => {
+      // Character-bigram LM PERPLEXITY filter — the CCNet/Wikipedia-LM
+      // quality gate, the last classic the curation suite lacked: score
+      // every document's cross-entropy under a language model trained
+      // on the TRAIN split (x5's content-addressed split, so the model
+      // is reproducible on any engine), flag the high-perplexity tail
+      // (boilerplate dumps, wrong-language, gibberish that x41's
+      // order-free entropy misses because it ignores SEQUENCE). Model:
+      // add-one-smoothed bigram probabilities P(b|a) = (C(ab)+1)/
+      // (C(a·)+V) from exact train counts (V = distinct train chars);
+      // per-position terms quantize to e6 integers BEFORE the per-doc
+      // sum (round(1e6·log2(...)) — the x41 order-free discipline), so
+      // cross-entropy bits/char is one integer sum over a shared final
+      // division. Unseen bigrams and unseen prefixes fall out of the
+      // same formula via coalesce(c, 0) — smoothing IS the guard. The
+      // flag is data-driven and engine-shared: xent above the corpus
+      // mean + 2σ (the moment chain from integer sums, verbatim both
+      // sides). Scale: the MODEL is alphabet²-bounded → broadcast into
+      // the per-position join (never a corpus-sized build side);
+      // per-doc sums aggregate map-side; one corpus position explode.
+      val docs = withHashSplit(Tables.documents(s, d))
+        .select(col("doc_id"), col("split"),
+          coalesce(col("text"), lit("")).as("text"))
+      val pos = docs.filter(length(col("text")) >= 2)
+        .select(col("doc_id"), col("split"),
+          explode(expr(
+            "transform(sequence(1, length(text) - 1), " +
+              "i -> substring(text, i, 2))")).as("b"))
+      val trainPos = pos.filter(col("split") === "train")
+      val big = trainPos.groupBy(col("b")).agg(count(lit(1)).as("cab"))
+      val pre = big.groupBy(substring(col("b"), 1, 1).as("a"))
+        .agg(sum(col("cab")).as("ca"))
+      val vocab = docs.filter(col("split") === "train")
+        .select(explode(split(col("text"), "")).as("ch"))
+        .filter(col("ch") =!= "")
+        .agg(countDistinct(col("ch")).as("v"))
+      val terms = pos
+        .withColumn("a", substring(col("b"), 1, 1))
+        .join(broadcast(big), Seq("b"), "left")
+        .join(broadcast(pre), Seq("a"), "left")
+        .crossJoin(broadcast(vocab))
+        .select(col("doc_id"),
+          round(log2((coalesce(col("cab"), lit(0L)) + 1) * lit(1e0) /
+            (coalesce(col("ca"), lit(0L)) + col("v"))) * 1e6)
+            .cast("long").as("t_e6"))
+      val perDoc = terms.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("t_e6")).as("s_e6"))
+        .withColumn("xent_e6",
+          round(-col("s_e6") * lit(1e0) / col("n_bigrams")).cast("long"))
+      val mom = perDoc.agg(count(lit(1)).as("nd"),
+        sum(col("xent_e6")).as("s1"),
+        sum(col("xent_e6") * col("xent_e6")).as("s2"))
+      perDoc.crossJoin(broadcast(mom))
+        .select(col("doc_id"), col("n_bigrams"), col("xent_e6"),
+          (col("xent_e6") * lit(1e0) >
+            col("s1") * lit(1e0) / col("nd") +
+              lit(2e0) * sqrt(col("s2") * lit(1e0) / col("nd") -
+                col("s1") * lit(1e0) / col("nd") *
+                  (col("s1") * lit(1e0) / col("nd"))))
+            .as("flag_high_perplexity"))
+        .orderBy(col("doc_id"))
+    }, Some(
+      s"""WITH b0 AS (
+            SELECT doc_id, coalesce(text, '') AS text,
+                   $splitBucketSql AS bucket
+            FROM documents),
+          sp AS (
+            SELECT doc_id, text,
+                   CASE WHEN bucket < 800 THEN 'train'
+                        WHEN bucket < 900 THEN 'valid'
+                        ELSE 'test' END AS split
+            FROM b0),
+          pos AS (
+            SELECT doc_id, split, substr(text, i, 2) AS bg FROM (
+              SELECT doc_id, split, text,
+                     unnest(generate_series(1, length(text) - 1)) AS i
+              FROM sp WHERE length(text) >= 2)),
+          big AS (
+            SELECT bg, cast(count(*) AS bigint) AS cab
+            FROM pos WHERE split = 'train' GROUP BY 1),
+          pre AS (
+            SELECT substr(bg, 1, 1) AS a, cast(sum(cab) AS bigint) AS ca
+            FROM big GROUP BY 1),
+          voc AS (
+            SELECT cast(count(DISTINCT substr(text, p, 1)) AS bigint) AS v
+            FROM (SELECT text, unnest(generate_series(1, length(text)))
+                    AS p
+                  FROM sp WHERE split = 'train')),
+          terms AS (
+            SELECT p.doc_id,
+                   cast(round(log2((coalesce(bg2.cab, 0) + 1) * 1e0 /
+                     (coalesce(pr.ca, 0) + voc.v)) * 1e6) AS bigint)
+                     AS t_e6
+            FROM pos p
+            LEFT JOIN big bg2 ON bg2.bg = p.bg
+            LEFT JOIN pre pr ON pr.a = substr(p.bg, 1, 1)
+            CROSS JOIN voc),
+          per AS (
+            SELECT doc_id, cast(count(*) AS bigint) AS n_bigrams,
+                   cast(sum(t_e6) AS bigint) AS s_e6
+            FROM terms GROUP BY 1),
+          pd AS (
+            SELECT doc_id, n_bigrams,
+                   cast(round(-s_e6 * 1e0 / n_bigrams) AS bigint)
+                     AS xent_e6
+            FROM per),
+          mom AS (
+            SELECT cast(count(*) AS bigint) AS nd,
+                   cast(sum(xent_e6) AS bigint) AS s1,
+                   cast(sum(xent_e6 * xent_e6) AS bigint) AS s2
+            FROM pd)
+          SELECT pd.doc_id, pd.n_bigrams, pd.xent_e6,
+                 pd.xent_e6 * 1e0 >
+                   m.s1 * 1e0 / m.nd
+                   + 2e0 * sqrt(m.s2 * 1e0 / m.nd
+                       - m.s1 * 1e0 / m.nd * (m.s1 * 1e0 / m.nd))
+                   AS flag_high_perplexity
+          FROM pd CROSS JOIN mom m
+          ORDER BY pd.doc_id""")),
+
     ("x42_boilerplate_mass", (s: SparkSession, d: String) => {
       // Per-document BOILERPLATE vs NOVELTY mass — the df-profile
       // reading of the shared-shingle table that d16 uses for

@@ -729,6 +729,65 @@ object EventStream {
       }
   }
 
+  final case class ConfState(hasLast: Boolean, lastX: Long,
+    cal: Array[Long], frozen: Long, nTest: Long, nCovered: Long)
+  final case class ConfUpdate(event_type: String, n_cal: Int,
+    q_radius: Option[Long], n_test: Long, n_covered: Long)
+
+  /** Streaming split-conformal coverage monitor (33rd op) — m28's
+    * arrival door: per key, the first 20 one-step absolute errors fill
+    * the calibration set; at the 20th the 90% radius FREEZES as the
+    * ⌈0.9·21⌉-th smallest (the exact order statistic, m28's k = 19);
+    * every later arrival is scored against the frozen radius and the
+    * monitor maintains exact (n_test, n_covered) — the live coverage
+    * line an operator watches for exchangeability breaks (m28's
+    * purchase-series 22% gap, but continuously). State is the
+    * calibration array (≤ 20 longs) + last level + two counters;
+    * path-dependent through the differencing, so rows sort by event
+    * day within each micro-batch (the runsStream discipline). Input
+    * grain is the (event_type, day, x) daily panel — the SAME rows the
+    * batch entry folds, so the spec replay-pins the final snapshot
+    * column-for-column against m28 on the corpus across a micro-batch
+    * split.
+    */
+  def conformalStream(daily: DataFrame, calN: Int = 20)
+      : Dataset[ConfUpdate] = {
+    val s = daily.sparkSession
+    import s.implicits._
+    daily
+      .select(col("event_type"), col("day").cast("string"), col("x"))
+      .as[(String, String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[ConfState, ConfUpdate](GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, String, Long)],
+            state: GroupState[ConfState]) =>
+          var st = state.getOption.getOrElse(
+            ConfState(false, 0L, Array.empty, -1L, 0L, 0L))
+          rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, _, x) =>
+            if (st.hasLast) {
+              val e = math.abs(x - st.lastX)
+              if (st.frozen >= 0) {
+                st = st.copy(nTest = st.nTest + 1,
+                  nCovered = st.nCovered + (if (e <= st.frozen) 1L else 0L))
+              } else {
+                val cal = st.cal :+ e
+                val frozen =
+                  if (cal.length == calN) {
+                    val k = math.ceil(0.9 * (calN + 1)).toInt
+                    cal.sorted.apply(k - 1)
+                  } else -1L
+                st = st.copy(cal = cal, frozen = frozen)
+              }
+            }
+            st = st.copy(hasLast = true, lastX = x)
+          }
+          state.update(st)
+          ConfUpdate(key, st.cal.length,
+            if (st.frozen >= 0) Some(st.frozen) else None,
+            st.nTest, st.nCovered)
+      }
+  }
+
   /** The documents file schema for the streaming corpus source. */
   val documentsSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),

@@ -1426,6 +1426,52 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("conformalStream: frozen radius and live coverage replay the batch m28 across a split") {
+    // The daily panel the batch entry folds, streamed in two
+    // micro-batches split mid-calendar (so for every key the
+    // calibration window FILLS in batch 1 and the radius must stay
+    // frozen across the boundary while coverage accumulates in batch
+    // 2). Final snapshot must equal m28's (q_radius, n_test,
+    // n_covered) column-for-column per key.
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.EventStream.ConfUpdate
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("x"))
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1), r.getLong(2)))
+      .toSeq
+    val cut = java.sql.Date.valueOf("2024-01-23")
+    val ms = MemoryStream(
+      implicitly[org.apache.spark.sql.Encoder[(String, java.sql.Date, Long)]],
+      s.sqlContext)
+    val q = EventStream.conformalStream(
+        ms.toDF.toDF("event_type", "day", "x"))
+      .writeStream.format("memory").queryName("conf_fold")
+      .outputMode("update").start()
+    try {
+      ms.addData(daily.filter(!_._2.after(cut)): _*); q.processAllAvailable()
+      ms.addData(daily.filter(_._2.after(cut)): _*); q.processAllAvailable()
+    } finally q.stop()
+    val fin = spark.table("conf_fold").as[ConfUpdate].collect()
+      .groupBy(_.event_type)
+      .map { case (g, us) => g -> us.maxBy(u => u.n_test) }
+    val batch = graft.operators.Estimation.queries("m28_conformal_interval")(
+        spark, sfDir).collect().map(r => r.getString(0) -> r).toMap
+    assert(fin.keySet == batch.keySet)
+    fin.foreach { case (g, u) =>
+      val b = batch(g)
+      assert(u.q_radius.contains(b.getLong(b.fieldIndex("q_radius"))),
+        s"$g radius: ${u.q_radius}")
+      assert(u.n_test == b.getLong(b.fieldIndex("n_test")), s"$g n_test")
+      assert(u.n_covered == b.getLong(b.fieldIndex("n_covered")),
+        s"$g n_covered")
+      assert(u.n_cal == 20, s"$g calibration must be full")
+    }
+  }
+
   test("mapGroupsWithState running stats converge to the batch moments per key") {
     val q = EventStream.runningStats(EventStream.readEvents(spark, sfDir))
       .writeStream.format("memory").queryName("run_stats").outputMode("update").start()
