@@ -353,6 +353,97 @@ object TextFunctions {
     throw new IllegalArgumentException("no data chunk")
   }
 
+  /** Deterministic synthetic Y4M video asset — the VIDEO analogue of
+    * [[renderPpm]]/[[renderWav]] (mm8), completing the image/audio/video
+    * triad with a REAL container: a canonical YUV4MPEG2 stream
+    * ("YUV4MPEG2 W16 H16 F25:1 Ip A1:1 C444\n" + per-frame "FRAME\n" +
+    * raw planar YCbCr) any Y4M reader opens. 4 frames of 16×16; frame f,
+    * pixel p carries
+    * v(f, p) = (cp(p mod n)·31 + (p+1)·131 + (docId mod 997)·101
+    *            + f·59) mod 256
+    * (renderPpm's generator plus a frame term — codepoint arithmetic,
+    * the mm6 discipline), with planes Y = v, Cb = (v+37) mod 256,
+    * Cr = (v+74) mod 256 (the PPM channel offsets, planar instead of
+    * interleaved — a decoder that mis-strides planes fails the oracle).
+    */
+  def renderY4m(docId: Long, text: String): Array[Byte] = {
+    val header = "YUV4MPEG2 W16 H16 F25:1 Ip A1:1 C444\n".getBytes("US-ASCII")
+    val fm = "FRAME\n".getBytes("US-ASCII")
+    val cps = text.codePoints().toArray
+    val n = cps.length
+    val seed = ((docId % 997) * 101).toInt
+    val out = java.nio.ByteBuffer.allocate(
+      header.length + 4 * (fm.length + 768))
+    out.put(header)
+    var f = 0
+    while (f < 4) {
+      out.put(fm)
+      var plane = 0
+      while (plane < 3) {
+        val off = plane match { case 0 => 0; case 1 => 37; case 2 => 74 }
+        var p = 0
+        while (p < 256) {
+          val cp = if (n == 0) 0 else cps(p % n)
+          val v = (cp * 31 + (p + 1) * 131 + seed + f * 59) % 256
+          out.put(((v + off) % 256).toByte)
+          p += 1
+        }
+        plane += 1
+      }
+      f += 1
+    }
+    out.array()
+  }
+
+  /** REAL Y4M decoder (see mm8_video_scene_hash): verifies the
+    * YUV4MPEG2 magic, parses the space-separated header TAGS (requires
+    * W/H, requires C444 when a C tag is present — the only chroma
+    * layout this kernel claims; unknown tags skip like a real reader),
+    * then walks FRAME markers (each may carry its own parameters up to
+    * its newline) reading w·h planar Y/Cb/Cr and returning one
+    * truncating-mean grayscale raster per frame. Throws on bad magic,
+    * missing dimensions, unsupported chroma, or a truncated frame —
+    * the decodePpm/decodeWav loud-failure contract.
+    */
+  def decodeY4m(bytes: Array[Byte]): (Int, Int, Seq[Array[Int]]) = {
+    var pos = 0
+    def line(): String = {
+      val start = pos
+      while (pos < bytes.length && bytes(pos) != '\n') pos += 1
+      require(pos < bytes.length, "unterminated Y4M header line")
+      pos += 1
+      new String(bytes, start, pos - 1 - start, "US-ASCII")
+    }
+    val hdr = line()
+    require(hdr.startsWith("YUV4MPEG2"), "not a YUV4MPEG2 stream")
+    var w = -1; var h = -1
+    hdr.split(" ").drop(1).foreach { tag =>
+      if (tag.startsWith("W")) w = tag.tail.toInt
+      else if (tag.startsWith("H")) h = tag.tail.toInt
+      else if (tag.startsWith("C"))
+        require(tag == "C444", s"unsupported chroma ${tag.tail}")
+    }
+    require(w > 0 && h > 0, "missing Y4M dimensions")
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
+    while (pos < bytes.length) {
+      val fl = line()
+      require(fl.startsWith("FRAME"), "expected FRAME marker")
+      require(bytes.length - pos >= 3 * w * h, "truncated Y4M frame")
+      val gray = new Array[Int](w * h)
+      var p = 0
+      while (p < w * h) {
+        val y = bytes(pos + p) & 0xff
+        val cb = bytes(pos + w * h + p) & 0xff
+        val cr = bytes(pos + 2 * w * h + p) & 0xff
+        gray(p) = (y + cb + cr) / 3
+        p += 1
+      }
+      pos += 3 * w * h
+      frames += gray
+    }
+    (w, h, frames.toSeq)
+  }
+
   /** Per-frame audio features over decoded samples (frame = `frameSize`
     * samples): (frame_idx, n_samples, energy_sum = Σa², zero-crossing
     * count — sign change (a ≥ 0) ≠ (a' ≥ 0) between in-frame neighbors

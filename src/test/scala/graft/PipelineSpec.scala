@@ -1183,6 +1183,40 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.length == 64, "runt vector must not add dims beyond 64")
   }
 
+  test("decodeY4m: header tags, plane strides, loud container failures") {
+    // Round-trip the generator through the REAL stream parser: the
+    // exact grayscale the formula says (including the planar stride —
+    // Y/Cb/Cr live wh apart, not interleaved), 4 frames out, and the
+    // frame term actually moving pixels between frames.
+    val y4m = TextFunctions.renderY4m(docId = 7L, text = "hello world")
+    val (w, h, frames) = TextFunctions.decodeY4m(y4m)
+    assert((w, h) == (16, 16) && frames.size == 4)
+    val cps = "hello world".codePoints().toArray
+    def v(f: Int, p: Int): Int =
+      (cps(p % cps.length) * 31 + (p + 1) * 131 + (7 % 997) * 101 + f * 59) % 256
+    (0 until 4).foreach { f =>
+      assert(frames(f)(0) ==
+        (v(f, 0) + (v(f, 0) + 37) % 256 + (v(f, 0) + 74) % 256) / 3,
+        s"frame $f pixel 0")
+    }
+    assert(frames(0).toSeq != frames(1).toSeq, "frame term must move pixels")
+    // A header with extra tags (Xmeta) and no C tag still parses — a
+    // real reader skips what it doesn't know; C420 is refused loudly.
+    val body = y4m.drop(y4m.indexOf('\n'.toByte) + 1)
+    val hand = "YUV4MPEG2 W16 H16 F30:1 Xgraft\n".getBytes("US-ASCII") ++ body
+    assert(TextFunctions.decodeY4m(hand)._3.size == 4)
+    intercept[IllegalArgumentException] {
+      TextFunctions.decodeY4m(
+        "YUV4MPEG2 W16 H16 C420\n".getBytes("US-ASCII") ++ body)
+    }
+    intercept[IllegalArgumentException] {
+      TextFunctions.decodeY4m("MPEG4 W16 H16\n".getBytes("US-ASCII"))
+    }
+    intercept[IllegalArgumentException] {
+      TextFunctions.decodeY4m(y4m.take(y4m.length - 100)) // truncated frame
+    }
+  }
+
   test("x40 langIdPerDoc: mixed-language doc routes by majority trigram mass") {
     // The verdict-prescribed planted case: a document that is 7 parts
     // langA text and 3 parts langB (pre-rot13'd segments inside an
