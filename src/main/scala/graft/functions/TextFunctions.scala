@@ -357,11 +357,15 @@ object TextFunctions {
     * [[renderPpm]]/[[renderWav]] (mm8), completing the image/audio/video
     * triad with a REAL container: a canonical YUV4MPEG2 stream
     * ("YUV4MPEG2 W16 H16 F25:1 Ip A1:1 C444\n" + per-frame "FRAME\n" +
-    * raw planar YCbCr) any Y4M reader opens. 4 frames of 16×16; frame f,
-    * pixel p carries
+    * raw planar YCbCr) any Y4M reader opens. 4 frames of 16×16 in TWO
+    * SHOTS (frames {0,1} and {2,3}): frame f, pixel p carries
     * v(f, p) = (cp(p mod n)·31 + (p+1)·131 + (docId mod 997)·101
-    *            + f·59) mod 256
-    * (renderPpm's generator plus a frame term — codepoint arithmetic,
+    *            + (f div 2)·59 + f) mod 256
+    * — the (f div 2)·59 shot term decorrelates ACROSS the cut while the
+    * +f drift keeps consecutive within-shot frames perceptually near
+    * (so mm8's scene detector has both branches to find on every
+    * asset, not a vacuous all-change corpus). renderPpm's generator
+    * otherwise — codepoint arithmetic,
     * the mm6 discipline), with planes Y = v, Cb = (v+37) mod 256,
     * Cr = (v+74) mod 256 (the PPM channel offsets, planar instead of
     * interleaved — a decoder that mis-strides planes fails the oracle).
@@ -384,7 +388,7 @@ object TextFunctions {
         var p = 0
         while (p < 256) {
           val cp = if (n == 0) 0 else cps(p % n)
-          val v = (cp * 31 + (p + 1) * 131 + seed + f * 59) % 256
+          val v = (cp * 31 + (p + 1) * 131 + seed + (f / 2) * 59 + f) % 256
           out.put(((v + off) % 256).toByte)
           p += 1
         }

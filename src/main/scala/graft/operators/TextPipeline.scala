@@ -554,6 +554,30 @@ object TextPipeline {
       dir
     })
 
+  private val y4mAssetCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** One real Y4M video per document (renderY4m), the mm8 lane —
+    * ppmAssetDir's shape, same scratch root + shutdown cleanup.
+    */
+  private[graft] def y4mAssetDir(s: SparkSession, d: String): String =
+    y4mAssetCache.getOrElseUpdate(d, {
+      import s.implicits._
+      val dir = s"$ppmScratchRoot/y4m_${java.util.UUID.randomUUID()}"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      Tables.documents(s, d)
+        .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+        .as[(Long, String)]
+        .foreachPartition { it: Iterator[(Long, String)] =>
+          it.foreach { case (id, t) =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(dir, f"$id%08d.y4m"),
+              TextFunctions.renderY4m(id, t))
+          }
+        }
+      dir
+    })
+
   private val wavAssetCache =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
@@ -6730,6 +6754,104 @@ object TextPipeline {
                           THEN 1 ELSE 0 END) AS bigint) AS zcr,
                 cast(max(abs(a)) AS bigint) AS peak
          FROM nx GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    ("mm8_video_scene_hash", (s: SparkSession, d: String) => {
+      // VIDEO completes the multimodal triad (image mm6 / audio mm7 /
+      // video here) with the same full-lifecycle discipline: the
+      // y4mAssetDir writer emits one REAL 4-frame YUV4MPEG2 stream per
+      // document (renderY4m — any Y4M reader opens it), binaryFile
+      // ingests, the kernel PARSES the container (header tags walked
+      // tolerantly, FRAME markers, planar C444 strides — decodeY4m),
+      // and each decoded frame aHashes through the SAME aHash8 mm6
+      // uses (one perceptual kernel for stills and frames). The video
+      // question on top: SCENE CHANGE — hamming distance between
+      // consecutive frames' hashes, flagged at > 16 of 64 bits (the
+      // shot-boundary primitive every video-dedup/sampling pipeline
+      // starts from; frame sampling itself is mm2). Per-asset lag
+      // window over 4 rows; hamming via bit_count(hi⊕prev_hi) +
+      // bit_count(lo⊕prev_lo); oracle replays generator → planar gray
+      // → 8×8 means → bits per (asset, frame), then hammings from the
+      // bit table by a frame-offset self-join (no bit_count needed
+      // relationally). At 100 TB: one binaryFile scan + per-file
+      // O(frames·pixels) kernel + a per-asset 4-row window.
+      import s.implicits._
+      val dir = y4mAssetDir(s, d)
+      val wd = Window.partitionBy(col("asset_id")).orderBy(col("frame_idx"))
+      s.read.format("binaryFile").option("pathGlobFilter", "*.y4m")
+        .load(dir)
+        .select(
+          regexp_extract(col("path"), "([0-9]+)\\.y4m$", 1)
+            .cast("long").as("asset_id"),
+          col("content"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          it.flatMap { case (id, bytes) =>
+            val (w, h, frames) = TextFunctions.decodeY4m(bytes)
+            frames.zipWithIndex.map { case (gray, f) =>
+              val (hi, lo, bits) = TextFunctions.aHash8(w, h, gray)
+              (id, f.toLong, hi, lo, bits)
+            }
+          }
+        }
+        .toDF("asset_id", "frame_idx", "phash_hi", "phash_lo", "bits_set")
+        .withColumn("hamming_prev",
+          expr("bit_count(phash_hi ^ lag(phash_hi, 1) OVER " +
+            "(PARTITION BY asset_id ORDER BY frame_idx)) + " +
+            "bit_count(phash_lo ^ lag(phash_lo, 1) OVER " +
+            "(PARTITION BY asset_id ORDER BY frame_idx))").cast("long"))
+        .withColumn("is_scene_change",
+          when(col("hamming_prev").isNotNull, col("hamming_prev") > 16))
+        .orderBy(col("asset_id"), col("frame_idx"))
+    }, Some(
+      """WITH px AS (
+           SELECT d.doc_id, fr.f AS f, g.p AS p,
+                  CASE WHEN length(d.text) = 0 OR d.text IS NULL THEN 0
+                       ELSE unicode(substr(d.text,
+                         cast(g.p % length(d.text) AS int) + 1, 1)) END AS cp
+           FROM documents d, generate_series(0, 3) fr(f),
+                generate_series(0, 255) g(p)),
+         vv AS (
+           SELECT doc_id, f, p,
+                  (cp * 31 + (p + 1) * 131 + (doc_id % 997) * 101
+                   + (f // 2) * 59 + f) % 256 AS v
+           FROM px),
+         gr AS (
+           SELECT doc_id, f,
+                  ((p // 16) // 2) * 8 + ((p % 16) // 2) AS o,
+                  (v + (v + 37) % 256 + (v + 74) % 256) // 3 AS gray
+           FROM vv),
+         ds AS (SELECT doc_id, f, o, cast(sum(gray) // 4 AS bigint) AS g8
+                FROM gr GROUP BY 1, 2, 3),
+         ss AS (SELECT doc_id, f, cast(sum(g8) AS bigint) AS ssum
+                FROM ds GROUP BY 1, 2),
+         bits AS (
+           SELECT ds.doc_id, ds.f, ds.o,
+                  CASE WHEN 64 * ds.g8 > ss.ssum THEN 1 ELSE 0 END AS bit
+           FROM ds JOIN ss ON ss.doc_id = ds.doc_id AND ss.f = ds.f),
+         ph AS (
+           SELECT doc_id, f,
+                  cast(sum(CASE WHEN bit = 1 AND o >= 32
+                      THEN cast(1 AS bigint) << (o - 32) ELSE 0 END)
+                    AS bigint) AS phash_hi,
+                  cast(sum(CASE WHEN bit = 1 AND o < 32
+                      THEN cast(1 AS bigint) << o ELSE 0 END)
+                    AS bigint) AS phash_lo,
+                  cast(sum(bit) AS bigint) AS bits_set
+           FROM bits GROUP BY 1, 2),
+         hd AS (
+           SELECT b1.doc_id, b1.f,
+                  cast(sum(CASE WHEN b1.bit <> b0.bit THEN 1 ELSE 0 END)
+                    AS bigint) AS hamming_prev
+           FROM bits b1 JOIN bits b0
+             ON b0.doc_id = b1.doc_id AND b0.f = b1.f - 1 AND b0.o = b1.o
+           GROUP BY 1, 2)
+         SELECT ph.doc_id AS asset_id, cast(ph.f AS bigint) AS frame_idx,
+                ph.phash_hi, ph.phash_lo, ph.bits_set,
+                hd.hamming_prev,
+                CASE WHEN hd.hamming_prev IS NOT NULL
+                     THEN hd.hamming_prev > 16 END AS is_scene_change
+         FROM ph LEFT JOIN hd ON hd.doc_id = ph.doc_id AND hd.f = ph.f
+         ORDER BY 1, 2""")),
 
     ("mm4_frame_retrieval", (s: SparkSession, d: String) => {
       // Cross-asset frame retrieval — the multimodal surface composed

@@ -1193,7 +1193,8 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((w, h) == (16, 16) && frames.size == 4)
     val cps = "hello world".codePoints().toArray
     def v(f: Int, p: Int): Int =
-      (cps(p % cps.length) * 31 + (p + 1) * 131 + (7 % 997) * 101 + f * 59) % 256
+      (cps(p % cps.length) * 31 + (p + 1) * 131 + (7 % 997) * 101
+        + (f / 2) * 59 + f) % 256
     (0 until 4).foreach { f =>
       assert(frames(f)(0) ==
         (v(f, 0) + (v(f, 0) + 37) % 256 + (v(f, 0) + 74) % 256) / 3,
