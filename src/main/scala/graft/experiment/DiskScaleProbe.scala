@@ -165,11 +165,16 @@ object DiskScaleProbe {
     def report(name: String, ks: Seq[Int], run: String => Unit): Unit = {
       if (ks.isEmpty) return
       val ts = ks.map(k => timeMin(run(kdir(k))))
-      val alpha = math.log(ts.last / ts.head) /
-        math.log(ks.last.toDouble / ks.head)
+      // alpha needs two distinct k points; a single-k restricted re-run
+      // (SPARK_GRAFT_PROBE_KS=64) would otherwise print log(1)/log(1) =
+      // NaN and break JSON parsing — emit null for timing-only rows.
+      val alpha =
+        if (ks.distinct.size < 2) "null"
+        else f"${math.log(ts.last / ts.head) /
+          math.log(ks.last.toDouble / ks.head)}%.3f"
       val fields = ks.zip(ts).map { case (k, t) => f""""t$k":$t%.3f""" }
         .mkString(",")
-      println(f"""{"shape":"$name",$fields,"alpha":$alpha%.3f,"cores":$cores,"source":"disk"}""")
+      println(s"""{"shape":"$name",$fields,"alpha":$alpha,"cores":$cores,"source":"disk"}""")
     }
     // SPARK_GRAFT_SHAPES: comma-separated shape-name filter for isolated
     // re-measurement (a shared session lets one shape's storage pressure

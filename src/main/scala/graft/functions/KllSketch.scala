@@ -155,4 +155,41 @@ object KllSketch {
     while (cur.items.size > k) cur = compactOnce(cur)
     cur
   }
+
+  /** Binary-counter micro-batch fold (the Bentley–Saxe logarithmic
+    * method — the same lazy-binary-counter shape DgimSketch proves for
+    * its bucket cascade). Slot i holds the merge of exactly 2^i
+    * micro-batch sketches; a new batch enters at slot 0 and CARRIES
+    * upward on collision, exactly like binary addition.
+    *
+    * Why not merge every batch straight into one running sketch: that
+    * promotes the small batch up to the state's level each time, adding
+    * ~2^level ≈ n/k to the bound PER BATCH — after ~2k micro-batches the
+    * reported bound exceeds n and the quantiles are vacuous (honest but
+    * useless). With the counter fold each item participates in at most
+    * ⌈log₂ B⌉ merges, so the union bound grows ~O(n·log₂B/k) instead of
+    * ~O(n·B/2k), and state stays ≤ k·⌈log₂(B+1)⌉ pairs per key —
+    * logarithmic in stream length, never linear.
+    */
+  def foldStep(slots: Vector[Option[Sketch]], batch: Sketch, k: Int)
+      : Vector[Option[Sketch]] = {
+    if (batch.n == 0) return slots
+    var carry = batch
+    var v = slots
+    var i = 0
+    while (i < v.size && v(i).isDefined) {
+      carry = merge(v(i).get, carry, k)
+      v = v.updated(i, None)
+      i += 1
+    }
+    if (i < v.size) v.updated(i, Some(carry)) else v :+ Some(carry)
+  }
+
+  /** Query-time union of the counter slots, low slot first (a fixed,
+    * deterministic order — replay tests fold the same way). The union is
+    * EPHEMERAL: it is emitted, never stored, so its compaction costs are
+    * paid once per emission and do not compound across batches.
+    */
+  def union(slots: Vector[Option[Sketch]], k: Int): Sketch =
+    slots.flatten.foldLeft(empty)((acc, s) => merge(acc, s, k))
 }

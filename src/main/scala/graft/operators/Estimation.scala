@@ -901,11 +901,19 @@ object Estimation {
     val g = z.groupBy(col("event_type"))
       .agg(count(lit(1)).as("ni"), sum(col("z2")).as("si"),
         sum(col("z2") * col("z2")).as("qi"))
+    // sb is quantized PER GROUP to an e4 integer before the cross-group
+    // sum: a raw double sum(si²/ni) is partial-aggregation-order-dependent
+    // (Spark's combine order vs DuckDB's scan order) and a knife-edge f_e4
+    // rounding could flip across engines. (si·si) is an exact long (the
+    // same product ssw_int already carries), promoted to double only for
+    // the per-group division — deterministic per group, exact-long sum.
     g.agg(count(lit(1)).as("k"), sum(col("ni")).as("nn"),
         sum(col("si")).as("st"),
-        sum(col("si") * col("si") / (col("ni") * lit(1e0))).as("sb"),
+        sum(expr("cast(round((si * si) * 1e0 * 1e4 / ni) AS bigint)"))
+          .as("sb_e4"),
         sum(col("qi")).as("qt"),
         sum(col("ni") * col("qi") - col("si") * col("si")).as("ssw_int"))
+      .withColumn("sb", col("sb_e4") * lit(1e0) / 1e4)
       .withColumn("ssb",
         col("sb") - col("st") * col("st") * lit(1e0) / col("nn"))
       .withColumn("ssw", col("qt") * lit(1e0) - col("sb"))
@@ -922,6 +930,51 @@ object Estimation {
                      WHEN df1 = 5 THEN f_e4 * 5 > 110705
                      WHEN df1 = 6 THEN f_e4 * 6 > 125916
                 END, false)""").as("reject_5pct"))
+  }
+
+  /** The m28 kernel over any (event_type, day, x:long) panel — split-
+    * conformal 90% interval radius frozen as the ⌈0.9·(n_cal+1)⌉-th
+    * smallest of the first calN one-step absolute errors, then exact
+    * realized coverage on the remainder; contract on the m28 entry.
+    * Spec-planted branch: a key whose series yields fewer errors than
+    * k needs (n_cal ≤ 8 at calN = 20) must NOT crash the query — ANSI
+    * element_at THROWS out-of-bounds where DuckDB's arr[k] returns
+    * NULL, and the cal stage evaluates EVERY key, including ones the
+    * test-side join later drops — so the radius is guarded NULL (the
+    * conformalStream never-frozen branch) and such keys simply never
+    * reach the output (no rn > calN rows exist for them).
+    */
+  private[graft] def splitConformal(daily: DataFrame, calN: Int = 20)
+      : DataFrame = {
+    val wd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val err = daily
+      .withColumn("e", abs(col("x") - lag(col("x"), 1).over(wd)))
+      .filter(col("e").isNotNull)
+      .withColumn("rn", row_number().over(wd))
+    val cal = err.filter(col("rn") <= calN)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_cal"),
+        sort_array(collect_list(col("e"))).as("arr"))
+      .withColumn("k",
+        expr("cast(ceil(0.9 * (n_cal + 1)) AS int)"))
+      .withColumn("q_radius",
+        expr("CASE WHEN k <= n_cal THEN element_at(arr, k) END"))
+      .select(col("event_type"), col("n_cal"), col("k"),
+        col("q_radius"))
+    err.filter(col("rn") > calN)
+      .join(broadcast(cal), "event_type")
+      .groupBy(col("event_type"), col("n_cal"), col("k"), col("q_radius"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("e") <= col("q_radius"), 1L).otherwise(0L))
+          .as("n_covered"))
+      .select(col("event_type"), col("n_cal"), col("n_test"),
+        col("q_radius"),
+        round(col("k") * lit(1e6) / (col("n_cal") + 1)).cast("long")
+          .as("guarantee_e6"),
+        col("n_covered"),
+        round(col("n_covered") * lit(1e6) / col("n_test")).cast("long")
+          .as("coverage_e6"))
+      .orderBy(col("event_type"))
   }
 
   private[graft] def robustAnomaly(daily: DataFrame): DataFrame = {
@@ -4131,7 +4184,8 @@ object Estimation {
            SELECT cast(count(*) AS bigint) AS k,
                   cast(sum(ni) AS bigint) AS nn,
                   cast(sum(si) AS bigint) AS st,
-                  sum(si * si / (ni * 1e0)) AS sb,
+                  sum(cast(round((si * si) * 1e0 * 1e4 / ni) AS bigint))
+                    * 1e0 / 1e4 AS sb,
                   cast(sum(qi) AS bigint) AS qt,
                   cast(sum(ni * qi - si * si) AS bigint) AS ssw_int
            FROM g),
@@ -4251,38 +4305,9 @@ object Estimation {
       // REPORTS guarantee vs realized coverage side by side rather
       // than asserting one (daily cents run near-exchangeable here;
       // the gap is the diagnostic).
-      val wd = Window.partitionBy(col("event_type")).orderBy(col("day"))
-      val daily = Tables.events(s, d)
+      splitConformal(Tables.events(s, d)
         .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-        .agg(sum(round(col("value") * 100).cast("long")).as("x"))
-      val err = daily
-        .withColumn("e", abs(col("x") - lag(col("x"), 1).over(wd)))
-        .filter(col("e").isNotNull)
-        .withColumn("rn", row_number().over(wd))
-      val cal = err.filter(col("rn") <= 20)
-        .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n_cal"),
-          sort_array(collect_list(col("e"))).as("arr"))
-        .withColumn("k",
-          expr("cast(ceil(0.9 * (n_cal + 1)) AS int)"))
-        .withColumn("q_radius",
-          expr("element_at(arr, k)"))
-        .select(col("event_type"), col("n_cal"), col("k"),
-          col("q_radius"))
-      err.filter(col("rn") > 20)
-        .join(broadcast(cal), "event_type")
-        .groupBy(col("event_type"), col("n_cal"), col("k"), col("q_radius"))
-        .agg(count(lit(1)).as("n_test"),
-          sum(when(col("e") <= col("q_radius"), 1L).otherwise(0L))
-            .as("n_covered"))
-        .select(col("event_type"), col("n_cal"), col("n_test"),
-          col("q_radius"),
-          round(col("k") * lit(1e6) / (col("n_cal") + 1)).cast("long")
-            .as("guarantee_e6"),
-          col("n_covered"),
-          round(col("n_covered") * lit(1e6) / col("n_test")).cast("long")
-            .as("coverage_e6"))
-        .orderBy(col("event_type"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("x")))
     }, Some(
       """WITH daily AS (
            SELECT event_type, cast(ts AS date) AS day,

@@ -619,7 +619,13 @@ object EventStream {
   }
 
   final case class KllArrival(event_type: String, cents: Long, fp: Long)
-  final case class KllStateRow(level: Int, n: Long, errBound: Long,
+  /** Binary-counter slot vector, flattened for the state encoder: slot
+    * `slotIdx(j)` holds a sketch of `counts(j)` items at `levels(j)`,
+    * its (value, fp) pairs occupying the next `counts(j)` positions of
+    * the `vs`/`fps` arrays in slot order.
+    */
+  final case class KllStateRow(slotIdx: Array[Int], levels: Array[Int],
+    ns: Array[Long], bounds: Array[Long], counts: Array[Int],
     vs: Array[Long], fps: Array[Long])
   final case class KllUpdate(event_type: String, n: Long, level: Int,
     n_kept: Int, err_bound: Long,
@@ -629,17 +635,23 @@ object EventStream {
     * micro-batch fold of [[graft.functions.KllSketch]], a25's kernel:
     * each batch's arrivals per key build the closed-form cascade (a
     * multiset sort — arrival order WITHIN a batch cannot matter) and
-    * merge into the ValueState under the kernel's merge law, so state is
-    * at most k = 64 (value, fp) pairs + (level, n, errBound) per key no
-    * matter the stream length, and the reported err_bound composes
-    * additively through every fold exactly as the merge-law test pins.
+    * enter the BINARY-COUNTER slot fold (KllSketch.foldStep, the
+    * Bentley–Saxe logarithmic method): slot i holds the merge of 2^i
+    * batches, new batches carry upward like binary addition, and the
+    * emitted snapshot is the ephemeral union of the slots. State is at
+    * most k·⌈log₂(B+1)⌉ (value, fp) pairs per key after B micro-batches
+    * — logarithmic in stream length — and the reported err_bound grows
+    * ~O(n·log₂B/k), NOT the ~O(n·B/2k) a naive merge-every-batch fold
+    * accumulates (which goes vacuous after ~2k batches; the r14 ADVICE
+    * item this fold closes). Bounds still compose additively through
+    * every merge exactly as the merge-law test pins.
     * Batch-boundary placement DOES shape the survivor set (which is why
     * the replay test fixes the split and compares against the same-split
-    * Scala fold, then bound-checks the estimates against TRUE union
-    * ranks — the sketch's only cross-split contract). Quantiles emit via
-    * the general estimator valueAtRank (no rank offset — merged sketches
-    * have none); the deterministic per-row fp is pmod(us·31 + cents,
-    * 2^32), the bottomKStream fingerprint convention.
+    * Scala foldStep+union, then bound-checks the estimates against TRUE
+    * union ranks — the sketch's only cross-split contract). Quantiles
+    * emit via the general estimator valueAtRank (no rank offset — merged
+    * sketches have none); the deterministic per-row fp is pmod(us·31 +
+    * cents, 2^32), the bottomKStream fingerprint convention.
     */
   def kllStream(events: DataFrame, k: Int = 64): Dataset[KllUpdate] = {
     val s = events.sparkSession
@@ -657,15 +669,31 @@ object EventStream {
       override def handleInputRows(
           key: String, rows: Iterator[KllArrival],
           timerValues: TimerValues): Iterator[KllUpdate] = {
-        val prev = Option(st.get())
-          .map(r => KllSketch.Sketch(r.level,
-            r.vs.zip(r.fps).toVector, r.n, r.errBound))
-          .getOrElse(KllSketch.empty)
+        val prevSlots: Vector[Option[KllSketch.Sketch]] =
+          Option(st.get()) match {
+            case None => Vector.empty
+            case Some(r) =>
+              val bySlot = r.slotIdx.indices.map { j =>
+                val off = r.counts.take(j).sum
+                r.slotIdx(j) -> KllSketch.Sketch(r.levels(j),
+                  r.vs.slice(off, off + r.counts(j))
+                    .zip(r.fps.slice(off, off + r.counts(j))).toVector,
+                  r.ns(j), r.bounds(j))
+              }.toMap
+              (0 to bySlot.keys.max).map(bySlot.get).toVector
+          }
         val batch = KllSketch.build(
           rows.map(a => (a.cents, a.fp)).toSeq, k)
-        val m = KllSketch.merge(prev, batch, k)
-        st.update(KllStateRow(m.level, m.n, m.errBound,
-          m.items.map(_._1).toArray, m.items.map(_._2).toArray))
+        val slots = KllSketch.foldStep(prevSlots, batch, k)
+        val occ = slots.zipWithIndex
+          .collect { case (Some(s), i) => (i, s) }
+        st.update(KllStateRow(occ.map(_._1).toArray,
+          occ.map(_._2.level).toArray, occ.map(_._2.n).toArray,
+          occ.map(_._2.errBound).toArray,
+          occ.map(_._2.items.size).toArray,
+          occ.flatMap(_._2.items.map(_._1)).toArray,
+          occ.flatMap(_._2.items.map(_._2)).toArray))
+        val m = KllSketch.union(slots, k)
         def q(p: Int): Long = m.valueAtRank(((p * m.n + 99) / 100).max(1L))
         Iterator.single(KllUpdate(key, m.n, m.level, m.items.size,
           m.errBound, q(25), q(50), q(75), q(90)))

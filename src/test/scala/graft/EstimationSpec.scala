@@ -213,6 +213,30 @@ class EstimationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!r2.getBoolean(4), "degenerate must not reject")
   }
 
+  test("m28 splitConformal: a tiny-calibration key must not crash the query (planted)") {
+    // The r14 ADVICE crash class: the cal stage evaluates element_at for
+    // EVERY key, including ones the test-side join later drops — a key
+    // with n_cal ≤ 8 errors has k = ⌈0.9·(n_cal+1)⌉ > n_cal, and ANSI
+    // element_at throws out-of-bounds where DuckDB's arr[k] is NULL.
+    // Plant one long key (25 days → 24 errors: 20 cal + 4 test, radius
+    // frozen) beside one 6-day key (5 errors < k = 6 — the guard's
+    // branch): the query must SUCCEED, emit the long key with a frozen
+    // radius, and omit the tiny key (it has no rn > 20 rows).
+    val s = spark
+    import s.implicits._
+    val longKey = (1 to 25).map(i =>
+      ("long", f"2024-01-$i%02d", (i.toLong * i) % 97))
+    val tinyKey = (1 to 6).map(i =>
+      ("tiny", f"2024-01-$i%02d", i * 11L))
+    val daily = (longKey ++ tinyKey).toDF("event_type", "day", "x")
+    val got = graft.operators.Estimation.splitConformal(daily).collect()
+    assert(got.length == 1, s"expected only the long key: ${got.toSeq}")
+    val r = got(0)
+    assert(r.getString(0) == "long" && r.getLong(1) == 20L &&
+      r.getLong(2) == 4L && !r.isNullAt(3),
+      s"long key must carry a frozen radius: $r")
+  }
+
   test("t26 friedman: consistent blocks reject, incomplete days drop, all-tied degenerates (planted)") {
     // Battery 1 — Friedman's signature: a < b < c WITHIN every day
     // while the daily LEVELS shift by decades (1,2,3 / 11,12,13 / ...),

@@ -1551,4 +1551,39 @@ class RelationalPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     // n = 1290 at k = 64 the cascade bound stays well under n/4.
     assert(m.errBound < 1290L / 4, s"bound ${m.errBound} degenerate")
   }
+
+  test("a25: binary-counter fold keeps the long-stream bound logarithmic") {
+    // The r14 ADVICE degradation, pinned shut: a naive merge-every-batch
+    // fold promotes each small batch up to the state's level, so its
+    // bound grows ~O(n·B/2k) and goes VACUOUS (> n) on long streams; the
+    // foldStep binary counter caps both state (≤ k·⌈log₂(B+1)⌉ pairs)
+    // and the union bound (~O(n·log₂B/k)). 200 batches × 100 items —
+    // long enough that the naive bound visibly diverges — and the union
+    // must still honor its own bound against TRUE ranks.
+    import graft.functions.KllSketch
+    val batches = (0 until 200).map(b =>
+      (0 until 100).map(i =>
+        (((b * 100 + i) * 7919L) % 999983L, (b * 1000L + i))))
+    val naive = batches.foldLeft(KllSketch.empty)((acc, p) =>
+      KllSketch.merge(acc, KllSketch.build(p, 64), 64))
+    val slots = batches.foldLeft(
+        Vector.empty[Option[KllSketch.Sketch]])((acc, p) =>
+      KllSketch.foldStep(acc, KllSketch.build(p, 64), 64))
+    val u = KllSketch.union(slots, 64)
+    val n = 20000L
+    assert(u.n == n && naive.n == n)
+    assert(slots.size <= 9, s"slot vector ${slots.size} not logarithmic")
+    val statePairs = slots.flatten.map(_.items.size).sum
+    assert(statePairs <= 64 * 9, s"state $statePairs pairs exceeds k·log₂B")
+    assert(naive.errBound > n / 2,
+      s"naive fold bound ${naive.errBound} unexpectedly tight — test stale")
+    assert(u.errBound * 4 < naive.errBound,
+      s"counter bound ${u.errBound} not ≪ naive ${naive.errBound}")
+    assert(u.errBound < n / 4, s"counter bound ${u.errBound} still vacuous")
+    val union = batches.flatten.map(_._1).sorted
+    (0L to 999983L by 37_037L).foreach { q =>
+      val err = math.abs(u.estRank(q) - union.count(_ < q).toLong)
+      assert(err <= u.errBound, s"estRank($q) err $err > ${u.errBound}")
+    }
+  }
 }

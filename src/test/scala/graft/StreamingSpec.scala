@@ -1274,8 +1274,9 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // 409 rows for key a — different cascade depths force the promote
     // path inside merge; key b stays under k so its sketch must remain
     // EXACT with bound 0). Pins: (1) the stream's final snapshot equals
-    // the same-split Scala fold of KllSketch.build+merge — the state
-    // algebra is a25's kernel, nothing more; (2) every emitted quantile
+    // the same-split Scala fold of KllSketch.build+foldStep+union — the
+    // state algebra is a25's kernel under the binary-counter slot fold,
+    // nothing more; (2) every emitted quantile
     // and a rank sweep sit within the sketch's own reported err_bound of
     // the TRUE union ranks — the cross-split contract, since batch
     // boundaries legitimately shape the survivor set.
@@ -1325,10 +1326,15 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         (cents, ((us * 31 + cents) % 4294967296L + 4294967296L) % 4294967296L)
       }
     Seq("a", "b").foreach { g =>
-      val fold = batches.foldLeft(KllSketch.empty) { (acc, b) =>
+      // Same-split binary-counter fold: the stream's state algebra is
+      // KllSketch.foldStep + union, nothing more.
+      val slots = batches.foldLeft(
+          Vector.empty[Option[KllSketch.Sketch]]) { (acc, b) =>
         val p = pairs(b, g)
-        if (p.isEmpty) acc else KllSketch.merge(acc, KllSketch.build(p, 64), 64)
+        if (p.isEmpty) acc
+        else KllSketch.foldStep(acc, KllSketch.build(p, 64), 64)
       }
+      val fold = KllSketch.union(slots, 64)
       val u = fin(g)
       assert(u.n == fold.n && u.level == fold.level &&
         u.n_kept == fold.items.size && u.err_bound == fold.errBound,
