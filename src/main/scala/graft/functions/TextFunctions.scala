@@ -99,6 +99,35 @@ object TextFunctions {
     out
   }
 
+  /** The planted NEAR-DUP variant of [[renderPpm]] (mm9): the same
+    * raster with the FIRST ROW (pixels p < 16, touching the top half of
+    * eight 2×2 downsample blocks) bumped to v′ = (v + 25) mod 256,
+    * channels re-derived from v′ so the decode math stays uniform. A
+    * genuinely near image: those blocks' means shift by ~+12 and the
+    * global threshold by ~+1.5, so a handful of borderline bits flip —
+    * hamming lands 0–5 across the corpus (measured: most pairs within
+    * the mm9 banding threshold 3, a minority honestly beyond it — the
+    * miss behavior a real banded dedup has). The oracle replays the
+    * same first-row CASE branch relationally.
+    */
+  def renderPpmPerturbed(docId: Long, text: String): Array[Byte] = {
+    val out = renderPpm(docId, text)
+    val header = "P6\n16 16\n255\n".getBytes("US-ASCII").length
+    val cps = text.codePoints().toArray
+    val n = cps.length
+    val seed = ((docId % 997) * 101).toInt
+    var p = 0
+    while (p < 16) {
+      val cp = if (n == 0) 0 else cps(p % n)
+      val v = ((cp * 31 + (p + 1) * 131 + seed) % 256 + 25) % 256
+      out(header + 3 * p) = v.toByte
+      out(header + 3 * p + 1) = ((v + 37) % 256).toByte
+      out(header + 3 * p + 2) = ((v + 74) % 256).toByte
+      p += 1
+    }
+    out
+  }
+
   /** REAL P6 PPM decoder (see mm6_perceptual_hash): parses the magic, a
     * whitespace/`#`-comment-tolerant header (width, height, maxval), the
     * single whitespace byte that ends it, then the w·h binary RGB

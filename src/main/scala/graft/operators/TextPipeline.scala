@@ -554,6 +554,39 @@ object TextPipeline {
       dir
     })
 
+  private val ppmNearDupCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** The mm9 asset corpus: every document's base PPM (asset_id =
+    * 2·doc_id) plus, for doc_id % 25 = 0, a PLANTED near-dup variant
+    * (asset_id = 2·doc_id + 1, [[TextFunctions.renderPpmPerturbed]] —
+    * the first row bumped by +25). Same
+    * executor-side foreachPartition writer discipline as
+    * [[ppmAssetDir]]; a separate directory because mm6's oracle replays
+    * the UNPERTURBED corpus and must not see the variants.
+    */
+  private[graft] def ppmNearDupAssetDir(s: SparkSession, d: String): String =
+    ppmNearDupCache.getOrElseUpdate(d, {
+      import s.implicits._
+      val dir = s"$ppmScratchRoot/neardup_${java.util.UUID.randomUUID()}"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      Tables.documents(s, d)
+        .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+        .as[(Long, String)]
+        .foreachPartition { it: Iterator[(Long, String)] =>
+          it.foreach { case (id, t) =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(dir, f"${2 * id}%08d.ppm"),
+              TextFunctions.renderPpm(id, t))
+            if (id % 25 == 0)
+              java.nio.file.Files.write(
+                java.nio.file.Paths.get(dir, f"${2 * id + 1}%08d.ppm"),
+                TextFunctions.renderPpmPerturbed(id, t))
+          }
+        }
+      dir
+    })
+
   private val y4mAssetCache =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
@@ -6933,7 +6966,156 @@ object TextPipeline {
                        PARTITION BY q_doc, q_frame
                        ORDER BY cosine_e6 DESC, doc_id * 65536 + frame_idx) AS rank
            FROM scored)
-         WHERE rank <= 3 ORDER BY q_doc, q_frame, rank"""))
+         WHERE rank <= 3 ORDER BY q_doc, q_frame, rank""")),
+
+    ("mm9_visual_neardup", (s: SparkSession, d: String) => {
+      // VISUAL near-dup PAIRING (r14 verdict #2) — the composition the
+      // multimodal family stopped short of: mm6/mm8 emit per-asset
+      // perceptual hashes, text has the full banded pipeline (d3/d4/
+      // d5), but nothing PAIRED images. This is d4's pigeonhole applied
+      // to the mm6 aHash: band the 64 bits into 4×16-bit blocks —
+      // hamming ≤ 3 guarantees at least one band is IDENTICAL — bucket
+      // by (band, block) with a ≤ 50 occupancy gate (a degenerate block
+      // value shared corpus-wide carries no dedup signal and must never
+      // fan out; the d16 df-gate posture), equi-join within buckets for
+      // candidates, then verify by FULL hamming ≤ 3 (bit_count over the
+      // XOR'd halves — exact integers). The asset corpus is the real
+      // lifecycle: ppmNearDupAssetDir writes every doc's base PPM plus
+      // a PLANTED first-row-perturbed variant for doc_id % 25 = 0
+      // (renderPpmPerturbed), binaryFile ingests, decodePpm + aHash8
+      // parse — so the reported pairs are (2k, 2k+1) planted near-dups
+      // that genuinely decode as near rasters, and the oracle replays
+      // generator → hash → band split → gate → verify relationally.
+      // 100 TB: one binaryFile scan, per-file O(pixels) kernel, 4 rows
+      // per asset into a bucket-gated self-join (never corpus²), one
+      // hash-table join back for the verify — d3's scale shape.
+      import s.implicits._
+      val dir = ppmNearDupAssetDir(s, d)
+      val hashes = s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.ppm").load(dir)
+        .select(
+          regexp_extract(col("path"), "([0-9]+)\\.ppm$", 1)
+            .cast("long").as("asset_id"),
+          col("content"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          it.map { case (id, bytes) =>
+            val (w, h, gray) = TextFunctions.decodePpm(bytes)
+            val (hi, lo, _) = TextFunctions.aHash8(w, h, gray)
+            (id, hi, lo)
+          }
+        }
+        .toDF("asset_id", "phash_hi", "phash_lo")
+      val bands = hashes.select(col("asset_id"),
+          explode(array(
+            struct(lit(0).as("band"), (col("phash_lo") % 65536).as("block")),
+            struct(lit(1).as("band"),
+              (col("phash_lo") / 65536).cast("long").as("block")),
+            struct(lit(2).as("band"), (col("phash_hi") % 65536).as("block")),
+            struct(lit(3).as("band"),
+              (col("phash_hi") / 65536).cast("long").as("block"))))
+            .as("bb"))
+        .select(col("asset_id"), col("bb.band").as("band"),
+          col("bb.block").as("block"))
+      val gated = bands.groupBy(col("band"), col("block"))
+        .agg(count(lit(1)).as("occ"))
+        .filter(col("occ") <= 50)
+        .select(col("band"), col("block"))
+      val inBucket = bands.join(gated, Seq("band", "block"))
+      val cand = inBucket.alias("a")
+        .join(inBucket.alias("b"),
+          col("a.band") === col("b.band") &&
+            col("a.block") === col("b.block") &&
+            col("a.asset_id") < col("b.asset_id"))
+        .groupBy(col("a.asset_id").as("asset_a"),
+          col("b.asset_id").as("asset_b"))
+        .agg(count(lit(1)).as("shared_bands"))
+      cand
+        .join(hashes.select(col("asset_id").as("asset_a"),
+          col("phash_hi").as("hi_a"), col("phash_lo").as("lo_a")), "asset_a")
+        .join(hashes.select(col("asset_id").as("asset_b"),
+          col("phash_hi").as("hi_b"), col("phash_lo").as("lo_b")), "asset_b")
+        .withColumn("hamming",
+          expr("cast(bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b) AS bigint)"))
+        .filter(col("hamming") <= 3)
+        .select(col("asset_a"), col("asset_b"), col("shared_bands"),
+          col("hamming"))
+        .orderBy(col("asset_a"), col("asset_b"))
+    }, Some(
+      // mm6's generator→hash replay extended with the asset universe
+      // (base + planted variant) and the first-row perturbation CASE,
+      // then the band split, occupancy gate, and hamming verify — the
+      // whole pairing pipeline relational.
+      """WITH au AS (
+           SELECT doc_id, doc_id * 2 AS asset_id, 0 AS pert FROM documents
+           UNION ALL
+           SELECT doc_id, doc_id * 2 + 1, 1 FROM documents
+           WHERE doc_id % 25 = 0),
+         px AS (
+           SELECT a.asset_id, a.pert, d.doc_id, g.p AS p,
+                  CASE WHEN length(d.text) = 0 OR d.text IS NULL THEN 0
+                       ELSE unicode(substr(d.text,
+                         cast(g.p % length(d.text) AS int) + 1, 1)) END AS cp
+           FROM au a JOIN documents d ON d.doc_id = a.doc_id,
+                generate_series(0, 255) g(p)),
+         vv AS (
+           SELECT asset_id, p,
+                  CASE WHEN pert = 1 AND p < 16
+                       THEN ((cp * 31 + (p + 1) * 131 + (doc_id % 997) * 101)
+                             % 256 + 25) % 256
+                       ELSE (cp * 31 + (p + 1) * 131 + (doc_id % 997) * 101)
+                            % 256 END AS v
+           FROM px),
+         gr AS (
+           SELECT asset_id,
+                  ((p // 16) // 2) * 8 + ((p % 16) // 2) AS o,
+                  (v + (v + 37) % 256 + (v + 74) % 256) // 3 AS gray
+           FROM vv),
+         ds AS (SELECT asset_id, o, cast(sum(gray) // 4 AS bigint) AS g8
+                FROM gr GROUP BY 1, 2),
+         ss AS (SELECT asset_id, cast(sum(g8) AS bigint) AS ssum
+                FROM ds GROUP BY 1),
+         bits AS (
+           SELECT ds.asset_id, ds.o,
+                  CASE WHEN 64 * ds.g8 > ss.ssum THEN 1 ELSE 0 END AS bit
+           FROM ds JOIN ss ON ss.asset_id = ds.asset_id),
+         ph AS (
+           SELECT asset_id,
+                  cast(sum(CASE WHEN bit = 1 AND o >= 32
+                      THEN cast(1 AS bigint) << (o - 32) ELSE 0 END)
+                    AS bigint) AS phash_hi,
+                  cast(sum(CASE WHEN bit = 1 AND o < 32
+                      THEN cast(1 AS bigint) << o ELSE 0 END)
+                    AS bigint) AS phash_lo
+           FROM bits GROUP BY 1),
+         bands AS (
+           SELECT asset_id, b.band AS band,
+                  CASE b.band WHEN 0 THEN phash_lo % 65536
+                              WHEN 1 THEN phash_lo // 65536
+                              WHEN 2 THEN phash_hi % 65536
+                              ELSE phash_hi // 65536 END AS block
+           FROM ph, generate_series(0, 3) b(band)),
+         gated AS (
+           SELECT band, block FROM bands
+           GROUP BY 1, 2 HAVING count(*) <= 50),
+         cand AS (
+           SELECT a.asset_id AS asset_a, b.asset_id AS asset_b,
+                  cast(count(*) AS bigint) AS shared_bands
+           FROM bands a
+           JOIN gated g ON g.band = a.band AND g.block = a.block
+           JOIN bands b ON b.band = a.band AND b.block = a.block
+                AND b.asset_id > a.asset_id
+           GROUP BY 1, 2)
+         SELECT c.asset_a, c.asset_b, c.shared_bands,
+                cast(bit_count(xor(pa.phash_hi, pb.phash_hi)) +
+                     bit_count(xor(pa.phash_lo, pb.phash_lo)) AS bigint)
+                  AS hamming
+         FROM cand c
+         JOIN ph pa ON pa.asset_id = c.asset_a
+         JOIN ph pb ON pb.asset_id = c.asset_b
+         WHERE bit_count(xor(pa.phash_hi, pb.phash_hi)) +
+               bit_count(xor(pa.phash_lo, pb.phash_lo)) <= 3
+         ORDER BY 1, 2"""))
   )
 
   def queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap

@@ -1291,6 +1291,46 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(TextFunctions.aHash8(rw, rh, rg)._3 == 32)
   }
 
+  test("mm9: banded pairing surfaces exactly the planted pairs the kernel says are near") {
+    // Ground truth from the codec kernel itself: for every planted doc
+    // (doc_id % 25 = 0) decode renderPpm vs renderPpmPerturbed and take
+    // the true aHash hamming; mm9's output must be EXACTLY the pairs at
+    // hamming ≤ 3 (the banding pigeonhole guarantees no ≤ 3 pair is
+    // missed; pairs beyond the threshold must be absent — the honest
+    // miss branch), every reported pair must be a planted (2k, 2k+1)
+    // one (no false positives on this corpus), and at least one pair
+    // must be NEAR rather than identical (hamming ≥ 1) or the scenario
+    // degenerates to exact dedup.
+    val sfDir = "/root/testdata/sf0.001"
+    val got = graft.operators.TextPipeline
+      .queries("mm9_visual_neardup")(spark, sfDir).collect()
+    assert(got.nonEmpty, "no planted pair surfaced")
+    got.foreach { r =>
+      assert(r.getLong(0) % 2 == 0 && r.getLong(1) == r.getLong(0) + 1,
+        s"non-planted pair reported: $r")
+      assert(r.getLong(3) <= 3, s"pair beyond threshold reported: $r")
+    }
+    assert(got.exists(_.getLong(3) >= 1), "all pairs identical — not NEAR")
+    val planted = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.coalesce(col("text"),
+          org.apache.spark.sql.functions.lit("")).as("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .filter(_._1 % 25 == 0)
+    def hashOf(b: Array[Byte]) = {
+      val (w, h, g) = graft.functions.TextFunctions.decodePpm(b)
+      graft.functions.TextFunctions.aHash8(w, h, g)
+    }
+    val expect = planted.filter { case (id, t) =>
+      val hb = hashOf(graft.functions.TextFunctions.renderPpm(id, t))
+      val hv = hashOf(graft.functions.TextFunctions.renderPpmPerturbed(id, t))
+      java.lang.Long.bitCount(hb._1 ^ hv._1) +
+        java.lang.Long.bitCount(hb._2 ^ hv._2) <= 3
+    }.map(p => 2 * p._1).toSet
+    assert(got.map(_.getLong(0)).toSet == expect,
+      s"reported pairs != kernel ≤3 set: got ${got.map(_.getLong(0)).toSet}, want $expect")
+  }
+
   test("AnnIndex: ivfFor/lshFor build once per (session, path, params) and search many") {
     // The build-once/search-many surface: a second lookup with the same
     // key must return the SAME trained index without re-reading the
