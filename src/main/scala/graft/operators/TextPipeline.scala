@@ -7115,7 +7115,121 @@ object TextPipeline {
          JOIN ph pb ON pb.asset_id = c.asset_b
          WHERE bit_count(xor(pa.phash_hi, pb.phash_hi)) +
                bit_count(xor(pa.phash_lo, pb.phash_lo)) <= 3
-         ORDER BY 1, 2"""))
+         ORDER BY 1, 2""")),
+
+    ("x44_mixture_sampler", (s: SparkSession, d: String) => {
+      // SOURCE-MIXTURE SAMPLER (r14 verdict #3) — the data-MIXING stage
+      // every training pipeline ENDS with and this engine only
+      // approximated: x8 thins by rate (expected share, no budget), x24
+      // draws k DOCS per stratum (count-capped, not token-capped); this
+      // fills per-source TOKEN QUOTAS against a total budget with exact
+      // accounting. Config-table stand-in: weight 40 for source_num %
+      // 5 = 0 (the PLANTED over-quota sources — their 20% share of a
+      // 60%-of-corpus budget exceeds their ~5% supply, forcing the
+      // shortfall branch), else source_num % 5 ∈ {1..4}; budget =
+      // ⌊Σ n_chars·6/10⌋. The draw is the deterministic greedy fill:
+      // docs rank by fmix32(doc_id) within source (reproducible across
+      // re-reads/re-partitions — the x8/x24 coin discipline), and a doc
+      // is taken iff the tokens BEFORE it (windowed cumsum in rank
+      // order) are still under quota — so a filled source overshoots by
+      // less than one doc and a source that runs dry reports
+      // tokens_sampled = supply < quota with shortfall = true, the
+      // honest branch (a sampler that silently re-normalizes hides
+      // exactly the under-represented-source problem this report
+      // exists to surface). All integer arithmetic. Scale: weights/
+      // quotas/budget are source-count-sized broadcasts; the cumsum
+      // window partitions BY SOURCE (x9's packing posture — sources
+      // parallelize, no global sort); accounting aggregates map-side.
+      val docs = Tables.documents(s, d)
+        .select(col("source"), col("doc_id"),
+          coalesce(col("n_chars"), lit(0L)).as("n_chars"))
+      val budget = docs.agg(expr("sum(n_chars) * 6 div 10").as("budget"))
+      val ws = docs.groupBy(col("source"))
+        .agg(sum(col("n_chars")).as("supply_tokens"))
+        .withColumn("weight", expr(
+          """CASE WHEN cast(substring(source, 4) AS int) % 5 = 0
+                  THEN cast(40 AS bigint)
+                  ELSE cast(cast(substring(source, 4) AS int) % 5
+                       AS bigint) END"""))
+      val sumw = ws.agg(sum(col("weight")).as("sumw"))
+      val quotas = ws.crossJoin(broadcast(budget)).crossJoin(broadcast(sumw))
+        .withColumn("quota_tokens", expr("weight * budget div sumw"))
+        .select(col("source"), col("weight"), col("supply_tokens"),
+          col("quota_tokens"))
+      val wnd = Window.partitionBy(col("source"))
+        .orderBy(col("hv"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      docs
+        .withColumn("hv", Relational.fmix32(col("doc_id").cast("long")))
+        .withColumn("cum_before",
+          coalesce(sum(col("n_chars")).over(wnd), lit(0L)))
+        .join(broadcast(quotas), "source")
+        .withColumn("take", col("cum_before") < col("quota_tokens"))
+        .groupBy(col("source"), col("weight"), col("supply_tokens"),
+          col("quota_tokens"))
+        .agg(sum(when(col("take"), 1L).otherwise(0L)).as("n_docs_sampled"),
+          sum(when(col("take"), col("n_chars")).otherwise(0L))
+            .as("tokens_sampled"))
+        .withColumn("shortfall",
+          col("tokens_sampled") < col("quota_tokens"))
+        .orderBy(col("source"))
+    }, Some(
+      """WITH dd AS (
+           SELECT source, doc_id, coalesce(n_chars, 0) AS n_chars
+           FROM documents),
+         tot AS (SELECT cast(sum(n_chars) * 6 // 10 AS bigint) AS budget
+                 FROM dd),
+         ws AS (
+           SELECT source, cast(sum(n_chars) AS bigint) AS supply_tokens,
+                  CASE WHEN cast(substring(source, 4) AS int) % 5 = 0
+                       THEN 40
+                       ELSE cast(substring(source, 4) AS int) % 5
+                  END AS weight
+           FROM dd GROUP BY 1),
+         sw AS (SELECT cast(sum(weight) AS bigint) AS sumw FROM ws),
+         q AS (
+           SELECT ws.source, cast(ws.weight AS bigint) AS weight,
+                  ws.supply_tokens,
+                  cast(ws.weight * tot.budget // sw.sumw AS bigint)
+                    AS quota_tokens
+           FROM ws, tot, sw),
+         x0 AS (SELECT source, doc_id, n_chars,
+                       doc_id % 4294967296 AS x FROM dd),
+         h0 AS (
+           SELECT source, doc_id, n_chars,
+                  ((x * 2147483648) % 4294967296
+                   + (x * 506952113) % 4294967296) % 4294967296 AS m1
+           FROM x0),
+         h1 AS (SELECT source, doc_id, n_chars, xor(m1, m1 >> 16) AS v1
+                FROM h0),
+         h2 AS (SELECT source, doc_id, n_chars,
+                       (v1 * 1540483477) % 4294967296 AS m2 FROM h1),
+         h3 AS (SELECT source, doc_id, n_chars, xor(m2, m2 >> 13) AS v2
+                FROM h2),
+         h4 AS (SELECT source, doc_id, n_chars,
+                       (v2 * 1033321189) % 4294967296 AS m3 FROM h3),
+         h AS (SELECT source, doc_id, n_chars, xor(m3, m3 >> 16) AS hv
+               FROM h4),
+         c AS (
+           SELECT source, doc_id, n_chars,
+                  cast(coalesce(sum(n_chars) OVER (
+                    PARTITION BY source ORDER BY hv, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS bigint) AS cum_before
+           FROM h),
+         acc AS (
+           SELECT q.source, q.weight, q.supply_tokens, q.quota_tokens,
+                  cast(sum(CASE WHEN c.cum_before < q.quota_tokens
+                      THEN 1 ELSE 0 END) AS bigint) AS n_docs_sampled,
+                  cast(sum(CASE WHEN c.cum_before < q.quota_tokens
+                      THEN c.n_chars ELSE 0 END) AS bigint)
+                    AS tokens_sampled
+           FROM c JOIN q ON q.source = c.source
+           GROUP BY 1, 2, 3, 4)
+         SELECT source, weight, supply_tokens, quota_tokens,
+                n_docs_sampled, tokens_sampled,
+                (tokens_sampled < quota_tokens) AS shortfall
+         FROM acc ORDER BY source"""))
   )
 
   def queries: Map[String, Q] = entries.map(e => e._1 -> e._2).toMap

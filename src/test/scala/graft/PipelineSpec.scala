@@ -1331,6 +1331,31 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"reported pairs != kernel ≤3 set: got ${got.map(_.getLong(0)).toSet}, want $expect")
   }
 
+  test("x44: quota fill overshoots by less than one doc; dry sources report shortfall") {
+    // The two branches of the mixture sampler's contract, on the real
+    // corpus: a FILLED source's greedy fill stops with tokens_sampled ≥
+    // quota (take-while-under-quota admits the crossing doc, never
+    // more), and a PLANTED over-quota source (weight 40: quota ≈ 12% of
+    // corpus vs ~5% supply) samples its ENTIRE supply and says so —
+    // tokens_sampled = supply_tokens < quota with shortfall = true,
+    // never a silent re-normalization. Both branches must be present.
+    val rows = graft.operators.TextPipeline
+      .queries("x44_mixture_sampler")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.length == 20)
+    val (dry, filled) = rows.partition(_.getBoolean(6))
+    assert(dry.nonEmpty && filled.nonEmpty, "both branches must occur")
+    dry.foreach { r =>
+      assert(r.getLong(1) == 40L, s"only weight-40 sources may run dry: $r")
+      assert(r.getLong(5) == r.getLong(2) && r.getLong(5) < r.getLong(3),
+        s"dry source must take all supply and stay under quota: $r")
+    }
+    filled.foreach { r =>
+      assert(r.getLong(5) >= r.getLong(3),
+        s"filled source under quota without shortfall flag: $r")
+    }
+  }
+
   test("AnnIndex: ivfFor/lshFor build once per (session, path, params) and search many") {
     // The build-once/search-many surface: a second lookup with the same
     // key must return the SAME trained index without re-reading the
