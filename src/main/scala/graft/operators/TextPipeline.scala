@@ -1546,6 +1546,53 @@ object TextPipeline {
     * distances (`pdist`) — shared with e17, which sweeps nprobe over the
     * same prefix.
     */
+  /** One IVF assignment CTE (min-L2, lowest-cid ties) of the u-rows
+    * matching `pred` against codebook `cbName` — the e6 oracle's a-step,
+    * parameterized so e25 can replay TWO quantizers (base-trained and
+    * fresh-trained) from the same exploded-unit-vector prefix.
+    */
+  private def kmAssignSql(name: String, cbName: String, pred: String): String =
+    s"""$name AS (SELECT vec_id, cid FROM (
+           SELECT vec_id, cid, row_number() OVER (
+             PARTITION BY vec_id ORDER BY dist, cid) AS rn
+           FROM (SELECT u.vec_id, cb.cid,
+                        cast(sum((u.ue6 - cb.ue6) * (u.ue6 - cb.ue6))
+                          AS bigint) AS dist
+                 FROM u JOIN $cbName cb ON cb.i = u.i
+                 WHERE $pred GROUP BY 1, 2))
+         WHERE rn = 1)"""
+
+  /** One Lloyd centroid-update CTE (floor(mean+0.5), emptied clusters
+    * keep their previous centroid) — the e6 oracle's cb-step,
+    * suffix-parameterized for e25's two training corpora.
+    */
+  private def kmUpdateSql(name: String, prevCb: String,
+      assign: String): String =
+    s"""$name AS (SELECT cb.cid, cb.i, coalesce(up.ue6, cb.ue6) AS ue6
+           FROM $prevCb cb LEFT JOIN (
+             SELECT a.cid, u.i,
+                    cast(floor(sum(u.ue6) * 1.0 / count(*) + 0.5) AS bigint)
+                      AS ue6
+             FROM $assign a JOIN u ON u.vec_id = a.vec_id GROUP BY 1, 2) up
+           ON up.cid = cb.cid AND up.i = cb.i)"""
+
+  /** The full 2-iteration e6 k-means replay trained on the u-rows
+    * matching `pred`, every CTE suffixed `sfx`: cb0$sfx (first-16-
+    * vec_id init) → a0 → cb1 → a1 → cb2 → a2 (final codebook cb2$sfx,
+    * final assignments a2$sfx). Identical arithmetic to [[e6OracleSql]]
+    * — trainIvf's law, restricted to a training subset.
+    */
+  private def kmChainSql(sfx: String, pred: String): String =
+    s"""cb0$sfx AS (SELECT cast(r - 1 AS int) AS cid, i, ue6 FROM (
+           SELECT u.*, dense_rank() OVER (ORDER BY vec_id) AS r FROM u
+           WHERE $pred)
+         WHERE r <= 16),
+         ${kmAssignSql(s"a0$sfx", s"cb0$sfx", pred)},
+         ${kmUpdateSql(s"cb1$sfx", s"cb0$sfx", s"a0$sfx")},
+         ${kmAssignSql(s"a1$sfx", s"cb1$sfx", pred)},
+         ${kmUpdateSql(s"cb2$sfx", s"cb1$sfx", s"a1$sfx")},
+         ${kmAssignSql(s"a2$sfx", s"cb2$sfx", pred)}"""
+
   private val e7OraclePrefix: String =
     """WITH ex AS (
            SELECT vec_id, i, cast(embedding[i] AS double) AS v FROM (
@@ -2314,6 +2361,77 @@ object TextPipeline {
           LEFT JOIN best b2 ON b2.doc_id = t.doc_id
           LEFT JOIN cand c ON c.doc_id = t.doc_id
           ORDER BY 1""")),
+
+    ("d17_split_contamination", (s: SparkSession, d: String) => {
+      // BOTH-EVAL-SPLIT contamination (r14 verdict #6) — d14/d16 check
+      // test←train and nothing checked valid←train, yet the validation
+      // split is the one that steers every tuning decision (m2's folds,
+      // m15's grid): a contaminated valid split silently optimizes
+      // toward memorization and the test split never sees it. This is
+      // d14's exact law swept over BOTH held-out splits with the split
+      // as an output dimension, so one relation answers "is ANY
+      // held-out doc's eval number trustworthy". Same x5
+      // content-addressed split and shared `shingles` helper as
+      // d14/d16 (the laws can't drift); the train shingle set
+      // DISTINCTs ONCE and both eval splits semi-join it — the second
+      // split rides the same shuffle key, so covering valid costs one
+      // more map-side aggregate, not a second corpus pass. Counts
+      // exact longs, rate one shared double division, flag on the
+      // quantized rate (the t14 convention, d14's 20% gate).
+      val docs = withHashSplit(Tables.documents(s, d))
+      val sh = shingles(docs)
+      val shs = sh.join(docs.select(col("doc_id"), col("split")), "doc_id")
+      val trainSh = shs.filter(col("split") === "train")
+        .select(col("s")).distinct()
+      val evalSh = shs.filter(col("split").isin("valid", "test"))
+        .select(col("split"), col("doc_id"), col("s"))
+      val hits = evalSh.join(trainSh, Seq("s"), "left_semi")
+        .groupBy(col("split"), col("doc_id")).agg(count(lit(1)).as("n_hit"))
+      evalSh.groupBy(col("split"), col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"))
+        .join(hits, Seq("split", "doc_id"), "left")
+        .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+        .withColumn("contamination_e6",
+          round(col("n_hit") * 1e6 / col("n_shingles")).cast("long"))
+        .withColumn("flagged", col("contamination_e6") > 200000L)
+        .select(col("split"), col("doc_id"), col("n_shingles"), col("n_hit"),
+          col("contamination_e6"), col("flagged"))
+        .orderBy(col("split"), col("doc_id"))
+    }, Some(
+      s"""WITH b AS (
+            SELECT doc_id, text, $splitBucketSql AS bucket FROM documents),
+          sp AS (
+            SELECT doc_id, text,
+                   CASE WHEN bucket < 800 THEN 'train'
+                        WHEN bucket < 900 THEN 'valid'
+                        ELSE 'test' END AS split
+            FROM b),
+          sh AS (
+            SELECT DISTINCT doc_id, substr(text, i, 5) AS s FROM (
+              SELECT doc_id, text,
+                     unnest(generate_series(1, greatest(length(text) - 4, 1)))
+                       AS i
+              FROM sp)),
+          shs AS (
+            SELECT sh.doc_id, sh.s, sp.split
+            FROM sh JOIN sp ON sp.doc_id = sh.doc_id),
+          tr AS (SELECT DISTINCT s FROM shs WHERE split = 'train'),
+          ev AS (SELECT split, doc_id, s FROM shs
+                 WHERE split IN ('valid', 'test')),
+          tot AS (SELECT split, doc_id, count(*) AS n_shingles
+                  FROM ev GROUP BY 1, 2),
+          hit AS (SELECT ev.split, ev.doc_id, count(*) AS n_hit
+                  FROM ev JOIN tr ON tr.s = ev.s GROUP BY 1, 2)
+          SELECT t.split, t.doc_id,
+                 cast(t.n_shingles AS bigint) AS n_shingles,
+                 cast(coalesce(h.n_hit, 0) AS bigint) AS n_hit,
+                 cast(round(coalesce(h.n_hit, 0) * 1e6 / t.n_shingles)
+                   AS bigint) AS contamination_e6,
+                 cast(round(coalesce(h.n_hit, 0) * 1e6 / t.n_shingles)
+                   AS bigint) > 200000 AS flagged
+          FROM tot t LEFT JOIN hit h
+            ON h.split = t.split AND h.doc_id = t.doc_id
+          ORDER BY 1, 2""")),
 
     ("x41_char_entropy", (s: SparkSession, d: String) => {
       // Character-entropy quality gate — the COMPRESSIBILITY signal the
@@ -3750,6 +3868,155 @@ object TextPipeline {
     }, Some(
       e6OracleSql.replace("WHERE a2.vec_id <> p.q_id)",
         "WHERE a2.vec_id <> p.q_id AND a2.vec_id % 7 <> 3)"))),
+
+    ("e25_lifecycle_recall", (s: SparkSession, d: String) => {
+      // LIFECYCLE-COMPOSED recall (r14 verdict #4) — e15/e14/e18 each
+      // verified one lifecycle stage in isolation; this measures what a
+      // deployment actually serves after ALL of them compose: an index
+      // trained on the base corpus (vec_id % 5 ≠ 4), persisted, LOADED,
+      // appended with the arrival fifth under the FROZEN quantizer
+      // (e14's contract — no retrain), tombstoned (vec_id % 7 = 3, e18's
+      // kill set) and compacted — then e17's recall@3 sweep (nprobe ∈
+      // {1,2,4,8}) runs against that artifact BESIDE the same sweep over
+      // a FRESH index retrained on the surviving corpus. The gap between
+      // the two curves is the recall cost of never retraining — the
+      // number that tells an operator when append-drift has earned a
+      // rebuild; any loss is REPORTED in the result, not hidden. Ground
+      // truth = exact top-3 over survivors (both indexes serve the same
+      // domain, so the curves are comparable). Everything rides the
+      // stage queries' own code paths (savedIvfFor → loadIvf →
+      // ivfAssign → saveIvf → tombstone → compact — [[AnnIndex
+      // .lifecycleIvfFor]]) and the e3 integer discipline, so DuckDB
+      // replays both quantizers CTE-for-CTE ([[kmChainSql]] twice:
+      // base-trained, survivor-trained). Scale: two bounded sweeps (8
+      // probes × 3 queries against list-sized candidate sets), index
+      // builds amortized write-once per sfDir like e6/e15/e18.
+      val e = Tables.embeddings(s, d)
+      val surv = e.filter(col("vec_id") % 7 =!= 3)
+      val q = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val exact3 = exactTopK(surv, q, 3).select(col("q_id"), col("vec_id"))
+      val lcDir = AnnIndex.lifecycleIvfFor(s, d,
+        base = e.filter(col("vec_id") % 5 =!= 4),
+        arrivals = e.filter(col("vec_id") % 5 === 4),
+        dead = e.filter(col("vec_id") % 7 === 3).select(col("vec_id")),
+        nlist = 16, iters = 2, tag = "e25")
+      val lcIdx = AnnIndex.loadIvf(s, lcDir)
+      val freshIdx = AnnIndex.ivfFor(s, s"$d|e25fresh", surv,
+        nlist = 16, iters = 2)
+      val pvals = Seq(1, 2, 4, 8)
+      val gridExact = pvals.map(p => exact3.withColumn("nprobe", lit(p)))
+        .reduce(_ unionByName _)
+      def curve(idx: AnnIndex.IvfIndex, hitsName: String): DataFrame = {
+        val sw = pvals.map { p =>
+          AnnIndex.ivfSearch(idx, col("vec_id") < 3, k = 3, nprobe = p)
+            .select(lit(p).as("vp"), col("q_id").as("iq"),
+              col("vec_id").as("iv"))
+        }.reduce(_ unionByName _)
+        gridExact.join(sw,
+            col("nprobe") === col("vp") && col("q_id") === col("iq") &&
+              col("vec_id") === col("iv"), "left")
+          .groupBy(col("nprobe"))
+          .agg(count(lit(1)).as("n_exact"), count(col("iv")).as(hitsName))
+      }
+      curve(lcIdx, "hits_lifecycle")
+        .join(curve(freshIdx, "hits_fresh").withColumnRenamed(
+          "n_exact", "n_exact_f"), "nprobe")
+        .select(col("nprobe"), col("n_exact"),
+          col("hits_lifecycle"), col("hits_fresh"),
+          round(col("hits_lifecycle") * lit(1000000L) / col("n_exact"))
+            .cast("long").as("recall_lifecycle_e6"),
+          round(col("hits_fresh") * lit(1000000L) / col("n_exact"))
+            .cast("long").as("recall_fresh_e6"))
+        .orderBy(col("nprobe"))
+    }, Some(s"""WITH ex AS (
+           SELECT vec_id, i, cast(embedding[i] AS double) AS v FROM (
+             SELECT vec_id, embedding,
+                    unnest(generate_series(1, len(embedding))) AS i
+             FROM embeddings)),
+         nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ex GROUP BY 1),
+         u AS (SELECT e.vec_id, e.i,
+                      cast(round(e.v / n.nrm * 1e6) AS bigint) AS ue6
+               FROM ex e JOIN nrm n ON n.vec_id = e.vec_id),
+         ${kmChainSql("b", "u.vec_id % 5 <> 4")},
+         ${kmAssignSql("arrb", "cb2b", "u.vec_id % 5 = 4")},
+         lcs AS (SELECT vec_id, cid FROM (
+                   SELECT vec_id, cid FROM a2b
+                   UNION ALL SELECT vec_id, cid FROM arrb)
+                 WHERE vec_id % 7 <> 3),
+         ${kmChainSql("f", "u.vec_id % 7 <> 3")},
+         alldots AS (
+           SELECT q.vec_id AS q_id, e.vec_id AS vec_id, sum(q.v * e.v) AS dot
+           FROM ex q JOIN ex e ON q.i = e.i
+           WHERE q.vec_id < 3 AND e.vec_id <> q.vec_id
+           GROUP BY 1, 2),
+         allscored AS (
+           SELECT d.q_id, d.vec_id,
+                  cast(round(d.dot / (nq.nrm * ne.nrm) * 1e6) AS bigint) AS c6
+           FROM alldots d
+           JOIN nrm nq ON nq.vec_id = d.q_id
+           JOIN nrm ne ON ne.vec_id = d.vec_id),
+         exact3s AS (
+           SELECT q_id, vec_id FROM (
+             SELECT *, row_number() OVER (PARTITION BY q_id
+                         ORDER BY c6 DESC, vec_id) AS rank
+             FROM allscored WHERE vec_id % 7 <> 3)
+           WHERE rank <= 3),
+         ps AS (SELECT unnest([1, 2, 4, 8]) AS p),
+         pdistb AS (SELECT u.vec_id AS q_id, cb.cid,
+                           cast(sum((u.ue6 - cb.ue6) * (u.ue6 - cb.ue6))
+                             AS bigint) AS dist
+                    FROM u JOIN cb2b cb ON cb.i = u.i
+                    WHERE u.vec_id < 3 GROUP BY 1, 2),
+         pdistf AS (SELECT u.vec_id AS q_id, cb.cid,
+                           cast(sum((u.ue6 - cb.ue6) * (u.ue6 - cb.ue6))
+                             AS bigint) AS dist
+                    FROM u JOIN cb2f cb ON cb.i = u.i
+                    WHERE u.vec_id < 3 GROUP BY 1, 2),
+         probeb AS (SELECT d.q_id, d.cid, ps.p FROM (
+                      SELECT pdistb.*, row_number() OVER (PARTITION BY q_id
+                               ORDER BY dist, cid) AS crank FROM pdistb) d
+                    CROSS JOIN ps WHERE d.crank <= ps.p),
+         probef AS (SELECT d.q_id, d.cid, ps.p FROM (
+                      SELECT pdistf.*, row_number() OVER (PARTITION BY q_id
+                               ORDER BY dist, cid) AS crank FROM pdistf) d
+                    CROSS JOIN ps WHERE d.crank <= ps.p),
+         candb AS (SELECT pr.p, pr.q_id, l.vec_id FROM probeb pr
+                   JOIN lcs l ON l.cid = pr.cid
+                   WHERE l.vec_id <> pr.q_id),
+         candf AS (SELECT pr.p, pr.q_id, a.vec_id FROM probef pr
+                   JOIN a2f a ON a.cid = pr.cid
+                   WHERE a.vec_id <> pr.q_id),
+         ivf3b AS (SELECT p, q_id, vec_id FROM (
+                     SELECT c.p, a.q_id, a.vec_id, row_number() OVER (
+                       PARTITION BY c.p, a.q_id
+                       ORDER BY a.c6 DESC, a.vec_id) AS rank
+                     FROM allscored a JOIN candb c
+                       ON c.q_id = a.q_id AND c.vec_id = a.vec_id)
+                   WHERE rank <= 3),
+         ivf3f AS (SELECT p, q_id, vec_id FROM (
+                     SELECT c.p, a.q_id, a.vec_id, row_number() OVER (
+                       PARTITION BY c.p, a.q_id
+                       ORDER BY a.c6 DESC, a.vec_id) AS rank
+                     FROM allscored a JOIN candf c
+                       ON c.q_id = a.q_id AND c.vec_id = a.vec_id)
+                   WHERE rank <= 3),
+         gx AS (SELECT ps.p, e3.q_id, e3.vec_id
+                FROM exact3s e3 CROSS JOIN ps)
+         SELECT cast(g.p AS int) AS nprobe,
+                cast(count(*) AS bigint) AS n_exact,
+                cast(count(lb.vec_id) AS bigint) AS hits_lifecycle,
+                cast(count(lf.vec_id) AS bigint) AS hits_fresh,
+                cast(round(count(lb.vec_id) * 1000000 / count(*)) AS bigint)
+                  AS recall_lifecycle_e6,
+                cast(round(count(lf.vec_id) * 1000000 / count(*)) AS bigint)
+                  AS recall_fresh_e6
+         FROM gx g
+         LEFT JOIN ivf3b lb ON lb.p = g.p AND lb.q_id = g.q_id
+                           AND lb.vec_id = g.vec_id
+         LEFT JOIN ivf3f lf ON lf.p = g.p AND lf.q_id = g.q_id
+                           AND lf.vec_id = g.vec_id
+         GROUP BY 1 ORDER BY 1""")),
 
     ("e19_range_search", (s: SparkSession, d: String) => {
       // RANGE (threshold) search — the other retrieval mode: "every

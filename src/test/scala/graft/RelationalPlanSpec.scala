@@ -1384,6 +1384,66 @@ class RelationalPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("e25: both lifecycle curves are monotone in nprobe; the composed artifact is honest") {
+    // Two laws. (1) e17's nesting argument holds per-index: each curve
+    // (lifecycle-composed AND fresh-retrained) is monotone nondecreasing
+    // in nprobe. (2) The composed artifact really went through all three
+    // stages: its lists contain arrival rows (vec_id % 5 = 4 — the
+    // append happened), contain NO dead rows (vec_id % 7 = 3 — the
+    // compaction happened), and count exactly |corpus| − |dead| (nothing
+    // else was dropped — base persist/load lost no rows).
+    import graft.operators.AnnIndex
+    import graft.sources.Tables
+    import org.apache.spark.sql.functions.col
+    val rows = graft.operators.TextPipeline
+      .queries("e25_lifecycle_recall")(spark, sfDir)
+      .collect().map(r => (r.getInt(0), r.getLong(4), r.getLong(5)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(1, 2, 4, 8))
+    rows.sliding(2).foreach { case Array((pa, la, fa), (pb, lb, fb)) =>
+      assert(la <= lb, s"lifecycle recall fell $la → $lb at nprobe $pa → $pb")
+      assert(fa <= fb, s"fresh recall fell $fa → $fb at nprobe $pa → $pb")
+    }
+    val emb = Tables.embeddings(spark, sfDir)
+    val lcDir = AnnIndex.lifecycleIvfFor(spark, sfDir,
+      base = emb.filter(col("vec_id") % 5 =!= 4),
+      arrivals = emb.filter(col("vec_id") % 5 === 4),
+      dead = emb.filter(col("vec_id") % 7 === 3).select(col("vec_id")),
+      nlist = 16, iters = 2, tag = "e25")
+    val lists = spark.read.parquet(s"$lcDir/lists")
+    assert(lists.filter(col("vec_id") % 5 === 4).count() > 0,
+      "no arrival rows in the composed lists — the append stage was skipped")
+    assert(lists.filter(col("vec_id") % 7 === 3).count() == 0,
+      "a tombstoned vector survived the composed compaction")
+    val want = emb.count() - emb.filter(col("vec_id") % 7 === 3).count()
+    assert(lists.count() == want,
+      s"composed lists have ${lists.count()} rows, want $want")
+  }
+
+  test("d17: the test-split rows replay d14 exactly; both eval splits are covered") {
+    // d17 is d14's law swept over both held-out splits — so its
+    // split='test' slice must equal d14's output row-for-row (same
+    // shingle law, same train set, same quantized rate), and the valid
+    // split must actually appear (the r14 gap was precisely that no
+    // query covered valid←train).
+    import org.apache.spark.sql.functions.col
+    val d17 = graft.operators.TextPipeline
+      .queries("d17_split_contamination")(spark, sfDir)
+    val splits = d17.select(col("split")).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(splits == Set("valid", "test"),
+      s"d17 covers splits $splits, want valid+test")
+    val testSlice = d17.filter(col("split") === "test")
+      .select(col("doc_id"), col("n_shingles"), col("n_hit"),
+        col("contamination_e6"), col("flagged"))
+      .orderBy(col("doc_id")).collect().toSeq
+    val d14 = graft.operators.TextPipeline
+      .queries("d14_decontaminate")(spark, sfDir)
+      .orderBy(col("doc_id")).collect().toSeq
+    assert(testSlice == d14,
+      "d17's test slice diverges from d14 — the shared law drifted")
+  }
+
   test("fmix32: overflow-safe across the full 32-bit domain, ANSI-strict") {
     // The r10 advice finding: the first multiplier 0x9E3779B1 exceeds 2^31,
     // so the unsplit x*2654435761 overflows int64 from x ~ 3.47e9 — inside
