@@ -259,6 +259,52 @@ object Relational {
       .select(col("__p.*"), col("asof"))
   }
 
+  /** The j17 interpolating-as-of composition: probe (k, t, probe_id,
+    * event_type) × quote (k, t, quote_id, v) → per-probe bracketing
+    * quotes and the e6-quantized linear interpolation, with the
+    * boundary semantics reported per row in `method` ('exact' on an
+    * equal-micros hit — the 0/0 branch routed on the INTEGER test —
+    * 'interp', 'hold_back', 'hold_fwd', NULL). Backward pass =
+    * [[asOfJoin]]; forward = its j13 negation; the arithmetic is
+    * shared-text SQL (the oracle's CASE, character-for-character).
+    */
+  private[graft] def interpAsOf(probe: DataFrame, quote: DataFrame): DataFrame = {
+    val back = asOfJoin(probe, quote, keys = Seq("k"), tsCol = "t")
+      .select(col("probe_id"), col("k"), col("t"), col("event_type"),
+        col("asof.quote_id").as("prev_id"), col("asof.t").as("tp"),
+        col("asof.v").as("vp"))
+    val fwd = asOfJoin(
+        probe.select(col("k"), (-col("t")).as("t"), col("probe_id")),
+        quote.select(col("k"), (-col("t")).as("t"), col("quote_id"),
+          col("v")),
+        keys = Seq("k"), tsCol = "t")
+      .select(col("probe_id"), col("asof.quote_id").as("next_id"),
+        (-col("asof.t")).as("tn"), col("asof.v").as("vn"))
+    back.join(fwd, Seq("probe_id"))
+      .withColumn("interp_e6", expr(
+        """CASE
+             WHEN prev_id IS NOT NULL AND next_id IS NOT NULL AND tn = tp
+               THEN cast(round(vp * 1e6) AS bigint)
+             WHEN prev_id IS NOT NULL AND next_id IS NOT NULL
+               THEN cast(round((vp + (vn - vp) *
+                 (cast(t - tp AS double) / cast(tn - tp AS double))) * 1e6)
+                 AS bigint)
+             WHEN prev_id IS NOT NULL THEN cast(round(vp * 1e6) AS bigint)
+             WHEN next_id IS NOT NULL THEN cast(round(vn * 1e6) AS bigint)
+           END"""))
+      .withColumn("method", expr(
+        """CASE
+             WHEN prev_id IS NOT NULL AND next_id IS NOT NULL AND tn = tp
+               THEN 'exact'
+             WHEN prev_id IS NOT NULL AND next_id IS NOT NULL
+               THEN 'interp'
+             WHEN prev_id IS NOT NULL THEN 'hold_back'
+             WHEN next_id IS NOT NULL THEN 'hold_fwd'
+           END"""))
+      .select(col("probe_id"), col("k").as("user_id"), col("event_type"),
+        col("prev_id"), col("next_id"), col("interp_e6"), col("method"))
+  }
+
   /** Per-(JVM, sfDir) date-partitioned copy of `events` under the scratch
     * root: written ONCE (the ingest-time cost a real deployment pays once),
     * then every read prunes partitions by date — the layout SURVEY §4.2
@@ -1423,6 +1469,86 @@ object Relational {
          FROM p LEFT JOIN cand c
            ON c.purchase_id = p.purchase_id AND c.rn = 1
          ORDER BY p.purchase_id""")),
+
+    ("j17_interp_asof", (s: SparkSession, d: String) => {
+      // INTERPOLATING as-of — the sensor-fusion/market-data alignment
+      // j8 (hold the past) and j13 (snap to the future) both
+      // approximate: each probe event takes the time-weighted LINEAR
+      // interpolation between its bracketing quotes, v(t) = vp +
+      // (vn−vp)·(t−tp)/(tn−tp) — what "the price at 12:07" actually
+      // means when quotes exist at 12:00 and 12:10. No third kernel:
+      // the backward pass is [[asOfJoin]] verbatim and the forward
+      // pass is its j13 negation, joined back on the probe id — two
+      // sorted shuffles, the honest cost (interpolation needs both
+      // directions' state no matter how it's spelled). Boundary
+      // semantics are REPORTED per row in `method`: both brackets →
+      // 'interp'; an exact-timestamp hit (tn = tp, routed on the
+      // INTEGER micros test, never the 0/0 double) → 'exact'; only a
+      // past quote → 'hold_back' (j8's semantics); only a future one
+      // → 'hold_fwd'; no quotes / null key → NULL row. The
+      // interpolation itself is double arithmetic from SHARED text
+      // (expr = the oracle's CASE, character-for-character), e6-
+      // quantized at the edge; tie rules inherit the kernel's
+      // max-quote-struct law (equal ts → largest quote_id, both
+      // directions — the j13/j16 rule, oracle-ranked explicitly).
+      val ev = Tables.events(s, d)
+      val probe = ev.filter(col("event_type") =!= "purchase")
+        .select(col("user_id").as("k"), unix_micros(col("ts")).as("t"),
+          col("event_id").as("probe_id"), col("event_type"))
+      val quote = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("k"), unix_micros(col("ts")).as("t"),
+          col("event_id").as("quote_id"), col("value").as("v"))
+      interpAsOf(probe, quote).orderBy(col("probe_id"))
+    }, Some(
+      """WITH p AS (
+           SELECT event_id AS probe_id, user_id, event_type,
+                  cast(ts AS timestamp) AS ts
+           FROM events WHERE event_type <> 'purchase'),
+         q AS (
+           SELECT event_id AS quote_id, user_id,
+                  cast(ts AS timestamp) AS ts, value
+           FROM events WHERE event_type = 'purchase'
+             AND user_id IS NOT NULL),
+         pb AS (
+           SELECT p.probe_id, q.quote_id, epoch_us(q.ts) AS tq,
+                  q.value,
+                  row_number() OVER (PARTITION BY p.probe_id
+                    ORDER BY q.ts DESC, q.quote_id DESC) AS rn
+           FROM p JOIN q ON q.user_id = p.user_id AND q.ts <= p.ts),
+         pf AS (
+           SELECT p.probe_id, q.quote_id, epoch_us(q.ts) AS tq,
+                  q.value,
+                  row_number() OVER (PARTITION BY p.probe_id
+                    ORDER BY q.ts ASC, q.quote_id DESC) AS rn
+           FROM p JOIN q ON q.user_id = p.user_id AND q.ts >= p.ts),
+         j AS (
+           SELECT p.probe_id, p.user_id, p.event_type,
+                  epoch_us(p.ts) AS t,
+                  b.quote_id AS prev_id, b.tq AS tp, b.value AS vp,
+                  f.quote_id AS next_id, f.tq AS tn, f.value AS vn
+           FROM p
+           LEFT JOIN pb b ON b.probe_id = p.probe_id AND b.rn = 1
+           LEFT JOIN pf f ON f.probe_id = p.probe_id AND f.rn = 1)
+         SELECT probe_id, user_id, event_type, prev_id, next_id,
+                CASE
+                  WHEN prev_id IS NOT NULL AND next_id IS NOT NULL AND tn = tp
+                    THEN cast(round(vp * 1e6) AS bigint)
+                  WHEN prev_id IS NOT NULL AND next_id IS NOT NULL
+                    THEN cast(round((vp + (vn - vp) *
+                      (cast(t - tp AS double) / cast(tn - tp AS double))) * 1e6)
+                      AS bigint)
+                  WHEN prev_id IS NOT NULL THEN cast(round(vp * 1e6) AS bigint)
+                  WHEN next_id IS NOT NULL THEN cast(round(vn * 1e6) AS bigint)
+                END AS interp_e6,
+                CASE
+                  WHEN prev_id IS NOT NULL AND next_id IS NOT NULL AND tn = tp
+                    THEN 'exact'
+                  WHEN prev_id IS NOT NULL AND next_id IS NOT NULL
+                    THEN 'interp'
+                  WHEN prev_id IS NOT NULL THEN 'hold_back'
+                  WHEN next_id IS NOT NULL THEN 'hold_fwd'
+                END AS method
+         FROM j ORDER BY probe_id""")),
 
     ("j14_interval_overlap_join", (s: SparkSession, d: String) => {
       // Interval×interval overlap join — j9's big sibling: j9 buckets a

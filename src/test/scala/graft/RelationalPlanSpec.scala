@@ -1444,6 +1444,45 @@ class RelationalPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       "d17's test slice diverges from d14 — the shared law drifted")
   }
 
+  test("j17: all five interpolation branches fire on planted brackets") {
+    // sf0.01 exercises interp/hold_back/hold_fwd naturally but never an
+    // equal-micros hit or a bracketless probe — plant all five:
+    //   t=10 between quotes (0, v=1.0) and (20, v=3.0) → interp 2.0
+    //   t=20 exactly on a quote → 'exact', value held (no 0/0)
+    //   t=30 after the last quote → 'hold_back'
+    //   key B, t=5 before its only quote (10, v=7.0) → 'hold_fwd'
+    //   key C with no quotes at all → NULL method, NULL value
+    //   null-key probe → NULL (kernel law: null keys match nothing)
+    // Plus the tie rule: two quotes at key A t=0 (ids 100, 101) — the
+    // larger quote_id must win both directions.
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val probe = Seq(
+      (Some(1L), 10L, 1L, "click"), (Some(1L), 20L, 2L, "view"),
+      (Some(1L), 30L, 3L, "click"), (Some(2L), 5L, 4L, "click"),
+      (Some(3L), 7L, 5L, "click"), (None: Option[Long], 9L, 6L, "click"))
+      .toDF("k", "t", "probe_id", "event_type")
+    val quote = Seq(
+      (1L, 0L, 100L, 0.5), (1L, 0L, 101L, 1.0), (1L, 20L, 102L, 3.0),
+      (2L, 10L, 200L, 7.0))
+      .toDF("k", "t", "quote_id", "v")
+    val got = Relational.interpAsOf(probe, quote)
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(3)), Option(r.get(4)), Option(r.get(5)),
+          Option(r.get(6)))).toMap
+    assert(got(1L) == ((Some(101L), Some(102L), Some(2000000L),
+      Some("interp"))), s"mid-bracket: ${got(1L)}")
+    assert(got(2L) == ((Some(102L), Some(102L), Some(3000000L),
+      Some("exact"))), s"exact hit: ${got(2L)}")
+    assert(got(3L) == ((Some(102L), None, Some(3000000L),
+      Some("hold_back"))), s"past-only: ${got(3L)}")
+    assert(got(4L) == ((None, Some(200L), Some(7000000L),
+      Some("hold_fwd"))), s"future-only: ${got(4L)}")
+    assert(got(5L) == ((None, None, None, None)), s"no quotes: ${got(5L)}")
+    assert(got(6L) == ((None, None, None, None)), s"null key: ${got(6L)}")
+  }
+
   test("fmix32: overflow-safe across the full 32-bit domain, ANSI-strict") {
     // The r10 advice finding: the first multiplier 0x9E3779B1 exceeds 2^31,
     // so the unsplit x*2654435761 overflows int64 from x ~ 3.47e9 — inside
