@@ -932,6 +932,61 @@ object Estimation {
                 END, false)""").as("reject_5pct"))
   }
 
+  /** Bartlett's variance-homogeneity test over any (event_type, day,
+    * x:long) panel — t27's CLASSICAL sibling (Bartlett '37 is the
+    * textbook pre-ANOVA check; Brown–Forsythe is its tail-robust
+    * replacement — reporting both is what a real toolbox does, and
+    * their disagreement is itself the heavy-tail diagnostic).
+    * T = [(N−k)·ln(S²_p) − Σ(nᵢ−1)·ln(Sᵢ²)] / C with the Bartlett
+    * correction C = 1 + (Σ1/(nᵢ−1) − 1/(N−k)) / (3(k−1)), T ~ χ²(k−1).
+    * Exactness discipline (the t27 ADVICE class): per-group (nᵢ, Σx,
+    * Σx²) are exact longs; EVERY cross-group reduction sums per-group
+    * INTEGER quantizations (vi/ni at e4, (nᵢ−1)ln(Sᵢ²) at e4, 1/(nᵢ−1)
+    * at e6) so no double sum is partial-aggregation-order-dependent;
+    * the final assembly is one fixed shared double chain. Degenerate
+    * branch on the exact INTEGER test min(vᵢ) = 0 (vᵢ = nᵢΣx² − (Σx)²
+    * = 0 ⟺ group constant ⟹ ln(Sᵢ²) undefined): documented NULL +
+    * explicit non-reject, and the per-group ln terms are CASE-gated so
+    * ln(0) never evaluates in either engine (Spark would NULL it,
+    * DuckDB returns −inf — the silent-vs-error divergence class).
+    * Groups with nᵢ < 2 are excluded up front (variance undefined).
+    */
+  private[graft] def bartlett(daily: DataFrame): DataFrame = {
+    val g = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("ni"), sum(col("x")).as("si"),
+        sum(col("x") * col("x")).as("qi"))
+      .filter(col("ni") >= 2)
+      .withColumn("vi", col("ni") * col("qi") - col("si") * col("si"))
+    g.agg(count(lit(1)).as("k"), sum(col("ni")).as("nn"),
+        min(col("vi")).as("vmin"),
+        sum(expr(
+          """CASE WHEN vi > 0
+               THEN cast(round(vi * 1e0 * 1e4 / ni) AS bigint)
+               ELSE 0 END""")).as("pn_e4"),
+        sum(expr(
+          """CASE WHEN vi > 0
+               THEN cast(round((ni - 1) *
+                 ln(vi * 1e0 / (ni * (ni - 1))) * 1e4) AS bigint)
+               ELSE 0 END""")).as("lt_e4"),
+        sum(expr("cast(round(1e6 / (ni - 1)) AS bigint)")).as("inv_e6"))
+      .withColumn("bartlett_e4", expr(
+        """CASE WHEN vmin > 0 AND k >= 2 THEN
+             cast(round(((nn - k) * ln(pn_e4 * 1e0 / 1e4 / (nn - k)) -
+               lt_e4 * 1e0 / 1e4) /
+               (1 + (inv_e6 * 1e0 / 1e6 - 1e0 / (nn - k)) /
+                 (3 * (k - 1))) * 1e4) AS bigint) END"""))
+      .withColumn("df1", (col("k") - 1).cast("int"))
+      .select(col("k").cast("int").as("k"), col("nn").as("n"), col("df1"),
+        col("bartlett_e4"),
+        expr("""coalesce(CASE WHEN df1 = 1 THEN bartlett_e4 > 38415
+             WHEN df1 = 2 THEN bartlett_e4 > 59915
+             WHEN df1 = 3 THEN bartlett_e4 > 78147
+             WHEN df1 = 4 THEN bartlett_e4 > 94877
+             WHEN df1 = 5 THEN bartlett_e4 > 110705
+             WHEN df1 = 6 THEN bartlett_e4 > 125916
+        END, false)""").as("reject_5pct"))
+  }
+
   /** The m28 kernel over any (event_type, day, x:long) panel — split-
     * conformal 90% interval radius frozen as the ⌈0.9·(n_cal+1)⌉-th
     * smallest of the first calN one-step absolute errors, then exact
@@ -4209,6 +4264,62 @@ object Estimation {
                      WHEN k - 1 = 6 THEN f_e4 * 6 > 125916
                 END, false) AS reject_5pct
          FROM st2 ORDER BY 1""")),
+
+    ("t28_bartlett", (s: SparkSession, d: String) => {
+      // Bartlett's variance-homogeneity χ² over the SAME daily cent
+      // panels as t27 — the classical/robust PAIR: Bartlett is exact
+      // under normality but blows up on heavy tails; Brown–Forsythe
+      // survives them. Running both against one panel makes the
+      // disagreement itself diagnostic (reject here + accept there =
+      // suspect tails, not spreads). Contract and the cross-group
+      // integer-quantization discipline on [[bartlett]].
+      bartlett(Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("x")))
+    }, Some(
+      """WITH daily AS (
+           SELECT event_type, cast(ts AS date) AS day,
+                  cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS x
+           FROM events GROUP BY 1, 2),
+         g AS (
+           SELECT event_type, cast(count(*) AS bigint) AS ni,
+                  cast(sum(x) AS bigint) AS si,
+                  cast(sum(x * x) AS bigint) AS qi
+           FROM daily GROUP BY 1),
+         g2 AS (SELECT *, ni * qi - si * si AS vi FROM g WHERE ni >= 2),
+         tot AS (
+           SELECT cast(count(*) AS bigint) AS k,
+                  cast(sum(ni) AS bigint) AS nn,
+                  cast(min(vi) AS bigint) AS vmin,
+                  cast(sum(CASE WHEN vi > 0
+                    THEN cast(round(vi * 1e0 * 1e4 / ni) AS bigint)
+                    ELSE 0 END) AS bigint) AS pn_e4,
+                  cast(sum(CASE WHEN vi > 0
+                    THEN cast(round((ni - 1) *
+                      ln(vi * 1e0 / (ni * (ni - 1))) * 1e4) AS bigint)
+                    ELSE 0 END) AS bigint) AS lt_e4,
+                  cast(sum(cast(round(1e6 / (ni - 1)) AS bigint)) AS bigint)
+                    AS inv_e6
+           FROM g2),
+         st AS (
+           SELECT k, nn, cast(k - 1 AS int) AS df1,
+                  CASE WHEN vmin > 0 AND k >= 2 THEN
+                    cast(round(((nn - k) *
+                      ln(pn_e4 * 1e0 / 1e4 / (nn - k)) -
+                      lt_e4 * 1e0 / 1e4) /
+                      (1 + (inv_e6 * 1e0 / 1e6 - 1e0 / (nn - k)) /
+                        (3 * (k - 1))) * 1e4) AS bigint)
+                  END AS bartlett_e4
+           FROM tot)
+         SELECT cast(k AS int) AS k, nn AS n, df1, bartlett_e4,
+                coalesce(CASE WHEN df1 = 1 THEN bartlett_e4 > 38415
+                     WHEN df1 = 2 THEN bartlett_e4 > 59915
+                     WHEN df1 = 3 THEN bartlett_e4 > 78147
+                     WHEN df1 = 4 THEN bartlett_e4 > 94877
+                     WHEN df1 = 5 THEN bartlett_e4 > 110705
+                     WHEN df1 = 6 THEN bartlett_e4 > 125916
+                END, false) AS reject_5pct
+         FROM st ORDER BY 1""")),
 
     // ----- W19 (ext.): robust anomaly flags (median/MAD) -------------------
 

@@ -2436,6 +2436,59 @@ object Relational {
          WHERE (c2 - c1) * (c2 - c1) >= (c1 + c2) * 9
          ORDER BY user_id""")),
 
+    ("a28_decayed_topk", (s: SparkSession, d: String) => {
+      // TIME-DECAYED top-k — the "trending now" cut x23 (all-time heavy
+      // hitters) and a27 (two-window change) bracket but neither
+      // answers: rank users by exponentially decayed activity, score =
+      // Σ 2^(−Δdays/30) over their events (30-day half-life, reference
+      // date = the corpus max — deterministic, no wall clock). The
+      // decay term quantizes to an e6 INTEGER PER EVENT before the
+      // sum — the only float is the per-row pow(), so the reduction is
+      // an order-free integer sum (the x41/e24 cross-engine sum-order
+      // discipline); day granularity keeps the transcendental's domain
+      // to a few hundred distinct inputs. Scale: per-event term is
+      // map-side arithmetic against one broadcast scalar (the max
+      // date), the per-user sum map-side combines, and the global cut
+      // is orderBy+limit — Spark's TakeOrderedAndProject, bounded
+      // per-partition state, never a single-partition global window
+      // (rank is stamped AFTER the cut, on 20 rows). Ties break to the
+      // smaller user_id; both engines spell the same (score desc, id)
+      // order.
+      val ev = Tables.events(s, d).filter(col("user_id").isNotNull)
+      val d0 = ev.agg(max(to_date(col("ts"))).as("d0"))
+      val agg = ev.crossJoin(broadcast(d0))
+        .withColumn("term_e6",
+          round(pow(lit(0.5),
+            datediff(col("d0"), to_date(col("ts"))).cast("double") /
+              lit(30).cast("double")) * 1e6).cast("long"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"), sum(col("term_e6")).as("decayed_e6"))
+      agg.orderBy(col("decayed_e6").desc, col("user_id")).limit(20)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("decayed_e6").desc, col("user_id"))).cast("int"))
+        .select(col("rank"), col("user_id"), col("n_events"),
+          col("decayed_e6"))
+        .orderBy(col("rank"))
+    }, Some(
+      """WITH e AS (
+           SELECT user_id, cast(ts AS date) AS d
+           FROM events WHERE user_id IS NOT NULL),
+         mx AS (SELECT max(d) AS d0 FROM e),
+         t AS (
+           SELECT user_id,
+                  cast(round(pow(0.5,
+                    cast(datediff('day', d, d0) AS double) /
+                      cast(30 AS double)) * 1e6) AS bigint) AS term_e6
+           FROM e, mx),
+         agg AS (
+           SELECT user_id, cast(count(*) AS bigint) AS n_events,
+                  cast(sum(term_e6) AS bigint) AS decayed_e6
+           FROM t GROUP BY 1)
+         SELECT cast(rank AS int) AS rank, user_id, n_events, decayed_e6
+         FROM (SELECT *, row_number() OVER (
+                 ORDER BY decayed_e6 DESC, user_id) AS rank FROM agg)
+         WHERE rank <= 20 ORDER BY rank""")),
+
     ("a20_hll_set_algebra", (s: SparkSession, d: String) => {
       // Sketch ALGEBRA — the reason a 100 TB pipeline persists register
       // tables instead of answers: two groups' HLL sketches compose

@@ -213,6 +213,37 @@ class EstimationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!r2.getBoolean(4), "degenerate must not reject")
   }
 
+  test("t28 bartlett: tenfold spread rejects, a constant group degenerates (planted)") {
+    // Battery 1 — t27's own planted pair (1..9 vs 10·(1..9)): variances
+    // 7.5 vs 750, pooled 378.75, T = [16·ln(378.75) − 8·(ln 7.5 +
+    // ln 750)]/1.0625 ≈ 24.386 ≫ χ²(1) → reject at df1 = 1; the e4
+    // value is pinned to the quantized-chain closed form (243861, the
+    // python replay of the shared arithmetic). Battery 2 — one group
+    // constant: its vi = n·Σx² − (Σx)² = 0 fires the exact integer
+    // guard (ln never evaluates) → NULL statistic, explicit non-reject,
+    // even though the OTHER group has healthy spread. Battery 3 — a
+    // singleton group is excluded up front (n_i < 2), leaving k = 1 <
+    // 2 → NULL (between-group comparison needs two groups).
+    val s = spark
+    import s.implicits._
+    val b1 = ((1 to 9).map(v => ("a", v.toLong)) ++
+      (1 to 9).map(v => ("b", v * 10L))).toDF("event_type", "x")
+    val r1 = graft.operators.Estimation.bartlett(b1).collect()(0)
+    assert(r1.getInt(0) == 2 && r1.getLong(1) == 18L && r1.getInt(2) == 1)
+    assert(r1.getLong(3) == 243861L, s"planted T drifted: ${r1.getLong(3)}")
+    assert(r1.getBoolean(4), "tenfold spread must reject")
+    val b2 = ((1 to 5).map(_ => ("a", 5L)) ++
+      (1 to 9).map(v => ("b", v.toLong))).toDF("event_type", "x")
+    val r2 = graft.operators.Estimation.bartlett(b2).collect()(0)
+    assert(r2.isNullAt(3), "constant group must yield NULL T")
+    assert(!r2.getBoolean(4), "degenerate must not reject")
+    val b3 = (Seq(("a", 3L)) ++
+      (1 to 9).map(v => ("b", v.toLong))).toDF("event_type", "x")
+    val r3 = graft.operators.Estimation.bartlett(b3).collect()(0)
+    assert(r3.getInt(0) == 1 && r3.isNullAt(3) && !r3.getBoolean(4),
+      "singleton group must be excluded and k=1 must degenerate")
+  }
+
   test("m28 splitConformal: a tiny-calibration key must not crash the query (planted)") {
     // The r14 ADVICE crash class: the cal stage evaluates element_at for
     // EVERY key, including ones the test-side join later drops — a key
