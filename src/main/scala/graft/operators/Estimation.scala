@@ -987,6 +987,51 @@ object Estimation {
         END, false)""").as("reject_5pct"))
   }
 
+  /** AMOC changepoint localization over any (event_type, day, x:long)
+    * panel — contract on the w31 entry: prefix-sum split gains via the
+    * exact identity gain(τ) = ((n−τ)S_τ − τ(S−S_τ))²/(τ(n−τ)n), the
+    * double-from-first-product chain, integer-keyed argmax, min
+    * segment 5 per side, constant-series (vi = 0) → NULL + false.
+    */
+  private[graft] def changepoint(daily: DataFrame): DataFrame = {
+    val wd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val st = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("stot"),
+        sum(col("x") * col("x")).as("qtot"))
+      .withColumn("vi",
+        col("n") * col("qtot") - col("stot") * col("stot"))
+    val cand = daily
+      .withColumn("tau", row_number().over(wd))
+      .withColumn("sl", sum(col("x")).over(
+        wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(broadcast(st.select(col("event_type"), col("n"),
+        col("stot"), col("vi"))), "event_type")
+      .filter(col("tau") >= 5 && col("tau") <= col("n") - 5)
+      .withColumn("gain_e4", expr(
+        """cast(round(
+             ((n - tau) * 1e0 * sl - tau * 1e0 * (stot - sl)) *
+             ((n - tau) * 1e0 * sl - tau * 1e0 * (stot - sl)) /
+             (tau * (n - tau)) / n * 1e-2) AS bigint)"""))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("event_type"))
+          .orderBy(col("gain_e4").desc, col("tau"))))
+      .filter(col("rk") === 1)
+      .select(col("event_type"), col("day").as("split_day"),
+        col("tau"), col("sl"), col("gain_e4"))
+    st.join(cand, Seq("event_type"), "left")
+      .select(col("event_type"), col("n"),
+        when(col("vi") > 0, col("split_day")).as("split_day"),
+        when(col("vi") > 0, col("tau")).cast("int").as("tau"),
+        when(col("vi") > 0, col("gain_e4")).as("gain_e4"),
+        when(col("vi") > 0,
+          expr("cast(round(sl * 1e2 / tau) AS bigint)"))
+          .as("mean_left_e2"),
+        when(col("vi") > 0,
+          expr("cast(round((stot - sl) * 1e2 / (n - tau)) AS bigint)"))
+          .as("mean_right_e2"),
+        (col("vi") > 0 && col("tau").isNotNull).as("has_change"))
+  }
+
   /** The m28 kernel over any (event_type, day, x:long) panel — split-
     * conformal 90% interval radius frozen as the ⌈0.9·(n_cal+1)⌉-th
     * smallest of the first calN one-step absolute errors, then exact
@@ -4396,6 +4441,81 @@ object Estimation {
          FROM md
          WHERE mad4 > 0 AND abs(x * 2 - med2) * 4 > mad4 * 7
          ORDER BY event_type, day""")),
+
+    ("w31_changepoint", (s: SparkSession, d: String) => {
+      // CHANGEPOINT LOCALIZATION — the question t18 (Chow at a KNOWN
+      // break) and w15 (CUSUM excursion flags) bracket but neither
+      // answers: WHERE did the level shift? Binary segmentation's
+      // first step (Scott & Knott '74; the AMOC case of PELT) over
+      // each event type's daily cent series: the split τ maximizing
+      // the SSE reduction, which collapses to the EXACT identity
+      // gain(τ) = ((n−τ)·S_τ − τ·(S−S_τ))² / (τ·(n−τ)·n) — prefix
+      // sums only, no per-split rescan (the O(n) sweep a naive
+      // two-segment SSE recomputation makes O(n²)). Arithmetic: S_τ
+      // rides an exact cumsum window; the squared term would pass
+      // 2⁶³ (day-sums ~10⁷ cents × 30 days, squared ≈ 10¹⁹), so the
+      // gain chain is double-from-the-first-product (the m27/g16
+      // contract), e4-quantized PER CANDIDATE, and the argmax is a
+      // rank window on (gain_e4 DESC, τ ASC) — a deterministic
+      // integer-keyed order, no cross-engine float comparison.
+      // Candidates respect min segment 5 on BOTH sides; a series too
+      // short for any candidate, or internally CONSTANT (the exact
+      // integer test n·Σx² − (Σx)² = 0 — every gain is 0 and the
+      // argmax would be noise), reports NULL split + has_change =
+      // false, kept for full coverage. Windows partition by type and
+      // frames are calendar-bounded (the w-family posture).
+      changepoint(Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("x")))
+        .orderBy(col("event_type"))
+    }, Some(
+      """WITH daily AS (
+           SELECT event_type, cast(ts AS date) AS day,
+                  cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS x
+           FROM events GROUP BY 1, 2),
+         st AS (
+           SELECT event_type, cast(count(*) AS bigint) AS n,
+                  cast(sum(x) AS bigint) AS stot,
+                  cast(sum(x * x) AS bigint) AS qtot,
+                  cast(count(*) AS bigint) * cast(sum(x * x) AS bigint)
+                    - cast(sum(x) AS bigint) * cast(sum(x) AS bigint) AS vi
+           FROM daily GROUP BY 1),
+         pre AS (
+           SELECT event_type, day,
+                  row_number() OVER w AS tau,
+                  sum(x) OVER (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sl
+           FROM daily
+           WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+         cand AS (
+           SELECT p.event_type, p.day, p.tau, p.sl,
+                  cast(round(
+                    ((s.n - p.tau) * 1e0 * p.sl -
+                     p.tau * 1e0 * (s.stot - p.sl)) *
+                    ((s.n - p.tau) * 1e0 * p.sl -
+                     p.tau * 1e0 * (s.stot - p.sl)) /
+                    (p.tau * (s.n - p.tau)) / s.n * 1e-2) AS bigint)
+                    AS gain_e4
+           FROM pre p JOIN st s ON s.event_type = p.event_type
+           WHERE p.tau >= 5 AND p.tau <= s.n - 5),
+         best AS (
+           SELECT event_type, day, tau, sl, gain_e4 FROM (
+             SELECT *, row_number() OVER (PARTITION BY event_type
+               ORDER BY gain_e4 DESC, tau) AS rk FROM cand)
+           WHERE rk = 1)
+         SELECT s.event_type, s.n,
+                CASE WHEN s.vi > 0 THEN b.day END AS split_day,
+                CASE WHEN s.vi > 0 THEN cast(b.tau AS int) END AS tau,
+                CASE WHEN s.vi > 0 THEN b.gain_e4 END AS gain_e4,
+                CASE WHEN s.vi > 0 THEN
+                  cast(round(b.sl * 1e2 / b.tau) AS bigint) END
+                  AS mean_left_e2,
+                CASE WHEN s.vi > 0 THEN
+                  cast(round((s.stot - b.sl) * 1e2 / (s.n - b.tau))
+                    AS bigint) END AS mean_right_e2,
+                (s.vi > 0 AND b.tau IS NOT NULL) AS has_change
+         FROM st s LEFT JOIN best b ON b.event_type = s.event_type
+         ORDER BY s.event_type""")),
 
     ("m28_conformal_interval", (s: SparkSession, d: String) => {
       // SPLIT-CONFORMAL prediction intervals (Vovk; Lei et al. '18) —

@@ -1383,6 +1383,77 @@ object GraphOps {
                    / (m_edges * 1e0 * m_edges)) AS bigint) AS q_e6
           FROM agg""")),
 
+    ("g18_rich_club", (s: SparkSession, d: String) => {
+      // RICH-CLUB coefficient curve (Zhou & Mondragón '04; Colizza et
+      // al. '06 for the normalized variant) — the HUB-INTERCONNECTION
+      // diagnostic g16's single correlation number summarizes away:
+      // φ(k) = 2·E_k / (N_k·(N_k−1)) over the subgraph induced by
+      // nodes of degree > k, swept over k ∈ {1,2,4,8}. A rising curve
+      // means hubs form a densifying club (the failure topology for
+      // epidemic/cascade models); assortativity alone can't separate
+      // "hubs like hubs" from "hubs form a near-clique". Exactness:
+      // the bidirectional edge list makes the directed survivor count
+      // cnt2(k) = 2·E_k exactly, so φ's numerator needs no ×2 and
+      // n_edges_rich = cnt2 div 2 is exact; φ quantizes through the
+      // shared double chain (cnt2·1e6 as double — the integer product
+      // would pass 2⁶³ at the 10¹²-edge scale). N_k < 2 → documented
+      // NULL (a club of one has no density). Scale: the k-grid is
+      // CONDITIONAL AGGREGATION — one map-side pass over the edge
+      // list with 4 counters and one over the degree table, never an
+      // edge×grid fan-out; the degree joins are g16's own superstep
+      // posture.
+      val strong = strongCopurchase(s, d)
+      val deg = strong.groupBy(col("src")).agg(count(lit(1)).as("dg"))
+      val e = strong
+        .join(deg.select(col("src"), col("dg").as("dx")), "src")
+        .join(deg.select(col("src").as("dst"), col("dg").as("dy")), "dst")
+      val ks = Seq(1, 2, 4, 8)
+      val ec = e.agg(
+        sum(when(col("dx") > ks(0) && col("dy") > ks(0), 1L).otherwise(0L)).as("c1"),
+        sum(when(col("dx") > ks(1) && col("dy") > ks(1), 1L).otherwise(0L)).as("c2"),
+        sum(when(col("dx") > ks(2) && col("dy") > ks(2), 1L).otherwise(0L)).as("c4"),
+        sum(when(col("dx") > ks(3) && col("dy") > ks(3), 1L).otherwise(0L)).as("c8"))
+      val nc = deg.agg(
+        sum(when(col("dg") > ks(0), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("dg") > ks(1), 1L).otherwise(0L)).as("n2"),
+        sum(when(col("dg") > ks(2), 1L).otherwise(0L)).as("n4"),
+        sum(when(col("dg") > ks(3), 1L).otherwise(0L)).as("n8"))
+      nc.crossJoin(broadcast(ec))
+        .selectExpr("""stack(4,
+            1, n1, c1, 2, n2, c2, 4, n4, c4, 8, n8, c8)
+          AS (k, n_rich, cnt2)""")
+        .selectExpr("cast(k AS int) AS k", "n_rich",
+          "cnt2 div 2 AS n_edges_rich",
+          """CASE WHEN n_rich >= 2 THEN
+               cast(round(cnt2 * 1e6 / (n_rich * (n_rich - 1))) AS bigint)
+             END AS phi_e6""")
+        .orderBy(col("k"))
+    }, Some(
+      s"""WITH $sqlStrong,
+          deg AS (SELECT src, count(*) AS dg FROM strong GROUP BY 1),
+          e AS (
+            SELECT a.dg AS dx, b.dg AS dy
+            FROM strong st
+            JOIN deg a ON a.src = st.src
+            JOIN deg b ON b.src = st.dst),
+          ks AS (SELECT unnest([1, 2, 4, 8]) AS k),
+          nr AS (
+            SELECT ks.k,
+                   cast(sum(CASE WHEN dg > ks.k THEN 1 ELSE 0 END)
+                     AS bigint) AS n_rich
+            FROM deg CROSS JOIN ks GROUP BY 1),
+          er AS (
+            SELECT ks.k,
+                   cast(sum(CASE WHEN dx > ks.k AND dy > ks.k
+                            THEN 1 ELSE 0 END) AS bigint) AS cnt2
+            FROM e CROSS JOIN ks GROUP BY 1)
+          SELECT cast(nr.k AS int) AS k, nr.n_rich,
+                 er.cnt2 // 2 AS n_edges_rich,
+                 CASE WHEN nr.n_rich >= 2 THEN
+                   cast(round(er.cnt2 * 1e6 / (nr.n_rich * (nr.n_rich - 1)))
+                     AS bigint) END AS phi_e6
+          FROM nr JOIN er ON er.k = nr.k ORDER BY 1""")),
+
     ("g16_assortativity", (s: SparkSession, d: String) => {
       // Degree ASSORTATIVITY (Newman '02) — the one-number topology
       // diagnostic the per-node family (g6 cores, g9 clustering, g15

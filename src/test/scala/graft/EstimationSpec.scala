@@ -244,6 +244,35 @@ class EstimationSpec extends AnyFunSuite with BeforeAndAfterAll {
       "singleton group must be excluded and k=1 must degenerate")
   }
 
+  test("w31 changepoint: a planted level shift localizes exactly; constant and short series degenerate") {
+    // Battery 1 — 30 days at level 100 then a jump to 200 from day 16:
+    // the max-gain split is exactly τ = 15 (last left-segment day),
+    // means 100.00/200.00 at e2 — an AMOC detector that misses a
+    // clean step by even one day is wrong, not approximate. Battery 2
+    // — constant series: vi = n·Σx² − (Σx)² = 0 → NULL split, no
+    // change. Battery 3 — an 8-day series has no τ with 5 on both
+    // sides → NULL split, kept in the output (full coverage).
+    val s = spark
+    import s.implicits._
+    import java.sql.Date
+    def day(i: Int): Date = Date.valueOf(f"2024-02-${i}%02d")
+    val b1 = (1 to 30).map(i =>
+      ("a", day(i), if (i <= 15) 100L else 200L)) ++
+      (1 to 20).map(i => ("b", day(i), 77L)) ++
+      (1 to 8).map(i => ("c", day(i), i.toLong))
+    val got = graft.operators.Estimation.changepoint(
+        b1.toDF("event_type", "day", "x"))
+      .collect().map(r => r.getString(0) ->
+        (Option(r.get(3)), Option(r.get(5)), Option(r.get(6)),
+          r.getBoolean(7))).toMap
+    assert(got("a") == ((Some(15), Some(10000L), Some(20000L), true)),
+      s"planted step mislocalized: ${got("a")}")
+    assert(got("b") == ((None, None, None, false)),
+      s"constant series must degenerate: ${got("b")}")
+    assert(got("c") == ((None, None, None, false)),
+      s"short series must degenerate: ${got("c")}")
+  }
+
   test("m28 splitConformal: a tiny-calibration key must not crash the query (planted)") {
     // The r14 ADVICE crash class: the cal stage evaluates element_at for
     // EVERY key, including ones the test-side join later drops — a key
