@@ -413,6 +413,71 @@ object EventStream {
         col("bin"), col("c"))
   }
 
+  final case class PsiState(n: Long, bins: List[Long])
+  final case class PsiUpdate(event_type: String, n_cur: Long,
+      psi_e6: Option[Long], drifted: Boolean)
+
+  /** Cumulative PSI drift monitor — the STATEFUL completion of
+    * [[driftBinStream]] (which bins per hour but never folds the
+    * index): per event type, the stream accumulates the x25 octile-bin
+    * counts against the FROZEN reference artifact (cuts + per-bin
+    * reference counts, trained offline — the deployment contract: the
+    * reference never moves, or drift is unmeasurable) and emits, every
+    * micro-batch, the Population Stability Index of everything seen so
+    * far vs the reference — exactly [[graft.operators.TextPipeline
+    * .driftPsi]]'s arithmetic (Laplace (c+1)/(n+8) smoothing, per-bin
+    * ln(p1/p2)·(p1−p2) e6-rounded HALF_UP before the sum, > 0.2
+    * alert), so the final emission replays the batch monitor
+    * bit-for-bit (StreamingSpec pins it). State: 8 counters + n per
+    * key — bounded by the BIN GRID, not the stream. NULL values land
+    * in bin 0 and count toward n, matching the batch binning's
+    * IF(null > cut) = 0 fold. A type ABSENT from the reference is the
+    * honest branch: its PSI is undefined (no reference distribution
+    * exists), reported as NULL psi with drifted = true — a category
+    * the reference never saw IS distribution change, not a silent
+    * skip.
+    */
+  def psiStream(events: DataFrame,
+      ref: Map[String, (Seq[Double], Seq[Long])]): Dataset[PsiUpdate] = {
+    val s = events.sparkSession
+    import s.implicits._
+    def rnd(x: Double): Long = java.math.BigDecimal.valueOf(x)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+    val refB = s.sparkContext.broadcast(ref)
+    events
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").as("vc"))
+      .as[(String, Option[Long])]
+      .groupByKey(_._1)
+      .mapGroupsWithState[PsiState, PsiUpdate](GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Option[Long])],
+            state: GroupState[PsiState]) =>
+          var st = state.getOption.getOrElse(PsiState(0L, List.fill(8)(0L)))
+          val bins = st.bins.toArray
+          var n = st.n
+          val refEntry = refB.value.get(key)
+          val cuts = refEntry.map(_._1).getOrElse(Seq.empty)
+          rows.foreach { case (_, vc) =>
+            val b = vc.map(v => cuts.count(c => v > c)).getOrElse(0)
+            bins(b) += 1
+            n += 1
+          }
+          state.update(PsiState(n, bins.toList))
+          refEntry match {
+            case Some((_, refCounts)) =>
+              val nRef = refCounts.sum
+              val psi = (0 until 8).map { b =>
+                val p1 = (refCounts(b) + 1.0) / (nRef + 8.0)
+                val p2 = (bins(b) + 1.0) / (n + 8.0)
+                rnd(math.log(p1 / p2) * (p1 - p2) * 1e6)
+              }.sum
+              PsiUpdate(key, n, Some(psi), psi > 200000L)
+            case None =>
+              PsiUpdate(key, n, None, drifted = true)
+          }
+      }
+  }
+
   final case class TopKState(pairs: List[(Long, Long)])
   final case class TopKUpdate(
       user_id: Long, n_seen: Long,

@@ -551,6 +551,79 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(over == 0, "a drift group exceeded the 8-bin bound")
   }
 
+  test("psiStream: the cumulative fold replays the batch x25 PSI; an unseen category alerts") {
+    // The monitor's deployment contract made stateful: octile cuts AND
+    // per-bin reference counts frozen from the batch reference window
+    // (x25's event_id half-split), the current window streamed in two
+    // micro-batches — the final per-type emission must equal
+    // driftPsi(ref, cur) EXACTLY (n_cur, psi_e6, drifted), i.e. the
+    // stream's cumulative 8-counter state + JVM double chain is the
+    // batch plan's arithmetic, not an approximation of it. A planted
+    // row with a type the reference never saw must emit NULL psi +
+    // drifted = true (the honest new-category branch).
+    val s = spark
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import s.implicits._
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("event_id"),
+        round(col("value") * 100).cast("long").as("vc"))
+    val half = ev.agg(expr("percentile(event_id, 0.5)")).first().getDouble(0)
+    val ref = ev.filter(col("event_id") <= half)
+    val cuts = ref.groupBy(col("event_type"))
+      .agg(expr("""percentile(vc, array(0.125D, 0.25D, 0.375D, 0.5D,
+                                        0.625D, 0.75D, 0.875D))""").as("cuts"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1).toSeq).toMap
+    val refCounts = ref.collect().groupBy(_.getString(0)).map { case (et, rows) =>
+      val bins = Array.fill(8)(0L)
+      rows.foreach { r =>
+        val b = if (r.isNullAt(2)) 0
+          else cuts(et).count(c => r.getLong(2) > c)
+        bins(b) += 1
+      }
+      et -> bins.toSeq
+    }
+    val refArtifact = cuts.map { case (et, cs) => et -> (cs, refCounts(et)) }
+    val curRows = Tables.events(spark, sfDir)
+      .filter(col("event_id") > half)
+      .select(col("event_type"), col("value"))
+      .collect().map(r => (r.getString(0),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toSeq
+    val (b1, b2) = curRows.splitAt(curRows.length / 2)
+    val ms = MemoryStream[(String, Option[Double])](
+      implicitly[org.apache.spark.sql.Encoder[(String, Option[Double])]],
+      s.sqlContext)
+    val q = EventStream.psiStream(
+        ms.toDF.toDF("event_type", "value"), refArtifact)
+      .writeStream.format("memory").queryName("psi_mon")
+      .outputMode("update").start()
+    try {
+      ms.addData(b1: _*)
+      q.processAllAvailable()
+      ms.addData(b2 :+ (("zzz_new", Some(42.0))): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("psi_mon")
+      .groupBy("event_type")
+      .agg(max(struct(col("n_cur"), col("psi_e6"), col("drifted"))).as("f"))
+      .select(col("event_type"), col("f.n_cur"), col("f.psi_e6"),
+        col("f.drifted"))
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), Option(r.get(2)), r.getBoolean(3))).toMap
+    val batch = graft.operators.TextPipeline.driftPsi(ref,
+        ev.filter(col("event_id") > half))
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(2), Option(r.get(3)), r.getBoolean(4))).toMap
+    assert(batch.nonEmpty)
+    batch.foreach { case (et, want) =>
+      assert(streamed(et) == want,
+        s"psiStream diverged from batch PSI for $et: ${streamed(et)} vs $want")
+    }
+    assert(streamed("zzz_new")._2.isEmpty && streamed("zzz_new")._3,
+      s"unseen category must alert with NULL psi: ${streamed("zzz_new")}")
+  }
+
   test("transformWithState top-k: the final per-user state equals the batch top_k_pairs cut") {
     // The Spark 4 arbitrary-state API (StatefulProcessor) driven across
     // micro-batches, closed against the batch kernel it mirrors: the
