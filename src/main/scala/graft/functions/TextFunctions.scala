@@ -340,6 +340,58 @@ object TextFunctions {
     out.array()
   }
 
+  /** The planted NEAR-DUP variant of [[renderWav]] (mm10): the same
+    * waveform with the FIRST 8 SAMPLES (= fingerprint frame 0) bumped
+    * to a′ = ((… % 4096) + 100) % 4096 − 2048 — rewritten through the
+    * same LE int16 encode, so the variant is a REAL decodable WAV. Only
+    * E₀ moves, so at most the (E₀ > E₁) ordinal bit of [[audioSig]]
+    * flips: the planted pair lands at hamming ≤ 1, inside mm10's
+    * banding threshold BY CONSTRUCTION (the mm9 perturbation argument,
+    * audio form). The oracle replays the same p < 8 CASE branch.
+    */
+  def renderWavPerturbed(docId: Long, text: String): Array[Byte] = {
+    val out = renderWav(docId, text)
+    val bb = java.nio.ByteBuffer.wrap(out)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val cps = text.codePoints().toArray
+    val m = cps.length
+    val seed = ((docId % 997) * 57).toInt
+    var i = 0
+    while (i < 8) {
+      val cp = if (m == 0) 0 else cps(i % m)
+      val a = ((cp * 17 + (i + 1) * 31 + seed) % 4096 + 100) % 4096 - 2048
+      bb.putShort(44 + 2 * i, a.toShort)
+      i += 1
+    }
+    out
+  }
+
+  /** 31-bit energy-delta audio fingerprint (mm10) — the Haitsma–Kalker
+    * sign-of-band-energy-difference idea reduced to its time-domain
+    * core: 8-sample frame energies E₀..E₃₁ (exact longs, ≤ 8·2048²),
+    * bit f set iff E_f > E_{f+1} (f = 0..30). Ordinal bits survive the
+    * volume/DC shifts that move raw energies — exactly why fingerprint
+    * systems compare SIGNS of deltas, not magnitudes — so a lightly
+    * perturbed copy flips at most the frames it touches. Pure integer
+    * arithmetic; the oracle replays it from the generator relationally.
+    */
+  def audioSig(samples: Array[Int]): Long = {
+    val nf = samples.length / 8
+    val e = new Array[Long](nf)
+    var i = 0
+    while (i < nf * 8) {
+      e(i / 8) += samples(i).toLong * samples(i)
+      i += 1
+    }
+    var fp = 0L
+    var f = 0
+    while (f < nf - 1 && f < 63) {
+      if (e(f) > e(f + 1)) fp |= 1L << f
+      f += 1
+    }
+    fp
+  }
+
   /** REAL WAV decoder (see mm7_audio_features): verifies RIFF/WAVE,
     * WALKS the chunk list (id + LE u32 size, word-aligned) — tolerating
     * extra chunks like a real reader, since encoders commonly insert

@@ -587,6 +587,38 @@ object TextPipeline {
       dir
     })
 
+  private val wavNearDupCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** The mm10 asset corpus: every document's base WAV (asset_id =
+    * 2·doc_id) plus, for doc_id % 25 = 0, a PLANTED near-dup variant
+    * (asset_id = 2·doc_id + 1, [[TextFunctions.renderWavPerturbed]] —
+    * the first fingerprint frame bumped by +100). ppmNearDupAssetDir's
+    * shape; a separate directory because mm7's oracle replays the
+    * UNPERTURBED corpus and must not see the variants.
+    */
+  private[graft] def wavNearDupAssetDir(s: SparkSession, d: String): String =
+    wavNearDupCache.getOrElseUpdate(d, {
+      import s.implicits._
+      val dir = s"$ppmScratchRoot/wavdup_${java.util.UUID.randomUUID()}"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      Tables.documents(s, d)
+        .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+        .as[(Long, String)]
+        .foreachPartition { it: Iterator[(Long, String)] =>
+          it.foreach { case (id, t) =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(dir, f"${2 * id}%08d.wav"),
+              TextFunctions.renderWav(id, t))
+            if (id % 25 == 0)
+              java.nio.file.Files.write(
+                java.nio.file.Paths.get(dir, f"${2 * id + 1}%08d.wav"),
+                TextFunctions.renderWavPerturbed(id, t))
+          }
+        }
+      dir
+    })
+
   private val y4mAssetCache =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
@@ -7382,6 +7414,139 @@ object TextPipeline {
          JOIN ph pb ON pb.asset_id = c.asset_b
          WHERE bit_count(xor(pa.phash_hi, pb.phash_hi)) +
                bit_count(xor(pa.phash_lo, pb.phash_lo)) <= 3
+         ORDER BY 1, 2""")),
+
+    ("mm10_audio_neardup", (s: SparkSession, d: String) => {
+      // AUDIO near-dup PAIRING — mm9's banded-hamming composition
+      // applied to the third modality: per asset, the 31-bit
+      // energy-delta fingerprint ([[TextFunctions.audioSig]] — ordinal
+      // sign-of-ΔE bits over 8-sample frame energies, the
+      // Haitsma–Kalker core), banded into 2×~16-bit blocks — at
+      // threshold hamming ≤ 1 the pigeonhole needs only TWO bands (one
+      // must be clean), and 16-bit blocks keep bucket occupancy
+      // meaningful where 4×8-bit blocks would degenerate into
+      // corpus/256 fan-out (the banding-width-vs-threshold tradeoff,
+      // stated instead of hidden; ≤ 1 is the right cut for an ORDINAL
+      // fingerprint where a light perturbation flips only the frames
+      // it touches). Bucket-gated (occ ≤ 50) equi-join, full-hamming
+      // ≤ 1 verify. The asset corpus is the real lifecycle:
+      // wavNearDupAssetDir writes every doc's base WAV plus a PLANTED
+      // first-frame-perturbed variant for doc_id % 25 = 0
+      // (renderWavPerturbed), binaryFile ingests, decodeWav parses the
+      // RIFF chunk walk — so reported pairs genuinely decode as near
+      // waveforms, and the oracle replays generator → frame energies →
+      // ordinal bits → bands → gate → verify relationally. 100 TB: one
+      // binaryFile scan, per-file O(samples) kernel, 2 rows per asset
+      // into a bucket-gated self-join — d3's scale shape.
+      import s.implicits._
+      val dir = wavNearDupAssetDir(s, d)
+      val sigs = s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.wav").load(dir)
+        .select(
+          regexp_extract(col("path"), "([0-9]+)\\.wav$", 1)
+            .cast("long").as("asset_id"),
+          col("content"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          it.map { case (id, bytes) =>
+            val (_, samples) = TextFunctions.decodeWav(bytes)
+            (id, TextFunctions.audioSig(samples))
+          }
+        }
+        .toDF("asset_id", "fp")
+      val bands = sigs.select(col("asset_id"),
+          explode(array(
+            struct(lit(0).as("band"), (col("fp") % 65536).as("block")),
+            struct(lit(1).as("band"),
+              (col("fp") / 65536).cast("long").as("block"))))
+            .as("bb"))
+        .select(col("asset_id"), col("bb.band").as("band"),
+          col("bb.block").as("block"))
+      val gated = bands.groupBy(col("band"), col("block"))
+        .agg(count(lit(1)).as("occ"))
+        .filter(col("occ") <= 50)
+        .select(col("band"), col("block"))
+      val inBucket = bands.join(gated, Seq("band", "block"))
+      val cand = inBucket.alias("a")
+        .join(inBucket.alias("b"),
+          col("a.band") === col("b.band") &&
+            col("a.block") === col("b.block") &&
+            col("a.asset_id") < col("b.asset_id"))
+        .groupBy(col("a.asset_id").as("asset_a"),
+          col("b.asset_id").as("asset_b"))
+        .agg(count(lit(1)).as("shared_bands"))
+      cand
+        .join(sigs.select(col("asset_id").as("asset_a"),
+          col("fp").as("fp_a")), "asset_a")
+        .join(sigs.select(col("asset_id").as("asset_b"),
+          col("fp").as("fp_b")), "asset_b")
+        .withColumn("hamming",
+          expr("cast(bit_count(fp_a ^ fp_b) AS bigint)"))
+        .filter(col("hamming") <= 1)
+        .select(col("asset_a"), col("asset_b"), col("shared_bands"),
+          col("hamming"))
+        .orderBy(col("asset_a"), col("asset_b"))
+    }, Some(
+      // mm7's generator replay extended with the asset universe (base +
+      // planted variant), the first-8-samples perturbation CASE, frame
+      // energies, the ordinal delta bits, then bands / gate / verify —
+      // the whole audio pairing pipeline relational.
+      """WITH au AS (
+           SELECT doc_id, doc_id * 2 AS asset_id, 0 AS pert FROM documents
+           UNION ALL
+           SELECT doc_id, doc_id * 2 + 1, 1 FROM documents
+           WHERE doc_id % 25 = 0),
+         sm AS (
+           SELECT a.asset_id, a.pert, d.doc_id, g.i AS i,
+                  CASE WHEN d.text IS NULL OR length(d.text) = 0 THEN 0
+                       ELSE unicode(substr(d.text,
+                         cast(g.i % length(d.text) AS int) + 1, 1)) END AS cp
+           FROM au a JOIN documents d ON d.doc_id = a.doc_id,
+                generate_series(0, 255) g(i)),
+         amp AS (
+           SELECT asset_id, i, i // 8 AS frame_idx,
+                  CASE WHEN pert = 1 AND i < 8
+                       THEN ((cp * 17 + (i + 1) * 31 + (doc_id % 997) * 57)
+                             % 4096 + 100) % 4096 - 2048
+                       ELSE (cp * 17 + (i + 1) * 31 + (doc_id % 997) * 57)
+                            % 4096 - 2048 END AS a
+           FROM sm),
+         fe AS (
+           SELECT asset_id, frame_idx, cast(sum(a * a) AS bigint) AS e
+           FROM amp GROUP BY 1, 2),
+         dlt AS (
+           SELECT asset_id, frame_idx,
+                  CASE WHEN e > lead(e) OVER (PARTITION BY asset_id
+                         ORDER BY frame_idx) THEN 1 ELSE 0 END AS bit
+           FROM fe),
+         ph AS (
+           SELECT asset_id,
+                  cast(sum(CASE WHEN bit = 1 AND frame_idx < 31
+                      THEN cast(1 AS bigint) << frame_idx ELSE 0 END)
+                    AS bigint) AS fp
+           FROM dlt GROUP BY 1),
+         bands AS (
+           SELECT asset_id, b.band AS band,
+                  CASE b.band WHEN 0 THEN fp % 65536
+                              ELSE fp // 65536 END AS block
+           FROM ph, generate_series(0, 1) b(band)),
+         gated AS (
+           SELECT band, block FROM bands
+           GROUP BY 1, 2 HAVING count(*) <= 50),
+         cand AS (
+           SELECT a.asset_id AS asset_a, b.asset_id AS asset_b,
+                  cast(count(*) AS bigint) AS shared_bands
+           FROM bands a
+           JOIN gated g ON g.band = a.band AND g.block = a.block
+           JOIN bands b ON b.band = a.band AND b.block = a.block
+                AND b.asset_id > a.asset_id
+           GROUP BY 1, 2)
+         SELECT c.asset_a, c.asset_b, c.shared_bands,
+                cast(bit_count(xor(pa.fp, pb.fp)) AS bigint) AS hamming
+         FROM cand c
+         JOIN ph pa ON pa.asset_id = c.asset_a
+         JOIN ph pb ON pb.asset_id = c.asset_b
+         WHERE bit_count(xor(pa.fp, pb.fp)) <= 1
          ORDER BY 1, 2""")),
 
     ("x44_mixture_sampler", (s: SparkSession, d: String) => {

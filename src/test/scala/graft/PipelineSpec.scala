@@ -1115,6 +1115,33 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("mm10 audioSig: the planted WAV perturbation is a real near-dup at hamming <= 1") {
+    // The mm10 construction argument, pinned at the kernel level: the
+    // perturbed variant must (a) still decode as a real WAV, (b) differ
+    // from the base in EXACTLY the first 8 samples (fingerprint frame
+    // 0), and (c) land within hamming 1 of the base fingerprint — the
+    // +100 bump moves only E0, so only the (E0 > E1) ordinal bit can
+    // flip. A different document's fingerprint must NOT be forced near
+    // (distance measured, not assumed).
+    import graft.functions.TextFunctions
+    val base = TextFunctions.decodeWav(
+      TextFunctions.renderWav(50L, "the quick brown fox"))._2
+    val pert = TextFunctions.decodeWav(
+      TextFunctions.renderWavPerturbed(50L, "the quick brown fox"))._2
+    assert(base.length == 256 && pert.length == 256)
+    val diffIdx = base.indices.filter(i => base(i) != pert(i))
+    assert(diffIdx.nonEmpty && diffIdx.forall(_ < 8),
+      s"perturbation leaked past frame 0: $diffIdx")
+    val fpB = TextFunctions.audioSig(base)
+    val fpP = TextFunctions.audioSig(pert)
+    assert(java.lang.Long.bitCount(fpB ^ fpP) <= 1,
+      s"planted pair not near: hamming ${java.lang.Long.bitCount(fpB ^ fpP)}")
+    val other = TextFunctions.audioSig(TextFunctions.decodeWav(
+      TextFunctions.renderWav(51L, "a completely different doc"))._2)
+    assert(java.lang.Long.bitCount(fpB ^ other) > 1,
+      "unrelated fingerprints should not collide in this fixture")
+  }
+
   test("x41 charEntropyGate: both gibberish tails flag, prose passes, empty gates (planted)") {
     // The two tails the gate exists for: one-glyph filler (H = 0 —
     // degenerate boilerplate) and a max-distinct blob (H = log2 n at
