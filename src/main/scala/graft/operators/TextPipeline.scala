@@ -5686,6 +5686,88 @@ object TextPipeline {
         .orderBy(col("doc_id"))
     }, Some(bpeEncodeOracleSql(6))),
 
+    ("x45_tokenizer_fertility", (s: SparkSession, d: String) => {
+      // TOKENIZER FERTILITY by source — the per-corpus efficiency
+      // report every multilingual/multi-domain pipeline runs after
+      // training a tokenizer (fertility = BPE tokens per word; its
+      // skew across sources is how domain under-representation in the
+      // tokenizer's training mix is DETECTED — a source at 1.3× corpus
+      // fertility pays 30% more context budget per word): x29's
+      // per-doc encode aggregated up the source dimension, against the
+      // SAME session-cached 6-merge vocab (train once, serve many —
+      // x28/x29's loop, now reported where the mixing decisions x44
+      // executes actually look). Exact integer sums per source; the
+      // three ratios quantize through shared-text chains (the relative
+      // index assembles from RAW sums in one double chain — never a
+      // ratio of two already-quantized ratios); a wordless source
+      // reports documented NULLs. Scale: the vocab is merge-bounded
+      // (broadcast), word occurrences shuffle once on word for the
+      // encode join and once on source for the aggregate — both
+      // map-side combined.
+      val (_, vocab) = bpeTrainedFor(s, d, 6)
+      val enc = vocab.select(col("word"),
+        size(col("syms")).cast("long").as("n_syms"))
+      val docs = Tables.documents(s, d)
+      val ws = corpusWords(docs)
+        .join(broadcast(enc), "word")
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(length(col("word")).cast("long")).as("n_chars_alpha"),
+          sum(col("n_syms")).as("n_bpe_tokens"))
+      val nd = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      val tot = ws.agg(sum(col("n_words")).as("w_tot"),
+        sum(col("n_bpe_tokens")).as("t_tot"))
+      nd.join(ws, Seq("source"), "left").crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"),
+          coalesce(col("n_words"), lit(0L)).as("n_words"),
+          coalesce(col("n_chars_alpha"), lit(0L)).as("n_chars_alpha"),
+          coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"),
+          col("w_tot"), col("t_tot"))
+        .select(col("source"), col("n_docs"), col("n_words"),
+          col("n_chars_alpha"), col("n_bpe_tokens"),
+          expr("""CASE WHEN n_words > 0 THEN
+              cast(round(n_bpe_tokens * 1e6 / n_words) AS bigint) END""")
+            .as("fertility_e6"),
+          expr("""CASE WHEN n_chars_alpha > 0 THEN
+              cast(round(n_bpe_tokens * 1e6 / n_chars_alpha) AS bigint) END""")
+            .as("tpc_e6"),
+          expr("""CASE WHEN n_words > 0 AND t_tot > 0 THEN
+              cast(round((n_bpe_tokens * 1e0 * w_tot) /
+                (n_words * 1e0 * t_tot) * 1e6) AS bigint) END""")
+            .as("rel_fertility_e6"))
+        .orderBy(col("source"))
+    }, Some(
+      s"""WITH ${bpeOracleCtes(6, finalRewrite = true)},
+         enc AS (SELECT word, cast(len(syms) AS bigint) AS n_syms FROM seq6),
+         ws AS (
+           SELECT dd.source, cast(count(*) AS bigint) AS n_words,
+                  cast(sum(length(o.word)) AS bigint) AS n_chars_alpha,
+                  cast(sum(e.n_syms) AS bigint) AS n_bpe_tokens
+           FROM occ o JOIN enc e ON e.word = o.word
+           JOIN documents dd ON dd.doc_id = o.doc_id
+           GROUP BY 1),
+         nd AS (SELECT source, cast(count(*) AS bigint) AS n_docs
+                FROM documents GROUP BY 1),
+         tot AS (SELECT cast(sum(n_words) AS bigint) AS w_tot,
+                        cast(sum(n_bpe_tokens) AS bigint) AS t_tot FROM ws)
+         SELECT nd.source, nd.n_docs,
+                coalesce(ws.n_words, 0) AS n_words,
+                coalesce(ws.n_chars_alpha, 0) AS n_chars_alpha,
+                coalesce(ws.n_bpe_tokens, 0) AS n_bpe_tokens,
+                CASE WHEN coalesce(ws.n_words, 0) > 0 THEN
+                  cast(round(ws.n_bpe_tokens * 1e6 / ws.n_words) AS bigint)
+                END AS fertility_e6,
+                CASE WHEN coalesce(ws.n_chars_alpha, 0) > 0 THEN
+                  cast(round(ws.n_bpe_tokens * 1e6 / ws.n_chars_alpha)
+                    AS bigint) END AS tpc_e6,
+                CASE WHEN coalesce(ws.n_words, 0) > 0 AND t.t_tot > 0 THEN
+                  cast(round((ws.n_bpe_tokens * 1e0 * t.w_tot) /
+                    (ws.n_words * 1e0 * t.t_tot) * 1e6) AS bigint)
+                END AS rel_fertility_e6
+         FROM nd LEFT JOIN ws ON ws.source = nd.source, tot t
+         ORDER BY nd.source""")),
+
     ("x26_quality_probe", (s: SparkSession, d: String) => {
       // Learned quality scoring — the fasttext-classifier slot of a
       // curation pipeline driven by the engine's own estimation surface:
