@@ -849,6 +849,92 @@ object Estimation {
         col("fc_combo"))
       .orderBy(col("event_type"))
 
+  /** Granger–Ramanathan (1984) regression-weighted forecast combination
+    * over the same EWMA/Holt one-step pair as [[forecastCombo]] — the
+    * next rung above Bates–Granger: m26's inverse-MAE weights ignore
+    * the forecasts' CORRELATION; GR-A solves the unconstrained least
+    * squares y ≈ w₁f₁ + w₂f₂, whose 2×2 normal equations close to
+    * w₁ = (S1y·S22 − S2y·S12)/det, det = S11·S22 − S12². All ten
+    * running sums are EXACT LONGS folded jointly with the component
+    * recursions (one aggregate() pass; the oracle's WITH RECURSIVE
+    * carries the same accumulators); the solve is a fixed
+    * double-from-first-product chain (the m27 contract — S11·S22
+    * passes 2⁶³). Degenerate routes: collinear forecasts on the exact
+    * integer test Σ(f₁−f₂)² = 0 (⟺ the two models agree everywhere ⟺
+    * GR is singular), a shared double det ≠ 0 backstop for
+    * cancellation, and n_pairs ≥ 3; all yield NULL weights with
+    * fc_combo falling back to f₁ (m26's convention). imp_e6 =
+    * sse_combo/min(sse₁, sse₂) reports whether the regression combo
+    * actually BEAT the better component in-sample (< 1e6 by LS
+    * construction when defined — the sanity a spec pins).
+    */
+  private[graft] def grCombo(daily: DataFrame): DataFrame =
+    daily
+      .groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("day"), col("x")))).as("s"))
+      .select(col("event_type"), size(col("s")).cast("long").as("n"),
+        expr("""aggregate(s,
+            named_struct('el', cast(null AS bigint),
+                         'hl', cast(null AS bigint),
+                         'hb', cast(0 AS bigint),
+                         's11', cast(0 AS bigint), 's12', cast(0 AS bigint),
+                         's22', cast(0 AS bigint), 's1y', cast(0 AS bigint),
+                         's2y', cast(0 AS bigint), 'syy', cast(0 AS bigint),
+                         'sdd', cast(0 AS bigint), 'sse1', cast(0 AS bigint),
+                         'sse2', cast(0 AS bigint), 'np', cast(0 AS bigint)),
+            (acc, r) -> CASE WHEN acc.el IS NULL THEN
+                named_struct('el', r.x, 'hl', r.x, 'hb', cast(0 AS bigint),
+                  's11', acc.s11, 's12', acc.s12, 's22', acc.s22,
+                  's1y', acc.s1y, 's2y', acc.s2y, 'syy', acc.syy,
+                  'sdd', acc.sdd, 'sse1', acc.sse1, 'sse2', acc.sse2,
+                  'np', acc.np)
+              ELSE named_struct(
+                'el', (3 * r.x + 7 * acc.el) div 10,
+                'hl', (3 * r.x + 7 * (acc.hl + acc.hb)) div 10,
+                'hb', (((3 * r.x + 7 * (acc.hl + acc.hb)) div 10
+                        - acc.hl) + 9 * acc.hb) div 10,
+                's11', acc.s11 + acc.el * acc.el,
+                's12', acc.s12 + acc.el * (acc.hl + acc.hb),
+                's22', acc.s22 + (acc.hl + acc.hb) * (acc.hl + acc.hb),
+                's1y', acc.s1y + acc.el * r.x,
+                's2y', acc.s2y + (acc.hl + acc.hb) * r.x,
+                'syy', acc.syy + r.x * r.x,
+                'sdd', acc.sdd + (acc.el - (acc.hl + acc.hb))
+                       * (acc.el - (acc.hl + acc.hb)),
+                'sse1', acc.sse1 + (r.x - acc.el) * (r.x - acc.el),
+                'sse2', acc.sse2 + (r.x - (acc.hl + acc.hb))
+                        * (r.x - (acc.hl + acc.hb)),
+                'np', acc.np + 1)
+              END)""").as("f"))
+      .select(col("event_type"), col("f.np").as("n_pairs"),
+        col("f.el").as("fel"), (col("f.hl") + col("f.hb")).as("fhl"),
+        col("f.s11").as("s11"), col("f.s12").as("s12"),
+        col("f.s22").as("s22"), col("f.s1y").as("s1y"),
+        col("f.s2y").as("s2y"), col("f.syy").as("syy"),
+        col("f.sdd").as("sdd"), col("f.sse1").as("sse1"),
+        col("f.sse2").as("sse2"))
+      .withColumn("det",
+        expr("s11 * 1e0 * s22 - s12 * 1e0 * s12"))
+      .withColumn("ok",
+        expr("n_pairs >= 3 AND sdd > 0 AND det <> 0e0"))
+      .withColumn("w1d", expr(
+        "CASE WHEN ok THEN (s1y * 1e0 * s22 - s2y * 1e0 * s12) / det END"))
+      .withColumn("w2d", expr(
+        "CASE WHEN ok THEN (s2y * 1e0 * s11 - s1y * 1e0 * s12) / det END"))
+      .withColumn("sse_combo", expr(
+        "CASE WHEN ok THEN syy * 1e0 - w1d * s1y - w2d * s2y END"))
+      .select(col("event_type"), col("n_pairs"),
+        expr("CASE WHEN ok THEN cast(round(w1d * 1e6) AS bigint) END")
+          .as("w_ewma_e6"),
+        expr("CASE WHEN ok THEN cast(round(w2d * 1e6) AS bigint) END")
+          .as("w_holt_e6"),
+        expr("""CASE WHEN ok THEN cast(round(w1d * fel + w2d * fhl)
+             AS bigint) ELSE fel END""").as("fc_combo"),
+        expr("""CASE WHEN ok AND least(sse1, sse2) > 0 THEN
+             cast(round(sse_combo * 1e6 / (least(sse1, sse2) * 1e0))
+               AS bigint) END""").as("imp_e6"))
+      .orderBy(col("event_type"))
+
   private[graft] def bhFdr(daily: DataFrame): DataFrame = {
     val d0 = daily.agg(min(col("day")).as("d0"))
     val wt = Window.partitionBy(col("event_type")).orderBy(col("day"))
@@ -3122,6 +3208,91 @@ object Estimation {
                     AS bigint)
                 ELSE fc_ewma END AS fc_combo
          FROM lastr ORDER BY 1""")),
+
+    ("m30_gr_combo", (s: SparkSession, d: String) => {
+      // Granger–Ramanathan regression-weighted combination over the
+      // SAME EWMA/Holt one-step pair as m26 — the rung above
+      // Bates–Granger: inverse-error weights ignore the forecasts'
+      // correlation; GR solves the least squares y ≈ w₁f₁ + w₂f₂ in
+      // closed 2×2 form, and imp_e6 reports in-sample SSE vs the
+      // better single model (< 1e6 whenever defined, BY LS
+      // construction — pinned in spec). Contract, exactness, and the
+      // three degenerate routes on [[grCombo]].
+      grCombo(Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("x")))
+    }, Some(
+      """WITH RECURSIVE daily AS (
+           SELECT event_type, cast(ts AS date) AS day,
+                  cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS x
+           FROM events GROUP BY 1, 2),
+         e AS (
+           SELECT event_type, x, row_number() OVER (
+             PARTITION BY event_type ORDER BY day) AS t
+           FROM daily),
+         rec AS (
+           SELECT event_type, t, x AS el, x AS hl,
+                  cast(0 AS bigint) AS hb,
+                  cast(0 AS bigint) AS s11, cast(0 AS bigint) AS s12,
+                  cast(0 AS bigint) AS s22, cast(0 AS bigint) AS s1y,
+                  cast(0 AS bigint) AS s2y, cast(0 AS bigint) AS syy,
+                  cast(0 AS bigint) AS sdd, cast(0 AS bigint) AS sse1,
+                  cast(0 AS bigint) AS sse2, cast(0 AS bigint) AS np
+           FROM e WHERE t = 1
+           UNION ALL
+           SELECT e.event_type, e.t,
+                  (3 * e.x + 7 * rec.el) // 10,
+                  (3 * e.x + 7 * (rec.hl + rec.hb)) // 10,
+                  (((3 * e.x + 7 * (rec.hl + rec.hb)) // 10
+                    - rec.hl) + 9 * rec.hb) // 10,
+                  rec.s11 + rec.el * rec.el,
+                  rec.s12 + rec.el * (rec.hl + rec.hb),
+                  rec.s22 + (rec.hl + rec.hb) * (rec.hl + rec.hb),
+                  rec.s1y + rec.el * e.x,
+                  rec.s2y + (rec.hl + rec.hb) * e.x,
+                  rec.syy + e.x * e.x,
+                  rec.sdd + (rec.el - (rec.hl + rec.hb))
+                    * (rec.el - (rec.hl + rec.hb)),
+                  rec.sse1 + (e.x - rec.el) * (e.x - rec.el),
+                  rec.sse2 + (e.x - (rec.hl + rec.hb))
+                    * (e.x - (rec.hl + rec.hb)),
+                  rec.np + 1
+           FROM rec JOIN e ON e.event_type = rec.event_type
+             AND e.t = rec.t + 1),
+         fin AS (SELECT event_type, max(t) AS nmax FROM rec GROUP BY 1),
+         lastr AS (
+           SELECT r.event_type, r.np AS n_pairs, r.el AS fel,
+                  r.hl + r.hb AS fhl, r.s11, r.s12, r.s22, r.s1y,
+                  r.s2y, r.syy, r.sdd, r.sse1, r.sse2
+           FROM rec r JOIN fin f
+             ON f.event_type = r.event_type AND r.t = f.nmax),
+         ch AS (
+           SELECT *, s11 * 1e0 * s22 - s12 * 1e0 * s12 AS det,
+                  (n_pairs >= 3 AND sdd > 0
+                   AND s11 * 1e0 * s22 - s12 * 1e0 * s12 <> 0e0) AS ok
+           FROM lastr),
+         w AS (
+           SELECT *,
+                  CASE WHEN ok THEN
+                    (s1y * 1e0 * s22 - s2y * 1e0 * s12) / det END AS w1d,
+                  CASE WHEN ok THEN
+                    (s2y * 1e0 * s11 - s1y * 1e0 * s12) / det END AS w2d
+           FROM ch),
+         sc AS (
+           SELECT *, CASE WHEN ok THEN
+                    syy * 1e0 - w1d * s1y - w2d * s2y END AS sse_combo
+           FROM w)
+         SELECT event_type, n_pairs,
+                CASE WHEN ok THEN cast(round(w1d * 1e6) AS bigint) END
+                  AS w_ewma_e6,
+                CASE WHEN ok THEN cast(round(w2d * 1e6) AS bigint) END
+                  AS w_holt_e6,
+                CASE WHEN ok THEN cast(round(w1d * fel + w2d * fhl)
+                  AS bigint) ELSE fel END AS fc_combo,
+                CASE WHEN ok AND least(sse1, sse2) > 0 THEN
+                  cast(round(sse_combo * 1e6 / (least(sse1, sse2) * 1e0))
+                    AS bigint) END AS imp_e6
+         FROM sc ORDER BY event_type""")),
 
     ("m29_mincer_zarnowitz", (s: SparkSession, d: String) => {
       // Mincer–Zarnowitz forecast RATIONALITY — the third leg of the

@@ -273,6 +273,40 @@ class EstimationSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"short series must degenerate: ${got("c")}")
   }
 
+  test("m30 grCombo: LS combo never loses to the better component; degenerates rout (planted)") {
+    // The Granger–Ramanathan law, pinned: whenever the weights are
+    // defined, in-sample SSE of the regression combo is ≤ min(SSE₁,
+    // SSE₂) BY CONSTRUCTION (the single models are in the span of
+    // {f₁, f₂}), so imp_e6 ≤ 1e6 — a violation means the normal
+    // equations or an accumulator broke. Battery 1: a series with real
+    // signal (ramp + alternation) has defined weights and imp ≤ 1e6.
+    // Battery 2: a CONSTANT series makes the two forecasts agree
+    // everywhere — the exact Σ(f₁−f₂)² = 0 route — NULL weights,
+    // fc_combo = the EWMA forecast (m26's fallback). Battery 3: a
+    // 3-day series (2 forecast pairs < 3) degenerates on n_pairs.
+    val s = spark
+    import s.implicits._
+    import java.sql.Date
+    def day(i: Int): Date = Date.valueOf(f"2024-03-${i}%02d")
+    val rows = (1 to 20).map(i =>
+      ("a", day(i), 1000L + 50L * i + (if (i % 2 == 0) 200L else -200L))) ++
+      (1 to 10).map(i => ("b", day(i), 500L)) ++
+      (1 to 3).map(i => ("c", day(i), 100L * i))
+    val got = graft.operators.Estimation.grCombo(
+        rows.toDF("event_type", "day", "x"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), Option(r.get(2)), Option(r.get(4)),
+          Option(r.get(5)))).toMap
+    val (nA, wA, fcA, impA) = got("a")
+    assert(nA == 19L && wA.nonEmpty, s"battery 1 should define weights: $wA")
+    assert(impA.exists(_.asInstanceOf[Long] <= 1000000L),
+      s"LS combo lost to the better component: imp=$impA")
+    val (nB, wB, fcB, _) = got("b")
+    assert(nB == 9L && wB.isEmpty, "constant series must yield NULL weights")
+    assert(fcB.contains(500L), s"fallback must be the EWMA forecast: $fcB")
+    assert(got("c")._2.isEmpty, "2 forecast pairs must degenerate on n_pairs")
+  }
+
   test("m28 splitConformal: a tiny-calibration key must not crash the query (planted)") {
     // The r14 ADVICE crash class: the cal stage evaluates element_at for
     // EVERY key, including ones the test-side join later drops — a key
