@@ -1454,6 +1454,86 @@ object GraphOps {
                      AS bigint) END AS phi_e6
           FROM nr JOIN er ON er.k = nr.k ORDER BY 1""")),
 
+    ("g19_edge_embeddedness", (s: SparkSession, d: String) => {
+      // Edge EMBEDDEDNESS and local bridges (Granovetter '73 via
+      // Easley–Kleinberg ch. 3) — the TIE-STRENGTH structure the node
+      // family (g9 clustering, g4 triangles) aggregates away: an
+      // edge's embeddedness = |N(u) ∩ N(v)|, and an embeddedness-0
+      // edge is a LOCAL BRIDGE — the weak tie whose removal puts its
+      // endpoints ≥ 3 apart, the link information actually flows
+      // across. Output: the 20 weakest ties ranked by (embeddedness
+      // ASC, deg_u·deg_v DESC — the most load-bearing weak ties
+      // first), each flagged is_local_bridge, with the corpus totals
+      // (n_edges, n_bridges) riding along. Runs g5's wedge pivot (the
+      // dst-keyed self-join) WITHOUT its non-adjacency anti-join —
+      // embeddedness wants exactly the adjacent pairs g5 discards —
+      // LEFT-joined back to the canonical adjacency, so an edge no
+      // wedge touches reads embeddedness 0 rather than vanishing.
+      // Exact integer counts; the cut is orderBy+limit =
+      // TakeOrderedAndProject (bounded state), rank stamped on 20
+      // rows. Scale: one wedge pivot (g4/g5's cost class) + two
+      // node-sized degree joins.
+      val strong = strongCopurchase(s, d)
+      val cn = strong.as("x").join(strong.as("y"),
+          col("x.dst") === col("y.dst") && col("x.src") < col("y.src"))
+        .select(col("x.src").as("u"), col("y.src").as("v"))
+        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("cn"))
+      val adj = strong.filter(col("src") < col("dst"))
+        .select(col("src").as("u"), col("dst").as("v"))
+      val deg = strong.groupBy(col("src")).agg(count(lit(1)).as("dg"))
+      val emb = adj.join(cn, Seq("u", "v"), "left")
+        .withColumn("embed", coalesce(col("cn"), lit(0L)))
+        .join(deg.select(col("src").as("u"), col("dg").as("deg_u")), "u")
+        .join(deg.select(col("src").as("v"), col("dg").as("deg_v")), "v")
+        .withColumn("span", col("deg_u") * col("deg_v"))
+      val tot = emb.agg(count(lit(1)).as("n_edges"),
+        sum(when(col("embed") === 0, 1L).otherwise(0L)).as("n_bridges"))
+      val top = emb
+        .orderBy(col("embed"), col("span").desc, col("u"), col("v"))
+        .limit(20)
+      top.withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("embed"), col("span").desc, col("u"), col("v")))
+          .cast("int"))
+        .crossJoin(broadcast(tot))
+        .select(col("rank"), col("u"), col("v"), col("embed"),
+          col("deg_u"), col("deg_v"), col("span"),
+          (col("embed") === 0).as("is_local_bridge"),
+          col("n_edges"), col("n_bridges"))
+        .orderBy(col("rank"))
+    }, Some(
+      s"""WITH $sqlStrong,
+          w AS (SELECT x.src AS u, y.src AS v
+                FROM strong x JOIN strong y
+                ON y.dst = x.dst AND x.src < y.src),
+          cn AS (SELECT u, v, cast(count(*) AS bigint) AS cn
+                 FROM w GROUP BY 1, 2),
+          adj AS (SELECT src AS u, dst AS v FROM strong WHERE src < dst),
+          deg AS (SELECT src, count(*) AS dg FROM strong GROUP BY 1),
+          emb AS (
+            SELECT a.u, a.v, coalesce(cn.cn, 0) AS embed,
+                   cast(du.dg AS bigint) AS deg_u,
+                   cast(dv.dg AS bigint) AS deg_v,
+                   cast(du.dg * dv.dg AS bigint) AS span
+            FROM adj a
+            LEFT JOIN cn ON cn.u = a.u AND cn.v = a.v
+            JOIN deg du ON du.src = a.u
+            JOIN deg dv ON dv.src = a.v),
+          tot AS (
+            SELECT cast(count(*) AS bigint) AS n_edges,
+                   cast(sum(CASE WHEN embed = 0 THEN 1 ELSE 0 END)
+                     AS bigint) AS n_bridges
+            FROM emb),
+          ranked AS (
+            SELECT *, row_number() OVER (
+              ORDER BY embed, span DESC, u, v) AS rank
+            FROM emb)
+          SELECT cast(r.rank AS int) AS rank, r.u, r.v,
+                 cast(r.embed AS bigint) AS embed, r.deg_u, r.deg_v,
+                 r.span, (r.embed = 0) AS is_local_bridge,
+                 t.n_edges, t.n_bridges
+          FROM ranked r, tot t WHERE r.rank <= 20 ORDER BY r.rank""")),
+
     ("g16_assortativity", (s: SparkSession, d: String) => {
       // Degree ASSORTATIVITY (Newman '02) — the one-number topology
       // diagnostic the per-node family (g6 cores, g9 clustering, g15
