@@ -738,6 +738,78 @@ object Relational {
          WHERE o_orderkey % 3 = v % 3
          GROUP BY 1 ORDER BY 1""")),
 
+    ("s17_time_travel", (s: SparkSession, d: String) => {
+      // Manifest TIME TRAVEL with a COMPACTION commit (engine ext.) —
+      // the other read mode s16's manifest gives a lakehouse table:
+      // "read the table AS OF version v", where live(v) = files ADDED
+      // at ≤ v minus files REMOVED at ≤ v. Three commits land here:
+      // v1 writes a third of orders (2 files), v2 appends another
+      // third (2 files), v3 is a pure COMPACTION — it rewrites v1's
+      // rows into 1 file and manifests the two originals as REMOVED.
+      // The invariant every table format stakes its correctness on is
+      // IN the result: snapshots v2 and v3 must agree row-for-row
+      // (n_rows, sum_price_c identical) while their file counts differ
+      // (4 → 3) — a compaction that leaks or duplicates rows fails
+      // the driver compare, and a reader that ignores the remove
+      // entries double-counts v1's rows at v3. scanned_files embeds
+      // the pruning proof per snapshot (the s16 discipline: the AS-OF
+      // scan reads exactly the live set, never the directory). At
+      // 100 TB this is why old snapshots stay queryable O(live-files)
+      // with zero data movement.
+      import scala.jdk.CollectionConverters._
+      val tmp = s"$csvScratchRoot/tt_${java.util.UUID.randomUUID()}"
+      val ord = Tables.orders(s, d).select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("price_c"))
+      def files(path: String): Seq[String] = {
+        val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(path))
+        try walk.iterator().asScala
+          .filter(p => p.toString.endsWith(".parquet"))
+          .map(_.toString).toSeq
+        finally walk.close()
+      }
+      ord.filter(col("o_orderkey") % 3 === 1)
+        .repartition(2).write.mode("overwrite").parquet(s"$tmp/v1")
+      ord.filter(col("o_orderkey") % 3 === 2)
+        .repartition(2).write.mode("overwrite").parquet(s"$tmp/v2")
+      ord.filter(col("o_orderkey") % 3 === 1)
+        .repartition(1).write.mode("overwrite").parquet(s"$tmp/v3")
+      val v1f = files(s"$tmp/v1"); val v2f = files(s"$tmp/v2")
+      val v3f = files(s"$tmp/v3")
+      // The manifest: (version, path, removed) — v3 adds its compacted
+      // file and tombstones v1's two.
+      val manifest: Seq[(Long, String, Boolean)] =
+        v1f.map((1L, _, false)) ++ v2f.map((2L, _, false)) ++
+          v3f.map((3L, _, false)) ++ v1f.map((3L, _, true))
+      (1 to 3).map { v =>
+        val removed = manifest
+          .filter(m => m._1 <= v && m._3).map(_._2).toSet
+        val live = manifest
+          .filter(m => m._1 <= v && !m._3).map(_._2)
+          .filterNot(removed)
+        val snap = s.read.parquet(live: _*)
+        val scanned = snap.inputFiles.length.toLong
+        snap.agg(count(lit(1)).as("n_rows"),
+            sum(col("price_c")).as("sum_price_c"))
+          .select(lit(v.toLong).as("commit_version"),
+            lit(live.size.toLong).as("n_files_live"),
+            col("n_rows"), col("sum_price_c"),
+            lit(scanned).as("scanned_files"))
+      }.reduce(_ unionByName _)
+        .orderBy(col("commit_version"))
+    }, Some(
+      """SELECT v AS commit_version,
+                CASE v WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 3 END::BIGINT
+                  AS n_files_live,
+                cast(count(*) AS bigint) AS n_rows,
+                cast(sum(cast(round(o_totalprice * 100) AS bigint))
+                  AS bigint) AS sum_price_c,
+                CASE v WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 3 END::BIGINT
+                  AS scanned_files
+         FROM orders, (VALUES (1), (2), (3)) t(v)
+         WHERE (v = 1 AND o_orderkey % 3 = 1)
+            OR (v >= 2 AND o_orderkey % 3 IN (1, 2))
+         GROUP BY 1 ORDER BY 1""")),
+
     ("s13_binary_ingest", (s: SparkSession, d: String) => {
       // The multimodal INGEST edge (engine ext., round 10): opaque asset
       // files land in a directory and `spark.read.format("binaryFile")`
