@@ -1118,6 +1118,56 @@ object Estimation {
         (col("vi") > 0 && col("tau").isNotNull).as("has_change"))
   }
 
+  /** Inclán–Tiao (1994) CUSUM-of-squares variance changepoint over any
+    * (event_type, day, x:long) panel — [[changepoint]]'s VARIANCE
+    * sibling (w31 finds a level shift; this finds a volatility shift,
+    * the break ARCH-family models and risk monitors care about).
+    * Over first differences z_t = Δx (t = 2..n, m = n−1): D_k =
+    * C_k/C_m − k/m with C_k = Σ₁..k z², the argmax k* localizes the
+    * variance break, and √(m/2)·|D| > 1.358 rejects at 5%
+    * (asymptotic). Exactness: z² and the prefix sums C_k are exact
+    * longs, and the argmax key |C_k·m − k·C_m| is EXACT INTEGER
+    * (the common denominator C_m·m cancels across k — no double
+    * enters the ordering at all); the reported statistic assembles in
+    * one shared double chain, e6-quantized. Degenerate: C_m = 0
+    * (constant series — the exact integer test) or m < 2 → NULL +
+    * non-reject, rows kept.
+    */
+  private[graft] def varChangepoint(daily: DataFrame): DataFrame = {
+    val wd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val z = daily
+      .withColumn("dx", col("x") - lag(col("x"), 1).over(wd))
+      .filter(col("dx").isNotNull)
+      .withColumn("k", row_number().over(wd))
+      .withColumn("z2", col("dx") * col("dx"))
+      .withColumn("ck", sum(col("z2")).over(
+        wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val st = z.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("m"), sum(col("z2")).as("cm"))
+    val best = z.join(broadcast(st), "event_type")
+      .withColumn("key", abs(col("ck") * col("m") - col("k") * col("cm")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("event_type"))
+          .orderBy(col("key").desc, col("k"))))
+      .filter(col("rk") === 1)
+      .select(col("event_type"), col("day").as("split_day"),
+        col("k").as("k_star"), col("key"))
+    st.join(best, Seq("event_type"), "left")
+      .withColumn("ok", col("m") >= 2 && col("cm") > 0)
+      .select(col("event_type"), col("m"),
+        when(col("ok"), col("split_day")).as("split_day"),
+        when(col("ok"), col("k_star")).cast("int").as("k_star"),
+        when(col("ok"), expr(
+          """cast(round(sqrt(m * 1e0 / 2) *
+               (key * 1e0 / (cm * 1e0 * m)) * 1e6) AS bigint)"""))
+          .as("it_stat_e6"),
+        coalesce(when(col("ok"), expr(
+          """cast(round(sqrt(m * 1e0 / 2) *
+               (key * 1e0 / (cm * 1e0 * m)) * 1e6) AS bigint)
+             > 1358000""")), lit(false)).as("reject_5pct"))
+      .orderBy(col("event_type"))
+  }
+
   /** The m28 kernel over any (event_type, day, x:long) panel — split-
     * conformal 90% interval radius frozen as the ⌈0.9·(n_cal+1)⌉-th
     * smallest of the first calN one-step absolute errors, then exact
@@ -4685,6 +4735,64 @@ object Estimation {
                   cast(round((s.stot - b.sl) * 1e2 / (s.n - b.tau))
                     AS bigint) END AS mean_right_e2,
                 (s.vi > 0 AND b.tau IS NOT NULL) AS has_change
+         FROM st s LEFT JOIN best b ON b.event_type = s.event_type
+         ORDER BY s.event_type""")),
+
+    ("w32_variance_changepoint", (s: SparkSession, d: String) => {
+      // Inclán–Tiao CUSUM-of-squares over the daily cent panels — the
+      // VOLATILITY break finder beside w31's level-shift localizer
+      // (t25 asks "is there ARCH?"; this says WHERE the variance
+      // regime changed). Exact-integer argmax (the common denominator
+      // cancels across candidate splits — no double in the ordering),
+      // shared-chain statistic, the 1.358 asymptotic 5% bound;
+      // contract on [[varChangepoint]].
+      varChangepoint(Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("x")))
+    }, Some(
+      """WITH daily AS (
+           SELECT event_type, cast(ts AS date) AS day,
+                  cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS x
+           FROM events GROUP BY 1, 2),
+         z AS (
+           SELECT event_type, day,
+                  x - lag(x) OVER w AS dx,
+                  row_number() OVER w AS rn
+           FROM daily
+           WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+         z2 AS (
+           SELECT event_type, day, rn - 1 AS k, dx * dx AS z2
+           FROM z WHERE dx IS NOT NULL),
+         pre AS (
+           SELECT event_type, day, k, z2,
+                  sum(z2) OVER (PARTITION BY event_type ORDER BY k
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ck
+           FROM z2),
+         st AS (
+           SELECT event_type, cast(count(*) AS bigint) AS m,
+                  cast(sum(z2) AS bigint) AS cm
+           FROM z2 GROUP BY 1),
+         best AS (
+           SELECT event_type, day AS split_day, k AS k_star, key FROM (
+             SELECT p.event_type, p.day, p.k,
+                    abs(p.ck * s.m - p.k * s.cm) AS key,
+                    row_number() OVER (PARTITION BY p.event_type
+                      ORDER BY abs(p.ck * s.m - p.k * s.cm) DESC, p.k) AS rk
+             FROM pre p JOIN st s ON s.event_type = p.event_type)
+           WHERE rk = 1)
+         SELECT s.event_type, s.m,
+                CASE WHEN s.m >= 2 AND s.cm > 0 THEN b.split_day END
+                  AS split_day,
+                CASE WHEN s.m >= 2 AND s.cm > 0 THEN cast(b.k_star AS int)
+                  END AS k_star,
+                CASE WHEN s.m >= 2 AND s.cm > 0 THEN
+                  cast(round(sqrt(s.m * 1e0 / 2) *
+                    (b.key * 1e0 / (s.cm * 1e0 * s.m)) * 1e6) AS bigint)
+                END AS it_stat_e6,
+                coalesce(CASE WHEN s.m >= 2 AND s.cm > 0 THEN
+                  cast(round(sqrt(s.m * 1e0 / 2) *
+                    (b.key * 1e0 / (s.cm * 1e0 * s.m)) * 1e6) AS bigint)
+                  > 1358000 END, false) AS reject_5pct
          FROM st s LEFT JOIN best b ON b.event_type = s.event_type
          ORDER BY s.event_type""")),
 

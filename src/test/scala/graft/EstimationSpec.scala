@@ -307,6 +307,45 @@ class EstimationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got("c")._2.isEmpty, "2 forecast pairs must degenerate on n_pairs")
   }
 
+  test("w32 varChangepoint: a planted volatility shift localizes and rejects; degenerates rout") {
+    // Battery 1 — 21 days of ±1 wiggle then 20 of ±100: the variance
+    // regime change sits at diff-index 20, the IT statistic explodes
+    // past 1.358 (z² mass is ~10⁴× concentrated after the break), and
+    // the exact-integer argmax must land on the boundary (k* ∈ {20,
+    // 21} — the last small diff or the first big one; IT's |D_k| is
+    // extremal where the mass regime turns, and which side wins is a
+    // convention, not an error). Battery 2 — constant series: C_m = 0
+    // fires the exact guard → NULL + non-reject. Battery 3 — two days
+    // (m = 1 < 2) degenerates on length.
+    val s = spark
+    import s.implicits._
+    import java.sql.Date
+    def day(i: Int): Date = Date.valueOf(
+      java.time.LocalDate.of(2024, 4, 1).plusDays(i - 1))
+    val wig = (1 to 21).map(i =>
+      ("a", day(i), 1000L + (if (i % 2 == 0) 1L else 0L)))
+    val vol = (22 to 41).map(i =>
+      ("a", day(i), 1000L + (if (i % 2 == 0) 100L else -100L)))
+    val rows = wig ++ vol ++
+      (1 to 12).map(i => ("b", day(i), 777L)) ++
+      (1 to 2).map(i => ("c", day(i), 10L * i))
+    val got = graft.operators.Estimation.varChangepoint(
+        rows.toDF("event_type", "day", "x"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), Option(r.get(3)), Option(r.get(4)),
+          r.getBoolean(5))).toMap
+    val (mA, kA, statA, rejA) = got("a")
+    assert(mA == 40L, s"diff count: $mA")
+    assert(kA.exists(k => k == 20 || k == 21),
+      s"variance break mislocalized: $kA")
+    assert(rejA && statA.exists(_.asInstanceOf[Long] > 1358000L),
+      s"planted volatility shift must reject: $statA")
+    assert(got("b") == ((11L, None, None, false)),
+      s"constant series must degenerate: ${got("b")}")
+    assert(got("c") == ((1L, None, None, false)),
+      s"m = 1 must degenerate: ${got("c")}")
+  }
+
   test("m28 splitConformal: a tiny-calibration key must not crash the query (planted)") {
     // The r14 ADVICE crash class: the cal stage evaluates element_at for
     // EVERY key, including ones the test-side join later drops — a key
