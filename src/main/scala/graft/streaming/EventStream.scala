@@ -413,6 +413,80 @@ object EventStream {
         col("bin"), col("c"))
   }
 
+  final case class GrState(init: Boolean, el: Long, hl: Long, hb: Long,
+      s11: Long, s12: Long, s22: Long, s1y: Long, s2y: Long, syy: Long,
+      sdd: Long, sse1: Long, sse2: Long, np: Long)
+  final case class GrUpdate(event_type: String, n_pairs: Long,
+      w_ewma_e6: Option[Long], w_holt_e6: Option[Long],
+      fc_combo: Long, imp_e6: Option[Long])
+
+  /** Live Granger–Ramanathan combination weights — m30's joint fold as
+    * a keyed stream: per event type, the EWMA/Holt recursions and the
+    * ten exact-long normal-equation sums advance per arriving daily
+    * point (14 longs of state — bounded, the holtStream class), and
+    * every micro-batch re-emits the closed-form GR weights, the
+    * combined next-step forecast, and the in-sample improvement ratio
+    * — the monitor a forecast-serving deployment watches to know when
+    * its combination weights have drifted enough to re-pin. Arithmetic
+    * is [[graft.operators.Estimation.grCombo]]'s EXACTLY (same integer
+    * folds, same double-from-first-product solve, same three
+    * degenerate routes with the f₁ fallback), so the final emission
+    * replays the batch kernel bit-for-bit across any micro-batch split
+    * (StreamingSpec pins it). Rows sort by day INSIDE a batch; state
+    * carries across.
+    */
+  def grStream(daily: DataFrame): Dataset[GrUpdate] = {
+    val s = daily.sparkSession
+    import s.implicits._
+    def rnd(x: Double): Long = java.math.BigDecimal.valueOf(x)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+    daily
+      .select(col("event_type"), col("day").cast("date"), col("x"))
+      .as[(String, java.sql.Date, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[GrState, GrUpdate](GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, java.sql.Date, Long)],
+            state: GroupState[GrState]) =>
+          var st = state.getOption.getOrElse(GrState(init = false,
+            0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L))
+          rows.toSeq.sortBy(_._2.getTime).foreach { case (_, _, x) =>
+            if (!st.init) {
+              st = st.copy(init = true, el = x, hl = x, hb = 0L)
+            } else {
+              val f1 = st.el
+              val f2 = st.hl + st.hb
+              val nel = (3 * x + 7 * st.el) / 10
+              val nhl = (3 * x + 7 * (st.hl + st.hb)) / 10
+              val nhb = ((nhl - st.hl) + 9 * st.hb) / 10
+              st = st.copy(el = nel, hl = nhl, hb = nhb,
+                s11 = st.s11 + f1 * f1, s12 = st.s12 + f1 * f2,
+                s22 = st.s22 + f2 * f2, s1y = st.s1y + f1 * x,
+                s2y = st.s2y + f2 * x, syy = st.syy + x * x,
+                sdd = st.sdd + (f1 - f2) * (f1 - f2),
+                sse1 = st.sse1 + (x - f1) * (x - f1),
+                sse2 = st.sse2 + (x - f2) * (x - f2),
+                np = st.np + 1)
+            }
+          }
+          state.update(st)
+          val fel = st.el
+          val fhl = st.hl + st.hb
+          val det = st.s11 * 1e0 * st.s22 - st.s12 * 1e0 * st.s12
+          val ok = st.np >= 3 && st.sdd > 0 && det != 0e0
+          if (ok) {
+            val w1d = (st.s1y * 1e0 * st.s22 - st.s2y * 1e0 * st.s12) / det
+            val w2d = (st.s2y * 1e0 * st.s11 - st.s1y * 1e0 * st.s12) / det
+            val sseCombo = st.syy * 1e0 - w1d * st.s1y - w2d * st.s2y
+            val sseMin = math.min(st.sse1, st.sse2)
+            GrUpdate(key, st.np,
+              Some(rnd(w1d * 1e6)), Some(rnd(w2d * 1e6)),
+              rnd(w1d * fel + w2d * fhl),
+              if (sseMin > 0) Some(rnd(sseCombo * 1e6 / (sseMin * 1e0)))
+              else None)
+          } else GrUpdate(key, st.np, None, None, fel, None)
+      }
+  }
+
   final case class PsiState(n: Long, bins: List[Long])
   final case class PsiUpdate(event_type: String, n_cur: Long,
       psi_e6: Option[Long], drifted: Boolean)

@@ -624,6 +624,57 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"unseen category must alert with NULL psi: ${streamed("zzz_new")}")
   }
 
+  test("grStream: the folded GR weights replay the m30 batch kernel across a batch split") {
+    // The combination monitor's contract: stream the sfDir daily cent
+    // panel in two micro-batches split mid-calendar, and the final
+    // per-type emission (n_pairs, weights, fc_combo, imp) must equal
+    // grCombo's row EXACTLY — the 14-long state (two recursions + ten
+    // normal-equation sums) survives the boundary or the closed-form
+    // solve diverges.
+    val s = spark
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import s.implicits._
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("x"))
+    val rows = daily.collect()
+      .map(r => (r.getString(0), r.getDate(1), r.getLong(2)))
+      .sortBy(_._2.getTime)
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    val ms = MemoryStream[(String, java.sql.Date, Long)](
+      implicitly[org.apache.spark.sql.Encoder[(String, java.sql.Date, Long)]],
+      s.sqlContext)
+    val q = EventStream.grStream(
+        ms.toDF.toDF("event_type", "day", "x"))
+      .writeStream.format("memory").queryName("gr_mon")
+      .outputMode("update").start()
+    try {
+      ms.addData(b1.toSeq: _*)
+      q.processAllAvailable()
+      ms.addData(b2.toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("gr_mon")
+      .groupBy("event_type")
+      .agg(max(struct(col("n_pairs"), col("w_ewma_e6"), col("w_holt_e6"),
+        col("fc_combo"), col("imp_e6"))).as("f"))
+      .select(col("event_type"), col("f.n_pairs"), col("f.w_ewma_e6"),
+        col("f.w_holt_e6"), col("f.fc_combo"), col("f.imp_e6"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), Option(r.get(2)), Option(r.get(3)), r.getLong(4),
+          Option(r.get(5)))).toMap
+    val batch = graft.operators.Estimation.grCombo(daily)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), Option(r.get(2)), Option(r.get(3)), r.getLong(4),
+          Option(r.get(5)))).toMap
+    assert(batch.nonEmpty)
+    batch.foreach { case (et, want) =>
+      assert(streamed(et) == want,
+        s"grStream diverged from the batch kernel for $et: " +
+          s"${streamed(et)} vs $want")
+    }
+  }
+
   test("transformWithState top-k: the final per-user state equals the batch top_k_pairs cut") {
     // The Spark 4 arbitrary-state API (StatefulProcessor) driven across
     // micro-batches, closed against the batch kernel it mirrors: the
