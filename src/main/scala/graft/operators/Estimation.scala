@@ -1168,6 +1168,52 @@ object Estimation {
       .orderBy(col("event_type"))
   }
 
+  /** Pettitt (1979) rank-based changepoint test over any (event_type,
+    * day, x:long) panel — the NONPARAMETRIC leg of the changepoint
+    * triple (w31 least-squares level shift, w32 variance shift, this a
+    * distribution-free location shift robust to the heavy tails that
+    * bias both): U_k = Σ_{i≤k<j} sgn(x_i − x_j), K = max|U_k|,
+    * p ≈ 2·exp(−6K²/(n³+n²)). The O(n²) double sum collapses to the
+    * standard recurrence U_k = Σ_{t≤k} V_t with V_t = #{x_j < x_t} −
+    * #{x_j > x_t} = rank_asc(t) − rank_desc(t) (SQL min-rank handles
+    * ties exactly), so the whole statistic is ranks + one cumsum —
+    * EXACT INTEGERS end to end including the argmax key |U_k| (ties
+    * to the earliest k); only the final p estimate touches a double,
+    * in one shared chain. Degenerate: a constant series has every
+    * V = 0 → K = 0 → p = 2 capped to 1e6, non-reject (reported, not
+    * NULL — Pettitt is DEFINED there, just powerless); n < 2 → NULL.
+    */
+  private[graft] def pettitt(daily: DataFrame): DataFrame = {
+    val wd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val wx = Window.partitionBy(col("event_type")).orderBy(col("x"))
+    val wxd = Window.partitionBy(col("event_type")).orderBy(col("x").desc)
+    val u = daily
+      .withColumn("v", rank().over(wx) - rank().over(wxd))
+      .withColumn("k", row_number().over(wd))
+      .withColumn("u", sum(col("v")).over(
+        wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val st = u.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val best = u.join(broadcast(st), "event_type")
+      .filter(col("k") < col("n"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("event_type"))
+          .orderBy(abs(col("u")).desc, col("k"))))
+      .filter(col("rk") === 1)
+      .select(col("event_type"), col("day").as("split_day"),
+        col("k").as("k_star"), abs(col("u")).as("kstat"))
+    st.join(best, Seq("event_type"), "left")
+      .select(col("event_type"), col("n"),
+        when(col("n") >= 2, col("split_day")).as("split_day"),
+        when(col("n") >= 2, col("k_star")).cast("int").as("k_star"),
+        when(col("n") >= 2, col("kstat")).as("k_stat"),
+        when(col("n") >= 2, expr(
+          """cast(least(round(2e0 * exp(-6e0 * kstat * kstat /
+               (n * 1e0 * n * n + n * 1e0 * n)) * 1e6), 1000000) AS bigint)"""))
+          .as("p_e6"))
+      .withColumn("reject_5pct", coalesce(col("p_e6") <= 50000L, lit(false)))
+      .orderBy(col("event_type"))
+  }
+
   /** The m28 kernel over any (event_type, day, x:long) panel — split-
     * conformal 90% interval radius frozen as the ⌈0.9·(n_cal+1)⌉-th
     * smallest of the first calN one-step absolute errors, then exact
@@ -4793,6 +4839,60 @@ object Estimation {
                   cast(round(sqrt(s.m * 1e0 / 2) *
                     (b.key * 1e0 / (s.cm * 1e0 * s.m)) * 1e6) AS bigint)
                   > 1358000 END, false) AS reject_5pct
+         FROM st s LEFT JOIN best b ON b.event_type = s.event_type
+         ORDER BY s.event_type""")),
+
+    ("t30_pettitt", (s: SparkSession, d: String) => {
+      // Pettitt's nonparametric changepoint over the daily cent panels
+      // — the rank-robust leg beside w31 (least-squares) and w32
+      // (variance): a location shift detector heavy tails can't bias,
+      // with the O(n²) pair sum collapsed to ranks + one cumsum
+      // (exact integers through the argmax; contract on [[pettitt]]).
+      pettitt(Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("x")))
+    }, Some(
+      """WITH daily AS (
+           SELECT event_type, cast(ts AS date) AS day,
+                  cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS x
+           FROM events GROUP BY 1, 2),
+         v AS (
+           SELECT event_type, day,
+                  cast(rank() OVER (PARTITION BY event_type ORDER BY x)
+                    AS bigint) -
+                  cast(rank() OVER (PARTITION BY event_type ORDER BY x DESC)
+                    AS bigint) AS v,
+                  row_number() OVER (PARTITION BY event_type ORDER BY day)
+                    AS k
+           FROM daily),
+         u AS (
+           SELECT event_type, day, k,
+                  sum(v) OVER (PARTITION BY event_type ORDER BY k
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS u
+           FROM v),
+         st AS (SELECT event_type, cast(count(*) AS bigint) AS n
+                FROM daily GROUP BY 1),
+         best AS (
+           SELECT event_type, day AS split_day, k AS k_star, kstat FROM (
+             SELECT u.event_type, u.day, u.k, abs(u.u) AS kstat,
+                    row_number() OVER (PARTITION BY u.event_type
+                      ORDER BY abs(u.u) DESC, u.k) AS rk
+             FROM u JOIN st s ON s.event_type = u.event_type
+             WHERE u.k < s.n)
+           WHERE rk = 1)
+         SELECT s.event_type, s.n,
+                CASE WHEN s.n >= 2 THEN b.split_day END AS split_day,
+                CASE WHEN s.n >= 2 THEN cast(b.k_star AS int) END AS k_star,
+                CASE WHEN s.n >= 2 THEN cast(b.kstat AS bigint) END
+                  AS k_stat,
+                CASE WHEN s.n >= 2 THEN
+                  cast(least(round(2e0 * exp(-6e0 * b.kstat * b.kstat /
+                    (s.n * 1e0 * s.n * s.n + s.n * 1e0 * s.n)) * 1e6),
+                    1000000) AS bigint) END AS p_e6,
+                coalesce(CASE WHEN s.n >= 2 THEN
+                  cast(least(round(2e0 * exp(-6e0 * b.kstat * b.kstat /
+                    (s.n * 1e0 * s.n * s.n + s.n * 1e0 * s.n)) * 1e6),
+                    1000000) AS bigint) <= 50000 END, false) AS reject_5pct
          FROM st s LEFT JOIN best b ON b.event_type = s.event_type
          ORDER BY s.event_type""")),
 

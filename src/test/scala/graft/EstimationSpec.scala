@@ -346,6 +346,43 @@ class EstimationSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"m = 1 must degenerate: ${got("c")}")
   }
 
+  test("t30 pettitt: a planted step rejects at the exact break; constant series is powerless not NULL") {
+    // Battery 1 — w31's own planted step (15 days at 100, 15 at 200):
+    // Pettitt must localize k* = 15 with K = 15·15 = 225 (every
+    // cross-pair a sign) and p = 2·exp(−6·225²/(30³+30²)) ≈ 3.7e−5 →
+    // reject. Battery 2 — constant: every V = 0, K = 0, p capped at
+    // 1e6, NOT rejected but fully REPORTED (the test is defined there,
+    // just powerless — a NULL would misreport definedness). Battery 3
+    // — heavy-tail robustness, the reason this test exists beside w31:
+    // the same step with one absurd outlier (10⁹) in the left half
+    // still localizes k* = 15 and rejects, where least-squares gain
+    // would chase the outlier.
+    val s = spark
+    import s.implicits._
+    import java.sql.Date
+    def day(i: Int): Date = Date.valueOf(
+      java.time.LocalDate.of(2024, 5, 1).plusDays(i - 1))
+    val step = (1 to 30).map(i =>
+      ("a", day(i), if (i <= 15) 100L else 200L))
+    val const = (1 to 10).map(i => ("b", day(i), 42L))
+    val outlier = (1 to 30).map(i =>
+      ("c", day(i), if (i == 7) 1000000000L
+        else if (i <= 15) 100L else 200L))
+    val got = graft.operators.Estimation.pettitt(
+        (step ++ const ++ outlier).toDF("event_type", "day", "x"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), Option(r.get(3)), Option(r.get(4)),
+          Option(r.get(5)), r.getBoolean(6))).toMap
+    assert(got("a") == ((30L, Some(15), Some(225L), Some(37L), true)),
+      s"planted step diverged: ${got("a")}")
+    val (nB, kB, ksB, pB, rejB) = got("b")
+    assert(ksB.contains(0L) && pB.contains(1000000L) && !rejB,
+      s"constant series must be powerless, not NULL: ${got("b")}")
+    val (_, kC, _, _, rejC) = got("c")
+    assert(kC.contains(15) && rejC,
+      s"outlier robustness failed: ${got("c")}")
+  }
+
   test("m28 splitConformal: a tiny-calibration key must not crash the query (planted)") {
     // The r14 ADVICE crash class: the cal stage evaluates element_at for
     // EVERY key, including ones the test-side join later drops — a key
