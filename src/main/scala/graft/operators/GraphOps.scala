@@ -1534,6 +1534,65 @@ object GraphOps {
                  t.n_edges, t.n_bridges
           FROM ranked r, tot t WHERE r.rank <= 20 ORDER BY r.rank""")),
 
+    ("g20_powerlaw_alpha", (s: SparkSession, d: String) => {
+      // Power-law exponent of the DEGREE distribution (Clauset–Shalizi
+      // –Newman '09's continuous-approximation MLE at fixed x_min = 2):
+      // α̂ = 1 + n_tail / Σ ln(d/(x_min − ½)) — x36 fits Zipf on token
+      // ranks; this is the graph-side twin, the number cited for every
+      // "scale-free network" claim and the input to epidemic-threshold
+      // /robustness models. The x_min = 2 choice is FIXED and reported
+      // (the CSN xmin-scan needs a KS grid — out of scope and stated,
+      // not hidden); leaf nodes (d = 1 < x_min) are excluded and
+      // counted. Exactness: each node's ln(d·2e0/3e0) term e9-rounds
+      // BEFORE the sum (the x7 order-free integer rule; e9 because the
+      // per-term magnitude is ≤ ~10 and n_tail division amplifies), α
+      // assembles in one shared double chain e6-quantized. Tail mean
+      // and max ride along (α ≤ 2 means an infinite-mean regime — the
+      // operational red flag). Degenerate: n_tail = 0 → NULL α; an
+      // all-x_min tail (every d = 2 ⟹ Σln > 0) is still defined.
+      // Scale: one degree aggregation + one map-side integer sum.
+      val strong = strongCopurchase(s, d)
+      val deg = strong.groupBy(col("src")).agg(count(lit(1)).as("dg"))
+      val tail = deg.filter(col("dg") >= 2)
+        .withColumn("t_e9",
+          expr("cast(round(ln(dg * 2e0 / 3e0) * 1e9) AS bigint)"))
+      tail.agg(count(lit(1)).as("n_tail"), sum(col("t_e9")).as("lsum_e9"),
+          max(col("dg")).as("max_deg"), sum(col("dg")).as("sum_deg"))
+        .crossJoin(broadcast(deg.agg(count(lit(1)).as("n_nodes"))))
+        .select(col("n_nodes"), col("n_tail"),
+          (col("n_nodes") - col("n_tail")).as("n_leaves"),
+          col("max_deg"),
+          expr("""CASE WHEN n_tail > 0 THEN
+               cast(round(sum_deg * 1e6 / n_tail) AS bigint) END""")
+            .as("tail_mean_deg_e6"),
+          expr("""CASE WHEN n_tail > 0 AND lsum_e9 > 0 THEN
+               cast(round((1e0 + n_tail * 1e0 / (lsum_e9 * 1e0 / 1e9))
+                 * 1e6) AS bigint) END""").as("alpha_e6"))
+    }, Some(
+      s"""WITH $sqlStrong,
+          deg AS (SELECT src, count(*) AS dg FROM strong GROUP BY 1),
+          tail AS (
+            SELECT dg,
+                   cast(round(ln(dg * 2e0 / 3e0) * 1e9) AS bigint) AS t_e9
+            FROM deg WHERE dg >= 2),
+          agg AS (
+            SELECT cast(count(*) AS bigint) AS n_tail,
+                   cast(sum(t_e9) AS bigint) AS lsum_e9,
+                   cast(max(dg) AS bigint) AS max_deg,
+                   cast(sum(dg) AS bigint) AS sum_deg
+            FROM tail),
+          nn AS (SELECT cast(count(*) AS bigint) AS n_nodes FROM deg)
+          SELECT nn.n_nodes, a.n_tail,
+                 nn.n_nodes - a.n_tail AS n_leaves, a.max_deg,
+                 CASE WHEN a.n_tail > 0 THEN
+                   cast(round(a.sum_deg * 1e6 / a.n_tail) AS bigint)
+                 END AS tail_mean_deg_e6,
+                 CASE WHEN a.n_tail > 0 AND a.lsum_e9 > 0 THEN
+                   cast(round((1e0 + a.n_tail * 1e0 /
+                     (a.lsum_e9 * 1e0 / 1e9)) * 1e6) AS bigint)
+                 END AS alpha_e6
+          FROM agg a, nn""")),
+
     ("g16_assortativity", (s: SparkSession, d: String) => {
       // Degree ASSORTATIVITY (Newman '02) — the one-number topology
       // diagnostic the per-node family (g6 cores, g9 clustering, g15
