@@ -1541,6 +1541,32 @@ object TextPipeline {
     * integer sum. Inputs need (event_type, vc) columns. Output:
     * event_type, n_ref, n_cur, psi_e6, drifted (> the standard 0.2).
     */
+  /** The x46 kernel over any (doc_id, source, text) frame — per-source
+    * dedup token savings; contract on the x46 entry (d1's hash law ×
+    * x16's token law, keeper via min-over-hash window so NULL-text
+    * docs group rather than drop). The sf corpus has no exact dups, so
+    * the live branch is spec-planted.
+    */
+  private[graft] def dedupSavings(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+        md5(regexp_replace(trim(col("text")), "\\s+", " ")).as("h"),
+        expr("""cast(length(trim(text)) -
+            length(replace(trim(text), ' ', '')) + 1 AS bigint)""")
+          .as("n_tokens"))
+      .withColumn("keeper",
+        min(col("doc_id")).over(Window.partitionBy(col("h"))))
+      .withColumn("is_dup", col("doc_id") =!= col("keeper"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup_docs"),
+        sum(col("n_tokens")).as("tokens_total"),
+        sum(when(col("is_dup"), col("n_tokens")).otherwise(0L))
+          .as("tokens_saved"))
+      .withColumn("savings_e6", expr(
+        """CASE WHEN tokens_total > 0 THEN
+             cast(round(tokens_saved * 1e6 / tokens_total) AS bigint)
+           END"""))
+
   private[graft] def driftPsi(ref: DataFrame, cur: DataFrame): DataFrame = {
     val s = ref.sparkSession
     val cuts = ref.groupBy(col("event_type"))
@@ -5767,6 +5793,47 @@ object TextPipeline {
                 END AS rel_fertility_e6
          FROM nd LEFT JOIN ws ON ws.source = nd.source, tot t
          ORDER BY nd.source""")),
+
+    ("x46_dedup_savings", (s: SparkSession, d: String) => {
+      // DEDUP TOKEN SAVINGS — the number that justifies running the
+      // dedup family at all: per source, how much of the token budget
+      // (x16's whitespace law) exact dedup (d1's content-hash law,
+      // verbatim) gives back. Composes the two laws without restating
+      // either; non-keeper copies attribute their tokens to their OWN
+      // source (a copy pasted into src7 wastes src7's budget, wherever
+      // the keeper lives). Keeper selection is a min-over-hash WINDOW,
+      // not a self-join — NULL-text docs hash NULL and window
+      // partitioning groups NULLs together in both engines, where a
+      // join key would drop them (the j-family null-key lesson,
+      // inverted). Exact integer sums; one shared-chain ratio. Scale:
+      // one hash-partition window over the corpus (d1's own shuffle)
+      // + one map-side source aggregate.
+      dedupSavings(Tables.documents(s, d)).orderBy(col("source"))
+    }, Some(
+      """WITH base AS (
+           SELECT doc_id, source,
+                  md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS h,
+                  cast(length(trim(text)) -
+                    length(replace(trim(text), ' ', '')) + 1 AS bigint)
+                    AS n_tokens
+           FROM documents),
+         k AS (SELECT *, min(doc_id) OVER (PARTITION BY h) AS keeper
+               FROM base),
+         f AS (SELECT source, n_tokens, (doc_id <> keeper) AS is_dup
+               FROM k),
+         agg AS (
+           SELECT source, cast(count(*) AS bigint) AS n_docs,
+                  cast(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS bigint)
+                    AS n_dup_docs,
+                  cast(sum(n_tokens) AS bigint) AS tokens_total,
+                  cast(sum(CASE WHEN is_dup THEN n_tokens ELSE 0 END)
+                    AS bigint) AS tokens_saved
+           FROM f GROUP BY 1)
+         SELECT source, n_docs, n_dup_docs, tokens_total, tokens_saved,
+                CASE WHEN tokens_total > 0 THEN
+                  cast(round(tokens_saved * 1e6 / tokens_total) AS bigint)
+                END AS savings_e6
+         FROM agg ORDER BY source""")),
 
     ("x26_quality_probe", (s: SparkSession, d: String) => {
       // Learned quality scoring — the fasttext-classifier slot of a

@@ -1142,6 +1142,39 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       "unrelated fingerprints should not collide in this fixture")
   }
 
+  test("x46 dedupSavings: copies charge their own source; NULL texts group not drop (planted)") {
+    // The sf corpus has no exact dups (x46 reads all-zero there), so
+    // the branch logic is planted: doc 1 ("a b c", src1) has copies in
+    // src2 (doc 2, whitespace-variant — the normalization must unify
+    // "a  b c") and src1 (doc 3); doc 4 is unique in src2; docs 5/6
+    // are BOTH NULL text in src3 — they must hash-group together (one
+    // keeper, one dup) instead of vanishing from a null join key.
+    // Expected: src1 saves doc 3's 3 tokens of 6 (500000); src2 saves
+    // doc 2's 4 of 6 (666667 — the x16 law counts whitespace CHARS
+    // + 1, so the double space is 4 tokens even though the HASH
+    // normalizes it: dedup unifies, the budget law still bills the
+    // raw bytes); src3 reports the null-pair dup with
+    // NULL token sums (no token law on NULL text) and NULL savings.
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "src1", Some("a b c")), (2L, "src2", Some("a  b c")),
+      (3L, "src1", Some("a b c")), (4L, "src2", Some("x y")),
+      (5L, "src3", None: Option[String]), (6L, "src3", None))
+      .toDF("doc_id", "source", "text")
+    val got = graft.operators.TextPipeline.dedupSavings(docs)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), Option(r.get(3)), Option(r.get(4)),
+          Option(r.get(5)))).toMap
+    assert(got("src1") == ((2L, 1L, Some(6L), Some(3L), Some(500000L))),
+      s"src1: ${got("src1")}")
+    assert(got("src2") == ((2L, 1L, Some(6L), Some(4L), Some(666667L))),
+      s"src2: ${got("src2")}")
+    val (n3, d3, t3, sv3, _) = got("src3")
+    assert(n3 == 2L && d3 == 1L && t3.isEmpty,
+      s"null texts must group (1 dup) with NULL token sums: ${got("src3")}")
+  }
+
   test("x41 charEntropyGate: both gibberish tails flag, prose passes, empty gates (planted)") {
     // The two tails the gate exists for: one-glyph filler (H = 0 —
     // degenerate boilerplate) and a max-distinct blob (H = log2 n at
