@@ -3390,6 +3390,87 @@ object Estimation {
                     AS bigint) END AS imp_e6
          FROM sc ORDER BY event_type""")),
 
+    ("m31_mase", (s: SparkSession, d: String) => {
+      // MASE (Hyndman–Koehler 2006) — the scale-free accuracy metric
+      // the forecast scorecard family still lacked: m17/w24 report
+      // MSFE/MAE in the series' own units (incomparable across types);
+      // MASE divides the model's in-sample one-step MAE by the NAIVE
+      // (lag-1) forecaster's — < 1e6 means the model earns its keep,
+      // > 1e6 means a random walk beats it, comparable across any mix
+      // of scales. Model = w22's EWMA fold (m26's own esae
+      // accumulator, reused verbatim via [[forecastCombo]] — the
+      // metric can't drift from the model it grades); naive SAE =
+      // Σ|Δx|, one lag window. Both SAEs exact longs; one shared-chain
+      // ratio. Degenerate: a constant series has sae_naive = 0 (exact
+      // test) → NULL MASE, non-flag (both forecasters are perfect;
+      // the ratio is genuinely undefined).
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("x"))
+      val wd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val nv = daily
+        .withColumn("dx", col("x") - lag(col("x"), 1).over(wd))
+        .filter(col("dx").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(sum(abs(col("dx"))).as("sae_naive"))
+      forecastCombo(daily)
+        .select(col("event_type"), col("n"), col("sae_ewma"))
+        .join(nv, Seq("event_type"), "left")
+        .select(col("event_type"), col("n"), col("sae_ewma"),
+          coalesce(col("sae_naive"), lit(0L)).as("sae_naive"))
+        .withColumn("mase_e6", expr(
+          """CASE WHEN sae_naive > 0 THEN
+               cast(round(sae_ewma * 1e6 / sae_naive) AS bigint) END"""))
+        .withColumn("beats_naive",
+          coalesce(col("mase_e6") < 1000000L, lit(false)))
+        .orderBy(col("event_type"))
+    }, Some(
+      """WITH RECURSIVE daily AS (
+           SELECT event_type, cast(ts AS date) AS day,
+                  cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS x
+           FROM events GROUP BY 1, 2),
+         e AS (
+           SELECT event_type, x, row_number() OVER (
+             PARTITION BY event_type ORDER BY day) AS t
+           FROM daily),
+         rec AS (
+           SELECT event_type, t, x AS el, x AS hl,
+                  cast(0 AS bigint) AS hb,
+                  cast(0 AS bigint) AS esae, cast(0 AS bigint) AS hsae
+           FROM e WHERE t = 1
+           UNION ALL
+           SELECT e.event_type, e.t,
+                  (3 * e.x + 7 * rec.el) // 10,
+                  (3 * e.x + 7 * (rec.hl + rec.hb)) // 10,
+                  (((3 * e.x + 7 * (rec.hl + rec.hb)) // 10
+                    - rec.hl) + 9 * rec.hb) // 10,
+                  rec.esae + abs(e.x - rec.el),
+                  rec.hsae + abs(e.x - (rec.hl + rec.hb))
+           FROM rec JOIN e ON e.event_type = rec.event_type
+             AND e.t = rec.t + 1),
+         fin AS (SELECT event_type, max(t) AS n FROM rec GROUP BY 1),
+         lastr AS (
+           SELECT r.event_type, cast(f.n AS bigint) AS n, r.esae AS sae_ewma
+           FROM rec r JOIN fin f
+             ON f.event_type = r.event_type AND r.t = f.n),
+         nv AS (
+           SELECT event_type, cast(sum(abs(dx)) AS bigint) AS sae_naive
+           FROM (SELECT event_type,
+                        x - lag(x) OVER (PARTITION BY event_type
+                          ORDER BY day) AS dx
+                 FROM daily)
+           WHERE dx IS NOT NULL GROUP BY 1)
+         SELECT l.event_type, l.n, l.sae_ewma,
+                coalesce(nv.sae_naive, 0) AS sae_naive,
+                CASE WHEN coalesce(nv.sae_naive, 0) > 0 THEN
+                  cast(round(l.sae_ewma * 1e6 / nv.sae_naive) AS bigint)
+                END AS mase_e6,
+                coalesce(CASE WHEN coalesce(nv.sae_naive, 0) > 0 THEN
+                  cast(round(l.sae_ewma * 1e6 / nv.sae_naive) AS bigint)
+                  < 1000000 END, false) AS beats_naive
+         FROM lastr l LEFT JOIN nv ON nv.event_type = l.event_type
+         ORDER BY l.event_type""")),
+
     ("m29_mincer_zarnowitz", (s: SparkSession, d: String) => {
       // Mincer–Zarnowitz forecast RATIONALITY — the third leg of the
       // forecast-inference triptych (m26 combines, m27 asks whether one
