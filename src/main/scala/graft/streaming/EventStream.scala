@@ -413,6 +413,73 @@ object EventStream {
         col("bin"), col("c"))
   }
 
+  final case class AsofQuoteState(has: Boolean, qt: Long, qid: Long,
+      v: Option[Double])
+  final case class AsofMatch(probe_id: Long, user_id: Option[Long],
+      event_type: String, last_purchase_id: Option[Long],
+      last_purchase_value: Option[Double])
+
+  /** Streaming AS-OF enrichment — j8's kernel at the arrival edge: per
+    * user, ValueState holds the LATEST purchase seen so far (one quote
+    * of state — the slowly-changing-dimension lookup every event
+    * enrichment pipeline runs), and each non-purchase event emits with
+    * the best match at its processing time. Semantics, stated not
+    * hidden: when arrival order respects event time, the final
+    * emissions replay batch [[graft.operators.Relational.asOfJoin]]
+    * row-for-row (StreamingSpec pins it, including the kernel's tie
+    * rules — quotes before probes at equal ts, largest quote_id wins);
+    * a LATE quote updates state for FUTURE probes only — already-
+    * emitted matches are immutable (append mode), the divergence from
+    * batch that defines streaming as-of and is spec-pinned as a
+    * planted scenario rather than papered over. State keeps the
+    * (ts, quote_id)-MAX quote, so an out-of-order stale quote can
+    * never regress a fresher one. Null-key quotes are dropped and
+    * null-key probes match nothing (the kernel law).
+    */
+  def asofStream(events: DataFrame): Dataset[AsofMatch] = {
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"), col("event_type"), col("value"))
+      .as[(Long, Option[Long], Long, String, Option[Double])]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[AsofQuoteState, AsofMatch](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (key: Option[Long],
+            rows: Iterator[(Long, Option[Long], Long, String, Option[Double])],
+            state: GroupState[AsofQuoteState]) =>
+          var st = state.getOption.getOrElse(
+            AsofQuoteState(has = false, 0L, 0L, None))
+          val out = scala.collection.mutable.ListBuffer.empty[AsofMatch]
+          // In-batch order = the kernel's window order over what arrived:
+          // ts, quotes before probes, quote_id.
+          rows.toSeq
+            .sortBy(r => (r._3, if (r._4 == "purchase") 0 else 1, r._1))
+            .foreach { case (eid, _, us, et, v) =>
+              if (et == "purchase") {
+                if (key.nonEmpty && (!st.has || us > st.qt ||
+                    (us == st.qt && eid > st.qid)))
+                  st = AsofQuoteState(has = true, us, eid, v)
+              } else {
+                // The as-of INEQUALITY is enforced even for late probes:
+                // a probe older than the retained quote gets no match
+                // (under-match), never a future quote (over-match) — the
+                // one-quote state can't reconstruct history, and the
+                // conservative branch is the only one that keeps every
+                // emitted match batch-valid.
+                val hit = key.nonEmpty && st.has && st.qt <= us
+                out += AsofMatch(eid, key, et,
+                  if (hit) Some(st.qid) else None,
+                  if (hit) st.v else None)
+              }
+            }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   final case class GrState(init: Boolean, el: Long, hl: Long, hb: Long,
       s11: Long, s12: Long, s22: Long, s1y: Long, s2y: Long, syy: Long,
       sdd: Long, sse1: Long, sse2: Long, np: Long)

@@ -675,6 +675,82 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("asofStream: in-order replay equals batch asOfJoin; late quotes obey the as-of inequality") {
+    // Scenario 1 — the sfDir events streamed in two TS-ORDERED batches:
+    // the emitted matches must equal the batch j8 query row-for-row
+    // (same tie rules: quotes before probes at equal ts, largest
+    // quote_id wins). Scenario 2 — planted lateness: quote A(t=10) and
+    // probe P1(t=20) in batch 1, then batch 2 brings a LATE quote
+    // B(t=15), a probe P2(t=30), and a LATE probe P3(t=12): P1 keeps A
+    // (emitted rows immutable), P2 takes B (state advanced), and P3
+    // gets NO match — B (t=15) is in state but t > 12, and the as-of
+    // inequality must hold on every emission (under-match, never a
+    // future quote).
+    val s = spark
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import s.implicits._
+    val evRows = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("event_type"), col("value"))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        r.getTimestamp(2), r.getString(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+      .sortBy(_._3.getTime)
+    val (b1, b2) = evRows.splitAt(evRows.length / 2)
+    val enc = implicitly[org.apache.spark.sql.Encoder[
+      (Long, Option[Long], java.sql.Timestamp, String, Option[Double])]]
+    val ms = MemoryStream(enc, s.sqlContext)
+    val q = EventStream.asofStream(ms.toDF.toDF(
+        "event_id", "user_id", "ts", "event_type", "value"))
+      .writeStream.format("memory").queryName("asof_mon")
+      .outputMode("append").start()
+    try {
+      ms.addData(b1.toSeq: _*); q.processAllAvailable()
+      ms.addData(b2.toSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("asof_mon")
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(3)), Option(r.get(4)))).toMap
+    val batch = graft.operators.Relational
+      .queries("j8_asof_align")(spark, sfDir)
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(3)), Option(r.get(4)))).toMap
+    assert(batch.nonEmpty && streamed.size == batch.size,
+      s"row counts differ: ${streamed.size} vs ${batch.size}")
+    batch.foreach { case (pid, want) =>
+      assert(streamed(pid) == want,
+        s"asofStream diverged from batch j8 for probe $pid: " +
+          s"${streamed(pid)} vs $want")
+    }
+    // Scenario 2: planted lateness.
+    def t(sec: Long) = new java.sql.Timestamp(1700000000000L + sec * 1000L)
+    val ms2 = MemoryStream(enc, s.sqlContext)
+    val q2 = EventStream.asofStream(ms2.toDF.toDF(
+        "event_id", "user_id", "ts", "event_type", "value"))
+      .writeStream.format("memory").queryName("asof_late")
+      .outputMode("append").start()
+    try {
+      ms2.addData(
+        (100L, Some(1L), t(10), "purchase", Some(1.0)),
+        (102L, Some(1L), t(18), "purchase", Some(3.0)),
+        (201L, Some(1L), t(20), "click", None))
+      q2.processAllAvailable()
+      ms2.addData(
+        (101L, Some(1L), t(15), "purchase", Some(2.0)),
+        (202L, Some(1L), t(30), "click", None),
+        (203L, Some(1L), t(12), "click", None))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val late = spark.table("asof_late")
+      .collect().map(r => r.getLong(0) -> Option(r.get(3))).toMap
+    assert(late(201L) == Some(102L), s"P1 must match C: ${late(201L)}")
+    assert(late(202L) == Some(102L),
+      s"stale late B must not regress C: ${late(202L)}")
+    assert(late(203L).isEmpty,
+      s"late P3 must under-match, never take a future quote: ${late(203L)}")
+  }
+
   test("transformWithState top-k: the final per-user state equals the batch top_k_pairs cut") {
     // The Spark 4 arbitrary-state API (StatefulProcessor) driven across
     // micro-batches, closed against the batch kernel it mirrors: the
