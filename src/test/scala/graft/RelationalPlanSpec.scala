@@ -1483,6 +1483,19 @@ class RelationalPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(6L) == ((None, None, None, None)), s"null key: ${got(6L)}")
   }
 
+  test("a28 plan: the global cut is TakeOrderedAndProject, never a one-partition window") {
+    // The at-scale claim a28's doc makes, pinned: the top-20 cut must
+    // plan as TakeOrderedAndProject (bounded per-partition state; the
+    // rank window runs AFTER the cut, on 20 rows). A regression to
+    // ranking before the cut would put the whole per-user aggregate
+    // through a single-partition global window — hash-green on
+    // testdata, a straggler at 100 TB.
+    val plan = Relational.queries("a28_decayed_topk")(spark, sfDir)
+      .queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"a28 lost the bounded global cut:\n$plan")
+  }
+
   test("fmix32: overflow-safe across the full 32-bit domain, ANSI-strict") {
     // The r10 advice finding: the first multiplier 0x9E3779B1 exceeds 2^31,
     // so the unsplit x*2654435761 overflows int64 from x ~ 3.47e9 — inside
