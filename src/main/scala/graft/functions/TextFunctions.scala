@@ -480,6 +480,35 @@ object TextFunctions {
     out.array()
   }
 
+  /** The planted NEAR-DUP variant of [[renderY4m]] (mm11): the same
+    * 4-frame stream with FRAME 0's first row (p < 16) bumped to
+    * v′ = (v + 25) mod 256, all three planes re-derived from v′ — the
+    * renderPpmPerturbed perturbation applied to the video container,
+    * so the variant still parses as a real Y4M and only frame 0's
+    * aHash moves (hamming 0–5 like the mm9 image pair; frames 1–3
+    * identical). The oracle replays the same (pert, f = 0, p < 16)
+    * CASE branch.
+    */
+  def renderY4mPerturbed(docId: Long, text: String): Array[Byte] = {
+    val out = renderY4m(docId, text)
+    val header =
+      "YUV4MPEG2 W16 H16 F25:1 Ip A1:1 C444\n".getBytes("US-ASCII").length
+    val cps = text.codePoints().toArray
+    val n = cps.length
+    val seed = ((docId % 997) * 101).toInt
+    var p = 0
+    while (p < 16) {
+      val cp = if (n == 0) 0 else cps(p % n)
+      // frame 0: the (f div 2)·59 + f shot/drift terms are both 0
+      val v = ((cp * 31 + (p + 1) * 131 + seed) % 256 + 25) % 256
+      out(header + 6 + p) = v.toByte
+      out(header + 6 + 256 + p) = ((v + 37) % 256).toByte
+      out(header + 6 + 512 + p) = ((v + 74) % 256).toByte
+      p += 1
+    }
+    out
+  }
+
   /** REAL Y4M decoder (see mm8_video_scene_hash): verifies the
     * YUV4MPEG2 magic, parses the space-separated header TAGS (requires
     * W/H, requires C444 when a C tag is present — the only chroma

@@ -619,6 +619,36 @@ object TextPipeline {
       dir
     })
 
+  private val y4mNearDupCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** The mm11 asset corpus: every document's base Y4M (asset_id =
+    * 2·doc_id) plus, for doc_id % 25 = 0, a PLANTED near-dup variant
+    * (asset_id = 2·doc_id + 1, [[TextFunctions.renderY4mPerturbed]]).
+    * Separate directory: mm8's oracle replays the unperturbed corpus.
+    */
+  private[graft] def y4mNearDupAssetDir(s: SparkSession, d: String): String =
+    y4mNearDupCache.getOrElseUpdate(d, {
+      import s.implicits._
+      val dir = s"$ppmScratchRoot/y4mdup_${java.util.UUID.randomUUID()}"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      Tables.documents(s, d)
+        .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+        .as[(Long, String)]
+        .foreachPartition { it: Iterator[(Long, String)] =>
+          it.foreach { case (id, t) =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(dir, f"${2 * id}%08d.y4m"),
+              TextFunctions.renderY4m(id, t))
+            if (id % 25 == 0)
+              java.nio.file.Files.write(
+                java.nio.file.Paths.get(dir, f"${2 * id + 1}%08d.y4m"),
+                TextFunctions.renderY4mPerturbed(id, t))
+          }
+        }
+      dir
+    })
+
   private val y4mAssetCache =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
@@ -7696,6 +7726,162 @@ object TextPipeline {
          JOIN ph pa ON pa.asset_id = c.asset_a
          JOIN ph pb ON pb.asset_id = c.asset_b
          WHERE bit_count(xor(pa.fp, pb.fp)) <= 1
+         ORDER BY 1, 2""")),
+
+    ("mm11_video_neardup", (s: SparkSession, d: String) => {
+      // VIDEO near-dup PAIRING — completes the near-dup triad across
+      // ALL THREE modalities (mm9 stills, mm10 audio, video here): the
+      // re-encode/re-upload duplicate detection every video platform
+      // runs. Per asset, the 4-frame aHash SEQUENCE (mm8's kernel,
+      // frame-aligned — temporal structure is the signal, so bands key
+      // on (frame_idx, block): a shuffled re-cut is NOT a near-dup);
+      // 16 bands per asset (4 frames × 4×16-bit blocks — ≤ 3 total bit
+      // flips leave ≥ 13 bands intact, far past pigeonhole), occupancy
+      // gate ≤ 50, verify by TOTAL hamming over the aligned frames ≤ 3
+      // (the mm9 threshold: the planted frame-0 first-row perturbation
+      // lands 0–5, most pairs within — the honest miss behavior a
+      // banded dedup has). Assets are the real lifecycle
+      // (y4mNearDupAssetDir → binaryFile → decodeY4m chunk walk);
+      // oracle replays generator → per-frame hash → bands → gate →
+      // frame-aligned verify. 100 TB: one binaryFile scan, per-file
+      // O(frames·pixels) kernel, 16 rows per asset into a bucket-gated
+      // join — d3's shape with a frame dimension.
+      import s.implicits._
+      val dir = y4mNearDupAssetDir(s, d)
+      val hashes = s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.y4m").load(dir)
+        .select(
+          regexp_extract(col("path"), "([0-9]+)\\.y4m$", 1)
+            .cast("long").as("asset_id"),
+          col("content"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          it.flatMap { case (id, bytes) =>
+            val (w, h, frames) = TextFunctions.decodeY4m(bytes)
+            frames.zipWithIndex.map { case (gray, f) =>
+              val (hi, lo, _) = TextFunctions.aHash8(w, h, gray)
+              (id, f, hi, lo)
+            }
+          }
+        }
+        .toDF("asset_id", "f", "phash_hi", "phash_lo")
+      val bands = hashes.select(col("asset_id"), col("f"),
+          explode(array(
+            struct(lit(0).as("band"), (col("phash_lo") % 65536).as("block")),
+            struct(lit(1).as("band"),
+              (col("phash_lo") / 65536).cast("long").as("block")),
+            struct(lit(2).as("band"), (col("phash_hi") % 65536).as("block")),
+            struct(lit(3).as("band"),
+              (col("phash_hi") / 65536).cast("long").as("block"))))
+            .as("bb"))
+        .select(col("asset_id"), col("f"), col("bb.band").as("band"),
+          col("bb.block").as("block"))
+      val gated = bands.groupBy(col("f"), col("band"), col("block"))
+        .agg(count(lit(1)).as("occ"))
+        .filter(col("occ") <= 50)
+        .select(col("f"), col("band"), col("block"))
+      val inBucket = bands.join(gated, Seq("f", "band", "block"))
+      val cand = inBucket.alias("a")
+        .join(inBucket.alias("b"),
+          col("a.f") === col("b.f") && col("a.band") === col("b.band") &&
+            col("a.block") === col("b.block") &&
+            col("a.asset_id") < col("b.asset_id"))
+        .groupBy(col("a.asset_id").as("asset_a"),
+          col("b.asset_id").as("asset_b"))
+        .agg(count(lit(1)).as("shared_bands"))
+      // Hamming verifies CANDIDATES only (the mm9 shape) — a full
+      // frame-aligned self-join would be corpus² however cheap the
+      // per-pair work.
+      val ha = hashes.select(col("asset_id").as("asset_a"), col("f"),
+        col("phash_hi").as("hi_a"), col("phash_lo").as("lo_a"))
+      val hb = hashes.select(col("asset_id").as("asset_b"), col("f"),
+        col("phash_hi").as("hi_b"), col("phash_lo").as("lo_b"))
+      cand.join(ha, "asset_a").join(hb, Seq("asset_b", "f"))
+        .groupBy(col("asset_a"), col("asset_b"), col("shared_bands"))
+        .agg(sum(expr(
+          """bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b)"""))
+          .as("hamming_total"))
+        .filter(col("hamming_total") <= 3)
+        .select(col("asset_a"), col("asset_b"), col("shared_bands"),
+          col("hamming_total"))
+        .orderBy(col("asset_a"), col("asset_b"))
+    }, Some(
+      // mm8's generator→per-frame-hash replay over the asset universe
+      // (base + planted variant, the f=0 first-row perturbation CASE),
+      // then frame-keyed bands, the occupancy gate, and the
+      // frame-aligned hamming verify.
+      """WITH au AS (
+           SELECT doc_id, doc_id * 2 AS asset_id, 0 AS pert FROM documents
+           UNION ALL
+           SELECT doc_id, doc_id * 2 + 1, 1 FROM documents
+           WHERE doc_id % 25 = 0),
+         px AS (
+           SELECT a.asset_id, a.pert, d.doc_id, fr.f AS f, g.p AS p,
+                  CASE WHEN length(d.text) = 0 OR d.text IS NULL THEN 0
+                       ELSE unicode(substr(d.text,
+                         cast(g.p % length(d.text) AS int) + 1, 1)) END AS cp
+           FROM au a JOIN documents d ON d.doc_id = a.doc_id,
+                generate_series(0, 3) fr(f), generate_series(0, 255) g(p)),
+         vv AS (
+           SELECT asset_id, f, p,
+                  CASE WHEN pert = 1 AND f = 0 AND p < 16
+                       THEN ((cp * 31 + (p + 1) * 131 + (doc_id % 997) * 101)
+                             % 256 + 25) % 256
+                       ELSE (cp * 31 + (p + 1) * 131 + (doc_id % 997) * 101
+                             + (f // 2) * 59 + f) % 256 END AS v
+           FROM px),
+         gr AS (
+           SELECT asset_id, f,
+                  ((p // 16) // 2) * 8 + ((p % 16) // 2) AS o,
+                  (v + (v + 37) % 256 + (v + 74) % 256) // 3 AS gray
+           FROM vv),
+         ds AS (SELECT asset_id, f, o, cast(sum(gray) // 4 AS bigint) AS g8
+                FROM gr GROUP BY 1, 2, 3),
+         ss AS (SELECT asset_id, f, cast(sum(g8) AS bigint) AS ssum
+                FROM ds GROUP BY 1, 2),
+         bits AS (
+           SELECT ds.asset_id, ds.f, ds.o,
+                  CASE WHEN 64 * ds.g8 > ss.ssum THEN 1 ELSE 0 END AS bit
+           FROM ds JOIN ss ON ss.asset_id = ds.asset_id AND ss.f = ds.f),
+         ph AS (
+           SELECT asset_id, f,
+                  cast(sum(CASE WHEN bit = 1 AND o >= 32
+                      THEN cast(1 AS bigint) << (o - 32) ELSE 0 END)
+                    AS bigint) AS phash_hi,
+                  cast(sum(CASE WHEN bit = 1 AND o < 32
+                      THEN cast(1 AS bigint) << o ELSE 0 END)
+                    AS bigint) AS phash_lo
+           FROM bits GROUP BY 1, 2),
+         bands AS (
+           SELECT asset_id, f, b.band AS band,
+                  CASE b.band WHEN 0 THEN phash_lo % 65536
+                              WHEN 1 THEN phash_lo // 65536
+                              WHEN 2 THEN phash_hi % 65536
+                              ELSE phash_hi // 65536 END AS block
+           FROM ph, generate_series(0, 3) b(band)),
+         gated AS (
+           SELECT f, band, block FROM bands
+           GROUP BY 1, 2, 3 HAVING count(*) <= 50),
+         cand AS (
+           SELECT a.asset_id AS asset_a, b.asset_id AS asset_b,
+                  cast(count(*) AS bigint) AS shared_bands
+           FROM bands a
+           JOIN gated g ON g.f = a.f AND g.band = a.band
+                AND g.block = a.block
+           JOIN bands b ON b.f = a.f AND b.band = a.band
+                AND b.block = a.block AND b.asset_id > a.asset_id
+           GROUP BY 1, 2),
+         ham AS (
+           SELECT c.asset_a, c.asset_b, c.shared_bands,
+                  cast(sum(bit_count(xor(pa.phash_hi, pb.phash_hi)) +
+                           bit_count(xor(pa.phash_lo, pb.phash_lo)))
+                    AS bigint) AS hamming_total
+           FROM cand c
+           JOIN ph pa ON pa.asset_id = c.asset_a
+           JOIN ph pb ON pb.asset_id = c.asset_b AND pb.f = pa.f
+           GROUP BY 1, 2, 3)
+         SELECT asset_a, asset_b, shared_bands, hamming_total
+         FROM ham WHERE hamming_total <= 3
          ORDER BY 1, 2""")),
 
     ("x44_mixture_sampler", (s: SparkSession, d: String) => {
