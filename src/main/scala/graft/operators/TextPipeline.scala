@@ -2521,6 +2521,86 @@ object TextPipeline {
             ON h.split = t.split AND h.doc_id = t.doc_id
           ORDER BY 1, 2""")),
 
+    ("d18_minhash_calibration", (s: SparkSession, d: String) => {
+      // MinHash CALIBRATION audit — the check that closes the estimator
+      // loop d3/d5/d15 rely on: per candidate pair, the 8-signature
+      // match fraction (each min an unbiased Jaccard estimator — d3's
+      // own rotation law, signatures re-derived verbatim) BESIDE d2's
+      // exact shingle Jaccard, with the signed error. d15 audits the
+      // BANDING's recall; this audits the ESTIMATOR itself — at 8
+      // signatures the quantization is 1/8, and whether that's
+      // tolerable is a measured per-pair column, not folklore. Same
+      // bounded candidate set as d2/d9 (doc_id < 30 = one LSH bucket
+      // stand-in; the full-corpus path estimates only within d3's
+      // buckets). est_e6 = matches·125000 exact; jaccard_e6 one shared
+      // chain; pairs with no matching signature keep 0 (LEFT join) —
+      // the estimator's honest floor. Scale: signatures are one
+      // hash-aggregate (d3's shape); the match join keys on (i, mh)
+      // inside the bounded set.
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 30)
+      val pairs = shinglePairStats(docs)
+        .select(col("doc_a"), col("doc_b"), col("common"),
+          col("n_a"), col("n_b"))
+      val dg = shingles(docs).select(col("doc_id"), md5(col("s")).as("dg"))
+      val grid = s.range(0, 8).select(col("id").cast("int").as("i"))
+      val sigs = dg.crossJoin(broadcast(grid))
+        .select(col("doc_id"), col("i"),
+          expr("substring(concat(dg, dg), i * 4 + 1, 16)").as("rot"))
+        .groupBy(col("doc_id"), col("i")).agg(min(col("rot")).as("mh"))
+      val matches = sigs.as("a").join(sigs.as("b"),
+          col("a.i") === col("b.i") && col("a.mh") === col("b.mh") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("sig_matches"))
+      pairs.join(matches, Seq("doc_a", "doc_b"), "left")
+        .withColumn("sig_matches", coalesce(col("sig_matches"), lit(0L)))
+        .withColumn("est_e6", col("sig_matches") * lit(125000L))
+        .withColumn("jaccard_e6", expr(
+          "cast(round(common * 1e6 / (n_a + n_b - common)) AS bigint)"))
+        .select(col("doc_a"), col("doc_b"), col("common").cast("long")
+            .as("common"),
+          col("sig_matches"), col("est_e6"), col("jaccard_e6"),
+          (col("est_e6") - col("jaccard_e6")).as("err_e6"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }, Some(
+      """WITH docs AS (SELECT * FROM documents WHERE doc_id < 30),
+         sh AS (
+           SELECT DISTINCT doc_id, substr(text, i, 5) AS s FROM (
+             SELECT doc_id, text,
+                    unnest(generate_series(1, greatest(length(text) - 4, 1)))
+                      AS i
+             FROM docs)),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         pairs AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         dgt AS (SELECT doc_id, md5(s) AS dg FROM sh),
+         sig AS (
+           SELECT doc_id, h.i AS i,
+                  min(substr(dg || dg, h.i * 4 + 1, 16)) AS mh
+           FROM dgt, generate_series(0, 7) h(i) GROUP BY 1, 2),
+         mt AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  cast(count(*) AS bigint) AS sig_matches
+           FROM sig a JOIN sig b
+             ON b.i = a.i AND b.mh = a.mh AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT p.doc_a, p.doc_b, cast(p.common AS bigint) AS common,
+                cast(coalesce(m.sig_matches, 0) AS bigint) AS sig_matches,
+                cast(coalesce(m.sig_matches, 0) * 125000 AS bigint)
+                  AS est_e6,
+                cast(round(p.common * 1e6 / (sa.n + sb.n - p.common))
+                  AS bigint) AS jaccard_e6,
+                cast(coalesce(m.sig_matches, 0) * 125000 -
+                  cast(round(p.common * 1e6 / (sa.n + sb.n - p.common))
+                    AS bigint) AS bigint) AS err_e6
+         FROM pairs p
+         JOIN sizes sa ON sa.doc_id = p.doc_a
+         JOIN sizes sb ON sb.doc_id = p.doc_b
+         LEFT JOIN mt m ON m.doc_a = p.doc_a AND m.doc_b = p.doc_b
+         ORDER BY 1, 2""")),
+
     ("x41_char_entropy", (s: SparkSession, d: String) => {
       // Character-entropy quality gate — the COMPRESSIBILITY signal the
       // curation suite lacks: x13 catches token/bigram repetition and
