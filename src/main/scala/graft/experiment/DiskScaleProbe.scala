@@ -153,7 +153,13 @@ object DiskScaleProbe {
         noop(graft.operators.TextPipeline.bpeMerges(words, 6))
       }),
       ("g8_rounds", d =>
-        noop(graft.operators.GraphOps.queries("g8_seed_distance")(spark, d))))
+        noop(graft.operators.GraphOps.queries("g8_seed_distance")(spark, d))),
+      // j17 (r15): the interpolating as-of — two union+window sorted
+      // passes plus a probe-id join; user keys shift with k, so both
+      // volume AND key cardinality scale (the keyed-window class whose
+      // α should sit near 1 like j8's).
+      ("j17_interp", d =>
+        noop(graft.operators.Relational.queries("j17_interp_asof")(spark, d))))
 
     def ksEnv(name: String, dflt: Seq[Int]): Seq[Int] =
       sys.env.get(name).map(_.split(",").filter(_.nonEmpty).map(_.trim.toInt).toSeq)

@@ -2561,6 +2561,98 @@ object Relational {
                  ORDER BY decayed_e6 DESC, user_id) AS rank FROM agg)
          WHERE rank <= 20 ORDER BY rank""")),
 
+    ("a29_windowed_distinct", (s: SparkSession, d: String) => {
+      // TRAILING-WINDOW distinct counting via MERGEABLE per-day KMV
+      // registers — the windowed completion of the sketch family: a26
+      // (DGIM) counts EVENTS in a window, a19/a17 count distincts over
+      // the WHOLE corpus; "distinct users in the trailing 7 days, per
+      // day" is the DAU/WAU-class question, and the scale answer is
+      // sketch ALGEBRA over time partitions: per-day bottom-64
+      // registers build ONCE (bounded map-side state per partition —
+      // the a20 posture applied to the time axis), each day's window
+      // estimate re-cuts the ≤ 7×64 merged register rows after a
+      // DISTINCT (a user active on two days carries the SAME fmix32
+      // draw — the dedup IS the min-k merge law's idempotence), and
+      // raw data is never re-scanned per window. The EXACT trailing
+      // count rides along as the audit (a 100 TB deployment drops
+      // that column; here it is the point). Estimates are a19's
+      // (k−1)·2³²/u_k law with the n < k exact branch; integer
+      // hashes, fixed-order double, e6 quantization.
+      val ev = Tables.events(s, d).filter(col("user_id").isNotNull)
+        .select(to_date(col("ts")).as("day"), col("user_id"))
+      val dv = ev.distinct()
+      val scored = dv.select(col("day"),
+        fmix32(col("user_id").cast("long")).as("u"),
+        col("user_id").cast("long").as("pid"))
+      val dayRegs = AnnIndex.topKCut(scored, "day", "u", "pid",
+          k = 64, ascending = true, scoreName = "u", idName = "pid")
+        .select(col("day").as("rday"), col("u"), col("pid"))
+      val spine = dv.select(col("day")).distinct()
+      val uni = spine.join(broadcast(dayRegs),
+          col("rday") >= date_sub(col("day"), 6) &&
+            col("rday") <= col("day"))
+        .select(col("day"), col("u"), col("pid")).distinct()
+      val per = AnnIndex.topKCut(uni, "day", "u", "pid",
+          k = 64, ascending = true, scoreName = "u", idName = "pid")
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n_sample"), max(col("u")).as("u_k"))
+      val exact = spine.join(dv.select(col("day").as("eday"),
+            col("user_id")),
+          col("eday") >= date_sub(col("day"), 6) &&
+            col("eday") <= col("day"))
+        .groupBy(col("day"))
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      per.join(exact, "day")
+        .select(col("day"), col("n_sample"),
+          when(col("n_sample") < 64, col("n_sample") * lit(1000000L))
+            .otherwise(round(lit(63.0 * 4294967296.0) / col("u_k")
+              * lit(1000000.0)).cast("long")).as("est_e6"),
+          col("n_exact"))
+        .orderBy(col("day"))
+    }, Some(
+      """WITH dv AS (
+           SELECT DISTINCT cast(ts AS date) AS day, user_id
+           FROM events WHERE user_id IS NOT NULL),
+         spine AS (SELECT DISTINCT day FROM dv),
+         du AS (
+           SELECT DISTINCT s.day AS sday, dv.user_id
+           FROM spine s JOIN dv
+             ON dv.day BETWEEN s.day - 6 AND s.day),
+         x0 AS (SELECT sday, user_id,
+                       user_id % 4294967296 AS x FROM du),
+         h0 AS (SELECT sday, user_id,
+                       ((x * 2147483648) % 4294967296
+                        + (x * 506952113) % 4294967296) % 4294967296 AS m1
+                FROM x0),
+         h1 AS (SELECT sday, user_id, xor(m1, m1 >> 16) AS v1 FROM h0),
+         h2 AS (SELECT sday, user_id,
+                       (v1 * 1540483477) % 4294967296 AS m2 FROM h1),
+         h3 AS (SELECT sday, user_id, xor(m2, m2 >> 13) AS v2 FROM h2),
+         h4 AS (SELECT sday, user_id,
+                       (v2 * 1033321189) % 4294967296 AS m3 FROM h3),
+         h AS (SELECT sday, user_id AS pid,
+                      xor(m3, m3 >> 16) AS u FROM h4),
+         cut AS (
+           SELECT sday, u FROM (
+             SELECT *, row_number() OVER (PARTITION BY sday
+                         ORDER BY u, pid) AS krn
+             FROM h)
+           WHERE krn <= 64),
+         per AS (
+           SELECT sday, cast(count(*) AS bigint) AS n_sample,
+                  max(u) AS u_k
+           FROM cut GROUP BY 1),
+         ex AS (
+           SELECT sday, cast(count(DISTINCT user_id) AS bigint) AS n_exact
+           FROM du GROUP BY 1)
+         SELECT p.sday AS day, p.n_sample,
+                CASE WHEN p.n_sample < 64 THEN
+                  cast(p.n_sample * 1000000 AS bigint)
+                ELSE cast(round(63 * 4294967296.0 / p.u_k * 1000000.0)
+                  AS bigint) END AS est_e6,
+                ex.n_exact
+         FROM per p JOIN ex ON ex.sday = p.sday ORDER BY 1""")),
+
     ("a20_hll_set_algebra", (s: SparkSession, d: String) => {
       // Sketch ALGEBRA — the reason a 100 TB pipeline persists register
       // tables instead of answers: two groups' HLL sketches compose
