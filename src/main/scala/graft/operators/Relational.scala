@@ -313,6 +313,34 @@ object Relational {
   /** Per-(JVM, sfDir) asset directory for s13's binaryFile ingest —
     * written once (the ingest-time cost), re-scanned on every call.
     */
+  /** Write-once bucketed warehouse tables for s18: orders and lineitem
+    * bucketed (8) + sorted on their orderkeys via saveAsTable — the
+    * catalog metadata is what lets the scan report bucketing to the
+    * planner (a bare parquet write loses it). Keyed per (session,
+    * sfDir); quantity is cent-cast on write so the read side does no
+    * decimal work.
+    */
+  private val bucketedCache = new java.util.WeakHashMap[SparkSession,
+    scala.collection.concurrent.TrieMap[String, Boolean]]()
+  private[graft] def bucketedTablesFor(s: SparkSession, d: String,
+      ordersTbl: String, lineitemTbl: String): Unit =
+    bucketedCache.synchronized {
+      bucketedCache.computeIfAbsent(s,
+        _ => scala.collection.concurrent.TrieMap.empty)
+    }.getOrElseUpdate(d, {
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .write.mode("overwrite")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable(ordersTbl)
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_quantity"))
+        .write.mode("overwrite")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable(lineitemTbl)
+      true
+    })
+
   private val assetDirCache =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
@@ -808,6 +836,58 @@ object Relational {
          FROM orders, (VALUES (1), (2), (3)) t(v)
          WHERE (v = 1 AND o_orderkey % 3 = 1)
             OR (v >= 2 AND o_orderkey % 3 IN (1, 2))
+         GROUP BY 1 ORDER BY 1""")),
+
+    ("s18_bucketed_join", (s: SparkSession, d: String) => {
+      // BUCKETED co-located join (engine ext.) — the one physical-layout
+      // lever this engine documents everywhere ("bucketing for
+      // co-located joins") but had not yet EXECUTED: orders and
+      // lineitem are written ONCE per (session, sfDir) as 8-bucket
+      // tables bucketed+sorted on the join key (the ingest-time cost a
+      // warehouse pays once), and the orderkey join then needs NO
+      // shuffle on either side — at 100 TB the difference between
+      // moving both fact tables across the cluster per query and
+      // moving neither, ever. The PROOF is embedded in the
+      // hash-checked result (the s16 discipline): shuffle_ex_bucketed
+      // counts `Exchange hashpartitioning` operators in the EXECUTED
+      // (post-AQE) plan of the bucketed merge join — exactly 1, the
+      // final groupBy's — while shuffle_ex_plain runs the identical
+      // merge join over the raw parquet and counts 3 (two join-side
+      // exchanges + the groupBy). Both joins force SMJ via the merge
+      // hint so the contrast measures LAYOUT, not a broadcast
+      // accident; both aggregate the same answer, which DuckDB
+      // replays. A regression that silently re-shuffles the bucketed
+      // side fails the driver compare, not a test log.
+      val tag = math.abs(d.hashCode).toString
+      val (to, tl) = (s"g15_orders_$tag", s"g15_lineitem_$tag")
+      bucketedTablesFor(s, d, to, tl)
+      def agg(j: DataFrame) = j
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"))
+      def exchanges(df: DataFrame): Long = {
+        df.count() // materialize so the counted plan is the final AQE one
+        "Exchange hashpartitioning".r
+          .findAllIn(df.queryExecution.executedPlan.toString).size.toLong
+      }
+      val bucketed = agg(s.table(to).hint("merge")
+        .join(s.table(tl), col("o_orderkey") === col("l_orderkey")))
+      val plain = agg(
+        Tables.orders(s, d).hint("merge")
+          .join(Tables.lineitem(s, d),
+            col("o_orderkey") === col("l_orderkey")))
+      val (nb, np) = (exchanges(bucketed), exchanges(plain))
+      bucketed
+        .withColumn("shuffle_ex_bucketed", lit(nb))
+        .withColumn("shuffle_ex_plain", lit(np))
+        .orderBy(col("o_orderpriority"))
+    }, Some(
+      """SELECT o.o_orderpriority,
+                cast(count(*) AS bigint) AS n_lines,
+                cast(sum(cast(l.l_quantity AS bigint)) AS bigint) AS sum_qty,
+                1::BIGINT AS shuffle_ex_bucketed,
+                3::BIGINT AS shuffle_ex_plain
+         FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
          GROUP BY 1 ORDER BY 1""")),
 
     ("s13_binary_ingest", (s: SparkSession, d: String) => {
