@@ -1257,6 +1257,90 @@ object GraphOps {
                  min(node) AS min_node, max(node) AS max_node
           FROM bd4 GROUP BY 1 ORDER BY 1""")),
 
+    ("g21_effective_diameter", (s: SparkSession, d: String) => {
+      // SEED-SAMPLED effective diameter + mean distance (the ANF/
+      // HyperANF question, truncated honestly): pooled over the g8/g15
+      // hub-seed panel's labeled BFS distances at radius 4, the
+      // smallest d with cumulative reach ≥ 90% of REACHED pairs, the
+      // mean distance, and the reach share — the "how small is this
+      // world" numbers a topology report leads with. TRUNCATION IS
+      // REPORTED, not hidden: d90 is conditional on the radius-4
+      // reached set, and reach_e6 says how much of the pair universe
+      // that covers (a full-corpus ANF sweep needs the HLL-frontier
+      // machinery — out of scope, stated). The 90% pick is exact
+      // integer arithmetic (cum·10 ≥ 9·n_reached — no percentile
+      // float); mean through the one shared chain. Same
+      // labeledSeedDistance kernel and MATERIALIZED oracle rounds as
+      // g15 — one BFS serves both readings.
+      val strong = strongCopurchase(s, d)
+      val nodes = strong.select(col("src").as("node")).distinct()
+      val seeds = strong.groupBy(col("src")).agg(count(lit(1)).as("dg"))
+        .orderBy(col("dg").desc, col("src")).limit(3)
+        .select(col("src").as("seed"))
+      labeledSeedDistance(strong, nodes, seeds, rounds = 4)
+        .filter(col("node") =!= col("seed"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("dist") === 1, 1L).otherwise(0L)).as("n_r1"),
+          sum(when(col("dist") === 2, 1L).otherwise(0L)).as("n_r2"),
+          sum(when(col("dist") === 3, 1L).otherwise(0L)).as("n_r3"),
+          sum(when(col("dist") === 4, 1L).otherwise(0L)).as("n_r4"),
+          sum(when(col("dist").between(1, 4), 1L).otherwise(0L))
+            .as("n_reached"),
+          sum(when(col("dist").between(1, 4), col("dist")).otherwise(0L))
+            .as("sum_dist"))
+        .select(col("n_pairs"), col("n_r1"), col("n_r2"), col("n_r3"),
+          col("n_r4"), col("n_reached"),
+          expr("""CASE WHEN n_pairs > 0 THEN
+              cast(round(n_reached * 1e6 / n_pairs) AS bigint) END""")
+            .as("reach_e6"),
+          expr("""CASE WHEN n_reached > 0 THEN
+              cast(round(sum_dist * 1e6 / n_reached) AS bigint) END""")
+            .as("mean_dist_e6"),
+          expr("""CASE WHEN n_reached = 0 THEN NULL
+               WHEN n_r1 * 10 >= 9 * n_reached THEN 1
+               WHEN (n_r1 + n_r2) * 10 >= 9 * n_reached THEN 2
+               WHEN (n_r1 + n_r2 + n_r3) * 10 >= 9 * n_reached THEN 3
+               ELSE 4 END""").cast("int").as("eff_diameter_90"))
+    }, Some(
+      s"""WITH $sqlStrong,
+          hdeg AS (SELECT src, count(*) AS dg FROM strong GROUP BY 1),
+          hseeds AS (
+            SELECT src AS seed FROM hdeg ORDER BY dg DESC, src LIMIT 3),
+          hnodes AS (SELECT DISTINCT src AS node FROM strong),
+          hd0 AS MATERIALIZED (
+            SELECT s.seed, n.node,
+                   CASE WHEN n.node = s.seed THEN 0 ELSE 999 END AS dist
+            FROM hnodes n CROSS JOIN hseeds s),
+          ${(1 to 4).map(harmonicStep).mkString(",\n")},
+          pooled AS (
+            SELECT cast(count(*) AS bigint) AS n_pairs,
+                   cast(sum(CASE WHEN dist = 1 THEN 1 ELSE 0 END) AS bigint)
+                     AS n_r1,
+                   cast(sum(CASE WHEN dist = 2 THEN 1 ELSE 0 END) AS bigint)
+                     AS n_r2,
+                   cast(sum(CASE WHEN dist = 3 THEN 1 ELSE 0 END) AS bigint)
+                     AS n_r3,
+                   cast(sum(CASE WHEN dist = 4 THEN 1 ELSE 0 END) AS bigint)
+                     AS n_r4,
+                   cast(sum(CASE WHEN dist BETWEEN 1 AND 4 THEN 1 ELSE 0 END)
+                     AS bigint) AS n_reached,
+                   cast(sum(CASE WHEN dist BETWEEN 1 AND 4 THEN dist
+                            ELSE 0 END) AS bigint) AS sum_dist
+            FROM hd4 WHERE node <> seed)
+          SELECT n_pairs, n_r1, n_r2, n_r3, n_r4, n_reached,
+                 CASE WHEN n_pairs > 0 THEN
+                   cast(round(n_reached * 1e6 / n_pairs) AS bigint)
+                 END AS reach_e6,
+                 CASE WHEN n_reached > 0 THEN
+                   cast(round(sum_dist * 1e6 / n_reached) AS bigint)
+                 END AS mean_dist_e6,
+                 cast(CASE WHEN n_reached = 0 THEN NULL
+                      WHEN n_r1 * 10 >= 9 * n_reached THEN 1
+                      WHEN (n_r1 + n_r2) * 10 >= 9 * n_reached THEN 2
+                      WHEN (n_r1 + n_r2 + n_r3) * 10 >= 9 * n_reached THEN 3
+                      ELSE 4 END AS int) AS eff_diameter_90
+          FROM pooled""")),
+
     ("g15_harmonic_centrality", (s: SparkSession, d: String) => {
       // PER-SEED truncated harmonic centrality at radius 4 — the
       // centrality reading g8's set-min histogram cannot give (the set
