@@ -1214,6 +1214,38 @@ object Estimation {
       .orderBy(col("event_type"))
   }
 
+  /** Mann–Kendall trend test over any (event_type, day, x:long) panel —
+    * contract on the t31 entry: exact-integer S and ×18-cleared
+    * tie-corrected variance, continuity-corrected z through one shared
+    * chain, constant series (var18 = 0) → NULL + non-reject.
+    */
+  private[graft] def mannKendall(daily: DataFrame): DataFrame = {
+    val pairs = daily.as("a").join(daily.as("b"),
+        col("a.event_type") === col("b.event_type") &&
+          col("a.day") < col("b.day"))
+      .groupBy(col("a.event_type").as("event_type"))
+      .agg(sum(expr("""CASE WHEN b.x > a.x THEN 1
+                       WHEN b.x < a.x THEN -1 ELSE 0 END""")).as("s"))
+    val ties = daily.groupBy(col("event_type"), col("x"))
+      .agg(count(lit(1)).as("t"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(col("t")).as("n"),
+        sum(col("t") * (col("t") - 1) * (col("t") * 2 + 5)).as("tie18"))
+    pairs.join(ties, "event_type")
+      .withColumn("var18",
+        col("n") * (col("n") - 1) * (col("n") * 2 + 5) - col("tie18"))
+      .select(col("event_type"), col("n"), col("s"), col("var18"),
+        expr("""CASE WHEN var18 > 0 THEN
+             cast(round(CASE WHEN s > 0 THEN (s - 1) * 1e0
+                             WHEN s < 0 THEN (s + 1) * 1e0
+                             ELSE 0e0 END /
+               sqrt(var18 * 1e0 / 18) * 1e4) AS bigint) END""")
+          .as("z_e4"))
+      .withColumn("reject_5pct",
+        coalesce(abs(col("z_e4")) > 19600L, lit(false)))
+  }
+
   /** The m28 kernel over any (event_type, day, x:long) panel — split-
     * conformal 90% interval radius frozen as the ⌈0.9·(n_cal+1)⌉-th
     * smallest of the first calN one-step absolute errors, then exact
@@ -4922,6 +4954,60 @@ object Estimation {
                   > 1358000 END, false) AS reject_5pct
          FROM st s LEFT JOIN best b ON b.event_type = s.event_type
          ORDER BY s.event_type""")),
+
+    ("t31_mann_kendall", (s: SparkSession, d: String) => {
+      // Mann–Kendall monotone-trend test — the TEST that pairs with
+      // w21's Theil–Sen slope ESTIMATE (the standard monitoring-stack
+      // duo: MK says whether a trend exists, Theil–Sen says how
+      // steep): S = Σ_{i<j} sgn(x_j − x_i) over each type's daily cent
+      // series, tie-corrected Var(S) = [n(n−1)(2n+5) −
+      // Σ_g t_g(t_g−1)(2t_g+5)]/18, continuity-corrected z. Exactness:
+      // S and the ×18-cleared variance are EXACT INTEGERS (the pair
+      // join is calendar-bounded — 435 pairs per type, the d2 posture;
+      // tie groups one aggregate); only z touches a double, in one
+      // shared chain with the ∓1 correction routed on S's sign.
+      // Degenerate: var18 = 0 ⟺ all values tied ⟺ constant series →
+      // NULL z, non-reject (exact integer test).
+      mannKendall(Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("x")))
+        .orderBy(col("event_type"))
+    }, Some(
+      """WITH daily AS (
+           SELECT event_type, cast(ts AS date) AS day,
+                  cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS x
+           FROM events GROUP BY 1, 2),
+         pairs AS (
+           SELECT a.event_type,
+                  cast(sum(CASE WHEN b.x > a.x THEN 1
+                           WHEN b.x < a.x THEN -1 ELSE 0 END) AS bigint) AS s
+           FROM daily a JOIN daily b
+             ON b.event_type = a.event_type AND a.day < b.day
+           GROUP BY 1),
+         ties AS (
+           SELECT event_type, cast(count(*) AS bigint) AS n_groups,
+                  cast(sum(t) AS bigint) AS n,
+                  cast(sum(t * (t - 1) * (2 * t + 5)) AS bigint) AS tie18
+           FROM (SELECT event_type, x, count(*) AS t
+                 FROM daily GROUP BY 1, 2)
+           GROUP BY 1),
+         j AS (
+           SELECT p.event_type, t.n, p.s,
+                  t.n * (t.n - 1) * (2 * t.n + 5) - t.tie18 AS var18
+           FROM pairs p JOIN ties t ON t.event_type = p.event_type)
+         SELECT event_type, n, s, var18,
+                CASE WHEN var18 > 0 THEN
+                  cast(round(CASE WHEN s > 0 THEN (s - 1) * 1e0
+                                  WHEN s < 0 THEN (s + 1) * 1e0
+                                  ELSE 0e0 END /
+                    sqrt(var18 * 1e0 / 18) * 1e4) AS bigint) END AS z_e4,
+                coalesce(abs(CASE WHEN var18 > 0 THEN
+                  cast(round(CASE WHEN s > 0 THEN (s - 1) * 1e0
+                                  WHEN s < 0 THEN (s + 1) * 1e0
+                                  ELSE 0e0 END /
+                    sqrt(var18 * 1e0 / 18) * 1e4) AS bigint) END) > 19600,
+                  false) AS reject_5pct
+         FROM j ORDER BY event_type""")),
 
     ("t30_pettitt", (s: SparkSession, d: String) => {
       // Pettitt's nonparametric changepoint over the daily cent panels

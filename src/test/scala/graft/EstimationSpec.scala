@@ -383,6 +383,38 @@ class EstimationSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"outlier robustness failed: ${got("c")}")
   }
 
+  test("t31 mannKendall: a monotone ramp rejects at the exact closed form; ties and constants rout") {
+    // Battery 1 — a strict 10-day ramp: S = C(10,2) = 45 (every pair
+    // concordant), no ties so var18 = 10·9·25 = 2250, z = 44/√125 =
+    // 3.93547 → z_e4 = 39355, reject. Battery 2 — constant series:
+    // var18 = n(n−1)(2n+5) − t(t−1)(2t+5) = 0 exactly (one tie group
+    // of size n) → NULL z, non-reject. Battery 3 — the TIE CORRECTION
+    // pinned: 1,1,2,2,3 has S = 8, n = 5, tie18 = 2·[2·1·9] = 36,
+    // var18 = 5·4·15 − 36 = 264, z = 7/√(264/18) = 1.82775 → z_e4 =
+    // 18278, NOT rejected — the uncorrected variance (300) would give
+    // z = 1.714, so the planted value pins the correction's sign too.
+    val s = spark
+    import s.implicits._
+    import java.sql.Date
+    def day(i: Int): Date = Date.valueOf(
+      java.time.LocalDate.of(2024, 6, 1).plusDays(i - 1))
+    val rows = (1 to 10).map(i => ("a", day(i), 100L + i)) ++
+      (1 to 8).map(i => ("b", day(i), 7L)) ++
+      Seq(1L, 1, 2, 2, 3).zipWithIndex.map { case (v, i) =>
+        ("c", day(i + 1), v) }
+    val got = graft.operators.Estimation.mannKendall(
+        rows.toDF("event_type", "day", "x"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), Option(r.get(4)),
+          r.getBoolean(5))).toMap
+    assert(got("a") == ((10L, 45L, 2250L, Some(39355L), true)),
+      s"ramp diverged: ${got("a")}")
+    assert(got("b") == ((8L, 0L, 0L, None, false)),
+      s"constant must degenerate: ${got("b")}")
+    assert(got("c") == ((5L, 8L, 264L, Some(18278L), false)),
+      s"tie correction diverged: ${got("c")}")
+  }
+
   test("m28 splitConformal: a tiny-calibration key must not crash the query (planted)") {
     // The r14 ADVICE crash class: the cal stage evaluates element_at for
     // EVERY key, including ones the test-side join later drops — a key
