@@ -56,7 +56,8 @@ class RecoverySpec extends AnyFunSuite with BeforeAndAfterAll {
       tag: String,
       batches: Seq[DataFrame],
       op: DataFrame => DataFrame,
-      stopAfter: Option[Int]): Seq[Row] = {
+      stopAfter: Option[Int],
+      mode: String = "update"): Seq[Row] = {
     val in = java.nio.file.Files.createTempDirectory(s"rec_in_$tag")
       .toFile.getAbsolutePath
     val chk = java.nio.file.Files.createTempDirectory(s"rec_chk_$tag")
@@ -67,7 +68,7 @@ class RecoverySpec extends AnyFunSuite with BeforeAndAfterAll {
       op(spark.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1").parquet(in))
         .writeStream
-        .outputMode("update")
+        .outputMode(mode)
         .option("checkpointLocation", chk)
         .foreachBatch { (d: Dataset[Row], _: Long) =>
           buf.synchronized { buf ++= d.collect() }; ()
@@ -217,5 +218,43 @@ class RecoverySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(recovered("b")(4) == 0L && recovered("b")(3) == 45L,
       s"key b must recover EXACT: ${recovered("b")}")
+  }
+
+  test("asofStream recovers its latest-quote state from the checkpoint") {
+    // The enrichment door's failover contract: quotes arrive BEFORE the
+    // stop, probes after the restart — every post-restart match is
+    // answerable only from recovered ValueState (a query that restarted
+    // empty emits NULL matches and fails the probe). Append mode: the
+    // op's flatMapGroupsWithState declares Append, and emitted matches
+    // must also NOT be re-emitted by the restarted incarnation (the
+    // committed-offset contract — duplicate P1 rows would mean the
+    // restart re-read batch 1).
+    val s = spark
+    import s.implicits._
+    def t(sec: Long) = new java.sql.Timestamp(1700000000000L + sec * 1000L)
+    def ev(rows: Seq[(Long, Option[Long], java.sql.Timestamp, String,
+        Option[Double])]) =
+      rows.toDF("event_id", "user_id", "ts", "event_type", "value")
+    val batches = Seq(
+      ev(Seq((100L, Some(1L), t(10), "purchase", Some(1.5)),
+        (110L, Some(2L), t(11), "purchase", Some(2.5)),
+        (201L, Some(1L), t(20), "click", None))),
+      ev(Seq((202L, Some(1L), t(30), "click", None),
+        (203L, Some(2L), t(31), "view", None),
+        (204L, Some(3L), t(32), "click", None))))
+    val op = (df: DataFrame) => EventStream.asofStream(df).toDF
+    def matches(rows: Seq[Row]): Map[Long, Option[Any]] =
+      rows.map(r => r.getLong(0) -> Option(r.get(3))).toMap
+    val recRows = driveFiles("asof_rec", batches, op,
+      stopAfter = Some(1), mode = "append")
+    val rec = matches(recRows)
+    val unb = matches(driveFiles("asof_unb", batches, op,
+      stopAfter = None, mode = "append"))
+    assert(rec == unb, s"recovered != uninterrupted:\n$rec\n$unb")
+    assert(rec(201L) == Some(100L) && rec(202L) == Some(100L) &&
+      rec(203L) == Some(110L) && rec(204L).isEmpty,
+      s"post-restart probes diverged: $rec")
+    assert(recRows.count(_.getLong(0) == 201L) == 1,
+      "P1 re-emitted — the restart re-read a committed batch")
   }
 }
