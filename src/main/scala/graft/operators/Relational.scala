@@ -328,6 +328,23 @@ object Relational {
       bucketedCache.computeIfAbsent(s,
         _ => scala.collection.concurrent.TrieMap.empty)
     }.getOrElseUpdate(d, {
+      // The in-memory catalog dies with the JVM but the warehouse dirs
+      // persist — a fresh session's saveAsTable then refuses the orphan
+      // LOCATION. Drop both ways: the catalog entry (same-session
+      // rebuild) and the on-disk location (cross-JVM rebuild).
+      for (tbl <- Seq(ordersTbl, lineitemTbl)) {
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        val wh = java.nio.file.Paths.get(
+          new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath)
+        val loc = wh.resolve(tbl)
+        if (java.nio.file.Files.exists(loc)) {
+          import scala.jdk.CollectionConverters._
+          val walk = java.nio.file.Files.walk(loc)
+          try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .iterator().asScala.foreach(java.nio.file.Files.delete)
+          finally walk.close()
+        }
+      }
       Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_orderpriority"))
         .write.mode("overwrite")
