@@ -1719,6 +1719,71 @@ object Relational {
                 END AS method
          FROM j ORDER BY probe_id""")),
 
+    ("j18_absence_join", (s: SparkSession, d: String) => {
+      // Temporal ABSENCE anti-join — "purchases NOT followed by an
+      // error within 3 days", the funnel/alerting shape every
+      // monitoring pipeline needs and every naive NOT-EXISTS-with-
+      // range spelling gets wrong at scale (a per-probe correlated
+      // subquery is corpus² in disguise). No new kernel: j13's forward
+      // as-of already finds the EARLIEST next error; absence-within-T
+      // is one predicate on its gap (no match at all, or first match
+      // beyond T) — so the one-shuffle sorted-pass cost model carries
+      // over and the absent set is EXACTLY the complement of j15's
+      // toleranced forward matches. The flag rides WITH the match
+      // evidence (next error id + gap where one exists beyond the
+      // horizon) — an absence report that can't show what it ruled
+      // out isn't auditable. The oracle spells the SAME semantics as
+      // NOT EXISTS + a ranked witness — a genuinely different query
+      // shape, so the two engines cross-check the semantics, not the
+      // plan.
+      val ev = Tables.events(s, d)
+      val horizonUs = 3L * 86400L * 1000000L
+      val probe = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("k"),
+          (-unix_micros(col("ts"))).as("tsn"),
+          col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+      val quote = ev.filter(col("event_type") === "error")
+        .select(col("user_id").as("k"),
+          (-unix_micros(col("ts"))).as("tsn"),
+          col("event_id").as("error_id"), col("ts").as("error_ts"))
+      asOfJoin(probe, quote, keys = Seq("k"), tsCol = "tsn")
+        .withColumn("gap_us",
+          unix_micros(col("asof.error_ts")) - unix_micros(col("purchase_ts")))
+        .filter(col("gap_us").isNull || col("gap_us") > horizonUs)
+        .select(col("purchase_id"), col("k").as("user_id"),
+          col("asof.error_id").as("next_error_id"), col("gap_us"),
+          col("gap_us").isNull.as("no_error_ever"))
+        .orderBy(col("purchase_id"))
+    }, Some(
+      """WITH p AS (
+           SELECT event_id AS purchase_id, user_id,
+                  cast(ts AS timestamp) AS ts
+           FROM events WHERE event_type = 'purchase'),
+         q AS (
+           SELECT event_id AS error_id, user_id,
+                  cast(ts AS timestamp) AS ts
+           FROM events WHERE event_type = 'error' AND user_id IS NOT NULL),
+         absent AS (
+           SELECT p.* FROM p
+           WHERE NOT EXISTS (
+             SELECT 1 FROM q
+             WHERE q.user_id = p.user_id AND q.ts >= p.ts
+               AND epoch_us(q.ts) - epoch_us(p.ts) <= 259200000000)),
+         wit AS (
+           SELECT a.purchase_id, q.error_id,
+                  epoch_us(q.ts) - epoch_us(a.ts) AS gap,
+                  row_number() OVER (PARTITION BY a.purchase_id
+                    ORDER BY q.ts ASC, q.error_id DESC) AS rn
+           FROM absent a JOIN q
+             ON q.user_id = a.user_id AND q.ts >= a.ts)
+         SELECT a.purchase_id, a.user_id,
+                w.error_id AS next_error_id,
+                cast(w.gap AS bigint) AS gap_us,
+                (w.error_id IS NULL) AS no_error_ever
+         FROM absent a LEFT JOIN wit w
+           ON w.purchase_id = a.purchase_id AND w.rn = 1
+         ORDER BY a.purchase_id""")),
+
     ("j14_interval_overlap_join", (s: SparkSession, d: String) => {
       // Interval×interval overlap join — j9's big sibling: j9 buckets a
       // POINT against ranges (each point owns one bin, no dedup);
