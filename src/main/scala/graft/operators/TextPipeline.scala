@@ -5945,6 +5945,121 @@ object TextPipeline {
                 END AS savings_e6
          FROM agg ORDER BY source""")),
 
+    ("x47_gate_agreement", (s: SparkSession, d: String) => {
+      // GATE AGREEMENT (Cohen's κ) — the curation-ops question two
+      // quality gates raise the moment both exist: do x6 (surface
+      // ratios) and x41 (char entropy) actually agree on which docs to
+      // keep, or does their overlap just reflect base rates? Per
+      // source: the 2×2 confusion counts, raw agreement, and Cohen's
+      // kappa — the chance-corrected number (raw agreement flatters
+      // any pair of gates that both keep ~everything). Exactness: κ
+      // reduces to EXACT INTEGERS until one shared division —
+      // κ = ((n₁₁+n₀₀)·n − pe·n²) / (n² − pe·n²) with pe·n² =
+      // (n₁₁+n₁₀)(n₁₁+n₀₁) + (n₀₁+n₀₀)(n₁₀+n₀₀) — no transcendental,
+      // no double sum anywhere (n² must stay < 2⁶³ ⇒ per-source n <
+      // 3·10⁹, the g16 integer-headroom class, noted not hidden).
+      // Degenerate marginals (a gate that keeps or rejects EVERYTHING
+      // in a source ⟹ pe·n² = n²) route on the exact integer test →
+      // NULL κ (chance correction is undefined, agreement_e6 still
+      // reported). Both gate laws are the helpers their own queries
+      // serve (withQualityFlags / charEntropyGate) — the audit cannot
+      // drift from what it audits.
+      val docs = Tables.documents(s, d)
+      val a = withQualityFlags(docs).select(col("doc_id"), col("kept"))
+      val b = charEntropyGate(docs)
+        .select(col("doc_id"), (!col("flag_gibberish")).as("keep_b"))
+      docs.select(col("doc_id"), col("source"))
+        .join(a, "doc_id").join(b, "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("kept") && col("keep_b"), 1L).otherwise(0L))
+            .as("n11"),
+          sum(when(col("kept") && !col("keep_b"), 1L).otherwise(0L))
+            .as("n10"),
+          sum(when(!col("kept") && col("keep_b"), 1L).otherwise(0L))
+            .as("n01"),
+          sum(when(!col("kept") && !col("keep_b"), 1L).otherwise(0L))
+            .as("n00"))
+        .withColumn("pe_n2",
+          (col("n11") + col("n10")) * (col("n11") + col("n01")) +
+            (col("n01") + col("n00")) * (col("n10") + col("n00")))
+        .select(col("source"), col("n").as("n_docs"),
+          col("n11").as("n_both_keep"), col("n10").as("n_only_x6"),
+          col("n01").as("n_only_x41"), col("n00").as("n_both_reject"),
+          expr("cast(round((n11 + n00) * 1e6 / n) AS bigint)")
+            .as("agreement_e6"),
+          expr("""CASE WHEN n * n - pe_n2 <> 0 THEN
+               cast(round(((n11 + n00) * n - pe_n2) * 1e6 /
+                 (n * n - pe_n2)) AS bigint) END""").as("kappa_e6"))
+        .orderBy(col("source"))
+    }, Some(
+      """WITH sig AS (
+           SELECT doc_id, source,
+                  length(trim(text)) - length(replace(trim(text), ' ', ''))
+                    + 1 AS n_tokens,
+                  cast(length(replace(text, ' ', '')) AS double)
+                    / (length(trim(text)) - length(replace(trim(text), ' ', ''))
+                       + 1) AS avg_token_len,
+                  cast(len(list_filter(string_split(text, ' '),
+                        t -> t = 'the' OR t = 'a')) AS double)
+                    / (length(trim(text)) - length(replace(trim(text), ' ', ''))
+                       + 1) AS stopword_ratio
+           FROM documents),
+         ga AS (
+           SELECT doc_id, source,
+                  NOT (n_tokens < 25) AND NOT (avg_token_len > 5.0)
+                    AND NOT (stopword_ratio < 0.02) AS kept
+           FROM sig),
+         dd AS (
+           SELECT doc_id, coalesce(text, '') AS text FROM documents),
+         pos AS (
+           SELECT doc_id, substr(text, p, 1) AS ch FROM (
+             SELECT doc_id, text,
+                    unnest(generate_series(1, length(text))) AS p
+             FROM dd)),
+         cc AS (SELECT doc_id, ch, count(*) AS c FROM pos GROUP BY 1, 2),
+         ent AS (
+           SELECT doc_id, cast(sum(c) AS bigint) AS n_chars,
+                  cast(sum(cast(round(c * log2(c) * 1e6) AS bigint))
+                    AS bigint) AS sterm
+           FROM cc GROUP BY 1),
+         f AS (
+           SELECT d.doc_id,
+                  CASE WHEN coalesce(e.n_chars, 0) > 0 THEN
+                    cast(round(log2(cast(e.n_chars AS double)) * 1e6
+                      - e.sterm * 1e0 / e.n_chars) AS bigint) END
+                    AS entropy_e6
+           FROM dd d LEFT JOIN ent e ON e.doc_id = d.doc_id),
+         gb AS (
+           SELECT doc_id,
+                  NOT coalesce(entropy_e6 < 3000000 OR entropy_e6 > 4700000,
+                    true) AS keep_b
+           FROM f),
+         ct AS (
+           SELECT ga.source, cast(count(*) AS bigint) AS n,
+                  cast(sum(CASE WHEN ga.kept AND gb.keep_b
+                           THEN 1 ELSE 0 END) AS bigint) AS n11,
+                  cast(sum(CASE WHEN ga.kept AND NOT gb.keep_b
+                           THEN 1 ELSE 0 END) AS bigint) AS n10,
+                  cast(sum(CASE WHEN NOT ga.kept AND gb.keep_b
+                           THEN 1 ELSE 0 END) AS bigint) AS n01,
+                  cast(sum(CASE WHEN NOT ga.kept AND NOT gb.keep_b
+                           THEN 1 ELSE 0 END) AS bigint) AS n00
+           FROM ga JOIN gb ON gb.doc_id = ga.doc_id GROUP BY 1),
+         k AS (
+           SELECT *, (n11 + n10) * (n11 + n01)
+                     + (n01 + n00) * (n10 + n00) AS pe_n2
+           FROM ct)
+         SELECT source, n AS n_docs, n11 AS n_both_keep,
+                n10 AS n_only_x6, n01 AS n_only_x41,
+                n00 AS n_both_reject,
+                cast(round((n11 + n00) * 1e6 / n) AS bigint)
+                  AS agreement_e6,
+                CASE WHEN n * n - pe_n2 <> 0 THEN
+                  cast(round(((n11 + n00) * n - pe_n2) * 1e6 /
+                    (n * n - pe_n2)) AS bigint) END AS kappa_e6
+         FROM k ORDER BY source""")),
+
     ("x26_quality_probe", (s: SparkSession, d: String) => {
       // Learned quality scoring — the fasttext-classifier slot of a
       // curation pipeline driven by the engine's own estimation surface:
