@@ -804,6 +804,32 @@ object AnnIndex {
   private val buildLogMap =
     scala.collection.concurrent.TrieMap.empty[String, Double]
 
+  /** Per-JVM scratch parent for every on-disk index artifact
+    * (saved/compacted/lifecycle generations) — one root, recursively
+    * deleted at JVM exit, so artifacts follow one write-once/cleanup
+    * lifecycle instead of accumulating in the system tmpdir across JVMs
+    * (r15 ADVICE: lifecycleIvfFor's generation + output dirs escaped
+    * the managed lifecycle).
+    */
+  private lazy val annScratchRoot: String = {
+    val root = java.nio.file.Files.createTempDirectory("graft_ann_scratch_")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(root.toFile)
+    }))
+    root.toString
+  }
+
+  /** A fresh artifact directory under [[annScratchRoot]]. */
+  private def scratchDir(prefix: String): String = {
+    val p = java.nio.file.Paths.get(annScratchRoot)
+      .resolve(s"$prefix${java.util.UUID.randomUUID()}")
+    java.nio.file.Files.createDirectories(p)
+    p.toString
+  }
+
   def buildLog: Map[String, Double] = buildLogMap.toMap
 
   private[graft] def timedBuild[A](key: String)(build: => A): A = {
@@ -923,8 +949,7 @@ object AnnIndex {
       s"$path|nlist=$nlist|iters=$iters|dead=$tag",
       timedBuild(s"ivf-compact:$nlist:$iters:$tag") {
         val dir = savedIvfFor(s, path, e, nlist, iters)
-        val out = java.nio.file.Files
-          .createTempDirectory("graft_ivf_compact_").toString
+        val out = scratchDir("ivf_compact_")
         tombstoneIvf(s, dir, dead, tag)
         compactIvf(s, dir, tag, out)
         out
@@ -958,11 +983,9 @@ object AnnIndex {
           .join(arr.select(col("vec_id"), col("embedding")), "vec_id")
           .select(col("vec_id"), col("embedding"), col("unit"), col("cid"))
         val merged = loaded.copy(lists = loaded.lists.unionByName(assigned))
-        val genDir = java.nio.file.Files
-          .createTempDirectory("graft_ivf_lc_gen_").toString
+        val genDir = scratchDir("ivf_lc_gen_")
         saveIvf(merged, genDir)
-        val out = java.nio.file.Files
-          .createTempDirectory("graft_ivf_lc_out_").toString
+        val out = scratchDir("ivf_lc_out_")
         tombstoneIvf(s, genDir, dead, tag)
         compactIvf(s, genDir, tag, out)
         out
@@ -980,8 +1003,7 @@ object AnnIndex {
     // (ADVICE r11) — a later call with different training parameters
     // must train and persist its own artifact, not inherit the first.
     savedIvfCache.getOrElseUpdate(s"$path|nlist=$nlist|iters=$iters", {
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft_ivf_index_").toString
+      val dir = scratchDir("ivf_index_")
       saveIvf(ivfFor(s, path, e, nlist, iters), dir)
       dir
     })

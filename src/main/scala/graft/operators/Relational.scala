@@ -361,6 +361,50 @@ object Relational {
   private val assetDirCache =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  private val ttManifestCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[(Long, String, Boolean)]]
+  /** Per-(JVM, sfDir) time-travel commit log for s17: (version, file,
+    * removed). Written ONCE (r15 ADVICE: the previous inline build paid
+    * the three-commit ingest and leaked a fresh UUID directory on every
+    * invocation). Each manifest file is its OWN repartition(1) write to
+    * its own directory, so the live-file counts the oracle pins (2/4/3)
+    * are guaranteed by construction — one commit entry per explicit
+    * write — rather than assumed from repartition(n)'s file emission.
+    * The directory lives under [[csvScratchRoot]], so the JVM-exit hook
+    * reclaims it.
+    */
+  private def ttManifestFor(s: SparkSession, d: String): Seq[(Long, String, Boolean)] =
+    ttManifestCache.getOrElseUpdate(d, {
+      import scala.jdk.CollectionConverters._
+      val tmp = s"$csvScratchRoot/tt_${java.util.UUID.randomUUID()}"
+      val ord = Tables.orders(s, d).select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("price_c"))
+      def writeOne(sub: DataFrame, path: String): String = {
+        sub.repartition(1).write.mode("overwrite").parquet(path)
+        val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(path))
+        val fs =
+          try walk.iterator().asScala
+            .filter(p => p.toString.endsWith(".parquet"))
+            .map(_.toString).toSeq
+          finally walk.close()
+        require(fs.size == 1, s"single-partition write emitted ${fs.size} files at $path")
+        fs.head
+      }
+      // v1 = keys ≡ 1 (mod 3) split across two files; v2 = keys ≡ 2
+      // (mod 3) likewise; v3 compacts v1's rows into one file and
+      // tombstones the two originals.
+      val v1f = Seq(
+        writeOne(ord.filter(col("o_orderkey") % 6 === 1), s"$tmp/v1a"),
+        writeOne(ord.filter(col("o_orderkey") % 6 === 4), s"$tmp/v1b"))
+      val v2f = Seq(
+        writeOne(ord.filter(col("o_orderkey") % 6 === 2), s"$tmp/v2a"),
+        writeOne(ord.filter(col("o_orderkey") % 6 === 5), s"$tmp/v2b"))
+      val v3f = Seq(
+        writeOne(ord.filter(col("o_orderkey") % 3 === 1), s"$tmp/v3"))
+      v1f.map((1L, _, false)) ++ v2f.map((2L, _, false)) ++
+        v3f.map((3L, _, false)) ++ v1f.map((3L, _, true))
+    })
+
   private val partitionedEventsCache =
     scala.collection.concurrent.TrieMap.empty[String, String]
   private[graft] def partitionedEvents(s: SparkSession, d: String): String =
@@ -800,31 +844,12 @@ object Relational {
       // the pruning proof per snapshot (the s16 discipline: the AS-OF
       // scan reads exactly the live set, never the directory). At
       // 100 TB this is why old snapshots stay queryable O(live-files)
-      // with zero data movement.
-      import scala.jdk.CollectionConverters._
-      val tmp = s"$csvScratchRoot/tt_${java.util.UUID.randomUUID()}"
-      val ord = Tables.orders(s, d).select(col("o_orderkey"),
-        round(col("o_totalprice") * 100).cast("long").as("price_c"))
-      def files(path: String): Seq[String] = {
-        val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(path))
-        try walk.iterator().asScala
-          .filter(p => p.toString.endsWith(".parquet"))
-          .map(_.toString).toSeq
-        finally walk.close()
-      }
-      ord.filter(col("o_orderkey") % 3 === 1)
-        .repartition(2).write.mode("overwrite").parquet(s"$tmp/v1")
-      ord.filter(col("o_orderkey") % 3 === 2)
-        .repartition(2).write.mode("overwrite").parquet(s"$tmp/v2")
-      ord.filter(col("o_orderkey") % 3 === 1)
-        .repartition(1).write.mode("overwrite").parquet(s"$tmp/v3")
-      val v1f = files(s"$tmp/v1"); val v2f = files(s"$tmp/v2")
-      val v3f = files(s"$tmp/v3")
-      // The manifest: (version, path, removed) — v3 adds its compacted
-      // file and tombstones v1's two.
-      val manifest: Seq[(Long, String, Boolean)] =
-        v1f.map((1L, _, false)) ++ v2f.map((2L, _, false)) ++
-          v3f.map((3L, _, false)) ++ v1f.map((3L, _, true))
+      // with zero data movement. Assets are written once per (JVM,
+      // sfDir) — see [[ttManifestFor]] — and the 2/4/3 live counts the
+      // oracle pins are structural (one explicit single-partition write
+      // per manifest file), not an artifact of repartition(n)'s file
+      // emission (r15 ADVICE).
+      val manifest = ttManifestFor(s, d)
       (1 to 3).map { v =>
         val removed = manifest
           .filter(m => m._1 <= v && m._3).map(_._2).toSet
@@ -883,9 +908,18 @@ object Relational {
         .agg(count(lit(1)).as("n_lines"),
           sum(col("l_quantity").cast("long")).as("sum_qty"))
       def exchanges(df: DataFrame): Long = {
-        df.count() // materialize so the counted plan is the final AQE one
-        "Exchange hashpartitioning".r
-          .findAllIn(df.queryExecution.executedPlan.toString).size.toLong
+        // collect() (5 rows) executes THIS Dataset's QueryExecution, so
+        // executedPlan below is the finalized post-AQE plan. count()
+        // would spin up a separate QueryExecution and leave df's own
+        // adaptive plan un-executed (r15 ADVICE). An executed
+        // AdaptiveSparkPlan prints BOTH the final plan and an
+        // "== Initial Plan ==" echo — count only the final section.
+        df.collect()
+        val ps = df.queryExecution.executedPlan.toString
+        val fin = ps.indexOf("== Initial Plan ==") match {
+          case -1 => ps; case i => ps.substring(0, i)
+        }
+        "Exchange hashpartitioning".r.findAllIn(fin).size.toLong
       }
       val bucketed = agg(s.table(to).hint("merge")
         .join(s.table(tl), col("o_orderkey") === col("l_orderkey")))
@@ -1752,7 +1786,11 @@ object Relational {
         .filter(col("gap_us").isNull || col("gap_us") > horizonUs)
         .select(col("purchase_id"), col("k").as("user_id"),
           col("asof.error_id").as("next_error_id"), col("gap_us"),
-          col("gap_us").isNull.as("no_error_ever"))
+          // True iff NO error exists at-or-after the purchase (errors
+          // strictly before it don't clear the flag) — named for the
+          // at-or-after semantics it measures (r15 ADVICE: the old
+          // `no_error_ever` name overstated it as a lifetime claim).
+          col("gap_us").isNull.as("no_later_error"))
         .orderBy(col("purchase_id"))
     }, Some(
       """WITH p AS (
@@ -1779,7 +1817,7 @@ object Relational {
          SELECT a.purchase_id, a.user_id,
                 w.error_id AS next_error_id,
                 cast(w.gap AS bigint) AS gap_us,
-                (w.error_id IS NULL) AS no_error_ever
+                (w.error_id IS NULL) AS no_later_error
          FROM absent a LEFT JOIN wit w
            ON w.purchase_id = a.purchase_id AND w.rn = 1
          ORDER BY a.purchase_id""")),
