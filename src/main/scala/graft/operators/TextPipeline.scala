@@ -1753,6 +1753,110 @@ object TextPipeline {
                    FROM u JOIN cb2 cb ON cb.i = u.i
                    WHERE u.vec_id < 3 GROUP BY 1, 2)"""
 
+  /** Lean prefix for the NSW oracles (e26): exploded embeddings, norms,
+    * all query×corpus e6 scores and the exact top-3 — the scoring CTEs
+    * of [[e7OraclePrefix]] WITHOUT the IVF-training replay (e27, which
+    * needs both families, uses the full e7 prefix instead).
+    */
+  private lazy val nswScorePrefix: String =
+    """WITH ex AS (
+           SELECT vec_id, i, cast(embedding[i] AS double) AS v FROM (
+             SELECT vec_id, embedding,
+                    unnest(generate_series(1, len(embedding))) AS i
+             FROM embeddings)),
+         nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ex GROUP BY 1),
+         alldots AS (
+           SELECT q.vec_id AS q_id, e.vec_id AS vec_id, sum(q.v * e.v) AS dot
+           FROM ex q JOIN ex e ON q.i = e.i
+           WHERE q.vec_id < 3 AND e.vec_id <> q.vec_id
+           GROUP BY 1, 2),
+         allscored AS (
+           SELECT d.q_id, d.vec_id,
+                  cast(round(d.dot / (nq.nrm * ne.nrm) * 1e6) AS bigint) AS c6
+           FROM alldots d
+           JOIN nrm nq ON nq.vec_id = d.q_id
+           JOIN nrm ne ON ne.vec_id = d.vec_id),
+         exact3 AS (
+           SELECT q_id, vec_id FROM (
+             SELECT *, row_number() OVER (PARTITION BY q_id
+                         ORDER BY c6 DESC, vec_id) AS rank
+             FROM allscored)
+           WHERE rank <= 3)"""
+
+  /** The NSW replay block (e26/e27) — GRAPH BUILD then BEAM WALK,
+    * mirroring [[AnnIndex.trainNsw]]/[[AnnIndex.nswBeam]] number for
+    * number: candidate pairs from the 4×4-plane LSH bucket collisions
+    * (the buildLsh law, same integer hyperplanes as the e5/e21 oracles),
+    * exact e6 pair cosines, top-6 out-edges per node (ties by dst),
+    * symmetrized; entries = the 4 lowest vec_ids; 3 beam supersteps,
+    * each keeping the ef best of beam ∪ expanded neighbors (ties by
+    * vec_id). Expects `ex`/`nrm`/`allscored` upstream; emits `nbeam3`
+    * (ef, q_id, vec_id, c6) plus `nefs`/`nents`/`ncand1..3` for the
+    * scored-set accounting. Multiply-referenced CTEs are MATERIALIZED
+    * (the g13 inlining lesson).
+    */
+  private def nswOracleCtes(efs: Seq[Int], m: Int,
+      rounds: Int): String = {
+    def beamRound(r: Int): String =
+      s"""ncand$r AS (SELECT DISTINCT b.ef, b.q_id, g.dst AS vec_id
+                 FROM nbeam${r - 1} b JOIN nedges g ON g.src = b.vec_id
+                 WHERE g.dst <> b.q_id),
+         npool$r AS (SELECT ef, q_id, vec_id FROM nbeam${r - 1}
+                 UNION SELECT ef, q_id, vec_id FROM ncand$r),
+         nbeam$r AS MATERIALIZED (SELECT ef, q_id, vec_id, c6 FROM (
+            SELECT p.ef, p.q_id, p.vec_id, s.c6, row_number() OVER (
+                     PARTITION BY p.ef, p.q_id
+                     ORDER BY s.c6 DESC, p.vec_id) AS rn
+            FROM npool$r p JOIN allscored s
+              ON s.q_id = p.q_id AND s.vec_id = p.vec_id)
+          WHERE rn <= ef)"""
+    s"""nproj AS (
+           SELECT ex.vec_id, g.t, g.p,
+                  sum(ex.v * cast((ex.i * 31 + (g.t * 4 + g.p) * 17) % 7 - 3
+                    AS double)) AS proj
+           FROM ex, (SELECT t.t, p.p FROM generate_series(0, 3) t(t),
+                     generate_series(0, 3) p(p)) g
+           GROUP BY 1, 2, 3),
+         nbuckets AS (
+           SELECT vec_id, t,
+                  cast(sum(CASE WHEN proj > 0 THEN 1 << p ELSE 0 END)
+                    AS bigint) AS bucket
+           FROM nproj GROUP BY 1, 2),
+         npairs AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+                    FROM nbuckets a JOIN nbuckets b
+                      ON b.t = a.t AND b.bucket = a.bucket
+                     AND b.vec_id <> a.vec_id),
+         npdots AS MATERIALIZED (
+           SELECT p.src, p.dst, sum(xa.v * xb.v) AS dot
+           FROM npairs p JOIN ex xa ON xa.vec_id = p.src
+           JOIN ex xb ON xb.vec_id = p.dst AND xb.i = xa.i
+           GROUP BY 1, 2),
+         npscore AS (SELECT d.src, d.dst,
+                            cast(round(d.dot / (na.nrm * nb.nrm) * 1e6)
+                              AS bigint) AS c6
+                     FROM npdots d JOIN nrm na ON na.vec_id = d.src
+                     JOIN nrm nb ON nb.vec_id = d.dst),
+         nknn AS (SELECT src, dst FROM (
+                    SELECT *, row_number() OVER (PARTITION BY src
+                      ORDER BY c6 DESC, dst) AS rn FROM npscore)
+                  WHERE rn <= $m),
+         nedges AS MATERIALIZED (
+           SELECT src, dst FROM nknn
+           UNION SELECT dst AS src, src AS dst FROM nknn),
+         nents AS (SELECT min(vec_id) AS vec_id FROM nbuckets
+                   WHERE t = 0 GROUP BY bucket),
+         nefs AS (SELECT unnest([${efs.mkString(", ")}]) AS ef),
+         nbeam0 AS MATERIALIZED (SELECT ef, q_id, vec_id, c6 FROM (
+            SELECT f.ef, s.q_id, s.vec_id, s.c6, row_number() OVER (
+                     PARTITION BY f.ef, s.q_id
+                     ORDER BY s.c6 DESC, s.vec_id) AS rn
+            FROM nefs f CROSS JOIN (
+              SELECT a.* FROM allscored a
+              JOIN nents en ON en.vec_id = a.vec_id) s)
+          WHERE rn <= ef),
+         ${(1 to rounds).map(beamRound).mkString(",\n         ")}"""
+  }
+
   /** The x30 BM25 oracle — shared with x31, whose sparse arm must be
     * exactly x30's ranking.
     */
@@ -4185,6 +4289,156 @@ object TextPipeline {
          LEFT JOIN ivf3f lf ON lf.p = g.p AND lf.q_id = g.q_id
                            AND lf.vec_id = g.vec_id
          GROUP BY 1 ORDER BY 1""")),
+
+    ("e26_nsw_search", (s: SparkSession, d: String) => {
+      // NSW GRAPH search (VERDICT r15 #1) — the serving structure the
+      // partition-based families (IVF/PQ/SQ8/LSH/RP) don't cover: a
+      // bounded-degree navigable neighbor graph walked by a greedy
+      // beam. Build = LSH-banded candidate pairs → exact e6 cosines →
+      // top-16 out-edges per node → symmetrize (degree ≤ 32); search =
+      // beam₀ from one fixed entry per table-0 LSH bucket (spread
+      // seeds, ≤ 16), 4 supersteps of expand-score-cut at ef = 16,
+      // final top-3 with ranks. Everything
+      // is integer-deterministic (e6 scores, vec_id ties, RNG-free
+      // seeds), so the DuckDB oracle replays BUILD AND WALK — the
+      // traversal is a pure function of the frozen graph. Scale: the
+      // graph is O(m·N) rows partitioned by src, the beam is
+      // |Q|·ef rows broadcast into each expansion, and the corpus is
+      // touched only by partition-pruned joins — no corpus² anywhere
+      // (the same banded posture as d3). Quality vs the IVF family is
+      // MEASURED by e27 on the same queries.
+      val e = Tables.embeddings(s, d)
+      AnnIndex.nswSearch(
+        AnnIndex.nswFor(s, d, e, m = 16, tables = 4),
+        e, col("vec_id") < 3, k = 3, ef = 16, rounds = 4)
+        .orderBy(col("q_id"), col("rank"))
+    }, Some(nswScorePrefix + ",\n         " +
+      nswOracleCtes(Seq(16), m = 16, rounds = 4) + """
+         SELECT q_id, vec_id, c6 AS cosine_e6, cast(rk AS int) AS rank
+         FROM (
+           SELECT q_id, vec_id, c6, row_number() OVER (PARTITION BY q_id
+                    ORDER BY c6 DESC, vec_id) AS rk
+           FROM nbeam4 WHERE ef = 16)
+         WHERE rk <= 3 ORDER BY q_id, rank""")),
+
+    ("e27_ann_family_curve", (s: SparkSession, d: String) => {
+      // The WHICH-INDEX-FAMILY answer, as one measured relation
+      // (VERDICT r15 #1's "done" bar): recall@3 AND the distance-
+      // computation count (the honest work proxy an operator trades
+      // recall against) for the NSW graph walk at ef ∈ {2, 4, 8} beside
+      // the IVF sweep at nprobe ∈ {1, 2, 4, 8}, same queries, same
+      // exact ground truth. n_scored for NSW counts the distinct
+      // (query, candidate) pairs the beam ever scored (entries +
+      // expansions); for IVF it counts the probed-list candidates — so
+      // the curve reads "recall bought per distance computed" across
+      // families. Both arms ride their own serving paths (nswFor/
+      // ivfFor shared caches) and both are replayed CTE-for-CTE by the
+      // oracle (e7's IVF-training prefix + the NSW build/walk block).
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val exact3 = exactTopK(e, q, 3).select(col("q_id"), col("vec_id"))
+      def arm(top3: DataFrame, scoredCount: DataFrame, family: String,
+          param: Int): DataFrame =
+        exact3.join(top3.select(col("q_id").as("tq"), col("vec_id").as("tv")),
+            col("q_id") === col("tq") && col("vec_id") === col("tv"), "left")
+          .agg(countDistinct(col("q_id")).as("n_queries"),
+            count(lit(1)).as("n_exact"), count(col("tv")).as("n_hits"))
+          .crossJoin(broadcast(scoredCount))
+          .select(lit(family).as("family"), lit(param).as("param"),
+            col("n_queries"), col("n_exact"), col("n_hits"),
+            round(col("n_hits") * lit(1000000L) / col("n_exact"))
+              .cast("long").as("recall_e6"),
+            col("n_scored"))
+      val nsw = AnnIndex.nswFor(s, d, e, m = 16, tables = 4)
+      val nswRows = Seq(4, 8, 16, 32).map { ef =>
+        val (beam, scoredPairs) =
+          AnnIndex.nswBeam(nsw, e, col("vec_id") < 3, ef, rounds = 4)
+        arm(
+          AnnIndex.topKCut(beam, "q_id", "cosine_e6", "vec_id", 3,
+            ascending = false, scoreName = "cosine_e6", idName = "vec_id"),
+          scoredPairs.agg(count(lit(1)).as("n_scored")), "nsw", ef)
+      }
+      val idx = AnnIndex.ivfFor(s, d, e, nlist = 16, iters = 2)
+      val ivfRows = Seq(1, 2, 4, 8).map { p =>
+        arm(
+          AnnIndex.ivfSearch(idx, col("vec_id") < 3, k = 3, nprobe = p),
+          AnnIndex.probedScores(idx, col("vec_id") < 3, p, None)
+            .agg(count(lit(1)).as("n_scored")), "ivf", p)
+      }
+      (nswRows ++ ivfRows).reduce(_ unionByName _)
+        .orderBy(col("family"), col("param"))
+    }, Some(e7OraclePrefix + ",\n         " +
+      nswOracleCtes(Seq(4, 8, 16, 32), m = 16, rounds = 4) + """,
+         ps AS (SELECT unnest([1, 2, 4, 8]) AS p),
+         probe AS (
+           SELECT d.q_id, d.cid, ps.p FROM (
+             SELECT pdist.*, row_number() OVER (PARTITION BY q_id
+                      ORDER BY dist, cid) AS crank FROM pdist) d
+           CROSS JOIN ps WHERE d.crank <= ps.p),
+         icand AS (SELECT pr.p, pr.q_id, a2.vec_id FROM probe pr
+                   JOIN a2 ON a2.cid = pr.cid
+                   WHERE a2.vec_id <> pr.q_id),
+         ivf3 AS (SELECT p, q_id, vec_id FROM (
+                    SELECT c.p, a.q_id, a.vec_id, row_number() OVER (
+                      PARTITION BY c.p, a.q_id
+                      ORDER BY a.c6 DESC, a.vec_id) AS rank
+                    FROM allscored a JOIN icand c
+                      ON c.q_id = a.q_id AND c.vec_id = a.vec_id)
+                  WHERE rank <= 3),
+         nswtop AS (SELECT ef, q_id, vec_id FROM (
+                      SELECT ef, q_id, vec_id, row_number() OVER (
+                        PARTITION BY ef, q_id
+                        ORDER BY c6 DESC, vec_id) AS rk
+                      FROM nbeam4) WHERE rk <= 3),
+         nswscored AS (
+           SELECT f.ef, a.q_id, a.vec_id
+           FROM nefs f CROSS JOIN (
+             SELECT x.q_id, x.vec_id FROM allscored x
+             JOIN nents en ON en.vec_id = x.vec_id) a
+           UNION SELECT ef, q_id, vec_id FROM ncand1
+           UNION SELECT ef, q_id, vec_id FROM ncand2
+           UNION SELECT ef, q_id, vec_id FROM ncand3
+           UNION SELECT ef, q_id, vec_id FROM ncand4),
+         nswsc AS (SELECT ef, cast(count(*) AS bigint) AS n_scored
+                   FROM nswscored GROUP BY 1),
+         ngx AS (SELECT f.ef, e3.q_id, e3.vec_id
+                 FROM exact3 e3 CROSS JOIN nefs f),
+         nswrec AS (
+           SELECT cast(g.ef AS int) AS param,
+                  cast(count(DISTINCT g.q_id) AS bigint) AS n_queries,
+                  cast(count(*) AS bigint) AS n_exact,
+                  cast(count(t.vec_id) AS bigint) AS n_hits,
+                  cast(round(count(t.vec_id) * 1000000 / count(*))
+                    AS bigint) AS recall_e6
+           FROM ngx g LEFT JOIN nswtop t
+             ON t.ef = g.ef AND t.q_id = g.q_id AND t.vec_id = g.vec_id
+           GROUP BY g.ef),
+         ivfgx AS (SELECT ps.p, e3.q_id, e3.vec_id
+                   FROM exact3 e3 CROSS JOIN ps),
+         ivfsc AS (SELECT p, cast(count(*) AS bigint) AS n_scored
+                   FROM icand GROUP BY 1),
+         ivfrec AS (
+           SELECT cast(g.p AS int) AS param,
+                  cast(count(DISTINCT g.q_id) AS bigint) AS n_queries,
+                  cast(count(*) AS bigint) AS n_exact,
+                  cast(count(iv.vec_id) AS bigint) AS n_hits,
+                  cast(round(count(iv.vec_id) * 1000000 / count(*))
+                    AS bigint) AS recall_e6
+           FROM ivfgx g LEFT JOIN ivf3 iv
+             ON iv.p = g.p AND iv.q_id = g.q_id AND iv.vec_id = g.vec_id
+           GROUP BY g.p)
+         SELECT family, param, n_queries, n_exact, n_hits, recall_e6,
+                n_scored
+         FROM (
+           SELECT 'nsw' AS family, r.param, r.n_queries, r.n_exact,
+                  r.n_hits, r.recall_e6, s.n_scored
+           FROM nswrec r JOIN nswsc s ON s.ef = r.param
+           UNION ALL
+           SELECT 'ivf' AS family, r.param, r.n_queries, r.n_exact,
+                  r.n_hits, r.recall_e6, s.n_scored
+           FROM ivfrec r JOIN ivfsc s ON s.p = r.param)
+         ORDER BY family, param""")),
 
     ("e19_range_search", (s: SparkSession, d: String) => {
       // RANGE (threshold) search — the other retrieval mode: "every

@@ -807,6 +807,54 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("nswSearch: planted near-duplicates are recalled at rank 1; the walk prunes and replays") {
+    // e26's quality gate, same scheme as the LSH/IVF/RP planted tests:
+    // plant 3 near-duplicate pairs (cosine ≈ 0.999) and require the
+    // greedy beam walk over the frozen neighbor graph to put each
+    // planted neighbor at rank 1. The near-dup shares the query's LSH
+    // buckets, so the build wires a direct high-cosine edge; the walk
+    // must then NAVIGATE to it from the spread entry seeds — a broken
+    // graph build, entry derivation, or beam cut fails deterministically.
+    // Also gates: (a) pruning — the beam must not have scored the whole
+    // corpus ("recall via score-everything" must fail); (b) replay — a
+    // second search over the same index is row-identical (the frozen-
+    // graph determinism the DuckDB oracle relies on).
+    val s = spark
+    import s.implicits._
+    val dim = 16
+    val n = 400
+    val g = new TestData.Lcg(13L)
+    val base = Array.tabulate(n)(_ => Array.fill(dim)(g.gaussian().toFloat))
+    for (q <- 0 until 3)
+      base(q) = base(10 + q).map(v => v + 0.02f * g.gaussian().toFloat)
+    val df = base.zipWithIndex.map { case (e, i) => (i.toLong, e) }.toSeq
+      .toDF("vec_id", "embedding")
+    val idx = graft.operators.AnnIndex.trainNsw(
+      df, graft.operators.AnnIndex.buildLsh(df, 4, persist = false),
+      m = 8, persistEdges = false)
+    assert(idx.entries.nonEmpty && idx.entries.size <= 16,
+      s"entry set should be one seed per occupied 4-bit bucket: ${idx.entries.size}")
+    val (beam, scored) = graft.operators.AnnIndex.nswBeam(
+      idx, df, col("vec_id") < 3, ef = 8, rounds = 4)
+    val nScored = scored.count()
+    assert(nScored < 3L * n * 8 / 10,
+      s"beam stopped pruning: scored $nScored of ${3 * n} pairs")
+    def run(): Array[(Long, Long, Long)] =
+      graft.operators.AnnIndex.nswSearch(idx, df, col("vec_id") < 3,
+          k = 3, ef = 8, rounds = 4)
+        .filter(col("rank") === 1).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val first = run()
+    val top1 = first.map { case (q, v, c) => q -> ((v, c)) }.toMap
+    for (q <- 0L until 3L) {
+      val (nbr, cosE6) = top1(q)
+      assert(nbr == 10L + q, s"query $q: expected planted neighbor ${10 + q}, got $nbr")
+      assert(cosE6 > 990000L, s"query $q: cosine_e6 $cosE6")
+    }
+    assert(run().sameElements(first), "replayed walk diverged")
+    beam.unpersist()
+  }
+
   test("rpSearch: planted near-duplicates are recalled at rank 1 in the projected space") {
     // e8's quality gate, same scheme as the LSH/IVF planted tests: on a
     // uniform corpus an 8-dim projection has no recallable structure
@@ -847,7 +895,7 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val s = spark
     import s.implicits._
     val dim = 16
-    val n = 120
+    val n = 400
     val g = new TestData.Lcg(13L)
     val base = Array.tabulate(n)(_ => Array.fill(dim)(g.gaussian().toFloat))
     for (q <- 0 until 3)
