@@ -99,6 +99,33 @@ object TextFunctions {
     out
   }
 
+  /** CONTENT-ADDRESSED render (d19): [[renderPpm]] with the doc_id seed
+    * dropped (seed ≡ 0), so two documents with the same first-256
+    * codepoints produce bit-identical rasters. The per-doc salt is right
+    * for mm9's within-doc variant pairing but makes CROSS-document
+    * image identity impossible by construction (every pixel shifts with
+    * doc_id — measured hamming ≥ 20 even for byte-identical prefixes);
+    * cross-modal dedup needs the image to witness the CONTENT, so the
+    * canonical asset corpus renders from text alone.
+    */
+  def renderPpmCanonical(text: String): Array[Byte] = {
+    val header = "P6\n16 16\n255\n".getBytes("US-ASCII")
+    val cps = text.codePoints().toArray
+    val n = cps.length
+    val out = new Array[Byte](header.length + 768)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var p = 0
+    while (p < 256) {
+      val cp = if (n == 0) 0 else cps(p % n)
+      val v = (cp * 31 + (p + 1) * 131) % 256
+      out(header.length + 3 * p) = v.toByte
+      out(header.length + 3 * p + 1) = ((v + 37) % 256).toByte
+      out(header.length + 3 * p + 2) = ((v + 74) % 256).toByte
+      p += 1
+    }
+    out
+  }
+
   /** The planted NEAR-DUP variant of [[renderPpm]] (mm9): the same
     * raster with the FIRST ROW (pixels p < 16, touching the top half of
     * eight 2×2 downsample blocks) bumped to v′ = (v + 25) mod 256,

@@ -587,6 +587,58 @@ object TextPipeline {
       dir
     })
 
+  private val ppmCanonicalCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** The d19 asset corpus: one CONTENT-ADDRESSED PPM per document
+    * ([[TextFunctions.renderPpmCanonical]] — no doc_id salt), named by
+    * doc_id. A separate directory from mm9's: that corpus exists to
+    * pair each doc with its OWN perturbed variant, this one to let two
+    * DIFFERENT documents with identical content produce identical
+    * rasters — the property cross-modal identity is measured on.
+    */
+  private[graft] def ppmCanonicalAssetDir(s: SparkSession, d: String): String =
+    ppmCanonicalCache.getOrElseUpdate(d, {
+      import s.implicits._
+      val dir = s"$ppmScratchRoot/canon_${java.util.UUID.randomUUID()}"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      Tables.documents(s, d)
+        .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+        .as[(Long, String)]
+        .foreachPartition { it: Iterator[(Long, String)] =>
+          it.foreach { case (id, t) =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(dir, f"$id%08d.ppm"),
+              TextFunctions.renderPpmCanonical(t))
+          }
+        }
+      dir
+    })
+
+  /** binaryFile-ingest + decode + perceptual-hash of every PPM in a
+    * directory (the mm9 ingest stage, shared with d19): one scan,
+    * per-file O(pixels) kernel. Columns: asset_id (from the numeric
+    * file name), phash_hi, phash_lo.
+    */
+  private def ppmDirHashes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.read.format("binaryFile")
+      .option("pathGlobFilter", "*.ppm").load(dir)
+      .select(
+        regexp_extract(col("path"), "([0-9]+)\\.ppm$", 1)
+          .cast("long").as("asset_id"),
+        col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val (w, h, gray) = TextFunctions.decodePpm(bytes)
+          val (hi, lo, _) = TextFunctions.aHash8(w, h, gray)
+          (id, hi, lo)
+        }
+      }
+      .toDF("asset_id", "phash_hi", "phash_lo")
+  }
+
   private val wavNearDupCache =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
@@ -1596,6 +1648,45 @@ object TextPipeline {
         """CASE WHEN tokens_total > 0 THEN
              cast(round(tokens_saved * 1e6 / tokens_total) AS bigint)
            END"""))
+
+  /** The d19 kernel — cross-modal duplicate agreement over any
+    * (text-candidate pairs, per-doc visual hashes) inputs. `textPairs`
+    * carries (doc_a, doc_b, jaccard) — the banded candidate universe
+    * with its exact verify score; `hashes` carries (doc_id, phash_hi,
+    * phash_lo) — the content-addressed perceptual hash per doc. Each
+    * pair gets both verdicts (text: jaccard ≥ 0.5, d5's cut; visual:
+    * full hamming ≤ 3, mm9's cut) and the output is ONE row of 2×2
+    * cells + raw agreement + Cohen's κ — x47's exact-integer formula
+    * with the same degenerate-marginal NULL guard. Factored so the
+    * spec can plant disagreeing pairs against a synthetic corpus.
+    */
+  private[graft] def crossModalAgreement(textPairs: DataFrame,
+      hashes: DataFrame): DataFrame =
+    textPairs
+      .join(hashes.select(col("doc_id").as("doc_a"),
+        col("phash_hi").as("hi_a"), col("phash_lo").as("lo_a")), "doc_a")
+      .join(hashes.select(col("doc_id").as("doc_b"),
+        col("phash_hi").as("hi_b"), col("phash_lo").as("lo_b")), "doc_b")
+      .select((col("jaccard") >= 0.5).as("td"),
+        (expr("cast(bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b) AS bigint)")
+          <= 3L).as("vd"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("td") && col("vd"), 1L).otherwise(0L)).as("n11"),
+        sum(when(col("td") && !col("vd"), 1L).otherwise(0L)).as("n10"),
+        sum(when(!col("td") && col("vd"), 1L).otherwise(0L)).as("n01"),
+        sum(when(!col("td") && !col("vd"), 1L).otherwise(0L)).as("n00"))
+      .withColumn("pe_n2",
+        (col("n11") + col("n10")) * (col("n11") + col("n01")) +
+          (col("n01") + col("n00")) * (col("n10") + col("n00")))
+      .select(col("n").as("n_pairs"), col("n11").as("n_both_dup"),
+        col("n10").as("n_text_only"), col("n01").as("n_visual_only"),
+        col("n00").as("n_neither"),
+        expr("""CASE WHEN n > 0 THEN
+             cast(round((n11 + n00) * 1e6 / n) AS bigint) END""")
+          .as("agreement_e6"),
+        expr("""CASE WHEN n * n - pe_n2 <> 0 THEN
+             cast(round(((n11 + n00) * n - pe_n2) * 1e6 /
+               (n * n - pe_n2)) AS bigint) END""").as("kappa_e6"))
 
   private[graft] def driftPsi(ref: DataFrame, cur: DataFrame): DataFrame = {
     val s = ref.sparkSession
@@ -2704,6 +2795,100 @@ object TextPipeline {
          JOIN sizes sb ON sb.doc_id = p.doc_b
          LEFT JOIN mt m ON m.doc_a = p.doc_a AND m.doc_b = p.doc_b
          ORDER BY 1, 2""")),
+
+    ("d19_crossmodal_agreement", (s: SparkSession, d: String) => {
+      // CROSS-MODALITY duplicate identity (VERDICT r15 #7) — the
+      // curation edge the per-modality triad (d5 text / mm9 visual /
+      // mm10 audio) leaves open: a document whose TEXT is near-dup
+      // while its IMAGE differs (or vice versa) needs a different
+      // disposition than one duplicated in both. Universe = d5's
+      // banded text-candidate pairs (the honest bounded pair set —
+      // never corpus²); per pair, BOTH verdicts: text = exact shingle
+      // Jaccard ≥ 0.5 (d5's cut), visual = full hamming ≤ 3 between
+      // the docs' CONTENT-ADDRESSED canonical renders (renderPpm's
+      // per-doc salt makes cross-doc image identity impossible by
+      // construction — measured hamming ≥ 20 on byte-identical
+      // prefixes — so this family renders from text alone,
+      // [[TextFunctions.renderPpmCanonical]], through the same real
+      // binaryFile → decodePpm → aHash8 lifecycle as mm9). Output =
+      // x47's agreement machinery applied to dedup gates: 2×2 cells,
+      // raw agreement, Cohen's κ (exact integers, degenerate-marginal
+      // NULL guard). The n_text_only cell is the actionable set: pairs
+      // a text-only dedup would collapse although their visual assets
+      // differ. Scale: candidate generation is d3's banding, hashes
+      // are one asset scan, verdict join is per-candidate-pair.
+      crossModalAgreement(
+        nearDupPairs(Tables.documents(s, d), minJaccard = 0.0),
+        ppmDirHashes(s, ppmCanonicalAssetDir(s, d))
+          .withColumnRenamed("asset_id", "doc_id"))
+    }, Some(
+      s"""WITH $d5OracleCtes,
+         tp AS (
+           SELECT c.doc_a, c.doc_b,
+                  coalesce(m.common, 0) * 1.0 /
+                    (sa.n + sb.n - coalesce(m.common, 0)) >= 0.5 AS td
+           FROM cand c
+           LEFT JOIN com m ON m.doc_a = c.doc_a AND m.doc_b = c.doc_b
+           JOIN sizes sa ON sa.doc_id = c.doc_a
+           JOIN sizes sb ON sb.doc_id = c.doc_b),
+         cpx AS (
+           SELECT d.doc_id, g.p AS p,
+                  CASE WHEN length(d.text) = 0 OR d.text IS NULL THEN 0
+                       ELSE unicode(substr(d.text,
+                         cast(g.p % length(d.text) AS int) + 1, 1)) END AS cp
+           FROM documents d, generate_series(0, 255) g(p)),
+         cvv AS (SELECT doc_id, p, (cp * 31 + (p + 1) * 131) % 256 AS v
+                 FROM cpx),
+         cgr AS (SELECT doc_id, ((p // 16) // 2) * 8 + ((p % 16) // 2) AS o,
+                        (v + (v + 37) % 256 + (v + 74) % 256) // 3 AS gray
+                 FROM cvv),
+         cds AS (SELECT doc_id, o, cast(sum(gray) // 4 AS bigint) AS g8
+                 FROM cgr GROUP BY 1, 2),
+         css AS (SELECT doc_id, cast(sum(g8) AS bigint) AS ssum
+                 FROM cds GROUP BY 1),
+         cbits AS (SELECT cds.doc_id, cds.o,
+                          CASE WHEN 64 * cds.g8 > css.ssum THEN 1 ELSE 0
+                          END AS bit
+                   FROM cds JOIN css ON css.doc_id = cds.doc_id),
+         cph AS (SELECT doc_id,
+                        cast(sum(CASE WHEN bit = 1 AND o >= 32
+                            THEN cast(1 AS bigint) << (o - 32) ELSE 0 END)
+                          AS bigint) AS hi,
+                        cast(sum(CASE WHEN bit = 1 AND o < 32
+                            THEN cast(1 AS bigint) << o ELSE 0 END)
+                          AS bigint) AS lo
+                 FROM cbits GROUP BY 1),
+         lab AS (
+           SELECT t.td,
+                  bit_count(xor(pa.hi, pb.hi)) +
+                    bit_count(xor(pa.lo, pb.lo)) <= 3 AS vd
+           FROM tp t JOIN cph pa ON pa.doc_id = t.doc_a
+           JOIN cph pb ON pb.doc_id = t.doc_b),
+         agg AS (
+           SELECT cast(count(*) AS bigint) AS n,
+                  cast(sum(CASE WHEN td AND vd THEN 1 ELSE 0 END)
+                    AS bigint) AS n11,
+                  cast(sum(CASE WHEN td AND NOT vd THEN 1 ELSE 0 END)
+                    AS bigint) AS n10,
+                  cast(sum(CASE WHEN NOT td AND vd THEN 1 ELSE 0 END)
+                    AS bigint) AS n01,
+                  cast(sum(CASE WHEN NOT td AND NOT vd THEN 1 ELSE 0 END)
+                    AS bigint) AS n00
+           FROM lab),
+         agg2 AS (
+           SELECT *, (n11 + n10) * (n11 + n01) +
+                     (n01 + n00) * (n10 + n00) AS pe_n2
+           FROM agg)
+         SELECT n AS n_pairs, n11 AS n_both_dup, n10 AS n_text_only,
+                n01 AS n_visual_only, n00 AS n_neither,
+                CASE WHEN n > 0 THEN
+                  cast(round((n11 + n00) * 1e6 / n) AS bigint)
+                END AS agreement_e6,
+                CASE WHEN n * n - pe_n2 <> 0 THEN
+                  cast(round(((n11 + n00) * n - pe_n2) * 1e6 /
+                    (n * n - pe_n2)) AS bigint)
+                END AS kappa_e6
+         FROM agg2""")),
 
     ("x41_char_entropy", (s: SparkSession, d: String) => {
       // Character-entropy quality gate — the COMPRESSIBILITY signal the
@@ -7916,23 +8101,7 @@ object TextPipeline {
       // 100 TB: one binaryFile scan, per-file O(pixels) kernel, 4 rows
       // per asset into a bucket-gated self-join (never corpus²), one
       // hash-table join back for the verify — d3's scale shape.
-      import s.implicits._
-      val dir = ppmNearDupAssetDir(s, d)
-      val hashes = s.read.format("binaryFile")
-        .option("pathGlobFilter", "*.ppm").load(dir)
-        .select(
-          regexp_extract(col("path"), "([0-9]+)\\.ppm$", 1)
-            .cast("long").as("asset_id"),
-          col("content"))
-        .as[(Long, Array[Byte])]
-        .mapPartitions { it =>
-          it.map { case (id, bytes) =>
-            val (w, h, gray) = TextFunctions.decodePpm(bytes)
-            val (hi, lo, _) = TextFunctions.aHash8(w, h, gray)
-            (id, hi, lo)
-          }
-        }
-        .toDF("asset_id", "phash_hi", "phash_lo")
+      val hashes = ppmDirHashes(s, ppmNearDupAssetDir(s, d))
       val bands = hashes.select(col("asset_id"),
           explode(array(
             struct(lit(0).as("band"), (col("phash_lo") % 65536).as("block")),

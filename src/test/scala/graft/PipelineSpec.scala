@@ -807,6 +807,40 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("crossModalAgreement: planted disagreeing pair lands in the text-only cell") {
+    // d19's planted gate (VERDICT r15 #7): a pair whose TEXT is near-dup
+    // but whose canonical renders differ (first 64 chars rewritten —
+    // shingle Jaccard stays ≈ 0.9, the 16×16 raster's top quarter
+    // changes) must land in n_text_only, and an identical-text pair
+    // (same shingles AND same render) in n_both_dup — the two cells a
+    // text-only dedup pipeline cannot tell apart. Hashes ride the real
+    // codec path (renderPpmCanonical → decodePpm → aHash8).
+    val s = spark
+    import s.implicits._
+    val base = (0 until 90).map(i => s"tok$i word${(i * 7) % 13}").mkString(" ")
+    val rewritten = "zq xv qj wk zx vq jz kw xz qv jw kz ".take(64) +
+      base.substring(64)
+    val same = (0 until 90).map(i => s"alpha$i beta${(i * 5) % 11}").mkString(" ")
+    val fillers = (0 until 6).map(k =>
+      (0 until 60).map(i => s"f${k}x${i} g${(i * 3 + k) % 17}").mkString(" "))
+    val texts = Seq(base, rewritten, same, same) ++ fillers
+    val docs = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val hashes = texts.zipWithIndex.map { case (t, i) =>
+      val (w, h, gray) = graft.functions.TextFunctions.decodePpm(
+        graft.functions.TextFunctions.renderPpmCanonical(t))
+      val (hi, lo, _) = graft.functions.TextFunctions.aHash8(w, h, gray)
+      (i.toLong, hi, lo)
+    }.toDF("doc_id", "phash_hi", "phash_lo")
+    val row = TextPipeline.crossModalAgreement(
+      TextPipeline.nearDupPairs(docs, minJaccard = 0.0), hashes)
+      .collect().head
+    val (n11, n10) = (row.getLong(1), row.getLong(2))
+    assert(n11 >= 1, s"identical pair missing from n_both_dup: $row")
+    assert(n10 >= 1, s"planted text-only disagreement missing from n_text_only: $row")
+    assert(!row.isNullAt(6), s"kappa should be defined here: $row")
+  }
+
   test("nswSearch: planted near-duplicates are recalled at rank 1; the walk prunes and replays") {
     // e26's quality gate, same scheme as the LSH/IVF/RP planted tests:
     // plant 3 near-duplicate pairs (cosine ≈ 0.999) and require the
