@@ -257,4 +257,69 @@ class RecoverySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recRows.count(_.getLong(0) == 201L) == 1,
       "P1 re-emitted — the restart re-read a committed batch")
   }
+
+  test("idempotent batchId-keyed sink: a replayed micro-batch cannot double-write") {
+    // The OUTPUT half of the recovery contract (r15 verdict #6): the
+    // scenarios above prove STATE survives a restart; this proves the
+    // SINK does. A planted crash fires AFTER idempotentBatchWrite has
+    // written batch 1 but BEFORE the offset log commits it — the
+    // at-least-once window every foreachBatch deployment lives in — so
+    // the restarted query genuinely REPLAYS batch 1 with the same
+    // batchId. The sink's batch-partition overwrite must absorb the
+    // replay: final sink contents ≡ the uninterrupted run's, with zero
+    // duplicate rows. A naive append sink fails this with batch 1
+    // doubled (asserted as the negative control).
+    val s = spark
+    import s.implicits._
+    val batches = Seq(
+      (1L to 5L).map(k => (k, k * 10)).toDF("k", "v"),
+      (6L to 9L).map(k => (k, k * 10)).toDF("k", "v"),
+      (10L to 12L).map(k => (k, k * 10)).toDF("k", "v"))
+    def tmp(tag: String) = java.nio.file.Files
+      .createTempDirectory(s"rec_$tag").toFile.getAbsolutePath
+    def drive(plantCrash: Boolean, naiveAppend: Boolean): Seq[(Long, Long)] = {
+      val (in, chk, sink) = (tmp("eo_in"), tmp("eo_chk"), tmp("eo_sink"))
+      val crash = new java.util.concurrent.atomic.AtomicBoolean(plantCrash)
+      def start() = s.readStream.schema(batches.head.schema)
+        .option("maxFilesPerTrigger", "1").parquet(in)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", chk)
+        .foreachBatch { (d: Dataset[Row], id: Long) =>
+          if (naiveAppend)
+            d.write.mode("append").parquet(s"$sink/data")
+          else
+            EventStream.idempotentBatchWrite(d.toDF, id, sink)
+          if (id == 1 && crash.getAndSet(false))
+            throw new RuntimeException("planted post-write crash")
+          ()
+        }.start()
+      var q = start()
+      batches.foreach { b =>
+        b.coalesce(1).write.mode("append").parquet(in)
+        try q.processAllAvailable()
+        catch { case _: Throwable => // the planted failover
+          q = start() // recovery: fresh query, same checkpoint
+          q.processAllAvailable()
+        }
+      }
+      q.stop()
+      val read = if (naiveAppend) s.read.parquet(s"$sink/data")
+        else EventStream.readSink(s, sink).select(col("k"), col("v"))
+      read.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    }
+    val recovered = drive(plantCrash = true, naiveAppend = false)
+    val straight = drive(plantCrash = false, naiveAppend = false)
+    assert(recovered == straight,
+      s"replayed sink != uninterrupted sink:\n$recovered\n$straight")
+    assert(recovered.distinct.size == recovered.size,
+      s"duplicate rows in the idempotent sink: $recovered")
+    assert(recovered.map(_._1).sorted == (1L to 12L),
+      s"sink lost rows: $recovered")
+    // Negative control: the same crash against a naive append sink
+    // REALLY double-writes — proving the planted crash exercises the
+    // at-least-once window rather than a clean stop.
+    val naive = drive(plantCrash = true, naiveAppend = true)
+    assert(naive.size > recovered.size && naive.distinct.size < naive.size,
+      s"negative control did not double-write (crash not in the window): $naive")
+  }
 }
