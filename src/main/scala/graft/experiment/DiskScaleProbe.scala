@@ -159,7 +159,20 @@ object DiskScaleProbe {
       // volume AND key cardinality scale (the keyed-window class whose
       // α should sit near 1 like j8's).
       ("j17_interp", d =>
-        noop(graft.operators.Relational.queries("j17_interp_asof")(spark, d))))
+        noop(graft.operators.Relational.queries("j17_interp_asof")(spark, d))),
+      // mm lane (r15 verdict #4): the binary-decode class finally gets a
+      // measured exponent. Asset COUNT scales with k by construction —
+      // the ×k documents table renders ×k real WAV/Y4M assets through
+      // the shipped generators — so the timed cost covers binaryFile
+      // listing + scan, the per-file O(samples | frames·pixels) decode
+      // kernels, and the banded candidate join. Asset rendering is
+      // per-JVM cached (wavNearDupAssetDir/y4mNearDupAssetDir); the warm
+      // pass pays that one-time write, timed passes measure the serving
+      // path a re-ingest at scale would pay.
+      ("mm10_decode", d =>
+        noop(graft.operators.TextPipeline.queries("mm10_audio_neardup")(spark, d))),
+      ("mm11_decode", d =>
+        noop(graft.operators.TextPipeline.queries("mm11_video_neardup")(spark, d))))
 
     def ksEnv(name: String, dflt: Seq[Int]): Seq[Int] =
       sys.env.get(name).map(_.split(",").filter(_.nonEmpty).map(_.trim.toInt).toSeq)

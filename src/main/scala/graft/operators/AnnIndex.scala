@@ -66,6 +66,16 @@ object AnnIndex {
   private[graft] def topKCut(
       df: DataFrame, groupCol: String, scoreCol: String, idCol: String,
       k: Int, ascending: Boolean,
+      scoreName: String, idName: String): DataFrame =
+    topKCutBy(df, Seq(groupCol), scoreCol, idCol, k, ascending,
+      scoreName, idName)
+
+  /** [[topKCut]] with a composite group key (e27's (ef, q_id) sweep
+    * cuts — same bounded-state aggregate, group columns pass through).
+    */
+  private[graft] def topKCutBy(
+      df: DataFrame, groupCols: Seq[String], scoreCol: String, idCol: String,
+      k: Int, ascending: Boolean,
       scoreName: String, idName: String): DataFrame = {
     import org.apache.spark.sql.GraftExpressionBridge
     val agg = GraftExpressionBridge.column(
@@ -73,13 +83,14 @@ object AnnIndex {
         GraftExpressionBridge.expression(col(scoreCol)),
         GraftExpressionBridge.expression(col(idCol)),
         k, ascending).toAggregateExpression())
-    df.groupBy(col(groupCol))
+    val gcols = groupCols.map(col)
+    df.groupBy(gcols: _*)
       .agg(agg.as("topk"))
-      .select(col(groupCol), posexplode(col("topk")).as(Seq("pos", "pair")))
-      .select(col(groupCol),
+      .select(gcols :+ posexplode(col("topk")).as(Seq("pos", "pair")): _*)
+      .select(gcols ++ Seq(
         col("pair.id").as(idName),
         col("pair.score").as(scoreName),
-        (col("pos") + 1).cast("int").as("rank"))
+        (col("pos") + 1).cast("int").as("rank")): _*)
   }
 
   /** A trained IVF index: the coarse-quantizer centroids (tiny driver
@@ -454,33 +465,57 @@ object AnnIndex {
     */
   def nswBeam(idx: NswIndex, e: DataFrame, qPred: Column, ef: Int,
       rounds: Int): (DataFrame, DataFrame) = {
+    val (beam, scored) = nswBeamMulti(idx, e, qPred, Seq(ef), rounds)
+    (beam.drop("ef"), scored.drop("ef"))
+  }
+
+  /** [[nswBeam]] for a whole ef SWEEP in ONE walk (e27): the beam
+    * carries an `ef` column and every superstep expands/scores/cuts all
+    * sweep points together — candidates are deduped to distinct
+    * (q_id, vec_id) before scoring, so a pair's distance is computed
+    * once for the sweep, not once per ef (exactly the oracle's shape,
+    * and ~4× fewer Spark jobs than a per-ef loop — the r16 bench read
+    * the per-ef spelling at 10.4 s, the suite's most expensive query).
+    * The per-ef cut is one bounded aggregate at k = max(efs) filtered
+    * to rank ≤ ef — identical rows to per-ef cuts at k = ef. Returns
+    * (beam: ef, q_id, vec_id, cosine_e6; scored: ef, q_id, vec_id).
+    */
+  def nswBeamMulti(idx: NswIndex, e: DataFrame, qPred: Column,
+      efs: Seq[Int], rounds: Int): (DataFrame, DataFrame) = {
     val s = e.sparkSession
     import s.implicits._
+    val kMax = efs.max
+    val efDf = broadcast(efs.toDF("ef"))
+    def cut(pool: DataFrame): DataFrame =
+      topKCutBy(pool, Seq("ef", "q_id"), "cosine_e6", "vec_id", kMax,
+        ascending = false, scoreName = "cosine_e6", idName = "vec_id")
+        .filter(col("rank") <= col("ef"))
+        .select(col("ef"), col("q_id"), col("vec_id"), col("cosine_e6"))
     val q = e.filter(qPred)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val entryPairs = q.select(col("q_id"))
       .crossJoin(broadcast(idx.entries.toDF("vec_id")))
     val entryScored = scoreCands(e, q, entryPairs)
-    var beam = topKCut(entryScored, "q_id", "cosine_e6", "vec_id", ef,
-      ascending = false, scoreName = "cosine_e6", idName = "vec_id")
-      .select(col("q_id"), col("vec_id"), col("cosine_e6"))
-      .localCheckpoint()
+    var beam = cut(entryScored.crossJoin(efDf)).localCheckpoint()
     var scoredAll = entryScored.select(col("q_id"), col("vec_id"))
+      .crossJoin(efDf).select(col("ef"), col("q_id"), col("vec_id"))
     for (_ <- 1 to rounds) {
       val cand = idx.edges
-        .join(broadcast(beam.select(col("q_id"), col("vec_id").as("src"))),
-          Seq("src"))
-        .select(col("q_id"), col("dst").as("vec_id"))
+        .join(broadcast(beam.select(col("ef"), col("q_id"),
+          col("vec_id").as("src"))), Seq("src"))
+        .select(col("ef"), col("q_id"), col("dst").as("vec_id"))
         .filter(col("vec_id") =!= col("q_id"))
         .distinct()
-      val candScored = scoreCands(e, q, cand)
+      val candScores = scoreCands(e, q,
+        cand.select(col("q_id"), col("vec_id")).distinct())
+      val candScored = cand.join(broadcast(candScores),
+        Seq("q_id", "vec_id"))
+        .select(col("ef"), col("q_id"), col("vec_id"), col("cosine_e6"))
       val pool = beam.union(candScored).distinct()
-      beam = topKCut(pool, "q_id", "cosine_e6", "vec_id", ef,
-        ascending = false, scoreName = "cosine_e6", idName = "vec_id")
-        .select(col("q_id"), col("vec_id"), col("cosine_e6"))
-        .localCheckpoint()
+      beam = cut(pool).localCheckpoint()
       scoredAll = scoredAll
-        .union(candScored.select(col("q_id"), col("vec_id"))).distinct()
+        .union(cand.select(col("ef"), col("q_id"), col("vec_id")))
+        .distinct()
     }
     (beam, scoredAll)
   }

@@ -4536,13 +4536,16 @@ object TextPipeline {
               .cast("long").as("recall_e6"),
             col("n_scored"))
       val nsw = AnnIndex.nswFor(s, d, e, m = 16, tables = 4)
-      val nswRows = Seq(4, 8, 16, 32).map { ef =>
-        val (beam, scoredPairs) =
-          AnnIndex.nswBeam(nsw, e, col("vec_id") < 3, ef, rounds = 4)
+      val efs = Seq(4, 8, 16, 32)
+      val (beam, scoredPairs) =
+        AnnIndex.nswBeamMulti(nsw, e, col("vec_id") < 3, efs, rounds = 4)
+      val nswRows = efs.map { ef =>
         arm(
-          AnnIndex.topKCut(beam, "q_id", "cosine_e6", "vec_id", 3,
+          AnnIndex.topKCut(beam.filter(col("ef") === ef),
+            "q_id", "cosine_e6", "vec_id", 3,
             ascending = false, scoreName = "cosine_e6", idName = "vec_id"),
-          scoredPairs.agg(count(lit(1)).as("n_scored")), "nsw", ef)
+          scoredPairs.filter(col("ef") === ef)
+            .agg(count(lit(1)).as("n_scored")), "nsw", ef)
       }
       val idx = AnnIndex.ivfFor(s, d, e, nlist = 16, iters = 2)
       val ivfRows = Seq(1, 2, 4, 8).map { p =>
