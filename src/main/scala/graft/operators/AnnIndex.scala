@@ -481,6 +481,18 @@ object AnnIndex {
     * (beam: ef, q_id, vec_id, cosine_e6; scored: ef, q_id, vec_id).
     */
   def nswBeamMulti(idx: NswIndex, e: DataFrame, qPred: Column,
+      efs: Seq[Int], rounds: Int): (DataFrame, DataFrame) =
+    nswBeamFor(idx, e,
+      e.filter(qPred)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
+      efs, rounds)
+
+  /** [[nswBeamMulti]] with an EXTERNAL query set — queries need not be
+    * corpus members (e28's arrivals search the frozen base graph before
+    * they exist in it). `q` carries (q_id, q_emb); `e` is the corpus the
+    * graph indexes.
+    */
+  def nswBeamFor(idx: NswIndex, e: DataFrame, q: DataFrame,
       efs: Seq[Int], rounds: Int): (DataFrame, DataFrame) = {
     val s = e.sparkSession
     import s.implicits._
@@ -491,8 +503,6 @@ object AnnIndex {
         ascending = false, scoreName = "cosine_e6", idName = "vec_id")
         .filter(col("rank") <= col("ef"))
         .select(col("ef"), col("q_id"), col("vec_id"), col("cosine_e6"))
-    val q = e.filter(qPred)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val entryPairs = q.select(col("q_id"))
       .crossJoin(broadcast(idx.entries.toDF("vec_id")))
     val entryScored = scoreCands(e, q, entryPairs)

@@ -941,6 +941,59 @@ object Relational {
          FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
          GROUP BY 1 ORDER BY 1""")),
 
+    ("s19_snapshot_diff", (s: SparkSession, d: String) => {
+      // INCREMENTAL snapshot DIFF (engine ext.) — the third read mode
+      // the s16/s17 manifest gives a lakehouse table: "what changed
+      // between version a and b", answered from the COMMIT LOG alone —
+      // the reader scans only the files ADDED/REMOVED in (a, b], never
+      // either full snapshot (at 100 TB: CDC-without-change-logs,
+      // O(changed files) instead of O(table) per sync). Two steps land
+      // here: 1→2 is a pure append (2 files added, the %3=2 third of
+      // orders); 2→3 is s17's COMPACTION — 1 file added, 2 removed,
+      // and the invariant every incremental consumer stakes itself on
+      // is IN the result: net_rows = 0 and sum_price_c_delta = 0 (a
+      // compaction is data movement, not data change — a diff reader
+      // that only watches adds would double-apply v1's rows). Asset =
+      // the shared write-once [[ttManifestFor]] commit log; file
+      // counts are structural (one explicit write per manifest entry).
+      val manifest = ttManifestFor(s, d)
+      Seq((1L, 2L), (2L, 3L)).map { case (va, vb) =>
+        val added = manifest
+          .filter(m => m._1 > va && m._1 <= vb && !m._3).map(_._2)
+        val removed = manifest
+          .filter(m => m._1 > va && m._1 <= vb && m._3).map(_._2)
+        def stats(files: Seq[String], n: String, sc: String): DataFrame =
+          if (files.isEmpty)
+            s.range(1).select(lit(0L).as(n), lit(0L).as(sc))
+          else s.read.parquet(files: _*)
+            .agg(count(lit(1)).as(n), sum(col("price_c")).as(sc))
+        stats(added, "n_rows_added", "sum_added")
+          .crossJoin(stats(removed, "n_rows_removed", "sum_removed"))
+          .select(lit(va).as("from_version"), lit(vb).as("to_version"),
+            lit(added.size.toLong).as("n_files_added"),
+            lit(removed.size.toLong).as("n_files_removed"),
+            col("n_rows_added"), col("n_rows_removed"),
+            (col("n_rows_added") - col("n_rows_removed")).as("net_rows"),
+            (col("sum_added") - col("sum_removed")).as("sum_price_c_delta"))
+      }.reduce(_ unionByName _)
+        .orderBy(col("from_version"))
+    }, Some(
+      """SELECT * FROM (
+           SELECT 1::BIGINT AS from_version, 2::BIGINT AS to_version,
+                  2::BIGINT AS n_files_added, 0::BIGINT AS n_files_removed,
+                  cast(count(*) AS bigint) AS n_rows_added,
+                  0::BIGINT AS n_rows_removed,
+                  cast(count(*) AS bigint) AS net_rows,
+                  cast(sum(cast(round(o_totalprice * 100) AS bigint))
+                    AS bigint) AS sum_price_c_delta
+           FROM orders WHERE o_orderkey % 3 = 2
+           UNION ALL
+           SELECT 2::BIGINT, 3::BIGINT, 1::BIGINT, 2::BIGINT,
+                  cast(count(*) AS bigint), cast(count(*) AS bigint),
+                  0::BIGINT, 0::BIGINT
+           FROM orders WHERE o_orderkey % 3 = 1)
+         ORDER BY from_version""")),
+
     ("s13_binary_ingest", (s: SparkSession, d: String) => {
       // The multimodal INGEST edge (engine ext., round 10): opaque asset
       // files land in a directory and `spark.read.format("binaryFile")`

@@ -1887,7 +1887,7 @@ object TextPipeline {
     * (the g13 inlining lesson).
     */
   private def nswOracleCtes(efs: Seq[Int], m: Int,
-      rounds: Int): String = {
+      rounds: Int, src: String = "ex"): String = {
     def beamRound(r: Int): String =
       s"""ncand$r AS (SELECT DISTINCT b.ef, b.q_id, g.dst AS vec_id
                  FROM nbeam${r - 1} b JOIN nedges g ON g.src = b.vec_id
@@ -1902,10 +1902,10 @@ object TextPipeline {
               ON s.q_id = p.q_id AND s.vec_id = p.vec_id)
           WHERE rn <= ef)"""
     s"""nproj AS (
-           SELECT ex.vec_id, g.t, g.p,
-                  sum(ex.v * cast((ex.i * 31 + (g.t * 4 + g.p) * 17) % 7 - 3
+           SELECT sx.vec_id, g.t, g.p,
+                  sum(sx.v * cast((sx.i * 31 + (g.t * 4 + g.p) * 17) % 7 - 3
                     AS double)) AS proj
-           FROM ex, (SELECT t.t, p.p FROM generate_series(0, 3) t(t),
+           FROM $src sx, (SELECT t.t, p.p FROM generate_series(0, 3) t(t),
                      generate_series(0, 3) p(p)) g
            GROUP BY 1, 2, 3),
          nbuckets AS (
@@ -1919,8 +1919,8 @@ object TextPipeline {
                      AND b.vec_id <> a.vec_id),
          npdots AS MATERIALIZED (
            SELECT p.src, p.dst, sum(xa.v * xb.v) AS dot
-           FROM npairs p JOIN ex xa ON xa.vec_id = p.src
-           JOIN ex xb ON xb.vec_id = p.dst AND xb.i = xa.i
+           FROM npairs p JOIN $src xa ON xa.vec_id = p.src
+           JOIN $src xb ON xb.vec_id = p.dst AND xb.i = xa.i
            GROUP BY 1, 2),
          npscore AS (SELECT d.src, d.dst,
                             cast(round(d.dot / (na.nrm * nb.nrm) * 1e6)
@@ -4627,6 +4627,62 @@ object TextPipeline {
                   r.n_hits, r.recall_e6, s.n_scored
            FROM ivfrec r JOIN ivfsc s ON s.p = r.param)
          ORDER BY family, param""")),
+
+    ("e28_nsw_insert", (s: SparkSession, d: String) => {
+      // NSW INCREMENTAL INSERT — the construction step that makes a
+      // neighbor graph a LIVE index (e14/ivfAssign's frozen-quantizer
+      // append, graph-family edition): a new vector is indexed by
+      // SEARCHING the frozen base graph for its neighborhood (the same
+      // beam walk serving reads, e26) and CONNECTING to the best
+      // vectors found — search-then-connect, the actual NSW/HNSW
+      // insertion algorithm. Base graph = the vec_id % 5 ≠ 4 corpus
+      // (e14's arrival split); every arrival batch-searches it (ONE
+      // broadcast query set — a 100 TB ingest indexes arrivals in bulk,
+      // not row-at-a-time) at ef = 8 / 3 supersteps, and the output is
+      // each arrival's degree-capped out-edge list (top-4 of the final
+      // beam, ties by vec_id) — hash-exact because the walk is a pure
+      // function of the frozen graph, so DuckDB replays base-graph
+      // BUILD, arrival WALK, and CONNECT. Recall consequence measured
+      // in PipelineSpec: a planted near-dup arrival must wire its
+      // twin as edge rank 1.
+      val e = Tables.embeddings(s, d)
+      val base = e.filter(col("vec_id") % 5 =!= 4)
+      val idx = AnnIndex.nswFor(s, s"$d|e28base", base, m = 16, tables = 4)
+      val q = e.filter(col("vec_id") % 5 === 4)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val (beam, _) = AnnIndex.nswBeamFor(idx, base, q, Seq(8), rounds = 3)
+      AnnIndex.topKCut(beam.drop("ef"), "q_id", "cosine_e6", "vec_id", 4,
+        ascending = false, scoreName = "cosine_e6", idName = "vec_id")
+        .select(col("q_id").as("new_vec_id"),
+          col("vec_id").as("neighbor_id"), col("cosine_e6"), col("rank"))
+        .orderBy(col("new_vec_id"), col("rank"))
+    }, Some(
+      s"""WITH ex AS (
+           SELECT vec_id, i, cast(embedding[i] AS double) AS v FROM (
+             SELECT vec_id, embedding,
+                    unnest(generate_series(1, len(embedding))) AS i
+             FROM embeddings)),
+         bex AS (SELECT * FROM ex WHERE vec_id % 5 <> 4),
+         nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ex GROUP BY 1),
+         alldots AS (
+           SELECT q.vec_id AS q_id, e.vec_id AS vec_id, sum(q.v * e.v) AS dot
+           FROM ex q JOIN bex e ON e.i = q.i
+           WHERE q.vec_id % 5 = 4 AND e.vec_id <> q.vec_id
+           GROUP BY 1, 2),
+         allscored AS MATERIALIZED (
+           SELECT d.q_id, d.vec_id,
+                  cast(round(d.dot / (nq.nrm * ne.nrm) * 1e6) AS bigint) AS c6
+           FROM alldots d
+           JOIN nrm nq ON nq.vec_id = d.q_id
+           JOIN nrm ne ON ne.vec_id = d.vec_id),
+         """ + nswOracleCtes(Seq(8), m = 16, rounds = 3, src = "bex") + """
+         SELECT q_id AS new_vec_id, vec_id AS neighbor_id,
+                c6 AS cosine_e6, cast(rk AS int) AS rank
+         FROM (
+           SELECT q_id, vec_id, c6, row_number() OVER (PARTITION BY q_id
+                    ORDER BY c6 DESC, vec_id) AS rk
+           FROM nbeam3 WHERE ef = 8)
+         WHERE rk <= 4 ORDER BY new_vec_id, rank""")),
 
     ("e19_range_search", (s: SparkSession, d: String) => {
       // RANGE (threshold) search — the other retrieval mode: "every

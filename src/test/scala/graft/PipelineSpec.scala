@@ -889,6 +889,43 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     beam.unpersist()
   }
 
+  test("nsw insert: a planted near-dup arrival wires its twin as edge rank 1") {
+    // e28's quality gate: search-then-connect must link a NEW vector to
+    // its planted twin in the frozen base graph — the twin shares the
+    // arrival's LSH buckets and dominates its beam, so edge rank 1 is
+    // deterministic; a broken external-query walk (e.g. one that scores
+    // arrivals against themselves, or seeds from the wrong corpus)
+    // fails loudly.
+    val s = spark
+    import s.implicits._
+    val dim = 16
+    val n = 400
+    val g = new TestData.Lcg(19L)
+    val base = Array.tabulate(n)(_ => Array.fill(dim)(g.gaussian().toFloat))
+    val baseDf = base.zipWithIndex.map { case (e, i) => (i.toLong, e) }.toSeq
+      .toDF("vec_id", "embedding")
+    // arrivals n..n+2 are near-dups of base vectors 10..12
+    val arr = (0 until 3).map { j =>
+      ((n + j).toLong, base(10 + j).map(v => v + 0.02f * g.gaussian().toFloat))
+    }.toDF("q_id", "q_emb")
+    val idx = graft.operators.AnnIndex.trainNsw(
+      baseDf, graft.operators.AnnIndex.buildLsh(baseDf, 4, persist = false),
+      m = 8, persistEdges = false)
+    val (beam, _) = graft.operators.AnnIndex.nswBeamFor(
+      idx, baseDf, arr, Seq(8), rounds = 3)
+    val top1 = graft.operators.AnnIndex.topKCut(beam.drop("ef"),
+        "q_id", "cosine_e6", "vec_id", 1,
+        ascending = false, scoreName = "cosine_e6", idName = "vec_id")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    for (j <- 0 until 3) {
+      val (nbr, cosE6) = top1((n + j).toLong)
+      assert(nbr == 10L + j,
+        s"arrival ${n + j}: expected twin ${10 + j}, got $nbr")
+      assert(cosE6 > 990000L, s"arrival ${n + j}: cosine_e6 $cosE6")
+    }
+  }
+
   test("rpSearch: planted near-duplicates are recalled at rank 1 in the projected space") {
     // e8's quality gate, same scheme as the LSH/IVF planted tests: on a
     // uniform corpus an 8-dim projection has no recallable structure
