@@ -1149,6 +1149,31 @@ object EventStream {
     graft.operators.AnnIndex.ivfAssign(idx, arrivals)
       .select(col("vec_id"), col("cid"))
 
+  /** Continuous NSW ingest — the graph family's arrival path (e28's
+    * search-then-connect, micro-batch edition). Unlike the quantizer
+    * doors above (pure per-row maps), inserting into a neighbor graph
+    * must SEARCH it, so this door is a foreachBatch kernel: each
+    * arrival micro-batch batch-searches the FROZEN base graph (one
+    * broadcast query set per batch — bulk, never row-at-a-time) and
+    * emits its degree-capped out-edge lists. The frozen graph makes
+    * every arrival's edges independent of HOW arrivals are batched, so
+    * the union over any micro-batch split equals the one-shot batch
+    * insert row-for-row (StreamingSpec) — the law that lets a streaming
+    * ingester and a nightly bulk rebuild produce the same index.
+    */
+  def nswIngest(idx: graft.operators.AnnIndex.NswIndex, corpus: DataFrame,
+      arrivals: DataFrame, deg: Int = 4, ef: Int = 8,
+      rounds: Int = 3): DataFrame =
+    graft.operators.AnnIndex.topKCut(
+      graft.operators.AnnIndex.nswBeamFor(idx, corpus,
+        arrivals.select(col("vec_id").as("q_id"),
+          col("embedding").as("q_emb")),
+        Seq(ef), rounds)._1.drop("ef"),
+      "q_id", "cosine_e6", "vec_id", deg, ascending = false,
+      scoreName = "cosine_e6", idName = "vec_id")
+      .select(col("q_id").as("new_vec_id"), col("vec_id").as("neighbor_id"),
+        col("cosine_e6"), col("rank"))
+
   /** Continuous PQ ingest — the compression family's streaming arrival
     * path (IVF and SQ8 already have theirs): arriving vectors encode to
     * m codes under the FROZEN codebook via

@@ -282,6 +282,40 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"streamed LSH buckets diverge from the batch index")
   }
 
+  test("nswIngest: micro-batched inserts equal the one-shot batch insert") {
+    // The batch-split-independence law the frozen graph buys: arrivals
+    // split across 3 micro-batches must produce EXACTLY the edge lists
+    // of one bulk insert over the concatenation — each arrival's beam
+    // walk depends only on the frozen base graph, never on its batch
+    // companions. An ingester that mutated the graph between batches
+    // (or seeded from batch-local state) diverges here.
+    val s = spark
+    import s.implicits._
+    val e = Tables.embeddings(spark, sfDir)
+    val base = e.filter(col("vec_id") % 5 =!= 4)
+    val arr = e.filter(col("vec_id") % 5 === 4)
+    val idx = graft.operators.AnnIndex.trainNsw(base,
+      graft.operators.AnnIndex.buildLsh(base, 4, persist = false), m = 16)
+    val oneShot = EventStream.nswIngest(idx, base, arr)
+      .collect().map(_.toSeq).toSet
+    val dir = java.nio.file.Files.createTempDirectory("nsw_ingest")
+      .toFile.getAbsolutePath
+    (0 until 3).foreach(i => arr.filter(col("vec_id") % 3 === i)
+      .coalesce(1).write.mode("append").parquet(dir))
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    val q = spark.readStream.schema(EventStream.embeddingsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val edges = EventStream.nswIngest(idx, base, b.toDF)
+          .collect().map(_.toSeq)
+        buf.synchronized { buf ++= edges }; ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    assert(buf.size == oneShot.size && buf.toSet == oneShot && oneShot.nonEmpty,
+      s"micro-batched edges diverge: ${buf.size} vs ${oneShot.size}")
+  }
+
   test("cmIngest folds register counts across micro-batches, count-for-count with the batch build") {
     // The Count-Min merge law is ADDITION (unlike HLL's max): users
     // split across two micro-batches — with overlap, so the same
