@@ -1331,7 +1331,10 @@ class RelationalPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"compacted serving still anti-joins a kill set:\n$plan")
     assert(!plan.contains("tombstones"),
       s"compacted serving still scans the tombstone table:\n$plan")
-    assert(plan.contains("graft_ivf_compact"),
+    // r16: compacted artifacts live under the managed ann scratch root
+    // as ivf_compact_<uuid> (the ADVICE r15 cleanup), not a bare
+    // graft_ivf_compact_ system tempdir.
+    assert(plan.contains("ivf_compact_"),
       s"compacted serving does not read the compacted generation:\n$plan")
     assert(comp.orderBy(col("q_id"), col("rank")).collect().toSeq == tomb,
       "compacted index diverges from tombstone-filtered serving")
