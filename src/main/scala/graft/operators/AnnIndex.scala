@@ -393,6 +393,18 @@ object AnnIndex {
     * LSH bucket collisions (the shared [[buildLsh]] tables — BANDED
     * candidate generation, never corpus²: the pair set is the union of
     * per-bucket joins, the same scale posture as d3's MinHash bands),
+    *
+    * Stated bound: pair generation is Σ_buckets occ² = N·occ̄ per table,
+    * so the banding is linear in N only while per-bucket occupancy
+    * stays bounded — which means PLANES MUST SCALE WITH THE CORPUS
+    * (planes ≈ log₂(N / target_occ); the shared 4-plane tables hold
+    * occupancy ≈ N/16, right for the gated corpus sizes here, ~31 at
+    * sf0.01 / ~125 at sf0.1). A 100 TB build passes a wider bucket
+    * table into this SAME function — the builder is occupancy-agnostic;
+    * the plane-count decision belongs to the caller's banding, exactly
+    * like d3's band/row trade. (A d3-style stop-band CAP is wrong here:
+    * dropping an overfull bucket removes a dedup band's redundant
+    * signal, but removes a graph REGION's only candidate edges.)
     * scored on the exact e6-rounded cosine (ties by dst asc), cut to the
     * m best out-edges per node with the bounded-state [[topKCut]]
     * aggregate, then symmetrized (union with reverses, distinct) so

@@ -6402,6 +6402,126 @@ object TextPipeline {
          FROM nd LEFT JOIN ws ON ws.source = nd.source, tot t
          ORDER BY nd.source""")),
 
+    ("x48_dataset_card", (s: SparkSession, d: String) => {
+      // THE DATASET CARD — the per-source datasheet a corpus ships
+      // with, as ONE relation composing the gates this family already
+      // verifies one-by-one: volume (docs, tokens, mean doc length —
+      // x16's whitespace law), exact-dup burden and token savings
+      // (d1/x46's hash law, verbatim via dedupSavings), quality-gate
+      // pass rate (x6's withQualityFlags — the SAME kernel its own
+      // query serves), vocabulary breadth (distinct token types,
+      // x13's tokenization convention), and the x5 hash-split mix
+      // (train/valid/test counts — a skewed split per source is the
+      // eval-leakage smell). No law is restated: every column rides a
+      // kernel another hash-checked query pins, so the card cannot
+      // drift from the gates it summarizes. Scale: one corpus scan per
+      // lane (hash window, map-side flags, token explode, bucket map),
+      // all collapsing to |sources| rows before the joins.
+      val docs = Tables.documents(s, d)
+      val sav = dedupSavings(docs)
+      val qual = withQualityFlags(docs).groupBy(col("source"))
+        .agg(sum(when(col("kept"), 1L).otherwise(0L)).as("n_quality_kept"))
+      val types = docs
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("source"))
+        .agg(countDistinct(col("w")).as("n_token_types"))
+      val splits = withHashSplit(docs).groupBy(col("source"))
+        .agg(
+          sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+          sum(when(col("split") === "valid", 1L).otherwise(0L)).as("n_valid"),
+          sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"))
+      sav.join(qual, Seq("source")).join(types, Seq("source"))
+        .join(splits, Seq("source"))
+        .select(col("source"), col("n_docs"), col("tokens_total"),
+          expr("cast(round(tokens_total * 1e6 / n_docs) AS bigint)")
+            .as("mean_doc_tokens_e6"),
+          col("n_dup_docs").as("n_exact_dup_docs"),
+          col("savings_e6").as("dup_savings_e6"),
+          col("n_quality_kept"),
+          expr("cast(round(n_quality_kept * 1e6 / n_docs) AS bigint)")
+            .as("kept_rate_e6"),
+          col("n_token_types"),
+          col("n_train"), col("n_valid"), col("n_test"))
+        .orderBy(col("source"))
+    }, Some(
+      s"""WITH base AS (
+           SELECT doc_id, source,
+                  md5(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS h,
+                  cast(length(trim(text)) -
+                    length(replace(trim(text), ' ', '')) + 1 AS bigint)
+                    AS n_tokens
+           FROM documents),
+         k AS (SELECT *, min(doc_id) OVER (PARTITION BY h) AS keeper
+               FROM base),
+         sav AS (
+           SELECT source, cast(count(*) AS bigint) AS n_docs,
+                  cast(sum(CASE WHEN doc_id <> keeper THEN 1 ELSE 0 END)
+                    AS bigint) AS n_exact_dup_docs,
+                  cast(sum(n_tokens) AS bigint) AS tokens_total,
+                  cast(sum(CASE WHEN doc_id <> keeper THEN n_tokens
+                    ELSE 0 END) AS bigint) AS tokens_saved
+           FROM k GROUP BY 1),
+         sig AS (
+           SELECT source,
+                  length(trim(text)) - length(replace(trim(text), ' ', ''))
+                    + 1 AS n_tokens,
+                  cast(length(replace(text, ' ', '')) AS double)
+                    / (length(trim(text)) -
+                       length(replace(trim(text), ' ', '')) + 1)
+                    AS avg_token_len,
+                  cast(len(list_filter(string_split(text, ' '),
+                        t -> t = 'the' OR t = 'a')) AS double)
+                    / (length(trim(text)) -
+                       length(replace(trim(text), ' ', '')) + 1)
+                    AS stopword_ratio
+           FROM documents),
+         qual AS (
+           SELECT source,
+                  cast(sum(CASE WHEN NOT (n_tokens < 25)
+                      AND NOT (avg_token_len > 5.0)
+                      AND NOT (stopword_ratio < 0.02)
+                    THEN 1 ELSE 0 END) AS bigint) AS n_quality_kept
+           FROM sig GROUP BY 1),
+         tt AS (SELECT source, string_split(text, ' ') AS t FROM documents),
+         typ AS (
+           SELECT source, cast(count(DISTINCT w) AS bigint) AS n_token_types
+           FROM (SELECT source, t[i] AS w FROM (
+                   SELECT source, t,
+                          unnest(generate_series(1, len(t))) AS i
+                   FROM tt))
+           GROUP BY 1),
+         sp AS (
+           SELECT source,
+                  CASE WHEN b < 800 THEN 'train'
+                       WHEN b < 900 THEN 'valid' ELSE 'test' END AS split
+           FROM (SELECT source,
+                   ${hexBucketSql("md5(cast(doc_id AS varchar))")} % 1000
+                     AS b
+                 FROM documents)),
+         spc AS (
+           SELECT source,
+                  cast(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END)
+                    AS bigint) AS n_train,
+                  cast(sum(CASE WHEN split = 'valid' THEN 1 ELSE 0 END)
+                    AS bigint) AS n_valid,
+                  cast(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END)
+                    AS bigint) AS n_test
+           FROM sp GROUP BY 1)
+         SELECT s.source, s.n_docs, s.tokens_total,
+                cast(round(s.tokens_total * 1e6 / s.n_docs) AS bigint)
+                  AS mean_doc_tokens_e6,
+                s.n_exact_dup_docs,
+                CASE WHEN s.tokens_total > 0 THEN
+                  cast(round(s.tokens_saved * 1e6 / s.tokens_total)
+                    AS bigint) END AS dup_savings_e6,
+                q.n_quality_kept,
+                cast(round(q.n_quality_kept * 1e6 / s.n_docs) AS bigint)
+                  AS kept_rate_e6,
+                t.n_token_types, c.n_train, c.n_valid, c.n_test
+         FROM sav s JOIN qual q USING (source)
+         JOIN typ t USING (source) JOIN spc c USING (source)
+         ORDER BY s.source""")),
+
     ("x46_dedup_savings", (s: SparkSession, d: String) => {
       // DEDUP TOKEN SAVINGS — the number that justifies running the
       // dedup family at all: per source, how much of the token budget
