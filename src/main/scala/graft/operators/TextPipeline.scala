@@ -3598,6 +3598,96 @@ object TextPipeline {
                   AS chars_dropped
          FROM rk GROUP BY 1 ORDER BY 1""")),
 
+    ("d20_disposition_ledger", (s: SparkSession, d: String) => {
+      // Per-document DISPOSITION LEDGER — the curation audit trail the
+      // family's verdicts compose into: for EVERY doc, what happened
+      // and why. Precedence mirrors the pipeline order (dedup first,
+      // quality second): 'dup' if the doc sits in a d7 near-dup
+      // cluster and is not its d10 survivor (longest text, doc_id
+      // ties), else 'low_quality' if x6 rejects it, else 'kept' — with
+      // cluster_id and keeper_doc_id carried so a dropped doc's
+      // replacement is one lookup away (the provenance a takedown /
+      // re-audit request actually needs). No law is restated: cluster
+      // closure, survivorship rule, and the gate are the exact kernels
+      // d7/d10/x6 pin. Scale: the cluster machinery touches only
+      // near-dup docs (orders below corpus); the rest is map-side
+      // flags + one doc_id join.
+      val docs = Tables.documents(s, d)
+      val labels = dupLabelsFor(s, d, docs, minJaccard = 0.5)
+      val w = Window.partitionBy(col("lbl"))
+        .orderBy(col("n_chars").desc, col("node"))
+      val surv = labels
+        .join(docs.select(col("doc_id").as("node"), col("n_chars")), "node")
+        .withColumn("rn", row_number().over(w))
+      val keepers = surv.filter(col("rn") === 1)
+        .select(col("lbl"), col("node").as("keeper_doc_id"))
+      val clustered = surv.select(col("node").as("doc_id"), col("lbl"))
+        .join(keepers, "lbl")
+        .select(col("doc_id"), col("lbl").as("cluster_id"),
+          col("keeper_doc_id"))
+      withQualityFlags(docs)
+        .select(col("doc_id"), col("source"), col("kept"))
+        .join(clustered, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("source"),
+          when(col("keeper_doc_id").isNotNull &&
+              col("doc_id") =!= col("keeper_doc_id"), "dup")
+            .when(!col("kept"), "low_quality")
+            .otherwise("kept").as("disposition"),
+          col("cluster_id"), col("keeper_doc_id"))
+        .orderBy(col("doc_id"))
+    }, Some(
+      s"""WITH RECURSIVE $d5OracleCtes,
+         prs AS (
+           SELECT m.doc_a, m.doc_b
+           FROM com m
+           JOIN sizes sa ON sa.doc_id = m.doc_a
+           JOIN sizes sb ON sb.doc_id = m.doc_b
+           WHERE m.common * 1.0 / (sa.n + sb.n - m.common) >= 0.5),
+         edges AS (
+           SELECT doc_a AS src, doc_b AS dst FROM prs
+           UNION ALL SELECT doc_b, doc_a FROM prs),
+         reach(node, lbl) AS (
+           SELECT src, src FROM edges
+           UNION
+           SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+         comp AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY 1),
+         rk AS (
+           SELECT c.node, c.cluster_id,
+                  row_number() OVER (PARTITION BY c.cluster_id
+                                     ORDER BY d.n_chars DESC, c.node) AS rn
+           FROM comp c JOIN documents d ON d.doc_id = c.node),
+         kp AS (SELECT cluster_id, node AS keeper_doc_id
+                FROM rk WHERE rn = 1),
+         qsig AS (
+           SELECT doc_id, source,
+                  length(trim(text)) - length(replace(trim(text), ' ', ''))
+                    + 1 AS n_tokens,
+                  cast(length(replace(text, ' ', '')) AS double)
+                    / (length(trim(text)) -
+                       length(replace(trim(text), ' ', '')) + 1)
+                    AS avg_token_len,
+                  cast(len(list_filter(string_split(text, ' '),
+                        t -> t = 'the' OR t = 'a')) AS double)
+                    / (length(trim(text)) -
+                       length(replace(trim(text), ' ', '')) + 1)
+                    AS stopword_ratio
+           FROM documents),
+         ga AS (
+           SELECT doc_id, source,
+                  NOT (n_tokens < 25) AND NOT (avg_token_len > 5.0)
+                    AND NOT (stopword_ratio < 0.02) AS kept
+           FROM qsig)
+         SELECT g.doc_id, g.source,
+                CASE WHEN k.keeper_doc_id IS NOT NULL
+                       AND g.doc_id <> k.keeper_doc_id THEN 'dup'
+                     WHEN NOT g.kept THEN 'low_quality'
+                     ELSE 'kept' END AS disposition,
+                c.cluster_id, k.keeper_doc_id
+         FROM ga g
+         LEFT JOIN comp c ON c.node = g.doc_id
+         LEFT JOIN kp k ON k.cluster_id = c.cluster_id
+         ORDER BY g.doc_id""")),
+
     ("d11_semantic_dedup", (s: SparkSession, d: String) => {
       // SemDeDup (Abbas et al. 2023) — the sixth dedup family: cluster
       // embeddings with k-means, drop within-cluster semantic duplicates,
