@@ -542,6 +542,57 @@ object AnnIndex {
     (beam, scoredAll)
   }
 
+  /** e29's DEGREE-sweep walk: one beam pass over the union of several
+    * graphs' edges keyed by their degree cap m — the same
+    * one-walk-many-sweep-points shape as [[nswBeamMulti]], with m as
+    * the sweep column instead of ef (fixed ef cut per (m, q_id)).
+    * Entry seeds are shared (they derive from the bucket table, not
+    * m); candidates dedupe to distinct (q_id, vec_id) before scoring,
+    * so a pair's distance is computed once across the whole sweep.
+    * Returns (beam: m, q_id, vec_id, cosine_e6; scored: m, q_id,
+    * vec_id).
+    */
+  def nswBeamDegreeSweep(idxs: Seq[(Int, NswIndex)], e: DataFrame,
+      qPred: Column, ef: Int, rounds: Int): (DataFrame, DataFrame) = {
+    val s = e.sparkSession
+    import s.implicits._
+    val edges = idxs.map { case (m, ix) =>
+      ix.edges.select(lit(m).as("m"), col("src"), col("dst"))
+    }.reduce(_ unionByName _)
+    val msDf = broadcast(idxs.map(_._1).toDF("m"))
+    def cut(pool: DataFrame): DataFrame =
+      topKCutBy(pool, Seq("m", "q_id"), "cosine_e6", "vec_id", ef,
+        ascending = false, scoreName = "cosine_e6", idName = "vec_id")
+        .select(col("m"), col("q_id"), col("vec_id"), col("cosine_e6"))
+    val q = e.filter(qPred)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val entryPairs = q.select(col("q_id"))
+      .crossJoin(broadcast(idxs.head._2.entries.toDF("vec_id")))
+    val entryScored = scoreCands(e, q, entryPairs)
+    var beam = cut(entryScored.crossJoin(msDf)).localCheckpoint()
+    var scoredAll = entryScored.select(col("q_id"), col("vec_id"))
+      .crossJoin(msDf).select(col("m"), col("q_id"), col("vec_id"))
+    for (_ <- 1 to rounds) {
+      val cand = edges
+        .join(broadcast(beam.select(col("m"), col("q_id"),
+          col("vec_id").as("src"))), Seq("m", "src"))
+        .select(col("m"), col("q_id"), col("dst").as("vec_id"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .distinct()
+      val candScores = scoreCands(e, q,
+        cand.select(col("q_id"), col("vec_id")).distinct())
+      val candScored = cand.join(broadcast(candScores),
+        Seq("q_id", "vec_id"))
+        .select(col("m"), col("q_id"), col("vec_id"), col("cosine_e6"))
+      val pool = beam.union(candScored).distinct()
+      beam = cut(pool).localCheckpoint()
+      scoredAll = scoredAll
+        .union(cand.select(col("m"), col("q_id"), col("vec_id")))
+        .distinct()
+    }
+    (beam, scoredAll)
+  }
+
   /** Top-k NSW search (e26): the final beam cut to k with ranks —
     * columns q_id, vec_id, cosine_e6, rank, the e6 output contract.
     */

@@ -1886,21 +1886,12 @@ object TextPipeline {
     * scored-set accounting. Multiply-referenced CTEs are MATERIALIZED
     * (the g13 inlining lesson).
     */
-  private def nswOracleCtes(efs: Seq[Int], m: Int,
-      rounds: Int, src: String = "ex"): String = {
-    def beamRound(r: Int): String =
-      s"""ncand$r AS (SELECT DISTINCT b.ef, b.q_id, g.dst AS vec_id
-                 FROM nbeam${r - 1} b JOIN nedges g ON g.src = b.vec_id
-                 WHERE g.dst <> b.q_id),
-         npool$r AS (SELECT ef, q_id, vec_id FROM nbeam${r - 1}
-                 UNION SELECT ef, q_id, vec_id FROM ncand$r),
-         nbeam$r AS MATERIALIZED (SELECT ef, q_id, vec_id, c6 FROM (
-            SELECT p.ef, p.q_id, p.vec_id, s.c6, row_number() OVER (
-                     PARTITION BY p.ef, p.q_id
-                     ORDER BY s.c6 DESC, p.vec_id) AS rn
-            FROM npool$r p JOIN allscored s
-              ON s.q_id = p.q_id AND s.vec_id = p.vec_id)
-          WHERE rn <= ef)"""
+  /** The m-independent BUILD half of the NSW replay: banded candidate
+    * pairs and their exact e6 cosines (nproj → npscore). Shared by the
+    * fixed-m walks (e26/e27/e28 via [[nswOracleCtes]]) and e29's
+    * m-sweep, which cuts its own per-m graphs from the same pscore.
+    */
+  private def nswBuildCtes(src: String = "ex"): String =
     s"""nproj AS (
            SELECT sx.vec_id, g.t, g.p,
                   sum(sx.v * cast((sx.i * 31 + (g.t * 4 + g.p) * 17) % 7 - 3
@@ -1926,7 +1917,24 @@ object TextPipeline {
                             cast(round(d.dot / (na.nrm * nb.nrm) * 1e6)
                               AS bigint) AS c6
                      FROM npdots d JOIN nrm na ON na.vec_id = d.src
-                     JOIN nrm nb ON nb.vec_id = d.dst),
+                     JOIN nrm nb ON nb.vec_id = d.dst)"""
+
+  private def nswOracleCtes(efs: Seq[Int], m: Int,
+      rounds: Int, src: String = "ex"): String = {
+    def beamRound(r: Int): String =
+      s"""ncand$r AS (SELECT DISTINCT b.ef, b.q_id, g.dst AS vec_id
+                 FROM nbeam${r - 1} b JOIN nedges g ON g.src = b.vec_id
+                 WHERE g.dst <> b.q_id),
+         npool$r AS (SELECT ef, q_id, vec_id FROM nbeam${r - 1}
+                 UNION SELECT ef, q_id, vec_id FROM ncand$r),
+         nbeam$r AS MATERIALIZED (SELECT ef, q_id, vec_id, c6 FROM (
+            SELECT p.ef, p.q_id, p.vec_id, s.c6, row_number() OVER (
+                     PARTITION BY p.ef, p.q_id
+                     ORDER BY s.c6 DESC, p.vec_id) AS rn
+            FROM npool$r p JOIN allscored s
+              ON s.q_id = p.q_id AND s.vec_id = p.vec_id)
+          WHERE rn <= ef)"""
+    nswBuildCtes(src) + s""",
          nknn AS (SELECT src, dst FROM (
                     SELECT *, row_number() OVER (PARTITION BY src
                       ORDER BY c6 DESC, dst) AS rn FROM npscore)
@@ -4773,6 +4781,149 @@ object TextPipeline {
                     ORDER BY c6 DESC, vec_id) AS rk
            FROM nbeam3 WHERE ef = 8)
          WHERE rk <= 4 ORDER BY new_vec_id, rank""")),
+
+    ("e29_nsw_degree_curve", (s: SparkSession, d: String) => {
+      // The BUILD-knob curve that completes NSW tuning: e27 sweeps the
+      // search knob (ef) on one graph; this sweeps the graph DEGREE
+      // m ∈ {4, 8, 16} at fixed search (ef = 8, 4 supersteps) and
+      // reports recall@3, the INDEX SIZE it buys (n_edges — the
+      // storage/maintenance cost m controls), and the distance
+      // computations spent. Together the two curves answer how an
+      // operator actually provisions a graph index: degree buys recall
+      // through connectivity, ef buys it through search effort, and
+      // both costs are in the relation. All three graphs cut from ONE
+      // banded pair-scoring pass (the build's m-independent half —
+      // engine: shared cached LSH buckets; oracle: shared npscore CTE
+      // with per-m rank cuts). The m = 16 row must agree with e27's
+      // ef = 8 row by construction — the cross-query consistency pin.
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val exact3 = exactTopK(e, q, 3).select(col("q_id"), col("vec_id"))
+      val idxs = Seq(4, 8, 16).map(m =>
+        m -> AnnIndex.nswFor(s, d, e, m = m, tables = 4))
+      val (beam, scored) = AnnIndex.nswBeamDegreeSweep(
+        idxs, e, col("vec_id") < 3, ef = 8, rounds = 4)
+      idxs.map { case (m, idx) =>
+        val top3 = AnnIndex.topKCut(beam.filter(col("m") === m).drop("m"),
+          "q_id", "cosine_e6", "vec_id", 3,
+          ascending = false, scoreName = "cosine_e6", idName = "vec_id")
+        exact3.join(top3.select(col("q_id").as("tq"), col("vec_id").as("tv")),
+            col("q_id") === col("tq") && col("vec_id") === col("tv"), "left")
+          .agg(countDistinct(col("q_id")).as("n_queries"),
+            count(lit(1)).as("n_exact"), count(col("tv")).as("n_hits"))
+          .crossJoin(broadcast(scored.filter(col("m") === m)
+            .agg(count(lit(1)).as("n_scored"))))
+          .crossJoin(broadcast(idx.edges.agg(count(lit(1)).as("n_edges"))))
+          .select(lit(m).as("m"), col("n_edges"), col("n_queries"),
+            col("n_exact"), col("n_hits"),
+            round(col("n_hits") * lit(1000000L) / col("n_exact"))
+              .cast("long").as("recall_e6"),
+            col("n_scored"))
+      }.reduce(_ unionByName _).orderBy(col("m"))
+    }, Some(nswScorePrefix + ",\n         " + nswBuildCtes() + """,
+         ms AS (SELECT unnest([4, 8, 16]) AS m),
+         mrank AS (SELECT src, dst, row_number() OVER (PARTITION BY src
+                     ORDER BY c6 DESC, dst) AS rn FROM npscore),
+         medges AS MATERIALIZED (
+           SELECT ms.m, src, dst FROM mrank, ms WHERE rn <= ms.m
+           UNION SELECT ms.m, dst, src FROM mrank, ms WHERE rn <= ms.m),
+         nents AS (SELECT min(vec_id) AS vec_id FROM nbuckets
+                   WHERE t = 0 GROUP BY bucket),
+         mbeam0 AS MATERIALIZED (SELECT m, q_id, vec_id, c6 FROM (
+            SELECT ms.m, s.q_id, s.vec_id, s.c6, row_number() OVER (
+                     PARTITION BY ms.m, s.q_id
+                     ORDER BY s.c6 DESC, s.vec_id) AS rn
+            FROM ms CROSS JOIN (
+              SELECT a.* FROM allscored a
+              JOIN nents en ON en.vec_id = a.vec_id) s)
+          WHERE rn <= 8),
+         mcand1 AS (SELECT DISTINCT b.m, b.q_id, g.dst AS vec_id
+                    FROM mbeam0 b JOIN medges g
+                      ON g.m = b.m AND g.src = b.vec_id
+                    WHERE g.dst <> b.q_id),
+         mpool1 AS (SELECT m, q_id, vec_id FROM mbeam0
+                    UNION SELECT m, q_id, vec_id FROM mcand1),
+         mbeam1 AS MATERIALIZED (SELECT m, q_id, vec_id, c6 FROM (
+            SELECT p.m, p.q_id, p.vec_id, s.c6, row_number() OVER (
+                     PARTITION BY p.m, p.q_id
+                     ORDER BY s.c6 DESC, p.vec_id) AS rn
+            FROM mpool1 p JOIN allscored s
+              ON s.q_id = p.q_id AND s.vec_id = p.vec_id)
+          WHERE rn <= 8),
+         mcand2 AS (SELECT DISTINCT b.m, b.q_id, g.dst AS vec_id
+                    FROM mbeam1 b JOIN medges g
+                      ON g.m = b.m AND g.src = b.vec_id
+                    WHERE g.dst <> b.q_id),
+         mpool2 AS (SELECT m, q_id, vec_id FROM mbeam1
+                    UNION SELECT m, q_id, vec_id FROM mcand2),
+         mbeam2 AS MATERIALIZED (SELECT m, q_id, vec_id, c6 FROM (
+            SELECT p.m, p.q_id, p.vec_id, s.c6, row_number() OVER (
+                     PARTITION BY p.m, p.q_id
+                     ORDER BY s.c6 DESC, p.vec_id) AS rn
+            FROM mpool2 p JOIN allscored s
+              ON s.q_id = p.q_id AND s.vec_id = p.vec_id)
+          WHERE rn <= 8),
+         mcand3 AS (SELECT DISTINCT b.m, b.q_id, g.dst AS vec_id
+                    FROM mbeam2 b JOIN medges g
+                      ON g.m = b.m AND g.src = b.vec_id
+                    WHERE g.dst <> b.q_id),
+         mpool3 AS (SELECT m, q_id, vec_id FROM mbeam2
+                    UNION SELECT m, q_id, vec_id FROM mcand3),
+         mbeam3 AS MATERIALIZED (SELECT m, q_id, vec_id, c6 FROM (
+            SELECT p.m, p.q_id, p.vec_id, s.c6, row_number() OVER (
+                     PARTITION BY p.m, p.q_id
+                     ORDER BY s.c6 DESC, p.vec_id) AS rn
+            FROM mpool3 p JOIN allscored s
+              ON s.q_id = p.q_id AND s.vec_id = p.vec_id)
+          WHERE rn <= 8),
+         mcand4 AS (SELECT DISTINCT b.m, b.q_id, g.dst AS vec_id
+                    FROM mbeam3 b JOIN medges g
+                      ON g.m = b.m AND g.src = b.vec_id
+                    WHERE g.dst <> b.q_id),
+         mpool4 AS (SELECT m, q_id, vec_id FROM mbeam3
+                    UNION SELECT m, q_id, vec_id FROM mcand4),
+         mbeam4 AS MATERIALIZED (SELECT m, q_id, vec_id, c6 FROM (
+            SELECT p.m, p.q_id, p.vec_id, s.c6, row_number() OVER (
+                     PARTITION BY p.m, p.q_id
+                     ORDER BY s.c6 DESC, p.vec_id) AS rn
+            FROM mpool4 p JOIN allscored s
+              ON s.q_id = p.q_id AND s.vec_id = p.vec_id)
+          WHERE rn <= 8),
+         mtop AS (SELECT m, q_id, vec_id FROM (
+                    SELECT m, q_id, vec_id, row_number() OVER (
+                      PARTITION BY m, q_id
+                      ORDER BY c6 DESC, vec_id) AS rk
+                    FROM mbeam4) WHERE rk <= 3),
+         mscored AS (
+           SELECT ms.m, a.q_id, a.vec_id
+           FROM ms CROSS JOIN (
+             SELECT x.q_id, x.vec_id FROM allscored x
+             JOIN nents en ON en.vec_id = x.vec_id) a
+           UNION SELECT m, q_id, vec_id FROM mcand1
+           UNION SELECT m, q_id, vec_id FROM mcand2
+           UNION SELECT m, q_id, vec_id FROM mcand3
+           UNION SELECT m, q_id, vec_id FROM mcand4),
+         msc AS (SELECT m, cast(count(*) AS bigint) AS n_scored
+                 FROM mscored GROUP BY 1),
+         mec AS (SELECT m, cast(count(*) AS bigint) AS n_edges
+                 FROM medges GROUP BY 1),
+         mgx AS (SELECT ms.m, e3.q_id, e3.vec_id
+                 FROM exact3 e3 CROSS JOIN ms),
+         mrec AS (
+           SELECT cast(g.m AS int) AS m,
+                  cast(count(DISTINCT g.q_id) AS bigint) AS n_queries,
+                  cast(count(*) AS bigint) AS n_exact,
+                  cast(count(t.vec_id) AS bigint) AS n_hits,
+                  cast(round(count(t.vec_id) * 1000000 / count(*))
+                    AS bigint) AS recall_e6
+           FROM mgx g LEFT JOIN mtop t
+             ON t.m = g.m AND t.q_id = g.q_id AND t.vec_id = g.vec_id
+           GROUP BY g.m)
+         SELECT r.m, e.n_edges, r.n_queries, r.n_exact, r.n_hits,
+                r.recall_e6, s.n_scored
+         FROM mrec r JOIN mec e ON e.m = r.m JOIN msc s ON s.m = r.m
+         ORDER BY r.m""")),
 
     ("e19_range_search", (s: SparkSession, d: String) => {
       // RANGE (threshold) search — the other retrieval mode: "every
