@@ -638,6 +638,43 @@ object Estimation {
     * (event_type, day, x) daily panel — semantics, integer-exactness
     * argument, and the int64 widening bound on the t23 query entry.
     */
+  /** The t32 kernel over any (event_type, day, x) daily frame — paired
+    * sign-flip permutation test per type pair, B = 64 deterministic
+    * md5-derived flip patterns, add-one p-value, all integer (contract
+    * on the t32 entry; factored so the spec can plant a systematic
+    * shift that must reject and a symmetric null that must not).
+    */
+  private[graft] def permutationSignFlip(daily: DataFrame): DataFrame = {
+    val s = daily.sparkSession
+    val pd = daily.select(col("event_type").as("t1"), col("day"),
+        col("x").as("x1"))
+      .join(daily.select(col("event_type").as("t2"), col("day"),
+        col("x").as("x2")), Seq("day"))
+      .filter(col("t1") < col("t2"))
+      .select(col("t1"), col("t2"), col("day"),
+        (col("x1") - col("x2")).as("diff"))
+    val obs = pd.groupBy(col("t1"), col("t2"))
+      .agg(count(lit(1)).as("n_days"), sum(col("diff")).as("t_obs"))
+    val reps = pd
+      .crossJoin(broadcast({ import s.implicits._; (1 to 64).toDF("b") }))
+      .withColumn("sgn", when(
+        substring(md5(concat_ws("|", col("t1"), col("t2"),
+          col("b").cast("string"), col("day").cast("string"))), 1, 1)
+          .isin("0", "1", "2", "3", "4", "5", "6", "7"), 1L)
+        .otherwise(-1L))
+      .groupBy(col("t1"), col("t2"), col("b"))
+      .agg(sum(col("sgn") * col("diff")).as("t_b"))
+    obs.join(reps, Seq("t1", "t2"))
+      .groupBy(col("t1"), col("t2"), col("n_days"), col("t_obs"))
+      .agg(sum(when(abs(col("t_b")) >= abs(col("t_obs")), 1L)
+        .otherwise(0L)).as("n_ge"))
+      .select(col("t1"), col("t2"), col("n_days"), col("t_obs"),
+        col("n_ge"),
+        expr("cast(round((n_ge + 1) * 1e6 / 65) AS bigint)").as("p_e6"),
+        ((col("n_ge") + 1) * 20 <= 65).as("reject"))
+      .orderBy(col("t1"), col("t2"))
+  }
+
   private[graft] def ksPairs(daily: DataFrame): DataFrame = {
     val types = daily.select(col("event_type")).distinct()
     val pairs = types.as("a").join(types.as("b"),
@@ -4406,6 +4443,57 @@ object Estimation {
          FROM res ORDER BY 1, 2""")),
 
     // ----- T24 (ext.): Spearman rank correlation, pairwise -----------------
+
+    ("t32_permutation_test", (s: SparkSession, d: String) => {
+      // PERMUTATION inference — the distribution-free member the
+      // resampling story owed beside m19's bootstrap CI: a paired
+      // SIGN-FLIP test on day-aligned event-type pairs. Under H₀
+      // (exchangeable signs of the daily differences), every ±1
+      // reassignment of the per-day diffs is equally likely; the
+      // statistic T = Σ diff is recomputed under B = 64 DETERMINISTIC
+      // flip patterns (sign b,d = first md5 hex of (pair|b|day) < '8' —
+      // the x5 hash-randomization discipline: reproducible across
+      // engines AND runs, no RNG), and p = (#{|T_b| ≥ |T|} + 1)/(B+1)
+      // — the add-one form that keeps the test exact-level at finite
+      // B. ENTIRELY integer (cent diffs, integer T, count compare);
+      // the 5% reject clears its division to (n_ge + 1)·20 ≤ 65.
+      // Scale: pairs are |types|²-bounded, the replicate fanout is a
+      // bounded ×64 explode feeding a map-side-combinable aggregate —
+      // no window, no state, one shuffle on (pair, b).
+      permutationSignFlip(Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("x")))
+    }, Some(
+      """WITH daily AS (
+           SELECT event_type, cast(ts AS date) AS day,
+                  cast(sum(cast(round(value * 100) AS bigint)) AS bigint)
+                    AS x
+           FROM events GROUP BY 1, 2),
+         pd AS (
+           SELECT a.event_type AS t1, b.event_type AS t2, a.day,
+                  a.x - b.x AS diff
+           FROM daily a JOIN daily b
+             ON b.day = a.day AND a.event_type < b.event_type),
+         obs AS (SELECT t1, t2, cast(count(*) AS bigint) AS n_days,
+                        cast(sum(diff) AS bigint) AS t_obs
+                 FROM pd GROUP BY 1, 2),
+         reps AS (
+           SELECT t1, t2, g.b,
+                  cast(sum(CASE WHEN substr(md5(t1 || '|' || t2 || '|' ||
+                      cast(g.b AS varchar) || '|' || cast(day AS varchar)),
+                      1, 1) IN ('0','1','2','3','4','5','6','7')
+                    THEN diff ELSE -diff END) AS bigint) AS t_b
+           FROM pd, generate_series(1, 64) g(b) GROUP BY 1, 2, 3),
+         cnt AS (
+           SELECT o.t1, o.t2, o.n_days, o.t_obs,
+                  cast(sum(CASE WHEN abs(r.t_b) >= abs(o.t_obs)
+                    THEN 1 ELSE 0 END) AS bigint) AS n_ge
+           FROM obs o JOIN reps r ON r.t1 = o.t1 AND r.t2 = o.t2
+           GROUP BY 1, 2, 3, 4)
+         SELECT t1, t2, n_days, t_obs, n_ge,
+                cast(round((n_ge + 1) * 1e6 / 65) AS bigint) AS p_e6,
+                (n_ge + 1) * 20 <= 65 AS reject
+         FROM cnt ORDER BY 1, 2""")),
 
     ("t24_spearman", (s: SparkSession, d: String) => {
       // Pairwise Spearman rank correlation over the event types' daily

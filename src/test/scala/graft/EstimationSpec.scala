@@ -522,4 +522,31 @@ class EstimationSpec extends AnyFunSuite with BeforeAndAfterAll {
       f.getLong(7) == 500L && f.getLong(2) == 500L,
       s"flat series should hit the den=0 branch: $f")
   }
+
+  test("permutationSignFlip: planted systematic shift rejects, symmetric null does not") {
+    // t32's planted branches. Shift pair: 'big' sits exactly 1000 cents
+    // above 'base' every day, so |T_b| >= |T_obs| = 30000 only under an
+    // all-equal flip pattern — none of the 64 deterministic patterns is
+    // (asserted via n_ge = 0), p = 1/65 -> reject. Null pair: diffs
+    // alternate +-1000 over 30 days, T_obs = 0, so EVERY replicate ties
+    // or beats it — n_ge = 64, p = 1, no reject.
+    val s = spark
+    import s.implicits._
+    val days = (1 to 30).map(i => java.sql.Date.valueOf(f"2024-01-$i%02d"))
+    val daily = (
+      days.map(d => ("base", d, 0L)) ++ days.map(d => ("big", d, 1000L)) ++
+        days.zipWithIndex.flatMap { case (d, i) =>
+          Seq(("n1", d, if (i % 2 == 0) 1000L else 0L),
+            ("n2", d, if (i % 2 == 0) 0L else 1000L))
+        }).toDF("event_type", "day", "x")
+    val r = graft.operators.Estimation.permutationSignFlip(daily).collect()
+      .map(x => (x.getString(0), x.getString(1)) ->
+        ((x.getLong(3), x.getLong(4), x.getBoolean(6)))).toMap
+    val (tObs, nGe, rej) = r(("base", "big"))
+    assert(tObs == -30000L && nGe == 0L && rej,
+      s"planted shift must reject with n_ge=0: ${r(("base", "big"))}")
+    val (tObsN, nGeN, rejN) = r(("n1", "n2"))
+    assert(tObsN == 0L && nGeN == 64L && !rejN,
+      s"symmetric null must not reject: ${r(("n1", "n2"))}")
+  }
 }
