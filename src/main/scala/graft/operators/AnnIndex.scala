@@ -506,6 +506,7 @@ object AnnIndex {
     */
   def nswBeamFor(idx: NswIndex, e: DataFrame, q: DataFrame,
       efs: Seq[Int], rounds: Int): (DataFrame, DataFrame) = {
+    require(efs.nonEmpty, "nswBeamFor: efs must be non-empty")
     val s = e.sparkSession
     import s.implicits._
     val kMax = efs.max
@@ -554,6 +555,13 @@ object AnnIndex {
     */
   def nswBeamDegreeSweep(idxs: Seq[(Int, NswIndex)], e: DataFrame,
       qPred: Column, ef: Int, rounds: Int): (DataFrame, DataFrame) = {
+    // Seeds come from idxs.head only, which is correct ONLY when every
+    // index derives from the same LSH bucket table (true for nswFor
+    // callers — entries are m-independent); enforce rather than document.
+    require(idxs.nonEmpty &&
+      idxs.forall(_._2.entries == idxs.head._2.entries),
+      "nswBeamDegreeSweep: all indexes must share one entry set " +
+        "(build them from the same LSH bucket table)")
     val s = e.sparkSession
     import s.implicits._
     val edges = idxs.map { case (m, ix) =>

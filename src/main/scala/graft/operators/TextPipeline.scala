@@ -2826,7 +2826,7 @@ object TextPipeline {
       // differ. Scale: candidate generation is d3's banding, hashes
       // are one asset scan, verdict join is per-candidate-pair.
       crossModalAgreement(
-        nearDupPairs(Tables.documents(s, d), minJaccard = 0.0),
+        nearDupPairsFor(s, d, Tables.documents(s, d), minJaccard = 0.0),
         ppmDirHashes(s, ppmCanonicalAssetDir(s, d))
           .withColumnRenamed("asset_id", "doc_id"))
     }, Some(

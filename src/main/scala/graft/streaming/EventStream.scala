@@ -1052,8 +1052,16 @@ object EventStream {
     * sink (Delta/Iceberg foreachBatch MERGE, s14's keyed-upsert kernel
     * for keyed outputs) is built on; batchId-partition overwrite is the
     * append-shaped-output member of that family. At 100 TB each batch
-    * directory is an independent atomic-rename unit; recovery cost is
-    * one rewritten batch, never a table scan. RecoverySpec proves the
+    * directory is an independently-rewritable unit and recovery cost is
+    * one rewritten batch, never a table scan — but mode("overwrite")
+    * .parquet is delete-then-rewrite via a _temporary dir with per-task
+    * commits, NOT one atomic rename, so a concurrent reader scanning the
+    * sink DURING a replay rewrite can observe a torn or empty
+    * batch_id=<id> partition. The exactly-once guarantee is for sink
+    * contents read AFTER the stream has (re)committed the batch; a sink
+    * that must serve concurrent readers through a rewrite needs a
+    * rename-into-place or table-format (Delta/Iceberg) commit on top of
+    * this same batchId key. RecoverySpec proves the
     * contract end-to-end: a planted post-write crash forces a real
     * replay of the batch and the final sink row set must equal the
     * uninterrupted run's.
