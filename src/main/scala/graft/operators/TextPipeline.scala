@@ -1260,6 +1260,110 @@ object TextPipeline {
         coalesce(col("n_dup_distinct"), lit(0L)).as("n_dup_distinct"))
   }
 
+  /** The d21 kernel — VARIABLE-LENGTH maximal repeated spans, the
+    * boundary-straddling shape [[spanDedup]] structurally under-reports
+    * (VERDICT r16 #5): d12's fixed 64-char grid windows can only say
+    * "this grid cell recurs"; a 150-char repeated passage whose ends
+    * straddle window boundaries surfaces as its interior cells, losing
+    * up to stride−1 = 31 chars at EACH end and never reporting the
+    * repeat's true extent (Lee et al. 2022 use suffix arrays for exactly
+    * this). Relational two-round spelling:
+    *
+    *  1. SEED on colliding grid windows (d12's 64-at-stride-32 spans),
+    *     occupancy-gated: a span participates only with document
+    *     frequency in [2, maxDf] AND ≤ 2·maxDf total occurrences — the
+    *     d3/d16 cap discipline (boilerplate 64-grams shared by thousands
+    *     of docs are d12-counting territory, not pairwise-extent
+    *     territory; an ungated self-join is Σ occ² on the most-repeated
+    *     span in a 100 TB corpus). Cross-doc seed pairs are then
+    *     ≤ maxDf²-bounded per span.
+    *  2. CHAIN maximal runs per (doc_a, doc_b, delta = ob − oa): two
+    *     seeds at consecutive grid offsets under one alignment delta
+    *     overlap by 32 chars, so their union matches verbatim —
+    *     gaps-and-islands (si − row_number) finds each maximal
+    *     consecutive run, covering [sa, ea+64) in doc_a.
+    *  3. EXTEND each run's ends into the straddled boundary windows by
+    *     direct in-row comparison: the longest common suffix of the
+    *     ≤ 31 chars left of the run (reverse + first-mismatch over a
+    *     sequence — codegen'd, no UDF) and the longest common prefix of
+    *     the ≤ 31 chars right of it. 31 suffices BY CONSTRUCTION: a
+    *     32-char extension would make the adjacent grid-window pair
+    *     match and join the run itself (both neighbors sit on their
+    *     docs' grids since delta is seed-derived) — except across a
+    *     gated-out boilerplate window, where the repeat reports as two
+    *     runs (the documented cap semantics, replayed by the oracle).
+    *
+    * Output: one row per maximal span occurrence pair — doc_a, doc_b,
+    * start_a, start_b (1-based), span_len (true extent, ≥ 64),
+    * n_windows (seed windows chained). Exact string arithmetic
+    * end-to-end, so the DuckDB oracle replays seed, chain, and extend.
+    * Scale: one explode (2× chars), one Zipf-bounded span aggregate,
+    * a per-span bounded self-join, and per-run O(31) in-row character
+    * compares — no corpus² anywhere.
+    */
+  private[graft] def maximalRepeatSpans(docs0: DataFrame,
+      maxDf: Int = 32): DataFrame = {
+    val docs = docs0.filter(length(col("text")) >= 64)
+    val spans = docs
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1),
+          (floor((length(col("text")) - 64) / 32) + 1).cast("int"))).as("si"))
+      .select(col("doc_id"), col("si"),
+        ((col("si") - 1) * 32 + 1).as("off"),
+        expr("substring(text, (si - 1) * 32 + 1, 64)").as("span"))
+    val gatedSpans = spans.groupBy(col("span"))
+      .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("occ"))
+      .filter(col("df") > 1 && col("df") <= maxDf &&
+        col("occ") <= maxDf * 2)
+      .select(col("span"))
+    val gs = spans.join(gatedSpans, "span")
+    val seeds = gs.select(col("span"), col("doc_id").as("doc_a"),
+        col("si").as("sia"), col("off").as("oa"))
+      .join(gs.select(col("span"), col("doc_id").as("doc_b"),
+        col("off").as("ob")), "span")
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sia"), col("oa"),
+        (col("ob") - col("oa")).as("delta"))
+    val w = Window.partitionBy(col("doc_a"), col("doc_b"), col("delta"))
+      .orderBy(col("oa"))
+    val runs = seeds
+      .withColumn("isl", col("sia") - row_number().over(w))
+      .groupBy(col("doc_a"), col("doc_b"), col("delta"), col("isl"))
+      .agg(min(col("oa")).as("sa"), max(col("oa")).as("ea"),
+        count(lit(1)).as("n_windows"))
+    val ext = runs
+      .join(docs.select(col("doc_id").as("doc_a"),
+        col("text").as("text_a")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"),
+        col("text").as("text_b")), "doc_b")
+      .withColumn("sb", col("sa") + col("delta"))
+      .withColumn("eb", col("ea") + col("delta"))
+      .withColumn("ln", least(lit(31), col("sa") - 1, col("sb") - 1))
+      .withColumn("ra", expr("reverse(substring(text_a, sa - ln, ln))"))
+      .withColumn("rb", expr("reverse(substring(text_b, sb - ln, ln))"))
+      .withColumn("left_ext", when(col("ln") <= 0, lit(0)).otherwise(
+        coalesce(
+          expr("array_min(filter(sequence(1, ln), " +
+            "i -> substring(ra, i, 1) != substring(rb, i, 1)))") - 1,
+          col("ln"))))
+      .withColumn("rn", least(lit(31),
+        length(col("text_a")) - col("ea") - lit(63),
+        length(col("text_b")) - col("eb") - lit(63)))
+      .withColumn("fa", expr("substring(text_a, ea + 64, rn)"))
+      .withColumn("fb", expr("substring(text_b, eb + 64, rn)"))
+      .withColumn("right_ext", when(col("rn") <= 0, lit(0)).otherwise(
+        coalesce(
+          expr("array_min(filter(sequence(1, rn), " +
+            "i -> substring(fa, i, 1) != substring(fb, i, 1)))") - 1,
+          col("rn"))))
+    ext.select(col("doc_a"), col("doc_b"),
+      (col("sa") - col("left_ext")).cast("long").as("start_a"),
+      (col("sb") - col("left_ext")).cast("long").as("start_b"),
+      (col("ea") + lit(64) - col("sa") + col("left_ext") + col("right_ext"))
+        .cast("long").as("span_len"),
+      col("n_windows"))
+  }
+
   /** The d8 kernel — incremental ingest dedup, the anti-join every
     * production pipeline runs on ARRIVING batches: drop a new doc iff its
     * canonical content hash already exists in the accepted corpus (here:
@@ -3814,6 +3918,90 @@ object TextPipeline {
                 cast(coalesce(dd.n_dup_distinct, 0) AS bigint) AS n_dup_distinct
          FROM per p LEFT JOIN dd ON dd.doc_id = p.doc_id
          ORDER BY p.doc_id""")),
+
+    ("d21_maximal_spans", (s: SparkSession, d: String) => {
+      // Variable-length maximal repeated spans (VERDICT r16 #5) — the
+      // TRUE-EXTENT report d12 cannot give: seed on colliding 64-char
+      // grid windows (occupancy-gated), chain consecutive seeds per
+      // (doc pair, alignment delta) into maximal runs, then extend both
+      // ends into the straddled boundary windows by exact in-row
+      // character comparison (≤ 31 chars each side by construction —
+      // a 32-char extension would have seeded the adjacent window
+      // pair). One row per maximal span occurrence pair with its full
+      // length; exact string arithmetic throughout, so the oracle
+      // replays seed, chain, and extend. See [[maximalRepeatSpans]]
+      // for the scale posture (Zipf-bounded aggregate, per-span
+      // ≤ maxDf²-bounded self-join, O(31) boundary compares).
+      maximalRepeatSpans(Tables.documents(s, d))
+        .orderBy(col("doc_a"), col("doc_b"), col("start_a"),
+          col("start_b"), col("span_len"))
+    }, Some(
+      """WITH dd21 AS (
+           SELECT doc_id, text FROM documents WHERE length(text) >= 64),
+         sp21 AS (
+           SELECT doc_id, si, (si - 1) * 32 + 1 AS off,
+                  substr(text, (si - 1) * 32 + 1, 64) AS span
+           FROM (SELECT doc_id, text,
+                        unnest(generate_series(1,
+                          cast(floor((length(text) - 64) / 32.0) AS int) + 1))
+                          AS si
+                 FROM dd21)),
+         g21 AS (SELECT span FROM sp21 GROUP BY 1
+                 HAVING count(DISTINCT doc_id) BETWEEN 2 AND 32
+                    AND count(*) <= 64),
+         gs21 AS MATERIALIZED (
+           SELECT s.* FROM sp21 s JOIN g21 g ON g.span = s.span),
+         sd21 AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.si AS sia,
+                  a.off AS oa, b.off - a.off AS delta
+           FROM gs21 a JOIN gs21 b
+             ON b.span = a.span AND a.doc_id < b.doc_id),
+         rn21 AS (
+           SELECT doc_a, doc_b, delta, oa,
+                  sia - row_number() OVER (PARTITION BY doc_a, doc_b, delta
+                                           ORDER BY oa) AS isl
+           FROM sd21),
+         il21 AS (
+           SELECT doc_a, doc_b, delta, isl, min(oa) AS sa, max(oa) AS ea,
+                  count(*) AS n_windows
+           FROM rn21 GROUP BY 1, 2, 3, 4),
+         ex21 AS (
+           SELECT i.doc_a, i.doc_b, i.sa, i.ea, i.n_windows,
+                  i.sa + i.delta AS sb, i.ea + i.delta AS eb,
+                  ta.text AS text_a, tb.text AS text_b,
+                  least(31, i.sa - 1, i.sa + i.delta - 1) AS ln,
+                  least(31, length(ta.text) - i.ea - 63,
+                        length(tb.text) - (i.ea + i.delta) - 63) AS rext
+           FROM il21 i JOIN dd21 ta ON ta.doc_id = i.doc_a
+           JOIN dd21 tb ON tb.doc_id = i.doc_b),
+         ex21b AS (
+           SELECT *, reverse(substr(text_a, sa - ln, ln)) AS rva,
+                  reverse(substr(text_b, sb - ln, ln)) AS rvb,
+                  substr(text_a, ea + 64, rext) AS fa,
+                  substr(text_b, eb + 64, rext) AS fb
+           FROM ex21),
+         ex21c AS (
+           SELECT doc_a, doc_b, sa, ea, sb, n_windows, rext, fa, fb,
+                  CASE WHEN ln <= 0 THEN 0 ELSE
+                    coalesce(list_min(list_filter(generate_series(1, ln),
+                      i -> substr(rva, i, 1) <> substr(rvb, i, 1))) - 1, ln)
+                  END AS left_ext
+           FROM ex21b),
+         ex21d AS (
+           SELECT doc_a, doc_b, sa, ea, sb, n_windows, left_ext,
+                  CASE WHEN rext <= 0 THEN 0 ELSE
+                    coalesce(list_min(list_filter(generate_series(1, rext),
+                      i -> substr(fa, i, 1) <> substr(fb, i, 1))) - 1, rext)
+                  END AS right_ext
+           FROM ex21c)
+         SELECT doc_a, doc_b,
+                cast(sa - left_ext AS bigint) AS start_a,
+                cast(sb - left_ext AS bigint) AS start_b,
+                cast(ea + 64 - sa + left_ext + right_ext AS bigint)
+                  AS span_len,
+                cast(n_windows AS bigint) AS n_windows
+         FROM ex21d
+         ORDER BY doc_a, doc_b, start_a, start_b, span_len""")),
 
     ("d13_leakage_safe_split", (s: SparkSession, d: String) => {
       // Cluster-aware train/valid/test split — the leakage guard the

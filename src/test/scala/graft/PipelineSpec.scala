@@ -1825,4 +1825,50 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(2L) == ((0, 0, "no pii here at all")))
     assert(got(3L) == ((0, 1, "<NUM>")))
   }
+
+  test("maximalRepeatSpans: a boundary-straddling 150-char repeat reports whole; d12 provably under-reports it") {
+    // Planted per VERDICT r16 #5: a 150-char passage P shared by two docs
+    // at grid-phase-equal but unequal offsets (41 in A, 73 in B — both
+    // ≡ 9 mod 32, delta 32), with ends straddling the 64-at-32 grid.
+    // Only TWO grid windows (offsets 65, 97 in A) sit fully inside P, so
+    // d12 sees 96 covered chars and no extent; d21 must chain the two
+    // seeds, extend 24 left and 30 right by exact comparison, and report
+    // the repeat WHOLE: (start_a 41, start_b 73, span_len 150).
+    val s = spark
+    import s.implicits._
+    val p = (0 until 150).map(i =>
+      ('a' + (i * 7 + (i / 13) * 5 + 3) % 26).toChar).mkString
+    require(p.sliding(64).toSeq.distinct.size == 87) // aperiodic: no self-collisions
+    val docA = ("1" * 40) + p + ("2" * 70)
+    val docB = ("3" * 72) + p + ("4" * 38)
+    val docs = Seq((1L, docA), (2L, docB)).toDF("doc_id", "text")
+    val d21 = TextPipeline.maximalRepeatSpans(docs).collect()
+    assert(d21.length == 1, s"expected one maximal span, got ${d21.toSeq}")
+    val r = d21.head
+    assert((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)) ==
+      ((41L, 73L, 150L, 2L)), s"d21 row: $r")
+    // d12 on the same docs: 2 duplicated grid spans per doc = 96 covered
+    // chars < 150 — the structural under-report d21 exists to fix.
+    val d12 = TextPipeline.spanDedup(docs).collect()
+      .map(x => x.getLong(0) -> x.getLong(2)).toMap
+    assert(d12 == Map(1L -> 2L, 2L -> 2L), s"d12 per-doc dup spans: $d12")
+  }
+
+  test("maximalRepeatSpans: exact duplicate docs report one full-length span with zero extension; text-start/end caps hold") {
+    // Delta-0 pair at the text boundary: extension has no room on either
+    // side (sa = 1, run reaches text end), so the report is exactly the
+    // grid-covered extent = the whole (grid-aligned) text.
+    val s = spark
+    import s.implicits._
+    val t = (0 until 160).map(i =>
+      ('a' + (i * 11 + (i / 17) * 7 + 5) % 26).toChar).mkString
+    val docs = Seq((1L, t), (2L, t)).toDF("doc_id", "text")
+    val out = TextPipeline.maximalRepeatSpans(docs).collect()
+    assert(out.length == 1, s"${out.toSeq}")
+    val r = out.head
+    // 160 chars -> grid windows at 1, 33, 65, 97 (97+63 = 160): 4 seeds,
+    // covered [1, 160], no extension possible.
+    assert((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)) ==
+      ((1L, 1L, 160L, 4L)), s"row: $r")
+  }
 }
