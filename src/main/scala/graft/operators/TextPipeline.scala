@@ -5,6 +5,7 @@ import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Training-data pipeline operators over the `documents` / `embeddings`
   * tables: deduplication (exact, MinHash-LSH, SimHash, shingle-Jaccard),
@@ -2420,6 +2421,135 @@ object TextPipeline {
             .cast("long")).as("compression_e6"))
   }
 
+  // ----- x49/x50: unigram-LM tokenizer (SentencePiece-style, hard-EM) ----
+
+  /** One Viterbi-segmentation pass (the E-step of x49's unigram trainer,
+    * and its encoder): segment every word TYPE into vocab pieces
+    * maximizing the summed e6-quantized log-probability. All-integer DP,
+    * spelled as codegen'd higher-order functions — per word, the piece
+    * edges (start, end, score) are collected once (bounded: ≤ 4·len
+    * after the ≤ 4-char piece cap) and a single `aggregate` fold fills
+    * best[0..len] left to right; each position keeps the best
+    * (score DESC, token-count ASC, last-piece-length DESC) predecessor —
+    * a TOTAL order (the piece is determined by (end, length)), so the
+    * segmentation is a pure function of (word, vocab) and the DuckDB
+    * recursive-CTE replay reproduces it row for row. Coverage is
+    * guaranteed: every single corpus char is always in the vocab, so no
+    * sentinel ever reaches an output row. Scale: the word-TYPE table
+    * shuffles once on word; the vocab is selection-bounded (≤ chars+64)
+    * and broadcasts; DP is O(len·4) per word type, never per occurrence.
+    * Returns (word, cnt, ps: array of pieces, n_tok).
+    */
+  private[graft] def unigramViterbi(words: DataFrame,
+      vocab: DataFrame): DataFrame = {
+    val edges = words
+      .select(col("word"), col("cnt"),
+        explode(expr("""flatten(transform(sequence(1, length(word)), i ->
+          transform(sequence(i, least(i + 3, length(word))),
+            j -> named_struct('i', i, 'j', j,
+                   'piece', substring(word, i, j - i + 1)))))""")).as("e"))
+      .select(col("word"), col("cnt"), col("e.i").as("i"),
+        col("e.j").as("j"), col("e.piece").as("piece"))
+      .join(broadcast(vocab), "piece")
+    val el = edges.groupBy(col("word"), col("cnt")).agg(
+      sort_array(collect_list(struct(col("j"), col("i"), col("s_e6"),
+        col("piece")))).as("edges"))
+    // best[k] lives at element k+1 (1-based element_at); best[0] = empty
+    // segmentation at score 0; the -2^62 sentinel marks not-yet-filled
+    // slots and can never win (single-char edges always exist).
+    val sent = "named_struct('s', cast(-4611686018427387904 AS bigint), " +
+      "'nt', 0, 'bl', 0, 'ps', cast(array() AS array<string>))"
+    el.withColumn("n", length(col("word")))
+      .withColumn("best", expr(s"""
+        aggregate(sequence(1, n),
+          concat(array(named_struct('s', cast(0 AS bigint), 'nt', 0,
+              'bl', 0, 'ps', cast(array() AS array<string>))),
+            transform(sequence(1, n), z -> $sent)),
+          (acc, k) -> transform(acc, (x, idx) -> IF(idx = k,
+            aggregate(filter(edges, e -> e.j = k), $sent,
+              (b, e) -> IF(
+                  element_at(acc, e.i).s + e.s_e6 > b.s
+                  OR (element_at(acc, e.i).s + e.s_e6 = b.s
+                      AND element_at(acc, e.i).nt + 1 < b.nt)
+                  OR (element_at(acc, e.i).s + e.s_e6 = b.s
+                      AND element_at(acc, e.i).nt + 1 = b.nt
+                      AND e.j - e.i + 1 > b.bl),
+                named_struct('s', element_at(acc, e.i).s + e.s_e6,
+                  'nt', element_at(acc, e.i).nt + 1,
+                  'bl', e.j - e.i + 1,
+                  'ps', concat(element_at(acc, e.i).ps, array(e.piece))),
+                b)),
+            x)))"""))
+      .select(col("word"), col("cnt"),
+        expr("element_at(best, n + 1).ps").as("ps"),
+        expr("element_at(best, n + 1).nt").cast("long").as("n_tok"))
+  }
+
+  /** x49's unigram-LM TRAINER (SentencePiece's estimator re-posed as
+    * deterministic hard-EM, VERDICT r16 #6): seed vocabulary = every
+    * corpus character plus the top-64 multi-char substrings (≤ 4 chars,
+    * overlapping-occurrence frequency, ties by piece — the d3-style
+    * bounded selection that keeps the vocab broadcast-sized at any
+    * corpus scale); initial piece log-probs from seed frequencies; one
+    * Viterbi E-step re-counts pieces by actual use; the PRUNE keeps all
+    * chars (coverage) plus the top-16 multi-char pieces by used count;
+    * M-step re-estimates log-probs from add-one-smoothed kept counts;
+    * a final Viterbi pass under the pruned vocab is the tokenizer.
+    * Fixed rounds + integer e6 scores + total-order tie-breaks = the
+    * whole train+encode replays hash-exact in DuckDB (recursive-CTE DP
+    * carrying the last-4 best window, since piece length ≤ 4). Returns
+    * (pruned vocab: piece, s_e6; final segmentation: word, cnt, ps,
+    * n_tok — persisted, the encoder's lookup).
+    */
+  private[graft] def unigramTrain(docs: DataFrame): (DataFrame, DataFrame) = {
+    val wf = corpusWords(docs).groupBy(col("word"))
+      .agg(count(lit(1)).as("cnt"))
+    val pieces = wf
+      .select(col("cnt"),
+        explode(expr("""flatten(transform(sequence(1, length(word)), i ->
+          transform(sequence(i, least(i + 3, length(word))),
+            j -> substring(word, i, j - i + 1))))""")).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("cnt")).as("freq"))
+    def scored(vf: DataFrame, cnt: String): DataFrame =
+      vf.crossJoin(broadcast(vf.agg(sum(col(cnt)).cast("double").as("tot"))))
+        .select(col("piece"),
+          round(log(col(cnt).cast("double") / col("tot")) * 1e6)
+            .cast("long").as("s_e6"))
+    val chars = pieces.filter(length(col("piece")) === 1)
+    val v0f = chars.unionByName(
+      pieces.filter(length(col("piece")) >= 2)
+        .orderBy(col("freq").desc, col("piece")).limit(64))
+    val seg1 = unigramViterbi(wf, scored(v0f, "freq"))
+    val c1 = seg1.select(col("cnt"), explode(col("ps")).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("cnt")).as("c"))
+    val v1f = chars.select(col("piece")).join(c1, Seq("piece"), "left")
+      .select(col("piece"), (coalesce(col("c"), lit(0L)) + 1).as("cs"))
+      .unionByName(
+        c1.filter(length(col("piece")) >= 2)
+          .orderBy(col("c").desc, col("piece")).limit(16)
+          .select(col("piece"), (col("c") + 1).as("cs")))
+    val v1 = scored(v1f, "cs").persist(StorageLevel.MEMORY_AND_DISK)
+    val seg2 = unigramViterbi(wf, v1).persist(StorageLevel.MEMORY_AND_DISK)
+    seg2.count()
+    (v1, seg2)
+  }
+
+  /** Session-cached unigram training per corpus — x49 reads the
+    * encoder, x50 compares it against the SAME corpus's BPE vocab (the
+    * bpeTrainedFor pattern, cost reported through the shared build log).
+    */
+  private val unigramCache = new java.util.WeakHashMap[SparkSession,
+    scala.collection.concurrent.TrieMap[String, (DataFrame, DataFrame)]]()
+  private[graft] def unigramTrainedFor(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) =
+    unigramCache.synchronized {
+      unigramCache.computeIfAbsent(s,
+        _ => scala.collection.concurrent.TrieMap.empty)
+    }.getOrElseUpdate(d,
+      AnnIndex.timedBuild("unigram") {
+        unigramTrain(Tables.documents(s, d))
+      })
+
   /** x28's DuckDB oracle: the SAME k-round fixpoint unrolled as CTEs
     * (g1's pattern). The greedy non-overlapping rewrite replays as a
     * `list_reduce` fold over a TAB-joined accumulator string: the last
@@ -2501,6 +2631,103 @@ object TextPipeline {
                 END AS compression_e6
          FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
          ORDER BY d.doc_id"""
+
+  /** x49/x50's DuckDB replay of [[unigramViterbi]]: a recursive CTE per
+    * E-step walking word positions left to right, carrying the last-4
+    * best window (piece length ≤ 4, so best[k] needs only best[k-4..k-1])
+    * — each step LEFT-JOINs the four possible piece edges ending at k+1
+    * and picks the winner by the SAME total order as the Spark fold
+    * (score DESC, token-count ASC, piece-length DESC), spelled as a
+    * list_sort over a sort-key-prefixed candidate list. Emits useg<tag>
+    * (word, cnt, ps, n_tok).
+    */
+  private def uniViterbiCtes(tag: Int, vocab: String): String = {
+    val sent = "struct_pack(s := cast(-4611686018427387904 AS bigint), " +
+      "nt := 0, bl := 0, ps := cast([] AS varchar[]))"
+    def cand(l: Int): String =
+      s"""CASE WHEN e$l.piece IS NOT NULL THEN
+            struct_pack(ns := -(r.win[$l].s + e$l.s_e6),
+              nt := r.win[$l].nt + 1, nb := -$l,
+              ps := list_append(r.win[$l].ps, e$l.piece)) END"""
+    val best = "list_sort(list_filter([" +
+      (1 to 4).map(cand).mkString(", ") + "], c -> c IS NOT NULL))[1]"
+    s"""ue$tag AS MATERIALIZED (
+           SELECT s.word, s.i + s.l - 1 AS j, s.l, s.piece, v.s_e6
+           FROM useed s JOIN $vocab v ON v.piece = s.piece),
+         ur$tag AS (
+           SELECT word, cnt, 0 AS k,
+                  [struct_pack(s := cast(0 AS bigint), nt := 0, bl := 0,
+                               ps := cast([] AS varchar[])),
+                   $sent, $sent, $sent] AS win
+           FROM uwf
+           UNION ALL
+           SELECT r.word, r.cnt, r.k + 1,
+                  list_prepend(struct_pack(
+                    s := -($best.ns), nt := $best.nt,
+                    bl := -($best.nb), ps := $best.ps), r.win[1:3])
+           FROM ur$tag r
+           LEFT JOIN ue$tag e1
+             ON e1.word = r.word AND e1.j = r.k + 1 AND e1.l = 1
+           LEFT JOIN ue$tag e2
+             ON e2.word = r.word AND e2.j = r.k + 1 AND e2.l = 2
+           LEFT JOIN ue$tag e3
+             ON e3.word = r.word AND e3.j = r.k + 1 AND e3.l = 3
+           LEFT JOIN ue$tag e4
+             ON e4.word = r.word AND e4.j = r.k + 1 AND e4.l = 4
+           WHERE r.k < length(r.word)),
+         useg$tag AS MATERIALIZED (
+           SELECT word, cnt, win[1].ps AS ps,
+                  cast(win[1].nt AS bigint) AS n_tok
+           FROM ur$tag WHERE k = length(word))"""
+  }
+
+  /** The full unigram train chain (seed → score → E1 → prune+smooth →
+    * re-score → E2), mirroring [[unigramTrain]] number for number.
+    * `includeOcc = false` when composed after the BPE chain, which
+    * already defines `occ` (the d5 shared-CTE-name rule).
+    */
+  private def uniOracleCtes(includeOcc: Boolean): String = {
+    val occ = if (includeOcc)
+      """occ AS (
+           SELECT doc_id,
+                  unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+           FROM documents),
+         """
+    else ""
+    s"""${occ}uwf AS (SELECT word, cast(count(*) AS bigint) AS cnt
+             FROM occ GROUP BY 1),
+         useed AS MATERIALIZED (
+           SELECT w.word, w.cnt, t.i, u.l, substr(w.word, t.i, u.l) AS piece
+           FROM uwf w,
+                unnest(generate_series(1, length(w.word))) t(i),
+                unnest(generate_series(1, 4)) u(l)
+           WHERE t.i + u.l - 1 <= length(w.word)),
+         upc AS (SELECT piece, cast(sum(cnt) AS bigint) AS freq
+                 FROM useed GROUP BY 1),
+         uv0m AS (SELECT piece, freq FROM upc WHERE length(piece) >= 2
+                  ORDER BY freq DESC, piece LIMIT 64),
+         uv0f AS (SELECT piece, freq FROM upc WHERE length(piece) = 1
+                  UNION ALL SELECT piece, freq FROM uv0m),
+         uv0 AS MATERIALIZED (
+           SELECT piece, cast(round(ln(cast(freq AS double) / t.tot) * 1e6)
+             AS bigint) AS s_e6
+           FROM uv0f, (SELECT cast(sum(freq) AS double) AS tot FROM uv0f) t),
+         ${uniViterbiCtes(1, "uv0")},
+         uc1 AS (SELECT piece, cast(sum(cnt) AS bigint) AS c FROM (
+                   SELECT cnt, unnest(ps) AS piece FROM useg1) GROUP BY 1),
+         uk1c AS (SELECT p.piece, coalesce(c.c, 0) AS c
+                  FROM (SELECT piece FROM upc WHERE length(piece) = 1) p
+                  LEFT JOIN uc1 c ON c.piece = p.piece),
+         uk1m AS (SELECT piece, c FROM uc1 WHERE length(piece) >= 2
+                  ORDER BY c DESC, piece LIMIT 16),
+         uv1f AS (SELECT piece, c + 1 AS cs FROM uk1c
+                  UNION ALL SELECT piece, c + 1 AS cs FROM uk1m),
+         uv1 AS MATERIALIZED (
+           SELECT piece, cast(round(ln(cast(cs AS double) / t.tot) * 1e6)
+             AS bigint) AS s_e6
+           FROM uv1f, (SELECT cast(sum(cs) AS double) AS tot FROM uv1f) t),
+         ${uniViterbiCtes(2, "uv1")}"""
+  }
 
   val entries: Seq[(String, Q, Option[String])] = Seq(
 
@@ -6830,6 +7057,110 @@ object TextPipeline {
                 END AS rel_fertility_e6
          FROM nd LEFT JOIN ws ON ws.source = nd.source, tot t
          ORDER BY nd.source""")),
+
+    ("x49_unigram_encode", (s: SparkSession, d: String) => {
+      // Unigram-LM tokenizer, train + encode (VERDICT r16 #6) — the
+      // OTHER industry tokenizer beside x28/x29's BPE (SentencePiece's
+      // unigram estimator: seed a substring vocabulary, EM-estimate
+      // piece probabilities by segmenting the corpus, PRUNE, re-estimate
+      // — here the deterministic hard-EM variant: Viterbi E-steps over
+      // e6-integer log-probs, fixed rounds, total-order tie-breaks, so
+      // the whole train+encode replays hash-exact in DuckDB via
+      // recursive-CTE DP). Output shares x29's per-doc interface
+      // (n_words / n_chars_alpha / token count / e6 compression) so the
+      // two tokenizers read side by side; x50 does the source-level
+      // fertility comparison. Scale: word-TYPE table (Zipf-bounded)
+      // carries all DP work; vocab is selection-bounded and broadcasts;
+      // the encode join is x29's size-gated shape.
+      val (_, seg2) = unigramTrainedFor(s, d)
+      val docs = Tables.documents(s, d)
+      val agg = corpusWords(docs)
+        .join(broadcast(seg2.select(col("word"), col("n_tok"))), "word")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(length(col("word")).cast("long")).as("n_chars_alpha"),
+          sum(col("n_tok")).as("n_uni_tokens"))
+      docs.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_words"), lit(0L)).as("n_words"),
+          coalesce(col("n_chars_alpha"), lit(0L)).as("n_chars_alpha"),
+          coalesce(col("n_uni_tokens"), lit(0L)).as("n_uni_tokens"),
+          when(coalesce(col("n_chars_alpha"), lit(0L)) > 0,
+            round(col("n_uni_tokens") * lit(1000000.0) /
+              col("n_chars_alpha")).cast("long")).as("compression_e6"))
+        .orderBy(col("doc_id"))
+    }, Some(
+      s"""WITH RECURSIVE ${uniOracleCtes(includeOcc = true)},
+         uagg AS (
+           SELECT o.doc_id, cast(count(*) AS bigint) AS n_words,
+                  cast(sum(length(o.word)) AS bigint) AS n_chars_alpha,
+                  cast(sum(g.n_tok) AS bigint) AS n_uni_tokens
+           FROM occ o JOIN useg2 g ON g.word = o.word GROUP BY 1)
+         SELECT d.doc_id, coalesce(a.n_words, 0) AS n_words,
+                coalesce(a.n_chars_alpha, 0) AS n_chars_alpha,
+                coalesce(a.n_uni_tokens, 0) AS n_uni_tokens,
+                CASE WHEN coalesce(a.n_chars_alpha, 0) > 0
+                     THEN cast(round(a.n_uni_tokens * 1000000.0
+                            / a.n_chars_alpha) AS bigint)
+                END AS compression_e6
+         FROM documents d LEFT JOIN uagg a ON a.doc_id = d.doc_id
+         ORDER BY d.doc_id""")),
+
+    ("x50_fertility_compare", (s: SparkSession, d: String) => {
+      // BPE vs UNIGRAM fertility on the SAME corpus (VERDICT r16 #6's
+      // comparison row beside x45): per (tokenizer, source), words,
+      // tokens, and e6 fertility — the measurement a pipeline chooses
+      // its tokenizer family by (unigram typically segments with fewer,
+      // longer pieces at equal vocab budget; here both vocabs come from
+      // their own session-cached training runs over the same word
+      // stream, so the comparison is apples to apples). Exact integer
+      // sums; the oracle replays BOTH trainings — the BPE merge chain
+      // and the unigram EM chain — in one composed CTE graph (shared
+      // `occ`, name-prefixed per the d5 rule).
+      val docs = Tables.documents(s, d)
+      val (_, bpeVocab) = bpeTrainedFor(s, d, 6)
+      val (_, seg2) = unigramTrainedFor(s, d)
+      def arm(enc: DataFrame, tok: String): DataFrame =
+        corpusWords(docs)
+          .join(broadcast(enc), "word")
+          .join(docs.select(col("doc_id"), col("source")), "doc_id")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_words"), sum(col("n_tok")).as("n_tokens"))
+          .select(lit(tok).as("tokenizer"), col("source"),
+            col("n_words"), col("n_tokens"),
+            expr("""CASE WHEN n_words > 0 THEN
+                cast(round(n_tokens * 1e6 / n_words) AS bigint)
+              END""").as("fertility_e6"))
+      arm(bpeVocab.select(col("word"),
+          size(col("syms")).cast("long").as("n_tok")), "bpe")
+        .unionByName(arm(seg2.select(col("word"), col("n_tok")), "unigram"))
+        .orderBy(col("tokenizer"), col("source"))
+    }, Some(
+      s"""WITH RECURSIVE ${bpeOracleCtes(6, finalRewrite = true)},
+         ${uniOracleCtes(includeOcc = false)},
+         benc AS (SELECT word, cast(len(syms) AS bigint) AS n_tok
+                  FROM seq6),
+         uenc AS (SELECT word, n_tok FROM useg2),
+         warm AS (
+           SELECT 'bpe' AS tokenizer, dd.source,
+                  cast(count(*) AS bigint) AS n_words,
+                  cast(sum(e.n_tok) AS bigint) AS n_tokens
+           FROM occ o JOIN benc e ON e.word = o.word
+           JOIN documents dd ON dd.doc_id = o.doc_id
+           GROUP BY 1, 2
+           UNION ALL
+           SELECT 'unigram' AS tokenizer, dd.source,
+                  cast(count(*) AS bigint) AS n_words,
+                  cast(sum(e.n_tok) AS bigint) AS n_tokens
+           FROM occ o JOIN uenc e ON e.word = o.word
+           JOIN documents dd ON dd.doc_id = o.doc_id
+           GROUP BY 1, 2)
+         SELECT tokenizer, source, n_words, n_tokens,
+                CASE WHEN n_words > 0 THEN
+                  cast(round(n_tokens * 1e6 / n_words) AS bigint)
+                END AS fertility_e6
+         FROM warm
+         ORDER BY tokenizer, source""")),
 
     ("x48_dataset_card", (s: SparkSession, d: String) => {
       // THE DATASET CARD — the per-source datasheet a corpus ships

@@ -1871,4 +1871,57 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)) ==
       ((1L, 1L, 160L, 4L)), s"row: $r")
   }
+
+  test("unigramViterbi: picks max-score segmentation; ties break fewer-tokens then longer-last-piece") {
+    // Hand-computed DPs over a fixed vocab (scores already e6-long):
+    //  - "abab" with ab=-15: [ab,ab]=-30 beats [a,ba,b]=-32 and chars=-40.
+    //  - "ab" with ab=-20 ties [a,b]=-20 -> fewer tokens wins: [ab].
+    //  - "abc" with ab/bc/a/c=-10: [ab,c] ties [a,bc] at (-20, 2 tokens)
+    //    -> the position-3 tie breaks by LONGER last piece: [a,bc].
+    val s = spark
+    import s.implicits._
+    val words = Seq(("abab", 1L), ("ab", 1L), ("abc", 1L))
+      .toDF("word", "cnt")
+    val vocab = Seq(
+      ("a", -10L), ("b", -10L), ("c", -10L),
+      ("ab", -15L), ("ba", -12L), ("bc", -10L))
+      .toDF("piece", "s_e6")
+    val got = TextPipeline.unigramViterbi(words, vocab)
+      .collect().map(r => r.getString(0) ->
+        (r.getSeq[String](2).toList, r.getLong(3))).toMap
+    assert(got("abab") == ((List("ab", "ab"), 2L)), s"${got("abab")}")
+    assert(got("abc") == ((List("a", "bc"), 2L)), s"${got("abc")}")
+    // Tie case needs ab=-20: rerun with the overridden score.
+    val vocab2 = Seq(("a", -10L), ("b", -10L), ("ab", -20L))
+      .toDF("piece", "s_e6")
+    val got2 = TextPipeline.unigramViterbi(
+        Seq(("ab", 1L)).toDF("word", "cnt"), vocab2)
+      .collect().map(r => r.getString(0) ->
+        (r.getSeq[String](2).toList, r.getLong(3))).toMap
+    assert(got2("ab") == ((List("ab"), 1L)), s"${got2("ab")}")
+  }
+
+  test("unigramTrain: pruned vocab keeps every corpus char; encoder covers every word; fewer-or-equal tokens than chars") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "the spark engine sparked sparking things"),
+      (2L, "the engine of spark things the the"),
+      (3L, "sparked engine things sparking"))
+      .toDF("doc_id", "text").withColumn("source",
+        org.apache.spark.sql.functions.lit("t"))
+    val (v1, seg2) = TextPipeline.unigramTrain(docs)
+    val chars = docs.select(org.apache.spark.sql.functions.explode(
+      org.apache.spark.sql.functions.expr(
+        "transform(sequence(1, length(regexp_replace(lower(text), '[^a-z]', ''))), " +
+        "i -> substring(regexp_replace(lower(text), '[^a-z]', ''), i, 1))")).as("c"))
+      .distinct().collect().map(_.getString(0)).toSet
+    val vp = v1.collect().map(_.getString(0)).toSet
+    assert(chars.subsetOf(vp), s"missing chars: ${chars -- vp}")
+    val bad = seg2.filter(
+      org.apache.spark.sql.functions.expr(
+        "concat_ws('', ps) != word OR n_tok > length(word) OR n_tok < 1"))
+      .collect()
+    assert(bad.isEmpty, s"broken segmentations: ${bad.toSeq}")
+  }
 }
