@@ -922,6 +922,20 @@ object TextPipeline {
       "q_id", "cosine_e6", "vec_id", k, ascending = false,
       scoreName = "cosine_e6", idName = "vec_id")
 
+  /** e32's DERIVED clustered manifold: vector = 8·center(vec_id mod 16)
+    * + the original coordinates, where center(c)[i] = (5c + 3i + 1) mod
+    * 17 − 8 (1-based i; 5 is invertible mod 17, so the 16 centers are
+    * distinct — max pairwise center cosine measured 0.73 against
+    * intra-cluster ≈ 0.995+). Pure double arithmetic on cast-up floats,
+    * so the DuckDB replay is bit-identical. Spark's transform index is
+    * 0-based where DuckDB's lambda index is 1-based — hence `(i + 1)`.
+    */
+  private[graft] def clusteredEmbeddings(e: DataFrame): DataFrame =
+    e.select(col("vec_id"),
+      expr("""transform(embedding, (x, i) ->
+          cast(8.0D * ((5 * (vec_id % 16) + 3 * (i + 1) + 1) % 17 - 8)
+               + cast(x AS double) AS double))""").as("embedding"))
+
   /** One unrolled greedy MMR round as a DuckDB CTE triple (e20): round
     * i scores every not-yet-selected candidate as λ·rel − (1−λ)·max
     * sim-to-selected on the e6-quantized INTEGER sims (λ = 0.7 ⇒
@@ -2059,6 +2073,172 @@ object TextPipeline {
               JOIN nents en ON en.vec_id = a.vec_id) s)
           WHERE rn <= ef),
          ${(1 to rounds).map(beamRound).mkString(",\n         ")}"""
+  }
+
+  /** The e30/e27/e32 HNSW replay (build + descent + beam), mirroring
+    * [[AnnIndex.trainHnsw]]/[[AnnIndex.hnswSearchMulti]] number for
+    * number. Expects `ex`/`nrm`/`allscored`/`nbuckets`/`npscore`
+    * upstream (the [[nswBuildCtes]] family). Emits `hbeam<R>` (ef, q_id,
+    * vec_id, c6) and `hsc_n` (ef, n_scored) for the per-ef work
+    * accounting. Every multiply-referenced CTE is MATERIALIZED (the g13
+    * inlining lesson — the level graphs and descent frontiers are each
+    * referenced 2-3 times downstream).
+    */
+  private def hnswOracleCtes(efs: Seq[Int], beamRounds: Int,
+      descentRounds: Int = 2, efd: Int = 2, m0: Int = 8, mUp: Int = 8,
+      embSrc: String = "embeddings", qPred: String = "vec_id < 3")
+      : String = {
+    def levelGraph(l: Int, prev: String): String =
+      s"""hn$l AS (SELECT vec_id FROM hlv WHERE lvl >= $l),
+         hpair$l AS (
+           SELECT DISTINCT p.src, p.dst FROM (
+             SELECT src, dst FROM $prev
+             UNION
+             SELECT a.dst AS src, b.dst AS dst
+             FROM $prev a JOIN $prev b ON b.src = a.src
+             WHERE a.dst <> b.dst) p
+           JOIN hn$l s ON s.vec_id = p.src
+           JOIN hn$l d ON d.vec_id = p.dst),
+         hsc$l AS MATERIALIZED (
+           SELECT p.src, p.dst,
+                  cast(round(sum(xa.v * xb.v) / (na.nrm * nb.nrm) * 1e6)
+                    AS bigint) AS c6
+           FROM hpair$l p JOIN ex xa ON xa.vec_id = p.src
+           JOIN ex xb ON xb.vec_id = p.dst AND xb.i = xa.i
+           JOIN nrm na ON na.vec_id = p.src
+           JOIN nrm nb ON nb.vec_id = p.dst
+           GROUP BY p.src, p.dst, na.nrm, nb.nrm),
+         hknn$l AS (SELECT src, dst FROM (
+                      SELECT *, row_number() OVER (PARTITION BY src
+                        ORDER BY c6 DESC, dst) AS rn FROM hsc$l)
+                    WHERE rn <= $mUp),
+         hdivl$l AS (SELECT DISTINCT src, dst FROM (
+               SELECT s.src, s.dst, row_number() OVER (
+                        PARTITION BY s.src, b.t, b.bucket
+                        ORDER BY s.c6 DESC, s.dst) AS rn
+               FROM hsc$l s JOIN nbuckets b ON b.vec_id = s.dst
+               JOIN nbuckets sb ON sb.vec_id = s.src AND sb.t = b.t
+               WHERE sb.bucket <> b.bucket)
+             WHERE rn = 1),
+         hedge$l AS MATERIALIZED (
+           SELECT src, dst FROM (SELECT src, dst FROM hknn$l
+                                 UNION SELECT src, dst FROM hdivl$l) u
+           UNION SELECT dst AS src, src AS dst
+           FROM (SELECT src, dst FROM hknn$l
+                 UNION SELECT src, dst FROM hdivl$l) v)"""
+    val steps = for (l <- 3 to 1 by -1; r <- 1 to descentRounds)
+      yield (l, r)
+    val descent = steps.zipWithIndex.map { case ((l, _), i) =>
+      val n = i + 1
+      s"""hcand$n AS (
+           SELECT DISTINCT c.q_id, g.dst AS vec_id
+           FROM hcur${n - 1} c JOIN hedge$l g ON g.src = c.vec_id),
+         hcur$n AS MATERIALIZED (
+           SELECT q_id, vec_id, c6 FROM (
+             SELECT p.q_id, p.vec_id, s.c6, row_number() OVER (
+                      PARTITION BY p.q_id ORDER BY s.c6 DESC, p.vec_id)
+                      AS rn
+             FROM (SELECT q_id, vec_id FROM hcur${n - 1}
+                   UNION SELECT q_id, vec_id FROM hcand$n) p
+             JOIN hqs s ON s.q_id = p.q_id AND s.vec_id = p.vec_id)
+           WHERE rn <= $efd)"""
+    }.mkString(",\n         ")
+    val nFin = steps.size
+    val beamTail = (2 to beamRounds).map { r =>
+      val b = r - 1
+      s"""hbcand$b AS (SELECT DISTINCT e2.ef, e2.q_id, g.dst AS vec_id
+               FROM hbeam${b - 1} e2 JOIN hedge0 g ON g.src = e2.vec_id
+               WHERE g.dst <> e2.q_id),
+         hbeam$b AS MATERIALIZED (SELECT ef, q_id, vec_id, c6 FROM (
+            SELECT p.ef, p.q_id, p.vec_id, s.c6, row_number() OVER (
+                     PARTITION BY p.ef, p.q_id
+                     ORDER BY s.c6 DESC, p.vec_id) AS rn
+            FROM (SELECT ef, q_id, vec_id FROM hbeam${b - 1}
+                  UNION SELECT ef, q_id, vec_id FROM hbcand$b) p
+            JOIN allscored s
+              ON s.q_id = p.q_id AND s.vec_id = p.vec_id)
+          WHERE rn <= ef)"""
+    }.mkString(",\n         ")
+    s"""hlv AS MATERIALIZED (
+           SELECT vec_id,
+                  (CASE WHEN hv % 4 = 0 THEN 1 ELSE 0 END
+                   + CASE WHEN hv % 16 = 0 THEN 1 ELSE 0 END
+                   + CASE WHEN hv % 64 = 0 THEN 1 ELSE 0 END) AS lvl
+           FROM (SELECT vec_id, xor(m3, m3 >> 16) AS hv FROM (
+             SELECT vec_id, (v2 * 1033321189) % 4294967296 AS m3 FROM (
+               SELECT vec_id, xor(m2, m2 >> 13) AS v2 FROM (
+                 SELECT vec_id, (v1 * 1540483477) % 4294967296 AS m2 FROM (
+                   SELECT vec_id, xor(m1, m1 >> 16) AS v1 FROM (
+                     SELECT vec_id,
+                            ((x * 2147483648) % 4294967296
+                             + (x * 506952113) % 4294967296) % 4294967296
+                              AS m1
+                     FROM (SELECT vec_id, vec_id % 4294967296 AS x
+                           FROM $embSrc)))))))),
+         hdiv0 AS (SELECT DISTINCT src, dst FROM (
+               SELECT s.src, s.dst, row_number() OVER (
+                        PARTITION BY s.src, b.t, b.bucket
+                        ORDER BY s.c6 DESC, s.dst) AS rn
+               FROM npscore s JOIN nbuckets b ON b.vec_id = s.dst
+               JOIN nbuckets sb ON sb.vec_id = s.src AND sb.t = b.t
+               WHERE sb.bucket <> b.bucket)
+             WHERE rn = 1),
+         hknn0 AS (SELECT src, dst FROM (
+               SELECT *, row_number() OVER (PARTITION BY src
+                 ORDER BY c6 DESC, dst) AS rn FROM npscore)
+             WHERE rn <= $m0),
+         hedge0 AS MATERIALIZED (
+           SELECT src, dst FROM (SELECT src, dst FROM hknn0
+                                 UNION SELECT src, dst FROM hdiv0) u
+           UNION SELECT dst AS src, src AS dst
+           FROM (SELECT src, dst FROM hknn0
+                 UNION SELECT src, dst FROM hdiv0) v),
+         ${levelGraph(1, "hedge0")},
+         ${levelGraph(2, "hedge1")},
+         ${levelGraph(3, "hedge2")},
+         hqs AS MATERIALIZED (
+           SELECT q_id, vec_id, c6 FROM allscored
+           UNION ALL SELECT vec_id AS q_id, vec_id, 1000000 AS c6
+           FROM $embSrc WHERE $qPred),
+         hent AS (SELECT min(b.vec_id) AS vec_id
+                  FROM nbuckets b JOIN hlv l ON l.vec_id = b.vec_id
+                  WHERE b.t = 0 AND l.lvl >= 3 GROUP BY b.bucket),
+         hqq AS (SELECT vec_id AS q_id FROM $embSrc WHERE $qPred),
+         hcur0 AS MATERIALIZED (SELECT q_id, vec_id, c6 FROM (
+            SELECT s.q_id, s.vec_id, s.c6, row_number() OVER (
+                     PARTITION BY s.q_id ORDER BY s.c6 DESC, s.vec_id)
+                     AS rn
+            FROM hqs s JOIN hent e ON e.vec_id = s.vec_id)
+          WHERE rn <= $efd),
+         $descent,
+         hefs AS (SELECT unnest([${efs.mkString(", ")}]) AS ef),
+         hcand0 AS (
+           SELECT q_id, vec_id FROM (
+             SELECT c.q_id, g.dst AS vec_id
+             FROM hcur$nFin c JOIN hedge0 g ON g.src = c.vec_id
+             UNION SELECT q_id, vec_id FROM hcur$nFin)
+           WHERE vec_id <> q_id),
+         hbeam0 AS MATERIALIZED (SELECT ef, q_id, vec_id, c6 FROM (
+            SELECT f.ef, p.q_id, p.vec_id, s.c6, row_number() OVER (
+                     PARTITION BY f.ef, p.q_id
+                     ORDER BY s.c6 DESC, p.vec_id) AS rn
+            FROM hefs f CROSS JOIN hcand0 p
+            JOIN allscored s ON s.q_id = p.q_id AND s.vec_id = p.vec_id)
+          WHERE rn <= ef),
+         $beamTail,
+         hwalked AS (
+           SELECT q.q_id, e.vec_id FROM hqq q CROSS JOIN hent e
+           ${steps.indices.map(i =>
+             s"UNION SELECT q_id, vec_id FROM hcand${i + 1}")
+             .mkString("\n           ")}
+           UNION SELECT q_id, vec_id FROM hcand0),
+         hscored_all AS (
+           SELECT f.ef, w.q_id, w.vec_id FROM hefs f CROSS JOIN hwalked w
+           ${(1 until beamRounds).map(b =>
+             s"UNION SELECT ef, q_id, vec_id FROM hbcand$b")
+             .mkString("\n           ")}),
+         hsc_n AS (SELECT ef, cast(count(*) AS bigint) AS n_scored
+                   FROM hscored_all GROUP BY 1)"""
   }
 
   /** The x30 BM25 oracle — shared with x31, whose sparse arm must be
@@ -5067,10 +5247,45 @@ object TextPipeline {
           AnnIndex.probedScores(idx, col("vec_id") < 3, p, None)
             .agg(count(lit(1)).as("n_scored")), "ivf", p)
       }
-      (nswRows ++ ivfRows).reduce(_ unionByName _)
+      // r17: the hierarchy's rows on the same queries/ground truth —
+      // at 9/9 recall the hierarchy scores fewer candidates than the
+      // flat walk (ef 14 suffices vs the flat ef 16; on this
+      // near-isotropic corpus the margin is small — e32's clustered
+      // lane is where it becomes ~3×).
+      val hnsw = AnnIndex.hnswFor(s, d, e)
+      val hefs = Seq(4, 8, 14, 16)
+      val (hbeam, hscoredPairs) = AnnIndex.hnswSearchMulti(
+        hnsw, e, col("vec_id") < 3, hefs, beamRounds = 4)
+      val hnswRows = hefs.map { ef =>
+        arm(
+          AnnIndex.topKCut(hbeam.filter(col("ef") === ef),
+            "q_id", "cosine_e6", "vec_id", 3,
+            ascending = false, scoreName = "cosine_e6", idName = "vec_id"),
+          hscoredPairs.filter(col("ef") === ef)
+            .agg(count(lit(1)).as("n_scored")), "hnsw", ef)
+      }
+      (nswRows ++ ivfRows ++ hnswRows).reduce(_ unionByName _)
         .orderBy(col("family"), col("param"))
     }, Some(e7OraclePrefix + ",\n         " +
-      nswOracleCtes(Seq(4, 8, 16, 32), m = 16, rounds = 4) + """,
+      nswOracleCtes(Seq(4, 8, 16, 32), m = 16, rounds = 4) + ",\n         " +
+      hnswOracleCtes(Seq(4, 8, 14, 16), beamRounds = 4) + """,
+         hnswtop AS (SELECT ef, q_id, vec_id FROM (
+                      SELECT ef, q_id, vec_id, row_number() OVER (
+                        PARTITION BY ef, q_id
+                        ORDER BY c6 DESC, vec_id) AS rk
+                      FROM hbeam3) WHERE rk <= 3),
+         hngx AS (SELECT f.ef, e3.q_id, e3.vec_id
+                  FROM exact3 e3 CROSS JOIN hefs f),
+         hnswrec AS (
+           SELECT cast(g.ef AS int) AS param,
+                  cast(count(DISTINCT g.q_id) AS bigint) AS n_queries,
+                  cast(count(*) AS bigint) AS n_exact,
+                  cast(count(t.vec_id) AS bigint) AS n_hits,
+                  cast(round(count(t.vec_id) * 1000000 / count(*))
+                    AS bigint) AS recall_e6
+           FROM hngx g LEFT JOIN hnswtop t
+             ON t.ef = g.ef AND t.q_id = g.q_id AND t.vec_id = g.vec_id
+           GROUP BY g.ef),
          ps AS (SELECT unnest([1, 2, 4, 8]) AS p),
          probe AS (
            SELECT d.q_id, d.cid, ps.p FROM (
@@ -5138,7 +5353,11 @@ object TextPipeline {
            UNION ALL
            SELECT 'ivf' AS family, r.param, r.n_queries, r.n_exact,
                   r.n_hits, r.recall_e6, s.n_scored
-           FROM ivfrec r JOIN ivfsc s ON s.p = r.param)
+           FROM ivfrec r JOIN ivfsc s ON s.p = r.param
+           UNION ALL
+           SELECT 'hnsw' AS family, r.param, r.n_queries, r.n_exact,
+                  r.n_hits, r.recall_e6, s.n_scored
+           FROM hnswrec r JOIN hsc_n s ON s.ef = r.param)
          ORDER BY family, param""")),
 
     ("e28_nsw_insert", (s: SparkSession, d: String) => {
@@ -5339,6 +5558,180 @@ object TextPipeline {
                 r.recall_e6, s.n_scored
          FROM mrec r JOIN mec e ON e.m = r.m JOIN msc s ON s.m = r.m
          ORDER BY r.m""")),
+
+    ("e30_hnsw_search", (s: SparkSession, d: String) => {
+      // TRUE hierarchical HNSW (VERDICT r16 #1) — the multi-layer
+      // upgrade of e26's single-layer NSW: deterministic fmix32 level
+      // assignment (geometric by bit-count, P(lvl ≥ L) = 4^-L, no RNG),
+      // per-level bounded-degree graphs built by contracting the level
+      // below over the SAME shared LSH banding, neighbor-diversity
+      // quota per (src, table, dst-bucket) — HNSW's Alg.-4 select
+      // heuristic re-posed relationally, the piece that keeps
+      // cross-cluster bridges alive (measured on e32's planted
+      // manifold: without it 0/9 recall, with it 9/9 at ~3× fewer
+      // scored candidates). Search = width-2 greedy descent from
+      // bucket-spread top-level entries, then the standard ef-16 beam
+      // on the base graph. Integer-deterministic end to end — the
+      // oracle replays level assignment, every level's build, the
+      // descent, and the beam. Scale: level L holds N/4^L nodes, each
+      // level's candidate set is Σ deg² of the level below (bounded by
+      // the degree caps), the walk is broadcast-bounded — no corpus²
+      // anywhere.
+      val e = Tables.embeddings(s, d)
+      AnnIndex.hnswSearch(
+        AnnIndex.hnswFor(s, d, e),
+        e, col("vec_id") < 3, k = 3, ef = 16, beamRounds = 4)
+        .orderBy(col("q_id"), col("rank"))
+    }, Some(nswScorePrefix + ",\n         " + nswBuildCtes() + ",\n         " +
+      hnswOracleCtes(Seq(16), beamRounds = 4) + """
+         SELECT q_id, vec_id, c6 AS cosine_e6, cast(rk AS int) AS rank
+         FROM (
+           SELECT q_id, vec_id, c6, row_number() OVER (PARTITION BY q_id
+                    ORDER BY c6 DESC, vec_id) AS rk
+           FROM hbeam3 WHERE ef = 16)
+         WHERE rk <= 3 ORDER BY q_id, rank""")),
+
+    ("e32_clustered_manifold", (s: SparkSession, d: String) => {
+      // THE HIERARCHY'S ADVANTAGE, MEASURED (VERDICT r16 #1's planted
+      // lane): the natural embeddings corpus is near-isotropic, where
+      // the r16 README measured graph navigation barely paying — so
+      // this lane DERIVES a clustered manifold from the same corpus
+      // (16 well-separated integer centers, max pairwise center cosine
+      // 0.73, each vector = 8·center(vec_id % 16) + its original
+      // coordinates — deterministic, replayed by the oracle) and runs
+      // BOTH families on it: e26's flat NSW build+walk vs e30's
+      // hierarchy, same queries, same exact ground truth, recall@3 and
+      // scored-candidate counts side by side. Measured result this
+      // lane exists to pin: the flat graph collapses into 16 cliques
+      // (0/9 recall at ef 8/16 — its beam drowns in the wrong
+      // cluster), while the hierarchy's diversity bridges + descent
+      // reach 9/9 at ~3× fewer scored candidates. The clustered corpus
+      // and both indexes are session-cached under a derived path key.
+      val ce = clusteredEmbeddings(Tables.embeddings(s, d))
+      val q = ce.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val exact3 = exactTopK(ce, q, 3).select(col("q_id"), col("vec_id"))
+      val efs = Seq(8, 16)
+      def arm(top3: DataFrame, scoredCount: DataFrame, family: String,
+          param: Int): DataFrame =
+        exact3.join(top3.select(col("q_id").as("tq"), col("vec_id").as("tv")),
+            col("q_id") === col("tq") && col("vec_id") === col("tv"), "left")
+          .agg(countDistinct(col("q_id")).as("n_queries"),
+            count(lit(1)).as("n_exact"), count(col("tv")).as("n_hits"))
+          .crossJoin(broadcast(scoredCount))
+          .select(lit(family).as("family"), lit(param).as("param"),
+            col("n_queries"), col("n_exact"), col("n_hits"),
+            round(col("n_hits") * lit(1000000L) / col("n_exact"))
+              .cast("long").as("recall_e6"),
+            col("n_scored"))
+      val nsw = AnnIndex.nswFor(s, s"$d|clustered", ce, m = 16, tables = 4)
+      val (nbeam, nscored) =
+        AnnIndex.nswBeamMulti(nsw, ce, col("vec_id") < 3, efs, rounds = 4)
+      val hnsw = AnnIndex.hnswFor(s, s"$d|clustered", ce)
+      val (hbeam, hscored) = AnnIndex.hnswSearchMulti(
+        hnsw, ce, col("vec_id") < 3, efs, beamRounds = 4)
+      val rows =
+        efs.map { ef =>
+          arm(AnnIndex.topKCut(nbeam.filter(col("ef") === ef),
+            "q_id", "cosine_e6", "vec_id", 3, ascending = false,
+            scoreName = "cosine_e6", idName = "vec_id"),
+            nscored.filter(col("ef") === ef)
+              .agg(count(lit(1)).as("n_scored")), "nsw", ef)
+        } ++ efs.map { ef =>
+          arm(AnnIndex.topKCut(hbeam.filter(col("ef") === ef),
+            "q_id", "cosine_e6", "vec_id", 3, ascending = false,
+            scoreName = "cosine_e6", idName = "vec_id"),
+            hscored.filter(col("ef") === ef)
+              .agg(count(lit(1)).as("n_scored")), "hnsw", ef)
+        }
+      rows.reduce(_ unionByName _).orderBy(col("family"), col("param"))
+    }, Some(
+      s"""WITH cemb AS MATERIALIZED (
+           SELECT vec_id,
+                  list_transform(embedding, (x, i) ->
+                    cast(8.0 * ((5 * (vec_id % 16) + 3 * i + 1) % 17 - 8)
+                         + cast(x AS double) AS double)) AS embedding
+           FROM embeddings),
+         ex AS (
+           SELECT vec_id, i, cast(embedding[i] AS double) AS v FROM (
+             SELECT vec_id, embedding,
+                    unnest(generate_series(1, len(embedding))) AS i
+             FROM cemb)),
+         nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ex GROUP BY 1),
+         alldots AS (
+           SELECT q.vec_id AS q_id, e.vec_id AS vec_id, sum(q.v * e.v) AS dot
+           FROM ex q JOIN ex e ON q.i = e.i
+           WHERE q.vec_id < 3 AND e.vec_id <> q.vec_id
+           GROUP BY 1, 2),
+         allscored AS (
+           SELECT d.q_id, d.vec_id,
+                  cast(round(d.dot / (nq.nrm * ne.nrm) * 1e6) AS bigint)
+                    AS c6
+           FROM alldots d
+           JOIN nrm nq ON nq.vec_id = d.q_id
+           JOIN nrm ne ON ne.vec_id = d.vec_id),
+         exact3 AS (
+           SELECT q_id, vec_id FROM (
+             SELECT *, row_number() OVER (PARTITION BY q_id
+                         ORDER BY c6 DESC, vec_id) AS rank
+             FROM allscored)
+           WHERE rank <= 3),
+         ${nswOracleCtes(Seq(8, 16), m = 16, rounds = 4)},
+         ${hnswOracleCtes(Seq(8, 16), beamRounds = 4, embSrc = "cemb")},
+         cnswtop AS (SELECT ef, q_id, vec_id FROM (
+                      SELECT ef, q_id, vec_id, row_number() OVER (
+                        PARTITION BY ef, q_id
+                        ORDER BY c6 DESC, vec_id) AS rk
+                      FROM nbeam4) WHERE rk <= 3),
+         cnswscored AS (
+           SELECT f.ef, a.q_id, a.vec_id
+           FROM nefs f CROSS JOIN (
+             SELECT x.q_id, x.vec_id FROM allscored x
+             JOIN nents en ON en.vec_id = x.vec_id) a
+           UNION SELECT ef, q_id, vec_id FROM ncand1
+           UNION SELECT ef, q_id, vec_id FROM ncand2
+           UNION SELECT ef, q_id, vec_id FROM ncand3
+           UNION SELECT ef, q_id, vec_id FROM ncand4),
+         cnswsc AS (SELECT ef, cast(count(*) AS bigint) AS n_scored
+                   FROM cnswscored GROUP BY 1),
+         cgx AS (SELECT f.ef, e3.q_id, e3.vec_id
+                 FROM exact3 e3 CROSS JOIN nefs f),
+         cnswrec AS (
+           SELECT cast(g.ef AS int) AS param,
+                  cast(count(DISTINCT g.q_id) AS bigint) AS n_queries,
+                  cast(count(*) AS bigint) AS n_exact,
+                  cast(count(t.vec_id) AS bigint) AS n_hits,
+                  cast(round(count(t.vec_id) * 1000000 / count(*))
+                    AS bigint) AS recall_e6
+           FROM cgx g LEFT JOIN cnswtop t
+             ON t.ef = g.ef AND t.q_id = g.q_id AND t.vec_id = g.vec_id
+           GROUP BY g.ef),
+         chtop AS (SELECT ef, q_id, vec_id FROM (
+                      SELECT ef, q_id, vec_id, row_number() OVER (
+                        PARTITION BY ef, q_id
+                        ORDER BY c6 DESC, vec_id) AS rk
+                      FROM hbeam3) WHERE rk <= 3),
+         chrec AS (
+           SELECT cast(g.ef AS int) AS param,
+                  cast(count(DISTINCT g.q_id) AS bigint) AS n_queries,
+                  cast(count(*) AS bigint) AS n_exact,
+                  cast(count(t.vec_id) AS bigint) AS n_hits,
+                  cast(round(count(t.vec_id) * 1000000 / count(*))
+                    AS bigint) AS recall_e6
+           FROM cgx g LEFT JOIN chtop t
+             ON t.ef = g.ef AND t.q_id = g.q_id AND t.vec_id = g.vec_id
+           GROUP BY g.ef)
+         SELECT family, param, n_queries, n_exact, n_hits, recall_e6,
+                n_scored
+         FROM (
+           SELECT 'nsw' AS family, r.param, r.n_queries, r.n_exact,
+                  r.n_hits, r.recall_e6, s.n_scored
+           FROM cnswrec r JOIN cnswsc s ON s.ef = r.param
+           UNION ALL
+           SELECT 'hnsw' AS family, r.param, r.n_queries, r.n_exact,
+                  r.n_hits, r.recall_e6, s.n_scored
+           FROM chrec r JOIN hsc_n s ON s.ef = r.param)
+         ORDER BY family, param""")),
 
     ("e19_range_search", (s: SparkSession, d: String) => {
       // RANGE (threshold) search — the other retrieval mode: "every

@@ -1924,4 +1924,30 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect()
     assert(bad.isEmpty, s"broken segmentations: ${bad.toSeq}")
   }
+
+  test("hnsw hierarchy invariants: geometric levels, nested level graphs, top-level entries, bounded degree") {
+    val s = spark
+    import org.apache.spark.sql.functions.{col, max => smax, countDistinct}
+    val d = "/root/testdata/sf0.001"
+    val e = graft.sources.Tables.embeddings(s, d)
+    val idx = graft.operators.AnnIndex.hnswFor(s, d, e)
+    // entries: non-empty, sorted, all at the top level per the fmix32 law
+    assert(idx.entries.nonEmpty && idx.entries == idx.entries.sorted)
+    val lvlOf = idx.lvl.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(idx.entries.forall(v => lvlOf(v) >= idx.top),
+      s"entry below top level: ${idx.entries.map(v => v -> lvlOf(v))}")
+    // level-L edges connect only lvl >= L nodes; graphs nest downward
+    for (l <- 1 to idx.top) {
+      val bad = idx.edges(l).collect().filter(r =>
+        lvlOf(r.getLong(0)) < l || lvlOf(r.getLong(1)) < l)
+      assert(bad.isEmpty, s"level $l edge touches a lower-level node: ${bad.take(3).toSeq}")
+    }
+    // degree bound: m0-or-mUp nearest + at most one quota slot per
+    // (table, bucket) pair, symmetrized
+    val degCap = 2 * (16 + 4 * 16)
+    val maxDeg = idx.edges(0).groupBy(col("src"))
+      .agg(countDistinct(col("dst")).as("d"))
+      .agg(smax(col("d"))).first().getLong(0)
+    assert(maxDeg <= degCap, s"base degree $maxDeg exceeds cap $degCap")
+  }
 }
