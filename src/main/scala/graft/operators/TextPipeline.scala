@@ -2241,6 +2241,98 @@ object TextPipeline {
                    FROM hscored_all GROUP BY 1)"""
   }
 
+  /** e31/e33's IVF-Lloyd replay (the e6/e11 law as a generator): emits
+    * icb0..icb<iters> and ia0..ia<iters>, assuming `u` (vec_id, i, ue6)
+    * upstream. Identical text shape to e11's hand-written chain.
+    */
+  private def ivfLloydCtes(iters: Int, nlist: Int): String = {
+    def assign(it: Int) =
+      s"""ia$it AS (SELECT vec_id, cid FROM (
+                   SELECT vec_id, cid, row_number() OVER (
+                     PARTITION BY vec_id ORDER BY dist, cid) AS rn
+                   FROM (SELECT u.vec_id, cb.cid,
+                                cast(sum((u.ue6 - cb.ue6) * (u.ue6 - cb.ue6))
+                                  AS bigint) AS dist
+                         FROM u JOIN icb$it cb ON cb.i = u.i GROUP BY 1, 2))
+                 WHERE rn = 1)"""
+    def update(it: Int) =
+      s"""icb${it + 1} AS (SELECT icb$it.cid, icb$it.i,
+                         coalesce(up.ue6, icb$it.ue6) AS ue6
+                  FROM icb$it LEFT JOIN (
+                    SELECT a.cid, u.i,
+                           cast(floor(sum(u.ue6) * 1.0 / count(*) + 0.5)
+                             AS bigint) AS ue6
+                    FROM ia$it a JOIN u ON u.vec_id = a.vec_id
+                    GROUP BY 1, 2) up
+                  ON up.cid = icb$it.cid AND up.i = icb$it.i)"""
+    (s"""icb0 AS (SELECT cast(r - 1 AS int) AS cid, i, ue6 FROM (
+                    SELECT u.*, dense_rank() OVER (ORDER BY vec_id) AS r
+                    FROM u)
+                  WHERE r <= $nlist)""" +:
+      (0 until iters).flatMap(it => Seq(assign(it), update(it))) :+
+      assign(iters)).mkString(",\n         ")
+  }
+
+  /** e31/e33's PQ-Lloyd replay over an arbitrary subvector stream
+    * (`src`: vec_id, sub, d, ue6): emits <pfx>cb0..<pfx>cb<iters> and
+    * <pfx>a0..<pfx>a<iters> — the raw chain at pfx = "" matches e9/e11's
+    * hand-written text; the residual chain runs it at pfx = "r" over the
+    * residual stream.
+    */
+  private def pqLloydCtes(pfx: String, src: String, iters: Int,
+      ksub: Int): String = {
+    def assign(it: Int) =
+      s"""${pfx}a$it AS (SELECT vec_id, sub, code FROM (
+                  SELECT vec_id, sub, code, row_number() OVER (
+                    PARTITION BY vec_id, sub ORDER BY dist, code) AS rn
+                  FROM (SELECT $src.vec_id, $src.sub, cb.code,
+                               cast(sum(($src.ue6 - cb.ue6) * ($src.ue6 - cb.ue6))
+                                 AS bigint) AS dist
+                        FROM $src JOIN ${pfx}cb$it cb
+                          ON cb.sub = $src.sub AND cb.d = $src.d
+                        GROUP BY 1, 2, 3))
+                WHERE rn = 1)"""
+    def update(it: Int) =
+      s"""${pfx}cb${it + 1} AS (SELECT ${pfx}cb$it.sub, ${pfx}cb$it.code,
+                        ${pfx}cb$it.d, coalesce(up.ue6, ${pfx}cb$it.ue6) AS ue6
+                 FROM ${pfx}cb$it LEFT JOIN (
+                   SELECT a.sub, a.code, $src.d,
+                          cast(floor(sum($src.ue6) * 1.0 / count(*) + 0.5)
+                            AS bigint) AS ue6
+                   FROM ${pfx}a$it a JOIN $src
+                     ON $src.vec_id = a.vec_id AND $src.sub = a.sub
+                   GROUP BY 1, 2, 3) up
+                 ON up.sub = ${pfx}cb$it.sub AND up.code = ${pfx}cb$it.code
+                AND up.d = ${pfx}cb$it.d)"""
+    (s"""${pfx}cb0 AS (SELECT sub, cast(r - 1 AS int) AS code, d, ue6 FROM (
+                   SELECT $src.*, dense_rank() OVER (ORDER BY vec_id) AS r
+                   FROM $src)
+                 WHERE r <= $ksub)""" +:
+      (0 until iters).flatMap(it => Seq(assign(it), update(it))) :+
+      assign(iters)).mkString(",\n         ")
+  }
+
+  /** Shared prefix for the residual-PQ oracles: unit vectors, the IVF
+    * quantizer, the raw-PQ subvector stream, the residual stream under
+    * the FINAL assignment, and the residual codebook. */
+  private def rpqOraclePrefix: String =
+    s"""WITH ex AS (
+           SELECT vec_id, i, cast(embedding[i] AS double) AS v FROM (
+             SELECT vec_id, embedding,
+                    unnest(generate_series(1, len(embedding))) AS i
+             FROM embeddings)),
+         nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ex GROUP BY 1),
+         u AS (SELECT e.vec_id, e.i,
+                      cast(round(e.v / n.nrm * 1e6) AS bigint) AS ue6
+               FROM ex e JOIN nrm n ON n.vec_id = e.vec_id),
+         ${ivfLloydCtes(iters = 2, nlist = 16)},
+         res AS (SELECT u.vec_id, u.i, u.ue6 - cb.ue6 AS re6
+                 FROM u JOIN ia2 a ON a.vec_id = u.vec_id
+                 JOIN icb2 cb ON cb.cid = a.cid AND cb.i = u.i),
+         rsv AS (SELECT vec_id, cast((i - 1) // 8 AS int) AS sub,
+                        cast((i - 1) % 8 AS int) AS d, re6 AS ue6 FROM res),
+         ${pqLloydCtes("r", "rsv", iters = 2, ksub = 16)}"""
+
   /** The x30 BM25 oracle — shared with x31, whose sparse arm must be
     * exactly x30's ranking.
     */
@@ -5732,6 +5824,235 @@ object TextPipeline {
                   r.n_hits, r.recall_e6, s.n_scored
            FROM chrec r JOIN hsc_n s ON s.ef = r.param)
          ORDER BY family, param""")),
+
+    ("e31_residual_pq", (s: SparkSession, d: String) => {
+      // IVF + RESIDUAL PQ serving (VERDICT r16 #3) — e11's composition
+      // with the production encoding: PQ codes quantize the RESIDUAL
+      // vector − assigned-centroid under the frozen coarse quantizer
+      // (FAISS IVFPQ's by_residual default), so the same 8 bytes/vector
+      // carry ~10% less quantization error (e33 pins the measurement).
+      // Serving differs in one place: the query computes an ADC table
+      // PER PROBED LIST from its residual against that list's centroid
+      // — nprobe tiny tables instead of one, still broadcast. Training
+      // (deterministic Lloyd on integer residuals), probes, ADC sums,
+      // and both tie-breaks replay CTE-for-CTE; the index composes the
+      // session's cached IVF quantizer (rpqFor).
+      AnnIndex.rpqSearch(
+        AnnIndex.rpqFor(s, d, Tables.embeddings(s, d),
+          nlist = 16, ivfIters = 2, m = 8, ksub = 16, pqIters = 2),
+        col("vec_id") < 3, k = 3, nprobe = 4)
+        .orderBy(col("q_id"), col("rank"))
+    }, Some(
+      rpqOraclePrefix + """,
+         pdist AS (SELECT u.vec_id AS q_id, cb.cid,
+                          cast(sum((u.ue6 - cb.ue6) * (u.ue6 - cb.ue6))
+                            AS bigint) AS dist
+                   FROM u JOIN icb2 cb ON cb.i = u.i
+                   WHERE u.vec_id < 3 GROUP BY 1, 2),
+         probe AS (SELECT q_id, cid FROM (
+                     SELECT pdist.*, row_number() OVER (PARTITION BY q_id
+                              ORDER BY dist, cid) AS crank FROM pdist)
+                   WHERE crank <= 4),
+         qres AS (SELECT u.vec_id AS q_id, p.cid, u.i, u.ue6 - cb.ue6 AS re6
+                  FROM u JOIN probe p ON p.q_id = u.vec_id
+                  JOIN icb2 cb ON cb.cid = p.cid AND cb.i = u.i
+                  WHERE u.vec_id < 3),
+         qrsv AS (SELECT q_id, cid, cast((i - 1) // 8 AS int) AS sub,
+                         cast((i - 1) % 8 AS int) AS d, re6 FROM qres),
+         rqt AS (SELECT s.q_id, s.cid, cb.sub, cb.code,
+                        cast(sum((s.re6 - cb.ue6) * (s.re6 - cb.ue6))
+                          AS bigint) AS dist
+                 FROM qrsv s JOIN rcb2 cb ON cb.sub = s.sub AND cb.d = s.d
+                 GROUP BY 1, 2, 3, 4),
+         ivfcand AS (SELECT p.q_id, p.cid, l.vec_id FROM probe p
+                     JOIN ia2 l ON l.cid = p.cid
+                     WHERE l.vec_id <> p.q_id),
+         adc AS (SELECT c.q_id, c.vec_id, cast(sum(rqt.dist) AS bigint)
+                          AS adist
+                 FROM ivfcand c
+                 JOIN ra2 ON ra2.vec_id = c.vec_id
+                 JOIN rqt ON rqt.q_id = c.q_id AND rqt.cid = c.cid
+                         AND rqt.sub = ra2.sub AND rqt.code = ra2.code
+                 GROUP BY 1, 2),
+         acand AS (SELECT q_id, vec_id, adist FROM (
+                     SELECT adc.*, row_number() OVER (PARTITION BY q_id
+                              ORDER BY adist, vec_id) AS arank FROM adc)
+                   WHERE arank <= 12),
+         cdot AS (SELECT c.q_id, c.vec_id, c.adist, sum(q.v * e.v) AS dot
+                  FROM acand c
+                  JOIN ex q ON q.vec_id = c.q_id
+                  JOIN ex e ON e.vec_id = c.vec_id AND e.i = q.i
+                  GROUP BY 1, 2, 3),
+         scored AS (SELECT cd.q_id, cd.vec_id, cd.adist,
+                           cast(round(cd.dot / (nq.nrm * ne.nrm) * 1e6)
+                             AS bigint) AS cosine_e6
+                    FROM cdot cd
+                    JOIN nrm nq ON nq.vec_id = cd.q_id
+                    JOIN nrm ne ON ne.vec_id = cd.vec_id)
+         SELECT q_id, vec_id, adist, cosine_e6, rank FROM (
+           SELECT scored.*, row_number() OVER (PARTITION BY q_id
+                    ORDER BY cosine_e6 DESC, vec_id) AS rank
+           FROM scored)
+         WHERE rank <= 3 ORDER BY q_id, rank""")),
+
+    ("e33_residual_gain", (s: SparkSession, d: String) => {
+      // THE RESIDUAL GAIN, MEASURED (VERDICT r16 #3's done-bar beside
+      // e10/e13): raw-PQ (e11's encoding) vs residual-PQ on the SAME
+      // corpus, codebook budget, and queries — (a) mean squared e6
+      // reconstruction error over the whole corpus (the quantity
+      // residual encoding exists to shrink: ~574G → ~516G here, −10%)
+      // and (b) exact-top-3 containment in each path's top-12 probed
+      // ADC candidates for 10 queries (pre-rerank — the candidate
+      // quality the re-rank budget rides on; 14→18 / 12→18 hits at the
+      // two scales). Both arms reuse their session-cached indexes; all
+      // arithmetic integer-exact, oracle replays both trainings.
+      val e = Tables.embeddings(s, d)
+      import s.implicits._
+      val ipq = AnnIndex.ivfPqFor(s, d, e,
+        nlist = 16, ivfIters = 2, m = 8, ksub = 16, pqIters = 2)
+      val rpq = AnnIndex.rpqFor(s, d, e,
+        nlist = 16, ivfIters = 2, m = 8, ksub = 16, pqIters = 2)
+      def qerrArm(codes: DataFrame, vcol: String,
+          cb: Seq[(Int, Int, Seq[Long])]): DataFrame =
+        codes
+          .select(col("vec_id"), col(vcol).as("vv"),
+            posexplode(col("codes")).as(Seq("sub", "code")))
+          .join(broadcast(cb.toDF("sub", "code", "cent")), Seq("sub", "code"))
+          .withColumn("vsub", expr("slice(vv, sub * 8 + 1, 8)"))
+          .select(col("vec_id"), AnnIndex.sqDist("vsub", "cent").as("dd"))
+          .groupBy(col("vec_id")).agg(sum(col("dd")).as("qerr"))
+          .agg(floor(sum(col("qerr")).cast("double") / count(lit(1)))
+            .cast("long").as("avg_qerr"))
+      val q10 = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val exact3 = exactTopK(e, q10, 3).select(col("q_id"), col("vec_id"))
+      def hitsArm(cands: DataFrame): DataFrame =
+        exact3.join(cands.select(col("q_id").as("cq"),
+            col("vec_id").as("cv")),
+            col("q_id") === col("cq") && col("vec_id") === col("cv"), "left")
+          .agg(countDistinct(col("q_id")).as("n_queries"),
+            count(lit(1)).as("n_exact"), count(col("cv")).as("n_hits12"))
+      def row(fam: String, qerr: DataFrame, hits: DataFrame): DataFrame =
+        qerr.crossJoin(broadcast(hits))
+          .select(lit(fam).as("family"), col("avg_qerr"),
+            col("n_queries"), col("n_exact"), col("n_hits12"),
+            round(col("n_hits12") * lit(1000000L) / col("n_exact"))
+              .cast("long").as("crecall_e6"))
+      row("raw",
+        qerrArm(ipq.pq.codes, "unit", ipq.pq.codebook),
+        hitsArm(AnnIndex.ivfPqAdcCands(ipq, col("vec_id") < 10, 4, 12)))
+        .unionByName(row("residual",
+          qerrArm(rpq.coded, "res", rpq.codebook),
+          hitsArm(AnnIndex.rpqAdcCands(rpq, col("vec_id") < 10, 4, 12))))
+        .orderBy(col("family"))
+    }, Some(
+      rpqOraclePrefix + s""",
+         sv AS (SELECT vec_id, cast((i - 1) // 8 AS int) AS sub,
+                       cast((i - 1) % 8 AS int) AS d, ue6 FROM u),
+         ${pqLloydCtes("", "sv", iters = 2, ksub = 16)},
+         rr AS (SELECT a.vec_id, cb.sub, cb.d, cb.ue6 AS p
+                FROM a2 a JOIN cb2 cb ON cb.sub = a.sub AND cb.code = a.code),
+         rq AS (SELECT sv.vec_id,
+                       cast(sum((sv.ue6 - rr.p) * (sv.ue6 - rr.p))
+                         AS bigint) AS qerr
+                FROM sv JOIN rr ON rr.vec_id = sv.vec_id
+                                AND rr.sub = sv.sub AND rr.d = sv.d
+                GROUP BY 1),
+         rres AS (SELECT a.vec_id, cb.sub, cb.d, cb.ue6 AS p
+                  FROM ra2 a JOIN rcb2 cb
+                    ON cb.sub = a.sub AND cb.code = a.code),
+         rq2 AS (SELECT s2.vec_id,
+                        cast(sum((s2.ue6 - rres.p) * (s2.ue6 - rres.p))
+                          AS bigint) AS qerr
+                 FROM rsv s2 JOIN rres ON rres.vec_id = s2.vec_id
+                                      AND rres.sub = s2.sub
+                                      AND rres.d = s2.d
+                 GROUP BY 1),
+         alldots AS (SELECT q.vec_id AS q_id, e.vec_id, sum(q.v * e.v)
+                              AS dot
+                     FROM ex q JOIN ex e ON e.i = q.i
+                     WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id
+                     GROUP BY 1, 2),
+         exact3 AS (SELECT q_id, vec_id FROM (
+                      SELECT d2.q_id, d2.vec_id, row_number() OVER (
+                        PARTITION BY d2.q_id
+                        ORDER BY cast(round(d2.dot / (a.nrm * b.nrm) * 1e6)
+                          AS bigint) DESC, d2.vec_id) AS rk
+                      FROM alldots d2 JOIN nrm a ON a.vec_id = d2.q_id
+                      JOIN nrm b ON b.vec_id = d2.vec_id)
+                    WHERE rk <= 3),
+         pd AS (SELECT u.vec_id AS q_id, cb.cid,
+                       cast(sum((u.ue6 - cb.ue6) * (u.ue6 - cb.ue6))
+                         AS bigint) AS dist
+                FROM u JOIN icb2 cb ON cb.i = u.i
+                WHERE u.vec_id < 10 GROUP BY 1, 2),
+         probe AS (SELECT q_id, cid FROM (
+                     SELECT pd.*, row_number() OVER (PARTITION BY q_id
+                              ORDER BY dist, cid) AS crank FROM pd)
+                   WHERE crank <= 4),
+         ivfcand AS (SELECT p.q_id, p.cid, l.vec_id FROM probe p
+                     JOIN ia2 l ON l.cid = p.cid
+                     WHERE l.vec_id <> p.q_id),
+         qt AS (SELECT sv.vec_id AS q_id, cb.sub, cb.code,
+                       cast(sum((sv.ue6 - cb.ue6) * (sv.ue6 - cb.ue6))
+                         AS bigint) AS dist
+                FROM sv JOIN cb2 cb ON cb.sub = sv.sub AND cb.d = sv.d
+                WHERE sv.vec_id < 10 GROUP BY 1, 2, 3),
+         adcraw AS (SELECT c.q_id, c.vec_id, cast(sum(qt.dist) AS bigint)
+                             AS adist
+                    FROM ivfcand c JOIN a2 ON a2.vec_id = c.vec_id
+                    JOIN qt ON qt.q_id = c.q_id AND qt.sub = a2.sub
+                           AND qt.code = a2.code
+                    GROUP BY 1, 2),
+         rawcand AS (SELECT q_id, vec_id FROM (
+                       SELECT adcraw.*, row_number() OVER (PARTITION BY q_id
+                                ORDER BY adist, vec_id) AS rk FROM adcraw)
+                     WHERE rk <= 12),
+         qres AS (SELECT u.vec_id AS q_id, p.cid, u.i, u.ue6 - cb.ue6 AS re6
+                  FROM u JOIN probe p ON p.q_id = u.vec_id
+                  JOIN icb2 cb ON cb.cid = p.cid AND cb.i = u.i
+                  WHERE u.vec_id < 10),
+         qrsv AS (SELECT q_id, cid, cast((i - 1) // 8 AS int) AS sub,
+                         cast((i - 1) % 8 AS int) AS d, re6 FROM qres),
+         rqt AS (SELECT s2.q_id, s2.cid, cb.sub, cb.code,
+                        cast(sum((s2.re6 - cb.ue6) * (s2.re6 - cb.ue6))
+                          AS bigint) AS dist
+                 FROM qrsv s2 JOIN rcb2 cb ON cb.sub = s2.sub AND cb.d = s2.d
+                 GROUP BY 1, 2, 3, 4),
+         adcres AS (SELECT c.q_id, c.vec_id, cast(sum(rqt.dist) AS bigint)
+                             AS adist
+                    FROM ivfcand c JOIN ra2 ON ra2.vec_id = c.vec_id
+                    JOIN rqt ON rqt.q_id = c.q_id AND rqt.cid = c.cid
+                            AND rqt.sub = ra2.sub AND rqt.code = ra2.code
+                    GROUP BY 1, 2),
+         rescand AS (SELECT q_id, vec_id FROM (
+                       SELECT adcres.*, row_number() OVER (PARTITION BY q_id
+                                ORDER BY adist, vec_id) AS rk FROM adcres)
+                     WHERE rk <= 12),
+         gx AS (SELECT cast(count(DISTINCT q_id) AS bigint) AS n_queries,
+                       cast(count(*) AS bigint) AS n_exact FROM exact3)
+         SELECT family, avg_qerr, n_queries, n_exact, n_hits12,
+                cast(round(n_hits12 * 1000000 / n_exact) AS bigint)
+                  AS crecall_e6
+         FROM (
+           SELECT 'raw' AS family,
+                  (SELECT cast(floor(cast(sum(qerr) AS double) / count(*))
+                     AS bigint) FROM rq) AS avg_qerr,
+                  g.n_queries, g.n_exact,
+                  (SELECT cast(count(*) AS bigint) FROM exact3 e3
+                   JOIN rawcand c ON c.q_id = e3.q_id
+                                 AND c.vec_id = e3.vec_id) AS n_hits12
+           FROM gx g
+           UNION ALL
+           SELECT 'residual',
+                  (SELECT cast(floor(cast(sum(qerr) AS double) / count(*))
+                     AS bigint) FROM rq2),
+                  g.n_queries, g.n_exact,
+                  (SELECT cast(count(*) AS bigint) FROM exact3 e3
+                   JOIN rescand c ON c.q_id = e3.q_id
+                                 AND c.vec_id = e3.vec_id)
+           FROM gx g)
+         ORDER BY family""")),
 
     ("e19_range_search", (s: SparkSession, d: String) => {
       // RANGE (threshold) search — the other retrieval mode: "every
