@@ -1927,4 +1927,46 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       f.delete(); corrupt.delete()
     }
   }
+
+  test("watermarkLedger: a planted late arrival is counted dropped in exactly the batch that discards it") {
+    // Controlled watermark advance via MemoryStream (the append-mode
+    // session test's technique), asserted through the LEDGER instead of
+    // the output: batch 1 seeds window [00:00, 01:00) (watermark still
+    // at epoch); batch 2's 03:00 event advances the post-batch watermark
+    // to 02:30; batch 3's 00:20 straggler is older than that watermark,
+    // so ITS batch must report dropped_by_watermark = 1 — and no other
+    // batch may report a drop. State rows stay live for the open window.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val events = mem.toDF.toDF("ts", "event_type", "value")
+    def t(hhmm: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+    val q = EventStream.windowedAgg(events)
+      .writeStream.format("memory").queryName("wm_ledger")
+      .outputMode("append").start()
+    try {
+      mem.addData((t("00:00"), "a", 1.0), (t("00:10"), "a", 2.0))
+      q.processAllAvailable()
+      mem.addData((t("03:00"), "a", 3.0))
+      q.processAllAvailable()
+      mem.addData((t("00:20"), "a", 9.0)) // late: watermark is 02:30
+      q.processAllAvailable()
+      val ledger = EventStream.watermarkLedger(s, q).collect()
+      assert(ledger.nonEmpty, "no progress rows")
+      val drops = ledger.map(r => r.getLong(0) -> r.getLong(7)).toMap
+      assert(drops.values.sum == 1L,
+        s"expected exactly one dropped row, ledger: ${ledger.toSeq}")
+      val dropBatch = ledger.find(_.getLong(7) == 1L).get
+      // the dropping batch is the one that INGESTED the straggler: its
+      // input count is 1 and it ran under the 02:30 watermark
+      assert(dropBatch.getLong(1) == 1L, s"drop batch row: $dropBatch")
+      assert(dropBatch.getString(2).contains("02:30:00"),
+        s"watermark at drop time: ${dropBatch.getString(2)}")
+      // live state: the open [03:00, 04:00) window (and possibly the
+      // already-emitted ones evicted) — some batch must show state rows
+      assert(ledger.exists(_.getLong(5) > 0L), "no state rows ever reported")
+    } finally q.stop()
+  }
 }
