@@ -174,12 +174,42 @@ object DiskScaleProbe {
       ("mm11_decode", d =>
         noop(graft.operators.TextPipeline.queries("mm11_video_neardup")(spark, d))))
 
+    // e lane (r16 verdict #4): the NSW graph family — the suite's newest
+    // heavy by-construction class — gets measured exponents at corpus ×16
+    // (vec_id-shifted embeddings; queries stay the fixed vec_id < 3 set,
+    // so search cost isolates CORPUS growth). Three shapes:
+    //  - e26_build: trainNsw UNCACHED (banded pair scoring + top-m cut +
+    //    symmetrize), the one-time build cost. The 4-plane banding is
+    //    held fixed, so Σocc² grows ~k² per bucket — this lane MEASURES
+    //    the docstring's "planes must scale with the corpus" caveat
+    //    instead of asserting it (expect α > 1 at fixed planes).
+    //  - e26_search: the shipped query on the session-cached graph (the
+    //    g8 convention — warm pass pays the build, timed passes measure
+    //    the serving walk a 100 TB reader repeats).
+    //  - e28_insert: the shipped search-then-connect insert, whose
+    //    arrival set scales with k (insert THROUGHPUT at corpus scale).
+    val eShapes: Seq[(String, String => Unit)] = Seq(
+      ("e26_build", { d =>
+        val e = Tables.embeddings(spark, d)
+        noop(graft.operators.AnnIndex.trainNsw(
+          e, graft.operators.AnnIndex.buildLsh(e, 4, persist = false),
+          m = 16, persistEdges = false).edges)
+      }),
+      ("e26_search", d =>
+        noop(graft.operators.TextPipeline.queries("e26_nsw_search")(spark, d))),
+      ("e28_insert", d =>
+        noop(graft.operators.TextPipeline.queries("e28_nsw_insert")(spark, d))))
+
     def ksEnv(name: String, dflt: Seq[Int]): Seq[Int] =
       sys.env.get(name).map(_.split(",").filter(_.nonEmpty).map(_.trim.toInt).toSeq)
         .getOrElse(dflt)
     val probeKs = ksEnv("SPARK_GRAFT_PROBE_KS", Seq(4, 16, 64))
     val realKs = ksEnv("SPARK_GRAFT_REAL_KS", Seq(4, 16, 64))
-    (probeKs ++ realKs).distinct.sorted.foreach(materialize)
+    // ×16 cap for the e lane: at FIXED 4-plane banding the build's
+    // Σocc² term grows ~k² — ×64 would spend the probe's whole budget
+    // demonstrating a blow-up the ×16 fit already quantifies.
+    val eKs = ksEnv("SPARK_GRAFT_E_KS", Seq(4, 16))
+    (probeKs ++ realKs ++ eKs).distinct.sorted.foreach(materialize)
 
     def report(name: String, ks: Seq[Int], run: String => Unit): Unit = {
       if (ks.isEmpty) return
@@ -205,6 +235,8 @@ object DiskScaleProbe {
       .foreach { case (n, r) => report(n, probeKs, r) }
     realShapes.filter(p => wanted(p._1))
       .foreach { case (n, r) => report(n, realKs, r) }
+    eShapes.filter(p => wanted(p._1))
+      .foreach { case (n, r) => report(n, eKs, r) }
     spark.stop()
   }
 }
