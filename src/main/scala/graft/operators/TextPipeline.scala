@@ -1379,6 +1379,75 @@ object TextPipeline {
       col("n_windows"))
   }
 
+  /** The d22 kernel — SPAN SCRUB, the removal step Lee et al. 2022 run
+    * after finding repeated passages (d21 reports them; this rewrites
+    * the corpus with them removed): every maximal-span occurrence on
+    * the doc_b side (doc_a < doc_b, so the LOWEST-doc occurrence always
+    * survives — one canonical copy per repeat) becomes a removal
+    * interval [start_b, start_b + len); intervals merge per doc with a
+    * running-max gaps-and-islands (overlaps from different partners
+    * collapse); the document rewrites as the ordered concatenation of
+    * its complement segments — exact string surgery, no UDF. Output is
+    * one row per ORIGINAL document: merged-interval count, chars
+    * removed, scrubbed length, and the md5 of the scrubbed text (the
+    * lean exact witness; an exact duplicate pair scrubs its higher doc
+    * to the empty string). Scale: d21's bounded machinery + one
+    * per-doc window over its own (few) intervals + a segment
+    * concatenation — no new joins against the corpus beyond the text
+    * lookup.
+    */
+  private[graft] def spanScrub(docs0: DataFrame, maxDf: Int = 32)
+      : DataFrame = {
+    val spans = maximalRepeatSpans(docs0, maxDf)
+    val rem = spans.select(col("doc_b").as("doc_id"),
+        col("start_b").as("s"),
+        (col("start_b") + col("span_len")).as("e"))
+      .distinct()
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("s"), col("e"))
+    val prevMax = max(col("e"))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val mrg = rem
+      .withColumn("ni",
+        when(col("s") > coalesce(prevMax, lit(0L)), 1).otherwise(0))
+      .withColumn("g",
+        sum(col("ni")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("g"))
+      .agg(min(col("s")).as("s"), max(col("e")).as("e"))
+    val texts = docs0.select(col("doc_id"), col("text"))
+    val wseg = Window.partitionBy(col("doc_id")).orderBy(col("s"))
+    val mid = mrg.select(col("doc_id"),
+      coalesce(lag(col("e"), 1).over(wseg), lit(1L)).as("f"),
+      col("s").as("t"))
+    val tail = mrg.groupBy(col("doc_id")).agg(max(col("e")).as("f"))
+      .join(texts, "doc_id")
+      .select(col("doc_id"), col("f"),
+        (length(col("text")) + 1).cast("long").as("t"))
+    val scrubAgg = mid.unionByName(tail)
+      .filter(col("t") > col("f"))
+      .join(texts, "doc_id")
+      .select(col("doc_id"), col("f"),
+        expr("substring(text, f, t - f)").as("seg"))
+      .groupBy(col("doc_id"))
+      .agg(expr("""array_join(
+          transform(array_sort(collect_list(struct(f, seg))), x -> x.seg),
+          '')""").as("nt"))
+    val scrub = mrg.select(col("doc_id")).distinct()
+      .join(scrubAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("nt"), lit("")).as("nt"))
+    val counts = mrg.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans_removed"),
+        sum(col("e") - col("s")).as("n_chars_removed"))
+    texts
+      .join(counts, Seq("doc_id"), "left")
+      .join(scrub, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans_removed"), lit(0L)).as("n_spans_removed"),
+        coalesce(col("n_chars_removed"), lit(0L)).as("n_chars_removed"),
+        length(coalesce(col("nt"), col("text"))).cast("long")
+          .as("scrubbed_len"),
+        md5(coalesce(col("nt"), col("text"))).as("scrubbed_md5"))
+  }
+
   /** The d8 kernel — incremental ingest dedup, the anti-join every
     * production pipeline runs on ARRIVING batches: drop a new doc iff its
     * canonical content hash already exists in the accepted corpus (here:
@@ -3001,6 +3070,70 @@ object TextPipeline {
          ${uniViterbiCtes(2, "uv1")}"""
   }
 
+  /** d21's seed-chain-extend CTE graph (ends at ex21d: doc pair, run
+    * bounds, extensions) — shared by d21's span report and d22's span
+    * SCRUB, which removes the doc_b-side occurrences.
+    */
+  private lazy val d21OracleCtes: String =
+    """dd21 AS (
+           SELECT doc_id, text FROM documents WHERE length(text) >= 64),
+         sp21 AS (
+           SELECT doc_id, si, (si - 1) * 32 + 1 AS off,
+                  substr(text, (si - 1) * 32 + 1, 64) AS span
+           FROM (SELECT doc_id, text,
+                        unnest(generate_series(1,
+                          cast(floor((length(text) - 64) / 32.0) AS int) + 1))
+                          AS si
+                 FROM dd21)),
+         g21 AS (SELECT span FROM sp21 GROUP BY 1
+                 HAVING count(DISTINCT doc_id) BETWEEN 2 AND 32
+                    AND count(*) <= 64),
+         gs21 AS MATERIALIZED (
+           SELECT s.* FROM sp21 s JOIN g21 g ON g.span = s.span),
+         sd21 AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.si AS sia,
+                  a.off AS oa, b.off - a.off AS delta
+           FROM gs21 a JOIN gs21 b
+             ON b.span = a.span AND a.doc_id < b.doc_id),
+         rn21 AS (
+           SELECT doc_a, doc_b, delta, oa,
+                  sia - row_number() OVER (PARTITION BY doc_a, doc_b, delta
+                                           ORDER BY oa) AS isl
+           FROM sd21),
+         il21 AS (
+           SELECT doc_a, doc_b, delta, isl, min(oa) AS sa, max(oa) AS ea,
+                  count(*) AS n_windows
+           FROM rn21 GROUP BY 1, 2, 3, 4),
+         ex21 AS (
+           SELECT i.doc_a, i.doc_b, i.sa, i.ea, i.n_windows,
+                  i.sa + i.delta AS sb, i.ea + i.delta AS eb,
+                  ta.text AS text_a, tb.text AS text_b,
+                  least(31, i.sa - 1, i.sa + i.delta - 1) AS ln,
+                  least(31, length(ta.text) - i.ea - 63,
+                        length(tb.text) - (i.ea + i.delta) - 63) AS rext
+           FROM il21 i JOIN dd21 ta ON ta.doc_id = i.doc_a
+           JOIN dd21 tb ON tb.doc_id = i.doc_b),
+         ex21b AS (
+           SELECT *, reverse(substr(text_a, sa - ln, ln)) AS rva,
+                  reverse(substr(text_b, sb - ln, ln)) AS rvb,
+                  substr(text_a, ea + 64, rext) AS fa,
+                  substr(text_b, eb + 64, rext) AS fb
+           FROM ex21),
+         ex21c AS (
+           SELECT doc_a, doc_b, sa, ea, sb, n_windows, rext, fa, fb,
+                  CASE WHEN ln <= 0 THEN 0 ELSE
+                    coalesce(list_min(list_filter(generate_series(1, ln),
+                      i -> substr(rva, i, 1) <> substr(rvb, i, 1))) - 1, ln)
+                  END AS left_ext
+           FROM ex21b),
+         ex21d AS (
+           SELECT doc_a, doc_b, sa, ea, sb, n_windows, left_ext,
+                  CASE WHEN rext <= 0 THEN 0 ELSE
+                    coalesce(list_min(list_filter(generate_series(1, rext),
+                      i -> substr(fa, i, 1) <> substr(fb, i, 1))) - 1, rext)
+                  END AS right_ext
+           FROM ex21c)"""
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
 
     // ----- dedup ----------------------------------------------------------
@@ -4435,64 +4568,7 @@ object TextPipeline {
         .orderBy(col("doc_a"), col("doc_b"), col("start_a"),
           col("start_b"), col("span_len"))
     }, Some(
-      """WITH dd21 AS (
-           SELECT doc_id, text FROM documents WHERE length(text) >= 64),
-         sp21 AS (
-           SELECT doc_id, si, (si - 1) * 32 + 1 AS off,
-                  substr(text, (si - 1) * 32 + 1, 64) AS span
-           FROM (SELECT doc_id, text,
-                        unnest(generate_series(1,
-                          cast(floor((length(text) - 64) / 32.0) AS int) + 1))
-                          AS si
-                 FROM dd21)),
-         g21 AS (SELECT span FROM sp21 GROUP BY 1
-                 HAVING count(DISTINCT doc_id) BETWEEN 2 AND 32
-                    AND count(*) <= 64),
-         gs21 AS MATERIALIZED (
-           SELECT s.* FROM sp21 s JOIN g21 g ON g.span = s.span),
-         sd21 AS (
-           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.si AS sia,
-                  a.off AS oa, b.off - a.off AS delta
-           FROM gs21 a JOIN gs21 b
-             ON b.span = a.span AND a.doc_id < b.doc_id),
-         rn21 AS (
-           SELECT doc_a, doc_b, delta, oa,
-                  sia - row_number() OVER (PARTITION BY doc_a, doc_b, delta
-                                           ORDER BY oa) AS isl
-           FROM sd21),
-         il21 AS (
-           SELECT doc_a, doc_b, delta, isl, min(oa) AS sa, max(oa) AS ea,
-                  count(*) AS n_windows
-           FROM rn21 GROUP BY 1, 2, 3, 4),
-         ex21 AS (
-           SELECT i.doc_a, i.doc_b, i.sa, i.ea, i.n_windows,
-                  i.sa + i.delta AS sb, i.ea + i.delta AS eb,
-                  ta.text AS text_a, tb.text AS text_b,
-                  least(31, i.sa - 1, i.sa + i.delta - 1) AS ln,
-                  least(31, length(ta.text) - i.ea - 63,
-                        length(tb.text) - (i.ea + i.delta) - 63) AS rext
-           FROM il21 i JOIN dd21 ta ON ta.doc_id = i.doc_a
-           JOIN dd21 tb ON tb.doc_id = i.doc_b),
-         ex21b AS (
-           SELECT *, reverse(substr(text_a, sa - ln, ln)) AS rva,
-                  reverse(substr(text_b, sb - ln, ln)) AS rvb,
-                  substr(text_a, ea + 64, rext) AS fa,
-                  substr(text_b, eb + 64, rext) AS fb
-           FROM ex21),
-         ex21c AS (
-           SELECT doc_a, doc_b, sa, ea, sb, n_windows, rext, fa, fb,
-                  CASE WHEN ln <= 0 THEN 0 ELSE
-                    coalesce(list_min(list_filter(generate_series(1, ln),
-                      i -> substr(rva, i, 1) <> substr(rvb, i, 1))) - 1, ln)
-                  END AS left_ext
-           FROM ex21b),
-         ex21d AS (
-           SELECT doc_a, doc_b, sa, ea, sb, n_windows, left_ext,
-                  CASE WHEN rext <= 0 THEN 0 ELSE
-                    coalesce(list_min(list_filter(generate_series(1, rext),
-                      i -> substr(fa, i, 1) <> substr(fb, i, 1))) - 1, rext)
-                  END AS right_ext
-           FROM ex21c)
+      s"""WITH $d21OracleCtes
          SELECT doc_a, doc_b,
                 cast(sa - left_ext AS bigint) AS start_a,
                 cast(sb - left_ext AS bigint) AS start_b,
@@ -4501,6 +4577,66 @@ object TextPipeline {
                 cast(n_windows AS bigint) AS n_windows
          FROM ex21d
          ORDER BY doc_a, doc_b, start_a, start_b, span_len""")),
+
+    ("d22_span_scrub", (s: SparkSession, d: String) => {
+      // The REMOVAL step over d21's report (Lee et al.'s actual
+      // operation): scrub every repeated-span occurrence except the
+      // lowest-doc one, merge overlapping removal intervals per doc,
+      // rewrite each document as its complement segments, and emit the
+      // per-doc ledger (merged spans, chars removed, scrubbed length,
+      // md5 of the scrubbed text — the exact witness; an exact-dup
+      // pair's higher doc scrubs to the empty string). See [[spanScrub]].
+      spanScrub(Tables.documents(s, d)).orderBy(col("doc_id"))
+    }, Some(
+      s"""WITH $d21OracleCtes,
+         rem22 AS (SELECT DISTINCT doc_b AS doc_id, sb - left_ext AS s,
+                          sb - left_ext
+                            + (ea + 64 - sa + left_ext + right_ext) AS e
+                   FROM ex21d),
+         mrk22 AS (SELECT doc_id, s, e,
+                          CASE WHEN s > coalesce(max(e) OVER (
+                                 PARTITION BY doc_id ORDER BY s, e
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), 0)
+                          THEN 1 ELSE 0 END AS ni
+                   FROM rem22),
+         isl22 AS (SELECT doc_id, s, e,
+                          sum(ni) OVER (PARTITION BY doc_id ORDER BY s, e
+                            ROWS UNBOUNDED PRECEDING) AS g
+                   FROM mrk22),
+         mrg22 AS (SELECT doc_id, g, min(s) AS s, max(e) AS e
+                   FROM isl22 GROUP BY 1, 2),
+         tl22 AS (SELECT mx.doc_id, mx.f, length(d.text) + 1 AS t
+                  FROM (SELECT doc_id, max(e) AS f FROM mrg22
+                        GROUP BY 1) mx
+                  JOIN dd21 d ON d.doc_id = mx.doc_id),
+         seg22 AS (SELECT doc_id,
+                          coalesce(lag(e) OVER (PARTITION BY doc_id
+                            ORDER BY s), 1) AS f,
+                          s AS t
+                   FROM mrg22
+                   UNION ALL SELECT doc_id, f, t FROM tl22),
+         sa22 AS (SELECT s2.doc_id,
+                         string_agg(substr(d.text, s2.f, s2.t - s2.f), ''
+                           ORDER BY s2.f) AS nt
+                  FROM seg22 s2 JOIN dd21 d ON d.doc_id = s2.doc_id
+                  WHERE s2.t > s2.f GROUP BY 1),
+         sc22 AS (SELECT m.doc_id, coalesce(sa22.nt, '') AS nt
+                  FROM (SELECT DISTINCT doc_id FROM mrg22) m
+                  LEFT JOIN sa22 ON sa22.doc_id = m.doc_id),
+         cn22 AS (SELECT doc_id, cast(count(*) AS bigint) AS n,
+                         cast(sum(e - s) AS bigint) AS removed
+                  FROM mrg22 GROUP BY 1)
+         SELECT d.doc_id,
+                coalesce(cn22.n, 0) AS n_spans_removed,
+                coalesce(cn22.removed, 0) AS n_chars_removed,
+                cast(length(coalesce(sc22.nt, d.text)) AS bigint)
+                  AS scrubbed_len,
+                md5(coalesce(sc22.nt, d.text)) AS scrubbed_md5
+         FROM documents d
+         LEFT JOIN cn22 ON cn22.doc_id = d.doc_id
+         LEFT JOIN sc22 ON sc22.doc_id = d.doc_id
+         ORDER BY d.doc_id""")),
 
     ("d13_leakage_safe_split", (s: SparkSession, d: String) => {
       // Cluster-aware train/valid/test split — the leakage guard the

@@ -1950,4 +1950,33 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       .agg(smax(col("d"))).first().getLong(0)
     assert(maxDeg <= degCap, s"base degree $maxDeg exceeds cap $degCap")
   }
+
+  test("spanScrub: higher doc of an exact-dup pair scrubs to empty; boundary-straddling repeat scrubs whole; lowest doc untouched") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.md5
+    val t160 = (0 until 160).map(i =>
+      ('a' + (i * 11 + (i / 17) * 7 + 5) % 26).toChar).mkString
+    val p = (0 until 150).map(i =>
+      ('a' + (i * 7 + (i / 13) * 5 + 3) % 26).toChar).mkString
+    val docA = ("1" * 40) + p + ("2" * 70)
+    val docB = ("3" * 72) + p + ("4" * 38)
+    val docs = Seq((1L, t160), (2L, t160), (3L, docA), (4L, docB))
+      .toDF("doc_id", "text")
+    val got = TextPipeline.spanScrub(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    val emptyMd5 = "d41d8cd98f00b204e9800998ecf8427e"
+    // doc 1 (lowest exact dup) untouched; doc 2 scrubs to empty
+    assert(got(1L)._1 == 0L && got(1L)._3 == 160L, s"doc1: ${got(1L)}")
+    assert(got(2L) == ((1L, 160L, 0L, emptyMd5)), s"doc2: ${got(2L)}")
+    // doc 3 keeps the canonical passage copy; doc 4 loses the WHOLE
+    // 150-char repeat (start 73), leaving its 110 filler chars
+    assert(got(3L)._1 == 0L && got(3L)._3 == docA.length.toLong,
+      s"doc3: ${got(3L)}")
+    val expected4 = ("3" * 72) + ("4" * 38)
+    val s4 = spark.range(1).select(md5(
+      org.apache.spark.sql.functions.lit(expected4))).first().getString(0)
+    assert(got(4L) == ((1L, 150L, 110L, s4)), s"doc4: ${got(4L)}")
+  }
 }
