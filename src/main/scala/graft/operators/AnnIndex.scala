@@ -662,14 +662,21 @@ object AnnIndex {
       lvl: DataFrame,
       edges: Map[Int, DataFrame])
 
-  /** The geometric level of each vec_id under the shared fmix32 hash. */
-  private def hnswLevels(e: DataFrame, top: Int): DataFrame = {
+  /** The per-row geometric level expression under the shared fmix32
+    * hash — a pure map (no join, no state), which is what makes the
+    * streaming arrival door ([[graft.streaming.EventStream.hnswIngest]])
+    * a stateless projection like the other index ingests.
+    */
+  private[graft] def hnswLevelExpr(top: Int): Column = {
     val h = Relational.fmix32(col("vec_id"))
-    val lvl = (1 to top).map(l =>
+    (1 to top).map(l =>
       when(h % lit(1L << (2 * l)) === 0, 1).otherwise(0))
       .reduce(_ + _)
-    e.select(col("vec_id"), lvl.as("lvl"))
   }
+
+  /** The geometric level of each vec_id under the shared fmix32 hash. */
+  private def hnswLevels(e: DataFrame, top: Int): DataFrame =
+    e.select(col("vec_id"), hnswLevelExpr(top).as("lvl"))
 
   /** The diversity quota (HNSW Alg. 4 re-posed): per (src, table,
     * dst-bucket ≠ src's bucket in that table), the best-cosine candidate.
@@ -774,12 +781,22 @@ object AnnIndex {
     */
   def hnswSearchMulti(idx: HnswIndex, e: DataFrame, qPred: Column,
       efs: Seq[Int], beamRounds: Int, descentRounds: Int = 2,
+      efd: Int = 2): (DataFrame, DataFrame) =
+    hnswSearchFor(idx, e,
+      e.filter(qPred)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
+      efs, beamRounds, descentRounds, efd)
+
+  /** [[hnswSearchMulti]] with an EXTERNAL query set — queries need not
+    * be corpus members (the insert door searches the frozen hierarchy
+    * for arrivals before they exist in it, e28's shape).
+    */
+  def hnswSearchFor(idx: HnswIndex, e: DataFrame, q: DataFrame,
+      efs: Seq[Int], beamRounds: Int, descentRounds: Int = 2,
       efd: Int = 2): (DataFrame, DataFrame) = {
-    require(efs.nonEmpty, "hnswSearchMulti: efs must be non-empty")
+    require(efs.nonEmpty, "hnswSearchFor: efs must be non-empty")
     val s = e.sparkSession
     import s.implicits._
-    val q = e.filter(qPred)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val efDf = broadcast(efs.toDF("ef"))
     def cutD(pool: DataFrame): DataFrame =
       topKCut(pool, "q_id", "cosine_e6", "vec_id", efd, ascending = false,

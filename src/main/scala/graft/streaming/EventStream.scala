@@ -1215,6 +1215,35 @@ object EventStream {
       .select(col("q_id").as("new_vec_id"), col("vec_id").as("neighbor_id"),
         col("cosine_e6"), col("rank"))
 
+  /** Continuous HNSW ingest — the hierarchy's insert door, completing
+    * the family symmetry ([[nswIngest]] covers the flat graph): each
+    * arrival (1) takes its LEVEL from the shared fmix32 bit-count law
+    * as a pure per-row map ([[graft.operators.AnnIndex.hnswLevelExpr]]
+    * — no join, no state, so level assignment is streaming-legal like
+    * the other ingests' encodes), and (2) searches the FROZEN hierarchy
+    * (descent + base beam, [[graft.operators.AnnIndex.hnswSearchFor]])
+    * for the `deg` best neighbors to connect to — search-then-connect,
+    * HNSW's actual insertion algorithm, against an immutable graph so
+    * micro-batch splits cannot change any arrival's edges
+    * (StreamingSpec pins batch-split independence, the nswIngest law).
+    * Columns: new_vec_id, new_lvl, neighbor_id, cosine_e6, rank.
+    */
+  def hnswIngest(idx: graft.operators.AnnIndex.HnswIndex,
+      corpus: DataFrame, arrivals: DataFrame, deg: Int = 4, ef: Int = 8,
+      beamRounds: Int = 3): DataFrame =
+    graft.operators.AnnIndex.topKCut(
+      graft.operators.AnnIndex.hnswSearchFor(idx, corpus,
+        arrivals.select(col("vec_id").as("q_id"),
+          col("embedding").as("q_emb")),
+        Seq(ef), beamRounds)._1.drop("ef"),
+      "q_id", "cosine_e6", "vec_id", deg, ascending = false,
+      scoreName = "cosine_e6", idName = "vec_id")
+      .join(arrivals.select(col("vec_id").as("q_id"),
+        graft.operators.AnnIndex.hnswLevelExpr(idx.top).as("new_lvl")),
+        "q_id")
+      .select(col("q_id").as("new_vec_id"), col("new_lvl"),
+        col("vec_id").as("neighbor_id"), col("cosine_e6"), col("rank"))
+
   /** Continuous PQ ingest — the compression family's streaming arrival
     * path (IVF and SQ8 already have theirs): arriving vectors encode to
     * m codes under the FROZEN codebook via

@@ -1969,4 +1969,50 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(ledger.exists(_.getLong(5) > 0L), "no state rows ever reported")
     } finally q.stop()
   }
+
+  test("hnswIngest: micro-batched inserts equal the one-shot insert; levels follow the fmix32 bit-count law") {
+    // The nswIngest batch-split-independence law lifted to the
+    // hierarchy: each arrival's descent + beam depends only on the
+    // frozen per-level graphs, never on batch companions — 3
+    // micro-batches must reproduce the bulk insert edge-for-edge. The
+    // new_lvl column must equal the shared fmix32 bit-count law
+    // (recomputed here from Relational.fmix32 directly).
+    val s = spark
+    import s.implicits._
+    val e = Tables.embeddings(spark, sfDir)
+    val base = e.filter(col("vec_id") % 5 =!= 4)
+    val arr = e.filter(col("vec_id") % 5 === 4)
+    val idx = graft.operators.AnnIndex.trainHnsw(base,
+      graft.operators.AnnIndex.buildLsh(base, 4, persist = false))
+    val oneShot = EventStream.hnswIngest(idx, base, arr)
+      .collect().map(_.toSeq).toSet
+    assert(oneShot.nonEmpty)
+    // level law pin
+    val h = graft.operators.Relational.fmix32(col("new_vec_id"))
+    val expectedLvl = (1 to 3).map(l =>
+      org.apache.spark.sql.functions.when(
+        h % org.apache.spark.sql.functions.lit(1L << (2 * l)) === 0, 1)
+        .otherwise(0)).reduce(_ + _)
+    val lvlRows = oneShot.map(r => (r(0).asInstanceOf[Long],
+      r(1).asInstanceOf[Int])).toSeq.toDF("new_vec_id", "got")
+      .withColumn("want", expectedLvl)
+      .filter(col("got") =!= col("want")).collect()
+    assert(lvlRows.isEmpty, s"level law violated: ${lvlRows.toSeq}")
+    val dir = java.nio.file.Files.createTempDirectory("hnsw_ingest")
+      .toFile.getAbsolutePath
+    (0 until 3).foreach(i => arr.filter(col("vec_id") % 3 === i)
+      .coalesce(1).write.mode("append").parquet(dir))
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    val q = spark.readStream.schema(EventStream.embeddingsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val edges = EventStream.hnswIngest(idx, base, b.toDF)
+          .collect().map(_.toSeq)
+        buf.synchronized { buf ++= edges }; ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    assert(buf.size == oneShot.size && buf.toSet == oneShot,
+      s"micro-batched hnsw edges diverge: ${buf.size} vs ${oneShot.size}")
+  }
 }
