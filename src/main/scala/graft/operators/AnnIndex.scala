@@ -764,6 +764,12 @@ object AnnIndex {
     * descent's current position may BE the query (the entry set is not
     * query-disjoint), and a literal is the only spelling both engines
     * quantize identically without trusting √s·√s = s in doubles.
+    * PRECONDITION for external query sets ([[hnswSearchFor]]'s insert
+    * door): query ids must be DISJOINT from corpus vec_ids — an
+    * external query whose id collides with a corpus member is scored
+    * as an exact self-match here even when the embeddings differ,
+    * corrupting its descent. [[graft.streaming.EventStream.hnswIngest]]
+    * documents the same contract at the arrival door.
     */
   private def scoreCandsWithSelf(e: DataFrame, q: DataFrame,
       cand: DataFrame): DataFrame =
@@ -1569,6 +1575,114 @@ object AnnIndex {
     IvfIndex(cents.length, cents, s.read.parquet(s"$dir/$listsName"))
   }
 
+  /** Persist a trained HNSW hierarchy as three parquet tables (e34,
+    * VERDICT r17 #1 — the persistence slot e15 fills for IVF): `meta`
+    * (one row: m0, m_up, top, entries — index metadata, driver-sized),
+    * `levels` (vec_id, lvl — the fmix32 level assignment), and `edges`
+    * (all level graphs in one table PARTITIONED BY level, so a loaded
+    * index's per-level reads are partition-pruned scans). Like saveIvf,
+    * the corpus-sized pieces stay distributed end-to-end; only meta is
+    * driver state. [[loadHnsw]] reconstructs an [[HnswIndex]] that
+    * searches identically — everything in the hierarchy is integer
+    * (vec_ids, levels), so the roundtrip is trivially bit-exact and e34
+    * pins it against e30's own oracle (the e15 contract).
+    */
+  def saveHnsw(idx: HnswIndex, dir: String): Unit = {
+    val s = idx.lvl.sparkSession
+    import s.implicits._
+    Seq((idx.m0, idx.mUp, idx.top, idx.entries))
+      .toDF("m0", "m_up", "top", "entries").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/meta")
+    idx.lvl.write.mode("overwrite").parquet(s"$dir/levels")
+    idx.edges.toSeq.sortBy(_._1)
+      .map { case (l, ed) =>
+        ed.select(lit(l).as("level"), col("src"), col("dst")) }
+      .reduce(_ unionByName _)
+      .write.mode("overwrite").partitionBy("level")
+      .parquet(s"$dir/edges")
+  }
+
+  /** Load an HNSW hierarchy persisted by [[saveHnsw]]: meta + entries
+    * collect (a handful of longs); levels and every level's edge graph
+    * stay lazy partition-pruned parquet scans — the serving cluster's
+    * cache policy, not the loader's, decides residency (loadIvf's
+    * posture).
+    */
+  def loadHnsw(s: SparkSession, dir: String): HnswIndex = {
+    val meta = s.read.parquet(s"$dir/meta").collect()(0)
+    val top = meta.getAs[Int]("top")
+    val edges = s.read.parquet(s"$dir/edges")
+    HnswIndex(meta.getAs[Int]("m0"), meta.getAs[Int]("m_up"), top,
+      meta.getSeq[Long](meta.fieldIndex("entries")).sorted,
+      s.read.parquet(s"$dir/levels"),
+      (0 to top).map(l => l -> edges.filter(col("level") === l)
+        .select(col("src"), col("dst"))).toMap)
+  }
+
+  /** Write-once-per-(path, params) saved-hierarchy directory — the
+    * savedIvfFor pattern for the HNSW family: first call trains (or
+    * reuses the session's cached hierarchy) and ships it to parquet;
+    * later calls hand back the artifact.
+    */
+  private val savedHnswCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  def savedHnswFor(s: SparkSession, path: String, e: => DataFrame,
+      m0: Int = 8, tables: Int = 4): String =
+    savedHnswCache.getOrElseUpdate(s"$path|m0=$m0|tables=$tables", {
+      val dir = scratchDir("hnsw_index_")
+      saveHnsw(hnswFor(s, path, e, m0, tables), dir)
+      dir
+    })
+
+  /** Fold streamed HNSW arrivals into a served hierarchy (e35, VERDICT
+    * r17 #1's second half) — the consumer of
+    * [[graft.streaming.EventStream.hnswIngest]]'s edge lists, closing
+    * the loop nothing folded last round:
+    *
+    *  - MERGE: the ingest's (new_vec_id → neighbor_id) rows enter the
+    *    BASE graph in both directions (the batch build symmetrizes for
+    *    the same reason: an arrival must be findable FROM its
+    *    neighbors, not just find them).
+    *  - DEGREE RE-CAP: every base-graph node's out-list is cut to its
+    *    `cap` best neighbors by exact e6 cosine over the EXTENDED
+    *    corpus (ties to the lower vec_id) — the paper's
+    *    shrink-on-overflow step applied as one deterministic pass, so
+    *    a hub that absorbed many arrivals sheds its worst edges
+    *    instead of growing without bound. Cost: one scoring join over
+    *    the folded edge list (Σ deg, linear) + one bounded top-k cut.
+    *  - RE-LEVEL: arrival levels come from the SAME fmix32 bit-count
+    *    law the batch build uses ([[hnswLevelExpr]]) and land in the
+    *    folded `lvl` relation for the next rebuild. Upper-level
+    *    GRAPHS are deliberately untouched (hnswIngest emits base-level
+    *    edges only): an arrival with lvl ≥ 1 is served through the
+    *    folded base graph — findable, as e35's planted-twin recall row
+    *    proves — but becomes a descent waypoint/entry only at the next
+    *    rebuild. That is the LSM posture (arrivals serve from the
+    *    delta structure until compaction), chosen over the paper's
+    *    in-place multi-level insert because it keeps the served upper
+    *    hierarchy immutable — batch-split independence and lock-free
+    *    concurrent reads at 100 TB.
+    *
+    * `corpusPlus` must contain base corpus AND arrival embeddings
+    * (scoring side); entries are unchanged by construction.
+    */
+  def foldHnswArrivals(idx: HnswIndex, corpusPlus: DataFrame,
+      arrivals: DataFrame, ingest: DataFrame, cap: Int = 16): HnswIndex = {
+    val arrEdges = ingest.select(
+      col("new_vec_id").as("src"), col("neighbor_id").as("dst"))
+    val folded = idx.edges(0)
+      .union(arrEdges)
+      .union(arrEdges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val capped = topKCut(scorePairsE6(corpusPlus, folded),
+      "src", "c6", "dst", cap, ascending = false,
+      scoreName = "c6", idName = "dst")
+      .select(col("src"), col("dst"))
+    val lvl2 = idx.lvl.unionByName(
+      arrivals.select(col("vec_id"), hnswLevelExpr(idx.top).as("lvl")))
+    idx.copy(lvl = lvl2, edges = idx.edges + (0 -> capped))
+  }
+
   /** The DELETE half of the index lifecycle (e18, VERDICT r11 #5) —
     * build (e6) / persist+load (e15) / append under frozen bounds (e14)
     * covered the rest. Two phases, matching how a served index actually
@@ -1734,6 +1848,43 @@ object AnnIndex {
       timedBuild(s"hnsw:$m0:$tables") {
         trainHnsw(e, lshFor(s, path, e, tables), m0)
       })
+
+  private val foldedHnswCache = new java.util.WeakHashMap[SparkSession,
+    scala.collection.concurrent.TrieMap[String, HnswIndex]]()
+
+  /** The session's FOLDED hierarchy for e35: the cached full-corpus
+    * hierarchy ([[hnswFor]]) with `arrivals`' streamed edge lists
+    * ([[graft.streaming.EventStream.hnswIngest]]) folded into the base
+    * graph ([[foldHnswArrivals]]), base edges persisted so the fold's
+    * ingest search runs once per session. `key` must encode the
+    * arrival derivation (the hnswFor contract — by-name frames are
+    * never evaluated on a cache hit).
+    */
+  def foldedHnswFor(s: SparkSession, key: String, path: String,
+      e: => DataFrame, arrivals: DataFrame => DataFrame,
+      deg: Int = 4, ef: Int = 8, beamRounds: Int = 3,
+      cap: Int = 16): (HnswIndex, DataFrame) =
+    foldedHnswCache.synchronized {
+      foldedHnswCache.computeIfAbsent(s,
+        _ => scala.collection.concurrent.TrieMap.empty)
+    }.getOrElseUpdate(key,
+      timedBuild(s"hnsw-fold:$deg:$cap") {
+        val corpus = e
+        val idx = hnswFor(s, path, corpus)
+        val arr = arrivals(corpus)
+        val ingest = graft.streaming.EventStream.hnswIngest(
+          idx, corpus, arr, deg, ef, beamRounds)
+        val folded = foldHnswArrivals(idx,
+          corpus.select(col("vec_id"), col("embedding")).unionByName(arr),
+          arr, ingest, cap)
+        val persisted = folded.copy(edges = folded.edges +
+          (0 -> folded.edges(0).persist(StorageLevel.MEMORY_AND_DISK)))
+        persisted.edges(0).count()
+        persisted
+      }) match {
+      case idx => (idx,
+        e.select(col("vec_id"), col("embedding")).unionByName(arrivals(e)))
+    }
 
   /** The shared PQ index for `path`'s embeddings in session `s` (e9's
     * search and e10's recall share one codebook + code table).

@@ -1312,6 +1312,17 @@ object TextPipeline {
     * start_a, start_b (1-based), span_len (true extent, ≥ 64),
     * n_windows (seed windows chained). Exact string arithmetic
     * end-to-end, so the DuckDB oracle replays seed, chain, and extend.
+    *
+    * RECALL PRECONDITION (phase alignment): a repeat is DETECTED only
+    * when its two occurrences sit at grid-phase-equal offsets (delta ≡
+    * 0 mod 32) — otherwise no grid window of doc_a matches any grid
+    * window of doc_b and the repeat produces no seed at all; of the 32
+    * possible alignments, only the phase-equal one collides. Suffix
+    * arrays (Lee et al.) do not share this gap; the grid kernel trades
+    * that recall for one bounded relational pass. The "true extent"
+    * guarantee is therefore conditional: FOR phase-aligned repeats the
+    * reported span is maximal by construction. [[spanScrub]] (d22) and
+    * the intra-document kernel (d23) inherit the same precondition.
     * Scale: one explode (2× chars), one Zipf-bounded span aggregate,
     * a per-span bounded self-join, and per-run O(31) in-row character
     * compares — no corpus² anywhere.
@@ -1391,7 +1402,10 @@ object TextPipeline {
     * one row per ORIGINAL document: merged-interval count, chars
     * removed, scrubbed length, and the md5 of the scrubbed text (the
     * lean exact witness; an exact duplicate pair scrubs its higher doc
-    * to the empty string). Scale: d21's bounded machinery + one
+    * to the empty string). Inherits [[maximalRepeatSpans]]'s
+    * phase-alignment precondition: only delta ≡ 0 (mod 32) repeats are
+    * found, so "remove repeated passages" means phase-aligned ones —
+    * a suffix-array scrub does not share that recall gap. Scale: d21's bounded machinery + one
     * per-doc window over its own (few) intervals + a segment
     * concatenation — no new joins against the corpus beyond the text
     * lookup.
@@ -2144,19 +2158,17 @@ object TextPipeline {
          ${(1 to rounds).map(beamRound).mkString(",\n         ")}"""
   }
 
-  /** The e30/e27/e32 HNSW replay (build + descent + beam), mirroring
-    * [[AnnIndex.trainHnsw]]/[[AnnIndex.hnswSearchMulti]] number for
-    * number. Expects `ex`/`nrm`/`allscored`/`nbuckets`/`npscore`
-    * upstream (the [[nswBuildCtes]] family). Emits `hbeam<R>` (ef, q_id,
-    * vec_id, c6) and `hsc_n` (ef, n_scored) for the per-ef work
-    * accounting. Every multiply-referenced CTE is MATERIALIZED (the g13
-    * inlining lesson — the level graphs and descent frontiers are each
-    * referenced 2-3 times downstream).
+  /** The HNSW BUILD replay shared by e30/e27/e32/e34/e35 — mirrors
+    * [[AnnIndex.trainHnsw]] number for number, with the hierarchy depth
+    * `top` THREADED (ADVICE r17: the previous spelling hardcoded 3 in
+    * four places while trainHnsw's top was a real parameter). Expects
+    * `ex`/`nrm`/`nbuckets`/`npscore` upstream (the [[nswBuildCtes]]
+    * family). Emits `hlv`, `hedge0`..`hedge<top>`, and `hent` (the
+    * bucket-spread level-top entry set). Every multiply-referenced CTE
+    * is MATERIALIZED (the g13 inlining lesson).
     */
-  private def hnswOracleCtes(efs: Seq[Int], beamRounds: Int,
-      descentRounds: Int = 2, efd: Int = 2, m0: Int = 8, mUp: Int = 8,
-      embSrc: String = "embeddings", qPred: String = "vec_id < 3")
-      : String = {
+  private def hnswBuildCtes(top: Int = 3, m0: Int = 8, mUp: Int = 8,
+      embSrc: String = "embeddings"): String = {
     def levelGraph(l: Int, prev: String): String =
       s"""hn$l AS (SELECT vec_id FROM hlv WHERE lvl >= $l),
          hpair$l AS (
@@ -2195,44 +2207,12 @@ object TextPipeline {
            UNION SELECT dst AS src, src AS dst
            FROM (SELECT src, dst FROM hknn$l
                  UNION SELECT src, dst FROM hdivl$l) v)"""
-    val steps = for (l <- 3 to 1 by -1; r <- 1 to descentRounds)
-      yield (l, r)
-    val descent = steps.zipWithIndex.map { case ((l, _), i) =>
-      val n = i + 1
-      s"""hcand$n AS (
-           SELECT DISTINCT c.q_id, g.dst AS vec_id
-           FROM hcur${n - 1} c JOIN hedge$l g ON g.src = c.vec_id),
-         hcur$n AS MATERIALIZED (
-           SELECT q_id, vec_id, c6 FROM (
-             SELECT p.q_id, p.vec_id, s.c6, row_number() OVER (
-                      PARTITION BY p.q_id ORDER BY s.c6 DESC, p.vec_id)
-                      AS rn
-             FROM (SELECT q_id, vec_id FROM hcur${n - 1}
-                   UNION SELECT q_id, vec_id FROM hcand$n) p
-             JOIN hqs s ON s.q_id = p.q_id AND s.vec_id = p.vec_id)
-           WHERE rn <= $efd)"""
-    }.mkString(",\n         ")
-    val nFin = steps.size
-    val beamTail = (2 to beamRounds).map { r =>
-      val b = r - 1
-      s"""hbcand$b AS (SELECT DISTINCT e2.ef, e2.q_id, g.dst AS vec_id
-               FROM hbeam${b - 1} e2 JOIN hedge0 g ON g.src = e2.vec_id
-               WHERE g.dst <> e2.q_id),
-         hbeam$b AS MATERIALIZED (SELECT ef, q_id, vec_id, c6 FROM (
-            SELECT p.ef, p.q_id, p.vec_id, s.c6, row_number() OVER (
-                     PARTITION BY p.ef, p.q_id
-                     ORDER BY s.c6 DESC, p.vec_id) AS rn
-            FROM (SELECT ef, q_id, vec_id FROM hbeam${b - 1}
-                  UNION SELECT ef, q_id, vec_id FROM hbcand$b) p
-            JOIN allscored s
-              ON s.q_id = p.q_id AND s.vec_id = p.vec_id)
-          WHERE rn <= ef)"""
-    }.mkString(",\n         ")
+    val lvlCases = (1 to top).map(l =>
+      s"CASE WHEN hv % ${1L << (2 * l)} = 0 THEN 1 ELSE 0 END")
+      .mkString("(", "\n                   + ", ")")
     s"""hlv AS MATERIALIZED (
            SELECT vec_id,
-                  (CASE WHEN hv % 4 = 0 THEN 1 ELSE 0 END
-                   + CASE WHEN hv % 16 = 0 THEN 1 ELSE 0 END
-                   + CASE WHEN hv % 64 = 0 THEN 1 ELSE 0 END) AS lvl
+                  $lvlCases AS lvl
            FROM (SELECT vec_id, xor(m3, m3 >> 16) AS hv FROM (
              SELECT vec_id, (v2 * 1033321189) % 4294967296 AS m3 FROM (
                SELECT vec_id, xor(m2, m2 >> 13) AS v2 FROM (
@@ -2262,53 +2242,133 @@ object TextPipeline {
            UNION SELECT dst AS src, src AS dst
            FROM (SELECT src, dst FROM hknn0
                  UNION SELECT src, dst FROM hdiv0) v),
-         ${levelGraph(1, "hedge0")},
-         ${levelGraph(2, "hedge1")},
-         ${levelGraph(3, "hedge2")},
+         ${(1 to top).map(l => levelGraph(l, s"hedge${l - 1}"))
+           .mkString(",\n         ")},
+         hent AS (SELECT min(b.vec_id) AS vec_id
+                  FROM nbuckets b JOIN hlv l ON l.vec_id = b.vec_id
+                  WHERE b.t = 0 AND l.lvl >= $top GROUP BY b.bucket)"""
+  }
+
+  /** The HNSW SEARCH replay (descent + multi-ef beam), mirroring
+    * [[AnnIndex.hnswSearchFor]] — parameterized so one oracle can run
+    * SEVERAL searches (e35: the ingest search for arrivals, then the
+    * post-fold query search): `pfx` namespaces every emitted CTE
+    * (legacy names at pfx = "h"), `qs` is the (q_id, vec_id, c6)
+    * descent score table INCLUDING self rows where applicable, `qq`
+    * the query-id table, `ent` the entry set, `scoreTbl` the beam's
+    * (q_id, vec_id, c6) score source, `descentEdge` the per-level edge
+    * prefix and `beamEdge` the base graph the beam walks (e35 points
+    * it at the FOLDED graph). Emits `<pfx>beam<R>` and, with
+    * `withScored`, `<pfx>scored_all`/`<pfx>sc_n`.
+    */
+  private def hnswSearchCtes(pfx: String, efs: Seq[Int], beamRounds: Int,
+      descentRounds: Int = 2, efd: Int = 2, top: Int = 3,
+      qs: String = "hqs", qq: String = "hqq", ent: String = "hent",
+      scoreTbl: String = "allscored", descentEdge: String = "hedge",
+      beamEdge: String = "hedge0", withScored: Boolean = true): String = {
+    val steps = for (l <- top to 1 by -1; r <- 1 to descentRounds)
+      yield (l, r)
+    val descent = steps.zipWithIndex.map { case ((l, _), i) =>
+      val n = i + 1
+      s"""${pfx}cand$n AS (
+           SELECT DISTINCT c.q_id, g.dst AS vec_id
+           FROM ${pfx}cur${n - 1} c JOIN $descentEdge$l g ON g.src = c.vec_id),
+         ${pfx}cur$n AS MATERIALIZED (
+           SELECT q_id, vec_id, c6 FROM (
+             SELECT p.q_id, p.vec_id, s.c6, row_number() OVER (
+                      PARTITION BY p.q_id ORDER BY s.c6 DESC, p.vec_id)
+                      AS rn
+             FROM (SELECT q_id, vec_id FROM ${pfx}cur${n - 1}
+                   UNION SELECT q_id, vec_id FROM ${pfx}cand$n) p
+             JOIN $qs s ON s.q_id = p.q_id AND s.vec_id = p.vec_id)
+           WHERE rn <= $efd)"""
+    }.mkString(",\n         ")
+    val nFin = steps.size
+    val beamTail = (2 to beamRounds).map { r =>
+      val b = r - 1
+      s"""${pfx}bcand$b AS (SELECT DISTINCT e2.ef, e2.q_id, g.dst AS vec_id
+               FROM ${pfx}beam${b - 1} e2 JOIN $beamEdge g ON g.src = e2.vec_id
+               WHERE g.dst <> e2.q_id),
+         ${pfx}beam$b AS MATERIALIZED (SELECT ef, q_id, vec_id, c6 FROM (
+            SELECT p.ef, p.q_id, p.vec_id, s.c6, row_number() OVER (
+                     PARTITION BY p.ef, p.q_id
+                     ORDER BY s.c6 DESC, p.vec_id) AS rn
+            FROM (SELECT ef, q_id, vec_id FROM ${pfx}beam${b - 1}
+                  UNION SELECT ef, q_id, vec_id FROM ${pfx}bcand$b) p
+            JOIN $scoreTbl s
+              ON s.q_id = p.q_id AND s.vec_id = p.vec_id)
+          WHERE rn <= ef)"""
+    }.mkString(",\n         ")
+    val scoredTail = if (!withScored) "" else s""",
+         ${pfx}walked AS (
+           SELECT q.q_id, e.vec_id FROM $qq q CROSS JOIN $ent e
+           ${steps.indices.map(i =>
+             s"UNION SELECT q_id, vec_id FROM ${pfx}cand${i + 1}")
+             .mkString("\n           ")}
+           UNION SELECT q_id, vec_id FROM ${pfx}cand0),
+         ${pfx}scored_all AS (
+           SELECT f.ef, w.q_id, w.vec_id
+           FROM ${pfx}efs f CROSS JOIN ${pfx}walked w
+           ${(1 until beamRounds).map(b =>
+             s"UNION SELECT ef, q_id, vec_id FROM ${pfx}bcand$b")
+             .mkString("\n           ")}),
+         ${pfx}sc_n AS (SELECT ef, cast(count(*) AS bigint) AS n_scored
+                   FROM ${pfx}scored_all GROUP BY 1)"""
+    s"""${pfx}cur0 AS MATERIALIZED (SELECT q_id, vec_id, c6 FROM (
+            SELECT s.q_id, s.vec_id, s.c6, row_number() OVER (
+                     PARTITION BY s.q_id ORDER BY s.c6 DESC, s.vec_id)
+                     AS rn
+            FROM $qs s JOIN $ent e ON e.vec_id = s.vec_id)
+          WHERE rn <= $efd),
+         $descent,
+         ${pfx}efs AS (SELECT unnest([${efs.mkString(", ")}]) AS ef),
+         ${pfx}cand0 AS (
+           SELECT q_id, vec_id FROM (
+             SELECT c.q_id, g.dst AS vec_id
+             FROM ${pfx}cur$nFin c JOIN $beamEdge g ON g.src = c.vec_id
+             UNION SELECT q_id, vec_id FROM ${pfx}cur$nFin)
+           WHERE vec_id <> q_id),
+         ${pfx}beam0 AS MATERIALIZED (SELECT ef, q_id, vec_id, c6 FROM (
+            SELECT f.ef, p.q_id, p.vec_id, s.c6, row_number() OVER (
+                     PARTITION BY f.ef, p.q_id
+                     ORDER BY s.c6 DESC, p.vec_id) AS rn
+            FROM ${pfx}efs f CROSS JOIN ${pfx}cand0 p
+            JOIN $scoreTbl s ON s.q_id = p.q_id AND s.vec_id = p.vec_id)
+          WHERE rn <= ef),
+         $beamTail$scoredTail"""
+  }
+
+  /** The e30/e27/e32 HNSW replay (build + descent + beam) — the build
+    * generator + the legacy-named single search. Expects
+    * `ex`/`nrm`/`allscored`/`nbuckets`/`npscore` upstream (the
+    * [[nswBuildCtes]] family). Emits `hbeam<R>` (ef, q_id, vec_id, c6)
+    * and `hsc_n` (ef, n_scored) for the per-ef work accounting.
+    */
+  private def hnswOracleCtes(efs: Seq[Int], beamRounds: Int,
+      descentRounds: Int = 2, efd: Int = 2, m0: Int = 8, mUp: Int = 8,
+      embSrc: String = "embeddings", qPred: String = "vec_id < 3",
+      top: Int = 3): String =
+    s"""${hnswBuildCtes(top, m0, mUp, embSrc)},
          hqs AS MATERIALIZED (
            SELECT q_id, vec_id, c6 FROM allscored
            UNION ALL SELECT vec_id AS q_id, vec_id, 1000000 AS c6
            FROM $embSrc WHERE $qPred),
-         hent AS (SELECT min(b.vec_id) AS vec_id
-                  FROM nbuckets b JOIN hlv l ON l.vec_id = b.vec_id
-                  WHERE b.t = 0 AND l.lvl >= 3 GROUP BY b.bucket),
          hqq AS (SELECT vec_id AS q_id FROM $embSrc WHERE $qPred),
-         hcur0 AS MATERIALIZED (SELECT q_id, vec_id, c6 FROM (
-            SELECT s.q_id, s.vec_id, s.c6, row_number() OVER (
-                     PARTITION BY s.q_id ORDER BY s.c6 DESC, s.vec_id)
-                     AS rn
-            FROM hqs s JOIN hent e ON e.vec_id = s.vec_id)
-          WHERE rn <= $efd),
-         $descent,
-         hefs AS (SELECT unnest([${efs.mkString(", ")}]) AS ef),
-         hcand0 AS (
-           SELECT q_id, vec_id FROM (
-             SELECT c.q_id, g.dst AS vec_id
-             FROM hcur$nFin c JOIN hedge0 g ON g.src = c.vec_id
-             UNION SELECT q_id, vec_id FROM hcur$nFin)
-           WHERE vec_id <> q_id),
-         hbeam0 AS MATERIALIZED (SELECT ef, q_id, vec_id, c6 FROM (
-            SELECT f.ef, p.q_id, p.vec_id, s.c6, row_number() OVER (
-                     PARTITION BY f.ef, p.q_id
-                     ORDER BY s.c6 DESC, p.vec_id) AS rn
-            FROM hefs f CROSS JOIN hcand0 p
-            JOIN allscored s ON s.q_id = p.q_id AND s.vec_id = p.vec_id)
-          WHERE rn <= ef),
-         $beamTail,
-         hwalked AS (
-           SELECT q.q_id, e.vec_id FROM hqq q CROSS JOIN hent e
-           ${steps.indices.map(i =>
-             s"UNION SELECT q_id, vec_id FROM hcand${i + 1}")
-             .mkString("\n           ")}
-           UNION SELECT q_id, vec_id FROM hcand0),
-         hscored_all AS (
-           SELECT f.ef, w.q_id, w.vec_id FROM hefs f CROSS JOIN hwalked w
-           ${(1 until beamRounds).map(b =>
-             s"UNION SELECT ef, q_id, vec_id FROM hbcand$b")
-             .mkString("\n           ")}),
-         hsc_n AS (SELECT ef, cast(count(*) AS bigint) AS n_scored
-                   FROM hscored_all GROUP BY 1)"""
-  }
+         ${hnswSearchCtes("h", efs, beamRounds, descentRounds, efd, top)}"""
+
+  /** e30's complete oracle — shared verbatim with e34 (the e15
+    * persist-load contract: the loaded artifact must reproduce the
+    * in-memory hierarchy's answer hash-exactly against the SAME SQL).
+    */
+  private lazy val e30OracleSql: String =
+    nswScorePrefix + ",\n         " + nswBuildCtes() + ",\n         " +
+      hnswOracleCtes(Seq(16), beamRounds = 4) + """
+         SELECT q_id, vec_id, c6 AS cosine_e6, cast(rk AS int) AS rank
+         FROM (
+           SELECT q_id, vec_id, c6, row_number() OVER (PARTITION BY q_id
+                    ORDER BY c6 DESC, vec_id) AS rk
+           FROM hbeam3 WHERE ef = 16)
+         WHERE rk <= 3 ORDER BY q_id, rank"""
 
   /** e31/e33's IVF-Lloyd replay (the e6/e11 law as a generator): emits
     * icb0..icb<iters> and ia0..ia<iters>, assuming `u` (vec_id, i, ue6)
@@ -5810,14 +5870,7 @@ object TextPipeline {
         AnnIndex.hnswFor(s, d, e),
         e, col("vec_id") < 3, k = 3, ef = 16, beamRounds = 4)
         .orderBy(col("q_id"), col("rank"))
-    }, Some(nswScorePrefix + ",\n         " + nswBuildCtes() + ",\n         " +
-      hnswOracleCtes(Seq(16), beamRounds = 4) + """
-         SELECT q_id, vec_id, c6 AS cosine_e6, cast(rk AS int) AS rank
-         FROM (
-           SELECT q_id, vec_id, c6, row_number() OVER (PARTITION BY q_id
-                    ORDER BY c6 DESC, vec_id) AS rk
-           FROM hbeam3 WHERE ef = 16)
-         WHERE rk <= 3 ORDER BY q_id, rank""")),
+    }, Some(e30OracleSql)),
 
     ("e32_clustered_manifold", (s: SparkSession, d: String) => {
       // THE HIERARCHY'S ADVANTAGE, MEASURED (VERDICT r16 #1's planted
@@ -6048,13 +6101,17 @@ object TextPipeline {
         nlist = 16, ivfIters = 2, m = 8, ksub = 16, pqIters = 2)
       val rpq = AnnIndex.rpqFor(s, d, e,
         nlist = 16, ivfIters = 2, m = 8, ksub = 16, pqIters = 2)
+      val m = 8
       def qerrArm(codes: DataFrame, vcol: String,
           cb: Seq[(Int, Int, Seq[Long])]): DataFrame =
         codes
           .select(col("vec_id"), col(vcol).as("vv"),
             posexplode(col("codes")).as(Seq("sub", "code")))
           .join(broadcast(cb.toDF("sub", "code", "cent")), Seq("sub", "code"))
-          .withColumn("vsub", expr("slice(vv, sub * 8 + 1, 8)"))
+          // subDim derived from the vector, not hardcoded (ADVICE r17):
+          // a changed m or corpus dim mis-slices silently otherwise.
+          .withColumn("vsub", expr(
+            s"slice(vv, sub * (size(vv) div $m) + 1, size(vv) div $m)"))
           .select(col("vec_id"), AnnIndex.sqDist("vsub", "cent").as("dd"))
           .groupBy(col("vec_id")).agg(sum(col("dd")).as("qerr"))
           .agg(floor(sum(col("qerr")).cast("double") / count(lit(1)))
@@ -6189,6 +6246,138 @@ object TextPipeline {
                                  AND c.vec_id = e3.vec_id)
            FROM gx g)
          ORDER BY family""")),
+
+    ("e34_hnsw_persistence", (s: SparkSession, d: String) => {
+      // HNSW PERSIST + LOAD (VERDICT r17 #1) — the hierarchy was the
+      // only index family without the e15 lifecycle stage: the trained
+      // e30 hierarchy ships to parquet ONCE per sfDir (meta + levels +
+      // level-partitioned edges, AnnIndex.saveHnsw), a fresh HnswIndex
+      // loads from the artifact (meta/entries collect = index
+      // metadata; each level graph a partition-pruned lazy scan), and
+      // the SAME search as e30 runs against the LOADED hierarchy. The
+      // oracle is e30's SQL verbatim — the persisted artifact must
+      // reproduce the in-memory index's answer hash-exactly (e15's
+      // contract; everything here is integer vec_ids/levels, so the
+      // roundtrip carries no float subtlety at all).
+      val e = Tables.embeddings(s, d)
+      val dir = AnnIndex.savedHnswFor(s, d, e)
+      AnnIndex.hnswSearch(AnnIndex.loadHnsw(s, dir),
+          e, col("vec_id") < 3, k = 3, ef = 16, beamRounds = 4)
+        .orderBy(col("q_id"), col("rank"))
+    }, Some(e30OracleSql)),
+
+    ("e35_hnsw_ingest_fold", (s: SparkSession, d: String) => {
+      // INGEST-FOLD lifecycle for the hierarchy (VERDICT r17 #1's
+      // second half — hnswIngest emitted edge lists last round that
+      // nothing folded back into a served index): six arrivals (exact
+      // twins of vec_id < 6 at ids +1,000,000 — id-disjoint per the
+      // ingest contract; exact copies make every downstream tie-break
+      // deterministic and need no float derivation law) stream through
+      // hnswIngest against the FROZEN full-corpus hierarchy, their
+      // edge lists fold into the base graph (merge + symmetrize +
+      // exact-cosine degree re-cap at 16 + re-level,
+      // AnnIndex.foldHnswArrivals), and e30's search runs over the
+      // FOLDED graph (descent on the untouched upper levels — the LSM
+      // posture: arrivals serve from the base delta until the next
+      // rebuild re-levels them). The planted recall signal: each
+      // query's twin (cosine exactly 1e6) must surface in its top-3 —
+      // an arrival only findable THROUGH the folded edges, since the
+      // frozen upper hierarchy has never seen it. The oracle replays
+      // build, ingest search, deg-4 cut, fold, re-cap, and the final
+      // search CTE-for-CTE (the parameterized hnswSearchCtes run
+      // twice). Scale: ingest is broadcast-bounded like e30; the fold
+      // is one scoring join over the edge list (Σ deg, linear) + one
+      // bounded top-k cut — no corpus² anywhere.
+      val e = Tables.embeddings(s, d)
+      val (folded, corpusPlus) = AnnIndex.foldedHnswFor(s, s"$d|e35", d,
+        e, c => c.filter(col("vec_id") < 6)
+          .select((col("vec_id") + 1000000L).as("vec_id"),
+            col("embedding")))
+      AnnIndex.hnswSearch(folded, corpusPlus,
+          col("vec_id") < 3, k = 3, ef = 16, beamRounds = 4)
+        .orderBy(col("q_id"), col("rank"))
+    }, Some(nswScorePrefix + ",\n         " + nswBuildCtes() +
+      ",\n         " + hnswBuildCtes() + s""",
+         iqq AS (SELECT vec_id + 1000000 AS q_id FROM embeddings
+                 WHERE vec_id < 6),
+         iqdots AS (
+           SELECT q.vec_id + 1000000 AS q_id, e.vec_id AS vec_id,
+                  sum(q.v * e.v) AS dot
+           FROM ex q JOIN ex e ON e.i = q.i
+           WHERE q.vec_id < 6 AND e.vec_id <> q.vec_id
+           GROUP BY 1, 2),
+         iqs AS MATERIALIZED (
+           SELECT d.q_id, d.vec_id,
+                  cast(round(d.dot / (nq.nrm * ne.nrm) * 1e6) AS bigint)
+                    AS c6
+           FROM iqdots d
+           JOIN nrm nq ON nq.vec_id = d.q_id - 1000000
+           JOIN nrm ne ON ne.vec_id = d.vec_id
+           UNION ALL
+           SELECT vec_id + 1000000 AS q_id, vec_id, 1000000 AS c6
+           FROM embeddings WHERE vec_id < 6),
+         ${hnswSearchCtes("ig", Seq(8), beamRounds = 3,
+           qs = "iqs", qq = "iqq", scoreTbl = "iqs",
+           withScored = false)},
+         iedge AS (
+           SELECT q_id AS src, vec_id AS dst FROM (
+             SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+                      ORDER BY c6 DESC, vec_id) AS rk
+             FROM igbeam2 WHERE ef = 8)
+           WHERE rk <= 4),
+         fall AS (
+           SELECT src, dst FROM hedge0
+           UNION SELECT src, dst FROM iedge
+           UNION SELECT dst AS src, src AS dst FROM iedge),
+         xex AS MATERIALIZED (
+           SELECT vec_id, i, v FROM ex
+           UNION ALL
+           SELECT vec_id + 1000000 AS vec_id, i, v FROM ex
+           WHERE vec_id < 6),
+         xnrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM xex
+                  GROUP BY 1),
+         fscore AS MATERIALIZED (
+           SELECT f.src, f.dst,
+                  cast(round(sum(xa.v * xb.v) / (na.nrm * nb.nrm) * 1e6)
+                    AS bigint) AS c6
+           FROM fall f JOIN xex xa ON xa.vec_id = f.src
+           JOIN xex xb ON xb.vec_id = f.dst AND xb.i = xa.i
+           JOIN xnrm na ON na.vec_id = f.src
+           JOIN xnrm nb ON nb.vec_id = f.dst
+           GROUP BY f.src, f.dst, na.nrm, nb.nrm),
+         fedge0 AS MATERIALIZED (
+           SELECT src, dst FROM (
+             SELECT src, dst, row_number() OVER (PARTITION BY src
+                      ORDER BY c6 DESC, dst) AS rn
+             FROM fscore)
+           WHERE rn <= 16),
+         fqq AS (SELECT vec_id AS q_id FROM embeddings WHERE vec_id < 3),
+         fqsd AS MATERIALIZED (
+           SELECT q_id, vec_id, c6 FROM allscored
+           UNION ALL SELECT vec_id AS q_id, vec_id, 1000000 AS c6
+           FROM embeddings WHERE vec_id < 3),
+         xqdots AS (
+           SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+                  sum(q.v * e.v) AS dot
+           FROM ex q JOIN xex e ON e.i = q.i
+           WHERE q.vec_id < 3 AND e.vec_id <> q.vec_id
+           GROUP BY 1, 2),
+         xqs AS MATERIALIZED (
+           SELECT d.q_id, d.vec_id,
+                  cast(round(d.dot / (nq.nrm * ne.nrm) * 1e6) AS bigint)
+                    AS c6
+           FROM xqdots d
+           JOIN nrm nq ON nq.vec_id = d.q_id
+           JOIN xnrm ne ON ne.vec_id = d.vec_id),
+         ${hnswSearchCtes("f", Seq(16), beamRounds = 4,
+           qs = "fqsd", qq = "fqq", scoreTbl = "xqs",
+           beamEdge = "fedge0", withScored = false)}
+         SELECT q_id, vec_id, c6 AS cosine_e6, cast(rk AS int) AS rank
+         FROM (
+           SELECT q_id, vec_id, c6, row_number() OVER (PARTITION BY q_id
+                    ORDER BY c6 DESC, vec_id) AS rk
+           FROM fbeam3 WHERE ef = 16)
+         WHERE rk <= 3 ORDER BY q_id, rank""")),
 
     ("e19_range_search", (s: SparkSession, d: String) => {
       // RANGE (threshold) search — the other retrieval mode: "every

@@ -1227,6 +1227,23 @@ object EventStream {
     * micro-batch splits cannot change any arrival's edges
     * (StreamingSpec pins batch-split independence, the nswIngest law).
     * Columns: new_vec_id, new_lvl, neighbor_id, cosine_e6, rank.
+    *
+    * Two contract notes (ADVICE r17):
+    *  - ID DISJOINTNESS: arrival vec_ids must not collide with corpus
+    *    vec_ids — [[graft.operators.AnnIndex.hnswSearchFor]] scores an
+    *    id-colliding external query as an exact self-match (literal
+    *    cosine 1e6) and its descent corrupts silently. Callers own the
+    *    id space (the specs use disjoint ranges; a production door
+    *    anti-joins arrivals against the corpus id set first).
+    *  - BASE-LEVEL EDGES ONLY: the emitted neighbor rows come from the
+    *    base-graph beam, so an arrival with new_lvl ≥ 1 gets NO
+    *    upper-level rows here; it is findable through the folded base
+    *    graph (e35 measures exactly that) but cannot serve as a
+    *    descent waypoint until the next rebuild re-levels it — the
+    *    paper's full insert connects at every level ≤ lvl; this door
+    *    deliberately defers upper-level placement to the rebuild
+    *    ([[graft.operators.AnnIndex.foldHnswArrivals]] documents the
+    *    serving posture).
     */
   def hnswIngest(idx: graft.operators.AnnIndex.HnswIndex,
       corpus: DataFrame, arrivals: DataFrame, deg: Int = 4, ef: Int = 8,

@@ -1979,4 +1979,60 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       org.apache.spark.sql.functions.lit(expected4))).first().getString(0)
     assert(got(4L) == ((1L, 150L, 110L, s4)), s"doc4: ${got(4L)}")
   }
+
+  test("saveHnsw/loadHnsw roundtrip: meta, entries, levels, and every level graph survive parquet exactly") {
+    val s = spark
+    import org.apache.spark.sql.functions.col
+    val d = "/root/testdata/sf0.001"
+    val e = graft.sources.Tables.embeddings(s, d)
+    val idx = graft.operators.AnnIndex.hnswFor(s, d, e)
+    val dir = java.nio.file.Files.createTempDirectory("hnsw_rt").toString
+    graft.operators.AnnIndex.saveHnsw(idx, dir)
+    val back = graft.operators.AnnIndex.loadHnsw(s, dir)
+    assert(back.m0 == idx.m0 && back.mUp == idx.mUp && back.top == idx.top)
+    assert(back.entries == idx.entries)
+    assert(back.lvl.collect().map(r => (r.getLong(0), r.getInt(1))).toSet ==
+      idx.lvl.collect().map(r => (r.getLong(0), r.getInt(1))).toSet)
+    for (l <- 0 to idx.top) {
+      val a = idx.edges(l).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val b = back.edges(l).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(a == b, s"level $l edge set diverges after roundtrip")
+    }
+  }
+
+  test("foldHnswArrivals: planted twins surface at rank 1 through folded edges; re-level follows the fmix32 law; cap holds") {
+    val s = spark
+    import org.apache.spark.sql.functions.{col, countDistinct, max => smax}
+    val d = "/root/testdata/sf0.001"
+    val e = graft.sources.Tables.embeddings(s, d)
+    val (folded, corpusPlus) = graft.operators.AnnIndex.foldedHnswFor(
+      s, s"$d|e35spec", d, e,
+      c => c.filter(col("vec_id") < 6)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+    // the twin (an arrival the frozen upper hierarchy has never seen) is
+    // each query's rank-1 at cosine exactly 1e6 — findable ONLY through
+    // the folded base edges
+    val top = graft.operators.AnnIndex.hnswSearch(folded, corpusPlus,
+      col("vec_id") < 3, k = 3, ef = 16, beamRounds = 4)
+      .filter(col("rank") === 1).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    for (q <- 0L to 2L)
+      assert(top(q) == ((q + 1000000L, 1000000L)),
+        s"query $q rank-1 is not its twin: ${top(q)}")
+    // re-level: folded lvl carries each arrival under the SAME fmix32
+    // bit-count law the batch build uses
+    val arrLvl = folded.lvl.filter(col("vec_id") >= 1000000L).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val lawLvl = corpusPlus.filter(col("vec_id") >= 1000000L)
+      .select(col("vec_id"),
+        graft.operators.AnnIndex.hnswLevelExpr(folded.top).as("lvl"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(arrLvl == lawLvl && arrLvl.size == 6,
+      s"arrival levels diverge from the fmix32 law: $arrLvl vs $lawLvl")
+    // degree re-cap: no folded base node keeps more than 16 out-edges
+    val maxDeg = folded.edges(0).groupBy(col("src"))
+      .agg(countDistinct(col("dst")).as("dg"))
+      .agg(smax(col("dg"))).first().getLong(0)
+    assert(maxDeg <= 16L, s"folded base degree $maxDeg exceeds the cap")
+  }
 }
