@@ -1330,13 +1330,7 @@ object TextPipeline {
   private[graft] def maximalRepeatSpans(docs0: DataFrame,
       maxDf: Int = 32): DataFrame = {
     val docs = docs0.filter(length(col("text")) >= 64)
-    val spans = docs
-      .select(col("doc_id"), col("text"),
-        explode(sequence(lit(1),
-          (floor((length(col("text")) - 64) / 32) + 1).cast("int"))).as("si"))
-      .select(col("doc_id"), col("si"),
-        ((col("si") - 1) * 32 + 1).as("off"),
-        expr("substring(text, (si - 1) * 32 + 1, 64)").as("span"))
+    val spans = gridWindowSpans(docs)
     val gatedSpans = spans.groupBy(col("span"))
       .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("occ"))
       .filter(col("df") > 1 && col("df") <= maxDf &&
@@ -1350,6 +1344,75 @@ object TextPipeline {
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("sia"), col("oa"),
         (col("ob") - col("oa")).as("delta"))
+    chainExtendSpans(docs, seeds)
+  }
+
+  /** The d23 kernel — INTRA-document maximal repeated spans (VERDICT
+    * r17 #4): [[maximalRepeatSpans]]'s doc_a < doc_b pairing
+    * structurally skips a passage repeated WITHIN one document
+    * (boilerplate pasted twice into the same page survives d22's
+    * scrub untouched). Same seed-chain-extend machinery with the
+    * pairing turned inward: seeds are same-document window collisions
+    * at ob > oa (so delta ≥ 32 > 0 — the trivial self-match is
+    * excluded by construction, and delta ≡ 0 mod 32 automatically
+    * since both offsets sit on the grid: intra-doc repeats carry the
+    * phase-alignment precondition exactly when their occurrence gap
+    * is a stride multiple). The occupancy gate keeps only the
+    * boilerplate cap (occ ≤ 2·maxDf — seeds per span stay
+    * occ²-bounded); the df ≥ 2 half is dropped because an intra-doc
+    * repeat needs no second document. OVERLAPPING occurrences
+    * (delta < span_len, periodic text) are legal: the chain/extend
+    * arithmetic compares the text against itself shifted by delta,
+    * which is well-defined on overlapping ranges, and the scrub's
+    * interval merge collapses the resulting overlapping removals —
+    * the same "keep one period" behavior a suffix-array scrub gives.
+    * Output: doc_id, start_a, start_b (1-based, start_a < start_b),
+    * span_len, n_windows.
+    */
+  private[graft] def maximalRepeatSpansIntra(docs0: DataFrame,
+      maxDf: Int = 32): DataFrame = {
+    val docs = docs0.filter(length(col("text")) >= 64)
+    val spans = gridWindowSpans(docs)
+    val gatedSpans = spans.groupBy(col("span"))
+      .agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= 2 && col("occ") <= maxDf * 2)
+      .select(col("span"))
+    val gs = spans.join(gatedSpans, "span")
+    val seeds = gs.select(col("span"), col("doc_id"),
+        col("si").as("sia"), col("off").as("oa"))
+      .join(gs.select(col("span"), col("doc_id"), col("off").as("ob")),
+        Seq("span", "doc_id"))
+      .filter(col("ob") > col("oa"))
+      .select(col("doc_id").as("doc_a"), col("doc_id").as("doc_b"),
+        col("sia"), col("oa"), (col("ob") - col("oa")).as("delta"))
+    chainExtendSpans(docs, seeds)
+      .select(col("doc_a").as("doc_id"), col("start_a"), col("start_b"),
+        col("span_len"), col("n_windows"))
+  }
+
+  /** The d12/d21/d23 shared grid decomposition: every document's
+    * 64-char windows at stride 32 — (doc_id, si, off, span).
+    */
+  private def gridWindowSpans(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1),
+          (floor((length(col("text")) - 64) / 32) + 1).cast("int"))).as("si"))
+      .select(col("doc_id"), col("si"),
+        ((col("si") - 1) * 32 + 1).as("off"),
+        expr("substring(text, (si - 1) * 32 + 1, 64)").as("span"))
+
+  /** The CHAIN + EXTEND halves shared by the cross-document (d21) and
+    * intra-document (d23) kernels: seeds (doc_a, doc_b, sia, oa,
+    * delta) chain into maximal runs per (doc_a, doc_b, delta) via
+    * gaps-and-islands, then each run's ends extend ≤ 31 chars by
+    * direct in-row comparison (maximal by construction of the
+    * 32-stride grid — see [[maximalRepeatSpans]]). doc_a = doc_b is
+    * legal: both text joins resolve to the same document and the
+    * comparisons read the text against itself shifted by delta.
+    */
+  private def chainExtendSpans(docs: DataFrame,
+      seeds: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("doc_a"), col("doc_b"), col("delta"))
       .orderBy(col("oa"))
     val runs = seeds
@@ -1411,12 +1474,37 @@ object TextPipeline {
     * lookup.
     */
   private[graft] def spanScrub(docs0: DataFrame, maxDf: Int = 32)
+      : DataFrame =
+    scrubByIntervals(docs0,
+      maximalRepeatSpans(docs0, maxDf)
+        .select(col("doc_b").as("doc_id"), col("start_b").as("s"),
+          (col("start_b") + col("span_len")).as("e"))
+        .distinct())
+
+  /** The d23 kernel — intra-document span scrub: [[spanScrub]]'s
+    * removal semantics over [[maximalRepeatSpansIntra]]'s report. Per
+    * document, every LATER occurrence of a repeated passage (start_b >
+    * start_a always, so the earliest copy is the canonical survivor)
+    * becomes a removal interval; overlapping intervals from periodic
+    * repeats or multiple deltas merge before the rewrite — a text of
+    * period p collapses to roughly its first period plus the unmatched
+    * tail, which is the suffix-array scrub's behavior. Same ledger
+    * output as d22.
+    */
+  private[graft] def spanScrubIntra(docs0: DataFrame, maxDf: Int = 32)
+      : DataFrame =
+    scrubByIntervals(docs0,
+      maximalRepeatSpansIntra(docs0, maxDf)
+        .select(col("doc_id"), col("start_b").as("s"),
+          (col("start_b") + col("span_len")).as("e"))
+        .distinct())
+
+  /** The shared REMOVAL machinery (d22/d23): merge per-doc removal
+    * intervals (running-max gaps-and-islands), rewrite each document
+    * as its ordered complement segments, and emit the per-doc ledger.
+    */
+  private def scrubByIntervals(docs0: DataFrame, rem: DataFrame)
       : DataFrame = {
-    val spans = maximalRepeatSpans(docs0, maxDf)
-    val rem = spans.select(col("doc_b").as("doc_id"),
-        col("start_b").as("s"),
-        (col("start_b") + col("span_len")).as("e"))
-      .distinct()
     val w = Window.partitionBy(col("doc_id")).orderBy(col("s"), col("e"))
     val prevMax = max(col("e"))
       .over(w.rowsBetween(Window.unboundedPreceding, -1))
@@ -4696,6 +4784,128 @@ object TextPipeline {
          FROM documents d
          LEFT JOIN cn22 ON cn22.doc_id = d.doc_id
          LEFT JOIN sc22 ON sc22.doc_id = d.doc_id
+         ORDER BY d.doc_id""")),
+
+    ("d23_intra_scrub", (s: SparkSession, d: String) => {
+      // INTRA-document span scrub (VERDICT r17 #4) — the repeat class
+      // d21/d22 structurally skip: their doc_a < doc_b pairing never
+      // pairs a document with itself, so a passage pasted twice INTO
+      // ONE document survives d22 untouched (the planted PipelineSpec
+      // case proves it). Same seed-chain-extend machinery turned
+      // inward (same-doc window collisions at ob > oa — delta ≥ 32
+      // excludes the trivial self-match; overlapping periodic
+      // occurrences are legal and their removal intervals merge), then
+      // d22's removal semantics: every later occurrence scrubs, the
+      // earliest copy survives, one ledger row per document. See
+      // [[maximalRepeatSpansIntra]]/[[spanScrubIntra]] for the gate
+      // (occ-cap only — an intra repeat needs no second document) and
+      // the scale posture (occ²-bounded seeds, no corpus² anywhere).
+      spanScrubIntra(Tables.documents(s, d)).orderBy(col("doc_id"))
+    }, Some(
+      """WITH dd23 AS (
+           SELECT doc_id, text FROM documents WHERE length(text) >= 64),
+         sp23 AS (
+           SELECT doc_id, si, (si - 1) * 32 + 1 AS off,
+                  substr(text, (si - 1) * 32 + 1, 64) AS span
+           FROM (SELECT doc_id, text,
+                        unnest(generate_series(1,
+                          cast(floor((length(text) - 64) / 32.0) AS int) + 1))
+                          AS si
+                 FROM dd23)),
+         g23 AS (SELECT span FROM sp23 GROUP BY 1
+                 HAVING count(*) BETWEEN 2 AND 64),
+         gs23 AS MATERIALIZED (
+           SELECT s.* FROM sp23 s JOIN g23 g ON g.span = s.span),
+         sd23 AS (
+           SELECT a.doc_id, a.si AS sia, a.off AS oa,
+                  b.off - a.off AS delta
+           FROM gs23 a JOIN gs23 b
+             ON b.span = a.span AND b.doc_id = a.doc_id
+            AND b.off > a.off),
+         rn23 AS (
+           SELECT doc_id, delta, oa,
+                  sia - row_number() OVER (PARTITION BY doc_id, delta
+                                           ORDER BY oa) AS isl
+           FROM sd23),
+         il23 AS (
+           SELECT doc_id, delta, isl, min(oa) AS sa, max(oa) AS ea,
+                  count(*) AS n_windows
+           FROM rn23 GROUP BY 1, 2, 3),
+         ex23 AS (
+           SELECT i.doc_id, i.sa, i.ea, i.n_windows,
+                  i.sa + i.delta AS sb, i.ea + i.delta AS eb,
+                  t.text,
+                  least(31, i.sa - 1, i.sa + i.delta - 1) AS ln,
+                  least(31, length(t.text) - i.ea - 63,
+                        length(t.text) - (i.ea + i.delta) - 63) AS rext
+           FROM il23 i JOIN dd23 t ON t.doc_id = i.doc_id),
+         ex23b AS (
+           SELECT *, reverse(substr(text, sa - ln, ln)) AS rva,
+                  reverse(substr(text, sb - ln, ln)) AS rvb,
+                  substr(text, ea + 64, rext) AS fa,
+                  substr(text, eb + 64, rext) AS fb
+           FROM ex23),
+         ex23c AS (
+           SELECT doc_id, sa, ea, sb, n_windows, rext, fa, fb,
+                  CASE WHEN ln <= 0 THEN 0 ELSE
+                    coalesce(list_min(list_filter(generate_series(1, ln),
+                      i -> substr(rva, i, 1) <> substr(rvb, i, 1))) - 1, ln)
+                  END AS left_ext
+           FROM ex23b),
+         ex23d AS (
+           SELECT doc_id, sa, ea, sb, n_windows, left_ext,
+                  CASE WHEN rext <= 0 THEN 0 ELSE
+                    coalesce(list_min(list_filter(generate_series(1, rext),
+                      i -> substr(fa, i, 1) <> substr(fb, i, 1))) - 1, rext)
+                  END AS right_ext
+           FROM ex23c),
+         rem23 AS (SELECT DISTINCT doc_id, sb - left_ext AS s,
+                          sb - left_ext
+                            + (ea + 64 - sa + left_ext + right_ext) AS e
+                   FROM ex23d),
+         mrk23 AS (SELECT doc_id, s, e,
+                          CASE WHEN s > coalesce(max(e) OVER (
+                                 PARTITION BY doc_id ORDER BY s, e
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING), 0)
+                          THEN 1 ELSE 0 END AS ni
+                   FROM rem23),
+         ism23 AS (SELECT doc_id, s, e,
+                          sum(ni) OVER (PARTITION BY doc_id ORDER BY s, e
+                            ROWS UNBOUNDED PRECEDING) AS g
+                   FROM mrk23),
+         mrg23 AS (SELECT doc_id, g, min(s) AS s, max(e) AS e
+                   FROM ism23 GROUP BY 1, 2),
+         tl23 AS (SELECT mx.doc_id, mx.f, length(d.text) + 1 AS t
+                  FROM (SELECT doc_id, max(e) AS f FROM mrg23
+                        GROUP BY 1) mx
+                  JOIN dd23 d ON d.doc_id = mx.doc_id),
+         seg23 AS (SELECT doc_id,
+                          coalesce(lag(e) OVER (PARTITION BY doc_id
+                            ORDER BY s), 1) AS f,
+                          s AS t
+                   FROM mrg23
+                   UNION ALL SELECT doc_id, f, t FROM tl23),
+         sa23 AS (SELECT s2.doc_id,
+                         string_agg(substr(d.text, s2.f, s2.t - s2.f), ''
+                           ORDER BY s2.f) AS nt
+                  FROM seg23 s2 JOIN dd23 d ON d.doc_id = s2.doc_id
+                  WHERE s2.t > s2.f GROUP BY 1),
+         sc23 AS (SELECT m.doc_id, coalesce(sa23.nt, '') AS nt
+                  FROM (SELECT DISTINCT doc_id FROM mrg23) m
+                  LEFT JOIN sa23 ON sa23.doc_id = m.doc_id),
+         cn23 AS (SELECT doc_id, cast(count(*) AS bigint) AS n,
+                         cast(sum(e - s) AS bigint) AS removed
+                  FROM mrg23 GROUP BY 1)
+         SELECT d.doc_id,
+                coalesce(cn23.n, 0) AS n_spans_removed,
+                coalesce(cn23.removed, 0) AS n_chars_removed,
+                cast(length(coalesce(sc23.nt, d.text)) AS bigint)
+                  AS scrubbed_len,
+                md5(coalesce(sc23.nt, d.text)) AS scrubbed_md5
+         FROM documents d
+         LEFT JOIN cn23 ON cn23.doc_id = d.doc_id
+         LEFT JOIN sc23 ON sc23.doc_id = d.doc_id
          ORDER BY d.doc_id""")),
 
     ("d13_leakage_safe_split", (s: SparkSession, d: String) => {

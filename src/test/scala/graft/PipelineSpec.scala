@@ -2035,4 +2035,36 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       .agg(smax(col("dg"))).first().getLong(0)
     assert(maxDeg <= 16L, s"folded base degree $maxDeg exceeds the cap")
   }
+
+  test("spanScrubIntra: a passage repeated within one document survives d22 but scrubs to one copy in d23") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.{lit, md5 => smd5}
+    def gen(n: Int, base: Char, a: Int, div: Int, c: Int, off: Int): String =
+      (0 until n).map(i => (base + (i * a + (i / div) * c + off) % 26).toChar).mkString
+    val f1 = gen(100, 'a', 5, 11, 3, 1)
+    val p = gen(150, 'a', 3, 19, 9, 0)
+    val f2 = gen(74, 'A', 7, 13, 5, 2)   // 150 + 74 = 224 ≡ 0 (mod 32)
+    val f3 = gen(50, 'a', 11, 17, 7, 4)
+    val doc1 = f1 + p + f2 + p + f3
+    val doc2 = gen(120, 'A', 9, 23, 11, 6)
+    val docs = Seq((1L, doc1), (2L, doc2)).toDF("doc_id", "text")
+    // d22 (cross-doc pairing) provably leaves the intra-doc repeat
+    val d22 = TextPipeline.spanScrub(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+    assert(d22(1L) == ((0L, doc1.length.toLong)), s"d22 scrubbed: ${d22(1L)}")
+    // d23 reports the repeat at its true extent and scrubs the later copy
+    val spans = TextPipeline.maximalRepeatSpansIntra(docs).collect()
+    assert(spans.length == 1 && spans(0).getLong(1) == 101L &&
+      spans(0).getLong(2) == 325L && spans(0).getLong(3) == 150L,
+      s"spans: ${spans.toSeq}")
+    val got = TextPipeline.spanScrubIntra(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    val expected = f1 + p + f2 + f3
+    val em = spark.range(1).select(smd5(lit(expected))).first().getString(0)
+    assert(got(1L) == ((1L, 150L, expected.length.toLong, em)),
+      s"doc1: ${got(1L)}")
+    assert(got(2L)._1 == 0L && got(2L)._3 == 120L, s"doc2: ${got(2L)}")
+  }
 }
