@@ -1085,23 +1085,98 @@ object AnnIndex {
         col("unit").as("q_unit"))
     // (The pre-r10 spelling joined q back here for the rerank columns;
     // rerankExact now takes q directly, so the tabs frame stands alone.)
+    rerankExact(idx.codes, pqAdcCands(idx, qPred, k * rerank), q, k)
+  }
+
+  /** The ADC candidate stage of [[pqSearch]] alone (e36's pre-rerank
+    * quality measure, the plain-PQ twin of [[ivfPqAdcCands]]): each
+    * query's broadcast m × ksub table, the compressed-corpus scan, and
+    * the bounded top-`cut` cut. The scan is the corpus-sized stage
+    * (|Q| × corpus rows), so its cut is the bounded-state aggregate —
+    * the shuffle carries at most `cut` pairs per (partition, query).
+    */
+  private[graft] def pqAdcCands(idx: PqIndex, qPred: Column,
+      cut: Int): DataFrame = {
+    val q = idx.codes.filter(qPred)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("unit").as("q_unit"))
     val qtabs = adcTabs(idx, q)
     val adist = kcol(graft.functions.AdcLookupSum(
       kexpr(col("codes")), kexpr(col("tabs"))))
-    // The ADC scan is the corpus-sized stage (|Q| × corpus rows), so its
-    // cut is the bounded-state aggregate — the scan's shuffle carries at
-    // most k·rerank pairs per (partition, query). The surviving ≤ k·rerank
-    // candidates per query then join back (broadcast — tiny) for the
-    // exact-cosine re-rank, whose own window runs on ≤ 12 rows per query.
-    val adcCands = topKCut(
+    topKCut(
       idx.codes.crossJoin(broadcast(qtabs))
         .filter(col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id"), adist.as("adist")),
-      "q_id", "adist", "vec_id", k * rerank, ascending = true,
+      "q_id", "adist", "vec_id", cut, ascending = true,
       scoreName = "adist", idName = "vec_id")
       .select(col("q_id"), col("vec_id"), col("adist"))
-    rerankExact(idx.codes, adcCands, q, k)
   }
+
+  /** OPQ's subspace-assignment half as a DETERMINISTIC permutation
+    * (e36, VERDICT r17 #3 — e31 delivered the residual half): rank the
+    * unit-e6 dimensions by EXACT-INTEGER variance (n·Σx² − (Σx)², no
+    * doubles, ties to the lower dim) and deal them to the m subspaces
+    * in SNAKE order (round g assigns rank g·m+pos to subspace pos on
+    * even rounds, m−1−pos on odd — each subspace ends with one dim per
+    * variance stratum), so every subspace carries a comparable energy
+    * budget and no codebook wastes its ksub codes on near-constant
+    * dims. This is FAISS-OPQ restricted to permutation rotations —
+    * the hash-exact-friendly variant: a permutation preserves norms
+    * and dot products, so the ENTIRE existing PQ machinery (train,
+    * encode, ADC, exact re-rank) runs verbatim on the permuted corpus
+    * and every cosine it reports is the original-space cosine. Returns
+    * perm: permuted position j holds original dimension perm(j).
+    * Driver state is dim (count, Σx, Σx²) triples — index metadata,
+    * like centroids; at 100 TB the same one-pass aggregate holds
+    * (overflow guard: n·Σx² stays under 2⁶³ while n·dim·1e12 does —
+    * beyond that, rescale or sample; the law is documented here so the
+    * choice is visible).
+    */
+  def balancedPerm(e: DataFrame, m: Int): Seq[Int] = {
+    val stats = withUnitE6(e)
+      .select(posexplode(col("unit")).as(Seq("i", "x")))
+      .groupBy(col("i"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("i"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("vnum"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val dim = stats.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val subDim = dim / m
+    val ranked = stats.sortBy { case (i, v) => (-v, i) }.map(_._1)
+    val posOf = Array.ofDim[Int](dim)
+    for (r <- 0 until dim) {
+      val g = r / m
+      val pos = r % m
+      val sub = if (g % 2 == 0) pos else m - 1 - pos
+      posOf(sub * subDim + g) = ranked(r)
+    }
+    posOf.toSeq
+  }
+
+  /** The session's variance-balanced PQ index ([[balancedPerm]] then
+    * [[trainPq]] on the permuted corpus) plus the permutation itself.
+    */
+  private val bpqCache = new java.util.WeakHashMap[SparkSession,
+    scala.collection.concurrent.TrieMap[(String, Int, Int, Int),
+      (Seq[Int], PqIndex)]]()
+  def balancedPqFor(s: SparkSession, path: String, e: => DataFrame,
+      m: Int, ksub: Int, iters: Int): (Seq[Int], PqIndex) =
+    bpqCache.synchronized {
+      bpqCache.computeIfAbsent(s,
+        _ => scala.collection.concurrent.TrieMap.empty)
+    }.getOrElseUpdate((path, m, ksub, iters),
+      timedBuild(s"bpq:$m:$ksub:$iters") {
+        val corpus = e
+        val perm = balancedPerm(corpus, m)
+        val pe = corpus.select(col("vec_id"), expr(
+          s"transform(array(${perm.mkString(", ")}), p -> element_at(embedding, p + 1))")
+          .as("embedding"))
+        val idx = trainPq(pe, m, ksub, iters)
+        idx.codes.count()
+        (perm, idx)
+      })
 
   /** The per-query m × ksub ADC table, as ONE aggregation of the tiny
     * |Q|·m·ksub distance stream (was a groupBy(q_id, sub) + groupBy(q_id)

@@ -6589,6 +6589,179 @@ object TextPipeline {
            FROM fbeam3 WHERE ef = 16)
          WHERE rk <= 3 ORDER BY q_id, rank""")),
 
+    ("e36_balanced_pq", (s: SparkSession, d: String) => {
+      // OPQ's SUBSPACE-ASSIGNMENT half, measured (VERDICT r17 #3 —
+      // e31/e33 delivered the residual half): dimensions rank by
+      // exact-integer variance (n·Σx² − (Σx)², ties to the lower dim)
+      // and deal to the m subspaces in snake order, so each codebook
+      // quantizes a comparable energy budget instead of whatever the
+      // contiguous slicing happened to group (FAISS-OPQ restricted to
+      // permutation rotations — the hash-exact-friendly variant; a
+      // permutation preserves norms and dot products, so the entire
+      // e9 train/encode/ADC machinery runs verbatim on the permuted
+      // corpus, AnnIndex.balancedPerm). Same done-bar as e33: mean
+      // squared e6 reconstruction error over the corpus and
+      // exact-top-3 containment in each arm's top-12 ADC candidates,
+      // raw (e9's cached index) beside balanced, equal bytes/vector.
+      // The oracle replays the variance ranking, the snake, and both
+      // Lloyd trainings CTE-for-CTE.
+      val e = Tables.embeddings(s, d)
+      import s.implicits._
+      val m = 8
+      val raw = AnnIndex.pqFor(s, d, e, m = m, ksub = 16, iters = 2)
+      val (_, bal) = AnnIndex.balancedPqFor(s, d, e,
+        m = m, ksub = 16, iters = 2)
+      def qerrArm(idx: AnnIndex.PqIndex): DataFrame =
+        idx.codes
+          .select(col("vec_id"), col("unit").as("vv"),
+            posexplode(col("codes")).as(Seq("sub", "code")))
+          .join(broadcast(idx.codebook.toDF("sub", "code", "cent")),
+            Seq("sub", "code"))
+          .withColumn("vsub", expr(
+            s"slice(vv, sub * (size(vv) div $m) + 1, size(vv) div $m)"))
+          .select(col("vec_id"), AnnIndex.sqDist("vsub", "cent").as("dd"))
+          .groupBy(col("vec_id")).agg(sum(col("dd")).as("qerr"))
+          .agg(floor(sum(col("qerr")).cast("double") / count(lit(1)))
+            .cast("long").as("avg_qerr"))
+      val q10 = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val exact3 = exactTopK(e, q10, 3).select(col("q_id"), col("vec_id"))
+      def hitsArm(cands: DataFrame): DataFrame =
+        exact3.join(cands.select(col("q_id").as("cq"),
+            col("vec_id").as("cv")),
+            col("q_id") === col("cq") && col("vec_id") === col("cv"), "left")
+          .agg(countDistinct(col("q_id")).as("n_queries"),
+            count(lit(1)).as("n_exact"), count(col("cv")).as("n_hits12"))
+      def row(fam: String, qerr: DataFrame, hits: DataFrame): DataFrame =
+        qerr.crossJoin(broadcast(hits))
+          .select(lit(fam).as("family"), col("avg_qerr"),
+            col("n_queries"), col("n_exact"), col("n_hits12"),
+            round(col("n_hits12") * lit(1000000L) / col("n_exact"))
+              .cast("long").as("crecall_e6"))
+      row("balanced", qerrArm(bal),
+        hitsArm(AnnIndex.pqAdcCands(bal, col("vec_id") < 10, 12)))
+        .unionByName(row("raw", qerrArm(raw),
+          hitsArm(AnnIndex.pqAdcCands(raw, col("vec_id") < 10, 12))))
+        .orderBy(col("family"))
+    }, Some(
+      s"""WITH ex AS (
+           SELECT vec_id, i, cast(embedding[i] AS double) AS v FROM (
+             SELECT vec_id, embedding,
+                    unnest(generate_series(1, len(embedding))) AS i
+             FROM embeddings)),
+         nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ex GROUP BY 1),
+         u AS (SELECT e.vec_id, e.i,
+                      cast(round(e.v / n.nrm * 1e6) AS bigint) AS ue6
+               FROM ex e JOIN nrm n ON n.vec_id = e.vec_id),
+         sv AS (SELECT vec_id, cast((i - 1) // 8 AS int) AS sub,
+                       cast((i - 1) % 8 AS int) AS d, ue6 FROM u),
+         ${pqLloydCtes("", "sv", iters = 2, ksub = 16)},
+         vstat AS (SELECT i, cast(count(*) AS bigint) AS n,
+                          cast(sum(ue6) AS bigint) AS sx,
+                          cast(sum(ue6 * ue6) AS bigint) AS sxx
+                   FROM u GROUP BY 1),
+         vrank AS (SELECT i, row_number() OVER (
+                     ORDER BY (n * sxx - sx * sx) DESC, i) - 1 AS r
+                   FROM vstat),
+         pmap AS (SELECT i AS oi,
+                         (CASE WHEN (r // 8) % 2 = 0 THEN r % 8
+                               ELSE 7 - (r % 8) END) * 8 + (r // 8) + 1
+                           AS j
+                  FROM vrank),
+         pu AS (SELECT u.vec_id, p.j AS i, u.ue6
+                FROM u JOIN pmap p ON p.oi = u.i),
+         psv AS (SELECT vec_id, cast((i - 1) // 8 AS int) AS sub,
+                        cast((i - 1) % 8 AS int) AS d, ue6 FROM pu),
+         ${pqLloydCtes("b", "psv", iters = 2, ksub = 16)},
+         rr36 AS (SELECT a.vec_id, cb.sub, cb.d, cb.ue6 AS p
+                  FROM a2 a JOIN cb2 cb
+                    ON cb.sub = a.sub AND cb.code = a.code),
+         rq36 AS (SELECT sv.vec_id,
+                         cast(sum((sv.ue6 - rr36.p) * (sv.ue6 - rr36.p))
+                           AS bigint) AS qerr
+                  FROM sv JOIN rr36 ON rr36.vec_id = sv.vec_id
+                                   AND rr36.sub = sv.sub
+                                   AND rr36.d = sv.d
+                  GROUP BY 1),
+         br36 AS (SELECT a.vec_id, cb.sub, cb.d, cb.ue6 AS p
+                  FROM ba2 a JOIN bcb2 cb
+                    ON cb.sub = a.sub AND cb.code = a.code),
+         bq36 AS (SELECT s2.vec_id,
+                         cast(sum((s2.ue6 - br36.p) * (s2.ue6 - br36.p))
+                           AS bigint) AS qerr
+                  FROM psv s2 JOIN br36 ON br36.vec_id = s2.vec_id
+                                       AND br36.sub = s2.sub
+                                       AND br36.d = s2.d
+                  GROUP BY 1),
+         alldots36 AS (SELECT q.vec_id AS q_id, e.vec_id, sum(q.v * e.v)
+                                AS dot
+                       FROM ex q JOIN ex e ON e.i = q.i
+                       WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id
+                       GROUP BY 1, 2),
+         exact36 AS (SELECT q_id, vec_id FROM (
+                       SELECT d2.q_id, d2.vec_id, row_number() OVER (
+                         PARTITION BY d2.q_id
+                         ORDER BY cast(round(d2.dot / (a.nrm * b.nrm) * 1e6)
+                           AS bigint) DESC, d2.vec_id) AS rk
+                       FROM alldots36 d2 JOIN nrm a ON a.vec_id = d2.q_id
+                       JOIN nrm b ON b.vec_id = d2.vec_id)
+                     WHERE rk <= 3),
+         qt36 AS (SELECT q.vec_id AS q_id, cb.sub, cb.code,
+                         cast(sum((q.ue6 - cb.ue6) * (q.ue6 - cb.ue6))
+                           AS bigint) AS dist
+                  FROM sv q JOIN cb2 cb
+                    ON cb.sub = q.sub AND cb.d = q.d
+                  WHERE q.vec_id < 10 GROUP BY 1, 2, 3),
+         radc AS (SELECT t.q_id, a.vec_id, cast(sum(t.dist) AS bigint)
+                           AS adist
+                  FROM a2 a JOIN qt36 t
+                    ON t.sub = a.sub AND t.code = a.code
+                  WHERE a.vec_id <> t.q_id GROUP BY 1, 2),
+         rc12 AS (SELECT q_id, vec_id FROM (
+                    SELECT radc.*, row_number() OVER (PARTITION BY q_id
+                             ORDER BY adist, vec_id) AS rk FROM radc)
+                  WHERE rk <= 12),
+         bqt36 AS (SELECT q.vec_id AS q_id, cb.sub, cb.code,
+                          cast(sum((q.ue6 - cb.ue6) * (q.ue6 - cb.ue6))
+                            AS bigint) AS dist
+                   FROM psv q JOIN bcb2 cb
+                     ON cb.sub = q.sub AND cb.d = q.d
+                   WHERE q.vec_id < 10 GROUP BY 1, 2, 3),
+         badc AS (SELECT t.q_id, a.vec_id, cast(sum(t.dist) AS bigint)
+                           AS adist
+                  FROM ba2 a JOIN bqt36 t
+                    ON t.sub = a.sub AND t.code = a.code
+                  WHERE a.vec_id <> t.q_id GROUP BY 1, 2),
+         bc12 AS (SELECT q_id, vec_id FROM (
+                    SELECT badc.*, row_number() OVER (PARTITION BY q_id
+                             ORDER BY adist, vec_id) AS rk FROM badc)
+                  WHERE rk <= 12),
+         g36 AS (SELECT cast(count(DISTINCT q_id) AS bigint) AS n_queries,
+                        cast(count(*) AS bigint) AS n_exact
+                 FROM exact36)
+         SELECT family, avg_qerr, n_queries, n_exact, n_hits12,
+                cast(round(n_hits12 * 1000000 / n_exact) AS bigint)
+                  AS crecall_e6
+         FROM (
+           SELECT 'balanced' AS family,
+                  (SELECT cast(floor(cast(sum(qerr) AS double) / count(*))
+                     AS bigint) FROM bq36) AS avg_qerr,
+                  g.n_queries, g.n_exact,
+                  (SELECT cast(count(*) AS bigint) FROM exact36 e3
+                   JOIN bc12 c ON c.q_id = e3.q_id
+                              AND c.vec_id = e3.vec_id) AS n_hits12
+           FROM g36 g
+           UNION ALL
+           SELECT 'raw',
+                  (SELECT cast(floor(cast(sum(qerr) AS double) / count(*))
+                     AS bigint) FROM rq36),
+                  g.n_queries, g.n_exact,
+                  (SELECT cast(count(*) AS bigint) FROM exact36 e3
+                   JOIN rc12 c ON c.q_id = e3.q_id
+                              AND c.vec_id = e3.vec_id)
+           FROM g36 g)
+         ORDER BY family""")),
+
     ("e19_range_search", (s: SparkSession, d: String) => {
       // RANGE (threshold) search — the other retrieval mode: "every
       // neighbor with cosine ≥ τ" instead of "the k nearest". Top-k
