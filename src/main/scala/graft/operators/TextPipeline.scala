@@ -2991,37 +2991,121 @@ object TextPipeline {
     * n_tok — persisted, the encoder's lookup).
     */
   private[graft] def unigramTrain(docs: DataFrame): (DataFrame, DataFrame) = {
-    val wf = corpusWords(docs).groupBy(col("word"))
-      .agg(count(lit(1)).as("cnt"))
-    val pieces = wf
-      .select(col("cnt"),
-        explode(expr("""flatten(transform(sequence(1, length(word)), i ->
-          transform(sequence(i, least(i + 3, length(word))),
-            j -> substring(word, i, j - i + 1))))""")).as("piece"))
-      .groupBy(col("piece")).agg(sum(col("cnt")).as("freq"))
-    def scored(vf: DataFrame, cnt: String): DataFrame =
-      vf.crossJoin(broadcast(vf.agg(sum(col(cnt)).cast("double").as("tot"))))
-        .select(col("piece"),
-          round(log(col(cnt).cast("double") / col("tot")) * 1e6)
-            .cast("long").as("s_e6"))
+    val wf = uniWordFreq(docs)
+    val pieces = uniPieceFreq(wf)
     val chars = pieces.filter(length(col("piece")) === 1)
     val v0f = chars.unionByName(
       pieces.filter(length(col("piece")) >= 2)
         .orderBy(col("freq").desc, col("piece")).limit(64))
-    val seg1 = unigramViterbi(wf, scored(v0f, "freq"))
-    val c1 = seg1.select(col("cnt"), explode(col("ps")).as("piece"))
-      .groupBy(col("piece")).agg(sum(col("cnt")).as("c"))
-    val v1f = chars.select(col("piece")).join(c1, Seq("piece"), "left")
-      .select(col("piece"), (coalesce(col("c"), lit(0L)) + 1).as("cs"))
-      .unionByName(
-        c1.filter(length(col("piece")) >= 2)
-          .orderBy(col("c").desc, col("piece")).limit(16)
-          .select(col("piece"), (col("c") + 1).as("cs")))
-    val v1 = scored(v1f, "cs").persist(StorageLevel.MEMORY_AND_DISK)
+    val seg1 = unigramViterbi(wf, uniScored(v0f, "freq"))
+    val v1 = uniScored(uniPrune(chars, seg1, 16), "cs")
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val seg2 = unigramViterbi(wf, v1).persist(StorageLevel.MEMORY_AND_DISK)
     seg2.count()
     (v1, seg2)
   }
+
+  /** Shared x49/x51 estimator pieces: the word-TYPE frequency table,
+    * the ≤ 4-char substring seed frequencies, the e6 log-prob scoring,
+    * and the PRUNE step (all chars for coverage + the top-`keep`
+    * multi-char pieces by Viterbi-used count, add-one smoothed).
+    */
+  private def uniWordFreq(docs: DataFrame): DataFrame =
+    corpusWords(docs).groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+
+  private def uniPieceFreq(wf: DataFrame): DataFrame =
+    wf.select(col("cnt"),
+        explode(expr("""flatten(transform(sequence(1, length(word)), i ->
+          transform(sequence(i, least(i + 3, length(word))),
+            j -> substring(word, i, j - i + 1))))""")).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("cnt")).as("freq"))
+
+  private def uniScored(vf: DataFrame, cnt: String): DataFrame =
+    vf.crossJoin(broadcast(vf.agg(sum(col(cnt)).cast("double").as("tot"))))
+      .select(col("piece"),
+        round(log(col(cnt).cast("double") / col("tot")) * 1e6)
+          .cast("long").as("s_e6"))
+
+  private def uniPrune(chars: DataFrame, seg: DataFrame,
+      keep: Int): DataFrame = {
+    val c = seg.select(col("cnt"), explode(col("ps")).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("cnt")).as("c"))
+    chars.select(col("piece")).join(c, Seq("piece"), "left")
+      .select(col("piece"), (coalesce(col("c"), lit(0L)) + 1).as("cs"))
+      .unionByName(
+        c.filter(length(col("piece")) >= 2)
+          .orderBy(col("c").desc, col("piece")).limit(keep)
+          .select(col("piece"), (col("c") + 1).as("cs")))
+  }
+
+  /** x51's PRUNE SCHEDULE (VERDICT r17 #6) — SentencePiece's actual
+    * estimator loop: it seeds a LARGE candidate vocabulary and prunes
+    * toward the target over several EM rounds, where x49 runs exactly
+    * one prune (64 → 16). This is the fixed deterministic 3-round
+    * schedule 64 → 48 → 32 → 16: each round is one Viterbi E-step
+    * under the current vocabulary, a used-count prune to the round's
+    * multi-piece budget (chars always kept for coverage), and an
+    * add-one-smoothed M-step re-score — the same two CTE shapes x49's
+    * oracle already replays, instantiated per round. Output is the
+    * VOCAB TRAJECTORY, one row per E-step: (round, n_multi, n_vocab,
+    * n_words, n_tokens, fertility_e6) — the fertility-vs-vocab-size
+    * curve a pipeline sizes its tokenizer budget from (tokens rise as
+    * the vocab shrinks; the intermediate rows ARE the larger-vocab
+    * fertility measurements x50's 16-piece comparison cannot show).
+    * Each E-step's segmentation is localCheckpointed: the next round
+    * references it twice (counts + trajectory row) and the Viterbi
+    * expression tree is large — the g13 analyzer-blowup discipline.
+    */
+  private[graft] def unigramPruneSchedule(docs: DataFrame,
+      keeps: Seq[Int] = Seq(48, 32, 16)): DataFrame = {
+    val wf = uniWordFreq(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    val pieces = uniPieceFreq(wf)
+    val chars = pieces.filter(length(col("piece")) === 1)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nCharsDf = broadcast(chars.agg(count(lit(1)).as("n_char_pieces")))
+    val v0f = chars.unionByName(
+      pieces.filter(length(col("piece")) >= 2)
+        .orderBy(col("freq").desc, col("piece")).limit(64))
+    var scoredV = uniScored(v0f, "freq").localCheckpoint()
+    var nMulti = 64
+    var out: DataFrame = null
+    for (i <- 1 to keeps.length + 1) {
+      val seg = unigramViterbi(wf, scoredV).localCheckpoint()
+      val row = seg
+        .agg(sum(col("cnt")).as("n_words"),
+          sum(col("cnt") * col("n_tok")).as("n_tokens"))
+        .crossJoin(nCharsDf)
+        .select(lit(i).as("round"),
+          lit(nMulti).cast("long").as("n_multi"),
+          (col("n_char_pieces") + lit(nMulti)).as("n_vocab"),
+          col("n_words"), col("n_tokens"),
+          round(col("n_tokens") * lit(1e6) / col("n_words"))
+            .cast("long").as("fertility_e6"))
+      out = if (out == null) row else out.unionByName(row)
+      if (i <= keeps.length) {
+        scoredV = uniScored(uniPrune(chars, seg, keeps(i - 1)), "cs")
+          .localCheckpoint()
+        nMulti = keeps(i - 1)
+      }
+    }
+    out
+  }
+
+  /** Session-cached x51 trajectory (4 Viterbi passes — built once). */
+  private val uniSchedCache = new java.util.WeakHashMap[SparkSession,
+    scala.collection.concurrent.TrieMap[String, DataFrame]]()
+  private[graft] def unigramScheduleFor(s: SparkSession, d: String)
+      : DataFrame =
+    uniSchedCache.synchronized {
+      uniSchedCache.computeIfAbsent(s,
+        _ => scala.collection.concurrent.TrieMap.empty)
+    }.getOrElseUpdate(d,
+      AnnIndex.timedBuild("unigram-schedule") {
+        val t = unigramPruneSchedule(Tables.documents(s, d))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        t.count()
+        t
+      })
 
   /** Session-cached unigram training per corpus — x49 reads the
     * encoder, x50 compares it against the SAME corpus's BPE vocab (the
@@ -3175,7 +3259,17 @@ object TextPipeline {
     * `includeOcc = false` when composed after the BPE chain, which
     * already defines `occ` (the d5 shared-CTE-name rule).
     */
-  private def uniOracleCtes(includeOcc: Boolean): String = {
+  private def uniOracleCtes(includeOcc: Boolean): String =
+    uniScheduleCtes(includeOcc, Seq(16))
+
+  /** The unigram EM chain as a SCHEDULE generator (x51; x49/x50 are
+    * the keeps = [16] instance): seed (64 multi-char) → per round r a
+    * Viterbi E-step (useg<r>), used-count prune to keeps(r−1) multi
+    * pieces + chars, add-one M-step re-score (uv<r>) → one final
+    * E-step under the last vocab.
+    */
+  private def uniScheduleCtes(includeOcc: Boolean,
+      keeps: Seq[Int]): String = {
     val occ = if (includeOcc)
       """occ AS (
            SELECT doc_id,
@@ -3183,6 +3277,24 @@ object TextPipeline {
            FROM documents),
          """
     else ""
+    val rounds = keeps.zipWithIndex.map { case (keep, idx) =>
+      val r = idx + 1
+      s"""${uniViterbiCtes(r, s"uv${r - 1}")},
+         uc$r AS (SELECT piece, cast(sum(cnt) AS bigint) AS c FROM (
+                   SELECT cnt, unnest(ps) AS piece FROM useg$r) GROUP BY 1),
+         uk${r}c AS (SELECT p.piece, coalesce(c.c, 0) AS c
+                  FROM (SELECT piece FROM upc WHERE length(piece) = 1) p
+                  LEFT JOIN uc$r c ON c.piece = p.piece),
+         uk${r}m AS (SELECT piece, c FROM uc$r WHERE length(piece) >= 2
+                  ORDER BY c DESC, piece LIMIT $keep),
+         uv${r}f AS (SELECT piece, c + 1 AS cs FROM uk${r}c
+                  UNION ALL SELECT piece, c + 1 AS cs FROM uk${r}m),
+         uv$r AS MATERIALIZED (
+           SELECT piece, cast(round(ln(cast(cs AS double) / t.tot) * 1e6)
+             AS bigint) AS s_e6
+           FROM uv${r}f, (SELECT cast(sum(cs) AS double) AS tot
+                          FROM uv${r}f) t)"""
+    }.mkString(",\n         ")
     s"""${occ}uwf AS (SELECT word, cast(count(*) AS bigint) AS cnt
              FROM occ GROUP BY 1),
          useed AS MATERIALIZED (
@@ -3201,21 +3313,8 @@ object TextPipeline {
            SELECT piece, cast(round(ln(cast(freq AS double) / t.tot) * 1e6)
              AS bigint) AS s_e6
            FROM uv0f, (SELECT cast(sum(freq) AS double) AS tot FROM uv0f) t),
-         ${uniViterbiCtes(1, "uv0")},
-         uc1 AS (SELECT piece, cast(sum(cnt) AS bigint) AS c FROM (
-                   SELECT cnt, unnest(ps) AS piece FROM useg1) GROUP BY 1),
-         uk1c AS (SELECT p.piece, coalesce(c.c, 0) AS c
-                  FROM (SELECT piece FROM upc WHERE length(piece) = 1) p
-                  LEFT JOIN uc1 c ON c.piece = p.piece),
-         uk1m AS (SELECT piece, c FROM uc1 WHERE length(piece) >= 2
-                  ORDER BY c DESC, piece LIMIT 16),
-         uv1f AS (SELECT piece, c + 1 AS cs FROM uk1c
-                  UNION ALL SELECT piece, c + 1 AS cs FROM uk1m),
-         uv1 AS MATERIALIZED (
-           SELECT piece, cast(round(ln(cast(cs AS double) / t.tot) * 1e6)
-             AS bigint) AS s_e6
-           FROM uv1f, (SELECT cast(sum(cs) AS double) AS tot FROM uv1f) t),
-         ${uniViterbiCtes(2, "uv1")}"""
+         $rounds,
+         ${uniViterbiCtes(keeps.length + 1, s"uv${keeps.length}")}"""
   }
 
   /** d21's seed-chain-extend CTE graph (ends at ex21d: doc pair, run
@@ -8583,6 +8682,41 @@ object TextPipeline {
                 END AS fertility_e6
          FROM warm
          ORDER BY tokenizer, source""")),
+
+    ("x51_unigram_prune_schedule", (s: SparkSession, d: String) => {
+      // The unigram estimator's PRUNE SCHEDULE (VERDICT r17 #6) —
+      // SentencePiece seeds large and prunes toward the target over
+      // several EM rounds; x49 runs exactly one. Fixed deterministic
+      // 64 → 48 → 32 → 16 multi-piece schedule (chars always kept),
+      // each round the same Viterbi-E / prune / add-one-M shapes x49's
+      // oracle replays, instantiated per round. The result is the
+      // VOCAB TRAJECTORY — one row per E-step with the corpus token
+      // count and fertility under that round's vocabulary: the
+      // fertility-vs-vocab-size curve a pipeline sizes its tokenizer
+      // budget from, with the intermediate rows supplying the
+      // larger-vocab fertility measurements x50's fixed-16 comparison
+      // cannot. Hash-exact: 4 recursive-CTE DP replays in one oracle.
+      // See [[unigramPruneSchedule]] for the checkpoint discipline.
+      unigramScheduleFor(s, d).orderBy(col("round"))
+    }, Some(
+      s"""WITH RECURSIVE ${uniScheduleCtes(includeOcc = true,
+           keeps = Seq(48, 32, 16))},
+         nch AS (SELECT cast(count(*) AS bigint) AS n_chars
+                 FROM upc WHERE length(piece) = 1),
+         traj AS (
+           ${Seq((1, 64), (2, 48), (3, 32), (4, 16)).map { case (r, m) =>
+             s"""SELECT $r AS round, cast($m AS bigint) AS n_multi,
+                  cast(sum(cnt) AS bigint) AS n_words,
+                  cast(sum(cnt * n_tok) AS bigint) AS n_tokens
+           FROM useg$r"""
+           }.mkString("\n           UNION ALL\n           ")})
+         SELECT cast(traj.round AS int) AS round, traj.n_multi,
+                nch.n_chars + traj.n_multi AS n_vocab,
+                traj.n_words, traj.n_tokens,
+                cast(round(traj.n_tokens * 1e6 / traj.n_words) AS bigint)
+                  AS fertility_e6
+         FROM traj, nch
+         ORDER BY round""")),
 
     ("x48_dataset_card", (s: SparkSession, d: String) => {
       // THE DATASET CARD — the per-source datasheet a corpus ships
