@@ -108,6 +108,27 @@ object Bench {
     val results = queries.map { case (name, _) =>
       name -> samples.get(name).map(median).getOrElse(0.0)
     }
+    // Per-arm attribution for e27 (VERDICT r17): the query's headline is
+    // a three-family sum — a single-arm regression hides in it. Time
+    // each family arm separately (same pass count, same noop sink; the
+    // shared session indexes are warm from the main loop, so these are
+    // pure serving reads like e27's own steady state) and emit them as
+    // named sub-timings beside the query's total.
+    val e27Arms: Map[String, Double] =
+      if (!queries.contains("e27_ann_family_curve")) Map.empty
+      else graft.operators.TextPipeline.e27Arms(spark, sfDir).map {
+        case (fam, mk) =>
+          val ts = (1 to passes).map { _ =>
+            val t0 = System.nanoTime()
+            try mk().write.mode("overwrite").format("noop").save()
+            catch { case _: Throwable => () }
+            (System.nanoTime() - t0) / 1e9
+          }
+          fam -> median(ts)
+      }.toMap
+    val e27ArmsJson = e27Arms.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + (math.rint(v * 1000) / 1000) }
+      .mkString("{", ",", "}")
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // Load-corrected headline (VERDICT r11 #2): the sum of per-query MINS
@@ -147,7 +168,7 @@ object Bench {
     def jsonLine(qmap: Iterable[(String, Double)], extra: String): String = {
       val qs = qmap.map { case (k, v) => s"\"" + k + "\":" + v }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":$total,"value_min_sec":${ms3(totalMin)},"load_skew":$loadSkew,"unit":"sec","queries":$qs,$extra"canary_sec":$canaryJson,"index_build_sec":$buildJson,"warmup_sec":$warmup,"passes":$passes,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"value_min_sec":${ms3(totalMin)},"load_skew":$loadSkew,"unit":"sec","queries":$qs,$extra"e27_arms":$e27ArmsJson,"canary_sec":$canaryJson,"index_build_sec":$buildJson,"warmup_sec":$warmup,"passes":$passes,"errors":$errJson,"sf":"$sfDir"}"""
     }
     val full = jsonLine(results, s""""dispersion":$dispJson,""")
     // Persist the FULL per-query map to files: the driver captures only the

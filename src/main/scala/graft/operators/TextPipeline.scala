@@ -3317,6 +3317,81 @@ object TextPipeline {
          ${uniViterbiCtes(keeps.length + 1, s"uv${keeps.length}")}"""
   }
 
+  /** e27's three family arms as SEPARATELY-EXECUTABLE relations
+    * (VERDICT r17, "what's wrong" #1): the shipped e27 number is a
+    * three-family sum, so a regression in one arm hides in it and its
+    * quiet dispersion has no attribution. Bench executes each arm on
+    * its own and emits named `e27_arms` sub-timings beside the query's
+    * total; the query itself unions all three (same rows as before —
+    * the arms share the session-cached indexes and one exact ground
+    * truth, recomputed per arm at bounded |Q|·corpus cost).
+    */
+  private[graft] def e27Arms(s: SparkSession, d: String)
+      : Seq[(String, () => DataFrame)] = {
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val exact3 = exactTopK(e, q, 3).select(col("q_id"), col("vec_id"))
+    def arm(top3: DataFrame, scoredCount: DataFrame, family: String,
+        param: Int): DataFrame =
+      exact3.join(top3.select(col("q_id").as("tq"), col("vec_id").as("tv")),
+          col("q_id") === col("tq") && col("vec_id") === col("tv"), "left")
+        .agg(countDistinct(col("q_id")).as("n_queries"),
+          count(lit(1)).as("n_exact"), count(col("tv")).as("n_hits"))
+        .crossJoin(broadcast(scoredCount))
+        .select(lit(family).as("family"), lit(param).as("param"),
+          col("n_queries"), col("n_exact"), col("n_hits"),
+          round(col("n_hits") * lit(1000000L) / col("n_exact"))
+            .cast("long").as("recall_e6"),
+          col("n_scored"))
+    def nswRows: DataFrame = {
+      val nsw = AnnIndex.nswFor(s, d, e, m = 16, tables = 4)
+      val efs = Seq(4, 8, 16, 32)
+      val (beam, scoredPairs) =
+        AnnIndex.nswBeamMulti(nsw, e, col("vec_id") < 3, efs, rounds = 4)
+      efs.map { ef =>
+        arm(
+          AnnIndex.topKCut(beam.filter(col("ef") === ef),
+            "q_id", "cosine_e6", "vec_id", 3,
+            ascending = false, scoreName = "cosine_e6", idName = "vec_id"),
+          scoredPairs.filter(col("ef") === ef)
+            .agg(count(lit(1)).as("n_scored")), "nsw", ef)
+      }.reduce(_ unionByName _)
+    }
+    def ivfRows: DataFrame = {
+      val idx = AnnIndex.ivfFor(s, d, e, nlist = 16, iters = 2)
+      Seq(1, 2, 4, 8).map { p =>
+        arm(
+          AnnIndex.ivfSearch(idx, col("vec_id") < 3, k = 3, nprobe = p),
+          AnnIndex.probedScores(idx, col("vec_id") < 3, p, None)
+            .agg(count(lit(1)).as("n_scored")), "ivf", p)
+      }.reduce(_ unionByName _)
+    }
+    // r17: the hierarchy's rows on the same queries/ground truth — at
+    // 9/9 recall the hierarchy scores fewer candidates than the flat
+    // walk (ef 14 suffices vs the flat ef 16; on this near-isotropic
+    // corpus the margin is small — e32's clustered lane is where it
+    // becomes ~3×).
+    def hnswRows: DataFrame = {
+      val hnsw = AnnIndex.hnswFor(s, d, e)
+      val hefs = Seq(4, 8, 14, 16)
+      val (hbeam, hscoredPairs) = AnnIndex.hnswSearchMulti(
+        hnsw, e, col("vec_id") < 3, hefs, beamRounds = 4)
+      hefs.map { ef =>
+        arm(
+          AnnIndex.topKCut(hbeam.filter(col("ef") === ef),
+            "q_id", "cosine_e6", "vec_id", 3,
+            ascending = false, scoreName = "cosine_e6", idName = "vec_id"),
+          hscoredPairs.filter(col("ef") === ef)
+            .agg(count(lit(1)).as("n_scored")), "hnsw", ef)
+      }.reduce(_ unionByName _)
+    }
+    // thunks: each bench pass re-builds the arm's plan like the main
+    // query loop re-builds e27's — construction cost stays comparable
+    Seq("nsw" -> (() => nswRows), "ivf" -> (() => ivfRows),
+      "hnsw" -> (() => hnswRows))
+  }
+
   /** d21's seed-chain-extend CTE graph (ends at ex21d: doc pair, run
     * bounds, extensions) — shared by d21's span report and d22's span
     * SCRUB, which removes the doc_b-side occurrences.
@@ -5809,59 +5884,11 @@ object TextPipeline {
       // families. Both arms ride their own serving paths (nswFor/
       // ivfFor shared caches) and both are replayed CTE-for-CTE by the
       // oracle (e7's IVF-training prefix + the NSW build/walk block).
-      val e = Tables.embeddings(s, d)
-      val q = e.filter(col("vec_id") < 3)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      val exact3 = exactTopK(e, q, 3).select(col("q_id"), col("vec_id"))
-      def arm(top3: DataFrame, scoredCount: DataFrame, family: String,
-          param: Int): DataFrame =
-        exact3.join(top3.select(col("q_id").as("tq"), col("vec_id").as("tv")),
-            col("q_id") === col("tq") && col("vec_id") === col("tv"), "left")
-          .agg(countDistinct(col("q_id")).as("n_queries"),
-            count(lit(1)).as("n_exact"), count(col("tv")).as("n_hits"))
-          .crossJoin(broadcast(scoredCount))
-          .select(lit(family).as("family"), lit(param).as("param"),
-            col("n_queries"), col("n_exact"), col("n_hits"),
-            round(col("n_hits") * lit(1000000L) / col("n_exact"))
-              .cast("long").as("recall_e6"),
-            col("n_scored"))
-      val nsw = AnnIndex.nswFor(s, d, e, m = 16, tables = 4)
-      val efs = Seq(4, 8, 16, 32)
-      val (beam, scoredPairs) =
-        AnnIndex.nswBeamMulti(nsw, e, col("vec_id") < 3, efs, rounds = 4)
-      val nswRows = efs.map { ef =>
-        arm(
-          AnnIndex.topKCut(beam.filter(col("ef") === ef),
-            "q_id", "cosine_e6", "vec_id", 3,
-            ascending = false, scoreName = "cosine_e6", idName = "vec_id"),
-          scoredPairs.filter(col("ef") === ef)
-            .agg(count(lit(1)).as("n_scored")), "nsw", ef)
-      }
-      val idx = AnnIndex.ivfFor(s, d, e, nlist = 16, iters = 2)
-      val ivfRows = Seq(1, 2, 4, 8).map { p =>
-        arm(
-          AnnIndex.ivfSearch(idx, col("vec_id") < 3, k = 3, nprobe = p),
-          AnnIndex.probedScores(idx, col("vec_id") < 3, p, None)
-            .agg(count(lit(1)).as("n_scored")), "ivf", p)
-      }
-      // r17: the hierarchy's rows on the same queries/ground truth —
-      // at 9/9 recall the hierarchy scores fewer candidates than the
-      // flat walk (ef 14 suffices vs the flat ef 16; on this
-      // near-isotropic corpus the margin is small — e32's clustered
-      // lane is where it becomes ~3×).
-      val hnsw = AnnIndex.hnswFor(s, d, e)
-      val hefs = Seq(4, 8, 14, 16)
-      val (hbeam, hscoredPairs) = AnnIndex.hnswSearchMulti(
-        hnsw, e, col("vec_id") < 3, hefs, beamRounds = 4)
-      val hnswRows = hefs.map { ef =>
-        arm(
-          AnnIndex.topKCut(hbeam.filter(col("ef") === ef),
-            "q_id", "cosine_e6", "vec_id", 3,
-            ascending = false, scoreName = "cosine_e6", idName = "vec_id"),
-          hscoredPairs.filter(col("ef") === ef)
-            .agg(count(lit(1)).as("n_scored")), "hnsw", ef)
-      }
-      (nswRows ++ ivfRows ++ hnswRows).reduce(_ unionByName _)
+      // Per-arm attribution (VERDICT r17 #1 of "What's wrong"): the
+      // three family arms are built by [[e27Arms]] so the bench can
+      // TIME each family separately — the artifact's e27 number is a
+      // three-family sum in which a single-arm regression hides.
+      e27Arms(s, d).map(_._2()).reduce(_ unionByName _)
         .orderBy(col("family"), col("param"))
     }, Some(e7OraclePrefix + ",\n         " +
       nswOracleCtes(Seq(4, 8, 16, 32), m = 16, rounds = 4) + ",\n         " +
