@@ -198,7 +198,33 @@ object DiskScaleProbe {
       ("e26_search", d =>
         noop(graft.operators.TextPipeline.queries("e26_nsw_search")(spark, d))),
       ("e28_insert", d =>
-        noop(graft.operators.TextPipeline.queries("e28_nsw_insert")(spark, d))))
+        noop(graft.operators.TextPipeline.queries("e28_nsw_insert")(spark, d))),
+      // r17 verdict #5: the HIERARCHY's exponents beside the flat
+      // family's. e30_build = trainHnsw uncached (the banded base
+      // scoring shares e26_build's fixed-plane Σocc² caveat, plus the
+      // geometric level loop — each upper level is deg²-bounded over a
+      // 4×-smaller node set, so the build α should track e26_build's);
+      // e30_search = the shipped query on the session-cached hierarchy
+      // (expect near-flat, like e26_search's 0.094 — the descent adds
+      // log-depth constant work); e30_insert = hnswIngest with the
+      // arrival set scaling with the corpus (ids offset 2^50, disjoint
+      // from every ×k shift — the ingest contract).
+      ("e30_build", { d =>
+        val e = Tables.embeddings(spark, d)
+        val b = graft.operators.AnnIndex.buildLsh(e, 4)
+        try noop(graft.operators.AnnIndex.trainHnsw(e, b).edges(0))
+        finally { b.unpersist(); () }
+      }),
+      ("e30_search", d =>
+        noop(graft.operators.TextPipeline.queries("e30_hnsw_search")(spark, d))),
+      ("e30_insert", { d =>
+        val e = Tables.embeddings(spark, d)
+        val idx = graft.operators.AnnIndex.hnswFor(spark, d, e)
+        val arr = e.filter(col("vec_id") % 97 === 3)
+          .select((col("vec_id") + (1L << 50)).as("vec_id"),
+            col("embedding"))
+        noop(graft.streaming.EventStream.hnswIngest(idx, e, arr))
+      }))
 
     def ksEnv(name: String, dflt: Seq[Int]): Seq[Int] =
       sys.env.get(name).map(_.split(",").filter(_.nonEmpty).map(_.trim.toInt).toSeq)
