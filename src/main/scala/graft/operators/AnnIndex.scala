@@ -1758,6 +1758,62 @@ object AnnIndex {
     idx.copy(lvl = lvl2, edges = idx.edges + (0 -> capped))
   }
 
+  /** The DELETE half for the HIERARCHY (e37 — completes the HNSW
+    * lifecycle symmetry with IVF's e18: build e30 / persist+load e34 /
+    * ingest+fold e35 / delete+compact here): tombstoned nodes drop
+    * from the level relation and from EVERY level's edge list (either
+    * endpoint — a data rewrite, the quantizer-free analog of e18's
+    * frozen-centroid compaction), and the entry set shrinks to its
+    * survivors (bounded work: the kill set semi-joins the
+    * driver-sized entry list; a rebuild re-elects entries, compaction
+    * only removes). ROUTING CAVEAT, stated not hidden: deleting a hub
+    * removes its edges without re-linking its neighbors, so heavy
+    * deletion degrades graph connectivity — production HNSW systems
+    * either repair-on-delete or rebuild past a deletion budget; this
+    * compaction is the cheap data-rewrite half, and e37's recall row
+    * is the health measurement an operator schedules rebuilds by.
+    */
+  def compactHnsw(idx: HnswIndex, dead: DataFrame): HnswIndex = {
+    val s = idx.lvl.sparkSession
+    import s.implicits._
+    val dd = dead.select(col("vec_id"))
+    val deadEntries = dd
+      .join(broadcast(idx.entries.toDF("vec_id")), "vec_id")
+      .collect().map(_.getLong(0)).toSet
+    val ents = idx.entries.filterNot(deadEntries)
+    require(ents.nonEmpty,
+      "compactHnsw: every entry died — rebuild, compaction cannot re-elect")
+    val edges2 = idx.edges.map { case (l, ed) =>
+      l -> ed
+        .join(dd.withColumnRenamed("vec_id", "src"), Seq("src"), "left_anti")
+        .join(dd.withColumnRenamed("vec_id", "dst"), Seq("dst"), "left_anti")
+        .select(col("src"), col("dst"))
+    }
+    HnswIndex(idx.m0, idx.mUp, idx.top, ents,
+      idx.lvl.join(dd, Seq("vec_id"), "left_anti"), edges2)
+  }
+
+  /** The session's COMPACTED hierarchy for e37 (the foldedHnswFor
+    * pattern): the cached full-corpus hierarchy with `dead` removed,
+    * base edges persisted.
+    */
+  private val compactedHnswCache = new java.util.WeakHashMap[SparkSession,
+    scala.collection.concurrent.TrieMap[String, HnswIndex]]()
+  def compactedHnswFor(s: SparkSession, key: String, path: String,
+      e: => DataFrame, dead: DataFrame => DataFrame): HnswIndex =
+    compactedHnswCache.synchronized {
+      compactedHnswCache.computeIfAbsent(s,
+        _ => scala.collection.concurrent.TrieMap.empty)
+    }.getOrElseUpdate(key,
+      timedBuild("hnsw-compact") {
+        val corpus = e
+        val idx = compactHnsw(hnswFor(s, path, corpus), dead(corpus))
+        val persisted = idx.copy(edges = idx.edges +
+          (0 -> idx.edges(0).persist(StorageLevel.MEMORY_AND_DISK)))
+        persisted.edges(0).count()
+        persisted
+      })
+
   /** The DELETE half of the index lifecycle (e18, VERDICT r11 #5) —
     * build (e6) / persist+load (e15) / append under frozen bounds (e14)
     * covered the rest. Two phases, matching how a served index actually

@@ -915,7 +915,7 @@ object TextPipeline {
     * where the aggregate's map-side combine ships at most k pairs per
     * (partition, query). Columns: q_id, vec_id, cosine_e6, rank.
     */
-  private def exactTopK(e: DataFrame, q: DataFrame, k: Int): DataFrame =
+  private[graft] def exactTopK(e: DataFrame, q: DataFrame, k: Int): DataFrame =
     AnnIndex.topKCut(
       cosineScored(e, q).select(col("q_id"), col("vec_id"),
         round(col("cosine") * 1e6).cast("long").as("cosine_e6")),
@@ -6713,6 +6713,49 @@ object TextPipeline {
            SELECT q_id, vec_id, c6, row_number() OVER (PARTITION BY q_id
                     ORDER BY c6 DESC, vec_id) AS rk
            FROM fbeam3 WHERE ef = 16)
+         WHERE rk <= 3 ORDER BY q_id, rank""")),
+
+    ("e37_hnsw_delete_compact", (s: SparkSession, d: String) => {
+      // HNSW DELETE + COMPACT — the last lifecycle stage the hierarchy
+      // lacked vs IVF (e18's slot; with e30 build / e34 persist-load /
+      // e35 ingest-fold this closes the symmetry): a deterministic
+      // ~14% kill set (vec_id ≡ 3 mod 7, e18's) drops from the level
+      // relation and every level's edge list (either endpoint — a pure
+      // data rewrite; entries shrink to survivors), and e30's search
+      // runs against the compacted hierarchy over the survivor corpus.
+      // The routing caveat is stated on [[AnnIndex.compactHnsw]]
+      // (deleting hubs degrades connectivity — the recall the spec
+      // pins is the rebuild-scheduling measurement). Oracle: the build
+      // replay + WHERE-filtered edge/entry CTEs + the parameterized
+      // search generator over the compacted graphs.
+      val e = Tables.embeddings(s, d)
+      val idx = AnnIndex.compactedHnswFor(s, s"$d|e37", d, e,
+        c => c.filter(col("vec_id") % 7 === 3).select(col("vec_id")))
+      AnnIndex.hnswSearch(idx, e.filter(col("vec_id") % 7 =!= 3),
+          col("vec_id") < 3, k = 3, ef = 16, beamRounds = 4)
+        .orderBy(col("q_id"), col("rank"))
+    }, Some(nswScorePrefix + ",\n         " + nswBuildCtes() +
+      ",\n         " + hnswBuildCtes() + s""",
+         ${(0 to 3).map(l =>
+           s"""cedge$l AS (SELECT src, dst FROM hedge$l
+                   WHERE src % 7 <> 3 AND dst % 7 <> 3)""")
+           .mkString(",\n         ")},
+         cent37 AS (SELECT vec_id FROM hent WHERE vec_id % 7 <> 3),
+         cqq AS (SELECT vec_id AS q_id FROM embeddings WHERE vec_id < 3),
+         cqs AS MATERIALIZED (
+           SELECT q_id, vec_id, c6 FROM allscored
+           WHERE vec_id % 7 <> 3
+           UNION ALL SELECT vec_id AS q_id, vec_id, 1000000 AS c6
+           FROM embeddings WHERE vec_id < 3),
+         ${hnswSearchCtes("c", Seq(16), beamRounds = 4,
+           qs = "cqs", qq = "cqq", ent = "cent37", scoreTbl = "cqs",
+           descentEdge = "cedge", beamEdge = "cedge0",
+           withScored = false)}
+         SELECT q_id, vec_id, c6 AS cosine_e6, cast(rk AS int) AS rank
+         FROM (
+           SELECT q_id, vec_id, c6, row_number() OVER (PARTITION BY q_id
+                    ORDER BY c6 DESC, vec_id) AS rk
+           FROM cbeam3 WHERE ef = 16)
          WHERE rk <= 3 ORDER BY q_id, rank""")),
 
     ("e36_balanced_pq", (s: SparkSession, d: String) => {

@@ -2067,4 +2067,33 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"doc1: ${got(1L)}")
     assert(got(2L)._1 == 0L && got(2L)._3 == 120L, s"doc2: ${got(2L)}")
   }
+
+  test("compactHnsw: tombstoned nodes vanish from levels, every edge list, and entries; survivor recall holds") {
+    val s = spark
+    import org.apache.spark.sql.functions.col
+    val d = "/root/testdata/sf0.001"
+    val e = graft.sources.Tables.embeddings(s, d)
+    val idx = graft.operators.AnnIndex.compactedHnswFor(s, s"$d|e37spec", d,
+      e, c => c.filter(col("vec_id") % 7 === 3).select(col("vec_id")))
+    assert(idx.entries.forall(_ % 7 != 3), "a dead entry survived")
+    assert(idx.lvl.filter(col("vec_id") % 7 === 3).count() == 0L)
+    for (l <- 0 to idx.top)
+      assert(idx.edges(l).filter(col("src") % 7 === 3 ||
+        col("dst") % 7 === 3).count() == 0L, s"dead edge at level $l")
+    val surv = e.filter(col("vec_id") % 7 =!= 3)
+    val got = graft.operators.AnnIndex.hnswSearch(idx, surv,
+      col("vec_id") < 3, k = 3, ef = 16, beamRounds = 4).collect()
+    assert(got.length == 9 && got.forall(_.getLong(1) % 7 != 3),
+      s"compacted search returned a dead node: ${got.toSeq}")
+    // recall vs exact top-3 over survivors — the health measurement an
+    // operator schedules rebuilds by (9/9 at this kill rate)
+    import s.implicits._
+    val q = surv.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val exact = graft.operators.TextPipeline.exactTopK(surv, q, 3)
+      .select(col("q_id"), col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hits = got.map(r => (r.getLong(0), r.getLong(1))).count(exact)
+    assert(hits == 9, s"compacted recall $hits/9")
+  }
 }
