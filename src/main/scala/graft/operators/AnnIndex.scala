@@ -1814,6 +1814,37 @@ object AnnIndex {
         persisted
       })
 
+  /** The COMPOSED HNSW lifecycle (e38 — e25's end-to-end bar for the
+    * hierarchy): reuse the session's e35 fold (train → ingest → fold,
+    * shared cache key, so the two queries measure one build), tombstone
+    * `dead`, COMPACT ([[compactHnsw]]), persist the compacted
+    * generation ([[saveHnsw]]) and serve from the LOADED artifact —
+    * every stage the same code path its own query serves. Returns
+    * (loaded index, survivor corpus).
+    */
+  private val lifecycleHnswCache = new java.util.WeakHashMap[SparkSession,
+    scala.collection.concurrent.TrieMap[String, (HnswIndex, DataFrame)]]()
+  def lifecycleHnswFor(s: SparkSession, key: String, path: String,
+      e: => DataFrame, arrivals: DataFrame => DataFrame,
+      dead: DataFrame => DataFrame): (HnswIndex, DataFrame) =
+    lifecycleHnswCache.synchronized {
+      lifecycleHnswCache.computeIfAbsent(s,
+        _ => scala.collection.concurrent.TrieMap.empty)
+    }.getOrElseUpdate(key,
+      timedBuild("hnsw-lifecycle") {
+        val (folded, corpusPlus) =
+          foldedHnswFor(s, s"$path|e35", path, e, arrivals)
+        val compacted = compactHnsw(folded, dead(corpusPlus))
+        val dir = scratchDir("hnsw_lc_")
+        saveHnsw(compacted, dir)
+        val loaded = loadHnsw(s, dir)
+        val persisted = loaded.copy(edges = loaded.edges +
+          (0 -> loaded.edges(0).persist(StorageLevel.MEMORY_AND_DISK)))
+        persisted.edges(0).count()
+        (persisted,
+          corpusPlus.join(dead(corpusPlus), Seq("vec_id"), "left_anti"))
+      })
+
   /** The DELETE half of the index lifecycle (e18, VERDICT r11 #5) —
     * build (e6) / persist+load (e15) / append under frozen bounds (e14)
     * covered the rest. Two phases, matching how a served index actually

@@ -2444,6 +2444,88 @@ object TextPipeline {
          hqq AS (SELECT vec_id AS q_id FROM $embSrc WHERE $qPred),
          ${hnswSearchCtes("h", efs, beamRounds, descentRounds, efd, top)}"""
 
+  /** e35's replay prefix, shared with e38: full-corpus hierarchy
+    * build, arrival scores, ingest search + deg-4 cut, fold,
+    * exact-cosine re-cap, and the extended score tables (xqs covers
+    * query->arrival pairs; fqsd the descent self rows). Ends at
+    * `xqs`/`fedge0` - e35 appends the post-fold search, e38 the
+    * tombstone filter + the post-compaction search.
+    */
+  private lazy val e35OraclePrefix: String =
+    nswScorePrefix + ",\n         " + nswBuildCtes() +
+      ",\n         " + hnswBuildCtes() + s""",
+         iqq AS (SELECT vec_id + 1000000 AS q_id FROM embeddings
+                 WHERE vec_id < 6),
+         iqdots AS (
+           SELECT q.vec_id + 1000000 AS q_id, e.vec_id AS vec_id,
+                  sum(q.v * e.v) AS dot
+           FROM ex q JOIN ex e ON e.i = q.i
+           WHERE q.vec_id < 6 AND e.vec_id <> q.vec_id
+           GROUP BY 1, 2),
+         iqs AS MATERIALIZED (
+           SELECT d.q_id, d.vec_id,
+                  cast(round(d.dot / (nq.nrm * ne.nrm) * 1e6) AS bigint)
+                    AS c6
+           FROM iqdots d
+           JOIN nrm nq ON nq.vec_id = d.q_id - 1000000
+           JOIN nrm ne ON ne.vec_id = d.vec_id
+           UNION ALL
+           SELECT vec_id + 1000000 AS q_id, vec_id, 1000000 AS c6
+           FROM embeddings WHERE vec_id < 6),
+         ${hnswSearchCtes("ig", Seq(8), beamRounds = 3,
+           qs = "iqs", qq = "iqq", scoreTbl = "iqs",
+           withScored = false)},
+         iedge AS (
+           SELECT q_id AS src, vec_id AS dst FROM (
+             SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+                      ORDER BY c6 DESC, vec_id) AS rk
+             FROM igbeam2 WHERE ef = 8)
+           WHERE rk <= 4),
+         fall AS (
+           SELECT src, dst FROM hedge0
+           UNION SELECT src, dst FROM iedge
+           UNION SELECT dst AS src, src AS dst FROM iedge),
+         xex AS MATERIALIZED (
+           SELECT vec_id, i, v FROM ex
+           UNION ALL
+           SELECT vec_id + 1000000 AS vec_id, i, v FROM ex
+           WHERE vec_id < 6),
+         xnrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM xex
+                  GROUP BY 1),
+         fscore AS MATERIALIZED (
+           SELECT f.src, f.dst,
+                  cast(round(sum(xa.v * xb.v) / (na.nrm * nb.nrm) * 1e6)
+                    AS bigint) AS c6
+           FROM fall f JOIN xex xa ON xa.vec_id = f.src
+           JOIN xex xb ON xb.vec_id = f.dst AND xb.i = xa.i
+           JOIN xnrm na ON na.vec_id = f.src
+           JOIN xnrm nb ON nb.vec_id = f.dst
+           GROUP BY f.src, f.dst, na.nrm, nb.nrm),
+         fedge0 AS MATERIALIZED (
+           SELECT src, dst FROM (
+             SELECT src, dst, row_number() OVER (PARTITION BY src
+                      ORDER BY c6 DESC, dst) AS rn
+             FROM fscore)
+           WHERE rn <= 16),
+         fqq AS (SELECT vec_id AS q_id FROM embeddings WHERE vec_id < 3),
+         fqsd AS MATERIALIZED (
+           SELECT q_id, vec_id, c6 FROM allscored
+           UNION ALL SELECT vec_id AS q_id, vec_id, 1000000 AS c6
+           FROM embeddings WHERE vec_id < 3),
+         xqdots AS (
+           SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+                  sum(q.v * e.v) AS dot
+           FROM ex q JOIN xex e ON e.i = q.i
+           WHERE q.vec_id < 3 AND e.vec_id <> q.vec_id
+           GROUP BY 1, 2),
+         xqs AS MATERIALIZED (
+           SELECT d.q_id, d.vec_id,
+                  cast(round(d.dot / (nq.nrm * ne.nrm) * 1e6) AS bigint)
+                    AS c6
+           FROM xqdots d
+           JOIN nrm nq ON nq.vec_id = d.q_id
+           JOIN xnrm ne ON ne.vec_id = d.vec_id)"""
+
   /** e30's complete oracle — shared verbatim with e34 (the e15
     * persist-load contract: the loaded artifact must reproduce the
     * in-memory hierarchy's answer hash-exactly against the SAME SQL).
@@ -6632,79 +6714,7 @@ object TextPipeline {
       AnnIndex.hnswSearch(folded, corpusPlus,
           col("vec_id") < 3, k = 3, ef = 16, beamRounds = 4)
         .orderBy(col("q_id"), col("rank"))
-    }, Some(nswScorePrefix + ",\n         " + nswBuildCtes() +
-      ",\n         " + hnswBuildCtes() + s""",
-         iqq AS (SELECT vec_id + 1000000 AS q_id FROM embeddings
-                 WHERE vec_id < 6),
-         iqdots AS (
-           SELECT q.vec_id + 1000000 AS q_id, e.vec_id AS vec_id,
-                  sum(q.v * e.v) AS dot
-           FROM ex q JOIN ex e ON e.i = q.i
-           WHERE q.vec_id < 6 AND e.vec_id <> q.vec_id
-           GROUP BY 1, 2),
-         iqs AS MATERIALIZED (
-           SELECT d.q_id, d.vec_id,
-                  cast(round(d.dot / (nq.nrm * ne.nrm) * 1e6) AS bigint)
-                    AS c6
-           FROM iqdots d
-           JOIN nrm nq ON nq.vec_id = d.q_id - 1000000
-           JOIN nrm ne ON ne.vec_id = d.vec_id
-           UNION ALL
-           SELECT vec_id + 1000000 AS q_id, vec_id, 1000000 AS c6
-           FROM embeddings WHERE vec_id < 6),
-         ${hnswSearchCtes("ig", Seq(8), beamRounds = 3,
-           qs = "iqs", qq = "iqq", scoreTbl = "iqs",
-           withScored = false)},
-         iedge AS (
-           SELECT q_id AS src, vec_id AS dst FROM (
-             SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
-                      ORDER BY c6 DESC, vec_id) AS rk
-             FROM igbeam2 WHERE ef = 8)
-           WHERE rk <= 4),
-         fall AS (
-           SELECT src, dst FROM hedge0
-           UNION SELECT src, dst FROM iedge
-           UNION SELECT dst AS src, src AS dst FROM iedge),
-         xex AS MATERIALIZED (
-           SELECT vec_id, i, v FROM ex
-           UNION ALL
-           SELECT vec_id + 1000000 AS vec_id, i, v FROM ex
-           WHERE vec_id < 6),
-         xnrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM xex
-                  GROUP BY 1),
-         fscore AS MATERIALIZED (
-           SELECT f.src, f.dst,
-                  cast(round(sum(xa.v * xb.v) / (na.nrm * nb.nrm) * 1e6)
-                    AS bigint) AS c6
-           FROM fall f JOIN xex xa ON xa.vec_id = f.src
-           JOIN xex xb ON xb.vec_id = f.dst AND xb.i = xa.i
-           JOIN xnrm na ON na.vec_id = f.src
-           JOIN xnrm nb ON nb.vec_id = f.dst
-           GROUP BY f.src, f.dst, na.nrm, nb.nrm),
-         fedge0 AS MATERIALIZED (
-           SELECT src, dst FROM (
-             SELECT src, dst, row_number() OVER (PARTITION BY src
-                      ORDER BY c6 DESC, dst) AS rn
-             FROM fscore)
-           WHERE rn <= 16),
-         fqq AS (SELECT vec_id AS q_id FROM embeddings WHERE vec_id < 3),
-         fqsd AS MATERIALIZED (
-           SELECT q_id, vec_id, c6 FROM allscored
-           UNION ALL SELECT vec_id AS q_id, vec_id, 1000000 AS c6
-           FROM embeddings WHERE vec_id < 3),
-         xqdots AS (
-           SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
-                  sum(q.v * e.v) AS dot
-           FROM ex q JOIN xex e ON e.i = q.i
-           WHERE q.vec_id < 3 AND e.vec_id <> q.vec_id
-           GROUP BY 1, 2),
-         xqs AS MATERIALIZED (
-           SELECT d.q_id, d.vec_id,
-                  cast(round(d.dot / (nq.nrm * ne.nrm) * 1e6) AS bigint)
-                    AS c6
-           FROM xqdots d
-           JOIN nrm nq ON nq.vec_id = d.q_id
-           JOIN xnrm ne ON ne.vec_id = d.vec_id),
+    }, Some(e35OraclePrefix + s""",
          ${hnswSearchCtes("f", Seq(16), beamRounds = 4,
            qs = "fqsd", qq = "fqq", scoreTbl = "xqs",
            beamEdge = "fedge0", withScored = false)}
@@ -6713,6 +6723,56 @@ object TextPipeline {
            SELECT q_id, vec_id, c6, row_number() OVER (PARTITION BY q_id
                     ORDER BY c6 DESC, vec_id) AS rk
            FROM fbeam3 WHERE ef = 16)
+         WHERE rk <= 3 ORDER BY q_id, rank""")),
+
+    ("e38_hnsw_lifecycle", (s: SparkSession, d: String) => {
+      // The COMPOSED end-to-end lifecycle for the hierarchy (e25's bar,
+      // VERDICT r17 #1 closed in full): train on the corpus (e30's
+      // cached build) -> streamed arrivals ingest (e35's door) -> FOLD
+      // into the served base graph -> tombstone vec_id % 7 = 3 (e18's
+      // kill set - it catches corpus nodes AND one planted twin:
+      // 1000002 % 7 = 3, so query 2's twin dies) -> COMPACT -> persist
+      // the compacted generation (saveHnsw) -> LOAD the artifact ->
+      // e30's search over the survivors. Every stage is the same code
+      // path its own query serves (hnswFor / hnswIngest+fold / e37's
+      // compact / e34's save+load), so the answer measures the COMPOSED
+      // lifecycle, not a shortcut: queries 0 and 1 still surface their
+      // surviving twins at rank 1 (cosine exactly 1e6, reachable only
+      // through folded-then-compacted edges that crossed a parquet
+      // roundtrip); query 2's dead twin is gone and its top-3 re-ranks
+      // over survivors. Oracle: e35's replay prefix + the tombstone
+      // filter + the parameterized search generator over the compacted
+      // folded graph.
+      val e = Tables.embeddings(s, d)
+      val (idx, surv) = AnnIndex.lifecycleHnswFor(s, s"$d|e38", d, e,
+        c => c.filter(col("vec_id") < 6)
+          .select((col("vec_id") + 1000000L).as("vec_id"),
+            col("embedding")),
+        cp => cp.filter(col("vec_id") % 7 === 3).select(col("vec_id")))
+      AnnIndex.hnswSearch(idx, surv,
+          col("vec_id") < 3, k = 3, ef = 16, beamRounds = 4)
+        .orderBy(col("q_id"), col("rank"))
+    }, Some(e35OraclePrefix + s""",
+         ledge0 AS (SELECT src, dst FROM fedge0
+                    WHERE src % 7 <> 3 AND dst % 7 <> 3),
+         ${(1 to 3).map(l =>
+           s"""ledge$l AS (SELECT src, dst FROM hedge$l
+                    WHERE src % 7 <> 3 AND dst % 7 <> 3)""")
+           .mkString(",\n         ")},
+         lent AS (SELECT vec_id FROM hent WHERE vec_id % 7 <> 3),
+         lqs AS (SELECT q_id, vec_id, c6 FROM fqsd
+                 WHERE vec_id % 7 <> 3),
+         lxqs AS (SELECT q_id, vec_id, c6 FROM xqs
+                  WHERE vec_id % 7 <> 3),
+         ${hnswSearchCtes("l", Seq(16), beamRounds = 4,
+           qs = "lqs", qq = "fqq", ent = "lent", scoreTbl = "lxqs",
+           descentEdge = "ledge", beamEdge = "ledge0",
+           withScored = false)}
+         SELECT q_id, vec_id, c6 AS cosine_e6, cast(rk AS int) AS rank
+         FROM (
+           SELECT q_id, vec_id, c6, row_number() OVER (PARTITION BY q_id
+                    ORDER BY c6 DESC, vec_id) AS rk
+           FROM lbeam3 WHERE ef = 16)
          WHERE rk <= 3 ORDER BY q_id, rank""")),
 
     ("e37_hnsw_delete_compact", (s: SparkSession, d: String) => {
