@@ -1701,4 +1701,25 @@ class RelationalPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(err <= u.errBound, s"estRank($q) err $err > ${u.errBound}")
     }
   }
+
+  test("e34: loadHnsw level graphs read as partition-pruned scans") {
+    // saveHnsw partitions the edge table BY LEVEL so a loaded index's
+    // per-level reads touch one directory each — at 100 TB the upper
+    // levels are 4^-L of the corpus and must not pay a full-table scan.
+    // The pin: edges(0)'s scan carries a partition filter and reads
+    // exactly one of the top+1 level directories.
+    val s = spark
+    val e = graft.sources.Tables.embeddings(s, sfDir)
+    val dir = graft.operators.AnnIndex.savedHnswFor(s, sfDir, e)
+    val idx = graft.operators.AnnIndex.loadHnsw(s, dir)
+    val scan = idx.edges(0).queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.headOption
+      .getOrElse(fail("no FileSourceScanExec under loaded edges(0)"))
+    assert(scan.partitionFilters.nonEmpty,
+      "level filter did not reach PartitionFilters")
+    val selected = scan.selectedPartitions.partitionCount
+    assert(selected == 1,
+      s"edges(0) reads $selected level directories, want 1")
+  }
 }
