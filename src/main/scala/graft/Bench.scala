@@ -118,16 +118,29 @@ object Bench {
       if (!queries.contains("e27_ann_family_curve")) Map.empty
       else graft.operators.TextPipeline.e27Arms(spark, sfDir).map {
         case (fam, mk) =>
-          val ts = (1 to passes).map { _ =>
+          // A failing arm must NOT report its time-to-failure as a
+          // plausible median (ADVICE r18): record the failure in the
+          // artifact's errors array, drop the sample, and emit null for
+          // an arm with no successful pass.
+          val ts = (1 to passes).flatMap { _ =>
             val t0 = System.nanoTime()
-            try mk().write.mode("overwrite").format("noop").save()
-            catch { case _: Throwable => () }
-            (System.nanoTime() - t0) / 1e9
+            try {
+              mk().write.mode("overwrite").format("noop").save()
+              Some((System.nanoTime() - t0) / 1e9)
+            } catch { case e: Throwable =>
+              if (!errors.contains(s"e27_arm:$fam")) {
+                errors ::= s"e27_arm:$fam"
+                System.err.println(
+                  s"[bench] e27 arm $fam failed: ${e.getMessage}")
+              }
+              None
+            }
           }
-          fam -> median(ts)
+          fam -> (if (ts.nonEmpty) median(ts.toList) else Double.NaN)
       }.toMap
     val e27ArmsJson = e27Arms.toSeq.sortBy(_._1)
-      .map { case (k, v) => s"\"" + k + "\":" + (math.rint(v * 1000) / 1000) }
+      .map { case (k, v) => s"\"" + k + "\":" +
+        (if (v.isNaN) "null" else (math.rint(v * 1000) / 1000).toString) }
       .mkString("{", ",", "}")
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0

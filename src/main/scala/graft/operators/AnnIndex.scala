@@ -2020,7 +2020,10 @@ object AnnIndex {
     * graph ([[foldHnswArrivals]]), base edges persisted so the fold's
     * ingest search runs once per session. `key` must encode the
     * arrival derivation (the hnswFor contract — by-name frames are
-    * never evaluated on a cache hit).
+    * never evaluated on a cache hit); the numeric fold parameters are
+    * appended to the cache key HERE (ADVICE r18), so two calls sharing
+    * a caller key but differing in deg/ef/beamRounds/cap build
+    * separate folds instead of silently sharing the first.
     */
   def foldedHnswFor(s: SparkSession, key: String, path: String,
       e: => DataFrame, arrivals: DataFrame => DataFrame,
@@ -2029,7 +2032,7 @@ object AnnIndex {
     foldedHnswCache.synchronized {
       foldedHnswCache.computeIfAbsent(s,
         _ => scala.collection.concurrent.TrieMap.empty)
-    }.getOrElseUpdate(key,
+    }.getOrElseUpdate(s"$key|$deg|$ef|$beamRounds|$cap",
       timedBuild(s"hnsw-fold:$deg:$cap") {
         val corpus = e
         val idx = hnswFor(s, path, corpus)

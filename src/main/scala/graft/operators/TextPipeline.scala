@@ -2470,6 +2470,12 @@ object TextPipeline {
            JOIN nrm nq ON nq.vec_id = d.q_id - 1000000
            JOIN nrm ne ON ne.vec_id = d.vec_id
            UNION ALL
+           /* Arrival-twin self rows: LITERAL 1e6 here, while the Spark
+              side computes round(s/(sqrt(s)*sqrt(s))*1e6) inside
+              hnswIngest — the asymmetric spelling scoreCandsWithSelf's
+              convention exists to avoid (ADVICE r18). Safe at this site:
+              the computed self-cosine errs by ~1e-10 against the 0.5
+              rounding margin, so both sides round to exactly 1000000. */
            SELECT vec_id + 1000000 AS q_id, vec_id, 1000000 AS c6
            FROM embeddings WHERE vec_id < 6),
          ${hnswSearchCtes("ig", Seq(8), beamRounds = 3,
@@ -3149,7 +3155,14 @@ object TextPipeline {
       pieces.filter(length(col("piece")) >= 2)
         .orderBy(col("freq").desc, col("piece")).limit(64))
     var scoredV = uniScored(v0f, "freq").localCheckpoint()
-    var nMulti = 64
+    // n_multi is the ACTUAL retained multi-piece count, not the keep
+    // budget (ADVICE r18): on a small corpus limit(n) can return fewer
+    // rows than n and the trajectory must not overstate the vocab. The
+    // count is a driver action per round over a localCheckpointed
+    // piece-table (≤ 64 + |chars| rows) — free.
+    def countMulti(v: DataFrame): Long =
+      v.filter(length(col("piece")) >= 2).count()
+    var nMulti: Long = countMulti(scoredV)
     var out: DataFrame = null
     for (i <- 1 to keeps.length + 1) {
       val seg = unigramViterbi(wf, scoredV).localCheckpoint()
@@ -3167,7 +3180,7 @@ object TextPipeline {
       if (i <= keeps.length) {
         scoredV = uniScored(uniPrune(chars, seg, keeps(i - 1)), "cs")
           .localCheckpoint()
-        nMulti = keeps(i - 1)
+        nMulti = countMulti(scoredV)
       }
     }
     out
@@ -8834,8 +8847,15 @@ object TextPipeline {
          nch AS (SELECT cast(count(*) AS bigint) AS n_chars
                  FROM upc WHERE length(piece) = 1),
          traj AS (
-           ${Seq((1, 64), (2, 48), (3, 32), (4, 16)).map { case (r, m) =>
-             s"""SELECT $r AS round, cast($m AS bigint) AS n_multi,
+           ${(1 to 4).map { r =>
+             // n_multi counted from the round's actual multi-piece vocab
+             // CTE (uv0m for the seed, uk<r-1>m after a prune), not the
+             // keep budget — the ADVICE-r18 honesty fix, mirrored on the
+             // Spark side's countMulti.
+             val vocabCte = if (r == 1) "uv0m" else s"uk${r - 1}m"
+             s"""SELECT $r AS round,
+                  (SELECT cast(count(*) AS bigint) FROM $vocabCte)
+                    AS n_multi,
                   cast(sum(cnt) AS bigint) AS n_words,
                   cast(sum(cnt * n_tok) AS bigint) AS n_tokens
            FROM useg$r"""

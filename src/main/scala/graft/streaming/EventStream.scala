@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
 import org.apache.spark.sql.types._
@@ -174,13 +174,34 @@ object EventStream {
     * directory instead of the in-memory buffer — same columns, same
     * rows (StreamingSpec pins equality over the same run), but built
     * from a durable relation: one JSON scan + a posexplode of the
-    * per-batch stateOperators array. Expects watermarked-query logs
-    * (eventTime.watermark present in at least one batch — the schema
-    * the ledger exists to read); batches before the first watermark
-    * advance read as "" like the in-memory spelling.
+    * per-batch stateOperators array. Read with an EXPLICIT schema, not
+    * inference (ADVICE r18): a log whose batches never advanced a
+    * watermark would be inferred without the eventTime.watermark field
+    * and fail AnalysisException, and an empty directory has nothing to
+    * infer from at all — both must read as the in-memory ledger would
+    * (""-watermarks / zero rows), because the relation's consumer is
+    * an ALARM and an alarm that throws on the quiet case is blind.
     */
-  def watermarkLedgerFromLog(s: SparkSession, dir: String): DataFrame =
-    s.read.json(s"$dir/progress-*.jsonl")
+  def watermarkLedgerFromLog(s: SparkSession, dir: String): DataFrame = {
+    val progressSchema = StructType(Seq(
+      StructField("batchId", LongType),
+      StructField("numInputRows", LongType),
+      StructField("eventTime", StructType(Seq(
+        StructField("watermark", StringType)))),
+      StructField("stateOperators", ArrayType(StructType(Seq(
+        StructField("operatorName", StringType),
+        StructField("numRowsTotal", LongType),
+        StructField("numRowsUpdated", LongType),
+        StructField("numRowsDroppedByWatermark", LongType)))))))
+    val files = Option(new java.io.File(dir).listFiles())
+      .map(_.toSeq.map(_.getPath).filter(p =>
+        p.matches(""".*progress-[^/]*\.jsonl""")).sorted)
+      .getOrElse(Seq.empty)
+    val raw =
+      if (files.isEmpty)
+        s.createDataFrame(new java.util.ArrayList[Row](), progressSchema)
+      else s.read.schema(progressSchema).json(files: _*)
+    raw
       .select(col("batchId").as("batch_id"),
         col("numInputRows").as("num_input_rows"),
         coalesce(col("eventTime.watermark"), lit("")).as("watermark"),
@@ -190,6 +211,7 @@ object EventStream {
         col("so.numRowsTotal").as("state_rows"),
         col("so.numRowsUpdated").as("state_rows_updated"),
         col("so.numRowsDroppedByWatermark").as("dropped_by_watermark"))
+  }
 
   /** Stateful streaming dedup: first occurrence of each event_id within
     * the watermark horizon wins, and state older than the watermark is
