@@ -1338,11 +1338,11 @@ object TextPipeline {
       .select(col("span"))
     val gs = spans.join(gatedSpans, "span")
     val seeds = gs.select(col("span"), col("doc_id").as("doc_a"),
-        col("si").as("sia"), col("off").as("oa"))
+        col("off").as("oa"))
       .join(gs.select(col("span"), col("doc_id").as("doc_b"),
         col("off").as("ob")), "span")
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("sia"), col("oa"),
+      .select(col("doc_a"), col("doc_b"), col("oa"),
         (col("ob") - col("oa")).as("delta"))
     chainExtendSpans(docs, seeds)
   }
@@ -1379,12 +1379,12 @@ object TextPipeline {
       .select(col("span"))
     val gs = spans.join(gatedSpans, "span")
     val seeds = gs.select(col("span"), col("doc_id"),
-        col("si").as("sia"), col("off").as("oa"))
+        col("off").as("oa"))
       .join(gs.select(col("span"), col("doc_id"), col("off").as("ob")),
         Seq("span", "doc_id"))
       .filter(col("ob") > col("oa"))
       .select(col("doc_id").as("doc_a"), col("doc_id").as("doc_b"),
-        col("sia"), col("oa"), (col("ob") - col("oa")).as("delta"))
+        col("oa"), (col("ob") - col("oa")).as("delta"))
     chainExtendSpans(docs, seeds)
       .select(col("doc_a").as("doc_id"), col("start_a"), col("start_b"),
         col("span_len"), col("n_windows"))
@@ -1402,21 +1402,150 @@ object TextPipeline {
         ((col("si") - 1) * 32 + 1).as("off"),
         expr("substring(text, (si - 1) * 32 + 1, 64)").as("span"))
 
-  /** The CHAIN + EXTEND halves shared by the cross-document (d21) and
-    * intra-document (d23) kernels: seeds (doc_a, doc_b, sia, oa,
-    * delta) chain into maximal runs per (doc_a, doc_b, delta) via
-    * gaps-and-islands, then each run's ends extend ≤ 31 chars by
-    * direct in-row comparison (maximal by construction of the
-    * 32-stride grid — see [[maximalRepeatSpans]]). doc_a = doc_b is
-    * legal: both text joins resolve to the same document and the
-    * comparisons read the text against itself shifted by delta.
+  /** d24's CONTENT-DEFINED window decomposition — winnowing anchors
+    * (Schleimer et al. 2003, the x3 fingerprint law at k = 8) instead
+    * of d21's fixed grid: per position the Horner polynomial hash of
+    * the 8-gram (base 1000003 mod 1e9+7 — x3's exact recurrence), and
+    * an anchor at every rightmost-minimum of a w = 32-position sliding
+    * window (the `<=` fold = ORDER BY h ASC, i DESC rn=1, x3's pick
+    * rule). Each anchor that fits emits the 64-char window STARTING at
+    * it. Because anchors are chosen by the text content, two
+    * occurrences of one passage anchor at the same content-relative
+    * positions REGARDLESS of their grid alignment — the recall gap the
+    * grid family documents (only delta ≡ 0 mod 32 seeds) does not
+    * exist here. All three stages are in-row array expressions (char
+    * codes once via split, O(n·8) hashes, O(n·32) window folds — no
+    * per-position explode, no UDF): the shuffle carries only the
+    * ~2/(w+1)-density anchors, so at 100 TB the exploded row count is
+    * ~16× SMALLER than the per-position alternative; a monotone-deque
+    * kernel would make the fold O(n) but leaves the codegen'd
+    * expression path, and w = 32 ops/char is not the bottleneck
+    * against the downstream shuffle.
     */
-  private def chainExtendSpans(docs: DataFrame,
-      seeds: DataFrame): DataFrame = {
+  private def winnowAnchorSpans(docs: DataFrame): DataFrame = {
+    val horner = (1 until 8).foldLeft("cast(cs[i - 1] AS bigint)") {
+      (acc, j) => s"(($acc * 1000003 + cs[i + $j - 1]) % 1000000007)"
+    }
+    // The char-code and hash arrays are LET-BOUND as single-element-
+    // array lambda variables (transform(array(e), v -> body)[0]), not
+    // projected columns: CollapseProject inlines a projected array
+    // into every lambda reference site, and the interpreted HOF path
+    // has no common-subexpression elimination — the naive spelling
+    // re-split the whole text per position per Horner term, O(n³)
+    // per document (measured: wedged a 500-doc corpus for minutes).
+    // A lambda binding evaluates its array literal exactly once per
+    // row, keeping the pass at O(n·(k + w)) as designed.
+    docs
+      .withColumn("anchors", expr(s"""
+        array_distinct(transform(
+          array(transform(split(text, ''), c -> ascii(c))),
+          cs -> transform(
+            array(transform(sequence(1, size(cs) - 7), i -> $horner)),
+            hs -> transform(sequence(1, size(hs) - 31),
+                    j -> aggregate(sequence(j + 1, j + 31),
+                           named_struct('h', hs[j - 1], 'p', j),
+                           (acc, q) -> IF(hs[q - 1] <= acc.h,
+                             named_struct('h', hs[q - 1], 'p', q),
+                             acc)).p))[0])[0])"""))
+      .select(col("doc_id"), col("text"), explode(col("anchors")).as("off"))
+      .filter(col("off") + lit(63) <= length(col("text")))
+      .select(col("doc_id"), col("off"),
+        expr("substring(text, off, 64)").as("span"))
+  }
+
+  /** The d24 kernel — ALIGNMENT-FREE maximal repeated spans (VERDICT
+    * r18 #1), closing the grid family's documented recall gap: d21/d22/
+    * d23 seed only repeats whose occurrence gap is ≡ 0 (mod 32), so 31
+    * of 32 alignments of a repeated passage produce no seed at all.
+    * Same seed–chain–extend shape with [[winnowAnchorSpans]]'s
+    * content-defined anchors replacing the grid: anchors inside a
+    * shared passage sit at the same content positions in both
+    * occurrences, so the 64-char anchored windows collide at ANY
+    * alignment. Guarantees (w = 32, k = 8):
+    *
+    *  - every winnowing window of 32 positions fully inside a repeat
+    *    picks the same content-relative anchor in both occurrences, so
+    *    shared anchors start within w − 1 = 31 chars of the repeat's
+    *    start and recur at gaps ≤ w = 32;
+    *  - a shared anchor seeds when its 64-window fits inside the
+    *    repeat, so any repeat of length ≥ 64 + 31 = 95 seeds at EVERY
+    *    alignment (shorter repeats are best-effort — found iff an
+    *    anchor lands close enough to the start, vs the grid family's
+    *    1-in-32 phase lottery even for long repeats);
+    *  - consecutive seeds in a run are ≤ 32 apart (< the 64-char
+    *    abutment bound, so [[chainExtendSpans]] with maxGap = 64
+    *    chains them verbatim-soundly), and the ≤ 31-char boundary
+    *    extension is maximal by construction: a repeat extending ≥ 32
+    *    past the run would contain another fully-interior winnowing
+    *    window whose shared anchor seeds and chains, contradicting run
+    *    maximality — the anchored analogue of the grid's stride-1
+    *    argument, except across a gated-out boilerplate anchor, where
+    *    the repeat reports as two runs (the d21 cap semantics).
+    *
+    * Occupancy gate, pairing, output schema (doc_a, doc_b, start_a,
+    * start_b, span_len, n_windows — n_windows now counts chained
+    * ANCHORS), and the no-corpus²-anywhere scale posture are d21's;
+    * the only new cost is the in-row anchor selection. Suffix-array
+    * dedup (Lee et al. 2022) achieves the same alignment freedom with
+    * a global sort; winnowing gets it with one bounded pass and no
+    * cross-document state, which is the 100 TB-friendly trade.
+    */
+  private[graft] def maximalRepeatSpansAnchored(docs0: DataFrame,
+      maxDf: Int = 32): DataFrame = {
+    val docs = docs0.filter(length(col("text")) >= 64)
+    // Three downstream references (gate + both sides of the pair
+    // join); persist so the anchor-selection pass runs once, not 3×.
+    val spans = winnowAnchorSpans(docs)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val gatedSpans = spans.groupBy(col("span"))
+      .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("occ"))
+      .filter(col("df") > 1 && col("df") <= maxDf &&
+        col("occ") <= maxDf * 2)
+      .select(col("span"))
+    val gs = spans.join(gatedSpans, "span")
+    val seeds = gs.select(col("span"), col("doc_id").as("doc_a"),
+        col("off").as("oa"))
+      .join(gs.select(col("span"), col("doc_id").as("doc_b"),
+        col("off").as("ob")), "span")
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("oa"),
+        (col("ob") - col("oa")).as("delta"))
+    chainExtendSpans(docs, seeds, maxGap = 64)
+  }
+
+  /** The CHAIN + EXTEND halves shared by the cross-document (d21),
+    * intra-document (d23), and content-anchored (d24) kernels: seeds
+    * (doc_a, doc_b, oa, delta) chain into maximal runs per (doc_a,
+    * doc_b, delta) via conditional gaps-and-islands — a run breaks
+    * when consecutive seed offsets under one alignment delta are more
+    * than `maxGap` apart. Soundness: any two equal 64-char windows
+    * under one delta whose starts differ by ≤ 64 cover a contiguous
+    * matched range (overlap or abutment), so the island's union
+    * matches verbatim. For the 32-stride grid callers maxGap = 32 is
+    * EXACTLY the old consecutive-grid-index rule (grid offsets differ
+    * by multiples of 32, so gap ≤ 32 ⇔ adjacent windows — d21/d23
+    * results are byte-identical under the refactor); the anchored
+    * caller (d24) passes maxGap = 64, the abutment bound, because its
+    * winnowing anchors land at content-defined (non-grid) offsets
+    * ≤ 32 apart inside a shared passage. Each run's ends then extend
+    * ≤ 31 chars by direct in-row comparison — maximal by construction
+    * for both families (grid: a 32-char extension would have seeded
+    * the adjacent window pair; anchored: a w = 32 winnowing window
+    * fully inside the repeat guarantees a shared anchor within w − 1
+    * = 31 of the true boundary — see [[maximalRepeatSpansAnchored]]).
+    * doc_a = doc_b is legal: both text joins resolve to the same
+    * document and the comparisons read the text against itself
+    * shifted by delta.
+    */
+  private def chainExtendSpans(docs: DataFrame, seeds: DataFrame,
+      maxGap: Int = 32): DataFrame = {
     val w = Window.partitionBy(col("doc_a"), col("doc_b"), col("delta"))
       .orderBy(col("oa"))
     val runs = seeds
-      .withColumn("isl", col("sia") - row_number().over(w))
+      .withColumn("brk", when(
+        col("oa") - lag(col("oa"), 1).over(w) > maxGap, 1).otherwise(0))
+      .withColumn("isl",
+        sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy(col("doc_a"), col("doc_b"), col("delta"), col("isl"))
       .agg(min(col("oa")).as("sa"), max(col("oa")).as("ea"),
         count(lit(1)).as("n_windows"))
@@ -3551,6 +3680,96 @@ object TextPipeline {
                   END AS right_ext
            FROM ex21c)"""
 
+  /** d24's anchor-seed-chain-extend CTE graph (ends at ex24d — the
+    * same terminal shape as d21's ex21d, so a future anchored scrub
+    * composes the d22 removal CTEs unchanged). Anchor selection is
+    * x3's window-enumeration spelling at k = 8, w = 32: per-position
+    * Horner hashes, rightmost-min per 32-position window (ORDER BY h
+    * ASC, i DESC), DISTINCT picks; chaining is the conditional
+    * gaps-and-islands (break at oa gap > 64) mirroring the Spark
+    * side's maxGap = 64.
+    */
+  private lazy val d24OracleCtes: String = {
+    val horner8 = (1 until 8).foldLeft(
+      "cast(ascii(substr(text, i, 1)) AS bigint)") { (acc, j) =>
+      s"(($acc * 1000003 + ascii(substr(text, i + $j, 1))) % 1000000007)"
+    }
+    s"""dd24 AS (
+           SELECT doc_id, text FROM documents WHERE length(text) >= 64),
+         hs24 AS MATERIALIZED (
+           SELECT doc_id, i, $horner8 AS h
+           FROM (SELECT doc_id, text,
+                        unnest(generate_series(1, length(text) - 7)) AS i
+                 FROM dd24)),
+         win24 AS (
+           SELECT h.doc_id, g.j, h.i, h.h,
+                  row_number() OVER (PARTITION BY h.doc_id, g.j
+                    ORDER BY h.h ASC, h.i DESC) AS rn
+           FROM hs24 h JOIN (
+             SELECT doc_id,
+                    unnest(generate_series(1, length(text) - 7 - 31)) AS j
+             FROM dd24) g
+             ON g.doc_id = h.doc_id AND h.i BETWEEN g.j AND g.j + 31),
+         anc24 AS (SELECT DISTINCT doc_id, i FROM win24 WHERE rn = 1),
+         sp24 AS MATERIALIZED (
+           SELECT a.doc_id, a.i AS off, substr(d.text, a.i, 64) AS span
+           FROM anc24 a JOIN dd24 d ON d.doc_id = a.doc_id
+           WHERE a.i + 63 <= length(d.text)),
+         g24 AS (SELECT span FROM sp24 GROUP BY 1
+                 HAVING count(DISTINCT doc_id) BETWEEN 2 AND 32
+                    AND count(*) <= 64),
+         gs24 AS MATERIALIZED (
+           SELECT s.* FROM sp24 s JOIN g24 g ON g.span = s.span),
+         sd24 AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.off AS oa,
+                  b.off - a.off AS delta
+           FROM gs24 a JOIN gs24 b
+             ON b.span = a.span AND a.doc_id < b.doc_id),
+         brk24 AS (
+           SELECT doc_a, doc_b, delta, oa,
+                  CASE WHEN oa - lag(oa) OVER (PARTITION BY doc_a, doc_b,
+                         delta ORDER BY oa) > 64 THEN 1 ELSE 0 END AS brk
+           FROM sd24),
+         rn24 AS (
+           SELECT doc_a, doc_b, delta, oa,
+                  sum(brk) OVER (PARTITION BY doc_a, doc_b, delta
+                    ORDER BY oa ROWS UNBOUNDED PRECEDING) AS isl
+           FROM brk24),
+         il24 AS (
+           SELECT doc_a, doc_b, delta, isl, min(oa) AS sa, max(oa) AS ea,
+                  count(*) AS n_windows
+           FROM rn24 GROUP BY 1, 2, 3, 4),
+         ex24 AS (
+           SELECT i.doc_a, i.doc_b, i.sa, i.ea, i.n_windows,
+                  i.sa + i.delta AS sb, i.ea + i.delta AS eb,
+                  ta.text AS text_a, tb.text AS text_b,
+                  least(31, i.sa - 1, i.sa + i.delta - 1) AS ln,
+                  least(31, length(ta.text) - i.ea - 63,
+                        length(tb.text) - (i.ea + i.delta) - 63) AS rext
+           FROM il24 i JOIN dd24 ta ON ta.doc_id = i.doc_a
+           JOIN dd24 tb ON tb.doc_id = i.doc_b),
+         ex24b AS (
+           SELECT *, reverse(substr(text_a, sa - ln, ln)) AS rva,
+                  reverse(substr(text_b, sb - ln, ln)) AS rvb,
+                  substr(text_a, ea + 64, rext) AS fa,
+                  substr(text_b, eb + 64, rext) AS fb
+           FROM ex24),
+         ex24c AS (
+           SELECT doc_a, doc_b, sa, ea, sb, n_windows, rext, fa, fb,
+                  CASE WHEN ln <= 0 THEN 0 ELSE
+                    coalesce(list_min(list_filter(generate_series(1, ln),
+                      i -> substr(rva, i, 1) <> substr(rvb, i, 1))) - 1, ln)
+                  END AS left_ext
+           FROM ex24b),
+         ex24d AS (
+           SELECT doc_a, doc_b, sa, ea, sb, n_windows, left_ext,
+                  CASE WHEN rext <= 0 THEN 0 ELSE
+                    coalesce(list_min(list_filter(generate_series(1, rext),
+                      i -> substr(fa, i, 1) <> substr(fb, i, 1))) - 1, rext)
+                  END AS right_ext
+           FROM ex24c)"""
+  }
+
   val entries: Seq[(String, Q, Option[String])] = Seq(
 
     // ----- dedup ----------------------------------------------------------
@@ -5176,6 +5395,37 @@ object TextPipeline {
          LEFT JOIN cn23 ON cn23.doc_id = d.doc_id
          LEFT JOIN sc23 ON sc23.doc_id = d.doc_id
          ORDER BY d.doc_id""")),
+
+    ("d24_anchored_spans", (s: SparkSession, d: String) => {
+      // ALIGNMENT-FREE maximal repeated spans (VERDICT r18 #1): d21's
+      // grid kernel seeds only repeats at delta ≡ 0 (mod 32) — 31 of
+      // 32 alignments of a repeated passage are invisible to it.
+      // Winnowing anchors (x3's rolling-hash fingerprint law, k = 8,
+      // w = 32) seed windows at positions the TEXT chooses, so both
+      // occurrences of a passage anchor at the same content-relative
+      // offsets regardless of alignment: any repeat ≥ 95 chars seeds
+      // at EVERY alignment. Chain (maxGap = 64, the window-abutment
+      // bound) and ≤ 31-char boundary extension reuse the shared
+      // chainExtendSpans machinery; the oracle replays anchor
+      // selection, seed, chain, and extend. The planted PipelineSpec
+      // case: a 150-char passage at delta ≡ 16 (mod 32) that d21
+      // provably reports as EMPTY surfaces here at true extent. See
+      // [[maximalRepeatSpansAnchored]] for the guarantee derivation
+      // and scale posture (in-row anchor arrays, anchors-only shuffle,
+      // no corpus² anywhere).
+      maximalRepeatSpansAnchored(Tables.documents(s, d))
+        .orderBy(col("doc_a"), col("doc_b"), col("start_a"),
+          col("start_b"), col("span_len"))
+    }, Some(
+      s"""WITH $d24OracleCtes
+         SELECT doc_a, doc_b,
+                cast(sa - left_ext AS bigint) AS start_a,
+                cast(sb - left_ext AS bigint) AS start_b,
+                cast(ea + 64 - sa + left_ext + right_ext AS bigint)
+                  AS span_len,
+                cast(n_windows AS bigint) AS n_windows
+         FROM ex24d
+         ORDER BY doc_a, doc_b, start_a, start_b, span_len""")),
 
     ("d13_leakage_safe_split", (s: SparkSession, d: String) => {
       // Cluster-aware train/valid/test split — the leakage guard the

@@ -2068,6 +2068,67 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(2L)._1 == 0L && got(2L)._3 == 120L, s"doc2: ${got(2L)}")
   }
 
+  test("maximalRepeatSpansAnchored: a 150-char repeat reports at true extent at EVERY alignment; d21 finds only the phase-aligned 1-in-32") {
+    // The VERDICT r18 #1 planted proof. 32 independent doc pairs; pair c
+    // plants a distinct aperiodic 150-char passage at offset 41 in doc A
+    // and 41 + c in doc B — every alignment class delta mod 32 exactly
+    // once, fillers aperiodic uppercase (passages lowercase) so the only
+    // duplicated 64-char windows in the whole corpus are the planted
+    // passages' own, each appearing exactly twice (asserted below —
+    // hence no spurious seeds are even possible).
+    val s = spark
+    import s.implicits._
+    // Mixed-hash char generators (linear-congruential passages Caesar-
+    // collide across pairs — measured); sentinel digits at the passage
+    // borders pin the true extent at exactly 150 (a 1-in-26 filler
+    // coincidence otherwise extends the real common string to 151).
+    def mix(x0: Long): Long = {
+      var x = x0 & 0xffffffffL
+      x = ((x ^ (x >> 16)) * 0x45d9f3bL) & 0xffffffffL
+      x = ((x ^ (x >> 16)) * 0x45d9f3bL) & 0xffffffffL
+      x ^ (x >> 16)
+    }
+    def pstr(salt: Int, n: Int): String = (0 until n).map(i =>
+      ('a' + (mix(salt.toLong * 100003 + i.toLong * 7919 + 1) % 26).toInt)
+        .toChar).mkString
+    def fstr(salt: Int, n: Int): String = (0 until n).map(i =>
+      ('A' + (mix(salt.toLong * 99991 + i.toLong * 104729 + 5) % 26).toInt)
+        .toChar).mkString
+    val docs0 = (0 until 32).flatMap { c =>
+      val p = pstr(c, 150)
+      val docA = fstr(2 * c, 39) + "1" + p + "0" + fstr(2 * c + 1, 59)
+      val docB = fstr(100 + 3 * c, 39 + c) + "8" + p + "9" +
+        fstr(100 + 3 * c + 1, 49)
+      Seq((100L + c, docA), (200L + c, docB))
+    }
+    val winCounts = docs0.flatMap(_._2.sliding(64).toSeq)
+      .groupBy(identity).map(_._2.size)
+    require(winCounts.max == 2 && winCounts.count(_ == 2) == 32 * 87,
+      "corpus invariant: duplicated windows are exactly the planted ones")
+    val docs = docs0.toDF("doc_id", "text")
+    // d21 (grid family): only the delta ≡ 0 (mod 32) pair seeds — the
+    // 31 other alignments produce NO seed at all (the documented gap).
+    val d21 = TextPipeline.maximalRepeatSpans(docs).collect()
+    assert(d21.length == 1, s"d21 should see only pair 0: ${d21.toSeq}")
+    assert((d21.head.getLong(0), d21.head.getLong(1), d21.head.getLong(2),
+      d21.head.getLong(3), d21.head.getLong(4)) ==
+      ((100L, 200L, 41L, 41L, 150L)), s"d21 row: ${d21.head}")
+    // d24 (winnowing anchors): all 32 alignments, each at true extent —
+    // start_a 41, start_b 41 + c, span_len 150 (boundary extension stops
+    // exactly at the uppercase filler mismatch on both sides).
+    val d24 = TextPipeline.maximalRepeatSpansAnchored(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(d24.size == 32, s"expected 32 rows, got ${d24.size}: $d24")
+    (0 until 32).foreach { c =>
+      val row = d24.get((100L + c, 200L + c))
+      assert(row.isDefined, s"pair $c missing: $d24")
+      val (sa, sb, len, nw) = row.get
+      assert((sa, sb, len) == ((41L, (41L + c), 150L)) && nw >= 1L,
+        s"pair $c: ($sa, $sb, $len, $nw)")
+    }
+  }
+
   test("compactHnsw: tombstoned nodes vanish from levels, every edge list, and entries; survivor recall holds") {
     val s = spark
     import org.apache.spark.sql.functions.col
