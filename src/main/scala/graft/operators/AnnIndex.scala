@@ -460,9 +460,20 @@ object AnnIndex {
     */
   private def scoreCands(e: DataFrame, q: DataFrame,
       cand: DataFrame): DataFrame =
+    scoreCandsDistinct(e, q,
+      cand.select(col("q_id"), col("vec_id")).distinct())
+
+  /** [[scoreCands]] when the caller's candidate set is ALREADY distinct
+    * (q_id, vec_id) — every beam round dedups before scoring, so the
+    * internal re-distinct was a pure extra shuffle+AQE job per round
+    * (r19 job-count audit: a walk's wall time is ~all small-job
+    * overhead, 340 jobs for e27 at sf0.1). Same join shape, same
+    * expression, byte-identical scores.
+    */
+  private def scoreCandsDistinct(e: DataFrame, q: DataFrame,
+      candDistinct: DataFrame): DataFrame =
     e.select(col("vec_id"), col("embedding"))
-      .join(broadcast(cand.select(col("q_id"), col("vec_id")).distinct()),
-        Seq("vec_id"))
+      .join(broadcast(candDistinct), Seq("vec_id"))
       .join(broadcast(q), Seq("q_id"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
@@ -512,11 +523,15 @@ object AnnIndex {
     * they exist in it). `q` carries (q_id, q_emb); `e` is the corpus the
     * graph indexes.
     */
-  def nswBeamFor(idx: NswIndex, e: DataFrame, q: DataFrame,
+  def nswBeamFor(idx: NswIndex, e: DataFrame, q0: DataFrame,
       efs: Seq[Int], rounds: Int): (DataFrame, DataFrame) = {
     require(efs.nonEmpty, "nswBeamFor: efs must be non-empty")
     val s = e.sparkSession
     import s.implicits._
+    // The query set is broadcast into EVERY scoring round; checkpointing
+    // it once replaces rounds+1 re-executions of its source scan with
+    // one tiny cached read (r19 guide-§2.4 job-count reduction).
+    val q = q0.localCheckpoint()
     val kMax = efs.max
     val efDf = broadcast(efs.toDF("ef"))
     def cut(pool: DataFrame): DataFrame =
@@ -526,10 +541,17 @@ object AnnIndex {
         .select(col("ef"), col("q_id"), col("vec_id"), col("cosine_e6"))
     val entryPairs = q.select(col("q_id"))
       .crossJoin(broadcast(idx.entries.toDF("vec_id")))
-    val entryScored = scoreCands(e, q, entryPairs)
+    val entryScored = scoreCandsDistinct(e, q, entryPairs)
     var beam = cut(entryScored.crossJoin(efDf)).localCheckpoint()
-    var scoredAll = entryScored.select(col("q_id"), col("vec_id"))
-      .crossJoin(efDf).select(col("ef"), col("q_id"), col("vec_id"))
+    // The scored set accumulates as a PARTS LIST with ONE distinct at
+    // the end: the old per-round `scoredAll.union(cand).distinct()`
+    // nested r shuffles into the lineage, and every per-ef n_scored
+    // reader re-executed the whole chain (r19 job-count audit). Each
+    // part derives from a checkpointed beam, so the single final
+    // distinct sees cheap inputs; the SET is identical.
+    var scoredParts = List[DataFrame](
+      entryScored.select(col("q_id"), col("vec_id"))
+        .crossJoin(efDf).select(col("ef"), col("q_id"), col("vec_id")))
     for (_ <- 1 to rounds) {
       val cand = idx.edges
         .join(broadcast(beam.select(col("ef"), col("q_id"),
@@ -537,18 +559,16 @@ object AnnIndex {
         .select(col("ef"), col("q_id"), col("dst").as("vec_id"))
         .filter(col("vec_id") =!= col("q_id"))
         .distinct()
-      val candScores = scoreCands(e, q,
+      val candScores = scoreCandsDistinct(e, q,
         cand.select(col("q_id"), col("vec_id")).distinct())
       val candScored = cand.join(broadcast(candScores),
         Seq("q_id", "vec_id"))
         .select(col("ef"), col("q_id"), col("vec_id"), col("cosine_e6"))
       val pool = beam.union(candScored).distinct()
       beam = cut(pool).localCheckpoint()
-      scoredAll = scoredAll
-        .union(cand.select(col("ef"), col("q_id"), col("vec_id")))
-        .distinct()
+      scoredParts ::= cand.select(col("ef"), col("q_id"), col("vec_id"))
     }
-    (beam, scoredAll)
+    (beam, scoredParts.reduce(_ union _).distinct())
   }
 
   /** e29's DEGREE-sweep walk: one beam pass over the union of several
@@ -580,14 +600,19 @@ object AnnIndex {
       topKCutBy(pool, Seq("m", "q_id"), "cosine_e6", "vec_id", ef,
         ascending = false, scoreName = "cosine_e6", idName = "vec_id")
         .select(col("m"), col("q_id"), col("vec_id"), col("cosine_e6"))
+    // Same r19 job-count restructure as [[nswBeamFor]]: checkpointed
+    // query set, distinct-trusting scoring, parts-list scored set with
+    // one final distinct — identical sets, ~half the small jobs.
     val q = e.filter(qPred)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .localCheckpoint()
     val entryPairs = q.select(col("q_id"))
       .crossJoin(broadcast(idxs.head._2.entries.toDF("vec_id")))
-    val entryScored = scoreCands(e, q, entryPairs)
+    val entryScored = scoreCandsDistinct(e, q, entryPairs)
     var beam = cut(entryScored.crossJoin(msDf)).localCheckpoint()
-    var scoredAll = entryScored.select(col("q_id"), col("vec_id"))
-      .crossJoin(msDf).select(col("m"), col("q_id"), col("vec_id"))
+    var scoredParts = List[DataFrame](
+      entryScored.select(col("q_id"), col("vec_id"))
+        .crossJoin(msDf).select(col("m"), col("q_id"), col("vec_id")))
     for (_ <- 1 to rounds) {
       val cand = edges
         .join(broadcast(beam.select(col("m"), col("q_id"),
@@ -595,18 +620,16 @@ object AnnIndex {
         .select(col("m"), col("q_id"), col("dst").as("vec_id"))
         .filter(col("vec_id") =!= col("q_id"))
         .distinct()
-      val candScores = scoreCands(e, q,
+      val candScores = scoreCandsDistinct(e, q,
         cand.select(col("q_id"), col("vec_id")).distinct())
       val candScored = cand.join(broadcast(candScores),
         Seq("q_id", "vec_id"))
         .select(col("m"), col("q_id"), col("vec_id"), col("cosine_e6"))
       val pool = beam.union(candScored).distinct()
       beam = cut(pool).localCheckpoint()
-      scoredAll = scoredAll
-        .union(cand.select(col("m"), col("q_id"), col("vec_id")))
-        .distinct()
+      scoredParts ::= cand.select(col("m"), col("q_id"), col("vec_id"))
     }
-    (beam, scoredAll)
+    (beam, scoredParts.reduce(_ union _).distinct())
   }
 
   /** Top-k NSW search (e26): the final beam cut to k with ranks —
@@ -773,7 +796,7 @@ object AnnIndex {
     */
   private def scoreCandsWithSelf(e: DataFrame, q: DataFrame,
       cand: DataFrame): DataFrame =
-    scoreCands(e, q, cand).unionByName(
+    scoreCandsDistinct(e, q, cand).unionByName(
       cand.filter(col("vec_id") === col("q_id"))
         .select(col("q_id"), col("vec_id"),
           lit(1000000L).as("cosine_e6")))
@@ -797,12 +820,16 @@ object AnnIndex {
     * be corpus members (the insert door searches the frozen hierarchy
     * for arrivals before they exist in it, e28's shape).
     */
-  def hnswSearchFor(idx: HnswIndex, e: DataFrame, q: DataFrame,
+  def hnswSearchFor(idx: HnswIndex, e: DataFrame, q0: DataFrame,
       efs: Seq[Int], beamRounds: Int, descentRounds: Int = 2,
       efd: Int = 2): (DataFrame, DataFrame) = {
     require(efs.nonEmpty, "hnswSearchFor: efs must be non-empty")
     val s = e.sparkSession
     import s.implicits._
+    // Same r19 job-count restructure as [[nswBeamFor]]: checkpointed
+    // query set, distinct-trusting scoring, walked/scored parts lists
+    // with ONE final distinct — identical sets, ~half the small jobs.
+    val q = q0.localCheckpoint()
     val efDf = broadcast(efs.toDF("ef"))
     def cutD(pool: DataFrame): DataFrame =
       topKCut(pool, "q_id", "cosine_e6", "vec_id", efd, ascending = false,
@@ -811,7 +838,7 @@ object AnnIndex {
     val entryPairs = q.select(col("q_id"))
       .crossJoin(broadcast(idx.entries.toDF("vec_id")))
     var cur = cutD(scoreCandsWithSelf(e, q, entryPairs)).localCheckpoint()
-    var walked = entryPairs
+    var walkedParts = List[DataFrame](entryPairs)
     for (l <- idx.top to 1 by -1; _ <- 1 to descentRounds) {
       val cand = idx.edges(l)
         .join(broadcast(cur.select(col("q_id"), col("vec_id").as("src"))),
@@ -820,7 +847,7 @@ object AnnIndex {
         .distinct()
       val pool = cur.unionByName(scoreCandsWithSelf(e, q, cand)).distinct()
       cur = cutD(pool).localCheckpoint()
-      walked = walked.union(cand).distinct()
+      walkedParts ::= cand
     }
     val seeds = cur.select(col("q_id"), col("vec_id"))
     val cand0 = idx.edges(0)
@@ -830,15 +857,19 @@ object AnnIndex {
       .union(seeds)
       .filter(col("vec_id") =!= col("q_id"))
       .distinct()
-    val s0 = scoreCands(e, q, cand0)
+    val s0 = scoreCandsDistinct(e, q, cand0)
     def cutB(pool: DataFrame): DataFrame =
       topKCutBy(pool, Seq("ef", "q_id"), "cosine_e6", "vec_id", efs.max,
         ascending = false, scoreName = "cosine_e6", idName = "vec_id")
         .filter(col("rank") <= col("ef"))
         .select(col("ef"), col("q_id"), col("vec_id"), col("cosine_e6"))
     var beam = cutB(s0.crossJoin(efDf)).localCheckpoint()
-    var scoredAll = walked.union(cand0).distinct().crossJoin(efDf)
-      .select(col("ef"), col("q_id"), col("vec_id"))
+    // Pre-beam work (entry + descent expansions + base seeds), ef-
+    // independent by construction; the per-ef cross product and the one
+    // final distinct reproduce the old nested-distinct set exactly.
+    var scoredParts = List[DataFrame](
+      walkedParts.reduce(_ union _).union(cand0).crossJoin(efDf)
+        .select(col("ef"), col("q_id"), col("vec_id")))
     for (_ <- 2 to beamRounds) {
       val cand = idx.edges(0)
         .join(broadcast(beam.select(col("ef"), col("q_id"),
@@ -846,18 +877,16 @@ object AnnIndex {
         .select(col("ef"), col("q_id"), col("dst").as("vec_id"))
         .filter(col("vec_id") =!= col("q_id"))
         .distinct()
-      val candScores = scoreCands(e, q,
+      val candScores = scoreCandsDistinct(e, q,
         cand.select(col("q_id"), col("vec_id")).distinct())
       val candScored = cand.join(broadcast(candScores),
         Seq("q_id", "vec_id"))
         .select(col("ef"), col("q_id"), col("vec_id"), col("cosine_e6"))
       val pool = beam.union(candScored).distinct()
       beam = cutB(pool).localCheckpoint()
-      scoredAll = scoredAll
-        .union(cand.select(col("ef"), col("q_id"), col("vec_id")))
-        .distinct()
+      scoredParts ::= cand.select(col("ef"), col("q_id"), col("vec_id"))
     }
-    (beam, scoredAll)
+    (beam, scoredParts.reduce(_ union _).distinct())
   }
 
   /** Top-k HNSW search (e30) — the e26 output contract. */

@@ -54,8 +54,12 @@ object TextPipeline {
     * bound and join shape cannot drift between the two score families.
     */
   private def shinglePairStats(docs: DataFrame): DataFrame = {
-    val sh = shingles(docs)
+    // r19: the shingle set is read 4× here (both self-join sides + the
+    // size table behind two joins) — checkpoint each once instead of
+    // re-running the explode+distinct per reader. Identical rows.
+    val sh = shingles(docs).localCheckpoint()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      .localCheckpoint()
     sh.as("a").join(sh.as("b"), Seq("s"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -864,10 +868,14 @@ object TextPipeline {
         .otherwise(col("text")).as("tx"),
       when(col("doc_id") % 2 === 1, lit("lb")).otherwise(lit("la"))
         .as("lang_true"))
+    // r19: the per-doc trigram count table feeds BOTH the profile
+    // training cut and the scoring join — checkpoint it once instead of
+    // re-running the corpus explode+aggregate per reader. Identical rows.
     val cnt = bi.select(col("doc_id"), col("lang_true"),
         explode(expr("transform(sequence(1, greatest(char_length(tx) - 2, 1)), i -> substring(tx, i, 3))")).as("t"))
       .groupBy(col("doc_id"), col("lang_true"), col("t"))
       .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     val prof = cnt.filter(col("doc_id") % 5 === 0)
       .groupBy(col("lang_true"), col("t")).agg(sum(col("c")).as("tc"))
       .withColumn("rn", row_number().over(
@@ -921,6 +929,56 @@ object TextPipeline {
         round(col("cosine") * 1e6).cast("long").as("cosine_e6")),
       "q_id", "cosine_e6", "vec_id", k, ascending = false,
       scoreName = "cosine_e6", idName = "vec_id")
+
+  /** Per-sweep-point recall@3 + work rows in ONE aggregation pass (r19
+    * job-count restructure): the old spelling built one arm per sweep
+    * value — each arm re-executing the exact-ground-truth subtree, a
+    * per-value beam filter + top-3 cut, and a per-value count over the
+    * scored set's nested-distinct lineage (e27 at sf0.1: 340 Spark
+    * jobs, ~all of them these small re-executions). This computes the
+    * SAME rows as the per-value union: one top-3 cut grouped by
+    * (sweep, q_id), one grouped count over the scored set, one grouped
+    * left-join aggregation against exact3 × sweep — identical values,
+    * one subtree each. Callers pass exact3 CHECKPOINTED so the brute-
+    * force ground truth runs once per invocation (it was re-executed
+    * once per arm). Columns: sw, n_queries, n_exact, n_hits, recall_e6,
+    * n_scored.
+    */
+  private def sweepRecallCore(sweepCol: String, sweepVals: Seq[Int],
+      beam: DataFrame, scored: DataFrame, exact3: DataFrame): DataFrame = {
+    val s = beam.sparkSession
+    import s.implicits._
+    val top3 = AnnIndex.topKCutBy(beam, Seq(sweepCol, "q_id"), "cosine_e6",
+      "vec_id", 3, ascending = false, scoreName = "cosine_e6",
+      idName = "vec_id")
+      .select(col(sweepCol).as("sw"), col("q_id").as("tq"),
+        col("vec_id").as("tv"))
+    val nsc = scored
+      .select(col(sweepCol).as("sw"), col("q_id"), col("vec_id"))
+      .groupBy(col("sw")).agg(count(lit(1)).as("n_scored"))
+    val gx = exact3.crossJoin(
+      broadcast(sweepVals.toDF(sweepCol).select(col(sweepCol).as("sw"))))
+    gx.join(top3,
+        gx("sw") === top3("sw") && gx("q_id") === top3("tq") &&
+          gx("vec_id") === top3("tv"), "left")
+      .groupBy(gx("sw"))
+      .agg(countDistinct(col("q_id")).as("n_queries"),
+        count(lit(1)).as("n_exact"), count(col("tv")).as("n_hits"))
+      .join(nsc, "sw")
+  }
+
+  /** [[sweepRecallCore]] decorated to the e27/e32 family-row contract:
+    * (family, param, n_queries, n_exact, n_hits, recall_e6, n_scored).
+    */
+  private def sweepRecallRows(family: String, sweepCol: String,
+      sweepVals: Seq[Int], beam: DataFrame, scored: DataFrame,
+      exact3: DataFrame): DataFrame =
+    sweepRecallCore(sweepCol, sweepVals, beam, scored, exact3)
+      .select(lit(family).as("family"), col("sw").cast("int").as("param"),
+        col("n_queries"), col("n_exact"), col("n_hits"),
+        round(col("n_hits") * lit(1000000L) / col("n_exact"))
+          .cast("long").as("recall_e6"),
+        col("n_scored"))
 
   /** e32's DERIVED clustered manifold: vector = 8·center(vec_id mod 16)
     * + the original coordinates, where center(c)[i] = (5c + 3i + 1) mod
@@ -3556,39 +3614,41 @@ object TextPipeline {
     val q = e.filter(col("vec_id") < 3)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val exact3 = exactTopK(e, q, 3).select(col("q_id"), col("vec_id"))
-    def arm(top3: DataFrame, scoredCount: DataFrame, family: String,
-        param: Int): DataFrame =
-      exact3.join(top3.select(col("q_id").as("tq"), col("vec_id").as("tv")),
-          col("q_id") === col("tq") && col("vec_id") === col("tv"), "left")
-        .agg(countDistinct(col("q_id")).as("n_queries"),
-          count(lit(1)).as("n_exact"), count(col("tv")).as("n_hits"))
-        .crossJoin(broadcast(scoredCount))
-        .select(lit(family).as("family"), lit(param).as("param"),
-          col("n_queries"), col("n_exact"), col("n_hits"),
-          round(col("n_hits") * lit(1000000L) / col("n_exact"))
-            .cast("long").as("recall_e6"),
-          col("n_scored"))
+    // nsw/hnsw arms ride [[sweepRecallRows]] (one aggregation for the
+    // whole ef sweep); ivf keeps its per-nprobe searches (each probe
+    // set is a separate ivfSearch) but shares ONE checkpointed ground
+    // truth instead of re-executing exactTopK per arm. The checkpoints
+    // happen inside each thunk, so a bench arm pays its own ground-
+    // truth cost in its own timing — nothing moves out of the timed
+    // region.
     def nswRows: DataFrame = {
       val nsw = AnnIndex.nswFor(s, d, e, m = 16, tables = 4)
       val efs = Seq(4, 8, 16, 32)
       val (beam, scoredPairs) =
         AnnIndex.nswBeamMulti(nsw, e, col("vec_id") < 3, efs, rounds = 4)
-      efs.map { ef =>
-        arm(
-          AnnIndex.topKCut(beam.filter(col("ef") === ef),
-            "q_id", "cosine_e6", "vec_id", 3,
-            ascending = false, scoreName = "cosine_e6", idName = "vec_id"),
-          scoredPairs.filter(col("ef") === ef)
-            .agg(count(lit(1)).as("n_scored")), "nsw", ef)
-      }.reduce(_ unionByName _)
+      sweepRecallRows("nsw", "ef", efs, beam, scoredPairs,
+        exact3.localCheckpoint())
     }
     def ivfRows: DataFrame = {
       val idx = AnnIndex.ivfFor(s, d, e, nlist = 16, iters = 2)
+      val ex3 = exact3.localCheckpoint()
+      def arm(top3: DataFrame, scoredCount: DataFrame, param: Int)
+          : DataFrame =
+        ex3.join(top3.select(col("q_id").as("tq"), col("vec_id").as("tv")),
+            col("q_id") === col("tq") && col("vec_id") === col("tv"), "left")
+          .agg(countDistinct(col("q_id")).as("n_queries"),
+            count(lit(1)).as("n_exact"), count(col("tv")).as("n_hits"))
+          .crossJoin(broadcast(scoredCount))
+          .select(lit("ivf").as("family"), lit(param).as("param"),
+            col("n_queries"), col("n_exact"), col("n_hits"),
+            round(col("n_hits") * lit(1000000L) / col("n_exact"))
+              .cast("long").as("recall_e6"),
+            col("n_scored"))
       Seq(1, 2, 4, 8).map { p =>
         arm(
           AnnIndex.ivfSearch(idx, col("vec_id") < 3, k = 3, nprobe = p),
           AnnIndex.probedScores(idx, col("vec_id") < 3, p, None)
-            .agg(count(lit(1)).as("n_scored")), "ivf", p)
+            .agg(count(lit(1)).as("n_scored")), p)
       }.reduce(_ unionByName _)
     }
     // r17: the hierarchy's rows on the same queries/ground truth — at
@@ -3601,14 +3661,8 @@ object TextPipeline {
       val hefs = Seq(4, 8, 14, 16)
       val (hbeam, hscoredPairs) = AnnIndex.hnswSearchMulti(
         hnsw, e, col("vec_id") < 3, hefs, beamRounds = 4)
-      hefs.map { ef =>
-        arm(
-          AnnIndex.topKCut(hbeam.filter(col("ef") === ef),
-            "q_id", "cosine_e6", "vec_id", 3,
-            ascending = false, scoreName = "cosine_e6", idName = "vec_id"),
-          hscoredPairs.filter(col("ef") === ef)
-            .agg(count(lit(1)).as("n_scored")), "hnsw", ef)
-      }.reduce(_ unionByName _)
+      sweepRecallRows("hnsw", "ef", hefs, hbeam, hscoredPairs,
+        exact3.localCheckpoint())
     }
     // thunks: each bench pass re-builds the arm's plan like the main
     // query loop re-builds e27's — construction cost stays comparable
@@ -3871,9 +3925,15 @@ object TextPipeline {
       // rates aggregate map-side. Exactness: counts are exact longs,
       // the rate is one shared double division, the flag compares the
       // QUANTIZED rate (>20% — the t14 convention).
-      val docs = withHashSplit(Tables.documents(s, d))
-      val sh = shingles(docs)
-      val shs = sh.join(docs.select(col("doc_id"), col("split")), "doc_id")
+      // r19: split is a pure function of doc_id (withHashSplit), so it
+      // is COMPUTED on the shingle rows instead of joined back from the
+      // documents table (at 100 TB that join is a second corpus-sized
+      // shuffle); and the shingle set is checkpointed once because both
+      // the train and the test branch read it (the old plan re-ran the
+      // explode+distinct per branch). Identical rows.
+      val shs = withHashSplit(shingles(Tables.documents(s, d)))
+        .select(col("doc_id"), col("s"), col("split"))
+        .localCheckpoint()
       val trainSh = shs.filter(col("split") === "train")
         .select(col("s")).distinct()
       val testSh = shs.filter(col("split") === "test")
@@ -3941,9 +4001,14 @@ object TextPipeline {
       // candidate lists already df-bounded. Eval docs with no gated
       // candidate report NULL attribution (clean-or-boilerplate-only),
       // kept so the output covers the full eval split.
-      val docs = withHashSplit(Tables.documents(s, d))
-      val sh = shingles(docs)
-      val shs = sh.join(docs.select(col("doc_id"), col("split")), "doc_id")
+      // r19: same restructure as d14 — split computed on the shingle
+      // rows (no documents re-join), shingle set checkpointed once for
+      // the train/test branches; `pairs` is additionally checkpointed
+      // because both the top-1 window and the candidate count read it
+      // (the old plan re-ran the df-gated containment join per reader).
+      val shs = withHashSplit(shingles(Tables.documents(s, d)))
+        .select(col("doc_id"), col("s"), col("split"))
+        .localCheckpoint()
       val trainSh = shs.filter(col("split") === "train")
         .select(col("doc_id").as("train_doc"), col("s"))
       val rare = trainSh.groupBy(col("s"))
@@ -3956,6 +4021,7 @@ object TextPipeline {
       val pairs = testSh.join(gated, "s")
         .groupBy(col("doc_id"), col("train_doc"))
         .agg(count(lit(1)).as("n_shared"))
+        .localCheckpoint()
       val best = pairs.withColumn("rn", row_number().over(
           Window.partitionBy(col("doc_id"))
             .orderBy(col("n_shared").desc, col("train_doc"))))
@@ -4041,9 +4107,11 @@ object TextPipeline {
       // more map-side aggregate, not a second corpus pass. Counts
       // exact longs, rate one shared double division, flag on the
       // quantized rate (the t14 convention, d14's 20% gate).
-      val docs = withHashSplit(Tables.documents(s, d))
-      val sh = shingles(docs)
-      val shs = sh.join(docs.select(col("doc_id"), col("split")), "doc_id")
+      // r19: same restructure as d14 — split computed on the shingle
+      // rows, shingle set checkpointed once for both branches.
+      val shs = withHashSplit(shingles(Tables.documents(s, d)))
+        .select(col("doc_id"), col("s"), col("split"))
+        .localCheckpoint()
       val trainSh = shs.filter(col("split") === "train")
         .select(col("s")).distinct()
       val evalSh = shs.filter(col("split").isin("valid", "test"))
@@ -4420,7 +4488,13 @@ object TextPipeline {
             "transform(sequence(1, length(text) - 1), " +
               "i -> substring(text, i, 2))")).as("b"))
       val trainPos = pos.filter(col("split") === "train")
+      // r19: the bigram-count model table is alphabet²-bounded —
+      // checkpoint it so the prefix-sum table derives from the counted
+      // rows instead of re-running the train-corpus explode (pre's
+      // broadcast used to pay the whole explode+aggregate a second
+      // time). Identical rows.
       val big = trainPos.groupBy(col("b")).agg(count(lit(1)).as("cab"))
+        .localCheckpoint()
       val pre = big.groupBy(substring(col("b"), 1, 1).as("a"))
         .agg(sum(col("cab")).as("ca"))
       val vocab = docs.filter(col("split") === "train")
@@ -4436,10 +4510,14 @@ object TextPipeline {
           round(log2((coalesce(col("cab"), lit(0L)) + 1) * lit(1e0) /
             (coalesce(col("ca"), lit(0L)) + col("v"))) * 1e6)
             .cast("long").as("t_e6"))
+      // r19: per-doc rows are read twice (corpus moments + final
+      // projection) — checkpoint so the full-corpus position explode +
+      // model join runs once, not once per reader. Identical rows.
       val perDoc = terms.groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_bigrams"), sum(col("t_e6")).as("s_e6"))
         .withColumn("xent_e6",
           round(-col("s_e6") * lit(1e0) / col("n_bigrams")).cast("long"))
+        .localCheckpoint()
       val mom = perDoc.agg(count(lit(1)).as("nd"),
         sum(col("xent_e6")).as("s1"),
         sum(col("xent_e6") * col("xent_e6")).as("s2"))
@@ -4533,7 +4611,10 @@ object TextPipeline {
       // ratios, documented 50% boilerplate flag.
       val docs = Tables.documents(s, d)
       val nd = docs.select(count(lit(1)).as("nd"))
-      val sh = shingles(docs)
+      // r19: the distinct shingle set feeds BOTH the df aggregation and
+      // the join-back — checkpoint it once instead of re-running the
+      // explode+distinct per reader. Identical rows.
+      val sh = shingles(docs).localCheckpoint()
       val df = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
       sh.join(df, "s").crossJoin(broadcast(nd))
         .groupBy(col("doc_id"))
@@ -4774,16 +4855,21 @@ object TextPipeline {
       // exact integers; ratios by div///; Spark's built-in
       // BloomFilterAggregate is NOT used here precisely so both
       // engines replay the identical bit arithmetic.
-      val sh = shingles(Tables.documents(s, d))
+      // r19: the audit's final row crossJoins four aggregates, each of
+      // which re-executed the whole shingle→train→neg→bits chain (the
+      // corpus explode ran ~8×) — checkpoint each stage once; every
+      // reader downstream sees materialized rows. Identical rows.
+      val sh = shingles(Tables.documents(s, d)).localCheckpoint()
       val train = sh.filter(col("doc_id") % 4 =!= 0).select(col("s"))
-        .distinct()
+        .distinct().localCheckpoint()
       val neg = sh.filter(col("doc_id") % 4 === 0).select(col("s"))
         .distinct()
-        .join(train, Seq("s"), "left_anti")
+        .join(train, Seq("s"), "left_anti").localCheckpoint()
       def positions(c: org.apache.spark.sql.Column) =
         explode(array((0 to 3).map(j => expr(
           s"cast(conv(substring(md5(s), ${j * 6 + 1}, 6), 16, 10) AS bigint) % 8192")): _*))
       val bits = train.select(positions(col("s")).as("b")).distinct()
+        .localCheckpoint()
       val fps = neg.select(col("s"), positions(col("s")).as("b"))
         .join(bits, "b")
         .groupBy(col("s")).agg(count(lit(1)).as("hits"))
@@ -5897,7 +5983,11 @@ object TextPipeline {
       val e = Tables.embeddings(s, d)
       val q = e.filter(col("vec_id") < 3)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      // r19: the ground truth is copied into 4 nprobe grid rows — the
+      // old plan re-executed the brute-force exactTopK per copy;
+      // checkpoint it once. Identical rows.
       val exact3 = exactTopK(e, q, 3).select(col("q_id"), col("vec_id"))
+        .localCheckpoint()
       val idx = AnnIndex.ivfFor(s, d, e, nlist = 16, iters = 2)
       val pvals = Seq(1, 2, 4, 8)
       val sweeps = pvals.map { p =>
@@ -6062,7 +6152,11 @@ object TextPipeline {
       val surv = e.filter(col("vec_id") % 7 =!= 3)
       val q = e.filter(col("vec_id") < 3)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      // r19: the ground truth feeds 4 nprobe grid copies × 2 curves —
+      // the old plan re-executed the brute-force exactTopK 8×;
+      // checkpoint it once. Identical rows.
       val exact3 = exactTopK(surv, q, 3).select(col("q_id"), col("vec_id"))
+        .localCheckpoint()
       val lcDir = AnnIndex.lifecycleIvfFor(s, d,
         base = e.filter(col("vec_id") % 5 =!= 4),
         arrivals = e.filter(col("vec_id") % 5 === 4),
@@ -6402,28 +6496,29 @@ object TextPipeline {
       val e = Tables.embeddings(s, d)
       val q = e.filter(col("vec_id") < 3)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      val exact3 = exactTopK(e, q, 3).select(col("q_id"), col("vec_id"))
-      val idxs = Seq(4, 8, 16).map(m =>
+      // r19 job-count restructure (see [[sweepRecallCore]]): one
+      // checkpointed ground truth + one grouped aggregation over the m
+      // sweep instead of one arm per m; per-graph edge counts join in
+      // as one 3-row union. Identical rows.
+      val ex3 = exactTopK(e, q, 3).select(col("q_id"), col("vec_id"))
+        .localCheckpoint()
+      val ms = Seq(4, 8, 16)
+      val idxs = ms.map(m =>
         m -> AnnIndex.nswFor(s, d, e, m = m, tables = 4))
       val (beam, scored) = AnnIndex.nswBeamDegreeSweep(
         idxs, e, col("vec_id") < 3, ef = 8, rounds = 4)
-      idxs.map { case (m, idx) =>
-        val top3 = AnnIndex.topKCut(beam.filter(col("m") === m).drop("m"),
-          "q_id", "cosine_e6", "vec_id", 3,
-          ascending = false, scoreName = "cosine_e6", idName = "vec_id")
-        exact3.join(top3.select(col("q_id").as("tq"), col("vec_id").as("tv")),
-            col("q_id") === col("tq") && col("vec_id") === col("tv"), "left")
-          .agg(countDistinct(col("q_id")).as("n_queries"),
-            count(lit(1)).as("n_exact"), count(col("tv")).as("n_hits"))
-          .crossJoin(broadcast(scored.filter(col("m") === m)
-            .agg(count(lit(1)).as("n_scored"))))
-          .crossJoin(broadcast(idx.edges.agg(count(lit(1)).as("n_edges"))))
-          .select(lit(m).as("m"), col("n_edges"), col("n_queries"),
-            col("n_exact"), col("n_hits"),
-            round(col("n_hits") * lit(1000000L) / col("n_exact"))
-              .cast("long").as("recall_e6"),
-            col("n_scored"))
-      }.reduce(_ unionByName _).orderBy(col("m"))
+      val edgeCounts = idxs.map { case (m, idx) =>
+        idx.edges.agg(count(lit(1)).as("n_edges"))
+          .select(lit(m).as("sw"), col("n_edges"))
+      }.reduce(_ unionByName _)
+      sweepRecallCore("m", ms, beam, scored, ex3)
+        .join(broadcast(edgeCounts), "sw")
+        .select(col("sw").cast("int").as("m"), col("n_edges"),
+          col("n_queries"), col("n_exact"), col("n_hits"),
+          round(col("n_hits") * lit(1000000L) / col("n_exact"))
+            .cast("long").as("recall_e6"),
+          col("n_scored"))
+        .orderBy(col("m"))
     }, Some(nswScorePrefix + ",\n         " + nswBuildCtes() + """,
          ms AS (SELECT unnest([4, 8, 16]) AS m),
          mrank AS (SELECT src, dst, row_number() OVER (PARTITION BY src
@@ -6572,41 +6667,22 @@ object TextPipeline {
       val ce = clusteredEmbeddings(Tables.embeddings(s, d))
       val q = ce.filter(col("vec_id") < 3)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      val exact3 = exactTopK(ce, q, 3).select(col("q_id"), col("vec_id"))
+      // ONE checkpointed ground truth shared by all four arms (the old
+      // per-arm spelling re-executed the brute-force exactTopK subtree
+      // 4×), and one sweepRecallRows aggregation per family instead of
+      // one arm per (family, ef) — same rows, r19 job-count audit.
+      val ex3 = exactTopK(ce, q, 3).select(col("q_id"), col("vec_id"))
+        .localCheckpoint()
       val efs = Seq(8, 16)
-      def arm(top3: DataFrame, scoredCount: DataFrame, family: String,
-          param: Int): DataFrame =
-        exact3.join(top3.select(col("q_id").as("tq"), col("vec_id").as("tv")),
-            col("q_id") === col("tq") && col("vec_id") === col("tv"), "left")
-          .agg(countDistinct(col("q_id")).as("n_queries"),
-            count(lit(1)).as("n_exact"), count(col("tv")).as("n_hits"))
-          .crossJoin(broadcast(scoredCount))
-          .select(lit(family).as("family"), lit(param).as("param"),
-            col("n_queries"), col("n_exact"), col("n_hits"),
-            round(col("n_hits") * lit(1000000L) / col("n_exact"))
-              .cast("long").as("recall_e6"),
-            col("n_scored"))
       val nsw = AnnIndex.nswFor(s, s"$d|clustered", ce, m = 16, tables = 4)
       val (nbeam, nscored) =
         AnnIndex.nswBeamMulti(nsw, ce, col("vec_id") < 3, efs, rounds = 4)
       val hnsw = AnnIndex.hnswFor(s, s"$d|clustered", ce)
       val (hbeam, hscored) = AnnIndex.hnswSearchMulti(
         hnsw, ce, col("vec_id") < 3, efs, beamRounds = 4)
-      val rows =
-        efs.map { ef =>
-          arm(AnnIndex.topKCut(nbeam.filter(col("ef") === ef),
-            "q_id", "cosine_e6", "vec_id", 3, ascending = false,
-            scoreName = "cosine_e6", idName = "vec_id"),
-            nscored.filter(col("ef") === ef)
-              .agg(count(lit(1)).as("n_scored")), "nsw", ef)
-        } ++ efs.map { ef =>
-          arm(AnnIndex.topKCut(hbeam.filter(col("ef") === ef),
-            "q_id", "cosine_e6", "vec_id", 3, ascending = false,
-            scoreName = "cosine_e6", idName = "vec_id"),
-            hscored.filter(col("ef") === ef)
-              .agg(count(lit(1)).as("n_scored")), "hnsw", ef)
-        }
-      rows.reduce(_ unionByName _).orderBy(col("family"), col("param"))
+      sweepRecallRows("nsw", "ef", efs, nbeam, nscored, ex3)
+        .unionByName(sweepRecallRows("hnsw", "ef", efs, hbeam, hscored, ex3))
+        .orderBy(col("family"), col("param"))
     }, Some(
       s"""WITH cemb AS MATERIALIZED (
            SELECT vec_id,
@@ -6799,7 +6875,10 @@ object TextPipeline {
             .cast("long").as("avg_qerr"))
       val q10 = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      // r19: both family arms join the same ground truth — checkpoint
+      // the brute-force exactTopK once instead of twice. Identical rows.
       val exact3 = exactTopK(e, q10, 3).select(col("q_id"), col("vec_id"))
+        .localCheckpoint()
       def hitsArm(cands: DataFrame): DataFrame =
         exact3.join(cands.select(col("q_id").as("cq"),
             col("vec_id").as("cv")),
@@ -7117,7 +7196,10 @@ object TextPipeline {
             .cast("long").as("avg_qerr"))
       val q10 = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      // r19: both family arms join the same ground truth — checkpoint
+      // the brute-force exactTopK once instead of twice. Identical rows.
       val exact3 = exactTopK(e, q10, 3).select(col("q_id"), col("vec_id"))
+        .localCheckpoint()
       def hitsArm(cands: DataFrame): DataFrame =
         exact3.join(cands.select(col("q_id").as("cq"),
             col("vec_id").as("cv")),
@@ -10996,7 +11078,11 @@ object TextPipeline {
       // 100 TB: one binaryFile scan, per-file O(pixels) kernel, 4 rows
       // per asset into a bucket-gated self-join (never corpus²), one
       // hash-table join back for the verify — d3's scale shape.
+      // r19: the decoded-hash table is read 5× (3 band-side reads + 2
+      // verify joins) and each read re-ran the binaryFile scan + pixel
+      // decode — checkpoint the per-asset hashes once. Identical rows.
       val hashes = ppmDirHashes(s, ppmNearDupAssetDir(s, d))
+        .localCheckpoint()
       val bands = hashes.select(col("asset_id"),
           explode(array(
             struct(lit(0).as("band"), (col("phash_lo") % 65536).as("block")),
@@ -11146,6 +11232,9 @@ object TextPipeline {
           }
         }
         .toDF("asset_id", "fp")
+        // r19: same as mm9 — the decoded fingerprints are read 5×;
+        // checkpoint the RIFF decode once. Identical rows.
+        .localCheckpoint()
       val bands = sigs.select(col("asset_id"),
           explode(array(
             struct(lit(0).as("band"), (col("fp") % 65536).as("block")),
@@ -11278,6 +11367,9 @@ object TextPipeline {
           }
         }
         .toDF("asset_id", "f", "phash_hi", "phash_lo")
+        // r19: same as mm9 — the decoded frame hashes are read 5×;
+        // checkpoint the y4m decode once. Identical rows.
+        .localCheckpoint()
       val bands = hashes.select(col("asset_id"), col("f"),
           explode(array(
             struct(lit(0).as("band"), (col("phash_lo") % 65536).as("block")),
