@@ -1314,6 +1314,11 @@ object TextPipeline {
           (floor((length(col("text")) - 64) / 32) + 1).cast("int"))).as("si"))
       .select(col("doc_id"),
         expr("substring(text, (si - 1) * 32 + 1, 64)").as("span"))
+      // r19: three readers (dup gate, per-doc rollup, dup join) each
+      // re-ran the corpus window explode — materialize once. The
+      // stats-based broadcast gate below reads docs0's plan stats, not
+      // spans', so the gate is unchanged. Identical rows.
+      .localCheckpoint()
     val dupSpans = spans.groupBy(col("span"))
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") > 1)
@@ -1388,7 +1393,11 @@ object TextPipeline {
   private[graft] def maximalRepeatSpans(docs0: DataFrame,
       maxDf: Int = 32): DataFrame = {
     val docs = docs0.filter(length(col("text")) >= 64)
-    val spans = gridWindowSpans(docs)
+    // r19: spans has three downstream references (occupancy gate + both
+    // sides of the pair join) and Spark re-executes the corpus-sized
+    // window explode per reference — one localCheckpoint pins it to one
+    // pass (the d24 kernel's discipline). Identical rows.
+    val spans = gridWindowSpans(docs).localCheckpoint()
     val gatedSpans = spans.groupBy(col("span"))
       .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("occ"))
       .filter(col("df") > 1 && col("df") <= maxDf &&
@@ -1430,7 +1439,9 @@ object TextPipeline {
   private[graft] def maximalRepeatSpansIntra(docs0: DataFrame,
       maxDf: Int = 32): DataFrame = {
     val docs = docs0.filter(length(col("text")) >= 64)
-    val spans = gridWindowSpans(docs)
+    // r19: same one-materialization as [[maximalRepeatSpans]] — three
+    // readers of the corpus-sized window explode. Identical rows.
+    val spans = gridWindowSpans(docs).localCheckpoint()
     val gatedSpans = spans.groupBy(col("span"))
       .agg(count(lit(1)).as("occ"))
       .filter(col("occ") >= 2 && col("occ") <= maxDf * 2)
@@ -1552,9 +1563,14 @@ object TextPipeline {
       maxDf: Int = 32): DataFrame = {
     val docs = docs0.filter(length(col("text")) >= 64)
     // Three downstream references (gate + both sides of the pair
-    // join); persist so the anchor-selection pass runs once, not 3×.
-    val spans = winnowAnchorSpans(docs)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // join); materialize ONCE so the anchor-selection pass runs once,
+    // not 3×. localCheckpoint, not persist (r19): a bare persist
+    // registers the plan in the CacheManager, whose semantic-equality
+    // match would serve every LATER invocation's identical subtree from
+    // the first one's cache — cross-pass reuse the bench must not see.
+    // The checkpoint lives inside this query's own construction, so
+    // each pass pays the full anchor pass in its own timing.
+    val spans = winnowAnchorSpans(docs).localCheckpoint()
     val gatedSpans = spans.groupBy(col("span"))
       .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("occ"))
       .filter(col("df") > 1 && col("df") <= maxDf &&
@@ -1702,6 +1718,12 @@ object TextPipeline {
         sum(col("ni")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy(col("doc_id"), col("g"))
       .agg(min(col("s")).as("s"), max(col("e")).as("e"))
+      // r19: mrg has FOUR downstream readers (segment mids, tail, the
+      // scrubbed-doc set, the counts ledger) and each re-executed the
+      // whole seed-chain-extend pipeline behind `rem` — materialize the
+      // merged intervals once (they are interval-rows-sized, far below
+      // corpus scale). Identical rows.
+      .localCheckpoint()
     val texts = docs0.select(col("doc_id"), col("text"))
     val wseg = Window.partitionBy(col("doc_id")).orderBy(col("s"))
     val mid = mrg.select(col("doc_id"),
