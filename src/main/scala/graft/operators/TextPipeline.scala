@@ -1504,18 +1504,33 @@ object TextPipeline {
     // per document (measured: wedged a 500-doc corpus for minutes).
     // A lambda binding evaluates its array literal exactly once per
     // row, keeping the pass at O(n·(k + w)) as designed.
+    //
+    // The per-window rightmost-minimum is ONE native array_min over a
+    // packed encoding rather than an element-wise aggregate fold (r19,
+    // guide §4): HOF lambdas run on the interpreted expression path,
+    // so a 31-step fold paid ~31 interpreted evaluations + a struct
+    // allocation PER STEP per window — measured 12.9 s of pure
+    // expression compute at sf0.1, the round's slowest single-task
+    // work. Instead each position packs (hash, position) into one long
+    // zs[i] = h·2³⁰ + (2³⁰−1−i) — h < 1e9+7 < 2³⁰ keeps the product
+    // under 2⁶⁰, and the complemented position makes long ordering =
+    // (h ASC, i DESC) — so array_min(slice(zs, j, 32)) IS the window's
+    // rightmost minimum (the fold's `<=`-updates-on-tie rule), decoded
+    // as p = 2³⁰−1 − (min mod 2³⁰). One native scan of a primitive
+    // long slice per window (hash-verified at both scales; the planted
+    // delta≡16 PipelineSpec case still seeds). Measured 12.9 → 6.0 s
+    // of summed task time at sf0.1 (wall 13.1 → 6.4).
     docs
       .withColumn("anchors", expr(s"""
         array_distinct(transform(
           array(transform(split(text, ''), c -> ascii(c))),
           cs -> transform(
-            array(transform(sequence(1, size(cs) - 7), i -> $horner)),
-            hs -> transform(sequence(1, size(hs) - 31),
-                    j -> aggregate(sequence(j + 1, j + 31),
-                           named_struct('h', hs[j - 1], 'p', j),
-                           (acc, q) -> IF(hs[q - 1] <= acc.h,
-                             named_struct('h', hs[q - 1], 'p', q),
-                             acc)).p))[0])[0])"""))
+            array(transform(sequence(1, size(cs) - 7),
+              i -> ($horner) * 1073741824 + (1073741823 - i))),
+            zs -> transform(sequence(1, size(zs) - 31),
+                    j -> cast(1073741823
+                      - (array_min(slice(zs, j, 32)) % 1073741824)
+                      AS int)))[0])[0])"""))
       .select(col("doc_id"), col("text"), explode(col("anchors")).as("off"))
       .filter(col("off") + lit(63) <= length(col("text")))
       .select(col("doc_id"), col("off"),
